@@ -1,0 +1,374 @@
+"""Resource catalog: the logical schema system.
+
+Mirrors the reference's resource graph (SURVEY.md §1.1):
+``(name, variant)``-addressed immutable resources typed FEATURE /
+LABEL / SOURCE / TRAINING_SET / ENTITY / ON_DEMAND — reference protos
+``metadata/proto/metadata.proto:254-500``, Go registry
+``metadata/metadata.go:56-71``, provider-side ``ResourceID``
+``provider/offline.go:83-87``.
+
+The reference spreads this across a gRPC metadata server + etcd; in a
+single-process Spark engine it collapses to an in-memory dict keyed by
+``(name, variant, type)`` with dependency-ordered (lazy) DataFrame
+construction — the five boundary crossings of the reference lifecycle
+(SURVEY.md §3.1) become plain Python calls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ResourceNotFound(KeyError):
+    pass
+
+
+class ResourceExists(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Entity:
+    """A join-key namespace — proto Entity (metadata.proto:446)."""
+
+    name: str
+    description: str = ""
+
+
+@dataclass(frozen=True)
+class SourceVariant:
+    """PrimaryData or Transformation — metadata.proto:500,562-655.
+
+    Exactly one of ``path``/``table``/``query``/``fn`` is set:
+      - path + fmt: PrimaryData file (FileStoreTable)
+      - table: PrimaryData catalog table (CatalogTable)
+      - query + inputs: SQLTransformation with {{name.variant}} refs
+      - fn + inputs: DFTransformation (plain callable, no dill needed
+        in-process — reference pickles it, metadata.proto:617-629)
+    """
+
+    name: str
+    variant: str
+    path: str | None = None
+    fmt: str = "parquet"
+    table: str | None = None
+    query: str | None = None
+    fn: Callable[..., DataFrame] | None = None
+    inputs: tuple[tuple[str, str], ...] = ()
+    timestamp_column: str | None = None
+    options: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def is_transformation(self) -> bool:
+        return self.query is not None or self.fn is not None
+
+
+@dataclass(frozen=True)
+class ColumnMapping:
+    """Projection of a source into the canonical (entity, value, ts)
+    triple — proto ``Columns{entity, value, ts}`` metadata.proto:214-218,
+    ``ResourceSchema`` provider/offline.go:721-727."""
+
+    entity: str
+    value: str
+    ts: str | None = None
+
+
+@dataclass(frozen=True)
+class EntityMapping:
+    """Composite-entity mapping for labels —
+    ``EntityMappings{mappings:[{name, entity_column}]}``
+    metadata.proto:372-381."""
+
+    name: str
+    entity_column: str
+
+
+@dataclass(frozen=True)
+class FeatureVariant:
+    name: str
+    variant: str
+    source: tuple[str, str]
+    columns: ColumnMapping
+    entity: str = "entity"
+
+
+@dataclass(frozen=True)
+class LabelVariant:
+    name: str
+    variant: str
+    source: tuple[str, str]
+    columns: ColumnMapping
+    entity: str = "entity"
+    entity_mappings: tuple[EntityMapping, ...] = ()
+
+
+@dataclass(frozen=True)
+class FeatureLag:
+    """Lag feature spec — proto FeatureLag metadata.proto:330-335,
+    provider/offline.go:160-165. ``lag`` shifts the as-of cutoff:
+    value as of ``label_ts - lag``."""
+
+    feature: str
+    variant: str
+    lag: timedelta
+    alias: str | None = None
+
+
+@dataclass(frozen=True)
+class TrainingSetVariant:
+    """1 label + N features (+ lags) — TrainingSetDef
+    provider/offline.go:167-180."""
+
+    name: str
+    variant: str
+    label: tuple[str, str]
+    features: tuple[tuple[str, str], ...]
+    lags: tuple[FeatureLag, ...] = ()
+
+
+@dataclass(frozen=True)
+class OnDemandFeature:
+    """CLIENT_COMPUTED feature: plain Python fn evaluated at serve
+    time — metadata.proto:220-232, client exec serving.py:236-241."""
+
+    name: str
+    variant: str
+    fn: Callable[..., Any]
+
+
+class Catalog:
+    """In-memory resource registry + dependency-ordered evaluation.
+
+    Replaces the reference's metadata server + coordinator
+    (coordinator/scheduler.go:52-79): ``dataframe()`` resolves a
+    source's input DAG recursively; results are cached as temp views
+    so shared upstreams evaluate once (materialization reuse,
+    provider/spark.go:275-292).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[tuple[str, str], SourceVariant] = {}
+        self._features: dict[tuple[str, str], FeatureVariant] = {}
+        self._labels: dict[tuple[str, str], LabelVariant] = {}
+        self._training_sets: dict[tuple[str, str], TrainingSetVariant] = {}
+        self._entities: dict[str, Entity] = {}
+        self._on_demand: dict[tuple[str, str], OnDemandFeature] = {}
+        self._df_cache: dict[tuple[str, str], DataFrame] = {}
+
+    # -- registration (append-only: redefinition needs a new variant,
+    #    like the reference's equivalence check metadata/metadata.go:1927+)
+
+    def _put(self, store: dict, key, value, kind: str):
+        if key in store and store[key] != value:
+            raise ResourceExists(f"{kind} {key} already registered with a different definition")
+        store[key] = value
+
+    def register_entity(self, name: str, description: str = "") -> Entity:
+        e = Entity(name, description)
+        self._put(self._entities, name, e, "entity")
+        return e
+
+    def register_source(self, source: SourceVariant) -> SourceVariant:
+        self._put(self._sources, (source.name, source.variant), source, "source")
+        return source
+
+    def register_file(
+        self,
+        name: str,
+        variant: str,
+        path: str,
+        fmt: str = "parquet",
+        timestamp_column: str | None = None,
+        **options: str,
+    ) -> SourceVariant:
+        return self.register_source(
+            SourceVariant(
+                name=name,
+                variant=variant,
+                path=path,
+                fmt=fmt,
+                timestamp_column=timestamp_column,
+                options=tuple(options.items()),
+            )
+        )
+
+    def sql_transformation(
+        self, name: str, variant: str, query: str, inputs: list[tuple[str, str]] | None = None
+    ) -> SourceVariant:
+        """C1: user SQL over ``{{name.variant}}`` templated sources."""
+        from embeddinghub_spark.operators.transform import referenced_sources
+
+        ins = tuple(inputs) if inputs is not None else referenced_sources(query)
+        return self.register_source(
+            SourceVariant(name=name, variant=variant, query=query, inputs=ins)
+        )
+
+    def df_transformation(
+        self, name: str, variant: str, fn: Callable[..., DataFrame], inputs: list[tuple[str, str]]
+    ) -> SourceVariant:
+        """C2: user Python fn of input DataFrames."""
+        return self.register_source(
+            SourceVariant(name=name, variant=variant, fn=fn, inputs=tuple(inputs))
+        )
+
+    def register_feature(
+        self,
+        name: str,
+        variant: str,
+        source: tuple[str, str],
+        entity_column: str,
+        value_column: str,
+        timestamp_column: str | None = None,
+        entity: str = "entity",
+    ) -> FeatureVariant:
+        f = FeatureVariant(
+            name=name,
+            variant=variant,
+            source=source,
+            columns=ColumnMapping(entity_column, value_column, timestamp_column),
+            entity=entity,
+        )
+        self._put(self._features, (name, variant), f, "feature")
+        return f
+
+    def register_label(
+        self,
+        name: str,
+        variant: str,
+        source: tuple[str, str],
+        entity_column: str,
+        value_column: str,
+        timestamp_column: str | None = None,
+        entity: str = "entity",
+        entity_mappings: list[EntityMapping] | None = None,
+    ) -> LabelVariant:
+        lbl = LabelVariant(
+            name=name,
+            variant=variant,
+            source=source,
+            columns=ColumnMapping(entity_column, value_column, timestamp_column),
+            entity=entity,
+            entity_mappings=tuple(entity_mappings or ()),
+        )
+        self._put(self._labels, (name, variant), lbl, "label")
+        return lbl
+
+    def register_training_set(
+        self,
+        name: str,
+        variant: str,
+        label: tuple[str, str],
+        features: list[tuple[str, str]],
+        lags: list[FeatureLag] | None = None,
+    ) -> TrainingSetVariant:
+        ts = TrainingSetVariant(
+            name=name,
+            variant=variant,
+            label=label,
+            features=tuple(features),
+            lags=tuple(lags or ()),
+        )
+        self._put(self._training_sets, (name, variant), ts, "training_set")
+        return ts
+
+    def register_on_demand(
+        self, name: str, variant: str, fn: Callable[..., Any]
+    ) -> OnDemandFeature:
+        od = OnDemandFeature(name, variant, fn)
+        self._put(self._on_demand, (name, variant), od, "on_demand_feature")
+        return od
+
+    # -- lookup
+
+    def source(self, name: str, variant: str) -> SourceVariant:
+        try:
+            return self._sources[(name, variant)]
+        except KeyError:
+            raise ResourceNotFound(f"source {name}.{variant}") from None
+
+    def feature(self, name: str, variant: str) -> FeatureVariant:
+        try:
+            return self._features[(name, variant)]
+        except KeyError:
+            raise ResourceNotFound(f"feature {name}.{variant}") from None
+
+    def label(self, name: str, variant: str) -> LabelVariant:
+        try:
+            return self._labels[(name, variant)]
+        except KeyError:
+            raise ResourceNotFound(f"label {name}.{variant}") from None
+
+    def training_set(self, name: str, variant: str) -> TrainingSetVariant:
+        try:
+            return self._training_sets[(name, variant)]
+        except KeyError:
+            raise ResourceNotFound(f"training_set {name}.{variant}") from None
+
+    def on_demand(self, name: str, variant: str) -> OnDemandFeature:
+        try:
+            return self._on_demand[(name, variant)]
+        except KeyError:
+            raise ResourceNotFound(f"on_demand {name}.{variant}") from None
+
+    # -- evaluation (the "coordinator": topo-ordered lazy DAG walk)
+
+    def dataframe(self, name: str, variant: str) -> DataFrame:
+        """Resolve a source to a DataFrame, evaluating its input DAG.
+
+        Primary sources read files/tables (S1/S2); transformations
+        render {{name.variant}} to temp views + spark.sql (C1,
+        mirroring offline_store_spark_runner.py:876-886) or call the
+        user fn (C2, runner :1112-1230).
+        """
+        key = (name, variant)
+        if key in self._df_cache:
+            return self._df_cache[key]
+        src = self.source(name, variant)
+        if src.is_transformation:
+            input_dfs = [self.dataframe(n, v) for (n, v) in src.inputs]
+            if src.query is not None:
+                from embeddinghub_spark.operators.transform import run_sql_transformation
+
+                df = run_sql_transformation(self.spark, src.query, src.inputs, input_dfs)
+            else:
+                from embeddinghub_spark.operators.transform import run_df_transformation
+
+                df = run_df_transformation(src.fn, input_dfs)
+        else:
+            from embeddinghub_spark.sources.readers import read_primary
+
+            df = read_primary(self.spark, src)
+        self._df_cache[key] = df
+        return df
+
+    def feature_table(self, name: str, variant: str) -> DataFrame:
+        """C16: project a feature's source into (entity, value, ts)."""
+        from embeddinghub_spark.operators.register import resource_table
+
+        f = self.feature(name, variant)
+        return resource_table(self.dataframe(*f.source), f.columns)
+
+    def label_table(self, name: str, variant: str) -> DataFrame:
+        from embeddinghub_spark.operators.register import label_resource_table
+
+        lbl = self.label(name, variant)
+        return label_resource_table(
+            self.dataframe(*lbl.source), lbl.columns, lbl.entity_mappings
+        )
+
+    def training_set_dataframe(self, name: str, variant: str) -> DataFrame:
+        """Entry point C (SURVEY §3.3): build the PIT training set."""
+        from embeddinghub_spark.operators.pit import build_training_set
+
+        return build_training_set(self, self.training_set(name, variant))
+
+    def invalidate(self, name: str, variant: str) -> None:
+        """C18 refresh support: drop cached DF so next access recomputes."""
+        self._df_cache.pop((name, variant), None)

@@ -1,0 +1,148 @@
+"""Materialization: latest value per entity (SURVEY §2.2 C3-C5).
+
+Reference: SQL template ``provider/queries/materialize_ts.sql:1-10``
+(MAX-ts subquery), runner window version ``LatestFeaturesTransform``
+``offline_store_spark_runner.py:672-685``, no-ts variant
+``provider/queries/materialize_no_ts.sql:1-36``, global row numbering
+for chunked serve ``provider/sql.go:1683-1690``.
+
+Semantic pins (SURVEY §4 "traps"):
+  - ts ties: the SQL template keeps all tied rows, the runner's window
+    keeps one arbitrary row. We pin the window behavior with a
+    deterministic tiebreaker (value DESC after ts DESC).
+  - no-ts: the reference relies on implicit row order
+    (materialize_no_ts.sql:2-4 comment). We pin last-wins by file
+    order via monotonically_increasing_id, or a caller-supplied
+    deterministic tiebreak column.
+
+Scale notes: C3 is one hash-shuffle on entity (window partitionBy) —
+Catalyst plans a single Exchange; with AQE skew handling a hot entity
+splits. No global sort anywhere except C5's explicit serve-ordering,
+which is implemented as range-partition + per-partition numbering +
+prefix-sum offsets instead of a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def materialize(
+    df: DataFrame,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str | None = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """C3: latest ``(entity, value, ts)`` row per entity.
+
+    Window ``partitionBy(entity).orderBy(ts DESC, value DESC)`` +
+    ``row_number()=1`` — runner :679-683 with the deterministic
+    tiebreak pinned. Output columns: entity, value, ts.
+    """
+    order = [F.col(ts_col).desc(), F.col(value_col).desc()]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c).desc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(entity_col).alias("entity"),
+            F.col(value_col).alias("value"),
+            F.col(ts_col).alias("ts"),
+        )
+    )
+
+
+def materialize_no_ts(
+    df: DataFrame,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """C4: one row per entity when no timestamp exists; ts pinned to
+    epoch-0 (``CAST(0 AS TIMESTAMP)`` — provider/spark.go:118-129).
+
+    Keep-last semantics: with ``tiebreak_cols`` the winner is the max
+    by those columns (deterministic, oracle-checkable); without, the
+    last row in file order (monotonically_increasing_id — pinned
+    replacement for the reference's implicit ordering).
+    """
+    if tiebreak_cols:
+        order = [F.col(c).desc() for c in tiebreak_cols]
+    else:
+        df = df.withColumn("_file_order", F.monotonically_increasing_id())
+        order = [F.col("_file_order").desc()]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(entity_col).alias("entity"),
+            F.col(value_col).alias("value"),
+            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'").alias("ts"),
+        )
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    row_col: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """C5: deterministic global 1-based row numbering for chunked serve
+    (``row_number() OVER (ORDER BY ...)`` — provider/sql.go:1683-1690).
+
+    A plain global-order window collapses to ONE partition — fatal at
+    100 TB. Instead: range-partition on the order key, number within
+    each partition, then add the exclusive prefix sum of partition
+    counts (a tiny driver-side list, broadcast back). Same result,
+    fully parallel. ``order_cols`` must be a total order (include a
+    unique key) for determinism.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persist the ranged layout: the counts job and the final join MUST
+    # see the identical partitioning (AQE may otherwise coalesce the
+    # range exchange differently per job, shifting partition ids and
+    # corrupting the offsets).
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    numbered = part.withColumn("_local_rn", F.row_number().over(w))
+    counts = (
+        numbered.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # one tiny row per partition — driver-safe at any scale
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    )
+    return (
+        numbered.join(F.broadcast(offset_df), "_pid")
+        .withColumn(row_col, F.col("_local_rn") + F.col("_offset"))
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+def chunk(df_with_rn: DataFrame, chunk_idx: int, rows_per_chunk: int = 100_000,
+          row_col: str = "row_number") -> DataFrame:
+    """V2 segment read: ``row_number BETWEEN lo AND hi`` (provider/
+    sql.go:1786-1789); default chunk size 100k (provider/offline.go:41)."""
+    lo = chunk_idx * rows_per_chunk + 1
+    hi = (chunk_idx + 1) * rows_per_chunk
+    return df_with_rn.filter(F.col(row_col).between(lo, hi))
+
+
+def num_chunks(row_count: int, rows_per_chunk: int = 100_000) -> int:
+    """NumChunks = ceil(rows/chunk) — provider/offline.go:41."""
+    return -(-row_count // rows_per_chunk)

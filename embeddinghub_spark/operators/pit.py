@@ -1,0 +1,292 @@
+"""Point-in-time (ASOF) training-set joins — SURVEY §2.2 C6-C13.
+
+Reference semantics (provider/spark.go:103-255 ``trainingSetCreate``;
+tsquery builder ``provider/tsquery/tsquery.go:346-581``): for each
+label row, each feature contributes its latest value with
+``feature.ts <= label.ts``; missing match → NULL; duplicate label
+rows (same entity, value, ts) collapse to one (the reference's
+``row_number() OVER (PARTITION BY entity, value, ts ORDER BY f.ts
+DESC) = 1`` filter, provider/spark.go:228-234). Lag features shift
+the cutoff: value as of ``label.ts - lag`` (provider/spark.go:150-208).
+
+Two physical strategies:
+
+- ``strategy="union"`` (default, the 100 TB path): tag feature rows
+  and label rows, union by entity, one window pass with
+  ``last(<feature struct>, ignorenulls) OVER (PARTITION BY entity
+  ORDER BY ts, tag ROWS UNBOUNDED PRECEDING)``. ONE shuffle on
+  entity, no row explosion, AQE skew-split applies. This is the
+  classic distributed ASOF emulation (the same shape tsquery's
+  ``windowJoin`` fallback produces for BigQuery, tsquery.go:187-269).
+
+- ``strategy="theta"`` (reference-literal): left join on
+  ``entity = entity AND f.ts <= l.ts`` + row_number dedup. Kept for
+  parity testing; explodes on hot entities (every label row × every
+  earlier feature row before the filter), so never the default.
+
+Tie pins (SURVEY §4): equal feature ts → larger value wins
+(deterministic; the reference is arbitrary there).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.catalog import Catalog, FeatureLag, TrainingSetVariant
+
+LABEL_COL = "label"  # tsquery.go:491; serving rename serving.py:628
+
+
+def feature_column_name(name: str, variant: str) -> str:
+    """C13: ``feature__<name>__<variant>`` — tsquery.go:49."""
+    return f"feature__{name}__{variant}"
+
+
+def lag_column_name(name: str, variant: str, lag: timedelta, alias: str | None) -> str:
+    """Lag naming ``<name>_<variant>_lag_<delta>`` sanitized —
+    client/src/featureform/register.py:4711-4715."""
+    if alias:
+        return alias
+    delta = str(lag).replace(" ", "_").replace(":", "_").replace(",", "")
+    return f"{name}_{variant}_lag_{delta}"
+
+
+def asof_join_union(
+    labels: DataFrame,
+    feature: DataFrame,
+    value_cols: dict[str, str],
+    label_entity_col: str = "entity",
+    feature_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    feature_ts_col: str = "ts",
+    lag: timedelta | None = None,
+) -> DataFrame:
+    """Scalable ASOF: union + running last — one shuffle, no explosion.
+
+    ``value_cols`` maps output column name → feature column (several
+    at once = C10's feature-table join dedup: features sharing a
+    source join in ONE pass, tsquery.go:421-430).
+    """
+    out_names = list(value_cols.keys())
+
+    f_ts = F.col(feature_ts_col).cast("timestamp_ntz")
+    if lag is not None:
+        # f.ts + lag <= l.ts  ⟺  shifted feature timeline (spark.go:195-204)
+        f_ts = f_ts + F.expr(f"INTERVAL {int(lag.total_seconds())} SECONDS")
+
+    payload = F.struct(
+        *[F.col(src).alias(out) for out, src in value_cols.items()]
+    )
+    f_side = feature.select(
+        F.col(feature_entity_col).alias("_e"),
+        f_ts.alias("_ats"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_payload"),
+    )
+
+    label_cols = [c for c in labels.columns]
+    l_side = labels.select(
+        F.col(label_entity_col).alias("_e"),
+        F.col(label_ts_col).cast("timestamp_ntz").alias("_ats"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(f_side.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in label_cols],
+    )
+    unioned = f_side.select(
+        "_e", "_ats", "_tag", "_payload",
+        *[F.lit(None).cast(labels.schema[c].dataType).alias(c) for c in label_cols],
+    ).unionByName(l_side)
+
+    # ORDER: ts asc, features-before-labels at equal ts (inclusive <=),
+    # payload asc so ties on feature ts resolve to the max value.
+    w = (
+        Window.partitionBy("_e")
+        .orderBy(F.col("_ats").asc(), F.col("_tag").asc(), F.col("_payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_tag") == 1).select(
+        *[F.col(c) for c in label_cols],
+        *[F.col("_match").getField(out).alias(out) for out in value_cols],
+    )
+    return out
+
+
+def asof_join_theta(
+    labels: DataFrame,
+    feature: DataFrame,
+    value_cols: dict[str, str],
+    label_entity_col: str = "entity",
+    feature_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    feature_ts_col: str = "ts",
+    lag: timedelta | None = None,
+) -> DataFrame:
+    """Reference-literal ASOF: theta join + row_number dedup
+    (provider/spark.go:141-148, 228-234). Parity/testing only."""
+    lbl = labels.alias("l")
+    f_ts = F.col(f"f.{feature_ts_col}").cast("timestamp_ntz")
+    if lag is not None:
+        f_ts = f_ts + F.expr(f"INTERVAL {int(lag.total_seconds())} SECONDS")
+    feat = feature.alias("f")
+    cond = (F.col(f"l.{label_entity_col}") == F.col(f"f.{feature_entity_col}")) & (
+        f_ts <= F.col(f"l.{label_ts_col}").cast("timestamp_ntz")
+    )
+    joined = lbl.join(feat, cond, "left")
+    # one surviving feature row per label row: newest f.ts, max value tiebreak
+    order = [f_ts.desc_nulls_last()] + [
+        F.col(f"f.{src}").desc_nulls_last() for src in value_cols.values()
+    ]
+    w = Window.partitionBy(
+        *[F.col(f"l.{c}") for c in labels.columns]
+    ).orderBy(*order)
+    label_cols = [F.col(f"l.{c}") for c in labels.columns]
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *label_cols,
+            *[F.col(f"f.{src}").alias(out) for out, src in value_cols.items()],
+        )
+    )
+
+
+def asof_join(
+    labels: DataFrame,
+    feature: DataFrame,
+    value_cols: dict[str, str],
+    strategy: str = "union",
+    **kwargs,
+) -> DataFrame:
+    fn = asof_join_union if strategy == "union" else asof_join_theta
+    return fn(labels, feature, value_cols, **kwargs)
+
+
+def _group_features(catalog: Catalog, ts_def: TrainingSetVariant):
+    """C10: features sharing (source, entity col, ts col) join once
+    with multiple value columns — tsquery.go:421-430, 520-529."""
+    groups: dict[tuple, list] = {}
+    for name, variant in ts_def.features:
+        f = catalog.feature(name, variant)
+        key = (f.source, f.columns.entity, f.columns.ts, f.entity)
+        groups.setdefault(key, []).append(f)
+    return groups
+
+
+def build_training_set(
+    catalog: Catalog,
+    ts_def: TrainingSetVariant,
+    strategy: str = "union",
+    order_by_label_ts: bool = False,
+) -> DataFrame:
+    """C6-C13 composed: label left-ASOF-joined with every feature
+    group, the full 4-way timestamp grid:
+
+      - feature ts + label ts  → ASOF (C6/C7)
+      - feature ts, label no ts → feature collapses to latest overall
+        first (C8: tsquery.go:346-361 rn=1 CTE), equi left join
+      - feature no ts (either)  → plain left join on entity (C9);
+        feature deduped to one row per entity first
+      - composite label entities → per-feature join key from
+        EntityMappings (C12, tsquery.go:456-475)
+
+    Duplicate label rows collapse (reference rn=1 filter). Output:
+    label cols dropped to entity key(s) + feature__ cols + ``label``.
+    """
+    lbl_def = catalog.label(*ts_def.label)
+    labels = catalog.label_table(*ts_def.label)
+    label_has_ts = lbl_def.columns.ts is not None
+
+    # collapse duplicate (entity…, value, ts) label rows up front —
+    # equivalent to the reference's per-join rn=1 collapse.
+    labels = labels.dropDuplicates()
+
+    entity_cols = [c for c in labels.columns if c.startswith("entity")]
+
+    def label_join_key(feature_def) -> str:
+        if lbl_def.entity_mappings:
+            for m in lbl_def.entity_mappings:
+                if m.name == feature_def.entity:
+                    return f"entity__{m.name}"
+            raise KeyError(
+                f"label {lbl_def.name} has no entity mapping for {feature_def.entity}"
+            )
+        return "entity"
+
+    from embeddinghub_spark.operators.materialize import materialize, materialize_no_ts
+
+    acc = labels
+    for (src_key, f_entity_col, f_ts_col, _ent), feats in _group_features(
+        catalog, ts_def
+    ).items():
+        src_df = catalog.dataframe(*src_key)
+        value_cols = {
+            feature_column_name(f.name, f.variant): f.columns.value for f in feats
+        }
+        join_key = label_join_key(feats[0])
+        feature_has_ts = f_ts_col is not None
+
+        if feature_has_ts and label_has_ts:
+            acc = asof_join(
+                acc,
+                src_df,
+                value_cols,
+                strategy=strategy,
+                label_entity_col=join_key,
+                feature_entity_col=f_entity_col,
+                label_ts_col="ts",
+                feature_ts_col=f_ts_col,
+            )
+        elif feature_has_ts and not label_has_ts:
+            # C8: latest-overall per entity, then equi join
+            for out_name, vcol in value_cols.items():
+                m = materialize(src_df, f_entity_col, vcol, f_ts_col)
+                acc = acc.join(
+                    m.select(F.col("entity").alias(join_key), F.col("value").alias(out_name)),
+                    on=join_key,
+                    how="left",
+                )
+        else:
+            # C9: no feature ts — dedup to one row/entity, plain left join
+            for out_name, vcol in value_cols.items():
+                m = materialize_no_ts(src_df, f_entity_col, vcol)
+                acc = acc.join(
+                    m.select(F.col("entity").alias(join_key), F.col("value").alias(out_name)),
+                    on=join_key,
+                    how="left",
+                )
+
+    # C11: lag features (require ts on both sides)
+    for lag_spec in ts_def.lags:
+        f = catalog.feature(lag_spec.feature, lag_spec.variant)
+        if f.columns.ts is None or not label_has_ts:
+            raise ValueError("lag features require timestamps on feature and label")
+        src_df = catalog.dataframe(*f.source)
+        out_name = lag_column_name(
+            lag_spec.feature, lag_spec.variant, lag_spec.lag, lag_spec.alias
+        )
+        acc = asof_join(
+            acc,
+            src_df,
+            {out_name: f.columns.value},
+            strategy=strategy,
+            label_entity_col=label_join_key(f),
+            feature_entity_col=f.columns.entity,
+            label_ts_col="ts",
+            feature_ts_col=f.columns.ts,
+            lag=lag_spec.lag,
+        )
+
+    feature_out_cols = [c for c in acc.columns if c not in {*entity_cols, "value", "ts"}]
+    out = acc.select(
+        *entity_cols,
+        *feature_out_cols,
+        F.col("value").alias(LABEL_COL),
+        F.col("ts").alias("label_ts"),
+    )
+    if order_by_label_ts:
+        out = out.orderBy("label_ts")  # provider/spark.go:243-249
+    return out

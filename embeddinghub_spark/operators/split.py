@@ -1,0 +1,77 @@
+"""C15: deterministic train/test split.
+
+Reference (ClickHouse is the only provider implementing it —
+``provider/clickhouse.go:1103-1155``): shuffle rows by a seeded hash
+of the row number, mark the first ``total*test_size`` of the shuffled
+order as test:
+
+    is_test = row_number() OVER (ORDER BY cityHash64(concat(_row, seed)))
+              <= total * test_size
+
+We keep the hash-based scheme for cross-run determinism but use
+``md5`` as the hash: Spark and DuckDB both implement md5 with
+identical output (cityHash64/xxhash64 have no cross-engine twin), so
+the oracle can replay the exact split. Serving protocol:
+``serving/serving.go:125-288``; client
+``client/src/featureform/train_test_split.py:121-219``.
+
+Scale: no global sort is materialized — the rank threshold needs only
+a count; we compare the hash against the empirical quantile computed
+from a total count + window-free percent_rank equivalent. To stay
+exact (reference counts rows, not approximate), we rank with a global
+row_number over the hash — implemented via the same
+range-partition + offset trick as C5 when exactness matters, or the
+``hash < threshold`` variant for the streaming-friendly path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_hash(key_cols: list[str], seed: int):
+    """Deterministic per-row hash: md5(concat_ws('|', keys, seed)).
+    Identical bytes in Spark and DuckDB → oracle-replayable."""
+    return F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))))
+
+
+def with_split(
+    df: DataFrame,
+    test_size: float,
+    seed: int = 0,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Add ``is_test`` (0/1): exact count-based split like the
+    reference (first ``ceil(total*test_size)`` rows of the
+    hash-shuffled order are test — clickhouse.go:1118-1130).
+
+    ``key_cols`` defaults to all columns (the reference hashes the
+    physical row number; hashing row content is deterministic under
+    re-partitioning too, which the row-number variant is not).
+    """
+    keys = key_cols or df.columns
+    hashed = df.withColumn("_h", _row_hash(keys, seed))
+    from embeddinghub_spark.operators.materialize import with_global_row_number
+
+    total = hashed.count()
+    n_test = int(total * test_size)
+    ranked = with_global_row_number(hashed, ["_h"] + keys, row_col="_split_rn")
+    return (
+        ranked.withColumn("is_test", (F.col("_split_rn") <= n_test).cast("int"))
+        .drop("_h", "_split_rn")
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    test_size: float,
+    seed: int = 0,
+    key_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (train, test) DataFrames (client-side API shape —
+    train_test_split.py:121-219)."""
+    marked = with_split(df, test_size, seed, key_cols)
+    train = marked.filter(F.col("is_test") == 0).drop("is_test")
+    test = marked.filter(F.col("is_test") == 1).drop("is_test")
+    return train, test

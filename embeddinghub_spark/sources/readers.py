@@ -1,0 +1,129 @@
+"""Primary-data scans (SURVEY §2.1 S1-S5).
+
+Reference: ``offline_store_spark_runner.py:1009-1026`` (CSV/parquet),
+``:965-987`` (catalog tables), ``:1049-1109`` (incremental).
+
+All readers return plain DataFrames; predicate pushdown / column
+pruning / partition pruning are Catalyst's job — we never pre-collect.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader
+    rejects those outright (PARQUET_TYPE_ILLEGAL), so we must read
+    them as longs and convert. Footer sniff via pyarrow (same trick
+    the reference uses for schema inference, provider/iterators.go:30-91)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            cands = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            if not cands:
+                return []
+            p = cands[0]
+        sch = pq.read_schema(p)
+        return [
+            n
+            for n in sch.names
+            if pa.types.is_timestamp(sch.field(n).type) and sch.field(n).type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_file(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options: str
+) -> DataFrame:
+    """S1/S2: file scan, header'd CSV, corrupt-file tolerant, recursive
+    (runner :1009-1026).
+
+    Parquet TIMESTAMP(NANOS) columns are read via the nanosAsLong
+    escape hatch and truncated to microseconds (Spark's native
+    timestamp precision) — semantics identical to a ns→us cast.
+    """
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        ns_cols = _nanos_ts_columns(path)
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = (
+                spark.read.option("recursiveFileLookup", "true")
+                .option("ignoreCorruptFiles", "true")
+                .parquet(path)
+            )
+            for c in ns_cols:
+                # pure NTZ arithmetic: wall-clock-preserving under ANY
+                # session timezone (timestamp_micros() would interpret
+                # the long as a UTC instant and shift the rendering).
+                df = df.withColumn(
+                    c,
+                    F.expr(
+                        f"timestampadd(MICROSECOND, `{c}` DIV 1000, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+            return df
+    reader = spark.read
+    if fmt == "csv":
+        reader = (
+            reader.option("header", options.pop("header", "true"))
+            .option("inferSchema", options.pop("inferSchema", "true"))
+            .option("recursiveFileLookup", "true")
+            .option("ignoreCorruptFiles", "true")
+            .option("mode", "PERMISSIVE")
+        )
+    elif fmt == "parquet":
+        reader = reader.option("recursiveFileLookup", "true").option(
+            "ignoreCorruptFiles", "true"
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """S3/S4: catalog table scan (Iceberg/Delta resolve via the session
+    catalog when those extensions are installed; plain tables otherwise)."""
+    return spark.table(table)
+
+
+def read_primary(spark: SparkSession, src) -> DataFrame:
+    """Dispatch a SourceVariant's PrimaryData oneof (metadata.proto:631-655)."""
+    if src.path is not None:
+        return read_file(spark, src.path, src.fmt, **dict(src.options))
+    if src.table is not None:
+        return read_table(spark, src.table)
+    raise ValueError(f"source {src.name}.{src.variant} has no primary location")
+
+
+def read_incremental(
+    df: DataFrame, timestamp_column: str, last_run_ts
+) -> DataFrame:
+    """S5: watermark-incremental read — only rows strictly after the
+    previous high-watermark.
+
+    The reference uses Delta CDF (runner :1049-1109,
+    ``get_incremental_delta_records``) and errors on overwrites; the
+    engine-native equivalent is a high-watermark filter, which Catalyst
+    pushes into the parquet scan (shows up as PushedFilters), so an
+    incremental run touches only row groups with newer stats.
+    """
+    if last_run_ts is None:
+        return df
+    return df.filter(F.col(timestamp_column) > F.lit(last_run_ts))
+
+
+def high_watermark(df: DataFrame, timestamp_column: str):
+    """Current watermark for the next incremental run (max ts)."""
+    row = df.agg(F.max(timestamp_column).alias("wm")).collect()[0]
+    return row["wm"]

@@ -1,0 +1,115 @@
+"""Sinks (SURVEY §2.1 S8-S11, C18 atomic update).
+
+Reference: timestamped output dirs ``offline_store_spark_runner.py:
+895-909``, CSV sink ``:910-919``, online-store push ``:420-485,
+583-669``, atomic swap ``provider/sql.go:1858-1882``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def timestamped_output_dir(base: str) -> str:
+    """S8 naming: ``<base>/<yyyy-MM-dd-HH-mm-ss-SSSSSS>`` (runner :897-901)."""
+    t = time.time()
+    frac = int((t - int(t)) * 1_000_000)
+    stamp = time.strftime("%Y-%m-%d-%H-%M-%S", time.gmtime(t)) + f"-{frac:06d}"
+    return os.path.join(base, stamp)
+
+
+def write_parquet(df: DataFrame, base_dir: str) -> str:
+    """S8: parquet sink into a fresh timestamped dir (newest dir = the
+    current version, exactly how the reference Spark store finds the
+    latest training set — provider/spark.go:1648-1650)."""
+    out = timestamped_output_dir(base_dir)
+    df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def write_csv(df: DataFrame, base_dir: str, header: bool = True) -> str:
+    """S9: CSV sink with header toggle (runner :910-919)."""
+    out = timestamped_output_dir(base_dir)
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(out)
+    return out
+
+
+def latest_output_dir(base: str) -> str | None:
+    """Resolve newest timestamped dir (provider/spark.go:1648-1650)."""
+    if not os.path.isdir(base):
+        return None
+    subdirs = sorted(d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d)))
+    return os.path.join(base, subdirs[-1]) if subdirs else None
+
+
+def atomic_update(df: DataFrame, target_dir: str) -> str:
+    """C18: refresh a materialized output atomically.
+
+    Reference pattern: build a temp table, swap/rename in a
+    transaction (provider/sql.go:1858-1882 ``atomicUpdate``). Local
+    filesystem equivalent: staged write + directory swap; readers of
+    the old path are unaffected (new readers resolve the new dir).
+    On object stores this maps to Delta ``overwrite`` (commit-log
+    atomicity) — same call site, different path scheme.
+    """
+    staging = target_dir + ".staging-" + uuid.uuid4().hex[:8]
+    df.write.mode("overwrite").parquet(staging)
+    backup = target_dir + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(target_dir):
+        os.rename(target_dir, backup)
+    os.rename(staging, target_dir)
+    if os.path.exists(backup):
+        shutil.rmtree(backup, ignore_errors=True)
+    return target_dir
+
+
+# -- S11: online-store push ---------------------------------------------------
+
+_TARGET_PARTITION_BYTES = 128 * 1024 * 1024  # runner :617-660
+_DEFAULT_STRING_BYTES = 50  # runner :588-613
+_DEFAULT_OTHER_BYTES = 100
+
+
+def estimate_row_bytes(df: DataFrame) -> int:
+    """Row-size heuristic mirroring runner :588-613 (string cols 50 B,
+    numerics by width, unknown 100 B)."""
+    sizes = {
+        "tinyint": 1, "smallint": 2, "int": 4, "integer": 4, "bigint": 8,
+        "long": 8, "float": 4, "double": 8, "boolean": 1, "timestamp": 8,
+        "date": 4, "string": _DEFAULT_STRING_BYTES,
+    }
+    total = 0
+    for f in df.schema.fields:
+        total += sizes.get(f.dataType.simpleString(), _DEFAULT_OTHER_BYTES)
+    return max(total, 1)
+
+
+def online_push_partitions(row_count: int, row_bytes: int) -> int:
+    """Partition count for a sink push: ~128 MB/partition (runner
+    :617-660). On a 1000-executor cluster this is what bounds
+    concurrent writers against the KV store."""
+    return max(1, math.ceil(row_count * row_bytes / _TARGET_PARTITION_BYTES))
+
+
+def push_online(df: DataFrame, writer=None) -> dict:
+    """S11/V4: drain a materialization into an online KV snapshot.
+
+    With ``writer`` (a ``fn(iterator_of_rows)``), uses
+    ``foreachPartition`` after 128 MB-target repartitioning — the
+    distributed path (runner :420-485). Without, collects into a dict
+    (local serving snapshot; fine because materializations are
+    per-entity-latest, i.e. bounded by |entities|).
+    """
+    if writer is not None:
+        n = online_push_partitions(df.count(), estimate_row_bytes(df))
+        df.repartition(n).foreachPartition(writer)
+        return {}
+    cols = df.columns
+    entity_col = cols[0]
+    return {r[entity_col]: r.asDict() for r in df.collect()}

@@ -1,0 +1,188 @@
+"""PIT/ASOF join tests: the 4-way timestamp grid (mirrors the
+reference's correctness_test.go:105-110 matrix) plus lag features,
+composite entities, and union-vs-theta strategy agreement."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.catalog import Catalog, EntityMapping, FeatureLag
+from embeddinghub_spark.operators.pit import asof_join_theta, asof_join_union
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def feature_df(spark):
+    # out-of-order ts, ties, an entity absent from labels, a row after all labels
+    return spark.createDataFrame(
+        [
+            ("a", 10.0, _ts("2024-01-01T00:00:00")),
+            ("a", 20.0, _ts("2024-01-03T00:00:00")),
+            ("a", 15.0, _ts("2024-01-02T00:00:00")),
+            ("a", 99.0, _ts("2024-09-01T00:00:00")),  # after all labels
+            ("b", 5.0, _ts("2024-01-02T00:00:00")),
+            ("b", 6.0, _ts("2024-01-02T00:00:00")),  # ts tie → max value wins
+            ("zz", 1.0, _ts("2024-01-01T00:00:00")),  # not in labels
+        ],
+        ["entity", "value", "ts"],
+    )
+
+
+@pytest.fixture()
+def label_df(spark):
+    return spark.createDataFrame(
+        [
+            ("a", True, _ts("2024-01-02T12:00:00")),  # sees 15.0
+            ("a", False, _ts("2024-01-03T00:00:00")),  # inclusive → 20.0
+            ("b", True, _ts("2024-01-02T00:00:00")),  # tie → 6.0
+            ("c", False, _ts("2024-01-05T00:00:00")),  # no feature → NULL
+        ],
+        ["entity", "value", "ts"],
+    )
+
+
+EXPECTED = {
+    ("a", True): 15.0,
+    ("a", False): 20.0,
+    ("b", True): 6.0,
+    ("c", False): None,
+}
+
+
+@pytest.mark.parametrize("fn", [asof_join_union, asof_join_theta])
+def test_asof_semantics(fn, feature_df, label_df):
+    out = fn(label_df, feature_df, {"fv": "value"})
+    got = {(r["entity"], r["value"]): r["fv"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_strategies_agree(feature_df, label_df):
+    a = asof_join_union(label_df, feature_df, {"fv": "value"})
+    b = asof_join_theta(label_df, feature_df, {"fv": "value"})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_lag(feature_df, label_df):
+    out = asof_join_union(
+        label_df, feature_df, {"fv": "value"}, lag=timedelta(days=1)
+    )
+    got = {(r["entity"], r["value"]): r["fv"] for r in out.collect()}
+    # label a@01-02T12: cutoff 01-01T12 → value 10.0 (f.ts+1d <= l.ts)
+    assert got[("a", True)] == 10.0
+    # label a@01-03: cutoff 01-02 inclusive → 15.0
+    assert got[("a", False)] == 15.0
+    # label b@01-02: cutoff 01-01 → None
+    assert got[("b", True)] is None
+
+
+def _mk_catalog(spark, feature_df, label_df):
+    cat = Catalog(spark)
+    feature_df.createOrReplaceTempView("_feat_src")
+    label_df.createOrReplaceTempView("_lbl_src")
+    cat.df_transformation("feat", "v1", lambda: spark.table("_feat_src"), [])
+    cat.df_transformation("lbl", "v1", lambda: spark.table("_lbl_src"), [])
+    return cat
+
+
+def test_training_set_grid_ts_ts(spark, feature_df, label_df):
+    cat = _mk_catalog(spark, feature_df, label_df)
+    cat.register_feature("f1", "v1", ("feat", "v1"), "entity", "value", "ts")
+    cat.register_label("l1", "v1", ("lbl", "v1"), "entity", "value", "ts")
+    cat.register_training_set("ts1", "v1", ("l1", "v1"), [("f1", "v1")])
+    out = cat.training_set_dataframe("ts1", "v1")
+    assert set(out.columns) == {"entity", "feature__f1__v1", "label", "label_ts"}
+    got = {(r["entity"], r["label"]): r["feature__f1__v1"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_training_set_grid_featurets_label_nots(spark, feature_df, label_df):
+    cat = _mk_catalog(spark, feature_df, label_df.drop("ts"))
+    cat.register_feature("f1", "v1", ("feat", "v1"), "entity", "value", "ts")
+    cat.register_label("l1", "v1", ("lbl", "v1"), "entity", "value")
+    cat.register_training_set("ts1", "v1", ("l1", "v1"), [("f1", "v1")])
+    got = {
+        (r["entity"], r["label"]): r["feature__f1__v1"]
+        for r in cat.training_set_dataframe("ts1", "v1").collect()
+    }
+    # C8: feature collapses to latest overall (a→99.0, b→6.0)
+    assert got == {
+        ("a", True): 99.0,
+        ("a", False): 99.0,
+        ("b", True): 6.0,
+        ("c", False): None,
+    }
+
+
+def test_training_set_grid_feature_nots(spark, feature_df, label_df):
+    cat = _mk_catalog(spark, feature_df.drop("ts"), label_df)
+    cat.register_feature("f1", "v1", ("feat", "v1"), "entity", "value")
+    cat.register_label("l1", "v1", ("lbl", "v1"), "entity", "value", "ts")
+    cat.register_training_set("ts1", "v1", ("l1", "v1"), [("f1", "v1")])
+    got = {
+        (r["entity"], r["label"]): r["feature__f1__v1"]
+        for r in cat.training_set_dataframe("ts1", "v1").collect()
+    }
+    # C9: plain left join after keep-one dedup (file order → last row wins):
+    # a rows: 10,20,15,99 → 99; b rows: 5,6 → 6
+    assert got[("b", True)] == 6.0
+    assert got[("c", False)] is None
+    assert got[("a", True)] == got[("a", False)]
+
+
+def test_training_set_multi_feature_and_lag(spark, feature_df, label_df):
+    cat = _mk_catalog(spark, feature_df, label_df)
+    cat.register_feature("f1", "v1", ("feat", "v1"), "entity", "value", "ts")
+    cat.register_feature("f2", "v1", ("feat", "v1"), "entity", "value", "ts")
+    cat.register_label("l1", "v1", ("lbl", "v1"), "entity", "value", "ts")
+    cat.register_training_set(
+        "ts1",
+        "v1",
+        ("l1", "v1"),
+        [("f1", "v1"), ("f2", "v1")],
+        lags=[FeatureLag("f1", "v1", timedelta(days=1), alias="f1_lag1d")],
+    )
+    out = cat.training_set_dataframe("ts1", "v1")
+    assert "feature__f1__v1" in out.columns
+    assert "feature__f2__v1" in out.columns
+    assert "f1_lag1d" in out.columns
+    rows = {(r["entity"], r["label"]): r for r in out.collect()}
+    # grouped features (same source/entity/ts) produce identical values
+    for r in rows.values():
+        assert r["feature__f1__v1"] == r["feature__f2__v1"]
+    assert rows[("a", True)]["f1_lag1d"] == 10.0
+
+
+def test_training_set_composite_entity(spark):
+    feat_user = spark.createDataFrame(
+        [("u1", 1.0, _ts("2024-01-01T00:00:00"))], ["user_id", "value", "ts"]
+    )
+    feat_merch = spark.createDataFrame(
+        [("m1", 2.0, _ts("2024-01-01T00:00:00"))], ["merchant_id", "value", "ts"]
+    )
+    lbls = spark.createDataFrame(
+        [("u1", "m1", True, _ts("2024-01-02T00:00:00")),
+         ("u1", "m2", False, _ts("2024-01-02T00:00:00"))],
+        ["user_id", "merchant_id", "value", "ts"],
+    )
+    cat = Catalog(spark)
+    for name, df in [("fu", feat_user), ("fm", feat_merch), ("lb", lbls)]:
+        df.createOrReplaceTempView(f"_src_{name}")
+        cat.df_transformation(name, "v1", (lambda n: lambda: spark.table(f"_src_{n}"))(name), [])
+    cat.register_feature("uf", "v1", ("fu", "v1"), "user_id", "value", "ts", entity="user")
+    cat.register_feature("mf", "v1", ("fm", "v1"), "merchant_id", "value", "ts", entity="merchant")
+    cat.register_label(
+        "ml", "v1", ("lb", "v1"), "", "value", "ts",
+        entity_mappings=[EntityMapping("user", "user_id"), EntityMapping("merchant", "merchant_id")],
+    )
+    cat.register_training_set("cts", "v1", ("ml", "v1"), [("uf", "v1"), ("mf", "v1")])
+    out = cat.training_set_dataframe("cts", "v1")
+    rows = {
+        (r["entity__user"], r["entity__merchant"]): r for r in out.collect()
+    }
+    assert rows[("u1", "m1")]["feature__uf__v1"] == 1.0
+    assert rows[("u1", "m1")]["feature__mf__v1"] == 2.0
+    assert rows[("u1", "m2")]["feature__mf__v1"] is None
