@@ -373,6 +373,320 @@ def q_s5_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S5_ORACLE = "WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) SELECT * FROM evt WHERE ts > TIMESTAMP '2024-01-20 00:00:00'"
 
 
+
+
+# --------------------------------------------------------------------------
+# V5: k-NN vector search (exact brute force — the oracle-checkable baseline)
+# --------------------------------------------------------------------------
+
+def q_v5_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.vector import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_bruteforce(emb, queries_df, 5).select("query_id", "neighbor_id", "rank")
+
+
+_V5_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+     pairs AS (SELECT q.qid, e.vec_id AS nid,
+                      list_cosine_similarity(e.embedding, q.qv) AS score
+               FROM embeddings e CROSS JOIN q),
+     r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, nid ASC) AS INTEGER) AS rank
+           FROM pairs)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# M5 dedup: exact (canonical fingerprint groups)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_FPR_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    "' +', ' ', 'g')))"
+)
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT {_FPR_SQL} AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# M5 text analysis: token/punct/stopword counts, quality, lang-ID, fingerprint
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.text import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _text_stats_oracle() -> str:
+    from embeddinghub_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lang_counts = []
+    for lang in sorted(LANG_MARKERS):
+        ms = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        lang_counts.append(
+            f"CAST(len(list_filter(toks, t -> list_contains([{ms}], lower(t)))) AS INTEGER) AS s_{lang}"
+        )
+    # tie priority = alphabetical order (de > en > es > fr), matching the
+    # engine's struct-max with alphabetical preference
+    lang_case = (
+        "CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und' "
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+     c AS (SELECT doc_id, text, toks,
+                  CAST(len(toks) AS INTEGER) AS n_tokens,
+                  CAST(length(text) AS INTEGER) AS n_chars_computed,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
+                  CAST(len(list_filter(toks, t -> list_contains([{sw}], lower(t)))) AS INTEGER) AS n_stopwords,
+                  {", ".join(lang_counts)}
+           FROM t)
+SELECT doc_id, n_tokens, n_chars_computed, n_punct, n_stopwords,
+       round(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+             * (1.0 - CASE WHEN n_chars_computed > 0
+                           THEN CAST(n_punct AS DOUBLE) / n_chars_computed ELSE 0.0 END)
+             * least(1.0, 4.0 * CASE WHEN n_tokens > 0
+                                     THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END),
+             6) AS quality,
+       {lang_case} AS lang_detected,
+       {_FPR_SQL} AS fingerprint
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# M5 dedup: MinHash banding (candidate buckets) + verified Jaccard pairs
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+     t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+     s AS (SELECT doc_id,
+                  CASE WHEN len(toks) > 3
+                       THEN list_transform(range(0, len(toks) - 2),
+                                           i -> array_to_string(toks[i + 1 : i + 3], ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS grams
+           FROM t),
+     sig AS (SELECT doc_id,
+                    {mins}
+             FROM s)
+"""
+
+
+def _sig_sql(num_hashes: int = 8) -> str:
+    mins = ",\n                    ".join(
+        f"list_min(list_transform(grams, g -> md5('{i}#' || g))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return _SHINGLE_CTE.format(mins=mins)
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.dedup import minhash_candidates
+
+    return minhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_bands_oracle() -> str:
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return "WITH" + _sig_sql(8) + bands
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _jaccard_pairs_oracle() -> str:
+    bands = "\n           UNION ALL\n           ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH{_sig_sql(8)},
+     cand AS ({bands}),
+     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM cand a JOIN cand b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+     j AS (SELECT p.id_a, p.id_b,
+                  round(
+                    CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                    / (len(list_distinct(sa.grams)) + len(list_distinct(sb.grams))
+                       - len(list_intersect(sa.grams, sb.grams))),
+                    6) AS jaccard
+           FROM pairs p
+           JOIN s sa ON sa.doc_id = p.id_a
+           JOIN s sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# M5 dedup: SimHash (16-bit majority fingerprint)
+# --------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text", bits=16).alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) <> 0)) >= n "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+     h AS (SELECT doc_id, len(toks) AS n,
+                  list_transform(toks,
+                    tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hs
+           FROM t)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# M5: embedding near-duplicates (LSH bucket + cosine threshold)
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_NEAR_DUP_THRESHOLD = 0.3  # synthetic vectors: max pairwise cosine ~0.51
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
+        threshold=_NEAR_DUP_THRESHOLD, n_planes=8,
+    )
+
+
+def _embedding_near_dup_oracle() -> str:
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, 8, seed=7)
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({terms}) AS lsh_bucket FROM embeddings),
+     p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                  round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))),
+                        6) AS cosine
+           FROM b x JOIN b y ON x.lsh_bucket = y.lsh_bucket AND x.vec_id < y.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# C12: composite-entity training set (order + part entities)
+# --------------------------------------------------------------------------
+
+def q_c12_composite_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.catalog import EntityMapping
+
+    cat = _catalog(spark, sf_dir)
+    cat.register_feature(
+        "order_price", "v1", ("orders", "default"),
+        "o_orderkey", "o_totalprice", "o_orderdate", entity="order",
+    )
+    cat.register_feature(
+        "part_price", "v1", ("part", "default"),
+        "p_partkey", "p_retailprice", entity="part",
+    )
+    cat.register_label(
+        "qty", "v1", ("lineitem", "default"), "", "l_quantity", "l_shipdate",
+        entity_mappings=[
+            EntityMapping("order", "l_orderkey"),
+            EntityMapping("part", "l_partkey"),
+        ],
+    )
+    cat.register_training_set(
+        "ts_c12", "v1", ("qty", "v1"),
+        [("order_price", "v1"), ("part_price", "v1")],
+    )
+    return cat.training_set_dataframe("ts_c12", "v1")
+
+
+_C12_ORACLE = """
+WITH l AS (SELECT DISTINCT l_orderkey AS entity__order, l_partkey AS entity__part,
+                           l_quantity AS label, l_shipdate AS label_ts
+           FROM lineitem)
+SELECT l.entity__order, l.entity__part,
+       CASE WHEN o.o_orderdate <= l.label_ts THEN o.o_totalprice END AS feature__order_price__v1,
+       p.p_retailprice AS feature__part_price__v1,
+       l.label, l.label_ts
+FROM l
+LEFT JOIN orders o ON o.o_orderkey = l.entity__order
+LEFT JOIN part p ON p.p_partkey = l.entity__part
+"""
+
+
+# --------------------------------------------------------------------------
+# C10: feature-group dedup — two features from one source join in ONE pass
+# --------------------------------------------------------------------------
+
+def q_c10_feature_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _pit_catalog(spark, sf_dir)
+    cat.register_feature("click_v2", "v1", ("clicks", "v1"), "user_id", "value", "ts")
+    cat.register_training_set(
+        "ts_c10", "v1", ("purchase", "v1"),
+        [("click_value", "v1"), ("click_v2", "v1")],
+    )
+    return cat.training_set_dataframe("ts_c10", "v1")
+
+
+_C10_ORACLE = """
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+     l AS (SELECT DISTINCT user_id AS entity, value, ts
+           FROM evt WHERE event_type = 'purchase'),
+     f AS (SELECT user_id, value, ts FROM evt WHERE event_type = 'click'),
+     j AS (SELECT l.entity, l.value, l.ts, f.value AS fv,
+                  row_number() OVER (PARTITION BY l.entity, l.value, l.ts
+                                     ORDER BY f.ts DESC, f.value DESC) AS rn
+           FROM l LEFT JOIN f ON f.user_id = l.entity AND f.ts <= l.ts)
+SELECT entity, fv AS feature__click_value__v1, fv AS feature__click_v2__v1,
+       value AS label, ts AS label_ts
+FROM j WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -397,6 +711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c15_train_test_split": q_c15_train_test_split,
         "c16_resource_registration": q_c16_resource_registration,
         "s5_incremental_read": q_s5_incremental_read,
+        "v5_knn_bruteforce": q_v5_knn_bruteforce,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "minhash_bands": q_minhash_bands,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "c12_composite_entities": q_c12_composite_entities,
+        "c10_feature_group_join": q_c10_feature_group_join,
     }
 
 
@@ -415,4 +738,13 @@ def oracle_sql() -> dict[str, str]:
         "c15_train_test_split": _C15_ORACLE,
         "c16_resource_registration": _C16_ORACLE,
         "s5_incremental_read": _S5_ORACLE,
+        "v5_knn_bruteforce": _V5_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "text_stats": _text_stats_oracle(),
+        "minhash_bands": _minhash_bands_oracle(),
+        "jaccard_pairs": _jaccard_pairs_oracle(),
+        "simhash": _simhash_oracle(),
+        "embedding_near_dup": _embedding_near_dup_oracle(),
+        "c12_composite_entities": _C12_ORACLE,
+        "c10_feature_group_join": _C10_ORACLE,
     }

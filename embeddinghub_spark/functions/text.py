@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM training-data pipelines (beyond the
+reference's surface — BASELINE.json north star: "add the
+LLM-data-pipeline operators (... text analysis)").
+
+All pure JVM expressions (split/regexp/aggregate) — no Python UDFs —
+so they stay inside whole-stage codegen and scale linearly. Tokenizer
+is a pinned single-space split so results are reproducible in any
+ANSI-SQL oracle engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Pinned analysis vocabulary (deterministic, oracle-replayable).
+STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at from".split()
+)
+
+# Tiny marker-word tables for language ID — heuristic n-gram/lexicon
+# approach; extend per-language as needed.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space split, empty-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def punct_count(col: Column | str) -> Column:
+    """Count of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9 ]", ""))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: penalize tiny docs, heavy
+    punctuation, and stopword-free (keyword-stuffed) text.
+
+    score = min(1, tokens/64) * (1 - punct_ratio) * min(1, 4*stop_ratio)
+    — each factor expressible identically in ANSI SQL.
+    """
+    n_tok = token_count(col).cast("double")
+    n_char = char_count(col).cast("double")
+    n_punct = punct_count(col).cast("double")
+    n_stop = stopword_count(col).cast("double")
+    len_factor = F.least(F.lit(1.0), n_tok / F.lit(64.0))
+    punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    stop_factor = F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+    return len_factor * (F.lit(1.0) - punct_ratio) * stop_factor
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (lexicon heuristic lang-ID)."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+    return out
+
+
+def detect_language(col: Column | str, default: str = "und") -> Column:
+    """argmax over lang_scores with deterministic (alphabetical) ties;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(col)
+    pairs = [
+        F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        for lang, score in sorted(scores.items())
+    ]
+    # array_max on (score, lang) structs: max score, then max lang —
+    # pin alphabetical-FIRST tie order by negating via sort: use
+    # reverse-alphabetical names? Simpler: compare (score, reversed rank).
+    ranked = [
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(-i).alias("pref"),  # earlier alphabetical wins ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(sorted(scores))
+    ]
+    best = F.array_max(F.array(*ranked))
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit(default)
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    whitespace collapsed, punctuation stripped) — canonical-form
+    dedup key, identical in any md5-bearing SQL engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r" +", " ")
+    )
+    return F.md5(normalized)
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per doc: token/char/punct/stopword counts + quality +
+    detected language + fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        punct_count(text_col).alias("n_punct"),
+        stopword_count(text_col).alias("n_stopwords"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        detect_language(text_col).alias("lang_detected"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

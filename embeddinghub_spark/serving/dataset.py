@@ -1,0 +1,107 @@
+"""Dataset iteration adapters (SURVEY §2.3 V1/V6/V7/V8).
+
+Reference: training-set row iterator ``provider/offline.go:574-579``;
+client-side ``Dataset`` adapters repeat/shuffle/batch
+``client/src/featureform/serving.py:357-436``; ``dataframe()`` export
+``serving.py:578-655``; source preview ``serving/serving.go:311-353``
+(client caps at 2,000,000 records — client.py:129).
+
+These are driver-side iterator utilities by design (they feed a local
+training loop); the data-parallel path is the DataFrame itself.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+PREVIEW_DEFAULT_LIMIT = 2_000_000  # client/src/featureform/client.py:129
+
+
+class Dataset:
+    """Iterator pipeline over a training-set DataFrame: each item is
+    ``(features: list, label)`` like the reference's proto rows."""
+
+    def __init__(self, df: DataFrame, label_col: str = "label"):
+        self._df = df
+        self._label_col = label_col
+        self._repeat = 1
+        self._shuffle_buffer = 0
+        self._shuffle_seed: int | None = None
+        self._batch = 0
+
+    def repeat(self, n: int) -> "Dataset":
+        """serving.py:357-380: iterate the dataset n+1 times total."""
+        self._repeat = n + 1
+        return self
+
+    def shuffle(self, buffer_size: int, seed: int | None = None) -> "Dataset":
+        """serving.py:382-410: buffered reservoir shuffle."""
+        self._shuffle_buffer = buffer_size
+        self._shuffle_seed = seed
+        return self
+
+    def batch(self, n: int) -> "Dataset":
+        """serving.py:412-436: yield lists of n rows."""
+        self._batch = n
+        return self
+
+    def dataframe(self) -> DataFrame:
+        """V7: we're already Spark — identity."""
+        return self._df
+
+    def pandas(self):
+        return self._df.toPandas()
+
+    def _rows(self) -> Iterator[tuple[list[Any], Any]]:
+        feature_cols = [c for c in self._df.columns if c != self._label_col]
+        for _ in range(self._repeat):
+            it = (
+                (
+                    [row[c] for c in feature_cols],
+                    row[self._label_col] if self._label_col in self._df.columns else None,
+                )
+                for row in self._df.toLocalIterator()
+            )
+            if self._shuffle_buffer > 1:
+                yield from _buffered_shuffle(it, self._shuffle_buffer, self._shuffle_seed)
+            else:
+                yield from it
+
+    def __iter__(self):
+        if self._batch > 1:
+            return iter(_batched(self._rows(), self._batch))
+        return self._rows()
+
+
+def _buffered_shuffle(it: Iterator, buffer_size: int, seed: int | None) -> Iterator:
+    rng = random.Random(seed)
+    buf: list[Any] = []
+    for item in it:
+        if len(buf) < buffer_size:
+            buf.append(item)
+            continue
+        idx = rng.randrange(buffer_size)
+        yield buf[idx]
+        buf[idx] = item
+    rng.shuffle(buf)
+    yield from buf
+
+
+def _batched(it: Iterator, n: int) -> Iterator[list]:
+    batch: list[Any] = []
+    for item in it:
+        batch.append(item)
+        if len(batch) == n:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def preview(df: DataFrame, limit: int = PREVIEW_DEFAULT_LIMIT) -> DataFrame:
+    """V8 source preview: LIMIT n (serving/serving.go:509-564)."""
+    return df.limit(limit)

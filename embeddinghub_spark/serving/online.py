@@ -1,0 +1,108 @@
+"""Online serving plane (SURVEY §2.3 V3/V4, §3.2; C19 on-demand).
+
+Reference: online store interface ``provider/online.go:42-64``
+(GetTable/Get/Set, VectorStoreTable.Nearest), serve path
+``serving/serving.go:581-679`` (mode switch PRECOMPUTED /
+CLIENT_COMPUTED / STREAMING), batch copy ``runner/copy.go:65-211``
+(500-worker pool draining chunk iterators).
+
+In-process equivalent: a materialization snapshot is pushed into an
+``OnlineStore`` (dict-backed KV; the distributed path is
+``foreachPartition`` via sources.sinks.push_online). On-demand
+features are plain callables evaluated per request
+(client/src/featureform/serving.py:236-241).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from embeddinghub_spark.catalog import Catalog
+from embeddinghub_spark.functions.vector import knn_bruteforce
+from embeddinghub_spark.operators.materialize import materialize, materialize_no_ts
+
+
+class OnlineTable:
+    """KV snapshot of one feature materialization (provider/online.go:50-53)."""
+
+    def __init__(self, name: str, variant: str):
+        self.name = name
+        self.variant = variant
+        self._data: dict[Any, Any] = {}
+
+    def set(self, entity: Any, value: Any) -> None:
+        self._data[entity] = value
+
+    def get(self, entity: Any) -> Any:
+        """V3 single GET; KeyError on miss (reference returns
+        EntityNotFound — serving/serving.go:612-679)."""
+        return self._data[entity]
+
+    def multi_get(self, entities: list[Any]) -> list[Any]:
+        return [self._data.get(e) for e in entities]
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+
+class OnlineStore:
+    """The serving plane: feature snapshots + on-demand fns + vector
+    tables, fed from batch materializations (V4 copy)."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self._tables: dict[tuple[str, str], OnlineTable] = {}
+        self._vectors: dict[tuple[str, str], DataFrame] = {}
+
+    # -- V4: batch copy from offline materialization
+
+    def materialize_feature(self, name: str, variant: str) -> OnlineTable:
+        f = self.catalog.feature(name, variant)
+        table = self.catalog.feature_table(name, variant)
+        if f.columns.ts is not None:
+            snap = materialize(table)
+        else:
+            snap = materialize_no_ts(table)
+        t = OnlineTable(name, variant)
+        for row in snap.toLocalIterator():  # streams chunks, no full collect
+            t.set(row["entity"], row["value"])
+        self._tables[(name, variant)] = t
+        return t
+
+    def register_vector_table(self, name: str, variant: str, df: DataFrame) -> None:
+        """V5 vector feature table: (id, embedding array<float>)."""
+        self._vectors[(name, variant)] = df
+
+    # -- V3 / §3.2 entry point B: client.features()
+
+    def features(
+        self, feature_list: list[tuple[str, str]], entities: dict[str, Any], params: Any = None
+    ) -> list[Any]:
+        """Serve a feature vector for one entity (mode switch per
+        serving/serving.go:625-667): PRECOMPUTED → snapshot get;
+        on-demand → call fn(store, params, entities)."""
+        out = []
+        for name, variant in feature_list:
+            key = (name, variant)
+            if key in self._tables:
+                entity_key = entities.get(
+                    self.catalog.feature(name, variant).entity, None
+                ) or next(iter(entities.values()))
+                out.append(self._tables[key]._data.get(entity_key))
+            else:
+                od = self.catalog.on_demand(name, variant)
+                out.append(od.fn(self, params, entities))
+        return out
+
+    # -- V5: nearest
+
+    def nearest(self, name: str, variant: str, vector: list[float], k: int) -> list[Any]:
+        """k-NN against a registered vector table (batch brute-force;
+        serving/serving.go:744-800)."""
+        df = self._vectors[(name, variant)]
+        spark = df.sparkSession
+        q = spark.createDataFrame([(0, vector)], ["query_id", "query_vec"])
+        hits = knn_bruteforce(df, q, k).orderBy("rank").collect()
+        return [r["neighbor_id"] for r in hits]

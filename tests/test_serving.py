@@ -1,0 +1,98 @@
+from datetime import datetime
+
+import pytest
+
+from embeddinghub_spark.catalog import Catalog
+from embeddinghub_spark.serving.dataset import Dataset, preview
+from embeddinghub_spark.serving.online import OnlineStore
+from embeddinghub_spark.serving.spaces import EmbeddingHub, FrozenSpaceError
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def served_catalog(spark):
+    cat = Catalog(spark)
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, _ts("2024-01-01T00:00:00")),
+            ("a", 2.0, _ts("2024-01-02T00:00:00")),
+            ("b", 9.0, _ts("2024-01-01T00:00:00")),
+        ],
+        ["entity", "value", "ts"],
+    )
+    df.createOrReplaceTempView("_serve_src")
+    cat.df_transformation("src", "v1", lambda: spark.table("_serve_src"), [])
+    cat.register_feature("f1", "v1", ("src", "v1"), "entity", "value", "ts")
+    return cat
+
+
+def test_online_get(served_catalog):
+    store = OnlineStore(served_catalog)
+    t = store.materialize_feature("f1", "v1")
+    assert t.get("a") == 2.0  # latest value
+    assert t.get("b") == 9.0
+    with pytest.raises(KeyError):
+        t.get("zz")
+    assert t.multi_get(["a", "zz"]) == [2.0, None]
+
+
+def test_features_serve_precomputed_and_on_demand(served_catalog):
+    store = OnlineStore(served_catalog)
+    store.materialize_feature("f1", "v1")
+
+    def double_f1(store_, params, entities):
+        return params * 2
+
+    served_catalog.register_on_demand("od", "v1", double_f1)
+    vals = store.features(
+        [("f1", "v1"), ("od", "v1")], {"entity": "a"}, params=21
+    )
+    assert vals == [2.0, 42]
+
+
+def test_dataset_adapters(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), i % 2 == 0) for i in range(10)], ["id", "feat", "label"]
+    )
+    ds = Dataset(df, label_col="label")
+    rows = list(ds)
+    assert len(rows) == 10
+    assert rows[0][0][0] == rows[0][0][0]  # (features, label) tuples
+    assert len(list(Dataset(df, "label").repeat(1))) == 20
+    batches = list(Dataset(df, "label").batch(4))
+    assert [len(b) for b in batches] == [4, 4, 2]
+    shuffled = list(Dataset(df, "label").shuffle(5, seed=1))
+    assert len(shuffled) == 10
+    assert preview(df, 3).count() == 3
+
+
+def test_embedding_spaces(spark):
+    hub = EmbeddingHub(spark)
+    space = hub.create_space("test", dims=3)
+    space.multiset({"x": [1.0, 0.0, 0.0], "y": [0.0, 1.0, 0.0], "z": [1.0, 0.1, 0.0]})
+    assert space.get("x") == [1.0, 0.0, 0.0]
+    space.set("x", [0.9, 0.0, 0.0])  # upsert wins
+    assert space.get("x") == pytest.approx([0.9, 0.0, 0.0])
+    assert space.get("missing") is None
+    got = space.multiget(["x", "y"])
+    assert set(got) == {"x", "y"}
+    # nearest by key excludes self; z is closer to x than y is
+    assert space.nearest_neighbor(1, key="x") == ["z"]
+    assert space.nearest_neighbor(1, vector=[0.0, 0.9, 0.0]) == ["y"]
+    with pytest.raises(ValueError):
+        space.multiset({"bad": [1.0]})
+    hub.freeze_space("test")
+    with pytest.raises(FrozenSpaceError):
+        space.set("x", [1.0, 1.0, 1.0])
+    assert space.download().count() == 3
+
+
+def test_on_demand_batch_equivalent(served_catalog, spark):
+    # C19 applied in batch: the registry fn can also be used via UDF
+    store = OnlineStore(served_catalog)
+    store.materialize_feature("f1", "v1")
+    vals = store.features([("f1", "v1")], {"entity": "b"})
+    assert vals == [9.0]

@@ -1,0 +1,69 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    knn_bruteforce,
+    knn_lsh,
+    l2_distance,
+    with_lsh_bucket,
+)
+
+
+def test_dot_cosine_l2(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"]
+    )
+    row = df.select(
+        dot("a", "b").alias("d"),
+        cosine_similarity("a", "b").alias("c"),
+        l2_distance("a", "b").alias("l"),
+    ).collect()[0]
+    assert row["d"] == pytest.approx(32.0)
+    assert row["c"] == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
+    assert row["l"] == pytest.approx(math.sqrt(27))
+
+
+def test_knn_bruteforce_exact(spark):
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(1, 6)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], ["query_id", "query_vec"])
+    # all colinear → cosine tie = 1.0 → tiebreak by neighbor_id asc
+    out = knn_bruteforce(vectors, queries, 3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    out_l2 = knn_bruteforce(vectors, queries, 2, metric="l2").orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out_l2] == [1, 2]
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, queries, 5, dim, n_planes=4).collect()
+    }
+    # self-match always survives LSH (same bucket by construction)
+    for q in [0, 1, 2]:
+        assert (q, q) in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # 4-plane LSH on random vectors: partial recall OK
+
+
+def test_lsh_bucket_deterministic(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.2, 0.8])], ["vec_id", "embedding"])
+    b1 = with_lsh_bucket(df, "embedding", 3).collect()[0]["lsh_bucket"]
+    b2 = with_lsh_bucket(df, "embedding", 3).collect()[0]["lsh_bucket"]
+    assert b1 == b2
+    assert 0 <= b1 < 256
