@@ -687,6 +687,171 @@ FROM j WHERE rn = 1
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# F8: user-SQL passthrough suite — the Spark SQL surface inherited via C1.
+# Oracle SQL is textually adapted per engine where function names differ;
+# results must hash-match.
+# --------------------------------------------------------------------------
+
+def q_f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "json_k", "v1",
+        """
+        SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, COUNT(*) AS n
+        FROM {{events.default}} GROUP BY k
+        """,
+    )
+    return cat.dataframe("json_k", "v1")
+
+
+_F8_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
+FROM events GROUP BY k
+"""
+
+
+def q_f8_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "topn", "v1",
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+          FROM {{orders.default}})
+        WHERE rnk <= 3
+        """,
+    )
+    return cat.dataframe("topn", "v1")
+
+
+_F8_TOPN_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_f8_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "setops", "v1",
+        """
+        SELECT 'with_orders' AS tag, c_custkey AS custkey FROM {{customer.default}}
+        INTERSECT
+        SELECT 'with_orders', o_custkey FROM {{orders.default}}
+        UNION ALL
+        (SELECT 'no_orders' AS tag, c_custkey FROM {{customer.default}}
+         EXCEPT
+         SELECT 'no_orders', o_custkey FROM {{orders.default}})
+        """,
+    )
+    return cat.dataframe("setops", "v1")
+
+
+_F8_SETOPS_ORACLE = """
+SELECT 'with_orders' AS tag, c_custkey AS custkey FROM customer
+INTERSECT
+SELECT 'with_orders', o_custkey FROM orders
+UNION ALL
+(SELECT 'no_orders' AS tag, c_custkey FROM customer
+ EXCEPT
+ SELECT 'no_orders', o_custkey FROM orders)
+"""
+
+
+def q_f8_cte_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "cte_having", "v1",
+        """
+        WITH seg AS (
+          SELECT c_mktsegment AS seg, n_nationkey AS nk,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+          FROM {{orders.default}} o
+          JOIN {{customer.default}} c ON o.o_custkey = c.c_custkey
+          JOIN {{nation.default}} n ON c.c_nationkey = n.n_nationkey
+          GROUP BY c_mktsegment, n_nationkey
+        )
+        SELECT seg, nk, total FROM seg
+        WHERE total > 1000000 ORDER BY seg, nk
+        """,
+    )
+    return cat.dataframe("cte_having", "v1")
+
+
+_F8_CTE_ORACLE = """
+WITH seg AS (
+  SELECT c_mktsegment AS seg, n_nationkey AS nk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c_mktsegment, n_nationkey
+)
+SELECT seg, nk, total FROM seg
+WHERE total > 1000000 ORDER BY seg, nk
+"""
+
+
+def q_f8_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "scalars", "v1",
+        """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               substr(p_name, 1, 8) AS name8,
+               length(p_type) AS type_len,
+               p_size % 7 AS size_mod,
+               round(p_retailprice * 1.1, 2) AS marked_up,
+               concat(p_brand, ':', p_type) AS brand_type
+        FROM {{part.default}}
+        """,
+    )
+    return cat.dataframe("scalars", "v1")
+
+
+_F8_SCALARS_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       substr(p_name, 1, 8) AS name8,
+       CAST(length(p_type) AS INTEGER) AS type_len,
+       p_size % 7 AS size_mod,
+       round(p_retailprice * 1.1, 2) AS marked_up,
+       concat(p_brand, ':', p_type) AS brand_type
+FROM part
+"""
+
+
+def q_f8_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "dates", "v1",
+        """
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               COUNT(*) AS n,
+               CAST(min(o_orderdate) AS TIMESTAMP_NTZ) AS first_order
+        FROM {{orders.default}} GROUP BY y, m
+        """,
+    )
+    return cat.dataframe("dates", "v1")
+
+
+_F8_DATES_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+       COUNT(*) AS n, min(o_orderdate) AS first_order
+FROM orders GROUP BY y, m
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -720,6 +885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
+        "f8_json_extract": q_f8_json_extract,
+        "f8_window_topn": q_f8_window_topn,
+        "f8_set_ops": q_f8_set_ops,
+        "f8_cte_having": q_f8_cte_having,
+        "f8_scalar_funcs": q_f8_scalar_funcs,
+        "f8_date_funcs": q_f8_date_funcs,
     }
 
 
@@ -747,4 +918,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,
+        "f8_json_extract": _F8_JSON_ORACLE,
+        "f8_window_topn": _F8_TOPN_ORACLE,
+        "f8_set_ops": _F8_SETOPS_ORACLE,
+        "f8_cte_having": _F8_CTE_ORACLE,
+        "f8_scalar_funcs": _F8_SCALARS_ORACLE,
+        "f8_date_funcs": _F8_DATES_ORACLE,
     }

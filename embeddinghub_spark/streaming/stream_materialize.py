@@ -1,0 +1,82 @@
+"""C20: streaming features — incremental latest-value materialization.
+
+Reference semantics (SURVEY §2.2 C20, §2.1 S7): streaming means
+"Kafka source → incremental latest-value materialization → online
+store" (metadata.proto:605-615 ``is_streaming``; serve path
+serving/serving.go:626-660 treats STREAMING like PRECOMPUTED reads
+from the online store). No watermarks/event-time windows exist in the
+reference; the parity bar is: after processing all micro-batches, the
+online snapshot equals batch C3 over the full input.
+
+Implementation: Structured Streaming + ``foreachBatch``. Each batch
+is reduced map-side to its per-entity latest row (tiny), then merged
+into the snapshot keep-newest-wins — idempotent per (entity, ts,
+value), giving exactly-once *effects* on top of at-least-once batch
+delivery. The snapshot here is an in-memory dict (the local
+OnlineTable path); on a cluster the same merge is a Delta MERGE INTO
+keyed by entity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from embeddinghub_spark.operators.materialize import materialize
+
+
+class StreamingSnapshot:
+    """Keep-newest per-entity state merged across micro-batches."""
+
+    def __init__(self):
+        self._data: dict[Any, tuple[Any, Any]] = {}  # entity -> (value, ts)
+
+    def merge(self, rows) -> None:
+        for r in rows:
+            cur = self._data.get(r["entity"])
+            key = (r["ts"], r["value"])
+            if cur is None or key > (cur[1], cur[0]):
+                self._data[r["entity"]] = (r["value"], r["ts"])
+
+    def get(self, entity: Any) -> Any:
+        return self._data[entity][0]
+
+    def items(self) -> dict[Any, Any]:
+        return {e: v for e, (v, _) in self._data.items()}
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+
+def streaming_materialize(
+    stream_df: DataFrame,
+    snapshot: StreamingSnapshot,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start the streaming C3: per-batch latest-per-entity (one small
+    shuffle per batch over the batch's entities only), merged into the
+    snapshot newest-wins.
+
+    ``outputMode`` is irrelevant under foreachBatch (the batch is the
+    raw new data); the latest-value semantics live in the merge — the
+    same shape as the runner's online push (S11) with the dedup pushed
+    map-side.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = materialize(batch_df, entity_col, value_col, ts_col)
+        snapshot.merge(latest.collect())  # ≤ |entities in batch| rows
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

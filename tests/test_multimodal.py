@@ -1,0 +1,65 @@
+import pytest
+
+from embeddinghub_spark.functions.multimodal import (
+    extract_media_features,
+    frame_sample,
+    repartition_by_bytes,
+    with_media_metadata,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\x89PNG fake image bytes " * 10, "image/png"),
+        (2, b"RIFF fake wav bytes " * 50, "audio/wav"),
+        (3, b"", "application/octet-stream"),
+        (4, None, None),
+    ]
+    return spark.createDataFrame(rows, ["media_id", "media", "mime"])
+
+
+def test_media_metadata(media_df):
+    out = {r["media_id"]: r for r in with_media_metadata(media_df, "media", "mime").collect()}
+    assert out[1]["media_size_bytes"] == 220
+    assert out[3]["media_size_bytes"] == 0
+    assert out[4]["media_size_bytes"] is None
+    assert len(out[1]["media_md5"]) == 32
+    assert out[2]["media_mime"] == "audio/wav"
+
+
+def test_fake_feature_extraction_deterministic(media_df):
+    out1 = {r["media_id"]: r["feature"] for r in
+            extract_media_features(media_df, "media", ["media_id"], dim=16).collect()}
+    out2 = {r["media_id"]: r["feature"] for r in
+            extract_media_features(media_df, "media", ["media_id"], dim=16).collect()}
+    assert out1 == out2
+    assert all(len(v) == 16 for v in out1.values())
+    assert all(-1.0 <= x < 1.0 for v in out1.values() for x in v)
+    assert out1[1] != out1[2]
+    assert out1[3] == out1[4]  # empty and NULL media map to the same stub
+
+
+def test_real_extractor_is_stubbed(media_df):
+    with pytest.raises(Exception) as exc_info:
+        extract_media_features(media_df, "media", ["media_id"], extractor="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_shape(media_df):
+    out = frame_sample(media_df.filter("media_id = 1"), "media", ["media_id"], n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    # frames concatenate to a prefix of the original payload
+    joined = b"".join(r["frame_bytes"] for r in rows)
+    assert len(joined) == 220  # 220/4 divides evenly here
+
+
+def test_repartition_by_bytes(media_df):
+    df = with_media_metadata(media_df, "media", "mime")
+    out = repartition_by_bytes(df, target_partition_bytes=500)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 4

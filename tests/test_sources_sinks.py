@@ -1,0 +1,92 @@
+"""S1/S2/S5/S8/S9, C17/C18, S11 local push, V2 chunk iteration."""
+
+import os
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.sources.readers import (
+    high_watermark,
+    read_file,
+    read_incremental,
+)
+from embeddinghub_spark.sources.sinks import (
+    atomic_update,
+    estimate_row_bytes,
+    latest_output_dir,
+    online_push_partitions,
+    push_online,
+    timestamped_output_dir,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_csv_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+        out = write_csv(df, os.path.join(d, "csv_out"))
+        back = read_file(spark, out, "csv")
+        assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_parquet_sink_timestamped_dirs_and_latest(spark):
+    with tempfile.TemporaryDirectory() as d:
+        base = os.path.join(d, "out")
+        df1 = spark.createDataFrame([(1,)], ["v"])
+        df2 = spark.createDataFrame([(2,)], ["v"])
+        p1 = write_parquet(df1, base)
+        p2 = write_parquet(df2, base)
+        assert p1 != p2
+        assert latest_output_dir(base) == max(p1, p2)
+        assert spark.read.parquet(latest_output_dir(base)).collect()[0]["v"] == 2
+
+
+def test_atomic_update_swaps(spark):
+    with tempfile.TemporaryDirectory() as d:
+        target = os.path.join(d, "t")
+        atomic_update(spark.createDataFrame([(1,)], ["v"]), target)
+        assert spark.read.parquet(target).collect()[0]["v"] == 1
+        atomic_update(spark.createDataFrame([(2,)], ["v"]), target)
+        assert spark.read.parquet(target).collect()[0]["v"] == 2
+        assert not [p for p in os.listdir(d) if "old" in p]  # backup cleaned
+
+
+def test_incremental_watermark(spark):
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 2)), (3, datetime(2024, 1, 3))],
+        ["id", "ts"],
+    )
+    wm = high_watermark(df.filter("id <= 2"), "ts")
+    assert wm == datetime(2024, 1, 2)
+    inc = read_incremental(df, "ts", wm)
+    assert [r["id"] for r in inc.collect()] == [3]
+    assert read_incremental(df, "ts", None).count() == 3
+
+
+def test_online_push_local_and_sizing(spark):
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["entity", "value"])
+    snap = push_online(df)
+    assert snap["a"]["value"] == 1.0
+    rb = estimate_row_bytes(df)
+    assert rb == 50 + 8  # string + double
+    assert online_push_partitions(1, rb) == 1
+    assert online_push_partitions(10_000_000, 128) >= 9
+
+
+def test_timestamped_dir_format():
+    d = timestamped_output_dir("/tmp/base")
+    name = os.path.basename(d)
+    # yyyy-MM-dd-HH-mm-ss-SSSSSS (runner :897-901)
+    parts = name.split("-")
+    assert len(parts) == 7
+    assert len(parts[-1]) == 6
+
+
+def test_c17_transformation_as_table(spark):
+    # C17: persist a transformation as a (temp) table and re-query it
+    df = spark.createDataFrame([(1, "x")], ["id", "s"])
+    df.createOrReplaceTempView("c17_out")
+    assert spark.table("c17_out").count() == 1
