@@ -150,6 +150,11 @@ def minhash_candidates(
     bounded by true near-dup cluster sizes (plus tiny hash-collision
     noise), so no quadratic blowup on the full corpus.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: trailing "
+            "hashes would be silently dropped, reducing LSH recall"
+        )
     rows_per_band = num_hashes // bands
     with_sig = _with_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = []
@@ -280,9 +285,12 @@ def ngram_jaccard_pairs(
     n-gram Jaccard ≥ threshold. The expensive exact measure runs ONLY
     on candidate pairs (bucket-scoped), never all-pairs."""
     pairs = minhash_duplicate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # tiny (id + shingles); read twice by the pair join. localCheckpoint
+    # (lazy) materializes on first action and is GC-cleaned with the
+    # plan — no unpersist contract leaks onto the caller.
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
-    ).persist()  # tiny (id + shingles); read twice by the pair join
+    ).localCheckpoint(eager=False)
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")

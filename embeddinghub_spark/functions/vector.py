@@ -98,11 +98,29 @@ def knn_bruteforce(
         F.col(id_col).alias("neighbor_id"),
         score.alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k, order)
+
+
+def _topk_per_query(scored: DataFrame, k: int, order: list[Column]) -> DataFrame:
+    """Two-stage top-k: per-(input-partition, query) partial top-k
+    first, then the global per-query window over the survivors only.
+
+    A single ``partitionBy(query_id)`` window hashes ALL N×Q scored
+    rows onto Q keys — a skew catastrophe at scale (Q reducers own
+    everything). Staging on (spark_partition_id, query_id) keeps the
+    first exchange uniformly distributed, and the final window sees
+    only parts×Q×k rows. ``spark_partition_id`` is projected to a
+    column first (window partition keys must be deterministic).
+    """
+    staged = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("_pid", "query_id").orderBy(*order)
+    pruned = (
+        staged.withColumn("_prank", F.row_number().over(w1))
+        .filter(F.col("_prank") <= k)
+        .drop("_pid", "_prank")
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -123,7 +141,7 @@ def with_lsh_bucket(
     df: DataFrame,
     vec_col: str,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 16,
     seed: int = 7,
     bucket_col: str = "lsh_bucket",
 ) -> Column | DataFrame:
@@ -132,6 +150,12 @@ def with_lsh_bucket(
     Same-bucket vectors are cosine-likely-similar; used to scope both
     ANN probing and near-duplicate candidate generation. JVM-side only:
     the hyperplanes are literal arrays folded into the plan.
+
+    Default 16 planes = 65,536 buckets: at corpus scale the bucket
+    equi-self-join stays near-linear (bucket sizes bounded); recall is
+    recovered by banding the planes (see ``dedup.embedding_near_
+    duplicates`` — any-band-match candidates, MinHash-style) rather
+    than by shrinking the bucket space.
     """
     bucket = F.lit(0)
     for i, plane in enumerate(random_hyperplanes(dim, n_planes, seed)):
@@ -151,24 +175,47 @@ def knn_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int = 2,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the query's LSH bucket, banded.
 
-    Recall < 1 by construction (bucket boundaries); raise recall by
-    lowering n_planes or multi-probing. The join is bucket-equi +
-    broadcast → no N×Q explosion, scales linearly in N.
+    The ``n_planes`` sign bits split into ``bands`` bands; a vector is
+    a candidate if it matches the query on ANY band (MinHash-style
+    banding). More planes per band → smaller buckets (linear scaling);
+    more bands → higher recall. The join is band-equi + broadcast →
+    no N×Q explosion.
     """
+    if n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     v = with_lsh_bucket(vectors, vec_col, dim, n_planes, seed)
     q = with_lsh_bucket(queries, query_vec_col, dim, n_planes, seed)
-    paired = v.join(F.broadcast(q), "lsh_bucket")
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+
+    def banded(df: DataFrame) -> DataFrame:
+        bandstructs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("lsh_bucket"), b * bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for b in range(bands)
+        ])
+        return (
+            df.withColumn("_b", F.explode(bandstructs))
+            .select(*df.columns, F.col("_b.band").alias("band"), F.col("_b.band_val").alias("band_val"))
+            .drop("lsh_bucket")
+        )
+
+    paired = banded(v).join(F.broadcast(banded(q)), ["band", "band_val"])
+    # a pair matching on several bands appears once per band — dedup
+    # before ranking (candidate set is already bucket-bounded, small)
     scored = paired.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         cosine_similarity(vec_col, query_vec_col).alias("score"),
+    ).distinct()
+    return _topk_per_query(
+        scored, k, [F.col("score").desc(), F.col("neighbor_id").asc()]
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -87,14 +87,17 @@ def materialize_no_ts(
     )
 
 
-def with_global_row_number(
+def with_global_row_number_counted(
     df: DataFrame,
     order_cols: list[str],
     row_col: str = "row_number",
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """C5: deterministic global 1-based row numbering for chunked serve
     (``row_number() OVER (ORDER BY ...)`` — provider/sql.go:1683-1690).
+    Returns ``(numbered_df, total_row_count)`` — the total falls out of
+    the prefix-sum for free, so callers needing both (C15 split) don't
+    run a second count job.
 
     A plain global-order window collapses to ONE partition — fatal at
     100 TB. Instead: range-partition on the order key, number within
@@ -103,22 +106,22 @@ def with_global_row_number(
     fully parallel. ``order_cols`` must be a total order (include a
     unique key) for determinism.
     """
-    from pyspark import StorageLevel
-
     spark = df.sparkSession
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist the ranged layout: the counts job and the final join MUST
-    # see the identical partitioning (AQE may otherwise coalesce the
-    # range exchange differently per job, shifting partition ids and
-    # corrupting the offsets).
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # localCheckpoint pins the ranged layout: the counts job and the
+    # final join MUST see the identical partitioning (AQE may otherwise
+    # coalesce the range exchange differently per job, shifting
+    # partition ids and corrupting the offsets). Unlike persist(), the
+    # blocks are released by the ContextCleaner when the plan is GC'd —
+    # no unpersist contract needed from callers.
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).localCheckpoint(
+        eager=True
     )
     part = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     numbered = part.withColumn("_local_rn", F.row_number().over(w))
     counts = (
-        numbered.groupBy("_pid").count().orderBy("_pid").collect()
+        part.groupBy("_pid").count().orderBy("_pid").collect()
     )  # one tiny row per partition — driver-safe at any scale
     offsets, acc = {}, 0
     for r in counts:
@@ -127,11 +130,23 @@ def with_global_row_number(
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
     )
-    return (
+    out = (
         numbered.join(F.broadcast(offset_df), "_pid")
         .withColumn(row_col, F.col("_local_rn") + F.col("_offset"))
         .drop("_pid", "_local_rn", "_offset")
     )
+    return out, acc
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    row_col: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """C5 numbering without the count (see _counted variant)."""
+    out, _ = with_global_row_number_counted(df, order_cols, row_col, num_partitions)
+    return out
 
 
 def chunk(df_with_rn: DataFrame, chunk_idx: int, rows_per_chunk: int = 100_000,

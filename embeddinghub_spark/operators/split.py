@@ -52,11 +52,11 @@ def with_split(
     """
     keys = key_cols or df.columns
     hashed = df.withColumn("_h", _row_hash(keys, seed))
-    from embeddinghub_spark.operators.materialize import with_global_row_number
+    from embeddinghub_spark.operators.materialize import with_global_row_number_counted
 
-    total = hashed.count()
+    # single pass: the numbering's prefix-sum already yields the total
+    ranked, total = with_global_row_number_counted(hashed, ["_h"] + keys, row_col="_split_rn")
     n_test = int(total * test_size)
-    ranked = with_global_row_number(hashed, ["_h"] + keys, row_col="_split_rn")
     return (
         ranked.withColumn("is_test", (F.col("_split_rn") <= n_test).cast("int"))
         .drop("_h", "_split_rn")

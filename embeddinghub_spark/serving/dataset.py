@@ -25,9 +25,26 @@ class Dataset:
     """Iterator pipeline over a training-set DataFrame: each item is
     ``(features: list, label)`` like the reference's proto rows."""
 
-    def __init__(self, df: DataFrame, label_col: str = "label"):
+    def __init__(
+        self,
+        df: DataFrame,
+        label_col: str = "label",
+        feature_cols: list[str] | None = None,
+    ):
         self._df = df
         self._label_col = label_col
+        # reference training-set rows are (features..., label) ONLY
+        # (serving.py:357-436): entity keys and label_ts are join/sort
+        # plumbing, not features — excluded unless explicitly listed.
+        if feature_cols is None:
+            feature_cols = [
+                c
+                for c in df.columns
+                if c != label_col
+                and c != "label_ts"
+                and not c.startswith("entity")
+            ]
+        self._feature_cols = feature_cols
         self._repeat = 1
         self._shuffle_buffer = 0
         self._shuffle_seed: int | None = None
@@ -57,7 +74,7 @@ class Dataset:
         return self._df.toPandas()
 
     def _rows(self) -> Iterator[tuple[list[Any], Any]]:
-        feature_cols = [c for c in self._df.columns if c != self._label_col]
+        feature_cols = self._feature_cols
         for _ in range(self._repeat):
             it = (
                 (

@@ -24,6 +24,11 @@ from embeddinghub_spark.functions.vector import knn_bruteforce
 from embeddinghub_spark.operators.materialize import materialize, materialize_no_ts
 
 
+class EntityNotFound(KeyError):
+    """Reference: serving returns EntityNotFound on a missing entity
+    key (serving/serving.go:612-679) — never an arbitrary fallback."""
+
+
 class OnlineTable:
     """KV snapshot of one feature materialization (provider/online.go:50-53)."""
 
@@ -82,15 +87,24 @@ class OnlineStore:
     ) -> list[Any]:
         """Serve a feature vector for one entity (mode switch per
         serving/serving.go:625-667): PRECOMPUTED → snapshot get;
-        on-demand → call fn(store, params, entities)."""
+        on-demand → call fn(store, params, entities).
+
+        The feature's entity name MUST be present in ``entities`` —
+        falsy entity ids (0, "") are valid keys, and a missing name is
+        an error (reference returns EntityNotFound), never a silent
+        fallback to an arbitrary entity.
+        """
         out = []
         for name, variant in feature_list:
             key = (name, variant)
             if key in self._tables:
-                entity_key = entities.get(
-                    self.catalog.feature(name, variant).entity, None
-                ) or next(iter(entities.values()))
-                out.append(self._tables[key]._data.get(entity_key))
+                entity_name = self.catalog.feature(name, variant).entity
+                if entity_name not in entities:
+                    raise EntityNotFound(
+                        f"feature {name}.{variant} needs entity {entity_name!r}; "
+                        f"got {sorted(entities)}"
+                    )
+                out.append(self._tables[key]._data.get(entities[entity_name]))
             else:
                 od = self.catalog.on_demand(name, variant)
                 out.append(od.fn(self, params, entities))

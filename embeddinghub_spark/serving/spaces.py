@@ -6,20 +6,27 @@ embedding table of fixed dims + optional HNSW index), server ops
 CreateSpace/FreezeSpace/Set/MultiSet/Get/MultiGet/NearestNeighbor/
 Download ``embeddinghub/embeddingstore/server.cc:65-232``.
 
-DataFrame-native equivalent: a Space version is a DataFrame
-``(key string, embedding array<float>)``; Set/MultiSet are
-upserts (union + keep-last dedup); NearestNeighbor is batch top-k
-(exact; the HNSW-grade online path is out of scope per BASELINE.json).
+Write path: the reference's store is a driver-local RocksDB — our
+equivalent is a plain dict overlay, so Set/MultiSet/Get/MultiGet are
+O(1) with NO Spark job and no growing plan lineage (a previous design
+unioned a new DataFrame per write: plan depth grew linearly with the
+write count and every read replayed a full window — quadratic for
+write-heavy sessions).
+
+Batch path: a Space can also wrap a distributed base DataFrame
+(``load_dataframe``) — e.g. a batch-built embedding table far larger
+than driver memory. Reads resolve overlay-first (newest write wins);
+``download()``/``nearest_neighbor()`` run base ∪ overlay with the
+overlay broadcast (it is driver-resident by construction).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
-    LongType,
     StringType,
     StructField,
     StructType,
@@ -31,8 +38,6 @@ _SCHEMA = StructType(
     [
         StructField("key", StringType(), False),
         StructField("embedding", ArrayType(FloatType()), False),
-        # upsert ordering: later writes win
-        StructField("_seq", LongType(), False),
     ]
 )
 
@@ -49,45 +54,69 @@ class Space:
         self.name = name
         self.dims = dims
         self.frozen = False
-        self._df = spark.createDataFrame([], _SCHEMA)
-        self._seq = 0
+        self._buf: dict[str, list[float]] = {}  # overlay: newest write wins
+        self._base: DataFrame | None = None  # optional distributed table
 
     def _check_mutable(self):
         if self.frozen:
             raise FrozenSpaceError(f"space {self.name} is frozen")  # server.cc FreezeSpace
 
-    def multiset(self, items: dict[str, list[float]]) -> None:
-        """MultiSet upsert (server.cc:120-150); dim-checked."""
+    def _check_dims(self, key: str, v) -> list[float]:
+        if len(v) != self.dims:
+            raise ValueError(
+                f"embedding for {key!r} has dim {len(v)}, space expects {self.dims}"
+            )
+        return [float(x) for x in v]
+
+    def load_dataframe(self, df: DataFrame) -> None:
+        """Attach a batch-built (key, embedding) DataFrame as the base
+        table (stays distributed; overlay writes shadow it per key)."""
         self._check_mutable()
-        for k, v in items.items():
-            if len(v) != self.dims:
-                raise ValueError(
-                    f"embedding for {k!r} has dim {len(v)}, space expects {self.dims}"
-                )
-        self._seq += 1
-        rows = [(k, [float(x) for x in v], self._seq) for k, v in items.items()]
-        new = self.spark.createDataFrame(rows, _SCHEMA)
-        self._df = self._df.unionByName(new)
+        self._base = df.select(
+            F.col("key").cast("string"),
+            F.col("embedding").cast(ArrayType(FloatType())),
+        )
+
+    def multiset(self, items: dict[str, list[float]]) -> None:
+        """MultiSet upsert (server.cc:120-150); dim-checked, O(len(items))."""
+        self._check_mutable()
+        staged = {k: self._check_dims(k, v) for k, v in items.items()}
+        self._buf.update(staged)
 
     def set(self, key: str, embedding: list[float]) -> None:
         self.multiset({key: embedding})
 
-    def _current(self) -> DataFrame:
-        """Latest write per key (upsert resolution)."""
-        w = Window.partitionBy("key").orderBy(F.col("_seq").desc())
-        return (
-            self._df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("key", "embedding")
+    def _overlay_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(k, v) for k, v in self._buf.items()], _SCHEMA
         )
 
+    def _current(self) -> DataFrame:
+        """base ∪ overlay, overlay winning per key (upsert resolution)."""
+        overlay = self._overlay_df()
+        if self._base is None:
+            return overlay
+        survivors = self._base.join(
+            F.broadcast(overlay.select("key")), "key", "left_anti"
+        )
+        return survivors.unionByName(overlay)
+
     def get(self, key: str) -> list[float] | None:
-        rows = self._current().filter(F.col("key") == key).collect()
-        return list(rows[0]["embedding"]) if rows else None
+        if key in self._buf:
+            return list(self._buf[key])
+        if self._base is not None:
+            rows = self._base.filter(F.col("key") == key).limit(1).collect()
+            if rows:
+                return list(rows[0]["embedding"])
+        return None
 
     def multiget(self, keys: list[str]) -> dict[str, list[float]]:
-        rows = self._current().filter(F.col("key").isin(keys)).collect()
-        return {r["key"]: list(r["embedding"]) for r in rows}
+        out = {k: list(self._buf[k]) for k in keys if k in self._buf}
+        missing = [k for k in keys if k not in out]
+        if missing and self._base is not None:
+            rows = self._base.filter(F.col("key").isin(missing)).collect()
+            out.update({r["key"]: list(r["embedding"]) for r in rows})
+        return out
 
     def download(self) -> DataFrame:
         """Full scan (server.cc Download:200-232)."""

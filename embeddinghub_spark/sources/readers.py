@@ -55,12 +55,22 @@ def read_file(
     if fmt == "parquet":
         ns_cols = _nanos_ts_columns(path)
         if ns_cols:
+            # scope the legacy conf to this read: the DataFrame's scan
+            # captures the conf at analysis time, so restoring after
+            # the reader is built leaves other parquet reads unaffected
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = (
-                spark.read.option("recursiveFileLookup", "true")
-                .option("ignoreCorruptFiles", "true")
-                .parquet(path)
-            )
+            try:
+                df = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .option("ignoreCorruptFiles", "true")
+                    .parquet(path)
+                )
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
             for c in ns_cols:
                 # pure NTZ arithmetic: wall-clock-preserving under ANY
                 # session timezone (timestamp_micros() would interpret

@@ -53,19 +53,35 @@ def atomic_update(df: DataFrame, target_dir: str) -> str:
 
     Reference pattern: build a temp table, swap/rename in a
     transaction (provider/sql.go:1858-1882 ``atomicUpdate``). Local
-    filesystem equivalent: staged write + directory swap; readers of
-    the old path are unaffected (new readers resolve the new dir).
-    On object stores this maps to Delta ``overwrite`` (commit-log
-    atomicity) — same call site, different path scheme.
+    filesystem equivalent: write a fresh versioned dir, then repoint a
+    symlink at ``target_dir`` with one ``os.replace`` — a single
+    syscall, so a concurrent reader resolving ``target_dir`` never
+    sees ENOENT (a two-rename dir swap has a visible gap between the
+    renames). Readers that already opened the old version keep reading
+    it; its files are pruned on the next update, not this one.
+    On object stores this maps to Delta/Iceberg ``overwrite``
+    (commit-log atomicity) — same call site, different path scheme.
     """
-    staging = target_dir + ".staging-" + uuid.uuid4().hex[:8]
-    df.write.mode("overwrite").parquet(staging)
-    backup = target_dir + ".old-" + uuid.uuid4().hex[:8]
-    if os.path.exists(target_dir):
-        os.rename(target_dir, backup)
-    os.rename(staging, target_dir)
-    if os.path.exists(backup):
-        shutil.rmtree(backup, ignore_errors=True)
+    version_dir = target_dir + ".v-" + uuid.uuid4().hex[:8]
+    df.write.mode("overwrite").parquet(version_dir)
+    prev_version = None
+    if os.path.islink(target_dir):
+        prev_version = os.path.realpath(target_dir)
+    elif os.path.isdir(target_dir):
+        # migrate a legacy plain dir into the versioned scheme
+        prev_version = target_dir + ".v-" + uuid.uuid4().hex[:8]
+        os.rename(target_dir, prev_version)
+    tmp_link = target_dir + ".link-" + uuid.uuid4().hex[:8]
+    os.symlink(version_dir, tmp_link)
+    os.replace(tmp_link, target_dir)  # atomic: readers see old XOR new
+    # prune versions older than the one just superseded (grace window
+    # for readers still draining the previous version)
+    import glob as _glob
+
+    keep = {version_dir, prev_version}
+    for old in _glob.glob(target_dir + ".v-*"):
+        if old not in keep:
+            shutil.rmtree(old, ignore_errors=True)
     return target_dir
 
 

@@ -66,4 +66,4 @@ def test_lsh_bucket_deterministic(spark):
     b1 = with_lsh_bucket(df, "embedding", 3).collect()[0]["lsh_bucket"]
     b2 = with_lsh_bucket(df, "embedding", 3).collect()[0]["lsh_bucket"]
     assert b1 == b2
-    assert 0 <= b1 < 256
+    assert 0 <= b1 < (1 << 16)  # default 16 planes
