@@ -689,6 +689,223 @@ FROM j WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# C17: transformation-as-table (CTAS) — persist + read back + downstream use
+# --------------------------------------------------------------------------
+
+def q_c17_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT over a registered SQL transformation
+    (ref provider/sql.go:1941-1945), read back via spark.table."""
+    import tempfile
+
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "seg_rev", "v1",
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+        FROM {{orders.default}} o JOIN {{customer.default}} c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+        """,
+    )
+    tbl = cat.create_transformation_table(
+        "seg_rev", "v1", table_name="seg_rev__v1",
+        path=tempfile.mkdtemp(prefix="ctas_"), replace=True,
+    )
+    return spark.table(tbl)
+
+
+_C17_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# S12: MERGE upsert — updates over a base snapshot, keyed by entity
+# --------------------------------------------------------------------------
+
+_S12_CUTOFF = "2024-01-15 00:00:00"
+
+
+def q_s12_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base = latest-per-entity before the cutoff; updates = latest
+    after. MERGE (update-or-insert) through the dir sink's atomic
+    symlink commit (ref offline_store_spark_runner.py:688-765)."""
+    import tempfile
+
+    from embeddinghub_spark.sources.tables import merge_upsert_dir
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit(_S12_CUTOFF).cast("timestamp_ntz")
+    base = materialize(ev.filter(F.col("ts") <= cutoff), "user_id", "value", "ts")
+    updates = materialize(ev.filter(F.col("ts") > cutoff), "user_id", "value", "ts")
+    target = tempfile.mkdtemp(prefix="s12_") + "/snap"
+    merge_upsert_dir(spark, target, base, ["entity"])
+    merge_upsert_dir(spark, target, updates, ["entity"])
+    return spark.read.parquet(target)
+
+
+_S12_ORACLE = f"""
+WITH evt AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+     base AS (SELECT user_id AS entity, value, ts
+              FROM (SELECT user_id, value, ts,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+                    FROM evt WHERE ts <= TIMESTAMP '{_S12_CUTOFF}')
+              WHERE rn = 1),
+     upd AS (SELECT user_id AS entity, value, ts
+             FROM (SELECT user_id, value, ts,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+                   FROM evt WHERE ts > TIMESTAMP '{_S12_CUTOFF}')
+             WHERE rn = 1)
+SELECT entity, value, ts FROM base WHERE entity NOT IN (SELECT entity FROM upd)
+UNION ALL
+SELECT entity, value, ts FROM upd
+"""
+
+
+# --------------------------------------------------------------------------
+# C20: streaming materialization — multi-batch file stream through the
+# S12 dir-merge; snapshot on disk must equal batch C3 over the full input
+# --------------------------------------------------------------------------
+
+def q_c20_stream_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from embeddinghub_spark.streaming.stream_materialize import (
+        streaming_materialize_to_dir,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "value", "ts")
+    work = tempfile.mkdtemp(prefix="c20_")
+    in_dir = work + "/in"
+    ev.repartition(4).write.parquet(in_dir)  # 4 files → 4 micro-batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = work + "/snap"
+    q = streaming_materialize_to_dir(
+        stream, target, entity_col="user_id", value_col="value", ts_col="ts",
+        checkpoint_dir=work + "/ckpt",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# C18: atomic refresh — stale snapshot atomically swapped to the recompute
+# --------------------------------------------------------------------------
+
+def q_c18_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from embeddinghub_spark.sources.sinks import atomic_update
+
+    ev = _events(spark, sf_dir)
+    target = tempfile.mkdtemp(prefix="c18_") + "/mat"
+    # v1: stale snapshot (half the data)
+    cutoff = F.lit(_S12_CUTOFF).cast("timestamp_ntz")
+    atomic_update(
+        materialize(ev.filter(F.col("ts") <= cutoff), "user_id", "value", "ts"), target
+    )
+    # refresh: full recompute, atomically swapped (provider/sql.go:1858-1882)
+    atomic_update(materialize(ev, "user_id", "value", "ts"), target)
+    return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# S1/S9: CSV sink + scan roundtrip (header'd, schema-pinned casts)
+# --------------------------------------------------------------------------
+
+def q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from embeddinghub_spark.sources.readers import read_file
+    from embeddinghub_spark.sources.sinks import write_csv
+
+    sup = _t(spark, sf_dir, "supplier")
+    out = write_csv(sup, tempfile.mkdtemp(prefix="s1_"))
+    back = read_file(spark, out, fmt="csv")
+    return back.select(
+        F.col("s_suppkey").cast("bigint"),
+        F.col("s_name").cast("string"),
+        F.col("s_nationkey").cast("int"),
+        F.col("s_acctbal").cast("double"),
+    )
+
+
+_S1_ORACLE = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+# --------------------------------------------------------------------------
+# V8: source preview (deterministic LIMIT over a sorted scan)
+# --------------------------------------------------------------------------
+
+def q_v8_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.serving.dataset import preview
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")
+    return preview(docs, 50)
+
+
+_V8_ORACLE = "SELECT * FROM documents ORDER BY doc_id LIMIT 50"
+
+
+# --------------------------------------------------------------------------
+# V5b: approximate k-NN via banded sign-LSH (the 100 TB probe path)
+# --------------------------------------------------------------------------
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.vector import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_lsh(emb, queries_df, 5, dim=_EMB_DIM, n_planes=16, bands=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _knn_lsh_oracle() -> str:
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, 16, seed=7)
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({terms}) AS bucket FROM embeddings),
+     q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < 3),
+     cand AS (
+       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS score
+       FROM b v JOIN q ON (v.bucket & 255) = (q.bucket & 255)
+       UNION
+       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS score
+       FROM b v JOIN q ON (v.bucket >> 8) = (q.bucket >> 8)
+     ),
+     r AS (SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM cand)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # F8: user-SQL passthrough suite — the Spark SQL surface inherited via C1.
 # Oracle SQL is textually adapted per engine where function names differ;
 # results must hash-match.
@@ -884,6 +1101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
+        "c17_ctas": q_c17_ctas,
+        "s12_merge_upsert": q_s12_merge_upsert,
+        "c20_stream_materialize": q_c20_stream_materialize,
+        "c18_refresh": q_c18_refresh,
+        "s1_csv_scan": q_s1_csv_scan,
+        "v8_preview": q_v8_preview,
+        "knn_lsh": q_knn_lsh,
         "f8_json_extract": q_f8_json_extract,
         "f8_window_topn": q_f8_window_topn,
         "f8_set_ops": q_f8_set_ops,
@@ -917,6 +1141,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,
+        "c17_ctas": _C17_ORACLE,
+        "s12_merge_upsert": _S12_ORACLE,
+        "c20_stream_materialize": _C3_ORACLE,
+        "c18_refresh": _C3_ORACLE,
+        "s1_csv_scan": _S1_ORACLE,
+        "v8_preview": _V8_ORACLE,
+        "knn_lsh": _knn_lsh_oracle(),
         "f8_json_extract": _F8_JSON_ORACLE,
         "f8_window_topn": _F8_TOPN_ORACLE,
         "f8_set_ops": _F8_SETOPS_ORACLE,

@@ -372,3 +372,36 @@ class Catalog:
     def invalidate(self, name: str, variant: str) -> None:
         """C18 refresh support: drop cached DF so next access recomputes."""
         self._df_cache.pop((name, variant), None)
+
+    def create_transformation_table(
+        self,
+        name: str,
+        variant: str,
+        table_name: str | None = None,
+        fmt: str = "parquet",
+        path: str | None = None,
+        replace: bool = False,
+    ) -> str:
+        """C17: persist a transformation as a catalog table — the
+        reference's ``CREATE TABLE t AS SELECT * FROM (<user query>)``
+        (provider/sql.go:1941-1945). The table is also registered back
+        as a primary source ``(table_name, variant)`` so downstream
+        transformations/features can read the materialized table
+        instead of recomputing the query (materialization reuse,
+        provider/spark.go:275-292).
+        """
+        from embeddinghub_spark.sources.tables import (
+            create_or_replace_table,
+            create_table_as,
+        )
+
+        df = self.dataframe(name, variant)
+        table_name = table_name or f"{name}__{variant}"
+        if replace:
+            create_or_replace_table(df, table_name, fmt=fmt, path=path)
+        else:
+            create_table_as(df, table_name, fmt=fmt, path=path)
+        self.register_source(
+            SourceVariant(name=table_name, variant=variant, table=table_name)
+        )
+        return table_name

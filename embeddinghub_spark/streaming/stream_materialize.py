@@ -80,3 +80,43 @@ def streaming_materialize(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_materialize_to_dir(
+    stream_df: DataFrame,
+    target_dir: str,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """C20 distributed path: per micro-batch, reduce the batch to its
+    per-entity latest rows, then MERGE (newest-wins) into an on-disk
+    parquet snapshot via the S12 dir-merge — no driver-side state at
+    all, so the snapshot scales with |entities| on disk, not in the
+    driver heap (replaces the local-dict path for cluster use; with a
+    Delta catalog the same call becomes a Delta MERGE keyed by entity,
+    tables.merge_upsert_table).
+
+    Exactly-once in effect: the merge is idempotent per
+    (entity, ts, value) — a replayed batch (at-least-once delivery
+    after a checkpoint recovery) converges to the identical snapshot.
+    After all batches, the snapshot dir equals batch C3 over the full
+    input (the reference's parity bar, serving/serving.go:626-660).
+    """
+    from embeddinghub_spark.sources.tables import merge_materialization_dir
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = materialize(batch_df, entity_col, value_col, ts_col)
+        merge_materialization_dir(
+            batch_df.sparkSession, target_dir, latest,
+            entity_col="entity", ts_col="ts", value_col="value",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,159 @@
+"""C17 CTAS, S10 create-or-replace, S12 MERGE upsert (table + dir),
+and the C20 distributed streaming snapshot built on them."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.catalog import Catalog
+from embeddinghub_spark.operators.materialize import materialize
+from embeddinghub_spark.sources.tables import (
+    create_or_replace_table,
+    create_table_as,
+    merge_materialization_dir,
+    merge_upsert_df,
+    merge_upsert_dir,
+    merge_upsert_table,
+)
+
+
+@pytest.fixture
+def seg_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], ["id", "seg", "val"]
+    )
+
+
+def test_create_table_as_and_read_back(spark, seg_df, tmp_path):
+    name = "t_ctas_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    create_table_as(seg_df, name, path=str(tmp_path / "ctas"))
+    back = spark.table(name)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "seg", "val"}
+    # CTAS is CREATE, not REPLACE: second create errors
+    with pytest.raises(Exception):
+        create_table_as(seg_df, name, path=str(tmp_path / "ctas2"))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_create_or_replace_table(spark, seg_df, tmp_path):
+    name = "t_cor_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    create_or_replace_table(seg_df, name, path=str(tmp_path / "v1"))
+    assert spark.table(name).count() == 3
+    create_or_replace_table(seg_df.limit(1), name, path=str(tmp_path / "v2"))
+    assert spark.table(name).count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_catalog_transformation_as_table(spark, sf_dir, tmp_path):
+    cat = Catalog(spark)
+    cat.register_file("orders", "default", os.path.join(sf_dir, "orders.parquet"))
+    cat.sql_transformation(
+        "big_orders", "v1",
+        "SELECT o_orderkey, o_totalprice FROM {{orders.default}} WHERE o_totalprice > 100000",
+    )
+    spark.sql("DROP TABLE IF EXISTS big_orders__v1")
+    tbl = cat.create_transformation_table(
+        "big_orders", "v1", path=str(tmp_path / "big_orders")
+    )
+    back = spark.table(tbl)
+    assert back.count() == cat.dataframe("big_orders", "v1").count()
+    # registered back as a primary source readable by downstream SQL
+    cat.sql_transformation(
+        "downstream", "v1", f"SELECT COUNT(*) AS n FROM {{{{{tbl}.v1}}}}"
+    )
+    assert cat.dataframe("downstream", "v1").collect()[0]["n"] == back.count()
+    spark.sql("DROP TABLE IF EXISTS big_orders__v1")
+
+
+def test_merge_upsert_df(spark):
+    target = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], ["entity", "value"]
+    )
+    source = spark.createDataFrame(
+        [("b", 20.0), ("d", 40.0)], ["entity", "value"]
+    )
+    merged = {r["entity"]: r["value"] for r in merge_upsert_df(target, source, ["entity"]).collect()}
+    assert merged == {"a": 1.0, "b": 20.0, "c": 3.0, "d": 40.0}
+
+
+def test_merge_upsert_table_parquet_fallback(spark, tmp_path):
+    name = "t_merge_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["entity", "value"])
+    create_table_as(base, name, path=str(tmp_path / "merge_base"))
+    updates = spark.createDataFrame([("b", 20.0), ("c", 30.0)], ["entity", "value"])
+    merge_upsert_table(spark, name, updates, ["entity"])
+    got = {r["entity"]: r["value"] for r in spark.table(name).collect()}
+    assert got == {"a": 1.0, "b": 20.0, "c": 30.0}
+    # second merge: table swap left a working table behind
+    merge_upsert_table(
+        spark, name, spark.createDataFrame([("a", 9.0)], ["entity", "value"]), ["entity"]
+    )
+    assert {r["entity"]: r["value"] for r in spark.table(name).collect()}["a"] == 9.0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_upsert_dir(spark, tmp_path):
+    target = str(tmp_path / "snap")
+    first = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["entity", "value"])
+    merge_upsert_dir(spark, target, first, ["entity"])
+    assert {r["entity"] for r in spark.read.parquet(target).collect()} == {"a", "b"}
+    second = spark.createDataFrame([("b", 20.0), ("c", 30.0)], ["entity", "value"])
+    merge_upsert_dir(spark, target, second, ["entity"])
+    got = {r["entity"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1.0, "b": 20.0, "c": 30.0}
+
+
+def test_merge_materialization_newest_wins(spark, tmp_path):
+    target = str(tmp_path / "mat")
+    from datetime import datetime
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    first = spark.createDataFrame([("a", 1.0, t2), ("b", 2.0, t1)], ["entity", "value", "ts"])
+    merge_materialization_dir(spark, target, first)
+    # stale update for a (t1 < t2) must NOT win; fresh update for b must
+    updates = spark.createDataFrame([("a", 99.0, t1), ("b", 20.0, t2)], ["entity", "value", "ts"])
+    merge_materialization_dir(spark, target, updates)
+    got = {r["entity"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1.0, "b": 20.0}
+    # idempotent: replaying the same update changes nothing
+    merge_materialization_dir(spark, target, updates)
+    got2 = {r["entity"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got2 == got
+
+
+def test_streaming_materialize_to_dir_equals_batch(spark, tmp_path):
+    """C20 parity bar on disk: stream snapshot ≡ batch C3, multi-batch."""
+    from embeddinghub_spark.streaming.stream_materialize import (
+        streaming_materialize_to_dir,
+    )
+
+    rows = [
+        (f"u{i % 7}", float(i), __import__("datetime").datetime(2024, 1, 1 + i % 20))
+        for i in range(200)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    in_dir = str(tmp_path / "stream_in")
+    # several input files → several micro-batches with maxFilesPerTrigger
+    src.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "stream_snap")
+    q = streaming_materialize_to_dir(
+        stream, target, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    expected = {
+        r["entity"]: r["value"] for r in materialize(src).collect()
+    }
+    got = {r["entity"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == expected
