@@ -554,24 +554,73 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embeddinghub_spark.functions.dedup import simhash_staged
 
-    return simhash_staged(_t(spark, sf_dir, "documents"), bits=16)
+    return simhash_staged(_t(spark, sf_dir, "documents"), bits=64)
 
 
-def _simhash_oracle() -> str:
-    bit_terms = " + ".join(
-        f"CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) <> 0)) >= n "
-        f"THEN {1 << j} ELSE 0 END"
-        for j in range(16)
-    )
-    return f"""
-WITH t AS (SELECT doc_id,
+_SIMHASH_CTE = """
+     t AS (SELECT doc_id,
                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
      h AS (SELECT doc_id, len(toks) AS n,
                   list_transform(toks,
-                    tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hs
-           FROM t)
-SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+                    tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS h_lo,
+                  list_transform(toks,
+                    tk -> CAST(('0x' || substr(md5(tk), 17, 15)) AS BIGINT)) AS h_hi
+           FROM t),
+     sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h)
+"""
+
+
+def _simhash_bit_terms(bits: int = 64) -> str:
+    terms = []
+    for j in range(bits):
+        src, bit = ("h_lo", j) if j < 60 else ("h_hi", j - 60)
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter({src}, h -> (h & {1 << bit}) <> 0)) >= n "
+            f"THEN {weight} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _simhash_oracle() -> str:
+    return (
+        "WITH"
+        + _SIMHASH_CTE.format(bit_terms=_simhash_bit_terms(64))
+        + "SELECT doc_id, simhash FROM sh"
+    )
+
+
+_SIMHASH_MAX_HAMMING = 16
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs via banded Hamming probing (4×16
+    bands; complete for distance < 4, probe-verified up to the cap)."""
+    from embeddinghub_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAX_HAMMING
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    bands = "\n       UNION ALL\n       ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 16}) & 65535 AS band_val FROM sh"
+        for b in range(4)
+    )
+    return f"""
+WITH{_SIMHASH_CTE.format(bit_terms=_simhash_bit_terms(64))},
+     banded AS (
+       {bands}
+     ),
+     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -584,32 +633,76 @@ _NEAR_DUP_THRESHOLD = 0.3  # synthetic vectors: max pairwise cosine ~0.51
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH (16 planes / 2 bands — scale-real defaults) +
+    exact cosine verify."""
     from embeddinghub_spark.functions.dedup import embedding_near_duplicates
 
     return embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
-        threshold=_NEAR_DUP_THRESHOLD, n_planes=8,
+        threshold=_NEAR_DUP_THRESHOLD,
     )
 
 
 def _embedding_near_dup_oracle() -> str:
     from embeddinghub_spark.functions.vector import random_hyperplanes
 
-    planes = random_hyperplanes(_EMB_DIM, 8, seed=7)
+    planes = random_hyperplanes(_EMB_DIM, 16, seed=7)
     terms = " + ".join(
         f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END"
         for i, p in enumerate(planes)
     )
+    cos = (
+        "round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6)"
+    )
     return f"""
 WITH b AS (SELECT vec_id, embedding, ({terms}) AS lsh_bucket FROM embeddings),
-     p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                  round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                        / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
-                           * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))),
-                        6) AS cosine
-           FROM b x JOIN b y ON x.lsh_bucket = y.lsh_bucket AND x.vec_id < y.vec_id)
+     banded AS (
+       SELECT vec_id, embedding, 0 AS band, lsh_bucket & 255 AS band_val FROM b
+       UNION ALL
+       SELECT vec_id, embedding, 1 AS band, (lsh_bucket >> 8) & 255 AS band_val FROM b
+     ),
+     p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cosine
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# M5 dedup: transitive clusters (connected components over MinHash pairs)
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_clusters_oracle() -> str:
+    bands = "\n           UNION ALL\n           ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE{_sig_sql(8)},
+     cand AS ({bands}),
+     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM cand a JOIN cand b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+     reach(u, r) AS (
+       SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       UNION
+       SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+     ),
+     comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
@@ -1098,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -1138,6 +1233,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": _minhash_bands_oracle(),
         "jaccard_pairs": _jaccard_pairs_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

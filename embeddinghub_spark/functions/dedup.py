@@ -201,64 +201,150 @@ def minhash_duplicate_pairs(
 
 
 # -- SimHash ------------------------------------------------------------------
+#
+# 64-bit fingerprints by default: a 16-bit space (65,536 buckets total)
+# self-bucket-joins fine on a demo corpus but degenerates at corpus
+# scale — buckets grow with N/65k and the within-bucket pair join goes
+# quadratic. With 64 bits, exact-equal fingerprints are genuine
+# near-dups, and near-miss probing uses BANDED Hamming search: split
+# the 64 bits into B bands; any pair within Hamming distance d < B
+# shares at least one exact band (pigeonhole), so candidates come from
+# B cheap equi-joins on 16-bit band values — never an all-pairs scan.
+#
+# Bit source: bits 0-59 from md5 chars 1-15, bits 60-63 from md5 chars
+# 17-31 (disjoint hex ranges → independent bits), both portable to any
+# md5-bearing oracle engine.
 
-def simhash(col: Column | str, bits: int = 16) -> Column:
-    """SimHash fingerprint: bit j is the majority vote of bit j over
-    all token hashes. ``bits`` kept ≤ 16 by default: each bit is an
-    array-expr vote, and 16 bits is plenty for bucketing.
+def _md5_long_hi(c: Column) -> Column:
+    """Second 60-bit chunk of md5 (hex chars 17..31) → BIGINT."""
+    return F.conv(F.substring(F.md5(c), 17, 15), 16, 10).cast("bigint")
 
-    Returns BIGINT in [0, 2^bits).
-    """
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: _md5_long(t))
-    n = F.size(toks)
+
+def _bit_weight(j: int) -> int:
+    """Two's-complement weight of bit j in a signed 64-bit integer
+    (bit 63 is the sign bit: adding -2^63 sets it without overflow)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def _simhash_acc(h_lo: Column, h_hi: Column, n: Column, bits: int) -> Column:
     acc = F.lit(0).cast("bigint")
 
-    def bit_filter(j: int):
-        # single-arg lambda: a 2-arg signature would make Spark pass
-        # the element index as the second argument
-        return lambda h: h.bitwiseAND(F.lit(1 << j)) != 0
+    def bit_vote(src_bit: int):
+        # closure (not a default arg): a 2-param lambda would make
+        # Spark pass the element index as the second argument.
+        # aggregate-fold (int accumulator) instead of filter+size:
+        # no per-bit array allocation, ~2× cheaper to codegen
+        return lambda a, h: a + F.shiftright(h, src_bit).bitwiseAND(F.lit(1)).cast("int")
 
     for j in range(bits):
-        ones = F.size(F.filter(hashes, bit_filter(j)))
-        acc = acc + F.when(ones * 2 >= n, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        src, src_bit = (h_lo, j) if j < 60 else (h_hi, j - 60)
+        ones = F.aggregate(src, F.lit(0), bit_vote(src_bit))
+        acc = acc + F.when(
+            ones * 2 >= n, F.lit(_bit_weight(j)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return acc
 
 
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint: bit j is the majority vote of bit j over
+    all token hashes. Returns BIGINT (two's complement for bit 63).
+
+    One-off expression form — re-derives the token-hash array per bit;
+    use ``simhash_staged`` on DataFrames (bits× cheaper).
+    """
+    toks = tokens(col)
+    h_lo = F.transform(toks, lambda t: _md5_long(t))
+    h_hi = F.transform(toks, lambda t: _md5_long_hi(t))
+    return _simhash_acc(h_lo, h_hi, F.size(toks), bits)
+
+
 def simhash_staged(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """Staged SimHash: token-hash array materialized once, then the
-    bit votes — ``bits``× cheaper than inlining ``simhash()`` (which
-    re-derives the hash array per bit)."""
+    """Staged SimHash: token-hash arrays materialized once, then the
+    bit votes — ``bits``× cheaper than inlining ``simhash()``."""
     staged = df.select(
         F.col(id_col),
-        F.transform(tokens(text_col), lambda t: _md5_long(t)).alias("_hs"),
+        F.transform(tokens(text_col), lambda t: _md5_long(t)).alias("_h_lo"),
+        F.transform(tokens(text_col), lambda t: _md5_long_hi(t)).alias("_h_hi"),
     )
-    n = F.size(F.col("_hs"))
-    acc = F.lit(0).cast("bigint")
-
-    def bit_filter(j: int):
-        return lambda h: h.bitwiseAND(F.lit(1 << j)) != 0
-
-    for j in range(bits):
-        ones = F.size(F.filter(F.col("_hs"), bit_filter(j)))
-        acc = acc + F.when(ones * 2 >= n, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    acc = _simhash_acc(
+        F.col("_h_lo"), F.col("_h_hi"), F.size(F.col("_h_lo")), bits
+    )
     return staged.select(F.col(id_col), acc.alias("simhash"))
 
 
 def simhash_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """Bucket docs by exact SimHash (near-dup candidates)."""
+    """Bucket docs by exact SimHash (near-dup candidates; with 64-bit
+    fingerprints an exact match is a strong near-dup signal)."""
     return (
-        df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+        simhash_staged(df, text_col, id_col, bits)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def simhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded SimHash: (id, band, band_val) — pairs within Hamming
+    distance < ``bands`` share ≥1 exact band (pigeonhole), so the
+    shuffle key for candidate generation is a (band, 16-bit value)
+    pair, never the document."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash_staged(df, text_col, id_col, bits)
+    bandstructs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            # arithmetic shift + mask: identical low bits regardless of sign
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        sh.select(F.col(id_col), F.col("simhash"), F.explode(bandstructs).alias("bv"))
+        .select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by banded Hamming probing: candidates from any
+    shared band, verified with exact ``bit_count(a XOR b) <= d``.
+    Complete for d < bands; larger d trades recall for the same cost
+    (raise ``bands`` to keep the guarantee).
+    """
+    banded = simhash_bands(df, text_col, id_col, bits, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -303,6 +389,93 @@ def ngram_jaccard_pairs(
     )
 
 
+# -- transitive dedup clusters ------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one row per
+    node ``(node, component)`` where component = min node id in the
+    component (the cluster's keeper id).
+
+    Iterative min-label propagation in pure DataFrames: each round a
+    node takes the min label among itself and its neighbors, then a
+    pointer-jumping hop (label ← label-of-label) doubles convergence
+    speed → O(log n) rounds on typical dedup graphs instead of
+    O(diameter). Every round is one shuffle on node id; the per-round
+    ``localCheckpoint`` truncates the plan so lineage doesn't grow
+    with iteration count (the classic iterative-DataFrame trap).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nbr_min"))
+        )
+        prop = labels.join(
+            nbr_min.select(F.col("u").alias("node"), "nbr_min"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: label ← label(label)  (path compression)
+        jumped = prop.join(
+            prop.select(F.col("node").alias("label"), F.col("label").alias("plabel")),
+            "label",
+            "left",
+        ).select("node", F.coalesce("plabel", "label").alias("label"))
+        new_labels = jumped.localCheckpoint(eager=False)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    banded-MinHash candidate pairs. Output: one row per document
+    ``(doc_id, cluster_id)``; cluster_id = min doc id in the cluster
+    (singletons map to themselves). Downstream corpus dedup keeps
+    ``doc_id == cluster_id`` rows."""
+    pairs = minhash_duplicate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    comp = connected_components(pairs)
+    return df.select(F.col(id_col)).join(
+        comp.select(F.col("node").alias(id_col), F.col("component").alias("cluster_id")),
+        id_col,
+        "left",
+    ).select(
+        id_col, F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id")
+    )
+
+
 # -- embedding near-dup -------------------------------------------------------
 
 def embedding_near_duplicates(
@@ -311,19 +484,48 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int = 2,
     seed: int = 7,
 ) -> DataFrame:
-    """Cosine near-dup pairs via LSH bucketing: pairs in the same
-    sign-projection bucket with cosine ≥ threshold. Linear-ish in N:
-    the self-join is bucket-equi, not cross."""
+    """Cosine near-dup pairs via BANDED sign-projection LSH: the
+    ``n_planes`` sign bits split into ``bands`` bands; a pair is a
+    candidate if it matches on ANY band, then verified with exact
+    cosine ≥ threshold.
+
+    Scale shape: planes-per-band bounds bucket sizes (16 planes / 2
+    bands = 256-way split per band of a corpus-sized table — each
+    band-equi self-join stays near-linear), while multiple bands keep
+    recall (a near-dup pair only needs one agreeing band, the MinHash
+    banding argument). A single coarse bucket space (the old 8-plane
+    default) had the opposite behavior: 256 buckets TOTAL → quadratic
+    within-bucket joins at 100 TB.
+    """
+    if n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
     b = with_lsh_bucket(df, vec_col, dim, n_planes, seed)
-    x = b.alias("x")
-    y = b.alias("y")
+    bandstructs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("lsh_bucket"), i * bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for i in range(bands)
+    ])
+    banded = (
+        b.withColumn("bv", F.explode(bandstructs))
+        .select(
+            F.col(id_col), F.col(vec_col),
+            F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"),
+        )
+    )
+    x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
             y,
-            (F.col("x.lsh_bucket") == F.col("y.lsh_bucket"))
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
@@ -333,5 +535,6 @@ def embedding_near_duplicates(
                 cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
             ).alias("cosine"),
         )
+        .distinct()
         .filter(F.col("cosine") >= threshold)
     )

@@ -81,3 +81,63 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
     sh = df.select(word_shingles("text", 3).alias("s")).first()["s"]
     assert sh == ["one two"]
+
+def test_simhash_near_pairs(spark):
+    from embeddinghub_spark.functions.dedup import simhash_near_pairs
+
+    # SimHash distances are meaningful on long docs: 1 of 50 tokens
+    # changed → a handful of flipped bits; unrelated text → ~32
+    base = " ".join(f"token{i}" for i in range(50))
+    near = " ".join(f"token{i}" for i in range(49)) + " changed"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "unrelated text entirely different subject")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=16).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_connected_components_transitive(spark):
+    from embeddinghub_spark.functions.dedup import connected_components
+
+    # chain 1-2-3 plus isolated pair 7-9: transitivity must group 1,2,3
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"])
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[9] == 7
+
+
+def test_dedup_clusters_all_docs(spark):
+    from embeddinghub_spark.functions.dedup import dedup_clusters
+
+    docs = _docs(spark)
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc gets a cluster
+    assert out[1] == 1 and out[2] == 1  # near-identical docs cluster together
+    assert out[4] == 4  # singleton keeps its own id
+    # cluster ids are always the min member id
+    for d, c in out.items():
+        assert c <= d
+
+
+def test_embedding_near_duplicates_banded(spark):
+    from embeddinghub_spark.functions.dedup import embedding_near_duplicates
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(vecs, dim=4, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
