@@ -63,29 +63,58 @@ def asof_join_union(
     label_ts_col: str = "ts",
     feature_ts_col: str = "ts",
     lag: timedelta | None = None,
+    col_lags: dict[str, timedelta | None] | None = None,
 ) -> DataFrame:
     """Scalable ASOF: union + running last — one shuffle, no explosion.
 
     ``value_cols`` maps output column name → feature column (several
     at once = C10's feature-table join dedup: features sharing a
     source join in ONE pass, tsquery.go:421-430).
+
+    ``col_lags`` (out column → lag or None) fuses LAG FEATURES into
+    the same pass: feature rows are replicated once per distinct lag
+    with the shifted timeline (spark.go:195-204), each replica carrying
+    only its lag group's payload fields; one window then computes a
+    per-field running ``last(..., ignorenulls)``. A training set with
+    L lags of one feature costs ONE shuffle on entity instead of L+1
+    label-sized window passes (ref lag lists can be long —
+    client/src/featureform/register.py:4683-4727).
     """
-    out_names = list(value_cols.keys())
+    col_lags = col_lags or {}
+    # group output columns by their effective lag
+    lag_groups: dict[object, dict[str, str]] = {}
+    for out, src in value_cols.items():
+        eff = col_lags.get(out, lag)
+        key = None if eff is None else int(eff.total_seconds())
+        lag_groups.setdefault(key, {})[out] = src
 
-    f_ts = F.col(feature_ts_col).cast("timestamp_ntz")
-    if lag is not None:
-        # f.ts + lag <= l.ts  ⟺  shifted feature timeline (spark.go:195-204)
-        f_ts = f_ts + F.expr(f"INTERVAL {int(lag.total_seconds())} SECONDS")
+    field_type = {
+        out: feature.schema[src].dataType for out, src in value_cols.items()
+    }
 
-    payload = F.struct(
-        *[F.col(src).alias(out) for out, src in value_cols.items()]
-    )
-    f_side = feature.select(
-        F.col(feature_entity_col).alias("_e"),
-        f_ts.alias("_ats"),
-        F.lit(0).alias("_tag"),
-        payload.alias("_payload"),
-    )
+    def group_payload(group: dict[str, str]) -> Column:
+        return F.struct(*[
+            (F.col(group[out]) if out in group else F.lit(None).cast(field_type[out])).alias(out)
+            for out in value_cols
+        ])
+
+    f_sides = []
+    for lag_secs, group in lag_groups.items():
+        f_ts = F.col(feature_ts_col).cast("timestamp_ntz")
+        if lag_secs is not None:
+            # f.ts + lag <= l.ts  ⟺  shifted feature timeline
+            f_ts = f_ts + F.expr(f"INTERVAL {lag_secs} SECONDS")
+        f_sides.append(
+            feature.select(
+                F.col(feature_entity_col).alias("_e"),
+                f_ts.alias("_ats"),
+                F.lit(0).alias("_tag"),
+                group_payload(group).alias("_payload"),
+            )
+        )
+    f_side = f_sides[0]
+    for extra in f_sides[1:]:
+        f_side = f_side.unionByName(extra)
 
     label_cols = [c for c in labels.columns]
     l_side = labels.select(
@@ -101,16 +130,27 @@ def asof_join_union(
     ).unionByName(l_side)
 
     # ORDER: ts asc, features-before-labels at equal ts (inclusive <=),
-    # payload asc so ties on feature ts resolve to the max value.
+    # payload asc so ties on feature ts resolve to the max value (rows
+    # from other lag groups are all-null on this group's fields, so the
+    # per-field last(ignorenulls) below never observes them).
     w = (
         Window.partitionBy("_e")
         .orderBy(F.col("_ats").asc(), F.col("_tag").asc(), F.col("_payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    carried = unioned.select(
+        "_tag",
+        *[F.col(c) for c in label_cols],
+        *[
+            F.last(F.col("_payload").getField(out), ignorenulls=True)
+            .over(w)
+            .alias(f"_m_{out}")
+            for out in value_cols
+        ],
+    )
     out = carried.filter(F.col("_tag") == 1).select(
         *[F.col(c) for c in label_cols],
-        *[F.col("_match").getField(out).alias(out) for out in value_cols],
+        *[F.col(f"_m_{out}").alias(out) for out in value_cols],
     )
     return out
 
@@ -218,28 +258,72 @@ def build_training_set(
 
     from embeddinghub_spark.operators.materialize import materialize, materialize_no_ts
 
+    # C11 lag specs keyed by the same grouping as base features, so a
+    # lag of a feature whose source group is already ASOF-joined rides
+    # that group's single union pass (col_lags) instead of its own
+    # shuffle. Column order contract: base feature columns first (in
+    # ts_def.features order), lag columns after (ts_def.lags order).
+    lag_by_group: dict[tuple, list] = {}
+    for lag_spec in ts_def.lags:
+        f = catalog.feature(lag_spec.feature, lag_spec.variant)
+        if f.columns.ts is None or not label_has_ts:
+            raise ValueError("lag features require timestamps on feature and label")
+        key = (f.source, f.columns.entity, f.columns.ts, f.entity)
+        lag_by_group.setdefault(key, []).append((lag_spec, f))
+
+    groups = _group_features(catalog, ts_def)
+    for key in lag_by_group:
+        groups.setdefault(key, [])  # lag-only groups (feature not in the set)
+
     acc = labels
-    for (src_key, f_entity_col, f_ts_col, _ent), feats in _group_features(
-        catalog, ts_def
-    ).items():
+    for (src_key, f_entity_col, f_ts_col, _ent), feats in groups.items():
         src_df = catalog.dataframe(*src_key)
         value_cols = {
             feature_column_name(f.name, f.variant): f.columns.value for f in feats
         }
-        join_key = label_join_key(feats[0])
+        group_lags = lag_by_group.get((src_key, f_entity_col, f_ts_col, _ent), [])
+        any_def = feats[0] if feats else group_lags[0][1]
+        join_key = label_join_key(any_def)
         feature_has_ts = f_ts_col is not None
 
         if feature_has_ts and label_has_ts:
-            acc = asof_join(
-                acc,
-                src_df,
-                value_cols,
-                strategy=strategy,
-                label_entity_col=join_key,
-                feature_entity_col=f_entity_col,
-                label_ts_col="ts",
-                feature_ts_col=f_ts_col,
-            )
+            col_lags: dict[str, timedelta | None] = {out: None for out in value_cols}
+            for lag_spec, f in group_lags:
+                out_name = lag_column_name(
+                    lag_spec.feature, lag_spec.variant, lag_spec.lag, lag_spec.alias
+                )
+                value_cols[out_name] = f.columns.value
+                col_lags[out_name] = lag_spec.lag
+            if strategy == "union":
+                acc = asof_join_union(
+                    acc,
+                    src_df,
+                    value_cols,
+                    label_entity_col=join_key,
+                    feature_entity_col=f_entity_col,
+                    label_ts_col="ts",
+                    feature_ts_col=f_ts_col,
+                    col_lags=col_lags,
+                )
+            else:
+                # theta keeps one pass per distinct lag (parity path)
+                base_cols = {o: s for o, s in value_cols.items() if col_lags[o] is None}
+                if base_cols:
+                    acc = asof_join_theta(
+                        acc, src_df, base_cols,
+                        label_entity_col=join_key, feature_entity_col=f_entity_col,
+                        label_ts_col="ts", feature_ts_col=f_ts_col,
+                    )
+                for lag_spec, f in group_lags:
+                    out_name = lag_column_name(
+                        lag_spec.feature, lag_spec.variant, lag_spec.lag, lag_spec.alias
+                    )
+                    acc = asof_join_theta(
+                        acc, src_df, {out_name: f.columns.value},
+                        label_entity_col=join_key, feature_entity_col=f_entity_col,
+                        label_ts_col="ts", feature_ts_col=f.columns.ts,
+                        lag=lag_spec.lag,
+                    )
         elif feature_has_ts and not label_has_ts:
             # C8: latest-overall per entity, then equi join
             for out_name, vcol in value_cols.items():
@@ -258,27 +342,6 @@ def build_training_set(
                     on=join_key,
                     how="left",
                 )
-
-    # C11: lag features (require ts on both sides)
-    for lag_spec in ts_def.lags:
-        f = catalog.feature(lag_spec.feature, lag_spec.variant)
-        if f.columns.ts is None or not label_has_ts:
-            raise ValueError("lag features require timestamps on feature and label")
-        src_df = catalog.dataframe(*f.source)
-        out_name = lag_column_name(
-            lag_spec.feature, lag_spec.variant, lag_spec.lag, lag_spec.alias
-        )
-        acc = asof_join(
-            acc,
-            src_df,
-            {out_name: f.columns.value},
-            strategy=strategy,
-            label_entity_col=label_join_key(f),
-            feature_entity_col=f.columns.entity,
-            label_ts_col="ts",
-            feature_ts_col=f.columns.ts,
-            lag=lag_spec.lag,
-        )
 
     feature_out_cols = [c for c in acc.columns if c not in {*entity_cols, "value", "ts"}]
     out = acc.select(
