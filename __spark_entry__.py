@@ -479,15 +479,33 @@ FROM c
 # M5 dedup: MinHash banding (candidate buckets) + verified Jaccard pairs
 # --------------------------------------------------------------------------
 
+_MINHASH_P = 2147483647
+_MINHASH_ROLL = 1000003
+
+
+def _gram_sql(n: int = 3) -> str:
+    """Rolling n-gram hash over the 1-based token-hash list ``h`` at
+    position ``i`` — mirrors dedup.hashed_shingles exactly."""
+    acc = "0"
+    for j in range(n):
+        idx = "i" if j == 0 else f"i + {j}"
+        acc = f"(({acc}) * {_MINHASH_ROLL} + h[{idx}]) % {_MINHASH_P}"
+    return acc
+
+
 _SHINGLE_CTE = """
      t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
+     th AS (SELECT doc_id,
+                   list_transform(toks,
+                     tk -> CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS h
+            FROM t),
      s AS (SELECT doc_id,
-                  CASE WHEN len(toks) > 3
-                       THEN list_transform(range(0, len(toks) - 2),
-                                           i -> array_to_string(toks[i + 1 : i + 3], ' '))
-                       ELSE [array_to_string(toks, ' ')] END AS grams
-           FROM t),
+                  CASE WHEN len(h) > 3
+                       THEN list_transform(range(1, len(h) - 1), i -> {gram})
+                       ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                                         (a, x) -> (a * {roll} + x) % {p})] END AS grams
+           FROM th),
      sig AS (SELECT doc_id,
                     {mins}
              FROM s)
@@ -495,11 +513,21 @@ _SHINGLE_CTE = """
 
 
 def _sig_sql(num_hashes: int = 8) -> str:
-    mins = ",\n                    ".join(
-        f"list_min(list_transform(grams, g -> md5('{i}#' || g))) AS mh{i}"
-        for i in range(num_hashes)
+    def mix(i: int) -> str:
+        a, b = 1103515245 + 2 * i, 12345 + 7919 * i
+        return f"list_min(list_transform(grams, g -> ({a} * g + {b}) % {_MINHASH_P})) AS mh{i}"
+
+    mins = ",\n                    ".join(mix(i) for i in range(num_hashes))
+    return _SHINGLE_CTE.format(
+        gram=_gram_sql(3), roll=_MINHASH_ROLL, p=_MINHASH_P, mins=mins
     )
-    return _SHINGLE_CTE.format(mins=mins)
+
+
+def _band_hash_sql(b: int, rows_per_band: int = 2) -> str:
+    acc = "0"
+    for j in range(rows_per_band):
+        acc = f"(({acc}) * {_MINHASH_ROLL} + mh{b * rows_per_band + j}) % {_MINHASH_P}"
+    return acc
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,7 +538,7 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_bands_oracle() -> str:
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash FROM sig"
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig"
         for b in range(4)
     )
     return "WITH" + _sig_sql(8) + bands
@@ -524,7 +552,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs_oracle() -> str:
     bands = "\n           UNION ALL\n           ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash FROM sig"
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig"
         for b in range(4)
     )
     return f"""
@@ -683,7 +711,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_clusters_oracle() -> str:
     bands = "\n           UNION ALL\n           ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash FROM sig"
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig"
         for b in range(4)
     )
     return f"""

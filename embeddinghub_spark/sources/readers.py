@@ -101,9 +101,29 @@ def read_file(
     return reader.format(fmt).load(path)
 
 
-def read_table(spark: SparkSession, table: str) -> DataFrame:
-    """S3/S4: catalog table scan (Iceberg/Delta resolve via the session
-    catalog when those extensions are installed; plain tables otherwise)."""
+def read_table(
+    spark: SparkSession, table: str, fmt: str | None = None, **options: str
+) -> DataFrame:
+    """S3/S4: catalog table scan (runner :965-987 Iceberg, :981-987
+    Delta).
+
+    With ``fmt`` in {"iceberg", "delta"} and the connector installed
+    (spark.jars.packages + catalog extension), the format reader is
+    used so format options apply — e.g. time travel
+    (``snapshot-id``/``as-of-timestamp`` for Iceberg,
+    ``versionAsOf``/``timestampAsOf`` for Delta — the basis of the S5
+    CDF path). Without the connector, falls back to the session catalog,
+    which resolves any table its extensions know about; plain tables
+    always work.
+    """
+    if fmt in ("iceberg", "delta"):
+        try:
+            reader = spark.read.format(fmt)
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            return reader.table(table)
+        except Exception:
+            pass  # connector absent in this session → session catalog
     return spark.table(table)
 
 
@@ -112,7 +132,8 @@ def read_primary(spark: SparkSession, src) -> DataFrame:
     if src.path is not None:
         return read_file(spark, src.path, src.fmt, **dict(src.options))
     if src.table is not None:
-        return read_table(spark, src.table)
+        fmt = src.fmt if src.fmt in ("iceberg", "delta") else None
+        return read_table(spark, src.table, fmt, **dict(src.options))
     raise ValueError(f"source {src.name}.{src.variant} has no primary location")
 
 

@@ -90,3 +90,24 @@ def test_c17_transformation_as_table(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "s"])
     df.createOrReplaceTempView("c17_out")
     assert spark.table("c17_out").count() == 1
+
+
+def test_read_table_catalog_and_fmt_fallback(spark, tmp_path):
+    """S3/S4: catalog-table source resolves through the session
+    catalog; a delta/iceberg fmt hint degrades gracefully to the
+    session catalog when the connector isn't installed."""
+    from embeddinghub_spark.catalog import Catalog, SourceVariant
+    from embeddinghub_spark.sources.readers import read_table
+    from embeddinghub_spark.sources.tables import create_table_as
+
+    spark.sql("DROP TABLE IF EXISTS t_s34_test")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    create_table_as(df, "t_s34_test", path=str(tmp_path / "s34"))
+    assert read_table(spark, "t_s34_test").count() == 2
+    # fmt hint without connector: falls back, still resolves
+    assert read_table(spark, "t_s34_test", fmt="delta").count() == 2
+    assert read_table(spark, "t_s34_test", fmt="iceberg").count() == 2
+    cat = Catalog(spark)
+    cat.register_source(SourceVariant(name="t34", variant="v1", table="t_s34_test"))
+    assert cat.dataframe("t34", "v1").count() == 2
+    spark.sql("DROP TABLE IF EXISTS t_s34_test")
