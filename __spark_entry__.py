@@ -1027,6 +1027,75 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# S3/S4: catalog-table scan (registered table → session catalog resolve)
+# --------------------------------------------------------------------------
+
+def q_s3_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from embeddinghub_spark.catalog import Catalog, SourceVariant
+    from embeddinghub_spark.sources.tables import create_or_replace_table
+
+    region = _t(spark, sf_dir, "region")
+    create_or_replace_table(
+        region, "region_tbl", path=tempfile.mkdtemp(prefix="s3_")
+    )
+    cat = Catalog(spark)
+    cat.register_source(SourceVariant(name="region_t", variant="v1", table="region_tbl"))
+    return cat.dataframe("region_t", "v1")
+
+
+_S3_ORACLE = "SELECT * FROM region"
+
+
+# --------------------------------------------------------------------------
+# S8: parquet sink (timestamped dir) → newest-dir resolve → read back
+# --------------------------------------------------------------------------
+
+def q_s8_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from embeddinghub_spark.sources.readers import read_file
+    from embeddinghub_spark.sources.sinks import latest_output_dir, write_parquet
+
+    nation = _t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="s8_")
+    write_parquet(nation.limit(0), base)  # stale version
+    write_parquet(nation, base)  # newest version wins (spark.go:1648-1650)
+    return read_file(spark, latest_output_dir(base))
+
+
+_S8_ORACLE = "SELECT * FROM nation"
+
+
+# --------------------------------------------------------------------------
+# C19: on-demand feature, batch (vectorized) application
+# --------------------------------------------------------------------------
+
+def q_c19_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-demand (CLIENT_COMPUTED) feature applied in bulk as a JVM
+    column expression — ref metadata.proto:220-232, client exec
+    serving.py:236-241; the per-request form serves via V3."""
+    cat = _catalog(spark, sf_dir)
+    cat.register_on_demand(
+        "discounted", "v1",
+        fn=lambda store, params, entities: params["price"] * (1 - params["disc"]),
+        batch_fn=lambda df: (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return cat.apply_on_demand_batch("discounted", "v1", li)
+
+
+_C19_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS ondemand__discounted__v1
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
 # F8: user-SQL passthrough suite — the Spark SQL surface inherited via C1.
 # Oracle SQL is textually adapted per engine where function names differ;
 # results must hash-match.
@@ -1231,6 +1300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_csv_scan": q_s1_csv_scan,
         "v8_preview": q_v8_preview,
         "knn_lsh": q_knn_lsh,
+        "c19_on_demand": q_c19_on_demand,
+        "s3_table_scan": q_s3_table_scan,
+        "s8_parquet_sink": q_s8_parquet_sink,
         "f8_json_extract": q_f8_json_extract,
         "f8_window_topn": q_f8_window_topn,
         "f8_set_ops": q_f8_set_ops,
@@ -1273,6 +1345,9 @@ def oracle_sql() -> dict[str, str]:
         "s1_csv_scan": _S1_ORACLE,
         "v8_preview": _V8_ORACLE,
         "knn_lsh": _knn_lsh_oracle(),
+        "c19_on_demand": _C19_ORACLE,
+        "s3_table_scan": _S3_ORACLE,
+        "s8_parquet_sink": _S8_ORACLE,
         "f8_json_extract": _F8_JSON_ORACLE,
         "f8_window_topn": _F8_TOPN_ORACLE,
         "f8_set_ops": _F8_SETOPS_ORACLE,

@@ -135,11 +135,18 @@ class TrainingSetVariant:
 @dataclass(frozen=True)
 class OnDemandFeature:
     """CLIENT_COMPUTED feature: plain Python fn evaluated at serve
-    time — metadata.proto:220-232, client exec serving.py:236-241."""
+    time — metadata.proto:220-232, client exec serving.py:236-241.
+
+    ``batch_fn`` is the Spark-idiomatic bulk form: a function of the
+    request DataFrame returning a Column, applied JVM-side via
+    ``withColumn`` (the per-request ``fn`` stays the V3 serving path;
+    a row-at-a-time UDF wrapper would be the slow path and is
+    deliberately not provided)."""
 
     name: str
     variant: str
     fn: Callable[..., Any]
+    batch_fn: Callable[[DataFrame], Any] | None = None
 
 
 class Catalog:
@@ -279,11 +286,31 @@ class Catalog:
         return ts
 
     def register_on_demand(
-        self, name: str, variant: str, fn: Callable[..., Any]
+        self,
+        name: str,
+        variant: str,
+        fn: Callable[..., Any],
+        batch_fn: Callable[[DataFrame], Any] | None = None,
     ) -> OnDemandFeature:
-        od = OnDemandFeature(name, variant, fn)
+        od = OnDemandFeature(name, variant, fn, batch_fn)
         self._put(self._on_demand, (name, variant), od, "on_demand_feature")
         return od
+
+    def apply_on_demand_batch(
+        self, name: str, variant: str, df: DataFrame, out_col: str | None = None
+    ) -> DataFrame:
+        """C19 in bulk: evaluate an on-demand feature over a whole
+        DataFrame as a JVM column expression (the vectorized twin of
+        the per-request path, serving.py:236-241)."""
+        od = self.on_demand(name, variant)
+        if od.batch_fn is None:
+            raise ValueError(
+                f"on_demand {name}.{variant} has no batch form; serve it "
+                "per-request via OnlineStore.features"
+            )
+        return df.withColumn(
+            out_col or f"ondemand__{name}__{variant}", od.batch_fn(df)
+        )
 
     # -- lookup
 

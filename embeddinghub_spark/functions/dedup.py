@@ -239,8 +239,14 @@ def minhash_duplicate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) from banded MinHash."""
-    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    """Distinct candidate pairs (a < b) from banded MinHash.
+
+    The candidate frame is localCheckpoint'd before the self-join:
+    Spark does not share work between the two sides of a self-join, so
+    without it the whole signature pipeline runs twice."""
+    cand = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=False)
     a = cand.alias("a")
     b = cand.alias("b")
     return (
@@ -396,7 +402,11 @@ def simhash_near_pairs(
     Complete for d < bands; larger d trades recall for the same cost
     (raise ``bands`` to keep the guarantee).
     """
-    banded = simhash_bands(df, text_col, id_col, bits, bands)
+    # checkpoint before the self-join: the 64 bit-vote expressions are
+    # expensive and would otherwise evaluate twice (no cross-side CSE)
+    banded = simhash_bands(df, text_col, id_col, bits, bands).localCheckpoint(
+        eager=False
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -591,6 +601,9 @@ def embedding_near_duplicates(
             F.col(id_col), F.col(vec_col),
             F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"),
         )
+        # 16 plane dot-products per vector — checkpoint so the
+        # self-join doesn't evaluate them twice
+        .localCheckpoint(eager=False)
     )
     x, y = banded.alias("x"), banded.alias("y")
     return (

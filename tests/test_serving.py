@@ -96,3 +96,24 @@ def test_on_demand_batch_equivalent(served_catalog, spark):
     store.materialize_feature("f1", "v1")
     vals = store.features([("f1", "v1")], {"entity": "b"})
     assert vals == [9.0]
+
+
+def test_on_demand_batch_column(spark, served_catalog):
+    # C19 bulk form: batch_fn applied JVM-side as a column expression
+    from pyspark.sql import functions as F
+
+    served_catalog.register_on_demand(
+        "doubled", "v1",
+        fn=lambda store, params, entities: params * 2,
+        batch_fn=lambda df: (F.col("x") * 2).cast("double"),
+    )
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], ["id", "x"])
+    out = served_catalog.apply_on_demand_batch("doubled", "v1", df)
+    got = {r["id"]: r["ondemand__doubled__v1"] for r in out.collect()}
+    assert got == {1: 3.0, 2: 5.0}
+    # per-request-only feature refuses batch application
+    served_catalog.register_on_demand("req_only", "v1", fn=lambda s, p, e: 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        served_catalog.apply_on_demand_batch("req_only", "v1", df)
