@@ -460,9 +460,10 @@ WITH t AS (SELECT doc_id, text,
                   CAST(length(text) AS INTEGER) AS n_chars_computed,
                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
                   CAST(len(list_filter(toks, t -> list_contains([{sw}], lower(t)))) AS INTEGER) AS n_stopwords,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_units,
                   {", ".join(lang_counts)}
            FROM t)
-SELECT doc_id, n_tokens, n_chars_computed, n_punct, n_stopwords,
+SELECT doc_id, n_tokens, n_chars_computed, n_punct, n_stopwords, n_bpe_units,
        round(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
              * (1.0 - CASE WHEN n_chars_computed > 0
                            THEN CAST(n_punct AS DOUBLE) / n_chars_computed ELSE 0.0 END)

@@ -107,6 +107,21 @@ def detect_language(col: Column | str, default: str = "und") -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer shape, pinned to ASCII classes so the
+# pattern means the same thing in Java regex (Spark) and RE2 (DuckDB):
+# letter runs, digit runs, and single non-alphanumeric marks.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_unit_count(col: Column | str) -> Column:
+    """BPE-ish subword unit count: matches of the pre-tokenizer
+    pattern — the standard cheap token-budget estimator for LLM
+    pipelines (a real BPE merge table is model-specific; the
+    pre-tokenization split is the engine-side part)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercase,
     whitespace collapsed, punctuation stripped) — canonical-form
@@ -129,6 +144,7 @@ def text_stats(
         char_count(text_col).alias("n_chars_computed"),
         punct_count(text_col).alias("n_punct"),
         stopword_count(text_col).alias("n_stopwords"),
+        bpe_unit_count(text_col).alias("n_bpe_units"),
         F.round(quality_score(text_col), 6).alias("quality"),
         detect_language(text_col).alias("lang_detected"),
         fingerprint(text_col).alias("fingerprint"),

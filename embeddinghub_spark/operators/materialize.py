@@ -127,13 +127,17 @@ def with_global_row_number_counted(
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["count"]
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    # fold the offsets into the plan as a literal array lookup — no
+    # join at all (an n_partitions-sized literal is trivially small
+    # next to even a broadcast-join exchange)
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)).cast("bigint") for i in range(n)]
     )
     out = (
-        numbered.join(F.broadcast(offset_df), "_pid")
-        .withColumn(row_col, F.col("_local_rn") + F.col("_offset"))
-        .drop("_pid", "_local_rn", "_offset")
+        numbered.withColumn(
+            row_col, F.col("_local_rn") + F.element_at(offset_arr, F.col("_pid") + 1)
+        )
+        .drop("_pid", "_local_rn")
     )
     return out, acc
 
