@@ -366,8 +366,13 @@ _C16_ORACLE = "WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_i
 # --------------------------------------------------------------------------
 
 def q_s5_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return read_incremental(ev, "ts", datetime(2024, 1, 20))
+    """Pushdown-guaranteed variant: the watermark predicate lands in
+    PushedFilters on the raw int64 nanos (row-group pruning at scale)."""
+    from embeddinghub_spark.sources.readers import read_incremental_path
+
+    return read_incremental_path(
+        spark, os.path.join(sf_dir, "events.parquet"), "ts", datetime(2024, 1, 20)
+    )
 
 
 _S5_ORACLE = "WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) SELECT * FROM evt WHERE ts > TIMESTAMP '2024-01-20 00:00:00'"

@@ -117,3 +117,42 @@ def test_on_demand_batch_column(spark, served_catalog):
 
     with _pytest.raises(ValueError):
         served_catalog.apply_on_demand_batch("req_only", "v1", df)
+
+
+def test_spaces_1k_upserts_stay_cheap(spark):
+    """Upserts are dict-overlay writes: no Spark job, no plan growth.
+    1000 single-key upserts must complete in interactive time (the old
+    unionByName-per-write design went quadratic here)."""
+    import time
+
+    from embeddinghub_spark.serving.spaces import EmbeddingHub
+
+    hub = EmbeddingHub(spark)
+    space = hub.create_space("bulk", dims=4)
+    t0 = time.time()
+    for i in range(1000):
+        space.set(f"k{i % 100}", [float(i), 0.0, 0.0, 1.0])
+    elapsed = time.time() - t0
+    assert elapsed < 2.0  # pure-python dict updates
+    assert space.get("k1") == [901.0, 0.0, 0.0, 1.0]  # last write wins
+    assert space.download().count() == 100
+
+
+def test_spaces_distributed_base_with_overlay(spark):
+    from embeddinghub_spark.serving.spaces import EmbeddingHub
+
+    hub = EmbeddingHub(spark)
+    space = hub.create_space("based", dims=2)
+    base = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["key", "embedding"]
+    )
+    space.load_dataframe(base)
+    assert space.get("a") == [1.0, 0.0]  # served from base
+    space.set("a", [0.5, 0.5])  # overlay shadows base
+    assert space.get("a") == [0.5, 0.5]
+    assert space.get("b") == [0.0, 1.0]
+    got = space.multiget(["a", "b", "zz"])
+    assert got["a"] == [0.5, 0.5] and got["b"] == [0.0, 1.0] and "zz" not in got
+    assert space.download().count() == 2
+    # nearest over base ∪ overlay
+    assert space.nearest_neighbor(1, vector=[0.0, 0.9]) == ["b"]
