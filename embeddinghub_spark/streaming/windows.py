@@ -1,0 +1,127 @@
+"""Streaming extensions beyond reference parity: event-time windowed
+aggregation with watermarks, and a custom stateful operator via
+``applyInPandasWithState``.
+
+The reference has NO event-time windows or late-data policy (SURVEY
+§2.4 "Streaming-only semantics") — its streaming is "Kafka → latest
+value → online store" (C20). These helpers are the Spark-native
+extensions a training-data pipeline actually wants on top: windowed
+event aggregates with bounded state (watermark evicts), and an
+arbitrary-stateful path for operators the built-in aggregates can't
+express.
+
+Scale notes: windowed aggregation state is per (group, window) and the
+watermark bounds how many windows stay live — state size is
+O(groups × windows-in-horizon), independent of stream length.
+``applyInPandasWithState`` keys state by group and ships Arrow batches
+(the sanctioned Python path); the latest-per-entity example keeps one
+(value, ts) pair per entity — the same O(|entities|) bound as the C20
+snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_aggregate(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, str],
+    group_cols: list[str] | None = None,
+    slide: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, with ``slide``) event-time windowed
+    aggregation with a late-data watermark.
+
+    ``aggs`` maps output column → "fn(col)" SQL aggregate (e.g.
+    {"n": "count(*)", "total": "sum(value)"}). Works identically on a
+    batch DataFrame (window() is just an expression), which is how the
+    tests pin stream ≡ batch equivalence.
+    """
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    agg_cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    return (
+        df.groupBy(win.alias("win"), *(group_cols or []))
+        .agg(*agg_cols)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *(group_cols or []),
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def stateful_latest(
+    stream_df: DataFrame,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str = "ts",
+):
+    """C20's latest-per-entity as a CUSTOM stateful operator
+    (``applyInPandasWithState``): one (value, ts) state pair per
+    entity, updated newest-wins per micro-batch, emitting the entities
+    whose state changed (update semantics).
+
+    Exists as the template for stateful logic Spark's built-in
+    aggregates can't express (session windows with custom close
+    conditions, decaying counters, dedup-with-TTL, …) — for plain
+    latest-value, prefer the foreachBatch MERGE path
+    (stream_materialize.streaming_materialize_to_dir), which keeps
+    everything JVM-side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    entity_type = stream_df.schema[entity_col].dataType
+    out_schema = StructType(
+        [
+            StructField(entity_col, entity_type),
+            StructField(value_col, DoubleType()),
+            StructField(ts_col, TimestampNTZType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("value", DoubleType()),
+            StructField("ts_us", LongType()),  # NTZ micros (state-safe)
+        ]
+    )
+
+    def update_fn(key, pdf_iter, state):
+        best_v, best_us = state.get if state.exists else (None, None)
+        for pdf in pdf_iter:
+            for v, t in zip(pdf[value_col], pdf[ts_col]):
+                us = int(pd.Timestamp(t).value // 1000)
+                if best_us is None or (us, v) > (best_us, best_v):
+                    best_v, best_us = float(v), us
+        state.update((best_v, best_us))
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]],
+                value_col: [best_v],
+                ts_col: [pd.Timestamp(best_us * 1000)],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

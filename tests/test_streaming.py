@@ -89,3 +89,78 @@ def test_kafka_record_parsing(spark):
     assert good[0]["kafka_key"] == "k1"
     bad = [r for r in recs if r["entity"] is None]
     assert len(bad) == 1  # malformed JSON → nulls, row preserved
+
+
+def test_windowed_aggregate_stream_equals_batch(spark, tmp_path):
+    """Event-time tumbling windows: streaming result (complete mode)
+    must equal the same window expression computed in batch."""
+    from datetime import datetime
+
+    from embeddinghub_spark.streaming.windows import windowed_aggregate
+
+    rows = [
+        (f"u{i % 3}", float(i), datetime(2024, 1, 1, i % 24, (i * 7) % 60))
+        for i in range(200)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    in_dir = str(tmp_path / "win_in")
+    src.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    aggs = {"n": "count(*)", "total": "sum(value)"}
+    windowed = windowed_aggregate(stream, "ts", "1 hour", aggs, group_cols=["entity"])
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["entity"]): (r["n"], r["total"])
+        for r in spark.table("win_test").collect()
+    }
+    expected = {
+        (r["window_start"], r["entity"]): (r["n"], r["total"])
+        for r in windowed_aggregate(src, "ts", "1 hour", aggs, group_cols=["entity"]).collect()
+    }
+    assert got == expected and len(got) > 10
+
+
+def test_stateful_latest_equals_batch_materialize(spark, tmp_path):
+    """applyInPandasWithState latest-per-entity across micro-batches
+    must converge to batch C3."""
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.materialize import materialize
+    from embeddinghub_spark.streaming.windows import stateful_latest
+
+    rows = [
+        (f"u{i % 5}", float(i), datetime(2024, 1, 1 + (i * 3) % 27))
+        for i in range(100)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    in_dir = str(tmp_path / "state_in")
+    src.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    updates: dict = {}
+
+    def drain(batch_df, batch_id):
+        for r in batch_df.collect():
+            updates[r["entity"]] = (r["value"], r["ts"])
+
+    q = (
+        stateful_latest(stream)
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    expected = {r["entity"]: (r["value"], r["ts"]) for r in materialize(src).collect()}
+    assert updates == expected
