@@ -1033,6 +1033,62 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# V5c: approximate k-NN via IVF (deterministic coarse quantizer)
+# --------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.vector import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_ivf(
+        emb, queries_df, 5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _knn_ivf_oracle() -> str:
+    dotp = (
+        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    )
+    cos = (
+        f"{dotp.format(a='av.embedding', b='qp.qv')}"
+        f" / (sqrt({dotp.format(a='av.embedding', b='av.embedding')})"
+        f" * sqrt({dotp.format(a='qp.qv', b='qp.qv')}))"
+    )
+    return f"""
+WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+                  embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})),
+     av AS (SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {dotp.format(a='e.embedding', b='c.centroid')} DESC, c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN c)
+            WHERE rn = 1),
+     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+     qp AS (SELECT query_id, qv, cell FROM (
+              SELECT q.query_id, q.qv, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY {dotp.format(a='q.qv', b='c.centroid')} DESC, c.cell ASC) AS rn
+              FROM q CROSS JOIN c)
+            WHERE rn <= {_IVF_NPROBE}),
+     cand AS (SELECT qp.query_id, av.vec_id AS neighbor_id, {cos} AS score
+              FROM av JOIN qp ON av.cell = qp.cell),
+     r AS (SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM cand)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # S3/S4: catalog-table scan (registered table → session catalog resolve)
 # --------------------------------------------------------------------------
 
@@ -1307,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v8_preview": q_v8_preview,
         "knn_lsh": q_knn_lsh,
         "c19_on_demand": q_c19_on_demand,
+        "knn_ivf": q_knn_ivf,
         "s3_table_scan": q_s3_table_scan,
         "s8_parquet_sink": q_s8_parquet_sink,
         "f8_json_extract": q_f8_json_extract,
@@ -1352,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "v8_preview": _V8_ORACLE,
         "knn_lsh": _knn_lsh_oracle(),
         "c19_on_demand": _C19_ORACLE,
+        "knn_ivf": _knn_ivf_oracle(),
         "s3_table_scan": _S3_ORACLE,
         "s8_parquet_sink": _S8_ORACLE,
         "f8_json_extract": _F8_JSON_ORACLE,

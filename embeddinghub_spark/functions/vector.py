@@ -123,6 +123,110 @@ def _topk_per_query(scored: DataFrame, k: int, order: list[Column]) -> DataFrame
     return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-dot) centroid cell —
+    the inverted-file build step. Centroid set is broadcast (K is
+    small by construction); the argmax is a per-vector window over K
+    scored rows with a deterministic cell-id tiebreak."""
+    paired = vectors.join(F.broadcast(centroids))
+    scored = paired.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id_col),
+        dot(vec_col, centroid_vec_col).alias("_cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cscore").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    vectors are bucketed by nearest centroid; each query probes only
+    its ``nprobe`` nearest cells and scores exactly within them.
+
+    The quantizer here is deterministic — centroids are the first
+    ``n_cells`` vectors by id — so the whole index is replayable by a
+    SQL oracle. For production recall, swap the centroid frame for
+    MLlib KMeans cluster centers (``pyspark.ml.clustering.KMeans``);
+    every downstream step (assignment, probe, scoring) is unchanged —
+    the quantizer is just a (cell, centroid) DataFrame.
+
+    Scale shape: build = one broadcast join over the corpus (narrow),
+    probe = candidates bounded by nprobe/n_cells of the corpus per
+    query, scored with the same two-stage top-k as the exact path.
+    """
+    centroids = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid")
+        )
+        .withColumn("cell", F.row_number().over(Window.orderBy(F.col("_cid").asc())))
+        .select("cell", "centroid")
+        .localCheckpoint(eager=False)
+    )
+    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
+
+    # queries probe their nprobe nearest cells
+    qpaired = queries.join(F.broadcast(centroids))
+    qscored = qpaired.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("cell"),
+        dot(query_vec_col, "centroid").alias("_qscore"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_qscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("_qrank", F.row_number().over(wq))
+        .filter(F.col("_qrank") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+
+    paired = assigned.join(F.broadcast(probes), "cell")
+    if metric == "cosine":
+        score = cosine_similarity(vec_col, query_vec_col)
+    elif metric == "l2":
+        score = -l2_distance(vec_col, query_vec_col)
+    elif metric == "dot":
+        score = dot(vec_col, query_vec_col)
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    scored = paired.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        score.alias("score"),
+    )
+    return _topk_per_query(
+        scored, k, [F.col("score").desc(), F.col("neighbor_id").asc()]
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy needed
     at plan-build time, reproducible across runs)."""

@@ -67,3 +67,24 @@ def test_lsh_bucket_deterministic(spark):
     b2 = with_lsh_bucket(df, "embedding", 3).collect()[0]["lsh_bucket"]
     assert b1 == b2
     assert 0 <= b1 < (1 << 16)  # default 16 planes
+
+
+def test_knn_ivf_recall_and_self_match(spark, sf_dir):
+    from embeddinghub_spark.functions.vector import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, queries, 5, n_cells=8, nprobe=3).collect()
+    }
+    for q in [0, 1, 2]:
+        assert (q, q) in approx  # a query's own vector shares its cell
+    assert len(exact & approx) / len(exact) >= 0.4
