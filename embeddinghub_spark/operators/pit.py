@@ -80,6 +80,52 @@ def asof_join_union(
     label-sized window passes (ref lag lists can be long —
     client/src/featureform/register.py:4683-4727).
     """
+    unioned, label_cols, out_names = _build_asof_union(
+        labels, feature, value_cols, label_entity_col, feature_entity_col,
+        label_ts_col, feature_ts_col, lag, col_lags,
+    )
+
+    # ORDER: ts asc, features-before-labels at equal ts (inclusive <=),
+    # payload asc so ties on feature ts resolve to the max value (rows
+    # from other lag groups are all-null on this group's fields, so the
+    # per-field last(ignorenulls) below never observes them).
+    w = (
+        Window.partitionBy("_e")
+        .orderBy(F.col("_ats").asc(), F.col("_tag").asc(), F.col("_payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_tag",
+        *[F.col(c) for c in label_cols],
+        *[
+            F.last(F.col("_payload").getField(out), ignorenulls=True)
+            .over(w)
+            .alias(f"_m_{out}")
+            for out in out_names
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        *[F.col(c) for c in label_cols],
+        *[F.col(f"_m_{out}").alias(out) for out in out_names],
+    )
+    return out
+
+
+def _build_asof_union(
+    labels: DataFrame,
+    feature: DataFrame,
+    value_cols: dict[str, str],
+    label_entity_col: str,
+    feature_entity_col: str,
+    label_ts_col: str,
+    feature_ts_col: str,
+    lag: timedelta | None,
+    col_lags: dict[str, timedelta | None] | None,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Shared union construction for the ASOF strategies: tagged
+    feature rows (one replica per distinct lag, payload fields scoped
+    to their lag group) unioned with tagged label rows. Returns
+    (unioned, label column names, output column names)."""
     col_lags = col_lags or {}
     # group output columns by their effective lag
     lag_groups: dict[object, dict[str, str]] = {}
@@ -128,29 +174,108 @@ def asof_join_union(
         "_e", "_ats", "_tag", "_payload",
         *[F.lit(None).cast(labels.schema[c].dataType).alias(c) for c in label_cols],
     ).unionByName(l_side)
+    return unioned, label_cols, list(value_cols)
 
-    # ORDER: ts asc, features-before-labels at equal ts (inclusive <=),
-    # payload asc so ties on feature ts resolve to the max value (rows
-    # from other lag groups are all-null on this group's fields, so the
-    # per-field last(ignorenulls) below never observes them).
-    w = (
-        Window.partitionBy("_e")
+
+def asof_join_union_bucketed(
+    labels: DataFrame,
+    feature: DataFrame,
+    value_cols: dict[str, str],
+    label_entity_col: str = "entity",
+    feature_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    feature_ts_col: str = "ts",
+    lag: timedelta | None = None,
+    col_lags: dict[str, timedelta | None] | None = None,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Skew-resistant ASOF (SURVEY §7 hard part #1): the plain union
+    strategy windows over entity, and AQE cannot split a window
+    partition — a whale entity (1% of a 100 TB stream) becomes one
+    task. This variant windows over (entity, time bucket) so a hot
+    entity splits across time, then stitches buckets with a carry pass
+    over the per-(entity, bucket) summary frame (rows = #buckets per
+    entity — tiny) and combines:
+
+      match(row) = coalesce(running-last within its bucket,
+                            carry-in from the latest earlier bucket)
+
+    Correct because bucket(b) < bucket(row) ⟹ every feature row in b
+    precedes the row in the global (ats, tag, payload) order, and the
+    per-bucket summary keeps the per-field LAST under exactly that
+    order (max_by on (ats, payload), nulls excluded per lag group).
+    Cost: the big shuffle is keyed (entity, bucket) — skew-free for
+    any entity active over many buckets; plus two cheap passes over
+    the summary frame. Same results as asof_join_union by
+    construction; pinned by tests on every oracle PIT query.
+    """
+    unioned, label_cols, out_names = _build_asof_union(
+        labels, feature, value_cols, label_entity_col, feature_entity_col,
+        label_ts_col, feature_ts_col, lag, col_lags,
+    )
+    bucket = F.floor(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', _ats)")
+        / F.lit(bucket_seconds)
+    ).cast("bigint")
+    bucketed = unioned.withColumn("_b", bucket)
+
+    # stage 1: running per-field last WITHIN (entity, bucket)
+    w_in = (
+        Window.partitionBy("_e", "_b")
         .orderBy(F.col("_ats").asc(), F.col("_tag").asc(), F.col("_payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "_tag",
+    within = bucketed.select(
+        "_e", "_b", "_tag",
         *[F.col(c) for c in label_cols],
         *[
             F.last(F.col("_payload").getField(out), ignorenulls=True)
-            .over(w)
-            .alias(f"_m_{out}")
-            for out in value_cols
+            .over(w_in)
+            .alias(f"_w_{out}")
+            for out in out_names
         ],
     )
-    out = carried.filter(F.col("_tag") == 1).select(
+
+    # stage 2: per-(entity, bucket) per-field LAST over feature rows
+    # (max_by on (ats, payload) = last under the global order; the
+    # when() guard drops rows where the field is null so other lag
+    # groups / label rows never win)
+    summaries = bucketed.groupBy("_e", "_b").agg(
+        *[
+            F.max_by(
+                F.col("_payload").getField(out),
+                F.when(
+                    (F.col("_tag") == 0)
+                    & F.col("_payload").getField(out).isNotNull(),
+                    F.struct(F.col("_ats"), F.col("_payload")),
+                ),
+            ).alias(f"_l_{out}")
+            for out in out_names
+        ]
+    )
+    # carry-in per bucket = last non-null summary over EARLIER buckets
+    w_carry = (
+        Window.partitionBy("_e")
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = summaries.select(
+        "_e", "_b",
+        *[
+            F.last(F.col(f"_l_{out}"), ignorenulls=True)
+            .over(w_carry)
+            .alias(f"_c_{out}")
+            for out in out_names
+        ],
+    )
+
+    stitched = within.join(carries, ["_e", "_b"], "left")
+    out = stitched.filter(F.col("_tag") == 1).select(
         *[F.col(c) for c in label_cols],
-        *[F.col(f"_m_{out}").alias(out) for out in value_cols],
+        *[
+            F.coalesce(F.col(f"_w_{out}"), F.col(f"_c_{out}")).alias(out)
+            for out in out_names
+        ],
     )
     return out
 
@@ -201,7 +326,12 @@ def asof_join(
     strategy: str = "union",
     **kwargs,
 ) -> DataFrame:
-    fn = asof_join_union if strategy == "union" else asof_join_theta
+    if strategy == "union":
+        fn = asof_join_union
+    elif strategy == "union_bucketed":
+        fn = asof_join_union_bucketed
+    else:
+        fn = asof_join_theta
     return fn(labels, feature, value_cols, **kwargs)
 
 
@@ -294,8 +424,11 @@ def build_training_set(
                 )
                 value_cols[out_name] = f.columns.value
                 col_lags[out_name] = lag_spec.lag
-            if strategy == "union":
-                acc = asof_join_union(
+            if strategy in ("union", "union_bucketed"):
+                fused_fn = (
+                    asof_join_union if strategy == "union" else asof_join_union_bucketed
+                )
+                acc = fused_fn(
                     acc,
                     src_df,
                     value_cols,

@@ -186,3 +186,73 @@ def test_training_set_composite_entity(spark):
     assert rows[("u1", "m1")]["feature__uf__v1"] == 1.0
     assert rows[("u1", "m1")]["feature__mf__v1"] == 2.0
     assert rows[("u1", "m2")]["feature__mf__v1"] is None
+
+
+def test_bucketed_asof_equals_union(spark, sf_dir):
+    """Skew-resistant (entity, time-bucket) ASOF must produce exactly
+    the plain union strategy's result — incl. fused lags — across
+    bucket widths (1 day splits the events range into many buckets;
+    10 years collapses to one bucket = degenerate case)."""
+    import os
+    from datetime import timedelta
+
+    from embeddinghub_spark.catalog import Catalog, FeatureLag
+    from embeddinghub_spark.operators.pit import build_training_set
+
+    def make_cat():
+        cat = Catalog(spark)
+        cat.register_file("events", "default", os.path.join(sf_dir, "events.parquet"))
+        cat.sql_transformation(
+            "clicks", "v1",
+            "SELECT user_id, value, ts FROM {{events.default}} WHERE event_type = 'click'",
+        )
+        cat.sql_transformation(
+            "purchases", "v1",
+            "SELECT user_id, value, ts FROM {{events.default}} WHERE event_type = 'purchase'",
+        )
+        cat.register_feature("cv", "v1", ("clicks", "v1"), "user_id", "value", "ts")
+        cat.register_label("p", "v1", ("purchases", "v1"), "user_id", "value", "ts")
+        cat.register_training_set(
+            "ts_b", "v1", ("p", "v1"), [("cv", "v1")],
+            lags=[FeatureLag("cv", "v1", timedelta(hours=1), alias="cv_lag")],
+        )
+        return cat
+
+    def rows(strategy):
+        df = build_training_set(make_cat(), make_cat().training_set("ts_b", "v1"), strategy=strategy)
+        collected = [
+            (r["entity"], r["feature__cv__v1"], r["cv_lag"], r["label"], r["label_ts"])
+            for r in df.collect()
+        ]
+        return sorted(
+            collected, key=lambda t: tuple((v is None, v) for v in t)
+        )
+
+    expected = rows("union")
+    assert rows("union_bucketed") == expected
+    assert len(expected) > 50
+
+    # width extremes on the raw operator: one giant bucket (degenerate
+    # = plain union) and tiny 1-hour buckets (maximal stitching)
+    from embeddinghub_spark.operators.pit import asof_join_union, asof_join_union_bucketed
+
+    cat = make_cat()
+    labels = cat.label_table("p", "v1").dropDuplicates()
+    feat = cat.dataframe("clicks", "v1")
+    base = sorted(
+        ((r["entity"], r["value"], r["ts"], r["fv"]) for r in
+         asof_join_union(labels, feat, {"fv": "value"},
+                         label_entity_col="entity", feature_entity_col="user_id",
+                         label_ts_col="ts", feature_ts_col="ts").collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    for width in (3600, 10**10):
+        got = sorted(
+            ((r["entity"], r["value"], r["ts"], r["fv"]) for r in
+             asof_join_union_bucketed(labels, feat, {"fv": "value"},
+                                      label_entity_col="entity", feature_entity_col="user_id",
+                                      label_ts_col="ts", feature_ts_col="ts",
+                                      bucket_seconds=width).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        assert got == base, f"width={width}"
