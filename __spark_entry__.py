@@ -3,8 +3,11 @@
 Each ``queries()`` entry runs an embeddinghub_spark operator (SURVEY.md
 §2) against the driver's parquet tables; ``oracle_sql()`` holds the
 DuckDB-equivalent SQL with IDENTICAL column names/aliases. Float
-aggregates are computed via DECIMAL(38,9) partial sums (exact,
-associative → bit-identical across engines) and cast back to DOUBLE.
+aggregates sum SCALED BIGINTs (cents / 1e-4 units — exact,
+associative, and int→double conversion is correctly rounded in every
+engine) and divide back to DOUBLE at the end; a DECIMAL(38,9)
+partial-sum protocol is NOT enough — DuckDB's DECIMAL→DOUBLE cast
+rounds one ulp off Spark's at 1e9+ magnitudes.
 """
 
 from __future__ import annotations
@@ -53,13 +56,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # C1: SQL transformation ({{name.variant}} templating) — TPC-H Q1 shape
 # --------------------------------------------------------------------------
 
+# Float-sum protocol: sums run over SCALED BIGINTs (cents / 10^-4
+# units) and divide back in DOUBLE at the end. Integer sums are exact
+# and associative; int64→double conversion is correctly rounded in
+# every engine; the final IEEE division is bit-identical. (The
+# previous DECIMAL(38,9) partial-sum protocol was exact too, but
+# DuckDB's DECIMAL→DOUBLE cast rounds one ulp off Spark's at sf0.1
+# magnitudes — the *conversion*, not the sum, was the mismatch.)
 _Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
   COUNT(*) AS count_order
 FROM {{lineitem.default}}
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -77,9 +87,9 @@ _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -100,9 +110,11 @@ def q_c2_df_transformation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(38,9)"))
-                .cast("double")
-                .alias("total_price"),
+                (
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                    .cast("double")
+                    / 100
+                ).alias("total_price"),
             )
         )
 
@@ -115,7 +127,7 @@ def q_c2_df_transformation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _C2_ORACLE = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -830,7 +842,7 @@ def q_c17_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM {{orders.default}} o JOIN {{customer.default}} c
           ON o.o_custkey = c.c_custkey
         GROUP BY c_mktsegment
@@ -846,7 +858,7 @@ def q_c17_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _C17_ORACLE = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c_mktsegment
 """
@@ -1242,14 +1254,14 @@ def q_f8_cte_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH seg AS (
           SELECT c_mktsegment AS seg, n_nationkey AS nk,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
           FROM {{orders.default}} o
           JOIN {{customer.default}} c ON o.o_custkey = c.c_custkey
           JOIN {{nation.default}} n ON c.c_nationkey = n.n_nationkey
           GROUP BY c_mktsegment, n_nationkey
         )
-        SELECT seg, nk, total FROM seg
-        WHERE total > 1000000 ORDER BY seg, nk
+        SELECT seg, nk, CAST(total_cents AS DOUBLE) / 100 AS total FROM seg
+        WHERE total_cents > 100000000 ORDER BY seg, nk
         """,
     )
     return cat.dataframe("cte_having", "v1")
@@ -1258,14 +1270,14 @@ def q_f8_cte_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 _F8_CTE_ORACLE = """
 WITH seg AS (
   SELECT c_mktsegment AS seg, n_nationkey AS nk,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY c_mktsegment, n_nationkey
 )
-SELECT seg, nk, total FROM seg
-WHERE total > 1000000 ORDER BY seg, nk
+SELECT seg, nk, CAST(total_cents AS DOUBLE) / 100 AS total FROM seg
+WHERE total_cents > 100000000 ORDER BY seg, nk
 """
 
 

@@ -400,6 +400,34 @@ class Catalog:
         """C18 refresh support: drop cached DF so next access recomputes."""
         self._df_cache.pop((name, variant), None)
 
+    def apply(self) -> dict[str, int]:
+        """Entry point A (SURVEY §3.1): resolve EVERY registered
+        resource in dependency order — the in-process collapse of
+        client.apply → metadata server → coordinator task DAG
+        (coordinator/scheduler.go:52-79).
+
+        Evaluation is analysis-eager, action-lazy: each resource's
+        DataFrame is built (so missing sources, bad references, and
+        schema errors surface here, like the coordinator failing a
+        task) but no Spark job runs until something is served or
+        written. Returns resource counts by type.
+        """
+        for key in list(self._sources):
+            self.dataframe(*key)
+        for key in list(self._features):
+            self.feature_table(*key)
+        for key in list(self._labels):
+            self.label_table(*key)
+        for key in list(self._training_sets):
+            self.training_set_dataframe(*key)
+        return {
+            "sources": len(self._sources),
+            "features": len(self._features),
+            "labels": len(self._labels),
+            "training_sets": len(self._training_sets),
+            "on_demand": len(self._on_demand),
+        }
+
     def create_transformation_table(
         self,
         name: str,

@@ -256,3 +256,32 @@ def test_bucketed_asof_equals_union(spark, sf_dir):
             key=lambda t: tuple((v is None, v) for v in t),
         )
         assert got == base, f"width={width}"
+
+
+def test_catalog_apply_validates_dag(spark, sf_dir):
+    """apply() resolves every resource (entry point A); broken
+    references fail at apply time, not serve time."""
+    import os
+
+    from embeddinghub_spark.catalog import Catalog, ResourceNotFound
+
+    cat = Catalog(spark)
+    cat.register_file("events", "default", os.path.join(sf_dir, "events.parquet"))
+    cat.sql_transformation(
+        "clicks", "v1",
+        "SELECT user_id, value, ts FROM {{events.default}} WHERE event_type = 'click'",
+    )
+    cat.register_feature("cv", "v1", ("clicks", "v1"), "user_id", "value", "ts")
+    cat.register_label("pl", "v1", ("events", "default"), "user_id", "value", "ts")
+    cat.register_training_set("t", "v1", ("pl", "v1"), [("cv", "v1")])
+    counts = cat.apply()
+    assert counts == {
+        "sources": 2, "features": 1, "labels": 1, "training_sets": 1, "on_demand": 0,
+    }
+    # a dangling reference fails apply()
+    bad = Catalog(spark)
+    bad.sql_transformation("x", "v1", "SELECT 1 FROM {{missing.default}}")
+    import pytest as _pytest
+
+    with _pytest.raises(ResourceNotFound):
+        bad.apply()
