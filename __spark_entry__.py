@@ -1311,6 +1311,55 @@ FROM part
 """
 
 
+def q_f8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "rollup_q", "v1",
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*) AS n
+        FROM {{nation.default}} n JOIN {{region.default}} r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        """,
+    )
+    return cat.dataframe("rollup_q", "v1")
+
+
+_F8_ROLLUP_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       COUNT(*) AS n
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_f8_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "arrays_q", "v1",
+        """
+        SELECT doc_id,
+               size(split(text, ' ')) AS n_parts,
+               array_contains(split(lower(text), ' '), 'the') AS has_the,
+               element_at(split(text, ' '), 1) AS first_tok
+        FROM {{documents.default}}
+        """,
+    )
+    return cat.dataframe("arrays_q", "v1")
+
+
+_F8_ARRAY_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_parts,
+       list_contains(string_split(lower(text), ' '), 'the') AS has_the,
+       string_split(text, ' ')[1] AS first_tok
+FROM documents
+"""
+
+
 def q_f8_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _catalog(spark, sf_dir)
     cat.sql_transformation(
@@ -1384,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_cte_having": q_f8_cte_having,
         "f8_scalar_funcs": q_f8_scalar_funcs,
         "f8_date_funcs": q_f8_date_funcs,
+        "f8_rollup": q_f8_rollup,
+        "f8_array_funcs": q_f8_array_funcs,
     }
 
 
@@ -1430,4 +1481,6 @@ def oracle_sql() -> dict[str, str]:
         "f8_cte_having": _F8_CTE_ORACLE,
         "f8_scalar_funcs": _F8_SCALARS_ORACLE,
         "f8_date_funcs": _F8_DATES_ORACLE,
+        "f8_rollup": _F8_ROLLUP_ORACLE,
+        "f8_array_funcs": _F8_ARRAY_ORACLE,
     }
