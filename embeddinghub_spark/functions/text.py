@@ -137,15 +137,72 @@ def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """One row per doc: token/char/punct/stopword counts + quality +
-    detected language + fingerprint."""
-    return df.select(
+    detected language + fingerprint.
+
+    Staged: the token array and the base counts are each materialized
+    ONCE as projection steps — the naive composition re-derives
+    ``tokens()`` per metric (the quality score alone uses four
+    token-derived counts) and Catalyst does not reliably CSE repeated
+    higher-order array expressions.
+    """
+    toks = F.col("_toks")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    staged = df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
+        F.col(text_col),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(toks).alias("n_tokens"),
         char_count(text_col).alias("n_chars_computed"),
         punct_count(text_col).alias("n_punct"),
-        stopword_count(text_col).alias("n_stopwords"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+        ).alias("n_stopwords"),
         bpe_unit_count(text_col).alias("n_bpe_units"),
-        F.round(quality_score(text_col), 6).alias("quality"),
-        detect_language(text_col).alias("lang_detected"),
+        *[
+            F.size(
+                F.filter(
+                    toks,
+                    (lambda arr: lambda t: F.array_contains(arr, F.lower(t)))(
+                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+                    ),
+                )
+            ).alias(f"_s_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    n_char = F.col("n_chars_computed").cast("double")
+    n_punct = F.col("n_punct").cast("double")
+    n_stop = F.col("n_stopwords").cast("double")
+    len_factor = F.least(F.lit(1.0), n_tok / F.lit(64.0))
+    punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    quality = len_factor * (F.lit(1.0) - punct_ratio) * F.least(
+        F.lit(1.0), F.lit(4.0) * stop_ratio
+    )
+    ranked = [
+        F.struct(
+            F.col(f"_s_{lang}").alias("score"),
+            F.lit(-i).alias("pref"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(sorted(LANG_MARKERS))
+    ]
+    best = F.array_max(F.array(*ranked))
+    lang_detected = F.when(
+        best.getField("score") > 0, best.getField("lang")
+    ).otherwise(F.lit("und"))
+    return staged.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_chars_computed",
+        "n_punct",
+        "n_stopwords",
+        "n_bpe_units",
+        F.round(quality, 6).alias("quality"),
+        lang_detected.alias("lang_detected"),
         fingerprint(text_col).alias("fingerprint"),
     )
