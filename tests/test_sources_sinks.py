@@ -111,3 +111,40 @@ def test_read_table_catalog_and_fmt_fallback(spark, tmp_path):
     cat.register_source(SourceVariant(name="t34", variant="v1", table="t_s34_test"))
     assert cat.dataframe("t34", "v1").count() == 2
     spark.sql("DROP TABLE IF EXISTS t_s34_test")
+
+
+def test_push_online_distributed_writer(spark, tmp_path):
+    """S11 distributed path: foreachPartition writers run on executors
+    (separate Python workers — driver dict mutations would be lost),
+    so drive a real store shape: each partition writer appends its
+    rows to the shared store (filesystem stand-in for the KV API);
+    the union of writes must equal the snapshot exactly."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from embeddinghub_spark.sources.sinks import push_online
+
+    store_dir = str(tmp_path / "kv")
+    os.makedirs(store_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        [(f"e{i}", float(i)) for i in range(500)], ["entity", "value"]
+    )
+
+    def writer(rows):
+        batch = [(r["entity"], r["value"]) for r in rows]
+        if not batch:
+            return
+        path = os.path.join(store_dir, f"batch-{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump(batch, f)
+
+    push_online(df, writer=writer)
+    got = {}
+    for path in glob.glob(os.path.join(store_dir, "batch-*.json")):
+        with open(path) as f:
+            for k, v in json.load(f):
+                assert k not in got, "entity written twice across partitions"
+                got[k] = v
+    assert got == {f"e{i}": float(i) for i in range(500)}
