@@ -290,22 +290,43 @@ def _bit_weight(j: int) -> int:
 
 
 def _simhash_acc(h_lo: Column, h_hi: Column, n: Column, bits: int) -> Column:
-    acc = F.lit(0).cast("bigint")
+    """Single-pass bit vote: ONE fold over the token-hash arrays
+    accumulating an ``array<int>(bits)`` of per-bit one-counts
+    (``zip_with(acc, bit_expand(h), +)``), then one threshold pass over
+    the count array. Replaces the previous per-bit ``F.aggregate``
+    design (bits separate folds, each scanning the full array →
+    O(bits·|tokens|) array traversals per doc — the two slowest bench
+    entries of round 2). Same votes, same tie-break (ones·2 ≥ n), so
+    fingerprints are bit-identical."""
+    pairs = F.zip_with(
+        h_lo, h_hi, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
+    )
 
-    def bit_vote(src_bit: int):
-        # closure (not a default arg): a 2-param lambda would make
-        # Spark pass the element index as the second argument.
-        # aggregate-fold (int accumulator) instead of filter+size:
-        # no per-bit array allocation, ~2× cheaper to codegen
-        return lambda a, h: a + F.shiftright(h, src_bit).bitwiseAND(F.lit(1)).cast("int")
+    def bit_expand(s: Column) -> Column:
+        return F.array(*[
+            F.shiftright(
+                s["lo"] if j < 60 else s["hi"], j if j < 60 else j - 60
+            ).bitwiseAND(F.lit(1)).cast("int")
+            for j in range(bits)
+        ])
 
-    for j in range(bits):
-        src, src_bit = (h_lo, j) if j < 60 else (h_hi, j - 60)
-        ones = F.aggregate(src, F.lit(0), bit_vote(src_bit))
-        acc = acc + F.when(
-            ones * 2 >= n, F.lit(_bit_weight(j)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return acc
+    counts = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, s: F.zip_with(acc, bit_expand(s), lambda a, b: a + b),
+    )
+    # majority threshold + two's-complement weights, folded in one pass
+    # over the (bits)-slot count array so `counts` is referenced once
+    weights = F.array(*[F.lit(_bit_weight(j)).cast("bigint") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c * 2 >= n, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash(col: Column | str, bits: int = 64) -> Column:

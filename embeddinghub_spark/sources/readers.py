@@ -204,6 +204,12 @@ def read_incremental_path(
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # Raw-nanos predicate: lands in PushedFilters → row-group pruning.
+    # It is deliberately conservative — a row with nanos in
+    # (wm, wm+999] passes here yet truncates to exactly the watermark
+    # microsecond, which would violate the `ts > last_run_ts` contract
+    # on the returned (microsecond) frame — so an exact post-conversion
+    # filter is ANDed below. Pruning still comes from this one.
     filtered = raw.filter(F.col(timestamp_column) > F.lit(wm_ns))
     for c in ns_cols:
         filtered = filtered.withColumn(
@@ -213,6 +219,15 @@ def read_incremental_path(
                 f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    # exact boundary: compare at Spark's native microsecond precision
+    wm_us = wm_ns // 1000
+    filtered = filtered.filter(
+        F.col(timestamp_column)
+        > F.expr(
+            f"timestampadd(MICROSECOND, {wm_us}, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    )
     return filtered
 
 

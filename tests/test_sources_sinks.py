@@ -66,6 +66,39 @@ def test_incremental_watermark(spark):
     assert read_incremental(df, "ts", None).count() == 3
 
 
+def test_incremental_path_nanos_boundary(spark, tmp_path):
+    """A row whose nanos lie in (wm, wm+999] passes the raw int64
+    pruning filter but truncates to exactly the watermark microsecond —
+    it must NOT appear in the returned frame (`ts > last_run_ts` is a
+    strict inequality at Spark's microsecond precision; re-including
+    the boundary row means duplicate processing on every run whose
+    watermark came from high_watermark())."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embeddinghub_spark.sources.readers import read_incremental_path
+
+    import calendar
+
+    wm = datetime(2024, 1, 2)
+    wm_ns = calendar.timegm(wm.timetuple()) * 1_000_000_000
+    path = str(tmp_path / "ns_events.parquet")
+    table = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [wm_ns - 1_000_000_000, wm_ns + 500, wm_ns + 1_500, wm_ns + 1_000_000_000],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+    inc = read_incremental_path(spark, path, "ts", wm)
+    # id=2 (wm+500ns) truncates to the watermark → excluded;
+    # id=3 (wm+1500ns) truncates to wm+1us → included
+    assert sorted(r["id"] for r in inc.collect()) == [3, 4]
+
+
 def test_online_push_local_and_sizing(spark):
     df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["entity", "value"])
     snap = push_online(df)
