@@ -933,8 +933,11 @@ def q_c20_stream_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, target, entity_col="user_id", value_col="value", ts_col="ts",
         checkpoint_dir=work + "/ckpt",
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(target)
+    if not q.awaitTermination(300):
+        raise TimeoutError("c20 stream did not terminate within 300s")
+    from embeddinghub_spark.sources.tables import read_bucketed_snapshot
+
+    return read_bucketed_snapshot(spark, target)
 
 
 # --------------------------------------------------------------------------

@@ -15,17 +15,51 @@ Semantic pins (SURVEY §4 "traps"):
     order via monotonically_increasing_id, or a caller-supplied
     deterministic tiebreak column.
 
-Scale notes: C3 is one hash-shuffle on entity (window partitionBy) —
-Catalyst plans a single Exchange; with AQE skew handling a hot entity
-splits. No global sort anywhere except C5's explicit serve-ordering,
-which is implemented as range-partition + per-partition numbering +
-prefix-sum offsets instead of a single-partition window.
+Scale notes: C3 is ONE hash aggregate on entity — ``max(struct(ts,
+value))`` picks the same winner as the reference's row_number window
+(struct ordering is field-major: ts first, then the value tiebreak)
+but partial-aggregates map-side, so the exchange carries one row per
+(partition, entity) instead of every input row: at 100 TB the shuffle
+is |entities|-sized, not |events|-sized, and a hot entity collapses
+to one row per map task before the exchange (no AQE skew handling
+needed — the skew never reaches the wire). No global sort anywhere
+except C5's explicit serve-ordering, which is implemented as
+range-partition + per-partition numbering + prefix-sum offsets
+instead of a single-partition window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _latest_by_struct(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list,
+    value_col: str,
+    ts_out,
+) -> DataFrame:
+    """One-pass latest-per-entity: ``max(struct(order..., value))``.
+
+    Equivalent to ``row_number() OVER (PARTITION BY entity ORDER BY
+    order... DESC) = 1``: struct comparison is field-major, Spark's
+    ordering for max() ranks NULL lowest and NaN highest — exactly the
+    DESC NULLS LAST window order. Unlike the window, the aggregate
+    partial-combines map-side (shuffle ∝ |entities|, skew-immune).
+    """
+    fields = [c.alias(f"_o{i}") for i, c in enumerate(order_cols)]
+    fields.append(F.col(value_col).alias("_v"))
+    return (
+        df.groupBy(F.col(entity_col).alias("entity"))
+        .agg(F.max(F.struct(*fields)).alias("_w"))
+        .select(
+            "entity",
+            F.col("_w._v").alias("value"),
+            ts_out.alias("ts"),
+        )
+    )
 
 
 def materialize(
@@ -37,22 +71,15 @@ def materialize(
 ) -> DataFrame:
     """C3: latest ``(entity, value, ts)`` row per entity.
 
-    Window ``partitionBy(entity).orderBy(ts DESC, value DESC)`` +
-    ``row_number()=1`` — runner :679-683 with the deterministic
-    tiebreak pinned. Output columns: entity, value, ts.
+    Same winner as the runner's window (:679-683, ts DESC with the
+    value-DESC tiebreak pinned) computed as a map-side-combining hash
+    aggregate — see _latest_by_struct. Output: entity, value, ts.
     """
-    order = [F.col(ts_col).desc(), F.col(value_col).desc()]
+    order = [F.col(ts_col), F.col(value_col)]
     for c in tiebreak_cols or []:
-        order.append(F.col(c).desc())
-    w = Window.partitionBy(entity_col).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(entity_col).alias("entity"),
-            F.col(value_col).alias("value"),
-            F.col(ts_col).alias("ts"),
-        )
+        order.append(F.col(c))
+    return _latest_by_struct(
+        df, entity_col, order, value_col, F.col("_w._o0")
     )
 
 
@@ -71,19 +98,16 @@ def materialize_no_ts(
     replacement for the reference's implicit ordering).
     """
     if tiebreak_cols:
-        order = [F.col(c).desc() for c in tiebreak_cols]
+        order = [F.col(c) for c in tiebreak_cols]
     else:
         df = df.withColumn("_file_order", F.monotonically_increasing_id())
-        order = [F.col("_file_order").desc()]
-    w = Window.partitionBy(entity_col).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(entity_col).alias("entity"),
-            F.col(value_col).alias("value"),
-            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'").alias("ts"),
-        )
+        order = [F.col("_file_order")]
+    return _latest_by_struct(
+        df,
+        entity_col,
+        order,
+        value_col,
+        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
     )
 
 

@@ -191,3 +191,317 @@ def merge_materialization_dir(
     else:
         merged = materialize(updates, entity_col, value_col, ts_col)
     return atomic_update(merged, target_dir)
+
+
+# -- bucketed LSM snapshot merge (C20 scale path) -----------------------------
+#
+# A streaming materialization merges a small per-batch delta into a
+# large per-entity snapshot, forever. Rewriting the whole snapshot per
+# micro-batch (merge_materialization_dir above) has write amplification
+# O(batches × |snapshot|): a day of 1-minute batches rewrites the full
+# table 1,440×. The scale path is LSM-shaped, the merge-on-read design
+# Delta/Iceberg MERGE approximates with file pruning (runner merge_in
+# :688-765), expressed on a plain filesystem:
+#
+#   - the snapshot BASE is hash-bucketed by entity key (bucket=K dirs);
+#   - each micro-batch APPENDS its per-entity-latest delta (bucketed
+#     the same way) in ONE Spark job — bytes written per batch are
+#     O(|batch|), independent of snapshot size;
+#   - readers merge base ∪ deltas newest-wins (merge-on-read);
+#   - when ``max_deltas`` deltas accumulate, COMPACTION folds them
+#     into the base, rewriting only the buckets the deltas touch
+#     (touched buckets are discovered by directory listing — no job).
+#
+# Amortized write amplification: each row is written once on append
+# and once per compaction it participates in — O(1 + |touched bucket|
+# / |delta| / max_deltas) ≪ full-rewrite's O(|snapshot| / |delta|).
+#
+# Layout (every commit is a single-syscall symlink flip, as C18):
+#   <target>                symlink → <target>.v-XXXX (current version)
+#   <target>.v-XXXX/        version dir:
+#       _ff_buckets.json    {"n_buckets": N}
+#       bucket=K            symlink → physical base bucket dir
+#       _delta-SEQ-XXXX     symlink → physical delta dir (bucketed)
+#   <target>.b/w-YYYY/bucket=K/   physical parquet, written once and
+#                                 shared by every version that kept it
+#
+# ``spark.read.parquet(<target>)`` sees ONLY the base (underscore-
+# prefixed delta dirs are invisible to Spark's discovery), so plain
+# readers get a consistent — possibly delta-stale — snapshot with a
+# `bucket` partition column. The faithful read is
+# read_bucketed_snapshot (base ∪ deltas, newest-wins); a point lookup
+# computes the key's bucket client-side (zlib.crc32 == Spark crc32 on
+# UTF-8 bytes) and reads one bucket dir per layer: O(|entities|/N +
+# |deltas|), never a full scan.
+
+_BUCKET_META = "_ff_buckets.json"
+
+
+def _bucket_expr(entity_col: str, n_buckets: int):
+    """pmod(crc32(utf8(entity)), N) — chosen over hash()/xxhash64
+    because zlib.crc32 reproduces it client-side for point lookups."""
+    return F.pmod(
+        F.crc32(F.col(entity_col).cast("string").cast("binary")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def bucket_of(entity_value, n_buckets: int) -> int:
+    """Client-side twin of _bucket_expr (no Spark job)."""
+    import zlib
+
+    return zlib.crc32(str(entity_value).encode("utf-8")) % n_buckets
+
+
+def _version_layout(target_dir: str):
+    """(version_dir, n_buckets, {bucket→path}, [delta paths]) of the
+    current committed version; (None, None, {}, []) if none."""
+    import json
+    import os
+
+    if not os.path.islink(target_dir):
+        return None, None, {}, []
+    version = os.path.realpath(target_dir)
+    meta_path = os.path.join(version, _BUCKET_META)
+    if not os.path.exists(meta_path):  # legacy flat snapshot
+        return version, None, {}, []
+    with open(meta_path) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    buckets, deltas = {}, []
+    for name in sorted(os.listdir(version)):
+        full = os.path.realpath(os.path.join(version, name))
+        if name.startswith("bucket="):
+            buckets[int(name.split("=", 1)[1])] = full
+        elif name.startswith("_delta-"):
+            deltas.append((name, full))
+    return version, n_buckets, buckets, deltas
+
+
+def _merge_latest(frames, entity_col: str, value_col: str, ts_col: str):
+    from embeddinghub_spark.operators.materialize import materialize
+
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other)
+    return materialize(df, entity_col, value_col, ts_col)
+
+
+def read_bucketed_snapshot(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Faithful snapshot read: base ∪ pending deltas, newest-wins.
+    No deltas pending → a straight base scan (no window)."""
+    version, n_buckets, buckets, deltas = _version_layout(target_dir)
+    if n_buckets is None:  # legacy flat layout (or plain dir)
+        df = spark.read.parquet(target_dir)
+        return df.drop("bucket") if "bucket" in df.columns else df
+    base = spark.read.parquet(target_dir)
+    cols = [c for c in base.columns if c != "bucket"]
+    base = base.select(*cols)
+    if not deltas:
+        return base
+    # all delta layers in one multi-path scan; recursiveFileLookup
+    # skips partition inference (several roots would conflict) — the
+    # bucket value lives only in dir names, so the files are plain cols
+    delta_df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(*[p for _, p in deltas])
+        .select(*cols)
+    )
+    entity_col, value_col, ts_col = cols[0], cols[1], cols[2]
+    return _merge_latest([base, delta_df], entity_col, value_col, ts_col)
+
+
+def read_snapshot_bucket(
+    spark: SparkSession, target_dir: str, entity_value, entity_col: str = "entity"
+) -> DataFrame:
+    """Point-lookup path: read the ONE bucket dir the key hashes to in
+    each layer (base + pending deltas) and keep the newest row —
+    an O(|entities|/N + |deltas|) scan, never the full snapshot."""
+    import os
+
+    version, n_buckets, buckets, deltas = _version_layout(target_dir)
+    if n_buckets is None:
+        df = read_bucketed_snapshot(spark, target_dir)
+        return df.filter(F.col(entity_col) == F.lit(entity_value))
+    k = bucket_of(entity_value, n_buckets)
+    paths = []
+    if k in buckets:
+        paths.append(buckets[k])
+    for _, dpath in deltas:
+        sub = os.path.join(dpath, f"bucket={k}")
+        if os.path.exists(sub):
+            paths.append(os.path.realpath(sub))
+    if not paths:
+        empty = spark.read.parquet(target_dir).drop("bucket").limit(0)
+        return empty
+    layers = [
+        spark.read.parquet(p).filter(F.col(entity_col) == F.lit(entity_value))
+        for p in paths
+    ]
+    cols = layers[0].columns
+    return _merge_latest(layers, cols[0], cols[1], cols[2])
+
+
+def _commit_version(
+    target_dir: str, links: dict[str, str], n_buckets: int, prev_version: str | None
+) -> None:
+    """Assemble a new version dir of symlinks and flip <target> to it
+    atomically; prune dirs unreferenced by (new, previous) versions."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    new_version = target_dir + ".v-" + uuid.uuid4().hex[:8]
+    os.makedirs(new_version)
+    with open(os.path.join(new_version, _BUCKET_META), "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+    for name, path in links.items():
+        os.symlink(os.path.realpath(path), os.path.join(new_version, name))
+
+    tmp_link = target_dir + ".link-" + uuid.uuid4().hex[:8]
+    os.symlink(new_version, tmp_link)
+    os.replace(tmp_link, target_dir)  # atomic: readers see old XOR new
+
+    keep = {os.path.realpath(p) for p in (new_version, prev_version) if p}
+    referenced: set[str] = set()
+    for v in keep:
+        if os.path.isdir(v):
+            for name in os.listdir(v):
+                if name != _BUCKET_META:
+                    referenced.add(os.path.realpath(os.path.join(v, name)))
+    for old in _glob.glob(target_dir + ".v-*"):
+        if os.path.realpath(old) not in keep:
+            shutil.rmtree(old, ignore_errors=True)
+    store = target_dir + ".b"
+    for wdir in _glob.glob(os.path.join(store, "w-*")):
+        real = os.path.realpath(wdir)
+        subs = [os.path.join(real, d) for d in os.listdir(real)]
+        if real not in referenced and not any(s in referenced for s in subs):
+            shutil.rmtree(wdir, ignore_errors=True)
+
+
+def _write_bucketed(df: DataFrame, store: str, n_buckets: int) -> str:
+    """One physical write, hash-clustered: ≤1 file set per bucket."""
+    import os
+    import uuid
+
+    phys = os.path.join(store, "w-" + uuid.uuid4().hex[:8])
+    df.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(phys)
+    return phys
+
+
+def merge_materialization_bucketed_dir(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 16,
+    max_deltas: int = 8,
+) -> str:
+    """Newest-wins merge of a latest-value delta into a bucketed LSM
+    snapshot: the delta is APPENDED as its own bucketed layer (one
+    Spark job, bytes ∝ |delta|); once ``max_deltas`` layers pend, they
+    are compacted into the base, rewriting only touched buckets.
+
+    Same semantics as merge_materialization_dir — idempotent per
+    (entity, ts, value): a replayed batch appends a duplicate layer
+    whose rows can never win over themselves, so the merged view
+    converges. Single-writer (a streaming query's foreachBatch); every
+    commit is one atomic symlink flip, so readers always see a
+    complete version. ``max_deltas=1`` forces eager compaction
+    (touched-bucket rewrite per batch, zero read-side merge cost).
+    """
+    import os
+
+    from embeddinghub_spark.operators.materialize import materialize
+
+    version, cur_n, buckets, deltas = _version_layout(target_dir)
+    legacy_base = None
+    if version is not None and cur_n is None:
+        # legacy flat snapshot: fold it in as one more layer below
+        legacy_base = spark.read.parquet(target_dir)
+        if "bucket" in legacy_base.columns:
+            legacy_base = legacy_base.drop("bucket")
+    else:
+        n_buckets = cur_n or n_buckets
+
+    cols = [entity_col, value_col, ts_col]
+    delta = materialize(updates, entity_col, value_col, ts_col)
+    store = target_dir + ".b"
+    os.makedirs(store, exist_ok=True)
+
+    if version is None or legacy_base is not None:
+        # first commit (or migration): the delta IS the base
+        if legacy_base is not None:
+            delta = _merge_latest(
+                [legacy_base.select(*cols), delta], entity_col, value_col, ts_col
+            )
+        base_df = delta.withColumn("bucket", _bucket_expr("entity", n_buckets))
+        phys = _write_bucketed(base_df, store, n_buckets)
+        links = {
+            d: os.path.join(phys, d)
+            for d in os.listdir(phys)
+            if d.startswith("bucket=")
+        }
+        _commit_version(target_dir, links, n_buckets, version)
+        return target_dir
+
+    # append path: ONE job, writes only this batch's rows
+    delta_df = delta.withColumn("bucket", _bucket_expr("entity", n_buckets))
+    phys = _write_bucketed(delta_df, store, n_buckets)
+    seq = (int(deltas[-1][0].split("-")[1]) + 1) if deltas else 1
+    links = {f"bucket={k}": p for k, p in buckets.items()}
+    for name, p in deltas:
+        links[name] = p
+    links[f"_delta-{seq:04d}-{os.path.basename(phys)[2:]}"] = phys
+    _commit_version(target_dir, links, n_buckets, version)
+
+    version, _, buckets, deltas = _version_layout(target_dir)
+    if len(deltas) >= max_deltas:
+        _compact(spark, target_dir, entity_col, value_col, ts_col)
+    return target_dir
+
+
+def _compact(
+    spark: SparkSession,
+    target_dir: str,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> None:
+    """Fold pending delta layers into the base, rewriting ONLY the
+    buckets the deltas touch (discovered by listing — no Spark job).
+    Untouched base buckets are carried into the new version as the
+    same physical dirs."""
+    import os
+
+    version, n_buckets, buckets, deltas = _version_layout(target_dir)
+    if not deltas:
+        return
+    touched: set[int] = set()
+    for _, dpath in deltas:
+        for name in os.listdir(dpath):
+            if name.startswith("bucket="):
+                touched.add(int(name.split("=", 1)[1]))
+
+    cols = [entity_col, value_col, ts_col]
+    layers = []
+    base_paths = [buckets[k] for k in sorted(touched) if k in buckets]
+    if base_paths:
+        layers.append(spark.read.parquet(*base_paths).select(*cols))
+    for _, dpath in deltas:
+        layers.append(spark.read.parquet(dpath).drop("bucket").select(*cols))
+    merged = _merge_latest(layers, entity_col, value_col, ts_col).withColumn(
+        "bucket", _bucket_expr("entity", n_buckets)
+    )
+    store = target_dir + ".b"
+    phys = _write_bucketed(merged, store, n_buckets)
+    links = {f"bucket={k}": p for k, p in buckets.items() if k not in touched}
+    for d in os.listdir(phys):
+        if d.startswith("bucket="):
+            links[d] = os.path.join(phys, d)
+    _commit_version(target_dir, links, n_buckets, version)

@@ -90,14 +90,24 @@ def streaming_materialize_to_dir(
     ts_col: str = "ts",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    n_buckets: int | None = 16,
 ) -> StreamingQuery:
     """C20 distributed path: per micro-batch, reduce the batch to its
     per-entity latest rows, then MERGE (newest-wins) into an on-disk
-    parquet snapshot via the S12 dir-merge — no driver-side state at
-    all, so the snapshot scales with |entities| on disk, not in the
-    driver heap (replaces the local-dict path for cluster use; with a
-    Delta catalog the same call becomes a Delta MERGE keyed by entity,
+    parquet snapshot — no driver-side state at all, so the snapshot
+    scales with |entities| on disk, not in the driver heap (replaces
+    the local-dict path for cluster use; with a Delta catalog the same
+    call becomes a Delta MERGE keyed by entity,
     tables.merge_upsert_table).
+
+    With ``n_buckets`` (the default), the snapshot is hash-bucketed by
+    entity and a batch rewrites only the buckets it touches — write
+    amplification per batch is O(touched-buckets size), not
+    O(|snapshot|); see tables.merge_materialization_bucketed_dir.
+    ``n_buckets=None`` keeps the flat full-rewrite merge (only sane
+    for small snapshots). Readers: ``tables.read_bucketed_snapshot``
+    (plain ``spark.read.parquet`` also works; the bucketed layout adds
+    a `bucket` partition column).
 
     Exactly-once in effect: the merge is idempotent per
     (entity, ts, value) — a replayed batch (at-least-once delivery
@@ -105,10 +115,20 @@ def streaming_materialize_to_dir(
     After all batches, the snapshot dir equals batch C3 over the full
     input (the reference's parity bar, serving/serving.go:626-660).
     """
-    from embeddinghub_spark.sources.tables import merge_materialization_dir
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+        merge_materialization_dir,
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         latest = materialize(batch_df, entity_col, value_col, ts_col)
+        if n_buckets:
+            merge_materialization_bucketed_dir(
+                batch_df.sparkSession, target_dir, latest,
+                entity_col="entity", ts_col="ts", value_col="value",
+                n_buckets=n_buckets,
+            )
+            return
         merge_materialization_dir(
             batch_df.sparkSession, target_dir, latest,
             entity_col="entity", ts_col="ts", value_col="value",

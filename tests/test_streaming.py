@@ -55,7 +55,7 @@ def test_streaming_equals_batch_c3(spark):
             q = streaming_materialize(
                 stream, snapshot, checkpoint_dir=os.path.join(d, "ckpt")
             )
-            q.awaitTermination(60)
+            assert q.awaitTermination(60), "stream did not terminate in 60s"
 
         full = spark.createDataFrame(
             [r for b in batches for r in b], SCHEMA
@@ -117,7 +117,7 @@ def test_windowed_aggregate_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
     got = {
         (r["window_start"], r["entity"]): (r["n"], r["total"])
         for r in spark.table("win_test").collect()
@@ -161,6 +161,6 @@ def test_stateful_latest_equals_batch_materialize(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
     expected = {r["entity"]: (r["value"], r["ts"]) for r in materialize(src).collect()}
     assert updates == expected

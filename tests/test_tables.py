@@ -151,9 +151,148 @@ def test_streaming_materialize_to_dir_equals_batch(spark, tmp_path):
     q = streaming_materialize_to_dir(
         stream, target, checkpoint_dir=str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
+    from embeddinghub_spark.sources.tables import read_bucketed_snapshot
+
     expected = {
         r["entity"]: r["value"] for r in materialize(src).collect()
     }
-    got = {r["entity"]: r["value"] for r in spark.read.parquet(target).collect()}
+    got = {
+        r["entity"]: r["value"]
+        for r in read_bucketed_snapshot(spark, target).collect()
+    }
     assert got == expected
+
+
+def _bucket_links(target):
+    version = os.path.realpath(target)
+    return {
+        name: os.path.realpath(os.path.join(version, name))
+        for name in os.listdir(version)
+        if name.startswith("bucket=")
+    }
+
+
+def _delta_layers(target):
+    version = os.path.realpath(target)
+    return [n for n in os.listdir(version) if n.startswith("_delta-")]
+
+
+def test_bucketed_merge_append_write_amplification(spark, tmp_path):
+    """The LSM C20 merge bounds write amplification: a batch touching
+    one entity APPENDS a delta layer — zero base buckets rewritten,
+    every base dir the SAME physical path across the commit — and the
+    merged read still matches batch C3 semantics."""
+    import datetime as dt
+
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+        read_bucketed_snapshot,
+    )
+
+    target = str(tmp_path / "snap")
+    rows = [
+        (f"u{i}", float(i), dt.datetime(2024, 1, 1 + i % 20)) for i in range(200)
+    ]
+    base = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    merge_materialization_bucketed_dir(spark, target, base, n_buckets=8)
+
+    before = _bucket_links(target)
+    assert len(before) > 1  # entities spread over several buckets
+    assert _delta_layers(target) == []
+
+    upd = spark.createDataFrame(
+        [("u3", 999.0, dt.datetime(2025, 1, 1))], ["entity", "value", "ts"]
+    )
+    merge_materialization_bucketed_dir(spark, target, upd)
+
+    assert _bucket_links(target) == before, "append must not rewrite base"
+    assert len(_delta_layers(target)) == 1
+
+    got = {
+        r["entity"]: r["value"]
+        for r in read_bucketed_snapshot(spark, target).collect()
+    }
+    expected = {
+        r["entity"]: r["value"]
+        for r in materialize(base.unionByName(upd)).collect()
+    }
+    assert got == expected
+
+    # stale update must not win; replay must converge (idempotent)
+    stale = spark.createDataFrame(
+        [("u3", -1.0, dt.datetime(2020, 1, 1))], ["entity", "value", "ts"]
+    )
+    merge_materialization_bucketed_dir(spark, target, stale)
+    merge_materialization_bucketed_dir(spark, target, upd)
+    got2 = {
+        r["entity"]: r["value"]
+        for r in read_bucketed_snapshot(spark, target).collect()
+    }
+    assert got2 == expected
+
+
+def test_bucketed_merge_compaction_rewrites_touched_only(spark, tmp_path):
+    """Compaction folds pending deltas into the base, rewriting ONLY
+    the touched buckets; untouched base dirs are carried over as the
+    same physical paths, and no delta layers remain."""
+    import datetime as dt
+
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+        read_bucketed_snapshot,
+    )
+
+    target = str(tmp_path / "snap")
+    rows = [
+        (f"u{i}", float(i), dt.datetime(2024, 1, 1 + i % 20)) for i in range(200)
+    ]
+    base = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    merge_materialization_bucketed_dir(spark, target, base, n_buckets=8)
+    before = _bucket_links(target)
+
+    upd = spark.createDataFrame(
+        [("u3", 999.0, dt.datetime(2025, 1, 1))], ["entity", "value", "ts"]
+    )
+    # max_deltas=1 → the appended layer compacts immediately
+    merge_materialization_bucketed_dir(spark, target, upd, max_deltas=1)
+
+    after = _bucket_links(target)
+    assert _delta_layers(target) == []
+    changed = {k for k in before if after.get(k) != before[k]}
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+
+    got = {
+        r["entity"]: r["value"]
+        for r in read_bucketed_snapshot(spark, target).collect()
+    }
+    expected = {
+        r["entity"]: r["value"]
+        for r in materialize(base.unionByName(upd)).collect()
+    }
+    assert got == expected
+
+
+def test_bucketed_point_lookup_reads_one_bucket(spark, tmp_path):
+    """bucket_of (zlib.crc32) must agree with the Spark-side bucket
+    expression: a point lookup through read_snapshot_bucket scans one
+    bucket dir and still finds every key."""
+    import datetime as dt
+
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+        read_snapshot_bucket,
+    )
+
+    target = str(tmp_path / "snap")
+    rows = [
+        (f"user_{i}", float(i), dt.datetime(2024, 1, 1)) for i in range(50)
+    ] + [(i, float(i), dt.datetime(2024, 1, 1)) for i in range(900, 950)]
+    df = spark.createDataFrame(
+        [(str(e), v, t) for e, v, t in rows], ["entity", "value", "ts"]
+    )
+    merge_materialization_bucketed_dir(spark, target, df, n_buckets=8)
+    for key in ["user_0", "user_17", "user_49", "902", "949"]:
+        hit = read_snapshot_bucket(spark, target, key).collect()
+        assert len(hit) == 1 and hit[0]["entity"] == key
+    assert read_snapshot_bucket(spark, target, "missing_key").count() == 0
