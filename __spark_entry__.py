@@ -1385,6 +1385,98 @@ FROM orders GROUP BY y, m
 
 
 # --------------------------------------------------------------------------
+# V9: embedding spaces — Download and NearestNeighbor over base ∪ overlay
+# (embeddingstore/server.cc:98-232; overlay writes shadow the batch base)
+# --------------------------------------------------------------------------
+
+# overlay literals: exact binary fractions (quarters) → identical in
+# float32, double, Spark, and DuckDB
+_V9_VEC_A = [((i % 7) - 3) * 0.25 for i in range(64)]       # overrides key '3'
+_V9_VEC_B = [((i * 3) % 5 - 2) * 0.5 for i in range(64)]    # new key 'x_new'
+
+
+def _v9_space(spark: SparkSession, sf_dir: str):
+    from embeddinghub_spark.serving.spaces import EmbeddingHub
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    hub = EmbeddingHub(spark)
+    space = hub.create_space("v9", dims=64)
+    space.load_dataframe(emb, serving_index=False)  # batch ops only here
+    space.set("3", _V9_VEC_A)
+    space.set("x_new", _V9_VEC_B)
+    return space
+
+
+def _v9_sql_vec(vec: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in vec) + "]"
+
+
+def _v9_overlay_cte() -> str:
+    return (
+        "overlay(key, emb) AS (VALUES "
+        f"('3', {_v9_sql_vec(_V9_VEC_A)}), ('x_new', {_v9_sql_vec(_V9_VEC_B)})), "
+        "base AS (SELECT CAST(vec_id AS VARCHAR) AS key, "
+        "CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "cur AS (SELECT key, emb FROM base "
+        "WHERE key NOT IN (SELECT key FROM overlay) "
+        "UNION ALL SELECT key, emb FROM overlay)"
+    )
+
+
+def q_v9_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Download (server.cc:200-232): full space scan, overlay winning.
+    Embeddings are projected to (dims, scaled-int checksum) — the
+    cross-engine float protocol — so the oracle hash covers every
+    element without comparing raw float arrays."""
+    space = _v9_space(spark, sf_dir)
+    return space.download().select(
+        "key",
+        F.size("embedding").alias("dims"),
+        F.expr(
+            "aggregate(embedding, 0L,"
+            " (a, x) -> a + cast(round(cast(x as double) * 10000) as bigint))"
+        ).alias("emb_ssum"),
+    )
+
+
+def _v9_download_oracle() -> str:
+    return f"""
+WITH {_v9_overlay_cte()}
+SELECT key, CAST(len(emb) AS INTEGER) AS dims,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(emb, x -> CAST(round(x * 10000) AS BIGINT))),
+                   (a, b) -> a + b) AS emb_ssum
+FROM cur
+"""
+
+
+def q_v9_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearestNeighbor (server.cc:152-198): L2 top-k by key, self
+    excluded; the overlay-overridden key '3' must rank by its NEW
+    vector. Returns the ranked neighbor list as a DataFrame."""
+    space = _v9_space(spark, sf_dir)
+    neighbors = space.nearest_neighbor(5, key="7")
+    return spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(neighbors)], ["rank", "neighbor_key"]
+    ).select(F.col("rank").cast("int"), F.col("neighbor_key"))
+
+
+def _v9_nearest_oracle() -> str:
+    return f"""
+WITH {_v9_overlay_cte()},
+     q AS (SELECT emb AS qv FROM cur WHERE key = '7'),
+     scored AS (SELECT c.key, list_distance(c.emb, q.qv) AS d
+                FROM cur c CROSS JOIN q WHERE c.key <> '7'),
+     r AS (SELECT CAST(row_number() OVER (ORDER BY d ASC, key ASC) AS INTEGER)
+                  AS rank, key AS neighbor_key
+           FROM scored)
+SELECT rank, neighbor_key FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1438,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_date_funcs": q_f8_date_funcs,
         "f8_rollup": q_f8_rollup,
         "f8_array_funcs": q_f8_array_funcs,
+        "v9_download": q_v9_download,
+        "v9_nearest": q_v9_nearest,
     }
 
 
@@ -1486,4 +1580,6 @@ def oracle_sql() -> dict[str, str]:
         "f8_date_funcs": _F8_DATES_ORACLE,
         "f8_rollup": _F8_ROLLUP_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
+        "v9_download": _v9_download_oracle(),
+        "v9_nearest": _v9_nearest_oracle(),
     }

@@ -56,6 +56,8 @@ class Space:
         self.frozen = False
         self._buf: dict[str, list[float]] = {}  # overlay: newest write wins
         self._base: DataFrame | None = None  # optional distributed table
+        self._bucket_dirs: dict[int, str] = {}  # serving index (load_dataframe)
+        self._n_buckets: int = 0
 
     def _check_mutable(self):
         if self.frozen:
@@ -68,14 +70,86 @@ class Space:
             )
         return [float(x) for x in v]
 
-    def load_dataframe(self, df: DataFrame) -> None:
+    def load_dataframe(
+        self,
+        df: DataFrame,
+        serving_path: str | None = None,
+        n_buckets: int = 64,
+        serving_index: bool = True,
+    ) -> None:
         """Attach a batch-built (key, embedding) DataFrame as the base
-        table (stays distributed; overlay writes shadow it per key)."""
+        table (stays distributed; overlay writes shadow it per key).
+
+        By default this also builds a SERVING INDEX: the base is
+        written once as key-bucketed parquet (ONE Spark job), after
+        which ``get``/``multiget`` route each key to its bucket file
+        client-side (zlib.crc32 — same function Spark used to write)
+        and read it with pyarrow, filter pushed to row-group stats —
+        NO Spark job per lookup. Without it, every point get was a
+        full-scan ``filter(key==…).collect()`` job: the wrong latency
+        model for serving. ``serving_path=None`` uses a temp dir; pass
+        ``n_buckets`` ≥ |keys|/50k to keep bucket files small.
+        """
         self._check_mutable()
-        self._base = df.select(
+        import os
+        import tempfile
+
+        from embeddinghub_spark.sources.tables import _bucket_expr, _write_bucketed
+
+        base = df.select(
             F.col("key").cast("string"),
             F.col("embedding").cast(ArrayType(FloatType())),
         )
+        if not serving_index:
+            # batch-only attach (download/NN); point gets fall back to
+            # a filter job — callers that serve must keep the index
+            self._base = base
+            self._bucket_dirs = {}
+            return
+        root = serving_path or tempfile.mkdtemp(prefix=f"space_{self.name}_")
+        phys = _write_bucketed(
+            base.withColumn("bucket", _bucket_expr("key", n_buckets)), root, n_buckets
+        )
+        self._bucket_dirs = {
+            int(d.split("=", 1)[1]): os.path.join(phys, d)
+            for d in os.listdir(phys)
+            if d.startswith("bucket=")
+        }
+        self._n_buckets = n_buckets
+        # batch ops read the materialized (stable) copy, not the input plan
+        self._base = self.spark.read.option("recursiveFileLookup", "true").parquet(
+            phys
+        )
+
+    def _base_lookup(self, keys: list[str]) -> dict[str, list[float]]:
+        """Point lookups against the bucketed base: group keys by
+        bucket, read each bucket file once with pyarrow (predicate
+        pushed to row-group statistics). Zero Spark jobs."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from embeddinghub_spark.sources.tables import bucket_of
+
+        if not self._bucket_dirs:  # index-less attach: one filter job
+            rows = self._base.filter(F.col("key").isin(keys)).collect()
+            return {r["key"]: [float(x) for x in r["embedding"]] for r in rows}
+
+        by_bucket: dict[int, list[str]] = {}
+        for k in keys:
+            by_bucket.setdefault(bucket_of(k, self._n_buckets), []).append(k)
+        out: dict[str, list[float]] = {}
+        for b, ks in by_bucket.items():
+            path = self._bucket_dirs.get(b)
+            if path is None:
+                continue
+            table = pq.read_table(
+                path, filters=pc.field("key").isin(ks), columns=["key", "embedding"]
+            )
+            for key, emb in zip(
+                table.column("key").to_pylist(), table.column("embedding").to_pylist()
+            ):
+                out[key] = [float(x) for x in emb]
+        return out
 
     def multiset(self, items: dict[str, list[float]]) -> None:
         """MultiSet upsert (server.cc:120-150); dim-checked, O(len(items))."""
@@ -105,17 +179,15 @@ class Space:
         if key in self._buf:
             return list(self._buf[key])
         if self._base is not None:
-            rows = self._base.filter(F.col("key") == key).limit(1).collect()
-            if rows:
-                return list(rows[0]["embedding"])
+            hit = self._base_lookup([key])
+            return hit.get(key)
         return None
 
     def multiget(self, keys: list[str]) -> dict[str, list[float]]:
         out = {k: list(self._buf[k]) for k in keys if k in self._buf}
         missing = [k for k in keys if k not in out]
         if missing and self._base is not None:
-            rows = self._base.filter(F.col("key").isin(missing)).collect()
-            out.update({r["key"]: list(r["embedding"]) for r in rows})
+            out.update(self._base_lookup(missing))
         return out
 
     def download(self) -> DataFrame:

@@ -156,3 +156,35 @@ def test_spaces_distributed_base_with_overlay(spark):
     assert space.download().count() == 2
     # nearest over base ∪ overlay
     assert space.nearest_neighbor(1, vector=[0.0, 0.9]) == ["b"]
+
+
+def test_space_base_table_serving_index(spark):
+    """A base table attached via load_dataframe serves point lookups
+    through the bucketed pyarrow index: 1,000 get()s run ZERO Spark
+    jobs (the only job is the index build inside load_dataframe)."""
+    hub = EmbeddingHub(spark)
+    space = hub.create_space("served", dims=4)
+    base = spark.createDataFrame(
+        [(f"k{i}", [float(i), 0.0, 0.0, 1.0]) for i in range(1000)],
+        ["key", "embedding"],
+    )
+    space.load_dataframe(base)
+    space.set("k5", [9.0, 9.0, 9.0, 9.0])  # overlay shadows base
+
+    def jobs() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    before = jobs()
+    for i in range(1000):
+        emb = space.get(f"k{i}")
+        expected = [9.0, 9.0, 9.0, 9.0] if i == 5 else [float(i), 0.0, 0.0, 1.0]
+        assert emb == pytest.approx(expected)
+    assert space.get("absent") is None
+    got = space.multiget(["k1", "k7", "absent"])
+    assert set(got) == {"k1", "k7"}
+    assert jobs() == before, "point lookups must not launch Spark jobs"
+
+    # batch plane still consistent: download = base with overlay winning
+    rows = {r["key"]: r["embedding"] for r in space.download().collect()}
+    assert len(rows) == 1000
+    assert rows["k5"] == pytest.approx([9.0, 9.0, 9.0, 9.0])
