@@ -141,3 +141,24 @@ def test_embedding_near_duplicates_banded(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
+
+
+def test_connected_components_adversarial_path(spark):
+    """A 10k-node path graph is the adversarial case for plain
+    min-label propagation (O(n) rounds — each round moves the label
+    one hop). Alternating large-star/small-star must converge in
+    ~log2(n) rounds: bound it at ceil(log2(n)) + 3."""
+    import math
+
+    from embeddinghub_spark.functions.dedup import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    comp = connected_components(edges, stats=stats)
+    assert comp.filter(F.col("component") != 0).count() == 0
+    assert comp.count() == n
+    bound = math.ceil(math.log2(n)) + 3
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
