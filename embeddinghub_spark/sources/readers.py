@@ -116,15 +116,46 @@ def read_table(
     which resolves any table its extensions know about; plain tables
     always work.
     """
+    from embeddinghub_spark.observability import record_branch
+
     if fmt in ("iceberg", "delta"):
-        try:
+        # format(...).table(...) resolves lazily through the catalog and
+        # does NOT fail when the connector JAR is missing — it silently
+        # reads the session-catalog table, dropping the format options.
+        # Probe the connector class explicitly so the branch taken is
+        # the branch reported.
+        if connector_available(spark, fmt):
             reader = spark.read.format(fmt)
             for k, v in options.items():
                 reader = reader.option(k, v)
+            record_branch("read_table", f"format_{fmt}", table)
             return reader.table(table)
-        except Exception:
-            pass  # connector absent in this session → session catalog
+        record_branch(
+            "read_table", "session_catalog",
+            f"{table}: {fmt} connector JAR absent — format options "
+            f"({', '.join(options) or 'none'}) IGNORED",
+        )
+    else:
+        record_branch("read_table", "session_catalog", table)
     return spark.table(table)
+
+
+_CONNECTOR_PROBE_CLASSES = {
+    "iceberg": "org.apache.iceberg.spark.source.IcebergSource",
+    "delta": "org.apache.spark.sql.delta.sources.DeltaDataSource",
+}
+
+
+def connector_available(spark: SparkSession, fmt: str) -> bool:
+    """True iff the connector's DataSource class is on the classpath."""
+    cls = _CONNECTOR_PROBE_CLASSES.get(fmt)
+    if cls is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
 
 
 def read_primary(spark: SparkSession, src) -> DataFrame:

@@ -66,10 +66,17 @@ def create_or_replace_table(
     Delta/Iceberg catalogs); session-catalog parquet tables don't
     support REPLACE TABLE, so fall back to ``saveAsTable(overwrite)``.
     """
+    from embeddinghub_spark.observability import record_branch
+
     try:
         df.writeTo(table_name).using(fmt).createOrReplace()
+        record_branch("create_or_replace_table", "writeTo_v2", table_name)
         return table_name
-    except Exception:
+    except Exception as exc:
+        record_branch(
+            "create_or_replace_table", "saveAsTable_overwrite",
+            f"{table_name}: v2 path unavailable ({type(exc).__name__})",
+        )
         return create_table_as(df, table_name, mode="overwrite", fmt=fmt, path=path)
 
 
@@ -84,30 +91,36 @@ def merge_upsert_table(
 
     Semantics (runner merge_in :755-765): WHEN MATCHED → UPDATE SET
     all source columns; WHEN NOT MATCHED → INSERT. Tries a real
-    ``MERGE INTO`` first (works on Delta/Iceberg tables); plain
-    parquet session-catalog tables don't support row-level MERGE, so
-    the fallback rebuilds target←(target ▷ source) ∪ source and
-    commits it with the reference's tmp-table swap transaction
-    (provider/sql.go:1858-1882) — the target is replaced atomically
-    from the catalog's point of view.
+    ``MERGE INTO`` first (works on Delta/Iceberg tables, where the
+    commit is atomic); plain parquet session-catalog tables don't
+    support row-level MERGE, so the fallback rebuilds
+    target←(target ▷ source) ∪ source and swaps it in via the
+    reference's tmp-table transaction (provider/sql.go:1858-1882).
+
+    Honesty note on the fallback commit: the session catalog has no
+    multi-statement transactions, so DROP old + RENAME tmp are two
+    statements with a gap — a concurrent reader can see the table
+    missing in between, and a crash in the gap leaves only the
+    ``<target>__ff_tmp`` table. On failure the swap attempts to
+    rename the tmp back; if that also fails the error names the
+    recovery table. Where a Delta/Iceberg catalog is present the
+    MERGE branch applies and none of this window exists.
     """
+    from embeddinghub_spark.observability import record_branch
+
     tgt = _qualify(target_table)
     source_cols = source.columns
     view = f"_merge_src_{abs(hash(target_table)) % 10**8}"
     source.createOrReplaceTempView(view)
     try:
-        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
-        sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in source_cols if c not in key_cols)
-        ins_cols = ", ".join(f"`{c}`" for c in source_cols)
-        ins_vals = ", ".join(f"s.`{c}`" for c in source_cols)
-        spark.sql(
-            f"MERGE INTO {tgt} t USING {view} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-        )
+        spark.sql(build_merge_into_sql(tgt, view, key_cols, source_cols))
+        record_branch("merge_upsert_table", "merge_into", target_table)
         return target_table
-    except Exception:
-        pass  # no row-level-op support in this catalog → rebuild below
+    except Exception as exc:
+        record_branch(
+            "merge_upsert_table", "rebuild_swap",
+            f"{target_table}: no row-level-op support ({type(exc).__name__})",
+        )
     finally:
         spark.catalog.dropTempView(view)
 
@@ -117,8 +130,34 @@ def merge_upsert_table(
     tmp = target_table + "__ff_tmp"
     merged.write.format(fmt).mode("overwrite").saveAsTable(tmp)
     spark.sql(f"DROP TABLE IF EXISTS {tgt}")
-    spark.sql(f"ALTER TABLE {_qualify(tmp)} RENAME TO {tgt}")
+    try:
+        spark.sql(f"ALTER TABLE {_qualify(tmp)} RENAME TO {tgt}")
+    except Exception as exc:
+        # the gap hit: target is gone, data lives under the tmp name —
+        # surface the recovery table instead of failing opaquely
+        raise RuntimeError(
+            f"merge_upsert_table swap failed after DROP; merged data is "
+            f"intact in recovery table {tmp!r} — rename it to "
+            f"{target_table!r} to finish the commit"
+        ) from exc
     return target_table
+
+
+def build_merge_into_sql(
+    target: str, source_view: str, key_cols: list[str], source_cols: list[str]
+) -> str:
+    """The MERGE INTO statement the connector branch runs (runner
+    :755-765 shape). Pure string builder so its well-formedness is
+    unit-testable even where no catalog supports row-level MERGE."""
+    on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+    sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in source_cols if c not in key_cols)
+    ins_cols = ", ".join(f"`{c}`" for c in source_cols)
+    ins_vals = ", ".join(f"s.`{c}`" for c in source_cols)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
 
 
 def merge_upsert_df(

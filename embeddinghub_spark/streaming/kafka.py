@@ -40,12 +40,54 @@ def parse_kafka_value(value_col: Column, schema: StructType) -> Column:
     return F.from_json(value_col.cast("string"), schema)
 
 
-def kafka_records(raw: DataFrame, schema: StructType) -> DataFrame:
+def kafka_records(
+    raw: DataFrame, schema: StructType, on_corrupt: str = "null"
+) -> DataFrame:
     """Project a raw kafka frame (key/value/timestamp/...) into the
-    declared record schema + kafka metadata columns."""
+    declared record schema + kafka metadata columns.
+
+    Corrupt/partial payloads (``from_json`` → null struct) are a
+    semantic CHOICE the runner makes at decode time (:337-416), so it
+    is pinned explicitly here rather than inherited silently:
+
+      - ``"null"`` (default): the row survives with null record
+        fields — downstream sees the gap and the kafka metadata
+        (key/ts/offset) needed to trace the bad message;
+      - ``"drop"``: corrupt rows are filtered out;
+      - ``"fail"``: the first corrupt payload fails the batch
+        (``FAILFAST`` — poison-message stop-the-line).
+    """
+    if on_corrupt not in ("null", "drop", "fail"):
+        raise ValueError(f"on_corrupt must be null|drop|fail, got {on_corrupt!r}")
+    if on_corrupt == "fail":
+        parsed = raw.select(
+            F.col("key").cast("string").alias("kafka_key"),
+            F.from_json(
+                F.col("value").cast("string"), schema, {"mode": "FAILFAST"}
+            ).alias("rec"),
+            F.col("timestamp").alias("kafka_ts"),
+        )
+        return parsed.select("kafka_key", "kafka_ts", "rec.*")
+    # PERMISSIVE from_json yields an all-null STRUCT for corrupt input
+    # (not a null struct), so corruption is only detectable through a
+    # columnNameOfCorruptRecord field carried in the parse schema
+    from pyspark.sql.types import StringType, StructField
+
+    probe = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
     parsed = raw.select(
         F.col("key").cast("string").alias("kafka_key"),
-        parse_kafka_value(F.col("value"), schema).alias("rec"),
+        F.from_json(
+            F.col("value").cast("string"), probe,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("rec"),
         F.col("timestamp").alias("kafka_ts"),
     )
-    return parsed.select("kafka_key", "kafka_ts", "rec.*")
+    corrupt = F.col("rec").isNull() | F.col("rec._corrupt_record").isNotNull()
+    if on_corrupt == "drop":
+        parsed = parsed.filter(~corrupt)
+    out_cols = [f.name for f in schema.fields]
+    return parsed.select(
+        "kafka_key", "kafka_ts", *[F.col(f"rec.{c}").alias(c) for c in out_cols]
+    )

@@ -91,6 +91,42 @@ def test_kafka_record_parsing(spark):
     assert len(bad) == 1  # malformed JSON → nulls, row preserved
 
 
+def test_kafka_corrupt_payload_modes(spark):
+    """Corrupt-payload behavior is a pinned choice, not an accident:
+    null keeps the row (fields nulled, metadata traceable), drop
+    filters it, fail poisons the batch."""
+    import pytest as _pytest
+
+    payloads = [
+        (b"k1", b'{"entity": "a", "value": 1.5, "ts": "2024-01-01T00:00:00"}'),
+        (b"k2", b'{"entity": "b", "value": '),  # truncated
+        (b"k3", b""),                           # empty
+        (b"k4", b"\xff\xfe garbage"),           # not utf8 json
+        (b"k5", b'{"entity": "c"}'),            # partial: missing fields OK
+    ]
+    raw = spark.createDataFrame(
+        [(k, v, _ts("2024-01-01T00:00:01")) for k, v in payloads],
+        StructType([
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("timestamp", TimestampNTZType()),
+        ]),
+    )
+    nulled = kafka_records(raw, SCHEMA, on_corrupt="null").collect()
+    assert len(nulled) == 5
+    assert {r["kafka_key"] for r in nulled if r["entity"] is None} == {"k2", "k3", "k4"}
+
+    dropped = kafka_records(raw, SCHEMA, on_corrupt="drop").collect()
+    assert {r["kafka_key"] for r in dropped} == {"k1", "k5"}
+    partial = [r for r in dropped if r["kafka_key"] == "k5"][0]
+    assert partial["entity"] == "c" and partial["value"] is None
+
+    with _pytest.raises(Exception):
+        kafka_records(raw, SCHEMA, on_corrupt="fail").collect()
+    with _pytest.raises(ValueError):
+        kafka_records(raw, SCHEMA, on_corrupt="bogus")
+
+
 def test_windowed_aggregate_stream_equals_batch(spark, tmp_path):
     """Event-time tumbling windows: streaming result (complete mode)
     must equal the same window expression computed in batch."""

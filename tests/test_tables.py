@@ -296,3 +296,41 @@ def test_bucketed_point_lookup_reads_one_bucket(spark, tmp_path):
         hit = read_snapshot_bucket(spark, target, key).collect()
         assert len(hit) == 1 and hit[0]["entity"] == key
     assert read_snapshot_bucket(spark, target, "missing_key").count() == 0
+
+
+def test_branch_observability_and_merge_sql(spark, tmp_path):
+    """Connector-gated branches must never fall back silently: the
+    branch actually taken is recorded, and the MERGE INTO statement
+    the (env-absent) connector branch would run is well-formed."""
+    from embeddinghub_spark.observability import last_branch
+    from embeddinghub_spark.sources.readers import read_table
+    from embeddinghub_spark.sources.tables import (
+        build_merge_into_sql,
+        create_or_replace_table,
+        merge_upsert_table,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], ["entity", "value"])
+    create_or_replace_table(
+        df, "obs_tbl", path=str(tmp_path / "obs_tbl")
+    )
+    # no v2 catalog in this env → the fallback must be RECORDED
+    assert last_branch("create_or_replace_table") == "saveAsTable_overwrite"
+
+    read_table(spark, "obs_tbl", fmt="iceberg")
+    assert last_branch("read_table") == "session_catalog"
+
+    upd = spark.createDataFrame([("a", 2.0), ("b", 3.0)], ["entity", "value"])
+    merge_upsert_table(spark, "obs_tbl", upd, ["entity"])
+    assert last_branch("merge_upsert_table") == "rebuild_swap"
+
+    sql = build_merge_into_sql(
+        "`cat`.`tgt`", "src_view", ["entity"], ["entity", "value", "ts"]
+    )
+    assert sql == (
+        "MERGE INTO `cat`.`tgt` t USING src_view s ON t.`entity` = s.`entity` "
+        "WHEN MATCHED THEN UPDATE SET t.`value` = s.`value`, t.`ts` = s.`ts` "
+        "WHEN NOT MATCHED THEN INSERT (`entity`, `value`, `ts`) "
+        "VALUES (s.`entity`, s.`value`, s.`ts`)"
+    )
+    spark.sql("DROP TABLE IF EXISTS obs_tbl")
