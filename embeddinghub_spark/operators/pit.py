@@ -319,6 +319,57 @@ def asof_join_theta(
     )
 
 
+def probe_entity_skew(
+    df: DataFrame, entity_col: str, probe_rows: int = 200_000
+) -> dict:
+    """Cheap skew probe: group the first ``probe_rows`` rows by entity
+    (CollectLimit stops the scan early — bounded cost at any table
+    size, unlike sample() which reads everything) and report the top
+    entity's share plus rows-per-entity. Prefix-biased by design: a
+    whale entity that never shows in the first 200k rows of a stream
+    is rare, and the miss cost is a slow task, not a wrong answer."""
+    counts = (
+        df.select(F.col(entity_col).alias("_e"))
+        .limit(probe_rows)
+        .groupBy("_e")
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.sum("_n").alias("total"),
+            F.max("_n").alias("top"),
+            F.count("*").alias("entities"),
+        )
+        .first()
+    )
+    total = counts["total"] or 0
+    return {
+        "probed_rows": total,
+        "top_share": (counts["top"] / total) if total else 0.0,
+        "avg_rows_per_entity": (total / counts["entities"]) if total else 0.0,
+    }
+
+
+def choose_asof_strategy(
+    feature: DataFrame,
+    entity_col: str = "entity",
+    top_share_threshold: float = 0.10,
+    avg_rows_threshold: float = 1_000.0,
+    probe_rows: int = 200_000,
+) -> str:
+    """Pick the ASOF strategy from the skew probe: a whale entity
+    (one key holding ≥ ``top_share_threshold`` of probed rows) or a
+    dense timeline (avg rows/entity ≥ ``avg_rows_threshold``) means
+    the plain union strategy would hand one window partition to one
+    task — choose the (entity, time-bucket) variant, which AQE cannot
+    provide for windows. Balanced keys keep the cheaper single-window
+    plan."""
+    p = probe_entity_skew(feature, entity_col, probe_rows)
+    if p["top_share"] >= top_share_threshold or (
+        p["avg_rows_per_entity"] >= avg_rows_threshold
+    ):
+        return "union_bucketed"
+    return "union"
+
+
 def asof_join(
     labels: DataFrame,
     feature: DataFrame,
@@ -326,6 +377,10 @@ def asof_join(
     strategy: str = "union",
     **kwargs,
 ) -> DataFrame:
+    if strategy == "auto":
+        strategy = choose_asof_strategy(
+            feature, kwargs.get("feature_entity_col", "entity")
+        )
     if strategy == "union":
         fn = asof_join_union
     elif strategy == "union_bucketed":
@@ -349,7 +404,7 @@ def _group_features(catalog: Catalog, ts_def: TrainingSetVariant):
 def build_training_set(
     catalog: Catalog,
     ts_def: TrainingSetVariant,
-    strategy: str = "union",
+    strategy: str = "auto",
     order_by_label_ts: bool = False,
 ) -> DataFrame:
     """C6-C13 composed: label left-ASOF-joined with every feature
@@ -424,9 +479,16 @@ def build_training_set(
                 )
                 value_cols[out_name] = f.columns.value
                 col_lags[out_name] = lag_spec.lag
-            if strategy in ("union", "union_bucketed"):
+            group_strategy = strategy
+            if group_strategy == "auto":
+                # per-source probe: the 100 TB-safe plan without the
+                # caller knowing the flag (whale entity → bucketed)
+                group_strategy = choose_asof_strategy(src_df, f_entity_col)
+            if group_strategy in ("union", "union_bucketed"):
                 fused_fn = (
-                    asof_join_union if strategy == "union" else asof_join_union_bucketed
+                    asof_join_union
+                    if group_strategy == "union"
+                    else asof_join_union_bucketed
                 )
                 acc = fused_fn(
                     acc,

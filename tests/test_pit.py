@@ -285,3 +285,51 @@ def test_catalog_apply_validates_dag(spark, sf_dir):
 
     with _pytest.raises(ResourceNotFound):
         bad.apply()
+
+
+def test_asof_strategy_skew_heuristic(spark):
+    """The auto strategy probes entity skew: a whale entity (>=10% of
+    probed rows) or a dense per-entity timeline selects the bucketed
+    window; balanced keys keep the single-window plan."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import (
+        asof_join,
+        asof_join_union,
+        choose_asof_strategy,
+        probe_entity_skew,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    whale = spark.createDataFrame(
+        [("whale" if i % 2 == 0 else f"u{i}", float(i),
+          t0 + dt.timedelta(minutes=i)) for i in range(2000)],
+        ["entity", "value", "ts"],
+    )
+    balanced = spark.createDataFrame(
+        [(f"u{i % 500}", float(i), t0 + dt.timedelta(minutes=i))
+         for i in range(2000)],
+        ["entity", "value", "ts"],
+    )
+    p = probe_entity_skew(whale, "entity")
+    assert p["top_share"] >= 0.4
+    assert choose_asof_strategy(whale, "entity") == "union_bucketed"
+    assert choose_asof_strategy(balanced, "entity") == "union"
+    # dense timeline (few entities, many rows each) also goes bucketed
+    assert (
+        choose_asof_strategy(balanced, "entity", avg_rows_threshold=3.0)
+        == "union_bucketed"
+    )
+
+    # auto dispatch returns the same rows as the plain union strategy
+    labels = spark.createDataFrame(
+        [("whale", 1.0, t0 + dt.timedelta(hours=30)),
+         ("u3", 0.0, t0 + dt.timedelta(hours=30))],
+        ["entity", "label", "ts"],
+    )
+    got = asof_join(
+        labels, whale, {"f": "value"}, strategy="auto",
+        label_ts_col="ts", feature_ts_col="ts",
+    )
+    want = asof_join_union(labels, whale, {"f": "value"})
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
