@@ -46,17 +46,48 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v >= 0]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_headline_queries",
-                "value": round(sum(ok), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_clock_headline_queries",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _load_prev_round_bench()
+    if prev:
+        out["delta_vs_prev"] = {
+            name: round(t - prev[name], 3)
+            for name, t in timings.items()
+            if name in prev and t >= 0 and prev[name] >= 0
+        }
+        prev_common = sum(prev[n] for n in out["delta_vs_prev"])
+        cur_common = sum(timings[n] for n in out["delta_vs_prev"])
+        out["delta_vs_prev_total"] = round(cur_common - prev_common, 3)
+    print(json.dumps(out))
+
+
+def _load_prev_round_bench() -> dict[str, float] | None:
+    """Per-query timings from the newest BENCH_r{N}.json, if any."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    path = max(rounds)[1]
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+        # the driver wraps the bench line under "parsed"
+        inner = data.get("parsed", data)
+        return inner.get("queries") or None
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

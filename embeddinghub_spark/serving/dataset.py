@@ -36,13 +36,18 @@ class Dataset:
         # reference training-set rows are (features..., label) ONLY
         # (serving.py:357-436): entity keys and label_ts are join/sort
         # plumbing, not features — excluded unless explicitly listed.
+        # Only the EXACT key columns are excluded: 'entity' and the
+        # composite-mapping convention 'entity__<name>' (register.py
+        # EntityMappings); a feature ALIAS that merely starts with
+        # "entity" (e.g. entity_score_lag) is a feature and is served.
         if feature_cols is None:
             feature_cols = [
                 c
                 for c in df.columns
                 if c != label_col
                 and c != "label_ts"
-                and not c.startswith("entity")
+                and c != "entity"
+                and not c.startswith("entity__")
             ]
         self._feature_cols = feature_cols
         self._repeat = 1

@@ -188,3 +188,19 @@ def test_space_base_table_serving_index(spark):
     rows = {r["key"]: r["embedding"] for r in space.download().collect()}
     assert len(rows) == 1000
     assert rows["k5"] == pytest.approx([9.0, 9.0, 9.0, 9.0])
+
+
+def test_dataset_feature_cols_exact_entity_exclusion(spark):
+    """Only the exact entity key columns are excluded from served
+    feature vectors; a feature alias that happens to START with
+    'entity' is a feature (ADVICE r2)."""
+    from embeddinghub_spark.serving.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(1, "c1", 0.5, 7.0, 1.0)],
+        ["entity", "entity__customer", "entity_score_lag", "f1", "label"],
+    )
+    ds = Dataset(df)
+    feats, label = next(iter(ds))
+    assert feats == [0.5, 7.0]  # entity_score_lag served, keys excluded
+    assert label == 1.0
