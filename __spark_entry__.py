@@ -403,7 +403,7 @@ def q_v5_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_bruteforce(emb, queries_df, 5).select("query_id", "neighbor_id", "rank")
+    return knn_bruteforce(emb, queries_df, 5, dim=64).select("query_id", "neighbor_id", "rank")
 
 
 _V5_ORACLE = """
@@ -1063,7 +1063,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return knn_ivf(
-        emb, queries_df, 5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+        emb, queries_df, 5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, dim=_EMB_DIM
     ).select("query_id", "neighbor_id", "rank")
 
 

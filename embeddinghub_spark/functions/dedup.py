@@ -751,7 +751,8 @@ def embedding_near_duplicates(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
             F.round(
-                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
+                # qualified names unroll too (dim-known codegen path)
+                cosine_similarity(f"x.{vec_col}", f"y.{vec_col}", dim), 6
             ).alias("cosine"),
         )
         .distinct()

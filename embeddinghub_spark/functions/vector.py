@@ -27,8 +27,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
+# Two implementations of every metric:
+#
+#   - ``dim`` KNOWN and columns given by NAME → an UNROLLED sql-string
+#     expression (``a[0]*b[0] + a[1]*b[1] + …``). Array indexing and
+#     the add chain run in whole-stage codegen, and building the
+#     expression is ONE py4j call (F.expr) instead of a Column-operator
+#     loop (~10 py4j round-trips per element of pure driver latency).
+#   - generic fallback → ``F.aggregate``/``F.zip_with`` folds. Correct
+#     for any dim, but Spark's array higher-order functions are
+#     CodegenFallback — interpreted per element.
+#
+# Both accumulate in DOUBLE, sequentially left-to-right (fold order ==
+# left-assoc add chain), so results are bit-identical across the two
+# paths and across engines.
+
+
+def _unrollable(*cols) -> bool:
+    return all(isinstance(c, str) for c in cols)
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(dim)
+    )
+
+
+def _sq_norm_sql(a: str, dim: int) -> str:
+    return _dot_sql(a, a, dim)
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Σ a[i]*b[i], JVM-side, double accumulation in array order."""
+    if dim and _unrollable(a, b):
+        return F.expr(f"({_dot_sql(a, b, dim)})")
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -37,7 +69,9 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def norm(a: Column | str) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim and _unrollable(a):
+        return F.expr(f"sqrt({_sq_norm_sql(a, dim)})")
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(
@@ -46,12 +80,21 @@ def norm(a: Column | str) -> Column:
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine_similarity(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def l2_distance(a: Column | str, b: Column | str) -> Column:
+def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Embeddinghub's HNSW metric (index.cc L2 space)."""
+    if dim and _unrollable(a, b):
+        terms = " + ".join(
+            f"(cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+            f" * (cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+            for i in range(dim)
+        )
+        return F.expr(f"sqrt({terms})")
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.sqrt(
         F.aggregate(
@@ -72,9 +115,11 @@ def knn_bruteforce(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     metric: str = "cosine",
+    dim: int | None = None,
 ) -> DataFrame:
     """V5 exact top-k: broadcast the (small) query set against the
     vector table, score JVM-side, keep k per query via window.
+    ``dim`` unlocks the unrolled codegen metric expressions.
 
     Output: (query_id, neighbor_id, score, rank); rank 1 = best;
     deterministic tiebreak on neighbor_id. At 100 TB the vector table
@@ -83,13 +128,13 @@ def knn_bruteforce(
     """
     paired = vectors.join(F.broadcast(queries))
     if metric == "cosine":
-        score = cosine_similarity(vec_col, query_vec_col)
+        score = cosine_similarity(vec_col, query_vec_col, dim)
         order = [F.col("score").desc(), F.col("neighbor_id").asc()]
     elif metric == "l2":
-        score = -l2_distance(vec_col, query_vec_col)
+        score = -l2_distance(vec_col, query_vec_col, dim)
         order = [F.col("score").desc(), F.col("neighbor_id").asc()]
     elif metric == "dot":
-        score = dot(vec_col, query_vec_col)
+        score = dot(vec_col, query_vec_col, dim)
         order = [F.col("score").desc(), F.col("neighbor_id").asc()]
     else:
         raise ValueError(f"unknown metric {metric}")
@@ -163,6 +208,7 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     metric: str = "cosine",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer:
     vectors are bucketed by nearest centroid; each query probes only
@@ -210,11 +256,11 @@ def knn_ivf(
 
     paired = assigned.join(F.broadcast(probes), "cell")
     if metric == "cosine":
-        score = cosine_similarity(vec_col, query_vec_col)
+        score = cosine_similarity(vec_col, query_vec_col, dim)
     elif metric == "l2":
-        score = -l2_distance(vec_col, query_vec_col)
+        score = -l2_distance(vec_col, query_vec_col, dim)
     elif metric == "dot":
-        score = dot(vec_col, query_vec_col)
+        score = dot(vec_col, query_vec_col, dim)
     else:
         raise ValueError(f"unknown metric {metric}")
     scored = paired.select(
@@ -261,30 +307,30 @@ def with_lsh_bucket(
     duplicates`` — any-band-match candidates, MinHash-style) rather
     than by shrinking the bucket space.
 
-    Implementation: one nested fold over a 2-D plane literal instead
-    of ``n_planes`` separate dot expressions — same arithmetic in the
-    same order, ~30% less codegen/exec cost at 16 planes.
+    Implementation: one nested fold over a 2-D plane literal built as
+    a SINGLE sql-string expression. The plane matrix as ``F.lit``
+    calls costs dim×n_planes py4j round-trips of driver latency per
+    query build; as one parsed literal it costs one. The fold itself
+    stays a higher-order ``aggregate``: the fully unrolled
+    dim×n_planes add-chain was MEASURED SLOWER here (1.47 s vs 0.77 s
+    at sf0.1 — a ~1,024-node expression tree blows past codegen's
+    method-size sweet spot), the opposite trade from the pairwise
+    metrics above. Same arithmetic in the same left-to-right double
+    order as always, so bucket ids are bit-identical.
     """
-    planes2d = F.array(*[
-        F.array(*[F.lit(x) for x in p])
-        for p in random_hyperplanes(dim, n_planes, seed)
-    ])
-
-    def step(acc: Column, i: Column) -> Column:
-        plane = F.element_at(planes2d, i + 1)
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        return acc + F.when(d >= 0, F.pow(F.lit(2.0), i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("bigint"), step
+    planes = random_hyperplanes(dim, n_planes, seed)
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"cast('{w!r}' as double)" for w in p) + ")"
+        for p in planes
+    ) + ")"
+    bucket = F.expr(
+        f"cast(aggregate(sequence(0, {n_planes - 1}), 0L, (acc, i) -> "
+        f"acc + (case when aggregate(zip_with({vec_col}, "
+        f"element_at({planes_sql}, i + 1), (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (a, x) -> a + x) >= 0 "
+        f"then cast(pow(2.0, i) as bigint) else 0L end)) as int)"
     )
-    return df.withColumn(bucket_col, bucket.cast("int"))
+    return df.withColumn(bucket_col, bucket)
 
 
 def knn_lsh(
@@ -335,7 +381,7 @@ def knn_lsh(
     scored = paired.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity(vec_col, query_vec_col).alias("score"),
+        cosine_similarity(vec_col, query_vec_col, dim).alias("score"),
     ).distinct()
     return _topk_per_query(
         scored, k, [F.col("score").desc(), F.col("neighbor_id").asc()]

@@ -214,7 +214,7 @@ class Space:
                                        ["query_id", "query_vec"])
         hits = knn_bruteforce(
             cur, q, k + (1 if key is not None else 0),
-            id_col="key", vec_col="embedding", metric="l2",
+            id_col="key", vec_col="embedding", metric="l2", dim=self.dims,
         ).orderBy("rank")
         out = [r["neighbor_id"] for r in hits.collect()]
         if key is not None:
