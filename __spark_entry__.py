@@ -1385,6 +1385,72 @@ FROM orders GROUP BY y, m
 
 
 # --------------------------------------------------------------------------
+# V1/V3: serving plane under oracle — the training-set row iterator and
+# the online store's per-request GET path, both replayed as row sets
+# (order-insensitive hash, so iteration order is not part of the pin)
+# --------------------------------------------------------------------------
+
+def q_v1_dataset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: every (features, label) row the Dataset iterator yields for
+    the C6 training set — entity/label_ts excluded from the feature
+    vector (serving.py:357-436). The row MULTISET must equal the SQL
+    training set projected to (feature, label)."""
+    from embeddinghub_spark.serving.dataset import Dataset
+
+    cat = _pit_catalog(spark, sf_dir)
+    cat.register_training_set(
+        "ts_v1_iter", "v1", ("purchase", "v1"), [("click_value", "v1")]
+    )
+    df = cat.training_set_dataframe("ts_v1_iter", "v1")
+    rows = [(feats[0], label) for feats, label in Dataset(df)]
+    return spark.createDataFrame(
+        rows, "feature__click_value__v1 double, label double"
+    )
+
+
+_V1_ORACLE = """
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+     l AS (SELECT DISTINCT user_id AS entity, value, ts
+           FROM evt WHERE event_type = 'purchase'),
+     f AS (SELECT user_id, value, ts FROM evt WHERE event_type = 'click'),
+     j AS (SELECT l.entity, l.value, l.ts, f.value AS fv,
+                  row_number() OVER (PARTITION BY l.entity, l.value, l.ts
+                                     ORDER BY f.ts DESC, f.value DESC) AS rn
+           FROM l LEFT JOIN f ON f.user_id = l.entity AND f.ts <= l.ts)
+SELECT fv AS feature__click_value__v1, value AS label
+FROM j WHERE rn = 1
+"""
+
+
+def q_v3_online_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/V4: batch-copy the click_value materialization into the
+    online store, then serve EVERY entity through the per-request
+    ``features()`` GET path (serving/serving.go:612-679). The served
+    (entity, value) set must equal the C3 materialization of clicks."""
+    from embeddinghub_spark.serving.online import OnlineStore
+
+    cat = _pit_catalog(spark, sf_dir)
+    store = OnlineStore(cat)
+    table = store.materialize_feature("click_value", "v1")
+    served = [
+        (e, store.features([("click_value", "v1")], {"entity": e})[0])
+        for e in sorted(table.entities())
+    ]
+    return spark.createDataFrame(served, "entity bigint, value double")
+
+
+_V3_ORACLE = """
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+     f AS (SELECT user_id, value, ts FROM evt WHERE event_type = 'click')
+SELECT user_id AS entity, value
+FROM (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+      FROM f)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # V9: embedding spaces — Download and NearestNeighbor over base ∪ overlay
 # (embeddingstore/server.cc:98-232; overlay writes shadow the batch base)
 # --------------------------------------------------------------------------
@@ -1532,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
+        "v1_dataset_rows": q_v1_dataset_rows,
+        "v3_online_serve": q_v3_online_serve,
     }
 
 
@@ -1582,4 +1650,6 @@ def oracle_sql() -> dict[str, str]:
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),
+        "v1_dataset_rows": _V1_ORACLE,
+        "v3_online_serve": _V3_ORACLE,
     }

@@ -48,6 +48,11 @@ class OnlineTable:
     def multi_get(self, entities: list[Any]) -> list[Any]:
         return [self._data.get(e) for e in entities]
 
+    def entities(self) -> list[Any]:
+        """All keys in the snapshot (chunk-copy enumeration order is
+        not part of the contract — callers sort)."""
+        return list(self._data)
+
     def __len__(self) -> int:
         return len(self._data)
 
