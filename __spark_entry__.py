@@ -1402,6 +1402,12 @@ def q_v1_dataset_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_v1_iter", "v1", ("purchase", "v1"), [("click_value", "v1")]
     )
     df = cat.training_set_dataframe("ts_v1_iter", "v1")
+    # deterministic 1-in-5 entity slice: the pin is the ITERATOR
+    # CONTRACT (tuple shape, feature-vector exclusions), not volume —
+    # the oracle applies the same predicate
+    # materialize once: toLocalIterator launches one job per partition
+    # and would otherwise re-run the ASOF pipeline per fetch
+    df = df.filter(F.col("entity") % 5 == 0).coalesce(4).localCheckpoint()
     rows = [(feats[0], label) for feats, label in Dataset(df)]
     return spark.createDataFrame(
         rows, "feature__click_value__v1 double, label double"
@@ -1418,7 +1424,7 @@ WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, 
                                      ORDER BY f.ts DESC, f.value DESC) AS rn
            FROM l LEFT JOIN f ON f.user_id = l.entity AND f.ts <= l.ts)
 SELECT fv AS feature__click_value__v1, value AS label
-FROM j WHERE rn = 1
+FROM j WHERE rn = 1 AND entity % 5 = 0
 """
 
 
@@ -1447,6 +1453,100 @@ FROM (SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
       FROM f)
 WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MM: multimodal column plumbing under oracle. The codec is env-stubbed
+# (functions/multimodal.py), but everything the engine itself does —
+# metadata typing, byte-budget framing, the Arrow-batched mapInPandas
+# feature extraction with its deterministic md5-chain stand-in — is
+# replayed in DuckDB over the same bytes (documents.text is ASCII, so
+# VARCHAR md5/substr == byte md5/slice).
+# --------------------------------------------------------------------------
+
+def _mm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.multimodal import with_media_metadata
+
+    return with_media_metadata(_mm_media(spark, sf_dir)).select(
+        "doc_id", "media_size_bytes", "media_md5", "media_mime"
+    )
+
+
+_MM_METADATA_ORACLE = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_size_bytes,
+       md5(text) AS media_md5,
+       'application/octet-stream' AS media_mime
+FROM documents
+"""
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.functions.multimodal import frame_sample
+
+    frames = frame_sample(_mm_media(spark, sf_dir), "media", ["doc_id"], n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+_MM_FRAMES_ORACLE = """
+WITH f AS (SELECT doc_id, octet_length(encode(text)) // 4 AS flen, text
+           FROM documents),
+     idx(i) AS (VALUES (0), (1), (2), (3))
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(flen AS BIGINT) AS frame_len,
+       md5(substring(text, i * flen + 1, flen)) AS frame_md5
+FROM f CROSS JOIN idx
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas extraction path end-to-end: Arrow batches in,
+    float32 feature arrays out; checked as (dims, ordered fold sum) —
+    the md5-hex-chain values are exact 2^-31 multiples, float32-rounded
+    identically on both engines, summed in identical array order."""
+    from embeddinghub_spark.functions.multimodal import extract_media_features
+
+    feats = extract_media_features(
+        _mm_media(spark, sf_dir), "media", ["doc_id"], dim=8
+    )
+    return feats.select(
+        "doc_id",
+        F.size("feature").alias("dims"),
+        F.expr(
+            "aggregate(feature, cast(0.0 as double),"
+            " (a, x) -> a + cast(x as double))"
+        ).alias("f_sum"),
+    )
+
+
+def _mm_features_oracle() -> str:
+    # md5 hex chain: block0 = md5(text), block1 = md5(block0_hex);
+    # 4 floats per block, dim=8 → 2 blocks, value i = hex[8i:8i+8]
+    vals = []
+    for blk in range(2):
+        chain = "md5(text)" if blk == 0 else "md5(md5(text))"
+        for i in range(4):
+            v = f"CAST(('0x' || substr({chain}, {8 * i + 1}, 8)) AS BIGINT)"
+            vals.append(
+                f"CAST(CAST(({v} / 2147483648.0) - 1.0 AS REAL) AS DOUBLE)"
+            )
+    total = vals[0]
+    for v in vals[1:]:
+        total = f"({total} + {v})"
+    return f"""
+SELECT doc_id, CAST(8 AS INTEGER) AS dims, {total} AS f_sum
+FROM documents
 """
 
 
@@ -1600,6 +1700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_nearest": q_v9_nearest,
         "v1_dataset_rows": q_v1_dataset_rows,
         "v3_online_serve": q_v3_online_serve,
+        "mm_metadata": q_mm_metadata,
+        "mm_frames": q_mm_frames,
+        "mm_features": q_mm_features,
     }
 
 
@@ -1652,4 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "v9_nearest": _v9_nearest_oracle(),
         "v1_dataset_rows": _V1_ORACLE,
         "v3_online_serve": _V3_ORACLE,
+        "mm_metadata": _MM_METADATA_ORACLE,
+        "mm_frames": _MM_FRAMES_ORACLE,
+        "mm_features": _mm_features_oracle(),
     }

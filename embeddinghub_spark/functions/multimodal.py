@@ -49,18 +49,23 @@ def with_media_metadata(
 
 
 def _fake_feature_vector(data: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a decoded-media embedding: md5-chain
-    expanded to ``dim`` floats in [-1, 1). Stable across runs/engines."""
+    """Deterministic stand-in for a decoded-media embedding: an
+    md5 HEX-STRING chain (block k+1 = md5 of block k's hex digest)
+    expanded to ``dim`` floats in [-1, 1). Chaining over hex strings —
+    not raw digest bytes — keeps the whole derivation replayable in
+    any engine whose md5 takes strings (DuckDB's md5 is VARCHAR-only),
+    which is what lets the plumbing be oracle-checked even though the
+    real codec is env-stubbed. Each float is an exact multiple of
+    2^-31, so double arithmetic on the values is exact."""
     out: list[float] = []
-    seed = data if data else b"\x00"
-    block = hashlib.md5(seed).digest()
+    block = hashlib.md5(data).hexdigest()
     while len(out) < dim:
-        for i in range(0, 16, 4):
+        for i in range(0, 32, 8):
             if len(out) >= dim:
                 break
-            v = int.from_bytes(block[i : i + 4], "big")
+            v = int(block[i : i + 8], 16)
             out.append((v / 2**31) - 1.0)
-        block = hashlib.md5(block).digest()
+        block = hashlib.md5(block.encode("ascii")).hexdigest()
     return out
 
 

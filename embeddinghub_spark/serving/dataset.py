@@ -86,7 +86,10 @@ class Dataset:
                     [row[c] for c in feature_cols],
                     row[self._label_col] if self._label_col in self._df.columns else None,
                 )
-                for row in self._df.toLocalIterator()
+                # prefetchPartitions overlaps the next partition's job
+                # with client consumption (toLocalIterator is otherwise
+                # one SEQUENTIAL job per partition)
+                for row in self._df.toLocalIterator(prefetchPartitions=True)
             )
             if self._shuffle_buffer > 1:
                 yield from _buffered_shuffle(it, self._shuffle_buffer, self._shuffle_seed)
