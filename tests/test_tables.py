@@ -334,3 +334,83 @@ def test_branch_observability_and_merge_sql(spark, tmp_path):
         "VALUES (s.`entity`, s.`value`, s.`ts`)"
     )
     spark.sql("DROP TABLE IF EXISTS obs_tbl")
+
+
+def test_bucketed_merge_many_batches_compaction_cycles(spark, tmp_path):
+    """Sustained streaming shape: 10 batches with max_deltas=3 →
+    compaction fires repeatedly, pending layers stay bounded, and the
+    final merged view equals batch C3 over everything."""
+    import datetime as dt
+
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+        read_bucketed_snapshot,
+    )
+
+    target = str(tmp_path / "snap")
+    t0 = dt.datetime(2024, 1, 1)
+    all_rows = []
+    for b in range(10):
+        rows = [
+            (f"u{(b * 3 + i) % 20}", float(b * 100 + i),
+             t0 + dt.timedelta(hours=b, minutes=i))
+            for i in range(12)
+        ]
+        all_rows += rows
+        merge_materialization_bucketed_dir(
+            spark,
+            target,
+            spark.createDataFrame(rows, ["entity", "value", "ts"]),
+            n_buckets=8,
+            max_deltas=3,
+        )
+        assert len(_delta_layers(target)) < 3  # compaction keeps layers bounded
+
+    full = spark.createDataFrame(all_rows, ["entity", "value", "ts"])
+    expected = {r["entity"]: r["value"] for r in materialize(full).collect()}
+    got = {
+        r["entity"]: r["value"]
+        for r in read_bucketed_snapshot(spark, target).collect()
+    }
+    assert got == expected
+
+
+def test_bucketed_merge_prunes_unreferenced_physical_dirs(spark, tmp_path):
+    """Commits prune physical dirs not referenced by the current or
+    previous version — storage does not grow without bound, and an
+    orphaned write dir (simulated crash before commit) is cleaned on
+    the next successful commit."""
+    import datetime as dt
+
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+    )
+
+    target = str(tmp_path / "snap")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def batch(b):
+        return spark.createDataFrame(
+            [(f"u{i}", float(b * 10 + i), t0 + dt.timedelta(hours=b))
+             for i in range(20)],
+            ["entity", "value", "ts"],
+        )
+
+    merge_materialization_bucketed_dir(spark, target, batch(0), n_buckets=4)
+    store = target + ".b"
+    # orphan: a write dir with no version referencing it (crashed commit)
+    orphan = os.path.join(store, "w-deadbeef")
+    os.makedirs(os.path.join(orphan, "bucket=0"))
+    with open(os.path.join(orphan, "bucket=0", "junk.parquet"), "w") as fh:
+        fh.write("crash leftover")
+
+    for b in range(1, 6):
+        merge_materialization_bucketed_dir(
+            spark, target, batch(b), max_deltas=2
+        )
+    assert not os.path.exists(orphan), "orphaned write dir must be pruned"
+    # grace window: at most the current + previous versions exist
+    import glob
+
+    versions = glob.glob(target + ".v-*")
+    assert len(versions) <= 2
