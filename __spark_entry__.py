@@ -1457,6 +1457,47 @@ WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# F9: event-time tumbling windows (streaming/windows.py). The batch and
+# streaming paths share the same window() expression — the streaming
+# test pins stream ≡ batch, this entry pins batch ≡ SQL, closing
+# stream ≡ batch ≡ oracle.
+# --------------------------------------------------------------------------
+
+def q_f9_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embeddinghub_spark.streaming.windows import windowed_aggregate
+
+    ev = _events(spark, sf_dir).select("event_type", "value", "ts")
+    win = windowed_aggregate(
+        ev,
+        "ts",
+        "5 minutes",
+        {"n": "count(*)", "ssum": "sum(cast(round(value * 100) as bigint))"},
+        group_cols=["event_type"],
+    )
+    return win.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        (F.col("ssum") / 100.0).alias("sum_value"),
+    )
+
+
+_F9_ORACLE = """
+WITH evt AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+     b AS (SELECT TIMESTAMP '1970-01-01 00:00:00'
+                  + to_seconds(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
+                  AS window_start,
+                  event_type, value
+           FROM evt)
+SELECT window_start, window_start + to_seconds(300) AS window_end, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM b GROUP BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # MM: multimodal column plumbing under oracle. The codec is env-stubbed
 # (functions/multimodal.py), but everything the engine itself does —
 # metadata typing, byte-budget framing, the Arrow-batched mapInPandas
@@ -1700,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_nearest": q_v9_nearest,
         "v1_dataset_rows": q_v1_dataset_rows,
         "v3_online_serve": q_v3_online_serve,
+        "f9_windowed_agg": q_f9_windowed_agg,
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
@@ -1755,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "v9_nearest": _v9_nearest_oracle(),
         "v1_dataset_rows": _V1_ORACLE,
         "v3_online_serve": _V3_ORACLE,
+        "f9_windowed_agg": _F9_ORACLE,
         "mm_metadata": _MM_METADATA_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
         "mm_features": _mm_features_oracle(),
