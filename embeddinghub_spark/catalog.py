@@ -460,3 +460,157 @@ class Catalog:
             SourceVariant(name=table_name, variant=variant, table=table_name)
         )
         return table_name
+
+
+# -- manifest persistence -----------------------------------------------------
+#
+# The reference persists its resource graph in a metadata server
+# (etcd/sqlite behind gRPC — metadata/metadata.go:56-71); the
+# single-process equivalent is a JSON manifest. Everything declarative
+# round-trips: files/tables, SQL transformations, column mappings,
+# entity mappings, lags, training sets. Python CALLABLES do not
+# (DFTransformations `fn`, on-demand fns): the reference ships those
+# as pickled bytes, which is a code-execution trust decision we make
+# explicit — `save_manifest` records their names; `load_manifest`
+# accepts a `functions={name__variant: fn}` registry to rebind them.
+
+_MANIFEST_VERSION = 1
+
+
+def save_manifest(catalog: Catalog, path: str) -> str:
+    """Serialize the catalog's declarative state to a JSON manifest."""
+    import json
+
+    def src(s: SourceVariant) -> dict:
+        return {
+            "name": s.name, "variant": s.variant, "path": s.path,
+            "fmt": s.fmt, "table": s.table, "query": s.query,
+            "fn": None if s.fn is None else getattr(s.fn, "__name__", "<fn>"),
+            "inputs": [list(i) for i in s.inputs],
+            "timestamp_column": s.timestamp_column,
+            "options": [list(o) for o in s.options],
+        }
+
+    doc = {
+        "version": _MANIFEST_VERSION,
+        "entities": [
+            {"name": e.name, "description": e.description}
+            for e in catalog._entities.values()
+        ],
+        "sources": [src(s) for s in catalog._sources.values()],
+        "features": [
+            {
+                "name": f.name, "variant": f.variant, "source": list(f.source),
+                "columns": {"entity": f.columns.entity, "value": f.columns.value,
+                            "ts": f.columns.ts},
+                "entity": f.entity,
+            }
+            for f in catalog._features.values()
+        ],
+        "labels": [
+            {
+                "name": l.name, "variant": l.variant, "source": list(l.source),
+                "columns": {"entity": l.columns.entity, "value": l.columns.value,
+                            "ts": l.columns.ts},
+                "entity": l.entity,
+                "entity_mappings": [
+                    {"name": m.name, "entity_column": m.entity_column}
+                    for m in l.entity_mappings
+                ],
+            }
+            for l in catalog._labels.values()
+        ],
+        "training_sets": [
+            {
+                "name": t.name, "variant": t.variant, "label": list(t.label),
+                "features": [list(f) for f in t.features],
+                "lags": [
+                    {"feature": lg.feature, "variant": lg.variant,
+                     "lag_seconds": lg.lag.total_seconds(), "alias": lg.alias}
+                    for lg in t.lags
+                ],
+            }
+            for t in catalog._training_sets.values()
+        ],
+        "on_demand": sorted(
+            f"{n}__{v}" for (n, v) in catalog._on_demand
+        ),
+        "df_transformations": sorted(
+            f"{s.name}__{s.variant}"
+            for s in catalog._sources.values()
+            if s.fn is not None
+        ),
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    return path
+
+
+def load_manifest(
+    spark: SparkSession,
+    path: str,
+    functions: dict[str, Callable] | None = None,
+) -> Catalog:
+    """Rebuild a Catalog from a manifest. Declarative resources load
+    directly; DF transformations and on-demand features rebind from
+    ``functions`` (key ``name__variant``) — absent entries are skipped
+    with their names preserved in the raised-on-use error path."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    if doc.get("version") != _MANIFEST_VERSION:
+        raise ValueError(f"unsupported manifest version {doc.get('version')}")
+    functions = functions or {}
+    cat = Catalog(spark)
+    for e in doc["entities"]:
+        cat.register_entity(e["name"], e["description"])
+    for s in doc["sources"]:
+        key = f"{s['name']}__{s['variant']}"
+        fn = functions.get(key)
+        if s["fn"] is not None and fn is None:
+            continue  # unbound DF transformation: skip, not guess
+        cat.register_source(
+            SourceVariant(
+                name=s["name"], variant=s["variant"], path=s["path"],
+                fmt=s["fmt"], table=s["table"], query=s["query"], fn=fn,
+                inputs=tuple(tuple(i) for i in s["inputs"]),
+                timestamp_column=s["timestamp_column"],
+                options=tuple(tuple(o) for o in s["options"]),
+            )
+        )
+    for f in doc["features"]:
+        cat.register_feature(
+            f["name"], f["variant"], tuple(f["source"]),
+            f["columns"]["entity"], f["columns"]["value"], f["columns"]["ts"],
+            entity=f["entity"],
+        )
+    for l in doc["labels"]:
+        cat.register_label(
+            l["name"], l["variant"], tuple(l["source"]),
+            l["columns"]["entity"], l["columns"]["value"], l["columns"]["ts"],
+            entity=l["entity"],
+            entity_mappings=[
+                EntityMapping(m["name"], m["entity_column"])
+                for m in l["entity_mappings"]
+            ] or None,
+        )
+    for t in doc["training_sets"]:
+        cat.register_training_set(
+            t["name"], t["variant"], tuple(t["label"]),
+            [tuple(f) for f in t["features"]],
+            lags=[
+                FeatureLag(
+                    lg["feature"], lg["variant"],
+                    timedelta(seconds=lg["lag_seconds"]), lg["alias"],
+                )
+                for lg in t["lags"]
+            ] or None,
+        )
+    for key in doc["on_demand"]:
+        fn = functions.get(key)
+        if fn is None:
+            continue
+        name, variant = key.rsplit("__", 1)
+        cat.register_on_demand(name, variant, fn=fn)
+    return cat

@@ -333,3 +333,68 @@ def test_asof_strategy_skew_heuristic(spark):
     )
     want = asof_join_union(labels, whale, {"f": "value"})
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_catalog_manifest_round_trip(spark, sf_dir, tmp_path):
+    """The JSON manifest persists every declarative resource; a
+    reloaded catalog produces the IDENTICAL training set. Python
+    callables rebind explicitly from a functions registry (the
+    reference ships pickled bytes; we make that trust decision
+    visible) — unbound DF transformations are skipped, not guessed."""
+    import datetime as dt
+    import os
+
+    from embeddinghub_spark.catalog import (
+        Catalog,
+        load_manifest,
+        save_manifest,
+    )
+
+    cat = Catalog(spark)
+    cat.register_entity("user", "clickstream user")
+    cat.register_file("events", "default", os.path.join(sf_dir, "events.parquet"))
+    cat.sql_transformation(
+        "clicks", "v1",
+        "SELECT user_id, value, ts FROM {{events.default}} WHERE event_type = 'click'",
+    )
+    cat.sql_transformation(
+        "purchases", "v1",
+        "SELECT user_id, value, ts FROM {{events.default}} WHERE event_type = 'purchase'",
+    )
+    cat.register_feature("click_value", "v1", ("clicks", "v1"), "user_id", "value", "ts")
+    cat.register_label("purchase", "v1", ("purchases", "v1"), "user_id", "value", "ts")
+    cat.register_training_set(
+        "ts_m", "v1", ("purchase", "v1"), [("click_value", "v1")],
+        lags=[FeatureLag("click_value", "v1", dt.timedelta(hours=1), alias="lag1h")],
+    )
+    cat.register_on_demand("odf", "v1", fn=lambda store, p, e: p["x"] * 2)
+
+    def double_df(events):
+        return events
+
+    cat.register_source(
+        __import__("embeddinghub_spark.catalog", fromlist=["SourceVariant"]).SourceVariant(
+            name="dfx", variant="v1", fn=double_df, inputs=(("events", "default"),)
+        )
+    )
+
+    path = str(tmp_path / "manifest.json")
+    save_manifest(cat, path)
+    odf = lambda store, p, e: p["x"] * 2  # noqa: E731
+    cat2 = load_manifest(
+        spark, path,
+        functions={"dfx__v1": double_df, "odf__v1": odf},
+    )
+
+    a = cat.training_set_dataframe("ts_m", "v1")
+    b = cat2.training_set_dataframe("ts_m", "v1")
+    assert a.columns == b.columns
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+    assert cat2.on_demand("odf", "v1").fn(None, {"x": 3}, {}) == 6
+    assert cat2.source("dfx", "v1").fn is double_df
+
+    # unbound DF transformation: skipped, the rest still loads
+    cat3 = load_manifest(spark, path)
+    assert cat3.training_set("ts_m", "v1").lags[0].alias == "lag1h"
+    with pytest.raises(Exception):
+        cat3.source("dfx", "v1")
