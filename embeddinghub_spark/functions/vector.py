@@ -209,32 +209,36 @@ def knn_ivf(
     query_vec_col: str = "query_vec",
     metric: str = "cosine",
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer:
     vectors are bucketed by nearest centroid; each query probes only
     its ``nprobe`` nearest cells and scores exactly within them.
 
-    The quantizer here is deterministic — centroids are the first
+    The default quantizer is deterministic — centroids are the first
     ``n_cells`` vectors by id — so the whole index is replayable by a
-    SQL oracle. For production recall, swap the centroid frame for
-    MLlib KMeans cluster centers (``pyspark.ml.clustering.KMeans``);
-    every downstream step (assignment, probe, scoring) is unchanged —
-    the quantizer is just a (cell, centroid) DataFrame.
+    SQL oracle. Pass ``centroids`` (a (cell, centroid) frame, e.g.
+    from ``kmeans_centroids``) for production recall; every downstream
+    step (assignment, probe, scoring) is unchanged — the quantizer is
+    just a DataFrame.
 
     Scale shape: build = one broadcast join over the corpus (narrow),
     probe = candidates bounded by nprobe/n_cells of the corpus per
     query, scored with the same two-stage top-k as the exact path.
     """
-    centroids = (
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid")
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid")
+            )
+            .withColumn(
+                "cell", F.row_number().over(Window.orderBy(F.col("_cid").asc()))
+            )
+            .select("cell", "centroid")
+            .localCheckpoint(eager=False)
         )
-        .withColumn("cell", F.row_number().over(Window.orderBy(F.col("_cid").asc())))
-        .select("cell", "centroid")
-        .localCheckpoint(eager=False)
-    )
     assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
 
     # queries probe their nprobe nearest cells
@@ -386,3 +390,86 @@ def knn_lsh(
     return _topk_per_query(
         scored, k, [F.col("score").desc(), F.col("neighbor_id").asc()]
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's iterations in pure DataFrames → a (cell, centroid)
+    frame for ``knn_ivf``'s quantizer slot.
+
+    Deterministic by construction: init = first ``k`` vectors by id
+    (the same seedless choice the IVF oracle uses), then ``n_iters``
+    rounds of assign → element-wise mean. Each round is one broadcast
+    assignment (narrow) plus one (cell, position) aggregation shuffle
+    whose volume is |vectors|·dim scalars — the classic distributed
+    KMeans shape; k and dim are index-build constants, so the reduce
+    side is tiny. An empty cell keeps its previous centroid (standard
+    Lloyd's degeneracy guard, no resampling randomness).
+    """
+    centroids = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid"))
+        .withColumn("cell", F.row_number().over(Window.orderBy(F.col("_cid").asc())))
+        .select("cell", "centroid")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iters):
+        assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.expr("transform(pm, s -> cast(s.m as float))").alias("centroid"),
+            )
+        )
+        # empty cells keep their previous centroid (Lloyd's guard)
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return centroids
+
+
+def ivf_inertia(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Σ ||v − centroid(v)||² over the corpus — the KMeans objective;
+    used to verify refinement actually improves the quantizer."""
+    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
+    with_c = assigned.join(F.broadcast(centroids), "cell")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return with_c.agg(F.sum(d2)).first()[0]

@@ -88,3 +88,52 @@ def test_knn_ivf_recall_and_self_match(spark, sf_dir):
     for q in [0, 1, 2]:
         assert (q, q) in approx  # a query's own vector shares its cell
     assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_kmeans_refines_ivf_quantizer(spark):
+    """Lloyd's iterations must (a) never increase the KMeans objective
+    vs the deterministic first-K init and (b) recover obvious cluster
+    structure; knn_ivf accepts the refined frame unchanged."""
+    import random
+
+    from embeddinghub_spark.functions.vector import (
+        assign_ivf_cells,
+        ivf_inertia,
+        kmeans_centroids,
+        knn_ivf,
+    )
+
+    rng = random.Random(7)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    init = kmeans_centroids(vecs, 3, n_iters=0)
+    refined = kmeans_centroids(vecs, 3, n_iters=4)
+    i0 = ivf_inertia(vecs, init)
+    i4 = ivf_inertia(vecs, refined)
+    assert i4 <= i0
+    # true structure: each refined cell is one blob → inertia near the
+    # noise floor (300 points × 3 dims × E[U(-.5,.5)^2]=1/12 ≈ 75)
+    assert i4 < 100.0
+
+    # refined cells are pure: every member of a cell shares i%3
+    assigned = assign_ivf_cells(vecs, refined)
+    mixed = (
+        assigned.withColumn("blob", F.col("vec_id") % 3)
+        .groupBy("cell")
+        .agg(F.countDistinct("blob").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert mixed == 0
+
+    # drop-in quantizer: same knn_ivf plumbing, better cells
+    q = spark.createDataFrame([(0, [10.0, 0.0, 0.0])], ["query_id", "query_vec"])
+    hits = knn_ivf(vecs, q, 5, n_cells=3, nprobe=1, dim=3, centroids=refined)
+    assert hits.count() == 5
+    blob_of_hits = {r["neighbor_id"] % 3 for r in hits.collect()}
+    assert blob_of_hits == {0}
