@@ -752,6 +752,19 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup pipeline: keep one doc per transitive
+    near-dup cluster; payloads move via left-semi join only."""
+    from embeddinghub_spark.functions.dedup import dedup_corpus
+
+    return dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _dedup_corpus_oracle() -> str:
+    inner = _dedup_clusters_oracle()
+    return f"SELECT doc_id FROM ({inner}) WHERE doc_id = cluster_id"
+
+
 # --------------------------------------------------------------------------
 # C12: composite-entity training set (order + part entities)
 # --------------------------------------------------------------------------
@@ -1715,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -1771,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_corpus": _dedup_corpus_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

@@ -758,3 +758,22 @@ def embedding_near_duplicates(
         .distinct()
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end corpus dedup: keep exactly one document (the min id)
+    per transitive near-duplicate cluster — the composition a training
+    -data pipeline actually runs (candidates → verified pairs →
+    clusters → keep set). Exact duplicates collapse for free (identical
+    text ⇒ identical signature ⇒ same cluster). Returns the KEPT rows
+    of ``df`` (left-semi join: document payloads never shuffle)."""
+    clusters = dedup_clusters(df, text_col, id_col, num_hashes, bands, shingle_n)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
