@@ -266,3 +266,54 @@ def high_watermark(df: DataFrame, timestamp_column: str):
     """Current watermark for the next incremental run (max ts)."""
     row = df.agg(F.max(timestamp_column).alias("wm")).collect()[0]
     return row["wm"]
+
+
+# -- S5 incremental run state + overwrite detection ---------------------------
+
+
+class OverwriteDetected(RuntimeError):
+    """The source regressed between incremental runs. The reference's
+    CDF path raises when the Delta log shows an overwrite/delete
+    commit (runner :1049-1109 — incremental semantics are only sound
+    over append-only history); the path-native equivalent detects the
+    same condition from recorded (row_count, high_watermark)."""
+
+
+def incremental_run_state(df: DataFrame, timestamp_column: str) -> dict:
+    """One-pass state snapshot to persist after an incremental run."""
+    row = df.agg(
+        F.count("*").alias("n"), F.max(timestamp_column).alias("wm")
+    ).collect()[0]
+    wm = row["wm"]
+    return {
+        "row_count": row["n"],
+        "high_watermark": None if wm is None else wm.isoformat(),
+    }
+
+
+def check_incremental_state(df: DataFrame, timestamp_column: str, prev: dict) -> dict:
+    """Validate append-only history against the previous run's state
+    and return the new state. Raises OverwriteDetected when rows
+    disappeared or the watermark moved BACKWARD — both impossible
+    under append-only writes, both silently corrupting incremental
+    consumers if ignored (rows in the rewritten range would never be
+    re-delivered)."""
+    from datetime import datetime
+
+    cur = incremental_run_state(df, timestamp_column)
+    if prev:
+        if cur["row_count"] < prev.get("row_count", 0):
+            raise OverwriteDetected(
+                f"source shrank: {prev['row_count']} -> {cur['row_count']} rows; "
+                "incremental reads require append-only history"
+            )
+        prev_wm = prev.get("high_watermark")
+        if prev_wm and (
+            cur["high_watermark"] is None
+            or datetime.fromisoformat(cur["high_watermark"])
+            < datetime.fromisoformat(prev_wm)
+        ):
+            raise OverwriteDetected(
+                f"high watermark regressed: {prev_wm} -> {cur['high_watermark']}"
+            )
+    return cur

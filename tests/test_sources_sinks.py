@@ -181,3 +181,36 @@ def test_push_online_distributed_writer(spark, tmp_path):
                 assert k not in got, "entity written twice across partitions"
                 got[k] = v
     assert got == {f"e{i}": float(i) for i in range(500)}
+
+
+def test_incremental_overwrite_detection(spark, tmp_path):
+    """S5 append-only contract: a shrunk source or a regressed
+    watermark between runs raises OverwriteDetected instead of
+    silently never re-delivering the rewritten range."""
+    from embeddinghub_spark.sources.readers import (
+        OverwriteDetected,
+        check_incremental_state,
+        incremental_run_state,
+    )
+
+    t = [datetime(2024, 1, d) for d in (1, 2, 3)]
+    v1 = spark.createDataFrame([(1, t[0]), (2, t[1])], ["id", "ts"])
+    state = incremental_run_state(v1, "ts")
+    assert state["row_count"] == 2
+
+    # append-only growth: fine, state advances
+    v2 = spark.createDataFrame([(1, t[0]), (2, t[1]), (3, t[2])], ["id", "ts"])
+    state = check_incremental_state(v2, "ts", state)
+    assert state["row_count"] == 3
+
+    # overwrite that dropped rows
+    shrunk = spark.createDataFrame([(9, t[2])], ["id", "ts"])
+    with pytest.raises(OverwriteDetected):
+        check_incremental_state(shrunk, "ts", state)
+
+    # same count, older data (rewritten history)
+    rewound = spark.createDataFrame(
+        [(1, t[0]), (2, t[0]), (3, t[1])], ["id", "ts"]
+    )
+    with pytest.raises(OverwriteDetected):
+        check_incremental_state(rewound, "ts", state)
