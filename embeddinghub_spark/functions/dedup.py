@@ -596,18 +596,20 @@ def connected_components(
     per-round ``limit(1).count()`` driver round-trip of the previous
     design). ``stats``, if given, receives {"rounds": r}.
     """
-    e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
+    raw = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    )
+    # node set from the UNFILTERED input: a node appearing only in a
+    # self-loop is a singleton, not absent (caught by property test)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )

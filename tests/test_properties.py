@@ -1,0 +1,112 @@
+"""Property-based semantics checks (hypothesis): random inputs, the
+operator's result compared against a brute-force Python reference.
+Few examples per property (Spark jobs are the cost), deadline off —
+the value is the adversarial input shapes (ties, empties, nulls,
+whale keys), not the example count."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI-stable: the seed is part of the suite
+)
+
+_ts = st.integers(min_value=0, max_value=50).map(
+    lambda h: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+)
+_entity = st.integers(min_value=0, max_value=6)
+_value = st.integers(min_value=-5, max_value=5).map(float)
+
+_rows = st.lists(st.tuples(_entity, _value, _ts), min_size=1, max_size=60)
+
+
+@given(rows=_rows)
+@settings(**SETTINGS)
+def test_materialize_is_brute_force_latest(spark, rows):
+    """C3: max(struct) winner == brute-force max by (ts, value)."""
+    from embeddinghub_spark.operators.materialize import materialize
+
+    df = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    got = {r["entity"]: (r["value"], r["ts"]) for r in materialize(df).collect()}
+    want: dict = {}
+    for e, v, t in rows:
+        if e not in want or (t, v) > want[e][::-1]:
+            want[e] = (v, t)
+    assert got == want
+
+
+@given(rows=_rows, labels=st.lists(st.tuples(_entity, _value, _ts), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_asof_union_is_brute_force_asof(spark, rows, labels):
+    """C6: union+last ASOF == per-label brute-force scan of feature
+    history (latest feature with f.ts <= l.ts, ties max value)."""
+    from embeddinghub_spark.operators.pit import asof_join_union
+
+    feats = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    lbls = spark.createDataFrame(labels, ["entity", "label", "ts"])
+    out = asof_join_union(
+        lbls.withColumnRenamed("label", "value"), feats, {"f": "value"}
+    )
+    got = {
+        (r["entity"], r["value"], r["ts"]): r["f"] for r in out.collect()
+    }
+    for le, lv, lt in set(labels):
+        cands = [(t, v) for (e, v, t) in rows if e == le and t <= lt]
+        want = max(cands)[1] if cands else None
+        assert got[(le, lv, lt)] == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_is_brute_force_union_find(spark, edges):
+    """Large/small-star CC == brute-force union-find on any graph
+    (self-loops, duplicates, reversed edges included)."""
+    from embeddinghub_spark.functions.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", max_size=12), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_simhash_staged_equals_expression_form(spark, texts):
+    """The SWAR/explode simhash must stay bit-identical to the HOF
+    expression form on arbitrary (incl. empty / whitespace-only)
+    text."""
+    from embeddinghub_spark.functions.dedup import simhash, simhash_staged
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    a = {r["doc_id"]: r["sh"] for r in
+         df.select("doc_id", simhash("text").alias("sh")).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_staged(df).collect()}
+    assert a == b
