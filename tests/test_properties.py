@@ -110,3 +110,44 @@ def test_simhash_staged_equals_expression_form(spark, texts):
          df.select("doc_id", simhash("text").alias("sh")).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash_staged(df).collect()}
     assert a == b
+
+
+@given(
+    target=st.lists(st.tuples(_entity, _value), min_size=1, max_size=20),
+    source=st.lists(st.tuples(_entity, _value), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_df_is_dict_update(spark, target, source):
+    """S12 rebuild == dict.update semantics: every source key wins,
+    untouched target keys survive (duplicate keys within each side
+    collapse to 'some row of that side', which both paths allow)."""
+    from embeddinghub_spark.sources.tables import merge_upsert_df
+
+    t = spark.createDataFrame(target, ["entity", "value"]).dropDuplicates(["entity"])
+    s = spark.createDataFrame(source, ["entity", "value"]).dropDuplicates(["entity"])
+    got = {r["entity"]: r["value"] for r in merge_upsert_df(t, s, ["entity"]).collect()}
+    want = {e: v for e, v in t.collect()}
+    want.update({e: v for e, v in s.collect()})
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    test_size=st.sampled_from([0.1, 0.25, 0.5]),
+    seed=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_train_test_split_partitions_deterministically(spark, n, test_size, seed):
+    """C15: split is a PARTITION (every row in exactly one side) and a
+    pure function of (data, seed) — rerunning yields the same split."""
+    from embeddinghub_spark.operators.split import train_test_split
+
+    df = spark.range(n).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    tr1, te1 = train_test_split(df, test_size=test_size, seed=seed)
+    tr2, te2 = train_test_split(df, test_size=test_size, seed=seed)
+    ids_tr = {r["id"] for r in tr1.collect()}
+    ids_te = {r["id"] for r in te1.collect()}
+    assert ids_tr | ids_te == set(range(n))
+    assert not (ids_tr & ids_te)
+    assert ids_tr == {r["id"] for r in tr2.collect()}
+    assert ids_te == {r["id"] for r in te2.collect()}
