@@ -150,7 +150,14 @@ def hashed_shingles(th: Column, n: int = 3) -> Column:
             lambda a, x: (a * MINHASH_ROLL + x) % MINHASH_P,
         )
     )
-    return F.when(k > n, grams).otherwise(whole)
+    # null token array (null text) → null shingles, NOT [null]: a null
+    # element would otherwise be skipped by least() in the signature
+    # fold and leak the LONG_MAX init downstream (ANSI overflow in the
+    # band hash; found by review). Null signatures never band-join —
+    # the same no-match behavior the pre-fold implementation had.
+    return F.when(
+        k.isNotNull(), F.when(k > n, grams).otherwise(whole)
+    )
 
 
 def _with_signature(
@@ -177,9 +184,11 @@ def _with_signature(
     # separate array_min(transform(...)) passes — same values (pinned
     # by the oracle and an equivalence check), ~20% cheaper, and the
     # whole expression is a single parsed SQL string (py4j economy).
-    # hashed_shingles never yields an empty array (docs ≤ n tokens
-    # collapse to one whole-doc shingle), so the LONG_MAX init can
-    # never leak into a signature.
+    # LONG_MAX-init safety: hashed_shingles never yields an empty
+    # array (docs ≤ n tokens collapse to one whole-doc shingle) and
+    # yields NULL — not [null] — for null text (null elements would be
+    # skipped by least() and leak the init), so the init can never
+    # appear in a signature.
     init = "named_struct(" + ", ".join(
         f"'m{i}', 9223372036854775807L" for i in range(num_hashes)
     ) + ")"
@@ -351,12 +360,6 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     return _simhash_acc(h_lo, h_hi, F.size(toks), bits)
 
 
-# SWAR mask: one 16-bit counter field per fingerprint-bit stride of 16
-# (bits k, k+16, k+32, k+48 of a word counted by a single shift+AND).
-_SWAR4 = 0x0001000100010001  # slots 0..3
-_SWAR3 = 0x0000000100010001  # slots 0..2 (bits 60..63 live in _hi)
-
-
 def simhash_staged(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
@@ -369,12 +372,14 @@ def simhash_staged(
        array higher-order functions (``aggregate``/``zip_with``) are
        CodegenFallback, i.e. interpreted per element, while a hash
        aggregate runs in whole-stage codegen with map-side combine.
-       The shuffle is tiny: one row of 18 bigints per document.
-    2. **SWAR-packed counters.** A 64-bit majority vote needs 64
-       one-counts; packing 4 counts into one bigint as 16-bit fields
-       (``(h >> k) & 0x0001000100010001``) does it with 16 aggregate
-       columns and one shift+AND per counter per token, not 64.
-       16-bit fields are exact for documents up to 65,535 tokens.
+       The shuffle is tiny: one row of 66 bigints per document.
+    2. **Plain single-bit sums.** One ``sum((h >> j) & 1)`` per bit:
+       64 aggregate columns, each bounded by the document's token
+       count — no packed-counter overflow at ANY document length
+       (an earlier SWAR-packed variant overflowed signed 64-bit past
+       ~32k tokens under ANSI mode — exactly the long-document tail
+       this path targets; caught in review, and the measured speed
+       difference vs packing was nil).
     3. **SQL strings, not Column loops.** Building 64 vote expressions
        via pyspark Column operators costs hundreds of py4j round-trips
        (~1.5 s of pure driver time per query build); generating one SQL
@@ -406,12 +411,14 @@ def simhash_staged(
         )
         return staged.select(F.col(id_col), acc.alias("simhash"))
 
+    from embeddinghub_spark.functions.vector import _bq
+
     tok = df.select(
         F.col(id_col),
         F.isnull(text_col).alias("_txtnull"),
         F.explode_outer(
             F.expr(
-                f"transform(filter(split({text_col}, ' '), t -> t != ''),"
+                f"transform(filter(split({_bq(text_col)}, ' '), t -> t != ''),"
                 " x -> md5(x))"
             )
         ).alias("_m"),
@@ -425,19 +432,15 @@ def simhash_staged(
         F.expr("count(_lo)").alias("_n"),
         F.expr("max(_txtnull)").alias("_txtnull"),
     ]
-    for k in range(16):
-        if k < 12:
-            addend = f"(shiftright(_lo, {k}) & {_SWAR4})"
-        else:
-            addend = (
-                f"(shiftright(_lo, {k}) & {_SWAR3})"
-                f" + shiftleft(shiftright(_hi, {k - 12}) & 1, 48)"
-            )
-        aggs.append(F.expr(f"sum({addend})").alias(f"_s{k}"))
+    for j in range(64):
+        src, b = ("_lo", j) if j < 60 else ("_hi", j - 60)
+        aggs.append(
+            F.expr(f"sum(shiftright({src}, {b}) & 1)").alias(f"_c{j}")
+        )
     g = tok.groupBy(id_col).agg(*aggs)
     votes = " | ".join(
-        f"shiftleft(case when ((shiftright(coalesce(_s{j % 16}, 0L),"
-        f" {16 * (j // 16)}) & 65535) * 2) >= _n then 1L else 0L end, {j})"
+        f"shiftleft(case when (coalesce(_c{j}, 0L) * 2) >= _n"
+        f" then 1L else 0L end, {j})"
         for j in range(64)
     )
     return g.select(
@@ -661,15 +664,25 @@ def connected_components(
 
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         e = small_star(large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         cur = fingerprint(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        # a non-star edge set would emit MULTIPLE rows per node below —
+        # a structurally invalid result is worse than an error
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({rounds} run); raise max_iter — alternating star rounds "
+            f"need ~log2(n), so this graph is far beyond the configured bound"
+        )
 
     # converged star forest: (u, v) = (member, component min)
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -47,9 +47,19 @@ def _unrollable(*cols) -> bool:
     return all(isinstance(c, str) for c in cols)
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for SQL
+    interpolation: 'x.embedding' -> `x`.`embedding` — without this, a
+    hyphenated/keyword/space-bearing name fails to parse where the
+    Column-based fallback would accept it."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
 def _dot_sql(a: str, b: str, dim: int) -> str:
+    qa, qb = _bq(a), _bq(b)
     return " + ".join(
-        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(dim)
+        f"cast({qa}[{i}] as double) * cast({qb}[{i}] as double)"
+        for i in range(dim)
     )
 
 
@@ -89,9 +99,10 @@ def cosine_similarity(
 def l2_distance(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Embeddinghub's HNSW metric (index.cc L2 space)."""
     if dim and _unrollable(a, b):
+        qa, qb = _bq(a), _bq(b)
         terms = " + ".join(
-            f"(cast({a}[{i}] as double) - cast({b}[{i}] as double))"
-            f" * (cast({a}[{i}] as double) - cast({b}[{i}] as double))"
+            f"(cast({qa}[{i}] as double) - cast({qb}[{i}] as double))"
+            f" * (cast({qa}[{i}] as double) - cast({qb}[{i}] as double))"
             for i in range(dim)
         )
         return F.expr(f"sqrt({terms})")
@@ -175,6 +186,7 @@ def assign_ivf_cells(
     vec_col: str = "embedding",
     centroid_id_col: str = "cell",
     centroid_vec_col: str = "centroid",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest (max-dot) centroid cell —
     the inverted-file build step. Centroid set is broadcast (K is
@@ -185,7 +197,7 @@ def assign_ivf_cells(
         F.col(id_col),
         F.col(vec_col),
         F.col(centroid_id_col),
-        dot(vec_col, centroid_vec_col).alias("_cscore"),
+        dot(vec_col, centroid_vec_col, dim).alias("_cscore"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_cscore").desc(), F.col(centroid_id_col).asc()
@@ -239,7 +251,7 @@ def knn_ivf(
             .select("cell", "centroid")
             .localCheckpoint(eager=False)
         )
-    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
+    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col, dim=dim)
 
     # queries probe their nprobe nearest cells
     qpaired = queries.join(F.broadcast(centroids))
@@ -247,7 +259,7 @@ def knn_ivf(
         F.col(query_id_col),
         F.col(query_vec_col),
         F.col("cell"),
-        dot(query_vec_col, "centroid").alias("_qscore"),
+        dot(query_vec_col, "centroid", dim).alias("_qscore"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("_qscore").desc(), F.col("cell").asc()
@@ -329,7 +341,7 @@ def with_lsh_bucket(
     ) + ")"
     bucket = F.expr(
         f"cast(aggregate(sequence(0, {n_planes - 1}), 0L, (acc, i) -> "
-        f"acc + (case when aggregate(zip_with({vec_col}, "
+        f"acc + (case when aggregate(zip_with({_bq(vec_col)}, "
         f"element_at({planes_sql}, i + 1), (x, y) -> cast(x as double) * y), "
         f"cast(0.0 as double), (a, x) -> a + x) >= 0 "
         f"then cast(pow(2.0, i) as bigint) else 0L end)) as int)"
@@ -421,7 +433,7 @@ def kmeans_centroids(
         .localCheckpoint(eager=False)
     )
     for _ in range(n_iters):
-        assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
+        assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col, dim=dim)
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -457,10 +469,11 @@ def ivf_inertia(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> float:
     """Σ ||v − centroid(v)||² over the corpus — the KMeans objective;
     used to verify refinement actually improves the quantizer."""
-    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col)
+    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col, dim=dim)
     with_c = assigned.join(F.broadcast(centroids), "cell")
     d2 = F.aggregate(
         F.zip_with(

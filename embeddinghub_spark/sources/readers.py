@@ -147,12 +147,28 @@ _CONNECTOR_PROBE_CLASSES = {
 
 
 def connector_available(spark: SparkSession, fmt: str) -> bool:
-    """True iff the connector's DataSource class is on the classpath."""
+    """True iff the connector's DataSource class is loadable.
+
+    Probes through Spark's own ``Utils.classForName`` (context-or-Spark
+    classloader) first: jars installed the normal way — ``--packages``/
+    ``spark.jars`` — live on Spark's MutableURLClassLoader, which the
+    system classloader that backs a plain ``Class.forName`` cannot see
+    (a plain probe would false-negative exactly the standard install
+    path; found in review). Falls back to ``Class.forName`` only if
+    the internal API moves."""
     cls = _CONNECTOR_PROBE_CLASSES.get(fmt)
     if cls is None:
         return False
+    jvm = spark._jvm  # noqa: SLF001
     try:
-        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
+        return True
+    except TypeError:
+        pass  # overload mismatch on this Spark build → plain probe
+    except Exception:
+        return False
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

@@ -468,7 +468,11 @@ def merge_materialization_bucketed_dir(
     else:
         n_buckets = cur_n or n_buckets
 
-    cols = [entity_col, value_col, ts_col]
+    # materialize() NORMALIZES output columns to (entity, value, ts) —
+    # every on-disk layer and every read below uses the canonical
+    # names, regardless of what the caller's input columns were named
+    # (compaction on a snapshot built with custom names used to crash
+    # selecting the caller names from normalized files; found in review)
     delta = materialize(updates, entity_col, value_col, ts_col)
     store = target_dir + ".b"
     os.makedirs(store, exist_ok=True)
@@ -477,7 +481,8 @@ def merge_materialization_bucketed_dir(
         # first commit (or migration): the delta IS the base
         if legacy_base is not None:
             delta = _merge_latest(
-                [legacy_base.select(*cols), delta], entity_col, value_col, ts_col
+                [legacy_base.select("entity", "value", "ts"), delta],
+                "entity", "value", "ts",
             )
         base_df = delta.withColumn("bucket", _bucket_expr("entity", n_buckets))
         phys = _write_bucketed(base_df, store, n_buckets)
@@ -501,7 +506,7 @@ def merge_materialization_bucketed_dir(
 
     version, _, buckets, deltas = _version_layout(target_dir)
     if len(deltas) >= max_deltas:
-        _compact(spark, target_dir, entity_col, value_col, ts_col)
+        _compact(spark, target_dir)  # layers hold canonical columns
     return target_dir
 
 

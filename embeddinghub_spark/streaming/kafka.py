@@ -56,21 +56,20 @@ def kafka_records(
       - ``"drop"``: corrupt rows are filtered out;
       - ``"fail"``: the first corrupt payload fails the batch
         (``FAILFAST`` — poison-message stop-the-line).
+
+    TOMBSTONES (null ``value`` — Kafka's deletion marker on compacted
+    topics) are NOT corrupt in any mode: they survive as rows with
+    null record fields in every mode, including ``fail`` (FAILFAST
+    never fires on a null input) and ``drop`` (a deletion marker is
+    signal, not noise — dropping it would hide the delete).
     """
     if on_corrupt not in ("null", "drop", "fail"):
         raise ValueError(f"on_corrupt must be null|drop|fail, got {on_corrupt!r}")
-    if on_corrupt == "fail":
-        parsed = raw.select(
-            F.col("key").cast("string").alias("kafka_key"),
-            F.from_json(
-                F.col("value").cast("string"), schema, {"mode": "FAILFAST"}
-            ).alias("rec"),
-            F.col("timestamp").alias("kafka_ts"),
-        )
-        return parsed.select("kafka_key", "kafka_ts", "rec.*")
     # PERMISSIVE from_json yields an all-null STRUCT for corrupt input
     # (not a null struct), so corruption is only detectable through a
-    # columnNameOfCorruptRecord field carried in the parse schema
+    # columnNameOfCorruptRecord field carried in the parse schema. All
+    # three modes share this ONE classification — FAILFAST parse mode
+    # would disagree with it on edge inputs (null/empty payloads).
     from pyspark.sql.types import StringType, StructField
 
     probe = StructType(
@@ -78,15 +77,34 @@ def kafka_records(
     )
     parsed = raw.select(
         F.col("key").cast("string").alias("kafka_key"),
+        F.col("value").isNull().alias("_tombstone"),
         F.from_json(
             F.col("value").cast("string"), probe,
             {"columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("rec"),
         F.col("timestamp").alias("kafka_ts"),
     )
-    corrupt = F.col("rec").isNull() | F.col("rec._corrupt_record").isNotNull()
+    # corrupt = NON-TOMBSTONE bytes that failed to parse: either the
+    # parser kept the raw text in _corrupt_record, or it gave up with
+    # a null struct (e.g. empty payload) — but a null VALUE is a
+    # deletion marker, not noise, in every mode
+    corrupt = ~F.col("_tombstone") & (
+        F.col("rec").isNull() | F.col("rec._corrupt_record").isNotNull()
+    )
     if on_corrupt == "drop":
         parsed = parsed.filter(~corrupt)
+    elif on_corrupt == "fail":
+        parsed = parsed.filter(
+            F.when(
+                corrupt,
+                F.raise_error(
+                    F.concat(
+                        F.lit("corrupt kafka payload (on_corrupt=fail), key="),
+                        F.coalesce(F.col("kafka_key"), F.lit("<null>")),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
     out_cols = [f.name for f in schema.fields]
     return parsed.select(
         "kafka_key", "kafka_ts", *[F.col(f"rec.{c}").alias(c) for c in out_cols]

@@ -100,9 +100,10 @@ def test_kafka_corrupt_payload_modes(spark):
     payloads = [
         (b"k1", b'{"entity": "a", "value": 1.5, "ts": "2024-01-01T00:00:00"}'),
         (b"k2", b'{"entity": "b", "value": '),  # truncated
-        (b"k3", b""),                           # empty
+        (b"k3", b""),                           # empty: corrupt
         (b"k4", b"\xff\xfe garbage"),           # not utf8 json
         (b"k5", b'{"entity": "c"}'),            # partial: missing fields OK
+        (b"k6", None),                          # tombstone: NOT corrupt
     ]
     raw = spark.createDataFrame(
         [(k, v, _ts("2024-01-01T00:00:01")) for k, v in payloads],
@@ -113,16 +114,23 @@ def test_kafka_corrupt_payload_modes(spark):
         ]),
     )
     nulled = kafka_records(raw, SCHEMA, on_corrupt="null").collect()
-    assert len(nulled) == 5
-    assert {r["kafka_key"] for r in nulled if r["entity"] is None} == {"k2", "k3", "k4"}
+    assert len(nulled) == 6
+    assert {r["kafka_key"] for r in nulled if r["entity"] is None} == {
+        "k2", "k3", "k4", "k6"
+    }
 
     dropped = kafka_records(raw, SCHEMA, on_corrupt="drop").collect()
-    assert {r["kafka_key"] for r in dropped} == {"k1", "k5"}
+    # tombstone k6 SURVIVES drop mode: a deletion marker is signal
+    assert {r["kafka_key"] for r in dropped} == {"k1", "k5", "k6"}
     partial = [r for r in dropped if r["kafka_key"] == "k5"][0]
     assert partial["entity"] == "c" and partial["value"] is None
 
     with _pytest.raises(Exception):
         kafka_records(raw, SCHEMA, on_corrupt="fail").collect()
+    # fail mode passes clean + tombstone rows through
+    clean = raw.filter(F.col("key").isin([b"k1", b"k6"]))
+    ok = kafka_records(clean, SCHEMA, on_corrupt="fail").collect()
+    assert {r["kafka_key"] for r in ok} == {"k1", "k6"}
     with _pytest.raises(ValueError):
         kafka_records(raw, SCHEMA, on_corrupt="bogus")
 

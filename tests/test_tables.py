@@ -414,3 +414,31 @@ def test_bucketed_merge_prunes_unreferenced_physical_dirs(spark, tmp_path):
 
     versions = glob.glob(target + ".v-*")
     assert len(versions) <= 2
+
+
+def test_bucketed_merge_custom_column_names_compact(spark, tmp_path):
+    """Custom input column names must survive the whole LSM lifecycle
+    (append AND compaction read normalized on-disk layers; regression
+    for a crash found in review)."""
+    import datetime as dt
+
+    from embeddinghub_spark.sources.tables import (
+        merge_materialization_bucketed_dir,
+        read_bucketed_snapshot,
+    )
+
+    target = str(tmp_path / "snap")
+    t0 = dt.datetime(2024, 1, 1)
+    for b in range(3):
+        rows = [
+            (f"u{i}", float(b * 10 + i), t0 + dt.timedelta(hours=b))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "v", "event_ts"])
+        merge_materialization_bucketed_dir(
+            spark, target, df,
+            entity_col="user_id", value_col="v", ts_col="event_ts",
+            n_buckets=4, max_deltas=1,  # compaction every batch
+        )
+    got = {r["entity"]: r["value"] for r in read_bucketed_snapshot(spark, target).collect()}
+    assert got == {f"u{i}": 20.0 + i for i in range(10)}
