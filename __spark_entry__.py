@@ -1352,6 +1352,66 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_f8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT via the DataFrame API (groupBy().pivot() with an explicit
+    value list — the form that avoids the extra distinct-values job and
+    keeps the plan a single hash aggregate). Oracle: conditional
+    aggregation, the canonical SQL spelling of the same plan."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+_F8_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_f8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile`, one pass,
+    array form = single sort per group) — matches DuckDB quantile_cont
+    semantics ((1-d)*a[k] + d*a[k+1]); round(4) absorbs ulp drift in
+    the interpolation arithmetic."""
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "pct_q", "v1",
+        """
+        SELECT l_returnflag, n,
+               round(element_at(pcts, 1), 4) AS p25,
+               round(element_at(pcts, 2), 4) AS p50,
+               round(element_at(pcts, 3), 4) AS p75
+        FROM (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)) AS pcts
+          FROM {{lineitem.default}} GROUP BY l_returnflag
+        ) t
+        """,
+    )
+    return cat.dataframe("pct_q", "v1")
+
+
+_F8_PCT_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_f8_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _catalog(spark, sf_dir)
     cat.sql_transformation(
@@ -1507,6 +1567,55 @@ SELECT window_start, window_start + to_seconds(300) AS window_end, event_type,
        COUNT(*) AS n,
        SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM b GROUP BY window_start, event_type
+"""
+
+
+def q_f9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over the event log (streaming/windows.py
+    sessionize): per-user sessions with a 6-hour inactivity gap —
+    the conversation/session grouping step of a training-data
+    pipeline. Same operator works on a stream (watermarked state,
+    O(open sessions)); the oracle replays the gap-and-merge semantics
+    with lag()+running-sum session ids."""
+    from embeddinghub_spark.streaming.windows import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "value", "ts")
+    return sessionize(
+        ev,
+        "ts",
+        "6 hours",
+        group_cols=["user_id"],
+        aggs={
+            "n_events": "count(*)",
+            "ssum": "sum(cast(round(value * 100) as bigint))",
+        },
+    ).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        (F.col("ssum") / 100.0).alias("sum_value"),
+    )
+
+
+# Spark merges an event landing EXACTLY gap after the session's last
+# event (merge condition start <= prev_end), so the oracle's
+# new-session flag is strictly `> gap` — pinned by
+# test_sessionize_exact_gap_boundary_merges.
+_F9_SESSIONIZE_ORACLE = """
+WITH evt AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+     f AS (SELECT user_id, value, ts,
+                  CASE WHEN epoch(ts - lag(ts) OVER w) > 21600 THEN 1 ELSE 0 END AS ns
+           FROM evt WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+     s AS (SELECT user_id, value, ts,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + to_seconds(21600) AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM s GROUP BY user_id, sid
 """
 
 
@@ -1750,12 +1859,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_scalar_funcs": q_f8_scalar_funcs,
         "f8_date_funcs": q_f8_date_funcs,
         "f8_rollup": q_f8_rollup,
+        "f8_pivot": q_f8_pivot,
+        "f8_percentiles": q_f8_percentiles,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
         "v1_dataset_rows": q_v1_dataset_rows,
         "v3_online_serve": q_v3_online_serve,
         "f9_windowed_agg": q_f9_windowed_agg,
+        "f9_sessionize": q_f9_sessionize,
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
@@ -1807,12 +1919,15 @@ def oracle_sql() -> dict[str, str]:
         "f8_scalar_funcs": _F8_SCALARS_ORACLE,
         "f8_date_funcs": _F8_DATES_ORACLE,
         "f8_rollup": _F8_ROLLUP_ORACLE,
+        "f8_pivot": _F8_PIVOT_ORACLE,
+        "f8_percentiles": _F8_PCT_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),
         "v1_dataset_rows": _V1_ORACLE,
         "v3_online_serve": _V3_ORACLE,
         "f9_windowed_agg": _F9_ORACLE,
+        "f9_sessionize": _F9_SESSIONIZE_ORACLE,
         "mm_metadata": _MM_METADATA_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
         "mm_features": _mm_features_oracle(),

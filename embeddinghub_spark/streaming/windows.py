@@ -59,6 +59,50 @@ def windowed_aggregate(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: consecutive events per group merge while each
+    event arrives within ``gap`` of the session's current end (Spark
+    ``session_window`` semantics — every event extends the session to
+    event_ts + gap; an event EXACTLY gap after the previous one still
+    MERGES, i.e. the new-session condition is strictly ``ts - prev >
+    gap``; pinned by test). ``session_end`` is last event ts + gap.
+
+    Works on batch and streaming frames with the same plan shape: one
+    exchange on the group keys, then Spark's session-merge aggregation
+    (``UpdatingSessionsExec``) — never a self-join or an all-pairs
+    comparison, so it scales with O(events) shuffle volume. Streaming
+    gets a watermark so session state is evicted once a session can no
+    longer grow (state is O(open sessions), not O(stream)).
+
+    The classic training-data use: conversation/session grouping of
+    interaction logs before per-session document assembly.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    agg_map = aggs or {"n_events": "count(*)"}
+    agg_cols = [F.expr(expr).alias(name) for name, expr in agg_map.items()]
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            *(group_cols or []),
+        )
+        .agg(*agg_cols)
+        .select(
+            *(group_cols or []),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *[F.col(name) for name in agg_map],
+        )
+    )
+
+
 def stateful_latest(
     stream_df: DataFrame,
     entity_col: str = "entity",

@@ -208,3 +208,72 @@ def test_stateful_latest_equals_batch_materialize(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not terminate in 120s"
     expected = {r["entity"]: (r["value"], r["ts"]) for r in materialize(src).collect()}
     assert updates == expected
+
+
+def test_sessionize_exact_gap_boundary_merges(spark):
+    """Pins Spark session_window's boundary rule (and therefore the
+    f9_sessionize oracle SQL): an event landing EXACTLY gap after the
+    session's last event MERGES; one second past the gap starts a new
+    session. session_end = last event ts + gap."""
+    from datetime import datetime
+
+    from embeddinghub_spark.streaming.windows import sessionize
+
+    rows = [
+        ("u", 1.0, datetime(2020, 1, 1, 0, 0, 0)),
+        ("u", 2.0, datetime(2020, 1, 1, 1, 0, 0)),   # == gap after prev: merge
+        ("u", 3.0, datetime(2020, 1, 1, 1, 59, 59)),  # < gap: merge
+        ("u", 4.0, datetime(2020, 1, 1, 3, 0, 0)),   # gap + 1s: new session
+    ]
+    src = spark.createDataFrame(rows, ["user_id", "value", "ts"])
+    out = sessionize(
+        src, "ts", "1 hour", group_cols=["user_id"],
+        aggs={"n_events": "count(*)", "vsum": "sum(value)"},
+    ).orderBy("session_start").collect()
+    assert [(r["n_events"], r["vsum"]) for r in out] == [(3, 6.0), (1, 4.0)]
+    assert out[0]["session_end"] == datetime(2020, 1, 1, 2, 59, 59)
+    assert out[1]["session_start"] == datetime(2020, 1, 1, 3, 0, 0)
+    assert out[1]["session_end"] == datetime(2020, 1, 1, 4, 0, 0)
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Streaming session windows (watermarked state) across multi-file
+    micro-batches must equal the batch sessionize over the same rows."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.streaming.windows import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"u{i % 4}", float(i), base + timedelta(minutes=(i * 37 * 97) % (30 * 24 * 60)))
+        for i in range(200)
+    ]
+    src = spark.createDataFrame(rows, ["user_id", "value", "ts"])
+    in_dir = str(tmp_path / "sess_in")
+    src.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    aggs = {"n_events": "count(*)", "vsum": "sum(value)"}
+    # each micro-batch file spans the whole 30-day range, so the
+    # watermark must cover the full disorder horizon or later batches'
+    # rows are (correctly) evicted as late — which is the semantics
+    # under test, not a bug
+    sess = sessionize(
+        stream, "ts", "2 hours", group_cols=["user_id"], aggs=aggs,
+        watermark_delay="720 hours",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
+    key = lambda r: (r["user_id"], r["session_start"])
+    got = {key(r): (r["session_end"], r["n_events"], r["vsum"])
+           for r in spark.table("sess_test").collect()}
+    expected = {key(r): (r["session_end"], r["n_events"], r["vsum"])
+                for r in sessionize(src, "ts", "2 hours", group_cols=["user_id"], aggs=aggs).collect()}
+    assert got == expected and len(got) > 10
