@@ -103,6 +103,32 @@ def sessionize(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication: first occurrence per key wins,
+    duplicates arriving later are dropped. With ``ts_col`` the state is
+    WATERMARK-BOUNDED (`dropDuplicatesWithinWatermark`): a duplicate is
+    suppressed only while its key's first sighting is younger than the
+    watermark horizon, and state is evicted after it — O(keys within
+    horizon), the only shape that survives an unbounded 100 TB stream.
+    Without ``ts_col`` (or on a batch frame) it is plain
+    ``dropDuplicates`` — global-exact, state O(distinct keys).
+
+    The training-data use: event/document streams re-delivered
+    at-least-once (Kafka replays, backfill overlap) deduped before
+    they reach the dedup/minhash corpus stages downstream.
+    """
+    if df.isStreaming and ts_col is not None:
+        return df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)
+
+
 def stateful_latest(
     stream_df: DataFrame,
     entity_col: str = "entity",

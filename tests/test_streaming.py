@@ -277,3 +277,44 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
     expected = {key(r): (r["session_end"], r["n_events"], r["vsum"])
                 for r in sessionize(src, "ts", "2 hours", group_cols=["user_id"], aggs=aggs).collect()}
     assert got == expected and len(got) > 10
+
+
+def test_streaming_dedup_equals_batch(spark, tmp_path):
+    """At-least-once replay dedup: duplicates re-delivered across
+    micro-batches must be dropped; surviving row set == batch
+    dropDuplicates over the same input."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.streaming.windows import streaming_dedup
+
+    base = datetime(2024, 1, 1)
+    # 120 logical events, each delivered twice (ids repeat i % 60)
+    rows = [
+        (i % 60, f"doc{i % 60}", base + timedelta(minutes=i % 60))
+        for i in range(120)
+    ]
+    src = spark.createDataFrame(rows, ["event_id", "payload", "ts"])
+    in_dir = str(tmp_path / "dedup_in")
+    src.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    deduped = streaming_dedup(
+        stream, ["event_id"], ts_col="ts", watermark_delay="2 hours"
+    )
+    got: set = set()
+
+    def drain(batch_df, batch_id):
+        for r in batch_df.collect():
+            assert r["event_id"] not in got, "duplicate emitted"
+            got.add(r["event_id"])
+
+    q = (
+        deduped.writeStream.foreachBatch(drain)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
+    expected = {r["event_id"] for r in streaming_dedup(src, ["event_id"]).collect()}
+    assert got == expected and len(got) == 60
