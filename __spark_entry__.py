@@ -1412,6 +1412,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_f8_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated (NOT) EXISTS — Catalyst rewrites both to semi/anti
+    hash joins on o_custkey (never a per-row subquery): customers with
+    an URGENT order but no FULFILLED ('F') order."""
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "exists_q", "v1",
+        """
+        SELECT c_custkey, c_name
+        FROM {{customer.default}} c
+        WHERE EXISTS (SELECT 1 FROM {{orders.default}} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM {{orders.default}} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """,
+    )
+    return cat.dataframe("exists_q", "v1")
+
+
+_F8_EXISTS_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+"""
+
+
+def q_f8_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation. Spark's collect_list is
+    order-nondeterministic under parallelism, so the deterministic
+    spelling is array_join(array_sort(collect_list(...))) — equal to
+    DuckDB's string_agg(... ORDER BY ...)."""
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "stragg_q", "v1",
+        """
+        SELECT r_name AS region_name,
+               array_join(array_sort(collect_list(n_name)), ',') AS nations,
+               COUNT(*) AS n_nations
+        FROM {{nation.default}} n JOIN {{region.default}} r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name
+        """,
+    )
+    return cat.dataframe("stragg_q", "v1")
+
+
+_F8_STRAGG_ORACLE = """
+SELECT r_name AS region_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_f8_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _catalog(spark, sf_dir)
     cat.sql_transformation(
@@ -1861,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_rollup": q_f8_rollup,
         "f8_pivot": q_f8_pivot,
         "f8_percentiles": q_f8_percentiles,
+        "f8_exists": q_f8_exists,
+        "f8_string_agg": q_f8_string_agg,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
@@ -1921,6 +1985,8 @@ def oracle_sql() -> dict[str, str]:
         "f8_rollup": _F8_ROLLUP_ORACLE,
         "f8_pivot": _F8_PIVOT_ORACLE,
         "f8_percentiles": _F8_PCT_ORACLE,
+        "f8_exists": _F8_EXISTS_ORACLE,
+        "f8_string_agg": _F8_STRAGG_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),
