@@ -179,6 +179,46 @@ def _topk_per_query(scored: DataFrame, k: int, order: list[Column]) -> DataFrame
     return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _dot_lit_sql(a: str, vec, dim: int) -> str:
+    """Unrolled dot product against a DRIVER-SIDE literal vector.
+    ``repr(float)`` is the shortest exact round-trip string, and Spark
+    parses double literals with the same semantics, so the product is
+    bit-identical to multiplying by the float column the value came
+    from (cast to double)."""
+    qa = _bq(a)
+    return " + ".join(
+        f"cast({qa}[{i}] as double) * {float(vec[i])!r}D" for i in range(dim)
+    )
+
+
+# Inline-literal assignment bound: K·dim scalar literals folded into
+# the plan. Past this, plan size/codegen cost outgrows the win and the
+# map-side-combining aggregate path takes over.
+_MAX_INLINE_CELL_TERMS = 8192
+
+
+def _collect_cells(
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str
+) -> list:
+    """Driver-side (cell, vector) list, sorted by cell id. Centroid
+    sets are index-build constants (K small by construction), so the
+    collect is bounded."""
+    return sorted(
+        (r[0], r[1])
+        for r in centroids.select(centroid_id_col, centroid_vec_col).collect()
+    )
+
+
+def _inline_ok(cents: list, vec_col, dim: int | None) -> bool:
+    return (
+        0 < len(cents)
+        and dim is not None
+        and isinstance(vec_col, str)
+        and len(cents) * dim <= _MAX_INLINE_CELL_TERMS
+        and all(c[1] is not None and len(c[1]) == dim for c in cents)
+    )
+
+
 def assign_ivf_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -187,11 +227,62 @@ def assign_ivf_cells(
     centroid_id_col: str = "cell",
     centroid_vec_col: str = "centroid",
     dim: int | None = None,
+    cells: list | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest (max-dot) centroid cell —
-    the inverted-file build step. Centroid set is broadcast (K is
-    small by construction); the argmax is a per-vector window over K
-    scored rows with a deterministic cell-id tiebreak."""
+    the inverted-file build step. Deterministic tiebreak: highest
+    score, then smallest cell id. ``cells`` (a pre-collected
+    ``_collect_cells`` list) skips the collect job when the caller
+    already holds the quantizer driver-side.
+
+    Scale shape — the argmax is computed WITHOUT shuffling the corpus:
+
+    - K·dim ≤ 8192 and ``dim`` known: centroids
+      (small by construction) are collected and folded into the plan
+      as literals; one staged projection computes the K dot products
+      (each its own codegen-split expression), a second takes
+      ``greatest`` over (score, -cell) structs. Map-only: ZERO joins,
+      ZERO exchanges — assignment of a 100 TB corpus is embarrassingly
+      parallel. (The previous design broadcast-joined the corpus ×K
+      and ran a row_number window — a shuffle of K× the corpus bytes.)
+    - larger K (or unknown dim): broadcast join + per-vector
+      ``max(struct(score, -cell, vec))`` hash aggregate. The ×K
+      amplification collapses in the partial aggregate inside the same
+      task that produced it, so the exchange carries one row per
+      vector, not K.
+
+    NaN scores rank highest in both paths (Spark double ordering);
+    cells must have numeric ids (row_number/kmeans construction).
+    """
+    cell_dt = centroids.schema[centroid_id_col].dataType
+    cents = (
+        cells
+        if cells is not None
+        else _collect_cells(centroids, centroid_id_col, centroid_vec_col)
+    )
+    k = len(cents)
+    inline_ok = _inline_ok(cents, vec_col, dim)
+    if inline_ok:
+        staged = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            *[
+                F.expr(f"({_dot_lit_sql(vec_col, vec, dim)})").alias(f"_s{j}")
+                for j, (_, vec) in enumerate(cents)
+            ],
+        )
+        pairs = [
+            F.struct(
+                F.col(f"_s{j}").alias("s"), F.lit(-int(cid)).alias("nc")
+            )
+            for j, (cid, _) in enumerate(cents)
+        ]
+        best = pairs[0] if k == 1 else F.greatest(*pairs)
+        return staged.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best.getField("nc")).cast(cell_dt).alias(centroid_id_col),
+        )
     paired = vectors.join(F.broadcast(centroids))
     scored = paired.select(
         F.col(id_col),
@@ -199,13 +290,19 @@ def assign_ivf_cells(
         F.col(centroid_id_col),
         dot(vec_col, centroid_vec_col, dim).alias("_cscore"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cscore").desc(), F.col(centroid_id_col).asc()
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_cscore").alias("s"),
+                (-F.col(centroid_id_col)).alias("nc"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("_b")
     )
-    return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") == 1)
-        .select(id_col, vec_col, centroid_id_col)
+    return best.select(
+        F.col(id_col),
+        F.col("_b.v").alias(vec_col),
+        (-F.col("_b.nc")).cast(cell_dt).alias(centroid_id_col),
     )
 
 
@@ -251,24 +348,53 @@ def knn_ivf(
             .select("cell", "centroid")
             .localCheckpoint(eager=False)
         )
-    assigned = assign_ivf_cells(vectors, centroids, id_col, vec_col, dim=dim)
+    cents = _collect_cells(centroids, "cell", "centroid")
+    # the materialized inverted file IS the index: checkpointing it
+    # (lazily) also stops whole-stage codegen from fusing the K×dim
+    # literal scoring expressions into the probe join's generated
+    # method (a janino compile measured at ~2 s per query locally)
+    assigned = assign_ivf_cells(
+        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    ).localCheckpoint(eager=False)
 
-    # queries probe their nprobe nearest cells
-    qpaired = queries.join(F.broadcast(centroids))
-    qscored = qpaired.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        F.col("cell"),
-        dot(query_vec_col, "centroid", dim).alias("_qscore"),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("_qscore").desc(), F.col("cell").asc()
-    )
-    probes = (
-        qscored.withColumn("_qrank", F.row_number().over(wq))
-        .filter(F.col("_qrank") <= nprobe)
-        .select(query_id_col, query_vec_col, "cell")
-    )
+    # queries probe their nprobe nearest cells. With an inlineable
+    # quantizer the top-nprobe cells are picked in ONE projection
+    # (array_sort over (−score, cell) structs — score desc, cell asc,
+    # same order the window variant used): no broadcast, no exchange,
+    # no window on the query side.
+    if _inline_ok(cents, query_vec_col, dim):
+        pairs_sql = ", ".join(
+            f"named_struct('ns', -({_dot_lit_sql(query_vec_col, vec, dim)}),"
+            f" 'cell', {int(cid)})"
+            for cid, vec in cents
+        )
+        probes = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(
+                F.expr(f"slice(array_sort(array({pairs_sql})), 1, {int(nprobe)})")
+            ).alias("_p"),
+        ).select(
+            query_id_col, query_vec_col, F.col("_p.cell").alias("cell")
+        ).localCheckpoint(eager=False)  # Q×nprobe rows; stops every
+        # downstream job from re-running (and re-compiling) the K×dim
+        # literal probe expression
+    else:
+        qpaired = queries.join(F.broadcast(centroids))
+        qscored = qpaired.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.col("cell"),
+            dot(query_vec_col, "centroid", dim).alias("_qscore"),
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.col("_qscore").desc(), F.col("cell").asc()
+        )
+        probes = (
+            qscored.withColumn("_qrank", F.row_number().over(wq))
+            .filter(F.col("_qrank") <= nprobe)
+            .select(query_id_col, query_vec_col, "cell")
+        )
 
     paired = assigned.join(F.broadcast(probes), "cell")
     if metric == "cosine":
