@@ -34,8 +34,24 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def _word_set_pattern(words: list[str]) -> str:
+    """Regex matching exactly the positions where a single-space-split
+    token equals one of ``words`` (case-insensitive): boundaries are a
+    space or the string edge — NOT \\b, which would also match inside
+    'the,' where the tokenizer would not. Lets token-membership counts
+    run as one codegen ``regexp_count`` instead of an interpreted
+    array-HOF filter; exact count parity with
+    ``filter(tokens, t -> array_contains(words, lower(t)))`` is pinned
+    by test and by the oracle (which keeps the list_filter form)."""
+    alts = "|".join(words)
+    return f"(?i)(?:^|(?<= ))(?:{alts})(?:(?= )|$)"
+
+
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+    """Count of non-empty single-space-split tokens — as a codegen
+    ``regexp_count`` of non-space runs (≡ size(tokens(c)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit("[^ ]+"))
 
 
 def char_count(col: Column | str) -> Column:
@@ -44,8 +60,8 @@ def char_count(col: Column | str) -> Column:
 
 
 def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, F.lower(t))))
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_word_set_pattern(stopwords or STOPWORDS)))
 
 
 def punct_count(col: Column | str) -> Column:
@@ -74,12 +90,11 @@ def quality_score(col: Column | str) -> Column:
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language marker-hit counts (lexicon heuristic lang-ID)."""
-    toks = tokens(col)
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
-    return out
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        lang: F.regexp_count(c, F.lit(_word_set_pattern(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def detect_language(col: Column | str, default: str = "und") -> Column:
@@ -139,39 +154,23 @@ def text_stats(
     """One row per doc: token/char/punct/stopword counts + quality +
     detected language + fingerprint.
 
-    Staged: the token array and the base counts are each materialized
-    ONCE as projection steps — the naive composition re-derives
-    ``tokens()`` per metric (the quality score alone uses four
-    token-derived counts) and Catalyst does not reliably CSE repeated
-    higher-order array expressions.
+    Every metric is a codegen regexp/length expression over the raw
+    text — no token array is ever built, no interpreted array HOFs
+    (Spark's higher-order functions are CodegenFallback), no shuffle:
+    the whole operator is a map-only projection. Token-membership
+    counts use ``_word_set_pattern`` (count parity with the
+    split-then-filter tokenizer pinned by test and oracle).
     """
-    toks = F.col("_toks")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    scores = lang_scores(text_col)
     staged = df.select(
         F.col(id_col),
         F.col(text_col),
-        tokens(text_col).alias("_toks"),
-    ).select(
-        F.col(id_col),
-        F.col(text_col),
-        F.size(toks).alias("n_tokens"),
+        token_count(text_col).alias("n_tokens"),
         char_count(text_col).alias("n_chars_computed"),
         punct_count(text_col).alias("n_punct"),
-        F.size(
-            F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
-        ).alias("n_stopwords"),
+        stopword_count(text_col).alias("n_stopwords"),
         bpe_unit_count(text_col).alias("n_bpe_units"),
-        *[
-            F.size(
-                F.filter(
-                    toks,
-                    (lambda arr: lambda t: F.array_contains(arr, F.lower(t)))(
-                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-                    ),
-                )
-            ).alias(f"_s_{lang}")
-            for lang in sorted(LANG_MARKERS)
-        ],
+        *[scores[lang].alias(f"_s_{lang}") for lang in sorted(LANG_MARKERS)],
     )
     n_tok = F.col("n_tokens").cast("double")
     n_char = F.col("n_chars_computed").cast("double")

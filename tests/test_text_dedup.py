@@ -162,3 +162,42 @@ def test_connected_components_adversarial_path(spark):
     assert comp.count() == n
     bound = math.ceil(math.log2(n)) + 3
     assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_word_set_pattern_parity_with_token_filter(spark):
+    """The regexp token-membership counts must equal the original
+    split-then-filter semantics on adversarial inputs: attached
+    punctuation ('the,' is NOT a token match), consecutive stopwords,
+    runs of spaces, case variants, edges of string, empty text."""
+    from embeddinghub_spark.functions.text import (
+        STOPWORDS,
+        stopword_count,
+        token_count,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("the cat sat on the mat",),
+        ("The THE tHe",),
+        ("the, cat. the; -the the-",),   # attached punct: zero matches
+        ("the  a   an",),                # multi-space runs
+        ("a",), ("a ",), (" a",),        # string edges
+        ("", ), ("   ",),
+        ("atlas that breathe",),         # substrings must not match
+        ("is it is it is",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    ref = df.select(
+        "text",
+        F.size(tokens("text")).alias("nt_ref"),
+        F.size(
+            F.filter(tokens("text"), lambda t: F.array_contains(sw, F.lower(t)))
+        ).alias("sw_ref"),
+        token_count("text").alias("nt"),
+        stopword_count("text").alias("sw"),
+    )
+    for r in ref.collect():
+        assert r["nt"] == r["nt_ref"], r
+        assert r["sw"] == r["sw_ref"], r
