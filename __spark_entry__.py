@@ -1412,6 +1412,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_f8_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: per-user rolling 1-hour event count
+    and value sum (RANGE frames include ts-peers, so duplicate
+    timestamps are deterministic where a ROWS frame would not be).
+    One exchange on user_id + one sort — the standard sessionless
+    rolling-feature shape."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value", "ts")
+    ev.createOrReplaceTempView("_f8_rw_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_1h,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0D
+                 AS sum_1h
+        FROM _f8_rw_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+_F8_RANGE_WINDOW_ORACLE = """
+WITH evt AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+             FROM events)
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_1h,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_1h
+FROM evt
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_f8_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode (UNNEST parity): corpus word frequencies.
+    The explode is map-side; the count collapses in the partial
+    aggregate, so the exchange carries one row per distinct word per
+    task — never one row per token."""
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "lateral_q", "v1",
+        """
+        SELECT word, COUNT(*) AS n
+        FROM {{documents.default}}
+        LATERAL VIEW explode(split(text, ' ')) t AS word
+        WHERE word != ''
+        GROUP BY word
+        HAVING COUNT(*) >= 20
+        """,
+    )
+    return cat.dataframe("lateral_q", "v1")
+
+
+_F8_LATERAL_ORACLE = """
+SELECT word, COUNT(*) AS n
+FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+WHERE word != ''
+GROUP BY word
+HAVING COUNT(*) >= 20
+"""
+
+
 def q_f8_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated (NOT) EXISTS — Catalyst rewrites both to semi/anti
     hash joins on o_custkey (never a per-row subquery): customers with
@@ -1925,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_percentiles": q_f8_percentiles,
         "f8_exists": q_f8_exists,
         "f8_string_agg": q_f8_string_agg,
+        "f8_range_window": q_f8_range_window,
+        "f8_lateral": q_f8_lateral,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
@@ -1987,6 +2051,8 @@ def oracle_sql() -> dict[str, str]:
         "f8_percentiles": _F8_PCT_ORACLE,
         "f8_exists": _F8_EXISTS_ORACLE,
         "f8_string_agg": _F8_STRAGG_ORACLE,
+        "f8_range_window": _F8_RANGE_WINDOW_ORACLE,
+        "f8_lateral": _F8_LATERAL_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),
