@@ -1352,6 +1352,96 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token document chunking with overlap (functions/text.py
+    chunk_documents) — the pre-training/RAG chunking step. Map-only:
+    no join, no shuffle; the oracle replays start positions with
+    generate_series and list slicing."""
+    from embeddinghub_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+gs AS (
+  SELECT doc_id, t,
+         UNNEST(range(1, greatest(n - 8, 1) + 1, 24)) AS start
+  FROM nz
+),
+starts AS (
+  SELECT doc_id, t, start,
+         CAST(floor((start - 1) / 24) AS INTEGER) AS chunk_id
+  FROM gs
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[start:start+31], ' ') AS chunk_text,
+       CAST(len(t[start:start+31]) AS INTEGER) AS chunk_n_tokens
+FROM starts
+"""
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (functions/text.py tf_idf): smoothed-idf term
+    relevance over the documents table."""
+    from embeddinghub_spark.functions.text import tf_idf
+
+    return tf_idf(_t(spark, sf_dir, "documents"))
+
+
+_TF_IDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != ''))
+         AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+       round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+         AS tf_idf
+FROM tf JOIN dfreq USING (word) CROSS JOIN n
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (operators/split.py
+    stratified_sample): cap order-status classes at different rates via
+    the md5 hash protocol — the exact kept-row set is replayable in the
+    oracle, unlike RNG-based sampleBy."""
+    from embeddinghub_spark.operators.split import stratified_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        orders,
+        "o_orderstatus",
+        {"O": 0.2, "F": 0.05, "P": 1.0},
+        key_cols=["o_orderkey"],
+        seed=42,
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+_STRAT_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(('0x' || substr(md5(concat(CAST(o_orderkey AS VARCHAR), '|', '42')),
+                              1, 7)) AS BIGINT) / 268435456.0 AS uhash
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM u
+WHERE uhash < CASE o_orderstatus
+              WHEN 'O' THEN 0.2 WHEN 'F' THEN 0.05 WHEN 'P' THEN 1.0 END
+"""
+
+
 def q_f8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT via the DataFrame API (groupBy().pivot() with an explicit
     value list — the form that avoids the extra distinct-values job and
@@ -1989,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_string_agg": q_f8_string_agg,
         "f8_range_window": q_f8_range_window,
         "f8_lateral": q_f8_lateral,
+        "chunk_documents": q_chunk_documents,
+        "tf_idf": q_tf_idf,
+        "stratified_sample": q_stratified_sample,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
@@ -2053,6 +2146,9 @@ def oracle_sql() -> dict[str, str]:
         "f8_string_agg": _F8_STRAGG_ORACLE,
         "f8_range_window": _F8_RANGE_WINDOW_ORACLE,
         "f8_lateral": _F8_LATERAL_ORACLE,
+        "chunk_documents": _CHUNK_ORACLE,
+        "tf_idf": _TF_IDF_ORACLE,
+        "stratified_sample": _STRAT_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),

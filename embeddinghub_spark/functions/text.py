@@ -148,6 +148,92 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the
+    standard pre-training/RAG document chunking step.
+
+    Chunk i covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; start positions run while
+    ``start ≤ max(n_tokens − overlap, 1)``, which guarantees full
+    coverage of the tail without ever emitting a chunk whose tokens
+    are all contained in the previous one. Docs with no tokens emit
+    zero chunks (explode of an empty start list).
+
+    Map-only: tokenize → ``sequence`` of starts → ``posexplode`` →
+    ``slice``/``array_join`` — no join, no shuffle, embarrassingly
+    parallel over documents. slice/array_join/sequence are ordinary
+    codegen expressions (not lambda HOFs).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.col("_toks")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .filter(F.size(toks) > 0)
+        .select(F.col(id_col), toks, F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(
+                F.slice(toks, F.col("_start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, F.col("_start"), chunk_tokens)).alias(
+                "chunk_n_tokens"
+            ),
+        )
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(document, term) TF-IDF: ``tf · (ln((N+1)/(df+1)) + 1)``
+    (smoothed idf, sklearn's formula) — corpus relevance scoring for
+    training-data selection/weighting.
+
+    Plan shape: explode → per-(doc, term) count (partial aggregation
+    collapses repeated terms inside each map task, so the exchange
+    carries distinct pairs, not tokens) → document-frequency aggregate
+    over the pair set (already word-partitioned work) → join back on
+    term. The doc-frequency side is vocabulary-sized; the join is left
+    to Catalyst/AQE, which broadcasts it while it fits and falls back
+    to a word-partitioned shuffle join when a 100 TB vocabulary does
+    not — forcing ``broadcast()`` here would be an OOM at scale.
+
+    N (corpus size) is a bounded scalar computed up front, like the
+    watermark scalars elsewhere. Scores are rounded to 6 decimals so
+    libm ``ln`` ulp differences can't leak across engines.
+    """
+    n_docs = df.count()
+    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs) + 1.0)) / (F.col("df").cast("double") + F.lit(1.0))
+    ) + F.lit(1.0)
+    return tf.join(dfreq, "word").select(
+        F.col(id_col),
+        F.col("word"),
+        F.col("tf"),
+        F.col("df"),
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tf_idf"),
+    )
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -75,3 +75,41 @@ def train_test_split(
     train = marked.filter(F.col("is_test") == 0).drop("is_test")
     test = marked.filter(F.col("is_test") == 1).drop("is_test")
     return train, test
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — class-balanced
+    corpus downsampling (e.g. cap over-represented languages/sources
+    in a training mix).
+
+    A row is kept iff ``u < fractions[stratum]`` where ``u`` is a
+    28-bit uniform derived from ``md5(keys|seed)`` — the repo's
+    standard cross-engine hash protocol, so the EXACT sample (not just
+    its size) is replayable in any md5-bearing engine and stable
+    across runs, partitionings, and cluster sizes; rows whose stratum
+    is absent from ``fractions`` are dropped. Unlike ``df.sampleBy``
+    (seeded per-partition RNG), the result does not change when the
+    input repartitions — at 100 TB that property is what makes the
+    sample reproducible at all. Map-only: one scan-adjacent filter,
+    zero shuffles.
+    """
+    u = (
+        F.conv(F.substring(_row_hash(key_cols, seed), 1, 7), 16, 10).cast(
+            "bigint"
+        )
+        / F.lit(float(1 << 28))
+    )
+    frac = F.create_map(
+        *[
+            c
+            for k, v in sorted(fractions.items())
+            for c in (F.lit(k), F.lit(float(v)))
+        ]
+    )[F.col(strata_col)]
+    return df.filter(u < frac)

@@ -201,3 +201,61 @@ def test_word_set_pattern_parity_with_token_filter(spark):
     for r in ref.collect():
         assert r["nt"] == r["nt_ref"], r
         assert r["sw"] == r["sw_ref"], r
+
+
+def test_chunk_documents_boundaries(spark):
+    """Coverage and no-redundant-tail invariants: every token lands in
+    some chunk; a final window fully contained in the previous chunk is
+    never emitted; empty docs emit no chunks."""
+    from embeddinghub_spark.functions.text import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, words(5)),    # shorter than one chunk -> 1 chunk of 5
+        (2, words(8)),    # exactly chunk_tokens -> 1 chunk
+        (3, words(9)),    # one past -> 2 chunks (stride 6)
+        (4, words(10)),   # tail 9..10 inside chunk2's window -> 2 chunks
+        (5, words(14)),   # starts seq(1,12,6)=[1,7]: tail 13-14 is inside chunk 2 -> 2 chunks
+        (6, ""),          # empty -> no chunks
+        (7, "   "),       # whitespace only -> no chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    counts = {}
+    for (d, _c), (n, _t) in got.items():
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {1: 1, 2: 1, 3: 2, 4: 2, 5: 2}
+    assert got[(1, 0)][0] == 5
+    assert got[(3, 1)] == (3, "w6 w7 w8")          # tail covered
+    assert got[(4, 1)][1].endswith("w9")            # last token present
+    # overlap: chunk i starts at i*stride
+    assert got[(3, 1)][1].split()[0] == "w6"
+
+
+def test_stratified_sample_deterministic_and_scoped(spark):
+    """Same seed -> identical sample regardless of partitioning;
+    strata not in the fraction map are dropped; fraction 0 keeps
+    nothing, 1.0 keeps everything."""
+    from embeddinghub_spark.operators.split import stratified_sample
+
+    rows = [(i, "abc"[i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    frac = {"a": 0.3, "b": 1.0}
+    r1 = {r["k"] for r in stratified_sample(df, "s", frac, ["k"]).collect()}
+    r2 = {
+        r["k"]
+        for r in stratified_sample(df.repartition(13), "s", frac, ["k"]).collect()
+    }
+    assert r1 == r2
+    by_s = {"a": 0, "b": 0, "c": 0}
+    for k in r1:
+        by_s["abc"[k % 3]] += 1
+    assert by_s["c"] == 0          # unlisted stratum dropped
+    assert by_s["b"] == 1000       # fraction 1.0 keeps all
+    assert 200 < by_s["a"] < 400   # ~0.3 of 1000
