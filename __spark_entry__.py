@@ -1442,6 +1442,78 @@ WHERE uhash < CASE o_orderstatus
 """
 
 
+_PII_SUFFIX_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com"
+    " or http://site.example/', CAST(doc_id AS STRING),"
+    " ' at 10.0.', CAST(doc_id % 256 AS STRING), '.7 phone +1555000',"
+    " CAST(doc_id % 1000 AS STRING))"
+)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py redact_pii) over documents with
+    a deterministic doc_id-derived PII suffix appended (the synthetic
+    corpus contains none) so every pattern actually fires."""
+    from embeddinghub_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SUFFIX_SQL).alias("text")
+    )
+    return redact_pii(docs)
+
+
+_REDACT_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+                ' or http://site.example/', CAST(doc_id AS VARCHAR),
+                ' at 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 phone +1555000',
+                CAST(doc_id % 1000 AS VARCHAR)) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
+         '\+?[0-9][0-9()\-]{7,}[0-9]', '<PHONE>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_url,
+       CAST(len(regexp_extract_all(text,
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '\+?[0-9][0-9()\-]{7,}[0-9]')) AS INTEGER) AS n_phone
+FROM docs
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-repetition quality signals (functions/text.py
+    repetition_stats): Gopher-style distinct-token ratio and
+    top-token frequency fraction per document."""
+    from embeddinghub_spark.functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_REPET_ORACLE = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != ''))
+         AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM words GROUP BY doc_id, tok)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(COUNT(*) / SUM(tf), 6) AS distinct_ratio,
+       round(MAX(tf) / SUM(tf), 6) AS top_token_frac
+FROM tf GROUP BY doc_id
+"""
+
+
 def q_f8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT via the DataFrame API (groupBy().pivot() with an explicit
     value list — the form that avoids the extra distinct-values job and
@@ -2082,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tf_idf": q_tf_idf,
         "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
@@ -2149,6 +2223,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_ORACLE,
         "tf_idf": _TF_IDF_ORACLE,
         "stratified_sample": _STRAT_ORACLE,
+        "redact_pii": _REDACT_ORACLE,
+        "repetition_stats": _REPET_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),

@@ -196,6 +196,61 @@ def chunk_documents(
     )
 
 
+# PII patterns pinned to ASCII classes + quantifiers only, so Java
+# regex (Spark) and RE2 (DuckDB/oracle) agree byte-for-byte. Applied
+# longest-context first (emails before bare hosts, URLs before IPs
+# inside them is irrelevant since replacement order is fixed).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^ ]+"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("phone", r"\+?[0-9][0-9()\-]{7,}[0-9]"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails/URLs/IPv4s/phone-shaped runs from a text column,
+    emitting the redacted text plus per-category match counts (the
+    counts run on the ORIGINAL text, before any replacement could
+    shadow a later pattern). Pure codegen regexp expressions — map
+    only, no shuffle, linear over the corpus.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col), redacted.alias("redacted_text"), *counts
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word-repetition quality signals (the Gopher/RefinedWeb filter
+    family, word-level): per doc — token count, distinct-token ratio,
+    and the frequency fraction of the most repeated token. Highly
+    repetitive machine-generated text scores low distinct_ratio /
+    high top_token_frac and gets filtered before training.
+
+    Plan: explode → (doc, token) counts (map-side partial aggregation
+    collapses repeats in-task) → per-doc aggregate. Both exchanges
+    carry distinct pairs / docs, never raw tokens.
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = words.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    return tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.count("*") / F.sum("tf"), 6).alias("distinct_ratio"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_token_frac"),
+    )
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",
