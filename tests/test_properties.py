@@ -151,3 +151,50 @@ def test_train_test_split_partitions_deterministically(spark, n, test_size, seed
     assert not (ids_tr & ids_te)
     assert ids_tr == {r["id"] for r in tr2.collect()}
     assert ids_te == {r["id"] for r in te2.collect()}
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    chunk=st.integers(min_value=2, max_value=24),
+    overlap=st.integers(min_value=0, max_value=23),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_properties(spark, n_tokens, chunk, overlap):
+    """Invariants for any (n, chunk_tokens, overlap):
+    1) every token index is covered by some chunk;
+    2) chunk i starts exactly at i·stride (starts strictly increase);
+    3) no chunk's token window is contained in another's;
+    4) every chunk has between 1 and chunk_tokens tokens;
+    5) n == 0 emits no chunks.
+    """
+    from hypothesis import assume
+
+    from embeddinghub_spark.functions.text import chunk_documents
+
+    assume(overlap < chunk)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"].split(" "), r["chunk_n_tokens"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    if n_tokens == 0:
+        assert out == []
+        return
+    stride = chunk - overlap
+    covered = set()
+    windows = []
+    for i, (cid, toks, n) in enumerate(out):
+        assert cid == i
+        start = i * stride          # 0-based
+        assert toks[0] == f"t{start}"
+        assert 1 <= n <= chunk and len(toks) == n
+        windows.append((start, start + n - 1))
+        covered.update(range(start, start + n))
+    assert covered == set(range(n_tokens))
+    for a in windows:
+        for b in windows:
+            if a is not b:
+                assert not (a[0] >= b[0] and a[1] <= b[1]), (a, b, out)
