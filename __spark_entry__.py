@@ -1514,6 +1514,72 @@ FROM tf GROUP BY doc_id
 """
 
 
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score + min-max scaling of customer balances
+    (operators/batch.py scale_features): grouped stats aggregate +
+    AQE-broadcast join back — never a low-cardinality window."""
+    from embeddinghub_spark.operators.batch import scale_features
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return scale_features(cust, "c_acctbal", ["c_nationkey"])
+
+
+_SCALE_ORACLE = """
+WITH stats AS (
+  SELECT c_nationkey, avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd,
+         min(c_acctbal) AS mn, max(c_acctbal) AS mx
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c.c_nationkey, c_acctbal,
+       round(CASE WHEN sd > 0 THEN (c_acctbal - mu) / sd END, 6)
+         AS c_acctbal_zscore,
+       round(CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) END, 6)
+         AS c_acctbal_minmax
+FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/batch.py salted_join): lineitem ⋈
+    supplier on suppkey with an 8-way salt, aggregated to revenue per
+    supplier nation. The oracle is the PLAIN join — salting must be
+    result-invisible."""
+    from embeddinghub_spark.operators.batch import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, sup.withColumnRenamed("s_suppkey", "l_suppkey"), ["l_suppkey"]
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 10000)"
+                    " as bigint)"
+                )
+            )
+            / 10000.0
+        ).alias("revenue"),
+    )
+
+
+_SALTED_ORACLE = """
+SELECT s_nationkey, COUNT(*) AS n_items,
+       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_f8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT via the DataFrame API (groupBy().pivot() with an explicit
     value list — the form that avoids the extra distinct-values job and
@@ -2156,6 +2222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
+        "feature_scaling": q_feature_scaling,
+        "salted_join": q_salted_join,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
@@ -2225,6 +2293,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRAT_ORACLE,
         "redact_pii": _REDACT_ORACLE,
         "repetition_stats": _REPET_ORACLE,
+        "feature_scaling": _SCALE_ORACLE,
+        "salted_join": _SALTED_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),

@@ -52,3 +52,77 @@ def batch_features(
     return acc.withColumnRenamed(f"_e{idx}", "entity").select(
         "entity", *[c for c in acc.columns if c != f"_e{idx}"]
     )
+
+
+def scale_features(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group z-score and min-max scaling of a numeric feature —
+    the standard batch normalization step before training.
+
+    Plan: one grouped aggregate (map-side partial) computes
+    (mean, stddev_samp, min, max) per group — a stats table bounded by
+    |groups| — then a join back that AQE broadcasts while it fits.
+    Never a per-row window over the full table: a window partitioned
+    by a low-cardinality group key would put entire groups on single
+    reducers (the skew the aggregate+broadcast-join shape avoids).
+
+    Degenerate groups pin conventions: zero stddev → z = NULL;
+    constant min==max → minmax = NULL. Results rounded so engines
+    agree to the digit.
+    """
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*gcols).agg(
+        F.avg(v).alias("_mu"),
+        F.stddev_samp(v).alias("_sd"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+    )
+    joined = df.join(stats, gcols) if gcols else df.crossJoin(stats)
+    z = F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd"))
+    mm = F.when(
+        F.col("_mx") > F.col("_mn"),
+        (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+    )
+    return joined.select(
+        *df.columns,
+        F.round(z, decimals).alias(f"{value_col}_zscore"),
+        F.round(mm, decimals).alias(f"{value_col}_minmax"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join, result-identical to
+    ``big.join(small, on, how)`` (pinned by oracle): the big side gets
+    a deterministic salt in [0, n_salts) hashed from ALL its columns,
+    the small side is exploded ×n_salts, and the join key becomes
+    (on…, salt) — a hot key's rows spread over n_salts reducers
+    instead of one.
+
+    This is the manual fallback for engines/paths where AQE's runtime
+    skew-join split can't help (e.g. a skewed key feeding a
+    sort-merge join whose partitions AQE won't subdivide, or
+    pre-AQE clusters). Cost: the small side is replicated n_salts× —
+    keep it the dimension side. ``how`` supports inner/left (the
+    salted small side never introduces or drops matches: every
+    (key, salt) pair exists on the small side)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, on + ["_salt"], how).drop("_salt")

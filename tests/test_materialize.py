@@ -71,3 +71,39 @@ def test_chunking(spark):
     assert c2.count() == 50
     total = sum(chunk(numbered, i, 100).count() for i in range(3))
     assert total == 250
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invisible for inner AND left joins,
+    including unmatched left rows and duplicate keys on both sides."""
+    from embeddinghub_spark.operators.batch import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "hot", f"k{i % 7}")]
+        + [("orphan", 999)],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("hot", 2.0)] + [(f"k{j}", float(j)) for j in range(5)],
+        ["k", "dim"],
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(big, small, ["k"], n_salts=4, how=how).collect())
+        )
+        want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        assert got == want and len(got) > 0
+
+
+def test_scale_features_degenerate_groups(spark):
+    """Zero-variance group -> NULL zscore/minmax; normal group scales."""
+    from embeddinghub_spark.operators.batch import scale_features
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)], ["g", "x"]
+    )
+    out = {(r["g"], r["x"]): (r["x_zscore"], r["x_minmax"])
+           for r in scale_features(df, "x", ["g"]).collect()}
+    assert out[("b", 5.0)] == (None, None)
+    assert out[("a", 1.0)][1] == 0.0 and out[("a", 3.0)][1] == 1.0
+    assert abs(out[("a", 3.0)][0] - 0.707107) < 1e-6
