@@ -631,11 +631,16 @@ def connected_components(
             edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # NO distinct here: small_star's min-aggregate is duplicate-
+        # insensitive and the round ends in ONE distinct after
+        # small_star — deduping twice per round paid an extra |E|
+        # shuffle for nothing. Intermediate duplication is bounded by
+        # |sym| = 2|E| (each sym row yields ≤ 1 output). The (u > v)
+        # invariant small_star needs still holds: v_out = m ≤ u < u_out.
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))  # hang LARGER neighbors off m
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(edges_uv: DataFrame) -> DataFrame:
