@@ -1,0 +1,173 @@
+"""Embedding-column transforms for training-data pipelines (beyond the
+reference's vector surface — BASELINE.json north star; the reference's
+embedding ops are store/lookup/kNN, `embeddinghub/embeddingstore/
+embedding_store.cc:55-112` — these are the batch *preparation* steps a
+Spark corpus pipeline needs before those stores are loaded).
+
+All JVM-side. With ``dim`` known (the normal case — embedding columns
+are fixed-dimension by contract, `provider/types/value_type.go:96-100`)
+every element expression is unrolled into whole-stage codegen through
+one parsed SQL string; the generic fallbacks use posexplode/aggregate.
+
+Float protocol: arithmetic accumulates in DOUBLE, strictly
+left-to-right where order matters (norms, projections), so results
+replay bit-identically in any engine that parses the same expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.functions.vector import (
+    _bq,
+    _dot_lit_sql,
+    _sq_norm_sql,
+    random_hyperplanes,
+)
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Per-group mean embedding (average pooling) — class prototypes
+    for nearest-class-mean labeling, cluster summaries, topic vectors.
+
+    With ``dim`` known: one hash aggregate computing ``dim`` per-group
+    ``avg(vec[i])`` columns, reassembled into an array. Map-side
+    partial aggregation collapses each task's rows before the
+    exchange, so the shuffle carries O(groups × tasks) rows of ``dim``
+    doubles — never the corpus. A whale group combines in-task exactly
+    like C3's max(struct) rewrite; no skew handling needed.
+
+    Unknown ``dim`` falls back to posexplode → (group, pos) avg →
+    array_sort reassembly (the ``kmeans_centroids`` shape): two
+    exchanges, still partial-aggregated, volume |rows|·dim scalars.
+
+    Output: (group_col, n_members, out_col: array<double>).
+    """
+    if dim is not None:
+        qv = _bq(vec_col)
+        avgs = [
+            F.expr(f"avg(cast({qv}[{i}] as double))").alias(f"_m{i}")
+            for i in range(dim)
+        ]
+        agg = df.groupBy(group_col).agg(
+            F.count("*").alias("n_members"), *avgs
+        )
+        return agg.select(
+            group_col,
+            "n_members",
+            F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(out_col),
+        )
+    exploded = df.select(
+        F.col(group_col), F.posexplode(vec_col).alias("pos", "x")
+    )
+    by_pos = exploded.groupBy(group_col, "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        by_pos.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_members"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_pm"),
+        )
+        .select(
+            group_col,
+            "n_members",
+            F.expr("transform(_pm, s -> s.m)").alias(out_col),
+        )
+    )
+
+
+def normalize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    out_col: str = "unit_vec",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors turn cosine into
+    dot product — the standard pre-index step). All-zero vectors map
+    to NULL rather than NaN-filled arrays. Map-only projection; with
+    ``dim`` known both the norm and the per-element divides are one
+    unrolled codegen expression."""
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    if dim is not None:
+        qv = _bq(vec_col)
+        norm_sql = f"sqrt({_sq_norm_sql(vec_col, dim)})"
+        arr_sql = (
+            "array("
+            + ", ".join(
+                f"cast({qv}[{i}] as double) / _nrm" for i in range(dim)
+            )
+            + ")"
+        )
+        return (
+            df.select(*keep, F.col(vec_col), F.expr(norm_sql).alias("_nrm"))
+            .select(
+                *keep,
+                F.when(F.col("_nrm") > 0, F.expr(arr_sql)).alias(out_col),
+            )
+        )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+    )
+    return (
+        df.select(*keep, F.col(vec_col), nrm.alias("_nrm"))
+        .select(*keep, F.when(F.col("_nrm") > 0, unit).alias(out_col))
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 11,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: dim → out_dim via a
+    deterministic pseudo-random plane matrix (the same LCG generator
+    the LSH family uses, so the matrix is replayable anywhere from
+    (dim, out_dim, seed)). Scaled by 1/sqrt(out_dim) — the JL scaling
+    that preserves expected pairwise distances.
+
+    Map-only: ``out_dim`` unrolled dot-against-literal expressions per
+    row, zero shuffles — dimensionality reduction of a 100 TB corpus
+    is embarrassingly parallel, and downstream stages (kNN, LSH,
+    clustering) run on out_dim/dim of the bytes.
+    """
+    planes = random_hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    proj = [
+        F.expr(f"({_dot_lit_sql(vec_col, p, dim)}) * {scale!r}D").alias(
+            f"_p{j}"
+        )
+        for j, p in enumerate(planes)
+    ]
+    staged = df.select(*keep, *proj)
+    return staged.select(
+        *keep,
+        F.array(*[F.col(f"_p{j}") for j in range(out_dim)]).alias(out_col),
+    )

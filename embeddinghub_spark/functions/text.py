@@ -289,6 +289,260 @@ def tf_idf(
     )
 
 
+# Gopher/RefinedWeb-style quality-filter rule set (word-level — the
+# line-level rules need multi-line docs; the corpus tokenizer contract
+# here is the pinned single-space split). Thresholds are the operator's
+# parameters; these defaults follow the published Gopher ranges scaled
+# to short synthetic docs.
+QUALITY_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_symbol_ratio": 0.2,
+    "min_stopword_frac": 0.01,
+    "max_top_token_frac": 0.2,
+    "min_distinct_ratio": 0.3,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: dict | None = None,
+) -> DataFrame:
+    """Composite document quality filter (the Gopher rule family):
+    per doc — the measured signals, a ``keep`` verdict, and a
+    comma-joined ``fail_reasons`` string naming every violated rule.
+
+    Signals split into two cost classes, computed in two branches and
+    joined on the doc key:
+
+    - map-only codegen regexp/length expressions (token count, mean
+      word length, symbol ratio, stopword fraction) — no shuffle;
+    - repetition signals (distinct-token ratio, top-token fraction)
+      via explode → (doc, token) count → per-doc aggregate, the same
+      partial-aggregation-friendly shape as ``repetition_stats`` —
+      both exchanges carry distinct pairs/docs, never raw tokens.
+
+    The join is keyed on the doc id (both sides already aggregated to
+    one row per doc); a doc with zero tokens has no repetition rows —
+    left join + defaults keep it (it already fails ``min_tokens``).
+    Ratios rounded to 6 decimals for cross-engine replay.
+    """
+    r = {**QUALITY_RULES, **(rules or {})}
+    n_tok = token_count(text_col).cast("double")
+    n_char_ns = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+    n_punct = punct_count(text_col).cast("double")
+    n_stop = stopword_count(text_col).cast("double")
+    base = df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, n_char_ns / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(n_char_ns > 0, n_punct / n_char_ns).otherwise(F.lit(0.0)), 6
+        ).alias("symbol_ratio"),
+        F.round(
+            F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_frac"),
+    )
+    rep = repetition_stats(df, text_col, id_col).select(
+        F.col(id_col), "distinct_ratio", "top_token_frac"
+    )
+    joined = base.join(rep, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "stopword_frac",
+        F.coalesce(F.col("distinct_ratio"), F.lit(1.0)).alias("distinct_ratio"),
+        F.coalesce(F.col("top_token_frac"), F.lit(0.0)).alias("top_token_frac"),
+    )
+    checks = [
+        ("too_short", F.col("n_tokens") < r["min_tokens"]),
+        ("too_long", F.col("n_tokens") > r["max_tokens"]),
+        (
+            "word_len",
+            (F.col("mean_word_len") < r["min_mean_word_len"])
+            | (F.col("mean_word_len") > r["max_mean_word_len"]),
+        ),
+        ("symbols", F.col("symbol_ratio") > r["max_symbol_ratio"]),
+        ("stopwords", F.col("stopword_frac") < r["min_stopword_frac"]),
+        ("repetition", F.col("top_token_frac") > r["max_top_token_frac"]),
+        ("low_diversity", F.col("distinct_ratio") < r["min_distinct_ratio"]),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    keep = ~checks[0][1]
+    for _, cond in checks[1:]:
+        keep = keep & ~cond
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "stopword_frac",
+        "distinct_ratio",
+        "top_token_frac",
+        keep.alias("keep"),
+        reasons.alias("fail_reasons"),
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget output shards — the
+    training-data shard-writer step (pack a corpus into ~equal-token
+    files in a deterministic order).
+
+    Semantics: docs are laid out end-to-end in ``id_col`` order; a
+    doc's shard is ``floor(start_offset / shard_tokens)`` where
+    ``start_offset`` is the running token total of all earlier docs.
+    Every shard holds ≤ ``shard_tokens`` + one straddling doc — the
+    standard start-offset packing (exact greedy bin packing is a
+    sequential recurrence; start-offset packing is the
+    prefix-sum-parallel form used by shard writers).
+
+    Scale shape: a naive ``sum() OVER (ORDER BY id)`` collapses to ONE
+    partition. Instead this reuses the C5 machinery: range-partition on
+    the id, per-partition running sums, then add the exclusive prefix
+    sum of per-partition totals (a bounded driver-side list folded in
+    as a literal array) — fully parallel, same result.
+
+    Output: (id, n_tokens, start_offset, shard_id, shard_pos).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    with_tok = df.select(
+        F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens")
+    )
+    ranged = with_tok.repartitionByRange(n, F.col(id_col)).localCheckpoint(
+        eager=True
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_end", F.sum("n_tokens").over(w))
+    totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).orderBy(
+        "_pid"
+    ).collect()  # one row per partition — bounded at any scale
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["_pid"]] = acc
+        acc += row["t"]
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)).cast("bigint") for i in range(n)]
+    )
+    start = (
+        F.col("_local_end")
+        + F.element_at(offset_arr, F.col("_pid") + 1)
+        - F.col("n_tokens")
+    )
+    return (
+        local.withColumn("start_offset", start)
+        .withColumn(
+            "shard_id", F.expr(f"start_offset DIV {int(shard_tokens)}")
+        )
+        .withColumn(
+            "shard_pos", F.col("start_offset") % F.lit(int(shard_tokens))
+        )
+        .select(id_col, "n_tokens", "start_offset", "shard_id", "shard_pos")
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide word n-gram frequencies — the building block for
+    n-gram LM scoring, contamination checks, and boilerplate mining.
+
+    Map side: tokenize, ``posexplode`` the n-gram start positions, and
+    ``array_join(slice(...))`` each window — sequence/slice/array_join
+    are ordinary codegen expressions, not lambda HOFs, and the explode
+    is the unavoidable output fan-out (one row per n-gram occurrence).
+    Reduce side: one groupBy on the n-gram string; partial aggregation
+    collapses each map task's repeats before the exchange, so the wire
+    carries distinct (task, ngram) pairs — the classic word-count
+    shape, linear at any corpus size.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.col("_toks")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1), F.lit(1))
+    return (
+        df.select(tokens(text_col).alias("_toks"))
+        .filter(F.size(toks) >= n)
+        .select(F.explode(starts).alias("_start"), toks)
+        .select(
+            F.array_join(F.slice(toks, F.col("_start"), n), " ").alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus n-grams, deterministically ordered (count desc,
+    ngram asc — a total order, so the k-boundary is stable across
+    engines). orderBy+limit compiles to TakeOrdered: per-partition
+    top-k then a driver merge of k-sized heaps — no global sort."""
+    return (
+        ngram_counts(df, n, text_col, id_col)
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+# Markup patterns pinned to ASCII, no backreferences — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB).
+HTML_TAG_PATTERN = r"<[^>]*>"
+URL_PATTERN = r"https?://[^ ]+"
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Strip HTML tags and URLs from a text column (the web-corpus
+    cleaning step), emitting the cleaned text plus per-category match
+    counts measured on the ORIGINAL text. Tag removal runs before URL
+    removal; whitespace is collapsed afterwards so downstream token
+    counts see the same contract as raw text. Pure codegen regexp
+    projection — map-only, no shuffle."""
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(c, HTML_TAG_PATTERN, " ")
+    cleaned = F.regexp_replace(cleaned, URL_PATTERN, " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, r" +", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        F.regexp_count(c, F.lit(HTML_TAG_PATTERN)).alias("n_tags"),
+        F.regexp_count(c, F.lit(URL_PATTERN)).alias("n_urls"),
+    )
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,147 @@
+"""Unit tests for the round-3 training-pipeline additions: quality
+filtering, token-shard packing, n-gram counting, markup stripping, and
+the embedding-column transforms."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.functions.embeddings import (
+    group_centroids,
+    normalize_vectors,
+    random_projection,
+)
+from embeddinghub_spark.functions.text import (
+    pack_token_shards,
+    quality_filter,
+    strip_markup,
+    top_ngrams,
+)
+
+
+def _docs(spark):
+    long_ok = (
+        "the quick brown fox jumps over a lazy dog and then runs far away "
+        "to find more food while birds sing songs in tall trees near calm "
+        "rivers during warm summer days"
+    )
+    return spark.createDataFrame(
+        [
+            (1, long_ok),                               # passes everything
+            (2, "short text"),                          # too_short
+            (3, ("spam " * 48).strip()),                # repetition + stopwords
+            (4, ("a@# b@# c@# " * 16).strip()),         # symbols
+            (5, ""),                                    # empty
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_quality_filter_rules(spark):
+    out = {r["doc_id"]: r for r in quality_filter(_docs(spark)).collect()}
+    assert out[1]["keep"] is True and out[1]["fail_reasons"] == ""
+    assert out[2]["keep"] is False
+    assert "too_short" in out[2]["fail_reasons"]
+    assert out[3]["keep"] is False
+    assert "repetition" in out[3]["fail_reasons"]
+    assert "low_diversity" in out[3]["fail_reasons"]
+    assert out[4]["keep"] is False
+    assert "symbols" in out[4]["fail_reasons"]
+    # empty doc: no repetition rows — defaults keep it measurable
+    assert out[5]["keep"] is False
+    assert out[5]["n_tokens"] == 0
+    assert out[5]["distinct_ratio"] == 1.0
+
+
+def test_quality_filter_custom_rules(spark):
+    relaxed = {r["doc_id"]: r for r in quality_filter(
+        _docs(spark), rules={"min_tokens": 2, "min_stopword_frac": 0.0,
+                             "max_top_token_frac": 1.0, "min_distinct_ratio": 0.0}
+    ).collect()}
+    assert relaxed[2]["keep"] is True
+
+
+def test_pack_token_shards(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(1, 30), (2, 30), (3, 30), (4, 30), (5, 150), (6, 10)]],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           pack_token_shards(df, shard_tokens=100).collect()}
+    # offsets are the exclusive running sum in doc_id order
+    assert [out[i]["start_offset"] for i in range(1, 7)] == [0, 30, 60, 90, 120, 270]
+    assert [out[i]["shard_id"] for i in range(1, 7)] == [0, 0, 0, 0, 1, 2]
+    assert out[4]["shard_pos"] == 90  # straddles into shard 1's budget
+    # partition-count independence: same result with a different layout
+    out3 = {r["doc_id"]: r for r in
+            pack_token_shards(df, shard_tokens=100, num_partitions=3).collect()}
+    assert all(out[i]["shard_id"] == out3[i]["shard_id"] for i in out)
+
+
+def test_top_ngrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x"), (3, "")], ["doc_id", "text"]
+    )
+    rows = top_ngrams(df, n=2, k=3).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in rows] == [
+        ("a b", 3), ("b c", 1), ("b x", 1)  # ties broken by ngram asc
+    ]
+
+
+def test_strip_markup(spark):
+    df = spark.createDataFrame(
+        [(1, '<p class="x">hello <b>world</b></p> see https://ex.com/a now'),
+         (2, "plain text")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in strip_markup(df).collect()}
+    assert out[1]["clean_text"] == "hello world see now"
+    assert out[1]["n_tags"] == 4 and out[1]["n_urls"] == 1
+    assert out[2]["clean_text"] == "plain text"
+    assert out[2]["n_tags"] == 0 and out[2]["n_urls"] == 0
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [(1, [3.0, 4.0], "a"), (2, [1.0, 0.0], "a"),
+         (3, [0.0, 2.0], "b"), (4, [0.0, 0.0], "b")],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+@pytest.mark.parametrize("dim", [2, None])
+def test_group_centroids(spark, dim):
+    out = {r["label"]: r for r in
+           group_centroids(_vecs(spark), "label", dim=dim).collect()}
+    assert out["a"]["n_members"] == 2
+    assert out["a"]["centroid"] == [2.0, 2.0]
+    assert out["b"]["centroid"] == [0.0, 1.0]
+
+
+@pytest.mark.parametrize("dim", [2, None])
+def test_normalize_vectors(spark, dim):
+    out = {r["vec_id"]: r for r in
+           normalize_vectors(_vecs(spark), dim=dim).collect()}
+    assert out[1]["unit_vec"] == pytest.approx([0.6, 0.8])
+    assert out[2]["unit_vec"] == [1.0, 0.0]
+    assert out[4]["unit_vec"] is None  # zero vector -> NULL, not NaN
+
+
+def test_random_projection_preserves_shape(spark):
+    out = random_projection(_vecs(spark), dim=2, out_dim=2).collect()
+    by_id = {r["vec_id"]: r["projected"] for r in out}
+    assert all(len(v) == 2 for v in by_id.values())
+    # deterministic: same seed -> same values
+    again = {r["vec_id"]: r["projected"] for r in
+             random_projection(_vecs(spark), dim=2, out_dim=2).collect()}
+    assert by_id == again
+    # linearity: projection of the zero vector is zero
+    assert by_id[4] == [0.0, 0.0]
+    # scaled dot against the literal matrix matches a python replay
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+    planes = random_hyperplanes(2, 2, seed=11)
+    scale = 1.0 / math.sqrt(2.0)
+    expect = [sum(a * b for a, b in zip([3.0, 4.0], p)) * scale for p in planes]
+    assert by_id[1] == pytest.approx(expect)
