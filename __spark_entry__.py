@@ -1580,6 +1580,366 @@ GROUP BY s_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Training-pipeline quality / packing / embedding-transform operators
+# (functions/text.py + functions/embeddings.py — BASELINE.json north
+# star additions, round 3 continuation)
+# --------------------------------------------------------------------------
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style document quality filter (functions/
+    text.py quality_filter): measured signals + keep verdict +
+    named fail reasons, map-only regexp branch ⋈ repetition branch."""
+    from embeddinghub_spark.functions.text import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    from embeddinghub_spark.functions.text import QUALITY_RULES, STOPWORDS
+
+    r = QUALITY_RULES
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    checks = [
+        ("too_short", f"n_tokens < {r['min_tokens']}"),
+        ("too_long", f"n_tokens > {r['max_tokens']}"),
+        (
+            "word_len",
+            f"(mean_word_len < {r['min_mean_word_len']!r}"
+            f" OR mean_word_len > {r['max_mean_word_len']!r})",
+        ),
+        ("symbols", f"symbol_ratio > {r['max_symbol_ratio']!r}"),
+        ("stopwords", f"stopword_frac < {r['min_stopword_frac']!r}"),
+        ("repetition", f"top_token_frac > {r['max_top_token_frac']!r}"),
+        ("low_diversity", f"distinct_ratio < {r['min_distinct_ratio']!r}"),
+    ]
+    reasons = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in checks
+    )
+    keep = " AND ".join(f"NOT ({cond})" for _, cond in checks)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS chars_ns,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+              AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains([{sw}], lower(t)))) AS DOUBLE)
+           AS n_stop
+  FROM documents),
+words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM words GROUP BY doc_id, tok),
+rep AS (SELECT doc_id, round(COUNT(*) / SUM(tf), 6) AS distinct_ratio,
+               round(MAX(tf) / SUM(tf), 6) AS top_token_frac
+        FROM tf GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id, b.n_tokens,
+         round(CASE WHEN b.n_tokens > 0 THEN b.chars_ns / b.n_tokens ELSE 0.0 END, 6)
+           AS mean_word_len,
+         round(CASE WHEN b.chars_ns > 0 THEN b.n_punct / b.chars_ns ELSE 0.0 END, 6)
+           AS symbol_ratio,
+         round(CASE WHEN b.n_tokens > 0 THEN b.n_stop / b.n_tokens ELSE 0.0 END, 6)
+           AS stopword_frac,
+         coalesce(r.distinct_ratio, 1.0) AS distinct_ratio,
+         coalesce(r.top_token_frac, 0.0) AS top_token_frac
+  FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stopword_frac,
+       distinct_ratio, top_token_frac,
+       ({keep}) AS keep,
+       concat_ws(',', {reasons}) AS fail_reasons
+FROM sig
+"""
+
+
+_SHARD_TOKENS = 500
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (functions/text.py
+    pack_token_shards): start-offset packing over the doc_id order via
+    the C5 range-partition + prefix-sum machinery — never a
+    single-partition global window."""
+    from embeddinghub_spark.functions.text import pack_token_shards
+
+    return pack_token_shards(_t(spark, sf_dir, "documents"), _SHARD_TOKENS)
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(start_offset % {_SHARD_TOKENS} AS BIGINT) AS shard_pos
+FROM s
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k word bigrams (functions/text.py top_ngrams):
+    posexplode windows + word-count groupBy + TakeOrdered top-k with a
+    total-order tiebreak (count desc, ngram asc)."""
+    from embeddinghub_spark.functions.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
+
+
+_NGRAM_ORACLE = """
+WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT array_to_string(toks[i:i+1], ' ') AS ngram
+      FROM t, UNNEST(range(1, len(toks))) r(i)
+      WHERE len(toks) >= 2)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 50
+"""
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/URL markup stripping (functions/text.py strip_markup) over
+    a synthesized web-page wrapping of the documents corpus (the raw
+    corpus is markup-free, so the entry injects a deterministic
+    tag+URL envelope on BOTH engines before stripping)."""
+    from embeddinghub_spark.functions.text import strip_markup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="'), F.col("doc_id").cast("string"), F.lit('">'),
+            F.col("text"),
+            F.lit('</p> see <a href="https://ex.com/'),
+            F.col("doc_id").cast("string"), F.lit('">link</a>'),
+        ).alias("text"),
+    )
+    return strip_markup(docs)
+
+
+_MARKUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text ||
+         '</p> see <a href="https://ex.com/' || CAST(doc_id AS VARCHAR) ||
+         '">link</a>' AS text
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '<[^>]*>', ' ', 'g'), 'https?://[^ ]+', ' ', 'g'), ' +', ' ', 'g'))
+         AS clean_text,
+       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS INTEGER) AS n_tags,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls
+FROM w
+"""
+
+
+# Scaled-int serialization protocol for float-array outputs: per
+# element, floor(x·10⁶ + 0.5) as BIGINT, comma-joined — engine-neutral
+# (no float formatting), and 10⁻⁶ quantization absorbs the ulp-level
+# summation-order differences of parallel aggregation.
+_VEC_SER_SPARK = (
+    "concat_ws(',', transform({col}, x -> "
+    "cast(floor(x * 1000000.0D + 0.5D) as bigint)))"
+)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (functions/embeddings.py
+    group_centroids, unrolled dim-known path): ONE hash aggregate with
+    map-side partials — the exchange carries groups × tasks rows."""
+    from embeddinghub_spark.functions.embeddings import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = group_centroids(emb, "label", dim=_EMB_DIM)
+    return cent.select(
+        "label",
+        "n_members",
+        F.expr(_VEC_SER_SPARK.format(col="centroid")).alias("centroid_s"),
+    )
+
+
+def _centroids_oracle() -> str:
+    return f"""
+WITH p AS (
+  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+  FROM embeddings, UNNEST(range(1, {_EMB_DIM + 1})) r(i)
+  GROUP BY label, i),
+n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM embeddings GROUP BY label)
+SELECT n.label, n.n_members,
+       array_to_string(list(CAST(floor(p.m * 1000000.0 + 0.5) AS BIGINT)
+                            ORDER BY p.i), ',') AS centroid_s
+FROM p JOIN n ON p.label = n.label
+GROUP BY n.label, n.n_members
+"""
+
+
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (functions/embeddings.py normalize_vectors,
+    unrolled codegen path) — map-only, zero shuffles."""
+    from embeddinghub_spark.functions.embeddings import normalize_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    unit = normalize_vectors(emb, dim=_EMB_DIM, keep_cols=["vec_id"])
+    return unit.select(
+        "vec_id",
+        F.expr(_VEC_SER_SPARK.format(col="unit_vec")).alias("unit_s"),
+    )
+
+
+def _normalize_oracle() -> str:
+    # identical left-associative double arithmetic to the Spark
+    # expression (1-based indexing here), so the serialized ints are
+    # exact replays, not just quantization-close
+    sq = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    elems = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) / nrm * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+        for i in range(_EMB_DIM)
+    )
+    return f"""
+WITH n AS (SELECT vec_id, embedding, sqrt({sq}) AS nrm FROM embeddings)
+SELECT vec_id,
+       CASE WHEN nrm > 0 THEN concat_ws(',', {elems}) END AS unit_s
+FROM n
+"""
+
+
+_PROJ_DIM = 8
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 8 (functions/
+    embeddings.py random_projection): deterministic literal plane
+    matrix, map-only unrolled dot products, zero shuffles."""
+    from embeddinghub_spark.functions.embeddings import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = random_projection(
+        emb, dim=_EMB_DIM, out_dim=_PROJ_DIM, keep_cols=["vec_id"]
+    )
+    return proj.select(
+        "vec_id",
+        F.expr(_VEC_SER_SPARK.format(col="projected")).alias("proj_s"),
+    )
+
+
+def _projection_oracle() -> str:
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, _PROJ_DIM, seed=11)
+    scale = 1.0 / float(_PROJ_DIM) ** 0.5
+    elems = ", ".join(
+        "CAST(floor(("
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(p[i])!r}"
+            for i in range(_EMB_DIM)
+        )
+        + f") * {scale!r} * 1000000.0 + 0.5) AS BIGINT)"
+        for p in planes
+    )
+    return f"SELECT vec_id, concat_ws(',', {elems}) AS proj_s FROM embeddings"
+
+
+def q_f8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS rollup over region→nation customer counts —
+    user-SQL passthrough parity (both engines plan one aggregate with
+    grouping-set expansion)."""
+    return spark.sql(
+        f"""
+        SELECT coalesce(r.r_name, 'ALL') AS region,
+               coalesce(n.n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers
+        FROM parquet.`{sf_dir}/customer.parquet` c
+        JOIN parquet.`{sf_dir}/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+        JOIN parquet.`{sf_dir}/region.parquet` r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+        """
+    )
+
+
+_F8_GROUPING_ORACLE = """
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+"""
+
+
+def q_f8_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI join operators (Spark's dedicated join
+    types — the planner's existence-join forms; the oracle spells them
+    as EXISTS / NOT EXISTS, which both planners normalize to the same
+    semi/anti physical joins)."""
+    return spark.sql(
+        f"""
+        SELECT 'with_orders' AS kind, c_custkey
+        FROM parquet.`{sf_dir}/customer.parquet`
+        LEFT SEMI JOIN parquet.`{sf_dir}/orders.parquet` ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'no_orders' AS kind, c_custkey
+        FROM parquet.`{sf_dir}/customer.parquet`
+        LEFT ANTI JOIN parquet.`{sf_dir}/orders.parquet` ON o_custkey = c_custkey
+        """
+    )
+
+
+_F8_SEMI_ANTI_ORACLE = """
+SELECT 'with_orders' AS kind, c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'no_orders' AS kind, c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_f8_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / lead / cume_dist window trio over a unique total order
+    (o_orderdate, o_orderkey) — tie-free, so every rank function is
+    deterministic across engines."""
+    return spark.sql(
+        f"""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               lead(o_orderkey) OVER w AS next_key,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM parquet.`{sf_dir}/orders.parquet`
+        WHERE o_orderstatus = 'P'
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+
+
+_F8_NTILE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       lead(o_orderkey) OVER w AS next_key,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WHERE o_orderstatus = 'P'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_f8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT via the DataFrame API (groupBy().pivot() with an explicit
     value list — the form that avoids the extra distinct-values job and
@@ -2224,6 +2584,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "feature_scaling": q_feature_scaling,
         "salted_join": q_salted_join,
+        "quality_filter": q_quality_filter,
+        "pack_shards": q_pack_shards,
+        "ngram_topk": q_ngram_topk,
+        "strip_markup": q_strip_markup,
+        "embedding_centroids": q_embedding_centroids,
+        "normalize_embeddings": q_normalize_embeddings,
+        "random_projection": q_random_projection,
+        "f8_grouping_sets": q_f8_grouping_sets,
+        "f8_semi_anti": q_f8_semi_anti,
+        "f8_ntile_lead": q_f8_ntile_lead,
         "f8_array_funcs": q_f8_array_funcs,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
@@ -2295,6 +2665,16 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPET_ORACLE,
         "feature_scaling": _SCALE_ORACLE,
         "salted_join": _SALTED_ORACLE,
+        "quality_filter": _quality_oracle(),
+        "pack_shards": _PACK_ORACLE,
+        "ngram_topk": _NGRAM_ORACLE,
+        "strip_markup": _MARKUP_ORACLE,
+        "embedding_centroids": _centroids_oracle(),
+        "normalize_embeddings": _normalize_oracle(),
+        "random_projection": _projection_oracle(),
+        "f8_grouping_sets": _F8_GROUPING_ORACLE,
+        "f8_semi_anti": _F8_SEMI_ANTI_ORACLE,
+        "f8_ntile_lead": _F8_NTILE_ORACLE,
         "f8_array_funcs": _F8_ARRAY_ORACLE,
         "v9_download": _v9_download_oracle(),
         "v9_nearest": _v9_nearest_oracle(),
