@@ -1856,6 +1856,119 @@ def _projection_oracle() -> str:
     return f"SELECT vec_id, concat_ws(',', {elems}) AS proj_s FROM embeddings"
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range/interval join (operators/batch.py interval_join):
+    orders matched into synthetic per-nation campaign windows by order
+    date. The oracle is the plain BETWEEN theta-join — the bucketed
+    equi-join + exact filter must be result-identical; revenue summed
+    via the scaled-bigint protocol."""
+    from embeddinghub_spark.operators.batch import interval_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+    )
+    camp = _t(spark, sf_dir, "nation").select(
+        "n_name",
+        (F.col("n_nationkey") * 90).cast("int").alias("start_d"),
+        (F.col("n_nationkey") * 90 + 180).cast("int").alias("end_d"),
+    )
+    j = interval_join(orders, camp, "d", "start_d", "end_d", bucket_width=128)
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0
+        ).alias("sum_total"),
+    )
+
+
+_INTERVAL_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_totalprice,
+                  datediff('day', DATE '1995-01-01', o_orderdate) AS d
+           FROM orders),
+c AS (SELECT n_name, n_nationkey * 90 AS start_d,
+             n_nationkey * 90 + 180 AS end_d
+      FROM nation)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+FROM o JOIN c ON o.d BETWEEN c.start_d AND c.end_d
+GROUP BY n_name
+"""
+
+
+_MIX_WEIGHTS = {"src0": 0.9, "src1": 0.1}
+_MIX_TARGET = 60
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/split.py sample_mixture):
+    resample sources toward 90/10 target weights with the md5-uniform
+    protocol. src0's demand (54 docs) exceeds its supply (25 at
+    sf0.01) so its rate clamps at 1.0 — the without-replacement
+    best-effort contract, replayed exactly by the oracle."""
+    from embeddinghub_spark.operators.split import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return sample_mixture(
+        docs, "source", _MIX_WEIGHTS, _MIX_TARGET, key_cols=["doc_id"]
+    )
+
+
+def _mixture_oracle() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    wants = ", ".join(
+        f"('{s}', {(_MIX_TARGET * w / total_w)!r})"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH want(source, want_rows) AS (VALUES {wants}),
+cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+rate AS (SELECT w.source, least(1.0, w.want_rows / c.n) AS r
+         FROM want w JOIN cnt c ON w.source = c.source),
+u AS (SELECT doc_id, lang, source, n_chars,
+             CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|', '42')),
+                                  1, 7)) AS BIGINT) / 268435456.0 AS uhash
+      FROM documents)
+SELECT u.doc_id, u.lang, u.source, u.n_chars
+FROM u JOIN rate ON u.source = rate.source
+WHERE u.uhash < rate.r
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check (functions/text.py
+    ngram_contamination): every-20th document plays the eval set;
+    corpus docs sharing ≥2 distinct word trigrams with a benchmark doc
+    are flagged with their overlap counts (self-pairs excluded)."""
+    from embeddinghub_spark.functions.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = ngram_contamination(docs, bench, n=3, min_shared=2)
+    return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+_CONTAM_ORACLE = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+cg AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS gram
+       FROM t, UNNEST(range(1, len(toks) - 1)) r(i)
+       WHERE len(toks) >= 3),
+bg AS (SELECT doc_id AS bench_id, gram FROM cg WHERE doc_id % 20 = 0)
+SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cg c JOIN bg b ON c.gram = b.gram
+WHERE c.doc_id <> b.bench_id
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_f8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS rollup over region→nation customer counts —
     user-SQL passthrough parity (both engines plan one aggregate with
@@ -2591,6 +2704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "normalize_embeddings": q_normalize_embeddings,
         "random_projection": q_random_projection,
+        "interval_join": q_interval_join,
+        "sample_mixture": q_sample_mixture,
+        "contamination": q_contamination,
         "f8_grouping_sets": q_f8_grouping_sets,
         "f8_semi_anti": q_f8_semi_anti,
         "f8_ntile_lead": q_f8_ntile_lead,
@@ -2672,6 +2788,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _centroids_oracle(),
         "normalize_embeddings": _normalize_oracle(),
         "random_projection": _projection_oracle(),
+        "interval_join": _INTERVAL_ORACLE,
+        "sample_mixture": _mixture_oracle(),
+        "contamination": _CONTAM_ORACLE,
         "f8_grouping_sets": _F8_GROUPING_ORACLE,
         "f8_semi_anti": _F8_SEMI_ANTI_ORACLE,
         "f8_ntile_lead": _F8_NTILE_ORACLE,

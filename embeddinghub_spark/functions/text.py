@@ -516,6 +516,71 @@ def top_ngrams(
     )
 
 
+def _doc_ngrams(
+    df: DataFrame, n: int, text_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """Distinct (doc, md5(n-gram)) pairs — the hashed n-gram set of
+    each document. The gram string never leaves the map task; only the
+    16-byte hash shuffles (once, for the distinct)."""
+    toks = F.col("_toks")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1), F.lit(1))
+    return (
+        df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("_toks"))
+        .filter(F.size(toks) >= n)
+        .select(F.col(out_id), F.explode(starts).alias("_s"), toks)
+        .select(
+            F.col(out_id),
+            F.md5(F.array_join(F.slice(toks, F.col("_s"), n), " ")).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for every (corpus doc, benchmark
+    doc) pair sharing ≥ ``min_shared`` distinct word n-grams, report
+    the overlap count — the standard decontamination step before
+    training (drop or flag training docs that leak eval data).
+
+    Plan: both sides reduce to distinct (doc, md5(gram)) sets; the
+    join is equi on the hash with the benchmark side small (Catalyst/
+    AQE broadcasts it), then one (doc, bench) count aggregate with
+    map-side partials. ``max_df`` drops grams appearing in more than
+    that many corpus docs BEFORE the join — boilerplate n-grams are
+    exactly the hot keys that would skew the probe, and they carry no
+    contamination signal; the df-filter is one extra aggregate over
+    already-distinct pairs.
+
+    Output: (doc_id, bench_id, n_shared), n_shared ≥ ``min_shared``.
+    """
+    c = _doc_ngrams(corpus, n, text_col, id_col, "doc_id")
+    b = _doc_ngrams(benchmark, n, text_col, id_col, "bench_id")
+    if max_df is not None:
+        rare = (
+            c.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        c = c.join(rare, "gram", "left_semi")
+    return (
+        c.join(b, "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # Markup patterns pinned to ASCII, no backreferences — identical
 # semantics in Java regex (Spark) and RE2 (DuckDB).
 HTML_TAG_PATTERN = r"<[^>]*>"

@@ -95,6 +95,68 @@ def scale_features(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Range/interval containment join: every (point, interval) pair
+    with ``start ≤ point ≤ end`` (inclusive both ends), optionally
+    also equi-matched on ``keys``. Position columns are numeric —
+    convert dates/timestamps first (``datediff``/``unix_micros``),
+    which keeps the bucket arithmetic engine-portable.
+
+    A naive theta-join (``ON p BETWEEN s AND e``) is a broadcast
+    nested loop — O(|points|·|intervals|) compares, a scale killer.
+    This is the standard bucketed range join instead: each point maps
+    to ONE bucket of width ``bucket_width``; each interval explodes
+    into the buckets it spans; the join becomes an equi-join on
+    (keys…, bucket) plus an exact containment filter. Each matching
+    pair appears exactly once (the point side is never exploded), so
+    no dedup pass is needed.
+
+    Choose ``bucket_width`` ≈ the typical interval length: replication
+    is ceil(len/W)+1 per interval, while bucket population (join fan-
+    in) shrinks as W does. Long outlier intervals amplify linearly —
+    split them upstream or raise W; hot buckets are ordinary equi-join
+    skew, which AQE's runtime skew split handles (or ``salted_join``
+    where AQE can't).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(keys or [])
+    w = int(bucket_width)
+    pt = points.withColumn(
+        "_bkt",
+        F.floor(F.col(point_col).cast("double") / F.lit(w)).cast("bigint"),
+    )
+    iv = intervals.filter(F.col(start_col) <= F.col(end_col)).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / F.lit(w)).cast(
+                    "bigint"
+                ),
+                F.floor(F.col(end_col).cast("double") / F.lit(w)).cast(
+                    "bigint"
+                ),
+            )
+        ),
+    )
+    return (
+        pt.join(iv, keys + ["_bkt"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

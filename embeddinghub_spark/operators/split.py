@@ -77,6 +77,45 @@ def train_test_split(
     return train, test
 
 
+def sample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    target_rows: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-mixture sampling: downsample each stratum (source /
+    domain / language) so the output approximates ``target_rows`` rows
+    distributed by ``weights`` — the static data-mixture step of a
+    training pipeline (sample web-heavy corpora down, keep code/books
+    at full weight, etc.).
+
+    Per-stratum rate = min(1, target·wᵢ/Σw / countᵢ) — sampling is
+    without replacement, so an exhausted stratum clamps at keeping
+    everything (the mixture is then best-effort, the standard
+    behavior). Rates come from ONE bounded groupBy-count (|strata|
+    rows to the driver); the sample itself reuses the md5-uniform
+    protocol of ``stratified_sample`` — map-only, partition-layout-
+    independent, exactly replayable in any md5-bearing engine.
+    """
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()  # |strata| rows
+    }
+    fractions = {}
+    for stratum, w in weights.items():
+        want = target_rows * float(w) / total_w
+        have = counts.get(stratum, 0)
+        fractions[stratum] = min(1.0, want / have) if have else 0.0
+    return stratified_sample(df, strata_col, fractions, key_cols, seed)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -103,6 +103,107 @@ def test_strip_markup(spark):
     assert out[2]["n_tags"] == 0 and out[2]["n_urls"] == 0
 
 
+def test_interval_join_semantics(spark):
+    from embeddinghub_spark.operators.batch import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 0), (2, 10), (3, 15), (4, 100), (5, -5)], ["pid", "pos"]
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 20), ("c", 90, 200), ("d", 50, 40)],
+        ["iid", "s", "e"],
+    )
+    out = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, ivs, "pos", "s", "e", 8).collect()
+    )
+    # inclusive both ends; pos=10 matches a AND b; inverted interval d
+    # dropped; pair appears exactly once even when the interval spans
+    # several buckets (c: buckets 11..25 with width 8)
+    assert out == [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")]
+    # bucket width must not change results
+    for w in (1, 3, 64, 1000):
+        assert out == sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(points, ivs, "pos", "s", "e", w).collect()
+        )
+
+
+def test_interval_join_with_keys(spark):
+    from embeddinghub_spark.operators.batch import interval_join
+
+    points = spark.createDataFrame(
+        [("x", 1, 5), ("y", 2, 5)], ["k", "pid", "pos"]
+    )
+    ivs = spark.createDataFrame([("x", "a", 0, 10)], ["k", "iid", "s", "e"])
+    out = interval_join(points, ivs, "pos", "s", "e", 4, keys=["k"]).collect()
+    assert [(r["pid"], r["iid"]) for r in out] == [(1, "a")]
+
+
+def test_sample_mixture(spark):
+    from embeddinghub_spark.operators.split import sample_mixture
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = sample_mixture(
+        df, "src", {"big": 0.5, "small": 0.5}, 160, key_cols=["id"]
+    )
+    by_src = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # ~80 requested from each stratum (md5-Bernoulli, so approximate)
+    assert 50 <= by_src["big"] <= 110
+    assert 50 <= by_src["small"] <= 100
+    # deterministic: same call, same exact sample
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == sorted(r["id"] for r in sample_mixture(
+        df, "src", {"big": 0.5, "small": 0.5}, 160, key_cols=["id"]
+    ).collect())
+    # clamp: an exhausted stratum keeps everything, never oversamples
+    clamped = sample_mixture(
+        df, "src", {"small": 1.0}, 1000, key_cols=["id"]
+    )
+    assert clamped.count() == 100
+    assert clamped.filter(F.col("src") == "big").count() == 0
+
+
+def test_ngram_contamination(spark):
+    from embeddinghub_spark.functions.text import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 2 trigrams w/ bench
+            (2, "alpha beta gamma zeta eta"),        # shares 1
+            (3, "unrelated words entirely here"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta something")], ["doc_id", "text"]
+    )
+    out = ngram_contamination(corpus, bench, n=3, min_shared=2).collect()
+    assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in out] == [
+        (1, 100, 2)
+    ]
+    loose = ngram_contamination(corpus, bench, n=3, min_shared=1)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [1, 2]
+
+
+def test_ngram_contamination_max_df(spark):
+    from embeddinghub_spark.functions.text import ngram_contamination
+
+    # 'x y z' appears in 3 corpus docs -> dropped at max_df=2; only the
+    # rare 'y z tail0' gram still links doc 0 to the benchmark
+    corpus = spark.createDataFrame(
+        [(i, "x y z tail%d" % i) for i in range(3)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "x y z tail0")], ["doc_id", "text"])
+    no_df = ngram_contamination(corpus, bench, n=3, min_shared=1)
+    assert sorted(r["doc_id"] for r in no_df.collect()) == [0, 1, 2]
+    hits = ngram_contamination(corpus, bench, n=3, min_shared=1, max_df=2)
+    assert [(r["doc_id"], r["n_shared"]) for r in hits.collect()] == [(0, 1)]
+
+
 def _vecs(spark):
     return spark.createDataFrame(
         [(1, [3.0, 4.0], "a"), (2, [1.0, 0.0], "a"),
