@@ -1969,6 +1969,134 @@ HAVING COUNT(*) >= 2
 """
 
 
+_BM25_TERMS = ["join", "query", "spark", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 corpus scoring (functions/text.py bm25_scores)
+    against a fixed topic term set — retrieval-style selection."""
+    from embeddinghub_spark.functions.text import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH lens AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                          AS DOUBLE) AS dl
+              FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens),
+words AS (SELECT doc_id,
+                 UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+          FROM documents),
+hits AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+         FROM words WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY tok),
+sc AS (SELECT h.doc_id,
+              SUM(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * (h.tf * {k1 + 1.0!r})
+                  / (h.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.dl / s.avgdl)))
+                AS score
+       FROM hits h JOIN dfreq d ON h.tok = d.tok
+       JOIN lens l ON h.doc_id = l.doc_id
+       CROSS JOIN stats s
+       GROUP BY h.doc_id)
+SELECT l.doc_id, CAST(l.dl AS BIGINT) AS doc_len,
+       round(coalesce(sc.score, 0.0), 6) AS bm25
+FROM lens l LEFT JOIN sc ON l.doc_id = sc.doc_id
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, composed from the pipeline
+    operators (the shape a real 100 TB pre-training run takes):
+
+      1. Gopher-style quality filter (keep only passing docs),
+      2. benchmark decontamination (drop docs sharing ≥2 trigrams
+         with the every-20th-doc eval set),
+      3. token-budget shard packing of the survivors.
+
+    Each stage is the already-oracle-pinned operator; this entry pins
+    the COMPOSITION (semi/anti joins between stages included). The
+    oracle nests the stage oracles as CTEs."""
+    from embeddinghub_spark.functions.text import (
+        ngram_contamination,
+        pack_token_shards,
+        quality_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    passing = quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = (
+        ngram_contamination(docs, bench, n=3, min_shared=2)
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.join(passing, "doc_id", "left_semi").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return pack_token_shards(clean, _SHARD_TOKENS)
+
+
+def _curation_oracle() -> str:
+    return f"""
+WITH qual AS ({_quality_oracle()}),
+contam AS ({_CONTAM_ORACLE}),
+clean AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents d
+  JOIN qual q ON d.doc_id = q.doc_id AND q.keep
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM clean)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(start_offset % {_SHARD_TOKENS} AS BIGINT) AS shard_pos
+FROM s
+"""
+
+
+def q_f8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT) per group — Spark plans this
+    with expand + two-phase aggregation (each distinct column gets its
+    own duplicate-elimination lane); pinned against the oracle's
+    direct distinct counts."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderdate) AS n_dates,
+               COUNT(*) AS n_orders
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_F8_COUNT_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_dates,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_f8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS rollup over region→nation customer counts —
     user-SQL passthrough parity (both engines plan one aggregate with
@@ -2704,6 +2832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "normalize_embeddings": q_normalize_embeddings,
         "random_projection": q_random_projection,
+        "bm25": q_bm25,
+        "corpus_curation": q_corpus_curation,
+        "f8_count_distinct": q_f8_count_distinct,
         "interval_join": q_interval_join,
         "sample_mixture": q_sample_mixture,
         "contamination": q_contamination,
@@ -2788,6 +2919,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _centroids_oracle(),
         "normalize_embeddings": _normalize_oracle(),
         "random_projection": _projection_oracle(),
+        "bm25": _bm25_oracle(),
+        "corpus_curation": _curation_oracle(),
+        "f8_count_distinct": _F8_COUNT_DISTINCT_ORACLE,
         "interval_join": _INTERVAL_ORACLE,
         "sample_mixture": _mixture_oracle(),
         "contamination": _CONTAM_ORACLE,

@@ -608,6 +608,81 @@ def strip_markup(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — retrieval-style scoring for training-data selection
+    (rank a corpus against a topic description, keep the head).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N−df+0.5)/(df+0.5) + 1)   (the Lucene/standard form).
+
+    Plan: the (doc, term) explode is filtered to the query terms
+    IMMEDIATELY (isin on a literal set — the fan-out collapses in the
+    map task, so only query-term hits shuffle); doc length comes from
+    a map-only regexp count, N and avgdl are two bounded scalars (one
+    tiny agg job, like the watermark scalars), and per-term df is an
+    aggregate over the already-tiny hit set. Scores rounded to 6 so
+    libm ``ln`` ulps can't leak across engines. Docs with no query
+    term score 0 (kept — ranking needs the zeros explicit).
+    """
+    terms = sorted(set(query_terms))
+    n_docs = df.count()
+    lens = df.select(
+        F.col(id_col), token_count(text_col).cast("double").alias("dl")
+    )
+    avgdl = lens.agg(F.avg("dl")).first()[0] or 0.0
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = hits.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    scored = (
+        hits.join(dfreq, "tok")
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+                    )
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+    )
+    return (
+        lens.join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dl").cast("bigint").alias("doc_len"),
+            F.round(F.coalesce(F.col("_score"), F.lit(0.0)), 6).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

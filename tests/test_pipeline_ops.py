@@ -204,6 +204,28 @@ def test_ngram_contamination_max_df(spark):
     assert [(r["doc_id"], r["n_shared"]) for r in hits.collect()] == [(0, 1)]
 
 
+def test_bm25_scores(spark):
+    import math
+
+    from embeddinghub_spark.functions.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark spark engine"), (2, "query engine"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           bm25_scores(df, ["spark", "query"], k1=1.2, b=0.75).collect()}
+    # hand-computed: N=3, avgdl=(3+2+2)/3
+    avgdl = 7.0 / 3.0
+    def score(tf, dl, dfreq):
+        idf = math.log((3 - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert out[1]["bm25"] == pytest.approx(round(score(2, 3, 1), 6), abs=1e-6)
+    assert out[2]["bm25"] == pytest.approx(round(score(1, 2, 1), 6), abs=1e-6)
+    assert out[3]["bm25"] == 0.0  # no hit -> explicit zero, row kept
+    assert out[3]["doc_len"] == 2
+
+
 def _vecs(spark):
     return spark.createDataFrame(
         [(1, [3.0, 4.0], "a"), (2, [1.0, 0.0], "a"),
