@@ -191,10 +191,36 @@ def _dot_lit_sql(a: str, vec, dim: int) -> str:
     )
 
 
-# Inline-literal assignment bound: K·dim scalar literals folded into
-# the plan. Past this, plan size/codegen cost outgrows the win and the
+# Inline-literal assignment bound: K·dim double literals folded into
+# the plan. Past this, plan/literal size outgrows the win and the
 # map-side-combining aggregate path takes over.
 _MAX_INLINE_CELL_TERMS = 8192
+
+
+def _cells_fold_sql(cents: list, col_name: str, dim: int) -> str:
+    """ONE compact expression scoring a vector column against every
+    centroid: ``zip_with`` over literal (centroid-matrix, id) arrays
+    producing ``(s: dot, id)`` structs.
+
+    The literal arrays constant-fold to a single array value and the
+    generated code is a small loop — the previous form unrolled
+    K·dim scalar multiply-adds into the projection, whose plan
+    compile (parse + analyze + janino) cost ~2 s per *invocation* at
+    K·dim = 1024, tripling local IVF latency. Per-row arithmetic is
+    identical: the fold accumulates ``0D + x0·c0 + x1·c1 + …`` in the
+    same left-associated order as the unrolled chain, so scores (and
+    thus cell assignments and oracle hashes) are bit-identical."""
+    qv = _bq(col_name)
+    arrs = ", ".join(
+        "array(" + ", ".join(f"{float(v[i])!r}D" for i in range(dim)) + ")"
+        for _, v in cents
+    )
+    ids = ", ".join(str(int(cid)) + "L" for cid, _ in cents)
+    return (
+        f"zip_with(array({arrs}), array({ids}), (c, id) -> named_struct("
+        f"'s', aggregate(zip_with(c, {qv}, (a, b) -> a * cast(b as double)),"
+        f" 0D, (acc, x) -> acc + x), 'id', id))"
+    )
 
 
 def _collect_cells(
@@ -263,22 +289,15 @@ def assign_ivf_cells(
     k = len(cents)
     inline_ok = _inline_ok(cents, vec_col, dim)
     if inline_ok:
-        staged = vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            *[
-                F.expr(f"({_dot_lit_sql(vec_col, vec, dim)})").alias(f"_s{j}")
-                for j, (_, vec) in enumerate(cents)
-            ],
+        # argmax via array_max over (score, -id) structs: same
+        # ordering semantics greatest() had (NaN ranks highest,
+        # ties prefer the smaller cell id via the negated id)
+        fold = _cells_fold_sql(cents, vec_col, dim)
+        best = F.expr(
+            f"array_max(transform({fold},"
+            " p -> named_struct('s', p.s, 'nc', -p.id)))"
         )
-        pairs = [
-            F.struct(
-                F.col(f"_s{j}").alias("s"), F.lit(-int(cid)).alias("nc")
-            )
-            for j, (cid, _) in enumerate(cents)
-        ]
-        best = pairs[0] if k == 1 else F.greatest(*pairs)
-        return staged.select(
+        return vectors.select(
             F.col(id_col),
             F.col(vec_col),
             (-best.getField("nc")).cast(cell_dt).alias(centroid_id_col),
@@ -363,22 +382,24 @@ def knn_ivf(
     # same order the window variant used): no broadcast, no exchange,
     # no window on the query side.
     if _inline_ok(cents, query_vec_col, dim):
-        pairs_sql = ", ".join(
-            f"named_struct('ns', -({_dot_lit_sql(query_vec_col, vec, dim)}),"
-            f" 'cell', {int(cid)})"
-            for cid, vec in cents
-        )
+        cell_dt = centroids.schema["cell"].dataType
+        fold = _cells_fold_sql(cents, query_vec_col, dim)
         probes = queries.select(
             F.col(query_id_col),
             F.col(query_vec_col),
             F.explode(
-                F.expr(f"slice(array_sort(array({pairs_sql})), 1, {int(nprobe)})")
+                F.expr(
+                    f"slice(array_sort(transform({fold},"
+                    " p -> named_struct('ns', -p.s, 'cell', p.id))),"
+                    f" 1, {int(nprobe)})"
+                )
             ).alias("_p"),
         ).select(
-            query_id_col, query_vec_col, F.col("_p.cell").alias("cell")
+            query_id_col,
+            query_vec_col,
+            F.col("_p.cell").cast(cell_dt).alias("cell"),
         ).localCheckpoint(eager=False)  # Q×nprobe rows; stops every
-        # downstream job from re-running (and re-compiling) the K×dim
-        # literal probe expression
+        # downstream job from re-running the probe expression
     else:
         qpaired = queries.join(F.broadcast(centroids))
         qscored = qpaired.select(
