@@ -760,6 +760,84 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: build the on-disk MinHash band index from
+    the standing corpus (doc_id % 5 != 0), then probe the 'new crawl
+    batch' (doc_id % 5 == 0) against it — candidates found WITHOUT
+    re-reading corpus text (functions/dedup.py minhash_index_*)."""
+    import tempfile
+
+    from embeddinghub_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="mhidx_") + "/idx"
+    minhash_index_append(spark, idx_dir, docs.filter(F.col("doc_id") % 5 != 0))
+    return minhash_index_probe(
+        spark, idx_dir, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    bands = "\n           UNION ALL\n           ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH{_sig_sql(8)},
+     bands AS ({bands})
+SELECT DISTINCT n.doc_id AS probe_id, o.doc_id AS index_id
+FROM (SELECT * FROM bands WHERE doc_id % 5 = 0) n
+JOIN (SELECT * FROM bands WHERE doc_id % 5 != 0) o
+  ON n.band = o.band AND n.band_hash = o.band_hash
+"""
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (functions/dedup.py dedup_passages):
+    repeated 16-word windows survive only at their first corpus
+    occurrence and documents are rebuilt from the survivors — the
+    C4/RefinedWeb boilerplate-removal step at sub-document grain."""
+    from embeddinghub_spark.functions.dedup import dedup_passages
+
+    return dedup_passages(_t(spark, sf_dir, "documents"), passage_tokens=16)
+
+
+# winner key encoding: idx < 2^32 always (docs are far shorter), so
+# min(doc_id·2^32 + idx) == lexicographic min(struct(doc_id, idx))
+_DEDUP_PASSAGES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+gs AS (SELECT doc_id, t, UNNEST(range(1, len(t) + 1, 16)) AS start FROM nz),
+p AS (
+  SELECT doc_id, CAST((start - 1) / 16 AS INTEGER) AS idx,
+         array_to_string(t[start:start + 15], ' ') AS passage
+  FROM gs
+),
+fp AS (SELECT doc_id, idx, passage, md5(passage) AS f FROM p),
+w AS (SELECT f, min(doc_id * 4294967296 + idx) AS wk FROM fp GROUP BY f),
+fl AS (
+  SELECT fp.doc_id, fp.idx, fp.passage,
+         (fp.doc_id * 4294967296 + fp.idx = w.wk) AS kept
+  FROM fp JOIN w ON fp.f = w.f
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_sort(list({'i': idx, 'p': passage}) FILTER (WHERE kept)),
+           s -> s.p), ' '), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+FROM fl
+GROUP BY doc_id
+"""
+
+
 def _dedup_corpus_oracle() -> str:
     inner = _dedup_clusters_oracle()
     return f"SELECT doc_id FROM ({inner}) WHERE doc_id = cluster_id"
@@ -2791,6 +2869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_passages": q_dedup_passages,
+        "incremental_dedup": q_incremental_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -2878,6 +2958,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
+        "dedup_passages": _DEDUP_PASSAGES_ORACLE,
+        "incremental_dedup": _incremental_dedup_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

@@ -806,3 +806,173 @@ def dedup_corpus(
     clusters = dedup_clusters(df, text_col, id_col, num_hashes, bands, shingle_n)
     keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# -- passage-level exact dedup ------------------------------------------------
+
+def dedup_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_tokens: int = 16,
+) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb line-dedup recipe
+    adapted to fixed word windows, since the corpus protocol has no
+    newlines): every document is cut into consecutive non-overlapping
+    ``passage_tokens``-word passages; a passage occurring verbatim
+    anywhere else in the corpus survives only at its FIRST occurrence
+    (lowest (doc_id, passage index)); each document is rebuilt from
+    its surviving passages in order. Subsumes neither exact dedup
+    (whole-doc) nor MinHash (similarity): this removes boilerplate
+    repeated *inside otherwise-distinct* documents.
+
+    Output: (doc_id, clean_text, n_passages, n_kept). A document
+    whose every passage is owned elsewhere comes back with
+    n_kept = 0 and clean_text = '' (kept in the frame so callers can
+    count or drop); empty/null docs emit no row.
+
+    Scale shape — 3 bounded shuffles, raw text never wider than one
+    passage on the wire:
+
+    1. passages: map-only tokenize → ``sequence`` starts →
+       ``posexplode`` → ``slice``.
+    2. first-occurrence winners: groupBy(md5(passage)) →
+       ``min(struct(doc_id, idx))`` — hash aggregate with map-side
+       partials; the exchange carries one row per DISTINCT passage
+       hash (16-byte key), never the text.
+    3. ownership: passages joined back to winners on the hash (AQE
+       picks broadcast vs shuffle), kept = "I am the winner".
+    4. rebuild: groupBy(doc_id) collecting (idx, passage) structs of
+       the kept passages only, ``array_sort`` + join — one row per
+       document out.
+    """
+    toks = tokens(text_col)
+    passages = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("_t"), F.lit(passage_tokens))
+            ).alias("idx", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("idx"),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_start"), passage_tokens), " "
+            ).alias("passage"),
+        )
+        .withColumn("fp", F.md5(F.col("passage")))
+    )
+    winners = passages.groupBy("fp").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
+        ).alias("w")
+    )
+    flagged = passages.join(winners, "fp").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("w.d")) & (F.col("idx") == F.col("w.i")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(F.col("idx"), F.col("passage")),
+                        )
+                    )
+                ),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    )
+
+
+# -- incremental MinHash band index -------------------------------------------
+#
+# Production dedup is INCREMENTAL: new crawl batches arrive daily and
+# must be checked against the already-ingested corpus without
+# recomputing (or even reading) the corpus text. The band index IS
+# the dedup state: (doc_id, band, band_hash) rows on disk, hash-
+# partitioned by band_hash bucket so a probe prunes to the buckets
+# its own band hashes live in. Append = one map-only job over the
+# new batch; probe = broadcast the batch's band rows against the
+# pruned index scan. The corpus text is never touched again.
+
+
+def _band_bucket(n_buckets: int):
+    return F.pmod(
+        F.crc32(F.col("band_hash").cast("string").cast("binary")),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def minhash_index_append(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> str:
+    """Compute the batch's band rows and append them to the on-disk
+    index (parquet partitioned by ``bucket``). Map-only up to the
+    single bucket-clustering exchange of the batch's own rows
+    (bytes ∝ |batch| × bands, never the corpus)."""
+    rows = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    (
+        rows.withColumn("bucket", _band_bucket(n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(index_dir)
+    )
+    return index_dir
+
+
+def minhash_index_probe(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (probe_id, index_id) between a
+    new batch and the stored index — the corpus text is NOT read.
+
+    Scale shape: the probe batch's band rows (small by construction —
+    a day's crawl vs the corpus) are broadcast; joining on
+    (bucket, band, band_hash) lets dynamic partition pruning skip
+    every index bucket the probe doesn't hash into. Self-matches
+    (re-probing an already-indexed id) are dropped."""
+    idx = spark.read.parquet(index_dir).select(
+        F.col(id_col).alias("index_id"),
+        "band",
+        "band_hash",
+        "bucket",
+    )
+    probe = (
+        minhash_candidates(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+        .withColumn("bucket", _band_bucket(n_buckets))
+        .select(F.col(id_col).alias("probe_id"), "band", "band_hash", "bucket")
+    )
+    return (
+        idx.join(F.broadcast(probe), ["bucket", "band", "band_hash"])
+        .filter(F.col("index_id") != F.col("probe_id"))
+        .select("probe_id", "index_id")
+        .distinct()
+    )

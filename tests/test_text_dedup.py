@@ -259,3 +259,93 @@ def test_stratified_sample_deterministic_and_scoped(spark):
     assert by_s["c"] == 0          # unlisted stratum dropped
     assert by_s["b"] == 1000       # fraction 1.0 keeps all
     assert 200 < by_s["a"] < 400   # ~0.3 of 1000
+
+
+def test_dedup_passages_first_occurrence_and_rebuild(spark):
+    from embeddinghub_spark.functions.dedup import dedup_passages
+
+    # W=2 passages: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares
+    # [c d] with doc 1 at a later (doc,idx) -> dropped there),
+    # doc 3 = [a b] only (fully owned by doc 1 -> empty rebuild),
+    # doc 4 = empty (no row)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "c d e f"),
+            (3, "a b"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_passages(df, passage_tokens=2).collect()
+    }
+    assert set(out) == {1, 2, 3}  # empty doc emits no row
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "e f"  # "c d" owned by doc 1
+    assert out[2]["n_passages"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_dedup_passages_order_preserved(spark):
+    from embeddinghub_spark.functions.dedup import dedup_passages
+
+    # surviving passages must be rejoined in document order even when
+    # a middle passage is removed
+    df = spark.createDataFrame(
+        [(1, "x y p q z w"), (2, "p q")],
+        ["doc_id", "text"],
+    )
+    # doc 2's only passage "p q" is owned by doc 1 idx 1
+    out = {
+        r["doc_id"]: r for r in dedup_passages(df, passage_tokens=2).collect()
+    }
+    assert out[1]["clean_text"] == "x y p q z w"
+    assert out[2]["n_kept"] == 0
+
+
+def test_minhash_index_incremental(spark, tmp_path):
+    from embeddinghub_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "another unrelated document about databases and storage")],
+        ["doc_id", "text"],
+    )
+    minhash_index_append(spark, idx, base)
+    minhash_index_append(spark, idx, batch2)  # appends accumulate
+
+    # a near-copy of doc 1 probes positive against the FIRST batch,
+    # negative against everything else; corpus text is never re-read
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["probe_id"], r["index_id"])
+        for r in minhash_index_probe(spark, idx, probe).collect()
+    }
+    assert pairs == {(100, 1)}
+
+    # re-probing an already-indexed id never matches itself
+    self_probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    again = {
+        (r["probe_id"], r["index_id"])
+        for r in minhash_index_probe(spark, idx, self_probe).collect()
+    }
+    assert (1, 1) not in again
