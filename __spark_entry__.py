@@ -760,6 +760,57 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data profile of the orders table
+    (functions/profile.py): row/null/distinct counts plus typed
+    min/max — the pre-training data-quality summary."""
+    from embeddinghub_spark.functions.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+_PROFILE_ORACLE = """
+WITH base AS (SELECT * FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+         CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM base
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+         NULL, NULL
+  FROM base
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+  FROM base
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         CAST(count(DISTINCT o_totalprice) AS BIGINT),
+         min(o_totalprice), max(o_totalprice), NULL, NULL
+  FROM base
+  UNION ALL
+  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         CAST(count(DISTINCT o_orderdate) AS BIGINT),
+         NULL, NULL,
+         strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+  FROM base
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+  FROM base
+)
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: build the on-disk MinHash band index from
     the standing corpus (doc_id % 5 != 0), then probe the 'new crawl
@@ -2871,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "dedup_passages": q_dedup_passages,
         "incremental_dedup": q_incremental_dedup,
+        "profile_table": q_profile_table,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -2960,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": _dedup_corpus_oracle(),
         "dedup_passages": _DEDUP_PASSAGES_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
+        "profile_table": _PROFILE_ORACLE,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

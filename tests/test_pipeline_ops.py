@@ -268,3 +268,29 @@ def test_random_projection_preserves_shape(spark):
     scale = 1.0 / math.sqrt(2.0)
     expect = [sum(a * b for a, b in zip([3.0, 4.0], p)) * scale for p in planes]
     assert by_id[1] == pytest.approx(expect)
+
+
+def test_profile_table_one_pass(spark):
+    from embeddinghub_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 4.0), (None, "b", 4.0)],
+        ["k", "s", "v"],
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 2.0
+    assert out["k"]["min_str"] is None  # numeric column -> _num pair
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_num"] is None
+    assert out["v"]["n_distinct"] == 2
+
+    # HLL path keeps the same schema (the 100 TB swap-in)
+    approx = {
+        r["column"]: r
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert set(approx) == {"k", "s", "v"}
+    assert approx["v"]["n_rows"] == 3
