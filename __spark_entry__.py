@@ -593,6 +593,40 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-overlap near-dup pairs (functions/dedup.py
+    containment_pairs): |A∩B| / min(|A|,|B|) ≥ 0.6 over candidate
+    buckets — catches partial copies Jaccard under-scores."""
+    from embeddinghub_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def _containment_pairs_oracle() -> str:
+    bands = "\n           UNION ALL\n           ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH{_sig_sql(8)},
+     cand AS ({bands}),
+     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM cand a JOIN cand b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+     j AS (SELECT p.id_a, p.id_b,
+                  round(
+                    CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                    / least(len(list_distinct(sa.grams)),
+                            len(list_distinct(sb.grams))),
+                    6) AS containment
+           FROM pairs p
+           JOIN s sa ON sa.doc_id = p.id_a
+           JOIN s sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, containment FROM j WHERE containment >= 0.6
+"""
+
+
 # --------------------------------------------------------------------------
 # M5 dedup: SimHash (16-bit majority fingerprint)
 # --------------------------------------------------------------------------
@@ -2923,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "incremental_dedup": q_incremental_dedup,
         "profile_table": q_profile_table,
+        "containment_pairs": q_containment_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -3013,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": _DEDUP_PASSAGES_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
+        "containment_pairs": _containment_pairs_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

@@ -573,6 +573,60 @@ def ngram_jaccard_pairs(
     )
 
 
+
+
+def containment_similarity(a: Column, b: Column) -> Column:
+    """|A∩B| / min(|A|, |B|) over shingle arrays (deduped) — the
+    asymmetric-overlap measure: 1.0 when the smaller document's
+    shingle set is fully embedded in the larger one, regardless of
+    how much extra content the larger side carries. Jaccard on the
+    same pair can be arbitrarily small (quote-inclusion /
+    boilerplate-wrapper cases), which is why corpus curation checks
+    both."""
+    ai, bi = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(ai, bi)).cast("double")
+    smaller = F.least(F.size(ai), F.size(bi)).cast("double")
+    return F.when(smaller > 0, inter / smaller).otherwise(F.lit(0.0))
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Verified containment pairs: MinHash candidates filtered by
+    exact shingle-set containment ≥ threshold — catches a document
+    embedded inside another (partial copies) that symmetric Jaccard
+    under-scores. Same scale shape as ``ngram_jaccard_pairs``: the
+    exact measure runs ONLY inside candidate buckets, never
+    all-pairs. (MinHash banding under-recalls extreme size-skew
+    pairs — a tweet inside a book rarely shares a band; that tail
+    needs the passage-level index, ``dedup_passages`` /
+    ``minhash_index_probe``, which this op complements.)"""
+    pairs = minhash_duplicate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col), token_hashes(text_col).alias("_th")
+    ).select(
+        F.col(id_col), hashed_shingles(F.col("_th"), shingle_n).alias("_sh")
+    ).localCheckpoint(eager=False)
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                containment_similarity(F.col("_sh_a"), F.col("_sh_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # -- transitive dedup clusters ------------------------------------------------
 
 def connected_components(

@@ -349,3 +349,23 @@ def test_minhash_index_incremental(spark, tmp_path):
         for r in minhash_index_probe(spark, idx, self_probe).collect()
     }
     assert (1, 1) not in again
+
+
+def test_containment_vs_jaccard(spark):
+    from embeddinghub_spark.functions.dedup import containment_pairs
+
+    # doc 2 is doc 1 plus a long unrelated tail: containment of the
+    # smaller set is 1.0 while jaccard is far below threshold
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    tail = (
+        " meanwhile a completely separate passage discusses distributed"
+        " query engines shuffle partitions and columnar storage formats"
+        " at considerable length adding many more unique shingles"
+    )
+    df = spark.createDataFrame(
+        [(1, core), (2, core + tail), (3, "nothing in common here at all")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+    assert rows[0]["containment"] == 1.0
