@@ -318,3 +318,57 @@ def test_streaming_dedup_equals_batch(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not terminate in 120s"
     expected = {r["event_id"] for r in streaming_dedup(src, ["event_id"]).collect()}
     assert got == expected and len(got) == 60
+
+
+def test_streaming_incremental_dedup_index(spark):
+    """Streaming + incremental dedup composed: each micro-batch of
+    documents is probed against the on-disk MinHash band index BEFORE
+    being appended to it — so a near-copy arriving later is flagged
+    against the standing corpus, first occurrences never are, and the
+    corpus text is never re-read."""
+    from pyspark.sql.types import LongType
+
+    from embeddinghub_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about spark engines here")],
+        [(3, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (4, "fresh unrelated material about columnar storage formats")],
+    ]
+    flagged: list[tuple[int, int]] = []
+
+    with tempfile.TemporaryDirectory() as d:
+        src, idx = os.path.join(d, "in"), os.path.join(d, "idx")
+        os.makedirs(src)
+
+        def probe_then_append(batch_df, batch_id):
+            if os.path.exists(idx):
+                for r in minhash_index_probe(spark, idx, batch_df).collect():
+                    flagged.append((r["probe_id"], r["index_id"]))
+            minhash_index_append(spark, idx, batch_df)
+
+        for rows in batches:
+            spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                spark.readStream.schema(doc_schema)
+                .parquet(src)
+                .writeStream.foreachBatch(probe_then_append)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not terminate in 120s"
+
+    assert flagged == [(3, 1)]  # the later near-copy, nothing else
