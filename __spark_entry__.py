@@ -794,6 +794,67 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC approximate top-k (functions/vector.py knn_pq): the
+    corpus is encoded to 8 one-byte codes per vector (deterministic
+    first-16-by-id codebooks, oracle-replayable) and each query scores
+    every vector via its 8×16 distance table — m lookups per pair,
+    no per-pair float math."""
+    from embeddinghub_spark.functions.vector import knn_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_pq(emb, queries_df, 5, m=8, k_codes=16, dim=_EMB_DIM)
+
+
+# ordered folds everywhere (list_reduce over a 0.0-prepended list ==
+# Spark's aggregate-from-0D == the driver-side Python sum), so the
+# approximate distances are bit-identical across engines
+_KNN_PQ_ORACLE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     cbv AS (SELECT v, row_number() OVER (ORDER BY vec_id ASC) - 1 AS c
+             FROM (SELECT * FROM emb ORDER BY vec_id ASC LIMIT 16)),
+     js AS (SELECT unnest(range(0, 8)) AS j),
+     cb AS (SELECT js.j, cbv.c, cbv.v[js.j*8+1 : js.j*8+8] AS cv
+            FROM cbv CROSS JOIN js),
+     essd AS (SELECT e.vec_id, cb.j, cb.c,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 9), i ->
+                  (cb.cv[i] - e.v[cb.j*8 + i]) * (cb.cv[i] - e.v[cb.j*8 + i]))),
+                (a, b) -> a + b) AS ssd
+              FROM emb e CROSS JOIN cb),
+     enc1 AS (SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY ssd ASC, c ASC) AS rn
+              FROM essd),
+     enc AS (SELECT vec_id, list(c ORDER BY j) AS codes
+             FROM enc1 WHERE rn = 1 GROUP BY vec_id),
+     q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 3),
+     dssd AS (SELECT q.qid, cb.j, cb.c,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 9), i ->
+                  (cb.cv[i] - q.qv[cb.j*8 + i]) * (cb.cv[i] - q.qv[cb.j*8 + i]))),
+                (a, b) -> a + b) AS ssd
+              FROM q CROSS JOIN cb),
+     dt1 AS (SELECT qid, j, list(ssd ORDER BY c) AS trow
+             FROM dssd GROUP BY qid, j),
+     dt AS (SELECT qid, list(trow ORDER BY j) AS tab FROM dt1 GROUP BY qid),
+     scored AS (SELECT dt.qid AS query_id, enc.vec_id AS neighbor_id,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9), j -> dt.tab[j][enc.codes[j] + 1])),
+                  (a, b) -> a + b) AS dist
+                FROM enc CROSS JOIN dt),
+     r AS (SELECT query_id, neighbor_id, dist,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, round(dist, 6) AS dist, rank
+FROM r WHERE rank <= 5
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data profile of the orders table
     (functions/profile.py): row/null/distinct counts plus typed
@@ -2958,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "profile_table": q_profile_table,
         "containment_pairs": q_containment_pairs,
+        "knn_pq": q_knn_pq,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -3049,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),
+        "knn_pq": _KNN_PQ_ORACLE,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

@@ -633,3 +633,190 @@ def ivf_inertia(
         lambda a, x: a + x,
     )
     return with_c.agg(F.sum(d2)).first()[0]
+
+
+# -- product quantization (PQ) ------------------------------------------------
+#
+# The ANN memory-compression path: a dim-d float vector (4·d bytes)
+# becomes m one-byte codes — at 100 TB the corpus index shrinks
+# ~dim·4/m ×, which is what makes billion-vector search fit a
+# cluster's RAM at all (FAISS's IVF-PQ layout; our IVF above is the
+# coarse stage, this is the fine stage). Scoring is ADC (asymmetric
+# distance computation): per query, a (m × k_codes) table of partial
+# squared distances is computed ONCE, and every corpus vector's
+# approximate distance is m table lookups — no float math per pair.
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subspace j's codebook is the j-th
+    dim/m slice of the first ``k_codes`` vectors by id — the same
+    oracle-replayable quantizer convention as the IVF default (swap a
+    per-subspace ``kmeans_centroids`` run for production recall; every
+    downstream step is unchanged). Returns ``cb[j][c] -> subvector``
+    (Python doubles, collected once — k_codes·dim scalars)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    rows = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k_codes)
+        .select(vec_col)
+        .collect()
+    )
+    return [
+        [[float(x) for x in r[0][j * d : (j + 1) * d]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_cb_sql(cb: list[list[list[float]]]) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in cv) + ")" for cv in sub
+            )
+            + ")"
+            for sub in cb
+        )
+        + ")"
+    )
+
+
+def _ssd_sql(a_sql: str, b_sql: str) -> str:
+    """Ordered squared-L2 fold: 0D + (a1-b1)² + (a2-b2)² + … — the
+    left-associated order every engine (and the driver-side Python
+    table build) reproduces exactly, so distances are bit-identical."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql},"
+        " (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    cb: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-codeword indices:
+    ``(id, codes array<int>)``. Map-only — the codebooks ride in the
+    plan as one constant-folded literal (compact HOF fold, same
+    pattern as the IVF quantizer); zero joins, zero exchanges, so
+    encoding a 100 TB corpus is embarrassingly parallel. Tiebreak:
+    lowest squared distance, then lowest code."""
+    m, k = len(cb), len(cb[0])
+    d = len(cb[0][0])
+    qv = _bq(vec_col)
+    seqc = "array(" + ", ".join(str(c) for c in range(k)) + ")"
+    ssd = _ssd_sql("cv", f"slice({qv}, (j - 1) * {d} + 1, {d})")
+    codes = (
+        f"transform(sequence(1, {m}), j -> "
+        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
+        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
+    )
+    return vectors.select(F.col(id_col), F.expr(codes).alias("codes"))
+
+
+def knn_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    cb: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ + ADC: corpus vectors are scored
+    against each query through its (m × k_codes) distance table —
+    m array lookups per (vector, query), no per-pair float math.
+
+    Scale shape: encode is map-only; the query distance tables
+    (Q·m·k_codes doubles — driver-built, queries are a bounded
+    serve-side set like the reference's per-request kNN) ride as one
+    literal; scoring explodes each corpus row into its Q (query,
+    dist) pairs in-row (the same corpus×Q pairing the exact path's
+    broadcast join produces) and the two-stage top-k keeps the final
+    exchange at parts×Q×k rows. Output: (query_id, neighbor_id,
+    dist rounded to 6, rank) — rank on the exact double, rounding
+    display-only."""
+    d = dim // m
+    if cb is None:
+        cb = pq_codebooks(vectors, m, k_codes, id_col, vec_col, dim)
+    enc = pq_encode(vectors, cb, id_col, vec_col).localCheckpoint(eager=False)
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # dtab[q][j][c] = ssd(cb[j][c], query_slice_j): plain Python
+    # doubles summed in index order — the exact fold _ssd_sql runs
+    tabs, qids = [], []
+    for r in qrows:
+        qv = [float(x) for x in r[1]]
+        tabs.append(
+            [
+                [
+                    sum(
+                        (cv[i] - qv[j * d + i]) * (cv[i] - qv[j * d + i])
+                        for i in range(d)
+                    )
+                    for cv in cb[j]
+                ]
+                for j in range(m)
+            ]
+        )
+        qids.append(r[0])
+    tabs_sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in row) + ")"
+                for row in tab
+            )
+            + ")"
+            for tab in tabs
+        )
+        + ")"
+    )
+    qids_sql = "array(" + ", ".join(
+        f"{int(q)}L" if isinstance(q, int) else f"'{q}'" for q in qids
+    ) + ")"
+    pairs = (
+        f"transform(sequence(1, {len(qids)}), qi -> named_struct("
+        f"'qid', element_at({qids_sql}, qi),"
+        f" 'tab', element_at({tabs_sql}, qi)))"
+    )
+    dist = (
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
+        " element_at(element_at(_q.tab, j), element_at(codes, j) + 1))"
+    )
+    scored = (
+        enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes"),
+            F.explode(F.expr(pairs)).alias("_q"),
+        )
+        .select(
+            F.col("_q.qid").alias("query_id"),
+            F.col("neighbor_id"),
+            F.expr(dist).alias("dist"),
+        )
+    )
+    top = _topk_per_query(
+        scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+    )

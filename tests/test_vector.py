@@ -137,3 +137,30 @@ def test_kmeans_refines_ivf_quantizer(spark):
     assert hits.count() == 5
     blob_of_hits = {r["neighbor_id"] % 3 for r in hits.collect()}
     assert blob_of_hits == {0}
+
+
+def test_pq_encode_and_adc_ranking(spark):
+    from embeddinghub_spark.functions.vector import (
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    # 8 well-separated vectors, dim=8, m=2 subspaces, k_codes=8:
+    # every vector is its own codeword, so vector c encodes to [c, c]
+    # and ADC distance to itself is exactly 0
+    vecs = spark.createDataFrame(
+        [(i, [float(10 * i + j) for j in range(8)]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    cb = pq_codebooks(vecs, m=2, k_codes=8, dim=8)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(vecs, cb).collect()}
+    assert enc == {i: [i, i] for i in range(8)}
+
+    qs = spark.createDataFrame(
+        [(0, [float(j) for j in range(8)])], ["query_id", "query_vec"]
+    )
+    out = knn_pq(vecs, qs, 3, m=2, k_codes=8, dim=8).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [0, 1, 2]
+    assert out[0]["dist"] == 0.0
+    assert out[0]["rank"] == 1
