@@ -820,3 +820,147 @@ def knn_pq(
     return top.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
     )
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+    cb: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN layout
+    (FAISS IVFPQ shape): the coarse quantizer prunes the corpus to
+    the query's ``nprobe`` cells, and the survivors are scored by ADC
+    over the query's (m × k_codes) distance table — so per query the
+    work is ``nprobe/n_cells`` of the corpus × m table lookups, and
+    the index stores one byte per code instead of 4·dim.
+
+    Codes here quantize the RAW vectors (IVF-flat storage with PQ
+    scoring); encoding the cell RESIDUALS instead — FAISS's default,
+    better recall per byte — is the named upgrade and changes only
+    ``pq_encode``'s input. Both quantizers are the deterministic
+    replayable defaults (first-by-id); swap KMeans for production.
+
+    Scale shape: cell assignment and PQ encode are both map-only
+    literal folds (zero shuffles over the corpus); the probe set
+    (Q × nprobe rows) broadcasts; the only corpus-wide exchange is
+    the two-stage top-k's bounded parts×Q×k window input. Output:
+    (query_id, neighbor_id, dist, rank), dist rounded to 6.
+    """
+    d = dim // m
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid"))
+            .withColumn(
+                "cell", F.row_number().over(Window.orderBy(F.col("_cid").asc()))
+            )
+            .select("cell", "centroid")
+            .localCheckpoint(eager=False)
+        )
+    cents = _collect_cells(centroids, "cell", "centroid")
+    if cb is None:
+        cb = pq_codebooks(vectors, m, k_codes, id_col, vec_col, dim)
+
+    # one map-only pass computes BOTH the cell and the codes per row
+    # (joining a separate pq_encode output back on id would shuffle
+    # the corpus; two projections over the same scan cost nothing)
+    assigned = assign_ivf_cells(
+        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    )
+    qv = _bq(vec_col)
+    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
+    ssd = _ssd_sql("cv", f"slice({qv}, (j - 1) * {d} + 1, {d})")
+    codes_sql = (
+        f"transform(sequence(1, {m}), j -> "
+        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
+        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
+    )
+    enc = assigned.select(
+        F.col(id_col), F.col("cell"), F.expr(codes_sql).alias("codes")
+    ).localCheckpoint(eager=False)
+
+    # query side: nprobe cells (inline fold) + driver-built ADC tables
+    cell_dt = centroids.schema["cell"].dataType
+    fold = _cells_fold_sql(cents, query_vec_col, dim)
+    probes = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.expr(
+                f"slice(array_sort(transform({fold},"
+                " p -> named_struct('ns', -p.s, 'cell', p.id))),"
+                f" 1, {int(nprobe)})"
+            )
+        ).alias("_p"),
+        F.col(query_vec_col),
+    ).select(
+        query_id_col,
+        query_vec_col,
+        F.col("_p.cell").cast(cell_dt).alias("cell"),
+    ).localCheckpoint(eager=False)
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    tabs, qids = [], []
+    for r in qrows:
+        qvec = [float(x) for x in r[1]]
+        tabs.append(
+            [
+                [
+                    sum(
+                        (cv[i] - qvec[j * d + i]) * (cv[i] - qvec[j * d + i])
+                        for i in range(d)
+                    )
+                    for cv in cb[j]
+                ]
+                for j in range(m)
+            ]
+        )
+        qids.append(r[0])
+    tabs_sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in row) + ")"
+                for row in tab
+            )
+            + ")"
+            for tab in tabs
+        )
+        + ")"
+    )
+    qids_sql = "array(" + ", ".join(
+        f"{int(q)}L" if isinstance(q, int) else f"'{q}'" for q in qids
+    ) + ")"
+    tab_map = f"map_from_arrays({qids_sql}, {tabs_sql})"
+    dist = (
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
+        f" element_at(element_at(element_at({tab_map}, query_id), j),"
+        " element_at(codes, j) + 1))"
+    )
+    scored = (
+        enc.join(F.broadcast(probes.select(query_id_col, "cell")), "cell")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes"),
+        )
+        .select("query_id", "neighbor_id", F.expr(dist).alias("dist"))
+    )
+    top = _topk_per_query(
+        scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+    )

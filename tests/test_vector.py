@@ -164,3 +164,26 @@ def test_pq_encode_and_adc_ranking(spark):
     assert [r["neighbor_id"] for r in out] == [0, 1, 2]
     assert out[0]["dist"] == 0.0
     assert out[0]["rank"] == 1
+
+
+def test_ivfpq_composition(spark):
+    from embeddinghub_spark.functions.vector import knn_ivfpq
+
+    # 16 separated vectors, dim=8: with n_cells=4/nprobe=2 the query's
+    # own cell is probed, its own code distance is 0 -> rank 1 is the
+    # query vector itself
+    vecs = spark.createDataFrame(
+        [(i, [float(100 * i + j) for j in range(8)]) for i in range(16)],
+        ["vec_id", "embedding"],
+    )
+    qs = spark.createDataFrame(
+        [(5, [float(500 + j) for j in range(8)])], ["query_id", "query_vec"]
+    )
+    out = (
+        knn_ivfpq(vecs, qs, 3, n_cells=4, nprobe=2, m=2, k_codes=8, dim=8)
+        .orderBy("rank")
+        .collect()
+    )
+    assert out[0]["neighbor_id"] == 5 and out[0]["dist"] == 0.0
+    assert len(out) == 3
+    assert all(r["query_id"] == 5 for r in out)
