@@ -964,3 +964,36 @@ def knn_ivfpq(
     return top.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact
+    baseline: per query, |approx ∩ exact| / |exact| over the neighbor
+    sets (pass both frames already cut to their top-k). The quality
+    gauge every index tuning loop needs — a plan can be scale-sound
+    and still return junk; this makes recall a number a test can pin.
+    One aggregate exchange on query_id (both inputs are ≤ Q·k rows by
+    construction)."""
+    a = approx.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(neighbor_id_col).alias("_n"),
+    )
+    e = exact.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(neighbor_id_col).alias("_n"),
+    )
+    hits = e.join(a, ["query_id", "_n"], "left_semi")
+    denom = e.groupBy("query_id").agg(F.count("*").alias("_k"))
+    num = hits.groupBy("query_id").agg(F.count("*").alias("_h"))
+    return (
+        denom.join(num, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_k")).alias("recall"),
+        )
+    )

@@ -187,3 +187,42 @@ def test_ivfpq_composition(spark):
     assert out[0]["neighbor_id"] == 5 and out[0]["dist"] == 0.0
     assert len(out) == 3
     assert all(r["query_id"] == 5 for r in out)
+
+
+def test_ann_recall_on_real_embeddings(spark, sf_dir):
+    """Recall@10 of every approximate index against the exact
+    baseline on the real embeddings table — quality, not just plan
+    shape, under test."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import (
+        ann_recall,
+        knn_bruteforce,
+        knn_ivf,
+        knn_ivfpq,
+        knn_pq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_bruteforce(emb, qs, 10, dim=64).select("query_id", "neighbor_id")
+
+    def recall_of(approx):
+        rows = ann_recall(
+            approx.select("query_id", "neighbor_id"), exact
+        ).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    # IVF probes 8/16 cells -> high recall; PQ quantizes distances
+    # (16 codewords over 2k vectors) -> lower floor, still far above
+    # the 10/N ~ 5% random baseline; IVFPQ compounds both
+    r_ivf = recall_of(knn_ivf(emb, qs, 10, n_cells=16, nprobe=8, dim=64))
+    r_pq = recall_of(knn_pq(emb, qs, 10, m=8, k_codes=16, dim=64))
+    r_ivfpq = recall_of(
+        knn_ivfpq(emb, qs, 10, n_cells=16, nprobe=8, m=8, k_codes=16, dim=64)
+    )
+    assert r_ivf >= 0.5, r_ivf
+    assert r_pq >= 0.3, r_pq
+    assert r_ivfpq >= 0.2, r_ivfpq
