@@ -2376,6 +2376,76 @@ FROM s
 """
 
 
+def q_f8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample variance/stddev, Pearson corr)
+    per group — computed from EXACT integer moments (quantity is
+    integral, discount is exact cents) and only converted to double
+    in the final closed-form expression, so both engines evaluate the
+    identical arithmetic on identical integers: bit-stable without
+    trusting either engine's streaming moment algorithm (Welford
+    order differs engine to engine — the same reason FIXTURES' float
+    protocol scales sums to BIGINT cents). All intermediate products
+    bounded: n·Σxy ≤ 6e5·3e8 ≪ 2^63."""
+    return spark.sql(
+        f"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                 SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+                 SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                     * CAST(ROUND(l_discount * 100) AS BIGINT)) AS syy,
+                 SUM(CAST(l_quantity AS BIGINT)
+                     * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy
+          FROM parquet.`{sf_dir}/lineitem.parquet`
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND(CAST(sx AS DOUBLE) / n, 6) AS avg_qty,
+               ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                     / (n - 1), 6) AS var_qty,
+               ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                     / (n - 1)), 6) AS stddev_qty,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                     6) AS corr_qty_disc
+        FROM m
+        ORDER BY l_returnflag
+        """
+    )
+
+
+_F8_STATS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS syy,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS avg_qty,
+       ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+             / (n - 1), 6) AS var_qty,
+       ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+             / (n - 1)), 6) AS stddev_qty,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) AS corr_qty_disc
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 def q_f8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple exact COUNT(DISTINCT) per group — Spark plans this
     with expand + two-phase aggregation (each distinct column gets its
@@ -3103,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
+        "f8_stats": q_f8_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -3196,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_pairs_oracle(),
         "knn_pq": _KNN_PQ_ORACLE,
         "knn_ivfpq": _knn_ivfpq_oracle(),
+        "f8_stats": _F8_STATS_ORACLE,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,
