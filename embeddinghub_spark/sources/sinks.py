@@ -48,7 +48,33 @@ def latest_output_dir(base: str) -> str | None:
     return os.path.join(base, subdirs[-1]) if subdirs else None
 
 
-def atomic_update(df: DataFrame, target_dir: str) -> str:
+def list_versions(target_dir: str) -> list[str]:
+    """Retained snapshot versions of an ``atomic_update`` target,
+    oldest → newest. Versions are written sequentially by a single
+    writer, so directory mtime is write order."""
+    import glob as _glob
+
+    vs = [p for p in _glob.glob(target_dir + ".v-*") if os.path.isdir(p)]
+    return sorted(vs, key=lambda p: os.stat(p).st_mtime)
+
+
+def read_version(spark, target_dir: str, steps_back: int = 0) -> DataFrame:
+    """Time-travel read over the retained versions: ``steps_back=0``
+    is the current snapshot, ``1`` the one before, … bounded by the
+    writer's ``keep_versions``. The local-filesystem analogue of
+    Delta/Iceberg ``VERSION AS OF`` — same call site on a cluster,
+    connector time-travel options instead (read_table handles those).
+    """
+    vs = list_versions(target_dir)
+    if steps_back >= len(vs):
+        raise ValueError(
+            f"only {len(vs)} versions retained at {target_dir!r}; "
+            f"cannot step back {steps_back} (raise keep_versions on write)"
+        )
+    return spark.read.parquet(vs[-1 - steps_back])
+
+
+def atomic_update(df: DataFrame, target_dir: str, keep_versions: int = 2) -> str:
     """C18: refresh a materialized output atomically.
 
     Reference pattern: build a temp table, swap/rename in a
@@ -64,24 +90,19 @@ def atomic_update(df: DataFrame, target_dir: str) -> str:
     """
     version_dir = target_dir + ".v-" + uuid.uuid4().hex[:8]
     df.write.mode("overwrite").parquet(version_dir)
-    prev_version = None
-    if os.path.islink(target_dir):
-        prev_version = os.path.realpath(target_dir)
-    elif os.path.isdir(target_dir):
+    if not os.path.islink(target_dir) and os.path.isdir(target_dir):
         # migrate a legacy plain dir into the versioned scheme
-        prev_version = target_dir + ".v-" + uuid.uuid4().hex[:8]
-        os.rename(target_dir, prev_version)
+        os.rename(target_dir, target_dir + ".v-" + uuid.uuid4().hex[:8])
     tmp_link = target_dir + ".link-" + uuid.uuid4().hex[:8]
     os.symlink(version_dir, tmp_link)
     os.replace(tmp_link, target_dir)  # atomic: readers see old XOR new
-    # prune versions older than the one just superseded (grace window
-    # for readers still draining the previous version)
-    import glob as _glob
-
-    keep = {version_dir, prev_version}
-    for old in _glob.glob(target_dir + ".v-*"):
-        if old not in keep:
-            shutil.rmtree(old, ignore_errors=True)
+    # prune to the newest keep_versions dirs. The default (2: new +
+    # just-superseded) is the reader grace window; larger values turn
+    # the retained tail into a time-travel history (read_version).
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    for old in list_versions(target_dir)[:-keep_versions]:
+        shutil.rmtree(old, ignore_errors=True)
     return target_dir
 
 

@@ -214,3 +214,29 @@ def test_incremental_overwrite_detection(spark, tmp_path):
     )
     with pytest.raises(OverwriteDetected):
         check_incremental_state(rewound, "ts", state)
+
+
+def test_atomic_update_time_travel(spark, tmp_path):
+    from embeddinghub_spark.sources.sinks import (
+        atomic_update,
+        list_versions,
+        read_version,
+    )
+
+    target = str(tmp_path / "snap")
+    for i in range(4):
+        df = spark.createDataFrame([(i,)], ["v"])
+        atomic_update(df, target, keep_versions=3)
+
+    assert len(list_versions(target)) == 3  # retention honored
+    # steps_back walks the retained history newest -> oldest
+    assert read_version(spark, target, 0).collect()[0]["v"] == 3
+    assert read_version(spark, target, 1).collect()[0]["v"] == 2
+    assert read_version(spark, target, 2).collect()[0]["v"] == 1
+    # current symlink still points at the newest
+    assert spark.read.parquet(target).collect()[0]["v"] == 3
+    try:
+        read_version(spark, target, 3)
+        raise AssertionError("expected ValueError past retention")
+    except ValueError:
+        pass
