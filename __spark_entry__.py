@@ -2899,6 +2899,48 @@ FROM b GROUP BY window_start, event_type
 """
 
 
+def q_f9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min window, 5 min slide): every
+    event lands in exactly window/slide = 2 windows; the oracle
+    replays Spark's epoch-aligned window generation with an explicit
+    two-start UNNEST."""
+    from embeddinghub_spark.streaming.windows import windowed_aggregate
+
+    ev = _events(spark, sf_dir).select("event_type", "value", "ts")
+    win = windowed_aggregate(
+        ev,
+        "ts",
+        "10 minutes",
+        {"n": "count(*)", "ssum": "sum(cast(round(value * 100) as bigint))"},
+        group_cols=["event_type"],
+        slide="5 minutes",
+    )
+    return win.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        (F.col("ssum") / 100.0).alias("sum_value"),
+    )
+
+
+_F9_SLIDING_ORACLE = """
+WITH evt AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+     b AS (SELECT event_type, value,
+                  CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS anchor
+           FROM evt),
+     w AS (SELECT event_type, value,
+                  UNNEST(range(anchor - 300, anchor + 1, 300)) AS ws
+           FROM b)
+SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(ws) AS window_start,
+       TIMESTAMP '1970-01-01 00:00:00' + to_seconds(ws + 600) AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM w GROUP BY ws, event_type
+"""
+
+
 def q_f9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows over the event log (streaming/windows.py
     sessionize): per-user sessions with a 6-hour inactivity gap —
@@ -3230,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_dataset_rows": q_v1_dataset_rows,
         "v3_online_serve": q_v3_online_serve,
         "f9_windowed_agg": q_f9_windowed_agg,
+        "f9_sliding_window": q_f9_sliding_window,
         "f9_sessionize": q_f9_sessionize,
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
@@ -3324,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "v1_dataset_rows": _V1_ORACLE,
         "v3_online_serve": _V3_ORACLE,
         "f9_windowed_agg": _F9_ORACLE,
+        "f9_sliding_window": _F9_SLIDING_ORACLE,
         "f9_sessionize": _F9_SESSIONIZE_ORACLE,
         "mm_metadata": _MM_METADATA_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
