@@ -812,13 +812,24 @@ def embedding_near_duplicates(
         )
         for i in range(bands)
     ])
+    from embeddinghub_spark.functions.vector import dot, norm
+
     banded = (
         b.withColumn("bv", F.explode(bandstructs))
         .select(
             F.col(id_col), F.col(vec_col),
             F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"),
+            # norm ONCE PER ROW here, not per candidate pair: cheaper
+            # (norms were recomputed for every pair a row appears in)
+            # AND it keeps the join's generated method under janino's
+            # 64 KB limit — inlining dot + two unrolled norms into the
+            # pair projection overflowed it, silently dropping the
+            # whole join stage out of codegen. The pair expression is
+            # now just the unrolled dot / (nx · ny) — same doubles,
+            # same oracle hash (sqrt then multiply, either order).
+            norm(vec_col, dim).alias("_norm"),
         )
-        # 16 plane dot-products per vector — checkpoint so the
+        # 16 plane dot-products + norm per vector — checkpoint so the
         # self-join doesn't evaluate them twice
         .localCheckpoint(eager=False)
     )
@@ -835,7 +846,9 @@ def embedding_near_duplicates(
             F.col(f"y.{id_col}").alias("id_b"),
             F.round(
                 # qualified names unroll too (dim-known codegen path)
-                cosine_similarity(f"x.{vec_col}", f"y.{vec_col}", dim), 6
+                dot(f"x.{vec_col}", f"y.{vec_col}", dim)
+                / (F.col("x._norm") * F.col("y._norm")),
+                6,
             ).alias("cosine"),
         )
         .distinct()
