@@ -137,18 +137,25 @@ def knn_bruteforce(
     side stays partitioned (no shuffle: broadcast join + per-partition
     partial top-k before the window's single shuffle on query_id).
     """
-    paired = vectors.join(F.broadcast(queries))
+    order = [F.col("score").desc(), F.col("neighbor_id").asc()]
     if metric == "cosine":
-        score = cosine_similarity(vec_col, query_vec_col, dim)
-        order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+        # norms hoisted to once-per-row projections BEFORE the pairing
+        # (inline they were recomputed for every (vector, query) pair,
+        # and the dot+two-norms expression inside the join's generated
+        # method risks janino's 64 KB limit). sqrt-then-multiply in
+        # either order is the same double — oracle hashes unchanged.
+        vectors = vectors.withColumn("_vn", norm(vec_col, dim))
+        queries = queries.withColumn("_qn", norm(query_vec_col, dim))
+        score = dot(vec_col, query_vec_col, dim) / (
+            F.col("_vn") * F.col("_qn")
+        )
     elif metric == "l2":
         score = -l2_distance(vec_col, query_vec_col, dim)
-        order = [F.col("score").desc(), F.col("neighbor_id").asc()]
     elif metric == "dot":
         score = dot(vec_col, query_vec_col, dim)
-        order = [F.col("score").desc(), F.col("neighbor_id").asc()]
     else:
         raise ValueError(f"unknown metric {metric}")
+    paired = vectors.join(F.broadcast(queries))
     scored = paired.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
@@ -417,15 +424,20 @@ def knn_ivf(
             .select(query_id_col, query_vec_col, "cell")
         )
 
-    paired = assigned.join(F.broadcast(probes), "cell")
     if metric == "cosine":
-        score = cosine_similarity(vec_col, query_vec_col, dim)
+        # norms once per row before the pairing (see knn_bruteforce)
+        assigned = assigned.withColumn("_vn", norm(vec_col, dim))
+        probes = probes.withColumn("_qn", norm(query_vec_col, dim))
+        score = dot(vec_col, query_vec_col, dim) / (
+            F.col("_vn") * F.col("_qn")
+        )
     elif metric == "l2":
         score = -l2_distance(vec_col, query_vec_col, dim)
     elif metric == "dot":
         score = dot(vec_col, query_vec_col, dim)
     else:
         raise ValueError(f"unknown metric {metric}")
+    paired = assigned.join(F.broadcast(probes), "cell")
     scored = paired.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
@@ -538,13 +550,19 @@ def knn_lsh(
             .drop("lsh_bucket")
         )
 
-    paired = banded(v).join(F.broadcast(banded(q)), ["band", "band_val"])
+    # norms once per row before the pairing (see knn_bruteforce note)
+    vb = banded(v.withColumn("_vn", norm(vec_col, dim)))
+    qb = banded(q.withColumn("_qn", norm(query_vec_col, dim)))
+    paired = vb.join(F.broadcast(qb), ["band", "band_val"])
     # a pair matching on several bands appears once per band — dedup
     # before ranking (candidate set is already bucket-bounded, small)
     scored = paired.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity(vec_col, query_vec_col, dim).alias("score"),
+        (
+            dot(vec_col, query_vec_col, dim)
+            / (F.col("_vn") * F.col("_qn"))
+        ).alias("score"),
     ).distinct()
     return _topk_per_query(
         scored, k, [F.col("score").desc(), F.col("neighbor_id").asc()]
