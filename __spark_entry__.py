@@ -937,6 +937,36 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-PMI bigram collocations (functions/text.py
+    pmi_collocations): membership decided by exact integer
+    cross-multiplication (c_ab·N ≥ c_a·c_b), so the set is
+    float-parity-proof; the PMI value is one deterministic log."""
+    from embeddinghub_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+_PMI_ORACLE = """
+WITH toks AS (SELECT list_filter(string_split(text,' '), x -> x != '') AS t
+              FROM documents),
+     u AS (SELECT unnest(t) AS w FROM toks),
+     uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u GROUP BY w),
+     n AS (SELECT sum(cw) AS N FROM uni),
+     big AS (SELECT t[i] || ' ' || t[i+1] AS g
+             FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+     bi AS (SELECT g, CAST(count(*) AS BIGINT) AS c_ab
+            FROM big GROUP BY g HAVING count(*) >= 5),
+     j AS (SELECT bi.g AS ngram, bi.c_ab, a.cw AS ca, b.cw AS cb
+           FROM bi JOIN uni a ON a.w = string_split(bi.g, ' ')[1]
+                   JOIN uni b ON b.w = string_split(bi.g, ' ')[2])
+SELECT ngram, c_ab,
+       round(ln(CAST(c_ab * N AS DOUBLE) / CAST(ca * cb AS DOUBLE)), 6) AS pmi
+FROM j, n
+WHERE c_ab * N >= ca * cb
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data profile of the orders table
     (functions/profile.py): row/null/distinct counts plus typed
@@ -3216,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "f8_stats": q_f8_stats,
+        "pmi_collocations": q_pmi_collocations,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -3311,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": _KNN_PQ_ORACLE,
         "knn_ivfpq": _knn_ivfpq_oracle(),
         "f8_stats": _F8_STATS_ORACLE,
+        "pmi_collocations": _PMI_ORACLE,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,

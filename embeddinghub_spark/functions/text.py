@@ -740,3 +740,65 @@ def text_stats(
         lang_detected.alias("lang_detected"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    ratio_num: int = 1,
+    ratio_den: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram collocations by pointwise mutual information
+    (Church & Hanks): PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over corpus
+    unigram/bigram counts, N = total tokens.
+
+    Membership is decided by EXACT integer arithmetic — a bigram is a
+    collocation iff ``c_ab·N·ratio_den ≥ ratio_num·c_a·c_b`` (default
+    1/1 = positive PMI) and ``c_ab ≥ min_count`` — so the result SET
+    never depends on float log parity across engines; the PMI column
+    itself is one deterministic double expression over the exact
+    integer products, rounded for display. (Products stay < 2^63 up
+    to ~10^10 total tokens; past that, promote the guard to DECIMAL —
+    the counts themselves stay exact at any scale.)
+
+    Scale shape: two word-count aggregates (map-side partials; the
+    classic linear shape), one scalar total (bounded job), and two
+    joins of the bigram set against the unigram table keyed on a
+    word — AQE broadcasts the unigram side while the vocabulary fits,
+    else it's an ordinary hash join. No all-pairs anything.
+    """
+    uni = ngram_counts(df, 1, text_col, id_col).select(
+        F.col("ngram").alias("w"), F.col("n_occurrences").alias("cw")
+    )
+    total = uni.agg(F.sum("cw")).collect()[0][0] or 0  # bounded scalar job
+    bi = ngram_counts(df, 2, text_col, id_col).filter(
+        F.col("n_occurrences") >= min_count
+    )
+    parts = F.split(F.col("ngram"), " ")
+    flagged = (
+        bi.select(
+            "ngram",
+            F.col("n_occurrences").alias("c_ab"),
+            parts.getItem(0).alias("_w1"),
+            parts.getItem(1).alias("_w2"),
+        )
+        .join(uni.select(F.col("w").alias("_w1"), F.col("cw").alias("_ca")), "_w1")
+        .join(uni.select(F.col("w").alias("_w2"), F.col("cw").alias("_cb")), "_w2")
+        .filter(
+            F.col("c_ab") * F.lit(int(total)) * F.lit(int(ratio_den))
+            >= F.lit(int(ratio_num)) * F.col("_ca") * F.col("_cb")
+        )
+    )
+    return flagged.select(
+        "ngram",
+        "c_ab",
+        F.round(
+            F.log(
+                (F.col("c_ab") * F.lit(int(total))).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double")
+            ),
+            6,
+        ).alias("pmi"),
+    )

@@ -294,3 +294,19 @@ def test_profile_table_one_pass(spark):
     }
     assert set(approx) == {"k", "s", "v"}
     assert approx["v"]["n_rows"] == 3
+
+
+def test_pmi_collocations_exact_membership(spark):
+    from embeddinghub_spark.functions.text import pmi_collocations
+
+    # 'alpha beta' always co-occurs (PMI >> 0); 'alpha gamma' never
+    # adjacent; common filler words pair with everything (PMI ~ 0)
+    rows = [(i, "alpha beta filler filler gamma filler") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["ngram"]: r for r in pmi_collocations(df, min_count=5).collect()}
+    assert "alpha beta" in out
+    assert out["alpha beta"]["c_ab"] == 6
+    assert out["alpha beta"]["pmi"] > 0
+    assert "alpha gamma" not in out  # never adjacent
+    # every returned pair satisfies the exact positive-PMI guard
+    assert all(r["pmi"] >= 0 for r in out.values())
