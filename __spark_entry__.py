@@ -2795,6 +2795,34 @@ FROM documents
 """
 
 
+def q_f8_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family (extract / count / global replace) —
+    patterns pinned to ASCII classes so Java regex (Spark) and RE2
+    (DuckDB) agree; no-match extract normalized to '' on both sides."""
+    cat = _catalog(spark, sf_dir)
+    cat.sql_transformation(
+        "regexp_q", "v1",
+        """
+        SELECT doc_id,
+               regexp_extract(text, '(?:^| )(s[a-z]+)', 1) AS first_s_word,
+               regexp_count(text, '(?:^| )pa[a-z]+') AS n_pa_words,
+               regexp_replace(substring(text, 1, 40), '[aeiou]', '') AS devoweled
+        FROM {{documents.default}}
+        """,
+    )
+    return cat.dataframe("regexp_q", "v1")
+
+
+_F8_REGEXP_ORACLE = """
+SELECT doc_id,
+       coalesce(regexp_extract(text, '(?:^| )(s[a-z]+)', 1), '') AS first_s_word,
+       CAST(len(regexp_extract_all(text, '(?:^| )pa[a-z]+')) AS INTEGER)
+         AS n_pa_words,
+       regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g') AS devoweled
+FROM documents
+"""
+
+
 def q_f8_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _catalog(spark, sf_dir)
     cat.sql_transformation(
@@ -3247,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "f8_stats": q_f8_stats,
         "pmi_collocations": q_pmi_collocations,
+        "f8_regexp": q_f8_regexp,
         "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
@@ -3343,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _knn_ivfpq_oracle(),
         "f8_stats": _F8_STATS_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
+        "f8_regexp": _F8_REGEXP_ORACLE,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "c12_composite_entities": _C12_ORACLE,
         "c10_feature_group_join": _C10_ORACLE,
