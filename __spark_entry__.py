@@ -967,6 +967,101 @@ WHERE c_ab * N >= ca * cb
 """
 
 
+def q_knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFPQ (functions/vector.py knn_ivfpq_residual)
+    — FAISS's default: codes quantize v − centroid(cell), ADC tables
+    are per-(query, probed cell). Both quantizers deterministic, the
+    whole index replayed by the oracle below."""
+    from embeddinghub_spark.functions.vector import knn_ivfpq_residual
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_ivfpq_residual(
+        emb, queries_df, 5,
+        n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, m=8, k_codes=16, dim=_EMB_DIM,
+    )
+
+
+def _knn_ivfpq_residual_oracle() -> str:
+    dotp = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+                  embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})),
+     cd AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv FROM c),
+     av AS (SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {dotp.format(a='e.embedding', b='c.centroid')} DESC, c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN c)
+            WHERE rn = 1),
+     cbv AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code
+             FROM (SELECT * FROM emb ORDER BY vec_id ASC LIMIT 16)),
+     cbres AS (SELECT cbv.code,
+                      list_transform(range(1, 65), i -> cbv.v[i] - cd.cv[i]) AS rv
+               FROM cbv JOIN av ON av.vec_id = cbv.vec_id
+                        JOIN cd ON cd.cell = av.cell),
+     js AS (SELECT unnest(range(0, 8)) AS j),
+     cb AS (SELECT js.j, cbres.code, cbres.rv[js.j*8+1 : js.j*8+8] AS cv
+            FROM cbres CROSS JOIN js),
+     essd AS (SELECT e.vec_id, cb.j, cb.code,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 9), i ->
+                  (cb.cv[i] - (e.v[cb.j*8 + i] - cd.cv[cb.j*8 + i]))
+                  * (cb.cv[i] - (e.v[cb.j*8 + i] - cd.cv[cb.j*8 + i])))),
+                (a, b) -> a + b) AS ssd
+              FROM emb e
+              JOIN av ON av.vec_id = e.vec_id
+              JOIN cd ON cd.cell = av.cell
+              CROSS JOIN cb),
+     enc1 AS (SELECT vec_id, j, code,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY ssd ASC, code ASC) AS rn
+              FROM essd),
+     enc AS (SELECT vec_id, list(code ORDER BY j) AS codes
+             FROM enc1 WHERE rn = 1 GROUP BY vec_id),
+     q AS (SELECT vec_id AS query_id, embedding AS qe, v AS qv
+           FROM emb JOIN embeddings USING (vec_id) WHERE vec_id < 3),
+     qp AS (SELECT query_id, cell FROM (
+              SELECT q.query_id, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY {dotp.format(a='q.qe', b='c.centroid')} DESC, c.cell ASC) AS rn
+              FROM q CROSS JOIN c)
+            WHERE rn <= {_IVF_NPROBE}),
+     dssd AS (SELECT q.query_id, qp.cell, cb.j, cb.code,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 9), i ->
+                  (cb.cv[i] - (q.qv[cb.j*8 + i] - cd.cv[cb.j*8 + i]))
+                  * (cb.cv[i] - (q.qv[cb.j*8 + i] - cd.cv[cb.j*8 + i])))),
+                (a, b) -> a + b) AS ssd
+              FROM q JOIN qp ON qp.query_id = q.query_id
+                     JOIN cd ON cd.cell = qp.cell
+                     CROSS JOIN cb),
+     dt1 AS (SELECT query_id, cell, j, list(ssd ORDER BY code) AS trow
+             FROM dssd GROUP BY query_id, cell, j),
+     dt AS (SELECT query_id, cell, list(trow ORDER BY j) AS tab
+            FROM dt1 GROUP BY query_id, cell),
+     cand AS (SELECT qp.query_id, qp.cell, av.vec_id AS neighbor_id
+              FROM av JOIN qp ON av.cell = qp.cell),
+     scored AS (SELECT cand.query_id, cand.neighbor_id,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 9), j -> dt.tab[j][enc.codes[j] + 1])),
+                  (a, b) -> a + b) AS dist
+                FROM cand
+                JOIN enc ON enc.vec_id = cand.neighbor_id
+                JOIN dt ON dt.query_id = cand.query_id AND dt.cell = cand.cell),
+     r AS (SELECT query_id, neighbor_id, dist,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, round(dist, 6) AS dist, rank
+FROM r WHERE rank <= 5
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data profile of the orders table
     (functions/profile.py): row/null/distinct counts plus typed
@@ -3273,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "f8_stats": q_f8_stats,
         "pmi_collocations": q_pmi_collocations,
         "f8_regexp": q_f8_regexp,
@@ -3370,6 +3466,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_pairs_oracle(),
         "knn_pq": _KNN_PQ_ORACLE,
         "knn_ivfpq": _knn_ivfpq_oracle(),
+        "knn_ivfpq_residual": _knn_ivfpq_residual_oracle(),
         "f8_stats": _F8_STATS_ORACLE,
         "pmi_collocations": _PMI_ORACLE,
         "f8_regexp": _F8_REGEXP_ORACLE,

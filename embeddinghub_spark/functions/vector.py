@@ -1015,3 +1015,188 @@ def ann_recall(
             (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_k")).alias("recall"),
         )
     )
+
+
+def knn_ivfpq_residual(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + PQ over cell RESIDUALS — FAISS's default IVFPQ encoding:
+    each vector quantizes ``v − centroid(cell(v))`` instead of ``v``,
+    so the codebooks only have to cover the within-cell spread
+    (better recall per code byte than raw-vector PQ, which must span
+    the whole space). ADC tables become per-(query, probed cell):
+    the query's residual against each probed centroid gets its own
+    (m × k_codes) table — Q·nprobe·m·k_codes doubles, still a
+    driver-built literal.
+
+    Everything else matches ``knn_ivfpq``: one map-only corpus pass
+    computes cell + residual codes (centroid matrix and codebooks are
+    constant-folded literals), the probe set broadcasts, and the only
+    corpus exchange is the two-stage top-k. Quantizers stay the
+    deterministic first-by-id convention so a SQL oracle replays the
+    whole index."""
+    d = dim // m
+    centroids = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid"))
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy(F.col("_cid").asc()))
+        )
+        .select("cell", "centroid")
+        .localCheckpoint(eager=False)
+    )
+    cents = _collect_cells(centroids, "cell", "centroid")
+    cent_vecs = {int(cid): [float(x) for x in v] for cid, v in cents}
+    cents_arr_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in cent_vecs[cid]) + ")"
+            for cid in sorted(cent_vecs)
+        )
+        + ")"
+    )  # element_at(..., cell) works because cells are 1..K by row_number
+
+    def py_dot(c, q):
+        s = 0.0
+        for a, b in zip(c, q):
+            s = s + a * float(b)
+        return s
+
+    # residual codebooks: subspace slices of (first-k vectors − their
+    # own cell centroid); assignment replayed driver-side with the
+    # same left-assoc fold the plan runs (oracle-pinned equivalence)
+    first = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k_codes)
+        .select(vec_col)
+        .collect()
+    )
+    cb = []
+    resids = []
+    for r in first:
+        v = [float(x) for x in r[0]]
+        best = max(
+            ((py_dot(cent_vecs[cid], v), -cid) for cid in sorted(cent_vecs)),
+        )
+        cent = cent_vecs[-best[1]]
+        resids.append([v[i] - cent[i] for i in range(dim)])
+    cb = [
+        [rv[j * d : (j + 1) * d] for rv in resids]
+        for j in range(m)
+    ]
+
+    assigned = assign_ivf_cells(
+        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    )
+    qv = _bq(vec_col)
+    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
+    rslice = (
+        f"zip_with(slice({qv}, (j - 1) * {d} + 1, {d}),"
+        f" slice(element_at({cents_arr_sql}, cell), (j - 1) * {d} + 1, {d}),"
+        " (b, cc) -> cast(b as double) - cc)"
+    )
+    ssd = _ssd_sql("cv", rslice)
+    codes_sql = (
+        f"transform(sequence(1, {m}), j -> "
+        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
+        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
+    )
+    enc = assigned.select(
+        F.col(id_col), F.col("cell"), F.expr(codes_sql).alias("codes")
+    ).localCheckpoint(eager=False)
+
+    cell_dt = centroids.schema["cell"].dataType
+    fold = _cells_fold_sql(cents, query_vec_col, dim)
+    probes = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.expr(
+                f"slice(array_sort(transform({fold},"
+                " p -> named_struct('ns', -p.s, 'cell', p.id))),"
+                f" 1, {int(nprobe)})"
+            )
+        ).alias("_p"),
+    ).select(
+        query_id_col, F.col("_p.cell").cast(cell_dt).alias("cell")
+    ).localCheckpoint(eager=False)
+
+    # per-(query, probed cell) ADC tables, driver-built with the same
+    # fold order as the encode expression
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qmap_entries = []
+    for r in qrows:
+        qvec = [float(x) for x in r[1]]
+        scored_cells = sorted(
+            ((-py_dot(cent_vecs[cid], qvec), cid) for cid in sorted(cent_vecs))
+        )[: int(nprobe)]
+        cell_maps = []
+        for _, cid in scored_cells:
+            cent = cent_vecs[cid]
+            qres = [qvec[i] - cent[i] for i in range(dim)]
+            tab = [
+                [
+                    sum(
+                        (cv[i] - qres[j * d + i]) * (cv[i] - qres[j * d + i])
+                        for i in range(d)
+                    )
+                    for cv in cb[j]
+                ]
+                for j in range(m)
+            ]
+            tab_sql = (
+                "array("
+                + ", ".join(
+                    "array(" + ", ".join(f"{x!r}D" for x in row) + ")"
+                    for row in tab
+                )
+                + ")"
+            )
+            cell_maps.append((cid, tab_sql))
+        cells_sql = "array(" + ", ".join(str(c) for c, _ in cell_maps) + ")"
+        tabs_sql = "array(" + ", ".join(t for _, t in cell_maps) + ")"
+        qid = r[0]
+        qid_sql = f"{int(qid)}L" if isinstance(qid, int) else f"'{qid}'"
+        qmap_entries.append(
+            (qid_sql, f"map_from_arrays({cells_sql}, {tabs_sql})")
+        )
+    qmap = (
+        "map_from_arrays(array("
+        + ", ".join(q for q, _ in qmap_entries)
+        + "), array("
+        + ", ".join(t for _, t in qmap_entries)
+        + "))"
+    )
+    dist = (
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
+        f" element_at(element_at(element_at(element_at({qmap}, query_id),"
+        " cast(cell as int)), j), element_at(codes, j) + 1))"
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "cell")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cell"),
+            F.col("codes"),
+        )
+        .select("query_id", "neighbor_id", "cell", F.expr(dist).alias("dist"))
+        .drop("cell")
+    )
+    top = _topk_per_query(
+        scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+    )

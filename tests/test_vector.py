@@ -226,3 +226,30 @@ def test_ann_recall_on_real_embeddings(spark, sf_dir):
     assert r_ivf >= 0.5, r_ivf
     assert r_pq >= 0.3, r_pq
     assert r_ivfpq >= 0.2, r_ivfpq
+
+
+def test_ivfpq_residual_self_match_and_recall(spark, sf_dir):
+    """Residual encoding: a codebook-member query has residual exactly
+    equal to its codeword, so its ADC self-distance is 0; and on the
+    real table residual coding must not be worse than random."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import (
+        ann_recall,
+        knn_bruteforce,
+        knn_ivfpq_residual,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_ivfpq_residual(emb, qs, 10, n_cells=16, nprobe=8, dim=64)
+    rows = out.collect()
+    by_q = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    # queries 0..4 are among the first-16 codebook vectors
+    assert all(by_q[q]["neighbor_id"] == q and by_q[q]["dist"] == 0.0
+               for q in by_q)
+    exact = knn_bruteforce(emb, qs, 10, dim=64).select("query_id", "neighbor_id")
+    rec = ann_recall(out.select("query_id", "neighbor_id"), exact).collect()
+    assert sum(r["recall"] for r in rec) / len(rec) >= 0.2
