@@ -3339,57 +3339,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate records only the FIRST 50
+    # entries of this dict per round. Rounds 1-3 certified the relational/dedup/
+    # ANN core; round 4 rotates the 43 entries that had never received a driver
+    # CORRECTNESS row (the f8 tail, the quality/curation block, f9 streaming,
+    # v1/v3/v9 serving, and multimodal) into positions 1-43, and keeps 7 core
+    # sentinels (c1, c3, c6, c15, s5, v5, dedup_exact) in positions 44-50 as a
+    # cross-round regression canary. Combined r3+r4 driver coverage = 93/93.
     return {
-        "c1_sql_transformation": q_c1_sql_transformation,
-        "c2_df_transformation": q_c2_df_transformation,
-        "c3_materialize_latest": q_c3_materialize_latest,
-        "c4_materialize_no_ts": q_c4_materialize_no_ts,
-        "c5_chunked_segment": q_c5_chunked_segment,
-        "c6_pit_training_set": q_c6_pit_training_set,
-        "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
-        "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
-        "c11_lag_features": q_c11_lag_features,
-        "c14_batch_features": q_c14_batch_features,
-        "c15_train_test_split": q_c15_train_test_split,
-        "c16_resource_registration": q_c16_resource_registration,
-        "s5_incremental_read": q_s5_incremental_read,
-        "v5_knn_bruteforce": q_v5_knn_bruteforce,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "minhash_bands": q_minhash_bands,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_passages": q_dedup_passages,
-        "incremental_dedup": q_incremental_dedup,
-        "profile_table": q_profile_table,
-        "containment_pairs": q_containment_pairs,
-        "knn_pq": q_knn_pq,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_residual": q_knn_ivfpq_residual,
-        "f8_stats": q_f8_stats,
-        "pmi_collocations": q_pmi_collocations,
-        "f8_regexp": q_f8_regexp,
-        "embedding_near_dup": q_embedding_near_dup,
-        "c12_composite_entities": q_c12_composite_entities,
-        "c10_feature_group_join": q_c10_feature_group_join,
-        "c17_ctas": q_c17_ctas,
-        "s12_merge_upsert": q_s12_merge_upsert,
-        "c20_stream_materialize": q_c20_stream_materialize,
-        "c18_refresh": q_c18_refresh,
-        "s1_csv_scan": q_s1_csv_scan,
-        "v8_preview": q_v8_preview,
-        "knn_lsh": q_knn_lsh,
-        "c19_on_demand": q_c19_on_demand,
-        "knn_ivf": q_knn_ivf,
-        "s3_table_scan": q_s3_table_scan,
-        "s8_parquet_sink": q_s8_parquet_sink,
-        "f8_json_extract": q_f8_json_extract,
-        "f8_window_topn": q_f8_window_topn,
-        "f8_set_ops": q_f8_set_ops,
-        "f8_cte_having": q_f8_cte_having,
+        # --- positions 1-43: never driver-certified (39) + evicted in r3 (4) ---
         "f8_scalar_funcs": q_f8_scalar_funcs,
         "f8_date_funcs": q_f8_date_funcs,
         "f8_rollup": q_f8_rollup,
@@ -3433,6 +3391,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
+        # --- positions 44-50: core sentinels (already certified r1-r3) ---
+        "c1_sql_transformation": q_c1_sql_transformation,
+        "c3_materialize_latest": q_c3_materialize_latest,
+        "c6_pit_training_set": q_c6_pit_training_set,
+        "c15_train_test_split": q_c15_train_test_split,
+        "s5_incremental_read": q_s5_incremental_read,
+        "v5_knn_bruteforce": q_v5_knn_bruteforce,
+        "dedup_exact": q_dedup_exact,
+        # --- positions 51+: certified in r1-r3 (outside this round's window) ---
+        "c2_df_transformation": q_c2_df_transformation,
+        "c4_materialize_no_ts": q_c4_materialize_no_ts,
+        "c5_chunked_segment": q_c5_chunked_segment,
+        "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
+        "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
+        "c11_lag_features": q_c11_lag_features,
+        "c14_batch_features": q_c14_batch_features,
+        "c16_resource_registration": q_c16_resource_registration,
+        "text_stats": q_text_stats,
+        "minhash_bands": q_minhash_bands,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_passages": q_dedup_passages,
+        "incremental_dedup": q_incremental_dedup,
+        "profile_table": q_profile_table,
+        "containment_pairs": q_containment_pairs,
+        "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_residual": q_knn_ivfpq_residual,
+        "f8_stats": q_f8_stats,
+        "pmi_collocations": q_pmi_collocations,
+        "f8_regexp": q_f8_regexp,
+        "embedding_near_dup": q_embedding_near_dup,
+        "c12_composite_entities": q_c12_composite_entities,
+        "c10_feature_group_join": q_c10_feature_group_join,
+        "c17_ctas": q_c17_ctas,
+        "s12_merge_upsert": q_s12_merge_upsert,
+        "c20_stream_materialize": q_c20_stream_materialize,
+        "c18_refresh": q_c18_refresh,
+        "s1_csv_scan": q_s1_csv_scan,
+        "v8_preview": q_v8_preview,
+        "knn_lsh": q_knn_lsh,
+        "c19_on_demand": q_c19_on_demand,
+        "knn_ivf": q_knn_ivf,
+        "s3_table_scan": q_s3_table_scan,
+        "s8_parquet_sink": q_s8_parquet_sink,
+        "f8_json_extract": q_f8_json_extract,
+        "f8_window_topn": q_f8_window_topn,
+        "f8_set_ops": q_f8_set_ops,
+        "f8_cte_having": q_f8_cte_having,
     }
 
 

@@ -1,8 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints one JSON line.
+(default /root/testdata/sf0.1) and prints JSON to stdout.
 
 Each query is forced to full materialization via a cheap count-style
 action (no driver-side collect of big results).
+
+Output contract (the round driver records only the LAST 2,000 chars of
+stdout and parses the last line as JSON — a 93-query map alone exceeds
+that, which is what made round 3's artifact unparseable):
+
+- line 1: FULL detail — every query at 3 decimals plus per-query
+  ``delta_vs_prev`` (long; the artifact keeps only its tail).
+- line 2 (final, guaranteed < 1,900 chars): the parseable summary —
+  ``metric/value/unit/sf``, the 28 BASELINE.md headline queries as a
+  name→seconds map, and ALL queries as ``queries_ms`` (integer
+  milliseconds, ordered exactly like ``queries()``'s dict — zip with
+  its keys to recover the full map).
 """
 
 from __future__ import annotations
@@ -13,6 +25,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the 28 queries BASELINE.md's 48.73 s figure covers (BENCH_r01 order)
+HEADLINE_28 = [
+    "c1_sql_transformation", "c2_df_transformation", "c3_materialize_latest",
+    "c4_materialize_no_ts", "c5_chunked_segment", "c6_pit_training_set",
+    "c8_pit_label_no_ts", "c9_pit_feature_no_ts", "c11_lag_features",
+    "c14_batch_features", "c15_train_test_split", "c16_resource_registration",
+    "s5_incremental_read", "v5_knn_bruteforce", "dedup_exact", "text_stats",
+    "minhash_bands", "jaccard_pairs", "simhash", "embedding_near_dup",
+    "c12_composite_entities", "c10_feature_group_join", "f8_json_extract",
+    "f8_window_topn", "f8_set_ops", "f8_cte_having", "f8_scalar_funcs",
+    "f8_date_funcs",
+]
 
 
 def main() -> None:
@@ -46,28 +71,57 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v >= 0]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "total_wall_clock_headline_queries",
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     prev = _load_prev_round_bench()
     if prev:
-        out["delta_vs_prev"] = {
+        detail["delta_vs_prev"] = {
             name: round(t - prev[name], 3)
             for name, t in timings.items()
             if name in prev and t >= 0 and prev[name] >= 0
         }
-        prev_common = sum(prev[n] for n in out["delta_vs_prev"])
-        cur_common = sum(timings[n] for n in out["delta_vs_prev"])
-        out["delta_vs_prev_total"] = round(cur_common - prev_common, 3)
-    print(json.dumps(out))
+        prev_common = sum(prev[n] for n in detail["delta_vs_prev"])
+        cur_common = sum(timings[n] for n in detail["delta_vs_prev"])
+        detail["delta_vs_prev_total"] = round(cur_common - prev_common, 3)
+    print(json.dumps(detail))
+
+    baseline28 = {
+        n: timings[n] for n in HEADLINE_28 if n in timings
+    }
+    summary = {
+        "metric": "total_wall_clock_headline_queries",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": baseline28,
+        "baseline28_total": round(
+            sum(v for v in baseline28.values() if v >= 0), 3
+        ),
+        "queries_n": len(timings),
+        "queries_ms": [
+            int(round(t * 1000)) if t >= 0 else -1 for t in timings.values()
+        ],
+        "queries_ms_order": "queries() dict order",
+        "sf": sf_val,
+    }
+    if "delta_vs_prev_total" in detail:
+        summary["delta_vs_prev_total"] = detail["delta_vs_prev_total"]
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:  # never regress the artifact's parseability
+        summary.pop("queries_ms", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 def _load_prev_round_bench() -> dict[str, float] | None:
-    """Per-query timings from the newest BENCH_r{N}.json, if any."""
+    """Per-query timings from the newest BENCH_r{N}.json whose
+    ``parsed`` is usable — rounds with a null parse (r3's overlong
+    line) are skipped, falling back to the newest parseable round."""
     import glob
     import re
 
@@ -77,17 +131,18 @@ def _load_prev_round_bench() -> dict[str, float] | None:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
-    path = max(rounds)[1]
-    try:
-        with open(path) as fh:
-            data = json.load(fh)
-        # the driver wraps the bench line under "parsed"
-        inner = data.get("parsed", data)
-        return inner.get("queries") or None
-    except Exception:
-        return None
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            # the driver wraps the bench line under "parsed"
+            inner = data.get("parsed") or (data if "queries" in data else None)
+            qs = (inner or {}).get("queries")
+            if qs:
+                return qs
+        except Exception:
+            continue
+    return None
 
 
 if __name__ == "__main__":

@@ -981,6 +981,50 @@ def _band_bucket(n_buckets: int):
     ).cast("int")
 
 
+_MINHASH_PARAMS_FILE = "_minhash_params.json"
+
+
+def _minhash_index_params_check(
+    index_dir: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    n_buckets: int,
+    record: bool = True,
+) -> None:
+    """Validate (or, on first append, record) the index's hashing
+    parameters in a JSON sidecar. Band hashes and bucket ids are only
+    comparable when num_hashes/bands/shingle_n/n_buckets match the
+    values used at append time — a mismatched probe would silently
+    return mostly-empty candidates, so mismatch is an error, not a
+    wrong answer."""
+    import json
+    import os
+
+    params = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "n_buckets": int(n_buckets),
+    }
+    path = os.path.join(index_dir, _MINHASH_PARAMS_FILE)
+    if os.path.isfile(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"minhash index at {index_dir!r} was built with {stored}; "
+                f"got {params} — band hashes/buckets would not line up. "
+                "Rebuild the index or pass the original parameters."
+            )
+    elif record:
+        # first append records the index's parameters; a probe of a
+        # legacy sidecar-less index skips both record and validation
+        os.makedirs(index_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(params, f)
+
+
 def minhash_index_append(
     spark,
     index_dir: str,
@@ -995,7 +1039,10 @@ def minhash_index_append(
     """Compute the batch's band rows and append them to the on-disk
     index (parquet partitioned by ``bucket``). Map-only up to the
     single bucket-clustering exchange of the batch's own rows
-    (bytes ∝ |batch| × bands, never the corpus)."""
+    (bytes ∝ |batch| × bands, never the corpus). First append writes
+    a params sidecar; later appends/probes with different parameters
+    raise instead of silently mis-bucketing."""
+    _minhash_index_params_check(index_dir, num_hashes, bands, shingle_n, n_buckets)
     rows = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     (
         rows.withColumn("bucket", _band_bucket(n_buckets))
@@ -1025,7 +1072,11 @@ def minhash_index_probe(
     a day's crawl vs the corpus) are broadcast; joining on
     (bucket, band, band_hash) lets dynamic partition pruning skip
     every index bucket the probe doesn't hash into. Self-matches
-    (re-probing an already-indexed id) are dropped."""
+    (re-probing an already-indexed id) are dropped. Raises if the
+    parameters differ from the ones recorded at append time."""
+    _minhash_index_params_check(
+        index_dir, num_hashes, bands, shingle_n, n_buckets, record=False
+    )
     idx = spark.read.parquet(index_dir).select(
         F.col(id_col).alias("index_id"),
         "band",

@@ -759,9 +759,11 @@ def pmi_collocations(
     1/1 = positive PMI) and ``c_ab ≥ min_count`` — so the result SET
     never depends on float log parity across engines; the PMI column
     itself is one deterministic double expression over the exact
-    integer products, rounded for display. (Products stay < 2^63 up
-    to ~10^10 total tokens; past that, promote the guard to DECIMAL —
-    the counts themselves stay exact at any scale.)
+    integer products, rounded for display. The guard cross-multiplies
+    in DECIMAL(38,0): ``c_a·c_b`` can reach N², which overflows a
+    bigint past ~3·10⁹ total tokens and Spark's non-ANSI bigint
+    multiply wraps SILENTLY — decimal keeps the comparison exact up
+    to 10³⁸ (N ≈ 10¹⁹ tokens, far past any corpus).
 
     Scale shape: two word-count aggregates (map-side partials; the
     classic linear shape), one scalar total (bounded job), and two
@@ -787,8 +789,12 @@ def pmi_collocations(
         .join(uni.select(F.col("w").alias("_w1"), F.col("cw").alias("_ca")), "_w1")
         .join(uni.select(F.col("w").alias("_w2"), F.col("cw").alias("_cb")), "_w2")
         .filter(
-            F.col("c_ab") * F.lit(int(total)) * F.lit(int(ratio_den))
-            >= F.lit(int(ratio_num)) * F.col("_ca") * F.col("_cb")
+            F.col("c_ab").cast("decimal(38,0)")
+            * F.lit(int(total)).cast("decimal(38,0)")
+            * F.lit(int(ratio_den)).cast("decimal(38,0)")
+            >= F.lit(int(ratio_num)).cast("decimal(38,0)")
+            * F.col("_ca").cast("decimal(38,0)")
+            * F.col("_cb").cast("decimal(38,0)")
         )
     )
     return flagged.select(

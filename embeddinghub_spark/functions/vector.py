@@ -709,6 +709,60 @@ def _pq_cb_sql(cb: list[list[list[float]]]) -> str:
     )
 
 
+# The PQ family builds per-query ADC distance tables DRIVER-SIDE and
+# ships them as one SQL literal (Q·m·k_codes doubles). That is the
+# right shape for a bounded serve-side query set (the reference's
+# per-request kNN); an unbounded batch Q would OOM the driver or blow
+# the SQL parser long before the cluster sees work. The guard makes
+# that bound explicit instead of letting a caller discover it as a
+# janino/driver failure; batch-scale query sets belong on
+# knn_bruteforce / knn_ivf, whose query side is a broadcast join.
+MAX_PQ_QUERIES = 1024
+
+
+def _pq_empty_result(vectors, queries, id_col, query_id_col):
+    """Typed empty (query_id, neighbor_id, dist, rank) frame — the
+    PQ scorers short-circuit to this on an empty query set because
+    ``sequence(1, 0)`` yields ``[1, 0]`` (Spark infers step -1), so
+    the generated ``element_at(..., 0)`` would raise instead of
+    returning nothing."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", vectors.schema[id_col].dataType),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return vectors.sparkSession.createDataFrame([], schema)
+
+
+def _pq_guard_queries(qrows):
+    if len(qrows) > MAX_PQ_QUERIES:
+        raise ValueError(
+            f"PQ/ADC scoring got {len(qrows)} queries; the per-query "
+            f"distance tables are driver-built SQL literals, bounded at "
+            f"MAX_PQ_QUERIES={MAX_PQ_QUERIES}. For batch-scale query sets "
+            "use knn_bruteforce or knn_ivf (broadcast-join query side)."
+        )
+
+
+def _qid_sql(q, dt) -> str:
+    """Typed, quote-escaped SQL literal for a query id. Branches on
+    the query column's Spark dataType (not Python ``isinstance``), so
+    integral ids that surface as numpy/pandas scalars still produce a
+    key matching the column type in the generated map lookup, and a
+    string id containing a single quote can't break (or inject into)
+    the generated expression."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return f"CAST({int(q)} AS {dt.simpleString()})"
+    return "'" + str(q).replace("'", "''") + "'"
+
+
 def _ssd_sql(a_sql: str, b_sql: str) -> str:
     """Ordered squared-L2 fold: 0D + (a1-b1)² + (a2-b2)² + … — the
     left-associated order every engine (and the driver-side Python
@@ -768,15 +822,21 @@ def knn_pq(
     literal; scoring explodes each corpus row into its Q (query,
     dist) pairs in-row (the same corpus×Q pairing the exact path's
     broadcast join produces) and the two-stage top-k keeps the final
-    exchange at parts×Q×k rows. Output: (query_id, neighbor_id,
+    exchange at parts×Q×k rows. Raises ``ValueError`` above
+    ``MAX_PQ_QUERIES`` (=1024) queries — past that the literal tables
+    stop being a serve-side set and belong on the broadcast-join
+    scorers (knn_bruteforce/knn_ivf). Output: (query_id, neighbor_id,
     dist rounded to 6, rank) — rank on the exact double, rounding
     display-only."""
     d = dim // m
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    _pq_guard_queries(qrows)
+    if not qrows:
+        return _pq_empty_result(vectors, queries, id_col, query_id_col)
     if cb is None:
         cb = pq_codebooks(vectors, m, k_codes, id_col, vec_col, dim)
     enc = pq_encode(vectors, cb, id_col, vec_col).localCheckpoint(eager=False)
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
     # dtab[q][j][c] = ssd(cb[j][c], query_slice_j): plain Python
     # doubles summed in index order — the exact fold _ssd_sql runs
     tabs, qids = [], []
@@ -808,9 +868,8 @@ def knn_pq(
         )
         + ")"
     )
-    qids_sql = "array(" + ", ".join(
-        f"{int(q)}L" if isinstance(q, int) else f"'{q}'" for q in qids
-    ) + ")"
+    qdt = queries.schema[query_id_col].dataType
+    qids_sql = "array(" + ", ".join(_qid_sql(q, qdt) for q in qids) + ")"
     pairs = (
         f"transform(sequence(1, {len(qids)}), qi -> named_struct("
         f"'qid', element_at({qids_sql}, qi),"
@@ -872,10 +931,16 @@ def knn_ivfpq(
     Scale shape: cell assignment and PQ encode are both map-only
     literal folds (zero shuffles over the corpus); the probe set
     (Q × nprobe rows) broadcasts; the only corpus-wide exchange is
-    the two-stage top-k's bounded parts×Q×k window input. Output:
-    (query_id, neighbor_id, dist, rank), dist rounded to 6.
+    the two-stage top-k's bounded parts×Q×k window input. Query set
+    is capped at ``MAX_PQ_QUERIES`` (ADC tables are driver-built
+    literals — see module note). Output: (query_id, neighbor_id,
+    dist, rank), dist rounded to 6.
     """
     d = dim // m
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    _pq_guard_queries(qrows)
+    if not qrows:
+        return _pq_empty_result(vectors, queries, id_col, query_id_col)
     if centroids is None:
         centroids = (
             vectors.orderBy(F.col(id_col).asc())
@@ -928,7 +993,6 @@ def knn_ivfpq(
         F.col("_p.cell").cast(cell_dt).alias("cell"),
     ).localCheckpoint(eager=False)
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
     tabs, qids = [], []
     for r in qrows:
         qvec = [float(x) for x in r[1]]
@@ -958,9 +1022,8 @@ def knn_ivfpq(
         )
         + ")"
     )
-    qids_sql = "array(" + ", ".join(
-        f"{int(q)}L" if isinstance(q, int) else f"'{q}'" for q in qids
-    ) + ")"
+    qdt = queries.schema[query_id_col].dataType
+    qids_sql = "array(" + ", ".join(_qid_sql(q, qdt) for q in qids) + ")"
     tab_map = f"map_from_arrays({qids_sql}, {tabs_sql})"
     dist = (
         f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
@@ -1038,7 +1101,8 @@ def knn_ivfpq_residual(
     the whole space). ADC tables become per-(query, probed cell):
     the query's residual against each probed centroid gets its own
     (m × k_codes) table — Q·nprobe·m·k_codes doubles, still a
-    driver-built literal.
+    driver-built literal (so the ``MAX_PQ_QUERIES`` cap applies —
+    see module note).
 
     Everything else matches ``knn_ivfpq``: one map-only corpus pass
     computes cell + residual codes (centroid matrix and codebooks are
@@ -1047,6 +1111,10 @@ def knn_ivfpq_residual(
     deterministic first-by-id convention so a SQL oracle replays the
     whole index."""
     d = dim // m
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    _pq_guard_queries(qrows)
+    if not qrows:
+        return _pq_empty_result(vectors, queries, id_col, query_id_col)
     centroids = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(n_cells)
@@ -1134,7 +1202,7 @@ def knn_ivfpq_residual(
 
     # per-(query, probed cell) ADC tables, driver-built with the same
     # fold order as the encode expression
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qdt = queries.schema[query_id_col].dataType
     qmap_entries = []
     for r in qrows:
         qvec = [float(x) for x in r[1]]
@@ -1166,8 +1234,7 @@ def knn_ivfpq_residual(
             cell_maps.append((cid, tab_sql))
         cells_sql = "array(" + ", ".join(str(c) for c, _ in cell_maps) + ")"
         tabs_sql = "array(" + ", ".join(t for _, t in cell_maps) + ")"
-        qid = r[0]
-        qid_sql = f"{int(qid)}L" if isinstance(qid, int) else f"'{qid}'"
+        qid_sql = _qid_sql(r[0], qdt)
         qmap_entries.append(
             (qid_sql, f"map_from_arrays({cells_sql}, {tabs_sql})")
         )

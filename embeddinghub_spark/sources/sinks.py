@@ -48,22 +48,64 @@ def latest_output_dir(base: str) -> str | None:
     return os.path.join(base, subdirs[-1]) if subdirs else None
 
 
-def list_versions(target_dir: str) -> list[str]:
-    """Retained snapshot versions of an ``atomic_update`` target,
-    oldest → newest. Versions are written sequentially by a single
-    writer, so directory mtime is write order."""
+_LINEAGE_FILE = "_lineage.json"
+
+
+def _write_lineage(version_dir: str, parent: str | None) -> None:
+    import json
+
+    with open(os.path.join(version_dir, _LINEAGE_FILE), "w") as f:
+        json.dump({"parent": parent}, f)
+
+
+def _read_lineage_parent(version_dir: str) -> str | None:
+    import json
+
+    p = os.path.join(version_dir, _LINEAGE_FILE)
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f).get("parent")
+    except (ValueError, OSError):
+        return None
+
+
+def _all_version_dirs(target_dir: str) -> list[str]:
     import glob as _glob
 
-    vs = [p for p in _glob.glob(target_dir + ".v-*") if os.path.isdir(p)]
-    return sorted(vs, key=lambda p: os.stat(p).st_mtime)
+    return [p for p in _glob.glob(target_dir + ".v-*") if os.path.isdir(p)]
+
+
+def list_versions(target_dir: str) -> list[str]:
+    """COMMITTED snapshot versions of an ``atomic_update`` target,
+    oldest → newest. Anchored at the committed symlink, not mtime:
+    ``realpath(target_dir)`` is version 0 and history is walked via
+    per-version parent pointers (``_lineage.json``, written before
+    the symlink swap). A writer that crashed after its parquet write
+    but before the swap leaves an orphan ``.v-*`` dir that is NOT
+    reachable from the symlink, so it can never surface as a
+    version here (it is cleaned by the next ``atomic_update``)."""
+    if not os.path.islink(target_dir):
+        return []
+    chain = []
+    cur: str | None = os.path.realpath(target_dir)
+    seen = set()
+    while cur and os.path.isdir(cur) and cur not in seen:
+        seen.add(cur)
+        chain.append(cur)
+        cur = _read_lineage_parent(cur)
+    return list(reversed(chain))
 
 
 def read_version(spark, target_dir: str, steps_back: int = 0) -> DataFrame:
     """Time-travel read over the retained versions: ``steps_back=0``
-    is the current snapshot, ``1`` the one before, … bounded by the
-    writer's ``keep_versions``. The local-filesystem analogue of
-    Delta/Iceberg ``VERSION AS OF`` — same call site on a cluster,
-    connector time-travel options instead (read_table handles those).
+    is the current snapshot (exactly ``realpath(target_dir)``, i.e.
+    the committed symlink — never an uncommitted orphan), ``1`` the
+    one before, … bounded by the writer's ``keep_versions``. The
+    local-filesystem analogue of Delta/Iceberg ``VERSION AS OF`` —
+    same call site on a cluster, connector time-travel options
+    instead (read_table handles those).
     """
     vs = list_versions(target_dir)
     if steps_back >= len(vs):
@@ -88,21 +130,39 @@ def atomic_update(df: DataFrame, target_dir: str, keep_versions: int = 2) -> str
     On object stores this maps to Delta/Iceberg ``overwrite``
     (commit-log atomicity) — same call site, different path scheme.
     """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
     version_dir = target_dir + ".v-" + uuid.uuid4().hex[:8]
     df.write.mode("overwrite").parquet(version_dir)
     if not os.path.islink(target_dir) and os.path.isdir(target_dir):
         # migrate a legacy plain dir into the versioned scheme
-        os.rename(target_dir, target_dir + ".v-" + uuid.uuid4().hex[:8])
+        legacy = target_dir + ".v-" + uuid.uuid4().hex[:8]
+        os.rename(target_dir, legacy)
+        _write_lineage(legacy, None)
+        parent: str | None = os.path.abspath(legacy)
+    else:
+        parent = (
+            os.path.realpath(target_dir) if os.path.islink(target_dir) else None
+        )
+    # lineage lands BEFORE the swap: a crash between here and the
+    # os.replace leaves version_dir unreachable from the symlink, so
+    # list_versions/read_version never surface it and the next
+    # successful update garbage-collects it below.
+    _write_lineage(version_dir, parent)
     tmp_link = target_dir + ".link-" + uuid.uuid4().hex[:8]
     os.symlink(version_dir, tmp_link)
     os.replace(tmp_link, target_dir)  # atomic: readers see old XOR new
-    # prune to the newest keep_versions dirs. The default (2: new +
-    # just-superseded) is the reader grace window; larger values turn
-    # the retained tail into a time-travel history (read_version).
-    if keep_versions < 1:
-        raise ValueError("keep_versions must be >= 1")
-    for old in list_versions(target_dir)[:-keep_versions]:
-        shutil.rmtree(old, ignore_errors=True)
+    # prune to the newest keep_versions COMMITTED dirs (the lineage
+    # chain from the symlink). The default (2: new + just-superseded)
+    # is the reader grace window; larger values turn the retained tail
+    # into a time-travel history (read_version). Any .v-* dir NOT on
+    # the committed chain is an orphan from a crashed writer — it
+    # counts toward nothing and is removed here.
+    committed = list_versions(target_dir)
+    keep = {os.path.abspath(p) for p in committed[-keep_versions:]}
+    for d in _all_version_dirs(target_dir):
+        if os.path.abspath(d) not in keep:
+            shutil.rmtree(d, ignore_errors=True)
     return target_dir
 
 

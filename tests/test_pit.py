@@ -398,3 +398,19 @@ def test_catalog_manifest_round_trip(spark, sf_dir, tmp_path):
     assert cat3.training_set("ts_m", "v1").lags[0].alias == "lag1h"
     with pytest.raises(Exception):
         cat3.source("dfx", "v1")
+
+
+def test_skew_probe_memoized_across_builds(spark):
+    """Round-3 bench regression root cause: the ASOF auto-strategy
+    probe re-ran its Spark job on every training-set build. Two fresh
+    DataFrames over the same logical plan must share one probe."""
+    from embeddinghub_spark.operators import pit
+
+    a = spark.range(10_000).selectExpr("id % 7 as entity", "id as v")
+    b = spark.range(10_000).selectExpr("id % 7 as entity", "id as v")
+    r1 = pit.probe_entity_skew(a, "entity")
+    r2 = pit.probe_entity_skew(b, "entity")
+    assert r1 is r2  # identity: second call was a cache hit, no job
+    # a semantically different plan probes fresh
+    c = spark.range(10_000).selectExpr("id % 3 as entity", "id as v")
+    assert pit.probe_entity_skew(c, "entity") is not r1

@@ -240,3 +240,38 @@ def test_atomic_update_time_travel(spark, tmp_path):
         raise AssertionError("expected ValueError past retention")
     except ValueError:
         pass
+
+
+def test_atomic_update_crashed_writer_orphan(spark, tmp_path):
+    """A writer that dies after the parquet write but before the
+    symlink swap must not surface as a version, must not be counted
+    by retention, and must be garbage-collected by the next update."""
+    import os
+
+    from embeddinghub_spark.sources.sinks import (
+        _write_lineage,
+        atomic_update,
+        list_versions,
+        read_version,
+    )
+
+    target = str(tmp_path / "snap")
+    atomic_update(spark.createDataFrame([(1,)], ["v"]), target, keep_versions=2)
+    atomic_update(spark.createDataFrame([(2,)], ["v"]), target, keep_versions=2)
+
+    # simulate the crash: parquet + lineage written, symlink never swapped
+    orphan = target + ".v-deadbeef"
+    spark.createDataFrame([(99,)], ["v"]).write.parquet(orphan)
+    _write_lineage(orphan, os.path.realpath(target))
+
+    # the orphan is newest by mtime but must be invisible to readers
+    vs = list_versions(target)
+    assert orphan not in vs and len(vs) == 2
+    assert read_version(spark, target, 0).collect()[0]["v"] == 2
+    assert read_version(spark, target, 1).collect()[0]["v"] == 1
+
+    # next committed update GCs the orphan and keeps the committed tail
+    atomic_update(spark.createDataFrame([(3,)], ["v"]), target, keep_versions=2)
+    assert not os.path.isdir(orphan)
+    assert read_version(spark, target, 0).collect()[0]["v"] == 3
+    assert read_version(spark, target, 1).collect()[0]["v"] == 2

@@ -369,3 +369,31 @@ def test_containment_vs_jaccard(spark):
     rows = containment_pairs(df, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
     assert rows[0]["containment"] == 1.0
+
+
+def test_minhash_index_params_sidecar(spark, tmp_path):
+    """ADVICE round 3: the on-disk index records its hashing params;
+    probing or appending with different params raises instead of
+    silently returning un-matching (mostly empty) candidates."""
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_idx")
+    minhash_index_append(spark, idx, docs, num_hashes=8, bands=4)
+
+    with pytest.raises(ValueError, match="band hashes"):
+        minhash_index_probe(spark, idx, docs, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="band hashes"):
+        minhash_index_append(spark, idx, docs, num_hashes=8, bands=2)
+    # matching params still work end-to-end
+    assert minhash_index_probe(
+        spark, idx, docs, num_hashes=8, bands=4
+    ).count() == 0  # self-matches dropped

@@ -253,3 +253,52 @@ def test_ivfpq_residual_self_match_and_recall(spark, sf_dir):
     exact = knn_bruteforce(emb, qs, 10, dim=64).select("query_id", "neighbor_id")
     rec = ann_recall(out.select("query_id", "neighbor_id"), exact).collect()
     assert sum(r["recall"] for r in rec) / len(rec) >= 0.2
+
+
+def test_pq_family_empty_and_guarded_queries(spark):
+    """ADVICE round 3: empty query sets must return an empty typed
+    frame (not an element_at(...,0) error from sequence(1,0)); string
+    ids with quotes must not break the generated SQL; and past
+    MAX_PQ_QUERIES the driver-literal ADC path must refuse."""
+    import pytest
+
+    from embeddinghub_spark.functions.vector import (
+        MAX_PQ_QUERIES,
+        knn_ivfpq,
+        knn_ivfpq_residual,
+        knn_pq,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(100 * i + j) for j in range(8)]) for i in range(16)],
+        ["vec_id", "embedding"],
+    )
+    empty_q = spark.createDataFrame(
+        [], "query_id bigint, query_vec array<double>"
+    )
+    for fn, kw in (
+        (knn_pq, dict(m=2, k_codes=8, dim=8)),
+        (knn_ivfpq, dict(n_cells=4, nprobe=2, m=2, k_codes=8, dim=8)),
+        (knn_ivfpq_residual, dict(n_cells=4, nprobe=2, m=2, k_codes=8, dim=8)),
+    ):
+        out = fn(vecs, empty_q, 3, **kw)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "neighbor_id", "dist", "rank",
+        ]
+
+    # string query id containing a single quote: must parse and match
+    quoted = spark.createDataFrame(
+        [("o'brien", [float(500 + j) for j in range(8)])],
+        "query_id string, query_vec array<double>",
+    )
+    out = knn_pq(vecs, quoted, 1, m=2, k_codes=8, dim=8).collect()
+    assert out[0]["query_id"] == "o'brien" and out[0]["neighbor_id"] == 5
+
+    # past the cap: explicit refusal, not a driver OOM / parser blowup
+    over = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(MAX_PQ_QUERIES + 1)],
+        "query_id bigint, query_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="MAX_PQ_QUERIES"):
+        knn_pq(vecs, over, 1, m=2, k_codes=8, dim=8)
