@@ -27,24 +27,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# Two implementations of every metric:
+# Metric expressions are ``F.aggregate``/``F.zip_with`` HOF folds.
 #
-#   - ``dim`` KNOWN and columns given by NAME → an UNROLLED sql-string
-#     expression (``a[0]*b[0] + a[1]*b[1] + …``). Array indexing and
-#     the add chain run in whole-stage codegen, and building the
-#     expression is ONE py4j call (F.expr) instead of a Column-operator
-#     loop (~10 py4j round-trips per element of pure driver latency).
-#   - generic fallback → ``F.aggregate``/``F.zip_with`` folds. Correct
-#     for any dim, but Spark's array higher-order functions are
-#     CodegenFallback — interpreted per element.
+# An UNROLLED variant (``a[0]*b[0] + a[1]*b[1] + …`` via one F.expr)
+# was the dim-known default through round 3 on the assumption that
+# whole-stage codegen beats the "CodegenFallback" HOFs. A/B at sf0.1
+# (round 4, protocol identical to the round-3 LSH-fold A/B) measured
+# the opposite, at BOTH ends:
+#   - cold (per-invocation plan compile): v5 4.97 s vs 1.03 s, knn_ivf
+#     3.31 s vs 1.22 s — the 64-dim unrolled chain costs ~1-4 s of
+#     janino per invocation;
+#   - warm per-row throughput, 4M rows × dim 64: fold ~1.1 s vs
+#     unrolled ~4.5 s per pass — 128 independent bounds-checked array
+#     accesses in a 64-term add chain lose to the fold's single tight
+#     loop over the UnsafeArrayData.
+# So the fold is simply the better plan at every scale; ``dim`` is
+# retained in signatures for validation and for callers (LSH/IVF
+# literal folds) that genuinely need it.
 #
-# Both accumulate in DOUBLE, sequentially left-to-right (fold order ==
-# left-assoc add chain), so results are bit-identical across the two
-# paths and across engines.
+# All folds accumulate in DOUBLE, sequentially left-to-right (fold
+# order == left-assoc add chain), so results are bit-identical to the
+# retired unrolled chain and across engines.
 
 
 def _unrollable(*cols) -> bool:
-    return all(isinstance(c, str) for c in cols)
+    # retired: the fold path wins at every scale (see module note).
+    # Kept (always-False) so the A/B harness and any out-of-tree
+    # callers of the private helpers keep working.
+    return False
 
 
 def _bq(name: str) -> str:
@@ -672,13 +682,28 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    refine: bool = False,
+    n_iters: int = 5,
 ) -> list[list[list[float]]]:
-    """Deterministic PQ codebooks: subspace j's codebook is the j-th
-    dim/m slice of the first ``k_codes`` vectors by id — the same
-    oracle-replayable quantizer convention as the IVF default (swap a
-    per-subspace ``kmeans_centroids`` run for production recall; every
-    downstream step is unchanged). Returns ``cb[j][c] -> subvector``
-    (Python doubles, collected once — k_codes·dim scalars)."""
+    """PQ codebooks ``cb[j][c] -> subvector`` (Python doubles,
+    collected once — k_codes·dim scalars).
+
+    Default (``refine=False``): deterministic — subspace j's codebook
+    is the j-th dim/m slice of the first ``k_codes`` vectors by id,
+    the same oracle-replayable quantizer convention as the IVF
+    default. ``refine=True`` runs per-subspace Lloyd's iterations
+    from that init (FAISS-style PQ training, the production-recall
+    path — matches the recall intent of the reference's trained HNSW
+    index, embeddinghub/embeddingstore/index.cc:10-54): ALL m
+    subspaces train TOGETHER keyed on (subspace, code), so each
+    iteration is one map-only literal-fold assignment over the corpus
+    plus one (subspace, code, position) mean shuffle of
+    |vectors|·dim scalars — the classic distributed KMeans shape, m
+    subproblems in the same two jobs, never m separate runs. Empty
+    codes keep their previous codeword (Lloyd's degeneracy guard).
+    Refined means come from distributed avg (not bit-replayable
+    across partitionings) — keep ``refine=False`` anywhere an engine-
+    independent oracle must replay the index."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
@@ -688,10 +713,43 @@ def pq_codebooks(
         .select(vec_col)
         .collect()
     )
-    return [
+    cb = [
         [[float(x) for x in r[0][j * d : (j + 1) * d]] for r in rows]
         for j in range(m)
     ]
+    if not refine:
+        return cb
+
+    qv = _bq(vec_col)
+    # (subspace j, subvector) rows: map-only explode, m rows per vector
+    sub = vectors.select(
+        F.expr(
+            f"explode(transform(sequence(1, {m}), j -> named_struct("
+            f"'j', j, 'sv', transform(slice({qv}, (j - 1) * {d} + 1, {d}),"
+            " x -> cast(x as double)))))"
+        ).alias("_s")
+    ).select(F.col("_s.j").alias("j"), F.col("_s.sv").alias("sv"))
+    sub = sub.localCheckpoint(eager=False)  # slice once, reuse per iter
+
+    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
+    for _ in range(n_iters):
+        ssd = _ssd_sql("cv", "sv")
+        code = (
+            f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
+            f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c"
+        )
+        means = (
+            sub.select("j", F.expr(code).alias("code"),
+                       F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        new_cb = [[list(cv) for cv in subcb] for subcb in cb]
+        for r in means:  # m·k_codes·d rows — bounded driver-side
+            new_cb[r["j"] - 1][r["code"]][r["pos"]] = float(r["mean"])
+        cb = new_cb
+    return cb
 
 
 def _pq_cb_sql(cb: list[list[list[float]]]) -> str:

@@ -372,3 +372,124 @@ def test_streaming_incremental_dedup_index(spark):
             assert q.awaitTermination(120), "stream did not terminate in 120s"
 
     assert flagged == [(3, 1)]  # the later near-copy, nothing else
+
+
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    """Watermarked SLIDING windows across micro-batches ≡ the batch
+    window frame — the replay pin tumbling/session already have
+    (round-3 next-round item #7). Overlapping windows mean every event
+    lands in window_duration/slide frames; equality pins both the
+    assignment arithmetic and the streaming state handling."""
+    from datetime import datetime
+
+    from embeddinghub_spark.streaming.windows import windowed_aggregate
+
+    rows = [
+        (f"u{i % 3}", float(i), datetime(2024, 1, 1, i % 24, (i * 7) % 60))
+        for i in range(200)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "value", "ts"])
+    in_dir = str(tmp_path / "slide_in")
+    src.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    aggs = {"n": "count(*)", "total": "sum(value)"}
+    windowed = windowed_aggregate(
+        stream, "ts", "1 hour", aggs, group_cols=["entity"], slide="15 minutes"
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
+    got = {
+        (r["window_start"], r["entity"]): (r["n"], r["total"])
+        for r in spark.table("slide_test").collect()
+    }
+    expected = {
+        (r["window_start"], r["entity"]): (r["n"], r["total"])
+        for r in windowed_aggregate(
+            src, "ts", "1 hour", aggs, group_cols=["entity"], slide="15 minutes"
+        ).collect()
+    }
+    assert got == expected
+    # sliding really overlapped: ~4 windows per event vs tumbling's 1
+    assert len(got) > len(
+        windowed_aggregate(src, "ts", "1 hour", aggs, group_cols=["entity"])
+        .collect()
+    )
+
+
+def test_kafka_corrupt_payload_modes_e2e_stream(spark, tmp_path):
+    """Round-3 next-round item #8: drive kafka_records' null/drop/fail
+    policies through ACTUAL micro-batch execution — a file stream
+    standing in for the Kafka source feeds the same parse expressions
+    (the Kafka connector JAR is absent here; the parse plan is
+    source-agnostic, so only `.load()` differs)."""
+    import pytest as _pytest
+
+    payloads = [
+        (b"k1", b'{"entity": "a", "value": 1.5, "ts": "2024-01-01T00:00:00"}'),
+        (b"k2", b'{"entity": "b", "value": '),  # truncated: corrupt
+        (b"k3", b'{"entity": "c"}'),            # partial: missing fields OK
+        (b"k4", None),                          # tombstone: NOT corrupt
+    ]
+    raw_schema = StructType([
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("timestamp", TimestampNTZType()),
+    ])
+    raw = spark.createDataFrame(
+        [(k, v, _ts("2024-01-01T00:00:01")) for k, v in payloads], raw_schema
+    )
+    in_dir = str(tmp_path / "kafka_in")
+    raw.repartition(2).write.parquet(in_dir)
+
+    def run_stream(mode, name):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            kafka_records(stream, SCHEMA, on_corrupt=mode)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+        return finished, spark.table(name).collect()
+
+    ok, nulled = run_stream("null", "kafka_null_e2e")
+    assert ok and len(nulled) == 4
+    assert {r["kafka_key"] for r in nulled if r["entity"] is None} == {"k2", "k4"}
+
+    ok, dropped = run_stream("drop", "kafka_drop_e2e")
+    assert ok and {r["kafka_key"] for r in dropped} == {"k1", "k3", "k4"}
+
+    # fail mode must poison the MICRO-BATCH: the query itself dies
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            kafka_records(stream, SCHEMA, on_corrupt="fail")
+            .writeStream.format("memory")
+            .queryName("kafka_fail_e2e")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
