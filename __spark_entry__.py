@@ -3330,6 +3330,190 @@ SELECT rank, neighbor_key FROM r WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# round 4 additions: semantic dedup, kNN self-join, unigram LM scoring,
+# explicit HyperLogLog profiling
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list (functions/dedup.py semantic_dedup):
+    deterministic first-K coarse quantizer, map-only cell assignment,
+    within-cell lowest-id-wins cosine pruning."""
+    from embeddinghub_spark.functions.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
+        n_clusters=_SEMDEDUP_K, threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    dotp = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    cos = (
+        f"round({dotp.format(a='x.embedding', b='y.embedding')}"
+        f" / (sqrt({dotp.format(a='x.embedding', b='x.embedding')})"
+        f" * sqrt({dotp.format(a='y.embedding', b='y.embedding')})), 6)"
+    )
+    return f"""
+WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+                  embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY vec_id LIMIT {_SEMDEDUP_K})),
+     av AS (SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {dotp.format(a='e.embedding', b='c.centroid')} DESC,
+                                 c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN c)
+            WHERE rn = 1),
+     dropped AS (SELECT DISTINCT y.vec_id AS d
+                 FROM av x JOIN av y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id
+                 WHERE {cos} >= {_SEMDEDUP_THRESHOLD})
+SELECT av.vec_id, av.cell, (dropped.d IS NULL) AS kept
+FROM av LEFT JOIN dropped ON av.vec_id = dropped.d
+"""
+
+
+_KNN_JOIN_K = 3
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN SELF-join (functions/vector.py
+    knn_join): banded sign-LSH candidates, exact-cosine top-k per
+    vector — the batch similarity join (kNN-graph build) the
+    query-set-bounded knn_* entries don't cover."""
+    from embeddinghub_spark.functions.vector import knn_join
+
+    return knn_join(
+        _t(spark, sf_dir, "embeddings"), k=_KNN_JOIN_K, dim=_EMB_DIM,
+        n_planes=16, bands=2,
+    )
+
+
+def _knn_join_oracle() -> str:
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, 16, seed=7)
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({terms}) AS lsh_bucket FROM embeddings),
+     banded AS (
+       SELECT vec_id, embedding, 0 AS band, lsh_bucket & 255 AS band_val FROM b
+       UNION ALL
+       SELECT vec_id, embedding, 1 AS band, (lsh_bucket >> 8) & 255 AS band_val FROM b
+     ),
+     p AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+                  {cos} AS cosine
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.band_val = y.band_val
+            AND x.vec_id != y.vec_id),
+     r AS (SELECT vec_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM p)
+SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= {_KNN_JOIN_K}
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus LM
+    (functions/text.py unigram_logprob) — the cheap perplexity proxy
+    for quality scoring; exact-decimal term sums keep the result
+    independent of aggregation order."""
+    from embeddinghub_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != ''))
+         AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+wc AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cw FROM tf GROUP BY w),
+n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_corpus FROM wc),
+terms AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(tf.tf * log10(CAST(cw AS DOUBLE) / CAST(n_corpus AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS term
+  FROM tf JOIN wc USING (w) CROSS JOIN n
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS logprob
+FROM terms GROUP BY doc_id
+"""
+
+_HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+
+
+def q_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HyperLogLog distinct-count profile
+    (functions/profile.py hll_profile): the algebraic-sketch scale
+    path for profile_table — md5 registers, exact bigint harmonic
+    denominator, one final division."""
+    from embeddinghub_spark.functions.profile import hll_profile
+
+    return hll_profile(_t(spark, sf_dir, "lineitem"), _HLL_COLS, p=9)
+
+
+def _hll_profile_oracle() -> str:
+    from embeddinghub_spark.functions.profile import _hll_alpha
+
+    m = 512
+    c1 = _hll_alpha(m) * m * m * float(1 << 53)
+    vals = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        f" WHERE {c} IS NOT NULL"
+        for c in _HLL_COLS
+    )
+    v = "CAST('0x' || substr(md5(val), 4, 13) AS BIGINT)"
+    return f"""
+WITH vals AS (
+  {vals}
+),
+reg AS (
+  SELECT col,
+         CAST('0x' || substr(md5(val), 1, 3) AS BIGINT) % {m} AS bucket,
+         MAX(CASE WHEN {v} = 0 THEN 53
+                  ELSE 53 - length(bin({v})) END) AS max_rho
+  FROM vals GROUP BY col, bucket
+),
+agg AS (
+  SELECT col,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS s_used,
+         COUNT(*) AS used
+  FROM reg GROUP BY col
+),
+est AS (
+  SELECT col, used,
+         {c1!r} / CAST(s_used + ({m} - used) * CAST({1 << 53} AS BIGINT) AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT col AS "column",
+       round(CASE WHEN raw <= {2.5 * m!r} AND ({m} - used) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - used AS DOUBLE))
+                  ELSE raw END, 3) AS approx_ndv,
+       CAST({m} - used AS BIGINT) AS n_empty_buckets
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -3343,9 +3527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict per round. Rounds 1-3 certified the relational/dedup/
     # ANN core; round 4 rotates the 43 entries that had never received a driver
     # CORRECTNESS row (the f8 tail, the quality/curation block, f9 streaming,
-    # v1/v3/v9 serving, and multimodal) into positions 1-43, and keeps 7 core
-    # sentinels (c1, c3, c6, c15, s5, v5, dedup_exact) in positions 44-50 as a
-    # cross-round regression canary. Combined r3+r4 driver coverage = 93/93.
+    # v1/v3/v9 serving, and multimodal) into positions 1-43, adds the four NEW
+    # round-4 operators (semantic_dedup, knn_join, unigram_logprob,
+    # hll_profile) at 44-47, and keeps 3 core sentinels (c6, v5, dedup_exact)
+    # at 48-50 as a cross-round regression canary. Combined r3+r4 driver
+    # coverage = 97/97 (93 pre-existing + 4 new).
     return {
         # --- positions 1-43: never driver-certified (39) + evicted in r3 (4) ---
         "f8_scalar_funcs": q_f8_scalar_funcs,
@@ -3391,15 +3577,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
-        # --- positions 44-50: core sentinels (already certified r1-r3) ---
-        "c1_sql_transformation": q_c1_sql_transformation,
-        "c3_materialize_latest": q_c3_materialize_latest,
+        # --- positions 44-47: NEW in round 4 ---
+        "semantic_dedup": q_semantic_dedup,
+        "knn_join": q_knn_join,
+        "unigram_logprob": q_unigram_logprob,
+        "hll_profile": q_hll_profile,
+        # --- positions 48-50: core sentinels (already certified r1-r3) ---
         "c6_pit_training_set": q_c6_pit_training_set,
-        "c15_train_test_split": q_c15_train_test_split,
-        "s5_incremental_read": q_s5_incremental_read,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         # --- positions 51+: certified in r1-r3 (outside this round's window) ---
+        "c1_sql_transformation": q_c1_sql_transformation,
+        "c3_materialize_latest": q_c3_materialize_latest,
+        "c15_train_test_split": q_c15_train_test_split,
+        "s5_incremental_read": q_s5_incremental_read,
         "c2_df_transformation": q_c2_df_transformation,
         "c4_materialize_no_ts": q_c4_materialize_no_ts,
         "c5_chunked_segment": q_c5_chunked_segment,
@@ -3541,4 +3732,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_metadata": _MM_METADATA_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
         "mm_features": _mm_features_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
+        "knn_join": _knn_join_oracle(),
+        "unigram_logprob": _UNIGRAM_ORACLE,
+        "hll_profile": _hll_profile_oracle(),
     }

@@ -1094,3 +1094,96 @@ def minhash_index_probe(
         .select("probe_id", "index_id")
         .distinct()
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_cells: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into clusters
+    with a coarse quantizer, then drop every vector that has a
+    LOWER-ID near-duplicate (cosine >= threshold) in its own cluster.
+    Keep rule: x survives iff no y < x in cell(x) with
+    cos(x, y) >= threshold — the deterministic greedy form of "keep
+    one representative per epsilon-neighborhood" (the paper keeps a
+    random one; lowest-id is replayable).
+
+    Quantizer: ``centroid_cells`` (a ``[(cell_id, vector), ...]``
+    list, e.g. from ``vector.kmeans_centroids``) or, by default, the
+    first ``n_clusters`` vectors by id — deterministic and
+    oracle-replayable, the same convention as the PQ codebook init
+    (`vector.pq_codebooks`). Assignment reuses
+    ``vector.assign_ivf_cells``: centroids fold into the plan as
+    literals, so assignment is MAP-ONLY (zero joins/exchanges for the
+    corpus scan).
+
+    Scale shape: the only corpus-wide exchange is the cell-equi
+    self-join. Within-cell pair generation is quadratic in cell size,
+    so n_clusters must scale with the corpus (the paper uses 50k
+    clusters for LAION-440M; keep N/n_clusters ~ 10^4-10^5). For
+    skew-resistant pair pruning inside huge cells, compose with
+    ``embedding_near_duplicates``'s banded LSH *within* each cell.
+
+    Output: one row per input vector — ``(vec_id, cell, kept)``.
+
+    Reference parity note: the reference has no semantic dedup; this
+    extends its embedding plane (embeddinghub `index.cc` stores raw
+    vectors only) with the curation op a training-data pipeline runs
+    before indexing.
+    """
+    from embeddinghub_spark.functions.vector import assign_ivf_cells, dot, norm
+
+    spark = df.sparkSession
+    if centroid_cells is None:
+        first = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+        )
+        centroid_cells = [(i + 1, list(r[1])) for i, r in enumerate(first)]
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroid_cells],
+        "cell int, centroid array<double>",
+    )
+    assigned = (
+        assign_ivf_cells(
+            df, cent_df, id_col=id_col, vec_col=vec_col, dim=dim,
+            cells=centroid_cells,
+        )
+        # norm once per row, not per pair (embedding_near_duplicates
+        # pattern); checkpoint so the self-join reads it, not the plan
+        .withColumn("_norm", norm(vec_col, dim))
+        .localCheckpoint(eager=False)
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    dominated = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .filter(
+            F.round(
+                dot(f"x.{vec_col}", f"y.{vec_col}", dim)
+                / (F.col("x._norm") * F.col("y._norm")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col(f"y.{id_col}").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dominated, F.col(id_col) == F.col("_dropped"), "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )

@@ -19,6 +19,20 @@ from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
+# HyperLogLog register geometry (hll_profile): md5 supplies the hash —
+# 3 hex chars (12 bits) pick the register, the next 13 hex chars
+# (52 bits) feed the leading-zero rank, so every quantity is exact
+# 64-bit integer arithmetic until one final scalar division.
+_HLL_BUCKET_HEX = 3
+_HLL_VALUE_HEX = 13
+_HLL_VALUE_BITS = 4 * _HLL_VALUE_HEX  # 52
+_HLL_RHO_CAP = _HLL_VALUE_BITS + 1  # 53: rho for a 0-valued suffix
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
 
 def profile_table(
     df: DataFrame,
@@ -83,4 +97,99 @@ def profile_table(
     ).select(
         "column", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+def hll_profile(df: DataFrame, columns: list[str] | None = None, p: int = 9) -> DataFrame:
+    """Per-column approximate distinct counts via an EXPLICIT
+    HyperLogLog sketch (Flajolet/Fusy/Gandouet/Meunier 2007) built
+    from deterministic md5 registers — the scale path
+    ``profile_table``'s docstring promises: where the exact
+    multi-distinct pays an expand-based exchange carrying every
+    distinct value, this carries at most ``columns × 2^p`` register
+    rows regardless of table size, and the registers of disjoint
+    table shards MERGE by max — the sketch is algebraic, so a 100 TB
+    scan is one map-side-combining aggregate with a fixed-size state.
+
+    Unlike ``approx_count_distinct`` (whose HLL++ register hash is a
+    JVM implementation detail), every intermediate here is exact
+    integer arithmetic on md5 nibbles — bucket = first 12 hash bits
+    (mod m), rank = leading zeros of the next 52 bits via
+    ``length(bin(v))`` (string-exact, no float log) — so the sketch,
+    and therefore the estimate, is bit-replayable by any engine with
+    md5 (the DuckDB oracle replays it verbatim). The harmonic-mean
+    denominator is the exact bigint ``sum(2^(53 - max_rho))``
+    (bounded by m·2^53 < 2^63); the only floating point is the final
+    alpha·m²·2^53 / S division plus the small-range linear-counting
+    correction, both rounded to 3 decimals.
+
+    Columns are hashed as their string rendering: exact for
+    integer/string/bool/date columns; float columns would couple the
+    estimate to each engine's double formatting, so reject them.
+
+    Output: ``(column, approx_ndv, n_empty_buckets)``, one row per
+    profiled column. Standard error ≈ 1.04/√m (~4.6% at p=9).
+    """
+    if not 7 <= p <= 12:
+        # bucket bits must fit the 12 hash bits reserved for them and
+        # keep m >= 128 so _hll_alpha's constant applies
+        raise ValueError(f"p={p} outside [7, 12]")
+    cols = columns or df.columns
+    for c in cols:
+        dt = df.schema[c].dataType
+        if dt.typeName() in ("float", "double", "decimal"):
+            raise ValueError(
+                f"hll_profile: column {c!r} is {dt.simpleString()}; "
+                "fractional string renderings are engine-specific — "
+                "hash a stable encoding (e.g. cast to string with "
+                "explicit format) instead"
+            )
+    m = 1 << p
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"), F.col(c).cast("string").alias("val")
+        )
+        for c in cols
+    ])
+    bucket = F.expr(
+        f"pmod(cast(conv(substr(md5(pair.val), 1, {_HLL_BUCKET_HEX}), 16, 10)"
+        f" as bigint), {m})"
+    )
+    v = F.expr(
+        f"cast(conv(substr(md5(pair.val), {_HLL_BUCKET_HEX + 1},"
+        f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
+    )
+    rho = F.when(v == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin(v))
+    )
+    registers = (
+        df.select(F.explode(pairs).alias("pair"))
+        .filter(F.col("pair.val").isNotNull())
+        .select(
+            F.col("pair.column").alias("column"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("column", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # S over ALL m registers: used buckets contribute 2^(53-max_rho),
+    # the (m - used) empty registers contribute 2^53 each — computed
+    # arithmetically instead of materializing empty register rows
+    per_col = registers.groupBy("column").agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - max_rho)")).alias("_s_used"),
+        F.count(F.lit(1)).alias("_used"),
+    )
+    c1 = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
+    s_total = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(1 << _HLL_RHO_CAP).cast("bigint")
+    empties = (F.lit(m) - F.col("_used")).cast("bigint")
+    raw = F.lit(c1) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empties > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empties.cast("double")),
+    ).otherwise(raw)
+    return per_col.select(
+        F.col("column"),
+        F.round(est, 3).alias("approx_ndv"),
+        empties.alias("n_empty_buckets"),
     )

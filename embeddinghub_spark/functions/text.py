@@ -808,3 +808,60 @@ def pmi_collocations(
             6,
         ).alias("pmi"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram language model — the classic cheap perplexity proxy
+    for quality scoring (a KenLM stand-in: documents whose words are
+    corpus-typical score high; gibberish/outlier docs score low and
+    get filtered or downweighted before training).
+
+    score(d) = (Σ_w tf(d,w) · log10(c(w)/N)) / |d|, where c(w) is the
+    corpus frequency of w and N the corpus token count. No smoothing
+    is needed: every scored word is by construction in the corpus.
+
+    Determinism protocol: each (doc, word) contribution is rounded to
+    9 decimals and summed as DECIMAL(28,9) — an EXACT sum, so the
+    result is independent of Spark's partial-aggregation order (a raw
+    double Σ would hash-differ from any oracle by summation order).
+    One double division at the end, rounded to 6.
+
+    Scale shape: tf aggregate (shuffle on (doc, word), map-side
+    combine) → vocab aggregate (shuffle on word, rows = |vocab|) →
+    tf×vocab join (vocab ≪ corpus; AQE broadcasts it) → per-doc
+    aggregate (shuffle on doc). Raw text never shuffles — only
+    (doc, word, counts) rows. The corpus-total N is a 1-row cross
+    join, not a driver round-trip.
+
+    Output: ``(doc_id, n_tokens, logprob)`` for documents with at
+    least one token.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wc = tf.groupBy("w").agg(F.sum("tf").alias("cw"))
+    total = wc.agg(F.sum("cw").alias("n_corpus"))
+    term = F.round(
+        F.col("tf")
+        * F.log10(F.col("cw").cast("double") / F.col("n_corpus").cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        tf.join(wc, "w")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.col("tf"), term.alias("_term"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum("_term").cast("double") / F.sum("tf").cast("double"), 6
+            ).alias("logprob"),
+        )
+    )

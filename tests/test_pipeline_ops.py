@@ -310,3 +310,32 @@ def test_pmi_collocations_exact_membership(spark):
     assert "alpha gamma" not in out  # never adjacent
     # every returned pair satisfies the exact positive-PMI guard
     assert all(r["pmi"] >= 0 for r in out.values())
+
+
+def test_hll_profile_accuracy_and_merge(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.profile import hll_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_orderkey", "l_suppkey", "l_returnflag"]
+    est = {r["column"]: r["approx_ndv"] for r in hll_profile(li, cols).collect()}
+    exact = li.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).collect()[0].asDict()
+    for c in cols:
+        lo, hi = 0.80 * exact[c], 1.20 * exact[c]
+        assert lo <= est[c] <= hi, f"{c}: hll {est[c]} vs exact {exact[c]}"
+    # float columns are rejected (engine-specific string rendering)
+    with pytest.raises(ValueError, match="fractional"):
+        hll_profile(li, ["l_quantity"])
+    # sketch is algebraic: estimate over a partition-split union equals
+    # the whole-table estimate (registers merge by max)
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = {
+        r["column"]: r["approx_ndv"]
+        for r in hll_profile(half_a.unionByName(half_b), cols).collect()
+    }
+    assert merged == est

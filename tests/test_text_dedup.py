@@ -397,3 +397,68 @@ def test_minhash_index_params_sidecar(spark, tmp_path):
     assert minhash_index_probe(
         spark, idx, docs, num_hashes=8, bands=4
     ).count() == 0  # self-matches dropped
+
+
+def test_semantic_dedup_keep_rule(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.dedup import semantic_dedup
+    from embeddinghub_spark.functions.vector import dot, norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.3)
+    rows = out.collect()
+    assert len(rows) == emb.count(), "one row per input vector"
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append((r["vec_id"], r["kept"]))
+    # the lowest id in every cell can never be dominated
+    for cell, members in by_cell.items():
+        lo = min(members)[0]
+        assert dict(members)[lo] is True, f"min id {lo} dropped in cell {cell}"
+    # every dropped vector really has a lower-id near-dup in its cell
+    dropped = [r["vec_id"] for r in rows if not r["kept"]]
+    assert dropped, "threshold 0.3 should drop something on this corpus"
+    joined = (
+        out.alias("a")
+        .join(emb.alias("e"), F.col("a.vec_id") == F.col("e.vec_id"))
+        .select("a.vec_id", "a.cell", "a.kept", "e.embedding")
+    )
+    x, y = joined.alias("x"), joined.alias("y")
+    witness = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(
+            dot("x.embedding", "y.embedding", 64)
+            / (norm("x.embedding", 64) * norm("y.embedding", 64))
+            >= 0.3 - 1e-9
+        )
+        .select(F.col("y.vec_id").alias("v"))
+        .distinct()
+    )
+    witnessed = {r["v"] for r in witness.collect()}
+    assert set(dropped) <= witnessed
+
+
+def test_unigram_logprob_small(spark):
+    import math
+
+    from embeddinghub_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert 3 not in rows, "empty doc emits no row"
+    # corpus: a x3, b x2, N=5
+    n = 5.0
+    lp1 = (2 * round(math.log10(3 / n), 9) + round(math.log10(2 / n), 9)) / 3
+    lp2 = (round(math.log10(3 / n), 9) + round(math.log10(2 / n), 9)) / 2
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["logprob"] - round(lp1, 6)) < 1e-9
+    assert abs(rows[2]["logprob"] - round(lp2, 6)) < 1e-9
+    # the doc with proportionally more common words scores higher
+    assert rows[1]["logprob"] > rows[2]["logprob"]

@@ -339,3 +339,43 @@ def test_refined_pq_codebooks_improve_recall(spark, sf_dir):
     r_det, r_ref = recall_with(det), recall_with(ref)
     assert r_ref > r_det, f"refined {r_ref} not better than {r_det}"
     assert r_ref >= 0.30  # trained floor (measured 0.33; det ~0.26)
+
+
+def test_knn_join_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import knn_bruteforce, knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kj = knn_join(emb, k=3, dim=64)
+    rows = kj.collect()
+    assert rows, "knn_join produced no rows"
+    # no self-neighbors; ranks within 1..k and unique per source
+    per_src = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+        per_src.setdefault(r["vec_id"], []).append((r["rank"], r["cosine"]))
+    for src, rs in per_src.items():
+        ranks = sorted(x[0] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)), f"rank gap for {src}"
+        by_rank = [c for _, c in sorted(rs)]
+        assert by_rank == sorted(by_rank, reverse=True), f"cosine not desc {src}"
+    # LSH candidates are a SUBSET of the truth: a source's approximate
+    # rank-1 cosine can never exceed its brute-force best (computed
+    # with self excluded, mirroring the join's a != b)
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {}
+    for r in (
+        knn_bruteforce(emb, qs, 2, dim=64)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .collect()
+    ):
+        s = round(r["score"], 6)
+        q = r["query_id"]
+        exact[q] = max(exact.get(q, s), s)
+    approx1 = {r["vec_id"]: r["cosine"] for r in rows if r["rank"] == 1}
+    for src, c in approx1.items():
+        assert c <= exact[src] + 1e-9, f"{src}: approx {c} > exact {exact[src]}"
