@@ -51,6 +51,15 @@ def profile_table(
     result row with ``stack`` — a 1×(6·C) projection, not a shuffle.
     """
     cols = columns or df.columns
+    # the exact multi-distinct aggregate expands rows x|distinct aggs|
+    # before the exchange — pure map work, so when the scan yields
+    # fewer splits than cores (one small parquet file locally) fan the
+    # pruned input out first; never fires on a many-split cluster scan
+    sc = df.sparkSession.sparkContext
+    pruned = df.select(*cols)
+    if exact_distinct and pruned.rdd.getNumPartitions() < sc.defaultParallelism:
+        pruned = pruned.repartition(sc.defaultParallelism)
+    df = pruned
     nd = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact_distinct
