@@ -3513,6 +3513,98 @@ FROM est
 """
 
 
+def q_domain_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon domain tagging (functions/text.py domain_tag): map-only
+    regexp-count scores, argmax with declaration-order tie-break —
+    the tagging pass sample_mixture consumes for mixture weighting."""
+    from embeddinghub_spark.functions.text import domain_tag
+
+    return domain_tag(_t(spark, sf_dir, "documents"))
+
+
+def _domain_tag_oracle() -> str:
+    from embeddinghub_spark.functions.text import DOMAIN_LEXICONS
+
+    score_exprs = []
+    for i, (name, words) in enumerate(DOMAIN_LEXICONS.items()):
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),"
+            f" x -> lower(x) IN ({in_list}))) AS s{i}"
+        )
+    names = list(DOMAIN_LEXICONS)
+    # declaration-order tie-break: earlier domain wins on equal score
+    case = "CASE WHEN greatest(s0, s1, s2) = 0 THEN 'other' "
+    case += f"WHEN s0 >= s1 AND s0 >= s2 THEN '{names[0]}' "
+    case += f"WHEN s1 >= s2 THEN '{names[1]}' ELSE '{names[2]}' END"
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, {case} AS domain,
+       CAST(greatest(s0, s1, s2) AS INTEGER) AS domain_score
+FROM s
+"""
+
+
+_HQ_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+_HQ_BINS = 128
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram quantile sketch (functions/profile.py
+    histogram_quantiles): deterministic, algebraic (bin counts merge
+    by +), bounded n_bins-row exchange — the oracle-replayable stand-in
+    for approx_percentile at any table size."""
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        _HQ_QUANTILES, n_bins=_HQ_BINS,
+    )
+
+
+def _histogram_quantiles_oracle() -> str:
+    b = _HQ_BINS
+    qvals = ", ".join(f"({q!r})" for q in _HQ_QUANTILES)
+    return f"""
+WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                   max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+                   count(l_extendedprice) AS n
+            FROM lineitem),
+     binned AS (
+       SELECT CASE WHEN hi = lo THEN 0
+                   ELSE least({b - 1},
+                        CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                                   / ((hi - lo) / {float(b)!r})) AS INTEGER))
+              END AS bin
+       FROM lineitem CROSS JOIN mm
+       WHERE l_extendedprice IS NOT NULL),
+     c AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+     cum AS (SELECT bin, cnt,
+                    SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+             FROM c),
+     q(quantile) AS (VALUES {qvals}),
+     hits AS (SELECT CAST(q.quantile AS DOUBLE) AS quantile, cum.bin, cum.cnt,
+                     cum.cum - cum.cnt AS cumb,
+                     CAST(q.quantile AS DOUBLE) * CAST(mm.n AS DOUBLE) AS t,
+                     mm.lo, mm.hi
+              FROM cum CROSS JOIN mm CROSS JOIN q
+              WHERE CAST(cum.cum AS DOUBLE) >= CAST(q.quantile AS DOUBLE) * CAST(mm.n AS DOUBLE)),
+     pick AS (SELECT *, row_number() OVER (PARTITION BY quantile ORDER BY bin) AS rn
+              FROM hits)
+SELECT quantile,
+       round(CASE WHEN hi = lo THEN lo
+                  ELSE least(hi,
+                       lo + CAST(bin AS DOUBLE) * ((hi - lo) / {float(b)!r})
+                          + CASE WHEN cnt > 0
+                                 THEN (t - CAST(cumb AS DOUBLE)) / CAST(cnt AS DOUBLE)
+                                      * ((hi - lo) / {float(b)!r})
+                                 ELSE 0.0 END)
+             END, 6) AS value
+FROM pick WHERE rn = 1 ORDER BY quantile
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3527,11 +3619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict per round. Rounds 1-3 certified the relational/dedup/
     # ANN core; round 4 rotates the 43 entries that had never received a driver
     # CORRECTNESS row (the f8 tail, the quality/curation block, f9 streaming,
-    # v1/v3/v9 serving, and multimodal) into positions 1-43, adds the four NEW
+    # v1/v3/v9 serving, and multimodal) into positions 1-43, adds the six NEW
     # round-4 operators (semantic_dedup, knn_join, unigram_logprob,
-    # hll_profile) at 44-47, and keeps 3 core sentinels (c6, v5, dedup_exact)
-    # at 48-50 as a cross-round regression canary. Combined r3+r4 driver
-    # coverage = 97/97 (93 pre-existing + 4 new).
+    # hll_profile, domain_tag, histogram_quantiles) at 44-49, and keeps the
+    # flagship sentinel (c6) at 50 as a cross-round regression canary.
+    # Combined r3+r4 driver coverage = 99/99 (93 pre-existing + 6 new).
     return {
         # --- positions 1-43: never driver-certified (39) + evicted in r3 (4) ---
         "f8_scalar_funcs": q_f8_scalar_funcs,
@@ -3577,16 +3669,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
-        # --- positions 44-47: NEW in round 4 ---
+        # --- positions 44-49: NEW in round 4 ---
         "semantic_dedup": q_semantic_dedup,
         "knn_join": q_knn_join,
         "unigram_logprob": q_unigram_logprob,
         "hll_profile": q_hll_profile,
-        # --- positions 48-50: core sentinels (already certified r1-r3) ---
+        "domain_tag": q_domain_tag,
+        "histogram_quantiles": q_histogram_quantiles,
+        # --- position 50: core sentinel (certified r1-r3) ---
         "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: certified in r1-r3 (outside this round's window) ---
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
-        # --- positions 51+: certified in r1-r3 (outside this round's window) ---
         "c1_sql_transformation": q_c1_sql_transformation,
         "c3_materialize_latest": q_c3_materialize_latest,
         "c15_train_test_split": q_c15_train_test_split,
@@ -3736,4 +3830,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "hll_profile": _hll_profile_oracle(),
+        "domain_tag": _domain_tag_oracle(),
+        "histogram_quantiles": _histogram_quantiles_oracle(),
     }

@@ -13,7 +13,7 @@ instead, which collapses the expand entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
 
@@ -225,4 +225,99 @@ def hll_profile(df: DataFrame, columns: list[str] | None = None, p: int = 9) -> 
         F.col("column"),
         F.round(est, 3).alias("approx_ndv"),
         empties.alias("n_empty_buckets"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: list[float],
+    n_bins: int = 128,
+) -> DataFrame:
+    """Approximate quantiles via a fixed-width histogram sketch — the
+    deterministic scale path beside ``approx_percentile`` (whose
+    KLL/GK internals are engine-specific and not oracle-replayable):
+    two aggregate passes, a bounded ``n_bins``-row exchange, and a
+    worst-case error of one bin width ((max-min)/n_bins).
+
+    Pass 1 computes (min, max, n) — one row, broadcast back. Pass 2
+    bins every value by exact double arithmetic
+    ``floor((x - min)/width)`` (clamped to the last bin) and counts
+    per bin with map-side combine; the exchange carries at most
+    ``n_bins`` rows per task regardless of table size, and bin counts
+    merge by + — the sketch is algebraic like `hll_profile`. Each
+    requested q then interpolates linearly inside the first bin whose
+    cumulative count reaches q·n. Every intermediate is either an
+    exact bigint count or a double computed identically by any
+    IEEE-754 engine, so the DuckDB oracle replays it bit-for-bit
+    (rounded to 6).
+
+    Output: ``(quantile, value)``, one row per requested q,
+    ascending. Degenerate column (max == min) returns that value for
+    every q.
+    """
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    c = F.col(col).cast("double")
+    mm = df.agg(
+        F.min(c).alias("_lo"),
+        F.max(c).alias("_hi"),
+        F.count(c).alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    binned = (
+        df.select(c.alias("_x"))
+        .filter(F.col("_x").isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor((F.col("_x") - F.col("_lo")) / width).cast("int"),
+                )
+            )
+            .alias("_bin")
+        )
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        binned.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn("_cum_before", F.col("_cum") - F.col("_cnt"))
+        .crossJoin(F.broadcast(mm))
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(quantiles)], "quantile double"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("_t", F.col("quantile") * F.col("_n").cast("double"))
+        .filter(F.col("_cum").cast("double") >= F.col("_t"))
+    )
+    pick = Window.partitionBy("quantile").orderBy("_bin")
+    est = (
+        F.col("_lo")
+        + F.col("_bin").cast("double") * width
+        + F.when(
+            F.col("_cnt") > 0,
+            (F.col("_t") - F.col("_cum_before").cast("double"))
+            / F.col("_cnt").cast("double")
+            * width,
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("quantile"),
+            F.round(
+                F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+                    F.least(F.col("_hi"), est)
+                ),
+                6,
+            ).alias("value"),
+        )
+        .orderBy("quantile")
     )

@@ -865,3 +865,63 @@ def unigram_logprob(
             ).alias("logprob"),
         )
     )
+
+
+# Pinned domain lexicons for corpus mixture tagging — deterministic,
+# oracle-replayable (extend per-domain as needed, like LANG_MARKERS).
+DOMAIN_LEXICONS: dict[str, list[str]] = {
+    "data_eng": ["table", "join", "batch", "agg", "merge", "group"],
+    "streaming": ["stream", "window", "watermark", "kafka", "slow"],
+    "ml": ["vector", "embedding", "model", "train", "spark"],
+}
+
+
+def domain_tag(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lexicons: dict[str, list[str]] | None = None,
+    other: str = "other",
+) -> DataFrame:
+    """Keyword-lexicon domain classification — the tagging pass a
+    pretraining pipeline runs before domain-mixture resampling
+    (`operators.split.sample_mixture` consumes the tag as its class
+    column): each domain is a word list, a document's domain score is
+    its token-occurrence count in that list, and the tag is the
+    argmax with deterministic tie-breaks (highest score, then lexicon
+    declaration order; all-zero scores tag ``other``).
+
+    Map-only: one codegen ``regexp_count`` per domain (the
+    `_word_set_pattern` protocol — exact parity with token-membership
+    counting, which is what the RE2-based oracle replays via
+    ``list_filter``), argmax via ``array_max`` over (score, -index)
+    structs. ZERO exchanges at any corpus size.
+
+    Output: ``(doc_id, domain, domain_score)``.
+    """
+    lex = lexicons or DOMAIN_LEXICONS
+    names = list(lex)
+    scores = [
+        F.regexp_count(
+            F.col(text_col), F.lit(_word_set_pattern(words))
+        ).alias(f"_s_{i}")
+        for i, (_, words) in enumerate(lex.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    best = F.array_max(
+        F.array(*[
+            F.struct(
+                F.col(f"_s_{i}").alias("s"),
+                F.lit(-i).alias("ni"),
+                F.lit(n).alias("name"),
+            )
+            for i, n in enumerate(names)
+        ])
+    )
+    return scored.select(
+        F.col(id_col),
+        F.when(best.getField("s") == 0, F.lit(other))
+        .otherwise(best.getField("name"))
+        .alias("domain"),
+        best.getField("s").alias("domain_score"),
+    )

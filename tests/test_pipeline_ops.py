@@ -339,3 +339,49 @@ def test_hll_profile_accuracy_and_merge(spark, sf_dir):
         for r in hll_profile(half_a.unionByName(half_b), cols).collect()
     }
     assert merged == est
+
+
+def test_domain_tag_tiebreak_and_other(spark):
+    from embeddinghub_spark.functions.text import domain_tag
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table join stream window"),   # 2-2 tie -> first declared
+            (2, "stream kafka table"),          # streaming 2 > data_eng 1
+            (3, "zzz qqq"),                     # no hits -> other
+            (4, "vector vector vector join"),   # occurrences, not distinct
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["domain"], r["domain_score"])
+           for r in domain_tag(docs).collect()}
+    assert out[1] == ("data_eng", 2)
+    assert out[2] == ("streaming", 2)
+    assert out[3] == ("other", 0)
+    assert out[4] == ("ml", 3)
+
+
+def test_histogram_quantiles_bounds(spark, sf_dir):
+    import pytest
+
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    est = {r["quantile"]: r["value"]
+           for r in histogram_quantiles(li, "l_extendedprice", qs, n_bins=128).collect()}
+    exact = dict(zip(qs, li.stat.approxQuantile("l_extendedprice", qs, 0.0)))
+    lo, hi = (
+        li.agg({"l_extendedprice": "min"}).first()[0],
+        li.agg({"l_extendedprice": "max"}).first()[0],
+    )
+    bin_w = (hi - lo) / 128.0
+    for q in qs:
+        assert abs(est[q] - exact[q]) <= bin_w + 1e-6, (q, est[q], exact[q])
+    # constant column degenerates to the constant
+    from pyspark.sql import functions as F
+    const = li.select(F.lit(7.5).alias("c"))
+    rows = histogram_quantiles(const, "c", [0.5]).collect()
+    assert rows[0]["value"] == 7.5
+    with pytest.raises(ValueError, match="quantiles"):
+        histogram_quantiles(li, "l_extendedprice", [0.0, 0.5])
