@@ -804,7 +804,9 @@ def embedding_near_duplicates(
         raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     bits = n_planes // bands
     mask = (1 << bits) - 1
-    b = with_lsh_bucket(df, vec_col, dim, n_planes, seed)
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    b = with_lsh_bucket(ensure_parallelism(df), vec_col, dim, n_planes, seed)
     bandstructs = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
@@ -1137,7 +1139,12 @@ def semantic_dedup(
     vectors only) with the curation op a training-data pipeline runs
     before indexing.
     """
-    from embeddinghub_spark.functions.vector import assign_ivf_cells, dot, norm
+    from embeddinghub_spark.functions.vector import (
+        assign_ivf_cells,
+        dot,
+        ensure_parallelism,
+        norm,
+    )
 
     spark = df.sparkSession
     if centroid_cells is None:
@@ -1151,8 +1158,8 @@ def semantic_dedup(
     )
     assigned = (
         assign_ivf_cells(
-            df, cent_df, id_col=id_col, vec_col=vec_col, dim=dim,
-            cells=centroid_cells,
+            ensure_parallelism(df), cent_df, id_col=id_col, vec_col=vec_col,
+            dim=dim, cells=centroid_cells,
         )
         # norm once per row, not per pair (embedding_near_duplicates
         # pattern); checkpoint so the self-join reads it, not the plan

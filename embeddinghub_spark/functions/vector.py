@@ -458,6 +458,18 @@ def knn_ivf(
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out when the scan yields fewer splits than
+    cores — a single small parquet file otherwise serializes every
+    downstream map stage (and the stream side of a broadcast join) on
+    one task. On a real cluster the scan has >= cores splits and this
+    is the identity, so no shuffle is ever added at scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy needed
     at plan-build time, reproducible across runs)."""
@@ -1366,7 +1378,7 @@ def knn_join(
         raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     bits = n_planes // bands
     mask = (1 << bits) - 1
-    b = with_lsh_bucket(vectors, vec_col, dim, n_planes, seed)
+    b = with_lsh_bucket(ensure_parallelism(vectors), vec_col, dim, n_planes, seed)
     bandstructs = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
