@@ -172,7 +172,15 @@ def _with_signature(
     signature as separate projections, so each array is computed once
     per row instead of once per downstream expression. Permutation i
     is the affine mix (a_i·x + b_i) mod 2^31-1 over the shingle hash
-    (universal hashing — one md5 per token total)."""
+    (universal hashing — one md5 per token total).
+
+    The signature build is the map-heavy stage of every MinHash
+    consumer, and a single-file corpus scan would serialize it on one
+    task — fan out first (identity on many-split cluster scans;
+    signatures are per-row, so results are partition-invariant)."""
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    df = ensure_parallelism(df)
     staged = df.select(
         F.col(id_col), token_hashes(text_col).alias("_th")
     ).select(
@@ -388,7 +396,14 @@ def simhash_staged(
     Fingerprints are bit-identical to ``simhash()`` (same md5 chunks,
     same ``ones·2 ≥ n`` tie-break; null text → null, empty text → all
     bits set). Assumes ``id_col`` values are unique (one doc per id).
+
+    Like the MinHash signature build, the md5 explode is map-heavy —
+    fan a split-deficient scan out first (identity on clusters;
+    per-row hashing is partition-invariant).
     """
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if bits != 64:
         # general-width path: correctness over constant-factor tuning
         md5s = df.select(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from embeddinghub_spark.functions.vector import ensure_parallelism
+
 # Pinned analysis vocabulary (deterministic, oracle-replayable).
 STOPWORDS = (
     "the a an and or of to in is are was for on with as by at from".split()
@@ -696,6 +698,7 @@ def text_stats(
     counts use ``_word_set_pattern`` (count parity with the
     split-then-filter tokenizer pinned by test and oracle).
     """
+    df = ensure_parallelism(df)  # split-deficit fan-out (see vector.py)
     scores = lang_scores(text_col)
     staged = df.select(
         F.col(id_col),
