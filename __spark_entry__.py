@@ -3562,22 +3562,22 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _histogram_quantiles_oracle() -> str:
-    b = _HQ_BINS
-    qvals = ", ".join(f"({q!r})" for q in _HQ_QUANTILES)
-    return f"""
-WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
-                   max(CAST(l_extendedprice AS DOUBLE)) AS hi,
-                   count(l_extendedprice) AS n
-            FROM lineitem),
+def _histogram_ctes(src: str, col: str, quantiles: list[float], b: int) -> str:
+    """CTE chain replaying profile.histogram_quantiles over relation
+    ``src``'s column ``col``; terminal CTE ``hq(quantile, value)``."""
+    qvals = ", ".join(f"({q!r})" for q in sorted(quantiles))
+    return f"""mm AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,
+                   max(CAST({col} AS DOUBLE)) AS hi,
+                   count({col}) AS n
+            FROM {src}),
      binned AS (
        SELECT CASE WHEN hi = lo THEN 0
                    ELSE least({b - 1},
-                        CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                        CAST(floor((CAST({col} AS DOUBLE) - lo)
                                    / ((hi - lo) / {float(b)!r})) AS INTEGER))
               END AS bin
-       FROM lineitem CROSS JOIN mm
-       WHERE l_extendedprice IS NOT NULL),
+       FROM {src} CROSS JOIN mm
+       WHERE {col} IS NOT NULL),
      c AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
      cum AS (SELECT bin, cnt,
                     SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
@@ -3591,8 +3591,8 @@ WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
               FROM cum CROSS JOIN mm CROSS JOIN q
               WHERE CAST(cum.cum AS DOUBLE) >= CAST(q.quantile AS DOUBLE) * CAST(mm.n AS DOUBLE)),
      pick AS (SELECT *, row_number() OVER (PARTITION BY quantile ORDER BY bin) AS rn
-              FROM hits)
-SELECT quantile,
+              FROM hits),
+     hq AS (SELECT quantile,
        round(CASE WHEN hi = lo THEN lo
                   ELSE least(hi,
                        lo + CAST(bin AS DOUBLE) * ((hi - lo) / {float(b)!r})
@@ -3601,8 +3601,65 @@ SELECT quantile,
                                       * ((hi - lo) / {float(b)!r})
                                  ELSE 0.0 END)
              END, 6) AS value
-FROM pick WHERE rn = 1 ORDER BY quantile
+     FROM pick WHERE rn = 1)"""
+
+
+def _histogram_quantiles_oracle() -> str:
+    ctes = _histogram_ctes("lineitem", "l_extendedprice", _HQ_QUANTILES, _HQ_BINS)
+    return f"WITH {ctes}\nSELECT quantile, value FROM hq ORDER BY quantile"
+
+
+_PPLX_BUCKETS = 3
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail stratification (functions/text.py
+    perplexity_buckets): unigram-LM score -> histogram-quantile cuts
+    -> stratum tag; a pure composition of two oracle-checked ops."""
+    from embeddinghub_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents"), n_buckets=_PPLX_BUCKETS
+    )
+
+
+def _perplexity_buckets_oracle() -> str:
+    n = _PPLX_BUCKETS
+    qs = sorted(i / n for i in range(1, n))
+    ctes = _histogram_ctes("ul", "logprob", qs, _HQ_BINS)
+    ts = ", ".join(
+        f"MAX(CASE WHEN quantile = {q!r} THEN value END) AS t{i}"
+        for i, q in enumerate(qs)
+    )
+    case = "CASE "
+    for i in range(n - 1):
+        case += f"WHEN logprob <= t{i} THEN {i} "
+    case += f"ELSE {n - 1} END"
+    return f"""
+WITH ul AS ({_UNIGRAM_ORACLE}),
+     {ctes},
+     th AS (SELECT {ts} FROM hq)
+SELECT ul.doc_id, ul.logprob, {case} AS bucket
+FROM ul CROSS JOIN th
 """
+
+
+def q_s2_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON file scan round-trip (sources/readers.py read_file
+    fmt='json'): json is a first-class PrimaryData format in the
+    reference (filestore/filepath.go:37-43); write nation as JSON
+    lines, read back through the engine's tolerant reader."""
+    import tempfile
+
+    from embeddinghub_spark.sources.readers import read_file
+
+    nation = _t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="s2json_")
+    nation.write.mode("overwrite").json(base)
+    return read_file(spark, base, fmt="json")
+
+
+_S2_JSON_ORACLE = "SELECT * FROM nation"
 
 
 # --------------------------------------------------------------------------
@@ -3678,7 +3735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         # --- position 50: core sentinel (certified r1-r3) ---
         "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: certified in r1-r3 (outside this round's window) ---
+        # --- positions 51+: outside this round's window (the two NEW entries
+        # here — perplexity_buckets, s2_json_scan — rotate into r5's window) ---
+        "perplexity_buckets": q_perplexity_buckets,
+        "s2_json_scan": q_s2_json_scan,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -3832,4 +3892,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_profile": _hll_profile_oracle(),
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
+        "perplexity_buckets": _perplexity_buckets_oracle(),
+        "s2_json_scan": _S2_JSON_ORACLE,
     }

@@ -928,3 +928,49 @@ def domain_tag(
         .alias("domain"),
         best.getField("s").alias("domain_score"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity stratification (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the corpus unigram
+    LM (`unigram_logprob`), cut the score distribution into
+    ``n_buckets`` equal-mass strata with the deterministic histogram
+    sketch (`profile.histogram_quantiles`), and tag each document
+    with its stratum — bucket 0 = lowest log-probability (the
+    "tail" CCNet discards or downweights), bucket n-1 = most
+    corpus-typical ("head").
+
+    Pure composition of two already-oracle-checked operators; the
+    thresholds travel as a broadcast ONE-ROW frame (conditional
+    aggregation over the n_buckets-1 quantile rows), so no driver
+    collect and no second evaluation of the scored frame (it is
+    localCheckpoint'd and read by both the quantile pass and the
+    final tagging pass).
+
+    Output: ``(doc_id, logprob, bucket)``; scale shape = the two
+    component shapes + one broadcast join.
+    """
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ul = unigram_logprob(df, text_col, id_col).localCheckpoint(eager=False)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = histogram_quantiles(ul, "logprob", qs)
+    one_row = cuts.agg(*[
+        F.max(F.when(F.col("quantile") == q, F.col("value"))).alias(f"_t{i}")
+        for i, q in enumerate(sorted(qs))
+    ])
+    bucket = F.lit(n_buckets - 1)
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(
+            F.col("logprob") <= F.col(f"_t{i}"), F.lit(i)
+        ).otherwise(bucket)
+    return ul.crossJoin(F.broadcast(one_row)).select(
+        F.col(id_col), F.col("logprob"), bucket.alias("bucket")
+    )

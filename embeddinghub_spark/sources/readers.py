@@ -92,6 +92,16 @@ def read_file(
             .option("ignoreCorruptFiles", "true")
             .option("mode", "PERMISSIVE")
         )
+    elif fmt == "json":
+        # json is a first-class PrimaryData file format in the
+        # reference (filestore/filepath.go:37-43); same tolerance
+        # posture as csv — malformed records land in PERMISSIVE's
+        # corrupt-record column instead of failing the scan
+        reader = (
+            reader.option("recursiveFileLookup", "true")
+            .option("ignoreCorruptFiles", "true")
+            .option("mode", "PERMISSIVE")
+        )
     elif fmt == "parquet":
         reader = reader.option("recursiveFileLookup", "true").option(
             "ignoreCorruptFiles", "true"

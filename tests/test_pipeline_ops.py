@@ -385,3 +385,38 @@ def test_histogram_quantiles_bounds(spark, sf_dir):
     assert rows[0]["value"] == 7.5
     with pytest.raises(ValueError, match="quantiles"):
         histogram_quantiles(li, "l_extendedprice", [0.0, 0.5])
+
+
+def test_perplexity_buckets_strata(spark, sf_dir):
+    from embeddinghub_spark.functions.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = perplexity_buckets(docs, n_buckets=3).collect()
+    n = len(out)
+    assert n == docs.filter("text IS NOT NULL AND text != ''").count()
+    by_bucket = {}
+    for r in out:
+        assert 0 <= r["bucket"] <= 2
+        by_bucket.setdefault(r["bucket"], []).append(r["logprob"])
+    # strata are ordered: every tail score <= every head score
+    assert max(by_bucket[0]) <= min(by_bucket[2])
+    # equal-mass-ish: no stratum under ~15% of docs (histogram cuts are
+    # approximate, bin-width loose)
+    for b, rows in by_bucket.items():
+        assert len(rows) >= 0.15 * n, (b, len(rows), n)
+
+
+def test_json_scan_roundtrip_and_tolerance(spark, sf_dir, tmp_path):
+    from embeddinghub_spark.sources.readers import read_file
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = str(tmp_path / "j")
+    nation.write.mode("overwrite").json(base)
+    back = read_file(spark, base, fmt="json")
+    assert back.count() == nation.count()
+    assert set(c for c in back.columns if not c.startswith("_")) == set(nation.columns)
+    # a malformed line must not sink the scan (PERMISSIVE)
+    with open(f"{base}/zzz_bad.json", "w") as f:
+        f.write('{"n_nationkey": 999, "n_name": "OK"}\n{not json at all\n')
+    tolerant = read_file(spark, base, fmt="json")
+    assert tolerant.filter("n_nationkey = 999").count() == 1
