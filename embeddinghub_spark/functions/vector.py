@@ -1426,3 +1426,83 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_query_tables(
+    queries: DataFrame,
+    cb: list[list[list[float]]],
+    query_vec_col: str = "query_vec",
+    tab_col: str = "tab",
+) -> DataFrame:
+    """ADC distance tables as a COLUMN: tab[j][c] = ssd(cb[j][c],
+    query_slice_j), computed JVM-side from the codebook literal —
+    map-only over the query table, no driver collect. Values are
+    bit-identical to the driver-built tables `knn_pq` inlines (same
+    left-associated fold order), pinned by the batch≡literal
+    equivalence test."""
+    m = len(cb)
+    d = len(cb[0][0])
+    qv = _bq(query_vec_col)
+    ssd = _ssd_sql(f"slice({qv}, (j - 1) * {d} + 1, {d})", "cv")
+    # NB: argument order — codeword as the CAST side: cv is already
+    # double (literal), the query slice is float; _ssd_sql casts its
+    # SECOND argument, so pass (query_slice, cv) to cast cv (a no-op
+    # on doubles) and keep the subtraction order (q - c)² == (c - q)²
+    tab = (
+        f"transform(sequence(1, {m}), j -> "
+        f"transform(element_at({_pq_cb_sql(cb)}, j), cv -> {ssd}))"
+    )
+    return queries.withColumn(tab_col, F.expr(tab))
+
+
+def knn_pq_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    cb: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """`knn_pq` for UNBOUNDED query sets — the batch path the literal
+    variant's ``MAX_PQ_QUERIES`` guard points at. No driver collect:
+    each query computes its own ADC table as a column
+    (`pq_query_tables`, map-only), and the pairing is a broadcast of
+    the (query, table) frame against the encoded corpus — the same
+    corpus×Q pairing `knn_bruteforce` uses, with m byte-code lookups
+    per pair instead of a dim-length fold.
+
+    Scale: corpus side never shuffles until the two-stage top-k's
+    parts×Q×k exchange. The broadcast holds Q·(m·k_codes+dim) doubles
+    — fine to ~10⁶ queries; past that, exhaustive scoring of every
+    (vector, query) pair is the real cost and belongs on the
+    cell-pruned `knn_ivfpq` layout instead.
+
+    Output: identical schema and values to `knn_pq` (equivalence
+    pinned by test).
+    """
+    if cb is None:
+        cb = pq_codebooks(vectors, m, k_codes, id_col, vec_col, dim)
+    enc = pq_encode(vectors, cb, id_col, vec_col)
+    qtab = pq_query_tables(queries, cb, query_vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col("tab")
+    )
+    dist = F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
+        " element_at(element_at(tab, j), element_at(codes, j) + 1))"
+    )
+    scored = enc.join(F.broadcast(qtab)).select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        dist.alias("dist"),
+    )
+    top = _topk_per_query(
+        scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+    )

@@ -379,3 +379,35 @@ def test_knn_join_invariants(spark, sf_dir):
     approx1 = {r["vec_id"]: r["cosine"] for r in rows if r["rank"] == 1}
     for src, c in approx1.items():
         assert c <= exact[src] + 1e-9, f"{src}: approx {c} > exact {exact[src]}"
+
+
+def test_knn_pq_batch_equals_literal_path(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import knn_pq, knn_pq_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit_rows = sorted(
+        tuple(r) for r in knn_pq(emb, qs, 5, dim=64).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in knn_pq_batch(emb, qs, 5, dim=64).collect()
+    )
+    assert lit_rows == batch_rows  # bit-identical dist, same ranking
+
+    # the batch path has no Q cap: replicate the embeddings to >1024
+    # distinct query ids (past MAX_PQ_QUERIES)
+    reps = spark.range(5).select(F.col("id").alias("_rep"))
+    big_q = emb.crossJoin(reps).select(
+        (F.col("vec_id") * 10 + F.col("_rep") + 100000).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = knn_pq_batch(emb, big_q, 2, dim=64)
+    assert out.count() == big_q.count() * 2
+    import pytest
+
+    with pytest.raises(ValueError, match="queries"):
+        knn_pq(emb, big_q, 2, dim=64)
