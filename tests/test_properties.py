@@ -198,3 +198,117 @@ def test_chunk_documents_properties(spark, n_tokens, chunk, overlap):
         for b in windows:
             if a is not b:
                 assert not (a[0] >= b[0] and a[1] <= b[1]), (a, b, out)
+
+
+_vals = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200
+)
+
+
+@given(vals=_vals, q=st.sampled_from([0.25, 0.5, 0.75, 0.9, 1.0]))
+@settings(**SETTINGS)
+def test_histogram_quantiles_within_bin_width(spark, vals, q):
+    """The sketch estimate is within one bin width of the true
+    (nearest-rank-interpolated) quantile, for arbitrary distributions
+    including constants, duplicates, and negatives."""
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    est = histogram_quantiles(df, "x", [q], n_bins=64).collect()[0]["value"]
+    s = sorted(float(v) for v in vals)
+    lo, hi = s[0], s[-1]
+    if hi == lo:
+        assert est == round(lo, 6)
+        return
+    bin_w = (hi - lo) / 64.0
+    # true quantile by the same t = q*n crossing definition
+    t = q * len(s)
+    idx = max(0, min(len(s) - 1, int(t) - (1 if t == int(t) else 0)))
+    truth = s[idx]
+    assert est >= lo - 1e-9 and est <= hi + 1e-9
+    assert abs(est - truth) <= bin_w + 1e-6
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=0, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_logprob_is_brute_force(spark, texts):
+    """Operator == Python reference on arbitrary tiny corpora,
+    including empty docs (no row) and single-word corpora."""
+    import math
+
+    from embeddinghub_spark.functions.text import unigram_logprob
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    counts: dict = {}
+    for _, t in docs:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+    want = {}
+    for i, t in docs:
+        ws = t.split()
+        if not ws:
+            continue
+        terms = [round(math.log10(counts[w] / n), 9) for w in ws]
+        want[i] = (len(ws), round(sum(terms) / len(ws), 6))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["x", "y", "z", "w"]),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(**SETTINGS)
+def test_hll_profile_matches_python_replica(spark, rows):
+    """The sketch is EXACTLY replayable: a pure-Python md5 register
+    replica produces the identical estimate for arbitrary int/string
+    columns (the property the DuckDB oracle relies on)."""
+    import hashlib
+
+    from embeddinghub_spark.functions.profile import _hll_alpha, hll_profile
+
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {r["column"]: r["approx_ndv"] for r in hll_profile(df, ["a", "b"]).collect()}
+
+    def replica(vals):
+        m = 512
+        regs: dict = {}
+        for v in vals:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            bucket = int(h[:3], 16) % m
+            x = int(h[3:16], 16)
+            rho = 53 if x == 0 else 53 - len(bin(x)[2:])
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        s = sum(1 << (53 - r) for r in regs.values()) + (m - len(regs)) * (1 << 53)
+        c1 = _hll_alpha(m) * m * m * float(1 << 53)
+        raw = c1 / float(s)
+        empties = m - len(regs)
+        import math
+        if raw <= 2.5 * m and empties > 0:
+            return round(float(m) * math.log(float(m) / empties), 3)
+        return round(raw, 3)
+
+    assert got["a"] == replica([r[0] for r in rows])
+    assert got["b"] == replica([r[1] for r in rows])
