@@ -3661,6 +3661,47 @@ def q_s2_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S2_JSON_ORACLE = "SELECT * FROM nation"
 
+_ECLUST_K = 3
+_ECLUST_MIN_COS = 0.15
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph components (functions/embeddings.py
+    embedding_clusters): knn_join edges (cosine >= 0.15) labeled by
+    large-star/small-star connected components — the corpus-structure
+    pass composing the ANN and dedup-cluster machinery."""
+    from embeddinghub_spark.functions.embeddings import embedding_clusters
+
+    return embedding_clusters(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
+        k=_ECLUST_K, min_cosine=_ECLUST_MIN_COS,
+    )
+
+
+def _embedding_clusters_oracle() -> str:
+    kj = _knn_join_oracle().replace(
+        f"FROM r WHERE rank <= {_KNN_JOIN_K}",
+        f"FROM r WHERE rank <= {_ECLUST_K}",
+    ).strip()
+    assert kj.startswith("WITH ")
+    kj_ctes = kj[len("WITH "):]  # splice into the RECURSIVE with-block
+    kj_ctes, tail = kj_ctes.rsplit("SELECT vec_id, neighbor_id, cosine, rank", 1)
+    return f"""
+WITH RECURSIVE {kj_ctes.rstrip().rstrip(',')},
+     kj AS (SELECT vec_id, neighbor_id, cosine, rank {tail}),
+     pairs AS (SELECT vec_id AS u, neighbor_id AS v FROM kj
+               WHERE cosine >= {_ECLUST_MIN_COS}),
+     edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+     reach(u, r) AS (
+       SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       UNION
+       SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+     ),
+     comp AS (SELECT u AS node, MIN(r) AS component FROM reach GROUP BY u)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster_id
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
 
 # --------------------------------------------------------------------------
 # driver contract
@@ -3739,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here — perplexity_buckets, s2_json_scan — rotate into r5's window) ---
         "perplexity_buckets": q_perplexity_buckets,
         "s2_json_scan": q_s2_json_scan,
+        "embedding_clusters": q_embedding_clusters,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -3894,4 +3936,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),
         "s2_json_scan": _S2_JSON_ORACLE,
+        "embedding_clusters": _embedding_clusters_oracle(),
     }

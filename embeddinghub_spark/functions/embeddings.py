@@ -156,3 +156,49 @@ def random_projection(
         *keep,
         F.array(*[F.col(f"_p{j}") for j in range(out_dim)]).alias(out_col),
     )
+
+
+def embedding_clusters(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    min_cosine: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Semantic grouping by kNN-graph components: build the
+    approximate k-NN graph (`vector.knn_join` — banded-LSH candidate
+    pairs, exact-cosine top-k per vector) keeping edges with
+    cosine >= ``min_cosine``, then label connected components with
+    `dedup.connected_components` (alternating large-star/small-star).
+    The standard corpus-structure pass: topic islands, near-dup
+    families beyond pairwise threshold, mixture-weight discovery.
+
+    One row per vector: ``(vec_id, cluster_id)``; isolated vectors
+    (no surviving edge) form singleton clusters labeled by their own
+    id. Scale shape = knn_join's (band-bounded self-join, per-source
+    top-k) + CC's O(log n) bucketed rounds; vectors never enter the
+    CC iteration — only (src, dst) id pairs do.
+    """
+    from embeddinghub_spark.functions.dedup import connected_components
+    from embeddinghub_spark.functions.vector import knn_join
+
+    edges = (
+        knn_join(
+            df, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, bands=bands,
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select(F.col(id_col).alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    )
+    comp = connected_components(edges)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -420,3 +420,30 @@ def test_json_scan_roundtrip_and_tolerance(spark, sf_dir, tmp_path):
         f.write('{"n_nationkey": 999, "n_name": "OK"}\n{not json at all\n')
     tolerant = read_file(spark, base, fmt="json")
     assert tolerant.filter("n_nationkey = 999").count() == 1
+
+
+def test_embedding_clusters_structure(spark):
+    """Three well-separated blobs -> exactly three clusters, labeled by
+    the min member id; knn edges never cross blobs at min_cosine=0.9."""
+    import random
+
+    from embeddinghub_spark.functions.embeddings import embedding_clusters
+
+    rng = random.Random(11)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    rows = [
+        (i, [x + rng.uniform(-0.3, 0.3) for x in centers[i % 3]])
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_clusters(vecs, dim=4, k=3, min_cosine=0.9).collect()
+    assert len(out) == 60
+    clusters: dict = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    # no cluster mixes blobs
+    for cid, members in clusters.items():
+        assert len({m % 3 for m in members}) == 1, (cid, members)
+        assert cid == min(members)
+    # intra-blob cosines ~1 -> each blob collapses to few clusters
+    assert len(clusters) <= 6
