@@ -312,3 +312,82 @@ def test_hll_profile_matches_python_replica(spark, rows):
 
     assert got["a"] == replica([r[0] for r in rows])
     assert got["b"] == replica([r[1] for r in rows])
+
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3).map(float), min_size=4, max_size=4
+    ).filter(lambda v: any(x != 0 for x in v)),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(vecs=_vecs)
+@settings(**SETTINGS)
+def test_semantic_dedup_is_brute_force(spark, vecs):
+    """Operator == Python reference: nearest-centroid cells (max dot,
+    smaller cell wins ties) and the lowest-id-wins keep rule, on
+    arbitrary small-integer vectors (exact float arithmetic -> exact
+    tie cases exercised)."""
+    from embeddinghub_spark.functions.dedup import semantic_dedup
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k = min(3, len(rows))
+    thr = 0.8
+    got = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in semantic_dedup(df, dim=4, n_clusters=k, threshold=thr).collect()}
+
+    cents = [(c + 1, rows[c][1]) for c in range(k)]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cell_of(v):
+        return max(cents, key=lambda cv: (dot(cv[1], v), -cv[0]))[0]
+
+    cells = {i: cell_of(v) for i, v in rows}
+    import math
+    kept = {}
+    for i, v in rows:
+        ok = True
+        for j, w in rows:
+            if j < i and cells[j] == cells[i]:
+                c = dot(v, w) / (math.sqrt(dot(v, v)) * math.sqrt(dot(w, w)))
+                if round(c, 6) >= thr:
+                    ok = False
+                    break
+        kept[i] = ok
+    assert got == {i: (cells[i], kept[i]) for i, _ in rows}
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["table", "stream", "vector", "join", "kafka", "zzz"]),
+            min_size=0, max_size=6,
+        ).map(" ".join),
+        min_size=1, max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_domain_tag_is_brute_force(spark, texts):
+    from embeddinghub_spark.functions.text import DOMAIN_LEXICONS, domain_tag
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["domain"], r["domain_score"])
+           for r in domain_tag(df).collect()}
+    for i, t in rows:
+        ws = [w.lower() for w in t.split()]
+        scores = [
+            (sum(1 for w in ws if w in set(lex)), -j, name)
+            for j, (name, lex) in enumerate(DOMAIN_LEXICONS.items())
+        ]
+        s, _, name = max(scores)
+        want = ("other", 0) if s == 0 else (name, s)
+        assert got[i] == want, (i, t, got[i], want)
