@@ -3529,8 +3529,8 @@ def _domain_tag_oracle() -> str:
     for i, (name, words) in enumerate(DOMAIN_LEXICONS.items()):
         in_list = ", ".join(f"'{w}'" for w in words)
         score_exprs.append(
-            f"len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),"
-            f" x -> lower(x) IN ({in_list}))) AS s{i}"
+            f"COALESCE(len(list_filter(list_filter(string_split(text, ' '),"
+            f" x -> x != ''), x -> lower(x) IN ({in_list}))), 0) AS s{i}"
         )
     names = list(DOMAIN_LEXICONS)
     # declaration-order tie-break: earlier domain wins on equal score

@@ -905,8 +905,11 @@ def domain_tag(
     lex = lexicons or DOMAIN_LEXICONS
     names = list(lex)
     scores = [
-        F.regexp_count(
-            F.col(text_col), F.lit(_word_set_pattern(words))
+        # null text scores 0 (-> 'other'), not a null that would
+        # null-propagate through the argmax to an arbitrary domain
+        F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(_word_set_pattern(words))),
+            F.lit(0),
         ).alias(f"_s_{i}")
         for i, (_, words) in enumerate(lex.items())
     ]

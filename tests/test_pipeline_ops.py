@@ -350,8 +350,9 @@ def test_domain_tag_tiebreak_and_other(spark):
             (2, "stream kafka table"),          # streaming 2 > data_eng 1
             (3, "zzz qqq"),                     # no hits -> other
             (4, "vector vector vector join"),   # occurrences, not distinct
+            (5, None),                          # null text -> other, not null
         ],
-        ["doc_id", "text"],
+        "doc_id int, text string",
     )
     out = {r["doc_id"]: (r["domain"], r["domain_score"])
            for r in domain_tag(docs).collect()}
@@ -359,6 +360,7 @@ def test_domain_tag_tiebreak_and_other(spark):
     assert out[2] == ("streaming", 2)
     assert out[3] == ("other", 0)
     assert out[4] == ("ml", 3)
+    assert out[5] == ("other", 0)
 
 
 def test_histogram_quantiles_bounds(spark, sf_dir):
