@@ -1029,39 +1029,14 @@ def knn_ivfpq(
     # one map-only pass computes BOTH the cell and the codes per row
     # (joining a separate pq_encode output back on id would shuffle
     # the corpus; two projections over the same scan cost nothing)
-    assigned = assign_ivf_cells(
-        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    enc = _ivfpq_corpus_enc(
+        vectors, centroids, cents, cb, m, k_codes, d, id_col, vec_col, dim
     )
-    qv = _bq(vec_col)
-    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
-    ssd = _ssd_sql("cv", f"slice({qv}, (j - 1) * {d} + 1, {d})")
-    codes_sql = (
-        f"transform(sequence(1, {m}), j -> "
-        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
-        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
-    )
-    enc = assigned.select(
-        F.col(id_col), F.col("cell"), F.expr(codes_sql).alias("codes")
-    ).localCheckpoint(eager=False)
 
     # query side: nprobe cells (inline fold) + driver-built ADC tables
-    cell_dt = centroids.schema["cell"].dataType
-    fold = _cells_fold_sql(cents, query_vec_col, dim)
-    probes = queries.select(
-        F.col(query_id_col),
-        F.explode(
-            F.expr(
-                f"slice(array_sort(transform({fold},"
-                " p -> named_struct('ns', -p.s, 'cell', p.id))),"
-                f" 1, {int(nprobe)})"
-            )
-        ).alias("_p"),
-        F.col(query_vec_col),
-    ).select(
-        query_id_col,
-        query_vec_col,
-        F.col("_p.cell").cast(cell_dt).alias("cell"),
-    ).localCheckpoint(eager=False)
+    probes = _ivf_query_probes(
+        queries, centroids, cents, nprobe, query_id_col, query_vec_col, dim
+    )
 
     tabs, qids = [], []
     for r in qrows:
@@ -1108,6 +1083,124 @@ def knn_ivfpq(
             F.col("codes"),
         )
         .select("query_id", "neighbor_id", F.expr(dist).alias("dist"))
+    )
+    top = _topk_per_query(
+        scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
+def _ivfpq_corpus_enc(
+    vectors, centroids, cents, cb, m, k_codes, d, id_col, vec_col, dim
+) -> DataFrame:
+    """Corpus side of the IVFPQ layout: (id, cell, codes) from ONE
+    map-only pass (cell fold + PQ encode as two projections over the
+    same scan), checkpointed for the probe join."""
+    assigned = assign_ivf_cells(
+        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    )
+    qv = _bq(vec_col)
+    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
+    ssd = _ssd_sql("cv", f"slice({qv}, (j - 1) * {d} + 1, {d})")
+    codes_sql = (
+        f"transform(sequence(1, {m}), j -> "
+        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
+        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
+    )
+    return assigned.select(
+        F.col(id_col), F.col("cell"), F.expr(codes_sql).alias("codes")
+    ).localCheckpoint(eager=False)
+
+
+def _ivf_query_probes(
+    queries, centroids, cents, nprobe, query_id_col, query_vec_col, dim
+) -> DataFrame:
+    """Query side of IVF probing: (query_id, query_vec, cell) rows for
+    the query's nprobe best cells — the same inline literal fold the
+    corpus assignment uses, map-only, no collect."""
+    cell_dt = centroids.schema["cell"].dataType
+    fold = _cells_fold_sql(cents, query_vec_col, dim)
+    return queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.expr(
+                f"slice(array_sort(transform({fold},"
+                " p -> named_struct('ns', -p.s, 'cell', p.id))),"
+                f" 1, {int(nprobe)})"
+            )
+        ).alias("_p"),
+        F.col(query_vec_col),
+    ).select(
+        query_id_col,
+        query_vec_col,
+        F.col("_p.cell").cast(cell_dt).alias("cell"),
+    ).localCheckpoint(eager=False)
+
+
+def knn_ivfpq_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+    cb: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """`knn_ivfpq` for UNBOUNDED query sets — the composition of the
+    two scale paths: cell pruning bounds the pairing (each query
+    scores only its nprobe cells' vectors, unlike `knn_pq_batch`'s
+    exhaustive corpus×Q), and per-query ADC tables are computed
+    JVM-side as a column (`pq_query_tables`) instead of driver-built
+    literals — no collect, no Q cap.
+
+    The probe↔corpus pairing is a plain equi-join on cell with NO
+    broadcast hint: AQE broadcasts the (query, cell, table) frame
+    while it fits and falls back to a cell-partitioned shuffle join
+    for truly huge query sets — exactly the behavior a 100 TB corpus
+    with a 10⁸-query backfill needs. Distances are bit-identical to
+    the literal path (equivalence pinned by test).
+    """
+    d = dim // m
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid"))
+            .withColumn(
+                "cell", F.row_number().over(Window.orderBy(F.col("_cid").asc()))
+            )
+            .select("cell", "centroid")
+            .localCheckpoint(eager=False)
+        )
+    cents = _collect_cells(centroids, "cell", "centroid")
+    if cb is None:
+        cb = pq_codebooks(vectors, m, k_codes, id_col, vec_col, dim)
+    enc = _ivfpq_corpus_enc(
+        vectors, centroids, cents, cb, m, k_codes, d, id_col, vec_col, dim
+    )
+    probes = _ivf_query_probes(
+        queries, centroids, cents, nprobe, query_id_col, query_vec_col, dim
+    )
+    qtab = pq_query_tables(probes, cb, query_vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col("cell"), F.col("tab")
+    )
+    dist = F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
+        " element_at(element_at(tab, j), element_at(codes, j) + 1))"
+    )
+    scored = enc.join(qtab, "cell").select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        dist.alias("dist"),
     )
     top = _topk_per_query(
         scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]

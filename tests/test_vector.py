@@ -411,3 +411,30 @@ def test_knn_pq_batch_equals_literal_path(spark, sf_dir):
 
     with pytest.raises(ValueError, match="queries"):
         knn_pq(emb, big_q, 2, dim=64)
+
+
+def test_knn_ivfpq_batch_equals_literal_path(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import knn_ivfpq, knn_ivfpq_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit_rows = sorted(tuple(r) for r in knn_ivfpq(emb, qs, 5, dim=64).collect())
+    batch_rows = sorted(
+        tuple(r) for r in knn_ivfpq_batch(emb, qs, 5, dim=64).collect()
+    )
+    assert lit_rows == batch_rows
+
+    # no Q cap: replicate past MAX_PQ_QUERIES; every query gets results
+    reps = spark.range(5).select(F.col("id").alias("_rep"))
+    big_q = emb.crossJoin(reps).select(
+        (F.col("vec_id") * 10 + F.col("_rep") + 200000).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = knn_ivfpq_batch(emb, big_q, 2, dim=64)
+    n_q = big_q.count()
+    got = out.groupBy().count().collect()[0][0]
+    assert got == n_q * 2
