@@ -1243,6 +1243,81 @@ def ann_recall(
     )
 
 
+def _py_dot(c, q):
+    """Driver-side dot with the plan's left-assoc double fold order."""
+    s = 0.0
+    for a, b in zip(c, q):
+        s = s + a * float(b)
+    return s
+
+
+def _residual_index(
+    vectors, cents, k_codes, m, d, dim, id_col, vec_col
+):
+    """Residual-IVFPQ index constants: centroid vectors by cell id,
+    the centroid matrix as one SQL literal (element_at(..., cell)
+    works because cells are 1..K by row_number), and the residual
+    codebooks — subspace slices of (first-k vectors − their own cell
+    centroid), with assignment replayed driver-side in the same
+    left-assoc fold order the plan runs (oracle-pinned)."""
+    cent_vecs = {int(cid): [float(x) for x in v] for cid, v in cents}
+    cents_arr_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in cent_vecs[cid]) + ")"
+            for cid in sorted(cent_vecs)
+        )
+        + ")"
+    )
+    first = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k_codes)
+        .select(vec_col)
+        .collect()
+    )
+    resids = []
+    for r in first:
+        v = [float(x) for x in r[0]]
+        best = max(
+            ((_py_dot(cent_vecs[cid], v), -cid) for cid in sorted(cent_vecs)),
+        )
+        cent = cent_vecs[-best[1]]
+        resids.append([v[i] - cent[i] for i in range(dim)])
+    cb = [
+        [rv[j * d : (j + 1) * d] for rv in resids]
+        for j in range(m)
+    ]
+    return cent_vecs, cents_arr_sql, cb
+
+
+def _residual_corpus_enc(
+    vectors, centroids, cents, cents_arr_sql, cb, m, k_codes, d,
+    id_col, vec_col, dim,
+) -> DataFrame:
+    """Corpus side of residual IVFPQ: (id, cell, codes) where codes
+    quantize v − centroid(cell(v)) — one map-only pass (cell fold +
+    residual encode over the same scan), checkpointed."""
+    assigned = assign_ivf_cells(
+        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    )
+    qv = _bq(vec_col)
+    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
+    rslice = (
+        f"zip_with(slice({qv}, (j - 1) * {d} + 1, {d}),"
+        f" slice(element_at({cents_arr_sql}, cell), (j - 1) * {d} + 1, {d}),"
+        " (b, cc) -> cast(b as double) - cc)"
+    )
+    ssd = _ssd_sql("cv", rslice)
+    codes_sql = (
+        f"transform(sequence(1, {m}), j -> "
+        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
+        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
+    )
+    return assigned.select(
+        F.col(id_col), F.col("cell"), F.expr(codes_sql).alias("codes")
+    ).localCheckpoint(eager=False)
+
+
 def knn_ivfpq_residual(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1289,64 +1364,13 @@ def knn_ivfpq_residual(
         .localCheckpoint(eager=False)
     )
     cents = _collect_cells(centroids, "cell", "centroid")
-    cent_vecs = {int(cid): [float(x) for x in v] for cid, v in cents}
-    cents_arr_sql = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in cent_vecs[cid]) + ")"
-            for cid in sorted(cent_vecs)
-        )
-        + ")"
-    )  # element_at(..., cell) works because cells are 1..K by row_number
-
-    def py_dot(c, q):
-        s = 0.0
-        for a, b in zip(c, q):
-            s = s + a * float(b)
-        return s
-
-    # residual codebooks: subspace slices of (first-k vectors − their
-    # own cell centroid); assignment replayed driver-side with the
-    # same left-assoc fold the plan runs (oracle-pinned equivalence)
-    first = (
-        vectors.orderBy(F.col(id_col).asc())
-        .limit(k_codes)
-        .select(vec_col)
-        .collect()
+    cent_vecs, cents_arr_sql, cb = _residual_index(
+        vectors, cents, k_codes, m, d, dim, id_col, vec_col
     )
-    cb = []
-    resids = []
-    for r in first:
-        v = [float(x) for x in r[0]]
-        best = max(
-            ((py_dot(cent_vecs[cid], v), -cid) for cid in sorted(cent_vecs)),
-        )
-        cent = cent_vecs[-best[1]]
-        resids.append([v[i] - cent[i] for i in range(dim)])
-    cb = [
-        [rv[j * d : (j + 1) * d] for rv in resids]
-        for j in range(m)
-    ]
-
-    assigned = assign_ivf_cells(
-        vectors, centroids, id_col, vec_col, dim=dim, cells=cents
+    enc = _residual_corpus_enc(
+        vectors, centroids, cents, cents_arr_sql, cb, m, k_codes, d,
+        id_col, vec_col, dim,
     )
-    qv = _bq(vec_col)
-    seqc = "array(" + ", ".join(str(c) for c in range(k_codes)) + ")"
-    rslice = (
-        f"zip_with(slice({qv}, (j - 1) * {d} + 1, {d}),"
-        f" slice(element_at({cents_arr_sql}, cell), (j - 1) * {d} + 1, {d}),"
-        " (b, cc) -> cast(b as double) - cc)"
-    )
-    ssd = _ssd_sql("cv", rslice)
-    codes_sql = (
-        f"transform(sequence(1, {m}), j -> "
-        f"array_min(zip_with(element_at({_pq_cb_sql(cb)}, j), {seqc},"
-        f" (cv, c) -> named_struct('s', {ssd}, 'c', c))).c)"
-    )
-    enc = assigned.select(
-        F.col(id_col), F.col("cell"), F.expr(codes_sql).alias("codes")
-    ).localCheckpoint(eager=False)
 
     cell_dt = centroids.schema["cell"].dataType
     fold = _cells_fold_sql(cents, query_vec_col, dim)
@@ -1370,7 +1394,7 @@ def knn_ivfpq_residual(
     for r in qrows:
         qvec = [float(x) for x in r[1]]
         scored_cells = sorted(
-            ((-py_dot(cent_vecs[cid], qvec), cid) for cid in sorted(cent_vecs))
+            ((-_py_dot(cent_vecs[cid], qvec), cid) for cid in sorted(cent_vecs))
         )[: int(nprobe)]
         cell_maps = []
         for _, cid in scored_cells:
@@ -1589,6 +1613,80 @@ def knn_pq_batch(
         " element_at(element_at(tab, j), element_at(codes, j) + 1))"
     )
     scored = enc.join(F.broadcast(qtab)).select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        dist.alias("dist"),
+    )
+    top = _topk_per_query(
+        scored, k, [F.col("dist").asc(), F.col("neighbor_id").asc()]
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
+def knn_ivfpq_residual_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """`knn_ivfpq_residual` for UNBOUNDED query sets — completes the
+    batch trio (`knn_pq_batch`, `knn_ivfpq_batch`): residual ADC
+    tables are per-(query, probed cell), and here each probe ROW
+    computes its own table JVM-side from the query's residual against
+    that row's centroid — no driver collect, no Q cap.
+
+    The probe rows carry (query_id, cell, query_vec); the residual
+    ``qvec − centroid[cell]`` is one zip_with against the centroid
+    matrix literal, the table one `pq_query_tables`-shaped fold over
+    it, and the pairing is the plain cell equi-join AQE sizes
+    (broadcast small query sets, shuffle-join huge ones). Distances
+    bit-identical to the literal path (equivalence pinned by test).
+    """
+    d = dim // m
+    centroids = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid"))
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy(F.col("_cid").asc()))
+        )
+        .select("cell", "centroid")
+        .localCheckpoint(eager=False)
+    )
+    cents = _collect_cells(centroids, "cell", "centroid")
+    cent_vecs, cents_arr_sql, cb = _residual_index(
+        vectors, cents, k_codes, m, d, dim, id_col, vec_col
+    )
+    enc = _residual_corpus_enc(
+        vectors, centroids, cents, cents_arr_sql, cb, m, k_codes, d,
+        id_col, vec_col, dim,
+    )
+    probes = _ivf_query_probes(
+        queries, centroids, cents, nprobe, query_id_col, query_vec_col, dim
+    )
+    qres = F.expr(
+        f"zip_with({_bq(query_vec_col)}, element_at({cents_arr_sql}, cell),"
+        " (b, cc) -> cast(b as double) - cc)"
+    )
+    with_res = probes.withColumn("_qres", qres)
+    qtab = pq_query_tables(with_res, cb, "_qres").select(
+        F.col(query_id_col).alias("query_id"), F.col("cell"), F.col("tab")
+    )
+    dist = F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc +"
+        " element_at(element_at(tab, j), element_at(codes, j) + 1))"
+    )
+    scored = enc.join(qtab, "cell").select(
         F.col("query_id"),
         F.col(id_col).alias("neighbor_id"),
         dist.alias("dist"),

@@ -438,3 +438,24 @@ def test_knn_ivfpq_batch_equals_literal_path(spark, sf_dir):
     n_q = big_q.count()
     got = out.groupBy().count().collect()[0][0]
     assert got == n_q * 2
+
+
+def test_knn_ivfpq_residual_batch_equals_literal_path(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import (
+        knn_ivfpq_residual,
+        knn_ivfpq_residual_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit_rows = sorted(
+        tuple(r) for r in knn_ivfpq_residual(emb, qs, 5, dim=64).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in knn_ivfpq_residual_batch(emb, qs, 5, dim=64).collect()
+    )
+    assert lit_rows == batch_rows
