@@ -130,3 +130,29 @@ def _batched(it: Iterator, n: int) -> Iterator[list]:
 def preview(df: DataFrame, limit: int = PREVIEW_DEFAULT_LIMIT) -> DataFrame:
     """V8 source preview: LIMIT n (serving/serving.go:509-564)."""
     return df.limit(limit)
+
+
+def to_arrow_batches(df: DataFrame, limit: int | None = None, batch_rows: int = 10_000):
+    """The client-side slice of the reference's Arrow Flight streamer
+    (streamer/iceberg_streamer.py:17-105: serve a table as Arrow
+    record batches, row-limited): yield ``pyarrow.RecordBatch``es of
+    at most ``batch_rows`` rows, optionally capped at ``limit`` total
+    rows. The gRPC/Flight server itself is out of scope (BASELINE
+    scoping); this is the same data path — Spark's Arrow collect —
+    minus the wire.
+
+    Rows stream driver-side batch by batch; the Spark job is bounded
+    by ``limit`` when given (CollectLimit stops the scan)."""
+    import pyarrow as pa
+
+    capped = df.limit(limit) if limit is not None else df
+    tbl = capped.toArrow()
+    for batch in tbl.to_batches(max_chunksize=batch_rows):
+        yield batch
+
+
+def to_arrow(df: DataFrame, limit: int | None = None):
+    """One-shot ``pyarrow.Table`` export (row-limited like the
+    streamer's default cap); see ``to_arrow_batches`` for streaming."""
+    capped = df.limit(limit) if limit is not None else df
+    return capped.toArrow()

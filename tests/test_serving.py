@@ -204,3 +204,17 @@ def test_dataset_feature_cols_exact_entity_exclusion(spark):
     feats, label = next(iter(ds))
     assert feats == [0.5, 7.0]  # entity_score_lag served, keys excluded
     assert label == 1.0
+
+
+def test_arrow_export_roundtrip(spark, sf_dir):
+    from embeddinghub_spark.serving.dataset import to_arrow, to_arrow_batches
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tbl = to_arrow(nation)
+    assert tbl.num_rows == nation.count()
+    assert set(tbl.column_names) == set(nation.columns)
+    capped = to_arrow(nation, limit=3)
+    assert capped.num_rows == 3
+    batches = list(to_arrow_batches(nation, limit=10, batch_rows=4))
+    assert sum(b.num_rows for b in batches) == 10
+    assert all(b.num_rows <= 4 for b in batches)

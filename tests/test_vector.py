@@ -459,3 +459,25 @@ def test_knn_ivfpq_residual_batch_equals_literal_path(spark, sf_dir):
         tuple(r) for r in knn_ivfpq_residual_batch(emb, qs, 5, dim=64).collect()
     )
     assert lit_rows == batch_rows
+
+
+def test_assign_ivf_cells_fallback_equals_inline(spark, sf_dir):
+    """The broadcast-join fallback (unknown dim / K·dim over the
+    inline bound) must assign identical cells to the literal-fold
+    path — same max-dot argmax, same smaller-cell tiebreak."""
+    from embeddinghub_spark.functions.vector import (
+        assign_ivf_cells,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, 8, n_iters=0)
+    inline = {
+        r["vec_id"]: r["cell"]
+        for r in assign_ivf_cells(emb, cents, dim=64).collect()
+    }
+    fallback = {
+        r["vec_id"]: r["cell"]
+        for r in assign_ivf_cells(emb, cents, dim=None).collect()
+    }
+    assert inline == fallback
