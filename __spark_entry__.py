@@ -3664,6 +3664,36 @@ _S2_JSON_ORACLE = "SELECT * FROM nation"
 _ECLUST_K = 3
 _ECLUST_MIN_COS = 0.15
 
+_CAP_K = 100
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group cap (operators/split.py cap_per_group): at most
+    K orders per order-status, selected by the md5 hash protocol —
+    the ceiling-guaranteed complement to rate-based sampling."""
+    from embeddinghub_spark.operators.split import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", _CAP_K,
+        key_cols=["o_orderkey"], seed=42,
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+_CAP_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         md5(concat(CAST(o_orderkey AS VARCHAR), '|', '42')) AS _h
+  FROM orders
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY _h ASC, o_orderkey ASC) AS rn
+  FROM h
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM r WHERE rn <= {_CAP_K}
+"""
+
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph components (functions/embeddings.py
@@ -3781,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "s2_json_scan": q_s2_json_scan,
         "embedding_clusters": q_embedding_clusters,
+        "cap_per_group": q_cap_per_group,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -3937,4 +3968,5 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _perplexity_buckets_oracle(),
         "s2_json_scan": _S2_JSON_ORACLE,
         "embedding_clusters": _embedding_clusters_oracle(),
+        "cap_per_group": _CAP_ORACLE,
     }

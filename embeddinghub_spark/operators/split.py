@@ -26,7 +26,7 @@ range-partition + offset trick as C5 when exactness matters, or the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,3 +152,46 @@ def stratified_sample(
         ]
     )[F.col(strata_col)]
     return df.filter(u < frac)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep AT MOST ``k`` rows per group, chosen deterministically by
+    the md5 hash protocol — the exact-cap complement to rate-based
+    ``stratified_sample`` ("cap every domain/source at K docs" in a
+    mixture, where a rate can't guarantee the ceiling).
+
+    Selection is the first k of the group's rows ordered by
+    ``md5(keys|seed)`` (ties broken by the keys) — uniform within the
+    group, stable across runs/partitionings/cluster sizes, and
+    exactly replayable by any md5-bearing engine.
+
+    Scale shape: two-stage top-k (the `_topk_per_query` recipe) —
+    a partition-LOCAL row_number caps each task's contribution at k
+    per group BEFORE the exchange, so a whale group ships at most
+    tasks·k rows instead of its full population; the global window
+    then ranks ≤ tasks·k rows per group. One hash exchange on the
+    group key.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    h = _row_hash(key_cols, seed)
+    order = [F.col("_h").asc()] + [F.col(c).asc() for c in key_cols]
+    hashed = df.withColumn("_h", h).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", group_col).orderBy(*order)
+    pruned = hashed.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w_global = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("_gr", F.row_number().over(w_global))
+        .filter(F.col("_gr") <= k)
+        .drop("_h", "_pid", "_lr", "_gr")
+    )

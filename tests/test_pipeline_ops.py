@@ -449,3 +449,24 @@ def test_embedding_clusters_structure(spark):
         assert cid == min(members)
     # intra-blob cosines ~1 -> each blob collapses to few clusters
     assert len(clusters) <= 6
+
+
+def test_cap_per_group_exact_ceiling(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.operators.split import cap_per_group
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    capped = cap_per_group(orders, "o_orderstatus", 50, ["o_orderkey"])
+    sizes = {r[0]: r[1] for r in capped.groupBy("o_orderstatus").count().collect()}
+    orig = {r[0]: r[1] for r in orders.groupBy("o_orderstatus").count().collect()}
+    for s, n in sizes.items():
+        assert n == min(50, orig[s]), (s, n, orig[s])
+    # deterministic across repartitionings (the property sampleBy lacks)
+    again = cap_per_group(orders.repartition(7), "o_orderstatus", 50, ["o_orderkey"])
+    assert {r["o_orderkey"] for r in capped.collect()} == {
+        r["o_orderkey"] for r in again.collect()
+    }
+    with pytest.raises(ValueError, match="k must"):
+        cap_per_group(orders, "o_orderstatus", -1, ["o_orderkey"])
