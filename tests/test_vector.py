@@ -481,3 +481,16 @@ def test_assign_ivf_cells_fallback_equals_inline(spark, sf_dir):
         for r in assign_ivf_cells(emb, cents, dim=None).collect()
     }
     assert inline == fallback
+
+
+def test_ensure_parallelism_identity_when_wide(spark):
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    sc = spark.sparkContext
+    wide = spark.range(1000).repartition(sc.defaultParallelism)
+    assert ensure_parallelism(wide) is wide  # identity: no added shuffle
+    narrow = spark.range(1000).coalesce(1)
+    fanned = ensure_parallelism(narrow)
+    assert fanned is not narrow
+    assert fanned.rdd.getNumPartitions() == sc.defaultParallelism
+    assert fanned.count() == 1000
