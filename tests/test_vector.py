@@ -494,3 +494,45 @@ def test_ensure_parallelism_identity_when_wide(spark):
     assert fanned is not narrow
     assert fanned.rdd.getNumPartitions() == sc.defaultParallelism
     assert fanned.count() == 1000
+
+
+def test_knn_join_recall_at_sf001():
+    """Graph quality, not just shape: banded-LSH kNN-graph edges must
+    recover a healthy fraction of the true top-3 neighborhood on the
+    real sf0.01 embeddings (fixed dir: recall floors need the denser
+    corpus, not the 50-vector sf0.001 default)."""
+    from embeddinghub_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.vector import (
+        ann_recall,
+        knn_bruteforce,
+        knn_join,
+    )
+
+    spark = get_spark(app_name="embeddinghub_spark_tests")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = (
+        knn_bruteforce(emb, qs, 4, dim=64)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    def recall_at(bands):
+        ap = knn_join(emb, k=3, dim=64, bands=bands).select(
+            F.col("vec_id").alias("query_id"), "neighbor_id"
+        ).join(qs.select("query_id"), "query_id", "left_semi")
+        rows = ann_recall(ap, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    # the banding knob is the recall dial (MinHash banding argument):
+    # wider bands = fewer agreeing bits needed = more candidates.
+    # Measured on this corpus: ~0.05 / ~0.48 / ~0.99 at 2/4/8 bands —
+    # pin the monotone curve and floors against silent degradation
+    r2, r4, r8 = recall_at(2), recall_at(4), recall_at(8)
+    assert r2 < r4 < r8, (r2, r4, r8)
+    assert r4 >= 0.3, r4
+    assert r8 >= 0.9, r8
