@@ -195,3 +195,84 @@ def stateful_latest(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decayed_counter(
+    stream_df: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    half_life_seconds: float = 3600.0,
+):
+    """Per-entity exponentially-decayed event counter as a CUSTOM
+    stateful operator (``applyInPandasWithState``) — the "decaying
+    counters" member of the family ``stateful_latest`` is the template
+    for: rate features for serving (how active was this entity
+    recently, with old events fading on a half-life).
+
+    The state is ORDER-INDEPENDENT by construction: we store the
+    decayed sum AT a reference time, ``S(ref) = Σ_i 0.5^((ref−t_i)/hl)``
+    with ``ref = max event ts seen``. Adding an event rebases:
+    ``ref' = max(ref, t)``, ``S' = S·0.5^((ref'−ref)/hl) +
+    0.5^((ref'−t)/hl)`` — a commutative fold, so late/out-of-order
+    events and arbitrary micro-batch arrival orders all converge to
+    the same value (pinned by a shuffled-replay test ≡ batch Python
+    sum). State per entity: two scalars — O(entities), no event
+    buffer.
+
+    Emits ``(entity, decayed_count, ref_ts)`` per updated entity per
+    micro-batch (update semantics, like C20's online push).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    entity_type = stream_df.schema[entity_col].dataType
+    out_schema = StructType(
+        [
+            StructField(entity_col, entity_type),
+            StructField("decayed_count", DoubleType()),
+            StructField("ref_ts", TimestampNTZType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", DoubleType()),
+            StructField("ref_us", LongType()),
+        ]
+    )
+    hl_us = float(half_life_seconds) * 1e6
+
+    def update_fn(key, pdf_iter, state):
+        s, ref_us = state.get if state.exists else (0.0, None)
+        for pdf in pdf_iter:
+            for t in pdf[ts_col]:
+                us = int(pd.Timestamp(t).value // 1000)
+                if ref_us is None:
+                    s, ref_us = 1.0, us
+                elif us >= ref_us:
+                    s = s * (0.5 ** ((us - ref_us) / hl_us)) + 1.0
+                    ref_us = us
+                else:
+                    s = s + 0.5 ** ((ref_us - us) / hl_us)
+        state.update((float(s), ref_us))
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]],
+                "decayed_count": [float(s)],
+                "ref_ts": [pd.Timestamp(ref_us * 1000)],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -493,3 +493,59 @@ def test_kafka_corrupt_payload_modes_e2e_stream(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_decayed_counter_order_independent_replay(spark, tmp_path):
+    """The decayed-count state is a commutative fold (sum-at-reference
+    formulation), so ARBITRARY micro-batch arrival order must converge
+    to the batch truth: S = sum(0.5^((max_ts - t)/hl)) per entity."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.streaming.windows import decayed_counter
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"u{i % 5}", base + timedelta(minutes=(i * 37) % 600))
+        for i in range(100)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "ts"])
+    in_dir = str(tmp_path / "dc_in")
+    # random repartition -> files (and thus batches) in arbitrary order
+    src.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["entity"]] = (r["decayed_count"], r["ref_ts"])
+
+    q = (
+        decayed_counter(stream, half_life_seconds=3600.0)
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
+
+    hl = 3600.0
+    want: dict = {}
+    by_entity: dict = {}
+    for e, t in rows:
+        by_entity.setdefault(e, []).append(t)
+    for e, ts in by_entity.items():
+        ref = max(ts)
+        s = sum(0.5 ** ((ref - t).total_seconds() / hl) for t in ts)
+        want[e] = (s, ref)
+    assert set(final) == set(want)
+    for e in want:
+        got_s, got_ref = final[e]
+        assert got_ref == want[e][1], e
+        assert abs(got_s - want[e][0]) < 1e-9 * max(1.0, want[e][0]), (
+            e, got_s, want[e][0],
+        )
