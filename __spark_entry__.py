@@ -3385,7 +3385,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate k-NN SELF-join (functions/vector.py
     knn_join): banded sign-LSH candidates, exact-cosine top-k per
     vector — the batch similarity join (kNN-graph build) the
-    query-set-bounded knn_* entries don't cover."""
+    query-set-bounded knn_* entries don't cover.
+
+    bands is the recall dial (measured on this corpus, pinned by
+    test_knn_join_recall: recall@3 ≈ 0.05/0.48/0.99 at 2/4/8 bands);
+    the entry pins the scale-default 2-band config — raise bands for
+    recall-critical graphs."""
     from embeddinghub_spark.functions.vector import knn_join
 
     return knn_join(
@@ -3664,6 +3669,45 @@ _S2_JSON_ORACLE = "SELECT * FROM nation"
 _ECLUST_K = 3
 _ECLUST_MIN_COS = 0.15
 
+def q_f8_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving aggregates (the companion to f8_range_window's
+    RANGE frames): per-supplier 4-row moving quantity sum/avg over a
+    UNIQUE total order (shipdate, orderkey, linenumber) — ROWS frames
+    are only deterministic over a unique ordering, which is the point
+    this entry pins. Scaled-bigint sums per the float protocol."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_partkey", "l_extendedprice"
+    )
+    li.createOrReplaceTempView("_f8_ma_li")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               SUM(CAST(round(l_quantity) AS BIGINT)) OVER w AS mov_sum_qty,
+               round(SUM(CAST(round(l_quantity) AS BIGINT)) OVER w
+                     / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS mov_avg_qty
+        FROM _f8_ma_li
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_partkey, l_extendedprice
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+_F8_MOVING_AVG_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) OVER w AS BIGINT)
+         AS mov_sum_qty,
+       round(SUM(CAST(round(l_quantity) AS BIGINT)) OVER w
+             / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS mov_avg_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_partkey, l_extendedprice
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
 _CAP_K = 100
 
 
@@ -3812,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_json_scan": q_s2_json_scan,
         "embedding_clusters": q_embedding_clusters,
         "cap_per_group": q_cap_per_group,
+        "f8_moving_avg": q_f8_moving_avg,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -3969,4 +4014,5 @@ def oracle_sql() -> dict[str, str]:
         "s2_json_scan": _S2_JSON_ORACLE,
         "embedding_clusters": _embedding_clusters_oracle(),
         "cap_per_group": _CAP_ORACLE,
+        "f8_moving_avg": _F8_MOVING_AVG_ORACLE,
     }
