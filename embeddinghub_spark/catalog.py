@@ -41,6 +41,40 @@ class Entity:
 
 
 @dataclass(frozen=True)
+class User:
+    """Ownership metadata — resource type USER (metadata.go:56-71);
+    every reference resource carries an owner, tracked here as a
+    registry object so manifests round-trip attribution."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class Provider:
+    """Compute/store backend descriptor — resource type PROVIDER
+    (metadata.go:56-71). This engine has exactly one live provider
+    (the in-process Spark session), but registry parity keeps
+    definitions written against the reference portable."""
+
+    name: str
+    provider_type: str = "SPARK_OFFLINE"
+    description: str = ""
+
+
+@dataclass(frozen=True)
+class Model:
+    """Model metadata — resource type MODEL (metadata.go:56-71):
+    records which features/training sets a model consumes (the
+    serving-side attribution the reference's `client.features(...,
+    model=...)` logs). Pure metadata — no computation attaches."""
+
+    name: str
+    description: str = ""
+    features: tuple = ()
+    training_sets: tuple = ()
+
+
+@dataclass(frozen=True)
 class SourceVariant:
     """PrimaryData or Transformation — metadata.proto:500,562-655.
 
@@ -167,6 +201,9 @@ class Catalog:
         self._training_sets: dict[tuple[str, str], TrainingSetVariant] = {}
         self._entities: dict[str, Entity] = {}
         self._on_demand: dict[tuple[str, str], OnDemandFeature] = {}
+        self._users: dict[str, User] = {}
+        self._providers: dict[str, Provider] = {}
+        self._models: dict[str, Model] = {}
         self._df_cache: dict[tuple[str, str], DataFrame] = {}
 
     # -- registration (append-only: redefinition needs a new variant,
@@ -185,6 +222,52 @@ class Catalog:
     def register_source(self, source: SourceVariant) -> SourceVariant:
         self._put(self._sources, (source.name, source.variant), source, "source")
         return source
+
+    def register_user(self, name: str) -> User:
+        u = User(name)
+        self._put(self._users, name, u, "user")
+        return u
+
+    def register_provider(
+        self, name: str, provider_type: str = "SPARK_OFFLINE", description: str = ""
+    ) -> Provider:
+        p = Provider(name, provider_type, description)
+        self._put(self._providers, name, p, "provider")
+        return p
+
+    def register_model(
+        self,
+        name: str,
+        description: str = "",
+        features: list[tuple[str, str]] | None = None,
+        training_sets: list[tuple[str, str]] | None = None,
+    ) -> Model:
+        """MODEL resource: validates the referenced features/training
+        sets exist (the reference's metadata server does the same
+        equivalence check), then records the consumption edges."""
+        for fk in features or []:
+            self.feature(*fk)
+        for tk in training_sets or []:
+            self.training_set(*tk)
+        mdl = Model(
+            name, description,
+            tuple(tuple(f) for f in (features or [])),
+            tuple(tuple(t) for t in (training_sets or [])),
+        )
+        self._put(self._models, name, mdl, "model")
+        return mdl
+
+    def model(self, name: str) -> Model:
+        try:
+            return self._models[name]
+        except KeyError:
+            raise ResourceNotFound(f"model {name}") from None
+
+    def models_using(self, feature: tuple[str, str]) -> list[Model]:
+        """Reverse attribution: which registered models consume this
+        feature (the dashboard lineage view of the reference)."""
+        key = tuple(feature)
+        return [m for m in self._models.values() if key in m.features]
 
     def register_file(
         self,
@@ -532,6 +615,18 @@ def save_manifest(catalog: Catalog, path: str) -> str:
             }
             for t in catalog._training_sets.values()
         ],
+        "users": sorted(catalog._users),
+        "providers": [
+            {"name": p.name, "provider_type": p.provider_type,
+             "description": p.description}
+            for p in catalog._providers.values()
+        ],
+        "models": [
+            {"name": m.name, "description": m.description,
+             "features": [list(f) for f in m.features],
+             "training_sets": [list(t) for t in m.training_sets]}
+            for m in catalog._models.values()
+        ],
         "on_demand": sorted(
             f"{n}__{v}" for (n, v) in catalog._on_demand
         ),
@@ -613,4 +708,15 @@ def load_manifest(
             continue
         name, variant = key.rsplit("__", 1)
         cat.register_on_demand(name, variant, fn=fn)
+    # metadata-only resources (absent in pre-r4 manifests: .get)
+    for u in doc.get("users", []):
+        cat.register_user(u)
+    for p in doc.get("providers", []):
+        cat.register_provider(p["name"], p["provider_type"], p["description"])
+    for mdl in doc.get("models", []):
+        cat.register_model(
+            mdl["name"], mdl["description"],
+            features=[tuple(f) for f in mdl["features"]],
+            training_sets=[tuple(t) for t in mdl["training_sets"]],
+        )
     return cat

@@ -218,3 +218,37 @@ def test_arrow_export_roundtrip(spark, sf_dir):
     batches = list(to_arrow_batches(nation, limit=10, batch_rows=4))
     assert sum(b.num_rows for b in batches) == 10
     assert all(b.num_rows <= 4 for b in batches)
+
+
+def test_model_user_provider_registry_roundtrip(spark, tmp_path):
+    """The metadata-only resource types (MODEL/USER/PROVIDER of the
+    reference's §1.1 taxonomy): registration validates references,
+    duplicates conflict, and the JSON manifest round-trips them."""
+    import pytest
+
+    from embeddinghub_spark.catalog import (
+        Catalog,
+        ResourceExists,
+        ResourceNotFound,
+        load_manifest,
+        save_manifest,
+    )
+
+    cat = Catalog(spark)
+    cat.register_file("src", "v1", "/root/testdata/sf0.001/events.parquet")
+    cat.register_feature("f", "v1", ("src", "v1"), "user_id", "value", "ts")
+    cat.register_user("alice")
+    cat.register_provider("local_spark", "SPARK_OFFLINE", "in-process")
+    cat.register_model("clickmodel", "ctr model", features=[("f", "v1")])
+
+    with pytest.raises(ResourceNotFound):
+        cat.register_model("bad", features=[("nope", "v1")])
+    with pytest.raises(ResourceExists):
+        cat.register_model("clickmodel", "different description")
+    assert [m.name for m in cat.models_using(("f", "v1"))] == ["clickmodel"]
+
+    path = save_manifest(cat, str(tmp_path / "m.json"))
+    cat2 = load_manifest(spark, path)
+    assert cat2.model("clickmodel").features == (("f", "v1"),)
+    assert "alice" in cat2._users
+    assert cat2._providers["local_spark"].provider_type == "SPARK_OFFLINE"
