@@ -3708,6 +3708,37 @@ WINDOW w AS (PARTITION BY l_suppkey
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
+_DECAY_HL_SECONDS = 3600.0
+
+
+def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed event count over the events
+    stream table (streaming/windows.py decayed_count_batch) — the
+    batch twin of the `decayed_counter` stateful streaming op (same
+    sum-at-reference math; streaming convergence pinned by pytest).
+    Exact-decimal term sums make the float pow oracle-replayable."""
+    from embeddinghub_spark.streaming.windows import decayed_count_batch
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return decayed_count_batch(
+        ev, entity_col="user_id", ts_col="ts",
+        half_life_seconds=_DECAY_HL_SECONDS,
+    )
+
+
+_DECAYED_COUNT_ORACLE = f"""
+WITH refs AS (SELECT user_id, max(ts) AS ref_ts FROM events GROUP BY user_id),
+     terms AS (
+       SELECT e.user_id, r.ref_ts,
+              CAST(round(pow(0.5,
+                   CAST(date_diff('microsecond', e.ts, r.ref_ts) AS DOUBLE)
+                   / {_DECAY_HL_SECONDS * 1e6!r}), 9) AS DECIMAL(28,9)) AS term
+       FROM events e JOIN refs r USING (user_id)
+     )
+SELECT user_id, round(CAST(SUM(term) AS DOUBLE), 6) AS decayed_count, ref_ts
+FROM terms GROUP BY user_id, ref_ts
+"""
+
 _CAP_K = 100
 
 
@@ -3857,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
+        "decayed_count": q_decayed_count,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -4015,4 +4047,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": _embedding_clusters_oracle(),
         "cap_per_group": _CAP_ORACLE,
         "f8_moving_avg": _F8_MOVING_AVG_ORACLE,
+        "decayed_count": _DECAYED_COUNT_ORACLE,
     }

@@ -276,3 +276,45 @@ def decayed_counter(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decayed_count_batch(
+    df: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    half_life_seconds: float = 3600.0,
+) -> DataFrame:
+    """Batch twin of `decayed_counter` (same math, one aggregation):
+    per entity, ``S = Σ_i 0.5^((ref − t_i)/hl)`` with ``ref`` = the
+    entity's max event time — what the streaming state converges to
+    after draining the same events (pinned by test), and the backfill
+    path that seeds streaming state from history.
+
+    Determinism protocol: each event's term is rounded to 9 decimals
+    and summed as DECIMAL(28,9) — exact, aggregation-order-independent
+    (the `unigram_logprob` recipe), so the result is oracle-replayable
+    despite the float pow. Two exchanges: the per-entity max (map-side
+    combined) and the term sum; the join between them is entity-keyed
+    and AQE-sized.
+
+    Output: ``(entity, decayed_count, ref_ts)``.
+    """
+    hl_us = float(half_life_seconds) * 1e6
+    refs = df.groupBy(entity_col).agg(F.max(ts_col).alias("ref_ts"))
+    # exact bigint microsecond difference (timestampdiff works for NTZ
+    # and TZ alike; DuckDB's date_diff('microsecond', ...) is its
+    # twin) -> one double division + pow per event
+    qts = "`" + ts_col.replace("`", "``") + "`"
+    dt_us = F.expr(f"timestampdiff(MICROSECOND, {qts}, ref_ts)")
+    term = F.round(
+        F.pow(F.lit(0.5), dt_us.cast("double") / F.lit(hl_us)), 9
+    ).cast("decimal(28,9)")
+    return (
+        df.join(refs, entity_col)
+        .select(F.col(entity_col), F.col("ref_ts"), term.alias("_term"))
+        .groupBy(entity_col, "ref_ts")
+        .agg(
+            F.round(F.sum("_term").cast("double"), 6).alias("decayed_count")
+        )
+        .select(entity_col, "decayed_count", "ref_ts")
+    )

@@ -549,3 +549,58 @@ def test_decayed_counter_order_independent_replay(spark, tmp_path):
         assert abs(got_s - want[e][0]) < 1e-9 * max(1.0, want[e][0]), (
             e, got_s, want[e][0],
         )
+
+
+def test_decayed_count_batch_matches_streaming_state(spark, tmp_path):
+    """The batch twin must equal what the streaming state converges to
+    after draining the same events (the backfill-seeds-streaming
+    contract)."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.streaming.windows import (
+        decayed_count_batch,
+        decayed_counter,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"u{i % 3}", base + timedelta(seconds=(i * 791) % 7200, microseconds=i * 137))
+        for i in range(60)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "ts"])
+    in_dir = str(tmp_path / "dcb_in")
+    src.repartition(3).write.parquet(in_dir)
+    # compare against the parquet-read frame: the session writes
+    # TIMESTAMP_MILLIS parquet (oracle byte-parity), so the stream's
+    # input is ms-truncated — both sides must see identical events
+    persisted = spark.read.parquet(in_dir)
+    batch = {
+        r["entity"]: (r["decayed_count"], r["ref_ts"])
+        for r in decayed_count_batch(persisted, half_life_seconds=600.0).collect()
+    }
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["entity"]] = (r["decayed_count"], r["ref_ts"])
+
+    q = (
+        decayed_counter(stream, half_life_seconds=600.0)
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dcb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert set(final) == set(batch)
+    for e in batch:
+        assert final[e][1] == batch[e][1]
+        # batch rounds terms to 9 decimals (oracle protocol); streaming
+        # folds raw doubles — equal within that rounding budget
+        assert abs(final[e][0] - batch[e][0]) < 1e-6, (e, final[e], batch[e])
