@@ -63,6 +63,7 @@ class OnlineStore:
 
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
+        self.model_usage: dict[tuple[str, tuple], int] = {}
         self._tables: dict[tuple[str, str], OnlineTable] = {}
         self._vectors: dict[tuple[str, str], DataFrame] = {}
 
@@ -88,7 +89,11 @@ class OnlineStore:
     # -- V3 / §3.2 entry point B: client.features()
 
     def features(
-        self, feature_list: list[tuple[str, str]], entities: dict[str, Any], params: Any = None
+        self,
+        feature_list: list[tuple[str, str]],
+        entities: dict[str, Any],
+        params: Any = None,
+        model: str | None = None,
     ) -> list[Any]:
         """Serve a feature vector for one entity (mode switch per
         serving/serving.go:625-667): PRECOMPUTED → snapshot get;
@@ -98,7 +103,18 @@ class OnlineStore:
         falsy entity ids (0, "") are valid keys, and a missing name is
         an error (reference returns EntityNotFound), never a silent
         fallback to an arbitrary entity.
+
+        ``model`` mirrors the reference's serve-side attribution
+        (`client.features(..., model=...)` — serving logs which MODEL
+        consumed which features): the name must be a registered MODEL
+        resource, and per-(model, feature) serve counts accumulate in
+        ``model_usage`` for lineage/audit.
         """
+        if model is not None:
+            self.catalog.model(model)  # raises ResourceNotFound
+            for key in feature_list:
+                k = (model, tuple(key))
+                self.model_usage[k] = self.model_usage.get(k, 0) + 1
         out = []
         for name, variant in feature_list:
             key = (name, variant)

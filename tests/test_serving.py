@@ -252,3 +252,20 @@ def test_model_user_provider_registry_roundtrip(spark, tmp_path):
     assert cat2.model("clickmodel").features == (("f", "v1"),)
     assert "alice" in cat2._users
     assert cat2._providers["local_spark"].provider_type == "SPARK_OFFLINE"
+
+
+def test_features_model_attribution(served_catalog):
+    import pytest
+
+    from embeddinghub_spark.catalog import ResourceNotFound
+
+    cat = served_catalog
+    store = OnlineStore(cat)
+    store.materialize_feature("f1", "v1")
+    fkey = ("f1", "v1")
+    cat.register_model("attrib_model", features=[fkey])
+    store.features([fkey], {"entity": "a"}, model="attrib_model")
+    store.features([fkey], {"entity": "b"}, model="attrib_model")
+    assert store.model_usage[("attrib_model", fkey)] == 2
+    with pytest.raises(ResourceNotFound):
+        store.features([fkey], {"entity": "a"}, model="ghost")
