@@ -3567,11 +3567,15 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _histogram_ctes(src: str, col: str, quantiles: list[float], b: int) -> str:
+def _histogram_ctes(
+    src: str, col: str, quantiles: list[float], b: int, p: str = ""
+) -> str:
     """CTE chain replaying profile.histogram_quantiles over relation
-    ``src``'s column ``col``; terminal CTE ``hq(quantile, value)``."""
+    ``src``'s column ``col``; terminal CTE ``{p}hq(quantile, value)``.
+    ``p`` prefixes every CTE name so two sketches compose in one
+    query (robust_scale's median + MAD passes)."""
     qvals = ", ".join(f"({q!r})" for q in sorted(quantiles))
-    return f"""mm AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,
+    out = f"""mm AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,
                    max(CAST({col} AS DOUBLE)) AS hi,
                    count({col}) AS n
             FROM {src}),
@@ -3607,6 +3611,11 @@ def _histogram_ctes(src: str, col: str, quantiles: list[float], b: int) -> str:
                                  ELSE 0.0 END)
              END, 6) AS value
      FROM pick WHERE rn = 1)"""
+    if p:
+        for name in ("mm", "binned", "c", "cum", "q", "hits", "pick", "hq"):
+            import re as _re
+            out = _re.sub(rf"\b{name}\b", f"{p}{name}", out)
+    return out
 
 
 def _histogram_quantiles_oracle() -> str:
@@ -3707,6 +3716,42 @@ WINDOW w AS (PARTITION BY l_suppkey
                       l_partkey, l_extendedprice
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
+
+_ROBUST_BINS = 256
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust standardization (operators/batch.py
+    robust_scale): two histogram-sketch passes, no global sort —
+    the heavy-tail-immune companion to the mean/std scale_features."""
+    from embeddinghub_spark.operators.batch import robust_scale
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    return robust_scale(li, "l_extendedprice", n_bins=_ROBUST_BINS)
+
+
+def _robust_scale_oracle() -> str:
+    med = _histogram_ctes("lineitem", "l_extendedprice", [0.5], _ROBUST_BINS, p="m_")
+    mad = _histogram_ctes("ad", "_ad", [0.5], _ROBUST_BINS, p="d_")
+    return f"""
+WITH {med},
+     med AS (SELECT value AS _med FROM m_hq),
+     ad AS (SELECT abs(CAST(l_extendedprice AS DOUBLE) - _med) AS _ad
+            FROM lineitem CROSS JOIN med
+            WHERE l_extendedprice IS NOT NULL),
+     {mad},
+     mad AS (SELECT value AS _mad FROM d_hq)
+SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+       round(CASE WHEN _mad > 0
+                  THEN (CAST(l_extendedprice AS DOUBLE) - _med)
+                       / (1.4826 * _mad)
+                  ELSE 0.0 END, 6) AS robust_z
+FROM lineitem CROSS JOIN med CROSS JOIN mad
+WHERE l_extendedprice IS NOT NULL
+"""
+
 
 _DECAY_HL_SECONDS = 3600.0
 
@@ -3889,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
         "decayed_count": q_decayed_count,
+        "robust_scale": q_robust_scale,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -4048,4 +4094,5 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_group": _CAP_ORACLE,
         "f8_moving_avg": _F8_MOVING_AVG_ORACLE,
         "decayed_count": _DECAYED_COUNT_ORACLE,
+        "robust_scale": _robust_scale_oracle(),
     }

@@ -188,3 +188,50 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return b.join(s, on + ["_salt"], how).drop("_salt")
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 256,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Outlier-robust standardization: ``(x − median) / (1.4826·MAD)``
+    (MAD = median absolute deviation; 1.4826 is the normal-consistency
+    constant) — the scaling a pipeline uses when `scale_features`'s
+    mean/std would be dragged by heavy tails.
+
+    Median and MAD come from TWO passes of the deterministic
+    fixed-width histogram sketch (`profile.histogram_quantiles`), so
+    unlike exact-percentile medians this never global-sorts: each pass
+    is a (min, max, n) aggregate + a bounded n_bins-row bin-count
+    exchange, and the 1-row median/MAD frames broadcast back onto the
+    rows. Fully oracle-replayable (sketch values round to 6).
+
+    Output: the input rows (null ``value_col`` rows dropped) with
+    ``out_col`` appended; a degenerate column (MAD = 0) yields 0.0.
+    """
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+
+    med = (
+        histogram_quantiles(df, value_col, [0.5], n_bins=n_bins)
+        .select(F.col("value").alias("_med"))
+    )
+    rows = df.filter(F.col(value_col).isNotNull()).crossJoin(F.broadcast(med))
+    absdev = rows.select(
+        F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_ad")
+    )
+    mad = (
+        histogram_quantiles(absdev, "_ad", [0.5], n_bins=n_bins)
+        .select(F.col("value").alias("_mad"))
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        (F.col(value_col).cast("double") - F.col("_med"))
+        / (F.lit(1.4826) * F.col("_mad")),
+    ).otherwise(F.lit(0.0))
+    return (
+        rows.crossJoin(F.broadcast(mad))
+        .withColumn(out_col, F.round(z, 6))
+        .drop("_med", "_mad")
+    )

@@ -470,3 +470,23 @@ def test_cap_per_group_exact_ceiling(spark, sf_dir):
     }
     with pytest.raises(ValueError, match="k must"):
         cap_per_group(orders, "o_orderstatus", -1, ["o_orderkey"])
+
+
+def test_robust_scale_properties(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.operators.batch import robust_scale
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = robust_scale(li, "l_extendedprice")
+    # median-ish center: roughly half the rows on each side of 0
+    n = out.count()
+    neg = out.filter(F.col("robust_z") < 0).count()
+    assert 0.4 * n <= neg <= 0.6 * n, (neg, n)
+    # monotone in the input value
+    rows = out.select("l_extendedprice", "robust_z").orderBy("l_extendedprice").collect()
+    zs = [r["robust_z"] for r in rows]
+    assert zs == sorted(zs)
+    # degenerate (constant) column scales to all-zero
+    const = li.select(F.lit(5.0).alias("c"))
+    assert robust_scale(const, "c").filter("robust_z != 0.0").count() == 0
