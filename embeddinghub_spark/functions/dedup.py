@@ -1209,3 +1209,130 @@ def semantic_dedup(
             F.col("_dropped").isNull().alias("kept"),
         )
     )
+
+
+# -- maximal duplicated-span detection ----------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+) -> DataFrame:
+    """Substring-level duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): find, per document, the MAXIMAL token spans
+    whose every length-``gram_n`` window occurs at least twice in the
+    corpus (including self-repetition). Unlike ``dedup_passages``
+    (fixed non-overlapping windows), spans are detected at ANY token
+    offset: sliding ``gram_n``-grams are fingerprinted, duplicated
+    gram starts are merged into maximal islands, so a 40-token copied
+    paragraph reports as ONE span regardless of alignment. The paper
+    builds a corpus suffix array; the Spark-native equivalent is the
+    overlapping-gram fingerprint join — same detected spans for spans
+    >= gram_n, no global suffix sort.
+
+    Output: one row per document with >= ``gram_n`` tokens —
+    (doc_id, total_tokens, n_dup_spans, dup_tokens, dup_fraction),
+    dup_fraction rounded to 6 decimals for cross-engine replay.
+    Callers trimming rather than scoring can take the span frame from
+    the island step instead; the aggregate is the curation-pipeline
+    signal (drop/penalize docs above a duplicated-fraction budget).
+
+    Scale shape — text never travels wider than one gram, and grams
+    are dropped for their 16-byte md5 before any exchange:
+
+    1. gram fingerprints: map-only tokenize -> explode gram starts ->
+       md5(slice) -> (doc_id, start, fp). The _t array is projected
+       away in the same stage.
+    2. duplicated fingerprints: groupBy(fp) count — hash aggregate
+       with map-side partials; exchange carries one row per DISTINCT
+       fingerprint. HAVING count >= 2 prunes to the (rare)
+       duplicated grams BEFORE the join back.
+    3. ownership join on fp: AQE broadcasts the duplicated-fp side
+       while it is small (boilerplate is sparse), shuffle-join
+       otherwise.
+    4. island merge: per-document window (partitionBy doc) — state
+       bounded by one document's gram count, no corpus-wide sort.
+
+    The gram frame is localCheckpoint'd: it feeds both the count
+    aggregate and the ownership join (standing self-join decision —
+    Spark has no cross-side CSE, an uncheckpointed plan would
+    tokenize and hash the corpus twice).
+    """
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= gram_n)
+        .localCheckpoint(eager=False)
+    )
+    grams = (
+        base.select(
+            F.col(id_col),
+            F.col("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - gram_n + 1)
+            ).alias("start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.md5(F.array_join(F.slice("_t", F.col("start"), gram_n), " ")).alias(
+                "fp"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dup_fps = grams.groupBy("fp").count().filter(F.col("count") >= 2).select("fp")
+    dup = grams.join(dup_fps, "fp").select(
+        F.col(id_col),
+        F.col("start"),
+        (F.col("start") + gram_n - 1).alias("fin"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.max("fin").over(w_prev), F.lit(-1)) + 1,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("fin").alias("span_end"),
+        )
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    return (
+        base.select(F.col(id_col), F.size("_t").cast("bigint").alias("total_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -22,14 +22,24 @@ def test_queries_and_oracles_align():
 
 
 def test_round4_window_layout():
+    """Positions 1-49 carry only never-driver-certified entries (first-time
+    coverage beats re-certification); slot 50 is the flagship sentinel."""
     import __spark_entry__ as m
 
     window = list(m.queries().keys())[:50]
     new_ops = {
         "semantic_dedup", "knn_join", "unigram_logprob",
         "hll_profile", "domain_tag", "histogram_quantiles",
+        "perplexity_buckets", "embedding_clusters",
+        "decayed_count", "robust_scale",
     }
     assert new_ops <= set(window), "a new r4 op fell out of the window"
+    previously_certified = {
+        "f8_scalar_funcs", "f8_date_funcs", "f8_rollup", "f8_array_funcs",
+    }
+    assert previously_certified.isdisjoint(window[:49]), (
+        "an already-certified entry occupies a first-time-coverage slot"
+    )
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
 
 

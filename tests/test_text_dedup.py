@@ -462,3 +462,55 @@ def test_unigram_logprob_small(spark):
     assert abs(rows[2]["logprob"] - round(lp2, 6)) < 1e-9
     # the doc with proportionally more common words scores higher
     assert rows[1]["logprob"] > rows[2]["logprob"]
+
+
+def test_duplicate_spans_maximal_merge(spark):
+    """Overlapping duplicated grams merge into ONE maximal span; the
+    copied region is found at ANY token offset (the property the
+    fixed-window passage dedup lacks)."""
+    from embeddinghub_spark.functions.dedup import duplicate_spans
+
+    copied = "p q r s t"  # 5 tokens, shared verbatim by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, "a b " + copied + " c d"),     # copy at offset 2
+            (2, "u v w " + copied + " x"),     # copy at offset 3 (misaligned)
+            (3, "m n o m n o m n o"),          # self-repetition only
+            (4, "f g h i j k"),                # unique -> zero spans
+            (5, "a b"),                        # shorter than gram_n -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(df, gram_n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1/2: the three 3-grams inside "p q r s t" merge into one
+    # span of exactly the 5 copied tokens
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 5
+    assert out[1]["total_tokens"] == 9
+    assert abs(out[1]["dup_fraction"] - round(5 / 9, 6)) < 1e-9
+    # doc 3: "m n o" repeats -> every gram duplicated -> whole doc one span
+    assert out[3]["n_dup_spans"] == 1
+    assert out[3]["dup_tokens"] == 9
+    # doc 4: nothing duplicated
+    assert out[4]["n_dup_spans"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_duplicate_spans_disjoint_islands(spark):
+    """Two separated copied regions report as two spans, not one."""
+    from embeddinghub_spark.functions.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c X X a b c Y Y"),  # "a b c" twice, split by uniques
+            (2, "zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    row = {r["doc_id"]: r for r in duplicate_spans(df, gram_n=3).collect()}[1]
+    assert row["n_dup_spans"] == 2
+    assert row["dup_tokens"] == 6
