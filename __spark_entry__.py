@@ -3526,6 +3526,49 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
 FROM terms GROUP BY doc_id
 """
 
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (functions/profile.py
+    cms_topk): fixed depth×width counter state regardless of
+    vocabulary, estimates replayed exactly by the oracle; the true
+    top-20 exact pass doubles as the verification baseline."""
+    from embeddinghub_spark.functions.profile import cms_topk
+
+    return cms_topk(_t(spark, sf_dir, "documents"), depth=4, width=512, k=20)
+
+
+_CMS_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents
+),
+sk AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 15))
+              AS BIGINT) % 512 AS bucket,
+         count(*) AS c
+  FROM toks, UNNEST([0, 1, 2, 3]) AS u(d)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, count(*) AS exact_count
+  FROM toks GROUP BY tok
+  ORDER BY exact_count DESC, tok LIMIT 20
+),
+probe AS (
+  SELECT e.tok AS tok, e.exact_count AS exact_count, u.d AS d,
+         CAST(('0x' || substr(md5(CAST(u.d AS VARCHAR) || ':' || e.tok), 1, 15))
+              AS BIGINT) % 512 AS bucket
+  FROM exact e, UNNEST([0, 1, 2, 3]) AS u(d)
+)
+SELECT p.tok AS token,
+       CAST(p.exact_count AS BIGINT) AS exact_count,
+       CAST(min(sk.c) AS BIGINT) AS cms_estimate,
+       CAST(min(sk.c) - p.exact_count AS BIGINT) AS overestimate
+FROM probe p JOIN sk ON sk.d = p.d AND sk.bucket = p.bucket
+GROUP BY p.tok, p.exact_count
+"""
+
+
 _HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
 
 
@@ -3995,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and anything newer) and the four r2-certified f8 entries rotate into
         # r5's window ---
         "dup_spans": q_dup_spans,
+        "cms_topk": q_cms_topk,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4154,6 +4198,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "hll_profile": _hll_profile_oracle(),
+        "cms_topk": _CMS_TOPK_ORACLE,
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -13,7 +13,7 @@ instead, which collapses the expand entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
 
@@ -320,4 +320,93 @@ def histogram_quantiles(
             ).alias("value"),
         )
         .orderBy("quantile")
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter token counts via an EXPLICIT count-min sketch
+    (Cormode/Muthukrishnan 2005) — the bounded-state frequency
+    companion to ``hll_profile``'s distinct sketch: where an exact
+    token count pays an exchange carrying every DISTINCT token, the
+    sketch exchange carries at most ``depth × width`` counter rows
+    regardless of vocabulary size, and counters of disjoint shards
+    MERGE by + (algebraic), so a 100 TB scan is one
+    map-side-combining aggregate with fixed state.
+
+    Hashing is the repo-standard md5-prefix bigint (row d hashes
+    ``'{d}:' || token``), so every counter — and therefore every
+    estimate — is exact integer arithmetic replayable by the DuckDB
+    oracle verbatim. Estimate(t) = min over rows of the counter t
+    hashes into; CMS guarantees estimate >= exact always and
+    estimate <= exact + eps·N with prob 1-delta for
+    width = e/eps, depth = ln(1/delta) (pinned by a small-width
+    property test — at production widths collisions among heavy
+    tokens are rare and the estimate is typically exact).
+
+    The result reports the true top-``k`` tokens (exact pass — at
+    scale the candidate set comes from a lexicon or a per-shard
+    candidate stream; here the exact pass doubles as the
+    verification baseline) with both exact and sketch counts, so the
+    overestimate is directly observable:
+    ``(token, exact_count, cms_estimate, overestimate)``.
+
+    Scale shape — 3 exchanges, none carrying text wider than one
+    token: (1) sketch aggregate, ≤ depth·width rows per task;
+    (2) exact token counts (map-side combine, one row per distinct
+    token); (3) the top-k TakeOrdered (no global sort — Spark plans
+    orderBy+limit as TakeOrderedAndProject). The k-row probe side is
+    broadcast against the sketch.
+    """
+    from embeddinghub_spark.functions.dedup import _md5_long
+    from embeddinghub_spark.functions.text import tokens
+
+    def bucket(d: int, tok) -> Column:
+        return _md5_long(F.concat(F.lit(f"{d}:"), tok)) % width
+
+    toks = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        # feeds the sketch aggregate AND the exact count (standing
+        # self-join decision: no cross-side CSE in Spark)
+        .localCheckpoint(eager=False)
+    )
+    sketch = (
+        toks.select(
+            F.posexplode(
+                F.array(*[bucket(d, F.col("tok")) for d in range(depth)])
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "tok")
+        .limit(k)
+    )
+    probe = exact.select(
+        "tok",
+        "exact_count",
+        F.posexplode(
+            F.array(*[bucket(d, F.col("tok")) for d in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        sketch.join(F.broadcast(probe), ["row", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
     )

@@ -391,3 +391,51 @@ def test_domain_tag_is_brute_force(spark, texts):
         s, _, name = max(scores)
         want = ("other", 0) if s == 0 else (name, s)
         assert got[i] == want, (i, t, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_cms_topk_matches_python_replica(spark, docs):
+    """At collision-forcing width=4 the sketch estimate equals a
+    pure-Python count-min replica exactly, and never underestimates —
+    the one-sided CMS error guarantee."""
+    import hashlib
+    from collections import Counter
+
+    from embeddinghub_spark.functions.profile import cms_topk
+
+    width, depth, k = 4, 2, 8
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r["token"]: (r["exact_count"], r["cms_estimate"], r["overestimate"])
+        for r in cms_topk(df, depth=depth, width=width, k=k).collect()
+    }
+
+    exact = Counter(t for d in docs for t in d)
+    counters: Counter = Counter()
+    for tok, n in exact.items():
+        for d in range(depth):
+            h = hashlib.md5(f"{d}:{tok}".encode()).hexdigest()
+            counters[(d, int(h[:15], 16) % width)] += n
+
+    topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert set(got) == {t for t, _ in topk}
+    for tok, n in topk:
+        est = min(
+            counters[(d, int(hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:15], 16) % width)]
+            for d in range(depth)
+        )
+        assert got[tok] == (n, est, est - n), (tok, got[tok], (n, est))
+        assert est >= n
