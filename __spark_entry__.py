@@ -3526,6 +3526,66 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
 FROM terms GROUP BY doc_id
 """
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled Naive-Bayes corpus classifier (functions/text.py
+    nb_classifier): closed-form counting train on the lang-labeled
+    partition, one-pass scoring of every document — the
+    model-based-filtering shape with no iteration and no driver-side
+    weights."""
+    from embeddinghub_spark.functions.text import nb_classifier
+
+    return nb_classifier(_t(spark, sf_dir, "documents"))
+
+
+_NB_CLASSIFIER_ORACLE = """
+WITH train AS (
+  SELECT doc_id, (lang = 'en') AS p, text FROM documents
+  WHERE doc_id % 5 != 0
+),
+dstat AS (
+  SELECT count(*) FILTER (WHERE p) AS d_pos,
+         count(*) FILTER (WHERE NOT p) AS d_neg
+  FROM train
+),
+ttok AS (
+  SELECT p, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM train
+),
+cnts AS (
+  SELECT w, count(*) FILTER (WHERE p) AS n_pos,
+         count(*) FILTER (WHERE NOT p) AS n_neg
+  FROM ttok GROUP BY w
+),
+tstat AS (SELECT sum(n_pos) AS np, sum(n_neg) AS nn, count(*) AS v FROM cnts),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+terms AS (
+  SELECT tf.doc_id AS doc_id,
+         CAST(round(tf.tf * (
+             log10(CAST(coalesce(c.n_pos, 0) + 1 AS DOUBLE)
+                   / CAST(t.np + t.v AS DOUBLE))
+           - log10(CAST(coalesce(c.n_neg, 0) + 1 AS DOUBLE)
+                   / CAST(t.nn + t.v AS DOUBLE))), 9) AS DECIMAL(28,9)) AS term
+  FROM tf LEFT JOIN cnts c ON tf.w = c.w CROSS JOIN tstat t
+),
+s AS (SELECT doc_id, sum(term) AS s FROM terms GROUP BY doc_id),
+out AS (
+  SELECT d.doc_id AS doc_id, d.lang AS lang,
+         (d.doc_id % 5 = 0) AS is_holdout,
+         round(round(log10(CAST(ds.d_pos AS DOUBLE) / CAST(ds.d_neg AS DOUBLE)), 9)
+               + coalesce(CAST(s.s AS DOUBLE), 0.0), 6) AS log_odds
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id CROSS JOIN dstat ds
+)
+SELECT doc_id, lang, is_holdout, log_odds, (log_odds > 0) AS predicted
+FROM out
+"""
+
+
 def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters (functions/profile.py
     cms_topk): fixed depth×width counter state regardless of
@@ -4039,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5's window ---
         "dup_spans": q_dup_spans,
         "cms_topk": q_cms_topk,
+        "nb_classifier": q_nb_classifier,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4199,6 +4260,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_ORACLE,
         "hll_profile": _hll_profile_oracle(),
         "cms_topk": _CMS_TOPK_ORACLE,
+        "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),

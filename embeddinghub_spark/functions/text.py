@@ -977,3 +977,103 @@ def perplexity_buckets(
     return ul.crossJoin(F.broadcast(one_row)).select(
         F.col(id_col), F.col("logprob"), bucket.alias("bucket")
     )
+
+
+def nb_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    positive: str = "en",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Distilled corpus classifier: train a binary multinomial Naive
+    Bayes (add-1 smoothing) on the labeled partition, score EVERY
+    document — the shape of the fastText-style model-based filters in
+    CCNet/RefinedWeb-class pipelines (cheap linear model distills an
+    expensive labeling signal, then sweeps the full corpus), chosen
+    over gradient-trained models because NB training is CLOSED-FORM
+    COUNTING: train and apply are both one-pass DataFrame
+    aggregations, no iteration, no driver-side weights — and thus
+    exactly replayable by the SQL oracle.
+
+    Train split: documents with ``id % holdout_mod != 0`` (a
+    deterministic holdout stands in for "the labeled subset");
+    every document is scored regardless, ``is_holdout`` marks the
+    rows that never influenced the model.
+
+    score(d) = log10(D⁺/D⁻) + Σ_w tf(d,w)·[log10((n⁺(w)+1)/(N⁺+V))
+    − log10((n⁻(w)+1)/(N⁻+V))], with V = training vocabulary size;
+    unseen-in-training words contribute the smoothed floor weight via
+    the left join's coalesce(0). Determinism protocol is
+    ``unigram_logprob``'s: per-(doc,word) terms rounded to 9 decimals
+    and summed as DECIMAL(28,9) (exact, partial-aggregation-order
+    independent), ONE double conversion at the end rounded to 6.
+
+    Scale shape: class token counts (shuffle on word, rows = |vocab|)
+    → two 1-row stat frames (broadcast) → tf×counts left join (AQE
+    broadcasts the vocab side while it fits) → per-doc aggregate.
+    Raw text never shuffles; training is the same single pass over
+    the labeled shard a 100 TB sweep would pay anyway.
+
+    Output: ``(id, label, is_holdout, log_odds, predicted)`` — one
+    row per input document (token-free docs score the prior alone).
+    Requires both classes nonempty in the training split (the priors
+    and smoothing denominators divide by class totals).
+    """
+    is_pos = F.col(label_col) == positive
+    train = df.filter((F.col(id_col) % holdout_mod) != 0)
+    doc_stats = train.agg(
+        F.sum(is_pos.cast("bigint")).alias("d_pos"),
+        F.sum((~is_pos).cast("bigint")).alias("d_neg"),
+    )
+    ttok = train.select(
+        is_pos.alias("_p"), F.explode(tokens(text_col)).alias("w")
+    )
+    cnts = ttok.groupBy("w").agg(
+        F.sum(F.col("_p").cast("bigint")).alias("n_pos"),
+        F.sum((~F.col("_p")).cast("bigint")).alias("n_neg"),
+    )
+    tok_stats = cnts.agg(
+        F.sum("n_pos").alias("np"),
+        F.sum("n_neg").alias("nn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_pos = (F.coalesce(F.col("n_pos"), F.lit(0)) + 1).cast("double") / (
+        F.col("np") + F.col("v")
+    ).cast("double")
+    w_neg = (F.coalesce(F.col("n_neg"), F.lit(0)) + 1).cast("double") / (
+        F.col("nn") + F.col("v")
+    ).cast("double")
+    term = F.round(
+        F.col("tf") * (F.log10(w_pos) - F.log10(w_neg)), 9
+    ).cast("decimal(28,9)")
+    scored = (
+        tf.join(cnts, "w", "left")
+        .crossJoin(F.broadcast(tok_stats))
+        .select(F.col(id_col), term.alias("_term"))
+        .groupBy(id_col)
+        .agg(F.sum("_term").alias("_s"))
+    )
+    prior = F.round(
+        F.log10(F.col("d_pos").cast("double") / F.col("d_neg").cast("double")), 9
+    )
+    return (
+        df.select(id_col, label_col)
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(doc_stats))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            ((F.col(id_col) % holdout_mod) == 0).alias("is_holdout"),
+            F.round(
+                prior + F.coalesce(F.col("_s").cast("double"), F.lit(0.0)), 6
+            ).alias("log_odds"),
+        )
+        .withColumn("predicted", F.col("log_odds") > 0)
+    )

@@ -514,3 +514,46 @@ def test_duplicate_spans_disjoint_islands(spark):
     row = {r["doc_id"]: r for r in duplicate_spans(df, gram_n=3).collect()}[1]
     assert row["n_dup_spans"] == 2
     assert row["dup_tokens"] == 6
+
+
+def test_nb_classifier_discriminates_and_respects_holdout(spark):
+    """Disjoint class vocabularies -> the distilled NB separates them;
+    holdout docs (id % 5 == 0) are scored but never trained on, and a
+    token unseen in training gets the smoothed floor, not a crash."""
+    from embeddinghub_spark.functions.text import nb_classifier
+
+    rows = []
+    for i in range(1, 20):
+        if i % 5 == 0:
+            continue
+        rows.append((i, "good clean prose text", "en" if i % 2 else "de"))
+    # make vocab class-separable: en docs say "alpha", others "beta"
+    rows = [
+        (i, ("alpha alpha nice" if lang == "en" else "beta beta bad"), lang)
+        for i, _, lang in rows
+    ]
+    # holdout docs: id 5 uses en-vocab, id 10 uses neg-vocab,
+    # id 15 uses a token never seen in training
+    rows += [
+        (5, "alpha alpha alpha", "en"),
+        (10, "beta beta beta", "de"),
+        (15, "zeta zeta", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in nb_classifier(
+            spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    # training rows classify by their vocabulary
+    for i, _, lang in rows:
+        if i in (5, 10, 15):
+            continue
+        assert out[i]["predicted"] == (lang == "en"), (i, out[i])
+        assert not out[i]["is_holdout"]
+    # holdout rows scored by the trained weights
+    assert out[5]["is_holdout"] and out[5]["predicted"]
+    assert out[10]["is_holdout"] and not out[10]["predicted"]
+    # unseen-token doc falls back to prior + floor weights (finite)
+    assert out[15]["is_holdout"] and out[15]["log_odds"] is not None
