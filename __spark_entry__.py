@@ -3981,6 +3981,43 @@ FROM r WHERE rn <= {_CAP_K}
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/split.py weighted_sample): 5 docs per source, inclusion
+    probability proportional to n_chars — the importance-weighted
+    complement to cap_per_group's uniform cap."""
+    from embeddinghub_spark.operators.split import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", 5,
+        key_cols=["doc_id"], seed=42,
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|', '42')),
+               1, 7)) AS BIGINT) AS h7
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+kk AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         round(-ln((h7 + 1) / 268435457.0)
+               / CAST(n_chars AS DOUBLE), 9) AS ek
+  FROM h
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY ek ASC, doc_id ASC) AS rn
+  FROM kk
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM r WHERE rn <= 5
+"""
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph components (functions/embeddings.py
     embedding_clusters): knn_join edges (cosine >= 0.15) labeled by
@@ -4100,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "cms_topk": q_cms_topk,
         "nb_classifier": q_nb_classifier,
+        "weighted_sample": q_weighted_sample,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4261,6 +4299,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_profile": _hll_profile_oracle(),
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
+        "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -195,3 +195,60 @@ def cap_per_group(
         .filter(F.col("_gr") <= k)
         .drop("_h", "_pid", "_lr", "_gr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis A-Res scheme (Inf. Proc. Letters 2006):
+    every row draws key ``u^(1/w)`` (u uniform from the md5 hash
+    protocol, w = its weight) and the k largest keys win, which
+    selects rows with probability proportional to weight without
+    replacement. Equivalent (and better conditioned) ordering used
+    here: the k SMALLEST ``-ln(u)/w``. The importance-weighted cousin
+    of ``cap_per_group``'s uniform cap — "keep 100k docs per source,
+    favoring the long/high-quality ones" in a mixture build.
+
+    Determinism protocol: u = (h+1)/(2^28+1) from ``md5(keys|seed)``
+    (never 0, so ln is finite), the E-S key rounded to 9 decimals,
+    ties broken by the key columns — the exact sample is replayable
+    in any md5-bearing engine and invariant to partitioning, like
+    every sampler in this module. Rows with NULL or non-positive
+    weight are excluded (their inclusion probability is 0/undefined).
+
+    Scale shape: identical to ``cap_per_group`` — two-stage top-k
+    (partition-local row_number caps each task at k per group before
+    the exchange, so whale groups ship tasks·k rows, not their
+    population; one hash exchange on the group key).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    u = (
+        F.conv(F.substring(_row_hash(key_cols, seed), 1, 7), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    ) / F.lit(float((1 << 28) + 1))
+    ek = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    order = [F.col("_ek").asc()] + [F.col(c).asc() for c in key_cols]
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_ek", ek)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid", group_col).orderBy(*order)
+    pruned = keyed.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w_global = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("_gr", F.row_number().over(w_global))
+        .filter(F.col("_gr") <= k)
+        .drop("_ek", "_pid", "_lr", "_gr")
+    )

@@ -490,3 +490,28 @@ def test_robust_scale_properties(spark, sf_dir):
     # degenerate (constant) column scales to all-zero
     const = li.select(F.lit(5.0).alias("c"))
     assert robust_scale(const, "c").filter("robust_z != 0.0").count() == 0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """E-S sampling: with a 200:1 weight ratio and k=1, the heavy row
+    must win the large majority of seeds; output respects the per-
+    group cap and drops non-positive weights."""
+    from embeddinghub_spark.operators.split import weighted_sample
+
+    rows = [(1, "g", 200.0), (2, "g", 1.0), (3, "g", 1.0), (4, "g", 0.0),
+            (5, "h", 7.0), (6, "h", None)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    heavy_wins = 0
+    for seed in range(12):
+        out = weighted_sample(df, "grp", "w", 1, ["id"], seed=seed).collect()
+        got = {r["grp"]: r["id"] for r in out}
+        assert set(got) == {"g", "h"}
+        assert got["h"] == 5          # only positive-weight h row
+        assert got["g"] != 4          # zero weight can never win
+        heavy_wins += got["g"] == 1
+    assert heavy_wins >= 8, heavy_wins  # p(win)=200/202 per draw
+
+    # without replacement: k=2 returns 2 DISTINCT g-rows, never id 4
+    out = weighted_sample(df, "grp", "w", 2, ["id"], seed=3).collect()
+    g_ids = sorted(r["id"] for r in out if r["grp"] == "g")
+    assert len(g_ids) == len(set(g_ids)) == 2 and 4 not in g_ids
