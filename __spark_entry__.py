@@ -3566,19 +3566,22 @@ tf AS (
 ),
 terms AS (
   SELECT tf.doc_id AS doc_id,
-         CAST(round(tf.tf * (
+         CAST(round(round(tf.tf * (
              log10(CAST(coalesce(c.n_pos, 0) + 1 AS DOUBLE)
                    / CAST(t.np + t.v AS DOUBLE))
            - log10(CAST(coalesce(c.n_neg, 0) + 1 AS DOUBLE)
-                   / CAST(t.nn + t.v AS DOUBLE))), 9) AS DECIMAL(28,9)) AS term
+                   / CAST(t.nn + t.v AS DOUBLE))), 9) * 1.0e9)
+              AS BIGINT) AS term
   FROM tf LEFT JOIN cnts c ON tf.w = c.w CROSS JOIN tstat t
 ),
 s AS (SELECT doc_id, sum(term) AS s FROM terms GROUP BY doc_id),
 out AS (
   SELECT d.doc_id AS doc_id, d.lang AS lang,
          (d.doc_id % 5 = 0) AS is_holdout,
-         round(round(log10(CAST(ds.d_pos AS DOUBLE) / CAST(ds.d_neg AS DOUBLE)), 9)
-               + coalesce(CAST(s.s AS DOUBLE), 0.0), 6) AS log_odds
+         CAST(CAST(round(round(log10(CAST(ds.d_pos AS DOUBLE)
+                               / CAST(ds.d_neg AS DOUBLE)), 9) * 1.0e9)
+                   AS BIGINT)
+              + coalesce(s.s, 0) AS DOUBLE) / 1.0e9 AS log_odds
   FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id CROSS JOIN dstat ds
 )
 SELECT doc_id, lang, is_holdout, log_odds, (log_odds > 0) AS predicted
@@ -3981,6 +3984,71 @@ FROM r WHERE rn <= {_CAP_K}
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (functions/graph.py pagerank) over the
+    undirected customer↔supplier purchase graph (lineitem ⋈ orders,
+    supplier ids offset into their own space) — 3 synchronous
+    iterations, exact-decimal contribution sums."""
+    from embeddinghub_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 100000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-CTE replay of the fixed-iteration PageRank. The
+    damping/teleport constants are embedded as Python double reprs
+    (1.0-0.85 is 0.15000000000000002 in binary — the oracle must add
+    the SAME double the Spark plan adds)."""
+    d = repr(float(damping))
+    t = repr(1.0 - damping)
+    ctes = [
+        "pairs AS (SELECT DISTINCT o_custkey AS c, 100000000 + l_suppkey AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT c AS src, s AS dst FROM pairs"
+        " UNION ALL SELECT s AS src, c AS dst FROM pairs)",
+        "deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nt AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE), 9)"
+        " AS rank FROM nodes CROSS JOIN nt)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, CAST(round({d} * r.rank"
+            f" / CAST(deg.dg AS DOUBLE), 9) AS DECIMAL(28,9)) AS c"
+            f" FROM edges e JOIN r{i-1} r ON e.src = r.node"
+            f" JOIN deg ON deg.src = e.src)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT node, sum(c) AS sm FROM c{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node AS node,"
+            f" round(round({t} / CAST(nt.n AS DOUBLE), 9)"
+            f" + coalesce(CAST(s{i}.sm AS DOUBLE), 0.0), 9) AS rank"
+            f" FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node"
+            f" CROSS JOIN nt)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement
     (operators/split.py weighted_sample): 5 docs per source, inclusion
@@ -4138,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "nb_classifier": q_nb_classifier,
         "weighted_sample": q_weighted_sample,
+        "pagerank": q_pagerank,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4300,6 +4369,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+        "pagerank": _pagerank_oracle(),
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),

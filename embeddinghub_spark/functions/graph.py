@@ -1,0 +1,104 @@
+"""Graph operators over edge DataFrames.
+
+The connected-components machinery (large-star/small-star) lives with
+its dedup consumers in ``functions/dedup.py``; this module holds the
+value-propagation side: PageRank-style iterative scoring, used for
+corpus/source authority weighting in curation mixes (PageRank features
+are a standard quality signal in web-scale corpus filtering — e.g. the
+CommonCrawl-derived pipelines keep host-level centrality as a
+retention feature).
+
+Determinism protocol (the repo standard for iterative float math):
+every per-edge contribution is rounded to 9 decimals and summed as
+DECIMAL(28,9) — exact, independent of Spark's partial-aggregation
+order — and each iteration's rank is re-rounded to 9 decimals, so N
+iterations are bit-replayable by any engine with the same rounding
+(the DuckDB oracle unrolls the iterations as CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list, a fixed number of
+    synchronous iterations from the uniform start — node score =
+    (1-d)/N + d·Σ_{in-edges} rank(src)/outdeg(src).
+
+    Nodes are the DISTINCT sources (callers with sink-only nodes add
+    reverse edges or self-loops first — a dangling node here neither
+    receives rank mass directed at it nor redistributes, which is the
+    standard "handle dangling upstream" convention); ``iterations``
+    is fixed rather than convergence-tested so the plan depth — and
+    the oracle — is static.
+
+    Scale shape per iteration: ranks ⋈ edges (shuffle on src; the
+    rank frame is |nodes| rows, edges dominate) then groupBy(dst)
+    with map-side combining partial sums (exchange carries one
+    DECIMAL row per distinct dst per task). Rank frames are
+    ``localCheckpoint``'d each round — the CC iteration's standing
+    lineage-truncation decision; plan depth stays O(1) per round
+    instead of O(rounds).
+
+    Output: ``(node, rank)``, rank rounded to 6 decimals.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
+    # (src, dst, outdeg) resolved once; reread every iteration
+    edeg = (
+        edges.join(deg, src_col)
+        .select(
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_d"),
+            F.col("_deg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col(src_col).alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    teleport = F.round(
+        F.lit(1.0 - damping) / F.col("_n").cast("double"), 9
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n").cast("double"), 9).alias("rank")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            edeg.join(ranks, edeg["_s"] == ranks["node"])
+            .select(
+                F.col("_d").alias("node"),
+                F.round(
+                    F.lit(damping) * F.col("rank") / F.col("_deg").cast("double"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + F.coalesce(F.col("_sum").cast("double"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

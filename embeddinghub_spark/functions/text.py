@@ -1005,10 +1005,15 @@ def nb_classifier(
     score(d) = log10(D⁺/D⁻) + Σ_w tf(d,w)·[log10((n⁺(w)+1)/(N⁺+V))
     − log10((n⁻(w)+1)/(N⁻+V))], with V = training vocabulary size;
     unseen-in-training words contribute the smoothed floor weight via
-    the left join's coalesce(0). Determinism protocol is
-    ``unigram_logprob``'s: per-(doc,word) terms rounded to 9 decimals
-    and summed as DECIMAL(28,9) (exact, partial-aggregation-order
-    independent), ONE double conversion at the end rounded to 6.
+    the left join's coalesce(0). Determinism protocol: per-(doc,word)
+    terms rounded to 9 decimals then held as 1e9-SCALED BIGINTs and
+    summed exactly (partial-aggregation-order independent); the prior
+    is scaled the same way, ONE bigint→double division at the end —
+    and NO final re-round: (identical bigint)/1e9 is the same double
+    in every engine, while a final round(x, 6) lands on half
+    boundaries the engines break differently (observed at sf0.1: one
+    doc whose exact scaled sum ended in …5500, Spark HALF_UP'd the
+    decimal expansion up, DuckDB's multiply-round-divide went down).
 
     Scale shape: class token counts (shuffle on word, rows = |vocab|)
     → two 1-row stat frames (broadcast) → tf×counts left join (AQE
@@ -1051,8 +1056,9 @@ def nb_classifier(
         F.col("nn") + F.col("v")
     ).cast("double")
     term = F.round(
-        F.col("tf") * (F.log10(w_pos) - F.log10(w_neg)), 9
-    ).cast("decimal(28,9)")
+        F.round(F.col("tf") * (F.log10(w_pos) - F.log10(w_neg)), 9)
+        * F.lit(1.0e9)
+    ).cast("bigint")
     scored = (
         tf.join(cnts, "w", "left")
         .crossJoin(F.broadcast(tok_stats))
@@ -1060,9 +1066,15 @@ def nb_classifier(
         .groupBy(id_col)
         .agg(F.sum("_term").alias("_s"))
     )
-    prior = F.round(
-        F.log10(F.col("d_pos").cast("double") / F.col("d_neg").cast("double")), 9
-    )
+    prior_scaled = F.round(
+        F.round(
+            F.log10(
+                F.col("d_pos").cast("double") / F.col("d_neg").cast("double")
+            ),
+            9,
+        )
+        * F.lit(1.0e9)
+    ).cast("bigint")
     return (
         df.select(id_col, label_col)
         .join(scored, id_col, "left")
@@ -1071,8 +1083,11 @@ def nb_classifier(
             F.col(id_col),
             F.col(label_col),
             ((F.col(id_col) % holdout_mod) == 0).alias("is_holdout"),
-            F.round(
-                prior + F.coalesce(F.col("_s").cast("double"), F.lit(0.0)), 6
+            (
+                (prior_scaled + F.coalesce(F.col("_s"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.lit(1.0e9)
             ).alias("log_odds"),
         )
         .withColumn("predicted", F.col("log_odds") > 0)

@@ -515,3 +515,18 @@ def test_weighted_sample_favors_heavy_rows(spark):
     out = weighted_sample(df, "grp", "w", 2, ["id"], seed=3).collect()
     g_ids = sorted(r["id"] for r in out if r["grp"] == "g")
     assert len(g_ids) == len(set(g_ids)) == 2 and 4 not in g_ids
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """On a graph with no dangling nodes total rank mass stays ~1;
+    symmetric positions earn identical rank; a hub out-ranks leaves."""
+    from embeddinghub_spark.functions.graph import pagerank
+
+    # star: hub 1 <-> leaves 2,3,4 (undirected via reverse edges)
+    edges = [(1, x) for x in (2, 3, 4)] + [(x, 1) for x in (2, 3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out[2] == out[3] == out[4]
+    assert out[1] > out[2]
