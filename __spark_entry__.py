@@ -3984,6 +3984,59 @@ FROM r WHERE rn <= {_CAP_K}
 """
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (functions/vector.py rrf_fuse): hybrid
+    retrieval merging the cosine and L2 brute-force top-5 lists into
+    one calibration-free fused top-8 per query."""
+    from embeddinghub_spark.functions.vector import knn_bruteforce, rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cos = knn_bruteforce(emb, queries_df, 5, metric="cosine", dim=_EMB_DIM)
+    l2 = knn_bruteforce(emb, queries_df, 5, metric="l2", dim=_EMB_DIM)
+    return rrf_fuse([cos, l2], k=60, top_k=8)
+
+
+_RRF_FUSION_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+cosr AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC)
+           AS rank
+  FROM (SELECT q.qid, e.vec_id AS nid,
+               list_cosine_similarity(e.embedding, q.qv) AS score
+        FROM embeddings e CROSS JOIN q)
+),
+l2r AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC)
+           AS rank
+  FROM (SELECT q.qid, e.vec_id AS nid,
+               list_distance(e.embedding, q.qv) AS dist
+        FROM embeddings e CROSS JOIN q)
+),
+u AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(1.0e12 / (60 + rank)) AS BIGINT) AS c
+  FROM cosr WHERE rank <= 5
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(round(1.0e12 / (60 + rank)) AS BIGINT) AS c
+  FROM l2r WHERE rank <= 5
+),
+s AS (SELECT query_id, neighbor_id, sum(c) AS s FROM u GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rrf_score, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(s AS DOUBLE) / 1.0e12 AS rrf_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= 8
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality (functions/graph.py pagerank) over the
     undirected customer↔supplier purchase graph (lineitem ⋈ orders,
@@ -4207,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
+        "rrf_fusion": q_rrf_fusion,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4370,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "pagerank": _pagerank_oracle(),
+        "rrf_fusion": _RRF_FUSION_ORACLE,
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1697,3 +1697,66 @@ def knn_ivfpq_residual_batch(
     return top.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009):
+    combine N retrieval rankings into one — score(q, d) =
+    Σ_lists 1/(k + rank_list(q, d)) over the lists where d appears —
+    the standard hybrid-retrieval merge (dense kNN + sparse BM25, or
+    several ANN indexes) that needs no score calibration because it
+    consumes RANKS, not scores.
+
+    Determinism: each contribution is the 1e12-scaled integer
+    ``round(1e12/(k+rank))`` summed as BIGINT (exact, aggregation-
+    order independent — the repo's scaled-integer protocol), and the
+    fused ordering/tiebreak runs on that integer; the double
+    ``rrf_score`` is derived once at the end from the identical
+    integer, so it is the same double in any engine.
+
+    Scale shape: one unionByName of the (query, id, contribution)
+    lists (map-only), one groupBy(query, id) with map-side combine,
+    one per-query window. Per-query candidate count is bounded by
+    Σ list lengths (each list is already a top-k), so the window
+    partition is small by construction — no whale risk, no two-stage
+    prune needed.
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.round(F.lit(1.0e12) / (F.lit(k) + F.col(rank_col)))
+            .cast("bigint")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy(query_col, id_col)
+        .agg(F.sum("_c").alias("_s"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(query_col),
+            F.col(id_col),
+            (F.col("_s").cast("double") / F.lit(1.0e12)).alias("rrf_score"),
+            F.col("rank"),
+        )
+    )

@@ -536,3 +536,26 @@ def test_knn_join_recall_at_sf001():
     assert r2 < r4 < r8, (r2, r4, r8)
     assert r4 >= 0.3, r4
     assert r8 >= 0.9, r8
+
+
+def test_rrf_fuse_consensus_beats_single_list(spark):
+    """A doc ranked mid-list by BOTH retrievers outscores a doc that
+    tops one list but misses the other (1/61+1/62 > 1/60); exact
+    scaled-integer scores; per-query top_k enforced."""
+    from embeddinghub_spark.functions.vector import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [(1, 40, 1), (1, 20, 2), (1, 30, 3)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    out = rrf_fuse([a, b], k=60, top_k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # 20 in both lists at rank 2 -> 1/62+1/62; beats solo rank-1 (1/61)
+    assert ranked[0] == 20
+    assert len(out) == 3
+    s = {r["neighbor_id"]: r["rrf_score"] for r in out}
+    assert abs(s[20] - (round(1e12 / 62) * 2) / 1e12) < 1e-15
