@@ -3984,6 +3984,44 @@ FROM r WHERE rn <= {_CAP_K}
 """
 
 
+def q_f9_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/windows.py stream_interval_join): click→purchase
+    attribution within 30 minutes per user; the streaming path with
+    watermark-bounded state is pinned ≡ this in tests."""
+    from embeddinghub_spark.streaming.windows import stream_interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    return stream_interval_join(
+        clicks, buys, "user_id", "l_ts", "r_ts", "0 seconds", "30 minutes"
+    ).select("user_id", "click_id", "purchase_id", "l_ts", "r_ts", "value")
+
+
+_F9_STREAM_JOIN_ORACLE = """
+WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS l_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS r_ts,
+                  event_id AS purchase_id, value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id, c.click_id AS click_id,
+       p.purchase_id AS purchase_id, c.l_ts AS l_ts, p.r_ts AS r_ts,
+       p.value AS value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.r_ts >= c.l_ts AND p.r_ts <= c.l_ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (functions/vector.py rrf_fuse): hybrid
     retrieval merging the cosine and L2 brute-force top-5 lists into
@@ -4261,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
         "rrf_fusion": q_rrf_fusion,
+        "f9_stream_join": q_f9_stream_join,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4425,6 +4464,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "pagerank": _pagerank_oracle(),
         "rrf_fusion": _RRF_FUSION_ORACLE,
+        "f9_stream_join": _F9_STREAM_JOIN_ORACLE,
         "domain_tag": _domain_tag_oracle(),
         "histogram_quantiles": _histogram_quantiles_oracle(),
         "perplexity_buckets": _perplexity_buckets_oracle(),

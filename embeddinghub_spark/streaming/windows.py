@@ -318,3 +318,53 @@ def decayed_count_batch(
         )
         .select(entity_col, "decayed_count", "ref_ts")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the attribution shape
+    ("purchase within N minutes of a click, same user"): rows pair
+    iff their keys match and ``right_ts`` falls in
+    ``[left_ts + lower, left_ts + upper]``.
+
+    On streaming inputs both sides get a watermark, which is what
+    BOUNDS THE JOIN STATE: Spark retains left rows only while a
+    matching right row could still arrive (watermark + upper) and
+    vice versa, so state is O(rows in the join horizon), independent
+    of stream length — the standard stream-stream inner-join
+    discipline (both sides watermarked + a time-range condition; an
+    unbounded-state join without these is refused by Spark). On
+    BATCH inputs the same function degrades to the plain theta join,
+    which is the stream≡batch replay pin (tests) and the oracle twin.
+
+    The timestamp columns must be distinctly named (rename before
+    calling); non-key/non-ts columns pass through with their side's
+    names. At 100 TB batch scale prefer ``operators.batch
+    interval_join`` (bucketed, never explodes the point side) — this
+    op's batch mode exists for replay parity, its value is the
+    bounded-state STREAMING path.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct names")
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[on] == r[on])
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond).drop(r[on])

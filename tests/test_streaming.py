@@ -604,3 +604,60 @@ def test_decayed_count_batch_matches_streaming_state(spark, tmp_path):
         # batch rounds terms to 9 decimals (oracle protocol); streaming
         # folds raw doubles — equal within that rounding budget
         assert abs(final[e][0] - batch[e][0]) < 1e-6, (e, final[e], batch[e])
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (both sides file streams, both
+    watermarked): the appended result must equal the batch theta join
+    — the attribution pairs are identical however the micro-batches
+    slice the inputs."""
+    from datetime import datetime
+
+    from embeddinghub_spark.streaming.windows import stream_interval_join
+
+    base = datetime(2024, 3, 1, 12, 0)
+
+    def at(minute):
+        return datetime(2024, 3, 1, 12 + minute // 60, minute % 60)
+
+    clicks = [(i % 4, at(i), 1000 + i) for i in range(40)]
+    buys = [(i % 4, at(i + (i % 7)), 2000 + i) for i in range(40)]
+    cdf = spark.createDataFrame(clicks, ["user_id", "l_ts", "click_id"])
+    bdf = spark.createDataFrame(buys, ["user_id", "r_ts", "purchase_id"])
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    cdf.repartition(4).write.parquet(cdir)
+    bdf.repartition(4).write.parquet(bdir)
+
+    cstream = (
+        spark.readStream.schema(cdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    bstream = (
+        spark.readStream.schema(bdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bdir)
+    )
+    joined = stream_interval_join(
+        cstream, bstream, "user_id", "l_ts", "r_ts",
+        "0 seconds", "5 minutes", watermark="1 day",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("sij_test").collect()
+    }
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_interval_join(
+            cdf, bdf, "user_id", "l_ts", "r_ts", "0 seconds", "5 minutes"
+        ).collect()
+    }
+    assert got == expected and len(expected) > 20
