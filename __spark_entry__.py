@@ -1259,6 +1259,63 @@ WHERE len(t.toks) >= 8
 """
 
 
+def q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal half of the substring-dedup recipe
+    (functions/dedup.py remove_duplicate_spans): keep the corpus-wide
+    first occurrence of every duplicated 8-gram region, delete later
+    copies, rebuild each document."""
+    from embeddinghub_spark.functions.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), gram_n=8)
+
+
+# winner key: start < 2^32 always, so doc_id*2^32+start orders like
+# struct(doc_id, start) — the dedup_passages encoding
+_TRIM_SPANS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+g AS (
+  SELECT doc_id, CAST(s AS INT) AS start,
+         md5(array_to_string(toks[s:s+7], ' ')) AS fp
+  FROM nz, UNNEST(range(1, len(toks) - 8 + 2)) AS u(s)
+  WHERE len(toks) >= 8
+),
+own AS (
+  SELECT fp, min(doc_id * 4294967296 + start) AS wk
+  FROM g GROUP BY fp HAVING count(*) >= 2
+),
+dp AS (
+  SELECT DISTINCT g.doc_id AS doc_id, CAST(p AS INT) AS pos
+  FROM g JOIN own ON g.fp = own.fp,
+       UNNEST(range(g.start, g.start + 8)) AS v(p)
+  WHERE g.doc_id * 4294967296 + g.start <> own.wk
+),
+ptab AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS tok
+  FROM nz, UNNEST(range(1, len(toks) + 1)) AS w(i)
+),
+kept AS (
+  SELECT p.doc_id AS doc_id, p.pos AS pos, p.tok AS tok
+  FROM ptab p ANTI JOIN dp ON p.doc_id = dp.doc_id AND p.pos = dp.pos
+),
+rb AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_sort(list({'i': pos, 'k': tok})), s -> s.k), ' ') AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT nz.doc_id AS doc_id,
+       coalesce(rb.clean_text, '') AS clean_text,
+       CAST(len(nz.toks) AS BIGINT) AS total_tokens,
+       CAST(coalesce(rb.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM nz LEFT JOIN rb ON nz.doc_id = rb.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # C12: composite-entity training set (order + part entities)
 # --------------------------------------------------------------------------
@@ -4300,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "rrf_fusion": q_rrf_fusion,
         "f9_stream_join": q_f9_stream_join,
+        "trim_spans": q_trim_spans,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4385,6 +4443,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": _dedup_corpus_oracle(),
         "dedup_passages": _DEDUP_PASSAGES_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
+        "trim_spans": _TRIM_SPANS_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

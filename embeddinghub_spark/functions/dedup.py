@@ -1336,3 +1336,122 @@ def duplicate_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+) -> DataFrame:
+    """The removal half of the Lee et al. substring-dedup recipe
+    (arXiv:2107.06499 keeps ONE occurrence of each duplicated span
+    and deletes the rest): a token is DROPPED iff it is covered by at
+    least one duplicated ``gram_n``-gram occurrence that is not the
+    corpus-wide first occurrence of its fingerprint (first = lowest
+    (doc_id, start)); surviving tokens are rejoined in order. The
+    first copy of a duplicated region therefore survives verbatim;
+    later copies lose exactly the covered region. Composes with
+    ``duplicate_spans`` (detection/scoring) the way
+    ``dedup_corpus`` composes with ``dedup_clusters``.
+
+    Output: (doc_id, clean_text, total_tokens, kept_tokens) for every
+    document with >= 1 token; docs shorter than ``gram_n`` tokens
+    have no grams, hence nothing to drop.
+
+    Scale shape — the same bounded skeleton as ``duplicate_spans``
+    (text drops to md5s before any exchange; HAVING count>=2 prunes
+    before the join back) plus:
+
+    5. coverage explode: only NON-OWNER duplicated gram occurrences
+       (rare, boilerplate-bounded) explode into their <= gram_n
+       covered positions — one (doc, position) row each, deduped by
+       the drop-set aggregate.
+    6. rebuild: tokens posexploded once, left-anti joined against the
+       drop set on (doc, position), re-assembled with the
+       array_sort(collect(struct)) pattern of ``dedup_passages``.
+    """
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    toks = tokens(text_col)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    grams = (
+        base.filter(F.size("_t") >= gram_n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - gram_n + 1)
+            ).alias("start"),
+            F.col("_t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.md5(F.array_join(F.slice("_t", F.col("start"), gram_n), " ")).alias(
+                "fp"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # duplicated fingerprints with their first-occurrence owner
+    owners = (
+        grams.groupBy("fp")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
+            ).alias("w"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("fp", "w")
+    )
+    dropped_pos = (
+        grams.join(owners, "fp")
+        .filter(
+            (F.col(id_col) != F.col("w.d")) | (F.col("start") != F.col("w.s"))
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + gram_n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = base.select(
+        F.col(id_col), F.posexplode("_t").alias("pos0", "tok")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = positions.join(dropped_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("kept_tokens"),
+    )
+    # a doc whose every token was a later copy comes back EMPTY, not
+    # missing (dedup_passages convention)
+    return (
+        base.select(
+            F.col(id_col), F.size("_t").cast("bigint").alias("total_tokens")
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "total_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias(
+                "kept_tokens"
+            ),
+        )
+    )

@@ -557,3 +557,31 @@ def test_nb_classifier_discriminates_and_respects_holdout(spark):
     assert out[10]["is_holdout"] and not out[10]["predicted"]
     # unseen-token doc falls back to prior + floor weights (finite)
     assert out[15]["is_holdout"] and out[15]["log_odds"] is not None
+
+
+def test_remove_duplicate_spans_keeps_first_copy(spark):
+    """The first occurrence of a duplicated region survives verbatim;
+    later copies lose exactly the covered tokens; unique text is
+    untouched; a fully-copied doc comes back empty, not missing."""
+    from embeddinghub_spark.functions.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b p q r c d"),   # first copy of "p q r" (gram at 3)
+            (2, "x y p q r z"),     # later copy -> loses p q r
+            (3, "p q r"),           # later copy, nothing else -> empty
+            (4, "unique words only here"),
+            (5, ""),                # empty -> no row (zero tokens)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, gram_n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["clean_text"] == "a b p q r c d"
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["kept_tokens"] == 3 and out[2]["total_tokens"] == 6
+    assert out[3]["clean_text"] == "" and out[3]["kept_tokens"] == 0
+    assert out[4]["clean_text"] == "unique words only here"
