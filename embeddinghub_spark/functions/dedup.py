@@ -1213,6 +1213,35 @@ def semantic_dedup(
 
 # -- maximal duplicated-span detection ----------------------------------------
 
+def _gram_fingerprints(
+    base: DataFrame, id_col: str, gram_n: int
+) -> DataFrame:
+    """Sliding-gram md5 fingerprints over a tokenized frame
+    ``(id, _t array<string>)`` → ``(id, start, fp)``; map-only, the
+    token array is projected away in the same stage so text never
+    outlives the 16-byte hash. Shared by ``duplicate_spans`` /
+    ``remove_duplicate_spans`` (one definition of gram = one place a
+    delimiter/hash change can land)."""
+    return (
+        base.filter(F.size("_t") >= gram_n)
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - gram_n + 1)
+            ).alias("start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.md5(F.array_join(F.slice("_t", F.col("start"), gram_n), " ")).alias(
+                "fp"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1270,23 +1299,7 @@ def duplicate_spans(
         .filter(F.size("_t") >= gram_n)
         .localCheckpoint(eager=False)
     )
-    grams = (
-        base.select(
-            F.col(id_col),
-            F.col("_t"),
-            F.explode(
-                F.sequence(F.lit(1), F.size("_t") - gram_n + 1)
-            ).alias("start"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("start"),
-            F.md5(F.array_join(F.slice("_t", F.col("start"), gram_n), " ")).alias(
-                "fp"
-            ),
-        )
-        .localCheckpoint(eager=False)
-    )
+    grams = _gram_fingerprints(base, id_col, gram_n)
     dup_fps = grams.groupBy("fp").count().filter(F.col("count") >= 2).select("fp")
     dup = grams.join(dup_fps, "fp").select(
         F.col(id_col),
@@ -1349,9 +1362,14 @@ def remove_duplicate_spans(
     and deletes the rest): a token is DROPPED iff it is covered by at
     least one duplicated ``gram_n``-gram occurrence that is not the
     corpus-wide first occurrence of its fingerprint (first = lowest
-    (doc_id, start)); surviving tokens are rejoined in order. The
-    first copy of a duplicated region therefore survives verbatim;
-    later copies lose exactly the covered region. Composes with
+    (doc_id, start)); surviving tokens are rejoined in order. For
+    disjoint duplicated regions the first copy survives verbatim and
+    later copies lose exactly the covered region. Where duplicated
+    regions OVERLAP — including a region repeating inside one
+    document ('a a a a' at gram_n=2) — ownership is per-GRAM, so an
+    owner occurrence can still lose tokens covered by a neighboring
+    non-owner gram; that is the deterministic resolution of an
+    inherently ambiguous trim, pinned by the oracle. Composes with
     ``duplicate_spans`` (detection/scoring) the way
     ``dedup_corpus`` composes with ``dedup_clusters``.
 
@@ -1380,24 +1398,7 @@ def remove_duplicate_spans(
         .filter(F.size("_t") >= 1)
         .localCheckpoint(eager=False)
     )
-    grams = (
-        base.filter(F.size("_t") >= gram_n)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.size("_t") - gram_n + 1)
-            ).alias("start"),
-            F.col("_t"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("start"),
-            F.md5(F.array_join(F.slice("_t", F.col("start"), gram_n), " ")).alias(
-                "fp"
-            ),
-        )
-        .localCheckpoint(eager=False)
-    )
+    grams = _gram_fingerprints(base, id_col, gram_n)
     # duplicated fingerprints with their first-occurrence owner
     owners = (
         grams.groupBy("fp")

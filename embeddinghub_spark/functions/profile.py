@@ -363,6 +363,12 @@ def cms_topk(
     orderBy+limit as TakeOrderedAndProject). The k-row probe side is
     broadcast against the sketch.
     """
+    if depth < 1 or width < 1 or k < 1:
+        # width=0 would surface as a modulo-by-zero null deep in the
+        # exchange; depth=0 silently returns an empty frame
+        raise ValueError(
+            f"cms_topk needs depth/width/k >= 1 (got {depth}/{width}/{k})"
+        )
     from embeddinghub_spark.functions.dedup import _md5_long
     from embeddinghub_spark.functions.text import tokens
 

@@ -1032,22 +1032,28 @@ def nb_classifier(
         F.sum(is_pos.cast("bigint")).alias("d_pos"),
         F.sum((~is_pos).cast("bigint")).alias("d_neg"),
     )
-    ttok = train.select(
-        is_pos.alias("_p"), F.explode(tokens(text_col)).alias("w")
+    # ONE tokenize pass: the (doc, word, tf) frame feeds both the
+    # class counts (joined to the text-free label frame) and the
+    # scoring join (standing self-join decision: no cross-side CSE)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    cnts = ttok.groupBy("w").agg(
-        F.sum(F.col("_p").cast("bigint")).alias("n_pos"),
-        F.sum((~F.col("_p")).cast("bigint")).alias("n_neg"),
+    train_labels = train.select(F.col(id_col), is_pos.alias("_p"))
+    cnts = (
+        tf.join(train_labels, id_col)
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("_p"), F.col("tf")).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(~F.col("_p"), F.col("tf")).otherwise(0)).alias("n_neg"),
+        )
     )
     tok_stats = cnts.agg(
         F.sum("n_pos").alias("np"),
         F.sum("n_neg").alias("nn"),
         F.count(F.lit(1)).alias("v"),
-    )
-    tf = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     w_pos = (F.coalesce(F.col("n_pos"), F.lit(0)) + 1).cast("double") / (
         F.col("np") + F.col("v")

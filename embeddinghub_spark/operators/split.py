@@ -182,18 +182,29 @@ def cap_per_group(
         raise ValueError("k must be >= 0")
     h = _row_hash(key_cols, seed)
     order = [F.col("_h").asc()] + [F.col(c).asc() for c in key_cols]
-    hashed = df.withColumn("_h", h).withColumn(
-        "_pid", F.spark_partition_id()
+    return _two_stage_topk(df.withColumn("_h", h), group_col, k, order).drop(
+        "_h"
     )
+
+
+def _two_stage_topk(df: DataFrame, group_col: str, k: int, order: list) -> DataFrame:
+    """Whale-immune per-group top-k (the `_topk_per_query` recipe): a
+    partition-LOCAL row_number caps each task's contribution at k per
+    group BEFORE the exchange — a whale group ships at most tasks·k
+    rows instead of its population — then the global per-group window
+    ranks <= tasks·k survivors. One hash exchange on the group key.
+    Shared by ``cap_per_group`` and ``weighted_sample`` (one place a
+    prune fix lands)."""
+    staged = df.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid", group_col).orderBy(*order)
-    pruned = hashed.withColumn("_lr", F.row_number().over(w_local)).filter(
+    pruned = staged.withColumn("_lr", F.row_number().over(w_local)).filter(
         F.col("_lr") <= k
     )
     w_global = Window.partitionBy(group_col).orderBy(*order)
     return (
         pruned.withColumn("_gr", F.row_number().over(w_global))
         .filter(F.col("_gr") <= k)
-        .drop("_h", "_pid", "_lr", "_gr")
+        .drop("_pid", "_lr", "_gr")
     )
 
 
@@ -237,18 +248,7 @@ def weighted_sample(
     ) / F.lit(float((1 << 28) + 1))
     ek = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
     order = [F.col("_ek").asc()] + [F.col(c).asc() for c in key_cols]
-    keyed = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("_ek", ek)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w_local = Window.partitionBy("_pid", group_col).orderBy(*order)
-    pruned = keyed.withColumn("_lr", F.row_number().over(w_local)).filter(
-        F.col("_lr") <= k
-    )
-    w_global = Window.partitionBy(group_col).orderBy(*order)
-    return (
-        pruned.withColumn("_gr", F.row_number().over(w_global))
-        .filter(F.col("_gr") <= k)
-        .drop("_ek", "_pid", "_lr", "_gr")
-    )
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_ek", ek)
+    return _two_stage_topk(keyed, group_col, k, order).drop("_ek")

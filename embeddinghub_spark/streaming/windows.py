@@ -320,6 +320,28 @@ def decayed_count_batch(
     )
 
 
+_INTERVAL_UNIT_S = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> float:
+    """Parse 'N unit' interval strings eagerly so a typo ('5 minuts')
+    or a swapped bound fails at call time with a clear message, not
+    at analysis time deep in the plan."""
+    parts = spec.strip().split()
+    if len(parts) == 2 and parts[1].lower() in _INTERVAL_UNIT_S:
+        try:
+            return float(parts[0]) * _INTERVAL_UNIT_S[parts[1].lower()]
+        except ValueError:
+            pass
+    raise ValueError(
+        f"unsupported interval {spec!r}: expected 'N "
+        f"{'/'.join(sorted(set(_INTERVAL_UNIT_S)))}'"
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -340,8 +362,10 @@ def stream_interval_join(
     matching right row could still arrive (watermark + upper) and
     vice versa, so state is O(rows in the join horizon), independent
     of stream length — the standard stream-stream inner-join
-    discipline (both sides watermarked + a time-range condition; an
-    unbounded-state join without these is refused by Spark). On
+    discipline. NB: Spark only REJECTS missing watermarks for
+    outer/semi stream-stream joins; an inner join without them runs
+    with silently unbounded state, which is why this wrapper always
+    applies the watermark itself rather than trusting the caller. On
     BATCH inputs the same function degrades to the plain theta join,
     which is the stream≡batch replay pin (tests) and the oracle twin.
 
@@ -354,6 +378,12 @@ def stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct names")
+    lo_s, up_s = _interval_seconds(lower), _interval_seconds(upper)
+    if lo_s > up_s:
+        raise ValueError(
+            f"empty interval: lower ({lower}) > upper ({upper}) — the join "
+            "would silently match nothing"
+        )
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     cond = (

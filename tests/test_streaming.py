@@ -615,8 +615,6 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
 
     from embeddinghub_spark.streaming.windows import stream_interval_join
 
-    base = datetime(2024, 3, 1, 12, 0)
-
     def at(minute):
         return datetime(2024, 3, 1, 12 + minute // 60, minute % 60)
 
