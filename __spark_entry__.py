@@ -4132,6 +4132,55 @@ SELECT query_id, neighbor_id, rrf_score, rank FROM (
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (functions/layout.py with_zorder_key)
+    on (l_partkey, l_suppkey): exact min-max scale + Morton bit
+    interleave — the multi-dimensional data-skipping layout key,
+    oracle-checked bit for bit."""
+    from embeddinghub_spark.functions.layout import with_zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=16).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "z_key"
+    )
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """Replays scale+interleave: the division is float in both
+    engines (identical bits), the interleave is pure integer
+    shift/mask."""
+    mx = (1 << bits) - 1
+    cols = ["l_partkey", "l_suppkey"]
+    scaled = {
+        c: (
+            f"CAST(floor(CAST(({c} - mn_{c}) * {mx} AS BIGINT)"
+            f" / CAST(mx_{c} - mn_{c} AS BIGINT)) AS BIGINT)"
+        )
+        for c in cols
+    }
+    terms = " + ".join(
+        f"(((s_{c} >> {b}) & 1) << {b * len(cols) + i})"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    )
+    return f"""
+WITH st AS (
+  SELECT min(l_partkey) AS mn_l_partkey, max(l_partkey) AS mx_l_partkey,
+         min(l_suppkey) AS mn_l_suppkey, max(l_suppkey) AS mx_l_suppkey
+  FROM lineitem
+),
+sc AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         {scaled['l_partkey']} AS s_l_partkey,
+         {scaled['l_suppkey']} AS s_l_suppkey
+  FROM lineitem CROSS JOIN st
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({terms} AS BIGINT) AS z_key
+FROM sc
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality (functions/graph.py pagerank) over the
     undirected customer↔supplier purchase graph (lineitem ⋈ orders,
@@ -4358,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "f9_stream_join": q_f9_stream_join,
         "trim_spans": q_trim_spans,
+        "zorder_key": q_zorder_key,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4444,6 +4494,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": _DEDUP_PASSAGES_ORACLE,
         "dup_spans": _DUP_SPANS_ORACLE,
         "trim_spans": _TRIM_SPANS_ORACLE,
+        "zorder_key": _zorder_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

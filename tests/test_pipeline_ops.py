@@ -530,3 +530,36 @@ def test_pagerank_mass_and_symmetry(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-4
     assert out[2] == out[3] == out[4]
     assert out[1] > out[2]
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark):
+    """After cluster_by_zorder on (a, b), a narrow range predicate on
+    EITHER column overlaps only a fraction of the partitions' min/max
+    envelopes — the file-skipping property that motivates the layout.
+    A plain sort by `a` would cluster `a` perfectly and leave `b`
+    spread across ~all partitions."""
+    from embeddinghub_spark.functions.layout import cluster_by_zorder
+
+    n = 4096
+    rows = [(i, (i * 2654435761) % n, (i * 40503) % n) for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    parts = (
+        cluster_by_zorder(df, ["a", "b"], bits=12, partitions=16)
+        .rdd.mapPartitions(
+            lambda it: (lambda xs: [(
+                min(x["a"] for x in xs), max(x["a"] for x in xs),
+                min(x["b"] for x in xs), max(x["b"] for x in xs),
+            )] if xs else [])(list(it))
+        )
+        .collect()
+    )
+    assert len(parts) >= 8
+
+    def overlapping(lo, hi, dim):
+        i = 0 if dim == "a" else 2
+        return sum(1 for p in parts if not (p[i + 1] < lo or p[i] > hi))
+
+    width = n // 16  # a 1/16-wide range on each dimension
+    for dim in ("a", "b"):
+        hits = overlapping(1000, 1000 + width, dim)
+        assert hits <= len(parts) // 2, (dim, hits, len(parts))
