@@ -4132,6 +4132,48 @@ SELECT query_id, neighbor_id, rrf_score, rank FROM (
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily grid over purchase events with last-observation
+    -carried-forward (operators/batch.py gap_fill) — irregular event
+    streams densified to one row per (entity, day) for models that
+    expect a regular cadence."""
+    from embeddinghub_spark.operators.batch import gap_fill
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return gap_fill(ev, "user_id", "ts", "value", step_seconds=86400)
+
+
+_GAP_FILL_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS BIGINT) AS es
+  FROM events WHERE event_type = 'purchase'
+),
+obs AS (
+  SELECT user_id, es - es % 86400 AS slot,
+         max(struct_pack(t := ts, v := value)) AS m
+  FROM e GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(slot) AS a, max(slot) AS b FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(s AS BIGINT) AS slot
+  FROM spans, UNNEST(range(a, b + 86400, 86400)) AS u(s)
+),
+j AS (
+  SELECT g.user_id AS user_id, g.slot AS slot, obs.m.v AS v
+  FROM grid g LEFT JOIN obs ON g.user_id = obs.user_id AND g.slot = obs.slot
+)
+SELECT user_id,
+       TIMESTAMP '1970-01-01 00:00:00' + to_seconds(slot) AS slot_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (v IS NOT NULL) AS observed
+FROM j
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (functions/layout.py with_zorder_key)
     on (l_partkey, l_suppkey): exact min-max scale + Morton bit
@@ -4408,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_stream_join": q_f9_stream_join,
         "trim_spans": q_trim_spans,
         "zorder_key": q_zorder_key,
+        "gap_fill": q_gap_fill,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4495,6 +4538,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_ORACLE,
         "trim_spans": _TRIM_SPANS_ORACLE,
         "zorder_key": _zorder_oracle(),
+        "gap_fill": _GAP_FILL_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

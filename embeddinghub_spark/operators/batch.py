@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -234,4 +234,83 @@ def robust_scale(
         rows.crossJoin(F.broadcast(mad))
         .withColumn(out_col, F.round(z, 6))
         .drop("_med", "_mad")
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 86400,
+) -> DataFrame:
+    """Per-entity regular time grid with last-observation-carried-
+    forward — the densification step before feeding irregular event
+    streams to models that expect one row per (entity, period):
+    every entity gets a slot every ``step_seconds`` between its first
+    and last observation; slots with >= 1 event carry the LATEST
+    event's value (max-struct tiebreak, the C3 convention); empty
+    slots forward-fill the previous value and are flagged
+    ``observed = false``. Values are COPIED, never recomputed, so
+    there is no float-parity surface.
+
+    Timestamps stay TIMESTAMP_NTZ end to end: slot arithmetic is
+    ``timestampdiff(SECOND, epoch0, ts)`` (tz-free for NTZ — the
+    decayed_count idiom) with the slot floor as pure bigint
+    ``e - e % step``, re-materialized via ``timestampadd``.
+
+    Scale shape: slot collapse (one exchange on (entity, slot),
+    map-side combine) → per-entity span aggregate (|entities| rows)
+    → grid explode (map-only; rows = span/step per entity — pick
+    ``step_seconds`` so spans/step stays sane, the caller knows the
+    horizon) → left join observations (same key, AQE) → per-entity
+    ordered window for the forward fill (state = one entity's
+    slots). No corpus-wide sort.
+
+    Output: (entity, slot_ts, value, observed).
+    """
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    qts = "`" + ts_col.replace("`", "``") + "`"
+    epoch_s = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {qts})"
+    )
+    slot = (epoch_s - (epoch_s % F.lit(step_seconds))).cast("bigint")
+    obs = (
+        df.select(
+            F.col(entity_col),
+            slot.alias("_slot"),
+            F.struct(
+                F.col(ts_col).alias("t"), F.col(value_col).alias("v")
+            ).alias("_tv"),
+        )
+        .groupBy(entity_col, "_slot")
+        .agg(F.max("_tv").alias("_m"))
+        .select(
+            F.col(entity_col), F.col("_slot"), F.col("_m.v").alias("_obs_v")
+        )
+        .localCheckpoint(eager=False)  # feeds spans AND the grid join
+    )
+    spans = obs.groupBy(entity_col).agg(
+        F.min("_slot").alias("_a"), F.max("_slot").alias("_b")
+    )
+    grid = spans.select(
+        F.col(entity_col),
+        F.explode(
+            F.sequence(F.col("_a"), F.col("_b"), F.lit(step_seconds))
+        ).alias("_slot"),
+    )
+    joined = grid.join(obs, [entity_col, "_slot"], "left")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(entity_col),
+        F.expr(
+            "timestampadd(SECOND, _slot, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("slot_ts"),
+        F.last("_obs_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_obs_v").isNotNull().alias("observed"),
     )

@@ -563,3 +563,30 @@ def test_zorder_clustering_prunes_both_dimensions(spark):
     for dim in ("a", "b"):
         hits = overlapping(1000, 1000 + width, dim)
         assert hits <= len(parts) // 2, (dim, hits, len(parts))
+
+
+def test_gap_fill_locf_and_flags(spark):
+    """Missing slots materialize with the carried-forward value and
+    observed=false; multi-event slots keep the latest event's value;
+    the grid spans first..last observation only."""
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.batch import gap_fill
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 5), 10.0),
+        ("u1", datetime(2024, 1, 1, 9), 11.0),   # same day, later -> wins
+        ("u1", datetime(2024, 1, 4, 1), 40.0),   # days 2,3 missing
+        ("u2", datetime(2024, 1, 2, 0), 7.0),    # single point
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sorted(
+        gap_fill(df, "user_id", "ts", "value", 86400).collect(),
+        key=lambda r: (r["user_id"], r["slot_ts"]),
+    )
+    u1 = [r for r in out if r["user_id"] == "u1"]
+    assert [r["value"] for r in u1] == [11.0, 11.0, 11.0, 40.0]
+    assert [r["observed"] for r in u1] == [True, False, False, True]
+    assert u1[0]["slot_ts"] == datetime(2024, 1, 1)
+    u2 = [r for r in out if r["user_id"] == "u2"]
+    assert len(u2) == 1 and u2[0]["value"] == 7.0 and u2[0]["observed"]
