@@ -4132,6 +4132,45 @@ SELECT query_id, neighbor_id, rrf_score, rank FROM (
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel progression (operators/batch.py funnel_steps):
+    first click → first signup at-or-after it → first purchase
+    at-or-after that, per user, with the depth reached."""
+    from embeddinghub_spark.operators.batch import funnel_steps
+
+    return funnel_steps(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        ["click", "signup", "purchase"],
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS user_id, min(CAST(e.ts AS TIMESTAMP)) AS signup_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'signup' AND CAST(e.ts AS TIMESTAMP) >= s1.click_ts
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.signup_ts
+  GROUP BY e.user_id
+)
+SELECT s1.user_id AS user_id, s1.click_ts AS click_ts,
+       s2.signup_ts AS signup_ts, s3.purchase_ts AS purchase_ts,
+       CAST(1 + CASE WHEN s2.signup_ts IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.purchase_ts IS NULL THEN 0 ELSE 1 END
+            AS INT) AS stages_reached
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily grid over purchase events with last-observation
     -carried-forward (operators/batch.py gap_fill) — irregular event
@@ -4451,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_spans": q_trim_spans,
         "zorder_key": q_zorder_key,
         "gap_fill": q_gap_fill,
+        "funnel_steps": q_funnel_steps,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4539,6 +4579,7 @@ def oracle_sql() -> dict[str, str]:
         "trim_spans": _TRIM_SPANS_ORACLE,
         "zorder_key": _zorder_oracle(),
         "gap_fill": _GAP_FILL_ORACLE,
+        "funnel_steps": _FUNNEL_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -314,3 +314,55 @@ def gap_fill(
         F.last("_obs_v", ignorenulls=True).over(w).alias("value"),
         F.col("_obs_v").isNotNull().alias("observed"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel progression per entity: stage i counts only if
+    it happens AT OR AFTER the entity's completion of stage i-1
+    (first qualifying event each) — the classic
+    click→signup→purchase conversion shape, here as a feature
+    source: per-entity stage timestamps + depth reached.
+
+    Computed relationally, one pass per stage: stage 1 is a plain
+    min-aggregate; stage i+1 joins the stage-i frame (|entities|
+    rows — AQE broadcasts it against the event scan while it fits)
+    and min-aggregates events with ``ts >= stage_i_ts``. len(stages)
+    is small and fixed, so the plan is len(stages) bounded
+    aggregates, each exchanging one row per entity — never a
+    per-entity event sort.
+
+    Output: (entity, <stage>_ts ... one per stage, stages_reached).
+    Entities that never reach stage 1 are absent (they have no
+    funnel row); later unreached stages are NULL.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    cur = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(entity_col)
+        .agg(F.min(ts_col).alias(f"{stages[0]}_ts"))
+    )
+    for prev, stage in zip(stages, stages[1:]):
+        nxt = (
+            df.filter(F.col(type_col) == stage)
+            .join(F.broadcast(cur.select(entity_col, f"{prev}_ts")), entity_col)
+            .filter(F.col(ts_col) >= F.col(f"{prev}_ts"))
+            .groupBy(entity_col)
+            .agg(F.min(ts_col).alias(f"{stage}_ts"))
+        )
+        cur = cur.join(nxt, entity_col, "left")
+    reached = None
+    for s in stages:
+        flag = F.col(f"{s}_ts").isNotNull().cast("int")
+        reached = flag if reached is None else reached + flag
+    return cur.select(
+        F.col(entity_col),
+        *[F.col(f"{s}_ts") for s in stages],
+        reached.alias("stages_reached"),
+    )

@@ -590,3 +590,34 @@ def test_gap_fill_locf_and_flags(spark):
     assert u1[0]["slot_ts"] == datetime(2024, 1, 1)
     u2 = [r for r in out if r["user_id"] == "u2"]
     assert len(u2) == 1 and u2[0]["value"] == 7.0 and u2[0]["observed"]
+
+
+def test_funnel_steps_ordering_matters(spark):
+    """A signup BEFORE the first click does not count; stage i+1 must
+    be at-or-after stage i's first qualifying event."""
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.batch import funnel_steps
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        ("u1", t(1), "click"), ("u1", t(2), "signup"), ("u1", t(3), "purchase"),
+        # u2: signup precedes the click -> funnel stops at click
+        ("u2", t(2), "click"), ("u2", t(1), "signup"),
+        # u3: purchase before signup -> stops at signup
+        ("u3", t(1), "click"), ("u3", t(3), "signup"), ("u3", t(2), "purchase"),
+        # u4: never clicks -> absent
+        ("u4", t(1), "signup"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["click", "signup", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {"u1", "u2", "u3"}
+    assert out["u1"]["stages_reached"] == 3
+    assert out["u2"]["stages_reached"] == 1 and out["u2"]["signup_ts"] is None
+    assert out["u3"]["stages_reached"] == 2 and out["u3"]["purchase_ts"] is None
