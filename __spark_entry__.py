@@ -4132,6 +4132,34 @@ SELECT query_id, neighbor_id, rrf_score, rank FROM (
 """
 
 
+def q_hash_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text vectorizer in sparse form
+    (functions/text.py hash_vectorizer): signed md5-bucket term
+    counts, no vocabulary, exact integers end to end."""
+    from embeddinghub_spark.functions.text import hash_vectorizer
+
+    return hash_vectorizer(_t(spark, sf_dir, "documents"), dim=64)
+
+
+_HASH_VECTORIZER_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(w), 16, 1)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+)
+SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, bucket
+HAVING sum(s) != 0
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel progression (operators/batch.py funnel_steps):
     first click → first signup at-or-after it → first purchase
@@ -4491,6 +4519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "gap_fill": q_gap_fill,
         "funnel_steps": q_funnel_steps,
+        "hash_vectorizer": q_hash_vectorizer,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4580,6 +4609,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _zorder_oracle(),
         "gap_fill": _GAP_FILL_ORACLE,
         "funnel_steps": _FUNNEL_ORACLE,
+        "hash_vectorizer": _HASH_VECTORIZER_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -1098,3 +1098,53 @@ def nb_classifier(
         )
         .withColumn("predicted", F.col("log_odds") > 0)
     )
+
+
+def hash_vectorizer(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text vectorizer in sparse
+    form — the fastText/Vowpal-Wabbit input featurizer: token t maps
+    to bucket ``h(t) mod dim`` with sign ``±1`` from an independent
+    hash bit, weights are SIGNED TERM COUNTS (Weinberger et al. 2009:
+    the sign hash makes the estimator unbiased). No vocabulary, no
+    fitting, no driver state — the feature space is fixed at plan
+    time, which is what makes the op embarrassingly parallel at any
+    corpus size and immune to vocabulary drift between batches.
+
+    Output is the natural distributed representation: one row per
+    NONZERO (doc, bucket) — ``(id, bucket, weight)``, weight a
+    bigint (exact integer arithmetic end to end; densify downstream
+    only where a fixed-width vector is genuinely needed). Buckets
+    whose signed counts cancel to 0 are dropped (they are what a
+    sparse dot product would skip anyway).
+
+    Hashing is the repo md5 protocol: bucket from the first 15 hex
+    chars, sign from a DISJOINT hex range (chars 16-16), so bucket
+    and sign are independent bits of one md5 — one hash per token.
+
+    Scale shape: tokenize → explode → ONE exchange on (id, bucket)
+    with map-side combine; the exchange carries at most
+    min(|tokens|, dim) rows per document.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    tok = F.explode(tokens(text_col)).alias("_w")
+    h = F.md5(F.col("_w"))
+    bucket = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % dim
+    ).alias("bucket")
+    sign = F.when(
+        F.conv(F.substring(h, 16, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        df.select(F.col(id_col), tok)
+        .select(F.col(id_col), bucket, sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -585,3 +585,32 @@ def test_remove_duplicate_spans_keeps_first_copy(spark):
     assert out[2]["kept_tokens"] == 3 and out[2]["total_tokens"] == 6
     assert out[3]["clean_text"] == "" and out[3]["kept_tokens"] == 0
     assert out[4]["clean_text"] == "unique words only here"
+
+
+def test_hash_vectorizer_replica_and_cancellation(spark):
+    """Sparse hashed features equal a pure-Python md5 replica; signed
+    counts that cancel produce NO row (sparse zero)."""
+    import hashlib
+    from collections import Counter
+
+    from embeddinghub_spark.functions.text import hash_vectorizer
+
+    dim = 8
+    docs = [(1, "aa bb aa cc"), (2, "aa"), (3, "")]
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hash_vectorizer(
+            spark.createDataFrame(docs, ["doc_id", "text"]), dim=dim
+        ).collect()
+    }
+
+    expected: Counter = Counter()
+    for did, text in docs:
+        for w in text.split():
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:15], 16) % dim
+            s = 1 if int(h[15], 16) % 2 == 0 else -1
+            expected[(did, b)] += s
+    expected = {k: v for k, v in expected.items() if v != 0}
+    assert got == expected
+    assert all(did != 3 for did, _ in got)  # empty doc -> no rows
