@@ -4160,6 +4160,58 @@ HAVING sum(s) != 0
 """
 
 
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sparse cosine similarity join
+    (functions/vector.py sparse_cosine_pairs) over shingle-hashed
+    features — exact integer dot products, pairs only from shared
+    buckets."""
+    from embeddinghub_spark.functions.text import hash_vectorizer
+    from embeddinghub_spark.functions.vector import sparse_cosine_pairs
+
+    feats = hash_vectorizer(
+        _t(spark, sf_dir, "documents"), dim=4096, shingle_n=3
+    )
+    return sparse_cosine_pairs(feats, min_cosine=0.5)
+
+
+_SPARSE_COSINE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(toks) > 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [array_to_string(toks, ' ')] END) AS w
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS b,
+         sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END) AS wt
+  FROM sh GROUP BY 1, 2 HAVING sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1))
+      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) != 0
+),
+n AS (SELECT doc_id, sum(wt * wt) AS n2 FROM f GROUP BY doc_id),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
+  FROM f a JOIN f b ON a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT d.id_a AS id_a, d.id_b AS id_b, CAST(d.dot AS BIGINT) AS dot,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+               6) AS cosine
+  FROM d JOIN n na ON d.id_a = na.doc_id JOIN n nb ON d.id_b = nb.doc_id
+)
+SELECT id_a, id_b, dot, cosine FROM c WHERE cosine >= 0.5
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel progression (operators/batch.py funnel_steps):
     first click → first signup at-or-after it → first purchase
@@ -4520,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "funnel_steps": q_funnel_steps,
         "hash_vectorizer": q_hash_vectorizer,
+        "sparse_cosine": q_sparse_cosine,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4610,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": _GAP_FILL_ORACLE,
         "funnel_steps": _FUNNEL_ORACLE,
         "hash_vectorizer": _HASH_VECTORIZER_ORACLE,
+        "sparse_cosine": _SPARSE_COSINE_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

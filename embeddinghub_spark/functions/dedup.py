@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from embeddinghub_spark.functions.text import fingerprint, tokens
+# word_shingles lives in functions.text (the tokenizer's home) and is
+# re-exported here for existing importers
+from embeddinghub_spark.functions.text import (  # noqa: F401
+    fingerprint,
+    tokens,
+    word_shingles,
+)
 from embeddinghub_spark.functions.vector import cosine_similarity, with_lsh_bucket
 
 
@@ -65,17 +71,8 @@ def dedup_exact(
 
 # -- shingles + MinHash -------------------------------------------------------
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Sliding word n-grams joined by space; docs shorter than n words
-    yield their full token string as the single shingle."""
-    toks = tokens(col)
-    k = F.size(toks)
-    joined = F.array_join(toks, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(k > n, grams).otherwise(F.array(joined))
+# (word_shingles formerly defined here — now in functions.text,
+# re-exported via the top-level import)
 
 
 def _salt_hash(i: int):

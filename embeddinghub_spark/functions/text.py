@@ -36,6 +36,19 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Sliding word n-grams joined by space; docs shorter than n words
+    yield their full token string as the single shingle."""
+    toks = tokens(col)
+    k = F.size(toks)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k > n, grams).otherwise(F.array(joined))
+
+
 def _word_set_pattern(words: list[str]) -> str:
     """Regex matching exactly the positions where a single-space-split
     token equals one of ``words`` (case-insensitive): boundaries are a
@@ -1105,6 +1118,7 @@ def hash_vectorizer(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Feature-hashing ("hashing trick") text vectorizer in sparse
     form — the fastText/Vowpal-Wabbit input featurizer: token t maps
@@ -1129,10 +1143,22 @@ def hash_vectorizer(
     Scale shape: tokenize → explode → ONE exchange on (id, bucket)
     with map-side combine; the exchange carries at most
     min(|tokens|, dim) rows per document.
+
+    ``shingle_n`` switches the feature unit from single tokens to
+    word n-gram shingles (``word_shingles``) — a far larger feature
+    universe, so documents share buckets only when they share
+    phrasing; that selectivity is what makes the downstream
+    ``vector.sparse_cosine_pairs`` self-join bucket-bounded instead
+    of all-pairs.
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
-    tok = F.explode(tokens(text_col)).alias("_w")
+    unit = (
+        tokens(text_col)
+        if shingle_n is None
+        else word_shingles(text_col, shingle_n)
+    )
+    tok = F.explode(unit).alias("_w")
     h = F.md5(F.col("_w"))
     bucket = (
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % dim

@@ -1760,3 +1760,85 @@ def rrf_fuse(
             F.col("rank"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    features: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+    min_cosine: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine similarity over SPARSE integer feature
+    vectors ``(id, bucket, weight)`` — the inverted-index similarity
+    join (the DISCO/dimsum family): candidate pairs come ONLY from
+    shared buckets, so two documents are compared iff they share at
+    least one feature. The third classic similarity-join shape in
+    this engine, next to MinHash banding (set overlap) and dense
+    embedding LSH (vector angle) — this one is exact cosine over
+    term-count vectors.
+
+    Exactness protocol: weights are bigints (``hash_vectorizer``
+    output), so each pair's dot product is an EXACT integer sum and
+    each vector's squared norm an exact integer; the only floats are
+    the final sqrt/divide, identical in any engine, rounded to 6.
+
+    Scale shape: per-id squared norms (one exchange, |ids| rows) →
+    bucket self-join (id1 < id2) emitting exact partial products →
+    groupBy(pair) sum. The join is BUCKET-bounded: work is
+    Σ_buckets df², so the scale lever is ``max_df`` — drop buckets
+    shared by more than ``max_df`` ids (stop-feature pruning, the
+    standard trick; dropped buckets only remove ubiquitous features,
+    and the pruning is part of the op's definition so the oracle
+    replays it bit for bit). The feature frame is localCheckpoint'd
+    (feeds norms AND both join sides).
+
+    Output: (id_a, id_b, dot, cosine) for pairs with
+    cosine >= min_cosine, id_a < id_b.
+    """
+    feats = features.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_b"),
+        F.col(weight_col).cast("bigint").alias("_w"),
+    ).localCheckpoint(eager=False)
+    if max_df is not None:
+        keep = (
+            feats.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_b")
+        )
+        feats = feats.join(keep, "_b").localCheckpoint(eager=False)
+    norms = feats.groupBy("_id").agg(F.sum(F.col("_w") * F.col("_w")).alias("_n2"))
+    a = feats.select(
+        F.col("_b"), F.col("_id").alias("id_a"), F.col("_w").alias("_wa")
+    )
+    b = feats.select(
+        F.col("_b"), F.col("_id").alias("id_b"), F.col("_w").alias("_wb")
+    )
+    dots = (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_n2").alias("_n2b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("_n2a").cast("double"))
+                    * F.sqrt(F.col("_n2b").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "dot", "cosine")
+    )

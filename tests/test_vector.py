@@ -559,3 +559,40 @@ def test_rrf_fuse_consensus_beats_single_list(spark):
     assert len(out) == 3
     s = {r["neighbor_id"]: r["rrf_score"] for r in out}
     assert abs(s[20] - (round(1e12 / 62) * 2) / 1e12) < 1e-15
+
+
+def test_sparse_cosine_pairs_exact_and_pruned(spark):
+    """Pair cosine equals the brute-force sparse cosine; pairs with no
+    shared bucket never appear; max_df drops ubiquitous buckets from
+    both the dot AND the norms (the pruning is part of the op)."""
+    import math
+
+    from embeddinghub_spark.functions.vector import sparse_cosine_pairs
+
+    # doc1/doc2 share buckets 1,2; doc3 is disjoint; bucket 9 is in
+    # every doc (a stop feature)
+    rows = [
+        (1, 1, 2), (1, 2, 1), (1, 9, 5),
+        (2, 1, 1), (2, 2, 3), (2, 9, 5),
+        (3, 7, 4), (3, 9, 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "weight"])
+
+    out = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in sparse_cosine_pairs(df, min_cosine=0.0).collect()
+    }
+    # all three pairs share bucket 9 -> all appear
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    dot12 = 2 * 1 + 1 * 3 + 5 * 5
+    n1, n2 = math.sqrt(4 + 1 + 25), math.sqrt(1 + 9 + 25)
+    assert out[(1, 2)][0] == dot12
+    assert abs(out[(1, 2)][1] - round(dot12 / (n1 * n2), 6)) < 1e-9
+
+    # pruning bucket 9 (df=3 > max_df=2): doc3 shares nothing now
+    pruned = {
+        (r["id_a"], r["id_b"]): r["dot"]
+        for r in sparse_cosine_pairs(df, min_cosine=0.0, max_df=2).collect()
+    }
+    assert set(pruned) == {(1, 2)}
+    assert pruned[(1, 2)] == 2 * 1 + 1 * 3
