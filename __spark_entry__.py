@@ -4160,6 +4160,55 @@ HAVING sum(s) != 0
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (sources/tables.py snapshot_diff):
+    old = orders minus every 7th key, new = orders with every 10th
+    price bumped — added/changed rows surface, unchanged omitted."""
+    from embeddinghub_spark.sources.tables import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 7 != 0
+),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+),
+j AS (
+  SELECT old.o_orderkey AS ok, new.o_orderkey AS nk,
+         old.o_custkey AS oc, new.o_custkey AS nc,
+         old.o_totalprice AS op, new.o_totalprice AS np
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT coalesce(nk, ok) AS o_orderkey,
+       CASE WHEN ok IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN (oc IS DISTINCT FROM nc) OR (op IS DISTINCT FROM np)
+              THEN 'changed' END AS change
+FROM j
+WHERE CASE WHEN ok IS NULL THEN 'added'
+           WHEN nk IS NULL THEN 'removed'
+           WHEN (oc IS DISTINCT FROM nc) OR (op IS DISTINCT FROM np)
+             THEN 'changed' END IS NOT NULL
+"""
+
+
 def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index sparse cosine similarity join
     (functions/vector.py sparse_cosine_pairs) over shingle-hashed
@@ -4573,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "hash_vectorizer": q_hash_vectorizer,
         "sparse_cosine": q_sparse_cosine,
+        "snapshot_diff": q_snapshot_diff,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4664,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _FUNNEL_ORACLE,
         "hash_vectorizer": _HASH_VECTORIZER_ORACLE,
         "sparse_cosine": _SPARSE_COSINE_ORACLE,
+        "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -549,3 +549,71 @@ def _compact(
         if d.startswith("bucket="):
             links[d] = os.path.join(phys, d)
     _commit_version(target_dir, links, n_buckets, version)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same logical table
+    — the audit step between materialization refreshes (what did the
+    C18 atomic update actually change?) and the verification twin of
+    the S5 incremental read (an incremental pipeline's appends must
+    equal the diff's ``added`` set).
+
+    A row is ``added`` (key only in ``new``), ``removed`` (only in
+    ``old``), or ``changed`` (key in both, any compared column
+    differs — null-safe comparison, so NULL→value and value→NULL
+    both count as changes). Unchanged rows are omitted (at 100 TB
+    they are the overwhelming majority — the diff's output is
+    proportional to the churn, not the table). ``compare_cols``
+    defaults to every non-key column the frames share.
+
+    Scale shape: one full-outer shuffle join on the key columns —
+    the minimum possible for an unordered diff (no sort needed);
+    with both snapshots bucketed by key (`_write_bucketed`) the
+    exchange disappears entirely.
+
+    Output: (keys..., change) with change ∈ added/removed/changed.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = [c for c in new.columns if c in shared and c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
+    )

@@ -442,3 +442,20 @@ def test_bucketed_merge_custom_column_names_compact(spark, tmp_path):
         )
     got = {r["entity"]: r["value"] for r in read_bucketed_snapshot(spark, target).collect()}
     assert got == {f"u{i}": 20.0 + i for i in range(10)}
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    """added/removed/changed classification; NULL->value counts as
+    changed (null-safe compare); unchanged rows are omitted."""
+    from embeddinghub_spark.sources.tables import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "cc", 30.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
