@@ -4160,6 +4160,36 @@ HAVING sum(s) != 0
 """
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation composition pinning the NEW ops
+    end-to-end: substring-dedup trim (remove_duplicate_spans) →
+    drop docs left with < 8 tokens → keep docs the distilled NB
+    classifier predicts as the target language. Each stage is
+    already oracle-pinned; this pins the COMPOSITION."""
+    from embeddinghub_spark.functions.dedup import remove_duplicate_spans
+    from embeddinghub_spark.functions.text import nb_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    trimmed = remove_duplicate_spans(docs, gram_n=8).filter(
+        F.col("kept_tokens") >= 8
+    )
+    keep = nb_classifier(docs).filter(F.col("predicted")).select("doc_id")
+    return trimmed.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "clean_text", "kept_tokens"
+    )
+
+
+def _curation_v2_oracle() -> str:
+    return f"""
+WITH trimmed AS ({_TRIM_SPANS_ORACLE}),
+nb AS ({_NB_CLASSIFIER_ORACLE})
+SELECT t.doc_id AS doc_id, t.clean_text AS clean_text,
+       t.kept_tokens AS kept_tokens
+FROM trimmed t JOIN nb ON t.doc_id = nb.doc_id
+WHERE t.kept_tokens >= 8 AND nb.predicted
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot diff (sources/tables.py snapshot_diff):
     old = orders minus every 7th key, new = orders with every 10th
@@ -4623,6 +4653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_vectorizer": q_hash_vectorizer,
         "sparse_cosine": q_sparse_cosine,
         "snapshot_diff": q_snapshot_diff,
+        "curation_v2": q_curation_v2,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4715,6 +4746,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_vectorizer": _HASH_VECTORIZER_ORACLE,
         "sparse_cosine": _SPARSE_COSINE_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "curation_v2": _curation_v2_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),
