@@ -1269,6 +1269,64 @@ def q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(_t(spark, sf_dir, "documents"), gram_n=8)
 
 
+def q_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SUBSTRING dedup (functions/dedup.py
+    gram_index_append/gram_index_probe_spans): gram-fingerprint the
+    standing corpus (doc_id % 5 != 0) into an on-disk bucket index,
+    then find the copied spans of the 'new crawl batch'
+    (doc_id % 5 == 0) WITHOUT re-reading corpus text."""
+    import tempfile
+
+    from embeddinghub_spark.functions.dedup import (
+        gram_index_append,
+        gram_index_probe_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="gramidx_") + "/idx"
+    gram_index_append(spark, idx_dir, docs.filter(F.col("doc_id") % 5 != 0))
+    return gram_index_probe_spans(
+        spark, idx_dir, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
+_INCREMENTAL_SPANS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(s AS INT) AS start,
+         md5(array_to_string(toks[s:s+7], ' ')) AS fp
+  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(s)
+  WHERE len(toks) >= 8
+),
+hits AS (
+  SELECT DISTINCT n.doc_id AS doc_id, n.start AS start
+  FROM g n JOIN g o ON n.fp = o.fp
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0 AND o.doc_id != n.doc_id
+),
+isl AS (
+  SELECT doc_id, start, start + 8 - 1 AS fin,
+         CASE WHEN start > coalesce(max(start + 8 - 1) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+sp AS (
+  SELECT doc_id, start, fin,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+)
+SELECT doc_id, min(start) AS span_start, max(fin) AS span_end,
+       max(fin) - min(start) + 1 AS span_tokens
+FROM sp GROUP BY doc_id, island
+"""
+
+
 # winner key: start < 2^32 always, so doc_id*2^32+start orders like
 # struct(doc_id, start) — the dedup_passages encoding
 _TRIM_SPANS_ORACLE = """
@@ -4654,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine": q_sparse_cosine,
         "snapshot_diff": q_snapshot_diff,
         "curation_v2": q_curation_v2,
+        "incremental_spans": q_incremental_spans,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4747,6 +4806,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_cosine": _SPARSE_COSINE_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "curation_v2": _curation_v2_oracle(),
+        "incremental_spans": _INCREMENTAL_SPANS_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -1239,6 +1239,50 @@ def _gram_fingerprints(
     )
 
 
+def _span_islands(hits: DataFrame, id_col: str, gram_n: int) -> DataFrame:
+    """Merge per-document gram-start hits ``(id, start)`` into MAXIMAL
+    spans: gram at ``start`` covers tokens [start, start+gram_n-1];
+    hits whose coverage overlaps or touches merge into one island
+    (classic gaps-and-islands: break when start exceeds the running
+    max end + 1). Per-document window — state bounded by one doc's
+    hits. Shared by ``duplicate_spans`` and the incremental
+    ``gram_index_probe_spans``. Output: (id, span_start, span_end)."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.select(
+            F.col(id_col),
+            F.col("start"),
+            (F.col("start") + gram_n - 1).alias("fin"),
+        )
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.max("fin").over(w_prev), F.lit(-1)) + 1,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("fin").alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1287,7 +1331,6 @@ def duplicate_spans(
     tokenize and hash the corpus twice).
     """
     from embeddinghub_spark.functions.vector import ensure_parallelism
-    from pyspark.sql import Window
 
     toks = tokens(text_col)
     base = (
@@ -1298,37 +1341,8 @@ def duplicate_spans(
     )
     grams = _gram_fingerprints(base, id_col, gram_n)
     dup_fps = grams.groupBy("fp").count().filter(F.col("count") >= 2).select("fp")
-    dup = grams.join(dup_fps, "fp").select(
-        F.col(id_col),
-        F.col("start"),
-        (F.col("start") + gram_n - 1).alias("fin"),
-    )
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy(id_col)
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = (
-        dup.withColumn(
-            "brk",
-            F.when(
-                F.col("start")
-                > F.coalesce(F.max("fin").over(w_prev), F.lit(-1)) + 1,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("island", F.sum("brk").over(w_run))
-        .groupBy(id_col, "island")
-        .agg(
-            F.min("start").alias("span_start"),
-            F.max("fin").alias("span_end"),
-        )
-    )
+    dup = grams.join(dup_fps, "fp").select(F.col(id_col), F.col("start"))
+    spans = _span_islands(dup, id_col, gram_n)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
@@ -1452,4 +1466,120 @@ def remove_duplicate_spans(
                 "kept_tokens"
             ),
         )
+    )
+
+
+# -- incremental on-disk gram index (substring grain) -------------------------
+
+_GRAM_PARAMS_FILE = "_gram_params.json"
+
+
+def _gram_index_params_check(
+    index_dir: str, gram_n: int, n_buckets: int, record: bool = True
+) -> None:
+    """Sidecar-validated gram-index parameters — the
+    ``_minhash_index_params_check`` convention at substring grain:
+    fingerprints and bucket ids only line up when gram_n/n_buckets
+    match the append-time values, so mismatch raises instead of
+    silently returning empty matches."""
+    import json
+    import os
+
+    params = {"gram_n": int(gram_n), "n_buckets": int(n_buckets)}
+    path = os.path.join(index_dir, _GRAM_PARAMS_FILE)
+    if os.path.isfile(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"gram index at {index_dir!r} was built with {stored}; "
+                f"got {params} — fingerprints/buckets would not line up. "
+                "Rebuild the index or pass the original parameters."
+            )
+    elif record:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(params, f)
+
+
+def _tokenized_base(df: DataFrame, text_col: str, id_col: str, gram_n: int):
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokens(text_col).alias("_t"))
+        .filter(F.size("_t") >= gram_n)
+        .localCheckpoint(eager=False)
+    )
+
+
+def gram_index_append(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+    n_buckets: int = 16,
+) -> str:
+    """Append a batch's sliding-gram fingerprints to the on-disk
+    substring index (parquet partitioned by bucket) — the
+    ``minhash_index_append`` recipe at GRAM grain, backing
+    incremental substring dedup: later crawl batches are checked for
+    copied SPANS against the whole standing corpus without re-reading
+    its text. Map-only up to the single bucket-clustering exchange of
+    the batch's own gram rows."""
+    _gram_index_params_check(index_dir, gram_n, n_buckets)
+    rows = _gram_fingerprints(
+        _tokenized_base(df, text_col, id_col, gram_n), id_col, gram_n
+    ).withColumn("bucket", _md5_long(F.col("fp")) % n_buckets)
+    (
+        rows.repartition(n_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(index_dir)
+    )
+    return index_dir
+
+
+def gram_index_probe_spans(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Maximal copied spans of a NEW batch against the stored gram
+    index: probe grams (small — a day's crawl vs the corpus) are
+    broadcast against the index on (bucket, fp) so dynamic partition
+    pruning skips every index bucket the probe doesn't hash into;
+    matching probe gram starts then merge into maximal islands
+    (the ``duplicate_spans`` window) per probe document.
+
+    Self-matches (re-probing an indexed id) are dropped. Output:
+    ``(doc_id, span_start, span_end, span_tokens)`` — one row per
+    maximal span of the probe document that exists verbatim
+    somewhere in the indexed corpus.
+    """
+    _gram_index_params_check(index_dir, gram_n, n_buckets, record=False)
+    idx = spark.read.parquet(index_dir).select(
+        F.col(id_col).alias("_index_id"), "fp", "bucket"
+    )
+    probe = (
+        _gram_fingerprints(
+            _tokenized_base(new_docs, text_col, id_col, gram_n), id_col, gram_n
+        )
+        .withColumn("bucket", _md5_long(F.col("fp")) % n_buckets)
+        .select(F.col(id_col), F.col("start"), "fp", "bucket")
+    )
+    hits = (
+        idx.join(F.broadcast(probe), ["bucket", "fp"])
+        .filter(F.col("_index_id") != F.col(id_col))
+        .select(F.col(id_col), F.col("start"))
+        .distinct()
+    )
+    return _span_islands(hits, id_col, gram_n).withColumn(
+        "span_tokens", F.col("span_end") - F.col("span_start") + 1
     )

@@ -614,3 +614,43 @@ def test_hash_vectorizer_replica_and_cancellation(spark):
     expected = {k: v for k, v in expected.items() if v != 0}
     assert got == expected
     assert all(did != 3 for did, _ in got)  # empty doc -> no rows
+
+
+def test_gram_index_incremental_probe(spark, tmp_path):
+    """Two appends accumulate; the probe finds the copied span of a
+    new doc against BOTH indexed batches without re-reading them;
+    parameter mismatch raises instead of silently missing matches."""
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import (
+        gram_index_append,
+        gram_index_probe_spans,
+    )
+
+    idx = str(tmp_path / "gram_idx")
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "one two three four five six")], ["doc_id", "text"]
+    )
+    gram_index_append(spark, idx, batch1, gram_n=3)
+    gram_index_append(spark, idx, batch2, gram_n=3)
+
+    probe = spark.createDataFrame(
+        [
+            # copies 4 tokens from batch1 and 3 from batch2
+            (10, "xx beta gamma delta epsilon yy one two three zz"),
+            (11, "totally novel words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+        for r in gram_index_probe_spans(spark, idx, probe, gram_n=3).collect()
+    }
+    # tokens 2-5 copied from batch1, tokens 7-9 from batch2
+    assert spans == {(10, 2, 5): 4, (10, 7, 9): 3}
+
+    with pytest.raises(ValueError, match="gram index"):
+        gram_index_probe_spans(spark, idx, probe, gram_n=4)
