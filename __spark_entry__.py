@@ -4218,6 +4218,39 @@ HAVING sum(s) != 0
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream
+    (operators/batch.py cohort_retention) — dataset-health view of
+    activity stability across cohorts."""
+    from embeddinghub_spark.operators.batch import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), "user_id", "ts")
+
+
+_COHORT_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS BIGINT) AS es
+  FROM events
+),
+p AS (
+  SELECT user_id, CAST((es - es % 604800) / 604800 AS BIGINT) AS p FROM e
+),
+f AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id),
+d AS (
+  SELECT DISTINCT p.user_id AS user_id, f.cohort AS cohort,
+                  p.p - f.cohort AS since
+  FROM p JOIN f ON p.user_id = f.user_id
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(cohort * 604800)
+         AS cohort_start,
+       CAST(since AS BIGINT) AS periods_since,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM d GROUP BY cohort, since
+"""
+
+
 def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-generation curation composition pinning the NEW ops
     end-to-end: substring-dedup trim (remove_duplicate_spans) →
@@ -4713,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "curation_v2": q_curation_v2,
         "incremental_spans": q_incremental_spans,
+        "cohort_retention": q_cohort_retention,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4807,6 +4841,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "curation_v2": _curation_v2_oracle(),
         "incremental_spans": _INCREMENTAL_SPANS_ORACLE,
+        "cohort_retention": _COHORT_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -366,3 +366,52 @@ def funnel_steps(
         *[F.col(f"{s}_ts") for s in stages],
         reached.alias("stages_reached"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention matrix: entities are cohorted by the period
+    of their FIRST event; each later period they appear in counts
+    them as retained — the standard engagement/retention rollup,
+    useful here as a dataset-health view over event-stream sources
+    (is a source's activity stable across crawl cohorts?).
+
+    Period arithmetic is the NTZ-safe integer protocol
+    (``timestampdiff`` from epoch0, floor by modulo) — no session-tz
+    surface. Two exchanges: first-event per entity (|entities| rows),
+    then the distinct (cohort, period, entity) aggregate.
+
+    Output: (cohort_start, periods_since, n_active) — n_active
+    entities from that cohort seen in that period;
+    ``periods_since = 0`` row is the cohort's size.
+    """
+    if period_seconds < 1:
+        raise ValueError("period_seconds must be >= 1")
+    qts = "`" + ts_col.replace("`", "``") + "`"
+    epoch_s = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {qts})"
+    )
+    period = ((epoch_s - epoch_s % F.lit(period_seconds)) / period_seconds).cast(
+        "bigint"
+    )
+    ev = df.select(F.col(entity_col).alias("_e"), period.alias("_p"))
+    first = ev.groupBy("_e").agg(F.min("_p").alias("_cohort"))
+    return (
+        ev.join(first, "_e")
+        .select("_e", "_cohort", (F.col("_p") - F.col("_cohort")).alias("_since"))
+        .distinct()
+        .groupBy("_cohort", "_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.expr(
+                "timestampadd(SECOND, CAST(_cohort * {0} AS BIGINT), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')".format(period_seconds)
+            ).alias("cohort_start"),
+            F.col("_since").cast("bigint").alias("periods_since"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+        )
+    )

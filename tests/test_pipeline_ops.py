@@ -621,3 +621,28 @@ def test_funnel_steps_ordering_matters(spark):
     assert out["u1"]["stages_reached"] == 3
     assert out["u2"]["stages_reached"] == 1 and out["u2"]["signup_ts"] is None
     assert out["u3"]["stages_reached"] == 2 and out["u3"]["purchase_ts"] is None
+
+
+def test_cohort_retention_matrix(spark):
+    """Cohorting by first-event period; retention counts distinct
+    entities per (cohort, offset); period-0 row equals cohort size."""
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.batch import cohort_retention
+
+    day = 86400
+    rows = [
+        # cohort day 0: u1 (active days 0, 2), u2 (day 0 only)
+        ("u1", datetime(2024, 1, 1, 3)), ("u1", datetime(2024, 1, 3, 9)),
+        ("u1", datetime(2024, 1, 3, 23)),  # same period, still 1 user-period
+        ("u2", datetime(2024, 1, 1, 8)),
+        # cohort day 1: u3 (days 1 and 2)
+        ("u3", datetime(2024, 1, 2, 1)), ("u3", datetime(2024, 1, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_start"], r["periods_since"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts", day).collect()
+    }
+    d0, d1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    assert out == {(d0, 0): 2, (d0, 2): 1, (d1, 0): 1, (d1, 1): 1}
