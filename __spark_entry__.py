@@ -4218,6 +4218,42 @@ HAVING sum(s) != 0
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (functions/text.py source_divergence) — the mixture-drift
+    detector / principled down-weighting signal."""
+    from embeddinghub_spark.functions.text import source_divergence
+
+    return source_divergence(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_DIVERGENCE_ORACLE = """
+WITH gw AS (
+  SELECT source AS g, w, count(*) AS cgw
+  FROM (SELECT source,
+               UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+gtot AS (SELECT g, sum(cgw) AS ng FROM gw GROUP BY g),
+wtot AS (SELECT w, sum(cgw) AS cw FROM gw GROUP BY w),
+ntot AS (SELECT sum(cgw) AS n FROM gw),
+terms AS (
+  SELECT gw.g AS g, gtot.ng AS ng,
+         CAST(round(round(
+             (CAST(gw.cgw AS DOUBLE) / CAST(gtot.ng AS DOUBLE))
+             * log10(CAST(gw.cgw * ntot.n AS DOUBLE)
+                     / CAST(wtot.cw * gtot.ng AS DOUBLE)), 9) * 1.0e9)
+           AS BIGINT) AS t
+  FROM gw JOIN wtot ON gw.w = wtot.w JOIN gtot ON gw.g = gtot.g
+  CROSS JOIN ntot
+)
+SELECT g AS source, CAST(ng AS BIGINT) AS n_tokens,
+       CAST(sum(t) AS DOUBLE) / 1.0e9 AS kl_divergence
+FROM terms GROUP BY g, ng
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream
     (operators/batch.py cohort_retention) — dataset-health view of
@@ -4747,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v2": q_curation_v2,
         "incremental_spans": q_incremental_spans,
         "cohort_retention": q_cohort_retention,
+        "source_divergence": q_source_divergence,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4842,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_v2": _curation_v2_oracle(),
         "incremental_spans": _INCREMENTAL_SPANS_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
+        "source_divergence": _SOURCE_DIVERGENCE_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -1174,3 +1174,62 @@ def hash_vectorizer(
         .agg(F.sum("_s").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram distribution
+    from the corpus distribution — KL(P_group || P_corpus) =
+    Σ_w P_g(w)·log10(P_g(w)/P(w)). The mixture-drift detector: a
+    source whose language suddenly diverges from the corpus (spam
+    injection, template change, scraper breakage) jumps in this
+    score; also the principled weight for down-sampling outlier
+    sources. No smoothing needed: every group word exists in the
+    corpus by construction, so the ratio is always finite.
+
+    Determinism protocol: the log argument is the EXACT integer
+    cross-ratio (c_gw·N)/(c_w·N_g) — all products < 2^53, so the
+    double division is the same bits in any engine — and each term
+    P_g(w)·log10(ratio) is rounded to 9 decimals, 1e9-scaled, and
+    summed as exact BIGINTs (the nb_classifier protocol), ONE
+    division at the end.
+
+    Scale shape: (group, word) counts (one exchange, map-side
+    combine, distinct pairs only) → corpus word counts derived from
+    them (second aggregate over |vocab|·|groups| rows) → join on
+    word (AQE broadcasts the |vocab|-row side) → per-group sum.
+
+    Output: (group, n_tokens, kl_divergence).
+    """
+    gw = (
+        df.select(F.col(group_col).alias("_g"), F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_cgw"))
+        .localCheckpoint(eager=False)  # feeds three aggregates
+    )
+    gtot = gw.groupBy("_g").agg(F.sum("_cgw").alias("_ng"))
+    wtot = gw.groupBy("_w").agg(F.sum("_cgw").alias("_cw"))
+    ntot = gw.agg(F.sum("_cgw").alias("_n"))
+    ratio = (F.col("_cgw") * F.col("_n")).cast("double") / (
+        F.col("_cw") * F.col("_ng")
+    ).cast("double")
+    p_gw = F.col("_cgw").cast("double") / F.col("_ng").cast("double")
+    term = F.round(F.round(p_gw * F.log10(ratio), 9) * F.lit(1.0e9)).cast(
+        "bigint"
+    )
+    return (
+        gw.join(wtot, "_w")
+        .join(gtot, "_g")
+        .crossJoin(F.broadcast(ntot))
+        .select(F.col("_g"), F.col("_ng"), term.alias("_t"))
+        .groupBy("_g", "_ng")
+        .agg(F.sum("_t").alias("_s"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ng").cast("bigint").alias("n_tokens"),
+            (F.col("_s").cast("double") / F.lit(1.0e9)).alias("kl_divergence"),
+        )
+    )

@@ -654,3 +654,24 @@ def test_gram_index_incremental_probe(spark, tmp_path):
 
     with pytest.raises(ValueError, match="gram index"):
         gram_index_probe_spans(spark, idx, probe, gram_n=4)
+
+
+def test_source_divergence_detects_outlier(spark):
+    """A group whose vocabulary diverges from the corpus scores
+    strictly higher KL than corpus-typical groups; KL >= 0 up to the
+    term-rounding epsilon; a group identical to the pooled corpus
+    distribution scores ~0."""
+    from embeddinghub_spark.functions.text import source_divergence
+
+    typical = "the quick brown fox jumps over the lazy dog"
+    rows = (
+        [(f"a{i}", "src_a", typical) for i in range(5)]
+        + [(f"b{i}", "src_b", typical) for i in range(5)]
+        + [(f"c{i}", "src_c", "zz yy xx ww vv uu tt ss rr") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r["kl_divergence"] for r in source_divergence(df).collect()}
+    assert set(out) == {"src_a", "src_b", "src_c"}
+    assert out["src_c"] > out["src_a"] + 0.1
+    assert out["src_a"] == out["src_b"]
+    assert all(v >= -1e-6 for v in out.values())
