@@ -617,3 +617,34 @@ def snapshot_diff(
             "change",
         )
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-evolution report between two snapshots — the metadata
+    twin of ``snapshot_diff``: returns a list of
+    ``{"column", "change", "old_type", "new_type"}`` dicts with
+    change ∈ added / removed / type_changed (simpleString
+    comparison; nullability changes are ignored — parquet roundtrips
+    flip it freely). Pure driver-side metadata, no jobs run; [] means
+    the schemas are compatible."""
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for name, t in new_types.items():
+        if name not in old_types:
+            out.append(
+                {"column": name, "change": "added",
+                 "old_type": None, "new_type": t}
+            )
+        elif old_types[name] != t:
+            out.append(
+                {"column": name, "change": "type_changed",
+                 "old_type": old_types[name], "new_type": t}
+            )
+    for name, t in old_types.items():
+        if name not in new_types:
+            out.append(
+                {"column": name, "change": "removed",
+                 "old_type": t, "new_type": None}
+            )
+    return out

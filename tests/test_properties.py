@@ -439,3 +439,51 @@ def test_cms_topk_matches_python_replica(spark, docs):
         )
         assert got[tok] == (n, est, est - n), (tok, got[tok], (n, est))
         assert est >= n
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10000),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_key_matches_python_replica(spark, rows):
+    """The Morton key equals a pure-Python interleave of the same
+    min-max-scaled values for arbitrary int columns (incl. negatives
+    and constant columns)."""
+    from embeddinghub_spark.functions.layout import with_zorder_key
+
+    bits = 8
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], ["id", "a", "b"]
+    )
+    got = {
+        r["id"]: r["z_key"]
+        for r in with_zorder_key(df, ["a", "b"], bits=bits).collect()
+    }
+
+    amin, amax = min(a for a, _ in rows), max(a for a, _ in rows)
+    bmin, bmax = min(b for _, b in rows), max(b for _, b in rows)
+
+    def scale(x, lo, hi):
+        if hi == lo:
+            return 0
+        import math
+        return math.floor((x - lo) * ((1 << bits) - 1) / (hi - lo))
+
+    def interleave(sa, sb):
+        z = 0
+        for bit in range(bits):
+            z |= ((sa >> bit) & 1) << (bit * 2)
+            z |= ((sb >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    for i, (a, b) in enumerate(rows):
+        assert got[i] == interleave(scale(a, amin, amax), scale(b, bmin, bmax)), (
+            i, a, b, got[i],
+        )

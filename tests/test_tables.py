@@ -459,3 +459,16 @@ def test_snapshot_diff_classes_and_null_safety(spark):
     )
     out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_schema_diff_reports_evolution(spark):
+    from embeddinghub_spark.sources.tables import schema_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], ["k", "s", "v"])
+    new = spark.createDataFrame([(1, 2, True)], ["k", "s", "flag"])
+    out = {d["column"]: d for d in schema_diff(old, new)}
+    assert out["s"]["change"] == "type_changed"
+    assert out["s"]["old_type"] == "string" and out["s"]["new_type"] == "bigint"
+    assert out["flag"]["change"] == "added"
+    assert out["v"]["change"] == "removed"
+    assert schema_diff(old, old) == []
