@@ -4242,8 +4242,9 @@ terms AS (
   SELECT gw.g AS g, gtot.ng AS ng,
          CAST(round(round(
              (CAST(gw.cgw AS DOUBLE) / CAST(gtot.ng AS DOUBLE))
-             * log10(CAST(gw.cgw * ntot.n AS DOUBLE)
-                     / CAST(wtot.cw * gtot.ng AS DOUBLE)), 9) * 1.0e9)
+             * log10((CAST(gw.cgw AS DOUBLE) / CAST(gtot.ng AS DOUBLE))
+                     / (CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))),
+             9) * 1.0e9)
            AS BIGINT) AS t
   FROM gw JOIN wtot ON gw.w = wtot.w JOIN gtot ON gw.g = gtot.g
   CROSS JOIN ntot
@@ -4271,7 +4272,7 @@ WITH e AS (
   FROM events
 ),
 p AS (
-  SELECT user_id, CAST((es - es % 604800) / 604800 AS BIGINT) AS p FROM e
+  SELECT user_id, CAST(floor(es / 604800) AS BIGINT) AS p FROM e
 ),
 f AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id),
 d AS (
@@ -4386,12 +4387,14 @@ WITH t AS (
   FROM documents
 ),
 sh AS (
-  SELECT doc_id, UNNEST(
-    CASE WHEN len(toks) > 3
-         THEN list_transform(range(1, len(toks) - 1),
-                             i -> array_to_string(toks[i:i+2], ' '))
-         ELSE [array_to_string(toks, ' ')] END) AS w
-  FROM t
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(
+      CASE WHEN len(toks) > 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS w
+    FROM t
+  ) WHERE w != ''
 ),
 f AS (
   SELECT doc_id,
@@ -4476,8 +4479,10 @@ WITH e AS (
   FROM events WHERE event_type = 'purchase'
 ),
 obs AS (
-  SELECT user_id, es - es % 86400 AS slot,
-         max(struct_pack(t := ts, v := value)) AS m
+  SELECT user_id,
+         CAST(floor(es / 86400) AS BIGINT) * 86400 AS slot,
+         max(struct_pack(t := ts, v := value)) AS m,
+         TRUE AS seen
   FROM e GROUP BY 1, 2
 ),
 spans AS (SELECT user_id, min(slot) AS a, max(slot) AS b FROM obs GROUP BY 1),
@@ -4486,15 +4491,17 @@ grid AS (
   FROM spans, UNNEST(range(a, b + 86400, 86400)) AS u(s)
 ),
 j AS (
-  SELECT g.user_id AS user_id, g.slot AS slot, obs.m.v AS v
+  SELECT g.user_id AS user_id, g.slot AS slot, obs.m.v AS v,
+         obs.seen AS seen
   FROM grid g LEFT JOIN obs ON g.user_id = obs.user_id AND g.slot = obs.slot
 )
 SELECT user_id,
        TIMESTAMP '1970-01-01 00:00:00' + to_seconds(slot) AS slot_ts,
-       last_value(v IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY slot
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-       (v IS NOT NULL) AS observed
+       CASE WHEN seen IS NOT NULL THEN v
+            ELSE last_value(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY slot
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS value,
+       (seen IS NOT NULL) AS observed
 FROM j
 """
 

@@ -1330,15 +1330,7 @@ def duplicate_spans(
     Spark has no cross-side CSE, an uncheckpointed plan would
     tokenize and hash the corpus twice).
     """
-    from embeddinghub_spark.functions.vector import ensure_parallelism
-
-    toks = tokens(text_col)
-    base = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), toks.alias("_t"))
-        .filter(F.size("_t") >= gram_n)
-        .localCheckpoint(eager=False)
-    )
+    base = _tokenized_base(df, text_col, id_col, gram_n)
     grams = _gram_fingerprints(base, id_col, gram_n)
     dup_fps = grams.groupBy("fp").count().filter(F.col("count") >= 2).select("fp")
     dup = grams.join(dup_fps, "fp").select(F.col(id_col), F.col("start"))
@@ -1552,11 +1544,17 @@ def gram_index_probe_spans(
     n_buckets: int = 16,
 ) -> DataFrame:
     """Maximal copied spans of a NEW batch against the stored gram
-    index: probe grams (small — a day's crawl vs the corpus) are
-    broadcast against the index on (bucket, fp) so dynamic partition
-    pruning skips every index bucket the probe doesn't hash into;
-    matching probe gram starts then merge into maximal islands
-    (the ``duplicate_spans`` window) per probe document.
+    index: the probe joins the index on (bucket, fp); matching probe
+    gram starts then merge into maximal islands (the
+    ``duplicate_spans`` window) per probe document.
+
+    Join sizing: the probe side is ONE ROW PER PROBE TOKEN (unlike
+    the MinHash probe's ~bands rows per doc), so it is NOT
+    force-broadcast — AQE broadcasts it while it fits (a small crawl
+    batch, which also enables dynamic partition pruning of the
+    unprobed index buckets) and falls back to a shuffle join on
+    (bucket, fp) for probe batches too large to broadcast, where the
+    bucket partitioning still bounds the join.
 
     Self-matches (re-probing an indexed id) are dropped. Output:
     ``(doc_id, span_start, span_end, span_tokens)`` — one row per
@@ -1575,7 +1573,7 @@ def gram_index_probe_spans(
         .select(F.col(id_col), F.col("start"), "fp", "bucket")
     )
     hits = (
-        idx.join(F.broadcast(probe), ["bucket", "fp"])
+        idx.join(probe, ["bucket", "fp"])
         .filter(F.col("_index_id") != F.col(id_col))
         .select(F.col(id_col), F.col("start"))
         .distinct()

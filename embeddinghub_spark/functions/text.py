@@ -1159,6 +1159,10 @@ def hash_vectorizer(
         else word_shingles(text_col, shingle_n)
     )
     tok = F.explode(unit).alias("_w")
+    # word_shingles on a zero-token doc yields [""] (the whole-doc
+    # else branch); without this filter every empty doc would share
+    # one md5("") feature and pair at cosine 1.0 downstream — the
+    # token path's "empty doc -> no rows" behavior is the contract
     h = F.md5(F.col("_w"))
     bucket = (
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % dim
@@ -1169,6 +1173,7 @@ def hash_vectorizer(
     ).otherwise(F.lit(-1))
     return (
         df.select(F.col(id_col), tok)
+        .filter(F.col("_w") != "")
         .select(F.col(id_col), bucket, sign.alias("_s"))
         .groupBy(id_col, "bucket")
         .agg(F.sum("_s").cast("bigint").alias("weight"))
@@ -1190,12 +1195,14 @@ def source_divergence(
     sources. No smoothing needed: every group word exists in the
     corpus by construction, so the ratio is always finite.
 
-    Determinism protocol: the log argument is the EXACT integer
-    cross-ratio (c_gw·N)/(c_w·N_g) — all products < 2^53, so the
-    double division is the same bits in any engine — and each term
-    P_g(w)·log10(ratio) is rounded to 9 decimals, 1e9-scaled, and
-    summed as exact BIGINTs (the nb_classifier protocol), ONE
-    division at the end.
+    Determinism protocol: the log argument is computed per-side —
+    (c_gw/N_g) / (c_w/N) — three double divisions whose inputs are
+    exact integers, so the same bits in any engine at ANY corpus
+    size (an integer cross-product c_gw·N would wrap bigint around
+    N ≈ 2^63/c_gw — at trillion-token corpora that silently NULLs
+    the log and drops terms); each term P_g(w)·log10(ratio) is
+    rounded to 9 decimals, 1e9-scaled, and summed as exact BIGINTs
+    (the nb_classifier protocol), ONE division at the end.
 
     Scale shape: (group, word) counts (one exchange, map-side
     combine, distinct pairs only) → corpus word counts derived from
@@ -1213,10 +1220,10 @@ def source_divergence(
     gtot = gw.groupBy("_g").agg(F.sum("_cgw").alias("_ng"))
     wtot = gw.groupBy("_w").agg(F.sum("_cgw").alias("_cw"))
     ntot = gw.agg(F.sum("_cgw").alias("_n"))
-    ratio = (F.col("_cgw") * F.col("_n")).cast("double") / (
-        F.col("_cw") * F.col("_ng")
-    ).cast("double")
     p_gw = F.col("_cgw").cast("double") / F.col("_ng").cast("double")
+    ratio = p_gw / (
+        F.col("_cw").cast("double") / F.col("_n").cast("double")
+    )
     term = F.round(F.round(p_gw * F.log10(ratio), 9) * F.lit(1.0e9)).cast(
         "bigint"
     )

@@ -249,8 +249,10 @@ def gap_fill(
     streams to models that expect one row per (entity, period):
     every entity gets a slot every ``step_seconds`` between its first
     and last observation; slots with >= 1 event carry the LATEST
-    event's value (max-struct tiebreak, the C3 convention); empty
-    slots forward-fill the previous value and are flagged
+    event's value (max-struct tiebreak, the C3 convention — a
+    NULL-valued latest event stays NULL and stays ``observed``: it is
+    neither rewritten by the fill nor carried forward); event-free
+    slots forward-fill the previous non-null value and are flagged
     ``observed = false``. Values are COPIED, never recomputed, so
     there is no float-parity surface.
 
@@ -275,7 +277,14 @@ def gap_fill(
     epoch_s = F.expr(
         f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {qts})"
     )
-    slot = (epoch_s - (epoch_s % F.lit(step_seconds))).cast("bigint")
+    # floor toward -inf (NOT e - e % step: Spark's % follows the
+    # dividend sign, so pre-1970 epochs would alias into slot 0);
+    # floor of a double division is exact for |e| < 2^53 and the
+    # identical expression in DuckDB
+    slot = (
+        F.floor(epoch_s / F.lit(step_seconds)).cast("bigint")
+        * F.lit(step_seconds)
+    ).cast("bigint")
     obs = (
         df.select(
             F.col(entity_col),
@@ -287,7 +296,10 @@ def gap_fill(
         .groupBy(entity_col, "_slot")
         .agg(F.max("_tv").alias("_m"))
         .select(
-            F.col(entity_col), F.col("_slot"), F.col("_m.v").alias("_obs_v")
+            F.col(entity_col),
+            F.col("_slot"),
+            F.col("_m.v").alias("_obs_v"),
+            F.lit(True).alias("_seen"),  # presence != non-null value
         )
         .localCheckpoint(eager=False)  # feeds spans AND the grid join
     )
@@ -311,8 +323,14 @@ def gap_fill(
         F.expr(
             "timestampadd(SECOND, _slot, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         ).alias("slot_ts"),
-        F.last("_obs_v", ignorenulls=True).over(w).alias("value"),
-        F.col("_obs_v").isNotNull().alias("observed"),
+        # an OBSERVED slot reports its own value even when that value
+        # is NULL (a null observation is not rewritten by the fill and
+        # does not poison later fills — ignorenulls skips it);
+        # only truly event-free slots carry the last non-null forward
+        F.when(F.col("_seen").isNotNull(), F.col("_obs_v"))
+        .otherwise(F.last("_obs_v", ignorenulls=True).over(w))
+        .alias("value"),
+        F.col("_seen").isNotNull().alias("observed"),
     )
 
 
@@ -395,9 +413,8 @@ def cohort_retention(
     epoch_s = F.expr(
         f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {qts})"
     )
-    period = ((epoch_s - epoch_s % F.lit(period_seconds)) / period_seconds).cast(
-        "bigint"
-    )
+    # floor toward -inf (pre-1970 safety — the gap_fill note)
+    period = F.floor(epoch_s / F.lit(period_seconds)).cast("bigint")
     ev = df.select(F.col(entity_col).alias("_e"), period.alias("_p"))
     first = ev.groupBy("_e").agg(F.min("_p").alias("_cohort"))
     return (

@@ -586,18 +586,23 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    # presence markers, NOT key-null tests: a row whose KEY VALUE is
+    # NULL still exists on its side (key-null rows never equi-match,
+    # so they always classify as added/removed — by presence)
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))

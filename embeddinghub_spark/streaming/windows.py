@@ -327,17 +327,24 @@ _INTERVAL_UNIT_S = {
 
 
 def _interval_seconds(spec: str) -> float:
-    """Parse 'N unit' interval strings eagerly so a typo ('5 minuts')
-    or a swapped bound fails at call time with a clear message, not
-    at analysis time deep in the plan."""
+    """Parse 'N unit' interval strings eagerly so a typo ('5 minuts',
+    'nan seconds', '1e3 seconds') or a swapped bound fails at call
+    time with a clear message, not at analysis time deep in the
+    plan. N must be a plain non-negative integer or decimal — the
+    subset Spark's INTERVAL literal itself accepts (float() alone
+    would admit nan/inf/scientific, which pass the bound check and
+    then blow up inside F.expr)."""
+    import re
+
     parts = spec.strip().split()
-    if len(parts) == 2 and parts[1].lower() in _INTERVAL_UNIT_S:
-        try:
-            return float(parts[0]) * _INTERVAL_UNIT_S[parts[1].lower()]
-        except ValueError:
-            pass
+    if (
+        len(parts) == 2
+        and parts[1].lower() in _INTERVAL_UNIT_S
+        and re.fullmatch(r"[0-9]+(\.[0-9]+)?", parts[0])
+    ):
+        return float(parts[0]) * _INTERVAL_UNIT_S[parts[1].lower()]
     raise ValueError(
-        f"unsupported interval {spec!r}: expected 'N "
+        f"unsupported interval {spec!r}: expected '<number> "
         f"{'/'.join(sorted(set(_INTERVAL_UNIT_S)))}'"
     )
 

@@ -646,3 +646,38 @@ def test_cohort_retention_matrix(spark):
     }
     d0, d1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
     assert out == {(d0, 0): 2, (d0, 2): 1, (d1, 0): 1, (d1, 1): 1}
+
+
+def test_gap_fill_null_observation_and_pre_epoch(spark):
+    """A slot whose latest event has a NULL value stays observed and
+    NULL (not rewritten by LOCF, not carried forward); pre-1970
+    timestamps floor toward -inf instead of aliasing into slot 0."""
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.batch import gap_fill
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 5), 10.0),
+        ("u1", datetime(2024, 1, 2, 5), None),   # observed NULL
+        ("u1", datetime(2024, 1, 4, 5), 40.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sorted(
+        gap_fill(df, "user_id", "ts", "value", 86400).collect(),
+        key=lambda r: r["slot_ts"],
+    )
+    assert [r["value"] for r in out] == [10.0, None, 10.0, 40.0]
+    assert [r["observed"] for r in out] == [True, True, False, True]
+
+    pre = spark.createDataFrame(
+        [
+            ("u2", datetime(1969, 12, 31, 23, 58), 1.0),
+            ("u2", datetime(1970, 1, 1, 0, 2), 2.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    slots = sorted(
+        r["slot_ts"] for r in gap_fill(pre, "user_id", "ts", "value", 86400).collect()
+    )
+    # two DISTINCT day slots: 1969-12-31 and 1970-01-01
+    assert slots == [datetime(1969, 12, 31), datetime(1970, 1, 1)]

@@ -659,3 +659,16 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(expected) > 20
+
+
+def test_interval_validation_rejects_nonfinite(spark):
+    import pytest
+
+    from embeddinghub_spark.streaming.windows import _interval_seconds
+
+    assert _interval_seconds("90 seconds") == 90.0
+    assert _interval_seconds("1.5 hours") == 5400.0
+    for bad in ("nan seconds", "inf minutes", "1e3 seconds", "-5 seconds",
+                "5 minuts", "seconds"):
+        with pytest.raises(ValueError):
+            _interval_seconds(bad)

@@ -472,3 +472,16 @@ def test_schema_diff_reports_evolution(spark):
     assert out["flag"]["change"] == "added"
     assert out["v"]["change"] == "removed"
     assert schema_diff(old, old) == []
+
+
+def test_snapshot_diff_null_key_presence(spark):
+    """A null-keyed row never equi-matches, but presence still
+    classifies it correctly: old-only -> removed, new-only -> added."""
+    from embeddinghub_spark.sources.tables import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1.0), (1, 2.0)], ["k", "v"])
+    new = spark.createDataFrame([(None, 3.0), (1, 2.0)], ["k", "v"])
+    out = [
+        (r["k"], r["change"]) for r in snapshot_diff(old, new, ["k"]).collect()
+    ]
+    assert sorted(out, key=str) == [(None, "added"), (None, "removed")]
