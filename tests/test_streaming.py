@@ -672,3 +672,45 @@ def test_interval_validation_rejects_nonfinite(spark):
                 "5 minuts", "seconds"):
         with pytest.raises(ValueError):
             _interval_seconds(bad)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join (the enrichment mode, no watermark needed —
+    the static side is just re-read per micro-batch): streamed events
+    enriched against a static dimension equal the batch join."""
+    from datetime import datetime
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], ["user_id", "tier"]
+    )
+    events = [
+        (1, datetime(2024, 1, 1, h), float(h)) for h in range(8)
+    ] + [(2, datetime(2024, 1, 1, h), float(h * 10)) for h in range(8)] + [
+        (3, datetime(2024, 1, 1, 1), 5.0)  # no dim row -> dropped (inner)
+    ]
+    edf = spark.createDataFrame(events, ["user_id", "ts", "value"])
+    in_dir = str(tmp_path / "enrich_in")
+    edf.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.join(dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["ts"], r["value"], r["tier"])
+        for r in spark.table("enrich_test").collect()
+    }
+    expected = {
+        (r["user_id"], r["ts"], r["value"], r["tier"])
+        for r in edf.join(dim, "user_id").collect()
+    }
+    assert got == expected and len(got) == 16
