@@ -487,3 +487,32 @@ def test_zorder_key_matches_python_replica(spark, rows):
         assert got[i] == interleave(scale(a, amin, amax), scale(b, bmin, bmax)), (
             i, a, b, got[i],
         )
+
+
+@given(
+    starts=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=1, max_size=25
+    ),
+    gram_n=st.integers(min_value=2, max_value=6),
+)
+@settings(**SETTINGS)
+def test_span_islands_matches_python_replica(spark, starts, gram_n):
+    """The gaps-and-islands window merge equals a straightforward
+    Python sweep for arbitrary duplicated-gram start sets (duplicate
+    starts included — they collapse like any overlapping hit)."""
+    from embeddinghub_spark.functions.dedup import _span_islands
+
+    df = spark.createDataFrame([(1, s) for s in starts], ["doc_id", "start"])
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in _span_islands(df, "doc_id", gram_n).collect()
+    )
+
+    expected = []
+    for s in sorted(set(starts)):
+        fin = s + gram_n - 1
+        if expected and s <= expected[-1][1] + 1:
+            expected[-1] = (expected[-1][0], max(expected[-1][1], fin))
+        else:
+            expected.append((s, fin))
+    assert got == expected, (starts, gram_n, got, expected)
