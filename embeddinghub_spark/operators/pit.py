@@ -570,3 +570,45 @@ def build_training_set(
     if order_by_label_ts:
         out = out.orderBy("label_ts")  # provider/spark.go:243-249
     return out
+
+
+def validate_pit(
+    df: DataFrame,
+    label_ts_col: str = "label_ts",
+    feature_ts_cols: list[str] | None = None,
+) -> DataFrame:
+    """Label-leakage audit for a training frame that carries feature
+    timestamps: returns the rows where ANY feature timestamp is
+    LATER than the label timestamp — each one a point-in-time
+    violation (the feature value could not have been known at label
+    time; ref semantics: `provider/spark.go:103-255` joins on
+    f.ts <= l.ts, so a correct builder yields an EMPTY result here).
+    Run it against externally-produced training sets before reuse —
+    the independent check that a vendor/legacy table was built
+    point-in-time correct. NULL feature timestamps (no feature row
+    matched) are not violations.
+
+    Map-only: one codegen disjunction over the ts columns, no
+    shuffle; columns default to every column ending in ``__ts``.
+    Output: the violating input rows plus ``violations`` — the array
+    of offending feature-ts column names.
+    """
+    cols = feature_ts_cols
+    if cols is None:
+        cols = [c for c in df.columns if c.endswith("__ts")]
+    if not cols:
+        raise ValueError(
+            "no feature timestamp columns found (pass feature_ts_cols "
+            "or include *__ts columns in the frame)"
+        )
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(c) > F.col(label_ts_col), F.lit(c))
+                for c in cols
+            ]
+        )
+    )
+    return df.withColumn("violations", flags).filter(
+        F.size("violations") > 0
+    )

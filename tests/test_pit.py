@@ -414,3 +414,31 @@ def test_skew_probe_memoized_across_builds(spark):
     # a semantically different plan probes fresh
     c = spark.range(10_000).selectExpr("id % 3 as entity", "id as v")
     assert pit.probe_entity_skew(c, "entity") is not r1
+
+
+def test_validate_pit_flags_leaked_features(spark):
+    """A feature timestamp after the label timestamp is a PIT
+    violation; NULL feature ts (no match) is not; clean frames come
+    back empty."""
+    import pytest
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.pit import validate_pit
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t(10), t(9), t(8)),    # ok
+            (2, t(10), t(11), t(8)),   # f1 leaked
+            (3, t(10), t(12), t(13)),  # both leaked
+            (4, t(10), None, t(1)),    # null feature ts: ok
+        ],
+        ["entity", "label_ts", "f1__ts", "f2__ts"],
+    )
+    out = {r["entity"]: r["violations"] for r in validate_pit(df).collect()}
+    assert out == {2: ["f1__ts"], 3: ["f1__ts", "f2__ts"]}
+
+    clean = df.filter("entity IN (1, 4)")
+    assert validate_pit(clean).count() == 0
+    with pytest.raises(ValueError, match="feature timestamp"):
+        validate_pit(df.select("entity", "label_ts"))
