@@ -4218,6 +4218,41 @@ HAVING sum(s) != 0
 """
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/split.py
+    negative_samples): 8 md5-positioned draws per anchor from the
+    globally-numbered id corpus — contrastive-training negatives,
+    exactly replayable."""
+    from embeddinghub_spark.operators.split import negative_samples
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id")
+    )
+    return negative_samples(
+        emb, anchors, 8, id_col="vec_id", anchor_col="anchor_id", seed=42
+    )
+
+
+_NEGATIVE_SAMPLES_ORACLE = """
+WITH ids AS (SELECT DISTINCT vec_id FROM embeddings),
+num AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS pos FROM ids),
+nn AS (SELECT count(*) AS n FROM ids),
+req AS (
+  SELECT a.vec_id AS anchor_id,
+         CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '|'
+               || CAST(u.j AS VARCHAR) || '|' || '42'), 1, 15)) AS BIGINT)
+           % nn.n + 1 AS pos
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) a
+  CROSS JOIN UNNEST(range(1, 9)) AS u(j)
+  CROSS JOIN nn
+)
+SELECT DISTINCT r.anchor_id AS anchor_id, num.vec_id AS neg_id
+FROM req r JOIN num ON r.pos = num.pos
+WHERE num.vec_id != r.anchor_id
+"""
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence from the corpus unigram distribution
     (functions/text.py source_divergence) — the mixture-drift
@@ -4791,6 +4826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_spans": q_incremental_spans,
         "cohort_retention": q_cohort_retention,
         "source_divergence": q_source_divergence,
+        "negative_samples": q_negative_samples,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4887,6 +4923,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_spans": _INCREMENTAL_SPANS_ORACLE,
         "cohort_retention": _COHORT_ORACLE,
         "source_divergence": _SOURCE_DIVERGENCE_ORACLE,
+        "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

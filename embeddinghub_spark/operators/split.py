@@ -252,3 +252,89 @@ def weighted_sample(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("_ek", ek)
     return _two_stage_topk(keyed, group_col, k, order).drop("_ek")
+
+
+def negative_samples(
+    ids_df: DataFrame,
+    anchors_df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    anchor_col: str = "anchor_id",
+    positives: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/triplet
+    training data: each anchor draws ``k`` pseudo-random candidates
+    from the id corpus — positions ``md5(anchor|j|seed) mod N`` into
+    a global ordering of the ids — then known positives (and the
+    anchor itself) are excluded. Draw collisions and exclusions mean
+    UP TO k negatives per anchor (the standard sample-then-filter
+    semantics; callers needing exactly k over-draw and rank).
+
+    The id corpus is positioned with the C5 range-partition
+    prefix-sum numbering (``with_global_row_number_counted``) — no
+    single-partition global window, so the position table
+    parallelizes at any corpus size; requests are |anchors|·k rows
+    joined to it on position (AQE broadcasts the request side while
+    it fits). The md5 protocol makes the exact sample replayable in
+    any engine and invariant to partitioning — the property that
+    matters when the negatives ship to a training job that must be
+    reproducible.
+
+    Output: (anchor, neg_id), distinct.
+    """
+    from embeddinghub_spark.operators.materialize import (
+        with_global_row_number_counted,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    numbered, n = with_global_row_number_counted(
+        ids_df.select(id_col).distinct(), [id_col], row_col="_pos"
+    )
+    if n == 0:
+        raise ValueError("ids_df is empty — nothing to sample")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col(anchor_col).cast("string"),
+                        F.col("_j").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+        + 1
+    )
+    requests = (
+        anchors_df.select(anchor_col)
+        .distinct()
+        .select(
+            F.col(anchor_col),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_j"),
+        )
+        .select(F.col(anchor_col), pos.alias("_pos"))
+    )
+    drawn = (
+        requests.join(numbered, "_pos")
+        .select(F.col(anchor_col), F.col(id_col).alias("neg_id"))
+        .filter(F.col(anchor_col) != F.col("neg_id"))
+        .distinct()
+    )
+    if positives is not None:
+        drawn = drawn.join(
+            positives.select(
+                F.col(anchor_col), F.col(id_col).alias("neg_id")
+            ),
+            [anchor_col, "neg_id"],
+            "left_anti",
+        )
+    return drawn

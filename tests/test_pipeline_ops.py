@@ -681,3 +681,40 @@ def test_gap_fill_null_observation_and_pre_epoch(spark):
     )
     # two DISTINCT day slots: 1969-12-31 and 1970-01-01
     assert slots == [datetime(1969, 12, 31), datetime(1970, 1, 1)]
+
+
+def test_negative_samples_excludes_and_reproduces(spark):
+    """Negatives never include the anchor or a known positive; same
+    seed reproduces identically; different seed draws differently."""
+    from embeddinghub_spark.operators.split import negative_samples
+
+    ids = spark.createDataFrame([(i,) for i in range(50)], ["vec_id"])
+    anchors = spark.createDataFrame([(1,), (2,)], ["anchor_id"])
+    positives = spark.createDataFrame(
+        [(1, 7), (1, 9), (2, 3)], ["anchor_id", "vec_id"]
+    )
+    out1 = {
+        (r["anchor_id"], r["neg_id"])
+        for r in negative_samples(
+            ids, anchors, 10, positives=positives, seed=5
+        ).collect()
+    }
+    for a, n in out1:
+        assert n != a
+        assert (a, n) not in {(1, 7), (1, 9), (2, 3)}
+    assert len(out1) > 10  # up-to-k semantics, most draws survive
+
+    out2 = {
+        (r["anchor_id"], r["neg_id"])
+        for r in negative_samples(
+            ids, anchors, 10, positives=positives, seed=5
+        ).collect()
+    }
+    assert out1 == out2
+    out3 = {
+        (r["anchor_id"], r["neg_id"])
+        for r in negative_samples(
+            ids, anchors, 10, positives=positives, seed=6
+        ).collect()
+    }
+    assert out1 != out3
