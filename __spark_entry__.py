@@ -4218,6 +4218,46 @@ HAVING sum(s) != 0
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining (functions/vector.py
+    hard_negatives): top-10 per anchor within the cosine band
+    [0.15, 0.35) — the curated complement to the uniform
+    negative_samples draws."""
+    from embeddinghub_spark.functions.vector import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hard_negatives(
+        emb, anchors, 10, dim=_EMB_DIM, lo=0.15, hi=0.35
+    ).select("query_id", "neg_id", "cosine", "rank")
+
+
+_HARD_NEGATIVES_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+cand AS (
+  SELECT q.qid AS query_id, e.vec_id AS neg_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])))), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+),
+banded AS (SELECT * FROM cand WHERE cosine >= 0.15 AND cosine < 0.35)
+SELECT query_id, neg_id, cosine, rank FROM (
+  SELECT query_id, neg_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neg_id ASC) AS INTEGER) AS rank
+  FROM banded
+) WHERE rank <= 10
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling (operators/split.py
     negative_samples): 8 md5-positioned draws per anchor from the
@@ -4827,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "source_divergence": q_source_divergence,
         "negative_samples": q_negative_samples,
+        "hard_negatives": q_hard_negatives,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4924,6 +4965,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_ORACLE,
         "source_divergence": _SOURCE_DIVERGENCE_ORACLE,
         "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
+        "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -1842,3 +1842,69 @@ def sparse_cosine_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "dot", "cosine")
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    lo: float = 0.3,
+    hi: float = 0.9,
+    positives: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training (the FaceNet
+    band recipe): per anchor, the top-``k`` corpus vectors by cosine
+    WITHIN ``[lo, hi)`` — similar enough to be informative, below the
+    near-duplicate band that is probably an unlabeled positive. The
+    curated complement to ``operators.split.negative_samples``'s
+    uniform draws (uniform negatives are mostly too easy; the band is
+    where the gradient signal lives).
+
+    Cosines are rounded to 6 decimals BEFORE the band comparison and
+    the ranking — the near-dup threshold convention, so band
+    membership and order are engine-exact, not ulp-dependent.
+    ``positives`` (anchor, id) pairs are excluded, as is the anchor
+    itself.
+
+    Scale shape: the V5 broadcast pattern — norms hoisted per row,
+    anchors broadcast against the partitioned corpus (never
+    shuffled), then the two-stage per-query top-k. For anchor sets
+    too large to broadcast, mine per anchor shard.
+    """
+    if not (0 <= lo < hi):
+        raise ValueError(f"need 0 <= lo < hi, got [{lo}, {hi})")
+    v = vectors.withColumn("_vn", norm(vec_col, dim))
+    q = queries.withColumn("_qn", norm(query_vec_col, dim))
+    cos = F.round(
+        dot(vec_col, query_vec_col, dim) / (F.col("_vn") * F.col("_qn")), 6
+    )
+    cand = (
+        v.join(F.broadcast(q))
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neg_id"),
+            cos.alias("cosine"),
+        )
+        .filter(
+            (F.col("cosine") >= lo)
+            & (F.col("cosine") < hi)
+            & (F.col("neg_id") != F.col("query_id"))
+        )
+    )
+    if positives is not None:
+        cand = cand.join(
+            positives.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(id_col).alias("neg_id"),
+            ),
+            ["query_id", "neg_id"],
+            "left_anti",
+        )
+    return _topk_per_query(
+        cand, k, [F.col("cosine").desc(), F.col("neg_id").asc()]
+    )

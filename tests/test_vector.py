@@ -596,3 +596,29 @@ def test_sparse_cosine_pairs_exact_and_pruned(spark):
     }
     assert set(pruned) == {(1, 2)}
     assert pruned[(1, 2)] == 2 * 1 + 1 * 3
+
+
+def test_hard_negatives_band_and_exclusions(spark):
+    """Mined negatives sit strictly inside [lo, hi), never include the
+    anchor or a known positive, and rank by descending cosine."""
+    from embeddinghub_spark.functions.vector import hard_negatives
+
+    dim = 4
+    # corpus: anchor-aligned (cos 1.0), semi-hard (~0.7), orthogonal (0)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # anchor itself
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact copy: cos 1.0 -> above band
+        (3, [0.7, 0.714143, 0.0, 0.0]),  # ~0.7 -> in band
+        (4, [0.5, 0.866025, 0.0, 0.0]),  # ~0.5 -> in band
+        (5, [0.0, 1.0, 0.0, 0.0]),   # 0.0 -> below band
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], ["query_id", "query_vec"]
+    )
+    positives = spark.createDataFrame([(1, 4)], ["query_id", "vec_id"])
+    out = hard_negatives(
+        emb, anchors, 5, dim=dim, lo=0.3, hi=0.9, positives=positives
+    ).collect()
+    assert [(r["neg_id"], r["rank"]) for r in out] == [(3, 1)]
+    assert 0.3 <= out[0]["cosine"] < 0.9
