@@ -4218,6 +4218,30 @@ HAVING sum(s) != 0
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (functions/text.py
+    normalize_text): lowercase + digit masking + punctuation strip +
+    whitespace collapse — the composable cleaning stage every
+    dedup/fingerprint recipe runs first."""
+    from embeddinghub_spark.functions.text import normalize_text
+
+    return normalize_text(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        mask_digits=True,
+    )
+
+
+_NORMALIZE_TEXT_ORACLE = """
+SELECT doc_id, text,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+           '[^a-z0-9 ]', '', 'g'),
+         ' +', ' ', 'g')) AS normalized
+FROM documents
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-hard negative mining (functions/vector.py
     hard_negatives): top-10 per anchor within the cosine band
@@ -4868,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "negative_samples": q_negative_samples,
         "hard_negatives": q_hard_negatives,
+        "normalize_text": q_normalize_text,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4966,6 +4991,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _SOURCE_DIVERGENCE_ORACLE,
         "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
         "hard_negatives": _HARD_NEGATIVES_ORACLE,
+        "normalize_text": _NORMALIZE_TEXT_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

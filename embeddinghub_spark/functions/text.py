@@ -1240,3 +1240,36 @@ def source_divergence(
             (F.col("_s").cast("double") / F.lit(1.0e9)).alias("kl_divergence"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    collapse_whitespace: bool = True,
+    mask_digits: bool = False,
+) -> DataFrame:
+    """Canonical text normalization as a standalone, composable stage
+    (the cleanup every dedup/fingerprint pipeline runs first —
+    ``fingerprint`` hard-codes one recipe; this exposes the knobs):
+    lowercase → optional digit masking (numbers → '0', the classic
+    trick that lets '5 items' and '7 items' dedup together) →
+    punctuation strip → whitespace collapse + trim. Pure codegen
+    regexp chain, map-only, zero shuffles; ASCII-pinned patterns so
+    Java regex (Spark) and RE2 (DuckDB) agree byte for byte.
+
+    Output: all input columns plus ``normalized``.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if mask_digits:
+        c = F.regexp_replace(c, r"[0-9]+", "0")
+    if strip_punct:
+        keep = "a-z0-9 " if lowercase else "A-Za-z0-9 "
+        c = F.regexp_replace(c, f"[^{keep}]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r" +", " "))
+    return df.withColumn("normalized", c)

@@ -675,3 +675,17 @@ def test_source_divergence_detects_outlier(spark):
     assert out["src_c"] > out["src_a"] + 0.1
     assert out["src_a"] == out["src_b"]
     assert all(v >= -1e-6 for v in out.values())
+
+
+def test_normalize_text_knobs(spark):
+    from embeddinghub_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,  WORLD!!  42 items &  7 more  ")], ["doc_id", "text"]
+    )
+    full = normalize_text(df, mask_digits=True).collect()[0]["normalized"]
+    assert full == "hello world 0 items 0 more"
+    keep_case = normalize_text(df, lowercase=False).collect()[0]["normalized"]
+    assert keep_case == "Hello WORLD 42 items 7 more"
+    keep_punct = normalize_text(df, strip_punct=False).collect()[0]["normalized"]
+    assert keep_punct == "hello, world!! 42 items & 7 more"
