@@ -4218,6 +4218,57 @@ HAVING sum(s) != 0
 """
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom membership sketch (functions/profile.py
+    bloom_build/bloom_probe): the benchmark docs' fingerprints build
+    the filter, every document probes it — the broadcastable
+    no-false-negative pre-filter for decontamination-style joins."""
+    from embeddinghub_spark.functions.profile import bloom_build, bloom_probe
+    from embeddinghub_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", fingerprint("text").alias("fp"))
+    bench = keyed.filter(F.col("doc_id") % 20 == 0).select("fp")
+    bloom = bloom_build(bench, "fp", m_bits=4096, k_hashes=4)
+    probed = bloom_probe(
+        keyed.select("fp").distinct(), bloom, "fp", m_bits=4096, k_hashes=4
+    )
+    return keyed.join(probed, "fp").select("doc_id", "maybe_member")
+
+
+_BLOOM_ORACLE = f"""
+WITH fps AS (SELECT doc_id, {_FPR_SQL} AS fp FROM documents),
+bench AS (SELECT fp FROM fps WHERE doc_id % 20 = 0),
+bpos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || fp), 1, 15))
+              AS BIGINT) % 4096 AS p
+  FROM bench, UNNEST([0, 1, 2, 3]) AS u(j)
+),
+bloom AS (
+  SELECT CAST(floor(p / 32) AS BIGINT) AS lane,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM bpos GROUP BY 1
+),
+cand AS (SELECT DISTINCT fp FROM fps),
+req AS (
+  SELECT fp,
+         CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || fp), 1, 15))
+              AS BIGINT) % 4096 AS p
+  FROM cand, UNNEST([0, 1, 2, 3]) AS u(j)
+),
+hits AS (
+  SELECT r.fp AS fp,
+         min(CASE WHEN ((coalesce(b.word, 0) >> CAST(r.p % 32 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS allset
+  FROM (SELECT fp, p, CAST(floor(p / 32) AS BIGINT) AS lane FROM req) r
+  LEFT JOIN bloom b ON r.lane = b.lane
+  GROUP BY r.fp
+)
+SELECT f.doc_id AS doc_id, (h.allset = 1) AS maybe_member
+FROM fps f JOIN hits h ON f.fp = h.fp
+"""
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (functions/text.py
     normalize_text): lowercase + digit masking + punctuation strip +
@@ -4893,6 +4944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "hard_negatives": q_hard_negatives,
         "normalize_text": q_normalize_text,
+        "bloom_filter": q_bloom_filter,
         "s2_json_scan": q_s2_json_scan,
         "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
@@ -4992,6 +5044,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
         "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "normalize_text": _NORMALIZE_TEXT_ORACLE,
+        "bloom_filter": _BLOOM_ORACLE,
         "incremental_dedup": _incremental_dedup_oracle(),
         "profile_table": _PROFILE_ORACLE,
         "containment_pairs": _containment_pairs_oracle(),

@@ -416,3 +416,107 @@ def cms_topk(
             .alias("overestimate"),
         )
     )
+
+
+def bloom_build(
+    keys_df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Explicit Bloom filter over a key set — the membership sketch
+    completing this module's family (HLL = distinct, CMS =
+    frequency, histogram = quantiles): ``m_bits`` bits as 32-bit
+    lanes, each key setting ``k_hashes`` md5-derived positions.
+    Lanes merge by bitwise OR (algebraic), so building over a 100 TB
+    key scan is one map-side-combining aggregate whose exchange
+    carries at most m_bits/32 lane rows per task; the finished
+    filter is <= m_bits/32 rows — broadcastable anywhere a cheap
+    "definitely not in the set" pre-filter saves a join (the classic
+    decontamination / CDC-probe gate).
+
+    32-bit lanes (not 64) keep every word a positive bigint — no
+    sign-bit shift edge to disagree on across engines. All md5
+    arithmetic is the repo protocol, so the exact filter replays in
+    the oracle. Output: (lane, word).
+    """
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    from embeddinghub_spark.functions.dedup import _md5_long
+
+    pos = F.explode(
+        F.array(
+            *[
+                (
+                    _md5_long(
+                        F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))
+                    )
+                    % m_bits
+                )
+                for j in range(k_hashes)
+            ]
+        )
+    ).alias("_pos")
+    return (
+        keys_df.select(pos)
+        .select(
+            F.floor(F.col("_pos") / 32).cast("bigint").alias("lane"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))").alias("_bit"),
+        )
+        .groupBy("lane")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    candidates_df: DataFrame,
+    bloom_df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe against a ``bloom_build`` filter:
+    ``maybe_member`` is true iff ALL ``k_hashes`` positions are set —
+    NO false negatives ever; false-positive rate ≈
+    (1 - e^(-k·n/m))^k (callers confirm positives with the exact
+    join the filter just spared them on the negatives). The filter
+    side is <= m_bits/32 rows and broadcast; the probe is map-only
+    plus one per-candidate aggregate.
+
+    Output: the candidate rows plus ``maybe_member``.
+    """
+    from embeddinghub_spark.functions.dedup import _md5_long
+
+    reqs = candidates_df.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        _md5_long(
+                            F.concat(
+                                F.lit(f"{j}:"), F.col(key_col).cast("string")
+                            )
+                        )
+                        % m_bits
+                    )
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("_pos"),
+    ).select(
+        F.col(key_col),
+        F.floor(F.col("_pos") / 32).cast("bigint").alias("lane"),
+        (F.col("_pos") % 32).cast("int").alias("_bit"),
+    )
+    hit = F.expr(
+        "CAST(shiftright(coalesce(word, CAST(0 AS BIGINT)), _bit) & 1 AS INT)"
+    )
+    return (
+        reqs.join(F.broadcast(bloom_df), "lane", "left")
+        .select(F.col(key_col), hit.alias("_hit"))
+        .groupBy(key_col)
+        .agg((F.min("_hit") == 1).alias("maybe_member"))
+    )

@@ -516,3 +516,27 @@ def test_span_islands_matches_python_replica(spark, starts, gram_n):
         else:
             expected.append((s, fin))
     assert got == expected, (starts, gram_n, got, expected)
+
+
+@given(
+    members=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                    min_size=1, max_size=30),
+    probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                   min_size=1, max_size=30),
+)
+@settings(**SETTINGS)
+def test_bloom_no_false_negatives(spark, members, probes):
+    """Every true member probes positive (the Bloom guarantee);
+    at generous m_bits the tiny test sets also produce no false
+    positives, pinning the hash arithmetic end to end."""
+    from embeddinghub_spark.functions.profile import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(m,) for m in members], ["key"])
+    pdf = spark.createDataFrame([(p,) for p in probes], ["key"])
+    bloom = bloom_build(mdf, "key", m_bits=8192, k_hashes=4)
+    got = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_probe(pdf, bloom, "key", m_bits=8192, k_hashes=4).collect()
+    }
+    for p in probes:
+        assert got[p] == (p in members), (p, got[p])
