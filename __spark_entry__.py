@@ -4230,10 +4230,9 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select("doc_id", fingerprint("text").alias("fp"))
     bench = keyed.filter(F.col("doc_id") % 20 == 0).select("fp")
     bloom = bloom_build(bench, "fp", m_bits=4096, k_hashes=4)
-    probed = bloom_probe(
-        keyed.select("fp").distinct(), bloom, "fp", m_bits=4096, k_hashes=4
+    return bloom_probe(keyed, bloom, "fp", m_bits=4096, k_hashes=4).select(
+        "doc_id", "maybe_member"
     )
-    return keyed.join(probed, "fp").select("doc_id", "maybe_member")
 
 
 _BLOOM_ORACLE = f"""
@@ -4282,13 +4281,13 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORMALIZE_TEXT_ORACLE = """
+_NORMALIZE_TEXT_ORACLE = r"""
 SELECT doc_id, text,
        trim(regexp_replace(
          regexp_replace(
            regexp_replace(lower(text), '[0-9]+', '0', 'g'),
-           '[^a-z0-9 ]', '', 'g'),
-         ' +', ' ', 'g')) AS normalized
+           '[^a-z0-9\s]', '', 'g'),
+         '\s+', ' ', 'g')) AS normalized
 FROM documents
 """
 

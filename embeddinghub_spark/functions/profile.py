@@ -418,6 +418,36 @@ def cms_topk(
     )
 
 
+def _bloom_positions(key_col: str, m_bits: int, k_hashes: int):
+    """The k md5 bit positions of a key — ONE definition shared by
+    build and probe (any drift between the two would silently break
+    the no-false-negative guarantee), with the parameter validation
+    both sides need: a probe whose (m_bits, k_hashes) differ from
+    the build's hashes to different positions and returns false
+    negatives, so both ends validate eagerly; keeping the two calls
+    in one code path (and, for on-disk filters, a params sidecar a
+    la the gram index) is the caller's contract."""
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    from embeddinghub_spark.functions.dedup import _md5_long
+
+    return F.explode(
+        F.array(
+            *[
+                (
+                    _md5_long(
+                        F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))
+                    )
+                    % m_bits
+                )
+                for j in range(k_hashes)
+            ]
+        )
+    ).alias("_pos")
+
+
 def bloom_build(
     keys_df: DataFrame,
     key_col: str,
@@ -440,27 +470,8 @@ def bloom_build(
     arithmetic is the repo protocol, so the exact filter replays in
     the oracle. Output: (lane, word).
     """
-    if m_bits < 32 or m_bits % 32 != 0:
-        raise ValueError("m_bits must be a positive multiple of 32")
-    if k_hashes < 1:
-        raise ValueError("k_hashes must be >= 1")
-    from embeddinghub_spark.functions.dedup import _md5_long
-
-    pos = F.explode(
-        F.array(
-            *[
-                (
-                    _md5_long(
-                        F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))
-                    )
-                    % m_bits
-                )
-                for j in range(k_hashes)
-            ]
-        )
-    ).alias("_pos")
     return (
-        keys_df.select(pos)
+        keys_df.select(_bloom_positions(key_col, m_bits, k_hashes))
         .select(
             F.floor(F.col("_pos") / 32).cast("bigint").alias("lane"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))").alias("_bit"),
@@ -487,25 +498,8 @@ def bloom_probe(
 
     Output: the candidate rows plus ``maybe_member``.
     """
-    from embeddinghub_spark.functions.dedup import _md5_long
-
     reqs = candidates_df.select(
-        F.col(key_col),
-        F.explode(
-            F.array(
-                *[
-                    (
-                        _md5_long(
-                            F.concat(
-                                F.lit(f"{j}:"), F.col(key_col).cast("string")
-                            )
-                        )
-                        % m_bits
-                    )
-                    for j in range(k_hashes)
-                ]
-            )
-        ).alias("_pos"),
+        F.col(key_col), _bloom_positions(key_col, m_bits, k_hashes)
     ).select(
         F.col(key_col),
         F.floor(F.col("_pos") / 32).cast("bigint").alias("lane"),
@@ -514,9 +508,12 @@ def bloom_probe(
     hit = F.expr(
         "CAST(shiftright(coalesce(word, CAST(0 AS BIGINT)), _bit) & 1 AS INT)"
     )
-    return (
+    per_key = (
         reqs.join(F.broadcast(bloom_df), "lane", "left")
         .select(F.col(key_col), hit.alias("_hit"))
         .groupBy(key_col)
         .agg((F.min("_hit") == 1).alias("maybe_member"))
     )
+    # deliver the documented contract: the CANDIDATE ROWS (all their
+    # columns, duplicates included) plus the flag
+    return candidates_df.join(per_key, key_col)

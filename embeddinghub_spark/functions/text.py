@@ -1256,9 +1256,11 @@ def normalize_text(
     ``fingerprint`` hard-codes one recipe; this exposes the knobs):
     lowercase → optional digit masking (numbers → '0', the classic
     trick that lets '5 items' and '7 items' dedup together) →
-    punctuation strip → whitespace collapse + trim. Pure codegen
-    regexp chain, map-only, zero shuffles; ASCII-pinned patterns so
-    Java regex (Spark) and RE2 (DuckDB) agree byte for byte.
+    punctuation strip (which PRESERVES whitespace characters, so a
+    newline between words never glues them) → whitespace collapse
+    (ANY whitespace run → one space) + trim. Pure codegen regexp
+    chain, map-only, zero shuffles; ASCII-pinned patterns so Java
+    regex (Spark) and RE2 (DuckDB) agree byte for byte.
 
     Output: all input columns plus ``normalized``.
     """
@@ -1268,8 +1270,10 @@ def normalize_text(
     if mask_digits:
         c = F.regexp_replace(c, r"[0-9]+", "0")
     if strip_punct:
-        keep = "a-z0-9 " if lowercase else "A-Za-z0-9 "
+        # keep whitespace in the class: 'hello\nworld' must not
+        # become 'helloworld' — the collapse step owns whitespace
+        keep = r"a-z0-9\s" if lowercase else r"A-Za-z0-9\s"
         c = F.regexp_replace(c, f"[^{keep}]", "")
     if collapse_whitespace:
-        c = F.trim(F.regexp_replace(c, r" +", " "))
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn("normalized", c)

@@ -258,8 +258,11 @@ def gap_fill(
 
     Timestamps stay TIMESTAMP_NTZ end to end: slot arithmetic is
     ``timestampdiff(SECOND, epoch0, ts)`` (tz-free for NTZ — the
-    decayed_count idiom) with the slot floor as pure bigint
-    ``e - e % step``, re-materialized via ``timestampadd``.
+    decayed_count idiom) with the slot floor as
+    ``floor(e / step) · step`` — floor-toward-minus-infinity, NOT
+    ``e - e % step`` (Spark's % follows the dividend sign, which
+    would alias pre-1970 epochs into slot 0) — re-materialized via
+    ``timestampadd``.
 
     Scale shape: slot collapse (one exchange on (entity, slot),
     map-side combine) → per-entity span aggregate (|entities| rows)

@@ -586,7 +586,10 @@ def validate_pit(
     Run it against externally-produced training sets before reuse —
     the independent check that a vendor/legacy table was built
     point-in-time correct. NULL feature timestamps (no feature row
-    matched) are not violations.
+    matched) are not violations, but a NULL LABEL timestamp is —
+    there is nothing to validate against, so the row is flagged with
+    the label column's name (silently passing it would certify an
+    unauditable frame as clean).
 
     Map-only: one codegen disjunction over the ts columns, no
     shuffle; columns default to every column ending in ``__ts``.
@@ -603,10 +606,11 @@ def validate_pit(
         )
     flags = F.array_compact(
         F.array(
+            F.when(F.col(label_ts_col).isNull(), F.lit(label_ts_col)),
             *[
                 F.when(F.col(c) > F.col(label_ts_col), F.lit(c))
                 for c in cols
-            ]
+            ],
         )
     )
     return df.withColumn("violations", flags).filter(

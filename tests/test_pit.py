@@ -442,3 +442,16 @@ def test_validate_pit_flags_leaked_features(spark):
     assert validate_pit(clean).count() == 0
     with pytest.raises(ValueError, match="feature timestamp"):
         validate_pit(df.select("entity", "label_ts"))
+
+
+def test_validate_pit_null_label_ts_is_flagged(spark):
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.pit import validate_pit
+
+    df = spark.createDataFrame(
+        [(1, None, datetime(2024, 1, 1))],
+        "entity int, label_ts timestamp_ntz, f1__ts timestamp_ntz",
+    )
+    out = validate_pit(df).collect()
+    assert len(out) == 1 and out[0]["violations"] == ["label_ts"]

@@ -540,3 +540,21 @@ def test_bloom_no_false_negatives(spark, members, probes):
     }
     for p in probes:
         assert got[p] == (p in members), (p, got[p])
+
+
+def test_bloom_probe_validates_and_returns_candidate_rows(spark):
+    """Probe-side parameter validation (a silent mismatch would break
+    the no-false-negative guarantee) and the full-candidate-row
+    output contract."""
+    import pytest
+
+    from embeddinghub_spark.functions.profile import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([("a",), ("b",)], ["key"])
+    cdf = spark.createDataFrame([(1, "a"), (2, "a"), (3, "zz")], ["rid", "key"])
+    bloom = bloom_build(mdf, "key", m_bits=4096)
+    out = {r["rid"]: r["maybe_member"]
+           for r in bloom_probe(cdf, bloom, "key", m_bits=4096).collect()}
+    assert out == {1: True, 2: True, 3: False}  # dup rows preserved
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(cdf, bloom, "key", m_bits=1000)

@@ -689,3 +689,16 @@ def test_normalize_text_knobs(spark):
     assert keep_case == "Hello WORLD 42 items 7 more"
     keep_punct = normalize_text(df, strip_punct=False).collect()[0]["normalized"]
     assert keep_punct == "hello, world!! 42 items & 7 more"
+
+
+def test_normalize_text_whitespace_types(spark):
+    """Newlines/tabs normalize like spaces — never glue words."""
+    from embeddinghub_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "hello\nworld"), (2, "a\t\tb  c"), (3, "hello world")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["normalized"] for r in normalize_text(df).collect()}
+    assert out[1] == "hello world" == out[3]
+    assert out[2] == "a b c"
