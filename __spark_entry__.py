@@ -4263,8 +4263,8 @@ hits AS (
   LEFT JOIN bloom b ON r.lane = b.lane
   GROUP BY r.fp
 )
-SELECT f.doc_id AS doc_id, (h.allset = 1) AS maybe_member
-FROM fps f JOIN hits h ON f.fp = h.fp
+SELECT f.doc_id AS doc_id, coalesce(h.allset = 1, false) AS maybe_member
+FROM fps f JOIN hits h ON f.fp IS NOT DISTINCT FROM h.fp
 """
 
 
@@ -4740,7 +4740,8 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
         "edges AS (SELECT c AS src, s AS dst FROM pairs"
         " UNION ALL SELECT s AS src, c AS dst FROM pairs)",
         "deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src)",
-        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION ALL SELECT dst AS node FROM edges))",
         "nt AS (SELECT count(*) AS n FROM nodes)",
         "r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE), 9)"
         " AS rank FROM nodes CROSS JOIN nt)",
@@ -4855,18 +4856,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. Rounds 1-3 certified the relational/dedup/
-    # ANN core; round 4 fills positions 1-49 exclusively with entries that have
-    # NEVER received a driver CORRECTNESS row in any round (the f8 tail, the
-    # quality/curation block, f9 streaming, v1/v3/v9 serving, multimodal, and
-    # every operator new in round 4), and keeps the flagship sentinel (c6) at
-    # 50 as a cross-round regression canary. The four f8 entries certified in
-    # r2 (scalar/date/rollup/array) yield their slots to never-certified ops —
-    # maximizing first-time coverage — and rotate back in r5 together with the
-    # three remaining post-window entries (s2_json_scan, cap_per_group,
-    # f8_moving_avg).
+    # entries of this dict per round. Rounds 1-4 certified 103 of the 128
+    # entries; round 5 closes the ledger: positions 1-29 are the 25 entries
+    # that have NEVER had a driver CORRECTNESS row (the round-4 additions past
+    # the r4 window: dup_spans .. f8_moving_avg) plus the four f8 entries
+    # certified in r2 but evicted from every window since
+    # (scalar/date/rollup/array). Positions 30-49 are core sentinels
+    # (previously-certified regression canaries spanning PIT, dedup, ANN,
+    # sampling, profiling, and the relational f8 block), and position 50 keeps
+    # the flagship c6 sentinel as the cross-round canary. After this round the
+    # cumulative driver ledger covers all 128 entries. The registry is frozen:
+    # any new entry lands past position 50 until the next rotation.
     return {
-        # --- positions 1-49: never driver-certified in any round ---
+        # --- positions 1-25: never driver-certified in any round ---
+        "dup_spans": q_dup_spans,
+        "cms_topk": q_cms_topk,
+        "nb_classifier": q_nb_classifier,
+        "weighted_sample": q_weighted_sample,
+        "pagerank": q_pagerank,
+        "rrf_fusion": q_rrf_fusion,
+        "f9_stream_join": q_f9_stream_join,
+        "trim_spans": q_trim_spans,
+        "zorder_key": q_zorder_key,
+        "gap_fill": q_gap_fill,
+        "funnel_steps": q_funnel_steps,
+        "hash_vectorizer": q_hash_vectorizer,
+        "sparse_cosine": q_sparse_cosine,
+        "snapshot_diff": q_snapshot_diff,
+        "curation_v2": q_curation_v2,
+        "incremental_spans": q_incremental_spans,
+        "cohort_retention": q_cohort_retention,
+        "source_divergence": q_source_divergence,
+        "negative_samples": q_negative_samples,
+        "hard_negatives": q_hard_negatives,
+        "normalize_text": q_normalize_text,
+        "bloom_filter": q_bloom_filter,
+        "s2_json_scan": q_s2_json_scan,
+        "cap_per_group": q_cap_per_group,
+        "f8_moving_avg": q_f8_moving_avg,
+        # --- positions 26-29: r2-certified, evicted from r3/r4 windows ---
+        "f8_scalar_funcs": q_f8_scalar_funcs,
+        "f8_date_funcs": q_f8_date_funcs,
+        "f8_rollup": q_f8_rollup,
+        "f8_array_funcs": q_f8_array_funcs,
+        # --- positions 30-49: previously-certified core sentinels ---
+        "v5_knn_bruteforce": q_v5_knn_bruteforce,
+        "dedup_exact": q_dedup_exact,
+        "c1_sql_transformation": q_c1_sql_transformation,
+        "c3_materialize_latest": q_c3_materialize_latest,
+        "c15_train_test_split": q_c15_train_test_split,
+        "s5_incremental_read": q_s5_incremental_read,
+        "c5_chunked_segment": q_c5_chunked_segment,
+        "c11_lag_features": q_c11_lag_features,
+        "c14_batch_features": q_c14_batch_features,
+        "text_stats": q_text_stats,
+        "minhash_bands": q_minhash_bands,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "profile_table": q_profile_table,
+        "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
+        "f8_stats": q_f8_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "hll_profile": q_hll_profile,
+        "embedding_near_dup": q_embedding_near_dup,
+        # --- position 50: flagship sentinel (certified r1-r4) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window (all have at least
+        # one green driver row from rounds 1-4) ---
         "f8_pivot": q_f8_pivot,
         "f8_percentiles": q_f8_percentiles,
         "f8_exists": q_f8_exists,
@@ -4906,83 +4963,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
-        "semantic_dedup": q_semantic_dedup,
         "knn_join": q_knn_join,
         "unigram_logprob": q_unigram_logprob,
-        "hll_profile": q_hll_profile,
         "domain_tag": q_domain_tag,
         "histogram_quantiles": q_histogram_quantiles,
         "perplexity_buckets": q_perplexity_buckets,
         "embedding_clusters": q_embedding_clusters,
         "decayed_count": q_decayed_count,
         "robust_scale": q_robust_scale,
-        # --- position 50: core sentinel (certified r1-r3) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window; the never-certified
-        # entries here (dup_spans, s2_json_scan, cap_per_group, f8_moving_avg,
-        # and anything newer) and the four r2-certified f8 entries rotate into
-        # r5's window ---
-        "dup_spans": q_dup_spans,
-        "cms_topk": q_cms_topk,
-        "nb_classifier": q_nb_classifier,
-        "weighted_sample": q_weighted_sample,
-        "pagerank": q_pagerank,
-        "rrf_fusion": q_rrf_fusion,
-        "f9_stream_join": q_f9_stream_join,
-        "trim_spans": q_trim_spans,
-        "zorder_key": q_zorder_key,
-        "gap_fill": q_gap_fill,
-        "funnel_steps": q_funnel_steps,
-        "hash_vectorizer": q_hash_vectorizer,
-        "sparse_cosine": q_sparse_cosine,
-        "snapshot_diff": q_snapshot_diff,
-        "curation_v2": q_curation_v2,
-        "incremental_spans": q_incremental_spans,
-        "cohort_retention": q_cohort_retention,
-        "source_divergence": q_source_divergence,
-        "negative_samples": q_negative_samples,
-        "hard_negatives": q_hard_negatives,
-        "normalize_text": q_normalize_text,
-        "bloom_filter": q_bloom_filter,
-        "s2_json_scan": q_s2_json_scan,
-        "cap_per_group": q_cap_per_group,
-        "f8_moving_avg": q_f8_moving_avg,
-        "f8_scalar_funcs": q_f8_scalar_funcs,
-        "f8_date_funcs": q_f8_date_funcs,
-        "f8_rollup": q_f8_rollup,
-        "f8_array_funcs": q_f8_array_funcs,
-        "v5_knn_bruteforce": q_v5_knn_bruteforce,
-        "dedup_exact": q_dedup_exact,
-        "c1_sql_transformation": q_c1_sql_transformation,
-        "c3_materialize_latest": q_c3_materialize_latest,
-        "c15_train_test_split": q_c15_train_test_split,
-        "s5_incremental_read": q_s5_incremental_read,
         "c2_df_transformation": q_c2_df_transformation,
         "c4_materialize_no_ts": q_c4_materialize_no_ts,
-        "c5_chunked_segment": q_c5_chunked_segment,
         "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
         "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
-        "c11_lag_features": q_c11_lag_features,
-        "c14_batch_features": q_c14_batch_features,
         "c16_resource_registration": q_c16_resource_registration,
-        "text_stats": q_text_stats,
-        "minhash_bands": q_minhash_bands,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "dedup_passages": q_dedup_passages,
         "incremental_dedup": q_incremental_dedup,
-        "profile_table": q_profile_table,
         "containment_pairs": q_containment_pairs,
-        "knn_pq": q_knn_pq,
-        "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
-        "f8_stats": q_f8_stats,
         "pmi_collocations": q_pmi_collocations,
         "f8_regexp": q_f8_regexp,
-        "embedding_near_dup": q_embedding_near_dup,
         "c12_composite_entities": q_c12_composite_entities,
         "c10_feature_group_join": q_c10_feature_group_join,
         "c17_ctas": q_c17_ctas,

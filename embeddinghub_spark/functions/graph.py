@@ -33,12 +33,19 @@ def pagerank(
     synchronous iterations from the uniform start — node score =
     (1-d)/N + d·Σ_{in-edges} rank(src)/outdeg(src).
 
-    Nodes are the DISTINCT sources (callers with sink-only nodes add
-    reverse edges or self-loops first — a dangling node here neither
-    receives rank mass directed at it nor redistributes, which is the
-    standard "handle dangling upstream" convention); ``iterations``
-    is fixed rather than convergence-tested so the plan depth — and
-    the oracle — is static.
+    Nodes are the DISTINCT endpoints (sources ∪ destinations), so
+    sink-only nodes — pages that are only linked TO, often exactly
+    the high-centrality ones a curation weight cares about — receive
+    rank like any other node. Dangling-node policy: a node with no
+    out-edges keeps the mass directed at it but contributes only its
+    teleport share onward (no dangling-mass redistribution across the
+    graph — the (1-d)/N + d·Σ formula is applied verbatim, so ranks
+    sum to < 1 when dangling nodes exist). That choice keeps every
+    iteration a single src-join + dst-aggregate with a static plan;
+    callers needing the stochastic-matrix normalization add self-loops
+    or reverse edges upstream. ``iterations`` is fixed rather than
+    convergence-tested so the plan depth — and the oracle — is
+    static.
 
     Scale shape per iteration: ranks ⋈ edges (shuffle on src; the
     rank frame is |nodes| rows, edges dominate) then groupBy(dst)
@@ -63,8 +70,11 @@ def pagerank(
         )
         .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col(src_col).alias("node")).distinct().localCheckpoint(
-        eager=False
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     teleport = F.round(

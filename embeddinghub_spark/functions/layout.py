@@ -27,13 +27,34 @@ def _scale_expr(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     is double in Spark AND DuckDB (`/` on integers is float in
     both), so the two engines see identical bits; the product stays
     exact in a double while ``span * (2^bits - 1) < 2^53`` — far
-    beyond any real column span at bits=16. Constant columns
-    (max == min) scale to 0."""
+    beyond any real column span at bits=16. That bound is ENFORCED,
+    not just documented: a span past it would silently yield
+    off-by-one (or bigint-wrapped) Morton keys, so the expression
+    carries an ``assert_true`` guard that fails the job with the
+    bound in the message — the eager-validation style of
+    ``z_order_key``'s 62-bit check, applied to the one limit that
+    can only be known at runtime. Constant columns (max == min)
+    scale to 0."""
     span = cmax - cmin
+    max_span = (1 << 53) // ((1 << bits) - 1)
+    guard = F.assert_true(
+        span <= F.lit(max_span),
+        F.concat(
+            F.lit("z-order scale overflow: column span "),
+            span.cast("string"),
+            F.lit(
+                f" exceeds the 2^53 exactness bound ({max_span}) for "
+                f"bits={bits}; reduce bits or pre-bucket the column"
+            ),
+        ),
+    )
     return F.when(span == 0, F.lit(0).cast("bigint")).otherwise(
-        F.floor(
-            ((col - cmin) * F.lit((1 << bits) - 1)).cast("bigint")
-            / span.cast("bigint")
+        F.when(
+            guard.isNull(),
+            F.floor(
+                ((col - cmin) * F.lit((1 << bits) - 1)).cast("bigint")
+                / span.cast("bigint")
+            ),
         )
     ).cast("bigint")
 

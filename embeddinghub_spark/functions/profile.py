@@ -496,7 +496,12 @@ def bloom_probe(
     side is <= m_bits/32 rows and broadcast; the probe is map-only
     plus one per-candidate aggregate.
 
-    Output: the candidate rows plus ``maybe_member``.
+    Output: the candidate rows plus ``maybe_member``. ALL candidate
+    rows come back, including NULL-key rows: a NULL key can never
+    have been inserted (``bloom_build`` derives no positions from
+    NULL), so those rows carry ``maybe_member = false`` — the
+    rejoin is null-safe rather than a plain equi-join that would
+    silently drop them.
     """
     reqs = candidates_df.select(
         F.col(key_col), _bloom_positions(key_col, m_bits, k_hashes)
@@ -512,8 +517,17 @@ def bloom_probe(
         reqs.join(F.broadcast(bloom_df), "lane", "left")
         .select(F.col(key_col), hit.alias("_hit"))
         .groupBy(key_col)
-        .agg((F.min("_hit") == 1).alias("maybe_member"))
+        # min() ignores NULLs, so a NULL-key group (every _hit NULL)
+        # yields NULL — coalesce it to the documented false
+        .agg(
+            F.coalesce(F.min("_hit") == 1, F.lit(False)).alias("maybe_member")
+        )
     )
     # deliver the documented contract: the CANDIDATE ROWS (all their
-    # columns, duplicates included) plus the flag
-    return candidates_df.join(per_key, key_col)
+    # columns, duplicates included, NULL keys included) plus the flag
+    pk = per_key.withColumnRenamed(key_col, "_bp_key")
+    return (
+        candidates_df.join(
+            pk, F.col(key_col).eqNullSafe(F.col("_bp_key"))
+        ).drop("_bp_key")
+    )

@@ -352,8 +352,12 @@ def funnel_steps(
 
     Computed relationally, one pass per stage: stage 1 is a plain
     min-aggregate; stage i+1 joins the stage-i frame (|entities|
-    rows — AQE broadcasts it against the event scan while it fits)
-    and min-aggregates events with ``ts >= stage_i_ts``. len(stages)
+    rows) against the event scan and min-aggregates events with
+    ``ts >= stage_i_ts``. The join strategy is left to AQE: the
+    per-entity frame broadcasts while it fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` and degrades to a
+    shuffle join for very large entity counts — no forced hint, so
+    a 100 TB entity universe cannot OOM the executors. len(stages)
     is small and fixed, so the plan is len(stages) bounded
     aggregates, each exchanging one row per entity — never a
     per-entity event sort.
@@ -372,7 +376,7 @@ def funnel_steps(
     for prev, stage in zip(stages, stages[1:]):
         nxt = (
             df.filter(F.col(type_col) == stage)
-            .join(F.broadcast(cur.select(entity_col, f"{prev}_ts")), entity_col)
+            .join(cur.select(entity_col, f"{prev}_ts"), entity_col)
             .filter(F.col(ts_col) >= F.col(f"{prev}_ts"))
             .groupBy(entity_col)
             .agg(F.min(ts_col).alias(f"{stage}_ts"))

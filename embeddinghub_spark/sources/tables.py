@@ -574,12 +574,20 @@ def snapshot_diff(
     Scale shape: one full-outer shuffle join on the key columns —
     the minimum possible for an unordered diff (no sort needed);
     with both snapshots bucketed by key (`_write_bucketed`) the
-    exchange disappears entirely.
+    exchange disappears entirely. Both inputs pass through
+    ``ensure_parallelism`` first: a snapshot that is a single small
+    parquet file yields ONE scan split, and the full-outer join then
+    inherits parallelism 1; the fan-out is the identity whenever the
+    scan already has >= cores splits, so nothing is added at cluster
+    scale.
 
     Output: (keys..., change) with change ∈ added/removed/changed.
     """
+    from ..functions.vector import ensure_parallelism
+
     if not keys:
         raise ValueError("keys must be non-empty")
+    old, new = ensure_parallelism(old), ensure_parallelism(new)
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = [c for c in new.columns if c in shared and c not in keys]

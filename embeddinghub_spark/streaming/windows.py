@@ -393,8 +393,18 @@ def stream_interval_join(
         )
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # Alias both sides explicitly: when left and right derive from the SAME
+    # scan (self-attribution over one event stream is the common case),
+    # `l[on] == r[on]` resolves both references to the same attribute and
+    # Spark's "trivially true equals predicate" path fires —
+    # DeduplicateRelations happens to rescue it today, but that resolution is
+    # version-fragile and warns on every run. Qualified alias references can
+    # never collapse to the same attribute, so the key equality stays a real
+    # join condition regardless of lineage.
+    l, r = l.alias("_ij_l"), r.alias("_ij_r")
+    key_eq = F.col(f"_ij_l.{on}") == F.col(f"_ij_r.{on}")
     cond = (
-        (l[on] == r[on])
+        key_eq
         & (
             F.col(right_ts)
             >= F.col(left_ts) + F.expr(f"INTERVAL {lower}")
@@ -404,4 +414,4 @@ def stream_interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
         )
     )
-    return l.join(r, cond).drop(r[on])
+    return l.join(r, cond).drop(F.col(f"_ij_r.{on}"))

@@ -21,25 +21,26 @@ def test_queries_and_oracles_align():
     assert [n for n in o if n not in q] == [], "oracles without a query"
 
 
-def test_round4_window_layout():
-    """Positions 1-49 carry only never-driver-certified entries (first-time
-    coverage beats re-certification); slot 50 is the flagship sentinel."""
+def test_round5_window_layout():
+    """The ledger-closing rotation: every entry that had no driver
+    CORRECTNESS row after r4 (the 25 post-window r4 additions) plus the
+    four f8 entries evicted since their r2 certification sit inside the
+    50-slot window; slot 50 is the flagship sentinel."""
     import __spark_entry__ as m
 
     window = list(m.queries().keys())[:50]
-    new_ops = {
-        "semantic_dedup", "knn_join", "unigram_logprob",
-        "hll_profile", "domain_tag", "histogram_quantiles",
-        "perplexity_buckets", "embedding_clusters",
-        "decayed_count", "robust_scale",
-    }
-    assert new_ops <= set(window), "a new r4 op fell out of the window"
-    previously_certified = {
+    debt = {
+        "dup_spans", "cms_topk", "nb_classifier", "weighted_sample",
+        "pagerank", "rrf_fusion", "f9_stream_join", "trim_spans",
+        "zorder_key", "gap_fill", "funnel_steps", "hash_vectorizer",
+        "sparse_cosine", "snapshot_diff", "curation_v2",
+        "incremental_spans", "cohort_retention", "source_divergence",
+        "negative_samples", "hard_negatives", "normalize_text",
+        "bloom_filter", "s2_json_scan", "cap_per_group", "f8_moving_avg",
         "f8_scalar_funcs", "f8_date_funcs", "f8_rollup", "f8_array_funcs",
     }
-    assert previously_certified.isdisjoint(window[:49]), (
-        "an already-certified entry occupies a first-time-coverage slot"
-    )
+    missing = debt - set(window)
+    assert not missing, f"uncertified entries fell out of the window: {missing}"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
 
 

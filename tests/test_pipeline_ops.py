@@ -718,3 +718,33 @@ def test_negative_samples_excludes_and_reproduces(spark):
         ).collect()
     }
     assert out1 != out3
+
+
+def test_pagerank_includes_sink_only_nodes(spark):
+    """A node appearing ONLY as a destination (no out-edges) must
+    still be ranked — for a curation weight the most-linked-to pages
+    are exactly the ones that matter. Dangling policy: its absorbed
+    mass is NOT redistributed, so total mass drops below 1 (the
+    documented formula-verbatim choice)."""
+    from embeddinghub_spark.functions.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (1, 3)]  # node 3 is sink-only
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    assert set(out) == {1, 2, 3}, "sink-only node missing from rank frame"
+    teleport = 0.15 / 3
+    assert out[3] > out[2] > teleport  # mass flows into the sink, none vanishes
+    assert sum(out.values()) < 1.0     # no dangling redistribution
+
+
+def test_zorder_scale_overflow_guard(spark):
+    """A column span past the 2^53 double-exactness bound fails loudly
+    (assert_true in the scale expression) instead of silently wrapping
+    Morton keys into an oracle-divergent layout."""
+    import pytest
+
+    from embeddinghub_spark.functions.layout import with_zorder_key
+
+    df = spark.createDataFrame([(0, 0), (1, 1 << 53)], ["id", "a"])
+    with pytest.raises(Exception, match="exactness bound"):
+        with_zorder_key(df, ["a"], bits=16).collect()

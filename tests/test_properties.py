@@ -558,3 +558,65 @@ def test_bloom_probe_validates_and_returns_candidate_rows(spark):
     assert out == {1: True, 2: True, 3: False}  # dup rows preserved
     with pytest.raises(ValueError, match="m_bits"):
         bloom_probe(cdf, bloom, "key", m_bits=1000)
+
+
+def test_bloom_probe_null_key_rows_retained(spark):
+    """NULL-key candidate rows come back (the rejoin is null-safe,
+    not a plain equi-join that silently drops them) flagged
+    maybe_member=false — a NULL key was never inserted, so false is
+    the only answer consistent with no-false-negatives."""
+    from embeddinghub_spark.functions.profile import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([("a",), ("b",)], ["key"])
+    cdf = spark.createDataFrame([(1, "a"), (2, None), (3, None)], ["rid", "key"])
+    bloom = bloom_build(mdf, "key", m_bits=4096)
+    out = {
+        r["rid"]: r["maybe_member"]
+        for r in bloom_probe(cdf, bloom, "key", m_bits=4096).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.text(alphabet="abcdef ", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 5})  # 12 Spark jobs per example
+def test_sketch_union_laws_across_partitionings(spark, rows):
+    """Every sketch in the family (HLL max-merge, CMS +-merge,
+    histogram +-merge, Bloom OR-merge) must be PARTIAL-AGGREGATION-
+    ORDER INDEPENDENT: the collected result is bit-identical however
+    the input is partitioned — 1 partition (no partial merge), 7
+    (uneven partials), 32 (mostly-empty partials). This is the
+    algebraic property that makes the sketches 100 TB-safe: AQE,
+    speculative re-execution, and shard-at-a-time building cannot
+    change the answer."""
+    from embeddinghub_spark.functions.profile import (
+        bloom_build,
+        cms_topk,
+        histogram_quantiles,
+        hll_profile,
+    )
+
+    base = spark.createDataFrame(rows, ["num", "txt"])
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    results = {"hll": [], "cms": [], "hist": [], "bloom": []}
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        results["hll"].append(canon(hll_profile(df, ["num", "txt"])))
+        results["cms"].append(canon(cms_topk(df.select(F.col("txt").alias("text")), depth=3, width=32, k=5)))
+        results["hist"].append(
+            canon(histogram_quantiles(df, "num", [0.25, 0.5, 0.9], n_bins=16))
+        )
+        results["bloom"].append(canon(bloom_build(df, "txt", m_bits=2048)))
+    for name, (a, b, c) in results.items():
+        assert a == b == c, f"{name} sketch varies with partitioning"

@@ -714,3 +714,43 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in edf.join(dim, "user_id").collect()
     }
     assert got == expected and len(got) == 16
+
+
+def test_stream_interval_join_same_lineage_key_not_trivial(spark):
+    """Both sides derived from the SAME scan (self-attribution over one
+    event stream): the explicit side aliases must keep the key equality
+    a real join condition — same-lineage attribute resolution could
+    otherwise collapse it to trivially-true and cross-key pairs would
+    leak in. Pins the exact pair set against a Python replay and that
+    the key condition prunes relative to a keyless band join."""
+    from datetime import datetime
+
+    from embeddinghub_spark.streaming.windows import stream_interval_join
+
+    base = spark.createDataFrame(
+        [(i % 3, datetime(2024, 3, 1, 12, i), i) for i in range(30)],
+        ["user_id", "ts", "eid"],
+    )
+    left = base.select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("eid").alias("l_id")
+    )
+    right = base.select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("eid").alias("r_id")
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in stream_interval_join(
+            left, right, "user_id", "l_ts", "r_ts", "0 seconds", "5 minutes"
+        ).collect()
+    }
+    keyed = {
+        (i, j)
+        for i in range(30)
+        for j in range(30)
+        if i % 3 == j % 3 and 0 <= j - i <= 5
+    }
+    keyless = {
+        (i, j) for i in range(30) for j in range(30) if 0 <= j - i <= 5
+    }
+    assert got == keyed
+    assert len(keyed) < len(keyless), "key condition must prune pairs"
