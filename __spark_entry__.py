@@ -3802,6 +3802,53 @@ FROM est
 """
 
 
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog (functions/profile.py hll_distinct_by):
+    approximate distinct users per event type — the fixed-exchange-
+    width replacement for a grouped count(distinct) whose exchange
+    grows with the data."""
+    from embeddinghub_spark.functions.profile import hll_distinct_by
+
+    return hll_distinct_by(
+        _events(spark, sf_dir), ["event_type"], "user_id", p=9
+    )
+
+
+def _hll_by_group_oracle() -> str:
+    from embeddinghub_spark.functions.profile import _hll_alpha
+
+    m = 512
+    c1 = _hll_alpha(m) * m * m * float(1 << 53)
+    v = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 13) AS BIGINT)"
+    return f"""
+WITH reg AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3) AS BIGINT)
+           % {m} AS bucket,
+         MAX(CASE WHEN {v} = 0 THEN 53
+                  ELSE 53 - length(bin({v})) END) AS max_rho
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS s_used,
+         COUNT(*) AS used
+  FROM reg GROUP BY event_type
+),
+est AS (
+  SELECT event_type, used,
+         {c1!r} / CAST(s_used + ({m} - used) * CAST({1 << 53} AS BIGINT) AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN raw <= {2.5 * m!r} AND ({m} - used) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - used AS DOUBLE))
+                  ELSE raw END, 3) AS approx_ndv,
+       CAST({m} - used AS BIGINT) AS n_empty_buckets
+FROM est
+"""
+
+
 def q_domain_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon domain tagging (functions/text.py domain_tag): map-only
     regexp-count scores, argmax with declaration-order tie-break —
@@ -3905,6 +3952,65 @@ def _histogram_ctes(
 def _histogram_quantiles_oracle() -> str:
     ctes = _histogram_ctes("lineitem", "l_extendedprice", _HQ_QUANTILES, _HQ_BINS)
     return f"WITH {ctes}\nSELECT quantile, value FROM hq ORDER BY quantile"
+
+
+def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram-quantile sketch (functions/profile.py
+    histogram_quantiles_by): p50/p95 of event value per event type —
+    per-group quantiles whose windows run over the bin frame, never
+    the data, so whale groups cost the same as small ones."""
+    from embeddinghub_spark.functions.profile import histogram_quantiles_by
+
+    return histogram_quantiles_by(
+        _events(spark, sf_dir), ["event_type"], "value", [0.5, 0.95],
+        n_bins=128,
+    )
+
+
+_QBG_ORACLE = """
+WITH mm AS (
+  SELECT event_type, min(CAST(value AS DOUBLE)) AS lo,
+         max(CAST(value AS DOUBLE)) AS hi, count(value) AS n
+  FROM events GROUP BY event_type HAVING count(value) > 0
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN mm.hi = mm.lo THEN 0
+              ELSE least(127, CAST(floor((CAST(e.value AS DOUBLE) - mm.lo)
+                         / ((mm.hi - mm.lo) / 128.0)) AS INTEGER))
+         END AS bin
+  FROM events e JOIN mm ON e.event_type = mm.event_type
+  WHERE e.value IS NOT NULL
+),
+c AS (SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+),
+q(quantile) AS (VALUES (0.5), (0.95)),
+hits AS (
+  SELECT cum.event_type, CAST(q.quantile AS DOUBLE) AS quantile,
+         cum.bin, cum.cnt, cum.cum - cum.cnt AS cumb,
+         CAST(q.quantile AS DOUBLE) * CAST(mm.n AS DOUBLE) AS t, mm.lo, mm.hi
+  FROM cum JOIN mm ON cum.event_type = mm.event_type CROSS JOIN q
+  WHERE CAST(cum.cum AS DOUBLE) >= CAST(q.quantile AS DOUBLE) * CAST(mm.n AS DOUBLE)
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, quantile ORDER BY bin) AS rn
+  FROM hits
+)
+SELECT event_type, quantile,
+       round(CASE WHEN hi = lo THEN lo
+                  ELSE least(hi, lo + CAST(bin AS DOUBLE) * ((hi - lo) / 128.0)
+                       + CASE WHEN cnt > 0
+                              THEN (t - CAST(cumb AS DOUBLE)) / CAST(cnt AS DOUBLE)
+                                   * ((hi - lo) / 128.0)
+                              ELSE 0.0 END)
+             END, 6) AS value
+FROM pick WHERE rn = 1
+"""
 
 
 _PPLX_BUCKETS = 3
@@ -5002,6 +5108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_window_topn": q_f8_window_topn,
         "f8_set_ops": q_f8_set_ops,
         "f8_cte_having": q_f8_cte_having,
+        "hll_by_group": q_hll_by_group,
+        "quantiles_by_group": q_quantiles_by_group,
     }
 
 
@@ -5120,6 +5228,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_oracle(),
         "unigram_logprob": _UNIGRAM_ORACLE,
         "hll_profile": _hll_profile_oracle(),
+        "hll_by_group": _hll_by_group_oracle(),
+        "quantiles_by_group": _QBG_ORACLE,
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

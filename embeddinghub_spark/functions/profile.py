@@ -228,6 +228,92 @@ def hll_profile(df: DataFrame, columns: list[str] | None = None, p: int = 9) -> 
     )
 
 
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Approximate distinct ``value_col`` PER GROUP — the grouped
+    form of ``hll_profile`` (distinct users per source, distinct
+    documents per language...) using the same explicit md5-register
+    HyperLogLog protocol, so the estimate is bit-replayable by any
+    md5-bearing engine.
+
+    Why not ``count(distinct)``: at 100 TB an exact grouped distinct
+    exchanges every distinct (group, value) pair — output ∝ data.
+    Here each task's partial state is at most ``|groups| × 2^p``
+    register rows merged by MAX (algebraic, partial-aggregation-order
+    independent like the whole sketch family), so the exchange width
+    is fixed per group regardless of row count, and whale groups cost
+    the same as small ones — no skew surface at all.
+
+    Same float-rendering guard as ``hll_profile``: the value column
+    is hashed via its string rendering, exact for
+    integer/string/bool/date; float values are rejected.
+
+    Output: ``(*group_cols, approx_ndv, n_empty_buckets)``, one row
+    per observed group (groups whose every value is NULL are absent,
+    matching ``count(distinct)`` returning 0 rows of support).
+    Standard error ≈ 1.04/√(2^p).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not 7 <= p <= 12:
+        raise ValueError(f"p={p} outside [7, 12]")
+    dt = df.schema[value_col].dataType
+    if dt.typeName() in ("float", "double", "decimal"):
+        raise ValueError(
+            f"hll_distinct_by: column {value_col!r} is "
+            f"{dt.simpleString()}; fractional string renderings are "
+            "engine-specific — hash a stable encoding instead"
+        )
+    m = 1 << p
+    registers = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.md5(F.col(value_col).cast("string")).alias("_h"))
+        .select(
+            *group_cols,
+            F.expr(
+                f"pmod(cast(conv(substr(_h, 1, {_HLL_BUCKET_HEX}), 16, 10)"
+                f" as bigint), {m})"
+            ).alias("bucket"),
+            F.expr(
+                f"cast(conv(substr(_h, {_HLL_BUCKET_HEX + 1},"
+                f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
+            ).alias("_v"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            F.when(F.col("_v") == 0, F.lit(_HLL_RHO_CAP))
+            .otherwise(F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin("_v")))
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    per_group = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - max_rho)")).alias("_s_used"),
+        F.count(F.lit(1)).alias("_used"),
+    )
+    c1 = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
+    s_total = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(
+        1 << _HLL_RHO_CAP
+    ).cast("bigint")
+    empties = (F.lit(m) - F.col("_used")).cast("bigint")
+    raw = F.lit(c1) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empties > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empties.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        F.round(est, 3).alias("approx_ndv"),
+        empties.alias("n_empty_buckets"),
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,
@@ -320,6 +406,104 @@ def histogram_quantiles(
             ).alias("value"),
         )
         .orderBy("quantile")
+    )
+
+
+def histogram_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    quantiles: list[float],
+    n_bins: int = 128,
+) -> DataFrame:
+    """Approximate quantiles PER GROUP via the fixed-width histogram
+    sketch — p50/p95 per event type, length quantiles per source —
+    the grouped form of ``histogram_quantiles`` with the same
+    deterministic, oracle-replayable arithmetic and the same
+    one-bin-width error bound per group.
+
+    Scale shape: pass 1 is one aggregate keyed by the group (min,
+    max, n per group — |groups| rows, broadcast back); pass 2 bins
+    every value with exact double arithmetic and counts per
+    (group, bin) with map-side combine — the exchange carries at most
+    ``|groups| × n_bins`` rows per task regardless of table size, and
+    bin counts merge by + (algebraic). The cumulative window and the
+    quantile pick then run on the BIN FRAME (≤ |groups| × n_bins
+    rows), never the data, so a whale group costs exactly what a
+    small one does — no per-group data sort anywhere.
+
+    Output: ``(*group_cols, quantile, value)`` — one row per
+    (observed group, requested q), groups with only-NULL values
+    absent; a degenerate group (max == min) returns that value for
+    every q.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    c = F.col(col).cast("double")
+    mm = df.groupBy(*group_cols).agg(
+        F.min(c).alias("_lo"), F.max(c).alias("_hi"), F.count(c).alias("_n")
+    ).filter(F.col("_n") > 0)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    binned = (
+        df.select(*group_cols, c.alias("_x"))
+        .filter(F.col("_x").isNotNull())
+        .join(F.broadcast(mm), group_cols)
+        .select(
+            *group_cols,
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor((F.col("_x") - F.col("_lo")) / width).cast("int"),
+                )
+            )
+            .alias("_bin"),
+        )
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        binned.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn("_cum_before", F.col("_cum") - F.col("_cnt"))
+        .join(F.broadcast(mm), group_cols)
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(quantiles)], "quantile double"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("_t", F.col("quantile") * F.col("_n").cast("double"))
+        .filter(F.col("_cum").cast("double") >= F.col("_t"))
+    )
+    pick = Window.partitionBy(*group_cols, "quantile").orderBy("_bin")
+    est = (
+        F.col("_lo")
+        + F.col("_bin").cast("double") * width
+        + F.when(
+            F.col("_cnt") > 0,
+            (F.col("_t") - F.col("_cum_before").cast("double"))
+            / F.col("_cnt").cast("double")
+            * width,
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("quantile"),
+            F.round(
+                F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+                    F.least(F.col("_hi"), est)
+                ),
+                6,
+            ).alias("value"),
+        )
     )
 
 

@@ -1,0 +1,139 @@
+"""Dedup-on-ingest: streaming near-duplicate filtering against a
+growing on-disk MinHash band index.
+
+The batch dedup family (functions/dedup.py) answers "which documents
+in this corpus are near-duplicates"; a real ingestion pipeline asks
+the ONLINE form: "is this incoming document a near-duplicate of
+anything I've already accepted?" — and must answer it without
+re-reading the corpus per batch. This module composes the existing
+incremental band index (``minhash_index_append`` /
+``minhash_index_probe``) under Structured Streaming ``foreachBatch``:
+
+per micro-batch
+  1. PROBE the batch against the index — candidates come only from
+     shared band buckets; the corpus text is never read (the index
+     holds (id, band, band_hash) rows, bucket-partitioned on disk,
+     and the probe side is broadcast + dynamic-partition-pruned);
+  2. find WITHIN-BATCH candidate pairs (banded self-join of the
+     batch's own band rows — bytes ∝ |batch|, not the corpus);
+  3. a document is REJECTED iff it has any candidate with a SMALLER
+     id (within the batch) or any candidate already in the index;
+     accepted rows append to ``out_dir`` as parquet;
+  4. ALL batch documents' band rows append to the index — including
+     rejected ones, which makes the reject rule depend only on the
+     candidate RELATION, not on earlier accept/reject outcomes (no
+     chaining: if b was rejected because of a, a later c pairing
+     only with b is still rejected — b is in the index).
+
+Determinism contract: when ingestion is id-monotone (each batch's
+ids are >= every previously seen id — the natural crawl/ingest
+order), the final accepted set is EXACTLY the batch-replay answer
+"keep d iff no candidate a exists with a.id < d.id", however the
+stream is sliced into micro-batches (pinned by test with 1-file and
+4-file triggers). Under out-of-order arrival the result degrades to
+greedy-by-arrival (a late-arriving smaller id cannot retroactively
+reject an already-accepted document) — the same contract every
+streaming dedup has.
+
+Scale shape per batch: probe join work ∝ |batch| × bands (probe side
+broadcast); within-batch pair join is the standard banded self-join;
+index append is one bucket-clustering exchange of the batch's rows.
+State lives on disk in the bucket-partitioned index — no driver
+state, no unbounded in-memory set.
+
+Reference semantics: SURVEY §2 C20/S7 streaming ingest +
+the dedup coverage brief; dedup rule matches
+``functions/dedup.py minhash_duplicate_pairs`` (a < b).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Process ONE batch: probe, within-batch pairs, accept/reject,
+    index append. Usable directly for incremental batch ingest; the
+    streaming entry point below wires it into foreachBatch."""
+    from embeddinghub_spark.functions.dedup import (
+        minhash_duplicate_pairs,
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+
+    rejected = None
+    # 1. probe vs the already-ingested corpus (index may not exist yet)
+    if os.path.isdir(index_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(index_dir)
+    ):
+        hits = minhash_index_probe(
+            spark, index_dir, batch, text_col, id_col,
+            num_hashes, bands, shingle_n, n_buckets,
+        )
+        rejected = hits.select(F.col("probe_id").alias(id_col)).distinct()
+    # 2. within-batch pairs, smaller id wins
+    pairs = minhash_duplicate_pairs(
+        batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    rejected = in_batch if rejected is None else rejected.union(in_batch).distinct()
+
+    # 3. accepted rows append to the output
+    accepted = batch.join(rejected, id_col, "left_anti")
+    accepted.write.mode("append").parquet(out_dir)
+
+    # 4. ALL batch docs enter the index (reject rule = candidate
+    # relation only — see module docstring)
+    minhash_index_append(
+        spark, index_dir, batch, text_col, id_col,
+        num_hashes, bands, shingle_n, n_buckets,
+    )
+
+
+def streaming_dedup_ingest(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start the dedup-on-ingest stream: accepted (non-near-dup)
+    rows land in ``out_dir``; every document's band rows land in the
+    ``index_dir`` band index, which outlives the stream and serves
+    later probes/ingests with the same recorded parameters."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df, index_dir, out_dir, text_col, id_col,
+            num_hashes, bands, shingle_n, n_buckets,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

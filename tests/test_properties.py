@@ -620,3 +620,63 @@ def test_sketch_union_laws_across_partitionings(spark, rows):
         results["bloom"].append(canon(bloom_build(df, "txt", m_bits=2048)))
     for name, (a, b, c) in results.items():
         assert a == b == c, f"{name} sketch varies with partitioning"
+
+
+def test_hll_distinct_by_accuracy_and_partition_invariance(spark):
+    """Grouped HLL: per-group estimate within the sketch's error
+    band of the exact grouped distinct, NULL values excluded,
+    all-NULL groups absent, and the result identical across
+    partitionings (the max-merge law, grouped)."""
+    import pytest
+
+    from embeddinghub_spark.functions.profile import hll_distinct_by
+
+    rows = (
+        [("a", i % 700) for i in range(4000)]
+        + [("b", i % 23) for i in range(400)]
+        + [("c", None)] * 10
+    )
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    outs = []
+    for parts in (1, 32):
+        out = {
+            r["grp"]: r["approx_ndv"]
+            for r in hll_distinct_by(
+                df.repartition(parts), ["grp"], "uid"
+            ).collect()
+        }
+        outs.append(out)
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert set(got) == {"a", "b"}  # all-NULL group absent
+    assert abs(got["a"] - 700) / 700 < 0.15  # ~3 sigma at p=9
+    assert abs(got["b"] - 23) / 23 < 0.15
+    with pytest.raises(ValueError, match="fractional"):
+        hll_distinct_by(
+            spark.createDataFrame([("a", 1.0)], ["grp", "v"]), ["grp"], "v"
+        )
+
+
+def test_histogram_quantiles_by_matches_per_group_brute_force(spark):
+    """Grouped histogram quantiles: each group's estimate is within
+    one bin width of the exact per-group quantile, degenerate groups
+    return their constant, and all-NULL groups are absent."""
+    from embeddinghub_spark.functions.profile import histogram_quantiles_by
+
+    rows = (
+        [("a", float(i)) for i in range(1000)]
+        + [("b", 7.0)] * 50
+        + [("c", None)] * 5
+    )
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {
+        (r["grp"], r["quantile"]): r["value"]
+        for r in histogram_quantiles_by(
+            df, ["grp"], "v", [0.5, 0.9], n_bins=64
+        ).collect()
+    }
+    assert set(g for g, _ in out) == {"a", "b"}
+    bin_w = 999.0 / 64
+    assert abs(out[("a", 0.5)] - 499.5) <= bin_w
+    assert abs(out[("a", 0.9)] - 899.1) <= bin_w
+    assert out[("b", 0.5)] == 7.0 and out[("b", 0.9)] == 7.0

@@ -754,3 +754,73 @@ def test_stream_interval_join_same_lineage_key_not_trivial(spark):
     }
     assert got == keyed
     assert len(keyed) < len(keyless), "key condition must prune pairs"
+
+
+def test_streaming_dedup_ingest_equals_batch_replay(spark, tmp_path):
+    """Dedup-on-ingest: accepted set is slicing-invariant under
+    id-monotone arrival and equals the batch-replay rule "keep d iff
+    no banded-MinHash candidate a exists with a.id < d.id" — run
+    once with 1-file micro-batches, once with all files in one
+    batch, both compared to the rule computed from full-corpus
+    pairs. Also pins that rejection does NOT chain (a rejected doc
+    still rejects its own later near-dups: all docs enter the
+    index)."""
+    import os
+    import time as _time
+
+    from embeddinghub_spark.functions.dedup import minhash_duplicate_pairs
+    from embeddinghub_spark.streaming.dedup_ingest import (
+        streaming_dedup_ingest,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely unrelated text about spark structured streaming",
+        "numbers one two three four five six seven eight nine ten",
+        "a third distinct document mentioning feature stores and joins",
+    ]
+    rows = []
+    for i in range(24):
+        if i % 3 == 0:
+            # near-dup family: shared long prefix, tiny suffix change
+            rows.append((i, base[0] + f" tail {i % 2}"))
+        else:
+            rows.append((i, base[i % len(base)] + f" unique {i} marker {i*i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # batch-replay truth: reject iff a smaller-id candidate exists
+    pairs = minhash_duplicate_pairs(df, "text", "doc_id")
+    rejected_truth = {r["id_b"] for r in pairs.collect()}
+    accepted_truth = {i for i, _ in rows} - rejected_truth
+    assert rejected_truth, "test corpus must contain near-dups"
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        per = len(rows) // n_files
+        for f in range(n_files):
+            chunk = rows[f * per: (f + 1) * per]
+            spark.createDataFrame(chunk, ["doc_id", "text"]).coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"f{f:02d}"))
+            # id-monotone arrival: file mtimes strictly increasing
+            t = _time.time() - 1000 + f
+            for root, _dirs, files in os.walk(os.path.join(src, f"f{f:02d}")):
+                for name in files:
+                    os.utime(os.path.join(root, name), (t, t))
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = streaming_dedup_ingest(
+            stream, str(tmp_path / f"idx_{tag}"), out,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        )
+        assert q.awaitTermination(180), "ingest stream did not finish"
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    assert run(8, "sliced") == accepted_truth
+    assert run(1, "onebatch") == accepted_truth
