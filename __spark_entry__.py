@@ -2429,6 +2429,43 @@ FROM n
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (functions/embeddings.py
+    quantize_vectors): per-vector scale = max|x|/127, engine-neutral
+    floor(v+0.5) codes — map-only, the 4x at-rest storage cut before
+    the embedding store loads."""
+    from embeddinghub_spark.functions.embeddings import quantize_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_vectors(emb, keep_cols=["vec_id"])
+    return q.select(
+        "vec_id",
+        F.expr(
+            "CAST(floor(qscale * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("scale_s"),
+        F.expr(
+            "array_join(transform(qvec, x -> cast(x as string)), ',')"
+        ).alias("q_s"),
+    )
+
+
+def _quantize_oracle() -> str:
+    mx = "greatest(" + ", ".join(
+        f"abs(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(_EMB_DIM)
+    ) + ")"
+    elems = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) / qs + 0.5) AS BIGINT)"
+        for i in range(_EMB_DIM)
+    )
+    return f"""
+WITH s AS (SELECT vec_id, embedding, {mx} / 127.0 AS qs FROM embeddings)
+SELECT vec_id,
+       CAST(floor(qs * 1000000000.0 + 0.5) AS BIGINT) AS scale_s,
+       CASE WHEN qs > 0 THEN concat_ws(',', {elems}) END AS q_s
+FROM s
+"""
+
+
 _PROJ_DIM = 8
 
 
@@ -3640,6 +3677,51 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
        round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS logprob
 FROM terms GROUP BY doc_id
 """
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (functions/text.py
+    bigram_logprob): Jelinek–Mercer λ=0.7 over corpus-trained bigram
+    + unigram models, order-independent decimal sums — the word-order-
+    aware step past the unigram perplexity proxy."""
+    from embeddinghub_spark.functions.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _bigram_oracle(lam: float = 0.7) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, UNNEST(range(1, len(toks))) AS u(i)
+),
+tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tfb FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, CAST(SUM(tfb) AS BIGINT) AS cb FROM tfb GROUP BY 1, 2),
+cf AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cf FROM bc GROUP BY 1),
+words AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS w2
+  FROM documents
+),
+wc AS (SELECT w2, COUNT(*) AS cw FROM words GROUP BY 1),
+n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_corpus FROM wc),
+terms AS (
+  SELECT tfb.doc_id, tfb.tfb,
+         CAST(round(tfb.tfb * log10(
+             {lam!r} * (CAST(cb AS DOUBLE) / CAST(cf AS DOUBLE))
+             + {1.0 - lam!r} * (CAST(cw AS DOUBLE) / CAST(n_corpus AS DOUBLE))
+         ), 9) AS DECIMAL(28,9)) AS term
+  FROM tfb JOIN bc USING (w1, w2) JOIN cf USING (w1) JOIN wc USING (w2)
+  CROSS JOIN n
+)
+SELECT doc_id, CAST(SUM(tfb) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(tfb) AS DOUBLE), 6) AS logprob
+FROM terms GROUP BY doc_id
+"""
+
 
 def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled Naive-Bayes corpus classifier (functions/text.py
@@ -5110,6 +5192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_cte_having": q_f8_cte_having,
         "hll_by_group": q_hll_by_group,
         "quantiles_by_group": q_quantiles_by_group,
+        "quantize_embeddings": q_quantize_embeddings,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -5230,6 +5314,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_profile": _hll_profile_oracle(),
         "hll_by_group": _hll_by_group_oracle(),
         "quantiles_by_group": _QBG_ORACLE,
+        "quantize_embeddings": _quantize_oracle(),
+        "bigram_logprob": _bigram_oracle(),
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -120,6 +120,81 @@ def normalize_vectors(
     )
 
 
+def quantize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column —
+    the 4× storage/bandwidth cut applied before parking a corpus'
+    embeddings at rest (a 100 TB float32 embedding store becomes
+    25 TB, and ANN candidate scans read a quarter of the bytes;
+    two-stage kNN re-ranks survivors against the full-precision
+    column).
+
+    Per vector: ``scale = max(|x_i|)/127``; each element maps to
+    ``floor(x_i/scale + 0.5)`` ∈ [-127, 127]. The rounding is the
+    repo's engine-neutral ``floor(v + 0.5)`` protocol (identical in
+    Spark and DuckDB; ``round()`` half-away/half-up conventions never
+    enter), and all arithmetic is double — the quantized codes are
+    EXACTLY replayable by the oracle, not just close. All-zero
+    vectors (scale 0) yield NULL codes, the ``normalize_vectors``
+    convention.
+
+    Map-only projection (HOF fold for the max, transform for the
+    codes): zero shuffles at any corpus size. Reconstruction
+    (``dequantize_vectors``) error is ≤ scale/2 per element, pinned
+    by test.
+
+    Output: keep_cols + (scale_col DOUBLE, out_col ARRAY<INT> with
+    int8-range values).
+    """
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    mx = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") / F.col(scale_col) + F.lit(0.5)
+        ).cast("int"),
+    )
+    return (
+        df.select(*keep, F.col(vec_col), (mx / F.lit(127.0)).alias(scale_col))
+        .select(
+            *keep,
+            scale_col,
+            F.when(F.col(scale_col) > 0, codes).alias(out_col),
+        )
+    )
+
+
+def dequantize_vectors(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inverse of ``quantize_vectors``: ``x̂_i = q_i · scale`` —
+    map-only, per-element error ≤ scale/2. NULL code arrays (all-zero
+    originals) reconstruct as NULL; callers treating them as zero
+    vectors coalesce downstream."""
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c not in (qvec_col, scale_col)
+    ]
+    rec = F.transform(
+        F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+    )
+    return df.select(*keep, rec.alias(out_col))
+
+
 def random_projection(
     df: DataFrame,
     dim: int,

@@ -883,6 +883,88 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED BIGRAM log-probability under the
+    corpus's own LM — one modeling step past ``unigram_logprob``
+    toward the CCNet/KenLM n-gram scorers: word order now matters
+    ("the quick brown fox" and "fox the brown quick" share a unigram
+    score but not a bigram one), so shuffled/garbled text drops in a
+    way no bag-of-words proxy can detect.
+
+    score(d) = (Σ_bg tf(d,w1,w2) · log10(λ·P(w2|w1) + (1−λ)·P(w2)))
+    / n_bigrams(d), with P(w2|w1) = c(w1,w2)/c(w1·) on bigram
+    positions and P(w2) the corpus unigram marginal. Jelinek–Mercer
+    interpolation (λ = 0.7) is the standard backoff: self-trained
+    corpora never hit a zero bigram, but λ < 1 keeps rare
+    continuations from being overtrusted. Documents with < 2 tokens
+    have no bigrams and are absent from the output.
+
+    Determinism protocol (the ``unigram_logprob`` discipline): each
+    (doc, bigram) contribution rounds to 9 decimals and sums as
+    DECIMAL(28,9) — exact, partial-aggregation-order independent; one
+    double division at the end, rounded to 6. λ and 1−λ are embedded
+    as the same Python doubles in the Spark plan and the oracle.
+
+    Scale shape: bigrams are formed MAP-ONLY inside the token array
+    (transform over an index sequence — raw text never shuffles);
+    then tf aggregate on (doc, w1, w2), corpus bigram counts
+    (rows = |distinct bigrams|), first-word totals, and the unigram
+    marginal — all map-side-combined; the model joins are
+    vocab-vs-corpus sized and left to AQE. Exchange rows are
+    (doc, bigram, count) tuples, never tokens.
+
+    Output: ``(doc_id, n_bigrams, logprob)``.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    tfb = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tfb"))
+    bc = tfb.groupBy("w1", "w2").agg(F.sum("tfb").alias("cb"))
+    cf = bc.groupBy("w1").agg(F.sum("cb").alias("_cf"))
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    total = wc.agg(F.sum("cw").alias("n_corpus"))
+    p = F.lit(lam) * (
+        F.col("cb").cast("double") / F.col("_cf").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("cw").cast("double") / F.col("n_corpus").cast("double")
+    )
+    term = F.round(F.col("tfb") * F.log10(p), 9).cast("decimal(28,9)")
+    return (
+        tfb.join(bc, ["w1", "w2"])
+        .join(cf, "w1")
+        .join(wc, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.col("tfb"), term.alias("_term"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tfb").alias("n_bigrams"),
+            F.round(
+                F.sum("_term").cast("double") / F.sum("tfb").cast("double"), 6
+            ).alias("logprob"),
+        )
+    )
+
+
 # Pinned domain lexicons for corpus mixture tagging — deterministic,
 # oracle-replayable (extend per-domain as needed, like LANG_MARKERS).
 DOMAIN_LEXICONS: dict[str, list[str]] = {

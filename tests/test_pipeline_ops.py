@@ -748,3 +748,37 @@ def test_zorder_scale_overflow_guard(spark):
     df = spark.createDataFrame([(0, 0), (1, 1 << 53)], ["id", "a"])
     with pytest.raises(Exception, match="exactness bound"):
         with_zorder_key(df, ["a"], bits=16).collect()
+
+
+def test_quantize_dequantize_roundtrip_error_bound(spark):
+    """int8 quantization: codes within [-127, 127], all-zero vectors
+    yield NULL codes, and the dequantized reconstruction is within
+    scale/2 per element (the floor(v+0.5) nearest-code guarantee)."""
+    from embeddinghub_spark.functions.embeddings import (
+        dequantize_vectors,
+        quantize_vectors,
+    )
+
+    rows = [
+        (1, [0.5, -1.25, 3.75, 0.0]),
+        (2, [-0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_vectors(df, keep_cols=["vec_id"])
+    out = {r["vec_id"]: (r["qscale"], r["qvec"]) for r in q.collect()}
+    assert out[3][1] is None and out[3][0] == 0.0
+    for vid in (1, 2):
+        scale, codes = out[vid]
+        assert all(-127 <= c <= 127 for c in codes)
+        assert 127 in codes or -127 in codes  # max element maps to full range
+    rec = {
+        r["vec_id"]: r["embedding"]
+        for r in dequantize_vectors(q, keep_cols=["vec_id"]).collect()
+    }
+    for vid, orig in [(1, rows[0][1]), (2, rows[1][1])]:
+        scale = out[vid][0]
+        assert all(
+            abs(o - r) <= scale / 2 + 1e-12 for o, r in zip(orig, rec[vid])
+        )
+    assert rec[3] is None

@@ -680,3 +680,57 @@ def test_histogram_quantiles_by_matches_per_group_brute_force(spark):
     assert abs(out[("a", 0.5)] - 499.5) <= bin_w
     assert abs(out[("a", 0.9)] - 899.1) <= bin_w
     assert out[("b", 0.5)] == 7.0 and out[("b", 0.9)] == 7.0
+
+
+def test_bigram_logprob_is_brute_force(spark):
+    """Interpolated bigram LM vs a Python replica on a tiny corpus:
+    identical n_bigrams and logprob (round-6), <2-token docs absent,
+    and word order actually matters (a shuffled doc scores lower
+    than its in-order twin when the corpus repeats the ordered
+    phrase)."""
+    import math
+
+    from embeddinghub_spark.functions.text import bigram_logprob
+
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),
+        (3, "fox the brown quick"),
+        (4, "single"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    # Python replica with the same decimal discipline
+    toks = {d: t.split() for d, t in docs if len(t.split()) >= 2}
+    from collections import Counter
+
+    bc: Counter = Counter()
+    for ts in toks.values():
+        bc.update(zip(ts, ts[1:]))
+    cf: Counter = Counter()
+    for (w1, _), c in bc.items():
+        cf[w1] += c
+    wc: Counter = Counter()
+    for _, t in docs:
+        wc.update(w for w in t.split() if w)
+    n = sum(wc.values())
+    lam = 0.7
+    for d, ts in toks.items():
+        tfb = Counter(zip(ts, ts[1:]))
+        total = 0
+        acc = 0.0
+        for (w1, w2), tf in tfb.items():
+            p = lam * (bc[(w1, w2)] / cf[w1]) + (1.0 - lam) * (wc[w2] / n)
+            acc += round(tf * math.log10(p), 9)
+            total += tf
+        assert got[d][0] == total
+        assert abs(got[d][1] - round(acc / total, 6)) < 1e-9, d
+    # word order matters: the in-order phrase (seen twice) outscores
+    # its shuffled twin
+    assert got[1][1] > got[3][1]
