@@ -2429,6 +2429,56 @@ FROM n
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS copy-candidate pairs (functions/dedup.py
+    winnow_pairs): per-window rightmost-min gram fingerprints selected
+    map-only, pairs from the ~2/(w+1)-sampled fingerprint join —
+    guaranteed to catch any shared run >= window+gram_n-1 tokens."""
+    from embeddinghub_spark.functions.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), gram_n=4, window=4, min_shared=2
+    )
+
+
+def _winnow_oracle(g: int = 4, w: int = 4, min_shared: int = 2) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+tk AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {g}),
+gh AS (
+  SELECT doc_id, i AS start,
+         CAST(('0x' || substr(md5(array_to_string(toks[i:i+{g - 1}], ' ')),
+               1, 15)) AS BIGINT) AS h,
+         n - {g} + 1 AS k
+  FROM tk, UNNEST(range(1, n - {g} + 2)) AS u(i)
+),
+win AS (SELECT DISTINCT doc_id, k FROM gh),
+ws AS (
+  SELECT doc_id, i
+  FROM win, UNNEST(range(1, greatest(1, k - {w} + 1) + 1)) AS u(i)
+),
+cand AS (
+  SELECT ws.doc_id, ws.i, gh.start, gh.h
+  FROM ws JOIN gh ON gh.doc_id = ws.doc_id
+   AND gh.start >= ws.i AND gh.start <= ws.i + {w - 1}
+),
+selr AS (
+  SELECT doc_id, i, start, h,
+         row_number() OVER (PARTITION BY doc_id, i
+                            ORDER BY h ASC, start DESC) AS rn
+  FROM cand
+),
+fp AS (SELECT DISTINCT doc_id, h FROM selr WHERE rn = 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization (functions/embeddings.py
     quantize_vectors): per-vector scale = max|x|/127, engine-neutral
@@ -5194,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_group": q_quantiles_by_group,
         "quantize_embeddings": q_quantize_embeddings,
         "bigram_logprob": q_bigram_logprob,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -5316,6 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_group": _QBG_ORACLE,
         "quantize_embeddings": _quantize_oracle(),
         "bigram_logprob": _bigram_oracle(),
+        "winnow_pairs": _winnow_oracle(),
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

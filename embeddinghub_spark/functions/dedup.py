@@ -1581,3 +1581,113 @@ def gram_index_probe_spans(
     return _span_islands(hits, id_col, gram_n).withColumn(
         "span_tokens", F.col("span_end") - F.col("span_start") + 1
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): slide a ``window`` over the document's
+    ``gram_n``-gram hashes and select each window's MINIMUM hash
+    (rightmost on ties — the original tie rule, which maximizes
+    fingerprint sharing between copies). Guarantees: any shared
+    substring of at least ``window + gram_n - 1`` tokens yields at
+    least one SHARED selected fingerprint, while only ~2/(window+1)
+    of all grams are selected — the principled sampling that makes
+    copy detection pay sub-linear bytes where the full-gram join
+    (``duplicate_spans``) pays every gram.
+
+    All selection happens MAP-ONLY inside the token array (higher-
+    order functions over an index sequence: gram hashes once, then a
+    left-fold min per window with <= so ties keep the later gram);
+    only the selected (id, start, fp) rows ever leave the row.
+    Hashes are the repo md5→60-bit-bigint protocol, so the exact
+    fingerprint set replays in any md5-bearing engine. Documents
+    shorter than ``window + gram_n - 1`` tokens (fewer grams than the
+    window) contribute their single overall-min gram — every doc with
+    >= gram_n tokens gets at least one fingerprint.
+
+    Output: ``(id, start, fp)`` — distinct selected gram positions
+    (adjacent windows mostly re-select the same gram; the distinct is
+    per document, inside the aggregate that follows in
+    ``winnow_pairs``).
+    """
+    if gram_n < 1 or window < 1:
+        raise ValueError("gram_n and window must be >= 1")
+    base = _tokenized_base(df, text_col, id_col, gram_n)
+    gh = F.expr(
+        f"transform(sequence(1, size(_t) - {gram_n} + 1), s -> "
+        f"struct(s AS start, CAST(conv(substr(md5("
+        f"array_join(slice(_t, s, {gram_n}), ' ')), 1, 15), 16, 10) "
+        f"AS BIGINT) AS h))"
+    )
+    sel = F.expr(
+        f"transform(sequence(1, greatest(1, size(_gh) - {window} + 1)), i -> "
+        f"aggregate(slice(_gh, i, {window}), "
+        f"struct(CAST(-1 AS INT) AS start, "
+        f"CAST(9223372036854775807 AS BIGINT) AS h), "
+        f"(acc, x) -> CASE WHEN x.h <= acc.h THEN x ELSE acc END))"
+    )
+    return (
+        base.select(F.col(id_col), gh.alias("_gh"))
+        .select(F.col(id_col), F.explode(sel).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s.start").alias("start"),
+            F.col("_s.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Copy-candidate pairs from shared winnowing fingerprints: two
+    documents pair iff they share at least ``min_shared`` selected
+    fingerprints — the MOSS plagiarism-detection join, here as the
+    cheap substring-copy candidate generator (confirm with
+    ``duplicate_spans``/``containment_pairs`` on the survivors).
+
+    Scale shape: the join runs on the WINNOWED set (~2/(window+1) of
+    grams), equi-keyed on the fingerprint, so work is Σ_fp df² over a
+    sampled, pruned universe. ``max_df`` drops fingerprints shared by
+    more than that many documents (ubiquitous boilerplate — the
+    ``sparse_cosine_pairs`` stop-feature lever; dropped fps only
+    remove pairs every document would make).
+
+    Output: ``(id_a, id_b, shared_fps)``, id_a < id_b.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, gram_n, window)
+        .select(F.col(id_col), "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select("fp", F.col(id_col).alias("id_a"))
+    b = fps.select("fp", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

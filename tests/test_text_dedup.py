@@ -702,3 +702,43 @@ def test_normalize_text_whitespace_types(spark):
     out = {r["doc_id"]: r["normalized"] for r in normalize_text(df).collect()}
     assert out[1] == "hello world" == out[3]
     assert out[2] == "a b c"
+
+
+def test_winnowing_guarantee_and_sampling(spark):
+    """Winnowing (Schleimer 2003): (1) any shared token run of at
+    least window+gram_n-1 tokens yields >= 1 SHARED fingerprint
+    between the two docs; (2) the selected set is a small fraction of
+    all grams; (3) short docs (fewer grams than the window) still get
+    their overall-min fingerprint; (4) rightmost-min tie rule makes
+    selection position-robust (a shifted copy selects the same gram
+    CONTENT)."""
+    from embeddinghub_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = 4+4-1 tokens
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, shared + " completely different tail words here"),
+        (3, "unrelated content with no overlap at all whatsoever"),
+        (4, "tiny doc here"),          # 3 tokens < gram_n -> no grams
+        (5, "exactly four tokens okay"),  # 4 tokens -> 1 gram < window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc          # no grams at all
+    assert len(by_doc[5]) == 1      # single overall-min fingerprint
+    # sampling: far fewer fingerprints than grams for doc 1 (13 tokens
+    # -> 10 grams)
+    assert len(by_doc[1]) < 10
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_pairs(df, min_shared=1).collect()
+    }
+    assert set(pairs) == {(1, 2)}
