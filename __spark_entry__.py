@@ -2429,6 +2429,52 @@ FROM n
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from bottom-k (KMV) sketches
+    (functions/profile.py group_overlap): which crawl sources share
+    documents, estimated from k smallest text hashes per source —
+    never a full cross-source join."""
+    from embeddinghub_spark.functions.profile import group_overlap
+
+    return group_overlap(_t(spark, sf_dir, "documents"), "source", "text", k=64)
+
+
+def _source_overlap_oracle(k: int = 64) -> str:
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT source AS g,
+         CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM documents WHERE text IS NOT NULL
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+u AS (
+  SELECT p.ga, p.gb, s.h,
+         max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+  GROUP BY 1, 2, 3
+),
+topu AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {k}
+)
+SELECT ga AS group_a, gb AS group_b,
+       round(SUM(CAST(in_a * in_b AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS est_jaccard
+FROM topu GROUP BY 1, 2
+"""
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing/MOSS copy-candidate pairs (functions/dedup.py
     winnow_pairs): per-window rightmost-min gram fingerprints selected
@@ -5245,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "bigram_logprob": q_bigram_logprob,
         "winnow_pairs": q_winnow_pairs,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -5368,6 +5415,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _quantize_oracle(),
         "bigram_logprob": _bigram_oracle(),
         "winnow_pairs": _winnow_oracle(),
+        "source_overlap": _source_overlap_oracle(),
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -715,3 +715,108 @@ def bloom_probe(
             pk, F.col(key_col).eqNullSafe(F.col("_bp_key"))
         ).drop("_bp_key")
     )
+
+
+def bottomk_sketch_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per group: the ``k`` smallest md5 hashes
+    of the group's DISTINCT values — the classic mergeable
+    distinct-value sample (Bar-Yossef et al. 2002) that powers
+    cross-group set-overlap estimation (``group_overlap``).
+
+    Whale-immune: distinct (group, value) pairs hash map-side, then
+    the two-stage top-k recipe caps each task's contribution at k per
+    group BEFORE the exchange — a group with a billion values ships
+    tasks·k rows, same as a tiny one. The hash is the repo md5→60-bit
+    protocol, so the exact sketch replays in any md5-bearing engine.
+
+    Output: ``(group_col, h)`` — ≤ k rows per group, h the hash
+    (values themselves are not retained; overlap estimation only
+    needs hash identity).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from embeddinghub_spark.operators.split import _two_stage_topk
+
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.expr(
+                f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15),"
+                f" 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    return _two_stage_topk(hashed, group_col, k, [F.col("h").asc()]).select(
+        group_col, "h"
+    )
+
+
+def group_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard-overlap matrix between groups' value sets
+    from bottom-k sketches — "how much do two crawl sources share?"
+    without ever joining the full value sets: for each group pair the
+    estimator takes the k smallest hashes of the UNION of the two
+    sketches and reports the fraction present in BOTH (the standard
+    KMV coincidence estimator; deterministic given the md5 hashes, so
+    the whole matrix is oracle-replayable).
+
+    Scale shape: the sketch build is the whale-immune two-stage top-k
+    (see ``bottomk_sketch_by``); everything after runs on sketch rows
+    only — ≤ |groups|·k rows fan out to ≤ |groups|²·k pair-rows, with
+    per-pair windows over ≤ 2k rows. The |groups|² term is the
+    honest cost of a full overlap MATRIX and stays trivial for the
+    catalog-sized group counts (sources, languages, shards) this
+    answers for; it never touches the data again.
+
+    Output: ``(group_a, group_b, est_jaccard)`` for group_a <
+    group_b (string order), est_jaccard rounded to 6.
+    """
+    sk = bottomk_sketch_by(df, group_col, value_col, k).localCheckpoint(
+        eager=False
+    )
+    a = sk.select(F.col(group_col).alias("group_a"), "h")
+    b = sk.select(F.col(group_col).alias("group_b"), "h")
+    pairs = (
+        a.select("group_a")
+        .distinct()
+        .join(b.select("group_b").distinct())
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    # union of the two sketches per pair, with membership flags
+    ua = pairs.join(a, "group_a").select(
+        "group_a", "group_b", "h", F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b")
+    )
+    ub = pairs.join(b, "group_b").select(
+        "group_a", "group_b", "h", F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("group_a", "group_b", "h")
+        .agg(F.max("_in_a").alias("in_a"), F.max("_in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("h")
+    topu = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        topu.groupBy("group_a", "group_b")
+        .agg(
+            F.round(
+                F.sum((F.col("in_a") * F.col("in_b")).cast("double"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("est_jaccard")
+        )
+    )

@@ -734,3 +734,33 @@ def test_bigram_logprob_is_brute_force(spark):
     # word order matters: the in-order phrase (seen twice) outscores
     # its shuffled twin
     assert got[1][1] > got[3][1]
+
+
+def test_group_overlap_estimates_jaccard(spark):
+    """Bottom-k overlap matrix: disjoint groups estimate exactly 0,
+    identical groups exactly 1, a known 1/3 overlap lands within the
+    sketch's error band, and the estimate is partitioning-invariant
+    (deterministic md5 order, not sample luck)."""
+    from embeddinghub_spark.functions.profile import group_overlap
+
+    rows = (
+        [("a", i) for i in range(300)]
+        + [("b", i) for i in range(150, 450)]   # |a∩b|=150, |a∪b|=450 → 1/3
+        + [("c", i) for i in range(10_000, 10_300)]
+        + [("d", i) for i in range(300)]        # d == a → J = 1
+    )
+    df = spark.createDataFrame(rows, ["src", "v"])
+    outs = []
+    for parts in (1, 32):
+        out = {
+            (r["group_a"], r["group_b"]): r["est_jaccard"]
+            for r in group_overlap(
+                df.repartition(parts), "src", "v", k=128
+            ).collect()
+        }
+        outs.append(out)
+    assert outs[0] == outs[1], "sketch must be partitioning-invariant"
+    got = outs[0]
+    assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
+    assert got[("a", "d")] == 1.0
+    assert abs(got[("a", "b")] - 1 / 3) < 0.12  # ~3/sqrt(128)
