@@ -824,3 +824,114 @@ def test_streaming_dedup_ingest_equals_batch_replay(spark, tmp_path):
 
     assert run(8, "sliced") == accepted_truth
     assert run(1, "onebatch") == accepted_truth
+
+
+def test_streaming_distinct_by_equals_batch_hll(spark, tmp_path):
+    """Streaming grouped HLL: after any micro-batch slicing, the
+    merged register estimates are BIT-IDENTICAL to the batch
+    hll_distinct_by over the whole input (the algebraic max-merge
+    law), and re-merging a batch (at-least-once replay) changes
+    nothing (idempotence)."""
+    import os
+
+    from embeddinghub_spark.functions.profile import hll_distinct_by
+    from embeddinghub_spark.streaming.distinct_by import (
+        _registers,
+        merge_registers_dir,
+        read_distinct_estimates,
+        streaming_distinct_by,
+    )
+
+    rows = [(f"s{i % 4}", i % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["source", "uid"])
+    src = str(tmp_path / "in")
+    df.repartition(6).write.parquet(src)  # 6 files -> 6 micro-batches
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "regs")
+    q = streaming_distinct_by(
+        stream, state, "source", "uid",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+
+    got = {
+        r["grp"]: (r["approx_ndv"], r["n_empty_buckets"])
+        for r in read_distinct_estimates(spark, state).collect()
+    }
+    want = {
+        r["source"]: (r["approx_ndv"], r["n_empty_buckets"])
+        for r in hll_distinct_by(df, ["source"], "uid").collect()
+    }
+    assert got == want  # bit-identical, not approximately equal
+
+    # idempotence: re-merging an arbitrary batch is a no-op
+    merge_registers_dir(
+        spark, state, _registers(df.limit(500), "source", "uid", 9)
+    )
+    again = {
+        r["grp"]: (r["approx_ndv"], r["n_empty_buckets"])
+        for r in read_distinct_estimates(spark, state).collect()
+    }
+    assert again == want
+
+
+def test_streaming_cms_equals_batch_and_skips_replays(spark, tmp_path):
+    """Streaming CMS: after any micro-batch slicing the merged
+    counters give the same estimates as the batch sketch over the
+    whole input, and a replayed batch id is transactionally SKIPPED
+    (+-merge is not idempotent, so the commit watermark is what
+    restores exactly-once effects)."""
+    from embeddinghub_spark.functions.profile import cms_topk
+    from embeddinghub_spark.streaming.cms_by import (
+        _batch_counters,
+        merge_counters_dir,
+        read_cms_estimates,
+        streaming_cms,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [
+        (i, " ".join(words[j % 5] for j in range(i, i + 6)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "in")
+    df.repartition(5).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "cms")
+    q = streaming_cms(
+        stream, state, depth=4, width=64,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        r["token"]: r["cms_estimate"]
+        for r in read_cms_estimates(spark, state, words, depth=4, width=64).collect()
+    }
+    want = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_topk(df, depth=4, width=64, k=5).collect()
+    }
+    assert got == want
+
+    # replayed batch id (already committed) must be skipped
+    applied = merge_counters_dir(
+        spark, state, _batch_counters(df, "text", 4, 64), batch_id=0
+    )
+    assert applied is False
+    again = {
+        r["token"]: r["cms_estimate"]
+        for r in read_cms_estimates(spark, state, words, depth=4, width=64).collect()
+    }
+    assert again == want
