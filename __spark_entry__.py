@@ -4300,6 +4300,93 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_scale(li, "l_extendedprice", n_bins=_ROBUST_BINS)
 
 
+def _grouped_median_ctes(src: str, group: str, col: str, b: int, p: str) -> str:
+    """Grouped histogram-median CTE chain over relation ``src``
+    (group col ``group``, value ``col``); terminal CTE
+    ``{p}hq(g, value)`` — the per-group twin of ``_histogram_ctes``
+    at q = 0.5, shared by the robust_scale_by oracle's two passes."""
+    w = f"((hi - lo) / {float(b)!r})"
+    return f"""{p}mm AS (
+  SELECT {group} AS g, min(CAST({col} AS DOUBLE)) AS lo,
+         max(CAST({col} AS DOUBLE)) AS hi, count({col}) AS n
+  FROM {src} GROUP BY 1 HAVING count({col}) > 0
+),
+{p}binned AS (
+  SELECT s.{group} AS g,
+         CASE WHEN mm.hi = mm.lo THEN 0
+              ELSE least({b - 1},
+                   CAST(floor((CAST(s.{col} AS DOUBLE) - mm.lo)
+                              / ((mm.hi - mm.lo) / {float(b)!r})) AS INTEGER))
+         END AS bin
+  FROM {src} s JOIN {p}mm mm ON s.{group} = mm.g
+  WHERE s.{col} IS NOT NULL
+),
+{p}c AS (SELECT g, bin, count(*) AS cnt FROM {p}binned GROUP BY 1, 2),
+{p}cum AS (
+  SELECT g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM {p}c
+),
+{p}hits AS (
+  SELECT cum.g, cum.bin, cum.cnt, cum.cum - cum.cnt AS cumb,
+         0.5 * CAST(mm.n AS DOUBLE) AS t, mm.lo, mm.hi
+  FROM {p}cum cum JOIN {p}mm mm ON cum.g = mm.g
+  WHERE CAST(cum.cum AS DOUBLE) >= 0.5 * CAST(mm.n AS DOUBLE)
+),
+{p}pick AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY bin) AS rn
+  FROM {p}hits
+),
+{p}hq AS (
+  SELECT g,
+         round(CASE WHEN hi = lo THEN lo
+                    ELSE least(hi,
+                         lo + CAST(bin AS DOUBLE) * {w}
+                           + CASE WHEN cnt > 0
+                                  THEN (t - CAST(cumb AS DOUBLE))
+                                       / CAST(cnt AS DOUBLE) * {w}
+                                  ELSE 0.0 END)
+               END, 6) AS value
+  FROM {p}pick WHERE rn = 1
+)"""
+
+
+def q_robust_scale_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust standardization (operators/batch.py
+    robust_scale_by): per-event-type median/MAD from grouped
+    histogram sketches — no per-group sort, whale-group immune."""
+    from embeddinghub_spark.operators.batch import robust_scale_by
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return robust_scale_by(ev, "event_type", "value", n_bins=128)
+
+
+def _robust_scale_by_oracle(b: int = 128) -> str:
+    med = _grouped_median_ctes("events", "event_type", "value", b, "m_")
+    mad = _grouped_median_ctes("ad", "g", "_ad", b, "d_")
+    return f"""
+WITH {med},
+med AS (SELECT g, value AS _med FROM m_hq),
+ad AS (
+  SELECT e.event_type AS g,
+         abs(CAST(e.value AS DOUBLE) - m._med) AS _ad
+  FROM events e JOIN med m ON e.event_type = m.g
+  WHERE e.value IS NOT NULL
+),
+{mad},
+mad AS (SELECT g, value AS _mad FROM d_hq)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN _mad > 0
+                  THEN (CAST(e.value AS DOUBLE) - _med) / (1.4826 * _mad)
+                  ELSE 0.0 END, 6) AS robust_z
+FROM events e
+JOIN med ON e.event_type = med.g
+JOIN mad ON e.event_type = mad.g
+WHERE e.value IS NOT NULL
+"""
+
+
 def _robust_scale_oracle() -> str:
     med = _histogram_ctes("lineitem", "l_extendedprice", [0.5], _ROBUST_BINS, p="m_")
     mad = _histogram_ctes("ad", "_ad", [0.5], _ROBUST_BINS, p="d_")
@@ -5292,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "winnow_pairs": q_winnow_pairs,
         "source_overlap": q_source_overlap,
+        "robust_scale_by": q_robust_scale_by,
     }
 
 
@@ -5416,6 +5504,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _bigram_oracle(),
         "winnow_pairs": _winnow_oracle(),
         "source_overlap": _source_overlap_oracle(),
+        "robust_scale_by": _robust_scale_by_oracle(),
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

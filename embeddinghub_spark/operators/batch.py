@@ -237,6 +237,57 @@ def robust_scale(
     )
 
 
+def robust_scale_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 256,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Per-group outlier-robust standardization:
+    ``(x − median_g) / (1.4826·MAD_g)`` — ``robust_scale`` with the
+    median and MAD computed PER GROUP (per event type, per source),
+    the form a mixed-scale corpus actually needs (one global median
+    across heterogeneous sources standardizes nothing).
+
+    Both passes are the grouped histogram sketch
+    (``profile.histogram_quantiles_by``): aggregates keyed by the
+    group, quantile selection on the bin frame — no per-group data
+    sort anywhere, so a whale group costs what a small one does. The
+    per-group median/MAD frames are |groups| rows and broadcast back
+    onto the rows. Fully oracle-replayable (sketch values round to
+    6, same as the global op).
+
+    Output: input rows (null ``value_col`` dropped) + ``out_col``;
+    a degenerate group (MAD = 0) yields 0.0.
+    """
+    from embeddinghub_spark.functions.profile import histogram_quantiles_by
+
+    med = histogram_quantiles_by(
+        df, [group_col], value_col, [0.5], n_bins=n_bins
+    ).select(F.col(group_col), F.col("value").alias("_med"))
+    rows = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(med), group_col
+    )
+    absdev = rows.select(
+        F.col(group_col),
+        F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_ad"),
+    )
+    mad = histogram_quantiles_by(
+        absdev, [group_col], "_ad", [0.5], n_bins=n_bins
+    ).select(F.col(group_col), F.col("value").alias("_mad"))
+    z = F.when(
+        F.col("_mad") > 0,
+        (F.col(value_col).cast("double") - F.col("_med"))
+        / (F.lit(1.4826) * F.col("_mad")),
+    ).otherwise(F.lit(0.0))
+    return (
+        rows.join(F.broadcast(mad), group_col)
+        .withColumn(out_col, F.round(z, 6))
+        .drop("_med", "_mad")
+    )
+
+
 def gap_fill(
     df: DataFrame,
     entity_col: str,

@@ -782,3 +782,33 @@ def test_quantize_dequantize_roundtrip_error_bound(spark):
             abs(o - r) <= scale / 2 + 1e-12 for o, r in zip(orig, rec[vid])
         )
     assert rec[3] is None
+
+
+def test_robust_scale_by_per_group_centering(spark):
+    """Grouped robust scaling: each group centers on ITS OWN median
+    (a global median would misplace both groups), a constant group
+    yields 0.0 everywhere (MAD = 0), and NULL values drop."""
+    from embeddinghub_spark.operators.batch import robust_scale_by
+
+    rows = (
+        [("a", float(i)) for i in range(101)]            # median 50
+        + [("b", float(1000 + 10 * i)) for i in range(101)]  # median 1500
+        + [("c", 5.0)] * 10
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], ["rid", "grp", "v"]
+    )
+    out = {r["rid"]: r for r in robust_scale_by(df, "grp", "v", n_bins=64).collect()}
+    assert len(out) == len(rows) - 1  # NULL dropped
+    # the median row of each group scales to ~0 under ITS group stats
+    mid_a = [r for r in out.values() if r["grp"] == "a" and r["v"] == 50.0][0]
+    mid_b = [r for r in out.values() if r["grp"] == "b" and r["v"] == 1500.0][0]
+    assert abs(mid_a["robust_z"]) < 0.1 and abs(mid_b["robust_z"]) < 0.1
+    assert all(
+        r["robust_z"] == 0.0 for r in out.values() if r["grp"] == "c"
+    )
+    # symmetric tails scale to roughly symmetric z
+    lo_a = [r for r in out.values() if r["grp"] == "a" and r["v"] == 0.0][0]
+    hi_a = [r for r in out.values() if r["grp"] == "a" and r["v"] == 100.0][0]
+    assert lo_a["robust_z"] < -1 and hi_a["robust_z"] > 1
