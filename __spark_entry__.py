@@ -4352,6 +4352,137 @@ def _grouped_median_ctes(src: str, group: str, col: str, b: int, p: str) -> str:
 )"""
 
 
+def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/validate.py
+    validate_rules): six rule types over lineitem in one aggregate
+    pass + a distinct-keys FK anti-join — the per-drop validation
+    report a pipeline gates ingest on."""
+    from embeddinghub_spark.operators.validate import validate_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"name": "orderkey_not_null", "type": "not_null",
+         "column": "l_orderkey"},
+        {"name": "quantity_range", "type": "range",
+         "column": "l_quantity", "lo": 1, "hi": 50},
+        {"name": "returnflag_values", "type": "accepted_values",
+         "column": "l_returnflag", "values": ["A", "N", "R"]},
+        {"name": "linestatus_regexp", "type": "regexp",
+         "column": "l_linestatus", "pattern": "[OF]"},
+        {"name": "line_unique", "type": "unique",
+         "columns": ["l_orderkey", "l_linenumber"]},
+        {"name": "orderkey_fk", "type": "referential",
+         "column": "l_orderkey", "ref": "orders",
+         "ref_column": "o_orderkey"},
+    ]
+    return validate_rules(li, rules, refs={"orders": orders})
+
+
+_VALIDATE_RULES_ORACLE = """
+WITH tot AS (SELECT count(*) AS n FROM lineitem),
+u AS (
+  SELECT CAST(count(*) AS BIGINT) AS keys,
+         CAST(coalesce(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+           AS dup_rows
+  FROM (SELECT l_orderkey, l_linenumber, count(*) AS c FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        GROUP BY 1, 2)
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS keys,
+         CAST(coalesce(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS missing
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL) k
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON k.l_orderkey = o.o_orderkey
+)
+SELECT 'orderkey_not_null' AS rule, 'not_null' AS rule_type,
+       'l_orderkey' AS "column",
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+            AS BIGINT) AS violations,
+       CAST((SELECT n FROM tot) AS BIGINT) AS total,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AS passed
+UNION ALL
+SELECT 'quantity_range', 'range', 'l_quantity',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity IS NOT NULL
+               AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT),
+       CAST((SELECT n FROM tot) AS BIGINT),
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND (l_quantity < 1 OR l_quantity > 50)) = 0
+UNION ALL
+SELECT 'returnflag_values', 'accepted_values', 'l_returnflag',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_returnflag IS NOT NULL
+               AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+       CAST((SELECT n FROM tot) AS BIGINT),
+       (SELECT count(*) FROM lineitem
+        WHERE l_returnflag IS NOT NULL
+          AND l_returnflag NOT IN ('A', 'N', 'R')) = 0
+UNION ALL
+SELECT 'linestatus_regexp', 'regexp', 'l_linestatus',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_linestatus IS NOT NULL
+               AND NOT regexp_full_match(l_linestatus, '[OF]')) AS BIGINT),
+       CAST((SELECT n FROM tot) AS BIGINT),
+       (SELECT count(*) FROM lineitem
+        WHERE l_linestatus IS NOT NULL
+          AND NOT regexp_full_match(l_linestatus, '[OF]')) = 0
+UNION ALL
+SELECT 'line_unique', 'unique', 'l_orderkey,l_linenumber',
+       (SELECT dup_rows FROM u), (SELECT keys FROM u),
+       (SELECT dup_rows FROM u) = 0
+UNION ALL
+SELECT 'orderkey_fk', 'referential', 'l_orderkey',
+       (SELECT missing FROM fk), (SELECT keys FROM fk),
+       (SELECT missing FROM fk) = 0
+"""
+
+
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight profile (operators/batch.py
+    join_fanout_profile): exact output size and hot keys of
+    customer ⋈ orders on custkey, computed from per-key counts —
+    never by running the join."""
+    from embeddinghub_spark.operators.batch import join_fanout_profile
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return join_fanout_profile(cust, orders, ["custkey"], top_k=10)
+
+
+_JOIN_FANOUT_ORACLE = """
+WITH l AS (SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+           WHERE c_custkey IS NOT NULL),
+r AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders
+      WHERE o_custkey IS NOT NULL),
+lc AS (SELECT key, count(*) AS lcnt FROM l GROUP BY key),
+rc AS (SELECT key, count(*) AS rcnt FROM r GROUP BY key),
+pk AS (SELECT key, lcnt AS left_rows, rcnt AS right_rows,
+              lcnt * rcnt AS output_rows
+       FROM lc JOIN rc USING (key)),
+tot AS (SELECT CAST(NULL AS VARCHAR) AS key,
+               (SELECT count(*) FROM customer) AS left_rows,
+               (SELECT count(*) FROM orders) AS right_rows,
+               (SELECT count(*) FROM lc) AS left_keys,
+               (SELECT count(*) FROM rc) AS right_keys,
+               CAST(coalesce((SELECT SUM(output_rows) FROM pk), 0) AS BIGINT)
+                 AS output_rows),
+top AS (SELECT key, left_rows, right_rows,
+               CAST(NULL AS BIGINT) AS left_keys,
+               CAST(NULL AS BIGINT) AS right_keys, output_rows
+        FROM pk ORDER BY output_rows DESC, key LIMIT 10)
+SELECT * FROM tot UNION ALL SELECT * FROM top
+"""
+
+
 def q_robust_scale_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust standardization (operators/batch.py
     robust_scale_by): per-event-type median/MAD from grouped
@@ -5380,6 +5511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "source_overlap": q_source_overlap,
         "robust_scale_by": q_robust_scale_by,
+        "join_fanout": q_join_fanout,
+        "validate_rules": q_validate_rules,
     }
 
 
@@ -5505,6 +5638,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _winnow_oracle(),
         "source_overlap": _source_overlap_oracle(),
         "robust_scale_by": _robust_scale_by_oracle(),
+        "join_fanout": _JOIN_FANOUT_ORACLE,
+        "validate_rules": _VALIDATE_RULES_ORACLE,
         "cms_topk": _CMS_TOPK_ORACLE,
         "nb_classifier": _NB_CLASSIFIER_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -190,6 +190,92 @@ def salted_join(
     return b.join(s, on + ["_salt"], how).drop("_salt")
 
 
+def join_fanout_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight profile of an equi-join: per-side key cardinalities
+    and the EXACT join output size ``Σ_k count_L(k)·count_R(k)`` —
+    computed from the two per-key count aggregates (rows = distinct
+    keys per side), never by running the join. At 100 TB this is the
+    cheap question to ask before the expensive one: a single hot key
+    with 10⁶ rows on each side adds 10¹² output rows, and this
+    profile names it before the shuffle does.
+
+    Output: one summary row (``key = NULL``) with
+    ``(left_rows, right_rows, left_keys, right_keys, output_rows)``
+    followed by the ``top_k`` keys by per-key output contribution —
+    ``(key, left_rows, right_rows, output_rows)`` with the key
+    rendered as a string (composite keys joined with '|'). Reading
+    it: if the summary's ``output_rows`` ≫ max(inputs), the join
+    explodes; if one top key dominates, that is the salting target
+    (``salted_join``) or the AQE-skew-split case.
+
+    Scale shape: two per-key count aggregates (map-side combine) →
+    one inner join on the key COUNTS (distinct-key-sized frames, AQE
+    chooses the strategy) → a 1-row total plus a TakeOrdered top-k.
+    NULL keys never equi-match, so they are excluded from the
+    contribution math (counted in ``left_rows``/``right_rows``
+    totals, like the join itself would see them).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    nn = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in key_cols]
+    )
+    lc = (
+        left.filter(nn)
+        .select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    rc = (
+        right.filter(nn)
+        .select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    per_key = lc.join(rc, "key").select(
+        "key",
+        F.col("lc").alias("left_rows"),
+        F.col("rc").alias("right_rows"),
+        (F.col("lc") * F.col("rc")).alias("output_rows"),
+    )
+    totals = (
+        per_key.agg(F.sum("output_rows").alias("output_rows"))
+        .crossJoin(F.broadcast(left.agg(F.count(F.lit(1)).alias("left_rows"))))
+        .crossJoin(F.broadcast(right.agg(F.count(F.lit(1)).alias("right_rows"))))
+        .crossJoin(F.broadcast(lc.agg(F.count(F.lit(1)).alias("left_keys"))))
+        .crossJoin(F.broadcast(rc.agg(F.count(F.lit(1)).alias("right_keys"))))
+        .select(
+            F.lit(None).cast("string").alias("key"),
+            "left_rows",
+            "right_rows",
+            "left_keys",
+            "right_keys",
+            F.coalesce("output_rows", F.lit(0)).alias("output_rows"),
+        )
+    )
+    top = (
+        per_key.orderBy(F.col("output_rows").desc(), "key")
+        .limit(top_k)
+        .select(
+            "key",
+            "left_rows",
+            "right_rows",
+            F.lit(None).cast("bigint").alias("left_keys"),
+            F.lit(None).cast("bigint").alias("right_keys"),
+            "output_rows",
+        )
+    )
+    return totals.unionByName(top)
+
+
 def robust_scale(
     df: DataFrame,
     value_col: str,

@@ -812,3 +812,75 @@ def test_robust_scale_by_per_group_centering(spark):
     lo_a = [r for r in out.values() if r["grp"] == "a" and r["v"] == 0.0][0]
     hi_a = [r for r in out.values() if r["grp"] == "a" and r["v"] == 100.0][0]
     assert lo_a["robust_z"] < -1 and hi_a["robust_z"] > 1
+
+
+def test_join_fanout_profile_predicts_exact_output(spark):
+    """The profile's summary output_rows equals the actual join's
+    row count (hot-key quadratic contribution included), NULL keys
+    are excluded from contributions but counted in side totals, and
+    the hot key tops the per-key list."""
+    from embeddinghub_spark.operators.batch import join_fanout_profile
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,), (None,), (None,)], ["k"]
+    )
+    out = join_fanout_profile(left, right, ["k"], top_k=5).collect()
+    summary = [r for r in out if r["key"] is None][0]
+    per_key = {r["key"]: r for r in out if r["key"] is not None}
+    actual = left.join(right, "k").count()   # 3*2 + 1*1 = 7
+    assert summary["output_rows"] == actual == 7
+    assert summary["left_rows"] == 6 and summary["right_rows"] == 6
+    assert summary["left_keys"] == 3 and summary["right_keys"] == 3
+    assert set(per_key) == {"1", "2"}        # keys present on BOTH sides
+    assert per_key["1"]["output_rows"] == 6  # the hot key, named
+
+
+def test_validate_rules_counts_violations(spark):
+    """Every rule type counts its violations correctly on a frame
+    seeded with known defects; NULL-exemption semantics (range/
+    accepted/regexp don't count NULLs; unique ignores NULL keys) and
+    the full-match regexp anchor are pinned."""
+    import pytest
+
+    from embeddinghub_spark.operators.validate import validate_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok1"),
+            (1, 99.0, "A", "ok2"),     # dup id; out-of-range value
+            (2, 20.0, "X", "bad!"),    # bad flag; regexp violation
+            (None, None, None, None),  # nulls
+            (3, 30.0, "B", "ok3"),
+        ],
+        ["id", "v", "flag", "code"],
+    )
+    ref = spark.createDataFrame([(1,), (2,)], ["rid"])
+    rules = [
+        {"name": "id_nn", "type": "not_null", "column": "id"},
+        {"name": "v_range", "type": "range", "column": "v", "lo": 0, "hi": 50},
+        {"name": "flag_ok", "type": "accepted_values", "column": "flag",
+         "values": ["A", "B"]},
+        {"name": "code_re", "type": "regexp", "column": "code",
+         "pattern": "ok[0-9]"},
+        {"name": "id_unique", "type": "unique", "column": "id"},
+        {"name": "id_fk", "type": "referential", "column": "id",
+         "ref": "r", "ref_column": "rid"},
+    ]
+    out = {
+        r["rule"]: r
+        for r in validate_rules(df, rules, refs={"r": ref}).collect()
+    }
+    assert out["id_nn"]["violations"] == 1 and out["id_nn"]["total"] == 5
+    assert out["v_range"]["violations"] == 1       # NULL exempt
+    assert out["flag_ok"]["violations"] == 1
+    assert out["code_re"]["violations"] == 1       # full-match anchor
+    assert out["id_unique"]["violations"] == 2     # both rows of id=1
+    assert out["id_unique"]["total"] == 3          # distinct non-null keys
+    assert out["id_fk"]["violations"] == 1         # id=3 missing from ref
+    assert not out["id_fk"]["passed"] and out["v_range"]["passed"] is False
+    assert out["id_nn"]["passed"] is False
+    with pytest.raises(ValueError, match="unique 'name'"):
+        validate_rules(df, [{"type": "not_null", "column": "id"}])
