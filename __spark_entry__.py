@@ -5348,6 +5348,96 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 
 
 # --------------------------------------------------------------------------
+# CDC: ordered changelog apply + SCD Type-2 dimension build
+# --------------------------------------------------------------------------
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered insert/update/delete changelog applied to a snapshot
+    (operators/cdc.py cdc_apply): customer balances as the snapshot,
+    a changelog derived from orders (latest order per customer wins;
+    status 'F' deletes the key) — the Debezium/MERGE-generalizing
+    ingest shape (ref runner :688-765 applies only the latest-row
+    special case)."""
+    from embeddinghub_spark.operators.cdc import cdc_apply
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+    )
+    log = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+        (F.col("o_orderkey") % 25).cast("bigint").alias("nat"),
+    )
+    return cdc_apply(snap, log, ["k"])
+
+
+_CDC_APPLY_ORACLE = """
+WITH log AS (
+  SELECT o_custkey AS k, o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS bal, CAST(o_orderkey % 25 AS BIGINT) AS nat
+  FROM orders
+),
+latest AS (
+  SELECT k, op, bal, nat FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+snap AS (
+  SELECT c_custkey AS k, c_acctbal AS bal,
+         CAST(c_nationkey AS BIGINT) AS nat
+  FROM customer
+)
+SELECT coalesce(s.k, l.k) AS k,
+       CASE WHEN l.k IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+       CASE WHEN l.k IS NOT NULL THEN l.nat ELSE s.nat END AS nat
+FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
+WHERE l.k IS NULL OR l.op <> 'D'
+"""
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension from the events change stream
+    (operators/cdc.py scd2_build): per-user event_type versions with
+    half-open validity intervals, consecutive no-op changes collapsed
+    — the dimension form a PIT join reads 'as of' a label ts."""
+    from embeddinghub_spark.operators.cdc import scd2_build
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return scd2_build(ev, ["user_id"], "ts")
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev_et
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST)
+),
+kept AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_et
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       CAST(row_number() OVER w2 AS INT) AS version,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY user_id
+              ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST)
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -5513,6 +5603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale_by": q_robust_scale_by,
         "join_fanout": q_join_fanout,
         "validate_rules": q_validate_rules,
+        "cdc_apply": q_cdc_apply,
+        "scd2_build": q_scd2_build,
     }
 
 
@@ -5655,4 +5747,6 @@ def oracle_sql() -> dict[str, str]:
         "f8_moving_avg": _F8_MOVING_AVG_ORACLE,
         "decayed_count": _DECAYED_COUNT_ORACLE,
         "robust_scale": _robust_scale_oracle(),
+        "cdc_apply": _CDC_APPLY_ORACLE,
+        "scd2_build": _SCD2_ORACLE,
     }

@@ -1,0 +1,153 @@
+"""Change-data-capture operators: ordered changelog application and
+SCD Type-2 dimension builds.
+
+Reference parity: featureform's MERGE upsert
+(provider/scripts/spark/offline_store_spark_runner.py:688-765) applies
+the LATEST row per key from a new batch. ``cdc_apply`` generalizes
+that to an ordered insert/update/delete log (the Debezium/DMS shape a
+warehouse ingests), and ``scd2_build`` keeps EVERY version with a
+validity interval instead of only the latest — the slowly-changing
+dimension form a point-in-time join (operators/pit.py) consumes when
+features must be read "as of" the label timestamp.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an ordered insert/update/delete changelog to a snapshot.
+
+    ``changelog`` carries the snapshot's columns plus ``seq_col`` (a
+    monotone per-key ordering — LSN, binlog offset, kafka offset) and
+    ``op_col``. Per key, only the HIGHEST-seq change wins: if it is
+    ``delete_op`` the key disappears; any other op value upserts the
+    change row's values; keys the changelog never touches pass through
+    from the snapshot. Output schema == snapshot schema.
+
+    Seq ties are broken by ``op_col`` descending then the value
+    columns descending (struct-major max), so an equal-seq U beats a D
+    deterministically — real logs have unique per-key sequence
+    numbers, and the tie-break only exists so replays stay stable.
+
+    Scale shape: latest-per-key is ONE map-side-combining hash
+    aggregate over the changelog (``max(struct(seq, op, values))`` —
+    shuffle ∝ |changed keys|, whale-key immune, same trick as
+    materialize's _latest_by_struct), then ONE equi-join against the
+    snapshot. AQE broadcasts the reduced changelog in the common case
+    (day's changes ≪ accumulated snapshot), so a 100 TB snapshot is
+    never re-shuffled to absorb a 10 GB delta. No windows, no sorts.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in key_cols + [seq_col, op_col]:
+        if c not in changelog.columns:
+            raise ValueError(f"changelog is missing column {c!r}")
+    val_cols = [c for c in snapshot.columns if c not in key_cols]
+    missing = [c for c in snapshot.columns if c not in changelog.columns]
+    if missing:
+        raise ValueError(f"changelog is missing snapshot columns {missing}")
+
+    winner = F.struct(
+        F.col(seq_col).alias("_seq"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(c) for c in val_cols],
+    )
+    latest = changelog.groupBy(*key_cols).agg(F.max(winner).alias("_w"))
+
+    joined = snapshot.alias("_s").join(
+        latest.alias("_c"), on=key_cols, how="full_outer"
+    )
+    changed = F.col("_c._w").isNotNull()
+    kept = joined.filter(~changed | (F.col("_c._w._op") != F.lit(delete_op)))
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(changed, F.col(f"_c._w.{c}"))
+            .otherwise(F.col(f"_s.{c}"))
+            .alias(c)
+            for c in val_cols
+        ],
+    )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str] | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Build an SCD Type-2 dimension from a change stream: one row per
+    (key, version) with ``valid_from`` / ``valid_to`` / ``version`` /
+    ``is_current``, ordered by change timestamp.
+
+    With ``collapse=True`` (default) consecutive changes whose
+    attributes are all unchanged are folded into the earlier version —
+    a no-op update does not open a new validity interval (null-safe
+    comparison, so NULL→NULL is "unchanged"). ``valid_to`` is the next
+    kept version's ``valid_from`` (half-open intervals, NULL while
+    current), which is exactly the shape an as-of / interval join
+    (operators/pit.py, operators/batch.py interval_join) probes.
+
+    Ordering within a key is (ts, attrs) so duplicate-timestamp change
+    rows sequence deterministically; exact duplicate rows collapse.
+
+    Scale shape: two windows partitioned BY KEY (lag-compare for the
+    collapse, lead/row_number for intervals) — per-task state is one
+    key's CHANGE HISTORY, which is bounded by update counts, not
+    corpus size; this is the inherent lower bound for versioning (any
+    SCD2 build must see a key's changes in order). No global sort, no
+    driver collects.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if attr_cols is None:
+        attr_cols = [
+            c for c in changes.columns if c not in key_cols and c != ts_col
+        ]
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in attr_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    if collapse:
+        any_changed = reduce(
+            lambda a, b: a | b,
+            [
+                ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+                for c in attr_cols
+            ],
+        )
+        # row_number==1 detects "no predecessor" exactly — lag(ts)
+        # IS NULL cannot, because a predecessor's ts value may itself
+        # be NULL.
+        changes = (
+            changes.withColumn(
+                "_keep", (F.row_number().over(w) == 1) | any_changed
+            )
+            .filter(F.col("_keep"))
+            .drop("_keep")
+        )
+
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    out = changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
