@@ -5438,6 +5438,37 @@ WINDOW w2 AS (PARTITION BY user_id
 
 
 # --------------------------------------------------------------------------
+# fuzzy string join: q-gram prefix filter + exact levenshtein verify
+# --------------------------------------------------------------------------
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 similarity self-join over customer names
+    (functions/fuzzy.py fuzzy_pairs): candidates from the lossless
+    q-gram prefix filter (rarest q·k+1 grams per string), verified
+    with levenshtein — never all pairs. The oracle IS all pairs, which
+    is the point: same result, different cost curve."""
+    from embeddinghub_spark.functions.fuzzy import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 2000
+    )
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1, q=3)
+
+
+_FUZZY_JOIN_ORACLE = """
+WITH t AS (
+  SELECT c_custkey AS id, c_name AS s FROM customer
+  WHERE c_custkey < 2000 AND c_name IS NOT NULL
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM t a JOIN t b
+  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -5605,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_rules": q_validate_rules,
         "cdc_apply": q_cdc_apply,
         "scd2_build": q_scd2_build,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -5749,4 +5781,5 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale": _robust_scale_oracle(),
         "cdc_apply": _CDC_APPLY_ORACLE,
         "scd2_build": _SCD2_ORACLE,
+        "fuzzy_join": _FUZZY_JOIN_ORACLE,
     }
