@@ -5468,6 +5468,76 @@ WHERE levenshtein(a.s, b.s) <= 1
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/batch.py event_transitions): counts and
+    conditional next-event probabilities — the user-journey summary
+    behavioral features derive from the raw log."""
+    from embeddinghub_spark.operators.batch import event_transitions
+
+    ev = _events(spark, sf_dir)
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", order_cols=["event_id"]
+    )
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events WHERE event_type IS NOT NULL
+),
+cnt AS (
+  SELECT prev AS src, event_type AS dst, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY 1)
+SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n, c.n / t.t AS p
+FROM cnt c JOIN tot t ON c.src = t.src
+"""
+
+
+def q_class_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic labeling (functions/text.py class_tf_idf): the
+    15 most characteristic terms per language group of the documents
+    corpus — the BERTopic scoring that labels dedup/embedding
+    clusters."""
+    from embeddinghub_spark.functions.text import class_tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    return class_tf_idf(docs, "lang", "text", top_k=15)
+
+
+_CLASS_TF_IDF_ORACLE = """
+WITH words AS (
+  SELECT lang AS grp,
+         UNNEST(list_filter(string_split(text, ' '), x -> x != ''))
+           AS word
+  FROM documents WHERE lang IS NOT NULL
+),
+tf AS (SELECT grp, word, count(*) AS tf FROM words GROUP BY 1, 2),
+ft AS (SELECT word, sum(tf) AS f FROM tf GROUP BY 1),
+a AS (
+  SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT grp) AS a FROM tf
+),
+scored AS (
+  SELECT tf.grp, tf.word, tf.tf,
+         round(tf.tf * ln(1.0 + a.a / ft.f), 6) AS score
+  FROM tf JOIN ft USING (word) CROSS JOIN a
+),
+ranked AS (
+  SELECT grp, word, tf, score,
+         CAST(row_number() OVER (
+           PARTITION BY grp ORDER BY score DESC, word ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT grp, word, tf, score, rank FROM ranked WHERE rank <= 15
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5637,6 +5707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "scd2_build": q_scd2_build,
         "fuzzy_join": q_fuzzy_join,
+        "event_transitions": q_event_transitions,
+        "class_tf_idf": q_class_tf_idf,
     }
 
 
@@ -5782,4 +5854,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply": _CDC_APPLY_ORACLE,
         "scd2_build": _SCD2_ORACLE,
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
+        "event_transitions": _EVENT_TRANSITIONS_ORACLE,
+        "class_tf_idf": _CLASS_TF_IDF_ORACLE,
     }

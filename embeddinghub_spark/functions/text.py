@@ -10,7 +10,7 @@ ANSI-SQL oracle engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from embeddinghub_spark.functions.vector import ensure_parallelism
@@ -1359,3 +1359,65 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn("normalized", c)
+
+
+def class_tf_idf(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF score): treat every
+    group (cluster, source, language) as ONE concatenated document and
+    rank the terms that characterize it — ``score(t, g) = tf(t, g) ·
+    ln(1 + A / f(t))`` where ``A`` is the average token count per
+    group and ``f(t)`` the corpus-wide term frequency. The standard
+    way to LABEL the clusters that semantic dedup / embedding
+    clustering produce.
+
+    Output: the ``top_k`` terms per group —
+    (group, word, tf, score, rank). Ranking compares the ROUNDED
+    score (6 decimals, then word as tiebreak) so libm ``ln`` ulp
+    differences can never flip an ordering across engines.
+
+    Scale shape: explode → (group, word) count with map-side combine
+    (exchange carries distinct pairs); corpus term frequencies are a
+    second aggregate OVER THE PAIR FRAME (already word-partitioned);
+    A and |groups| are bounded driver scalars like tf_idf's N. The
+    per-group top-k window runs on the AGGREGATED (group, word)
+    frame — state is one group's vocabulary, never its raw tokens.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    words = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("word")
+    ).filter(F.col("grp").isNotNull())
+    tf = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("tf"))
+    ft = tf.groupBy("word").agg(F.sum("tf").alias("f"))
+    totals = tf.agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count_distinct(F.col("grp")).alias("n_groups"),
+    ).collect()[0]
+    if totals["n_groups"] == 0:
+        a = 0.0
+    else:
+        a = float(totals["n_tokens"]) / float(totals["n_groups"])
+    scored = tf.join(ft, "word").select(
+        "grp",
+        "word",
+        "tf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(1.0) + F.lit(a) / F.col("f").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("grp", "word", "tf", "score", "rank")
+    )

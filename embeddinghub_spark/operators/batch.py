@@ -576,3 +576,54 @@ def cohort_retention(
             F.col("n_active").cast("bigint").alias("n_active"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every observed ``(src, dst)`` state pair, the
+    transition count and the conditional probability
+    ``p = n(src→dst) / Σ_d n(src→d)`` — the user-journey /
+    next-event-model summary a behavioral feature pipeline derives
+    from a raw event log.
+
+    Sequencing is (ts, *order_cols) per entity, so pass a unique
+    column (an event id) in ``order_cols`` to pin ties
+    deterministically. NULL states are excluded up front (a NULL is
+    unordered, not a state); each entity's first event has no
+    predecessor and contributes no pair.
+
+    Scale shape: ONE window partitioned by entity (per-task state is
+    one entity's events — the inherent minimum for sequencing), then
+    a groupBy on (src, dst) whose domain is |states|² — map-side
+    combine shrinks the exchange to the state-pair domain regardless
+    of corpus size; per-src totals are a second tiny aggregate joined
+    back (AQE broadcasts the |states|-row frame). Probabilities are
+    one double division of two exact counts, engine-reproducible.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols or []]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.filter(F.col(state_col).isNotNull())
+        .select(
+            F.lag(F.col(state_col)).over(w).alias("src"),
+            F.col(state_col).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("_t"))
+    return (
+        counts.join(totals, "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            (F.col("n") / F.col("_t")).alias("p"),
+        )
+    )

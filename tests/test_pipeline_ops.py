@@ -884,3 +884,87 @@ def test_validate_rules_counts_violations(spark):
     assert out["id_nn"]["passed"] is False
     with pytest.raises(ValueError, match="unique 'name'"):
         validate_rules(df, [{"type": "not_null", "column": "id"}])
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.batch import event_transitions
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        Row(u=1, ts=ts(1), eid=1, s="a"),
+        Row(u=1, ts=ts(2), eid=2, s="b"),
+        Row(u=1, ts=ts(3), eid=3, s="a"),
+        Row(u=1, ts=ts(4), eid=4, s="c"),
+        # user 2: a -> b ; NULL state skipped entirely
+        Row(u=2, ts=ts(1), eid=5, s="a"),
+        Row(u=2, ts=ts(2), eid=6, s=None),
+        Row(u=2, ts=ts(3), eid=7, s="b"),
+        # user 3: single event -> no pairs
+        Row(u=3, ts=ts(1), eid=8, s="z"),
+        # user 1 tie timestamps: eid orders them
+        Row(u=4, ts=ts(1), eid=10, s="x"),
+        Row(u=4, ts=ts(1), eid=11, s="y"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.src, r.dst): (r.n, round(r.p, 6))
+        for r in event_transitions(
+            df, "u", "ts", "s", order_cols=["eid"]
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+        ("x", "y"): (1, 1.0),
+    }
+
+
+def test_class_tf_idf_ranks_characteristic_terms(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.text import class_tf_idf
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, g="sports", text="goal goal match team"),
+            Row(doc_id=2, g="sports", text="team match goal"),
+            Row(doc_id=3, g="tech", text="code code compiler team"),
+            Row(doc_id=4, g=None, text="ignored entirely"),
+        ]
+    )
+    out = class_tf_idf(df, "g", "text", top_k=2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append((r.rank, r.word))
+    # "goal" dominates sports (tf=4, rare outside), "code" dominates tech
+    assert sorted(by_grp["sports"])[0][1] == "goal"
+    assert sorted(by_grp["tech"])[0][1] == "code"
+    # shared term "team" scores lower than the group-specific terms
+    assert all(len(v) == 2 for v in by_grp.values())
+    # NULL group rows are excluded
+    assert set(by_grp) == {"sports", "tech"}
+
+
+def test_class_tf_idf_deterministic_tie_break(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.text import class_tf_idf
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, g="a", text="zz aa"), Row(doc_id=2, g="b", text="qq")]
+    )
+    # zz and aa tie exactly in group a -> word ascending breaks it
+    out = sorted(
+        (r.rank, r.word)
+        for r in class_tf_idf(df, "g", "text", top_k=5).collect()
+        if r.grp == "a"
+    )
+    assert out == [(1, "aa"), (2, "zz")]
