@@ -5538,6 +5538,19 @@ SELECT grp, word, tf, score, rank FROM ranked WHERE rank <= 15
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (functions/bpe.py bpe_merges): 15
+    merges learned over the documents corpus — word-type iteration
+    state, argmax collect per step, greedy-left merges. No SQL
+    oracle (K-step argmax recursion); the Spark≡Python-replica
+    property tests in tests/test_bpe.py pin the arithmetic, and the
+    driver records the rows-only check."""
+    from embeddinghub_spark.functions.bpe import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", n_merges=15)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5709,6 +5722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "event_transitions": q_event_transitions,
         "class_tf_idf": q_class_tf_idf,
+        "bpe_merges": q_bpe_merges,
     }
 
 

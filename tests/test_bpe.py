@@ -1,0 +1,118 @@
+"""BPE tokenizer training (Spark ≡ Python replica) and encoding."""
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.functions.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_merges,
+    bpe_train_python,
+)
+
+
+def _train_spark(spark, texts, n, min_count=2):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    return [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(df, "text", n_merges=n, min_count=min_count).collect()
+    ]
+
+
+def test_bpe_merges_equals_replica_small(spark):
+    texts = ["low low low lower lowest", "new newer newest low"]
+    assert _train_spark(spark, texts, 8) == [
+        tuple(m) for m in bpe_train_python(texts, 8)
+    ]
+
+
+def test_bpe_merges_overlapping_pairs_greedy_left(spark):
+    # "aaaa" -> pairs (a,a) x3 but greedy-left merges give [aa, aa]
+    texts = ["aaaa aaaa baa"]
+    got = _train_spark(spark, texts, 3, min_count=1)
+    want = [tuple(m) for m in bpe_train_python(texts, 3, min_count=1)]
+    assert got == want
+    assert got[0][1] == "a" and got[0][2] == "a"
+    # first merge count: "aaaa" has 2 non-overlapping (a,a) x2 words,
+    # "baa" has 1 -> greedy-left counting is pair OCCURRENCES (3+3+1
+    # adjacent slots), training counts slots: 2 words * 3 + 1 = 7
+    assert got[0][4] == 7
+
+
+def test_bpe_merges_early_stop_on_min_count(spark):
+    texts = ["ab cd"]  # every pair unique -> count 1 < min_count 2
+    assert _train_spark(spark, texts, 5, min_count=2) == []
+
+
+def test_bpe_merges_equals_replica_random_corpus(spark):
+    rng = random.Random(42)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+             for _ in range(60)]
+    texts = [" ".join(rng.choice(words) for _ in range(20)) for _ in range(25)]
+    assert _train_spark(spark, texts, 15) == [
+        tuple(m) for m in bpe_train_python(texts, 15)
+    ]
+
+
+def test_bpe_merges_equals_replica_real_documents(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("text")
+    )
+    texts = [r.text for r in docs.collect()]
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(docs, "text", n_merges=12).collect()
+    ]
+    assert got == [tuple(m) for m in bpe_train_python(texts, 12)]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    texts = ["low low low lower lowest", "new newer newest low"]
+    merges = bpe_train_python(texts, 8)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="low lowest"), Row(doc_id=2, text=None)]
+    )
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    # "low" became a single symbol + EOW merge -> ["low▁"]
+    assert out[1].bpe_tokens[: 1] == ["low" + END_OF_WORD]
+    assert out[1].n_bpe_tokens == len(out[1].bpe_tokens)
+    assert out[2].bpe_tokens == [] and out[2].n_bpe_tokens == 0
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    """Encoding a training word with the learned table must reproduce
+    the exact symbol sequence training ended with (standard BPE
+    property: rank-ordered re-application replays training)."""
+    from collections import Counter
+
+    texts = ["banana bandana banana", "ban bananas"]
+    merges = bpe_train_python(texts, 10, min_count=1)
+
+    # replay training to get the final vocab segmentation
+    vocab = {}
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    state = {w: list(w) + [END_OF_WORD] for w in wc}
+    for _, left, right, _, _ in merges:
+        for w, syms in state.items():
+            out, prev = [], None
+            for s in syms:
+                if prev == left and s == right:
+                    out.append(left + right)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            state[w] = out
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=w) for i, w in enumerate(sorted(wc))]
+    )
+    got = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    for i, w in enumerate(sorted(wc)):
+        assert got[i] == state[w], w
