@@ -5551,6 +5551,44 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, "text", n_merges=15)
 
 
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs via banded Hamming over the pHash column
+    (functions/multimodal.py media_near_dup_pairs): the codec is the
+    deterministic stub (only byte-identical media collide), the
+    banding/verify machinery is the real scale path a true pHash
+    plugs into."""
+    from embeddinghub_spark.functions.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    media = _mm_media(spark, sf_dir)
+    # re-ingested copies (doc_id shifted) so the hamming-0 path is
+    # exercised at every SF — the oracle replays the same union
+    dupes = media.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "media"
+    )
+    return media_near_dup_pairs(media.unionByName(dupes))
+
+
+_MM_PHASH_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < 50
+),
+ph AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM m
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5723,6 +5761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "class_tf_idf": q_class_tf_idf,
         "bpe_merges": q_bpe_merges,
+        "mm_phash": q_mm_phash,
     }
 
 
@@ -5870,4 +5909,5 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "class_tf_idf": _CLASS_TF_IDF_ORACLE,
+        "mm_phash": _MM_PHASH_ORACLE,
     }

@@ -151,3 +151,81 @@ def repartition_by_bytes(
     total = df.agg(F.sum(size_col).alias("b")).collect()[0]["b"] or 0
     n = max(1, int(total // target_partition_bytes) + 1)
     return df.repartition(n)
+
+
+PHASH_BITS = 60  # 15 md5 hex chars -> positive bigint, engine-replayable
+
+
+def media_phash(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual-hash column for media near-dup: ``(id, phash)``
+    with a 60-bit fingerprint. The hash itself is the environment's
+    deterministic STUB (first 15 hex chars of md5(bytes) — the same
+    engine-replayable protocol as the fake feature extractor); a real
+    pHash (DCT of downscaled luma / chromaprint for audio) plugs in at
+    this exact column contract, and everything downstream — banding,
+    Hamming verify, clustering — is the real scale machinery. With
+    the stub, only byte-identical media collide (a random 60-bit
+    fingerprint); with a real pHash the same pipeline finds
+    perceptual near-dups. All JVM-side (md5/conv), map-only."""
+    h = F.conv(F.substring(F.md5(F.col(binary_col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return df.select(F.col(id_col), h.alias("phash"))
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Media near-dup candidate pairs by banded Hamming over the
+    pHash: pairs within Hamming distance < ``bands`` share at least
+    one exact band (pigeonhole, same guarantee as the SimHash text
+    path), candidates verify with exact ``bit_count(xor)``. Output:
+    (id_a, id_b, hamming). The shuffle key is a (band, 15-bit value)
+    pair — media bytes are dropped after the map-only hash and never
+    enter an exchange."""
+    if PHASH_BITS % bands != 0:
+        raise ValueError(f"bands={bands} must divide {PHASH_BITS}")
+    width = PHASH_BITS // bands
+    mask = (1 << width) - 1
+    ph = media_phash(df, binary_col, id_col)
+    bandstructs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = ph.select(
+        id_col, "phash", F.explode(bandstructs).alias("bv")
+    ).select(
+        id_col,
+        "phash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

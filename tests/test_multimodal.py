@@ -63,3 +63,50 @@ def test_repartition_by_bytes(media_df):
     out = repartition_by_bytes(df, target_partition_bytes=500)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 4
+
+
+def test_media_phash_deterministic_and_positive(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.multimodal import media_phash
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, media=b"hello"), Row(doc_id=2, media=b"hello"),
+         Row(doc_id=3, media=b"world")]
+    )
+    out = {r.doc_id: r.phash for r in media_phash(df).collect()}
+    assert out[1] == out[2] != out[3]
+    assert all(v >= 0 for v in out.values())  # 60 bits -> never negative
+
+
+def test_media_near_dup_finds_exact_dupes_only_with_stub(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.multimodal import media_near_dup_pairs
+
+    rows = [Row(doc_id=i, media=f"media-{i % 3}".encode()) for i in range(9)]
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_near_dup_pairs(spark.createDataFrame(rows)).collect()
+    }
+    # ids sharing i%3 are byte-identical -> hamming 0; stub hashes are
+    # random 60-bit values so unrelated pairs stay far apart
+    want = {
+        (a, b)
+        for a in range(9)
+        for b in range(a + 1, 9)
+        if a % 3 == b % 3
+    }
+    assert set(out) == want
+    assert all(h == 0 for h in out.values())
+
+
+def test_media_near_dup_bands_must_divide(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.multimodal import media_near_dup_pairs
+
+    df = spark.createDataFrame([Row(doc_id=1, media=b"x")])
+    with pytest.raises(ValueError):
+        media_near_dup_pairs(df, bands=7)
