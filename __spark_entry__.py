@@ -5589,6 +5589,100 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of fact→dimension lookup (operators/cdc.py scd2_lookup):
+    every event joined to the SCD2 event_type version active at its
+    timestamp — computed as union+last (the PIT discipline), never a
+    range join; the oracle IS the interval join."""
+    from embeddinghub_spark.operators.cdc import scd2_build, scd2_lookup
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_build(
+        ev.select("user_id", "ts", "event_type"), ["user_id"], "ts"
+    )
+    facts = ev.select("event_id", "user_id", "ts", "value")
+    return scd2_lookup(facts, dim, ["user_id"], "ts")
+
+
+_SCD2_LOOKUP_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev_et
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST)
+),
+kept AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_et
+),
+dim AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         CAST(row_number() OVER w2 AS INT) AS version
+  FROM kept
+  WINDOW w2 AS (PARTITION BY user_id
+                ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST)
+)
+SELECT f.event_id, f.user_id, f.ts, f.value,
+       d.event_type AS dim_event_type, d.version
+FROM events f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join (functions/profile.py
+    bloom_prefilter_join): lineitem probe-side rows drop via the
+    broadcast lane table before the join shuffle; no false negatives,
+    so the oracle is the plain inner join."""
+    from embeddinghub_spark.functions.profile import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber", "l_quantity"
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_orderkey").alias("orderkey"), "o_totalprice")
+    )
+    return bloom_prefilter_join(li, od, "orderkey", m_bits=1 << 16)
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT l.l_orderkey AS orderkey, l.l_linenumber, l.l_quantity,
+       o.o_totalprice
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'P'
+"""
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (operators/split.py
+    kfold_assign): md5-bucketed folds over orders — map-only,
+    repartition-stable, exactly replayable."""
+    from embeddinghub_spark.operators.split import kfold_assign
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return kfold_assign(orders, 5, ["o_orderkey"], seed=7)
+
+
+_KFOLD_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(('0x' || substr(
+              md5(concat(CAST(o_orderkey AS VARCHAR), '|', '7')), 1, 15))
+            AS BIGINT) % 5 AS INT) AS fold
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5762,6 +5856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_tf_idf": q_class_tf_idf,
         "bpe_merges": q_bpe_merges,
         "mm_phash": q_mm_phash,
+        "scd2_lookup": q_scd2_lookup,
+        "bloom_join": q_bloom_join,
+        "kfold_split": q_kfold_split,
     }
 
 
@@ -5910,4 +6007,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "class_tf_idf": _CLASS_TF_IDF_ORACLE,
         "mm_phash": _MM_PHASH_ORACLE,
+        "scd2_lookup": _SCD2_LOOKUP_ORACLE,
+        "bloom_join": _BLOOM_JOIN_ORACLE,
+        "kfold_split": _KFOLD_ORACLE,
     }

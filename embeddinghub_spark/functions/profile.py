@@ -820,3 +820,35 @@ def group_overlap(
             ).alias("est_jaccard")
         )
     )
+
+
+def bloom_prefilter_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Inner equi-join with a Bloom pre-filter pushed to the probe
+    side — the runtime-filter pattern a 100 TB scan wants when the
+    build side is selective: build the ``bloom_build`` lane table
+    over the right side's keys (one map-side-combining aggregate,
+    ≤ m_bits/32 rows), broadcast it into a map-only ``bloom_probe``
+    over the left side, drop definite non-members BEFORE the join
+    shuffle, then run the exact join on the survivors. No false
+    negatives ⇒ the result is EXACTLY the plain inner join; false
+    positives only cost a little extra shuffle, tuned by ``m_bits``
+    (fp ≈ (1 − e^(−k·n/m))^k). This is what engines call a runtime
+    bloom filter / semi-join reduction, here explicit and composable
+    (Spark's own `spark.sql.optimizer.runtimeFilter.bloomFilter` can
+    only inject it for suitable shapes; this operator guarantees it).
+    NULL join keys never equi-match and are dropped with the
+    non-members.
+    """
+    bloom = bloom_build(right.select(on), on, m_bits, k_hashes)
+    probed = bloom_probe(left, bloom, on, m_bits, k_hashes)
+    return (
+        probed.filter(F.col("maybe_member"))
+        .drop("maybe_member")
+        .join(right, on)
+    )

@@ -151,3 +151,75 @@ def scd2_build(
         F.row_number().over(w2).alias("version"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    prefix: str = "dim_",
+) -> DataFrame:
+    """As-of join of a fact stream against an SCD2 dimension
+    (``scd2_build`` output): each fact row gets the dimension version
+    whose ``[valid_from, valid_to)`` interval contains its timestamp
+    — attributes come back prefixed, plus ``version``; facts before
+    the key's first version get NULLs (left-join semantics). Assumes
+    chained intervals (``valid_to`` = next ``valid_from``), which
+    scd2_build guarantees.
+
+    Computed as union + last-non-null — the PIT discipline
+    (operators/pit.py) — NOT a range join: dimension changes and
+    facts interleave in ONE per-key window ordered by (ts, dim-first,
+    version), and each fact reads the latest dimension payload at or
+    before it. A BETWEEN theta-join explodes to |facts|·|versions|
+    candidates per key before filtering; the union form is one sort
+    per key with no fanout — the same reason the reference's PIT join
+    is a union, not an interval probe. Version payloads ride in ONE
+    struct so a legitimately-NULL attribute in a newer version can
+    never fall through to an older version's value.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    reserved = set(key_cols) | {"valid_from", "valid_to", "version", "is_current"}
+    attr_cols = [c for c in dim.columns if c not in reserved]
+    payload = F.struct(
+        F.col("version").alias("version"),
+        *[F.col(c).alias(c) for c in attr_cols],
+    )
+    fact_cols = [c for c in facts.columns]
+
+    dim_side = dim.select(
+        *key_cols,
+        F.col("valid_from").alias("_ts"),
+        F.lit(1).alias("_is_dim"),
+        F.col("version").alias("_ord_v"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(f"_f_{c}")
+          for c in fact_cols],
+    )
+    fact_side = facts.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_is_dim"),
+        F.lit(None).cast("int").alias("_ord_v"),
+        F.lit(None).cast(dim_side.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_f_{c}") for c in fact_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_is_dim").desc(),
+            F.col("_ord_v").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = dim_side.unionByName(fact_side).withColumn(
+        "_cur", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_is_dim") == 0).select(
+        *[F.col(f"_f_{c}").alias(c) for c in fact_cols],
+        *[F.col(f"_cur.{c}").alias(f"{prefix}{c}") for c in attr_cols],
+        F.col("_cur.version").alias("version"),
+    )

@@ -338,3 +338,24 @@ def negative_samples(
             "left_anti",
         )
     return drawn
+
+
+def kfold_assign(
+    df: DataFrame,
+    n_folds: int,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold`` ∈ [0, n_folds) from
+    the md5 of the row's keys — map-only, stable under repartitioning
+    and re-runs (the md5-uniform protocol of ``stratified_sample``),
+    and exactly replayable cross-engine. Rows with equal keys land in
+    the same fold (group-aware CV when keyed by entity). Fold sizes
+    are binomially balanced, not exact-count balanced — the price of
+    a stateless map-only assignment (exact balancing needs the global
+    numbering of C5)."""
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    h = _row_hash(key_cols, seed)
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_folds
+    return df.withColumn("fold", bucket.cast("int"))

@@ -148,3 +148,59 @@ def test_scd2_intervals_cover_and_chain(spark, sf_dir):
     ).filter(F.col("a.valid_to") != F.col("b.valid_from"))
     assert chained.count() == 0
     dim.unpersist()
+
+
+def test_scd2_lookup_as_of_semantics(spark):
+    from embeddinghub_spark.operators.cdc import scd2_lookup
+
+    dim = scd2_build(
+        spark.createDataFrame(
+            [
+                Row(k=1, ts=_ts(2), city="SF"),
+                Row(k=1, ts=_ts(5), city="NY"),
+                Row(k=1, ts=_ts(8), city=None),  # NULL attr version
+            ]
+        ),
+        ["k"],
+        "ts",
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=10, k=1, fts=_ts(1)),  # before first version
+            Row(fid=11, k=1, fts=_ts(2)),  # exactly at valid_from
+            Row(fid=12, k=1, fts=_ts(4)),  # inside v1
+            Row(fid=13, k=1, fts=_ts(5)),  # boundary -> v2
+            Row(fid=14, k=1, fts=_ts(9)),  # in the NULL-attr version
+            Row(fid=15, k=2, fts=_ts(3)),  # key with no dim at all
+        ]
+    )
+    out = {
+        r.fid: (r.dim_city, r.version)
+        for r in scd2_lookup(facts, dim, ["k"], "fts").collect()
+    }
+    assert out == {
+        10: (None, None),
+        11: ("SF", 1),
+        12: ("SF", 1),
+        13: ("NY", 2),
+        14: (None, 3),  # NULL attr must NOT fall back to v2's NY
+        15: (None, None),
+    }
+
+
+def test_scd2_lookup_row_count_preserved(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.operators.cdc import scd2_lookup
+    from embeddinghub_spark.sources.readers import read_file
+
+    ev = read_file(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 40
+    )
+    dim = scd2_build(ev.select("user_id", "ts", "event_type"), ["user_id"], "ts")
+    out = scd2_lookup(
+        ev.select("event_id", "user_id", "ts", "value"), dim, ["user_id"], "ts"
+    )
+    assert out.count() == ev.count()
+    # every fact lands in some version (facts and changes share ts)
+    assert out.filter(F.col("version").isNull()).count() == 0

@@ -968,3 +968,57 @@ def test_class_tf_idf_deterministic_tie_break(spark):
         if r.grp == "a"
     )
     assert out == [(1, "aa"), (2, "zz")]
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
+    from embeddinghub_spark.functions.profile import bloom_prefilter_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_orderkey").alias("orderkey"), "o_totalprice")
+    )
+    got = bloom_prefilter_join(li, od, "orderkey", m_bits=4096)
+    want = li.join(od, "orderkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_prefilter_join_null_keys_dropped(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.profile import bloom_prefilter_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=None, v="b"), Row(k=2, v="c")]
+    )
+    right = spark.createDataFrame([Row(k=1, w="x"), Row(k=None, w="y")])
+    got = bloom_prefilter_join(left, right, "k").collect()
+    assert [(r.k, r.v, r.w) for r in got] == [(1, "a", "x")]
+
+
+def test_kfold_assign_deterministic_and_partition_invariant(spark):
+    from embeddinghub_spark.operators.split import kfold_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = {r.k: r.fold for r in kfold_assign(df, 5, ["k"]).collect()}
+    b = {
+        r.k: r.fold
+        for r in kfold_assign(df.repartition(13), 5, ["k"]).collect()
+    }
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    sizes = [list(a.values()).count(i) for i in range(5)]
+    assert all(100 < s < 300 for s in sizes)  # roughly balanced
+    # different seed reshuffles
+    c = {r.k: r.fold for r in kfold_assign(df, 5, ["k"], seed=1).collect()}
+    assert c != a
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kfold_assign(df, 1, ["k"])
