@@ -44,10 +44,13 @@ def cdc_apply(
     Scale shape: latest-per-key is ONE map-side-combining hash
     aggregate over the changelog (``max(struct(seq, op, values))`` —
     shuffle ∝ |changed keys|, whale-key immune, same trick as
-    materialize's _latest_by_struct), then ONE equi-join against the
-    snapshot. AQE broadcasts the reduced changelog in the common case
-    (day's changes ≪ accumulated snapshot), so a 100 TB snapshot is
-    never re-shuffled to absorb a 10 GB delta. No windows, no sorts.
+    materialize's _latest_by_struct). The apply is then LEFT-ANTI
+    (snapshot minus touched keys) UNION surviving changes — never a
+    full-outer join, because full-outer can only ever be a shuffle
+    join; the anti join broadcasts the reduced changelog in the
+    common case (day's changes ≪ accumulated snapshot), so a 100 TB
+    snapshot is never re-shuffled to absorb a 10 GB delta. No
+    windows, no sorts.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -66,20 +69,15 @@ def cdc_apply(
     )
     latest = changelog.groupBy(*key_cols).agg(F.max(winner).alias("_w"))
 
-    joined = snapshot.alias("_s").join(
-        latest.alias("_c"), on=key_cols, how="full_outer"
+    untouched = snapshot.join(
+        latest.select(*key_cols), on=key_cols, how="left_anti"
+    ).select(*key_cols, *val_cols)
+    upserts = latest.filter(
+        F.col("_w._op") != F.lit(delete_op)
+    ).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols]
     )
-    changed = F.col("_c._w").isNotNull()
-    kept = joined.filter(~changed | (F.col("_c._w._op") != F.lit(delete_op)))
-    return kept.select(
-        *key_cols,
-        *[
-            F.when(changed, F.col(f"_c._w.{c}"))
-            .otherwise(F.col(f"_s.{c}"))
-            .alias(c)
-            for c in val_cols
-        ],
-    )
+    return untouched.unionByName(upserts)
 
 
 def scd2_build(
