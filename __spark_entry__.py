@@ -5683,6 +5683,31 @@ FROM orders
 """
 
 
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join (sources/tables.py colocated_join):
+    both sides written bucketed+sorted by the join key, then joined
+    with NO join-time exchange (pinned by test with broadcast
+    disabled) — pay one shuffle at ingest, never again. Oracle is the
+    plain join (identical result)."""
+    from embeddinghub_spark.sources.tables import colocated_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    return colocated_join(
+        cust, orders, ["custkey"], n_buckets=8, base_name="q_coloc"
+    )
+
+
+_COLOCATED_JOIN_ORACLE = """
+SELECT c.c_custkey AS custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5859,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "bloom_join": q_bloom_join,
         "kfold_split": q_kfold_split,
+        "colocated_join": q_colocated_join,
     }
 
 
@@ -6010,4 +6036,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,
         "bloom_join": _BLOOM_JOIN_ORACLE,
         "kfold_split": _KFOLD_ORACLE,
+        "colocated_join": _COLOCATED_JOIN_ORACLE,
     }

@@ -661,3 +661,76 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
                  "old_type": t, "new_type": None}
             )
     return out
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a hash-BUCKETED (and optionally sorted)
+    managed table and return the re-read handle. Bucketing is the
+    write-time half of shuffle elimination: a table bucketed by its
+    join/aggregation key carries its partitioning in metadata, so
+    every later join or groupBy on that key skips the exchange — the
+    100 TB pattern for fact tables joined repeatedly on one key
+    (pay one shuffle at ingest, never again). Ref parity: the
+    reference's offline stores lean on warehouse-native clustering
+    (e.g. the Snowflake/Redshift DDL in provider/sql.go); bucketBy is
+    the Spark-native equivalent."""
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    spark = df.sparkSession
+    # a fresh session's catalog may not know the table even though its
+    # managed location survives on disk — overwrite alone then fails
+    # with LOCATION_ALREADY_EXISTS, so drop AND clear the stale path
+    # (Hadoop FS API: correct on any filesystem, not just local)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table_name}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
+
+
+def colocated_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_buckets: int = 16,
+    base_name: str = "colocated",
+) -> DataFrame:
+    """Join two frames WITHOUT a join-time shuffle by co-locating
+    them first: both sides are written as tables bucketed by the join
+    key with the SAME bucket count, so the sort-merge join reads
+    bucket i of each side on one task — plan shows NO Exchange under
+    the join (``test_colocated_join_has_no_exchange`` pins it with
+    broadcast disabled). Sorting by the key at write time lets the
+    SMJ skip or cheapen its sorts too.
+
+    This trades one up-front exchange per side (inside the bucketed
+    write) for zero exchanges on EVERY subsequent use — the right
+    trade exactly when a table is joined/aggregated on the same key
+    repeatedly, which is the feature-store shape (entity-keyed
+    everything). Result is identical to the plain join."""
+    lt = write_bucketed_table(
+        left, f"{base_name}__l", on, n_buckets, sort_cols=on
+    )
+    rt = write_bucketed_table(
+        right, f"{base_name}__r", on, n_buckets, sort_cols=on
+    )
+    return lt.join(rt, on)

@@ -527,3 +527,30 @@ def test_real_connector_paths(spark, tmp_path):
 
     assert last_branch("merge_upsert_table") == "merge_into"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_colocated_join_has_no_exchange_and_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.tables import colocated_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(
+            cust, orders, ["custkey"], n_buckets=8, base_name="t_coloc"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket metadata replaces the shuffle
+        want = cust.join(orders, "custkey")
+        assert joined.count() == want.count()
+        assert joined.exceptAll(want).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
