@@ -935,3 +935,73 @@ def test_streaming_cms_equals_batch_and_skips_replays(spark, tmp_path):
         for r in read_cms_estimates(spark, state, words, depth=4, width=64).collect()
     }
     assert again == want
+
+
+def test_streaming_cdc_apply_equals_batch_and_skips_replays(spark, tmp_path):
+    """Streaming CDC ingest: after the stream drains (ordered
+    micro-batches), the stored snapshot equals the batch cdc_apply of
+    the FULL changelog onto an empty snapshot, deletes included; a
+    replayed batch id is transactionally skipped (an out-of-order
+    re-application would regress keys)."""
+    from embeddinghub_spark.operators.cdc import cdc_apply
+    from embeddinghub_spark.streaming.cdc_ingest import (
+        apply_changelog_batch,
+        streaming_cdc_apply,
+    )
+
+    # changelog: key k gets U/D ops with globally monotone seq;
+    # _part orders file-per-trigger arrival to match seq order
+    rows = []
+    seq = 0
+    for part in range(5):
+        for k in range(20):
+            seq += 1
+            op = "D" if (k + part) % 7 == 0 else "U"
+            rows.append((part, k, seq, op, f"v{part}-{k}", part * 100 + k))
+    log = spark.createDataFrame(
+        rows, ["_part", "k", "seq", "op", "val", "n"]
+    )
+    src = str(tmp_path / "cdc_in")
+    for part in range(5):  # one file per micro-batch, in seq order
+        log.filter(f"_part = {part}").drop("_part").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = log.drop("_part").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    state = str(tmp_path / "cdc_state")
+    q = streaming_cdc_apply(
+        stream, state, ["k"], checkpoint_dir=str(tmp_path / "cdc_ckpt")
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r.k): (r.val, r.n)
+        for r in spark.read.parquet(state).collect()
+    }
+    full = log.drop("_part")
+    empty_snap = full.select("k", "val", "n").filter("1=0")
+    want = {
+        (r.k): (r.val, r.n)
+        for r in cdc_apply(empty_snap, full, ["k"]).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < 20  # deletes pruned some but not all keys
+
+    # replaying an old batch must be a no-op (watermark gate)
+    b0 = full.filter("seq <= 20")
+    applied = apply_changelog_batch(
+        spark, state, b0, batch_id=0, key_cols=["k"],
+        snapshot_cols=["k", "val", "n"],
+    )
+    assert applied is False
+    again = {
+        (r.k): (r.val, r.n)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
