@@ -11,14 +11,22 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+# Entries the driver checks rows-only BY DESIGN (non-SQL-expressible:
+# iterative argmax recursion). Anything else missing an oracle is a
+# silent downgrade and fails the pin.
+ROWS_ONLY = {"bpe_merges"}
+
+
 def test_queries_and_oracles_align():
     import __spark_entry__ as m
 
     q = list(m.queries().keys())
     o = set(m.oracle_sql().keys())
     assert len(q) == len(set(q)), "duplicate queries() keys"
-    assert [n for n in q if n not in o] == [], "queries missing an oracle"
+    missing = [n for n in q if n not in o and n not in ROWS_ONLY]
+    assert missing == [], "queries missing an oracle"
     assert [n for n in o if n not in q] == [], "oracles without a query"
+    assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
 def test_round5_window_layout():
