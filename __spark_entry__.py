@@ -5708,6 +5708,66 @@ FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 """
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe time split (operators/split.py temporal_split):
+    last 20% of events by (ts, event_id) become test, a 1-day purge
+    window before the cutoff becomes embargo — count-exact via the C5
+    global numbering, no quantile approximation."""
+    from embeddinghub_spark.operators.split import temporal_split
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return temporal_split(
+        ev, "ts", 0.2, embargo_seconds=86400, order_cols=["event_id"]
+    )
+
+
+_TEMPORAL_SPLIT_ORACLE = """
+WITH numbered AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS total
+  FROM events
+),
+base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN rn > total - CAST(ceil(total * 0.2) AS BIGINT)
+              THEN 'test' ELSE 'train' END AS split
+  FROM numbered
+),
+cut AS (SELECT min(ts) AS c FROM base WHERE split = 'test')
+SELECT event_id, user_id, ts,
+       CASE WHEN split = 'train'
+             AND ts >= (SELECT c - 86400 * INTERVAL 1 SECOND FROM cut)
+            THEN 'embargo' ELSE split END AS split
+FROM base
+"""
+
+
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PCA over the embeddings table
+    (functions/embeddings.py pca_fit/pca_project): one Arrow-batched
+    sufficient-statistics pass + driver eigh, then a map-only
+    JVM-side projection to 4 axes. Rows-only driver check (an
+    eigendecomposition is not a fixed SQL query); the Spark≡numpy
+    fit/projection equalities, orthonormality, and planted-direction
+    recovery are pinned in tests/test_vector.py."""
+    from embeddinghub_spark.functions.embeddings import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5885,6 +5945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "kfold_split": q_kfold_split,
         "colocated_join": q_colocated_join,
+        "temporal_split": q_temporal_split,
+        "pca_embeddings": q_pca_embeddings,
     }
 
 
@@ -6037,4 +6099,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join": _BLOOM_JOIN_ORACLE,
         "kfold_split": _KFOLD_ORACLE,
         "colocated_join": _COLOCATED_JOIN_ORACLE,
+        "temporal_split": _TEMPORAL_SPLIT_ORACLE,
     }

@@ -277,3 +277,122 @@ def embedding_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+):
+    """Exact PCA fit over an embedding column: returns
+    ``(mean, components, explained_variance)`` — ``components`` is a
+    k×dim list of orthonormal principal axes, variance-descending.
+
+    The data pass is ONE Arrow-batched ``mapInPandas`` emitting per
+    batch the sufficient statistics (n, Σx, ΣxxT as a flattened
+    dim² array — numpy matmul per batch, never per row), reduced by a
+    posexplode + groupBy(pos) SUM whose exchange is dim²+dim rows per
+    task regardless of corpus size; the dim×dim covariance then
+    eigendecomposes DRIVER-side (numpy ``eigh`` — a bounded scalar
+    step, like the IVF centroid solve). Sign convention: each
+    component's largest-|value| entry is made positive, so the fit is
+    deterministic across runs and replicas.
+
+    Unlike ``random_projection`` (data-oblivious JL), PCA spends one
+    corpus pass to put the axes where the variance actually is — the
+    right trade when the projection is reused by many consumers.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty input")
+    dim = first["d"]
+    if k > dim:
+        raise ValueError(f"k={k} exceeds dim={dim}")
+
+    out_schema = "n BIGINT, sx ARRAY<DOUBLE>, sxx ARRAY<DOUBLE>"
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "sx": [X.sum(axis=0).tolist()],
+                    "sxx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    stats = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, out_schema)
+    )
+    # fixed-width reduction: (pos, val) partial sums, dim²+dim+1 keys
+    reduced = (
+        stats.select(
+            F.col("n"),
+            F.posexplode(F.concat(F.col("sx"), F.col("sxx"))).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"), F.sum("n").alias("nn"))
+        .collect()
+    )
+    if not reduced:
+        raise ValueError("empty input")
+    total_n = None
+    flat = [0.0] * (dim + dim * dim)
+    for r in reduced:
+        flat[r["pos"]] = r["s"]
+        total_n = r["nn"]  # every pos row sums each batch's n once
+    n = float(total_n)
+    sx = np.array(flat[:dim])
+    sxx = np.array(flat[dim:]).reshape(dim, dim)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    evs = []
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        evs.append(float(max(vals[idx], 0.0)))
+    return [float(x) for x in mean], comps, evs
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list,
+    components: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto fitted PCA axes: map-only JVM-side HOF
+    folds (``zip_with`` multiply + ``aggregate`` sum per component —
+    the repo's literal-dot protocol), no Python in the hot path, no
+    shuffle at any corpus size. Output: (id, pca ARRAY<DOUBLE>)."""
+    centered_dots = []
+    for comp in components:
+        lit_comp = F.array(*[F.lit(float(c)) for c in comp])
+        lit_mean = F.array(*[F.lit(float(m)) for m in mean])
+        centered = F.zip_with(
+            F.col(vec_col), lit_mean, lambda x, m: x.cast("double") - m
+        )
+        prod = F.zip_with(centered, lit_comp, lambda x, c: x * c)
+        centered_dots.append(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        )
+    return df.select(F.col(id_col), F.array(*centered_dots).alias("pca"))

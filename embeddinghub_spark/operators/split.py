@@ -359,3 +359,80 @@ def kfold_assign(
     h = _row_hash(key_cols, seed)
     bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_folds
     return df.withColumn("fold", bucket.cast("int"))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    test_frac: float,
+    embargo_seconds: int | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Leakage-safe time-based split: the LAST ``test_frac`` of rows
+    by timestamp become ``test``, rows within ``embargo_seconds``
+    before the test cutoff become ``embargo`` (excluded from both
+    sides — the purge window that stops rolling-feature leakage
+    across the boundary), everything earlier is ``train``. The complement of a random split for
+    time-series evaluation: random splits leak future information
+    into training; this split never does (validate_pit audits the
+    same property on externally-built frames).
+
+    The cutoff is COUNT-exact, not quantile-approximate: rows are
+    globally numbered over (ts, *order_cols) with the C5
+    range-partition prefix-sum (no single-partition window), and the
+    first ``total − ceil(total·test_frac)`` rows are the train+
+    embargo side — deterministic under ties when ``order_cols``
+    complete the ordering. The test boundary timestamp is then the
+    min ts of the test side (one bounded scalar); the embargo start
+    is computed DRIVER-side and compared as a TIMESTAMP_NTZ literal —
+    no engine interval arithmetic, so the result is
+    session-timezone-independent (the repo's NTZ discipline).
+
+    Output: df's columns plus ``split`` ∈ {'train','embargo','test'}.
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError("test_frac must be in (0, 1)")
+    import math
+
+    from embeddinghub_spark.operators.materialize import (
+        with_global_row_number_counted,
+    )
+
+    order = [ts_col] + list(order_cols or [])
+    numbered, total = with_global_row_number_counted(
+        df, order, row_col="_trn"
+    )
+    n_test = math.ceil(total * test_frac)
+    boundary = total - n_test  # rows with _trn > boundary are test
+    marked = numbered.withColumn(
+        "split",
+        F.when(F.col("_trn") > boundary, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+    if embargo_seconds is not None:
+        if embargo_seconds < 0:
+            raise ValueError("embargo_seconds must be >= 0")
+        import datetime as _dt
+
+        cut = (
+            marked.filter(F.col("split") == "test")
+            .agg(F.min(ts_col).alias("c"))
+            .collect()[0]["c"]
+        )
+        if cut is not None:
+            emb_start = cut - _dt.timedelta(seconds=embargo_seconds)
+            lit = F.expr(
+                "TIMESTAMP_NTZ '{}'".format(
+                    emb_start.strftime("%Y-%m-%d %H:%M:%S.%f")
+                )
+            )
+            marked = marked.withColumn(
+                "split",
+                F.when(
+                    (F.col("split") == "train")
+                    & (F.col(ts_col) >= lit),
+                    F.lit("embargo"),
+                ).otherwise(F.col("split")),
+            )
+    return marked.drop("_trn")

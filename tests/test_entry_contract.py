@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 # Entries the driver checks rows-only BY DESIGN (non-SQL-expressible:
 # iterative argmax recursion). Anything else missing an oracle is a
 # silent downgrade and fails the pin.
-ROWS_ONLY = {"bpe_merges"}
+ROWS_ONLY = {"bpe_merges", "pca_embeddings"}
 
 
 def test_queries_and_oracles_align():

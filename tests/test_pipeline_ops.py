@@ -1022,3 +1022,48 @@ def test_kfold_assign_deterministic_and_partition_invariant(spark):
 
     with pytest.raises(ValueError):
         kfold_assign(df, 1, ["k"])
+
+
+def test_temporal_split_counts_and_embargo(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.split import temporal_split
+
+    rows = [
+        Row(i=i, ts=dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    out = temporal_split(
+        df, "ts", 0.2, embargo_seconds=5 * 3600, order_cols=["i"]
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.split, []).append(r.i)
+    assert sorted(by["test"]) == list(range(80, 100))  # exact last 20%
+    assert sorted(by["embargo"]) == list(range(75, 80))  # 5h purge
+    assert sorted(by["train"]) == list(range(75))
+    # every train ts strictly precedes every test ts (no leakage)
+    assert max(by["train"]) < min(by["embargo"]) < min(by["test"])
+
+
+def test_temporal_split_no_embargo_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.split import temporal_split
+
+    df = spark.createDataFrame(
+        [Row(i=i, ts=dt.datetime(2024, 1, 1 + i)) for i in range(10)]
+    )
+    out = temporal_split(df, "ts", 0.3, order_cols=["i"]).collect()
+    assert sum(r.split == "test" for r in out) == 3
+    assert sum(r.split == "train" for r in out) == 7
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", 0.0)
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", 0.5, embargo_seconds=-1)

@@ -622,3 +622,75 @@ def test_hard_negatives_band_and_exclusions(spark):
     ).collect()
     assert [(r["neg_id"], r["rank"]) for r in out] == [(3, 1)]
     assert 0.3 <= out[0]["cosine"] < 0.9
+
+
+def test_pca_fit_matches_numpy_replica(spark, sf_dir):
+    import numpy as np
+
+    from embeddinghub_spark.functions.embeddings import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    mean, comps, evs = pca_fit(emb, "embedding", k=5)
+    # replica
+    m = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(m, m)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:5]
+    assert np.allclose(mean, m, atol=1e-9)
+    for i, idx in enumerate(order):
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        assert np.allclose(comps[i], v, atol=1e-7), f"component {i}"
+        assert abs(evs[i] - max(vals[idx], 0.0)) < 1e-9
+    # orthonormal, variance-descending
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(5), atol=1e-9)
+    assert all(evs[i] >= evs[i + 1] - 1e-12 for i in range(4))
+
+    # projection matches (X - mean) @ C.T
+    proj = {
+        r.vec_id: np.array(r.pca)
+        for r in pca_project(emb, mean, comps).collect()
+    }
+    want = (X - m) @ C.T
+    for i, r in enumerate(rows):
+        assert np.allclose(proj[r.vec_id], want[i], atol=1e-5)
+
+
+def test_pca_finds_planted_direction(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.embeddings import pca_fit
+
+    rng = np.random.default_rng(7)
+    direction = np.array([3.0, 4.0, 0.0, 0.0]) / 5.0
+    X = (
+        np.outer(rng.normal(size=400) * 10.0, direction)
+        + rng.normal(size=(400, 4)) * 0.1
+    )
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in X[i]]) for i in range(400)]
+    )
+    _, comps, evs = pca_fit(df, "embedding", k=2)
+    cos = abs(float(np.dot(comps[0], direction)))
+    assert cos > 0.999
+    assert evs[0] > 50 * evs[1]  # planted axis dominates
+
+
+def test_pca_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.embeddings import pca_fit
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", k=0)
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", k=3)
