@@ -845,8 +845,15 @@ def bloom_prefilter_join(
     NULL join keys never equi-match and are dropped with the
     non-members.
     """
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
     bloom = bloom_build(right.select(on), on, m_bits, k_hashes)
-    probed = bloom_probe(left, bloom, on, m_bits, k_hashes)
+    # the probe is a k_hashes-md5-per-row map stage: fan a few-split
+    # scan out to all cores (identity at cluster scale) — interleaved
+    # A/B at sf0.1: 3.8 s -> 2.0 s
+    probed = bloom_probe(
+        ensure_parallelism(left), bloom, on, m_bits, k_hashes
+    )
     return (
         probed.filter(F.col("maybe_member"))
         .drop("maybe_member")
