@@ -5768,6 +5768,105 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile clipping (operators/batch.py winsorize): lineitem
+    prices clipped at the histogram-sketch p1/p99 — tail-taming
+    before scaling, no global sort."""
+    from embeddinghub_spark.operators.batch import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return winsorize(li, "l_extendedprice", 0.01, 0.99, n_bins=256)
+
+
+def _winsorize_oracle() -> str:
+    ctes = _histogram_ctes(
+        "lineitem", "l_extendedprice", [0.01, 0.99], 256, p="w_"
+    )
+    return f"""
+WITH {ctes},
+bounds AS (
+  SELECT min(CASE WHEN quantile = 0.01 THEN value END) AS wlo,
+         min(CASE WHEN quantile = 0.99 THEN value END) AS whi
+  FROM w_hq
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CASE WHEN l_extendedprice IS NOT NULL
+            THEN round(least(whi, greatest(wlo,
+                       CAST(l_extendedprice AS DOUBLE))), 6)
+       END AS l_extendedprice_w
+FROM lineitem CROSS JOIN bounds
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/batch.py psi_drift):
+    order totals of finished vs open orders on the reference-fixed
+    bin grid — the numeric serving-drift monitor beside
+    source_divergence's unigram KL."""
+    from embeddinghub_spark.operators.batch import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_totalprice"
+    )
+    cur = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_totalprice"
+    )
+    return psi_drift(ref, cur, "o_totalprice", n_bins=10)
+
+
+_PSI_ORACLE = """
+WITH mm AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+         max(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders WHERE o_orderstatus = 'F'
+),
+rb AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE greatest(0, least(9,
+                   CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+                              / ((hi - lo) / 10.0)) AS INTEGER)))
+         END AS bin, count(*) AS ref_n
+  FROM orders CROSS JOIN mm
+  WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+cb AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE greatest(0, least(9,
+                   CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+                              / ((hi - lo) / 10.0)) AS INTEGER)))
+         END AS bin, count(*) AS cur_n
+  FROM orders CROSS JOIN mm
+  WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+grid AS (SELECT UNNEST(generate_series(0, 9)) AS bin),
+j AS (
+  SELECT g.bin,
+         CAST(coalesce(rb.ref_n, 0) AS BIGINT) AS ref_n,
+         CAST(coalesce(cb.cur_n, 0) AS BIGINT) AS cur_n
+  FROM grid g LEFT JOIN rb ON g.bin = rb.bin
+  LEFT JOIN cb ON g.bin = cb.bin
+),
+tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+SELECT j.bin,
+       round(mm.lo + j.bin * ((mm.hi - mm.lo) / 10.0), 6) AS lo,
+       round(mm.lo + (j.bin + 1) * ((mm.hi - mm.lo) / 10.0), 6) AS hi,
+       j.ref_n, j.cur_n,
+       round((j.ref_n + 0.5) / (tot.rt + 0.5 * 10), 6) AS ref_share,
+       round((j.cur_n + 0.5) / (tot.ct + 0.5 * 10), 6) AS cur_share,
+       round(((j.cur_n + 0.5) / (tot.ct + 0.5 * 10)
+              - (j.ref_n + 0.5) / (tot.rt + 0.5 * 10))
+             * ln(((j.cur_n + 0.5) / (tot.ct + 0.5 * 10))
+                  / ((j.ref_n + 0.5) / (tot.rt + 0.5 * 10))), 6)
+         AS psi_term
+FROM j CROSS JOIN mm CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5947,6 +6046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocated_join": q_colocated_join,
         "temporal_split": q_temporal_split,
         "pca_embeddings": q_pca_embeddings,
+        "winsorize": q_winsorize,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -6100,4 +6201,6 @@ def oracle_sql() -> dict[str, str]:
         "kfold_split": _KFOLD_ORACLE,
         "colocated_join": _COLOCATED_JOIN_ORACLE,
         "temporal_split": _TEMPORAL_SPLIT_ORACLE,
+        "winsorize": _winsorize_oracle(),
+        "psi_drift": _PSI_ORACLE,
     }

@@ -627,3 +627,150 @@ def event_transitions(
             (F.col("n") / F.col("_t")).alias("p"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    n_bins: int = 256,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` at its p_lo/p_hi quantiles —
+    the tail-taming step before mean/std scaling when dropping
+    outliers (a filter) is wrong and robust_scale's rank semantics
+    are too strong. Quantiles come from the deterministic fixed-width
+    histogram sketch (same as robust_scale): two bounded aggregate
+    passes, the 1-row bounds frame broadcasts back — no global sort,
+    no approx_percentile engine-internal state. NULLs pass through
+    unclipped (they carry no magnitude to clip).
+
+    Output: the input rows with ``out_col`` (default
+    ``{value_col}_w``) appended, rounded to 6.
+    """
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+
+    if not 0.0 < p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 < p_lo < p_hi <= 1")
+    out_col = out_col or f"{value_col}_w"
+    bounds = (
+        histogram_quantiles(df, value_col, [p_lo, p_hi], n_bins=n_bins)
+        .agg(
+            F.min(
+                F.when(F.col("quantile") == p_lo, F.col("value"))
+            ).alias("_wlo"),
+            F.min(
+                F.when(F.col("quantile") == p_hi, F.col("value"))
+            ).alias("_whi"),
+        )
+    )
+    clipped = F.round(
+        F.least(
+            F.col("_whi"),
+            F.greatest(F.col("_wlo"), F.col(value_col).cast("double")),
+        ),
+        6,
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(F.col(value_col).isNotNull(), clipped),
+        )
+        .drop("_wlo", "_whi")
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``value_col`` — THE standard serving-drift
+    monitor (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted):
+    ``PSI = Σ_bins (qᵢ − pᵢ)·ln(qᵢ/pᵢ)`` with the bin grid fixed by
+    the REFERENCE min/max (current values outside the reference range
+    clamp into the edge bins — exactly the drift you want to see).
+    The numeric companion to ``source_divergence``'s unigram KL.
+
+    Shares are Laplace-smoothed (+0.5 per bin) so an empty bin on
+    either side stays finite and deterministic. Every exchange is a
+    bounded bin-count aggregate (≤ n_bins rows per task, map-side
+    combine); the reference (min, max) is a broadcast 1-row frame —
+    both inputs stream through once at any scale.
+
+    Output: one row per occupied-grid bin —
+    (bin, lo, hi, ref_n, cur_n, ref_share, cur_share, psi_term),
+    shares/terms rounded to 6; ``SUM(psi_term)`` is the index.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    c_ref = F.col(value_col).cast("double")
+    mm = ref.agg(
+        F.min(c_ref).alias("_lo"), F.max(c_ref).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+
+    def bin_counts(df: DataFrame, name: str) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(mm))
+            .select(
+                F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+                .otherwise(
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(n_bins - 1),
+                            F.floor((x - F.col("_lo")) / width).cast("int"),
+                        ),
+                    )
+                )
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    grid = ref.sparkSession.range(0, n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    r = bin_counts(ref, "ref_n")
+    q = bin_counts(cur, "cur_n")
+    joined = (
+        grid.join(r, "bin", "left")
+        .join(q, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+        .crossJoin(F.broadcast(mm))
+    )
+    tot = joined.agg(
+        F.sum("ref_n").alias("_rt"), F.sum("cur_n").alias("_ct")
+    )
+    smooth = F.lit(0.5)
+    out = joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(F.col("_lo") + F.col("bin") * width, 6).alias("lo"),
+        F.round(F.col("_lo") + (F.col("bin") + 1) * width, 6).alias("hi"),
+        "ref_n",
+        "cur_n",
+        ((F.col("ref_n") + smooth)
+         / (F.col("_rt") + smooth * n_bins)).alias("_p"),
+        ((F.col("cur_n") + smooth)
+         / (F.col("_ct") + smooth * n_bins)).alias("_q"),
+    )
+    return out.select(
+        "bin", "lo", "hi", "ref_n", "cur_n",
+        F.round("_p", 6).alias("ref_share"),
+        F.round("_q", 6).alias("cur_share"),
+        F.round(
+            (F.col("_q") - F.col("_p")) * F.log(F.col("_q") / F.col("_p")),
+            6,
+        ).alias("psi_term"),
+    )

@@ -1067,3 +1067,57 @@ def test_temporal_split_no_embargo_and_validation(spark):
         temporal_split(df, "ts", 0.0)
     with pytest.raises(ValueError):
         temporal_split(df, "ts", 0.5, embargo_seconds=-1)
+
+
+def test_winsorize_clips_tails(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.batch import winsorize
+
+    rows = [Row(i=i, v=float(i)) for i in range(1, 101)] + [
+        Row(i=999, v=10_000.0),  # whale outlier
+        Row(i=1000, v=None),
+    ]
+    out = {r.i: r.v_w for r in winsorize(
+        spark.createDataFrame(rows), "v", 0.05, 0.95, n_bins=512
+    ).collect()}
+    assert out[1000] is None  # NULL passes through
+    assert out[999] == max(v for k, v in out.items() if v is not None)
+    assert out[999] < 10_000.0  # clipped hard
+    assert out[50] == 50.0  # middle untouched
+    lo = min(v for v in out.values() if v is not None)
+    assert lo > 1.0  # low tail clipped up
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(spark.createDataFrame(rows), "v", 0.9, 0.1)
+
+
+def test_psi_drift_detects_shift_and_is_stable_on_same_dist(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.batch import psi_drift
+
+    ref = spark.createDataFrame(
+        [Row(v=float(i % 100)) for i in range(2000)]
+    )
+    same = spark.createDataFrame(
+        [Row(v=float((i * 7) % 100)) for i in range(2000)]
+    )
+    shifted = spark.createDataFrame(
+        [Row(v=float(i % 100) + 60.0) for i in range(2000)]
+    )
+    psi_same = sum(
+        r.psi_term for r in psi_drift(ref, same, "v").collect()
+    )
+    psi_shift = sum(
+        r.psi_term for r in psi_drift(ref, shifted, "v").collect()
+    )
+    assert psi_same < 0.01
+    assert psi_shift > 0.25  # textbook "drifted" threshold
+    # out-of-range current values clamp into the last bin
+    rows = psi_drift(ref, shifted, "v").collect()
+    assert len(rows) == 10
+    last = [r for r in rows if r.bin == 9][0]
+    assert last.cur_n > last.ref_n
