@@ -5867,6 +5867,31 @@ FROM j CROSS JOIN mm CROSS JOIN tot
 """
 
 
+def q_ann_disk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent on-disk IVF index (functions/ann_index.py): build a
+    cell-partitioned parquet inverted file, then probe it — the scan
+    reads ONLY the probed cell partitions (PartitionFilters, pinned
+    by test). Results are identical to knn_ivf with the same
+    quantizer, so the oracle is knn_ivf's verbatim."""
+    import tempfile
+
+    from embeddinghub_spark.functions.ann_index import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_index_build(emb, idx, n_cells=_IVF_CELLS, dim=_EMB_DIM)
+    return ivf_index_probe(
+        spark, idx, queries_df, 5, nprobe=_IVF_NPROBE, dim=_EMB_DIM
+    ).select("query_id", "neighbor_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6048,6 +6073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "winsorize": q_winsorize,
         "psi_drift": q_psi_drift,
+        "ann_disk_index": q_ann_disk_index,
     }
 
 
@@ -6203,4 +6229,5 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split": _TEMPORAL_SPLIT_ORACLE,
         "winsorize": _winsorize_oracle(),
         "psi_drift": _PSI_ORACLE,
+        "ann_disk_index": _knn_ivf_oracle(),
     }

@@ -694,3 +694,87 @@ def test_pca_validation(spark):
         pca_fit(df, "embedding", k=0)
     with pytest.raises(ValueError):
         pca_fit(df, "embedding", k=3)
+
+
+def test_ivf_disk_index_equals_knn_ivf_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.ann_index import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+    from embeddinghub_spark.functions.vector import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb, idx, n_cells=16, dim=dim)
+
+    got = ivf_index_probe(spark, idx, queries, 5, nprobe=4, dim=dim)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [cell" in plan and "INSET" in plan
+
+    g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    w = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_ivf(emb, queries, 5, n_cells=16, nprobe=4, dim=dim).collect()
+    }
+    assert g == w
+
+
+def test_ivf_disk_index_append_only_touches_probed_cells(spark, tmp_path):
+    import os
+
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.ann_index import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    rng = np.random.default_rng(3)
+    base = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(base)
+    idx = str(tmp_path / "ivf2")
+    ivf_index_build(emb, idx, n_cells=8, dim=8)
+
+    cells_dir = os.path.join(idx, "cells")
+    before = {
+        d: len(os.listdir(os.path.join(cells_dir, d)))
+        for d in os.listdir(cells_dir)
+        if d.startswith("cell=")
+    }
+    extra = spark.createDataFrame(
+        [Row(vec_id=1000 + i, embedding=base[i].embedding) for i in range(3)]
+    )
+    ivf_index_append(extra, idx, dim=8)
+    after = {
+        d: len(os.listdir(os.path.join(cells_dir, d)))
+        for d in os.listdir(cells_dir)
+        if d.startswith("cell=")
+    }
+    changed = [d for d in after if after[d] != before.get(d, 0)]
+    assert 1 <= len(changed) <= 3  # only the touched cells gained files
+
+    # appended duplicates of ids 0..2 must now appear in their probes
+    q = spark.createDataFrame(
+        [Row(query_id=0, query_vec=base[0].embedding)]
+    )
+    got = ivf_index_probe(spark, idx, q, 3, nprobe=2, dim=8).collect()
+    ids = {r.neighbor_id for r in got}
+    assert 0 in ids and 1000 in ids  # original and its appended twin
