@@ -5892,6 +5892,37 @@ def q_ann_disk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster dedup (functions/dedup.py
+    dedup_keep_best): one winner per near-dup cluster by n_chars
+    (the keep-the-longest policy of arXiv:2107.06499), picked by a
+    whale-immune max-struct aggregate, never a per-cluster sort."""
+    from embeddinghub_spark.functions.dedup import dedup_keep_best
+
+    return dedup_keep_best(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def _dedup_keep_best_oracle() -> str:
+    base = _dedup_clusters_oracle()
+    final = (
+        "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id"
+    )
+    head, tail = base.rsplit(final, 1)
+    return f"""{head.rstrip().rstrip(',')},
+     clusters AS ({final} {tail.strip()}),
+     j AS (SELECT cl.cluster_id, doc.doc_id, doc.n_chars
+           FROM clusters cl JOIN documents doc ON doc.doc_id = cl.doc_id),
+     r AS (SELECT *,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS n_docs
+           FROM j)
+SELECT cluster_id, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS quality,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM r WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6074,6 +6105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "psi_drift": q_psi_drift,
         "ann_disk_index": q_ann_disk_index,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -6230,4 +6262,5 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _winsorize_oracle(),
         "psi_drift": _PSI_ORACLE,
         "ann_disk_index": _knn_ivf_oracle(),
+        "dedup_keep_best": _dedup_keep_best_oracle(),
     }

@@ -1691,3 +1691,54 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Keep the BEST document per transitive near-dup cluster —
+    highest ``quality_col``, ties to the smallest id — instead of
+    ``dedup_corpus``'s keep-first policy. This is what production
+    dedup actually wants: when a crawl holds five copies of a page,
+    keep the longest/cleanest one, not the one that happened to get
+    the lowest id (arXiv:2107.06499 §4 keeps the longest member for
+    exactly this reason).
+
+    Output: one row per cluster —
+    ``(cluster_id, keep_id, quality, n_docs)``.
+
+    Scale shape: clustering is the standing banded-MinHash +
+    large-star/small-star CC machinery (ids only after banding); the
+    winner pick is ONE map-side-combining ``max(struct(quality,
+    -id))`` aggregate over the (doc, cluster) frame — never a
+    per-cluster sort, whale-cluster immune like materialize's latest.
+    """
+    clusters = dedup_clusters(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    joined = clusters.join(
+        df.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_q").alias("q"), (-F.col(id_col)).alias("ni")
+                )
+            ).alias("_w"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_w.ni")).alias("keep_id"),
+            F.col("_w.q").alias("quality"),
+            "n_docs",
+        )
+    )

@@ -742,3 +742,26 @@ def test_winnowing_guarantee_and_sampling(spark):
         for r in winnow_pairs(df, min_shared=1).collect()
     }
     assert set(pairs) == {(1, 2)}
+
+
+def test_dedup_keep_best_prefers_quality_then_id(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.dedup import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base, q=10),
+        Row(doc_id=2, text=base + " extra", q=99),  # best in cluster
+        Row(doc_id=3, text=base, q=99),  # ties 2 on q -> smaller id wins
+        Row(doc_id=4, text="completely different words entirely here", q=5),
+    ]
+    out = {
+        r.cluster_id: (r.keep_id, r.quality, r.n_docs)
+        for r in dedup_keep_best(
+            spark.createDataFrame(rows), "q"
+        ).collect()
+    }
+    # docs 1-3 cluster together (near-dups); 4 is a singleton
+    assert out[1] == (2, 99, 3)
+    assert out[4] == (4, 5, 1)
