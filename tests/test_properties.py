@@ -764,3 +764,156 @@ def test_group_overlap_estimates_jaccard(spark):
     assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
     assert got[("a", "d")] == 1.0
     assert abs(got[("a", "b")] - 1 / 3) < 0.12  # ~3/sqrt(128)
+
+
+# -- cdc_apply ≡ dict replay --------------------------------------------------
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.sampled_from(["U", "D", "I"]),
+        st.integers(min_value=-9, max_value=9),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+_cdc_snap = st.dictionaries(
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=-9, max_value=9),
+    max_size=6,
+)
+
+
+@given(snap=_cdc_snap, ops=_cdc_ops)
+@settings(**SETTINGS)
+def test_cdc_apply_is_dict_replay(spark, snap, ops):
+    from embeddinghub_spark.operators.cdc import cdc_apply
+
+    snap_df = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()] or [(None, None)],
+        "k INT, v INT",
+    )
+    if not snap:
+        snap_df = snap_df.filter("k IS NOT NULL")
+    log_df = spark.createDataFrame(
+        [(k, i + 1, op, v) for i, (k, op, v) in enumerate(ops)]
+        or [(None, None, None, None)],
+        "k INT, seq INT, op STRING, v INT",
+    )
+    if not ops:
+        log_df = log_df.filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(snap_df, log_df, ["k"]).collect()
+    }
+    want = dict(snap)
+    # replay in seq order: latest op per key wins by construction
+    for k, op, v in ops:
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+# -- fuzzy_pairs ≡ brute force on adversarial short strings -------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", max_size=5), min_size=2, max_size=10
+    ),
+    k=st.integers(min_value=1, max_value=2),
+)
+@settings(**SETTINGS)
+def test_fuzzy_pairs_is_bruteforce_on_short_strings(spark, texts, k):
+    """Tiny two-letter strings maximize duplicate grams, empty
+    strings, and pairs below the pigeonhole bound — the filter's
+    hardest regime."""
+    import itertools
+
+    from embeddinghub_spark.functions.fuzzy import fuzzy_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id INT, s STRING")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "s", max_dist=k).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2)
+        if lev(a, b) <= k
+    }
+    assert got == want
+
+
+# -- scd2_build ≡ sorted-collapse replay --------------------------------------
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=10),  # ts hour
+            st.sampled_from(["x", "y", None]),  # attr (incl. NULL)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_build_is_sorted_collapse_replay(spark, changes):
+    from embeddinghub_spark.operators.cdc import scd2_build
+
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), a)
+        for k, h, a in changes
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP, a STRING")
+    def nskey(t):
+        return (
+            t[0],
+            t[1] is not None,
+            t[1] or "",
+            t[2],
+            t[3] is not None,
+            t[3] or dt.datetime.min,
+            t[4],
+        )
+
+    got = sorted(
+        (
+            (r.k, r.a, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in scd2_build(df, ["k"], "ts").collect()
+        ),
+        key=nskey,
+    )
+    # replica: per key sort by (ts, attr NULLS FIRST), collapse equal
+    # consecutive attrs, chain intervals
+    want = []
+    bykey = {}
+    for k, ts, a in rows:
+        bykey.setdefault(k, []).append((ts, a))
+    for k, items in bykey.items():
+        items.sort(key=lambda t: (t[0], t[1] is not None, t[1] or ""))
+        kept = []
+        for ts, a in items:
+            if not kept or kept[-1][1] != a:
+                kept.append((ts, a))
+        for i, (ts, a) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            want.append((k, a, ts, nxt, i + 1, nxt is None))
+    assert got == sorted(want, key=nskey)
