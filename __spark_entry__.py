@@ -5923,6 +5923,83 @@ FROM r WHERE rn = 1
 """
 
 
+def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (functions/metrics.py binary_auc) of
+    order price as a predictor of finished status — rank-sum on
+    doubled-integer ranks, one division at the end."""
+    from embeddinghub_spark.functions.metrics import binary_auc
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return binary_auc(t, "s", "y")
+
+
+_BINARY_AUC_ORACLE = """
+WITH t AS (
+  SELECT round(CAST(o_totalprice AS DOUBLE), 2) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+ps AS (SELECT s, count(*) AS n, sum(y) AS p FROM t GROUP BY s),
+rk AS (SELECT *, SUM(n) OVER (ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM ps),
+a AS (SELECT SUM(p * (2 * (cum - n) + n + 1)) AS s2,
+             SUM(p) AS n_pos, SUM(n - p) AS n_neg
+      FROM rk)
+SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / (2.0 * n_pos * n_neg), 9) END AS auc,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
+FROM a
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (functions/metrics.py calibration_bins):
+    max-normalized order price vs finished-status rate per decile —
+    the calibration read-off for any scorer."""
+    from embeddinghub_spark.functions.metrics import calibration_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_totalprice").cast("double")).alias("_mx")
+    )
+    t = orders.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_totalprice").cast("double") / F.col("_mx")).alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return calibration_bins(t, "s", "y", n_bins=10)
+
+
+_CALIBRATION_ORACLE = """
+WITH mx AS (SELECT max(CAST(o_totalprice AS DOUBLE)) AS m FROM orders),
+t AS (
+  SELECT CAST(o_totalprice AS DOUBLE) / m AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders CROSS JOIN mx
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+g AS (
+  SELECT greatest(0, least(9, CAST(floor(s * 10) AS INTEGER))) AS bin,
+         count(*) AS n,
+         SUM(CAST(round(s * 1000000) AS BIGINT)) AS ssum,
+         SUM(y) AS pos
+  FROM t GROUP BY 1
+)
+SELECT bin,
+       round(bin / 10.0, 6) AS lo,
+       round((bin + 1) / 10.0, 6) AS hi,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(ssum AS DOUBLE) / 1e6 / n, 6) AS mean_score,
+       round(CAST(pos AS DOUBLE) / n, 6) AS positive_rate
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6106,6 +6183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ann_disk_index": q_ann_disk_index,
         "dedup_keep_best": q_dedup_keep_best,
+        "binary_auc": q_binary_auc,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -6263,4 +6342,6 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_ORACLE,
         "ann_disk_index": _knn_ivf_oracle(),
         "dedup_keep_best": _dedup_keep_best_oracle(),
+        "binary_auc": _BINARY_AUC_ORACLE,
+        "calibration_bins": _CALIBRATION_ORACLE,
     }

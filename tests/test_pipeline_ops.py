@@ -1121,3 +1121,73 @@ def test_psi_drift_detects_shift_and_is_stable_on_same_dist(spark):
     assert len(rows) == 10
     last = [r for r in rows if r.bin == 9][0]
     assert last.cur_n > last.ref_n
+
+
+def test_binary_auc_matches_sklearn_free_replica(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import binary_auc
+
+    rng = random.Random(5)
+    rows = [
+        Row(s=round(rng.random(), 2), y=rng.randint(0, 1)) for _ in range(500)
+    ]
+
+    def replica_auc(pairs):
+        pos = sorted(s for s, y in pairs if y == 1)
+        neg = sorted(s for s, y in pairs if y == 0)
+        wins = 0.0
+        for p in pos:
+            import bisect
+
+            lt = bisect.bisect_left(neg, p)
+            eq = bisect.bisect_right(neg, p) - lt
+            wins += lt + 0.5 * eq
+        return wins / (len(pos) * len(neg))
+
+    got = binary_auc(spark.createDataFrame(rows), "s", "y").collect()[0]
+    want = replica_auc([(r.s, r.y) for r in rows])
+    assert abs(got.auc - want) < 1e-9
+    assert got.n_pos == sum(r.y for r in rows)
+    assert got.n_pos + got.n_neg == len(rows)
+
+
+def test_binary_auc_edges(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import binary_auc
+
+    # perfect separation
+    df = spark.createDataFrame(
+        [Row(s=0.9, y=1), Row(s=0.8, y=1), Row(s=0.2, y=0), Row(s=None, y=1)]
+    )
+    r = binary_auc(df, "s", "y").collect()[0]
+    assert r.auc == 1.0 and r.n_pos == 2 and r.n_neg == 1
+    # single class -> NULL, not 0/1
+    one = spark.createDataFrame([Row(s=0.5, y=1)])
+    assert binary_auc(one, "s", "y").collect()[0].auc is None
+    # all ties -> 0.5
+    ties = spark.createDataFrame([Row(s=0.5, y=1), Row(s=0.5, y=0)])
+    assert binary_auc(ties, "s", "y").collect()[0].auc == 0.5
+
+
+def test_calibration_bins_shape_and_rates(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import calibration_bins
+
+    rows = (
+        [Row(s=0.05, y=0)] * 9 + [Row(s=0.05, y=1)]  # bin 0: 10% pos
+        + [Row(s=0.95, y=1)] * 9 + [Row(s=0.95, y=0)]  # bin 9: 90% pos
+        + [Row(s=1.7, y=1)]  # clamps into bin 9
+    )
+    out = {r.bin: r for r in calibration_bins(
+        spark.createDataFrame(rows), "s", "y"
+    ).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].positive_rate == 0.1 and out[0].n == 10
+    assert out[9].n == 11
+    assert abs(out[0].mean_score - 0.05) < 1e-6
+    assert out[0].lo == 0.0 and out[9].hi == 1.0
