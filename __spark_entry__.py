@@ -6000,6 +6000,37 @@ FROM g
 """
 
 
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill (sources/tables.py
+    backfill_partitions): materialize events by day in two waves —
+    the second wave writes ONLY the days the first didn't, re-running
+    nothing — then read the completed table back."""
+    import tempfile
+
+    from embeddinghub_spark.sources.tables import backfill_partitions
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    tgt = tempfile.mkdtemp(prefix="backfill_")
+    first_days = [
+        r[0]
+        for r in ev.select("day").distinct().orderBy("day").limit(3).collect()
+    ]
+    backfill_partitions(ev.filter(F.col("day").isin(first_days)), tgt, "day")
+    backfill_partitions(ev, tgt, "day")  # completes; wave-1 days no-op
+    return spark.read.parquet(tgt).select(
+        "event_id", "user_id", F.col("day").cast("string").alias("day")
+    )
+
+
+_BACKFILL_ORACLE = """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6185,6 +6216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "binary_auc": q_binary_auc,
         "calibration_bins": q_calibration_bins,
+        "backfill": q_backfill,
     }
 
 
@@ -6344,4 +6376,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_oracle(),
         "binary_auc": _BINARY_AUC_ORACLE,
         "calibration_bins": _CALIBRATION_ORACLE,
+        "backfill": _BACKFILL_ORACLE,
     }

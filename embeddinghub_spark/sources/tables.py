@@ -734,3 +734,64 @@ def colocated_join(
         right, f"{base_name}__r", on, n_buckets, sort_cols=on
     )
     return lt.join(rt, on)
+
+
+def list_partition_values(spark, target_dir: str, partition_col: str) -> set:
+    """Partition values already materialized under ``target_dir``
+    (``col=value`` directory names, hive layout) — via the Hadoop FS
+    API so any filesystem works. Values come back as STRINGS (the
+    directory encoding); compare casted."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    out = set()
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.add(name[len(prefix):])
+    return out
+
+
+def backfill_partitions(
+    df: DataFrame,
+    target_dir: str,
+    partition_col: str,
+) -> list:
+    """Idempotent partition-wise backfill: materialize ONLY the
+    partitions of ``df`` not yet present under ``target_dir``
+    (hive-partitioned parquet). Returns the partition values written
+    (empty = already complete — a re-run is a no-op, which is what
+    makes a scheduled backfill safe to retry and what a full
+    overwrite can never be).
+
+    Scale shape: the existing-partition listing is a METADATA
+    operation (one directory listing, no file reads); the wanted set
+    is one distinct-aggregate on the partition column (|partitions|
+    rows); the write filters the source to missing partitions —
+    Catalyst prunes everything else at the scan when the source is
+    itself partitioned — and appends, touching only new directories.
+    Each day of a 100 TB backfill costs one day's scan, and days
+    already done cost nothing.
+    """
+    spark = df.sparkSession
+    have = list_partition_values(spark, target_dir, partition_col)
+    wanted = [
+        r[0]
+        for r in df.select(partition_col).distinct().collect()
+        if r[0] is not None
+    ]
+    missing = sorted(
+        v for v in wanted if str(v) not in have
+    )
+    if missing:
+        df.filter(
+            F.col(partition_col).cast("string").isin(
+                [str(v) for v in missing]
+            )
+        ).write.mode("append").partitionBy(partition_col).parquet(
+            target_dir
+        )
+    return [str(v) for v in missing]

@@ -554,3 +554,46 @@ def test_colocated_join_has_no_exchange_and_matches_plain(spark, sf_dir):
         assert joined.exceptAll(want).count() == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_backfill_partitions_idempotent_and_incremental(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.tables import (
+        backfill_partitions,
+        list_partition_values,
+    )
+
+    df = spark.createDataFrame(
+        [Row(day=f"2024-01-{d:02d}", v=i) for i, d in enumerate([1, 1, 2, 3])]
+    )
+    tgt = str(tmp_path / "bf")
+
+    wrote = backfill_partitions(df, tgt, "day")
+    assert wrote == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # re-run is a no-op (idempotent retry)
+    assert backfill_partitions(df, tgt, "day") == []
+    assert spark.read.parquet(tgt).count() == 4
+
+    # new partition arrives -> only it is written
+    df2 = df.unionByName(
+        spark.createDataFrame([Row(day="2024-01-04", v=9)])
+    )
+    assert backfill_partitions(df2, tgt, "day") == ["2024-01-04"]
+    # hive partition values type-infer on read-back (day -> DATE);
+    # compare as strings
+    got = {
+        (str(r.day), r.v)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    want = {(r.day, r.v) for r in df2.collect()}
+    assert got == want
+    assert list_partition_values(spark, tgt, "day") == {
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    }
+    # NULL partition values are skipped, not written as __HIVE_DEFAULT__
+    df3 = df2.unionByName(
+        spark.createDataFrame([(None, 0)], "day STRING, v BIGINT")
+    )
+    assert backfill_partitions(df3, tgt, "day") == []
