@@ -6031,6 +6031,29 @@ SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
 """
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/cdc.py scd2_merge):
+    the dimension built from the first half of January absorbs the
+    second half's changes — touched keys rebuild, untouched pass
+    through unread — and the result must equal the from-scratch
+    build, so the oracle IS the full-stream scd2 oracle."""
+    from embeddinghub_spark.operators.cdc import scd2_build, scd2_merge
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    cutoff = "2024-01-16 00:00:00"
+    dim = scd2_build(
+        ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")),
+        ["user_id"],
+        "ts",
+    )
+    return scd2_merge(
+        dim,
+        ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz")),
+        ["user_id"],
+        "ts",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6217,6 +6240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": q_binary_auc,
         "calibration_bins": q_calibration_bins,
         "backfill": q_backfill,
+        "scd2_merge": q_scd2_merge,
     }
 
 
@@ -6377,4 +6401,5 @@ def oracle_sql() -> dict[str, str]:
         "binary_auc": _BINARY_AUC_ORACLE,
         "calibration_bins": _CALIBRATION_ORACLE,
         "backfill": _BACKFILL_ORACLE,
+        "scd2_merge": _SCD2_ORACLE,
     }

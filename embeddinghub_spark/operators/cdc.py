@@ -221,3 +221,77 @@ def scd2_lookup(
         *[F.col(f"_cur.{c}").alias(f"{prefix}{c}") for c in attr_cols],
         F.col("_cur.version").alias("version"),
     )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    new_changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    on_late: str = "error",
+) -> DataFrame:
+    """Incrementally fold a new change batch into an existing SCD2
+    dimension (``scd2_build`` output): keys untouched by the batch
+    pass through UNREAD (a left-anti on the batch's key set, which
+    broadcasts); touched keys rebuild from their kept version starts
+    plus the new changes. Equal to a from-scratch ``scd2_build`` over
+    the full concatenated change stream — pinned by property test —
+    UNDER THE IN-ORDER CONTRACT: every new change for a key must be
+    at or after that key's latest ``valid_from``.
+
+    The contract is not pedantry: the collapsed dimension has
+    forgotten which no-op changes were dropped, and a LATE change
+    landing between two old versions can resurrect one of them — only
+    the original full stream can rebuild that key correctly. So late
+    rows fail loudly (``on_late='error'``, one bounded count
+    aggregate) or are dropped explicitly (``'drop'``); there is no
+    silent wrong-answer mode.
+
+    Scale shape: the touched-key filter is a semi/anti join against
+    the batch's distinct keys (small, broadcasts); the rebuild runs
+    scd2_build's per-key windows over ONLY touched keys' versions +
+    batch rows — a day's merge costs the day's touched histories, not
+    the dimension.
+    """
+    if on_late not in ("error", "drop"):
+        raise ValueError("on_late must be 'error' or 'drop'")
+    reserved = {"valid_from", "valid_to", "version", "is_current"}
+    attr_cols = [
+        c for c in dim.columns if c not in set(key_cols) | reserved
+    ]
+    batch_keys = new_changes.select(*key_cols).distinct()
+
+    latest = dim.groupBy(*key_cols).agg(
+        F.max("valid_from").alias("_max_vf")
+    )
+    joined_new = new_changes.join(latest, key_cols, "left")
+    late = joined_new.filter(
+        F.col("_max_vf").isNotNull() & (F.col(ts_col) < F.col("_max_vf"))
+    )
+    n_late = late.count()
+    if n_late:
+        if on_late == "error":
+            raise ValueError(
+                f"{n_late} late change rows precede their key's latest "
+                f"valid_from — an incremental SCD2 merge cannot rebuild "
+                f"those keys exactly (the collapsed dimension has "
+                f"forgotten its dropped no-ops); replay those keys "
+                f"through scd2_build on their full history instead"
+            )
+        new_changes = joined_new.filter(
+            F.col("_max_vf").isNull() | (F.col(ts_col) >= F.col("_max_vf"))
+        ).drop("_max_vf")
+    else:
+        new_changes = joined_new.drop("_max_vf")
+
+    untouched = dim.join(batch_keys, key_cols, "left_anti")
+    old_touched = dim.join(batch_keys, key_cols, "left_semi").select(
+        *key_cols,
+        F.col("valid_from").alias(ts_col),
+        *attr_cols,
+    )
+    merged_changes = old_touched.unionByName(
+        new_changes.select(*key_cols, ts_col, *attr_cols)
+    )
+    rebuilt = scd2_build(merged_changes, key_cols, ts_col, attr_cols)
+    return untouched.unionByName(rebuilt)

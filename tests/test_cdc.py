@@ -204,3 +204,60 @@ def test_scd2_lookup_row_count_preserved(spark, sf_dir):
     assert out.count() == ev.count()
     # every fact lands in some version (facts and changes share ts)
     assert out.filter(F.col("version").isNull()).count() == 0
+
+
+def test_scd2_merge_equals_full_rebuild_in_order(spark):
+    from embeddinghub_spark.operators.cdc import scd2_merge
+
+    old = [
+        Row(k=1, ts=_ts(1), city="SF"),
+        Row(k=1, ts=_ts(2), city="SF"),  # collapsed no-op
+        Row(k=1, ts=_ts(3), city="NY"),
+        Row(k=2, ts=_ts(2), city="LA"),
+    ]
+    new = [
+        Row(k=1, ts=_ts(5), city="NY"),  # no-op vs last -> collapses
+        Row(k=1, ts=_ts(6), city="TX"),
+        Row(k=3, ts=_ts(4), city="CH"),  # brand-new key
+    ]
+    dim = scd2_build(spark.createDataFrame(old), ["k"], "ts")
+    got = sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in scd2_merge(
+            dim, spark.createDataFrame(new), ["k"], "ts"
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in scd2_build(
+            spark.createDataFrame(old + new), ["k"], "ts"
+        ).collect()
+    )
+    assert got == want
+    # untouched key 2 still present with its original version
+    assert any(t[0] == 2 and t[4] == 1 for t in got)
+
+
+def test_scd2_merge_rejects_late_data_and_can_drop_it(spark):
+    import pytest
+
+    from embeddinghub_spark.operators.cdc import scd2_merge
+
+    dim = scd2_build(
+        spark.createDataFrame(
+            [Row(k=1, ts=_ts(2), city="SF"), Row(k=1, ts=_ts(6), city="NY")]
+        ),
+        ["k"],
+        "ts",
+    )
+    late = spark.createDataFrame([Row(k=1, ts=_ts(4), city="LA")])
+    with pytest.raises(ValueError, match="late"):
+        scd2_merge(dim, late, ["k"], "ts")
+    # drop mode: the late row is discarded, dimension unchanged
+    out = sorted(
+        (r.k, r.city, r.version)
+        for r in scd2_merge(dim, late, ["k"], "ts", on_late="drop").collect()
+    )
+    assert out == [(1, "SF", 1), (1, "NY", 2)] or out == sorted(
+        [(1, "SF", 1), (1, "NY", 2)]
+    )

@@ -917,3 +917,44 @@ def test_scd2_build_is_sorted_collapse_replay(spark, changes):
             nxt = kept[i + 1][0] if i + 1 < len(kept) else None
             want.append((k, a, ts, nxt, i + 1, nxt is None))
     assert got == sorted(want, key=nskey)
+
+
+# -- scd2_merge(prefix, suffix) ≡ scd2_build(full) ---------------------------
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=20),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(min_value=0, max_value=21),
+)
+@settings(**SETTINGS)
+def test_scd2_merge_prefix_suffix_equals_full_build(spark, changes, cut):
+    """Any time-cutoff split is in-order per key, so the incremental
+    merge must reproduce the from-scratch build exactly."""
+    from embeddinghub_spark.operators.cdc import scd2_build, scd2_merge
+
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), a)
+        for k, h, a in changes
+    ]
+    cutoff = dt.datetime(2024, 1, 1) + dt.timedelta(hours=cut)
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP, a STRING")
+    old = df.filter(F.col("ts") < F.lit(cutoff))
+    new = df.filter(F.col("ts") >= F.lit(cutoff))
+    dim = scd2_build(old, ["k"], "ts")
+    got = sorted(
+        (r.k, r.a, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in scd2_merge(dim, new, ["k"], "ts").collect()
+    )
+    want = sorted(
+        (r.k, r.a, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in scd2_build(df, ["k"], "ts").collect()
+    )
+    assert got == want
