@@ -1,0 +1,134 @@
+"""Distributed model-evaluation metrics over scored frames.
+
+The training side of the house (nb_classifier, perplexity scoring,
+contrastive mining) produces scores; this module closes the loop with
+the two evaluation shapes a pipeline actually gates on — ROC-AUC and
+a calibration table — computed exactly, without collecting scores to
+the driver, and with every intermediate either an exact integer or a
+double any IEEE-754 engine reproduces (the repo's oracle protocol).
+
+Reference parity: featureform computes no metrics itself (it exports
+training sets for external evaluation); build addendum per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC via the tie-aware rank-sum (Mann–Whitney U)
+    identity: ``AUC = (Σ_pos avg_rank − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with
+    ties receiving their average rank. All rank arithmetic runs on
+    DOUBLED integers (2·avg_rank = 2·cum_before + n + 1) so every sum
+    is an exact bigint and the one double division happens at the end
+    — partial-aggregation order cannot move the result.
+
+    Scale shape: one groupBy collapses the data to DISTINCT-score
+    rows (map-side combine — the only pass over the data), then a
+    cumulative window runs over that AGGREGATED frame. The window is
+    single-partition, so its cost is |distinct scores|: quantize
+    scores upstream (``F.round(score, 4)`` — standard for AUC at this
+    precision) to bound it; the C5 range-partition prefix-sum is the
+    drop-in replacement if a use case truly needs unbounded distinct
+    scores. Rows with NULL score or label are excluded.
+
+    Output: one row ``(auc, n_pos, n_neg)``; AUC is NULL when either
+    class is empty (undefined, not 0 — a degenerate eval should be
+    visible, not silently perfect).
+    """
+    t = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per_score = t.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn(
+        "_cum", F.sum("_n").over(w)
+    ).withColumn("_cb", F.col("_cum") - F.col("_n"))
+    # 2*avg_rank = 2*cum_before + n + 1  (exact bigint)
+    agg = ranked.agg(
+        F.sum(
+            F.col("_p") * (F.lit(2) * F.col("_cb") + F.col("_n") + F.lit(1))
+        ).alias("_s2"),  # Σ_pos 2·avg_rank
+        F.sum("_p").alias("n_pos"),
+        F.sum(F.col("_n") - F.col("_p")).alias("n_neg"),
+    )
+    auc = (
+        (F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 9)
+        ).alias("auc"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for scores in [0, 1]: per equal-width score
+    bin, the count, mean predicted score, and observed positive rate
+    — the table a calibration plot (and an ECE number) reads off.
+    Out-of-range scores clamp into the edge bins so a miscalibrated
+    scorer is visible rather than dropped.
+
+    Mean scores sum as 1e6-scaled exact bigints (order-independent);
+    the two divisions to double happen per OUTPUT row. One bounded
+    groupBy — exchange ≤ n_bins rows per task at any input size.
+
+    Output: (bin, lo, hi, n, mean_score, positive_rate), bins with no
+    rows omitted.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    t = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1), F.floor(F.col("_s") * n_bins).cast("int")
+        ),
+    )
+    grouped = (
+        t.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("_s") * 1_000_000).cast("bigint")
+            ).alias("_ssum"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    return grouped.select(
+        "bin",
+        F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("lo"),
+        F.round((F.col("bin") + 1) / F.lit(float(n_bins)), 6).alias("hi"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("_ssum").cast("double") / 1e6 / F.col("n"), 6
+        ).alias("mean_score"),
+        F.round(
+            F.col("_pos").cast("double") / F.col("n"), 6
+        ).alias("positive_rate"),
+    )

@@ -1005,3 +1005,50 @@ def test_streaming_cdc_apply_equals_batch_and_skips_replays(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_streaming_psi_equals_batch_and_skips_replays(spark, tmp_path):
+    """Streaming PSI: after any micro-batch slicing the index equals
+    the batch psi_drift over everything ingested; replayed batch ids
+    are skipped (+-merge is not idempotent)."""
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.batch import psi_drift
+    from embeddinghub_spark.streaming.psi_monitor import (
+        freeze_reference,
+        merge_batch_bins,
+        read_psi,
+        streaming_psi,
+    )
+
+    ref = spark.createDataFrame([Row(v=float(i % 100)) for i in range(1000)])
+    cur_rows = [Row(v=float(i % 100) + 40.0) for i in range(600)]
+    cur = spark.createDataFrame(cur_rows)
+
+    state = str(tmp_path / "psi")
+    freeze_reference(ref, state, "v", n_bins=10)
+
+    src = str(tmp_path / "psi_in")
+    cur.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_psi(
+        stream, state, "v", n_bins=10,
+        checkpoint_dir=str(tmp_path / "psi_ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    got = read_psi(spark, state, n_bins=10)
+    want = sum(
+        r.psi_term for r in psi_drift(ref, cur, "v", n_bins=10).collect()
+    )
+    # psi_drift rounds each term to 6 decimals; allow n_bins x 5e-7
+    assert abs(got - want) < 1e-5
+    assert got > 0.25  # the shift is textbook-drifted
+
+    # replayed batch id -> no-op
+    assert merge_batch_bins(spark, state, cur, 0, "v", 10) is False
+    assert abs(read_psi(spark, state, n_bins=10) - want) < 1e-5
