@@ -6054,6 +6054,39 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixture (operators/split.py
+    temperature_mixture): documents resampled by source with
+    count^0.5 weights — the LLM-recipe reweighting that shrinks
+    over-represented sources without a hand-set weights dict; the
+    exact kept set replays via the md5 protocol."""
+    from embeddinghub_spark.operators.split import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, "source", 0.5, 300, key_cols=["doc_id"], seed=42
+    ).select("doc_id", "source", "lang")
+
+
+_TEMPERATURE_MIXTURE_ORACLE = """
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY 1
+),
+tw AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS t FROM c),
+r AS (
+  SELECT source,
+         round(least(1.0,
+               300 * pow(CAST(n AS DOUBLE), 0.5) / t / n), 12) AS rate
+  FROM c CROSS JOIN tw
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR), '|', '42')),
+                           1, 7)) AS BIGINT) / 268435456.0 < r.rate
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6241,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "backfill": q_backfill,
         "scd2_merge": q_scd2_merge,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -6402,4 +6436,5 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": _CALIBRATION_ORACLE,
         "backfill": _BACKFILL_ORACLE,
         "scd2_merge": _SCD2_ORACLE,
+        "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
     }

@@ -436,3 +436,50 @@ def temporal_split(
                 ).otherwise(F.col("split")),
             )
     return marked.drop("_trn")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    target_rows: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: stratum weights are
+    ``countᵢ^alpha`` instead of hand-set — ``alpha = 1`` reproduces
+    the natural distribution, ``alpha = 0`` equalizes strata, and the
+    0 < alpha < 1 band is the standard LLM-corpus reweighting (the
+    multilingual/source-balancing exponent of the big-model data
+    recipes): over-represented sources shrink, long-tail sources
+    keep share, without anyone hand-tuning a weights dict.
+
+    Rates derive from ONE bounded groupBy-count (|strata| rows to the
+    driver; same scalar discipline as ``sample_mixture``); the sample
+    itself is the md5-uniform protocol of ``stratified_sample`` —
+    map-only, partition-stable, exactly replayable cross-engine
+    (``pow`` on doubles is IEEE-identical in any engine, and the
+    kept-row rule compares the same 28-bit uniforms).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
+    total_w = sum(float(c) ** alpha for c in counts.values())
+    if total_w <= 0:
+        return df.filter(F.lit(False))
+    fractions = {}
+    for stratum, have in counts.items():
+        want = target_rows * (float(have) ** alpha) / total_w
+        # round-12 so a last-ulp pow/summation difference between this
+        # driver-side computation and an oracle's SQL replay cannot
+        # flip a keep decision at the rate boundary
+        fractions[stratum] = (
+            round(min(1.0, want / have), 12) if have else 0.0
+        )
+    return stratified_sample(df, strata_col, fractions, key_cols, seed)

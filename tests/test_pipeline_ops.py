@@ -1191,3 +1191,35 @@ def test_calibration_bins_shape_and_rates(spark):
     assert out[9].n == 11
     assert abs(out[0].mean_score - 0.05) < 1e-6
     assert out[0].lo == 0.0 and out[9].hi == 1.0
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.split import temperature_mixture
+
+    rows = (
+        [Row(i=i, src="big") for i in range(1600)]
+        + [Row(i=10_000 + i, src="small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows)
+
+    def shares(alpha):
+        out = temperature_mixture(
+            df, "src", alpha, 400, key_cols=["i"]
+        ).groupBy("src").count().collect()
+        d = {r.src: r["count"] for r in out}
+        return d.get("big", 0), d.get("small", 0)
+
+    b1, s1 = shares(1.0)  # natural: ~16:1
+    b5, s5 = shares(0.5)  # sqrt: ~4:1
+    assert b1 / max(s1, 1) > 8
+    assert 2 < b5 / max(s5, 1) < 8
+    # alpha=0 equalizes wants; "small" exhausts (without replacement)
+    b0, s0 = shares(0.0)
+    assert s0 == 100 and b0 < 2 * s0 + 60
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "src", -0.1, 100, key_cols=["i"])
