@@ -6087,6 +6087,46 @@ WHERE CAST(('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR), '|', '42')),
 """
 
 
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution canonicalization (functions/fuzzy.py
+    fuzzy_clusters): edit-distance-1 name pairs closed transitively
+    into canonical ids — prefix-filtered pair generation + id-only
+    connected components; the oracle is the all-pairs join plus a
+    recursive-CTE closure."""
+    from embeddinghub_spark.functions.fuzzy import fuzzy_clusters
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 2000
+    )
+    return fuzzy_clusters(cust, "c_custkey", "c_name", max_dist=1, q=3)
+
+
+_FUZZY_CLUSTERS_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT c_custkey AS id, c_name AS s FROM customer
+  WHERE c_custkey < 2000 AND c_name IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t a JOIN t b
+    ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+  WHERE levenshtein(a.s, b.s) <= 1
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+),
+comp AS (SELECT u, MIN(r) AS component FROM reach GROUP BY u)
+SELECT allids.id AS c_custkey,
+       COALESCE(c.component, allids.id) AS canonical_id
+FROM (SELECT c_custkey AS id FROM customer WHERE c_custkey < 2000) allids
+LEFT JOIN comp c ON c.u = allids.id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6275,6 +6315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "scd2_merge": q_scd2_merge,
         "temperature_mixture": q_temperature_mixture,
+        "fuzzy_clusters": q_fuzzy_clusters,
     }
 
 
@@ -6437,4 +6478,5 @@ def oracle_sql() -> dict[str, str]:
         "backfill": _BACKFILL_ORACLE,
         "scd2_merge": _SCD2_ORACLE,
         "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
+        "fuzzy_clusters": _FUZZY_CLUSTERS_ORACLE,
     }

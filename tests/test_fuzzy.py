@@ -117,3 +117,24 @@ def test_fuzzy_pairs_validation(spark):
         fuzzy_pairs(df, "id", "s", max_dist=0)
     with pytest.raises(ValueError):
         fuzzy_pairs(df, "id", "s", q=1)
+
+
+def test_fuzzy_clusters_transitive_and_singletons(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.fuzzy import fuzzy_clusters
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="alpha"),
+            Row(id=2, s="alphb"),  # 1 from alpha
+            Row(id=3, s="alphc"),  # 1 from alphb, 2 from alpha -> transitive
+            Row(id=4, s="omega"),  # singleton
+            Row(id=5, s=None),  # null text -> singleton
+        ]
+    )
+    out = {
+        r.id: r.canonical_id
+        for r in fuzzy_clusters(df, "id", "s", max_dist=1).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
