@@ -6127,6 +6127,106 @@ LEFT JOIN comp c ON c.u = allids.id
 """
 
 
+def q_f8_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top orders): 3-way
+    customer⋈orders⋈lineitem with selective filters on both fan-out
+    sides, exact-cents revenue aggregate, top-10 by revenue. AQE
+    broadcasts the filtered customer side; the revenue sum is the
+    scaled-bigint protocol so the ORDER BY is on exact values."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        < F.expr("TIMESTAMP_NTZ '1996-03-15 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1996-03-15 00:00:00'")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_F8_TPCH_Q3_ORACLE = """
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 10000) AS BIGINT)) AS DOUBLE) / 10000
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_f8_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the 6-way star join —
+    region→nation→supplier + customer→orders→lineitem with the
+    co-nationality predicate — exact-cents revenue per nation. The
+    three dimension frames broadcast under AQE; only the fact-side
+    joins shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate")
+           < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nation, F.col("s_nationkey") == nation["n_nationkey"])
+        .join(region, F.col("n_regionkey") == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )
+
+
+_F8_TPCH_Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 10000) AS BIGINT)) AS DOUBLE) / 10000
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6316,6 +6416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "temperature_mixture": q_temperature_mixture,
         "fuzzy_clusters": q_fuzzy_clusters,
+        "f8_tpch_q3": q_f8_tpch_q3,
+        "f8_tpch_q5": q_f8_tpch_q5,
     }
 
 
@@ -6479,4 +6581,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_merge": _SCD2_ORACLE,
         "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
         "fuzzy_clusters": _FUZZY_CLUSTERS_ORACLE,
+        "f8_tpch_q3": _F8_TPCH_Q3_ORACLE,
+        "f8_tpch_q5": _F8_TPCH_Q5_ORACLE,
     }
