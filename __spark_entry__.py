@@ -6227,6 +6227,37 @@ GROUP BY n.n_name
 """
 
 
+def q_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling-driven join (operators/batch.py auto_join): a
+    synthetically skewed key (80% of lineitem on one key) with
+    broadcast disabled forces the SALTED decision — the result must
+    still be exactly the plain join, which is the oracle."""
+    from embeddinghub_spark.operators.batch import auto_join
+
+    k = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    left = _t(spark, sf_dir, "lineitem").select(
+        k.alias("k"), "l_linenumber", "l_quantity"
+    )
+    right = left.select("k").distinct().select(
+        "k", (F.col("k") * 2).alias("payload")
+    )
+    return auto_join(left, right, ["k"], broadcast_row_limit=0)
+
+
+_AUTO_JOIN_ORACLE = """
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey END AS k,
+         l_linenumber, l_quantity
+  FROM lineitem
+),
+r AS (SELECT k, k * 2 AS payload FROM (SELECT DISTINCT k FROM l))
+SELECT l.k, l.l_linenumber, l.l_quantity, r.payload
+FROM l JOIN r ON l.k = r.k
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6418,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_clusters": q_fuzzy_clusters,
         "f8_tpch_q3": q_f8_tpch_q3,
         "f8_tpch_q5": q_f8_tpch_q5,
+        "auto_join": q_auto_join,
     }
 
 
@@ -6583,4 +6615,5 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_clusters": _FUZZY_CLUSTERS_ORACLE,
         "f8_tpch_q3": _F8_TPCH_Q3_ORACLE,
         "f8_tpch_q5": _F8_TPCH_Q5_ORACLE,
+        "auto_join": _AUTO_JOIN_ORACLE,
     }

@@ -774,3 +774,62 @@ def psi_drift(
             6,
         ).alias("psi_term"),
     )
+
+
+def auto_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    broadcast_row_limit: int = 1_000_000,
+    skew_ratio: float = 8.0,
+    n_salts: int = 8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Profiling-driven equi-join: measure first, then pick the
+    physical strategy — the codified form of the 100 TB habit
+    ``join_fanout_profile`` preaches. Result is ALWAYS the plain
+    inner join (each strategy is result-invisible); only the shuffle
+    shape changes:
+
+    - right side under ``broadcast_row_limit`` rows → explicit
+      ``broadcast()`` (row count is a better broadcast signal than
+      Spark's size-estimate heuristic when upstream filters defeat
+      stats);
+    - else if the left side's hottest key holds more than
+      ``skew_ratio`` × its mean per-key rows → ``salted_join`` with
+      ``n_salts`` (the AQE-can't-split case: skew feeding a
+      sort-merge join);
+    - else the plain join, strategy left to Catalyst/AQE.
+
+    The price is two map-side-combining count aggregates (right total
+    + left per-key top-1 via one groupBy + max) — cheap scans
+    against a catastrophic shuffle. ``stats`` receives
+    {"strategy": ...} for tests/observability.
+    """
+    if not on:
+        raise ValueError("on must be non-empty")
+    n_right = right.count()
+    if n_right <= broadcast_row_limit:
+        if stats is not None:
+            stats["strategy"] = "broadcast"
+        return left.join(F.broadcast(right), on)
+    prof = (
+        left.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").alias("_mx"),
+            (F.sum("_n") / F.count(F.lit(1))).alias("_mean"),
+        )
+        .collect()[0]
+    )
+    if (
+        prof["_mx"] is not None
+        and prof["_mean"]
+        and prof["_mx"] > skew_ratio * prof["_mean"]
+    ):
+        if stats is not None:
+            stats["strategy"] = "salted"
+        return salted_join(left, right, on, n_salts=n_salts)
+    if stats is not None:
+        stats["strategy"] = "plain"
+    return left.join(right, on)

@@ -1223,3 +1223,36 @@ def test_temperature_mixture_flattens_distribution(spark):
 
     with pytest.raises(ValueError):
         temperature_mixture(df, "src", -0.1, 100, key_cols=["i"])
+
+
+def test_auto_join_picks_strategies_and_matches_plain(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.operators.batch import auto_join
+
+    skewed = spark.createDataFrame(
+        [Row(k=1 if i < 900 else i, v=i) for i in range(1000)]
+    )
+    dim = spark.createDataFrame([Row(k=i, w=f"w{i}") for i in range(1000)])
+
+    # tiny right side -> broadcast
+    s1 = {}
+    out1 = auto_join(skewed, dim, ["k"], stats=s1)
+    assert s1["strategy"] == "broadcast"
+
+    # force past broadcast: hot key 1 holds 90% of rows -> salted
+    s2 = {}
+    out2 = auto_join(
+        skewed, dim, ["k"], broadcast_row_limit=10, stats=s2
+    )
+    assert s2["strategy"] == "salted"
+
+    # uniform left -> plain
+    uniform = spark.createDataFrame([Row(k=i % 50, v=i) for i in range(500)])
+    s3 = {}
+    auto_join(uniform, dim, ["k"], broadcast_row_limit=10, stats=s3)
+    assert s3["strategy"] == "plain"
+
+    want = {(r.k, r.v, r.w) for r in skewed.join(dim, "k").collect()}
+    assert {(r.k, r.v, r.w) for r in out1.collect()} == want
+    assert {(r.k, r.v, r.w) for r in out2.collect()} == want
