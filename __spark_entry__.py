@@ -6258,6 +6258,49 @@ FROM l JOIN r ON l.k = r.k
 """
 
 
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (functions/metrics.py
+    expected_calibration_error) of max-normalized order price vs
+    finished status — exact abs-difference bigint reduction, one
+    double division at the end."""
+    from embeddinghub_spark.functions.metrics import (
+        expected_calibration_error,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_totalprice").cast("double")).alias("_mx")
+    )
+    t = orders.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_totalprice").cast("double") / F.col("_mx")).alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return expected_calibration_error(t, "s", "y", n_bins=10)
+
+
+_ECE_ORACLE = """
+WITH mx AS (SELECT max(CAST(o_totalprice AS DOUBLE)) AS m FROM orders),
+t AS (
+  SELECT CAST(o_totalprice AS DOUBLE) / m AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders CROSS JOIN mx
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+g AS (
+  SELECT greatest(0, least(9, CAST(floor(s * 10) AS INTEGER))) AS bin,
+         count(*) AS n,
+         SUM(CAST(round(s * 1000000) AS BIGINT)) AS ssum,
+         SUM(y) AS pos
+  FROM t GROUP BY 1
+)
+SELECT round(CAST(SUM(abs(pos * 1000000 - ssum)) AS DOUBLE)
+             / 1e6 / SUM(n), 9) AS ece,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins_occupied
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6450,6 +6493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_tpch_q3": q_f8_tpch_q3,
         "f8_tpch_q5": q_f8_tpch_q5,
         "auto_join": q_auto_join,
+        "ece": q_ece,
     }
 
 
@@ -6616,4 +6660,5 @@ def oracle_sql() -> dict[str, str]:
         "f8_tpch_q3": _F8_TPCH_Q3_ORACLE,
         "f8_tpch_q5": _F8_TPCH_Q5_ORACLE,
         "auto_join": _AUTO_JOIN_ORACLE,
+        "ece": _ECE_ORACLE,
     }

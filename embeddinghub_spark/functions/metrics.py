@@ -132,3 +132,60 @@ def calibration_bins(
             F.col("_pos").cast("double") / F.col("n"), 6
         ).alias("positive_rate"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error: the bin-weighted mean gap between
+    predicted score and observed positive rate,
+    ``ECE = Σ (nᵢ/N)·|posᵢ/nᵢ − mean_scoreᵢ|`` over the
+    ``calibration_bins`` grid — the one-number summary a model gate
+    thresholds on (≲0.01 well-calibrated, ≳0.1 needs recalibration).
+
+    Stronger than the table's discipline: the weighted gap
+    ``nᵢ·|posᵢ/nᵢ − meanᵢ|`` equals ``|posᵢ·10⁶ − ssumᵢ| / 10⁶``
+    EXACTLY, so the reduction is one abs-difference bigint sum —
+    bit-identical under any aggregation order, no double sums at all
+    until the final division. Output: one row
+    (ece, n, n_bins_occupied).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    t = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1), F.floor(F.col("_s") * n_bins).cast("int")
+        ),
+    )
+    g = (
+        t.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("_s") * 1_000_000).cast("bigint")
+            ).alias("_ssum"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    # n_i * |pos_i/n_i - ssum_i/1e6/n_i| == |pos_i*1e6 - ssum_i|/1e6
+    gap_scaled = F.abs(
+        F.col("_pos").cast("bigint") * F.lit(1_000_000) - F.col("_ssum")
+    )
+    return g.agg(
+        F.round(
+            F.sum(gap_scaled).cast("double") / 1e6 / F.sum("n"), 9
+        ).alias("ece"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+    )

@@ -1256,3 +1256,29 @@ def test_auto_join_picks_strategies_and_matches_plain(spark):
     want = {(r.k, r.v, r.w) for r in skewed.join(dim, "k").collect()}
     assert {(r.k, r.v, r.w) for r in out1.collect()} == want
     assert {(r.k, r.v, r.w) for r in out2.collect()} == want
+
+
+def test_expected_calibration_error(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import (
+        expected_calibration_error,
+    )
+
+    # perfectly calibrated: score == empirical rate in each bin
+    rows = []
+    for b, rate in [(0, 0.05), (5, 0.55), (9, 0.95)]:
+        s = b / 10 + 0.05
+        n_pos = int(rate * 100)
+        rows += [Row(s=s, y=1)] * n_pos + [Row(s=s, y=0)] * (100 - n_pos)
+    r = expected_calibration_error(
+        spark.createDataFrame(rows), "s", "y"
+    ).collect()[0]
+    assert r.ece < 1e-9 and r.n == 300 and r.n_bins_occupied == 3
+
+    # badly calibrated: high scores, half positives
+    bad = [Row(s=0.95, y=i % 2) for i in range(100)]
+    r2 = expected_calibration_error(
+        spark.createDataFrame(bad), "s", "y"
+    ).collect()[0]
+    assert abs(r2.ece - 0.45) < 1e-9
