@@ -21,6 +21,8 @@ def binary_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    quantize: int | None = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact ROC-AUC via the tie-aware rank-sum (Mann–Whitney U)
     identity: ``AUC = (Σ_pos avg_rank − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with
@@ -30,30 +32,68 @@ def binary_auc(
     — partial-aggregation order cannot move the result.
 
     Scale shape: one groupBy collapses the data to DISTINCT-score
-    rows (map-side combine — the only pass over the data), then a
-    cumulative window runs over that AGGREGATED frame. The window is
-    single-partition, so its cost is |distinct scores|: quantize
-    scores upstream (``F.round(score, 4)`` — standard for AUC at this
-    precision) to bound it; the C5 range-partition prefix-sum is the
-    drop-in replacement if a use case truly needs unbounded distinct
-    scores. Rows with NULL score or label are excluded.
+    rows (map-side combine — the only pass over the data). The
+    cumulative count below each score is then a DISTRIBUTED prefix
+    sum (the C5 range-partition pattern — materialize.py:114): range-
+    partition the distinct-score frame on score, window WITHIN each
+    partition, collect one subtotal row per partition and fold the
+    exclusive offsets back in as a literal array. No operator touches
+    a single-partition window at any |distinct scores|. On top of
+    that, ``quantize`` (default 4 decimal places — standard reporting
+    precision for AUC) rounds scores IN-OP before the groupBy so a
+    continuous scorer cannot blow up the distinct-score frame in the
+    first place; pass ``quantize=None`` for bit-exact unquantized
+    ranks (the prefix sum keeps even that fully parallel). Rows with
+    NULL score or label are excluded.
 
     Output: one row ``(auc, n_pos, n_neg)``; AUC is NULL when either
     class is empty (undefined, not 0 — a degenerate eval should be
     visible, not silently perfect).
     """
+    s = F.col(score_col).cast("double")
+    if quantize is not None:
+        s = F.round(s, quantize)
     t = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
-        F.col(score_col).cast("double").alias("_s"),
+        s.alias("_s"),
         F.col(label_col).cast("int").alias("_y"),
     )
     per_score = t.groupBy("_s").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_score.withColumn(
-        "_cum", F.sum("_n").over(w)
+    # Distributed prefix sum over distinct scores (C5 pattern).
+    # localCheckpoint pins the ranged layout so the subtotal job and
+    # the main plan see identical partition ids (AQE may otherwise
+    # coalesce the range exchange differently per job).
+    n_parts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = per_score.repartitionByRange(
+        n_parts, F.col("_s")
+    ).localCheckpoint(eager=True)
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = (
+        part.groupBy("_pid").agg(F.sum("_n").alias("_t"))
+        .orderBy("_pid")
+        .collect()
+    )  # one tiny row per partition — driver-safe at any scale
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"]
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)).cast("bigint") for i in range(n_parts)]
+    )
+    ranked = part.withColumn(
+        "_cum",
+        F.sum("_n").over(w) + F.element_at(offset_arr, F.col("_pid") + 1),
     ).withColumn("_cb", F.col("_cum") - F.col("_n"))
     # 2*avg_rank = 2*cum_before + n + 1  (exact bigint)
     agg = ranked.agg(

@@ -29,27 +29,33 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round5_window_layout():
-    """The ledger-closing rotation: every entry that had no driver
-    CORRECTNESS row after r4 (the 25 post-window r4 additions) plus the
-    four f8 entries evicted since their r2 certification sit inside the
-    50-slot window; slot 50 is the flagship sentinel."""
+def test_round6_window_layout():
+    """The ledger-closing rotation for round 6: every round-5 addition
+    that landed past the frozen r5 window (36 entries, never
+    driver-certified) sits inside the 50-slot window; slot 50 is the
+    flagship sentinel. The registry is frozen at 164 entries until this
+    window is certified."""
     import __spark_entry__ as m
 
-    window = list(m.queries().keys())[:50]
+    keys = list(m.queries().keys())
+    window = keys[:50]
     debt = {
-        "dup_spans", "cms_topk", "nb_classifier", "weighted_sample",
-        "pagerank", "rrf_fusion", "f9_stream_join", "trim_spans",
-        "zorder_key", "gap_fill", "funnel_steps", "hash_vectorizer",
-        "sparse_cosine", "snapshot_diff", "curation_v2",
-        "incremental_spans", "cohort_retention", "source_divergence",
-        "negative_samples", "hard_negatives", "normalize_text",
-        "bloom_filter", "s2_json_scan", "cap_per_group", "f8_moving_avg",
-        "f8_scalar_funcs", "f8_date_funcs", "f8_rollup", "f8_array_funcs",
+        "hll_by_group", "quantiles_by_group", "quantize_embeddings",
+        "bigram_logprob", "winnow_pairs", "source_overlap",
+        "robust_scale_by", "join_fanout", "validate_rules", "cdc_apply",
+        "scd2_build", "scd2_lookup", "scd2_merge", "fuzzy_join",
+        "fuzzy_clusters", "event_transitions", "class_tf_idf",
+        "bpe_merges", "mm_phash", "bloom_join", "colocated_join",
+        "auto_join", "kfold_split", "temporal_split",
+        "temperature_mixture", "pca_embeddings", "winsorize", "psi_drift",
+        "ann_disk_index", "dedup_keep_best", "binary_auc",
+        "calibration_bins", "ece", "backfill", "f8_tpch_q3", "f8_tpch_q5",
     }
+    assert len(debt) == 36
     missing = debt - set(window)
     assert not missing, f"uncertified entries fell out of the window: {missing}"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
+    assert len(keys) == 164, "registry is frozen at 164 entries for r6"
 
 
 def test_oracle_sql_is_static():
