@@ -191,6 +191,14 @@ def media_near_dup_pairs(
     enter an exchange."""
     if PHASH_BITS % bands != 0:
         raise ValueError(f"bands={bands} must divide {PHASH_BITS}")
+    if max_hamming >= bands:
+        # pigeonhole only guarantees a shared band for hamming < bands;
+        # a larger radius would silently return incomplete pairs
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < bands={bands} for the "
+            "banding pigeonhole to guarantee candidate recall; raise "
+            "bands (it must divide PHASH_BITS) to widen the radius"
+        )
     width = PHASH_BITS // bands
     mask = (1 << width) - 1
     ph = media_phash(df, binary_col, id_col)

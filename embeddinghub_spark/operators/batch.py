@@ -781,6 +781,7 @@ def auto_join(
     right: DataFrame,
     on: list[str],
     broadcast_row_limit: int = 1_000_000,
+    broadcast_byte_limit: int = 256 << 20,
     skew_ratio: float = 8.0,
     n_salts: int = 8,
     stats: dict | None = None,
@@ -791,10 +792,14 @@ def auto_join(
     inner join (each strategy is result-invisible); only the shuffle
     shape changes:
 
-    - right side under ``broadcast_row_limit`` rows → explicit
-      ``broadcast()`` (row count is a better broadcast signal than
-      Spark's size-estimate heuristic when upstream filters defeat
-      stats);
+    - right side under ``broadcast_row_limit`` rows AND an estimated
+      ``broadcast_byte_limit`` bytes → explicit ``broadcast()`` (row
+      count is a better broadcast signal than Spark's size-estimate
+      heuristic when upstream filters defeat stats; the byte cap —
+      rows × JSON-serialized width of a 1k-row sample, a deliberate
+      over-estimate — stops a WIDE side under the row limit from
+      being force-broadcast at multi-GB size, the OOM Spark's own
+      heuristic exists to avoid);
     - else if the left side's hottest key holds more than
       ``skew_ratio`` × its mean per-key rows → ``salted_join`` with
       ``n_salts`` (the AQE-can't-split case: skew feeding a
@@ -802,17 +807,32 @@ def auto_join(
     - else the plain join, strategy left to Catalyst/AQE.
 
     The price is two map-side-combining count aggregates (right total
-    + left per-key top-1 via one groupBy + max) — cheap scans
-    against a catastrophic shuffle. ``stats`` receives
-    {"strategy": ...} for tests/observability.
+    + left per-key top-1 via one groupBy + max) plus a 1k-row width
+    sample when the row count clears the limit — cheap scans against
+    a catastrophic shuffle. ``stats`` receives {"strategy": ...,
+    "est_right_bytes": ...} for tests/observability.
     """
     if not on:
         raise ValueError("on must be non-empty")
     n_right = right.count()
     if n_right <= broadcast_row_limit:
+        avg_w = (
+            right.limit(1024)
+            .select(
+                F.avg(
+                    F.length(F.to_json(F.struct(*right.columns)))
+                ).alias("w")
+            )
+            .collect()[0]["w"]
+            or 0.0
+        )
+        est_bytes = int(n_right * avg_w)
         if stats is not None:
-            stats["strategy"] = "broadcast"
-        return left.join(F.broadcast(right), on)
+            stats["est_right_bytes"] = est_bytes
+        if est_bytes <= broadcast_byte_limit:
+            if stats is not None:
+                stats["strategy"] = "broadcast"
+            return left.join(F.broadcast(right), on)
     prof = (
         left.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -77,7 +77,11 @@ def cdc_apply(
     ).select(
         *key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols]
     )
-    return untouched.unionByName(upserts)
+    # restore the snapshot's exact column ORDER (not just names) so
+    # position-sensitive consumers — parquet append into an existing
+    # layout, schema hashes — see an unchanged schema when keys are
+    # not the leading columns (ADVICE r5)
+    return untouched.unionByName(upserts).select(*snapshot.columns)
 
 
 def scd2_build(

@@ -687,12 +687,20 @@ def write_bucketed_table(
     spark = df.sparkSession
     # a fresh session's catalog may not know the table even though its
     # managed location survives on disk — overwrite alone then fails
-    # with LOCATION_ALREADY_EXISTS, so drop AND clear the stale path
-    # (Hadoop FS API: correct on any filesystem, not just local)
+    # with LOCATION_ALREADY_EXISTS, so drop AND clear the stale path.
+    # The stale path is resolved the way the catalog would place it
+    # (db location + lower-cased table name — {warehouse}/{tbl} for
+    # the default db, {warehouse}/{db}.db/{tbl} otherwise), NOT a
+    # naive {warehouse}/{table_name} concat which misses db-qualified
+    # and case-folded names (ADVICE r5). Hadoop FS API: correct on
+    # any filesystem, not just local.
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    parts = table_name.split(".")
+    tbl = parts[-1].lower()
+    db = parts[-2].lower() if len(parts) > 1 else spark.catalog.currentDatabase()
+    db_loc = spark.catalog.getDatabase(db).locationUri
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table_name}")
+    path = jvm.org.apache.hadoop.fs.Path(f"{db_loc}/{tbl}")
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
@@ -712,7 +720,7 @@ def colocated_join(
     right: DataFrame,
     on: list[str],
     n_buckets: int = 16,
-    base_name: str = "colocated",
+    base_name: str | None = None,
 ) -> DataFrame:
     """Join two frames WITHOUT a join-time shuffle by co-locating
     them first: both sides are written as tables bucketed by the join
@@ -726,7 +734,16 @@ def colocated_join(
     write) for zero exchanges on EVERY subsequent use — the right
     trade exactly when a table is joined/aggregated on the same key
     repeatedly, which is the feature-store shape (entity-keyed
-    everything). Result is identical to the plain join."""
+    everything). Result is identical to the plain join.
+
+    ``base_name`` defaults to a per-call unique name so concurrent
+    callers cannot DROP each other's tables (ADVICE r5); pass a fixed
+    name to reuse/overwrite a known pair of bucketed tables instead
+    of accumulating new ones."""
+    import uuid as _uuid
+
+    if base_name is None:
+        base_name = "colocated_" + _uuid.uuid4().hex[:8]
     lt = write_bucketed_table(
         left, f"{base_name}__l", on, n_buckets, sort_cols=on
     )

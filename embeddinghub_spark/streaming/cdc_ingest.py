@@ -86,6 +86,13 @@ def apply_changelog_batch(
     tmp = state_dir + ".link-" + uuid.uuid4().hex[:8]
     os.symlink(phys, tmp)
     prev = os.path.realpath(state_dir) if os.path.islink(state_dir) else None
+    if prev is None and os.path.isdir(state_dir):
+        # legacy PLAIN-dir snapshot (seeded outside the symlink
+        # protocol): its rows are already folded into phys (the write
+        # above is eager), but os.replace cannot replace a real dir
+        # with a symlink — move it aside first, then retire it
+        prev = state_dir + ".legacy-" + uuid.uuid4().hex[:8]
+        os.rename(state_dir, prev)
     os.replace(tmp, state_dir)
     if prev and os.path.isdir(prev):
         shutil.rmtree(prev, ignore_errors=True)

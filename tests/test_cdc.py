@@ -61,6 +61,11 @@ def test_cdc_apply_schema_and_validation(spark):
     log = spark.createDataFrame([Row(k=1, val="x", n=1, seq=1, op="U")])
     out = cdc_apply(snap, log, ["k"])
     assert out.columns == snap.columns
+    # column ORDER is preserved even when the key is NOT leading
+    # (position-sensitive consumers: parquet append, schema hashes)
+    snap2 = snap.select("val", "n", "k")
+    out2 = cdc_apply(snap2, log, ["k"])
+    assert out2.columns == ["val", "n", "k"]
     import pytest
 
     with pytest.raises(ValueError):

@@ -110,3 +110,21 @@ def test_media_near_dup_bands_must_divide(spark):
     df = spark.createDataFrame([Row(doc_id=1, media=b"x")])
     with pytest.raises(ValueError):
         media_near_dup_pairs(df, bands=7)
+
+
+def test_media_near_dup_radius_must_fit_bands(spark):
+    """Pigeonhole recall only holds for hamming < bands: a radius >=
+    bands must be rejected, not silently return incomplete pairs
+    (ADVICE r5)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.multimodal import media_near_dup_pairs
+
+    df = spark.createDataFrame([Row(doc_id=1, media=b"x")])
+    with pytest.raises(ValueError, match="max_hamming"):
+        media_near_dup_pairs(df, max_hamming=5, bands=4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        media_near_dup_pairs(df, max_hamming=4, bands=4)
+    # widening bands legitimizes the radius (5 divides 60)
+    media_near_dup_pairs(df, max_hamming=4, bands=5).collect()

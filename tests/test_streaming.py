@@ -1007,6 +1007,44 @@ def test_streaming_cdc_apply_equals_batch_and_skips_replays(spark, tmp_path):
     assert again == want
 
 
+def test_cdc_apply_batch_migrates_legacy_plain_dir_snapshot(spark, tmp_path):
+    """A snapshot seeded as a PLAIN parquet dir (outside the symlink
+    protocol — the legacy case tables.py's bucketed merge also
+    migrates) must be folded in and replaced by the symlinked version,
+    not crash os.replace (ADVICE r5)."""
+    import os
+
+    from embeddinghub_spark.streaming.cdc_ingest import (
+        apply_changelog_batch,
+    )
+
+    state = str(tmp_path / "legacy_state")
+    seed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["k", "val", "n"]
+    )
+    seed.write.parquet(state)  # plain dir, no symlink, no meta
+    assert os.path.isdir(state) and not os.path.islink(state)
+
+    batch = spark.createDataFrame(
+        [(2, 1, "U", "b2", 21), (3, 2, "U", "c", 30), (1, 3, "D", None, None)],
+        ["k", "seq", "op", "val", "n"],
+    )
+    applied = apply_changelog_batch(
+        spark, state, batch, batch_id=0, key_cols=["k"],
+        snapshot_cols=["k", "val", "n"],
+    )
+    assert applied is True
+    assert os.path.islink(state), "state_dir not migrated to a symlink"
+    got = {r.k: (r.val, r.n) for r in spark.read.parquet(state).collect()}
+    # seeded rows folded: k=1 deleted, k=2 updated, k=3 inserted
+    assert got == {2: ("b2", 21), 3: ("c", 30)}
+    # and the watermark committed: replaying batch 0 is now a no-op
+    assert not apply_changelog_batch(
+        spark, state, batch, batch_id=0, key_cols=["k"],
+        snapshot_cols=["k", "val", "n"],
+    )
+
+
 def test_streaming_psi_equals_batch_and_skips_replays(spark, tmp_path):
     """Streaming PSI: after any micro-batch slicing the index equals
     the batch psi_drift over everything ingested; replayed batch ids

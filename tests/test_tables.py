@@ -556,6 +556,50 @@ def test_colocated_join_has_no_exchange_and_matches_plain(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_write_bucketed_table_clears_stale_db_qualified_location(spark):
+    """Stale-location cleanup must resolve the path the CATALOG would
+    use — db-qualified names live under {db}.db/ and table names are
+    case-folded — not a naive {warehouse}/{table_name} concat
+    (ADVICE r5). Simulates the fresh-session case: the dir exists on
+    disk but the catalog has no table entry."""
+    import os
+
+    from embeddinghub_spark.sources.tables import write_bucketed_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_db")
+    db_loc = spark.catalog.getDatabase("bkt_db").locationUri
+    local = db_loc[5:] if db_loc.startswith("file:") else db_loc
+    stale = os.path.join(local, "mixedcase")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("stale")
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        # case-folded + db-qualified: must clear the stale dir above,
+        # not {warehouse}/bkt_db.MixedCase
+        out = write_bucketed_table(df, "bkt_db.MixedCase", ["k"], 4)
+        assert out.count() == 2
+        assert not os.path.exists(os.path.join(stale, "junk"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_db.MixedCase")
+        spark.sql("DROP DATABASE IF EXISTS bkt_db CASCADE")
+
+
+def test_colocated_join_default_base_name_is_unique(spark):
+    """Two colocated_joins without an explicit base_name must not
+    collide on table names (concurrent callers previously DROPped
+    each other's tables — ADVICE r5)."""
+    from embeddinghub_spark.sources.tables import colocated_join
+
+    a = spark.createDataFrame([(1, "x")], ["k", "va"])
+    b = spark.createDataFrame([(1, "y")], ["k", "vb"])
+    j1 = colocated_join(a, b, ["k"], n_buckets=2)
+    j2 = colocated_join(a, b, ["k"], n_buckets=2)
+    # both handles stay readable — a shared fixed name would have
+    # dropped j1's backing tables when j2 wrote
+    assert j1.count() == 1 and j2.count() == 1
+
+
 def test_backfill_partitions_idempotent_and_incremental(spark, tmp_path):
     from pyspark.sql import Row
     from pyspark.sql import functions as F
