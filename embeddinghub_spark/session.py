@@ -34,6 +34,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Connector opt-in (S3/S4/S10/S12 primary branches + S7 Kafka):
+    # EH_SPARK_CONNECTOR_PACKAGES holds Maven coordinates that Spark
+    # resolves at session start, e.g.
+    #   EH_SPARK_CONNECTOR_PACKAGES="io.delta:delta-spark_2.13:4.0.0,org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0"
+    # With it set, connector_support() lights up and the conditional
+    # tests (test_real_connector_paths) run instead of skipping — the
+    # real createOrReplace / MERGE INTO / Kafka .load() paths execute.
+    # Unset (the default in JAR-less sandboxes) nothing changes.
+    packages = os.environ.get("EH_SPARK_CONNECTOR_PACKAGES", "").strip()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -57,6 +67,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
+        if "delta" in packages:
+            # Delta needs its Catalyst extension + catalog wired at
+            # session build time; set only when the JAR is coming so
+            # JAR-less sessions never reference a missing class
+            builder = builder.config(
+                "spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension",
+            ).config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
