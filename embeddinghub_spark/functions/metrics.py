@@ -116,6 +116,170 @@ def binary_auc(
     )
 
 
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    quantize: int | None = 4,
+) -> DataFrame:
+    """Per-slice ROC-AUC (one row per group) via the same tie-aware
+    rank-sum identity as ``binary_auc`` — the sliced-eval gate
+    (per-language, per-source, per-cohort) a 100 TB eval actually
+    reports, where a single global AUC hides a failing slice.
+
+    Scale shape: one groupBy collapses to DISTINCT (group, score)
+    rows; the per-group cumulative count is a window PARTITIONED BY
+    group — never a global single-partition window. The in-op
+    ``quantize`` (default 4 dp) bounds the per-group window state at
+    ≤ 2·10⁴ rows regardless of input size, so even a whale group
+    cannot blow up one task; ``quantize=None`` gives bit-exact ranks
+    but re-opens that exposure (documented trade, same contract as
+    ``binary_auc``). All rank arithmetic on doubled integers; one
+    double division per output row.
+
+    Output: (group_col, auc, n_pos, n_neg) — AUC NULL for one-class
+    groups (visible, not silently perfect).
+    """
+    s = F.col(score_col).cast("double")
+    if quantize is not None:
+        s = F.round(s, quantize)
+    t = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        s.alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per_score = t.groupBy("_g", "_s").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_score.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_cb", F.col("_cum") - F.col("_n")
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.sum(
+            F.col("_p") * (F.lit(2) * F.col("_cb") + F.col("_n") + F.lit(1))
+        ).alias("_s2"),
+        F.sum("_p").alias("n_pos"),
+        F.sum(F.col("_n") - F.col("_p")).alias("n_neg"),
+    )
+    auc = (
+        (F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 9)
+        ).alias("auc"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+    )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval metrics — NDCG@k (linear gain), P@k, R@k,
+    reciprocal rank — the eval loop for the ANN / BM25 / RRF retrieval
+    stack (vector.py knn_*, text.py bm25, vector.py rrf_fusion): run a
+    candidate list with graded relevance through this and gate on the
+    macro average.
+
+    Ranking is deterministic: row_number over (score DESC, doc ASC) —
+    the doc tiebreak makes every engine produce the same permutation,
+    so the metrics are replayable (the repo's oracle protocol; plain
+    rank() would double-count ties and sorted-input engines would
+    disagree). DCG terms ``rel / log2(rank+1)`` are rounded to 9 dp
+    and summed as 1e9-scaled bigints, so partial-aggregation order
+    cannot move the sum; the per-query divisions happen once per
+    OUTPUT row.
+
+    Scale shape: one window PARTITIONED BY query (state = candidate
+    list length, bounded by the retriever's k_cand, never corpus-
+    sized) + one groupBy on query. NDCG is NULL when the query has no
+    relevant docs (IDCG = 0 — undefined, visible); reciprocal_rank is
+    0.0 then (standard MRR convention).
+
+    Output: (query_col, ndcg_at_k, precision_at_k, recall_at_k,
+    reciprocal_rank, n_candidates, n_relevant).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    t = df.filter(
+        F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.coalesce(F.col(rel_col).cast("double"), F.lit(0.0)).alias("_r"),
+    )
+    by_score = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_d").asc()
+    )
+    by_rel = Window.partitionBy("_q").orderBy(
+        F.col("_r").desc(), F.col("_d").asc()
+    )
+    ranked = t.select(
+        "_q", "_r",
+        F.row_number().over(by_score).alias("_rank"),
+        F.row_number().over(by_rel).alias("_irank"),
+    )
+    # 1e9-scaled integer DCG terms: exact bigint sums, order-free.
+    dcg_term = F.when(
+        (F.col("_rank") <= k) & (F.col("_r") > 0),
+        F.round(
+            F.col("_r") * F.lit(1e9) / F.log2(F.col("_rank") + F.lit(1.0))
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    idcg_term = F.when(
+        (F.col("_irank") <= k) & (F.col("_r") > 0),
+        F.round(
+            F.col("_r") * F.lit(1e9) / F.log2(F.col("_irank") + F.lit(1.0))
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    g = ranked.groupBy("_q").agg(
+        F.sum(dcg_term).alias("_dcg"),
+        F.sum(idcg_term).alias("_idcg"),
+        F.sum(
+            F.when((F.col("_rank") <= k) & (F.col("_r") > 0), 1).otherwise(0)
+        ).alias("_hits"),
+        F.sum(F.when(F.col("_r") > 0, 1).otherwise(0)).alias("n_relevant"),
+        F.min(F.when(F.col("_r") > 0, F.col("_rank"))).alias("_first"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return g.select(
+        F.col("_q").alias(query_col),
+        F.when(
+            F.col("_idcg") > 0,
+            F.round(F.col("_dcg").cast("double") / F.col("_idcg"), 9),
+        ).alias("ndcg_at_k"),
+        F.round(F.col("_hits") / F.lit(float(k)), 9).alias("precision_at_k"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(F.col("_hits") / F.col("n_relevant").cast("double"), 9),
+        ).alias("recall_at_k"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("_first"), 9), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -965,6 +965,92 @@ def bigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under INTERPOLATED
+    KNESER–NEY — the smoothing KenLM actually ships (the CCNet
+    quality-scoring default), one step past ``bigram_logprob``'s
+    Jelinek–Mercer: the backoff weight is *continuation* probability
+    (in how many distinct contexts does w2 appear) rather than the raw
+    unigram marginal, so high-frequency-but-context-bound words
+    ("Francisco") stop inflating scores of garbled text.
+
+    P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+             + D·T(w1)/c(w1·) · N_cont(w2)/B
+    where D is the absolute discount (0.75, the Chen–Goodman default),
+    T(w1) = |{w2 : c(w1,w2) > 0}| distinct continuations of w1,
+    N_cont(w2) = |{w1 : c(w1,w2) > 0}| distinct left-contexts of w2,
+    and B the number of distinct bigram TYPES. Scored on the training
+    corpus itself every bigram is observed, so P > 0 always (the
+    backoff term is strictly positive). Documents with < 2 tokens
+    have no bigrams and are absent from the output.
+
+    Determinism protocol (the ``unigram_logprob`` discipline): each
+    (doc, bigram) contribution rounds to 9 decimals and sums as
+    DECIMAL(28,9) — exact, partial-aggregation-order independent; one
+    double division at the end, rounded to 6.
+
+    Scale shape: identical to ``bigram_logprob`` — bigrams form
+    MAP-ONLY inside token arrays; all model frames (cb/cf/T/N_cont/B)
+    derive from the |bigram types|-sized ``bc`` aggregate with
+    map-side combine; the model joins are vocab-vs-corpus sized and
+    left to AQE. Raw text never shuffles.
+
+    Output: ``(doc_id, n_bigrams, logprob)``.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    tfb = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tfb"))
+    bc = tfb.groupBy("w1", "w2").agg(F.sum("tfb").alias("cb"))
+    # every model statistic below reads the |bigram types|-sized bc
+    left = bc.groupBy("w1").agg(
+        F.sum("cb").alias("_cf"),           # c(w1 ·)
+        F.count(F.lit(1)).alias("_t"),      # T(w1): distinct continuations
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("_ncont")   # N_cont(w2): distinct contexts
+    )
+    types = bc.agg(F.count(F.lit(1)).alias("_b"))
+    d = F.lit(discount)
+    p = (
+        F.greatest(F.col("cb").cast("double") - d, F.lit(0.0))
+        / F.col("_cf").cast("double")
+        + d * F.col("_t").cast("double") / F.col("_cf").cast("double")
+        * (F.col("_ncont").cast("double") / F.col("_b").cast("double"))
+    )
+    term = F.round(F.col("tfb") * F.log10(p), 9).cast("decimal(28,9)")
+    return (
+        tfb.join(bc, ["w1", "w2"])
+        .join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(F.col(id_col), F.col("tfb"), term.alias("_term"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tfb").alias("n_bigrams"),
+            F.round(
+                F.sum("_term").cast("double") / F.sum("tfb").cast("double"), 6
+            ).alias("logprob"),
+        )
+    )
+
+
 # Pinned domain lexicons for corpus mixture tagging — deterministic,
 # oracle-replayable (extend per-domain as needed, like LANG_MARKERS).
 DOMAIN_LEXICONS: dict[str, list[str]] = {

@@ -148,3 +148,80 @@ def test_bpe_encode_reproduces_training_segmentation(spark):
     got = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
     for i, w in enumerate(sorted(wc)):
         assert got[i] == state[w], w
+
+
+# ---------------------------------------------------------------- unigram LM
+
+
+def test_unigram_vocab_spark_equals_driver_replica(spark):
+    """The Spark entrypoint must produce EXACTLY what the driver
+    trainer produces from the same word counts (the corpus pass is
+    the only distributed piece) — bit-reproducible training."""
+    from collections import Counter
+
+    from embeddinghub_spark.functions.unigram_lm import (
+        _train_from_word_counts,
+        unigram_vocab,
+    )
+
+    texts = [
+        "the nation and the international intern",
+        "nationalize the internationalization theory",
+        "the the the nation nation intern",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r.rank, r.piece, r["count"], r.logprob)
+        for r in unigram_vocab(df, "text", vocab_size=30).collect()
+    ]
+    wc = Counter(w for t in texts for w in t.split() if w)
+    want = _train_from_word_counts(dict(wc), 30)
+    assert got == [tuple(w) for w in want]
+    assert len(got) <= 30
+    # every rank-ordered row: counts non-increasing, logprobs finite
+    counts = [c for _, _, c, _ in got]
+    assert counts == sorted(counts, reverse=True)
+    assert all(lp < 0 for _, _, _, lp in got)
+
+
+def test_unigram_vocab_learns_frequent_subwords(spark):
+    from embeddinghub_spark.functions.unigram_lm import unigram_vocab
+
+    texts = ["lowering lowered lowers " * 5, "nation national nations " * 5]
+    df = spark.createDataFrame([(t.strip(),) for t in texts], ["text"])
+    pieces = {r.piece for r in unigram_vocab(df, "text", vocab_size=25).collect()}
+    # multi-char stems survive pruning; single chars always present
+    assert any(len(p) > 2 for p in pieces)
+    assert {"l", "o", "w"} <= pieces or {"n", "a", "t"} <= pieces
+
+
+def test_unigram_encode_covers_and_segments(spark):
+    from embeddinghub_spark.functions.unigram_lm import (
+        unigram_encode,
+        unigram_vocab,
+    )
+
+    texts = ["the nation international intern " * 4]
+    train = spark.createDataFrame([(texts[0].strip(),)], ["text"])
+    vocab = [
+        (r.rank, r.piece, r["count"], r.logprob)
+        for r in unigram_vocab(train, "text", vocab_size=30).collect()
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "the nation"),
+            (2, "internationalization"),   # unseen word, seen pieces
+            (3, "zzz@@"),                  # unknown chars -> singletons
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in unigram_encode(docs, vocab).collect()}
+    # concatenating pieces always recovers the input words
+    assert "".join(out[1].pieces) == "thenation"
+    assert "".join(out[2].pieces) == "internationalization"
+    assert "".join(out[3].pieces) == "zzz@@"
+    assert out[4].pieces == [] and out[4].n_pieces == 0
+    # known words segment into few pieces, unknown chars into many
+    assert out[1].n_pieces <= 4
+    assert out[3].n_pieces == 5

@@ -1361,3 +1361,204 @@ def test_expected_calibration_error(spark):
         spark.createDataFrame(bad), "s", "y"
     ).collect()[0]
     assert abs(r2.ece - 0.45) < 1e-9
+
+
+def test_auc_by_group_matches_per_slice_replica(spark):
+    import bisect
+    import random
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import auc_by_group
+
+    rng = random.Random(11)
+    rows = [
+        Row(g=f"lang{i % 3}", s=round(rng.random(), 2), y=rng.randint(0, 1))
+        for i in range(600)
+    ]
+
+    def replica_auc(pairs):
+        pos = sorted(s for s, y in pairs if y == 1)
+        neg = sorted(s for s, y in pairs if y == 0)
+        if not pos or not neg:
+            return None
+        wins = 0.0
+        for p in pos:
+            lt = bisect.bisect_left(neg, p)
+            eq = bisect.bisect_right(neg, p) - lt
+            wins += lt + 0.5 * eq
+        return wins / (len(pos) * len(neg))
+
+    got = {
+        r.g: r for r in auc_by_group(
+            spark.createDataFrame(rows), "g", "s", "y"
+        ).collect()
+    }
+    assert len(got) == 3
+    for g in ("lang0", "lang1", "lang2"):
+        pairs = [(r.s, r.y) for r in rows if r.g == g]
+        assert abs(got[g].auc - replica_auc(pairs)) < 1e-9
+        assert got[g].n_pos == sum(y for _, y in pairs)
+
+    # one-class group -> NULL auc, visible row
+    one = spark.createDataFrame(
+        [Row(g="a", s=0.9, y=1), Row(g="a", s=0.1, y=1),
+         Row(g="b", s=0.9, y=1), Row(g="b", s=0.1, y=0)]
+    )
+    out = {r.g: r for r in auc_by_group(one, "g", "s", "y").collect()}
+    assert out["a"].auc is None and out["b"].auc == 1.0
+
+
+def test_auc_by_group_windows_partitioned_by_group(spark):
+    """Every window in the plan must carry the group partition key —
+    the sliced form must never fall back to a global window."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.metrics import auc_by_group
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.col("id").cast("double").alias("s"),
+        (F.col("id") % 2).cast("int").alias("y"),
+    )
+    out = auc_by_group(df, "g", "s", "y")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_specs = plan.count("windowspecdefinition(")
+    assert n_specs >= 1
+    assert plan.count("windowspecdefinition(_g") == n_specs, plan
+
+
+def test_ranking_metrics_known_values(spark):
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import ranking_metrics
+
+    # q1: ranked docs by score -> d1(rel 3), d2(rel 0), d3(rel 1)
+    # q2: no relevant docs at all
+    rows = [
+        Row(q="q1", d="d1", s=0.9, r=3.0),
+        Row(q="q1", d="d2", s=0.8, r=0.0),
+        Row(q="q1", d="d3", s=0.7, r=1.0),
+        Row(q="q1", d="d4", s=0.6, r=2.0),
+        Row(q="q2", d="d1", s=0.9, r=0.0),
+        Row(q="q2", d="d2", s=0.8, r=0.0),
+    ]
+    out = {
+        r.q: r for r in ranking_metrics(
+            spark.createDataFrame(rows), "q", "d", "s", "r", k=3
+        ).collect()
+    }
+    import math
+
+    dcg = 3.0 + 0.0 + 1.0 / math.log2(4)
+    idcg = 3.0 + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert abs(out["q1"].ndcg_at_k - dcg / idcg) < 1e-6
+    assert abs(out["q1"].precision_at_k - 2 / 3) < 1e-9
+    assert abs(out["q1"].recall_at_k - 2 / 3) < 1e-9
+    assert out["q1"].reciprocal_rank == 1.0
+    assert out["q1"].n_relevant == 3
+    # no relevant docs: NDCG undefined (NULL), RR = 0 by convention
+    assert out["q2"].ndcg_at_k is None
+    assert out["q2"].recall_at_k is None
+    assert out["q2"].reciprocal_rank == 0.0
+    assert out["q2"].precision_at_k == 0.0
+
+
+def test_ranking_metrics_deterministic_tiebreak(spark):
+    """Equal scores rank by doc ascending — the permutation (and so
+    the metrics) must not depend on input order or partitioning."""
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import ranking_metrics
+
+    rows = [
+        Row(q="q", d="b", s=0.5, r=1.0),
+        Row(q="q", d="a", s=0.5, r=0.0),
+        Row(q="q", d="c", s=0.5, r=0.0),
+    ]
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        df = spark.createDataFrame([rows[i] for i in perm]).repartition(4)
+        r = ranking_metrics(df, "q", "d", "s", "r", k=1).collect()[0]
+        # tie order a < b < c puts the relevant doc 'b' at rank 2
+        assert r.precision_at_k == 0.0
+        assert r.reciprocal_rank == 0.5
+
+
+def test_logistic_regression_matches_numpy_free_replica(spark):
+    """Batch-GD logistic regression vs a pure-Python replica running
+    the IDENTICAL update schedule — same lr, same iterations — must
+    agree to optimizer-noise tolerance (sums over partitions are the
+    only nondeterminism). Separable 2-D data must also classify
+    cleanly."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.linear import (
+        logistic_regression_fit,
+        logistic_regression_predict,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        y = rng.randint(0, 1)
+        cx = 1.5 if y else -1.5
+        rows.append(
+            Row(x=[cx + rng.gauss(0, 0.7), rng.gauss(0, 1.0)], y=y)
+        )
+    df = spark.createDataFrame(rows).repartition(8)
+    fit = logistic_regression_fit(df, "x", "y", dim=2, n_iters=30, lr=1.0)
+    assert fit["n"] == 400 and fit["n_iters_run"] == 30
+
+    # python replica, identical schedule
+    w, b = [0.0, 0.0], 0.0
+    data = [(r.x, r.y) for r in rows]
+    losses = []
+    for _ in range(30):
+        g = [0.0, 0.0]
+        gb = 0.0
+        loss = 0.0
+        for x, y in data:
+            m = w[0] * x[0] + w[1] * x[1] + b
+            r = 1.0 / (1.0 + math.exp(-m)) - y
+            g[0] += r * x[0]
+            g[1] += r * x[1]
+            gb += r
+            loss += math.log(1.0 + math.exp(-abs(m))) + max(m, 0.0) - m * y
+        n = len(data)
+        losses.append(loss / n)
+        w = [wi - gi / n for wi, gi in zip(w, g)]
+        b -= gb / n
+    assert abs(fit["weights"][0] - w[0]) < 1e-6
+    assert abs(fit["weights"][1] - w[1]) < 1e-6
+    assert abs(fit["intercept"] - b) < 1e-6
+    assert abs(fit["loss_history"][-1] - losses[-1]) < 1e-9
+    # loss decreases and the model separates the classes
+    assert fit["loss_history"][-1] < fit["loss_history"][0]
+    scored = logistic_regression_predict(
+        df, "x", fit["weights"], fit["intercept"]
+    )
+    acc = scored.selectExpr(
+        "avg(cast((score > 0.5) = (y = 1) as int)) as acc"
+    ).collect()[0].acc
+    assert acc > 0.9
+
+
+def test_logistic_regression_validates_and_converges_early(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.linear import logistic_regression_fit
+
+    df = spark.createDataFrame([Row(x=[1.0, 2.0], y=1), Row(x=[1.0], y=0)])
+    with pytest.raises(ValueError, match="length dim"):
+        logistic_regression_fit(df, "x", "y", dim=2, n_iters=1)
+
+    # constant zero gradient -> early stop after the first iteration
+    flat = spark.createDataFrame(
+        [Row(x=[0.0], y=1), Row(x=[0.0], y=0)] * 10
+    )
+    fit = logistic_regression_fit(flat, "x", "y", dim=1, n_iters=50)
+    assert fit["n_iters_run"] == 1  # grad exactly 0 at w=0 on balanced 0s
