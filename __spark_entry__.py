@@ -6665,3 +6665,200 @@ def oracle_sql() -> dict[str, str]:
         "auto_join": _AUTO_JOIN_ORACLE,
         "ece": _ECE_ORACLE,
     }
+
+
+# --------------------------------------------------------------------------
+# STAGED r7 entries — NOT in queries()/oracle_sql() this round.
+#
+# VERDICT r5 "Next round" #2 froze the registry at 164 until the r6
+# window certifies; these are the next rotation's candidates, fully
+# built (Spark query + DuckDB oracle twin) and replayable via
+# `python tools/check.py <sf_dir> --staged` so r7 registration is a
+# dict move, not new work. Each op is pytest-pinned this round.
+# --------------------------------------------------------------------------
+
+
+def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (functions/text.py
+    kn_bigram_logprob): absolute discount D=0.75 with continuation-
+    probability backoff — the KenLM/CCNet smoothing — over the same
+    map-only bigram formation as bigram_logprob."""
+    from embeddinghub_spark.functions.text import kn_bigram_logprob
+
+    return kn_bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _kn_bigram_oracle(discount: float = 0.75) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, UNNEST(range(1, len(toks))) AS u(i)
+),
+tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tfb FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, CAST(SUM(tfb) AS BIGINT) AS cb FROM tfb GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cf,
+               CAST(COUNT(*) AS BIGINT) AS t FROM bc GROUP BY 1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bc GROUP BY 1),
+types AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc),
+terms AS (
+  SELECT tfb.doc_id, tfb.tfb,
+         CAST(round(tfb.tfb * log10(
+             greatest(CAST(cb AS DOUBLE) - {discount!r}, 0.0)
+               / CAST(cf AS DOUBLE)
+             + {discount!r} * CAST(t AS DOUBLE) / CAST(cf AS DOUBLE)
+               * (CAST(ncont AS DOUBLE) / CAST(b AS DOUBLE))
+         ), 9) AS DECIMAL(28,9)) AS term
+  FROM tfb JOIN bc USING (w1, w2) JOIN lft USING (w1) JOIN cont USING (w2)
+  CROSS JOIN types
+)
+SELECT doc_id, CAST(SUM(tfb) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(tfb) AS DOUBLE), 6)
+         AS logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+def q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced ROC-AUC (functions/metrics.py auc_by_group): order price
+    as a finished-status predictor, one AUC row per order priority —
+    the per-slice eval gate; windows partitioned by slice."""
+    from embeddinghub_spark.functions.metrics import auc_by_group
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return auc_by_group(t, "g", "s", "y")
+
+
+_AUC_BY_GROUP_ORACLE = """
+WITH t AS (
+  SELECT o_orderpriority AS g,
+         round(round(CAST(o_totalprice AS DOUBLE), 2), 4) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+),
+ps AS (SELECT g, s, count(*) AS n, sum(y) AS p FROM t GROUP BY g, s),
+rk AS (SELECT *, SUM(n) OVER (PARTITION BY g ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM ps),
+a AS (SELECT g, SUM(p * (2 * (cum - n) + n + 1)) AS s2,
+             SUM(p) AS n_pos, SUM(n - p) AS n_neg
+      FROM rk GROUP BY g)
+SELECT g, CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / (2.0 * n_pos * n_neg), 9) END AS auc,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
+FROM a
+"""
+
+
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics (functions/metrics.py
+    ranking_metrics): lineitems as ranked candidates (price = score,
+    returned = relevant) per orderkey-bucket query — NDCG@10 / P@10 /
+    R@10 / MRR with deterministic tie-breaks."""
+    from embeddinghub_spark.functions.metrics import ranking_metrics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 100).cast("bigint").alias("q"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("bigint").alias("d"),
+        F.round(F.col("l_extendedprice").cast("double"), 2).alias("s"),
+        (F.col("l_returnflag") == "R").cast("int").alias("rel"),
+    )
+    return ranking_metrics(li, "q", "d", "s", "rel", k=10)
+
+
+_RANKING_METRICS_ORACLE = """
+WITH t AS (
+  SELECT CAST(l_orderkey % 100 AS BIGINT) AS q,
+         CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS d,
+         round(CAST(l_extendedprice AS DOUBLE), 2) AS s,
+         CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE)
+           AS r
+  FROM lineitem
+),
+rk AS (
+  SELECT q, r,
+         row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC)
+           AS rank,
+         row_number() OVER (PARTITION BY q ORDER BY r DESC, d ASC)
+           AS irank
+  FROM t
+),
+g AS (
+  SELECT q,
+         SUM(CASE WHEN rank <= 10 AND r > 0
+             THEN CAST(round(r * 1e9 / log2(rank + 1.0)) AS BIGINT)
+             ELSE 0 END) AS dcg,
+         SUM(CASE WHEN irank <= 10 AND r > 0
+             THEN CAST(round(r * 1e9 / log2(irank + 1.0)) AS BIGINT)
+             ELSE 0 END) AS idcg,
+         SUM(CASE WHEN rank <= 10 AND r > 0 THEN 1 ELSE 0 END) AS hits,
+         SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS n_relevant,
+         MIN(CASE WHEN r > 0 THEN rank END) AS first,
+         COUNT(*) AS n_candidates
+  FROM rk GROUP BY q
+)
+SELECT q,
+       CASE WHEN idcg > 0
+            THEN round(CAST(dcg AS DOUBLE) / idcg, 9) END AS ndcg_at_k,
+       round(hits / 10.0, 9) AS precision_at_k,
+       CASE WHEN n_relevant > 0
+            THEN round(hits / CAST(n_relevant AS DOUBLE), 9)
+       END AS recall_at_k,
+       coalesce(round(1.0 / first, 9), 0.0) AS reciprocal_rank,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_relevant AS BIGINT) AS n_relevant
+FROM g
+"""
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration grid (functions/metrics.py
+    fit_isotonic_calibration): PAV over max-normalized order price vs
+    finished status — driver PAV over the bounded distinct-score
+    table, grid output for broadcast application. No SQL oracle (PAV
+    is an iterative pooling recursion): rows-only, property-pinned in
+    tests/test_pipeline_ops.py."""
+    from embeddinghub_spark.functions.metrics import (
+        fit_isotonic_calibration,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.col("o_totalprice").cast("double")).alias("_mx"))
+    t = orders.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_totalprice").cast("double") / F.col("_mx")).alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return fit_isotonic_calibration(t, "s", "y", quantize=3)
+
+
+def staged_queries() -> dict:
+    """r7 rotation candidates — live code, certified by tools/check.py
+    --staged, NOT visible to the driver this round (registry frozen at
+    164 per VERDICT r5 #2)."""
+    return {
+        "kn_bigram_logprob": q_kn_bigram_logprob,
+        "auc_by_group": q_auc_by_group,
+        "ranking_metrics": q_ranking_metrics,
+        "isotonic_calibration": q_isotonic_calibration,
+    }
+
+
+def staged_oracle_sql() -> dict:
+    return {
+        "kn_bigram_logprob": _kn_bigram_oracle(),
+        "auc_by_group": _AUC_BY_GROUP_ORACLE,
+        "ranking_metrics": _RANKING_METRICS_ORACLE,
+        # isotonic_calibration: rows-only by design (PAV recursion)
+    }

@@ -280,6 +280,127 @@ def ranking_metrics(
     )
 
 
+def fit_isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int = 3,
+) -> DataFrame:
+    """Fit an isotonic (monotone non-decreasing) calibration map from
+    scores to empirical positive rates — pool-adjacent-violators
+    (PAV), the standard recalibration when ``calibration_bins`` /
+    ``expected_calibration_error`` flag a model, and the
+    non-parametric alternative to Platt scaling (which is just
+    ``linear.logistic_regression_fit`` on the 1-D score).
+
+    Scale shape: ONE groupBy collapses the corpus to distinct
+    QUANTIZED scores (in-op ``quantize``, default 3 dp → ≤ 10³+1 rows
+    for [0,1] scorers — scores clamp into [0,1] first so the grid is
+    closed); that bounded frame is collected and PAV runs driver-side
+    (PAV is inherently sequential in score order; the distinct-score
+    table is its exact sufficient statistic — same honest split as
+    ``bpe_merges``). The fitted map is then expanded to the FULL
+    quantized grid (step-function semantics: each grid point takes
+    the fitted value of the nearest fitted score at or below it, the
+    first fitted value below the minimum), so ``apply_calibration``
+    can broadcast-join ANY score against it with no range logic.
+
+    Output: ``(score, calibrated, n)`` — one row per grid point;
+    ``n`` is the observed count at that quantized score (0 for
+    grid-filled points).
+    """
+    if quantize < 1 or quantize > 6:
+        raise ValueError("quantize must be in [1, 6]")
+    s = F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.col(score_col).cast("double"))),
+        quantize,
+    )
+    per_score = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(s.alias("_s"), F.col(label_col).cast("int").alias("_y"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p"))
+        .orderBy("_s")
+        .collect()
+    )  # bounded: ≤ 10^quantize + 1 rows by construction
+    if not per_score:
+        raise ValueError("no rows to fit")
+    # pool-adjacent-violators over (rate, weight) in score order
+    blocks: list[list] = []  # [sum_pos, sum_n, first_score]
+    for r in per_score:
+        blocks.append([r["_p"], r["_n"], r["_s"]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):  # rate[-2] >= rate[-1] -> pool (exact integer cross-compare)
+            p2, n2, s2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+    fitted = {}  # observed score -> calibrated rate
+    bi = 0
+    for r in per_score:
+        if bi + 1 < len(blocks) and r["_s"] >= blocks[bi + 1][2]:
+            bi += 1
+        fitted[r["_s"]] = blocks[bi][0] / blocks[bi][1]
+    observed_n = {r["_s"]: r["_n"] for r in per_score}
+    # expand to the full [0,1] grid with step-function fill
+    scale = 10 ** quantize
+    grid_rows = []
+    keys = sorted(fitted)
+    ki = -1
+    for i in range(scale + 1):
+        g = round(i / scale, quantize)
+        while ki + 1 < len(keys) and keys[ki + 1] <= g:
+            ki += 1
+        v = fitted[keys[max(ki, 0)]]
+        grid_rows.append(
+            (g, round(v, 9), int(observed_n.get(g, 0)))
+        )
+    return df.sparkSession.createDataFrame(
+        grid_rows, "score DOUBLE, calibrated DOUBLE, n BIGINT"
+    )
+
+
+def apply_calibration(
+    df: DataFrame,
+    calibration: DataFrame,
+    score_col: str,
+    out_col: str = "calibrated",
+    quantize: int = 3,
+) -> DataFrame:
+    """Apply a fitted calibration grid (``fit_isotonic_calibration``
+    output) to a scored frame: quantize + clamp the score exactly as
+    the fit did, then BROADCAST-join the ≤10^quantize+1-row grid — a
+    map-side join with zero shuffle of the scored data at any corpus
+    size. Rows with NULL score pass through with NULL ``out_col``
+    (greatest/least IGNORE nulls in Spark, so the clamp needs an
+    explicit NULL guard or a null score would clamp to 1.0).
+    """
+    s = F.when(
+        F.col(score_col).isNotNull(),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0), F.col(score_col).cast("double")),
+            ),
+            quantize,
+        ),
+    )
+    cal = F.broadcast(
+        calibration.select(
+            F.col("score").alias("_cal_s"),
+            F.col("calibrated").alias(out_col),
+        )
+    )
+    return (
+        df.withColumn("_cal_s", s)
+        .join(cal, "_cal_s", "left")
+        .drop("_cal_s")
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -1051,6 +1051,64 @@ def kn_bigram_logprob(
     )
 
 
+def corpus_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group lexical-diversity profile — token count, vocabulary
+    size, Shannon token entropy (bits), and type-token ratio — the
+    mixture-health read a pretraining recipe checks per source before
+    weighting it (a source whose entropy collapses is boilerplate or
+    template spam regardless of its quality score; pairs with
+    ``domain_tag`` / ``sample_mixture`` the way ``psi_drift`` pairs
+    with serving).
+
+    Entropy uses the identity ``H = log2(N) − (Σ c·log2 c)/N`` so the
+    reduction is a single sum over per-WORD terms: each ``c·log2(c)``
+    rounds to 9 decimals and sums as DECIMAL(28,9) — exact and
+    aggregation-order independent (the ``unigram_logprob`` protocol);
+    the two double ops happen once per OUTPUT row.
+
+    Scale shape: one (group, word) count aggregate with map-side
+    combine (exchange = per-group vocabulary rows, never tokens),
+    then one per-group fold of the vocab-sized frame. With
+    ``group_col=None`` the whole corpus is one group (column ``group``
+    = 'all').
+
+    Output: ``(group, n_tokens, vocab_size, token_entropy,
+    type_token_ratio)``.
+    """
+    g = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    ).alias("_g")
+    wc = (
+        df.select(g, F.explode(tokens(text_col)).alias("w"))
+        .groupBy("_g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.round(
+        F.col("c") * F.log2(F.col("c").cast("double")), 9
+    ).cast("decimal(28,9)")
+    out = wc.select("_g", "c", term.alias("_t")).groupBy("_g").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("_t").alias("_tsum"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return out.select(
+        F.col("_g").alias("group"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.round(
+            F.log2(n) - F.col("_tsum").cast("double") / n, 6
+        ).alias("token_entropy"),
+        F.round(F.col("vocab_size") / n, 6).alias("type_token_ratio"),
+    )
+
+
 # Pinned domain lexicons for corpus mixture tagging — deterministic,
 # oracle-replayable (extend per-domain as needed, like LANG_MARKERS).
 DOMAIN_LEXICONS: dict[str, list[str]] = {

@@ -65,3 +65,23 @@ def test_oracle_sql_is_static():
 
     sqls = m.oracle_sql()
     assert all(isinstance(s, str) and s.strip() for s in sqls.values())
+
+
+def test_staged_r7_entries_do_not_leak_into_frozen_registry():
+    """r6 freeze discipline: the staged r7 candidates are certified
+    only via `tools/check.py --staged`; none of them may appear in the
+    driver-visible queries()/oracle_sql() until the r7 rotation. Every
+    staged entry has an oracle twin unless rows-only by design."""
+    import __spark_entry__ as m
+
+    staged = m.staged_queries()
+    staged_oracles = m.staged_oracle_sql()
+    live = set(m.queries())
+    assert staged, "staged registry unexpectedly empty"
+    leak = set(staged) & live
+    assert not leak, f"staged entries leaked into the frozen registry: {leak}"
+    assert set(staged_oracles) <= set(staged)
+    rows_only_staged = {"isotonic_calibration"}
+    missing = set(staged) - set(staged_oracles) - rows_only_staged
+    assert not missing, f"staged queries missing an oracle: {missing}"
+    assert all(isinstance(s, str) and s.strip() for s in staged_oracles.values())

@@ -1562,3 +1562,136 @@ def test_logistic_regression_validates_and_converges_early(spark):
     )
     fit = logistic_regression_fit(flat, "x", "y", dim=1, n_iters=50)
     assert fit["n_iters_run"] == 1  # grad exactly 0 at w=0 on balanced 0s
+
+
+def test_isotonic_calibration_pav_properties(spark):
+    """PAV essentials: a perfectly calibrated scorer maps (almost) to
+    itself, an anti-monotone scorer pools to the global rate, output
+    is monotone non-decreasing over the grid, and applying the map
+    reduces ECE on a miscalibrated sample."""
+    import random
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import (
+        apply_calibration,
+        expected_calibration_error,
+        fit_isotonic_calibration,
+    )
+
+    # anti-monotone: high score = never positive, low score = always
+    anti = spark.createDataFrame(
+        [Row(s=0.9, y=0)] * 30 + [Row(s=0.1, y=1)] * 30
+    )
+    cal = fit_isotonic_calibration(anti, "s", "y")
+    rows = {r.score: r for r in cal.collect()}
+    # pooled: every grid point gets the global rate 0.5
+    assert abs(rows[0.1].calibrated - 0.5) < 1e-9
+    assert abs(rows[0.9].calibrated - 0.5) < 1e-9
+    assert rows[0.1].n == 30 and rows[0.5].n == 0
+    # monotone over the full grid
+    vals = [r.calibrated for r in cal.orderBy("score").collect()]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+    # miscalibrated: scores ~0.9 but rate 0.5 -> calibration fixes ECE
+    rng = random.Random(3)
+    mis = spark.createDataFrame(
+        [Row(s=round(0.85 + 0.1 * rng.random(), 3), y=i % 2)
+         for i in range(400)]
+    )
+    cal2 = fit_isotonic_calibration(mis, "s", "y")
+    scored = apply_calibration(mis, cal2, "s", out_col="s2")
+    before = expected_calibration_error(mis, "s", "y").collect()[0].ece
+    after = expected_calibration_error(scored, "s2", "y").collect()[0].ece
+    assert after < before / 4
+
+    # NULL scores pass through with NULL calibrated
+    withnull = spark.createDataFrame([Row(s=None, y=1), Row(s=0.9, y=0)])
+    out = {r.y: r for r in apply_calibration(
+        withnull, cal, "s").collect()}
+    assert out[1].calibrated is None
+    assert out[0].calibrated is not None
+
+
+def test_isotonic_calibration_matches_replica_pav(spark):
+    """Fitted values equal a plain-Python PAV over the same quantized
+    distinct-score table (weights = counts)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.metrics import (
+        fit_isotonic_calibration,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        Row(s=round(rng.random(), 2), y=int(rng.random() < 0.3 + 0.4 * rng.random()))
+        for _ in range(800)
+    ]
+    cal = {
+        r.score: r.calibrated
+        for r in fit_isotonic_calibration(
+            spark.createDataFrame(rows), "s", "y", quantize=2
+        ).collect()
+    }
+
+    # replica: group by rounded score, PAV
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        k = round(r.s, 2)
+        agg[k][0] += r.y
+        agg[k][1] += 1
+    ordered = sorted(agg.items())
+    blocks = []
+    for s, (p, n) in ordered:
+        blocks.append([p, n, s])
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2, _ = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+    want = {}
+    bi = 0
+    for s, _ in ordered:
+        if bi + 1 < len(blocks) and s >= blocks[bi + 1][2]:
+            bi += 1
+        want[s] = blocks[bi][0] / blocks[bi][1]
+    for s, v in want.items():
+        assert abs(cal[s] - v) < 1e-8, s
+
+
+def test_corpus_diversity_matches_replica(spark):
+    """Entropy/TTR per group vs a Python replica with the identical
+    decimal discipline; uniform distribution hits log2(V) exactly,
+    single-word spam hits 0."""
+    import math
+    from collections import Counter
+
+    from embeddinghub_spark.functions.text import corpus_diversity
+
+    docs = [
+        ("a", "w1 w2 w3 w4"),           # uniform over 4 types -> H=2
+        ("b", "spam spam spam spam"),   # degenerate -> H=0
+        ("c", "x x y z"),
+    ]
+    df = spark.createDataFrame(docs, ["src", "text"])
+    got = {r.group: r for r in corpus_diversity(df, "text", "src").collect()}
+    assert got["a"].token_entropy == 2.0 and got["a"].vocab_size == 4
+    assert got["b"].token_entropy == 0.0 and got["b"].vocab_size == 1
+    assert got["b"].type_token_ratio == 0.25
+
+    wc = Counter("x x y z".split())
+    n = sum(wc.values())
+    h = math.log2(n) - sum(
+        round(c * math.log2(c), 9) for c in wc.values()
+    ) / n
+    assert abs(got["c"].token_entropy - round(h, 6)) < 1e-9
+
+    # no group column -> one 'all' row over the whole corpus
+    allrow = corpus_diversity(df, "text").collect()
+    assert len(allrow) == 1 and allrow[0].group == "all"
+    assert allrow[0].n_tokens == 12

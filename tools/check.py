@@ -6,7 +6,9 @@ column names, and an order-insensitive canonical value hash
 (timestamps → UTC millis, floats → round(9), NULL marker), per
 FIXTURES.md's hash-match protocol.
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--staged] [sf_dir] [query ...]
+(--staged drives the staged_queries()/staged_oracle_sql() r7
+candidates instead of the frozen registry.)
 """
 
 from __future__ import annotations
@@ -55,8 +57,12 @@ def canonicalize(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    staged = "--staged" in args
+    if staged:
+        args.remove("--staged")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from embeddinghub_spark.session import get_spark
@@ -68,8 +74,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if staged:
+        qs = entrymod.staged_queries()
+        oracles = entrymod.staged_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

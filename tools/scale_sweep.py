@@ -19,7 +19,10 @@ Blow-up construction keeps workload shape honest:
   reason for cosine near-dup ops); id shifted.
 - lineitem: orderkey/linenumber shifted only — pure volume.
 
-Usage: python tools/scale_sweep.py [--scale 10] [--reps 2] [query ...]
+Usage: python tools/scale_sweep.py [--scale 10] [--reps 2] [--reuse]
+                                   [query ...]
+(--reuse keeps an existing blow-up dir instead of rebuilding it —
+the build costs minutes at scale 10.)
 """
 
 from __future__ import annotations
@@ -126,14 +129,20 @@ def main() -> None:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
+    reuse = "--reuse" in args
+    if reuse:
+        args.remove("--reuse")
     names = args or DEFAULT_QUERIES
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     blow = f"/tmp/eh_scale_sweep_x{scale}"
     spark = get_spark(app_name="scale_sweep")
-    print(f"building {blow} (x{scale} of documents/embeddings/lineitem)",
-          flush=True)
-    build_blowup(spark, base, blow, scale)
+    if reuse and os.path.isdir(blow):
+        print(f"reusing {blow}", flush=True)
+    else:
+        print(f"building {blow} (x{scale} of documents/embeddings/lineitem)",
+              flush=True)
+        build_blowup(spark, base, blow, scale)
 
     qs = m.queries()
     results = {}
