@@ -6843,6 +6843,40 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_isotonic_calibration(t, "s", "y", quantize=3)
 
 
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-diversity profile (functions/text.py
+    corpus_diversity): token entropy + type-token ratio per source
+    slice — the mixture-health read before sample_mixture weighting."""
+    from embeddinghub_spark.functions.text import corpus_diversity
+
+    return corpus_diversity(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
+_CORPUS_DIVERSITY_ORACLE = """
+WITH wc AS (
+  SELECT g, w, count(*) AS c
+  FROM (SELECT lang AS g,
+               UNNEST(list_filter(string_split(text, ' '), x -> x != ''))
+                 AS w
+        FROM documents)
+  GROUP BY g, w
+),
+agg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         SUM(CAST(round(c * log2(CAST(c AS DOUBLE)), 9)
+             AS DECIMAL(28,9))) AS tsum
+  FROM wc GROUP BY g
+)
+SELECT g AS "group", n_tokens, vocab_size,
+       round(log2(CAST(n_tokens AS DOUBLE))
+             - CAST(tsum AS DOUBLE) / n_tokens, 6) AS token_entropy,
+       round(vocab_size / CAST(n_tokens AS DOUBLE), 6)
+         AS type_token_ratio
+FROM agg
+"""
+
+
 def staged_queries() -> dict:
     """r7 rotation candidates — live code, certified by tools/check.py
     --staged, NOT visible to the driver this round (registry frozen at
@@ -6852,6 +6886,7 @@ def staged_queries() -> dict:
         "auc_by_group": q_auc_by_group,
         "ranking_metrics": q_ranking_metrics,
         "isotonic_calibration": q_isotonic_calibration,
+        "corpus_diversity": q_corpus_diversity,
     }
 
 
@@ -6860,5 +6895,6 @@ def staged_oracle_sql() -> dict:
         "kn_bigram_logprob": _kn_bigram_oracle(),
         "auc_by_group": _AUC_BY_GROUP_ORACLE,
         "ranking_metrics": _RANKING_METRICS_ORACLE,
+        "corpus_diversity": _CORPUS_DIVERSITY_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

@@ -1090,3 +1090,52 @@ def test_streaming_psi_equals_batch_and_skips_replays(spark, tmp_path):
     # replayed batch id -> no-op
     assert merge_batch_bins(spark, state, cur, 0, "v", 10) is False
     assert abs(read_psi(spark, state, n_bins=10) - want) < 1e-5
+
+
+def test_streaming_auc_equals_batch_and_skips_replays(spark, tmp_path):
+    """Streaming AUC monitor: after any micro-batch slicing the
+    merged per-score state gives EXACTLY the batch binary_auc over
+    the whole input, and a replayed batch id is transactionally
+    SKIPPED (count +-merge is not idempotent)."""
+    import random
+
+    from embeddinghub_spark.functions.metrics import binary_auc
+    from embeddinghub_spark.streaming.auc_monitor import (
+        _batch_score_counts,
+        merge_score_counts_dir,
+        read_auc,
+        streaming_auc,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, round(rng.random(), 3), rng.randint(0, 1)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["id", "score", "label"])
+    src = str(tmp_path / "in")
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "auc")
+    q = streaming_auc(
+        stream, state, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(180)
+
+    got = read_auc(spark, state).collect()[0]
+    want = binary_auc(df, "score", "label").collect()[0]
+    assert got.auc == want.auc
+    assert got.n_pos == want.n_pos and got.n_neg == want.n_neg
+
+    # replayed batch id (already committed) must be skipped
+    applied = merge_score_counts_dir(
+        spark, state, _batch_score_counts(df, "score", "label", 4),
+        batch_id=0,
+    )
+    assert applied is False
+    again = read_auc(spark, state).collect()[0]
+    assert again.auc == want.auc and again.n_pos == want.n_pos
