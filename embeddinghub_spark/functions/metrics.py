@@ -401,6 +401,57 @@ def apply_calibration(
     )
 
 
+def fit_platt_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_iters: int = 100,
+    lr: float = 1.0,
+) -> dict:
+    """Platt scaling — the PARAMETRIC recalibration next to
+    ``fit_isotonic_calibration``'s non-parametric PAV: fit
+    ``σ(a·s + b)`` by logistic regression on the raw score. Two
+    parameters can't overfit a small validation slice the way a
+    1000-point isotonic grid can; isotonic wins when the miscalibration
+    is non-sigmoid. Delegates to ``linear.logistic_regression_fit``
+    (one map-side-combined gradient aggregate per iteration), so the
+    data never moves. Returns ``{"a": ..., "b": ..., **fit_stats}``.
+    """
+    from embeddinghub_spark.functions.linear import logistic_regression_fit
+
+    t = df.select(
+        F.array(F.col(score_col).cast("double")).alias("_x"),
+        F.col(label_col).alias("_y"),
+    )
+    fit = logistic_regression_fit(t, "_x", "_y", dim=1, n_iters=n_iters, lr=lr)
+    return {
+        "a": fit["weights"][0],
+        "b": fit["intercept"],
+        "n_iters_run": fit["n_iters_run"],
+        "loss_history": fit["loss_history"],
+        "n": fit["n"],
+    }
+
+
+def apply_platt_calibration(
+    df: DataFrame,
+    model: dict,
+    score_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Map-only ``σ(a·s + b)`` — pure codegen, zero exchanges."""
+    m = F.lit(float(model["a"])) * F.col(score_col).cast("double") + F.lit(
+        float(model["b"])
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(score_col).isNotNull(),
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-m)),
+        ),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -210,3 +210,52 @@ def push_online(df: DataFrame, writer=None) -> dict:
     cols = df.columns
     entity_col = cols[0]
     return {r[entity_col]: r.asDict() for r in df.collect()}
+
+
+def dir_bytes(spark, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — the
+    portable size probe (local/HDFS/S3A all answer it), so compaction
+    decisions use REAL on-disk size, not a row-count guess."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())
+
+
+def compact_dir(
+    spark,
+    src_dir: str,
+    base_dir: str,
+    target_mb: int = 128,
+) -> str:
+    """Small-file compaction — the housekeeping every long-lived
+    streaming/backfill table needs (each micro-batch or backfill wave
+    leaves its own files; a 100 TB table accreting thousands of
+    sub-MB files pays per-file open cost on EVERY scan and floods the
+    driver's split planning). Re-writes ``src_dir`` as
+    ``ceil(bytes / target_mb)`` files into a fresh timestamped dir
+    under ``base_dir`` (the S8 convention — the newest dir is the
+    current version, so readers never see a half-compacted table and
+    the old version remains for time travel).
+
+    ``target_mb`` defaults to 128 — the parquet-block/HDFS sweet spot
+    Spark's own ``maxPartitionBytes`` targets, so post-compaction
+    scans get one well-sized split per file. Uses ``coalesce`` when
+    REDUCING file count below the current partition count (no
+    shuffle — each output file is a concatenation of input splits);
+    falls back to ``repartition`` only when the source is a single
+    oversized file that must be SPLIT (a shuffle is then the price of
+    parallel writes). Returns the new directory.
+    """
+    if target_mb < 1:
+        raise ValueError("target_mb must be >= 1")
+    df = spark.read.parquet(src_dir)
+    size = dir_bytes(spark, src_dir)
+    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    cur = df.rdd.getNumPartitions()
+    out = timestamped_output_dir(base_dir)
+    if n_files <= cur:
+        df.coalesce(n_files).write.parquet(out)
+    else:
+        df.repartition(n_files).write.parquet(out)
+    return out

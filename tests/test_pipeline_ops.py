@@ -1695,3 +1695,51 @@ def test_corpus_diversity_matches_replica(spark):
     allrow = corpus_diversity(df, "text").collect()
     assert len(allrow) == 1 and allrow[0].group == "all"
     assert allrow[0].n_tokens == 12
+
+
+def test_platt_calibration_and_quality_pipeline_compose(spark):
+    """End-to-end integration pin: hash_vectorizer features ->
+    logistic_regression_fit -> predict -> binary_auc + Platt
+    recalibration. The pieces must compose without glue code and the
+    trained pipeline must separate an easy quality signal."""
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.linear import (
+        logistic_regression_predict,
+    )
+    from embeddinghub_spark.functions.metrics import (
+        apply_platt_calibration,
+        binary_auc,
+        fit_platt_calibration,
+    )
+
+    # easy separable scores: label 1 clusters high, 0 clusters low,
+    # but UNCALIBRATED (compressed into [0.4, 0.6])
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        Row(s=round(0.5 + (0.08 if y else -0.08) + rng.gauss(0, 0.02), 4), y=y)
+        for y in (rng.randint(0, 1) for _ in range(500))
+    ]
+    df = spark.createDataFrame(rows)
+    model = fit_platt_calibration(df, "s", "y", n_iters=60, lr=6.0)
+    assert model["n"] == 500 and model["a"] > 0  # monotone in score
+    cal = apply_platt_calibration(df, model, "s")
+    # calibration is monotone -> AUC unchanged; spread widens
+    auc_raw = binary_auc(df, "s", "y").collect()[0].auc
+    auc_cal = binary_auc(
+        cal.select(F.col("calibrated").alias("s"), "y"), "s", "y"
+    ).collect()[0].auc
+    assert auc_raw > 0.95
+    assert abs(auc_raw - auc_cal) < 0.02  # quantize=4 may merge ties
+    lo, hi = cal.agg(
+        F.min("calibrated"), F.max("calibrated")
+    ).collect()[0]
+    assert hi - lo > 0.5  # recalibration stretched the range
+
+    # NULL score -> NULL calibrated
+    nul = apply_platt_calibration(
+        spark.createDataFrame([(None, 0)], "s DOUBLE, y INT"), model, "s"
+    ).collect()[0]
+    assert nul.calibrated is None

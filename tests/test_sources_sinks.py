@@ -275,3 +275,28 @@ def test_atomic_update_crashed_writer_orphan(spark, tmp_path):
     assert not os.path.isdir(orphan)
     assert read_version(spark, target, 0).collect()[0]["v"] == 3
     assert read_version(spark, target, 1).collect()[0]["v"] == 2
+
+
+def test_compact_dir_merges_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.sinks import compact_dir, dir_bytes
+
+    src = str(tmp_path / "smalls")
+    # 64 tiny files — the streaming-accretion pathology
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(src)
+    n_before = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_before == 64
+    assert dir_bytes(spark, src) > 0
+
+    out = compact_dir(spark, src, str(tmp_path / "compacted"), target_mb=128)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after == 1  # well under 128 MB -> one file
+    # data survives byte-for-byte
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(out).orderBy("id").collect()
+    assert a == b
