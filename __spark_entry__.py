@@ -6877,6 +6877,66 @@ FROM agg
 """
 
 
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus semantic contamination (functions/dedup.py
+    semantic_contamination): eval slice (vec_id % 5 == 0) probed
+    against the train slice through the shared banded sign-LSH, exact
+    cosine verify, per-eval best match."""
+    from embeddinghub_spark.functions.dedup import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    ev = emb.filter(F.col("vec_id") % 5 == 0)
+    return semantic_contamination(
+        train, ev, dim=_EMB_DIM, threshold=_NEAR_DUP_THRESHOLD
+    )
+
+
+def _semantic_contamination_oracle() -> str:
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, 16, seed=7)
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({terms}) AS lsh_bucket FROM embeddings),
+     banded AS (
+       SELECT vec_id, embedding, 0 AS band, lsh_bucket & 255 AS band_val FROM b
+       UNION ALL
+       SELECT vec_id, embedding, 1 AS band, (lsh_bucket >> 8) & 255 AS band_val FROM b
+     ),
+     t AS (SELECT * FROM banded WHERE vec_id % 5 != 0),
+     e AS (SELECT * FROM banded WHERE vec_id % 5 = 0),
+     hit AS (
+       SELECT e.vec_id AS e_id, t.vec_id AS t_id, MAX({cos}) AS cosine
+       FROM t JOIN e ON t.band = e.band AND t.band_val = e.band_val
+       GROUP BY e.vec_id, t.vec_id
+       HAVING MAX({cos}) >= {_NEAR_DUP_THRESHOLD}
+     ),
+     best AS (
+       SELECT e_id, t_id AS train_id, cosine FROM (
+         SELECT e_id, t_id, cosine,
+                row_number() OVER (PARTITION BY e_id
+                  ORDER BY cosine DESC, t_id DESC) AS rn
+         FROM hit)
+       WHERE rn = 1
+     )
+SELECT ev.vec_id AS eval_id,
+       best.e_id IS NOT NULL AS contaminated,
+       best.train_id, best.cosine
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) ev
+LEFT JOIN best ON best.e_id = ev.vec_id
+"""
+
+
 def staged_queries() -> dict:
     """r7 rotation candidates — live code, certified by tools/check.py
     --staged, NOT visible to the driver this round (registry frozen at
@@ -6887,6 +6947,7 @@ def staged_queries() -> dict:
         "ranking_metrics": q_ranking_metrics,
         "isotonic_calibration": q_isotonic_calibration,
         "corpus_diversity": q_corpus_diversity,
+        "semantic_contamination": q_semantic_contamination,
     }
 
 
@@ -6896,5 +6957,6 @@ def staged_oracle_sql() -> dict:
         "auc_by_group": _AUC_BY_GROUP_ORACLE,
         "ranking_metrics": _RANKING_METRICS_ORACLE,
         "corpus_diversity": _CORPUS_DIVERSITY_ORACLE,
+        "semantic_contamination": _semantic_contamination_oracle(),
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

@@ -1742,3 +1742,102 @@ def dedup_keep_best(
             "n_docs",
         )
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination: flag every eval/benchmark
+    document whose embedding has a near-duplicate (cosine >=
+    threshold) in the TRAINING corpus — the paraphrase-robust
+    companion to ``text.ngram_contamination`` (which only catches
+    verbatim n-gram overlap; a reworded test question sails through
+    n-grams but not embedding space).
+
+    Scale shape is ``embedding_near_duplicates``'s banded sign-LSH,
+    but as a train x eval CROSS-corpus band-equi join instead of a
+    self-join: both sides hash with the SAME planes (so near vectors
+    collide), candidates match on ANY band, and exact cosine
+    verifies. The train side is corpus-sized, the eval side is
+    benchmark-sized (thousands) — the band join keys keep the
+    candidate set near-linear in |train| and AQE broadcasts the small
+    side. Verified matches aggregate per eval id with a max-struct
+    (cosine, train id) — deterministic argmax, whale-immune.
+
+    Output: one row per EVAL document —
+    ``(eval_id, contaminated, train_id, cosine)`` with the best
+    (highest-cosine) training match where contaminated, NULLs
+    otherwise. Recall is the banding guarantee (a pair needs only one
+    agreeing band); the pytest pins LSH-vs-brute-force on a seeded
+    corpus.
+    """
+    if n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    from embeddinghub_spark.functions.vector import (
+        dot,
+        ensure_parallelism,
+        norm,
+        with_lsh_bucket,
+    )
+
+    bandstructs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("lsh_bucket"), i * bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for i in range(bands)
+    ])
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        b = with_lsh_bucket(
+            ensure_parallelism(df), vec_col, dim, n_planes, seed
+        )
+        return (
+            b.withColumn("_norm", norm(vec_col, dim))
+            .withColumn("bv", F.explode(bandstructs))
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col(vec_col).alias(f"{side}_vec"),
+                F.col("_norm").alias(f"{side}_norm"),
+                F.col("bv.band").alias("band"),
+                F.col("bv.band_val").alias("band_val"),
+            )
+        )
+
+    t = prep(train, "t")
+    e = prep(eval_df, "e")
+    cos = F.round(
+        dot("t_vec", "e_vec", dim) / (F.col("t_norm") * F.col("e_norm")), 6
+    )
+    hits = (
+        t.join(e, ["band", "band_val"])
+        .select("t_id", "e_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        # a pair matching several bands must count once
+        .groupBy("e_id", "t_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .groupBy("e_id")
+        .agg(F.max(F.struct("cosine", "t_id")).alias("_best"))
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("eval_id"))
+        .join(hits, F.col("eval_id") == F.col("e_id"), "left")
+        .select(
+            "eval_id",
+            F.col("e_id").isNotNull().alias("contaminated"),
+            F.col("_best.t_id").alias("train_id"),
+            F.col("_best.cosine").alias("cosine"),
+        )
+    )

@@ -765,3 +765,66 @@ def test_dedup_keep_best_prefers_quality_then_id(spark):
     # docs 1-3 cluster together (near-dups); 4 is a singleton
     assert out[1] == (2, 99, 3)
     assert out[4] == (4, 5, 1)
+
+
+def test_semantic_contamination_flags_near_train_vectors(spark):
+    """Cross-corpus contamination: an eval vector nearly identical to
+    a train vector is flagged with the right best-match; an orthogonal
+    one is clean. LSH candidates + exact verify must equal brute-force
+    cosine on a seeded corpus (recall pin)."""
+    import random
+
+    from embeddinghub_spark.functions.dedup import semantic_contamination
+
+    dim = 8
+    rng = random.Random(5)
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    train_rows = [(i, vec()) for i in range(1, 41)]
+    # eval 101: a jittered copy of train 7 -> contaminated
+    # eval 102: an orthogonal-ish fresh vector -> clean (w.h.p.)
+    base = train_rows[6][1]
+    eval_rows = [
+        (101, [x + rng.gauss(0, 0.01) for x in base]),
+        (102, [10.0 if j == 0 else 0.0 for j in range(dim)]),
+    ]
+    train = spark.createDataFrame(
+        train_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    ev = spark.createDataFrame(
+        eval_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    out = {
+        r.eval_id: r
+        for r in semantic_contamination(train, ev, dim, threshold=0.98).collect()
+    }
+    assert len(out) == 2
+    assert out[101].contaminated and out[101].train_id == 7
+    assert out[101].cosine >= 0.98
+
+    # brute-force recall pin: every eval x train pair >= threshold
+    # must be found by the banded path (same rounding)
+    import math
+
+    def cosine(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    brute = {
+        eid: max(
+            ((cosine(ev_v, tv), tid) for tid, tv in train_rows),
+            default=None,
+        )
+        for eid, ev_v in eval_rows
+    }
+    for eid, best in brute.items():
+        if best and best[0] >= 0.98:
+            assert out[eid].contaminated, eid
+            assert out[eid].cosine == best[0]
+        else:
+            assert not out[eid].contaminated, eid
+            assert out[eid].train_id is None and out[eid].cosine is None
