@@ -6937,6 +6937,43 @@ LEFT JOIN best ON best.e_id = ev.vec_id
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/batch.py skew_report): the
+    lineitem (returnflag, linestatus) key distribution — per-key
+    counts, exact ppm shares, and the salt factor that levels the
+    hottest key. The pre-flight every 100 TB shuffle deserves."""
+    from embeddinghub_spark.operators.batch import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        top_k=10,
+    )
+
+
+_SKEW_REPORT_ORACLE = """
+WITH c AS (
+  SELECT concat_ws('|',
+           coalesce(CAST(l_returnflag AS VARCHAR), '∅'),
+           coalesce(CAST(l_linestatus AS VARCHAR), '∅')) AS key,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+s AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MAX(cnt) AS BIGINT) AS m FROM c)
+SELECT CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS cnt,
+       CAST(NULL AS BIGINT) AS share_ppm, r AS "rows", k AS keys,
+       m AS max_cnt, CAST((m * k + r - 1) // r AS BIGINT) AS salt_factor
+FROM s
+UNION ALL
+SELECT t.key, t.cnt, CAST((t.cnt * 1000000) // s.r AS BIGINT) AS share_ppm,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10) t, s
+"""
+
+
 def staged_queries() -> dict:
     """r7 rotation candidates — live code, certified by tools/check.py
     --staged, NOT visible to the driver this round (registry frozen at
@@ -6948,6 +6985,7 @@ def staged_queries() -> dict:
         "isotonic_calibration": q_isotonic_calibration,
         "corpus_diversity": q_corpus_diversity,
         "semantic_contamination": q_semantic_contamination,
+        "skew_report": q_skew_report,
     }
 
 
@@ -6958,5 +6996,6 @@ def staged_oracle_sql() -> dict:
         "ranking_metrics": _RANKING_METRICS_ORACLE,
         "corpus_diversity": _CORPUS_DIVERSITY_ORACLE,
         "semantic_contamination": _semantic_contamination_oracle(),
+        "skew_report": _SKEW_REPORT_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

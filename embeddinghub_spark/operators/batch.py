@@ -276,6 +276,78 @@ def join_fanout_profile(
     return totals.unionByName(top)
 
 
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-distribution skew diagnostic for a planned groupBy /
+    repartition / join key — the single-frame sibling of
+    ``join_fanout_profile``. At 100 TB every shuffle keyed on a
+    skewed column funnels the hot key through ONE reducer; this names
+    that key and sizes the fix before the shuffle does.
+
+    Output: one summary row (``key = NULL``) with
+    ``(rows, keys, max_cnt, salt_factor)`` where ``salt_factor =
+    ceil(max_cnt · keys / rows)`` — the hottest key's load expressed
+    in units of the MEAN key load, i.e. the ``n_salts`` that levels it
+    (feed it to ``salted_join`` / use it as the AQE-skew sanity
+    check); followed by the ``top_k`` keys by count as
+    ``(key, cnt, share_ppm)`` with ``share_ppm = cnt·10⁶ div rows``
+    (exact integer parts-per-million). Composite keys render joined
+    with '|'; NULL components render as '∅' (groupBy — unlike an
+    equi-join — does route NULL keys through one reducer, so they
+    count). Reading it: salt_factor ≈ 1 means level keys; ≫ 1 means
+    that key needs salting or a two-stage aggregate.
+
+    Scale shape: one per-key count aggregate (map-side combine; the
+    exchange carries distinct keys, not rows) → a 1-row total plus a
+    TakeOrdered top-k. Nothing downstream of the count frame ever
+    sees data rows. All outputs are exact bigints (``div``
+    arithmetic), so the DuckDB oracle replays them bit-for-bit.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in key_cols]
+    )
+    counts = (
+        df.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_r"),
+        F.count(F.lit(1)).alias("_k"),
+        F.max("cnt").alias("_m"),
+    ).select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("bigint").alias("share_ppm"),
+        F.col("_r").alias("rows"),
+        F.col("_k").alias("keys"),
+        F.col("_m").alias("max_cnt"),
+        F.expr("(_m * _k + _r - 1) div _r").alias("salt_factor"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "key")
+        .limit(top_k)
+        .crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("_rows"))))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) div _rows").alias("share_ppm"),
+            F.lit(None).cast("bigint").alias("rows"),
+            F.lit(None).cast("bigint").alias("keys"),
+            F.lit(None).cast("bigint").alias("max_cnt"),
+            F.lit(None).cast("bigint").alias("salt_factor"),
+        )
+    )
+    return totals.unionByName(top)
+
+
 def robust_scale(
     df: DataFrame,
     value_col: str,

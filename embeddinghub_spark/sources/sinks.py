@@ -212,6 +212,55 @@ def push_online(df: DataFrame, writer=None) -> dict:
     return {r[entity_col]: r.asDict() for r in df.collect()}
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    base_dir: str,
+    target_mb: int = 64,
+    sample_rows: int = 1000,
+    compression: str | None = "gzip",
+) -> str:
+    """Export as newline-delimited JSON shards — the training-data
+    interchange format every downstream tokenizer/loader reads (one
+    JSON object per line, size-targeted shard files so a 1000-worker
+    data loader gets balanced, individually-streamable inputs).
+
+    Each row serializes via ``to_json(struct(*))`` — JVM-side, no
+    Python in the path — and lands in a fresh timestamped dir under
+    ``base_dir`` (the S8 convention: newest dir = current version).
+    Shard count = ceil(estimated_bytes / target_mb) where the
+    estimate is the mean serialized line length of a bounded
+    ``sample_rows`` driver sample × the exact row count — measured on
+    the REAL JSON (a text corpus's bytes live in the text column,
+    which schema-width heuristics like ``estimate_row_bytes`` miss
+    by orders of magnitude). The sample reads one partition's head;
+    wildly length-skewed corpora should raise ``sample_rows``.
+
+    Cost: one count pass + the serialize-write pass; the repartition
+    is the one shuffle (round-robin, so shards are level even when
+    the source partitioning is not). ``compression='gzip'`` by
+    default (~4× on text, universally decodable); pass None for raw.
+    Returns the new directory.
+    """
+    if target_mb < 1:
+        raise ValueError("target_mb must be >= 1")
+    from pyspark.sql import functions as F
+
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    sample = [
+        len(r["value"].encode("utf-8")) + 1
+        for r in lines.limit(sample_rows).collect()
+    ]
+    n_rows = df.count()
+    avg = (sum(sample) / len(sample)) if sample else 1.0
+    n_files = max(1, math.ceil(n_rows * avg / (target_mb * 1024 * 1024)))
+    out = timestamped_output_dir(base_dir)
+    writer = lines.repartition(n_files).write
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(out)
+    return out
+
+
 def dir_bytes(spark, path: str) -> int:
     """Total bytes under ``path`` via the Hadoop FileSystem API — the
     portable size probe (local/HDFS/S3A all answer it), so compaction

@@ -167,6 +167,65 @@ def read_psi(
     return psi
 
 
+def read_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    quantiles: list[float],
+    n_bins: int = 10,
+) -> list[tuple[float, float]]:
+    """Streaming quantiles of everything ingested so far, from the
+    SAME monitor state PSI reads: the frozen reference grid plus the
+    +-merged current bin counts. A live p50/p95 gate costs a
+    ≤ n_bins-row driver read — no rescan, no extra stream.
+
+    The math mirrors ``profile.histogram_quantiles`` bin-for-bin
+    (cumulative counts on the grid, linear interpolation inside the
+    hit bin, round 6), so after the stream drains the answers equal
+    the batch sketch over the ingested rows — pinned by test — with
+    one caveat: the grid froze on the REFERENCE min/max, so values
+    outside it were clamped into the edge bins and estimates clamp to
+    [lo, hi]. That is the monitoring contract (drift beyond the
+    reference range saturates the edge, which PSI flags); for exact
+    tails re-freeze on a wider reference.
+
+    Output: ``(quantile, value)`` pairs ascending, empty if nothing
+    has been ingested.
+    """
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    ref = spark.read.parquet(os.path.join(state_dir, _REF)).limit(1).collect()
+    if not ref:
+        return []
+    lo, hi = float(ref[0]["lo"]), float(ref[0]["hi"])
+    cur_dir = os.path.join(state_dir, _CUR)
+    if not (os.path.islink(cur_dir) or os.path.isdir(cur_dir)):
+        return []
+    cnt = {r["bin"]: r["n"] for r in spark.read.parquet(cur_dir).collect()}
+    n = sum(cnt.values())
+    if n == 0:
+        return []
+    width = (hi - lo) / float(n_bins)
+    out = []
+    for q in sorted(float(q) for q in quantiles):
+        t = q * float(n)
+        cum = 0
+        for b in range(n_bins):
+            cum_before = cum
+            cum += cnt.get(b, 0)
+            if float(cum) >= t:
+                if hi == lo:
+                    est = lo
+                else:
+                    c = cnt.get(b, 0)
+                    est = lo + float(b) * width
+                    if c > 0:
+                        est += (t - float(cum_before)) / float(c) * width
+                    est = min(hi, est)
+                out.append((q, round(est, 6)))
+                break
+    return out
+
+
 def streaming_psi(
     stream_df: DataFrame,
     state_dir: str,

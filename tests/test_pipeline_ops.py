@@ -838,6 +838,44 @@ def test_join_fanout_profile_predicts_exact_output(spark):
     assert per_key["1"]["output_rows"] == 6  # the hot key, named
 
 
+def test_skew_report_names_hot_key_and_salt(spark):
+    """The summary row carries exact totals and the integer salt
+    factor ceil(max*keys/rows); the hot key tops the per-key list
+    with an exact ppm share; NULL key components render as '∅' and
+    ARE counted (groupBy routes NULLs through one reducer)."""
+    from embeddinghub_spark.operators.batch import skew_report
+
+    rows = (
+        [("hot", "x")] * 90
+        + [("a", "x")] * 5
+        + [("b", "y")] * 4
+        + [(None, "y")]
+    )
+    df = spark.createDataFrame(rows, ["k1", "k2"])
+    out = skew_report(df, ["k1", "k2"], top_k=3).collect()
+    summary = [r for r in out if r["key"] is None][0]
+    per_key = [r for r in out if r["key"] is not None]
+    assert summary["rows"] == 100 and summary["keys"] == 4
+    assert summary["max_cnt"] == 90
+    # ceil(90 * 4 / 100) = ceil(3.6) = 4 mean-key-loads
+    assert summary["salt_factor"] == 4
+    assert [r["key"] for r in per_key] == ["hot|x", "a|x", "b|y"]
+    assert per_key[0]["cnt"] == 90
+    assert per_key[0]["share_ppm"] == 900000
+    # NULL component rendered, present in totals (keys == 4 above)
+    full = {r["key"] for r in skew_report(df, ["k1", "k2"], top_k=10).collect()}
+    assert "∅|y" in full
+
+
+def test_skew_report_level_keys_salt_one(spark):
+    """A level distribution recommends salt_factor == 1 (no salting)."""
+    from embeddinghub_spark.operators.batch import skew_report
+
+    df = spark.createDataFrame([(i % 4,) for i in range(40)], ["k"])
+    s = [r for r in skew_report(df, ["k"]).collect() if r["key"] is None][0]
+    assert s["salt_factor"] == 1 and s["max_cnt"] == 10
+
+
 def test_validate_rules_counts_violations(spark):
     """Every rule type counts its violations correctly on a frame
     seeded with known defects; NULL-exemption semantics (range/

@@ -300,3 +300,39 @@ def test_compact_dir_merges_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(out).orderBy("id").collect()
     assert a == b
+
+
+def test_write_jsonl_shards_roundtrip_and_sizing(spark, tmp_path):
+    """JSONL export: every row round-trips through spark.read.json,
+    shards are gzip'd, and the shard count tracks the measured line
+    size (a ~3 MB corpus at target_mb=1 splits into ~3 level files)."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.sinks import write_jsonl_shards
+
+    df = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok "), F.expr("repeat('abcdefghi ', 100)"))
+            .alias("text"),
+        )
+    )
+    out = write_jsonl_shards(
+        df, str(tmp_path / "jsonl"), target_mb=1, compression=None
+    )
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert 2 <= len(files) <= 5  # ~3 MB serialized at 1 MB target
+    back = spark.read.json(out)
+    assert back.count() == 3000
+    assert set(back.columns) == {"doc_id", "text"}
+    assert (
+        back.join(df, "doc_id")
+        .filter(back["text"] != df["text"])
+        .count()
+        == 0
+    )
+
+    gz = write_jsonl_shards(df.limit(10), str(tmp_path / "jsonl_gz"))
+    assert any(f.endswith(".gz") for f in os.listdir(gz))
+    assert spark.read.json(gz).count() == 10

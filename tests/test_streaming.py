@@ -1092,6 +1092,50 @@ def test_streaming_psi_equals_batch_and_skips_replays(spark, tmp_path):
     assert abs(read_psi(spark, state, n_bins=10) - want) < 1e-5
 
 
+def test_read_quantiles_matches_batch_histogram(spark, tmp_path):
+    """Streaming quantiles from the PSI monitor state: after the
+    stream drains, read_quantiles equals the batch histogram sketch
+    over the ingested rows when the frozen grid covers them (here the
+    ingested data IS the reference, so grids coincide exactly)."""
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.profile import histogram_quantiles
+    from embeddinghub_spark.streaming.psi_monitor import (
+        freeze_reference,
+        read_quantiles,
+        streaming_psi,
+    )
+
+    ref = spark.createDataFrame([Row(v=float(i % 97)) for i in range(970)])
+    state = str(tmp_path / "qm")
+    freeze_reference(ref, state, "v", n_bins=32)
+
+    src = str(tmp_path / "qm_in")
+    ref.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ref.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_psi(
+        stream, state, "v", n_bins=32,
+        checkpoint_dir=str(tmp_path / "qm_ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    qs = [0.5, 0.9, 0.99]
+    got = dict(read_quantiles(spark, state, qs, n_bins=32))
+    want = {
+        r["quantile"]: r["value"]
+        for r in histogram_quantiles(ref, "v", qs, n_bins=32).collect()
+    }
+    assert got == want
+    # nothing-ingested state answers empty, not garbage
+    empty_state = str(tmp_path / "qm2")
+    freeze_reference(ref, empty_state, "v", n_bins=32)
+    assert read_quantiles(spark, empty_state, qs, n_bins=32) == []
+
+
 def test_streaming_auc_equals_batch_and_skips_replays(spark, tmp_path):
     """Streaming AUC monitor: after any micro-batch slicing the
     merged per-score state gives EXACTLY the batch binary_auc over
