@@ -6974,6 +6974,77 @@ FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10) t, s
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gauge (functions/vector.py ann_recall): recall@5
+    of the IVF index against the exact brute-force baseline on the
+    same queries — the number every index-tuning loop (n_cells /
+    nprobe) optimizes. Both sides are deterministic, so the oracle
+    replays approx AND exact and recomputes the overlap ratio."""
+    from embeddinghub_spark.functions.vector import (
+        ann_recall,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_bruteforce(emb, qdf, 5, dim=_EMB_DIM)
+    approx = knn_ivf(
+        emb, qdf, 5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, dim=_EMB_DIM
+    )
+    return ann_recall(approx, exact)
+
+
+def _ann_recall_oracle() -> str:
+    dotp = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    cos = (
+        f"{dotp.format(a='av.embedding', b='qp.qv')}"
+        f" / (sqrt({dotp.format(a='av.embedding', b='av.embedding')})"
+        f" * sqrt({dotp.format(a='qp.qv', b='qp.qv')}))"
+    )
+    return f"""
+WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+                  embedding AS centroid
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS})),
+     av AS (SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {dotp.format(a='e.embedding', b='c.centroid')} DESC, c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN c)
+            WHERE rn = 1),
+     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+     qp AS (SELECT query_id, qv, cell FROM (
+              SELECT q.query_id, q.qv, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY {dotp.format(a='q.qv', b='c.centroid')} DESC, c.cell ASC) AS rn
+              FROM q CROSS JOIN c)
+            WHERE rn <= {_IVF_NPROBE}),
+     cand AS (SELECT qp.query_id, av.vec_id AS neighbor_id, {cos} AS score
+              FROM av JOIN qp ON av.cell = qp.cell),
+     appr AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM cand)
+              WHERE rank <= 5),
+     ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                                 e.vec_id ASC) AS rank
+              FROM embeddings e CROSS JOIN q)
+            WHERE rank <= 5)
+SELECT ex.query_id,
+       CAST(COUNT(appr.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM ex LEFT JOIN appr
+  ON ex.query_id = appr.query_id AND ex.neighbor_id = appr.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
 def staged_queries() -> dict:
     """r7 rotation candidates — live code, certified by tools/check.py
     --staged, NOT visible to the driver this round (registry frozen at
@@ -6986,6 +7057,7 @@ def staged_queries() -> dict:
         "corpus_diversity": q_corpus_diversity,
         "semantic_contamination": q_semantic_contamination,
         "skew_report": q_skew_report,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -6997,5 +7069,6 @@ def staged_oracle_sql() -> dict:
         "corpus_diversity": _CORPUS_DIVERSITY_ORACLE,
         "semantic_contamination": _semantic_contamination_oracle(),
         "skew_report": _SKEW_REPORT_ORACLE,
+        "ann_recall": _ann_recall_oracle(),
         # isotonic_calibration: rows-only by design (PAV recursion)
     }
