@@ -140,6 +140,84 @@ def frame_sample(
     )
 
 
+def audio_windows(
+    df: DataFrame,
+    binary_col: str = "media",
+    id_cols: list[str] | None = None,
+    sample_rate_col: str | None = None,
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    window_ms: int = 1000,
+    hop_ms: int | None = None,
+) -> DataFrame:
+    """Audio segmentation plumbing — the audio analog of
+    ``frame_sample``: slice a PCM payload into fixed-duration windows
+    (optionally overlapping via ``hop_ms``), one output row per
+    window with ``(window_idx, start_ms, window_bytes)``. This is the
+    pre-segmentation every ASR / VAD / fingerprinting stage wants:
+    windows become the unit of downstream ``extract_media_features``
+    batches, so a 3-hour recording parallelizes instead of pinning
+    one task.
+
+    The byte math is the real contract (window bytes =
+    samples-per-window × ``bytes_per_sample``, offsets from the hop),
+    computed from ``sample_rate_col`` when rates vary per row or the
+    ``sample_rate`` constant otherwise; the decode itself stays
+    stubbed per module policy — a real librosa/ffmpeg reader plugs in
+    downstream of this exact schema. Entirely JVM-side
+    (sequence/explode/substring, no Python in the path); trailing
+    audio shorter than a full window is dropped (the standard
+    streaming-feature convention). Payload bytes stay OUT of any
+    exchange — the explode is map-only.
+    """
+    if window_ms < 1:
+        raise ValueError("window_ms must be >= 1")
+    hop = window_ms if hop_ms is None else hop_ms
+    if hop < 1:
+        raise ValueError("hop_ms must be >= 1")
+    ids = id_cols or [c for c in df.columns if c != binary_col][:1]
+    rate = (
+        F.col(sample_rate_col).cast("long")
+        if sample_rate_col
+        else F.lit(int(sample_rate)).cast("long")
+    )
+    win_bytes = (
+        F.floor(rate * F.lit(window_ms) / F.lit(1000)).cast("long")
+        * F.lit(int(bytes_per_sample))
+    )
+    hop_bytes = (
+        F.floor(rate * F.lit(hop) / F.lit(1000)).cast("long")
+        * F.lit(int(bytes_per_sample))
+    )
+    total = F.length(F.col(binary_col)).cast("long")
+    n_win = F.when(
+        (total >= win_bytes) & (win_bytes > 0) & (hop_bytes > 0),
+        (F.floor((total - win_bytes) / hop_bytes) + 1).cast("int"),
+    ).otherwise(F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("window_idx"),
+            (i.cast("long") * F.lit(hop)).alias("start_ms"),
+            F.substring(
+                F.col(binary_col),
+                (i.cast("long") * hop_bytes + 1).cast("int"),
+                win_bytes.cast("int"),
+            ).alias("window_bytes"),
+        ),
+    )
+    return (
+        df.filter(n_win > 0)
+        .select(*ids, F.explode(wins).alias("w"))
+        .select(
+            *ids,
+            F.col("w.window_idx").alias("window_idx"),
+            F.col("w.start_ms").alias("start_ms"),
+            F.col("w.window_bytes").alias("window_bytes"),
+        )
+    )
+
+
 def repartition_by_bytes(
     df: DataFrame,
     size_col: str = "media_size_bytes",

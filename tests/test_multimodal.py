@@ -128,3 +128,57 @@ def test_media_near_dup_radius_must_fit_bands(spark):
         media_near_dup_pairs(df, max_hamming=4, bands=4)
     # widening bands legitimizes the radius (5 divides 60)
     media_near_dup_pairs(df, max_hamming=4, bands=5).collect()
+
+
+def test_audio_windows_byte_math_and_overlap(spark):
+    """Window slicing: exact byte offsets/sizes from the sample-rate
+    math, overlapping hops, trailing partial window dropped, and
+    too-short payloads filtered out entirely."""
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.multimodal import audio_windows
+
+    # 100 samples/s x 2 B/sample -> 200 B/s; 1000 B payload = 5 s
+    payload = bytes(range(250)) * 4
+    df = spark.createDataFrame(
+        [Row(doc_id=1, media=payload), Row(doc_id=2, media=b"xy")]
+    )
+    out = audio_windows(
+        df, sample_rate=100, bytes_per_sample=2, window_ms=1000
+    ).collect()
+    # doc 2 (2 B) is shorter than one 200 B window -> dropped
+    assert {r["doc_id"] for r in out} == {1}
+    assert [r["window_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["start_ms"] for r in out] == [0, 1000, 2000, 3000, 4000]
+    assert all(len(r["window_bytes"]) == 200 for r in out)
+    assert bytes(out[0]["window_bytes"]) == payload[:200]
+    assert bytes(out[3]["window_bytes"]) == payload[600:800]
+
+    # 50% overlap: hop 500 ms = 100 B -> windows at 0,100,...,800
+    ov = audio_windows(
+        df, sample_rate=100, bytes_per_sample=2, window_ms=1000, hop_ms=500
+    ).collect()
+    assert len(ov) == 9
+    assert bytes(ov[1]["window_bytes"]) == payload[100:300]
+    assert ov[1]["start_ms"] == 500
+
+
+def test_audio_windows_per_row_sample_rate(spark):
+    """A sample_rate column drives per-row window byte sizes."""
+    from pyspark.sql import Row
+
+    from embeddinghub_spark.functions.multimodal import audio_windows
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, media=bytes(400), sr=100),  # 200 B windows
+            Row(doc_id=2, media=bytes(400), sr=200),  # 400 B windows
+        ]
+    )
+    out = {
+        (r["doc_id"], r["window_idx"]): len(r["window_bytes"])
+        for r in audio_windows(
+            df, sample_rate_col="sr", bytes_per_sample=2, window_ms=1000
+        ).collect()
+    }
+    assert out == {(1, 0): 200, (1, 1): 200, (2, 0): 400}
