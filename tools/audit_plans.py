@@ -2,7 +2,9 @@
 and flags cartesian products for every ``queries()`` entry, plus spot
 checks (PushedFilters on incremental scans, ReadSchema pruning).
 
-Usage: python tools/audit_plans.py [sf_dir] [query ...]
+Usage: python tools/audit_plans.py [--staged] [sf_dir] [query ...]
+(--staged audits the staged_queries() r7 candidates instead of the
+frozen registry.)
 
 Feeds PLANS_r{N}.md — run after plan-shape changes to catch a new
 exchange or a lost pushdown before the bench does.
@@ -18,8 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    staged = "--staged" in args
+    if staged:
+        args.remove("--staged")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from embeddinghub_spark.session import get_spark
@@ -27,7 +33,8 @@ def main() -> None:
     spark = get_spark(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    for name, fn in entrymod.queries().items():
+    qs = entrymod.staged_queries() if staged else entrymod.queries()
+    for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
