@@ -6974,6 +6974,61 @@ FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10) t, s
 """
 
 
+def q_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated Kneser–Ney scoring (functions/text.py
+    kn_trigram_logprob): the order at which perplexity filters
+    separate fluent from shuffled text; all model statistics derive
+    from the one distinct-trigram-types frame."""
+    from embeddinghub_spark.functions.text import kn_trigram_logprob
+
+    return kn_trigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _kn_trigram_oracle(discount: float = 0.75) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+t3 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+tg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM t3, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+tft AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tft
+        FROM tg GROUP BY 1, 2, 3, 4),
+tc AS (SELECT w1, w2, w3, CAST(SUM(tft) AS BIGINT) AS ct
+       FROM tft GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, CAST(SUM(ct) AS BIGINT) AS cf12,
+               CAST(COUNT(*) AS BIGINT) AS t12 FROM tc GROUP BY 1, 2),
+mid AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nmid
+        FROM tc GROUP BY 1, 2),
+mid2 AS (SELECT w2, CAST(SUM(nmid) AS BIGINT) AS nd2,
+                CAST(COUNT(*) AS BIGINT) AS t2 FROM mid GROUP BY 1),
+cont AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n3 FROM mid GROUP BY 1),
+types AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM mid),
+terms AS (
+  SELECT tft.doc_id, tft.tft,
+         CAST(round(tft.tft * log10(
+             greatest(CAST(ct AS DOUBLE) - {discount!r}, 0.0)
+               / CAST(cf12 AS DOUBLE)
+             + {discount!r} * CAST(t12 AS DOUBLE) / CAST(cf12 AS DOUBLE)
+               * (greatest(CAST(nmid AS DOUBLE) - {discount!r}, 0.0)
+                    / CAST(nd2 AS DOUBLE)
+                  + {discount!r} * CAST(t2 AS DOUBLE) / CAST(nd2 AS DOUBLE)
+                    * (CAST(n3 AS DOUBLE) / CAST(bt AS DOUBLE)))
+         ), 9) AS DECIMAL(28,9)) AS term
+  FROM tft JOIN tc USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+       JOIN mid USING (w2, w3) JOIN mid2 USING (w2) JOIN cont USING (w3)
+  CROSS JOIN types
+)
+SELECT doc_id, CAST(SUM(tft) AS BIGINT) AS n_trigrams,
+       round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(tft) AS DOUBLE), 6)
+         AS logprob
+FROM terms GROUP BY doc_id
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gauge (functions/vector.py ann_recall): recall@5
     of the IVF index against the exact brute-force baseline on the
@@ -7058,6 +7113,7 @@ def staged_queries() -> dict:
         "semantic_contamination": q_semantic_contamination,
         "skew_report": q_skew_report,
         "ann_recall": q_ann_recall,
+        "kn_trigram_logprob": q_kn_trigram_logprob,
     }
 
 
@@ -7070,5 +7126,6 @@ def staged_oracle_sql() -> dict:
         "semantic_contamination": _semantic_contamination_oracle(),
         "skew_report": _SKEW_REPORT_ORACLE,
         "ann_recall": _ann_recall_oracle(),
+        "kn_trigram_logprob": _kn_trigram_oracle(),
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

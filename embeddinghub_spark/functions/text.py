@@ -1051,6 +1051,118 @@ def kn_bigram_logprob(
     )
 
 
+def kn_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean trigram log-probability under INTERPOLATED
+    KNESER–NEY — ``kn_bigram_logprob`` taken one order higher, the
+    shape real perplexity filters run (KenLM ships 5-gram KN; trigram
+    is where the quality signal separates fluent text from shuffled
+    tokens, which any bigram model scores too kindly).
+
+    P(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+               + D·T(w1w2)/c(w1w2·) · P_low(w3|w2)
+    P_low(w3|w2) = max(N(·w2w3) − D, 0)/N(·w2·)
+                 + D·T(w2)/N(·w2·) · N(··w3)/N(··)
+    with D the absolute discount, T(ctx) the distinct-continuation
+    count of a context, and the lower orders built from TYPE counts
+    (N(·w2w3) = distinct w1 preceding the bigram, etc.) — the
+    Kneser–Ney insight that backoff mass should follow how many
+    contexts a unit completes, not how often. Every statistic derives
+    from the one distinct-trigram-types frame, so the model is
+    self-consistent and the DuckDB oracle replays it exactly. Scored
+    on the training corpus itself every trigram is observed, so
+    P > 0 always. Documents with < 3 tokens have no trigrams and are
+    absent from the output.
+
+    Determinism protocol (the ``unigram_logprob`` discipline): each
+    (doc, trigram) contribution rounds to 9 decimals and sums as
+    DECIMAL(28,9) — exact, partial-aggregation-order independent; one
+    double division at the end, rounded to 6.
+
+    Scale shape: trigrams form MAP-ONLY inside token arrays (raw text
+    never shuffles); every model frame (contexts, type counts,
+    totals) is an aggregate of the |trigram types|-sized ``tc`` with
+    map-side combine; the scoring joins are model-vs-corpus sized and
+    left to AQE.
+
+    Output: ``(doc_id, n_trigrams, logprob)``.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    tg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(_toks) - 1), "
+                "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2, "
+                "_toks[i] AS w3))"
+            )
+        ).alias("_tg"),
+    ).select(
+        id_col,
+        F.col("_tg.w1").alias("w1"),
+        F.col("_tg.w2").alias("w2"),
+        F.col("_tg.w3").alias("w3"),
+    )
+    tft = tg.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tft")
+    )
+    tc = tft.groupBy("w1", "w2", "w3").agg(F.sum("tft").alias("ct"))
+    # every model statistic below reads the |trigram types|-sized tc
+    ctx = tc.groupBy("w1", "w2").agg(
+        F.sum("ct").alias("_cf12"),        # c(w1 w2 ·)
+        F.count(F.lit(1)).alias("_t12"),   # T(w1w2): distinct w3
+    )
+    mid = tc.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("_nmid")   # N(· w2 w3): distinct w1
+    )
+    mid2 = mid.groupBy("w2").agg(
+        F.sum("_nmid").alias("_nd2"),      # N(· w2 ·)
+        F.count(F.lit(1)).alias("_t2"),    # T(w2): distinct w3 after w2
+    )
+    cont = mid.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("_n3")     # N(· · w3): distinct w2 before w3
+    )
+    types = mid.agg(F.count(F.lit(1)).alias("_bt"))  # N(· ·): (w2,w3) types
+    d = F.lit(discount)
+    p_low = (
+        F.greatest(F.col("_nmid").cast("double") - d, F.lit(0.0))
+        / F.col("_nd2").cast("double")
+        + d * F.col("_t2").cast("double") / F.col("_nd2").cast("double")
+        * (F.col("_n3").cast("double") / F.col("_bt").cast("double"))
+    )
+    p = (
+        F.greatest(F.col("ct").cast("double") - d, F.lit(0.0))
+        / F.col("_cf12").cast("double")
+        + d * F.col("_t12").cast("double") / F.col("_cf12").cast("double")
+        * p_low
+    )
+    term = F.round(F.col("tft") * F.log10(p), 9).cast("decimal(28,9)")
+    return (
+        tft.join(tc, ["w1", "w2", "w3"])
+        .join(ctx, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(types))
+        .select(F.col(id_col), F.col("tft"), term.alias("_term"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tft").alias("n_trigrams"),
+            F.round(
+                F.sum("_term").cast("double") / F.sum("tft").cast("double"), 6
+            ).alias("logprob"),
+        )
+    )
+
+
 def corpus_diversity(
     df: DataFrame,
     text_col: str = "text",

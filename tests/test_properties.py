@@ -1015,3 +1015,64 @@ def test_kn_bigram_logprob_is_brute_force(spark):
     # when raw frequency is equal; assert via the model stats replica.
     assert ncont[("francisco")] == 1
     assert ncont[("bay")] == 2  # after "francisco" and after "the"
+
+
+def test_kn_trigram_logprob_is_brute_force(spark):
+    """Trigram interpolated Kneser–Ney vs a Python replica: identical
+    n_trigrams/logprob under the same decimal discipline, with every
+    model statistic (context totals, type counts, continuation
+    counts) rebuilt independently from the trigram type table."""
+    import math
+    from collections import Counter
+
+    from embeddinghub_spark.functions.text import kn_trigram_logprob
+
+    docs = [
+        (1, "san francisco is in san francisco bay"),
+        (2, "the bay and the bridge and the fog rolls in"),
+        (3, "san francisco fog rolls in the bay"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["logprob"])
+        for r in kn_trigram_logprob(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    toks = {d: t.split() for d, t in docs if len(t.split()) >= 3}
+    tc: Counter = Counter()
+    for ts in toks.values():
+        tc.update(zip(ts, ts[1:], ts[2:]))
+    cf12: Counter = Counter()
+    t12: Counter = Counter()
+    nmid: Counter = Counter()
+    for (w1, w2, w3), c in tc.items():
+        cf12[(w1, w2)] += c
+        t12[(w1, w2)] += 1
+        nmid[(w2, w3)] += 1
+    nd2: Counter = Counter()
+    t2: Counter = Counter()
+    n3: Counter = Counter()
+    for (w2, w3), n in nmid.items():
+        nd2[w2] += n
+        t2[w2] += 1
+        n3[w3] += 1
+    bt = len(nmid)
+    dsc = 0.75
+    for d, ts in toks.items():
+        tft = Counter(zip(ts, ts[1:], ts[2:]))
+        total, acc = 0, 0.0
+        for (w1, w2, w3), tf in tft.items():
+            p_low = (
+                max(nmid[(w2, w3)] - dsc, 0.0) / nd2[w2]
+                + dsc * t2[w2] / nd2[w2] * (n3[w3] / bt)
+            )
+            p = (
+                max(tc[(w1, w2, w3)] - dsc, 0.0) / cf12[(w1, w2)]
+                + dsc * t12[(w1, w2)] / cf12[(w1, w2)] * p_low
+            )
+            acc += round(tf * math.log10(p), 9)
+            total += tf
+        assert got[d][0] == total
+        assert abs(got[d][1] - round(acc / total, 6)) < 1e-9, d
