@@ -144,7 +144,8 @@ def main() -> None:
               flush=True)
         build_blowup(spark, base, blow, scale)
 
-    qs = m.queries()
+    qs = dict(m.queries())
+    qs.update(m.staged_queries())  # staged r7 candidates sweep too
     results = {}
     for name in names:
         fn = qs[name]
