@@ -7029,6 +7029,26 @@ FROM terms GROUP BY doc_id
 """
 
 
+def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe by-entity split (operators/split.py entity_split):
+    every order of a customer lands on one side — zero shuffles, the
+    md5 hash IS the assignment."""
+    from embeddinghub_spark.operators.split import entity_split
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return entity_split(orders, ["o_custkey"], test_size=0.25)
+
+
+_ENTITY_SPLIT_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN CAST(('0x' || substr(
+                md5(concat_ws('|', CAST(o_custkey AS VARCHAR), '0')), 1, 15))
+              AS BIGINT) % 1000000 < 250000
+            THEN 1 ELSE 0 END AS is_test
+FROM orders
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gauge (functions/vector.py ann_recall): recall@5
     of the IVF index against the exact brute-force baseline on the
@@ -7114,6 +7134,7 @@ def staged_queries() -> dict:
         "skew_report": q_skew_report,
         "ann_recall": q_ann_recall,
         "kn_trigram_logprob": q_kn_trigram_logprob,
+        "entity_split": q_entity_split,
     }
 
 
@@ -7127,5 +7148,6 @@ def staged_oracle_sql() -> dict:
         "skew_report": _SKEW_REPORT_ORACLE,
         "ann_recall": _ann_recall_oracle(),
         "kn_trigram_logprob": _kn_trigram_oracle(),
+        "entity_split": _ENTITY_SPLIT_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

@@ -77,6 +77,49 @@ def train_test_split(
     return train, test
 
 
+def entity_split(
+    df: DataFrame,
+    entity_cols: list[str],
+    test_size: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe BY-ENTITY train/test split: every row of the same
+    entity lands on the same side, so a user/document/session can
+    never teach the model in train and grade it in test — the grouped
+    sibling of ``with_split`` (which shuffles rows) and
+    ``temporal_split`` (which cuts on time). This is the split every
+    per-entity feature pipeline actually needs: row-level splits leak
+    whenever two rows of one entity share information.
+
+    Assignment is a pure map: ``is_test = (md5(entity|seed) as a
+    60-bit int) mod 10⁶ < test_size·10⁶`` — deterministic,
+    repartition-stable, engine-replayable (the mm_phash hex→bigint
+    protocol), and ZERO shuffles at any scale (no entity frame, no
+    join; the hash IS the assignment). The test fraction is therefore
+    approximate over ENTITIES (binomial, not count-exact — the price
+    of atomicity; a count-exact variant would need an entity-level
+    numbering plus a join back). Weighting by rows-per-entity is the
+    caller's choice of hash key.
+
+    Output: the input plus ``is_test`` (0/1).
+    """
+    if not entity_cols:
+        raise ValueError("entity_cols must be non-empty")
+    if not 0.0 <= test_size <= 1.0:
+        raise ValueError("test_size must be in [0, 1]")
+    h = F.conv(
+        F.substring(F.md5(_key_concat(entity_cols, seed)), 1, 15), 16, 10
+    ).cast("bigint")
+    thresh = int(round(test_size * 1_000_000))
+    return df.withColumn("is_test", (h % 1_000_000 < thresh).cast("int"))
+
+
+def _key_concat(key_cols: list[str], seed: int):
+    return F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     strata_col: str,

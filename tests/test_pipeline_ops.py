@@ -1781,3 +1781,43 @@ def test_platt_calibration_and_quality_pipeline_compose(spark):
         spark.createDataFrame([(None, 0)], "s DOUBLE, y INT"), model, "s"
     ).collect()[0]
     assert nul.calibrated is None
+
+
+def test_entity_split_atomic_and_deterministic(spark):
+    """Every row of an entity lands on ONE side (the leakage guard),
+    the assignment is repartition-stable and seed-sensitive, and the
+    test fraction over entities tracks test_size."""
+    from embeddinghub_spark.operators.split import entity_split
+
+    rows = [(e, r) for e in range(400) for r in range(3)]
+    df = spark.createDataFrame(rows, ["ent", "row"])
+
+    out = entity_split(df, ["ent"], test_size=0.25).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["ent"], set()).add(r["is_test"])
+    assert all(len(s) == 1 for s in sides.values())  # atomic per entity
+
+    frac = sum(1 for s in sides.values() if s == {1}) / len(sides)
+    assert 0.15 < frac < 0.35  # binomial around 0.25 over 400 entities
+
+    again = {
+        (r["ent"], r["row"]): r["is_test"]
+        for r in entity_split(df.repartition(7), ["ent"], 0.25).collect()
+    }
+    assert again == {(r["ent"], r["row"]): r["is_test"] for r in out}
+
+    other = {
+        r["ent"]: r["is_test"]
+        for r in entity_split(df, ["ent"], 0.25, seed=1).collect()
+    }
+    base = {r["ent"]: r["is_test"] for r in out}
+    assert other != base  # seed moves the assignment
+
+    # edges: 0 -> all train, 1 -> all test
+    assert all(
+        r["is_test"] == 0 for r in entity_split(df, ["ent"], 0.0).collect()
+    )
+    assert all(
+        r["is_test"] == 1 for r in entity_split(df, ["ent"], 1.0).collect()
+    )
