@@ -270,3 +270,28 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def save_merges(merges, path: str) -> None:
+    """Persist a learned merge table as a JSON artifact — the
+    train-once/encode-anywhere workflow (a tokenizer trained on one
+    cluster run is reused by every later encode job; the artifact is
+    kilobytes, the retrain is a corpus pass). Accepts the
+    ``bpe_merges`` result rows (Row or tuple) in learning order."""
+    import json
+
+    rows = [list(tuple(m)) for m in merges]
+    with open(path, "w") as fh:
+        json.dump({"format": "bpe_merges", "version": 1, "merges": rows}, fh)
+
+
+def load_merges(path: str) -> list[tuple]:
+    """Load a ``save_merges`` artifact back into the tuple list
+    ``bpe_encode`` consumes; rejects foreign JSON early."""
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "bpe_merges":
+        raise ValueError(f"{path} is not a bpe_merges artifact")
+    return [tuple(m) for m in obj["merges"]]

@@ -248,3 +248,27 @@ def unigram_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def save_pieces(pieces, path: str) -> None:
+    """Persist a fitted unigram vocabulary as a JSON artifact (the
+    ``bpe.save_merges`` workflow: train once on the corpus, reuse the
+    kilobyte-sized artifact in every later encode job). Accepts the
+    ``unigram_vocab`` result rows (Row or tuple) in rank order."""
+    import json
+
+    rows = [list(tuple(p)) for p in pieces]
+    with open(path, "w") as fh:
+        json.dump({"format": "unigram_pieces", "version": 1, "pieces": rows}, fh)
+
+
+def load_pieces(path: str) -> list[tuple]:
+    """Load a ``save_pieces`` artifact back into the tuple list
+    ``unigram_encode`` consumes; rejects foreign JSON early."""
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "unigram_pieces":
+        raise ValueError(f"{path} is not a unigram_pieces artifact")
+    return [tuple(p) for p in obj["pieces"]]

@@ -225,3 +225,62 @@ def test_unigram_encode_covers_and_segments(spark):
     # known words segment into few pieces, unknown chars into many
     assert out[1].n_pieces <= 4
     assert out[3].n_pieces == 5
+
+
+def test_merge_artifact_roundtrip_preserves_encoding(spark, tmp_path):
+    """Train → save → load → encode gives identical output to
+    encoding with the in-memory merge table (the train-once/
+    encode-anywhere workflow); foreign JSON is rejected."""
+    import json
+
+    import pytest
+
+    from embeddinghub_spark.functions.bpe import (
+        bpe_encode,
+        bpe_merges,
+        load_merges,
+        save_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_merges(df, n_merges=10, min_count=1).collect()
+    path = str(tmp_path / "merges.json")
+    save_merges(merges, path)
+    loaded = load_merges(path)
+    assert [tuple(m) for m in merges] == loaded
+
+    a = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    b = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, loaded).collect()}
+    assert a == b
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump({"format": "other"}, fh)
+    with pytest.raises(ValueError, match="bpe_merges"):
+        load_merges(bad)
+
+
+def test_unigram_artifact_roundtrip_preserves_encoding(spark, tmp_path):
+    from embeddinghub_spark.functions.unigram_lm import (
+        load_pieces,
+        save_pieces,
+        unigram_encode,
+        unigram_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello hell he hello"), (2, "shell shelter hello he")],
+        ["doc_id", "text"],
+    )
+    pieces = unigram_vocab(df, vocab_size=30, seed_min_count=1).collect()
+    path = str(tmp_path / "pieces.json")
+    save_pieces(pieces, path)
+    loaded = load_pieces(path)
+    assert [tuple(p) for p in pieces] == loaded
+
+    a = {r["doc_id"]: r["pieces"] for r in unigram_encode(df, pieces).collect()}
+    b = {r["doc_id"]: r["pieces"] for r in unigram_encode(df, loaded).collect()}
+    assert a == b

@@ -1821,3 +1821,53 @@ def test_entity_split_atomic_and_deterministic(spark):
     assert all(
         r["is_test"] == 1 for r in entity_split(df, ["ent"], 1.0).collect()
     )
+
+
+def test_cross_validated_auc_composition(spark):
+    """End-to-end eval harness: kfold_assign → per-fold logistic
+    regression → held-out scoring → binary_auc. Pins that the split,
+    trainer, scorer, and metric compose (train AUC ≫ 0.5 on separable
+    data, every fold populated, no row scored by a model that saw
+    it)."""
+    import random
+
+    from embeddinghub_spark.functions.linear import (
+        logistic_regression_fit,
+        logistic_regression_predict,
+    )
+    from embeddinghub_spark.functions.metrics import binary_auc
+    from embeddinghub_spark.operators.split import kfold_assign
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(600):
+        y = i % 2
+        x0 = (2.0 if y else -2.0) + rng.gauss(0, 1)
+        rows.append((i, [x0, rng.gauss(0, 1)], y))
+    df = spark.createDataFrame(rows, ["id", "features", "label"])
+
+    folded = kfold_assign(df, 3, ["id"]).cache()
+    try:
+        sizes = {
+            r["fold"]: r["n"]
+            for r in folded.groupBy("fold").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert set(sizes) == {0, 1, 2} and all(v > 100 for v in sizes.values())
+
+        aucs = []
+        for k in range(3):
+            train = folded.filter(F.col("fold") != k)
+            test = folded.filter(F.col("fold") == k)
+            model = logistic_regression_fit(
+                train, "features", "label", dim=2, n_iters=40
+            )
+            scored = logistic_regression_predict(
+                test, "features", model["weights"], model["intercept"]
+            )
+            auc = binary_auc(scored, "score", "label").collect()[0]["auc"]
+            aucs.append(auc)
+        assert all(a > 0.9 for a in aucs), aucs
+    finally:
+        folded.unpersist()
