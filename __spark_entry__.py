@@ -7029,6 +7029,47 @@ FROM terms GROUP BY doc_id
 """
 
 
+def q_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature freshness report (operators/pit.py pit_staleness): per
+    purchase label, the matched click-feature timestamp and its age
+    in seconds — the C6 ASOF pass carrying the feature's own ts."""
+    from embeddinghub_spark.operators.pit import pit_staleness
+
+    evt = _t(spark, sf_dir, "events")
+    labels = evt.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("label_ts"),
+    )
+    feature = evt.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    return pit_staleness(
+        labels,
+        feature,
+        feature_entity_col="user_id",
+        label_ts_col="label_ts",
+        feature_ts_col="ts",
+    )
+
+
+_PIT_STALENESS_ORACLE = """
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type FROM events),
+l AS (SELECT event_id, user_id AS entity, ts AS label_ts
+      FROM evt WHERE event_type = 'purchase'),
+f AS (SELECT user_id, ts FROM evt WHERE event_type = 'click'),
+m AS (SELECT l.event_id, l.entity, l.label_ts, max(f.ts) AS feature_ts
+      FROM l LEFT JOIN f
+        ON f.user_id = l.entity AND f.ts <= l.label_ts
+      GROUP BY 1, 2, 3)
+SELECT event_id, entity, label_ts, feature_ts,
+       CAST(date_diff('microsecond', feature_ts, label_ts) // 1000000
+              AS BIGINT) AS staleness_seconds
+FROM m
+"""
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe by-entity split (operators/split.py entity_split):
     every order of a customer lands on one side — zero shuffles, the
@@ -7135,6 +7176,7 @@ def staged_queries() -> dict:
         "ann_recall": q_ann_recall,
         "kn_trigram_logprob": q_kn_trigram_logprob,
         "entity_split": q_entity_split,
+        "pit_staleness": q_pit_staleness,
     }
 
 
@@ -7149,5 +7191,6 @@ def staged_oracle_sql() -> dict:
         "ann_recall": _ann_recall_oracle(),
         "kn_trigram_logprob": _kn_trigram_oracle(),
         "entity_split": _ENTITY_SPLIT_ORACLE,
+        "pit_staleness": _PIT_STALENESS_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

@@ -572,6 +572,59 @@ def build_training_set(
     return out
 
 
+def pit_staleness(
+    labels: DataFrame,
+    feature: DataFrame,
+    label_entity_col: str = "entity",
+    feature_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    feature_ts_col: str = "ts",
+) -> DataFrame:
+    """Feature FRESHNESS report for a PIT join: for every label row,
+    the matched feature timestamp (latest ``f.ts <= l.ts``, exactly
+    what C6 would join) and ``staleness_seconds = l.ts − f.ts`` — the
+    age of the feature value the model would actually train/serve on.
+    ``validate_pit`` answers "did the past leak forward?"; this
+    answers the operational twin, "how STALE is the past we serve?"
+    — the number a feature-freshness SLO monitors (feed the output to
+    ``quantiles_by_group``/``histogram_quantiles`` for per-feature
+    p95 staleness). Unmatched labels carry NULLs (no feature row
+    existed yet — the cold-start population, worth counting
+    separately).
+
+    Scale shape: the C6 union+last single-shuffle ASOF itself — the
+    payload carried through the running window is the feature's OWN
+    timestamp, so the report costs exactly one training-set pass, no
+    extra join. The staleness arithmetic is ``timestampdiff`` on
+    TIMESTAMP_NTZ — pure calendar math, session-timezone-free.
+
+    Output: the label columns plus ``(feature_ts,
+    staleness_seconds)``.
+    """
+    matched = asof_join_union(
+        labels,
+        feature,
+        {"_pit_feature_ts": feature_ts_col},
+        label_entity_col,
+        feature_entity_col,
+        label_ts_col,
+        feature_ts_col,
+    )
+    return matched.select(
+        *labels.columns,
+        F.col("_pit_feature_ts").alias("feature_ts"),
+        F.expr(
+            # complete seconds of age, exact: µs difference floor-div
+            # 10⁶ (engines disagree on sub-second handling in their
+            # second-unit datediffs — boundary counts vs truncation —
+            # so both the op and its oracle divide exact microseconds)
+            f"CAST(timestampdiff(MICROSECOND, CAST(`_pit_feature_ts` AS "
+            f"TIMESTAMP_NTZ), CAST(`{label_ts_col}` AS TIMESTAMP_NTZ)) "
+            f"div 1000000 AS BIGINT)"
+        ).alias("staleness_seconds"),
+    )
+
+
 def validate_pit(
     df: DataFrame,
     label_ts_col: str = "label_ts",

@@ -455,3 +455,43 @@ def test_validate_pit_null_label_ts_is_flagged(spark):
     )
     out = validate_pit(df).collect()
     assert len(out) == 1 and out[0]["violations"] == ["label_ts"]
+
+
+def test_pit_staleness_ages_and_cold_start(spark):
+    """Per-label staleness equals label_ts − latest eligible feature
+    ts in COMPLETE seconds (µs-exact floor, engine-neutral); labels
+    before any feature row are the NULL cold-start population; a
+    feature at exactly label_ts is age 0."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import pit_staleness
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec, micro=0):
+        return t0 + dt.timedelta(seconds=sec, microseconds=micro)
+
+    labels = spark.createDataFrame(
+        [
+            (1, "a", ts(100)),           # matched: f@40.5 -> 59.5s -> 59
+            (2, "a", ts(40, 500000)),    # exact hit at f ts -> 0
+            (3, "a", ts(10)),            # before any feature -> NULLs
+            (4, "b", ts(50)),            # other entity's features ignored
+        ],
+        ["label_id", "entity", "ts"],
+    )
+    feature = spark.createDataFrame(
+        [("a", ts(40, 500000)), ("a", ts(20)), ("b", ts(49))],
+        ["entity", "ts"],
+    )
+    out = {
+        r["label_id"]: (r["feature_ts"], r["staleness_seconds"])
+        for r in pit_staleness(labels, feature).collect()
+    }
+    assert out[1] == (ts(40, 500000), 59)  # floor of 59.5
+    assert out[2] == (ts(40, 500000), 0)
+    assert out[3] == (None, None)
+    assert out[4] == (ts(49), 1)
+    # label columns pass through untouched
+    cols = pit_staleness(labels, feature).columns
+    assert cols == ["label_id", "entity", "ts", "feature_ts", "staleness_seconds"]
