@@ -1841,3 +1841,70 @@ def semantic_contamination(
             F.col("_best.cosine").alias("cosine"),
         )
     )
+
+
+def banding_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(two docs with true Jaccard ``s`` share ≥ 1 band) under the
+    standard MinHash-LSH model: ``1 − (1 − s^rows)^bands`` (Mining of
+    Massive Datasets §3.4). The S-curve every banding choice trades
+    along — steep near ``(1/bands)^(1/rows)``."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError("s must be in [0, 1]")
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def minhash_tune(
+    threshold: float,
+    num_hashes: int,
+    fn_below: float = 0.05,
+    fp_above: float = 0.05,
+) -> dict:
+    """Pick ``(bands, rows)`` for a target Jaccard ``threshold`` —
+    the knob-setting step BEFORE ``minhash_candidates`` runs on 100 TB
+    (re-sharding a mis-banded signature table is a full corpus pass;
+    choosing right costs microseconds on the driver).
+
+    Scans every factorization ``bands·rows == num_hashes`` and picks
+    the one whose S-curve midpoint ``(1/bands)^(1/rows)`` is closest
+    to ``threshold``, breaking ties toward MORE bands (recall —
+    missing a true duplicate is usually costlier than verifying a
+    false candidate, and candidates are exact-verified downstream
+    anyway). Returns the choice plus its honest error profile:
+    ``p_at_threshold`` (candidate recall AT the target similarity),
+    ``fn_rate_at`` = miss probability at ``threshold + fn_below``
+    (just-above-target pairs the banding drops — the silent loss),
+    and ``fp_rate_at`` = candidate probability at ``threshold −
+    fp_above`` (just-below-target pairs it forwards — the verify
+    cost). If no factorization puts the midpoint within 0.15 of the
+    target, raise ``num_hashes`` — the dict's ``midpoint`` says how
+    far off the best choice is."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        mid = (1.0 / bands) ** (1.0 / rows)
+        key = (abs(mid - threshold), -bands)
+        if best is None or key < best[0]:
+            best = (key, bands, rows, mid)
+    _, bands, rows, mid = best
+    hi = min(1.0, threshold + fn_below)
+    lo = max(0.0, threshold - fp_above)
+    return {
+        "bands": bands,
+        "rows": rows,
+        "midpoint": round(mid, 6),
+        "p_at_threshold": round(
+            banding_candidate_probability(threshold, bands, rows), 6
+        ),
+        "fn_rate_at": round(
+            1.0 - banding_candidate_probability(hi, bands, rows), 6
+        ),
+        "fp_rate_at": round(
+            banding_candidate_probability(lo, bands, rows), 6
+        ),
+    }

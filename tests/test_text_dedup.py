@@ -828,3 +828,41 @@ def test_semantic_contamination_flags_near_train_vectors(spark):
         else:
             assert not out[eid].contaminated, eid
             assert out[eid].train_id is None and out[eid].cosine is None
+
+
+def test_minhash_tune_picks_threshold_matched_banding():
+    """The tuner picks the factorization whose S-curve midpoint hugs
+    the target, prefers recall on ties, and reports the textbook
+    candidate probabilities (no Spark needed — driver-side math)."""
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import (
+        banding_candidate_probability,
+        minhash_tune,
+    )
+
+    # 16 hashes, target 0.5: candidates are (1,16)..(16,1); midpoint
+    # (1/b)^(1/r): b=8,r=2 -> 0.354; b=4,r=4 -> 0.707; b=16,r=1 ->
+    # 0.0625... closest to 0.5 is b=8,r=2 (|0.146|) vs b=4,r=4
+    # (|0.207|)
+    t = minhash_tune(0.5, 16)
+    assert (t["bands"], t["rows"]) == (8, 2)
+    assert t["bands"] * t["rows"] == 16
+
+    # higher thresholds push toward more rows per band
+    hi = minhash_tune(0.9, 16)
+    assert hi["rows"] > t["rows"]
+
+    # probability model sanity: monotone in s, endpoints exact
+    ps = [banding_candidate_probability(s / 10, 8, 2) for s in range(11)]
+    assert ps == sorted(ps)
+    assert ps[0] == 0.0 and ps[-1] == 1.0
+    assert t["p_at_threshold"] == round(
+        banding_candidate_probability(0.5, 8, 2), 6
+    )
+    assert 0.0 < t["fn_rate_at"] < 1.0 and 0.0 < t["fp_rate_at"] < 1.0
+
+    with pytest.raises(ValueError):
+        minhash_tune(0.0, 16)
+    with pytest.raises(ValueError):
+        banding_candidate_probability(1.5, 4, 2)
