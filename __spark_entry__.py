@@ -7070,6 +7070,47 @@ FROM m
 """
 
 
+def q_time_to_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward ASOF (operators/pit.py time_to_next_event): per click,
+    the user's next purchase and the conversion lag in seconds —
+    time-to-event labels with the right-censored population kept."""
+    from embeddinghub_spark.operators.pit import time_to_next_event
+
+    evt = _t(spark, sf_dir, "events")
+    anchors = evt.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("anchor_ts"),
+    )
+    events = evt.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return time_to_next_event(
+        anchors,
+        events,
+        event_entity_col="user_id",
+        anchor_ts_col="anchor_ts",
+        event_ts_col="ts",
+    )
+
+
+_TIME_TO_NEXT_ORACLE = """
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type FROM events),
+a AS (SELECT event_id, user_id AS entity, ts AS anchor_ts
+      FROM evt WHERE event_type = 'click'),
+e AS (SELECT user_id, ts FROM evt WHERE event_type = 'purchase'),
+m AS (SELECT a.event_id, a.entity, a.anchor_ts, min(e.ts) AS next_ts
+      FROM a LEFT JOIN e
+        ON e.user_id = a.entity AND e.ts > a.anchor_ts
+      GROUP BY 1, 2, 3)
+SELECT event_id, entity, anchor_ts, next_ts,
+       CAST(date_diff('microsecond', anchor_ts, next_ts) // 1000000
+              AS BIGINT) AS seconds_to_next
+FROM m
+"""
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe by-entity split (operators/split.py entity_split):
     every order of a customer lands on one side — zero shuffles, the
@@ -7177,6 +7218,7 @@ def staged_queries() -> dict:
         "kn_trigram_logprob": q_kn_trigram_logprob,
         "entity_split": q_entity_split,
         "pit_staleness": q_pit_staleness,
+        "time_to_next_event": q_time_to_next_event,
     }
 
 
@@ -7192,5 +7234,6 @@ def staged_oracle_sql() -> dict:
         "kn_trigram_logprob": _kn_trigram_oracle(),
         "entity_split": _ENTITY_SPLIT_ORACLE,
         "pit_staleness": _PIT_STALENESS_ORACLE,
+        "time_to_next_event": _TIME_TO_NEXT_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

@@ -625,6 +625,76 @@ def pit_staleness(
     )
 
 
+def time_to_next_event(
+    anchors: DataFrame,
+    events: DataFrame,
+    anchor_entity_col: str = "entity",
+    event_entity_col: str = "entity",
+    anchor_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+) -> DataFrame:
+    """FORWARD ASOF — the label-engineering mirror of the C6 join:
+    for every anchor row, the FIRST event STRICTLY AFTER it
+    (``min(e.ts) where e.ts > a.ts`` per entity) and the gap in
+    complete seconds. This is how time-to-event / survival /
+    conversion-lag targets are built (time from click to next
+    purchase, from signup to first churn signal); anchors with no
+    later event carry NULLs — the right-censored population every
+    survival model needs to see, not drop.
+
+    Scale shape: the same union + running-carry single-shuffle trick
+    as the backward ASOF, traversed in DESCENDING time so the carried
+    value at each anchor is the smallest later event timestamp. Ties
+    at the exact anchor timestamp sort AFTER the anchor (events at
+    ``e.ts == a.ts`` are not "next" — strictness lives in the sort
+    order, not a filter). One exchange on entity, no join, no
+    explosion. Gap arithmetic is µs-exact integer division
+    (engine-neutral, the ``pit_staleness`` protocol).
+
+    Output: the anchor columns plus ``(next_ts,
+    seconds_to_next)``.
+    """
+    e_side = events.select(
+        F.col(event_entity_col).alias("_e"),
+        F.col(event_ts_col).cast("timestamp_ntz").alias("_ats"),
+        F.lit(0).alias("_tag"),
+        F.col(event_ts_col).cast("timestamp_ntz").alias("_payload"),
+        *[
+            F.lit(None).cast(anchors.schema[c].dataType).alias(c)
+            for c in anchors.columns
+        ],
+    )
+    a_side = anchors.select(
+        F.col(anchor_entity_col).alias("_e"),
+        F.col(anchor_ts_col).cast("timestamp_ntz").alias("_ats"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("timestamp_ntz").alias("_payload"),
+        *[F.col(c) for c in anchors.columns],
+    )
+    # DESC traversal; anchors BEFORE events at equal ts (tag 1 first)
+    # so an event at exactly the anchor ts is not yet visible there.
+    w = (
+        Window.partitionBy("_e")
+        .orderBy(
+            F.col("_ats").desc(), F.col("_tag").desc(), F.col("_payload").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e_side.unionByName(a_side).select(
+        "_tag",
+        *[F.col(c) for c in anchors.columns],
+        F.last("_payload", ignorenulls=True).over(w).alias("_next_ts"),
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        *[F.col(c) for c in anchors.columns],
+        F.col("_next_ts").alias("next_ts"),
+        F.expr(
+            f"CAST(timestampdiff(MICROSECOND, CAST(`{anchor_ts_col}` AS "
+            f"TIMESTAMP_NTZ), `_next_ts`) div 1000000 AS BIGINT)"
+        ).alias("seconds_to_next"),
+    )
+
+
 def validate_pit(
     df: DataFrame,
     label_ts_col: str = "label_ts",

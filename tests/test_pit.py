@@ -495,3 +495,41 @@ def test_pit_staleness_ages_and_cold_start(spark):
     # label columns pass through untouched
     cols = pit_staleness(labels, feature).columns
     assert cols == ["label_id", "entity", "ts", "feature_ts", "staleness_seconds"]
+
+
+def test_time_to_next_event_forward_asof(spark):
+    """Forward ASOF: each anchor gets the FIRST strictly-later event
+    (equal-ts events excluded), right-censored anchors carry NULLs,
+    and the gap is µs-exact floored seconds."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import time_to_next_event
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec, micro=0):
+        return t0 + dt.timedelta(seconds=sec, microseconds=micro)
+
+    anchors = spark.createDataFrame(
+        [
+            (1, "a", ts(10)),   # next event at 40.5 -> 30.5 -> 30
+            (2, "a", ts(40, 500000)),  # equal-ts event NOT next; 60 is -> 19
+            (3, "a", ts(70)),   # nothing later -> censored
+            (4, "b", ts(5)),    # other entity -> its own event at 6
+        ],
+        ["anchor_id", "entity", "ts"],
+    )
+    events = spark.createDataFrame(
+        [("a", ts(40, 500000)), ("a", ts(60)), ("a", ts(8)), ("b", ts(6))],
+        ["entity", "ts"],
+    )
+    out = {
+        r["anchor_id"]: (r["next_ts"], r["seconds_to_next"])
+        for r in time_to_next_event(anchors, events).collect()
+    }
+    assert out[1] == (ts(40, 500000), 30)
+    assert out[2] == (ts(60), 19)  # floor(19.5)
+    assert out[3] == (None, None)
+    assert out[4] == (ts(6), 1)
+    cols = time_to_next_event(anchors, events).columns
+    assert cols == ["anchor_id", "entity", "ts", "next_ts", "seconds_to_next"]
