@@ -7111,6 +7111,53 @@ FROM m
 """
 
 
+_TRAIL_W = 259_200  # 3 days
+
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window PIT aggregates (operators/pit.py
+    trailing_window_features): per purchase, the count and value-sum
+    of the user's clicks in the prior 3 days — one cumulative-diff
+    shuffle, no range-join explosion, [t−w, t) exactly."""
+    from embeddinghub_spark.operators.pit import trailing_window_features
+
+    evt = _t(spark, sf_dir, "events")
+    labels = evt.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("entity"), "ts"
+    )
+    clicks = evt.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return trailing_window_features(
+        labels,
+        clicks,
+        window_seconds=_TRAIL_W,
+        event_entity_col="user_id",
+        value_col="value",
+    )
+
+
+_TRAILING_WINDOW_ORACLE = f"""
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type, value FROM events),
+l AS (SELECT event_id, user_id AS entity, ts
+      FROM evt WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts, value FROM evt WHERE event_type = 'click'),
+j AS (SELECT l.event_id, l.entity, l.ts,
+             count(e.ts) AS c,
+             sum(CAST(round(CAST(e.value AS DOUBLE), 9)
+                   AS DECIMAL(28,9))) AS s
+      FROM l LEFT JOIN e
+        ON e.user_id = l.entity
+       AND e.ts >= l.ts - INTERVAL {_TRAIL_W} SECOND
+       AND e.ts < l.ts
+      GROUP BY 1, 2, 3)
+SELECT event_id, entity, ts, CAST(c AS BIGINT) AS w_count,
+       CASE WHEN c > 0 THEN round(CAST(s AS DOUBLE), 6) END AS w_sum
+FROM j
+"""
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe by-entity split (operators/split.py entity_split):
     every order of a customer lands on one side — zero shuffles, the
@@ -7219,6 +7266,7 @@ def staged_queries() -> dict:
         "entity_split": q_entity_split,
         "pit_staleness": q_pit_staleness,
         "time_to_next_event": q_time_to_next_event,
+        "trailing_window": q_trailing_window,
     }
 
 
@@ -7235,5 +7283,6 @@ def staged_oracle_sql() -> dict:
         "entity_split": _ENTITY_SPLIT_ORACLE,
         "pit_staleness": _PIT_STALENESS_ORACLE,
         "time_to_next_event": _TIME_TO_NEXT_ORACLE,
+        "trailing_window": _TRAILING_WINDOW_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

@@ -695,6 +695,145 @@ def time_to_next_event(
     )
 
 
+def trailing_window_features(
+    labels: DataFrame,
+    events: DataFrame,
+    window_seconds: int,
+    label_entity_col: str = "entity",
+    event_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+    value_col: str | None = None,
+    out_prefix: str = "w",
+) -> DataFrame:
+    """Trailing-window PIT aggregates — "how many events (and how
+    much value) in the ``window_seconds`` BEFORE each label" — the
+    other half of the feature-store vocabulary next to C6's
+    value-as-of join (C11's lags answer "what was the value at
+    t − lag"; this answers "what accumulated over [t − w, t)").
+    Window semantics: inclusive start, EXCLUSIVE end — an event at
+    exactly the label timestamp is not known strictly before it (the
+    C6 convention would include it; a count feature must not, or the
+    label leaks into itself when labels are derived from the same
+    event stream).
+
+    Scale shape: the naive forms both fail at 100 TB — a range join
+    (`e.ts BETWEEN l.ts − w AND l.ts`) explodes by events-per-window,
+    and a per-entity RANGE window over the event history sorts the
+    whole history per entity. This instead unions the event deltas
+    with TWO zero-delta anchor rows per label (at ``t`` and at
+    ``t − w``, produced by one explode — no second scan) and takes
+    ONE running cumulative sum per entity; each label's answer is the
+    difference of its two anchors' cumulative values. One exchange on
+    entity, label-frame-sized aggregation after it, no explosion, no
+    history sort beyond the single ASOF-style ordering.
+
+    Determinism: value sums ride as ``DECIMAL(28,9)`` of
+    ``round(value, 9)`` — exact and order-independent — and surface
+    as doubles rounded to 6 (the LM-family protocol), so the DuckDB
+    oracle replays them bit-for-bit. ``<prefix>_sum`` is NULL when
+    the window is empty (SQL SUM-over-nothing semantics), and
+    ``<prefix>_count`` is 0.
+
+    Output: the label columns plus ``<prefix>_count`` (+
+    ``<prefix>_sum`` when ``value_col`` given).
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    cnt_col, sum_col = f"{out_prefix}_count", f"{out_prefix}_sum"
+    dec = "decimal(28,9)"
+    val = (
+        F.round(F.col(value_col).cast("double"), 9).cast(dec)
+        if value_col
+        else F.lit(0).cast(dec)
+    )
+    ev = events.select(
+        F.col(event_entity_col).alias("_e"),
+        F.col(event_ts_col).cast("timestamp_ntz").alias("_ats"),
+        F.lit(1).alias("_tag"),
+        F.lit(1).cast("bigint").alias("_cnt"),
+        val.alias("_val"),
+        F.lit(None).cast("bigint").alias("_aid"),
+        F.lit(None).cast("string").alias("_kind"),
+        *[
+            F.lit(None).cast(labels.schema[c].dataType).alias(c)
+            for c in labels.columns
+        ],
+    )
+    lts = F.col(label_ts_col).cast("timestamp_ntz")
+    start = lts - F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    # both anchors come out of ONE row via explode, so the pairing id
+    # (monotonically_increasing_id, assigned before the explode) is
+    # consistent between them by construction
+    anchors = (
+        labels.withColumn("_aid", F.monotonically_increasing_id())
+        .select(
+            F.col(label_entity_col).alias("_e"),
+            F.explode(
+                F.array(
+                    F.struct(lts.alias("ts"), F.lit("e").alias("kind")),
+                    F.struct(start.alias("ts"), F.lit("s").alias("kind")),
+                )
+            ).alias("_a"),
+            F.lit(0).alias("_tag"),
+            F.lit(0).cast("bigint").alias("_cnt"),
+            F.lit(0).cast(dec).alias("_val"),
+            "_aid",
+            *[F.col(c) for c in labels.columns],
+        )
+        .select(
+            "_e",
+            F.col("_a.ts").alias("_ats"),
+            "_tag",
+            "_cnt",
+            "_val",
+            "_aid",
+            F.col("_a.kind").alias("_kind"),
+            *labels.columns,
+        )
+    )
+    # anchors sort BEFORE events at the same instant (_tag 0 < 1), so
+    # an anchor's cumulative total excludes events AT its timestamp:
+    # the end anchor excludes t (exclusive end), the start anchor's
+    # exclusion at t − w cancels in the difference (inclusive start)
+    w = (
+        Window.partitionBy("_e")
+        .orderBy(F.col("_ats").asc(), F.col("_tag").asc(), F.col("_aid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.unionByName(anchors).select(
+        "_tag",
+        "_aid",
+        "_kind",
+        *labels.columns,
+        F.sum("_cnt").over(w).alias("_ccnt"),
+        F.sum("_val").over(w).alias("_cval"),
+    )
+    picked = (
+        cum.filter(F.col("_tag") == 0)
+        .groupBy("_aid", *labels.columns)
+        .agg(
+            (
+                F.max(F.when(F.col("_kind") == "e", F.coalesce(F.col("_ccnt"), F.lit(0))))
+                - F.max(F.when(F.col("_kind") == "s", F.coalesce(F.col("_ccnt"), F.lit(0))))
+            ).alias(cnt_col),
+            (
+                F.max(F.when(F.col("_kind") == "e", F.coalesce(F.col("_cval"), F.lit(0).cast(dec))))
+                - F.max(F.when(F.col("_kind") == "s", F.coalesce(F.col("_cval"), F.lit(0).cast(dec))))
+            ).alias("_wsum"),
+        )
+    )
+    out = [*[F.col(c) for c in labels.columns], F.col(cnt_col)]
+    if value_col:
+        out.append(
+            F.when(
+                F.col(cnt_col) > 0,
+                F.round(F.col("_wsum").cast("double"), 6),
+            ).alias(sum_col)
+        )
+    return picked.select(*out)
+
+
 def validate_pit(
     df: DataFrame,
     label_ts_col: str = "label_ts",

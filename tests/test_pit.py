@@ -533,3 +533,57 @@ def test_time_to_next_event_forward_asof(spark):
     assert out[4] == (ts(6), 1)
     cols = time_to_next_event(anchors, events).columns
     assert cols == ["anchor_id", "entity", "ts", "next_ts", "seconds_to_next"]
+
+
+def test_trailing_window_features_window_semantics(spark):
+    """[t−w, t) exactly: event at label ts EXCLUDED, event at t−w
+    INCLUDED; empty windows give count 0 / sum NULL; per-entity
+    isolation; exact decimal sums."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import trailing_window_features
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    labels = spark.createDataFrame(
+        [
+            (1, "a", ts(100)),  # window [0,100): events at 0,50 -> 2, 3.5
+            (2, "a", ts(150)),  # window [50,150): 50,100,149 -> 3, 7.25
+            (3, "a", ts(10)),   # window [-90,10): event at 0 -> 1, 1.25
+            (4, "b", ts(100)),  # no b events -> 0, NULL
+        ],
+        ["label_id", "entity", "ts"],
+    )
+    events = spark.createDataFrame(
+        [
+            ("a", ts(0), 1.25),
+            ("a", ts(50), 2.25),   # exactly at window start of label 2
+            ("a", ts(100), 2.0),   # exactly at label-1 ts -> excluded
+            ("a", ts(149), 3.0),
+        ],
+        ["entity", "ts", "value"],
+    )
+    out = {
+        r["label_id"]: (r["w_count"], r["w_sum"])
+        for r in trailing_window_features(
+            labels, events, window_seconds=100, value_col="value"
+        ).collect()
+    }
+    assert out[1] == (2, 3.5)       # 1.25 + 2.25; event@100 excluded
+    assert out[2] == (3, 7.25)      # 2.25 + 2.0 + 3.0; event@50 included
+    assert out[3] == (1, 1.25)
+    assert out[4] == (0, None)
+
+    # count-only mode drops the sum column
+    cols = trailing_window_features(labels, events, 100).columns
+    assert cols == ["label_id", "entity", "ts", "w_count"]
+
+    # duplicate label rows stay distinct (anchor ids pair correctly)
+    dup = spark.createDataFrame(
+        [(9, "a", ts(100)), (9, "a", ts(100))], ["label_id", "entity", "ts"]
+    )
+    rows = trailing_window_features(dup, events, 100).collect()
+    assert len(rows) == 2 and all(r["w_count"] == 2 for r in rows)
