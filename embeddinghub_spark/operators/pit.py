@@ -698,7 +698,7 @@ def time_to_next_event(
 def trailing_window_features(
     labels: DataFrame,
     events: DataFrame,
-    window_seconds: int,
+    window_seconds: int | list[int],
     label_entity_col: str = "entity",
     event_entity_col: str = "entity",
     label_ts_col: str = "ts",
@@ -735,12 +735,28 @@ def trailing_window_features(
     the window is empty (SQL SUM-over-nothing semantics), and
     ``<prefix>_count`` is 0.
 
+    MULTI-WINDOW FUSION (the C11 lag-fusion story): pass a LIST of
+    window lengths (7d/30d/90d) and every window shares the SAME
+    cumulative pass and the SAME end anchor — L windows cost one
+    extra anchor row per label each, not L shuffles. Output columns
+    are then suffixed per window (``<prefix><seconds>_count``...).
+
     Output: the label columns plus ``<prefix>_count`` (+
-    ``<prefix>_sum`` when ``value_col`` given).
+    ``<prefix>_sum`` when ``value_col`` given); with a window list,
+    ``<prefix><w>_count``/``<prefix><w>_sum`` per window ``w``.
     """
-    if window_seconds <= 0:
+    multi = isinstance(window_seconds, (list, tuple))
+    wins = [int(w) for w in (window_seconds if multi else [window_seconds])]
+    if not wins or any(w <= 0 for w in wins):
         raise ValueError("window_seconds must be positive")
-    cnt_col, sum_col = f"{out_prefix}_count", f"{out_prefix}_sum"
+    if len(set(wins)) != len(wins):
+        raise ValueError("window_seconds must be distinct")
+
+    def names(w: int) -> tuple[str, str]:
+        if not multi:
+            return f"{out_prefix}_count", f"{out_prefix}_sum"
+        return f"{out_prefix}{w}_count", f"{out_prefix}{w}_sum"
+
     dec = "decimal(28,9)"
     val = (
         F.round(F.col(value_col).cast("double"), 9).cast(dec)
@@ -761,20 +777,21 @@ def trailing_window_features(
         ],
     )
     lts = F.col(label_ts_col).cast("timestamp_ntz")
-    start = lts - F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
-    # both anchors come out of ONE row via explode, so the pairing id
+    # all anchors come out of ONE row via explode, so the pairing id
     # (monotonically_increasing_id, assigned before the explode) is
     # consistent between them by construction
+    anchor_structs = [F.struct(lts.alias("ts"), F.lit("e").alias("kind"))] + [
+        F.struct(
+            (lts - F.expr(f"INTERVAL {w} SECONDS")).alias("ts"),
+            F.lit(f"s{w}").alias("kind"),
+        )
+        for w in wins
+    ]
     anchors = (
         labels.withColumn("_aid", F.monotonically_increasing_id())
         .select(
             F.col(label_entity_col).alias("_e"),
-            F.explode(
-                F.array(
-                    F.struct(lts.alias("ts"), F.lit("e").alias("kind")),
-                    F.struct(start.alias("ts"), F.lit("s").alias("kind")),
-                )
-            ).alias("_a"),
+            F.explode(F.array(*anchor_structs)).alias("_a"),
             F.lit(0).alias("_tag"),
             F.lit(0).cast("bigint").alias("_cnt"),
             F.lit(0).cast(dec).alias("_val"),
@@ -809,28 +826,38 @@ def trailing_window_features(
         F.sum("_cnt").over(w).alias("_ccnt"),
         F.sum("_val").over(w).alias("_cval"),
     )
-    picked = (
-        cum.filter(F.col("_tag") == 0)
-        .groupBy("_aid", *labels.columns)
-        .agg(
-            (
-                F.max(F.when(F.col("_kind") == "e", F.coalesce(F.col("_ccnt"), F.lit(0))))
-                - F.max(F.when(F.col("_kind") == "s", F.coalesce(F.col("_ccnt"), F.lit(0))))
-            ).alias(cnt_col),
-            (
-                F.max(F.when(F.col("_kind") == "e", F.coalesce(F.col("_cval"), F.lit(0).cast(dec))))
-                - F.max(F.when(F.col("_kind") == "s", F.coalesce(F.col("_cval"), F.lit(0).cast(dec))))
-            ).alias("_wsum"),
+    def cnt_at(kind: str):
+        return F.max(
+            F.when(F.col("_kind") == kind, F.coalesce(F.col("_ccnt"), F.lit(0)))
         )
-    )
-    out = [*[F.col(c) for c in labels.columns], F.col(cnt_col)]
-    if value_col:
-        out.append(
+
+    def val_at(kind: str):
+        return F.max(
             F.when(
-                F.col(cnt_col) > 0,
-                F.round(F.col("_wsum").cast("double"), 6),
-            ).alias(sum_col)
+                F.col("_kind") == kind,
+                F.coalesce(F.col("_cval"), F.lit(0).cast(dec)),
+            )
         )
+
+    aggs = []
+    for w in wins:
+        cnt_col, _ = names(w)
+        aggs.append((cnt_at("e") - cnt_at(f"s{w}")).alias(cnt_col))
+        aggs.append((val_at("e") - val_at(f"s{w}")).alias(f"_wsum{w}"))
+    picked = (
+        cum.filter(F.col("_tag") == 0).groupBy("_aid", *labels.columns).agg(*aggs)
+    )
+    out = [F.col(c) for c in labels.columns]
+    for w in wins:
+        cnt_col, sum_col = names(w)
+        out.append(F.col(cnt_col))
+        if value_col:
+            out.append(
+                F.when(
+                    F.col(cnt_col) > 0,
+                    F.round(F.col(f"_wsum{w}").cast("double"), 6),
+                ).alias(sum_col)
+            )
     return picked.select(*out)
 
 

@@ -587,3 +587,66 @@ def test_trailing_window_features_window_semantics(spark):
     )
     rows = trailing_window_features(dup, events, 100).collect()
     assert len(rows) == 2 and all(r["w_count"] == 2 for r in rows)
+
+
+def test_trailing_window_features_multi_window_fusion(spark):
+    """A window LIST shares one cumulative pass: per-window results
+    equal the single-window op run separately, columns suffixed per
+    window, and the physical plan carries exactly ONE entity
+    exchange."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import trailing_window_features
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    labels = spark.createDataFrame(
+        [(i, "a", ts(100 + 10 * i)) for i in range(5)]
+        + [(9, "b", ts(100))],
+        ["label_id", "entity", "ts"],
+    )
+    events = spark.createDataFrame(
+        [("a", ts(s), float(s)) for s in range(0, 140, 7)]
+        + [("b", ts(90), 1.5)],
+        ["entity", "ts", "value"],
+    )
+    fused = trailing_window_features(
+        labels, events, [30, 100], value_col="value"
+    )
+    assert fused.columns == [
+        "label_id", "entity", "ts",
+        "w30_count", "w30_sum", "w100_count", "w100_sum",
+    ]
+    got = {r["label_id"]: r.asDict() for r in fused.collect()}
+    for w in (30, 100):
+        solo = {
+            r["label_id"]: (r["w_count"], r["w_sum"])
+            for r in trailing_window_features(
+                labels, events, w, value_col="value"
+            ).collect()
+        }
+        for lid, d in got.items():
+            assert (d[f"w{w}_count"], d[f"w{w}_sum"]) == solo[lid], (lid, w)
+
+    # fusion claim: exchange count does NOT grow with the number of
+    # windows (extra windows are extra anchor ROWS, not extra passes).
+    # Compare FRESH plans — an executed DataFrame renders AQE's final
+    # per-stage form, which double-counts exchanges vs a fresh plan.
+    import re
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    solo_df = trailing_window_features(labels, events, 30, value_col="value")
+    fresh_fused = trailing_window_features(
+        labels, events, [30, 100], value_col="value"
+    )
+    assert n_exchanges(fresh_fused) == n_exchanges(solo_df) == 2
+
+    import pytest
+    with pytest.raises(ValueError, match="distinct"):
+        trailing_window_features(labels, events, [30, 30])
