@@ -483,6 +483,66 @@ class Catalog:
         """C18 refresh support: drop cached DF so next access recomputes."""
         self._df_cache.pop((name, variant), None)
 
+    # -- lineage (the reference dashboard's resource DAG,
+    #    metadata/metadata.go resource graph; models_using is the
+    #    single-hop reverse view, this is the full edge set) --------
+
+    def lineage_edges(self) -> list[tuple[str, str, str, str]]:
+        """Every dependency edge in the registry as
+        ``(upstream_type, upstream_key, downstream_type,
+        downstream_key)`` — downstream CONSUMES upstream. Keys render
+        as ``name.variant`` (bare ``name`` for models). Driver-side
+        metadata (the registry is in-memory by design); feed it to a
+        DataFrame/graphviz for the dashboard view, or walk it with
+        ``upstream_closure`` for impact analysis."""
+        def k(name: str, variant: str) -> str:
+            return f"{name}.{variant}"
+
+        edges: list[tuple[str, str, str, str]] = []
+        for (n, v), s in self._sources.items():
+            for (inn, inv) in s.inputs:
+                edges.append(("source", k(inn, inv), "source", k(n, v)))
+        for (n, v), f in self._features.items():
+            edges.append(("source", k(*f.source), "feature", k(n, v)))
+        for (n, v), lb in self._labels.items():
+            edges.append(("source", k(*lb.source), "label", k(n, v)))
+        for (n, v), ts in self._training_sets.items():
+            edges.append(("label", k(*ts.label), "training_set", k(n, v)))
+            for fk in ts.features:
+                edges.append(("feature", k(*fk), "training_set", k(n, v)))
+            for lag in ts.lags:
+                edges.append(
+                    ("feature", k(lag.feature, lag.variant),
+                     "training_set", k(n, v))
+                )
+        for name, m in self._models.items():
+            for fk in m.features:
+                edges.append(("feature", k(*fk), "model", name))
+            for tk in m.training_sets:
+                edges.append(("training_set", k(*tk), "model", name))
+        # stable, de-duplicated (lag of an also-plain feature repeats)
+        return sorted(set(edges))
+
+    def upstream_closure(
+        self, kind: str, name: str, variant: str | None = None
+    ) -> set[tuple[str, str]]:
+        """Transitive upstream set of a resource — everything whose
+        change invalidates it (the impact-analysis walk). Returns
+        ``(type, key)`` pairs, excluding the resource itself."""
+        key = name if variant is None else f"{name}.{variant}"
+        by_dst: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        for ut, uk, dt, dk in self.lineage_edges():
+            by_dst.setdefault((dt, dk), []).append((ut, uk))
+        seen: set[tuple[str, str]] = set()
+        frontier = [(kind, key)]
+        while frontier:
+            node = frontier.pop()
+            for up in by_dst.get(node, []):
+                if up not in seen:
+                    seen.add(up)
+                    frontier.append(up)
+        return seen
+
     def apply(self) -> dict[str, int]:
         """Entry point A (SURVEY §3.1): resolve EVERY registered
         resource in dependency order — the in-process collapse of

@@ -166,6 +166,50 @@ def atomic_update(df: DataFrame, target_dir: str, keep_versions: int = 2) -> str
     return target_dir
 
 
+def erase_entities(
+    spark,
+    target_dir: str,
+    entity_col: str,
+    keys,
+    keep_versions: int = 1,
+) -> str:
+    """Right-to-erasure over a C18-versioned table: rewrite the
+    current version WITHOUT the given entities and commit it through
+    the same atomic swap refreshes use — readers see the old snapshot
+    XOR the erased one, never a partial delete. ``keys`` is a Python
+    list (≤ a few thousand ids — becomes a plan literal ``isin``, no
+    shuffle added) or a DataFrame of keys (anti-join — the bulk path
+    when the deletion list is itself a table).
+
+    ``keep_versions`` defaults to 1 — unlike a refresh, erasure is
+    only real once the superseded versions holding the data are GONE,
+    so the time-travel tail is purged in the same commit. Pass a
+    larger value only when a retention policy explicitly allows the
+    grace window (and document why). Returns ``target_dir``.
+
+    On Delta/Iceberg this maps to ``DELETE WHERE`` + ``VACUUM``; the
+    call-site contract (erase + purge history in one operation) is
+    the same.
+    """
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    cur = read_version(spark, target_dir, 0)
+    if isinstance(keys, _DF):
+        kdf = keys.toDF(entity_col).dropDuplicates()
+        kept = cur.join(F.broadcast(kdf), entity_col, "left_anti")
+    else:
+        keys = list(keys)
+        if not keys:
+            raise ValueError("keys must be non-empty")
+        # NULL-keyed rows are not "in keys" — keep them explicitly
+        # (a bare ~isin filters NULLs out too: three-valued logic)
+        kept = cur.filter(
+            F.col(entity_col).isNull() | ~F.col(entity_col).isin(keys)
+        )
+    return atomic_update(kept, target_dir, keep_versions=keep_versions)
+
+
 # -- S11: online-store push ---------------------------------------------------
 
 _TARGET_PARTITION_BYTES = 128 * 1024 * 1024  # runner :617-660

@@ -1871,3 +1871,43 @@ def test_cross_validated_auc_composition(spark):
         assert all(a > 0.9 for a in aucs), aucs
     finally:
         folded.unpersist()
+
+
+def test_catalog_lineage_edges_and_upstream_closure(spark, tmp_path):
+    """The lineage export carries every dependency edge (transform
+    inputs, feature/label sources, training-set membership incl.
+    lags, model consumption) and the upstream closure walks it
+    transitively."""
+    import datetime as dt
+
+    from embeddinghub_spark.catalog import Catalog, SourceVariant
+
+    cat = Catalog(spark)
+    p = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(
+        [(1, 2.0, dt.datetime(2024, 1, 1))], ["user_id", "value", "ts"]
+    ).write.parquet(p)
+    cat.register_source(SourceVariant(name="raw", variant="v1", path=p))
+    cat.sql_transformation(
+        "clean", "v1", "SELECT * FROM {{raw.v1}}"
+    )
+    cat.register_feature("f", "v1", ("clean", "v1"), "user_id", "value", "ts")
+    cat.register_label("y", "v1", ("raw", "v1"), "user_id", "value", "ts")
+    cat.register_training_set("t", "v1", ("y", "v1"), [("f", "v1")])
+    cat.register_model("m", features=[("f", "v1")], training_sets=[("t", "v1")])
+
+    edges = set(cat.lineage_edges())
+    assert ("source", "raw.v1", "source", "clean.v1") in edges
+    assert ("source", "clean.v1", "feature", "f.v1") in edges
+    assert ("source", "raw.v1", "label", "y.v1") in edges
+    assert ("label", "y.v1", "training_set", "t.v1") in edges
+    assert ("feature", "f.v1", "training_set", "t.v1") in edges
+    assert ("feature", "f.v1", "model", "m") in edges
+    assert ("training_set", "t.v1", "model", "m") in edges
+
+    up = cat.upstream_closure("model", "m")
+    assert ("source", "raw.v1") in up and ("feature", "f.v1") in up
+    assert ("training_set", "t.v1") in up and ("label", "y.v1") in up
+    assert ("model", "m") not in up
+    # a leaf source has no upstream
+    assert cat.upstream_closure("source", "raw", "v1") == set()

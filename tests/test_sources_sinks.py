@@ -336,3 +336,39 @@ def test_write_jsonl_shards_roundtrip_and_sizing(spark, tmp_path):
     gz = write_jsonl_shards(df.limit(10), str(tmp_path / "jsonl_gz"))
     assert any(f.endswith(".gz") for f in os.listdir(gz))
     assert spark.read.json(gz).count() == 10
+
+
+def test_erase_entities_purges_history(spark, tmp_path):
+    """Erasure removes the entities from the current version AND
+    purges the superseded versions holding their data (keep_versions
+    defaults to 1); NULL-keyed rows survive a list-based erase; the
+    DataFrame-key path matches."""
+    from embeddinghub_spark.sources.sinks import (
+        atomic_update,
+        erase_entities,
+        list_versions,
+        read_version,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")], ["ent", "v"]
+    )
+    atomic_update(df, target)
+    atomic_update(df, target)  # two versions on disk
+    assert len(list_versions(target)) == 2
+
+    erase_entities(spark, target, "ent", [2, 3])
+    cur = {(r["ent"], r["v"]) for r in read_version(spark, target, 0).collect()}
+    assert cur == {(1, "a"), (None, "n")}
+    # history holding the erased rows is gone
+    assert len(list_versions(target)) == 1
+
+    kdf = spark.createDataFrame([(1,)], ["k"])
+    erase_entities(spark, target, "ent", kdf)
+    cur = {(r["ent"], r["v"]) for r in read_version(spark, target, 0).collect()}
+    assert cur == {(None, "n")}
+
+    import pytest
+    with pytest.raises(ValueError):
+        erase_entities(spark, target, "ent", [])
