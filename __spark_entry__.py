@@ -7158,6 +7158,33 @@ FROM j
 """
 
 
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (functions/profile.py
+    dataset_fingerprint): exact decimal sum of 60-bit row hashes over
+    nation — the reproducibility anchor / replica-equality probe."""
+    from embeddinghub_spark.functions.profile import dataset_fingerprint
+
+    return dataset_fingerprint(
+        _t(spark, sf_dir, "nation"), ["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+
+_DATASET_FINGERPRINT_ORACLE = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(concat_ws('|',
+           coalesce(CAST(n_nationkey AS VARCHAR), '∅'),
+           coalesce(CAST(n_name AS VARCHAR), '∅'),
+           coalesce(CAST(n_regionkey AS VARCHAR), '∅'))), 1, 15))
+         AS BIGINT) AS hv
+  FROM nation
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(COALESCE(SUM(CAST(hv AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+FROM h
+"""
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe by-entity split (operators/split.py entity_split):
     every order of a customer lands on one side — zero shuffles, the
@@ -7267,6 +7294,7 @@ def staged_queries() -> dict:
         "pit_staleness": q_pit_staleness,
         "time_to_next_event": q_time_to_next_event,
         "trailing_window": q_trailing_window,
+        "dataset_fingerprint": q_dataset_fingerprint,
     }
 
 
@@ -7284,5 +7312,6 @@ def staged_oracle_sql() -> dict:
         "pit_staleness": _PIT_STALENESS_ORACLE,
         "time_to_next_event": _TIME_TO_NEXT_ORACLE,
         "trailing_window": _TRAILING_WINDOW_ORACLE,
+        "dataset_fingerprint": _DATASET_FINGERPRINT_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

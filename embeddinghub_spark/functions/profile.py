@@ -314,6 +314,46 @@ def hll_distinct_by(
     )
 
 
+def dataset_fingerprint(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a dataset — the
+    reproducibility anchor a training run records next to its model
+    artifact ("trained on data whose fingerprint was X"), and the
+    cheap equality probe between two copies of a table (replicas,
+    pre/post-migration) without a row-level diff.
+
+    Each row renders to the canonical string protocol (``'|'``-joined
+    values, NULLs as '∅' — the ``skew_report`` convention), hashes to
+    a 60-bit md5 prefix, and the fingerprint is the EXACT SUM of row
+    hashes as DECIMAL(38,0) — commutative and associative, so any
+    partitioning, any aggregation order, and any engine produce the
+    same digits (unlike an XOR fold, duplicate rows do not cancel;
+    unlike a sorted-concat hash, no global sort is needed). One
+    map-side-combined aggregate; the exchange is one decimal row per
+    partition at any table size.
+
+    Output: one row ``(n_rows, fingerprint)`` with the fingerprint as
+    a decimal string of the sum. Collisions are ~birthday-bounded on
+    60-bit row hashes — an integrity probe, not a cryptographic
+    commitment.
+    """
+    cols = key_cols or df.columns
+    if not cols:
+        raise ValueError("dataset has no columns to fingerprint")
+    row = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("_h"), F.lit(0).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fingerprint"),
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,

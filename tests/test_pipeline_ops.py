@@ -1911,3 +1911,40 @@ def test_catalog_lineage_edges_and_upstream_closure(spark, tmp_path):
     assert ("model", "m") not in up
     # a leaf source has no upstream
     assert cat.upstream_closure("source", "raw", "v1") == set()
+
+
+def test_dataset_fingerprint_partition_invariant_and_sensitive(spark):
+    """The fingerprint is identical under any partitioning/row order,
+    changes when any value changes, does not cancel duplicates, and
+    treats NULL and '∅'-string distinctly from missing columns."""
+    from embeddinghub_spark.functions.profile import dataset_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, None), (3, "c")], ["k", "v"]
+    )
+    base = dataset_fingerprint(df).collect()[0]
+    assert base["n_rows"] == 4
+
+    rep = dataset_fingerprint(df.repartition(7)).collect()[0]
+    assert (rep["n_rows"], rep["fingerprint"]) == (4, base["fingerprint"])
+
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, None), (3, "d")], ["k", "v"]
+    )
+    assert (
+        dataset_fingerprint(changed).collect()[0]["fingerprint"]
+        != base["fingerprint"]
+    )
+
+    # duplicates do NOT cancel (sum, not xor): dropping one dup changes it
+    dedup = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["k", "v"]
+    )
+    assert (
+        dataset_fingerprint(dedup).collect()[0]["fingerprint"]
+        != base["fingerprint"]
+    )
+
+    # empty frame fingerprints to 0 with 0 rows
+    empty = dataset_fingerprint(df.limit(0)).collect()[0]
+    assert (empty["n_rows"], empty["fingerprint"]) == (0, "0")
