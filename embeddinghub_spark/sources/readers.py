@@ -102,7 +102,10 @@ def read_file(
             .option("ignoreCorruptFiles", "true")
             .option("mode", "PERMISSIVE")
         )
-    elif fmt == "parquet":
+    elif fmt in ("parquet", "orc"):
+        # orc is Spark-native (no connector JAR) — same tolerance
+        # posture as parquet; rounds out the columnar file formats a
+        # data-lake PrimaryData pointer can name
         reader = reader.option("recursiveFileLookup", "true").option(
             "ignoreCorruptFiles", "true"
         )

@@ -24,12 +24,21 @@ def timestamped_output_dir(base: str) -> str:
     return os.path.join(base, stamp)
 
 
-def write_parquet(df: DataFrame, base_dir: str) -> str:
+def write_parquet(
+    df: DataFrame, base_dir: str, compression: str | None = None
+) -> str:
     """S8: parquet sink into a fresh timestamped dir (newest dir = the
     current version, exactly how the reference Spark store finds the
-    latest training set — provider/spark.go:1648-1650)."""
+    latest training set — provider/spark.go:1648-1650).
+    ``compression`` overrides the session codec (e.g. ``zstd`` —
+    Spark-native, ~30% smaller than snappy on text-heavy tables at
+    similar scan speed; at 100 TB that is real storage and
+    scan-bandwidth money)."""
     out = timestamped_output_dir(base_dir)
-    df.write.mode("overwrite").parquet(out)
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(out)
     return out
 
 

@@ -372,3 +372,23 @@ def test_erase_entities_purges_history(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         erase_entities(spark, target, "ent", [])
+
+
+def test_orc_roundtrip_and_zstd_parquet(spark, tmp_path):
+    """ORC reads through the same S1/S2 entry point (Spark-native, no
+    connector), and the parquet sink's zstd override produces
+    readable, codec-tagged files."""
+    from embeddinghub_spark.sources.sinks import write_parquet
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    orc_dir = str(tmp_path / "orc")
+    df.write.orc(orc_dir)
+    back = read_file(spark, orc_dir, "orc")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+    out = write_parquet(df, str(tmp_path / "pq"), compression="zstd")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(out).count() == 2
