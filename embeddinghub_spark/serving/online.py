@@ -29,6 +29,13 @@ class EntityNotFound(KeyError):
     key (serving/serving.go:612-679) — never an arbitrary fallback."""
 
 
+class StaleValue(Exception):
+    """A freshness-guarded GET found the value older than the
+    caller's ``max_staleness`` budget (or with no timestamp to check
+    against). Serving stale features silently is the quiet failure
+    mode of every online store — the guard makes it loud."""
+
+
 class OnlineTable:
     """KV snapshot of one feature materialization (provider/online.go:50-53)."""
 
@@ -36,14 +43,49 @@ class OnlineTable:
         self.name = name
         self.variant = variant
         self._data: dict[Any, Any] = {}
+        self._ts: dict[Any, Any] = {}
 
-    def set(self, entity: Any, value: Any) -> None:
+    def set(self, entity: Any, value: Any, ts: Any = None) -> None:
         self._data[entity] = value
+        if ts is not None:
+            self._ts[entity] = ts
 
-    def get(self, entity: Any) -> Any:
+    def get(
+        self,
+        entity: Any,
+        max_staleness_seconds: float | None = None,
+        now: Any = None,
+    ) -> Any:
         """V3 single GET; KeyError on miss (reference returns
-        EntityNotFound — serving/serving.go:612-679)."""
-        return self._data[entity]
+        EntityNotFound — serving/serving.go:612-679).
+
+        ``max_staleness_seconds`` turns the GET into a freshness-
+        guarded read (the serving-side SLO `pit_staleness` measures
+        offline): raises ``StaleValue`` when the stored value's
+        materialization timestamp is older than the budget relative
+        to ``now`` (a datetime; defaults to the current UTC wall
+        clock), or when the snapshot carries no timestamp at all
+        (a no-ts materialization cannot honor a freshness contract —
+        failing loud beats certifying unknowable freshness)."""
+        value = self._data[entity]
+        if max_staleness_seconds is not None:
+            ts = self._ts.get(entity)
+            if ts is None:
+                raise StaleValue(
+                    f"{self.name}.{self.variant}[{entity!r}] has no "
+                    "materialization timestamp to check freshness against"
+                )
+            if now is None:
+                from datetime import datetime, timezone
+
+                now = datetime.now(timezone.utc).replace(tzinfo=None)
+            age = (now - ts).total_seconds()
+            if age > max_staleness_seconds:
+                raise StaleValue(
+                    f"{self.name}.{self.variant}[{entity!r}] is {age:.0f}s "
+                    f"old (budget {max_staleness_seconds:.0f}s)"
+                )
+        return value
 
     def multi_get(self, entities: list[Any]) -> list[Any]:
         return [self._data.get(e) for e in entities]
@@ -77,8 +119,9 @@ class OnlineStore:
         else:
             snap = materialize_no_ts(table)
         t = OnlineTable(name, variant)
+        has_ts = "ts" in snap.columns
         for row in snap.toLocalIterator():  # streams chunks, no full collect
-            t.set(row["entity"], row["value"])
+            t.set(row["entity"], row["value"], row["ts"] if has_ts else None)
         self._tables[(name, variant)] = t
         return t
 

@@ -269,3 +269,30 @@ def test_features_model_attribution(served_catalog):
     assert store.model_usage[("attrib_model", fkey)] == 2
     with pytest.raises(ResourceNotFound):
         store.features([fkey], {"entity": "a"}, model="ghost")
+
+
+def test_online_get_freshness_guard(spark):
+    """A freshness-budgeted GET serves within budget, raises
+    StaleValue past it, and refuses to certify freshness for values
+    with no timestamp — plain GETs are unchanged."""
+    import datetime as dt
+
+    import pytest
+
+    from embeddinghub_spark.serving.online import OnlineTable, StaleValue
+
+    t = OnlineTable("f", "v1")
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t.set("a", 1.0, ts=ts)
+    t.set("b", 2.0)  # no timestamp
+
+    now = ts + dt.timedelta(seconds=30)
+    assert t.get("a") == 1.0
+    assert t.get("a", max_staleness_seconds=60, now=now) == 1.0
+    with pytest.raises(StaleValue, match="30s old"):
+        t.get("a", max_staleness_seconds=10, now=now)
+    with pytest.raises(StaleValue, match="no.*timestamp"):
+        t.get("b", max_staleness_seconds=60, now=now)
+    assert t.get("b") == 2.0
+    with pytest.raises(KeyError):
+        t.get("missing")
