@@ -1183,3 +1183,66 @@ def test_streaming_auc_equals_batch_and_skips_replays(spark, tmp_path):
     assert applied is False
     again = read_auc(spark, state).collect()[0]
     assert again.auc == want.auc and again.n_pos == want.n_pos
+
+
+def test_streaming_enrich_follows_refresh_and_replays_safely(spark, tmp_path):
+    """Per-batch version re-resolution: a C18 refresh BETWEEN batches
+    changes what later batches join against (the frozen-static-plan
+    failure this op exists to avoid); a replayed batch id overwrites
+    its own output instead of duplicating; the e2e availableNow run
+    enriches every row."""
+    from embeddinghub_spark.sources.sinks import atomic_update
+    from embeddinghub_spark.streaming.enrich import (
+        enrich_batch,
+        read_enriched,
+        streaming_enrich,
+    )
+
+    feats_dir = str(tmp_path / "feats")
+    atomic_update(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["entity", "f"]),
+        feats_dir,
+    )
+    out = str(tmp_path / "enriched")
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["event_id", "entity"])
+    enrich_batch(spark, b0, feats_dir, ["entity"], out, batch_id=0)
+
+    # refresh mid-stream: the NEXT batch must see the new values
+    atomic_update(
+        spark.createDataFrame([("a", 10.0), ("b", 20.0)], ["entity", "f"]),
+        feats_dir,
+    )
+    b1 = spark.createDataFrame([(3, "a")], ["event_id", "entity"])
+    enrich_batch(spark, b1, feats_dir, ["entity"], out, batch_id=1)
+
+    got = {
+        r["event_id"]: r["f"] for r in read_enriched(spark, out).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 10.0}
+
+    # replayed batch id: overwrite, not duplicate
+    enrich_batch(spark, b1, feats_dir, ["entity"], out, batch_id=1)
+    assert read_enriched(spark, out).count() == 3
+
+    # e2e through a real stream
+    src = str(tmp_path / "src")
+    events = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10, 16)],
+        ["event_id", "entity"],
+    )
+    events.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out2 = str(tmp_path / "enriched2")
+    q = streaming_enrich(
+        stream, feats_dir, ["entity"], out2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+    rows = read_enriched(spark, out2).collect()
+    assert len(rows) == 6
+    assert all(r["f"] in (10.0, 20.0) for r in rows)
