@@ -108,6 +108,7 @@ class OnlineStore:
         self.model_usage: dict[tuple[str, tuple], int] = {}
         self._tables: dict[tuple[str, str], OnlineTable] = {}
         self._vectors: dict[tuple[str, str], DataFrame] = {}
+        self._vector_indexes: dict[tuple[str, str], tuple[str, int]] = {}
 
     # -- V4: batch copy from offline materialization
 
@@ -176,10 +177,37 @@ class OnlineStore:
 
     # -- V5: nearest
 
+    def register_vector_index(
+        self, name: str, variant: str, index_dir: str, nprobe: int = 4
+    ) -> None:
+        """Serve ``nearest`` from a persisted on-disk IVF index
+        (functions/ann_index.py) instead of a brute-force corpus
+        scan: each query opens only its ``nprobe`` probed cell
+        partitions (PartitionFilters file-skipping), which is the
+        point of paying the build once — the embeddinghub HNSW
+        sidecar's batch-Spark analogue (embeddingstore/index.cc).
+        Replaces any table registered under the same key."""
+        self._vectors.pop((name, variant), None)
+        self._vector_indexes[(name, variant)] = (index_dir, nprobe)
+
     def nearest(self, name: str, variant: str, vector: list[float], k: int) -> list[Any]:
         """k-NN against a registered vector table (batch brute-force;
-        serving/serving.go:744-800)."""
-        df = self._vectors[(name, variant)]
+        serving/serving.go:744-800) or, when an index is registered,
+        partition-pruned probes of the on-disk IVF index."""
+        key = (name, variant)
+        if key in self._vector_indexes:
+            from embeddinghub_spark.functions.ann_index import ivf_index_probe
+
+            index_dir, nprobe = self._vector_indexes[key]
+            spark = self.catalog.spark
+            q = spark.createDataFrame([(0, vector)], ["query_id", "query_vec"])
+            hits = (
+                ivf_index_probe(spark, index_dir, q, k, nprobe=nprobe)
+                .orderBy("rank")
+                .collect()
+            )
+            return [r["neighbor_id"] for r in hits]
+        df = self._vectors[key]
         spark = df.sparkSession
         q = spark.createDataFrame([(0, vector)], ["query_id", "query_vec"])
         hits = knn_bruteforce(df, q, k).orderBy("rank").collect()

@@ -296,3 +296,32 @@ def test_online_get_freshness_guard(spark):
     assert t.get("b") == 2.0
     with pytest.raises(KeyError):
         t.get("missing")
+
+
+def test_nearest_via_disk_index_matches_bruteforce(spark, tmp_path):
+    """An index-registered nearest answers through partition-pruned
+    probes and (with full probe coverage) matches the brute-force
+    neighbor list exactly."""
+    import random
+
+    from embeddinghub_spark.catalog import Catalog
+    from embeddinghub_spark.functions.ann_index import ivf_index_build
+    from embeddinghub_spark.serving.online import OnlineStore
+
+    rng = random.Random(5)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(df, idx, n_cells=4, dim=8)
+
+    store = OnlineStore(Catalog(spark))
+    store.register_vector_table("emb", "v1", df)
+    q = vecs[17][1]
+    brute = store.nearest("emb", "v1", q, 5)
+
+    store.register_vector_index("emb", "v1", idx, nprobe=4)  # all cells
+    indexed = store.nearest("emb", "v1", q, 5)
+    assert indexed == brute
+    assert indexed[0] == 17  # self is its own nearest neighbor
