@@ -1948,3 +1948,23 @@ def test_dataset_fingerprint_partition_invariant_and_sensitive(spark):
     # empty frame fingerprints to 0 with 0 rows
     empty = dataset_fingerprint(df.limit(0)).collect()[0]
     assert (empty["n_rows"], empty["fingerprint"]) == (0, "0")
+
+
+def test_dataset_fingerprint_union_additivity(spark):
+    """The merge law that makes the digest scale: fingerprint(A ∪ B)
+    equals the integer SUM of the parts' fingerprints — shards can be
+    fingerprinted independently and combined driver-side without
+    rescanning the union."""
+    from embeddinghub_spark.functions.profile import dataset_fingerprint
+
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"])
+    b = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50, 80)], ["k", "v"]
+    )
+    fa = dataset_fingerprint(a).collect()[0]
+    fb = dataset_fingerprint(b).collect()[0]
+    fu = dataset_fingerprint(a.unionByName(b)).collect()[0]
+    assert int(fu["fingerprint"]) == int(fa["fingerprint"]) + int(
+        fb["fingerprint"]
+    )
+    assert fu["n_rows"] == fa["n_rows"] + fb["n_rows"] == 80
