@@ -83,6 +83,52 @@ def materialize(
     )
 
 
+def materialize_refresh(
+    spark,
+    delta_df: DataFrame,
+    target_dir: str,
+    entity_col: str = "entity",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    keep_versions: int = 2,
+) -> str:
+    """Incremental C3 refresh: fold ONLY the new rows into the
+    previous snapshot and commit through the C18 atomic swap —
+    refresh cost O(|delta| + |entities|) instead of re-aggregating
+    the full history every run (at 100 TB the history rescan IS the
+    materialization bill; the reference schedules exactly this kind
+    of periodic update). Feed ``delta_df`` from the S5 incremental
+    read (``read_incremental`` + the overwrite-detection state).
+
+    Semantics are EXACTLY full-rebuild ``materialize`` over
+    everything ever folded (pinned by test, late deltas included):
+    the previous snapshot already holds each entity's winning
+    ``(ts, value)``, and the max-struct aggregate over
+    ``snapshot ∪ materialize(delta)`` re-picks the same winner the
+    full history would — a late-arriving older row cannot overwrite
+    a newer snapshot value, and ties break value-DESC like C3. The
+    delta is pre-collapsed per entity before the union, so the fold
+    aggregate sees ≤ |entities| + |delta entities| rows.
+
+    First call (no snapshot yet) bootstraps from the delta alone.
+    Returns ``target_dir`` (readable via ``read_version``; previous
+    snapshots remain for time travel per ``keep_versions``).
+    """
+    from embeddinghub_spark.sources.sinks import (
+        atomic_update,
+        list_versions,
+        read_version,
+    )
+
+    delta_snap = materialize(delta_df, entity_col, value_col, ts_col)
+    if not list_versions(target_dir):
+        snap = delta_snap
+    else:
+        prev = read_version(spark, target_dir, 0)
+        snap = materialize(prev.unionByName(delta_snap))
+    return atomic_update(snap, target_dir, keep_versions=keep_versions)
+
+
 def materialize_no_ts(
     df: DataFrame,
     entity_col: str = "entity",

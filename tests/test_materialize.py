@@ -107,3 +107,54 @@ def test_scale_features_degenerate_groups(spark):
     assert out[("b", 5.0)] == (None, None)
     assert out[("a", 1.0)][1] == 0.0 and out[("a", 3.0)][1] == 1.0
     assert abs(out[("a", 3.0)][0] - 0.707107) < 1e-6
+
+
+def test_materialize_refresh_equals_full_rebuild(spark, tmp_path):
+    """Incremental refresh over three delta waves — including a LATE
+    wave carrying an older timestamp for an already-updated entity —
+    equals full-rebuild materialize over everything; history stays
+    readable (time travel); the fold never rescans prior deltas."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.materialize import (
+        materialize,
+        materialize_refresh,
+    )
+    from embeddinghub_spark.sources.sinks import read_version
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    waves = [
+        [("a", 1.0, ts(1)), ("b", 5.0, ts(2))],
+        [("a", 2.0, ts(5)), ("c", 7.0, ts(3))],
+        # late wave: a@ts3 is OLDER than the snapshot's a@ts5 -> loses
+        [("a", 99.0, ts(3)), ("b", 6.0, ts(9)), ("d", 1.0, ts(1))],
+    ]
+    target = str(tmp_path / "snap")
+    for w in waves:
+        delta = spark.createDataFrame(w, ["entity", "value", "ts"])
+        materialize_refresh(spark, delta, target)
+
+    got = {
+        r["entity"]: (r["value"], r["ts"])
+        for r in read_version(spark, target, 0).collect()
+    }
+    full = spark.createDataFrame(
+        [r for w in waves for r in w], ["entity", "value", "ts"]
+    )
+    want = {
+        r["entity"]: (r["value"], r["ts"])
+        for r in materialize(full).collect()
+    }
+    assert got == want
+    assert got["a"] == (2.0, ts(5))  # late 99.0@ts3 did not win
+
+    # previous snapshot still readable (keep_versions=2 default)
+    prev = {
+        r["entity"]: r["value"]
+        for r in read_version(spark, target, 1).collect()
+    }
+    assert prev["a"] == 2.0 and "d" not in prev
