@@ -138,6 +138,8 @@ class OnlineStore:
         entities: dict[str, Any],
         params: Any = None,
         model: str | None = None,
+        max_staleness_seconds: float | None = None,
+        now: Any = None,
     ) -> list[Any]:
         """Serve a feature vector for one entity (mode switch per
         serving/serving.go:625-667): PRECOMPUTED → snapshot get;
@@ -169,7 +171,17 @@ class OnlineStore:
                         f"feature {name}.{variant} needs entity {entity_name!r}; "
                         f"got {sorted(entities)}"
                     )
-                out.append(self._tables[key]._data.get(entities[entity_name]))
+                t = self._tables[key]
+                ent = entities[entity_name]
+                if max_staleness_seconds is not None and ent in t._data:
+                    # freshness-budgeted serve: StaleValue propagates
+                    # (serving stale silently is the failure mode);
+                    # a MISSING entity still serves None (C6's NULL)
+                    out.append(
+                        t.get(ent, max_staleness_seconds=max_staleness_seconds, now=now)
+                    )
+                else:
+                    out.append(t._data.get(ent))
             else:
                 od = self.catalog.on_demand(name, variant)
                 out.append(od.fn(self, params, entities))

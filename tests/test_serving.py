@@ -325,3 +325,43 @@ def test_nearest_via_disk_index_matches_bruteforce(spark, tmp_path):
     indexed = store.nearest("emb", "v1", q, 5)
     assert indexed == brute
     assert indexed[0] == 17  # self is its own nearest neighbor
+
+
+def test_features_serve_with_freshness_budget(spark, tmp_path):
+    """The V3 serve path honors max_staleness_seconds end-to-end:
+    within budget serves, past budget raises StaleValue, missing
+    entities still serve None (the C6 NULL convention)."""
+    import datetime as dt
+
+    import pytest
+
+    from embeddinghub_spark.catalog import Catalog
+    from embeddinghub_spark.serving.online import OnlineStore, StaleValue
+
+    cat = Catalog(spark)
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    p = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(42, 7.0, ts)], ["user_id", "value", "ts"]
+    ).write.parquet(p)
+    cat.register_file("src", "v1", p, timestamp_column="ts")
+    cat.register_feature("f", "v1", ("src", "v1"), "user_id", "value", "ts")
+
+    store = OnlineStore(cat)
+    store.materialize_feature("f", "v1")
+    now = ts + dt.timedelta(seconds=120)
+    ok = store.features(
+        [("f", "v1")], {"entity": 42},
+        max_staleness_seconds=300, now=now,
+    )
+    assert ok == [7.0]
+    with pytest.raises(StaleValue):
+        store.features(
+            [("f", "v1")], {"entity": 42},
+            max_staleness_seconds=60, now=now,
+        )
+    # missing entity: None, not a freshness error
+    assert store.features(
+        [("f", "v1")], {"entity": 999},
+        max_staleness_seconds=60, now=now,
+    ) == [None]
