@@ -30,9 +30,10 @@ Tie pins (SURVEY §4): equal feature ts → larger value wins
 
 from __future__ import annotations
 
+import os
 from datetime import timedelta
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from embeddinghub_spark.catalog import Catalog, FeatureLag, TrainingSetVariant
@@ -428,6 +429,7 @@ def build_training_set(
     ts_def: TrainingSetVariant,
     strategy: str = "auto",
     order_by_label_ts: bool = False,
+    label_filter=None,
 ) -> DataFrame:
     """C6-C13 composed: label left-ASOF-joined with every feature
     group, the full 4-way timestamp grid:
@@ -446,6 +448,12 @@ def build_training_set(
     lbl_def = catalog.label(*ts_def.label)
     labels = catalog.label_table(*ts_def.label)
     label_has_ts = lbl_def.columns.ts is not None
+
+    if label_filter is not None:
+        # incremental refreshes prune the LABEL side here, before the
+        # ASOF union — a post-join filter could not push through the
+        # entity window, so the whole label history would still pay
+        labels = labels.filter(label_filter)
 
     # collapse duplicate (entity…, value, ts) label rows up front —
     # equivalent to the reference's per-join rn=1 collapse.
@@ -859,6 +867,65 @@ def trailing_window_features(
                 ).alias(sum_col)
             )
     return picked.select(*out)
+
+
+def training_set_refresh(
+    catalog: Catalog,
+    name: str,
+    variant: str,
+    target_dir: str,
+    refresh_id: int,
+    since=None,
+    strategy: str = "auto",
+) -> str:
+    """Incremental training-set maintenance: PIT-join ONLY the labels
+    newer than ``since`` (a timestamp; None bootstraps everything)
+    and land them in ``target_dir/refresh-<id>`` with
+    ``mode("overwrite")`` — a replayed refresh id overwrites its own
+    output instead of appending duplicates (the ``streaming_enrich``
+    idempotence discipline). ``read_training_set_dir`` reads the
+    union.
+
+    Why this shape: a scheduled training-set update joins yesterday's
+    NEW labels, not the whole label history — the label side prunes
+    BEFORE the ASOF union (a post-join filter cannot push through the
+    entity window), so refresh cost scales with the label delta. The
+    FEATURE side still reads its full history — ASOF correctness
+    requires it (a new label may match an arbitrarily old feature
+    row); bound that side upstream with the bucketed feature layout
+    or feature-table retention, not here.
+
+    Caveats the caller owns: ``since`` is an EVENT-time cutoff, so
+    late-arriving labels older than it are skipped — drive ``since``
+    from the S5 incremental state (ingestion watermark + overwrite
+    detection) when the label source can be late; appended refreshes
+    are only disjoint if successive ``since`` values are (the same
+    S5 state gives exactly that).
+    """
+    ts_def = catalog.training_set(name, variant)
+    label_filter = None
+    if since is not None:
+        lbl_def = catalog.label(*ts_def.label)
+        if lbl_def.columns.ts is None:
+            raise ValueError(
+                "incremental refresh needs a label timestamp; "
+                f"label {lbl_def.name}.{lbl_def.variant} has none"
+            )
+        label_filter = F.col("ts") > F.lit(since)
+    df = build_training_set(
+        catalog, ts_def, strategy=strategy, label_filter=label_filter
+    )
+    path = os.path.join(target_dir, f"refresh-{int(refresh_id)}")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_training_set_dir(spark: SparkSession, target_dir: str) -> DataFrame:
+    """All refreshes' rows as one training frame (recursive scan over
+    the per-refresh directories)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(target_dir)
+    )
 
 
 def validate_pit(

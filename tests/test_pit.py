@@ -650,3 +650,74 @@ def test_trailing_window_features_multi_window_fusion(spark):
     import pytest
     with pytest.raises(ValueError, match="distinct"):
         trailing_window_features(labels, events, [30, 30])
+
+
+def test_training_set_refresh_incremental_equals_full(spark, tmp_path):
+    """An incremental refresh joins ONLY the labels newer than
+    `since` (delta == the full set filtered by label_ts), a full
+    bootstrap + replayed refresh id stays idempotent, and a no-ts
+    label rejects an event-time cutoff."""
+    import datetime as dt
+
+    import pytest
+
+    from embeddinghub_spark.catalog import Catalog
+    from embeddinghub_spark.operators.pit import (
+        read_training_set_dir,
+        training_set_refresh,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    cat = Catalog(spark)
+    src = str(tmp_path / "events.parquet")
+    rows = (
+        [(u, "click", float(u * 10 + h), ts(h)) for u in (1, 2) for h in (1, 4, 7)]
+        + [(u, "purchase", float(u), ts(h)) for u in (1, 2) for h in (3, 6, 9)]
+    )
+    spark.createDataFrame(rows, ["user_id", "etype", "value", "ts"]).write.parquet(src)
+    cat.register_file("ev", "v1", src, timestamp_column="ts")
+    cat.sql_transformation(
+        "clicks", "v1",
+        "SELECT user_id, value, ts FROM {{ev.v1}} WHERE etype = 'click'",
+    )
+    cat.sql_transformation(
+        "buys", "v1",
+        "SELECT user_id, value, ts FROM {{ev.v1}} WHERE etype = 'purchase'",
+    )
+    cat.register_feature("cv", "v1", ("clicks", "v1"), "user_id", "value", "ts")
+    cat.register_label("spend", "v1", ("buys", "v1"), "user_id", "value", "ts")
+    cat.register_training_set("tset", "v1", ("spend", "v1"), [("cv", "v1")])
+
+    full = cat.training_set_dataframe("tset", "v1")
+    want = sorted(tuple(r) for r in full.collect())
+    cutoff = ts(5)
+
+    # delta refresh == the full set restricted to labels past the cutoff
+    delta_path = training_set_refresh(
+        cat, "tset", "v1", str(tmp_path / "delta_out"), refresh_id=7,
+        since=cutoff,
+    )
+    delta = sorted(tuple(r) for r in spark.read.parquet(delta_path).collect())
+    want_delta = sorted(
+        tuple(r) for r in full.filter(F.col("label_ts") > cutoff).collect()
+    )
+    assert delta == want_delta and len(delta) == 4  # h in (6, 9) x 2 users
+
+    # full bootstrap, then a replayed refresh id overwrites (no dupes)
+    out = str(tmp_path / "tset_out")
+    training_set_refresh(cat, "tset", "v1", out, refresh_id=0)
+    training_set_refresh(cat, "tset", "v1", out, refresh_id=0)
+    got = sorted(tuple(r) for r in read_training_set_dir(spark, out).collect())
+    assert got == want
+
+    # no-ts label cannot take an event-time cutoff
+    cat.register_label("flat", "v1", ("buys", "v1"), "user_id", "value", None)
+    cat.register_training_set("tset2", "v1", ("flat", "v1"), [("cv", "v1")])
+    with pytest.raises(ValueError, match="label timestamp"):
+        training_set_refresh(
+            cat, "tset2", "v1", str(tmp_path / "x"), refresh_id=0, since=cutoff
+        )
