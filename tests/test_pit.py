@@ -721,3 +721,84 @@ def test_training_set_refresh_incremental_equals_full(spark, tmp_path):
         training_set_refresh(
             cat, "tset2", "v1", str(tmp_path / "x"), refresh_id=0, since=cutoff
         )
+
+
+def test_trailing_window_random_brute_force(spark):
+    """Seeded random labels/events vs a pure-Python [t−w, t) replica —
+    counts exact, sums under the decimal protocol."""
+    import datetime as dt
+    import random
+
+    from embeddinghub_spark.operators.pit import trailing_window_features
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    events = [
+        (f"e{rng.randint(0, 5)}", ts(rng.randint(0, 1000)),
+         round(rng.uniform(-5, 5), 3))
+        for _ in range(300)
+    ]
+    labels = [
+        (i, f"e{rng.randint(0, 6)}", ts(rng.randint(0, 1100)))
+        for i in range(80)
+    ]
+    w = 137
+    got = {
+        r["label_id"]: (r["w_count"], r["w_sum"])
+        for r in trailing_window_features(
+            spark.createDataFrame(labels, ["label_id", "entity", "ts"]),
+            spark.createDataFrame(events, ["entity", "ts", "value"]),
+            window_seconds=w,
+            value_col="value",
+        ).collect()
+    }
+    for lid, ent, lts in labels:
+        hits = [
+            v for e, ets, v in events
+            if e == ent and lts - dt.timedelta(seconds=w) <= ets < lts
+        ]
+        want_sum = round(sum(round(v, 9) for v in hits), 6) if hits else None
+        assert got[lid] == (len(hits), want_sum), lid
+
+
+def test_time_to_next_event_random_brute_force(spark):
+    """Seeded random anchors/events vs a pure-Python strict-forward
+    replica — next timestamps and floored-second gaps exact."""
+    import datetime as dt
+    import random
+
+    from embeddinghub_spark.operators.pit import time_to_next_event
+
+    rng = random.Random(13)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(us):
+        return t0 + dt.timedelta(microseconds=us)
+
+    events = [
+        (f"e{rng.randint(0, 4)}", ts(rng.randint(0, 10_000_000)))
+        for _ in range(250)
+    ]
+    anchors = [
+        (i, f"e{rng.randint(0, 5)}", ts(rng.randint(0, 11_000_000)))
+        for i in range(70)
+    ]
+    got = {
+        r["anchor_id"]: (r["next_ts"], r["seconds_to_next"])
+        for r in time_to_next_event(
+            spark.createDataFrame(anchors, ["anchor_id", "entity", "ts"]),
+            spark.createDataFrame(events, ["entity", "ts"]),
+        ).collect()
+    }
+    for aid, ent, ats in anchors:
+        later = [ets for e, ets in events if e == ent and ets > ats]
+        if later:
+            nxt = min(later)
+            secs = int((nxt - ats).total_seconds())  # µs floor
+            assert got[aid] == (nxt, secs), aid
+        else:
+            assert got[aid] == (None, None), aid
