@@ -7185,6 +7185,35 @@ FROM h
 """
 
 
+def q_fingerprint_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group content fingerprints (functions/profile.py
+    dataset_fingerprint_by): per-region nation digests — the
+    |groups|-row replica compare that names the diverging shard."""
+    from embeddinghub_spark.functions.profile import dataset_fingerprint_by
+
+    return dataset_fingerprint_by(
+        _t(spark, sf_dir, "nation").select(
+            "n_regionkey", "n_nationkey", "n_name"
+        ),
+        ["n_regionkey"],
+    )
+
+
+_FINGERPRINT_BY_ORACLE = """
+WITH h AS (
+  SELECT n_regionkey,
+         CAST(('0x' || substr(md5(concat_ws('|',
+           coalesce(CAST(n_nationkey AS VARCHAR), '∅'),
+           coalesce(CAST(n_name AS VARCHAR), '∅'))), 1, 15))
+         AS BIGINT) AS hv
+  FROM nation
+)
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+FROM h GROUP BY 1
+"""
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe by-entity split (operators/split.py entity_split):
     every order of a customer lands on one side — zero shuffles, the
@@ -7295,6 +7324,7 @@ def staged_queries() -> dict:
         "time_to_next_event": q_time_to_next_event,
         "trailing_window": q_trailing_window,
         "dataset_fingerprint": q_dataset_fingerprint,
+        "fingerprint_by": q_fingerprint_by,
     }
 
 
@@ -7313,5 +7343,6 @@ def staged_oracle_sql() -> dict:
         "time_to_next_event": _TIME_TO_NEXT_ORACLE,
         "trailing_window": _TRAILING_WINDOW_ORACLE,
         "dataset_fingerprint": _DATASET_FINGERPRINT_ORACLE,
+        "fingerprint_by": _FINGERPRINT_BY_ORACLE,
         # isotonic_calibration: rows-only by design (PAV recursion)
     }

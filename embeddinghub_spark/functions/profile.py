@@ -354,6 +354,41 @@ def dataset_fingerprint(
     )
 
 
+def dataset_fingerprint_by(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group content fingerprints — ``dataset_fingerprint`` keyed
+    by source/date/shard, so when two copies of a 100 TB table
+    disagree the DIVERGING group is named by a |groups|-row compare
+    instead of a table-wide diff. Same exact decimal-sum protocol
+    (and the same additivity: the group sums total to the whole-table
+    fingerprint — pinned by test). Grouping columns are excluded from
+    the hashed content by default so the digest describes the rows,
+    not the grouping.
+
+    Output: ``(*group_cols, n_rows, fingerprint)``.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    cols = key_cols or [c for c in df.columns if c not in group_cols]
+    if not cols:
+        raise ValueError("no content columns left to fingerprint")
+    row = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        df.select(*group_cols, h.alias("_h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_h").cast("string").alias("fingerprint"),
+        )
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,

@@ -1968,3 +1968,37 @@ def test_dataset_fingerprint_union_additivity(spark):
         fb["fingerprint"]
     )
     assert fu["n_rows"] == fa["n_rows"] + fb["n_rows"] == 80
+
+
+def test_fingerprint_by_totals_to_whole_table(spark):
+    """Per-group fingerprints name a diverging shard and their
+    integer SUM equals the whole-table digest over the same content
+    columns (the additivity law, grouped form)."""
+    from embeddinghub_spark.functions.profile import (
+        dataset_fingerprint,
+        dataset_fingerprint_by,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, f"v{i}") for g in ("x", "y") for i in range(g == "y", 30)],
+        ["grp", "k", "v"],
+    )
+    per = {
+        r["grp"]: (r["n_rows"], int(r["fingerprint"]))
+        for r in dataset_fingerprint_by(df, ["grp"]).collect()
+    }
+    whole = dataset_fingerprint(df, ["k", "v"]).collect()[0]
+    assert sum(n for n, _ in per.values()) == whole["n_rows"]
+    assert sum(f for _, f in per.values()) == int(whole["fingerprint"])
+
+    # a one-row change moves exactly ONE group's digest
+    df2 = spark.createDataFrame(
+        [(g, i, "CHANGED" if (g, i) == ("y", 5) else f"v{i}")
+         for g in ("x", "y") for i in range(g == "y", 30)],
+        ["grp", "k", "v"],
+    )
+    per2 = {
+        r["grp"]: int(r["fingerprint"])
+        for r in dataset_fingerprint_by(df2, ["grp"]).collect()
+    }
+    assert per2["x"] == per["x"][1] and per2["y"] != per["y"][1]
