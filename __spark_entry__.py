@@ -6314,58 +6314,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. Rounds 1-5 certified all 128 entries that
-    # existed at round-4 close; round 6 certifies the 36 round-5 additions that
-    # landed past the frozen r5 window (CDC/SCD2, fuzzy join + entity
-    # resolution, grouped sketches, eval metrics, joins strategies, PCA/
-    # quantization, temporal/kfold splits, TPC-H shapes, on-disk IVF index).
-    # Positions 1-36 are exactly those 36 never-driver-certified entries;
-    # positions 37-49 are core sentinels (previously-certified regression
-    # canaries spanning PIT, dedup, ANN, splits, incremental scan, and the
-    # relational f8 block); position 50 keeps the flagship c6 sentinel as the
-    # cross-round canary. After this round the cumulative driver ledger covers
-    # all 164 entries. The registry is FROZEN for r6: no new entry enters
-    # queries() until this window is certified (new operators ship
-    # pytest-only and join the registry afterwards).
+    # entries of this dict per round. Rounds 1-7 certified all 162
+    # hash-certifiable entries of the 164-entry r6 registry (bpe_merges and
+    # pca_embeddings are rows-only by design — terminal no_oracle state).
+    # Round 8 executes the staged-entry rotation ordered by VERDICT r6/r7:
+    # positions 1-14 are the 14 oracle-backed entries that lived in
+    # staged_queries() through r6/r7 (KN language models, grouped AUC,
+    # ranking metrics, corpus diversity, semantic contamination, skew report,
+    # ANN recall audit, entity split, PIT staleness / time-to-event /
+    # trailing windows, dataset fingerprints) — all pass tools/check.py
+    # --staged at sf0.01 but have zero driver rows; positions 15-49 are
+    # previously-certified regression canaries (r6/r7-window members plus the
+    # long-standing core sentinels); position 50 keeps the flagship c6
+    # sentinel as the cross-round canary. Rows-only entries (bpe_merges,
+    # pca_embeddings, isotonic_calibration) are deliberately OUTSIDE the
+    # window: they can never hash-match, so a window slot is wasted on them
+    # (VERDICT r7 "What's wrong" #2). After this round the cumulative ledger
+    # covers 176/179 hash-certified + 3 rows-only recorded. The registry is
+    # FROZEN for r8 at 179: new operators ship pytest-only/staged until this
+    # window is certified.
     return {
-        # --- positions 1-36: r5 post-freeze additions, never driver-certified ---
-        "hll_by_group": q_hll_by_group,
-        "quantiles_by_group": q_quantiles_by_group,
-        "quantize_embeddings": q_quantize_embeddings,
-        "bigram_logprob": q_bigram_logprob,
-        "winnow_pairs": q_winnow_pairs,
-        "source_overlap": q_source_overlap,
-        "robust_scale_by": q_robust_scale_by,
-        "join_fanout": q_join_fanout,
-        "validate_rules": q_validate_rules,
-        "cdc_apply": q_cdc_apply,
-        "scd2_build": q_scd2_build,
-        "scd2_lookup": q_scd2_lookup,
-        "scd2_merge": q_scd2_merge,
-        "fuzzy_join": q_fuzzy_join,
-        "fuzzy_clusters": q_fuzzy_clusters,
-        "event_transitions": q_event_transitions,
-        "class_tf_idf": q_class_tf_idf,
-        "bpe_merges": q_bpe_merges,
-        "mm_phash": q_mm_phash,
-        "bloom_join": q_bloom_join,
-        "colocated_join": q_colocated_join,
-        "auto_join": q_auto_join,
-        "kfold_split": q_kfold_split,
-        "temporal_split": q_temporal_split,
-        "temperature_mixture": q_temperature_mixture,
-        "pca_embeddings": q_pca_embeddings,
-        "winsorize": q_winsorize,
-        "psi_drift": q_psi_drift,
-        "ann_disk_index": q_ann_disk_index,
-        "dedup_keep_best": q_dedup_keep_best,
-        "binary_auc": q_binary_auc,
-        "calibration_bins": q_calibration_bins,
-        "ece": q_ece,
-        "backfill": q_backfill,
-        "f8_tpch_q3": q_f8_tpch_q3,
-        "f8_tpch_q5": q_f8_tpch_q5,
-        # --- positions 37-49: previously-certified core sentinels ---
+        # --- positions 1-14: the r6/r7 staged entries, never driver-certified ---
+        "kn_bigram_logprob": q_kn_bigram_logprob,
+        "auc_by_group": q_auc_by_group,
+        "ranking_metrics": q_ranking_metrics,
+        "corpus_diversity": q_corpus_diversity,
+        "semantic_contamination": q_semantic_contamination,
+        "skew_report": q_skew_report,
+        "ann_recall": q_ann_recall,
+        "kn_trigram_logprob": q_kn_trigram_logprob,
+        "entity_split": q_entity_split,
+        "pit_staleness": q_pit_staleness,
+        "time_to_next_event": q_time_to_next_event,
+        "trailing_window": q_trailing_window,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "fingerprint_by": q_fingerprint_by,
+        # --- positions 15-49: previously-certified regression canaries ---
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -6379,10 +6363,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "dedup_clusters": q_dedup_clusters,
         "f8_stats": q_f8_stats,
-        # --- position 50: flagship sentinel (certified r1-r5) ---
+        "hll_by_group": q_hll_by_group,
+        "quantiles_by_group": q_quantiles_by_group,
+        "quantize_embeddings": q_quantize_embeddings,
+        "bigram_logprob": q_bigram_logprob,
+        "winnow_pairs": q_winnow_pairs,
+        "source_overlap": q_source_overlap,
+        "robust_scale_by": q_robust_scale_by,
+        "join_fanout": q_join_fanout,
+        "validate_rules": q_validate_rules,
+        "cdc_apply": q_cdc_apply,
+        "scd2_build": q_scd2_build,
+        "fuzzy_join": q_fuzzy_join,
+        "class_tf_idf": q_class_tf_idf,
+        "mm_phash": q_mm_phash,
+        "bloom_join": q_bloom_join,
+        "colocated_join": q_colocated_join,
+        "auto_join": q_auto_join,
+        "kfold_split": q_kfold_split,
+        "temporal_split": q_temporal_split,
+        "binary_auc": q_binary_auc,
+        "psi_drift": q_psi_drift,
+        "f8_tpch_q3": q_f8_tpch_q3,
+        # --- position 50: flagship sentinel (certified r1-r7) ---
         "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window (all have at least
-        # one green driver row from rounds 1-5) ---
+        # --- positions 51+: outside this round's window (every entry below
+        # has at least one green driver row from rounds 1-7, except the
+        # rows-only trio and isotonic_calibration which are rows-only by
+        # design and parked here permanently) ---
+        "isotonic_calibration": q_isotonic_calibration,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_merge": q_scd2_merge,
+        "fuzzy_clusters": q_fuzzy_clusters,
+        "event_transitions": q_event_transitions,
+        "bpe_merges": q_bpe_merges,
+        "temperature_mixture": q_temperature_mixture,
+        "pca_embeddings": q_pca_embeddings,
+        "winsorize": q_winsorize,
+        "ann_disk_index": q_ann_disk_index,
+        "dedup_keep_best": q_dedup_keep_best,
+        "calibration_bins": q_calibration_bins,
+        "ece": q_ece,
+        "backfill": q_backfill,
+        "f8_tpch_q5": q_f8_tpch_q5,
         "dup_spans": q_dup_spans,
         "cms_topk": q_cms_topk,
         "nb_classifier": q_nb_classifier,
@@ -6664,6 +6687,24 @@ def oracle_sql() -> dict[str, str]:
         "f8_tpch_q5": _F8_TPCH_Q5_ORACLE,
         "auto_join": _AUTO_JOIN_ORACLE,
         "ece": _ECE_ORACLE,
+        # --- r8 rotation: the 14 oracle-backed ex-staged entries ---
+        # (isotonic_calibration joins queries() rows-only by design: the
+        # pool-adjacent-violators recursion has no DuckDB oracle; the PAV
+        # result is Spark-vs-pure-Python pinned in tests/test_metrics.py)
+        "kn_bigram_logprob": _kn_bigram_oracle(),
+        "auc_by_group": _AUC_BY_GROUP_ORACLE,
+        "ranking_metrics": _RANKING_METRICS_ORACLE,
+        "corpus_diversity": _CORPUS_DIVERSITY_ORACLE,
+        "semantic_contamination": _semantic_contamination_oracle(),
+        "skew_report": _SKEW_REPORT_ORACLE,
+        "ann_recall": _ann_recall_oracle(),
+        "kn_trigram_logprob": _kn_trigram_oracle(),
+        "entity_split": _ENTITY_SPLIT_ORACLE,
+        "pit_staleness": _PIT_STALENESS_ORACLE,
+        "time_to_next_event": _TIME_TO_NEXT_ORACLE,
+        "trailing_window": _TRAILING_WINDOW_ORACLE,
+        "dataset_fingerprint": _DATASET_FINGERPRINT_ORACLE,
+        "fingerprint_by": _FINGERPRINT_BY_ORACLE,
     }
 
 
@@ -7306,43 +7347,14 @@ GROUP BY ex.query_id
 
 
 def staged_queries() -> dict:
-    """r7 rotation candidates — live code, certified by tools/check.py
-    --staged, NOT visible to the driver this round (registry frozen at
-    164 per VERDICT r5 #2)."""
-    return {
-        "kn_bigram_logprob": q_kn_bigram_logprob,
-        "auc_by_group": q_auc_by_group,
-        "ranking_metrics": q_ranking_metrics,
-        "isotonic_calibration": q_isotonic_calibration,
-        "corpus_diversity": q_corpus_diversity,
-        "semantic_contamination": q_semantic_contamination,
-        "skew_report": q_skew_report,
-        "ann_recall": q_ann_recall,
-        "kn_trigram_logprob": q_kn_trigram_logprob,
-        "entity_split": q_entity_split,
-        "pit_staleness": q_pit_staleness,
-        "time_to_next_event": q_time_to_next_event,
-        "trailing_window": q_trailing_window,
-        "dataset_fingerprint": q_dataset_fingerprint,
-        "fingerprint_by": q_fingerprint_by,
-    }
+    """Rotation candidates for the NEXT round — live code, certified by
+    tools/check.py --staged, NOT visible to the driver this round
+    (registry frozen at 179 per VERDICT r7 #5). The r6/r7 staged set of
+    15 was promoted into queries()/oracle_sql() by the r8 rotation;
+    entries added here during r8 join the registry after the r8 window
+    certifies."""
+    return {}
 
 
 def staged_oracle_sql() -> dict:
-    return {
-        "kn_bigram_logprob": _kn_bigram_oracle(),
-        "auc_by_group": _AUC_BY_GROUP_ORACLE,
-        "ranking_metrics": _RANKING_METRICS_ORACLE,
-        "corpus_diversity": _CORPUS_DIVERSITY_ORACLE,
-        "semantic_contamination": _semantic_contamination_oracle(),
-        "skew_report": _SKEW_REPORT_ORACLE,
-        "ann_recall": _ann_recall_oracle(),
-        "kn_trigram_logprob": _kn_trigram_oracle(),
-        "entity_split": _ENTITY_SPLIT_ORACLE,
-        "pit_staleness": _PIT_STALENESS_ORACLE,
-        "time_to_next_event": _TIME_TO_NEXT_ORACLE,
-        "trailing_window": _TRAILING_WINDOW_ORACLE,
-        "dataset_fingerprint": _DATASET_FINGERPRINT_ORACLE,
-        "fingerprint_by": _FINGERPRINT_BY_ORACLE,
-        # isotonic_calibration: rows-only by design (PAV recursion)
-    }
+    return {}

@@ -12,9 +12,9 @@ sys.path.insert(0, "/root/repo")
 
 
 # Entries the driver checks rows-only BY DESIGN (non-SQL-expressible:
-# iterative argmax recursion). Anything else missing an oracle is a
-# silent downgrade and fails the pin.
-ROWS_ONLY = {"bpe_merges", "pca_embeddings"}
+# iterative argmax recursion / eigendecomposition / PAV recursion).
+# Anything else missing an oracle is a silent downgrade and fails the pin.
+ROWS_ONLY = {"bpe_merges", "pca_embeddings", "isotonic_calibration"}
 
 
 def test_queries_and_oracles_align():
@@ -29,33 +29,29 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round6_window_layout():
-    """The ledger-closing rotation for round 6: every round-5 addition
-    that landed past the frozen r5 window (36 entries, never
-    driver-certified) sits inside the 50-slot window; slot 50 is the
-    flagship sentinel. The registry is frozen at 164 entries until this
-    window is certified."""
+def test_round8_window_layout():
+    """The ledger-closing rotation for round 8 (VERDICT r7 task #1):
+    the 14 oracle-backed entries staged through r6/r7 (zero driver rows)
+    occupy positions 1-14 of the 50-slot window; positions 15-49 are
+    previously-certified canaries; slot 50 is the flagship sentinel.
+    Rows-only entries can never hash-match, so they must stay OUT of the
+    window (VERDICT r7 "What's wrong" #2). The registry is frozen at 179
+    entries until this window is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
     window = keys[:50]
-    debt = {
-        "hll_by_group", "quantiles_by_group", "quantize_embeddings",
-        "bigram_logprob", "winnow_pairs", "source_overlap",
-        "robust_scale_by", "join_fanout", "validate_rules", "cdc_apply",
-        "scd2_build", "scd2_lookup", "scd2_merge", "fuzzy_join",
-        "fuzzy_clusters", "event_transitions", "class_tf_idf",
-        "bpe_merges", "mm_phash", "bloom_join", "colocated_join",
-        "auto_join", "kfold_split", "temporal_split",
-        "temperature_mixture", "pca_embeddings", "winsorize", "psi_drift",
-        "ann_disk_index", "dedup_keep_best", "binary_auc",
-        "calibration_bins", "ece", "backfill", "f8_tpch_q3", "f8_tpch_q5",
-    }
-    assert len(debt) == 36
-    missing = debt - set(window)
-    assert not missing, f"uncertified entries fell out of the window: {missing}"
+    rotation = [
+        "kn_bigram_logprob", "auc_by_group", "ranking_metrics",
+        "corpus_diversity", "semantic_contamination", "skew_report",
+        "ann_recall", "kn_trigram_logprob", "entity_split",
+        "pit_staleness", "time_to_next_event", "trailing_window",
+        "dataset_fingerprint", "fingerprint_by",
+    ]
+    assert window[:14] == rotation, "rotation entries must lead the window"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
-    assert len(keys) == 164, "registry is frozen at 164 entries for r6"
+    assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
+    assert len(keys) == 179, "registry is frozen at 179 entries for r8"
 
 
 def test_oracle_sql_is_static():
@@ -67,21 +63,21 @@ def test_oracle_sql_is_static():
     assert all(isinstance(s, str) and s.strip() for s in sqls.values())
 
 
-def test_staged_r7_entries_do_not_leak_into_frozen_registry():
-    """r6 freeze discipline: the staged r7 candidates are certified
-    only via `tools/check.py --staged`; none of them may appear in the
-    driver-visible queries()/oracle_sql() until the r7 rotation. Every
-    staged entry has an oracle twin unless rows-only by design."""
+def test_staged_entries_do_not_leak_into_frozen_registry():
+    """Freeze discipline: staged candidates are certified only via
+    `tools/check.py --staged`; none may appear in the driver-visible
+    queries()/oracle_sql() until the next rotation. Every staged entry
+    has an oracle twin unless rows-only by design. (The registry may be
+    empty right after a rotation promotes everything.)"""
     import __spark_entry__ as m
 
     staged = m.staged_queries()
     staged_oracles = m.staged_oracle_sql()
     live = set(m.queries())
-    assert staged, "staged registry unexpectedly empty"
     leak = set(staged) & live
     assert not leak, f"staged entries leaked into the frozen registry: {leak}"
     assert set(staged_oracles) <= set(staged)
-    rows_only_staged = {"isotonic_calibration"}
+    rows_only_staged = set()
     missing = set(staged) - set(staged_oracles) - rows_only_staged
     assert not missing, f"staged queries missing an oracle: {missing}"
     assert all(isinstance(s, str) and s.strip() for s in staged_oracles.values())
