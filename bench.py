@@ -48,16 +48,24 @@ def main() -> None:
     spark = get_spark(app_name="embeddinghub_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: session/codegen/parquet-footer costs land on a throwaway
-    # query so the first timed query reports its own cost, not startup's
-    try:
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
-            "l_returnflag"
-        ).count().write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    # Warm-up (VERDICT r6/r7 task: per-query times must not depend on
+    # dict position). One untimed pre-pass exercises every session
+    # startup-cost class so the first timed entries report their own
+    # cost, not the session's: parquet footer reads for ALL tables,
+    # whole-stage-codegen compilation via a shuffle agg, the broadcast
+    # machinery, WindowExec, and the Python/Arrow worker pool that the
+    # first mapInPandas query would otherwise pay to spin up.
+    # BENCH_WARMUP=full additionally runs the entire registry once
+    # untimed (doubles wall clock; off by default).
+    _warmup(spark, sf_dir)
 
     qs = entrymod.queries()
+    if os.environ.get("BENCH_WARMUP") == "full":
+        for name, fn in qs.items():
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.time()
@@ -116,6 +124,44 @@ def main() -> None:
         summary.pop("queries_ms", None)
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Untimed pre-pass over every session startup-cost class."""
+    from pyspark.sql import functions as F
+
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    try:
+        dfs = {}
+        for t in tables:  # parquet footers + schema inference for all inputs
+            dfs[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            dfs[t].count()
+        # whole-stage codegen + shuffle write/read paths
+        dfs["lineitem"].groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*")
+        ).write.format("noop").mode("overwrite").save()
+        # broadcast-hash-join machinery
+        dfs["nation"].join(
+            F.broadcast(dfs["region"]),
+            dfs["nation"]["n_regionkey"] == dfs["region"]["r_regionkey"],
+        ).write.format("noop").mode("overwrite").save()
+        # WindowExec
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+        dfs["orders"].select(F.row_number().over(w).alias("rn")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        # Python/Arrow worker pool (mapInPandas spin-up)
+        sdf = dfs["nation"].select("n_nationkey")
+        sdf.mapInPandas(lambda it: it, schema=sdf.schema).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as e:
+        print(f"bench warm-up error (non-fatal): {e}", file=sys.stderr)
 
 
 def _load_prev_round_bench() -> dict[str, float] | None:

@@ -215,7 +215,10 @@ def unigram_encode(
     logp = {p[1]: p[3] for p in pieces}
     max_len = max((len(p[1]) for p in pieces), default=1)
     unk_penalty = min(logp.values(), default=-1.0) - 10.0
-    out_schema = f"{id_col} BIGINT, pieces ARRAY<STRING>, n_pieces INT"
+    # id dtype follows the input schema — a hardcoded BIGINT would
+    # break string/UUID document ids (ADVICE r6)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pieces ARRAY<STRING>, n_pieces INT"
 
     def encode_word(w: str) -> list:
         lp = dict(logp)

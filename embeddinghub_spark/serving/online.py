@@ -49,6 +49,11 @@ class OnlineTable:
         self._data[entity] = value
         if ts is not None:
             self._ts[entity] = ts
+        else:
+            # a ts-less overwrite must not leave the PREVIOUS value's
+            # timestamp behind — a later freshness-guarded get() would
+            # certify the new value with the old value's age (ADVICE r6)
+            self._ts.pop(entity, None)
 
     def get(
         self,

@@ -200,23 +200,32 @@ def erase_entities(
     call-site contract (erase + purge history in one operation) is
     the same.
     """
+    cur = read_version(spark, target_dir, 0)
+    kept = _erasure_plan(cur, entity_col, keys)
+    return atomic_update(kept, target_dir, keep_versions=keep_versions)
+
+
+def _erasure_plan(cur: DataFrame, entity_col: str, keys) -> DataFrame:
+    """The rows-that-survive plan for ``erase_entities`` (split out so
+    tests can pin its shape). DataFrame keys use a PLAIN left-anti
+    join — no forced broadcast: a deletion list can itself be huge (a
+    GDPR batch over a 100 TB table), so AQE picks broadcast when the
+    key table is under the threshold and shuffles otherwise (ADVICE
+    r6; forcing broadcast OOMs the driver on large lists)."""
     from pyspark.sql import DataFrame as _DF
     from pyspark.sql import functions as F
 
-    cur = read_version(spark, target_dir, 0)
     if isinstance(keys, _DF):
         kdf = keys.toDF(entity_col).dropDuplicates()
-        kept = cur.join(F.broadcast(kdf), entity_col, "left_anti")
-    else:
-        keys = list(keys)
-        if not keys:
-            raise ValueError("keys must be non-empty")
-        # NULL-keyed rows are not "in keys" — keep them explicitly
-        # (a bare ~isin filters NULLs out too: three-valued logic)
-        kept = cur.filter(
-            F.col(entity_col).isNull() | ~F.col(entity_col).isin(keys)
-        )
-    return atomic_update(kept, target_dir, keep_versions=keep_versions)
+        return cur.join(kdf, entity_col, "left_anti")
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    # NULL-keyed rows are not "in keys" — keep them explicitly
+    # (a bare ~isin filters NULLs out too: three-valued logic)
+    return cur.filter(
+        F.col(entity_col).isNull() | ~F.col(entity_col).isin(keys)
+    )
 
 
 # -- S11: online-store push ---------------------------------------------------
@@ -285,8 +294,13 @@ def write_jsonl_shards(
     ``sample_rows`` driver sample × the exact row count — measured on
     the REAL JSON (a text corpus's bytes live in the text column,
     which schema-width heuristics like ``estimate_row_bytes`` miss
-    by orders of magnitude). The sample reads one partition's head;
-    wildly length-skewed corpora should raise ``sample_rows``.
+    by orders of magnitude). The sample takes the head of EVERY
+    partition (ceil(sample_rows / n_partitions) rows each, lazily —
+    the iterator stops after k rows per partition), not one
+    partition's head: tables written sorted by length (compaction,
+    Z-order) would otherwise bias the estimate by whatever lives in
+    partition 0 (ADVICE r6). Wildly length-skewed corpora should
+    still raise ``sample_rows``.
 
     Cost: one count pass + the serialize-write pass; the repartition
     is the one shuffle (round-robin, so shards are level even when
@@ -299,9 +313,15 @@ def write_jsonl_shards(
     from pyspark.sql import functions as F
 
     lines = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    n_part = max(1, lines.rdd.getNumPartitions())
+    per_part = max(1, math.ceil(sample_rows / n_part))
+    import itertools
+
     sample = [
-        len(r["value"].encode("utf-8")) + 1
-        for r in lines.limit(sample_rows).collect()
+        len(v.encode("utf-8")) + 1
+        for v in lines.rdd.mapPartitions(
+            lambda it: itertools.islice((r["value"] for r in it), per_part)
+        ).collect()
     ]
     n_rows = df.count()
     avg = (sum(sample) / len(sample)) if sample else 1.0

@@ -101,6 +101,17 @@ def merge_score_counts_dir(
     os.replace(tmp, state_dir)
     if prev and os.path.isdir(prev):
         shutil.rmtree(prev, ignore_errors=True)
+    # sweep orphans: a crash between the version write and the symlink
+    # flip leaves a ``.v-*`` dir that no link references — without this,
+    # state grows unboundedly across restarts (ADVICE r6)
+    live = os.path.realpath(state_dir)
+    base = os.path.basename(state_dir) + ".v-"
+    parent = os.path.dirname(os.path.abspath(state_dir))
+    for name in os.listdir(parent):
+        if name.startswith(base):
+            cand = os.path.join(parent, name)
+            if os.path.realpath(cand) != live:
+                shutil.rmtree(cand, ignore_errors=True)
     return True
 
 

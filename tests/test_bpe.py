@@ -226,6 +226,17 @@ def test_unigram_encode_covers_and_segments(spark):
     assert out[1].n_pieces <= 4
     assert out[3].n_pieces == 5
 
+    # ADVICE r6 pin: the id column's dtype follows the INPUT schema —
+    # string/UUID doc ids must encode identically (the old hardcoded
+    # BIGINT schema made Arrow reject non-integer ids)
+    sdocs = spark.createDataFrame(
+        [("doc-a", "the nation"), ("doc-b", "zzz@@")], ["doc_id", "text"]
+    )
+    sout = {r.doc_id: r for r in unigram_encode(sdocs, vocab).collect()}
+    assert "".join(sout["doc-a"].pieces) == "thenation"
+    assert sout["doc-b"].n_pieces == 5
+    assert unigram_encode(sdocs, vocab).schema["doc_id"].dataType.simpleString() == "string"
+
 
 def test_merge_artifact_roundtrip_preserves_encoding(spark, tmp_path):
     """Train → save → load → encode gives identical output to

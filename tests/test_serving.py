@@ -297,6 +297,14 @@ def test_online_get_freshness_guard(spark):
     with pytest.raises(KeyError):
         t.get("missing")
 
+    # ADVICE r6 pin: a ts-less OVERWRITE clears the previous value's
+    # timestamp — otherwise a freshness-guarded get would certify the
+    # new value with the old value's age
+    t.set("a", 9.0)  # overwrite without a timestamp
+    assert t.get("a") == 9.0
+    with pytest.raises(StaleValue, match="no.*timestamp"):
+        t.get("a", max_staleness_seconds=3600, now=now)
+
 
 def test_nearest_via_disk_index_matches_bruteforce(spark, tmp_path):
     """An index-registered nearest answers through partition-pruned

@@ -374,6 +374,49 @@ def test_erase_entities_purges_history(spark, tmp_path):
         erase_entities(spark, target, "ent", [])
 
 
+def test_jsonl_sizing_sample_spans_partitions(spark, tmp_path):
+    """ADVICE r6 pin: the shard-sizing sample takes the head of EVERY
+    partition, not partition 0's head. Partition 0 holds short lines
+    and partition 1 holds ~100× longer lines (range-partitioned by
+    id); a partition-0-only sample would estimate ~1 shard where the
+    true serialized size wants ~4."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.sinks import write_jsonl_shards
+
+    short = spark.range(0, 1000).select(
+        F.col("id"), F.lit("x").alias("text")
+    )
+    long = spark.range(1000, 2000).select(
+        F.col("id"), F.expr("repeat('abcdefghi ', 400)").alias("text")
+    )
+    df = short.unionByName(long).repartitionByRange(2, "id")
+    out = write_jsonl_shards(
+        df, str(tmp_path / "skewed"), target_mb=1, compression=None,
+        sample_rows=200,
+    )
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    # true size ≈ 1000 × 4 KB ≈ 4 MB → ≥3 shards at 1 MB; the
+    # partition-0-biased estimate (≈60 B/line × 2000 ≈ 0.12 MB) says 1
+    assert len(files) >= 3, f"sizing sample is partition-biased: {files}"
+    assert spark.read.json(out).count() == 2000
+
+
+def test_erasure_plan_does_not_force_broadcast(spark):
+    """ADVICE r6 pin: the DataFrame-key erasure path must not carry a
+    broadcast hint — a deletion list can be arbitrarily large, and a
+    forced broadcast OOMs the driver. AQE still broadcasts small key
+    tables on its own; the plan just can't DEMAND it."""
+    from embeddinghub_spark.sources.sinks import _erasure_plan
+
+    cur = spark.range(100).selectExpr("id AS ent", "id * 2 AS v")
+    keys = spark.range(10).selectExpr("id AS k")
+    kept = _erasure_plan(cur, "ent", keys)
+    analyzed = kept._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), analyzed
+    assert kept.count() == 90
+
+
 def test_orc_roundtrip_and_zstd_parquet(spark, tmp_path):
     """ORC reads through the same S1/S2 entry point (Spark-native, no
     connector), and the parquet sink's zstd override produces

@@ -1184,6 +1184,20 @@ def test_streaming_auc_equals_batch_and_skips_replays(spark, tmp_path):
     again = read_auc(spark, state).collect()[0]
     assert again.auc == want.auc and again.n_pos == want.n_pos
 
+    # ADVICE r6 pin: a crash between the version write and the symlink
+    # flip leaves an orphan ``.v-*`` dir; the next successful commit
+    # must sweep it (otherwise state grows unboundedly across restarts)
+    orphan = state + ".v-deadbeef"
+    os.makedirs(orphan, exist_ok=True)
+    applied = merge_score_counts_dir(
+        spark, state, _batch_score_counts(df.limit(10), "score", "label", 4),
+        batch_id=99,
+    )
+    assert applied is True
+    assert not os.path.exists(orphan), "orphan state dir not swept"
+    live = os.path.realpath(state)
+    assert os.path.isdir(live)  # the live version survives the sweep
+
 
 def test_streaming_enrich_follows_refresh_and_replays_safely(spark, tmp_path):
     """Per-batch version re-resolution: a C18 refresh BETWEEN batches
