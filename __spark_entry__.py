@@ -7346,6 +7346,83 @@ GROUP BY ex.query_id
 """
 
 
+_DECAY_G = 86400      # 1-day buckets
+_DECAY_K = 8          # 8-day horizon
+_DECAY_HL = 172800.0  # 2-day half-life
+
+
+def q_decayed_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing PIT aggregates (operators/pit.py
+    decayed_trailing_features): per purchase, the recency-weighted
+    count and value-sum of the user's clicks over the 8 complete days
+    before the purchase's day, 2-day half-life — the serving-style
+    "how active is this user right now" rate feature. Bucketed decay:
+    one map-side-combined (entity, day) pre-aggregation over the event
+    table + a K=8-probe bucket join; never a range join, weights are
+    driver literals shared with the oracle."""
+    from embeddinghub_spark.operators.pit import decayed_trailing_features
+
+    evt = _t(spark, sf_dir, "events")
+    labels = evt.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("entity"), "ts"
+    )
+    clicks = evt.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return decayed_trailing_features(
+        labels,
+        clicks,
+        bucket_seconds=_DECAY_G,
+        n_buckets=_DECAY_K,
+        half_life_seconds=_DECAY_HL,
+        event_entity_col="user_id",
+        value_col="value",
+    )
+
+
+def _decayed_trailing_oracle() -> str:
+    from embeddinghub_spark.operators.pit import decay_bucket_weights
+
+    weights = decay_bucket_weights(_DECAY_K, _DECAY_G, _DECAY_HL)
+    wvals = ", ".join(f"({d + 1}, {w!r})" for d, w in enumerate(weights))
+    return f"""
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type, value FROM events),
+l AS (SELECT event_id, user_id AS entity, ts,
+             CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        / {_DECAY_G}.0) AS BIGINT) AS lb
+      FROM evt WHERE event_type = 'purchase'),
+e AS (SELECT user_id AS entity,
+             CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        / {_DECAY_G}.0) AS BIGINT) AS b,
+             CAST(round(round(CAST(value AS DOUBLE), 9) * 1e9, 0)
+               AS BIGINT) AS v9
+      FROM evt WHERE event_type = 'click'),
+part AS (SELECT entity, b, COUNT(*) AS c, SUM(v9) AS v9
+         FROM e GROUP BY 1, 2),
+w(d, wt) AS (VALUES {wvals}),
+j AS (SELECT l.event_id, l.entity, l.ts, part.c, part.v9,
+             CAST(w.wt AS DOUBLE) AS wt
+      FROM l CROSS JOIN w
+      LEFT JOIN part ON part.entity = l.entity AND part.b = l.lb - w.d),
+agg AS (SELECT event_id, entity, ts,
+               SUM(COALESCE(c, 0)) AS cnt,
+               SUM(CAST(round(CAST(c AS DOUBLE) * wt * 1e9, 0)
+                     AS BIGINT)) AS score9,
+               SUM(CAST(round(CAST(v9 AS DOUBLE) * wt, 0)
+                     AS BIGINT)) AS vsum9
+        FROM j GROUP BY 1, 2, 3)
+SELECT event_id, entity, ts, CAST(cnt AS BIGINT) AS decay_count,
+       CASE WHEN cnt > 0 THEN
+         CAST(CAST(round(CAST(score9 AS DOUBLE) / 1000.0, 0) AS BIGINT)
+              AS DOUBLE) / 1e6 END AS decay_score,
+       CASE WHEN cnt > 0 THEN
+         CAST(CAST(round(CAST(vsum9 AS DOUBLE) / 1000.0, 0) AS BIGINT)
+              AS DOUBLE) / 1e6 END AS decay_sum
+FROM agg
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7353,8 +7430,12 @@ def staged_queries() -> dict:
     15 was promoted into queries()/oracle_sql() by the r8 rotation;
     entries added here during r8 join the registry after the r8 window
     certifies."""
-    return {}
+    return {
+        "decayed_trailing": q_decayed_trailing,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {
+        "decayed_trailing": _decayed_trailing_oracle(),
+    }

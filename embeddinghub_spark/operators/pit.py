@@ -869,6 +869,189 @@ def trailing_window_features(
     return picked.select(*out)
 
 
+def decay_bucket_weights(
+    n_buckets: int, bucket_seconds: int, half_life_seconds: float
+) -> list[float]:
+    """The literal per-bucket-age weights ``round(0.5^(d·g/hl), 9)``
+    for ``d = 1..n_buckets`` — computed ONCE on the driver, so both
+    the Spark plan and any SQL oracle carry identical constants and
+    no cross-engine ``pow`` disagreement can exist."""
+    g = float(bucket_seconds)
+    hl = float(half_life_seconds)
+    return [
+        round(0.5 ** (d * g / hl), 9) for d in range(1, int(n_buckets) + 1)
+    ]
+
+
+def _epoch_seconds_expr(ts_col: str) -> str:
+    """Engine-neutral integer seconds since epoch on TIMESTAMP_NTZ —
+    ``unix_timestamp`` is session-tz-sensitive, this is not (the
+    ``pit_staleness`` protocol; DuckDB twin:
+    ``date_diff('second', TIMESTAMP '1970-01-01', ts)``)."""
+    q = "`" + ts_col.replace("`", "``") + "`"
+    return (
+        f"timestampdiff(SECOND, CAST('1970-01-01 00:00:00' AS "
+        f"TIMESTAMP_NTZ), CAST({q} AS TIMESTAMP_NTZ))"
+    )
+
+
+def decayed_trailing_features(
+    labels: DataFrame,
+    events: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    half_life_seconds: float,
+    label_entity_col: str = "entity",
+    event_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+    value_col: str | None = None,
+    out_prefix: str = "decay",
+) -> DataFrame:
+    """Exponentially-DECAYED trailing PIT aggregates — the serving
+    twin of ``trailing_window_features`` (which answers "how much in
+    [t − w, t)" with every event weighted 1): per label row, events
+    weighted by ``0.5^(age / half_life)`` so recent activity counts
+    more — the "how active is this entity RIGHT NOW" rate feature
+    every fraud/recsys serving stack wants (reference lag features,
+    provider/spark.go:150-208, answer the point-lookup form; this is
+    the accumulated form with recency weighting).
+
+    SEMANTICS — bucketed decay, decay-at-reference-time: time is
+    partitioned into epoch-aligned buckets of ``bucket_seconds`` (g).
+    A label at time t has reference ``r = bucket_start(t)`` and sees
+    the ``n_buckets`` (K) COMPLETE buckets before r; an event in the
+    bucket d steps back (d = 1..K) weighs ``0.5^(d·g / half_life)``.
+    The label's own in-progress bucket is EXCLUDED — exactly the
+    feature-store contract "features are computed at bucket
+    boundaries and served unchanged within the bucket", and leak-free
+    when labels derive from the same event stream (an event at or
+    just before the label can never reach it). Age is measured in
+    whole buckets, so decay granularity is g: pick ``g ≤ hl/8`` for
+    ≤9% max weight discretization. Events older than K buckets
+    contribute 0 (choose K·g ≥ ~20 half-lives to make the truncation
+    invisible at 9-decimal rounding).
+
+    WHY NOT exact per-event decay at t: ``Σ v_i·0.5^((t−t_i)/hl)``
+    per label is a pairwise term — computing it without a range join
+    needs a per-entity rebase (the streaming counter's sequential
+    fold), and any fixed-base batch rewrite (``0.5^((t−B)/hl)·Σ
+    0.5^((B−t_i)/hl)``) either overflows or amplifies rounding by the
+    rebase factor once the history spans many half-lives. Bucketing
+    bounds every exponent by K·g/hl, which keeps the whole sum exact
+    decimal arithmetic on driver-literal weights.
+
+    Scale shape: events pre-aggregate per (entity, bucket) — ONE
+    map-side-combined exchange over the (100 TB) event table, output
+    |entities|×|active buckets| rows. Labels explode ×K bucket probes
+    (K is a small constant: 32 probes for 32 buckets) and join the
+    partials on (entity, bucket) — entity-bucket keyed, AQE-sized,
+    fan-out ≤ K by construction, NEVER events-per-window (the range
+    join this replaces explodes by that). One final label-frame-sized
+    groupBy. No per-entity history sort anywhere.
+
+    Determinism protocol — SCALED BIGINTs, not DECIMAL: bucket value
+    partials are 1e9-scaled integers (``round(round(v,9)·1e9, 0)``
+    summed as BIGINT — exact, order-free); weights are driver
+    literals rounded to 9 (``decay_bucket_weights``); each probe's
+    contribution is ``round(partial·w·1e9, 0)`` as BIGINT; per-label
+    sums stay BIGINT; the result is the 1e6-scaled integer
+    ``round(sum9/1000, 0)`` divided back to DOUBLE. Scale-0 rounding
+    of a shared double is cross-engine safe (representable halves
+    round away from zero in Spark, DuckDB and Python alike), whereas
+    rounding a DECIMAL→DOUBLE cast at fractional scale is 1-ulp
+    fragile at large magnitudes — that bit at sf0.1. Magnitudes stay
+    exact while ``Σ|v|·weight < 2^53/1e9 ≈ 9e6`` per label window.
+
+    Output: the label columns plus ``<prefix>_count`` (unweighted
+    event count over the K buckets, 0 when empty),
+    ``<prefix>_score`` (decayed count, NULL when empty) and, with
+    ``value_col``, ``<prefix>_sum`` (decayed value sum, NULL when
+    empty).
+    """
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    if g <= 0 or K <= 0 or float(half_life_seconds) <= 0:
+        raise ValueError("bucket_seconds, n_buckets, half_life must be > 0")
+    weights = decay_bucket_weights(K, g, half_life_seconds)
+    # 1e9-scaled BIGINT of round(v, 9): exact, order-free summation
+    val9 = (
+        F.round(
+            F.round(F.col(value_col).cast("double"), 9) * F.lit(1e9), 0
+        ).cast("bigint")
+        if value_col
+        else F.lit(0).cast("bigint")
+    )
+    ev_bucket = F.expr(
+        f"CAST(floor(({_epoch_seconds_expr(event_ts_col)}) / {g}) AS BIGINT)"
+    )
+    partials = (
+        events.select(
+            F.col(event_entity_col).alias("_e"),
+            ev_bucket.alias("_b"),
+            val9.alias("_v9"),
+        )
+        .groupBy("_e", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_v9").alias("_v9"))
+    )
+    lab_bucket = F.expr(
+        f"CAST(floor(({_epoch_seconds_expr(label_ts_col)}) / {g}) AS BIGINT)"
+    )
+    # weight lookup rides as a plan-literal array indexed by d
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    probes = (
+        labels.withColumn("_aid", F.monotonically_increasing_id())
+        .withColumn("_lb", lab_bucket)
+        .select(
+            "_aid",
+            *labels.columns,
+            F.col(label_entity_col).alias("_e"),
+            F.explode(
+                F.sequence(F.col("_lb") - K, F.col("_lb") - 1)
+            ).alias("_b"),
+            "_lb",
+        )
+        .withColumn("_w", F.element_at(w_arr, (F.col("_lb") - F.col("_b")).cast("int")))
+    )
+    joined = probes.join(partials, ["_e", "_b"], "left")
+    # 1e9-scaled BIGINT terms: round-0 of a shared double, then exact
+    # integer sums — no DECIMAL→DOUBLE fractional rounding anywhere
+    term_cnt9 = F.round(
+        F.col("_c").cast("double") * F.col("_w") * F.lit(1e9), 0
+    ).cast("bigint")
+    term_val9 = F.round(
+        F.col("_v9").cast("double") * F.col("_w"), 0
+    ).cast("bigint")
+    aggs = [
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias(f"{out_prefix}_count"),
+        F.sum(term_cnt9).alias("_score9"),
+    ]
+    if value_col:
+        aggs.append(F.sum(term_val9).alias("_vsum9"))
+    picked = joined.groupBy("_aid", *labels.columns).agg(*aggs)
+    nonempty = F.col(f"{out_prefix}_count") > 0
+
+    def to6(col9: str):
+        # 1e9-scale → 1e6-scale integer (scale-0 HALF_UP on a shared
+        # double — exact-half ties representable, all engines agree),
+        # then one exact-operand IEEE division back to DOUBLE
+        s6 = F.round(
+            F.col(col9).cast("double") / F.lit(1000.0), 0
+        ).cast("bigint")
+        return s6.cast("double") / F.lit(1e6)
+
+    out = [F.col(c) for c in labels.columns]
+    out.append(F.col(f"{out_prefix}_count"))
+    out.append(
+        F.when(nonempty, to6("_score9")).alias(f"{out_prefix}_score")
+    )
+    if value_col:
+        out.append(
+            F.when(nonempty, to6("_vsum9")).alias(f"{out_prefix}_sum")
+        )
+    return picked.select(*out)
+
+
 def training_set_refresh(
     catalog: Catalog,
     name: str,

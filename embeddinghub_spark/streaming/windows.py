@@ -278,6 +278,147 @@ def decayed_counter(
     )
 
 
+def decayed_trailing_counter(
+    stream_df: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    half_life_seconds: float,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+):
+    """Streaming twin of ``operators.pit.decayed_trailing_features``
+    (same bucketed-decay semantics, same 9-decimal HALF_UP protocol):
+    per entity, maintain per-bucket (count, value) partials for the K
+    most recent buckets and emit, every micro-batch, the decayed
+    feature AS OF the reference ``r = max_seen_bucket + 1`` — the
+    value a serving lookup "now" (just after the last event) would
+    read, ≡ the batch op with a label in bucket r (pinned by test).
+
+    State is ORDER-INDEPENDENT: per-bucket partials are commutative
+    sums; buckets older than ``max_bucket − K`` are dropped because no
+    FUTURE reference (r only grows) can ever weigh them — late events
+    landing in a dropped bucket are ignored for the same reason, so
+    every arrival order converges to the same state. State per
+    entity: ≤ K+1 (bucket, count, value9) triples — O(entities·K),
+    no event buffer. Value partials ride as 1e9-scaled BIGINTs of
+    ``round(v, 9)`` — exact, matching the batch DECIMAL(28,9).
+
+    Emits ``(entity, ref_ts, <prefix>_count, <prefix>_score[,
+    <prefix>_sum])`` per updated entity per micro-batch (update
+    semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from embeddinghub_spark.operators.pit import decay_bucket_weights
+
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    weights = decay_bucket_weights(K, g, half_life_seconds)
+    entity_type = stream_df.schema[entity_col].dataType
+    fields = [
+        StructField(entity_col, entity_type),
+        StructField("ref_ts", TimestampNTZType()),
+        StructField("decay_count", LongType()),
+        StructField("decay_score", DoubleType()),
+    ]
+    if value_col:
+        fields.append(StructField("decay_sum", DoubleType()))
+    out_schema = StructType(fields)
+    state_schema = StructType(
+        [
+            StructField("buckets", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("vals9", ArrayType(LongType())),
+        ]
+    )
+
+    def update_fn(key, pdf_iter, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if state.exists:
+            bks, cts, v9s = state.get
+            part = {
+                b: [c, v] for b, c, v in zip(bks, cts, v9s)
+            }
+        else:
+            part = {}
+        for pdf in pdf_iter:
+            vals = pdf[value_col] if value_col else None
+            for i, t in enumerate(pdf[ts_col]):
+                sec = pd.Timestamp(t).value // 1_000_000_000
+                b = sec // g
+                mx = max(part) if part else None
+                if mx is not None and b < max(mx, b) - K:
+                    continue  # outside every future window
+                slot = part.setdefault(int(b), [0, 0])
+                slot[0] += 1
+                if value_col:
+                    q = Decimal(repr(float(vals.iloc[i]))).quantize(
+                        Decimal("1e-9"), ROUND_HALF_UP
+                    )
+                    slot[1] += int(q.scaleb(9))
+        mx = max(part) if part else 0
+        part = {b: cv for b, cv in part.items() if b > mx - K}
+        bks = sorted(part)
+        state.update(
+            (
+                [int(b) for b in bks],
+                [int(part[b][0]) for b in bks],
+                [int(part[b][1]) for b in bks],
+            )
+        )
+        r = mx + 1
+
+        def _r0(x: float) -> int:
+            # scale-0 HALF_UP on the shared double via shortest repr —
+            # bit-identical to Spark's round(double, 0) and DuckDB's
+            return int(
+                Decimal(repr(float(x))).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            )
+
+        cnt, score9, sum9 = 0, 0, 0
+        for b, (c, v9) in part.items():
+            d = r - b
+            if 1 <= d <= K:
+                w = weights[d - 1]
+                cnt += c
+                score9 += _r0(c * w * 1e9)
+                if value_col:
+                    sum9 += _r0(float(v9) * w)
+
+        def _to6(s9: int) -> float:
+            return _r0(s9 / 1000.0) / 1e6
+
+        row = {
+            entity_col: [key[0]],
+            "ref_ts": [pd.Timestamp(r * g, unit="s")],
+            "decay_count": [int(cnt)],
+            "decay_score": [_to6(score9) if cnt else None],
+        }
+        if value_col:
+            row["decay_sum"] = [_to6(sum9) if cnt else None]
+        yield pd.DataFrame(row)
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def decayed_count_batch(
     df: DataFrame,
     entity_col: str = "entity",

@@ -802,3 +802,159 @@ def test_time_to_next_event_random_brute_force(spark):
             assert got[aid] == (nxt, secs), aid
         else:
             assert got[aid] == (None, None), aid
+
+
+def _decay_expected(events, labels, g, K, hl, weights):
+    """Pure-Python replica of the bucketed-decay protocol: per label,
+    reference = its bucket start; events in the K complete prior
+    buckets weigh by whole-bucket age; scaled-BIGINT arithmetic with
+    scale-0 HALF_UP rounding mirroring Spark's shortest-repr
+    BigDecimal round(double, 0)."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r0(x: float) -> int:
+        return int(
+            Decimal(repr(float(x))).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    def r9(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    epoch = dt.datetime(1970, 1, 1)
+    part: dict = {}
+    for e, ets, v in events:
+        b = int((ets - epoch).total_seconds()) // g
+        c, s9 = part.get((e, b), (0, 0))
+        part[(e, b)] = (c + 1, s9 + r0(r9(v) * 1e9))
+    want = {}
+    for lid, ent, lts in labels:
+        lb = int((lts - epoch).total_seconds()) // g
+        cnt, score9, vsum9 = 0, 0, 0
+        for d in range(1, K + 1):
+            hit = part.get((ent, lb - d))
+            if hit:
+                c, s9 = hit
+                cnt += c
+                score9 += r0(c * weights[d - 1] * 1e9)
+                vsum9 += r0(float(s9) * weights[d - 1])
+        want[lid] = (
+            cnt,
+            r0(score9 / 1000.0) / 1e6 if cnt else None,
+            r0(vsum9 / 1000.0) / 1e6 if cnt else None,
+        )
+    return want
+
+
+def test_decayed_trailing_random_brute_force(spark):
+    """Seeded random labels/events vs the pure-Python bucketed-decay
+    replica — counts exact, decayed score and value sums bit-equal
+    under the decimal protocol."""
+    import datetime as dt
+    import random
+
+    from embeddinghub_spark.operators.pit import (
+        decay_bucket_weights,
+        decayed_trailing_features,
+    )
+
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    events = [
+        (f"e{rng.randint(0, 5)}", ts(rng.randint(0, 4000)),
+         round(rng.uniform(-5, 5), 3))
+        for _ in range(400)
+    ]
+    labels = [
+        (i, f"e{rng.randint(0, 6)}", ts(rng.randint(0, 4500)))
+        for i in range(90)
+    ]
+    g, K, hl = 60, 16, 240.0
+    weights = decay_bucket_weights(K, g, hl)
+    got = {
+        r["label_id"]: (r["decay_count"], r["decay_score"], r["decay_sum"])
+        for r in decayed_trailing_features(
+            spark.createDataFrame(labels, ["label_id", "entity", "ts"]),
+            spark.createDataFrame(events, ["entity", "ts", "value"]),
+            bucket_seconds=g,
+            n_buckets=K,
+            half_life_seconds=hl,
+            value_col="value",
+        ).collect()
+    }
+    want = _decay_expected(events, labels, g, K, hl, weights)
+    assert got == want
+
+
+def test_decayed_trailing_window_semantics(spark):
+    """Boundary pins: the label's own in-progress bucket is EXCLUDED
+    (leak-free), the K-th prior bucket is the last one in, K+1 is
+    out, recent buckets outweigh old ones, and an empty window gives
+    (0, NULL, NULL)."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import (
+        decay_bucket_weights,
+        decayed_trailing_features,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)  # midnight = bucket boundary
+    g, K, hl = 60, 4, 120.0
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    events = [
+        ("a", s(95), 1.0),    # label bucket (minute 1): excluded
+        ("a", s(30), 1.0),    # d=1
+        ("a", s(-180), 1.0),  # d=4 (last included)
+        ("a", s(-181), 1.0),  # d=5: beyond horizon, excluded
+        ("b", s(30), 2.0),    # d=1 for b's label
+        ("b", s(-120), 2.0),  # d=3
+    ]
+    labels = [(0, "a", s(90)), (1, "b", s(65)), (2, "ghost", s(90))]
+    w = decay_bucket_weights(K, g, hl)
+    got = {
+        r["label_id"]: (r["decay_count"], r["decay_score"])
+        for r in decayed_trailing_features(
+            spark.createDataFrame(labels, ["label_id", "entity", "ts"]),
+            spark.createDataFrame(events, ["entity", "ts", "value"]),
+            bucket_seconds=g,
+            n_buckets=K,
+            half_life_seconds=hl,
+            value_col="value",
+        ).collect()
+    }
+    assert got[0] == (2, round(w[0] + w[3], 6))
+    assert got[1] == (2, round(w[0] + w[2], 6))
+    assert got[2] == (0, None)
+    # recency: b's d=1 event outweighs its d=3 event in the score
+    assert w[0] > w[2]
+
+
+def test_decayed_trailing_plan_shape(spark):
+    """Scale pins: ONE map-side-combinable exchange over the event
+    side (hashpartitioning on entity+bucket), label fan-out bounded by
+    K probes (a generate/explode, never a range join), and no
+    cartesian/broadcast-nested-loop anywhere."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import decayed_trailing_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [("a", t0, 1.0)], ["entity", "ts", "value"]
+    )
+    labels = spark.createDataFrame([(1, "a", t0)], ["lid", "entity", "ts"])
+    out = decayed_trailing_features(
+        labels, events, bucket_seconds=60, n_buckets=8,
+        half_life_seconds=120.0, value_col="value",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the event side pre-aggregates before its exchange (partial agg)
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -1260,3 +1260,74 @@ def test_streaming_enrich_follows_refresh_and_replays_safely(spark, tmp_path):
     rows = read_enriched(spark, out2).collect()
     assert len(rows) == 6
     assert all(r["f"] in (10.0, 20.0) for r in rows)
+
+
+def test_decayed_trailing_counter_matches_batch(spark, tmp_path):
+    """The streaming bucketed-decay state must converge, after
+    draining the same events in arbitrary micro-batch order, to
+    exactly the batch ``decayed_trailing_features`` value for a label
+    at the stream's own reference (bucket of max seen ts, + 1) — the
+    backfill-seeds-streaming contract of the decayed_counter family,
+    bit-equal under the shared decimal protocol."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.operators.pit import decayed_trailing_features
+    from embeddinghub_spark.streaming.windows import decayed_trailing_counter
+
+    g, K, hl = 60, 8, 180.0
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            f"u{i % 4}",
+            base + timedelta(seconds=(i * 137) % 700),
+            round(((i * 7) % 50) / 10.0 - 2.5, 3),
+        )
+        for i in range(120)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "ts", "value"])
+    in_dir = str(tmp_path / "dtc_in")
+    src.repartition(4).write.parquet(in_dir)  # arbitrary batch order
+    persisted = spark.read.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["entity"]] = (
+                r["ref_ts"], r["decay_count"], r["decay_score"], r["decay_sum"],
+            )
+
+    q = (
+        decayed_trailing_counter(
+            stream, bucket_seconds=g, n_buckets=K, half_life_seconds=hl,
+            value_col="value",
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dtc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    # batch twin: one label per entity AT the streaming reference ts
+    labels = [(e, final[e][0]) for e in final]
+    batch = {
+        r["entity"]: (r["decay_count"], r["decay_score"], r["decay_sum"])
+        for r in decayed_trailing_features(
+            spark.createDataFrame(labels, ["entity", "ts"]),
+            persisted,
+            bucket_seconds=g,
+            n_buckets=K,
+            half_life_seconds=hl,
+            value_col="value",
+        ).collect()
+    }
+    assert set(batch) == set(final)
+    for e in batch:
+        assert batch[e] == final[e][1:], (e, batch[e], final[e])
