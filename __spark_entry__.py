@@ -7423,6 +7423,68 @@ FROM agg
 """
 
 
+def q_sparse_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct sparse-cosine configuration (functions/
+    vector.py sparse_cosine_pairs): feature dim sized to the corpus
+    (65536, not the fixed 4096 the original entry pins) PLUS the
+    stop-feature ``max_df`` prune — the two levers that keep the
+    inverted-index join's Sigma_b df^2 LINEAR in corpus size. The
+    original `sparse_cosine` entry's fixed dim makes bucket df grow
+    with the corpus, so its cost grows quadratically (measured: x30
+    wall at x10 data, PLANS_r08.md); this entry is the documented
+    remedy, and it oracle-certifies the never-certified max_df
+    pruning branch."""
+    from embeddinghub_spark.functions.text import hash_vectorizer
+    from embeddinghub_spark.functions.vector import sparse_cosine_pairs
+
+    feats = hash_vectorizer(
+        _t(spark, sf_dir, "documents"), dim=65536, shingle_n=3
+    )
+    return sparse_cosine_pairs(feats, min_cosine=0.5, max_df=1000)
+
+
+_SPARSE_COSINE_SCALED_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, UNNEST(
+      CASE WHEN len(toks) > 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS w
+    FROM t
+  ) WHERE w != ''
+),
+f0 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 65536 AS b,
+         sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END) AS wt
+  FROM sh GROUP BY 1, 2 HAVING sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1))
+      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) != 0
+),
+keep AS (SELECT b FROM f0 GROUP BY b HAVING count(*) <= 1000),
+f AS (SELECT f0.* FROM f0 JOIN keep ON f0.b = keep.b),
+n AS (SELECT doc_id, sum(wt * wt) AS n2 FROM f GROUP BY doc_id),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
+  FROM f a JOIN f b ON a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT d.id_a AS id_a, d.id_b AS id_b, CAST(d.dot AS BIGINT) AS dot,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+               6) AS cosine
+  FROM d JOIN n na ON d.id_a = na.doc_id JOIN n nb ON d.id_b = nb.doc_id
+)
+SELECT id_a, id_b, dot, cosine FROM c WHERE cosine >= 0.5
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7432,10 +7494,12 @@ def staged_queries() -> dict:
     certifies."""
     return {
         "decayed_trailing": q_decayed_trailing,
+        "sparse_cosine_scaled": q_sparse_cosine_scaled,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
         "decayed_trailing": _decayed_trailing_oracle(),
+        "sparse_cosine_scaled": _SPARSE_COSINE_SCALED_ORACLE,
     }
