@@ -7485,6 +7485,85 @@ SELECT id_a, id_b, dot, cosine FROM c WHERE cosine >= 0.5
 """
 
 
+def q_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count trailing PIT feature (operators/
+    pit.py trailing_distinct_features): per purchase, the approx
+    number of DISTINCT click payloads the user produced over the 8
+    complete days before the purchase's day — md5-register HLL state
+    per (user, day), register-wise MAX across the label's probed
+    buckets (lossless union), fixed exchange width at any event
+    volume."""
+    from embeddinghub_spark.operators.pit import trailing_distinct_features
+
+    evt = _t(spark, sf_dir, "events")
+    labels = evt.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("entity"), "ts"
+    )
+    clicks = evt.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "props"
+    )
+    return trailing_distinct_features(
+        labels,
+        clicks,
+        bucket_seconds=_DECAY_G,
+        n_buckets=_DECAY_K,
+        value_col="props",
+        event_entity_col="user_id",
+    )
+
+
+def _trailing_distinct_oracle() -> str:
+    from embeddinghub_spark.functions.profile import _hll_alpha
+
+    m = 512
+    c1 = _hll_alpha(m) * m * m * float(1 << 53)
+    v = "CAST('0x' || substr(md5(props), 4, 13) AS BIGINT)"
+    raw = (
+        f"{c1!r} / CAST(s_used + ({m} - used) * (CAST(1 AS BIGINT) << 53) "
+        f"AS DOUBLE)"
+    )
+    return f"""
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type, props FROM events),
+l AS (SELECT event_id, user_id AS entity, ts,
+             CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        / {_DECAY_G}.0) AS BIGINT) AS lb
+      FROM evt WHERE event_type = 'purchase'),
+reg AS (SELECT user_id AS entity,
+               CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                          / {_DECAY_G}.0) AS BIGINT) AS b,
+               CAST('0x' || substr(md5(props), 1, 3) AS BIGINT) % {m} AS r,
+               MAX(CASE WHEN {v} = 0 THEN 53
+                        ELSE 53 - length(bin({v})) END) AS max_rho
+        FROM evt WHERE event_type = 'click' AND props IS NOT NULL
+        GROUP BY 1, 2, 3),
+probes AS (SELECT l.event_id, l.entity, l.ts, l.lb, g.d
+           FROM l CROSS JOIN generate_series(1, {_DECAY_K}) AS g(d)),
+j AS (SELECT p.event_id, p.entity, p.ts, reg.r, reg.max_rho, p.d
+      FROM probes p LEFT JOIN reg
+        ON reg.entity = p.entity AND reg.b = p.lb - p.d),
+mrg AS (SELECT event_id, entity, ts, r, MAX(max_rho) AS rho,
+               bit_or(CASE WHEN max_rho IS NOT NULL
+                           THEN CAST(1 AS BIGINT) << d
+                           ELSE CAST(0 AS BIGINT) END) AS mask
+        FROM j GROUP BY 1, 2, 3, 4),
+agg AS (SELECT event_id, entity, ts,
+               COALESCE(SUM(CASE WHEN rho IS NOT NULL
+                     THEN CAST(1 AS BIGINT) << (53 - rho) END),
+                     CAST(0 AS BIGINT)) AS s_used,
+               COUNT(CASE WHEN rho IS NOT NULL THEN 1 END) AS used,
+               CAST(bit_count(bit_or(mask)) AS BIGINT) AS bused
+        FROM mrg GROUP BY 1, 2, 3)
+SELECT event_id, entity, ts,
+       round(CASE WHEN ({raw}) <= {2.5 * m!r} AND used < {m}
+                  THEN {float(m)!r}
+                       * ln({float(m)!r} / CAST({m} - used AS DOUBLE))
+                  ELSE {raw} END, 3) AS approx_distinct,
+       bused AS approx_distinct_buckets_used
+FROM agg
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7495,6 +7574,7 @@ def staged_queries() -> dict:
     return {
         "decayed_trailing": q_decayed_trailing,
         "sparse_cosine_scaled": q_sparse_cosine_scaled,
+        "trailing_distinct": q_trailing_distinct,
     }
 
 
@@ -7502,4 +7582,5 @@ def staged_oracle_sql() -> dict:
     return {
         "decayed_trailing": _decayed_trailing_oracle(),
         "sparse_cosine_scaled": _SPARSE_COSINE_SCALED_ORACLE,
+        "trailing_distinct": _trailing_distinct_oracle(),
     }

@@ -1052,6 +1052,166 @@ def decayed_trailing_features(
     return picked.select(*out)
 
 
+def trailing_distinct_features(
+    labels: DataFrame,
+    events: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    value_col: str,
+    label_entity_col: str = "entity",
+    event_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate DISTINCT-count trailing PIT feature — "how many
+    distinct ``value_col`` values did this entity touch in the K
+    complete buckets before the label" (distinct devices / merchants /
+    IPs in the last 7 days: the classic fraud/risk feature). Window
+    semantics are exactly ``decayed_trailing_features``'s: reference =
+    the label's bucket start, the in-progress bucket excluded
+    (leak-free), epoch-aligned buckets of ``bucket_seconds``.
+
+    WHY a sketch: the exact form needs the distinct (entity, bucket,
+    value) triples carried to every label — an exchange whose width
+    grows with data. Here events build md5-register HyperLogLog state
+    per (entity, bucket) — at most ``2^p`` fixed-width rows per
+    entity-bucket regardless of event count (the ``hll_distinct_by``
+    protocol, functions/profile.py, bit-replayable by any md5-bearing
+    engine) — and a label's window estimate is a register-wise MAX
+    over its K probed buckets: HLL union is lossless, so the estimate
+    EQUALS what a single sketch over the window's raw events would
+    give. Standard error ≈ 1.04/√(2^p); empty windows yield exactly
+    0.0 through the small-range correction.
+
+    Scale shape: one map-side-combined exchange builds the register
+    table; labels explode ×K probes and join on (entity, bucket) with
+    fan-out ≤ K·min(ndv_bucket, 2^p) register rows per label — a
+    constant bound, never ∝ events; two label-frame-sized groupBys
+    (register merge, then estimate). All integer arithmetic until the
+    final scalar division (exact ``shiftleft`` sums), so the oracle
+    replays it bit for bit at any scale.
+
+    Output: the label columns plus ``<out_col>`` (round-3 double) and
+    ``<out_col>_buckets_used`` (how many of the K probed buckets held
+    any events — the support indicator).
+    """
+    from embeddinghub_spark.functions.profile import (
+        _HLL_BUCKET_HEX,
+        _HLL_RHO_CAP,
+        _HLL_VALUE_BITS,
+        _HLL_VALUE_HEX,
+        _hll_alpha,
+    )
+
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    if g <= 0 or K <= 0:
+        raise ValueError("bucket_seconds and n_buckets must be > 0")
+    if not 7 <= p <= 12:
+        raise ValueError(f"p={p} outside [7, 12]")
+    dt = events.schema[value_col].dataType
+    if dt.typeName() in ("float", "double", "decimal"):
+        raise ValueError(
+            f"trailing_distinct_features: column {value_col!r} is "
+            f"{dt.simpleString()}; fractional string renderings are "
+            "engine-specific — hash a stable encoding instead"
+        )
+    m = 1 << p
+    ev_bucket = F.expr(
+        f"CAST(floor(({_epoch_seconds_expr(event_ts_col)}) / {g}) AS BIGINT)"
+    )
+    registers = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(event_entity_col).alias("_e"),
+            ev_bucket.alias("_b"),
+            F.md5(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .select(
+            "_e",
+            "_b",
+            F.expr(
+                f"pmod(cast(conv(substr(_h, 1, {_HLL_BUCKET_HEX}), 16, 10)"
+                f" as bigint), {m})"
+            ).alias("_reg"),
+            F.expr(
+                f"cast(conv(substr(_h, {_HLL_BUCKET_HEX + 1},"
+                f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
+            ).alias("_v"),
+        )
+        .select(
+            "_e",
+            "_b",
+            "_reg",
+            F.when(F.col("_v") == 0, F.lit(_HLL_RHO_CAP))
+            .otherwise(F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin("_v")))
+            .alias("_rho"),
+        )
+        .groupBy("_e", "_b", "_reg")
+        .agg(F.max("_rho").alias("_max_rho"))
+    )
+    lab_bucket = F.expr(
+        f"CAST(floor(({_epoch_seconds_expr(label_ts_col)}) / {g}) AS BIGINT)"
+    )
+    probes = (
+        labels.withColumn("_aid", F.monotonically_increasing_id())
+        .withColumn("_lb", lab_bucket)
+        .select(
+            "_aid",
+            *labels.columns,
+            F.col(label_entity_col).alias("_e"),
+            F.explode(
+                F.sequence(F.col("_lb") - K, F.col("_lb") - 1)
+            ).alias("_b"),
+            "_lb",
+        )
+    )
+    joined = probes.join(registers, ["_e", "_b"], "left")
+    # bucket support rides as a bitmask over the probe distance d
+    # (bit_or is associative, so it folds through both groupBys and
+    # popcounts to the EXACT number of distinct matched buckets)
+    dbit = F.when(
+        F.col("_max_rho").isNotNull(),
+        F.expr("shiftleft(1L, cast(_lb - _b as int))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    # register-wise MAX across the K probed buckets = lossless HLL
+    # union of the window
+    merged = joined.groupBy("_aid", *labels.columns, "_reg").agg(
+        F.max("_max_rho").alias("_rho"),
+        F.bit_or(dbit).alias("_mask"),
+    )
+    per_label = merged.groupBy("_aid", *labels.columns).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_rho").isNotNull(),
+                    F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - _rho)"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("_s_used"),
+        F.count(F.when(F.col("_rho").isNotNull(), F.lit(1))).alias("_used"),
+        F.expr("bit_count(bit_or(_mask))").cast("bigint").alias("_bused"),
+    )
+    c1 = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
+    s_total = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(
+        1 << _HLL_RHO_CAP
+    ).cast("bigint")
+    empties = (F.lit(m) - F.col("_used")).cast("bigint")
+    raw = F.lit(c1) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empties > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empties.cast("double")),
+    ).otherwise(raw)
+    return per_label.select(
+        *labels.columns,
+        F.round(est, 3).alias(out_col),
+        F.col("_bused").alias(f"{out_col}_buckets_used"),
+    )
+
+
 def training_set_refresh(
     catalog: Catalog,
     name: str,

@@ -958,3 +958,83 @@ def test_decayed_trailing_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the event side pre-aggregates before its exchange (partial agg)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_trailing_distinct_matches_python_replica(spark):
+    """Seeded random labels/events vs a pure-Python replica of the
+    md5-register protocol: estimates bit-equal (round 3), bucket
+    support exact, empty windows exactly 0.0, and the window estimate
+    EQUALS a single sketch over the window's raw values (HLL union is
+    lossless)."""
+    import datetime as dt
+    import hashlib
+    import math
+    import random
+
+    from embeddinghub_spark.functions.profile import _hll_alpha
+    from embeddinghub_spark.operators.pit import trailing_distinct_features
+
+    rng = random.Random(23)
+    t0 = dt.datetime(2024, 1, 1)
+    g, K, p = 3600, 6, 9
+    m = 1 << p
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    events = [
+        (f"e{rng.randint(0, 4)}", ts(rng.randint(0, 40000)),
+         f"dev{rng.randint(0, 60)}")
+        for _ in range(600)
+    ]
+    labels = [
+        (i, f"e{rng.randint(0, 5)}", ts(rng.randint(0, 44000)))
+        for i in range(60)
+    ]
+    got = {
+        r["label_id"]: (r["approx_distinct"], r["approx_distinct_buckets_used"])
+        for r in trailing_distinct_features(
+            spark.createDataFrame(labels, ["label_id", "entity", "ts"]),
+            spark.createDataFrame(events, ["entity", "ts", "device"]),
+            bucket_seconds=g,
+            n_buckets=K,
+            value_col="device",
+        ).collect()
+    }
+
+    epoch = dt.datetime(1970, 1, 1)
+
+    def bucket_of(t):
+        return int((t - epoch).total_seconds()) // g
+
+    def estimate(values):
+        regs: dict = {}
+        for v in values:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            reg = int(h[:3], 16) % m
+            tail = int(h[3:16], 16)
+            rho = 53 if tail == 0 else 53 - tail.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        used = len(regs)
+        s_used = sum(1 << (53 - r) for r in regs.values())
+        s_total = s_used + (m - used) * (1 << 53)
+        c1 = _hll_alpha(m) * m * m * float(1 << 53)
+        raw = c1 / float(s_total)
+        empties = m - used
+        if raw <= 2.5 * m and empties > 0:
+            return round(m * math.log(m / float(empties)), 3)
+        return round(raw, 3)
+
+    for lid, ent, lts in labels:
+        lb = bucket_of(lts)
+        window_vals = [
+            v for e, ets, v in events
+            if e == ent and lb - K <= bucket_of(ets) <= lb - 1
+        ]
+        want_sup = len({
+            bucket_of(ets) for e, ets, v in events
+            if e == ent and lb - K <= bucket_of(ets) <= lb - 1
+        })
+        assert got[lid] == (estimate(window_vals), want_sup), lid
+        if not window_vals:
+            assert got[lid][0] == 0.0
