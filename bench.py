@@ -160,6 +160,13 @@ def _warmup(spark, sf_dir: str) -> None:
         sdf.mapInPandas(lambda it: it, schema=sdf.schema).write.format(
             "noop"
         ).mode("overwrite").save()
+        # explode-tokenize + multi-stage agg + global sort — the text/LM
+        # family's shapes (slot-1 entries otherwise pay their codegen)
+        dfs["documents"].select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).groupBy("w").count().orderBy(F.desc("count")).limit(10).write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception as e:
         print(f"bench warm-up error (non-fatal): {e}", file=sys.stderr)
 
