@@ -900,7 +900,7 @@ def decayed_trailing_features(
     events: DataFrame,
     bucket_seconds: int,
     n_buckets: int,
-    half_life_seconds: float,
+    half_life_seconds: float | list[float],
     label_entity_col: str = "entity",
     event_entity_col: str = "entity",
     label_ts_col: str = "ts",
@@ -963,17 +963,44 @@ def decayed_trailing_features(
     fragile at large magnitudes — that bit at sf0.1. Magnitudes stay
     exact while ``Σ|v|·weight < 2^53/1e9 ≈ 9e6`` per label window.
 
+    MULTI-HALF-LIFE FUSION (the C11 lag-fusion story): pass a LIST of
+    half-lives (a fast 1-day decay next to a slow 30-day decay — the
+    standard short/long activity-profile pair) and every half-life
+    shares the SAME bucket partials and the SAME K-probe join — an
+    extra half-life costs one literal-weight column, zero extra
+    exchanges. Output columns are then suffixed per half-life
+    (``<prefix><hl>_score`` / ``<prefix><hl>_sum``).
+
     Output: the label columns plus ``<prefix>_count`` (unweighted
     event count over the K buckets, 0 when empty),
     ``<prefix>_score`` (decayed count, NULL when empty) and, with
     ``value_col``, ``<prefix>_sum`` (decayed value sum, NULL when
-    empty).
+    empty); with a half-life list, ``<prefix><hl>_score`` /
+    ``<prefix><hl>_sum`` per half-life.
     """
     g = int(bucket_seconds)
     K = int(n_buckets)
-    if g <= 0 or K <= 0 or float(half_life_seconds) <= 0:
-        raise ValueError("bucket_seconds, n_buckets, half_life must be > 0")
-    weights = decay_bucket_weights(K, g, half_life_seconds)
+    if g <= 0 or K <= 0:
+        raise ValueError("bucket_seconds and n_buckets must be > 0")
+    multi = isinstance(half_life_seconds, (list, tuple))
+    hls = [float(h) for h in (
+        half_life_seconds if multi else [half_life_seconds]
+    )]
+    if not hls or any(h <= 0 for h in hls) or len(set(hls)) != len(hls):
+        raise ValueError("half_life_seconds must be positive and distinct")
+
+    def hl_names(hl: float) -> tuple[str, str]:
+        # MULTI-HALF-LIFE FUSION (the C11 lag-fusion story): a LIST of
+        # half-lives (fast 1d decay + slow 30d decay) shares the SAME
+        # bucket partials and the SAME K-probe join — extra half-lives
+        # cost one more literal-weight column each, zero extra
+        # exchanges. Columns are then suffixed per half-life.
+        if not multi:
+            return f"{out_prefix}_score", f"{out_prefix}_sum"
+        tag = int(hl) if float(hl).is_integer() else hl
+        return f"{out_prefix}{tag}_score", f"{out_prefix}{tag}_sum"
+
+    weights_by_hl = {hl: decay_bucket_weights(K, g, hl) for hl in hls}
     # 1e9-scaled BIGINT of round(v, 9): exact, order-free summation
     val9 = (
         F.round(
@@ -997,8 +1024,6 @@ def decayed_trailing_features(
     lab_bucket = F.expr(
         f"CAST(floor(({_epoch_seconds_expr(label_ts_col)}) / {g}) AS BIGINT)"
     )
-    # weight lookup rides as a plan-literal array indexed by d
-    w_arr = F.array(*[F.lit(w) for w in weights])
     probes = (
         labels.withColumn("_aid", F.monotonically_increasing_id())
         .withColumn("_lb", lab_bucket)
@@ -1011,23 +1036,31 @@ def decayed_trailing_features(
             ).alias("_b"),
             "_lb",
         )
-        .withColumn("_w", F.element_at(w_arr, (F.col("_lb") - F.col("_b")).cast("int")))
     )
+    # per-half-life weight lookup rides as a plan-literal array
+    # indexed by d — every half-life shares the same probes and join
+    for i, hl in enumerate(hls):
+        w_arr = F.array(*[F.lit(w) for w in weights_by_hl[hl]])
+        probes = probes.withColumn(
+            f"_w{i}",
+            F.element_at(w_arr, (F.col("_lb") - F.col("_b")).cast("int")),
+        )
     joined = probes.join(partials, ["_e", "_b"], "left")
     # 1e9-scaled BIGINT terms: round-0 of a shared double, then exact
     # integer sums — no DECIMAL→DOUBLE fractional rounding anywhere
-    term_cnt9 = F.round(
-        F.col("_c").cast("double") * F.col("_w") * F.lit(1e9), 0
-    ).cast("bigint")
-    term_val9 = F.round(
-        F.col("_v9").cast("double") * F.col("_w"), 0
-    ).cast("bigint")
     aggs = [
         F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias(f"{out_prefix}_count"),
-        F.sum(term_cnt9).alias("_score9"),
     ]
-    if value_col:
-        aggs.append(F.sum(term_val9).alias("_vsum9"))
+    for i, hl in enumerate(hls):
+        term_cnt9 = F.round(
+            F.col("_c").cast("double") * F.col(f"_w{i}") * F.lit(1e9), 0
+        ).cast("bigint")
+        aggs.append(F.sum(term_cnt9).alias(f"_score9_{i}"))
+        if value_col:
+            term_val9 = F.round(
+                F.col("_v9").cast("double") * F.col(f"_w{i}"), 0
+            ).cast("bigint")
+            aggs.append(F.sum(term_val9).alias(f"_vsum9_{i}"))
     picked = joined.groupBy("_aid", *labels.columns).agg(*aggs)
     nonempty = F.col(f"{out_prefix}_count") > 0
 
@@ -1042,13 +1075,13 @@ def decayed_trailing_features(
 
     out = [F.col(c) for c in labels.columns]
     out.append(F.col(f"{out_prefix}_count"))
-    out.append(
-        F.when(nonempty, to6("_score9")).alias(f"{out_prefix}_score")
-    )
-    if value_col:
-        out.append(
-            F.when(nonempty, to6("_vsum9")).alias(f"{out_prefix}_sum")
-        )
+    for i, hl in enumerate(hls):
+        score_col, sum_col = hl_names(hl)
+        out.append(F.when(nonempty, to6(f"_score9_{i}")).alias(score_col))
+        if value_col:
+            out.append(
+                F.when(nonempty, to6(f"_vsum9_{i}")).alias(sum_col)
+            )
     return picked.select(*out)
 
 

@@ -282,7 +282,7 @@ def decayed_trailing_counter(
     stream_df: DataFrame,
     bucket_seconds: int,
     n_buckets: int,
-    half_life_seconds: float,
+    half_life_seconds: float | list[float],
     entity_col: str = "entity",
     ts_col: str = "ts",
     value_col: str | None = None,
@@ -322,16 +322,30 @@ def decayed_trailing_counter(
 
     g = int(bucket_seconds)
     K = int(n_buckets)
-    weights = decay_bucket_weights(K, g, half_life_seconds)
+    multi = isinstance(half_life_seconds, (list, tuple))
+    hls = [float(h) for h in (
+        half_life_seconds if multi else [half_life_seconds]
+    )]
+    weights_by_hl = [decay_bucket_weights(K, g, hl) for hl in hls]
+
+    def hl_cols(hl: float) -> tuple[str, str]:
+        # multi-half-life column naming matches the batch op's
+        if not multi:
+            return "decay_score", "decay_sum"
+        tag = int(hl) if float(hl).is_integer() else hl
+        return f"decay{tag}_score", f"decay{tag}_sum"
+
     entity_type = stream_df.schema[entity_col].dataType
     fields = [
         StructField(entity_col, entity_type),
         StructField("ref_ts", TimestampNTZType()),
         StructField("decay_count", LongType()),
-        StructField("decay_score", DoubleType()),
     ]
-    if value_col:
-        fields.append(StructField("decay_sum", DoubleType()))
+    for hl in hls:
+        s, v = hl_cols(hl)
+        fields.append(StructField(s, DoubleType()))
+        if value_col:
+            fields.append(StructField(v, DoubleType()))
     out_schema = StructType(fields)
     state_schema = StructType(
         [
@@ -387,15 +401,18 @@ def decayed_trailing_counter(
                 )
             )
 
-        cnt, score9, sum9 = 0, 0, 0
+        cnt = 0
+        score9 = [0] * len(hls)
+        sum9 = [0] * len(hls)
         for b, (c, v9) in part.items():
             d = r - b
             if 1 <= d <= K:
-                w = weights[d - 1]
                 cnt += c
-                score9 += _r0(c * w * 1e9)
-                if value_col:
-                    sum9 += _r0(float(v9) * w)
+                for i, ws in enumerate(weights_by_hl):
+                    w = ws[d - 1]
+                    score9[i] += _r0(c * w * 1e9)
+                    if value_col:
+                        sum9[i] += _r0(float(v9) * w)
 
         def _to6(s9: int) -> float:
             return _r0(s9 / 1000.0) / 1e6
@@ -404,10 +421,12 @@ def decayed_trailing_counter(
             entity_col: [key[0]],
             "ref_ts": [pd.Timestamp(r * g, unit="s")],
             "decay_count": [int(cnt)],
-            "decay_score": [_to6(score9) if cnt else None],
         }
-        if value_col:
-            row["decay_sum"] = [_to6(sum9) if cnt else None]
+        for i, hl in enumerate(hls):
+            s_col, v_col = hl_cols(hl)
+            row[s_col] = [_to6(score9[i]) if cnt else None]
+            if value_col:
+                row[v_col] = [_to6(sum9[i]) if cnt else None]
         yield pd.DataFrame(row)
 
     return stream_df.groupBy(entity_col).applyInPandasWithState(

@@ -1038,3 +1038,69 @@ def test_trailing_distinct_matches_python_replica(spark):
         assert got[lid] == (estimate(window_vals), want_sup), lid
         if not window_vals:
             assert got[lid][0] == 0.0
+
+
+def test_decayed_trailing_multi_half_life_fusion(spark):
+    """A half-life LIST shares one probe join: per-half-life columns
+    equal the single-half-life runs exactly, the unweighted count is
+    shared, and the plan contains exactly as many joins as the scalar
+    run (fusion adds literal columns, not exchanges)."""
+    import datetime as dt
+    import random
+
+    from embeddinghub_spark.operators.pit import decayed_trailing_features
+
+    rng = random.Random(31)
+    t0 = dt.datetime(2024, 1, 1)
+    events = [
+        (f"e{rng.randint(0, 4)}", t0 + dt.timedelta(seconds=rng.randint(0, 4000)),
+         round(rng.uniform(-3, 3), 3))
+        for _ in range(300)
+    ]
+    labels = [
+        (i, f"e{rng.randint(0, 5)}", t0 + dt.timedelta(seconds=rng.randint(0, 4500)))
+        for i in range(50)
+    ]
+    ldf = spark.createDataFrame(labels, ["label_id", "entity", "ts"])
+    edf = spark.createDataFrame(events, ["entity", "ts", "value"])
+    g, K = 60, 12
+    fused = decayed_trailing_features(
+        ldf, edf, bucket_seconds=g, n_buckets=K,
+        half_life_seconds=[120, 600], value_col="value",
+    )
+    assert set(fused.columns) >= {
+        "decay_count", "decay120_score", "decay120_sum",
+        "decay600_score", "decay600_sum",
+    }
+    got = {r["label_id"]: r for r in fused.collect()}
+    for hl in (120, 600):
+        single = {
+            r["label_id"]: r
+            for r in decayed_trailing_features(
+                ldf, edf, bucket_seconds=g, n_buckets=K,
+                half_life_seconds=float(hl), value_col="value",
+            ).collect()
+        }
+        for lid in single:
+            assert got[lid][f"decay{hl}_score"] == single[lid]["decay_score"]
+            assert got[lid][f"decay{hl}_sum"] == single[lid]["decay_sum"]
+            assert got[lid]["decay_count"] == single[lid]["decay_count"]
+    # fusion must not add joins vs the scalar plan
+    def n_joins(df):
+        import re
+
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(
+            r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct", p))
+    # compare FRESH (pre-AQE) plans — the collected `fused` frame's
+    # plan is AQE-finalized and prints differently
+    fused_plan = decayed_trailing_features(
+        ldf, edf, bucket_seconds=g, n_buckets=K,
+        half_life_seconds=[120, 600], value_col="value",
+    )
+    single_plan = decayed_trailing_features(
+        ldf, edf, bucket_seconds=g, n_buckets=K,
+        half_life_seconds=120.0, value_col="value",
+    )
+    assert n_joins(fused_plan) == n_joins(single_plan) == 1

@@ -1353,3 +1353,65 @@ def test_real_kafka_load_path(spark):
     cols = set(df.columns)
     assert {"key", "value", "topic", "partition", "offset",
             "timestamp"} <= cols
+
+
+def test_decayed_trailing_counter_multi_half_life(spark, tmp_path):
+    """A half-life LIST in the streaming counter emits per-half-life
+    columns that each equal the corresponding single-half-life batch
+    value at the stream's reference — fusion changes naming, never
+    numbers."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.operators.pit import decayed_trailing_features
+    from embeddinghub_spark.streaming.windows import decayed_trailing_counter
+
+    g, K = 60, 6
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"u{i % 3}", base + timedelta(seconds=(i * 97) % 500))
+        for i in range(60)
+    ]
+    src = spark.createDataFrame(rows, ["entity", "ts"])
+    in_dir = str(tmp_path / "dtm_in")
+    src.repartition(3).write.parquet(in_dir)
+    persisted = spark.read.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["entity"]] = (
+                r["ref_ts"], r["decay_count"],
+                r["decay90_score"], r["decay300_score"],
+            )
+
+    q = (
+        decayed_trailing_counter(
+            stream, bucket_seconds=g, n_buckets=K,
+            half_life_seconds=[90, 300],
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dtm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    labels = [(e, final[e][0]) for e in final]
+    ldf = spark.createDataFrame(labels, ["entity", "ts"])
+    for hl, idx in ((90.0, 2), (300.0, 3)):
+        batch = {
+            r["entity"]: (r["decay_count"], r["decay_score"])
+            for r in decayed_trailing_features(
+                ldf, persisted, bucket_seconds=g, n_buckets=K,
+                half_life_seconds=hl,
+            ).collect()
+        }
+        for e in batch:
+            assert batch[e] == (final[e][1], final[e][idx]), (hl, e)
