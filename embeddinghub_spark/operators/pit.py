@@ -997,7 +997,7 @@ def decayed_trailing_features(
         # exchanges. Columns are then suffixed per half-life.
         if not multi:
             return f"{out_prefix}_score", f"{out_prefix}_sum"
-        tag = int(hl) if float(hl).is_integer() else hl
+        tag = int(hl) if float(hl).is_integer() else str(hl).replace(".", "_")
         return f"{out_prefix}{tag}_score", f"{out_prefix}{tag}_sum"
 
     weights_by_hl = {hl: decay_bucket_weights(K, g, hl) for hl in hls}

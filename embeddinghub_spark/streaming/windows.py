@@ -332,7 +332,7 @@ def decayed_trailing_counter(
         # multi-half-life column naming matches the batch op's
         if not multi:
             return "decay_score", "decay_sum"
-        tag = int(hl) if float(hl).is_integer() else hl
+        tag = int(hl) if float(hl).is_integer() else str(hl).replace(".", "_")
         return f"decay{tag}_score", f"decay{tag}_sum"
 
     entity_type = stream_df.schema[entity_col].dataType
