@@ -934,8 +934,15 @@ def bigram_logprob(
             )
         ).alias("_bg"),
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-    tfb = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tfb"))
-    bc = tfb.groupBy("w1", "w2").agg(F.sum("tfb").alias("cb"))
+    # tfb feeds the model build AND the final scoring join; bc feeds
+    # cf AND the join — checkpoint both so the corpus explode runs
+    # ONCE, not once per consumer (at 100 TB that's the whole cost)
+    tfb = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tfb")
+    ).localCheckpoint(eager=False)
+    bc = tfb.groupBy("w1", "w2").agg(
+        F.sum("tfb").alias("cb")
+    ).localCheckpoint(eager=False)
     cf = bc.groupBy("w1").agg(F.sum("cb").alias("_cf"))
     wc = (
         df.select(F.explode(tokens(text_col)).alias("w2"))
@@ -1016,8 +1023,15 @@ def kn_bigram_logprob(
             )
         ).alias("_bg"),
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-    tfb = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tfb"))
-    bc = tfb.groupBy("w1", "w2").agg(F.sum("tfb").alias("cb"))
+    # tfb feeds bc AND the final join; bc feeds FOUR consumers
+    # (left/cont/types/join) — checkpoint both so the corpus explode
+    # and the bigram-type aggregate each run ONCE
+    tfb = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tfb")
+    ).localCheckpoint(eager=False)
+    bc = tfb.groupBy("w1", "w2").agg(
+        F.sum("tfb").alias("cb")
+    ).localCheckpoint(eager=False)
     # every model statistic below reads the |bigram types|-sized bc
     left = bc.groupBy("w1").agg(
         F.sum("cb").alias("_cf"),           # c(w1 ·)
@@ -1111,10 +1125,15 @@ def kn_trigram_logprob(
         F.col("_tg.w2").alias("w2"),
         F.col("_tg.w3").alias("w3"),
     )
+    # tft feeds tc AND the final join; tc feeds ctx/mid/join; mid
+    # feeds mid2/cont/types/join — checkpoint each fan-out point so
+    # the corpus explode and the type aggregates each run ONCE
     tft = tg.groupBy(id_col, "w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("tft")
-    )
-    tc = tft.groupBy("w1", "w2", "w3").agg(F.sum("tft").alias("ct"))
+    ).localCheckpoint(eager=False)
+    tc = tft.groupBy("w1", "w2", "w3").agg(
+        F.sum("tft").alias("ct")
+    ).localCheckpoint(eager=False)
     # every model statistic below reads the |trigram types|-sized tc
     ctx = tc.groupBy("w1", "w2").agg(
         F.sum("ct").alias("_cf12"),        # c(w1 w2 ·)
@@ -1122,7 +1141,7 @@ def kn_trigram_logprob(
     )
     mid = tc.groupBy("w2", "w3").agg(
         F.count(F.lit(1)).alias("_nmid")   # N(· w2 w3): distinct w1
-    )
+    ).localCheckpoint(eager=False)
     mid2 = mid.groupBy("w2").agg(
         F.sum("_nmid").alias("_nd2"),      # N(· w2 ·)
         F.count(F.lit(1)).alias("_t2"),    # T(w2): distinct w3 after w2
