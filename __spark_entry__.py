@@ -7430,8 +7430,8 @@ def q_sparse_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-feature ``max_df`` prune — the two levers that keep the
     inverted-index join's Sigma_b df^2 LINEAR in corpus size. The
     original `sparse_cosine` entry's fixed dim makes bucket df grow
-    with the corpus, so its cost grows quadratically (measured: x30
-    wall at x10 data, PLANS_r08.md); this entry is the documented
+    with the corpus, so its cost grows quadratically (clean
+    re-measure: x21 wall at x10 data, PLANS_r08.md); this entry is the documented
     remedy, and it oracle-certifies the never-certified max_df
     pruning branch."""
     from embeddinghub_spark.functions.text import hash_vectorizer

@@ -127,48 +127,70 @@ def main() -> None:
 
 
 def _warmup(spark, sf_dir: str) -> None:
-    """Untimed pre-pass over every session startup-cost class."""
+    """Untimed pre-pass over every session startup-cost class. Each
+    stage is individually guarded: one failing stage (e.g. a missing
+    table in a custom SPARK_GRAFT_SF_DIR) must not silently skip the
+    remaining stages and reintroduce the position-dependent timing
+    bias this pre-pass exists to remove."""
     from pyspark.sql import functions as F
 
     tables = (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
     ).split()
-    try:
-        dfs = {}
-        for t in tables:  # parquet footers + schema inference for all inputs
-            dfs[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-            dfs[t].count()
-        # whole-stage codegen + shuffle write/read paths
+    dfs = {}
+
+    def stage(name, fn):
+        try:
+            fn()
+        except Exception as e:
+            print(f"bench warm-up stage {name} failed (non-fatal): {e}",
+                  file=sys.stderr)
+
+    def footer(t):
+        dfs[t] = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        dfs[t].count()
+
+    for t in tables:  # parquet footers + schema inference for all inputs
+        stage(f"footer:{t}", lambda t=t: footer(t))
+
+    def shuffle_agg():  # whole-stage codegen + shuffle write/read paths
         dfs["lineitem"].groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*")
         ).write.format("noop").mode("overwrite").save()
-        # broadcast-hash-join machinery
+
+    def bcast_join():  # broadcast-hash-join machinery
         dfs["nation"].join(
             F.broadcast(dfs["region"]),
             dfs["nation"]["n_regionkey"] == dfs["region"]["r_regionkey"],
         ).write.format("noop").mode("overwrite").save()
-        # WindowExec
+
+    def window_exec():  # WindowExec
         from pyspark.sql import Window
 
         w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
         dfs["orders"].select(F.row_number().over(w).alias("rn")).write.format(
             "noop"
         ).mode("overwrite").save()
-        # Python/Arrow worker pool (mapInPandas spin-up)
+
+    def py_workers():  # Python/Arrow worker pool (mapInPandas spin-up)
         sdf = dfs["nation"].select("n_nationkey")
         sdf.mapInPandas(lambda it: it, schema=sdf.schema).write.format(
             "noop"
         ).mode("overwrite").save()
-        # explode-tokenize + multi-stage agg + global sort — the text/LM
-        # family's shapes (slot-1 entries otherwise pay their codegen)
+
+    def tokenize_sort():  # explode-tokenize + multi-stage agg + sort
         dfs["documents"].select(
             F.explode(F.split("text", " ")).alias("w")
-        ).groupBy("w").count().orderBy(F.desc("count")).limit(10).write.format(
-            "noop"
-        ).mode("overwrite").save()
-    except Exception as e:
-        print(f"bench warm-up error (non-fatal): {e}", file=sys.stderr)
+        ).groupBy("w").count().orderBy(F.desc("count")).limit(
+            10
+        ).write.format("noop").mode("overwrite").save()
+
+    stage("shuffle_agg", shuffle_agg)
+    stage("broadcast_join", bcast_join)
+    stage("window_exec", window_exec)
+    stage("python_workers", py_workers)
+    stage("tokenize_sort", tokenize_sort)
 
 
 def _load_prev_round_bench() -> dict[str, float] | None:

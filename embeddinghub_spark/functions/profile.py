@@ -228,6 +228,52 @@ def hll_profile(df: DataFrame, columns: list[str] | None = None, p: int = 9) -> 
     )
 
 
+def hll_register_frame(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int,
+) -> DataFrame:
+    """The md5-register HLL build shared by every sketch in the repo
+    (``hll_distinct_by``, ``streaming/distinct_by``, and the PIT
+    ``trailing_distinct_features``): per (group..., bucket), the max
+    rho of the hashed values — ONE definition of the register recipe
+    so the protocol (bucket from the first {bucket_hex} hex chars,
+    rho from the next {value_hex}) can never desynchronize between
+    the batch sketch, the streaming twin, and the PIT feature (and
+    their oracles). Output: ``(*group_cols, bucket, max_rho)`` —
+    one map-side-combined exchange, ≤ |groups| × 2^p rows.
+    """
+    m = 1 << p
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.md5(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .select(
+            *group_cols,
+            F.expr(
+                f"pmod(cast(conv(substr(_h, 1, {_HLL_BUCKET_HEX}), 16, 10)"
+                f" as bigint), {m})"
+            ).alias("bucket"),
+            F.expr(
+                f"cast(conv(substr(_h, {_HLL_BUCKET_HEX + 1},"
+                f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
+            ).alias("_v"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            F.when(F.col("_v") == 0, F.lit(_HLL_RHO_CAP))
+            .otherwise(F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin("_v")))
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
 def hll_distinct_by(
     df: DataFrame,
     group_cols: list[str],
@@ -269,30 +315,7 @@ def hll_distinct_by(
             "engine-specific — hash a stable encoding instead"
         )
     m = 1 << p
-    registers = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, F.md5(F.col(value_col).cast("string")).alias("_h"))
-        .select(
-            *group_cols,
-            F.expr(
-                f"pmod(cast(conv(substr(_h, 1, {_HLL_BUCKET_HEX}), 16, 10)"
-                f" as bigint), {m})"
-            ).alias("bucket"),
-            F.expr(
-                f"cast(conv(substr(_h, {_HLL_BUCKET_HEX + 1},"
-                f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
-            ).alias("_v"),
-        )
-        .select(
-            *group_cols,
-            "bucket",
-            F.when(F.col("_v") == 0, F.lit(_HLL_RHO_CAP))
-            .otherwise(F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin("_v")))
-            .alias("rho"),
-        )
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    registers = hll_register_frame(df, group_cols, value_col, p)
     per_group = registers.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - max_rho)")).alias("_s_used"),
         F.count(F.lit(1)).alias("_used"),

@@ -869,6 +869,16 @@ def trailing_window_features(
     return picked.select(*out)
 
 
+def decay_hl_tag(hl: float) -> str:
+    """The half-life column-name tag shared by the batch op and the
+    streaming counter — ONE definition so batch/stream column parity
+    can never drift (dots would read as struct paths in Spark column
+    resolution, so fractional half-lives sanitize to underscores)."""
+    return str(int(hl)) if float(hl).is_integer() else str(hl).replace(
+        ".", "_"
+    )
+
+
 def decay_bucket_weights(
     n_buckets: int, bucket_seconds: int, half_life_seconds: float
 ) -> list[float]:
@@ -997,7 +1007,7 @@ def decayed_trailing_features(
         # exchanges. Columns are then suffixed per half-life.
         if not multi:
             return f"{out_prefix}_score", f"{out_prefix}_sum"
-        tag = int(hl) if float(hl).is_integer() else str(hl).replace(".", "_")
+        tag = decay_hl_tag(hl)
         return f"{out_prefix}{tag}_score", f"{out_prefix}{tag}_sum"
 
     weights_by_hl = {hl: decay_bucket_weights(K, g, hl) for hl in hls}
@@ -1031,7 +1041,11 @@ def decayed_trailing_features(
             "_aid",
             *labels.columns,
             F.col(label_entity_col).alias("_e"),
-            F.explode(
+            # explode_OUTER: a NULL-ts label has no bucket sequence but
+            # must survive with count 0 / NULL score (the
+            # trailing_window_features convention) instead of silently
+            # vanishing from a training frame
+            F.explode_outer(
                 F.sequence(F.col("_lb") - K, F.col("_lb") - 1)
             ).alias("_b"),
             "_lb",
@@ -1131,11 +1145,9 @@ def trailing_distinct_features(
     any events — the support indicator).
     """
     from embeddinghub_spark.functions.profile import (
-        _HLL_BUCKET_HEX,
         _HLL_RHO_CAP,
-        _HLL_VALUE_BITS,
-        _HLL_VALUE_HEX,
         _hll_alpha,
+        hll_register_frame,
     )
 
     g = int(bucket_seconds)
@@ -1155,35 +1167,23 @@ def trailing_distinct_features(
     ev_bucket = F.expr(
         f"CAST(floor(({_epoch_seconds_expr(event_ts_col)}) / {g}) AS BIGINT)"
     )
-    registers = (
-        events.filter(F.col(value_col).isNotNull())
-        .select(
+    # the shared register recipe (profile.hll_register_frame) — ONE
+    # protocol definition across the batch sketch, the streaming twin,
+    # this PIT feature, and their oracles
+    registers = hll_register_frame(
+        events.select(
             F.col(event_entity_col).alias("_e"),
             ev_bucket.alias("_b"),
-            F.md5(F.col(value_col).cast("string")).alias("_h"),
-        )
-        .select(
-            "_e",
-            "_b",
-            F.expr(
-                f"pmod(cast(conv(substr(_h, 1, {_HLL_BUCKET_HEX}), 16, 10)"
-                f" as bigint), {m})"
-            ).alias("_reg"),
-            F.expr(
-                f"cast(conv(substr(_h, {_HLL_BUCKET_HEX + 1},"
-                f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
-            ).alias("_v"),
-        )
-        .select(
-            "_e",
-            "_b",
-            "_reg",
-            F.when(F.col("_v") == 0, F.lit(_HLL_RHO_CAP))
-            .otherwise(F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin("_v")))
-            .alias("_rho"),
-        )
-        .groupBy("_e", "_b", "_reg")
-        .agg(F.max("_rho").alias("_max_rho"))
+            F.col(value_col),
+        ),
+        ["_e", "_b"],
+        value_col,
+        p,
+    ).select(
+        "_e",
+        "_b",
+        F.col("bucket").alias("_reg"),
+        F.col("max_rho").alias("_max_rho"),
     )
     lab_bucket = F.expr(
         f"CAST(floor(({_epoch_seconds_expr(label_ts_col)}) / {g}) AS BIGINT)"
@@ -1195,7 +1195,11 @@ def trailing_distinct_features(
             "_aid",
             *labels.columns,
             F.col(label_entity_col).alias("_e"),
-            F.explode(
+            # explode_OUTER: a NULL-ts label has no bucket sequence but
+            # must survive with count 0 / NULL score (the
+            # trailing_window_features convention) instead of silently
+            # vanishing from a training frame
+            F.explode_outer(
                 F.sequence(F.col("_lb") - K, F.col("_lb") - 1)
             ).alias("_b"),
             "_lb",

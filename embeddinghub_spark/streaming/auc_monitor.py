@@ -75,8 +75,6 @@ def merge_score_counts_dir(
     (returns False) when ``batch_id`` is already committed. Atomic
     symlink-flip commit of (counts, watermark) together — the
     ``cms_by.merge_counters_dir`` discipline on the AUC state."""
-    import shutil
-    import uuid
 
     exists = os.path.islink(state_dir) or os.path.isdir(state_dir)
     if exists and batch_id <= _committed_batch(state_dir):
@@ -91,27 +89,14 @@ def merge_score_counts_dir(
     merged = merged.groupBy("s").agg(
         F.sum("n").alias("n"), F.sum("p").alias("p")
     )
-    phys = state_dir + ".v-" + uuid.uuid4().hex[:8]
+    from embeddinghub_spark.streaming._state import (
+        commit_version_dir,
+        new_version_dir,
+    )
+
+    phys = new_version_dir(state_dir)
     merged.coalesce(1).write.parquet(phys)
-    with open(os.path.join(phys, _META), "w") as fh:
-        json.dump({"committed_batch": int(batch_id)}, fh)
-    tmp = state_dir + ".link-" + uuid.uuid4().hex[:8]
-    os.symlink(phys, tmp)
-    prev = os.path.realpath(state_dir) if os.path.islink(state_dir) else None
-    os.replace(tmp, state_dir)
-    if prev and os.path.isdir(prev):
-        shutil.rmtree(prev, ignore_errors=True)
-    # sweep orphans: a crash between the version write and the symlink
-    # flip leaves a ``.v-*`` dir that no link references — without this,
-    # state grows unboundedly across restarts (ADVICE r6)
-    live = os.path.realpath(state_dir)
-    base = os.path.basename(state_dir) + ".v-"
-    parent = os.path.dirname(os.path.abspath(state_dir))
-    for name in os.listdir(parent):
-        if name.startswith(base):
-            cand = os.path.join(parent, name)
-            if os.path.realpath(cand) != live:
-                shutil.rmtree(cand, ignore_errors=True)
+    commit_version_dir(state_dir, phys, batch_id, _META)
     return True
 
 

@@ -79,23 +79,14 @@ def apply_changelog_batch(
     new_snap = cdc_apply(
         snapshot, batch, key_cols, seq_col, op_col, delete_op
     )
-    phys = state_dir + ".v-" + uuid.uuid4().hex[:8]
+    from embeddinghub_spark.streaming._state import (
+        commit_version_dir,
+        new_version_dir,
+    )
+
+    phys = new_version_dir(state_dir)
     new_snap.write.parquet(phys)
-    with open(os.path.join(phys, _META), "w") as fh:
-        json.dump({"committed_batch": int(batch_id)}, fh)
-    tmp = state_dir + ".link-" + uuid.uuid4().hex[:8]
-    os.symlink(phys, tmp)
-    prev = os.path.realpath(state_dir) if os.path.islink(state_dir) else None
-    if prev is None and os.path.isdir(state_dir):
-        # legacy PLAIN-dir snapshot (seeded outside the symlink
-        # protocol): its rows are already folded into phys (the write
-        # above is eager), but os.replace cannot replace a real dir
-        # with a symlink — move it aside first, then retire it
-        prev = state_dir + ".legacy-" + uuid.uuid4().hex[:8]
-        os.rename(state_dir, prev)
-    os.replace(tmp, state_dir)
-    if prev and os.path.isdir(prev):
-        shutil.rmtree(prev, ignore_errors=True)
+    commit_version_dir(state_dir, phys, batch_id, _META)
     return True
 
 

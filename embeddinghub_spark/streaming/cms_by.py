@@ -79,8 +79,6 @@ def merge_counters_dir(
     False) if ``batch_id`` is already committed — the exactly-once
     gate that idempotent max-merge state does not need. Atomic
     symlink-flip commit of (counters, watermark) together."""
-    import shutil
-    import uuid
 
     exists = os.path.islink(state_dir) or os.path.isdir(state_dir)
     if exists and batch_id <= _committed_batch(state_dir):
@@ -93,16 +91,14 @@ def merge_counters_dir(
     for other in layers[1:]:
         merged = merged.unionByName(other)
     merged = merged.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
-    phys = state_dir + ".v-" + uuid.uuid4().hex[:8]
+    from embeddinghub_spark.streaming._state import (
+        commit_version_dir,
+        new_version_dir,
+    )
+
+    phys = new_version_dir(state_dir)
     merged.coalesce(1).write.parquet(phys)
-    with open(os.path.join(phys, _META), "w") as fh:
-        json.dump({"committed_batch": int(batch_id)}, fh)
-    tmp = state_dir + ".link-" + uuid.uuid4().hex[:8]
-    os.symlink(phys, tmp)
-    prev = os.path.realpath(state_dir) if os.path.islink(state_dir) else None
-    os.replace(tmp, state_dir)
-    if prev and os.path.isdir(prev):
-        shutil.rmtree(prev, ignore_errors=True)
+    commit_version_dir(state_dir, phys, batch_id, _META)
     return True
 
 

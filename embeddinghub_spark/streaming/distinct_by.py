@@ -35,42 +35,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def _registers(df: DataFrame, group_col: str, value_col: str, p: int) -> DataFrame:
-    """(group, bucket, max_rho) registers for one batch — the
-    ``hll_distinct_by`` register build, shared protocol."""
-    from embeddinghub_spark.functions.profile import (
-        _HLL_BUCKET_HEX,
-        _HLL_RHO_CAP,
-        _HLL_VALUE_BITS,
-        _HLL_VALUE_HEX,
-    )
+    """(group, bucket, max_rho) registers for one batch — the shared
+    ``profile.hll_register_frame`` build (one protocol definition)."""
+    from embeddinghub_spark.functions.profile import hll_register_frame
 
-    m = 1 << p
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("grp"),
-            F.md5(F.col(value_col).cast("string")).alias("_h"),
-        )
-        .select(
-            "grp",
-            F.expr(
-                f"pmod(cast(conv(substr(_h, 1, {_HLL_BUCKET_HEX}), 16, 10)"
-                f" as bigint), {m})"
-            ).alias("bucket"),
-            F.expr(
-                f"cast(conv(substr(_h, {_HLL_BUCKET_HEX + 1},"
-                f" {_HLL_VALUE_HEX}), 16, 10) as bigint)"
-            ).alias("_v"),
-        )
-        .select(
-            "grp",
-            "bucket",
-            F.when(F.col("_v") == 0, F.lit(_HLL_RHO_CAP))
-            .otherwise(F.lit(_HLL_VALUE_BITS + 1) - F.length(F.bin("_v")))
-            .alias("rho"),
-        )
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("max_rho"))
+    return hll_register_frame(
+        df.select(F.col(group_col).alias("grp"), F.col(value_col)),
+        ["grp"],
+        value_col,
+        p,
     )
 
 
@@ -83,7 +56,6 @@ def merge_registers_dir(
     (atomic symlink-flip commit, the C18 protocol). The table is
     ≤ |groups| × 2^p rows, so the full rewrite is a bounded tiny job
     at ANY stream length."""
-    import uuid
 
     layers = [batch_registers]
     if os.path.islink(state_dir) or os.path.isdir(state_dir):
@@ -94,16 +66,14 @@ def merge_registers_dir(
     merged = merged.groupBy("grp", "bucket").agg(
         F.max("max_rho").alias("max_rho")
     )
-    phys = state_dir + ".v-" + uuid.uuid4().hex[:8]
-    merged.coalesce(1).write.parquet(phys)
-    tmp = state_dir + ".link-" + uuid.uuid4().hex[:8]
-    os.symlink(phys, tmp)
-    prev = os.path.realpath(state_dir) if os.path.islink(state_dir) else None
-    os.replace(tmp, state_dir)
-    if prev and os.path.isdir(prev):
-        import shutil
+    from embeddinghub_spark.streaming._state import (
+        commit_version_dir,
+        new_version_dir,
+    )
 
-        shutil.rmtree(prev, ignore_errors=True)
+    phys = new_version_dir(state_dir)
+    merged.coalesce(1).write.parquet(phys)
+    commit_version_dir(state_dir, phys)
 
 
 def read_distinct_estimates(

@@ -128,16 +128,14 @@ def merge_batch_bins(
     for other in layers[1:]:
         merged = merged.unionByName(other)
     merged = merged.groupBy("bin").agg(F.sum("n").alias("n"))
-    phys = cur_dir + ".v-" + uuid.uuid4().hex[:8]
+    from embeddinghub_spark.streaming._state import (
+        commit_version_dir,
+        new_version_dir,
+    )
+
+    phys = new_version_dir(cur_dir)
     merged.coalesce(1).write.parquet(phys)
-    with open(os.path.join(phys, _META), "w") as fh:
-        json.dump({"committed_batch": int(batch_id)}, fh)
-    tmp = cur_dir + ".link-" + uuid.uuid4().hex[:8]
-    os.symlink(phys, tmp)
-    prev = os.path.realpath(cur_dir) if os.path.islink(cur_dir) else None
-    os.replace(tmp, cur_dir)
-    if prev and os.path.isdir(prev):
-        shutil.rmtree(prev, ignore_errors=True)
+    commit_version_dir(cur_dir, phys, batch_id, _META)
     return True
 
 

@@ -318,7 +318,10 @@ def decayed_trailing_counter(
         TimestampNTZType,
     )
 
-    from embeddinghub_spark.operators.pit import decay_bucket_weights
+    from embeddinghub_spark.operators.pit import (
+        decay_bucket_weights,
+        decay_hl_tag,
+    )
 
     g = int(bucket_seconds)
     K = int(n_buckets)
@@ -326,13 +329,17 @@ def decayed_trailing_counter(
     hls = [float(h) for h in (
         half_life_seconds if multi else [half_life_seconds]
     )]
+    # same validation as the batch twin: fail fast at construction,
+    # not as an Arrow schema mismatch mid-stream
+    if not hls or any(h <= 0 for h in hls) or len(set(hls)) != len(hls):
+        raise ValueError("half_life_seconds must be positive and distinct")
     weights_by_hl = [decay_bucket_weights(K, g, hl) for hl in hls]
 
     def hl_cols(hl: float) -> tuple[str, str]:
-        # multi-half-life column naming matches the batch op's
+        # multi-half-life column naming shares the batch op's tag
         if not multi:
             return "decay_score", "decay_sum"
-        tag = int(hl) if float(hl).is_integer() else str(hl).replace(".", "_")
+        tag = decay_hl_tag(hl)
         return f"decay{tag}_score", f"decay{tag}_sum"
 
     entity_type = stream_df.schema[entity_col].dataType
@@ -368,6 +375,10 @@ def decayed_trailing_counter(
         for pdf in pdf_iter:
             vals = pdf[value_col] if value_col else None
             for i, t in enumerate(pdf[ts_col]):
+                if pd.isna(t):
+                    # batch-twin parity: a NULL-ts event has no bucket
+                    # and is excluded there too
+                    continue
                 sec = pd.Timestamp(t).value // 1_000_000_000
                 b = sec // g
                 mx = max(part) if part else None
@@ -375,12 +386,19 @@ def decayed_trailing_counter(
                     continue  # outside every future window
                 slot = part.setdefault(int(b), [0, 0])
                 slot[0] += 1
-                if value_col:
+                if value_col and not pd.isna(vals.iloc[i]):
+                    # NULL values count toward decay_count but add
+                    # nothing to the value sum — exactly the batch
+                    # twin's SUM-skips-NULL behavior
                     q = Decimal(repr(float(vals.iloc[i]))).quantize(
                         Decimal("1e-9"), ROUND_HALF_UP
                     )
                     slot[1] += int(q.scaleb(9))
-        mx = max(part) if part else 0
+        if not part:
+            # nothing bucketable ever arrived for this key (e.g. all
+            # NULL-ts rows) — no reference time exists, emit nothing
+            return
+        mx = max(part)
         part = {b: cv for b, cv in part.items() if b > mx - K}
         bks = sorted(part)
         state.update(

@@ -1104,3 +1104,47 @@ def test_decayed_trailing_multi_half_life_fusion(spark):
         half_life_seconds=120.0, value_col="value",
     )
     assert n_joins(fused_plan) == n_joins(single_plan) == 1
+
+
+def test_decayed_trailing_null_ts_label_survives(spark):
+    """ADVICE r8 pin: a NULL-ts label must survive with count 0 /
+    NULL score (the trailing_window_features convention), not vanish
+    from the training frame; same for trailing_distinct (0.0
+    estimate, 0 buckets used)."""
+    import datetime as dt
+
+    from embeddinghub_spark.operators.pit import (
+        decayed_trailing_features,
+        trailing_distinct_features,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [("a", t0, 1.0, "d1")], ["entity", "ts", "value", "device"]
+    )
+    labels = spark.createDataFrame(
+        [(0, "a", t0 + dt.timedelta(seconds=90)), (1, "a", None)],
+        "label_id INT, entity STRING, ts TIMESTAMP",
+    )
+    got = {
+        r["label_id"]: (r["decay_count"], r["decay_score"])
+        for r in decayed_trailing_features(
+            labels, events, bucket_seconds=60, n_buckets=4,
+            half_life_seconds=120.0,
+        ).collect()
+    }
+    assert set(got) == {0, 1}, "NULL-ts label dropped"
+    assert got[1] == (0, None)
+    assert got[0][0] == 1
+
+    gd = {
+        r["label_id"]: (r["approx_distinct"], r["approx_distinct_buckets_used"])
+        for r in trailing_distinct_features(
+            labels, events, bucket_seconds=60, n_buckets=4,
+            value_col="device",
+        ).collect()
+    }
+    assert set(gd) == {0, 1}, "NULL-ts label dropped"
+    assert gd[1] == (0.0, 0)
+    # HLL small-range estimate of 1 distinct: 512·ln(512/511) ≈ 1.001
+    assert abs(gd[0][0] - 1.0) < 0.01 and gd[0][1] == 1

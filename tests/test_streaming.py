@@ -1415,3 +1415,73 @@ def test_decayed_trailing_counter_multi_half_life(spark, tmp_path):
         }
         for e in batch:
             assert batch[e] == (final[e][1], final[e][idx]), (hl, e)
+
+
+def test_decayed_trailing_counter_tolerates_nulls(spark, tmp_path):
+    """ADVICE r8 pin: NULL-ts events are excluded (they have no
+    bucket, matching the batch twin) and NULL values count toward
+    decay_count but add nothing to the value sum (the batch SUM-skips-
+    NULL behavior) — neither kills the streaming query."""
+    from datetime import datetime
+
+    from embeddinghub_spark.streaming.windows import decayed_trailing_counter
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 2.0),
+        ("a", base, None),      # NULL value: counted, no sum term
+        ("a", None, 5.0),       # NULL ts: excluded entirely
+        ("b", None, 1.0),       # entity with ONLY null-ts rows
+    ]
+    src = spark.createDataFrame(
+        rows, "entity STRING, ts TIMESTAMP, value DOUBLE"
+    )
+    in_dir = str(tmp_path / "nulls_in")
+    src.coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["entity"]] = (r["decay_count"], r["decay_sum"])
+
+    q = (
+        decayed_trailing_counter(
+            stream, bucket_seconds=60, n_buckets=4,
+            half_life_seconds=120.0, value_col="value",
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "nulls_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # both non-null-ts events for `a` landed in the reference window
+    assert final["a"][0] == 2
+    # the value sum reflects only the non-null value (2.0 decayed)
+    assert final["a"][1] is not None and 0 < final["a"][1] <= 2.0
+    # an entity with only null-ts rows emits nothing and does not crash
+    assert "b" not in final
+
+
+def test_streaming_counter_rejects_duplicate_half_lives(spark):
+    """ADVICE r8 pin: the streaming counter fails fast at construction
+    on duplicate half-lives like its batch twin, instead of dying on
+    an Arrow schema mismatch mid-stream."""
+    import pytest
+
+    from embeddinghub_spark.streaming.windows import decayed_trailing_counter
+
+    df = spark.createDataFrame([("a",)], ["entity"]).withColumn(
+        "ts", __import__("pyspark").sql.functions.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        decayed_trailing_counter(
+            df, bucket_seconds=60, n_buckets=4,
+            half_life_seconds=[120, 120],
+        )
