@@ -7564,6 +7564,64 @@ FROM agg
 """
 
 
+def q_trailing_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions-in-trailing-window PIT feature — pure COMPOSITION of
+    two certified operators (no new code): sessionize the user's
+    click stream (streaming/windows.py sessionize, 6-hour gap), then
+    count session STARTS in the 3 days before each purchase via
+    trailing_window_features (operators/pit.py — the union+cumulative
+    single-shuffle trailing count). "How many distinct visits did
+    this user make recently" is the engagement feature next to
+    decayed_trailing's intensity and trailing_distinct's breadth."""
+    from embeddinghub_spark.operators.pit import trailing_window_features
+    from embeddinghub_spark.streaming.windows import sessionize
+
+    evt = _t(spark, sf_dir, "events")
+    labels = evt.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("entity"), "ts"
+    )
+    clicks = evt.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    sessions = sessionize(
+        clicks, "ts", "6 hours", group_cols=["user_id"]
+    ).select("user_id", F.col("session_start").alias("ts"))
+    return trailing_window_features(
+        labels,
+        sessions,
+        window_seconds=3 * 86400,
+        event_entity_col="user_id",
+        out_prefix="sessions",
+    )
+
+
+_TRAILING_SESSIONS_ORACLE = f"""
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type FROM events),
+l AS (SELECT event_id, user_id AS entity, ts
+      FROM evt WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM evt WHERE event_type = 'click'),
+f AS (SELECT user_id, ts,
+             CASE WHEN epoch(ts - lag(ts) OVER w) > 21600 THEN 1 ELSE 0 END
+               AS ns
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+starts AS (SELECT user_id, MIN(ts) AS start_ts FROM s
+           GROUP BY user_id, sid),
+j AS (SELECT l.event_id, l.entity, l.ts, count(st.start_ts) AS c
+      FROM l LEFT JOIN starts st
+        ON st.user_id = l.entity
+       AND st.start_ts >= l.ts - INTERVAL {3 * 86400} SECOND
+       AND st.start_ts < l.ts
+      GROUP BY 1, 2, 3)
+SELECT event_id, entity, ts, CAST(c AS BIGINT) AS sessions_count
+FROM j
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7575,6 +7633,7 @@ def staged_queries() -> dict:
         "decayed_trailing": q_decayed_trailing,
         "sparse_cosine_scaled": q_sparse_cosine_scaled,
         "trailing_distinct": q_trailing_distinct,
+        "trailing_sessions": q_trailing_sessions,
     }
 
 
@@ -7583,4 +7642,5 @@ def staged_oracle_sql() -> dict:
         "decayed_trailing": _decayed_trailing_oracle(),
         "sparse_cosine_scaled": _SPARSE_COSINE_SCALED_ORACLE,
         "trailing_distinct": _trailing_distinct_oracle(),
+        "trailing_sessions": _TRAILING_SESSIONS_ORACLE,
     }
