@@ -3661,7 +3661,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle() -> str:
+def _semantic_dedup_oracle(k: int = _SEMDEDUP_K) -> str:
     dotp = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     cos = (
         f"round({dotp.format(a='x.embedding', b='y.embedding')}"
@@ -3672,7 +3672,7 @@ def _semantic_dedup_oracle() -> str:
 WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
                   embedding AS centroid
            FROM (SELECT vec_id, embedding FROM embeddings
-                 ORDER BY vec_id LIMIT {_SEMDEDUP_K})),
+                 ORDER BY vec_id LIMIT {k})),
      av AS (SELECT vec_id, embedding, cell FROM (
               SELECT e.vec_id, e.embedding, c.cell,
                      row_number() OVER (PARTITION BY e.vec_id
@@ -7622,6 +7622,26 @@ FROM j
 """
 
 
+_SEMDEDUP_K_SCALED = 64
+
+
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct SemDeDup configuration: n_clusters sized to
+    the corpus (64 here — keeping N/n_clusters near the sf0.1 entry's
+    cell size) instead of the original entry's fixed 8. Within-cell
+    pair generation is quadratic in cell size, so a FIXED cluster
+    count makes total work grow as N²/K (the sparse_cosine fixed-dim
+    story; the operator docstring and the SemDeDup paper both say
+    K must scale — LAION-440M uses 50k clusters). This entry pins the
+    remedy with a measured point (PLANS_r08.md)."""
+    from embeddinghub_spark.functions.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
+        n_clusters=_SEMDEDUP_K_SCALED, threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7634,6 +7654,7 @@ def staged_queries() -> dict:
         "sparse_cosine_scaled": q_sparse_cosine_scaled,
         "trailing_distinct": q_trailing_distinct,
         "trailing_sessions": q_trailing_sessions,
+        "semantic_dedup_scaled": q_semantic_dedup_scaled,
     }
 
 
@@ -7643,4 +7664,5 @@ def staged_oracle_sql() -> dict:
         "sparse_cosine_scaled": _SPARSE_COSINE_SCALED_ORACLE,
         "trailing_distinct": _trailing_distinct_oracle(),
         "trailing_sessions": _TRAILING_SESSIONS_ORACLE,
+        "semantic_dedup_scaled": _semantic_dedup_oracle(_SEMDEDUP_K_SCALED),
     }
