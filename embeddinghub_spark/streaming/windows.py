@@ -278,6 +278,163 @@ def decayed_counter(
     )
 
 
+def trailing_distinct_counter(
+    stream_df: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    value_col: str,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    p: int = 9,
+):
+    """Streaming twin of ``operators.pit.trailing_distinct_features``
+    (same bucketed window, same md5-register HLL protocol): per
+    entity, maintain per-bucket HLL registers for the K most recent
+    buckets and emit, every micro-batch, the approx-distinct AS OF
+    the reference ``r = max_seen_bucket + 1`` — the serve-now value,
+    ≡ the batch op with a label in bucket r (pinned by test, round-3
+    equality).
+
+    State is ORDER-INDEPENDENT: registers merge by MAX (idempotent —
+    a replayed batch converges for free, the ``distinct_by``
+    argument) and buckets older than ``max_bucket − K`` are dropped
+    because no future reference can weigh them. State per entity:
+    ≤ (K+1)·min(ndv_bucket, 2^p) (bucket, register, rho) triples —
+    bounded at ANY event volume, no value set anywhere.
+
+    Emits ``(entity, ref_ts, approx_distinct, buckets_used)`` per
+    updated entity per micro-batch (update semantics)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from embeddinghub_spark.functions.profile import _hll_alpha
+
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    if not 7 <= p <= 12:
+        raise ValueError(f"p={p} outside [7, 12]")
+    m = 1 << p
+    c1 = _hll_alpha(m) * m * m * float(1 << 53)
+    entity_type = stream_df.schema[entity_col].dataType
+    out_schema = StructType(
+        [
+            StructField(entity_col, entity_type),
+            StructField("ref_ts", TimestampNTZType()),
+            StructField("approx_distinct", DoubleType()),
+            StructField("buckets_used", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buckets", ArrayType(LongType())),
+            StructField("regs", ArrayType(LongType())),
+            StructField("rhos", ArrayType(LongType())),
+        ]
+    )
+
+    def update_fn(key, pdf_iter, state):
+        if state.exists:
+            bks, regs, rhos = state.get
+            part: dict = {}
+            for b, rg, rh in zip(bks, regs, rhos):
+                part.setdefault(b, {})[rg] = rh
+        else:
+            part = {}
+        for pdf in pdf_iter:
+            vals = pdf[value_col]
+            for i, t in enumerate(pdf[ts_col]):
+                v = vals.iloc[i]
+                if pd.isna(t) or v is None or (
+                    isinstance(v, float) and pd.isna(v)
+                ):
+                    continue  # batch parity: NULLs never hash
+                sec = pd.Timestamp(t).value // 1_000_000_000
+                b = int(sec // g)
+                mx = max(part) if part else None
+                if mx is not None and b < max(mx, b) - K:
+                    continue  # outside every future window
+                # the shared register recipe (profile.hll_register_frame)
+                h = hashlib.md5(str(v).encode()).hexdigest()
+                reg = int(h[:3], 16) % m
+                tail = int(h[3:16], 16)
+                rho = 53 if tail == 0 else 53 - tail.bit_length()
+                slot = part.setdefault(b, {})
+                if rho > slot.get(reg, 0):
+                    slot[reg] = rho
+        if not part:
+            return  # nothing bucketable ever arrived for this key
+        mx = max(part)
+        part = {b: rr for b, rr in part.items() if b > mx - K}
+        flat = [
+            (b, rg, rh)
+            for b in sorted(part)
+            for rg, rh in sorted(part[b].items())
+        ]
+        state.update(
+            (
+                [int(b) for b, _, _ in flat],
+                [int(rg) for _, rg, _ in flat],
+                [int(rh) for _, _, rh in flat],
+            )
+        )
+        r = mx + 1
+        merged: dict = {}
+        used_buckets = 0
+        for b, rr in part.items():
+            if 1 <= r - b <= K:
+                used_buckets += 1
+                for rg, rh in rr.items():
+                    if rh > merged.get(rg, 0):
+                        merged[rg] = rh
+        used = len(merged)
+        s_total = sum(1 << (53 - rh) for rh in merged.values()) + (
+            m - used
+        ) * (1 << 53)
+        raw = c1 / float(s_total)
+        empties = m - used
+        if raw <= 2.5 * m and empties > 0:
+            est = m * math.log(m / float(empties))
+        else:
+            est = raw
+        # shortest-repr HALF_UP at 3 — Spark's round(double, 3), not
+        # Python's banker's round (the decayed_trailing_counter _r0
+        # discipline)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        est3 = float(
+            Decimal(repr(float(est))).quantize(
+                Decimal("1e-3"), ROUND_HALF_UP
+            )
+        )
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]],
+                "ref_ts": [pd.Timestamp(r * g, unit="s")],
+                "approx_distinct": [est3],
+                "buckets_used": [int(used_buckets)],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def decayed_trailing_counter(
     stream_df: DataFrame,
     bucket_seconds: int,

@@ -1485,3 +1485,73 @@ def test_streaming_counter_rejects_duplicate_half_lives(spark):
             df, bucket_seconds=60, n_buckets=4,
             half_life_seconds=[120, 120],
         )
+
+
+def test_trailing_distinct_counter_matches_batch(spark, tmp_path):
+    """The streaming register state must converge, after draining the
+    same events in arbitrary micro-batch order, to exactly the batch
+    ``trailing_distinct_features`` estimate (round-3 equality — HLL
+    union by register MAX is lossless and order-free) for a label at
+    the stream's reference; NULL values/timestamps never hash."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.operators.pit import trailing_distinct_features
+    from embeddinghub_spark.streaming.windows import trailing_distinct_counter
+
+    g, K = 60, 6
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            f"u{i % 4}",
+            base + timedelta(seconds=(i * 113) % 600),
+            f"dev{(i * 7) % 40}",
+        )
+        for i in range(150)
+    ] + [("u0", None, "devX"), ("u1", base, None)]
+    src = spark.createDataFrame(
+        rows, "entity STRING, ts TIMESTAMP, device STRING"
+    )
+    in_dir = str(tmp_path / "tdc_in")
+    src.repartition(4).write.parquet(in_dir)  # arbitrary batch order
+    persisted = spark.read.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["entity"]] = (
+                r["ref_ts"], r["approx_distinct"], r["buckets_used"],
+            )
+
+    q = (
+        trailing_distinct_counter(
+            stream, bucket_seconds=g, n_buckets=K, value_col="device",
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert set(final) == {"u0", "u1", "u2", "u3"}
+
+    labels = [(e, final[e][0]) for e in final]
+    batch = {
+        r["entity"]: (r["approx_distinct"], r["approx_distinct_buckets_used"])
+        for r in trailing_distinct_features(
+            spark.createDataFrame(labels, ["entity", "ts"]),
+            persisted,
+            bucket_seconds=g,
+            n_buckets=K,
+            value_col="device",
+        ).collect()
+    }
+    for e in batch:
+        assert batch[e] == final[e][1:], (e, batch[e], final[e])
+        assert final[e][1] > 0
