@@ -3652,7 +3652,14 @@ _SEMDEDUP_THRESHOLD = 0.3
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-list (functions/dedup.py semantic_dedup):
     deterministic first-K coarse quantizer, map-only cell assignment,
-    within-cell lowest-id-wins cosine pruning."""
+    within-cell lowest-id-wins cosine pruning.
+
+    SMALL-CORPUS EXEMPLAR (frozen for ledger continuity): pins K=8,
+    which the r8 sf1 scan measured ×14.5 at ×10 data — within-cell
+    pairs are quadratic in cell size, so K must scale with N. The
+    scale-correct certified twin is ``semantic_dedup_scaled`` (K ∝ N,
+    ×1.7 at ×10) and the operator default now auto-sizes K
+    (dedup.semantic_auto_k)."""
     from embeddinghub_spark.functions.dedup import semantic_dedup
 
     return semantic_dedup(
@@ -5022,14 +5029,25 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index sparse cosine similarity join
     (functions/vector.py sparse_cosine_pairs) over shingle-hashed
     features — exact integer dot products, pairs only from shared
-    buckets."""
+    buckets.
+
+    SMALL-CORPUS EXEMPLAR (frozen for ledger continuity): hashes into
+    a FIXED dim=4096 with no max_df, which the r8 sf1 scan measured
+    ×21 at ×10 data (df ∝ N makes Σ_b df² ∝ N², plus collision-noise
+    pairs). The scale-correct certified twin is
+    ``sparse_cosine_scaled`` (dim=65536 + max_df=1000, linear at ×10);
+    the operator now warns at runtime when an unpruned bucket crosses
+    the df threshold. The probe is disabled here to keep this frozen
+    entry's plan byte-stable."""
     from embeddinghub_spark.functions.text import hash_vectorizer
     from embeddinghub_spark.functions.vector import sparse_cosine_pairs
 
     feats = hash_vectorizer(
         _t(spark, sf_dir, "documents"), dim=4096, shingle_n=3
     )
-    return sparse_cosine_pairs(feats, min_cosine=0.5)
+    return sparse_cosine_pairs(
+        feats, min_cosine=0.5, df_warning_threshold=None
+    )
 
 
 _SPARSE_COSINE_ORACLE = """
@@ -6314,27 +6332,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. Rounds 1-7 certified all 162
-    # hash-certifiable entries of the 164-entry r6 registry (bpe_merges and
-    # pca_embeddings are rows-only by design — terminal no_oracle state).
-    # Round 8 executes the staged-entry rotation ordered by VERDICT r6/r7:
-    # positions 1-14 are the 14 oracle-backed entries that lived in
-    # staged_queries() through r6/r7 (KN language models, grouped AUC,
-    # ranking metrics, corpus diversity, semantic contamination, skew report,
-    # ANN recall audit, entity split, PIT staleness / time-to-event /
-    # trailing windows, dataset fingerprints) — all pass tools/check.py
-    # --staged at sf0.01 but have zero driver rows; positions 15-49 are
-    # previously-certified regression canaries (r6/r7-window members plus the
-    # long-standing core sentinels); position 50 keeps the flagship c6
-    # sentinel as the cross-round canary. Rows-only entries (bpe_merges,
-    # pca_embeddings, isotonic_calibration) are deliberately OUTSIDE the
-    # window: they can never hash-match, so a window slot is wasted on them
-    # (VERDICT r7 "What's wrong" #2). After this round the cumulative ledger
-    # covers 176/179 hash-certified + 3 rows-only recorded. The registry is
-    # FROZEN for r8 at 179: new operators ship pytest-only/staged until this
-    # window is certified.
+    # entries of this dict per round. The r8 window certified 50/50 green
+    # (first all-green gate; cumulative ledger 176/179 hash-certified + 3
+    # rows-only). Round 9 executes the rotation ordered by VERDICT r8 task #1:
+    # positions 1-5 are the five entries staged through r8 (decayed trailing
+    # PIT aggregates, the scale-correct sparse-cosine twin, trailing HLL
+    # distinct, trailing sessions, the K∝N SemDeDup twin) — all pass
+    # tools/check.py --staged at sf0.01 but have zero driver rows; two of
+    # them (sparse_cosine_scaled, semantic_dedup_scaled) supersede the
+    # measured fixed-parameter scale-killers of the r8 sf1 scan. Positions
+    # 6-19 are the 14 entries the r8 window just certified (fresh canaries);
+    # positions 20-49 are 30 long-standing core sentinels; position 50 keeps
+    # the flagship c6 sentinel as the cross-round canary. Five older canaries
+    # (kfold_split, temporal_split, binary_auc, psi_drift, f8_tpch_q3) moved
+    # just below the window — each keeps its cumulative green rows. Rows-only
+    # entries (bpe_merges, pca_embeddings, isotonic_calibration) stay OUTSIDE
+    # the window: they can never hash-match, so a window slot on them is
+    # wasted. After this round the cumulative ledger covers 181/184
+    # hash-certified + 3 rows-only recorded. The registry is FROZEN for r9 at
+    # 184: new operators ship pytest-only/staged until this window certifies.
     return {
-        # --- positions 1-14: the r6/r7 staged entries, never driver-certified ---
+        # --- positions 1-5: the r8 staged entries, never driver-certified ---
+        "decayed_trailing": q_decayed_trailing,
+        "sparse_cosine_scaled": q_sparse_cosine_scaled,
+        "trailing_distinct": q_trailing_distinct,
+        "trailing_sessions": q_trailing_sessions,
+        "semantic_dedup_scaled": q_semantic_dedup_scaled,
+        # --- positions 6-19: certified by the r8 window (fresh canaries) ---
         "kn_bigram_logprob": q_kn_bigram_logprob,
         "auc_by_group": q_auc_by_group,
         "ranking_metrics": q_ranking_metrics,
@@ -6349,7 +6373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window": q_trailing_window,
         "dataset_fingerprint": q_dataset_fingerprint,
         "fingerprint_by": q_fingerprint_by,
-        # --- positions 15-49: previously-certified regression canaries ---
+        # --- positions 20-49: long-standing core sentinels ---
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -6380,17 +6404,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "colocated_join": q_colocated_join,
         "auto_join": q_auto_join,
+        # --- position 50: flagship sentinel (certified r1-r8) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window (every entry below
+        # has at least one green driver row from rounds 1-8, except the
+        # rows-only trio which are rows-only by design and parked here
+        # permanently; the first five rotated out of the window this round
+        # to make room and keep their cumulative rows) ---
         "kfold_split": q_kfold_split,
         "temporal_split": q_temporal_split,
         "binary_auc": q_binary_auc,
         "psi_drift": q_psi_drift,
         "f8_tpch_q3": q_f8_tpch_q3,
-        # --- position 50: flagship sentinel (certified r1-r7) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window (every entry below
-        # has at least one green driver row from rounds 1-7, except the
-        # rows-only trio and isotonic_calibration which are rows-only by
-        # design and parked here permanently) ---
         "isotonic_calibration": q_isotonic_calibration,
         "scd2_lookup": q_scd2_lookup,
         "scd2_merge": q_scd2_merge,
@@ -6705,6 +6730,12 @@ def oracle_sql() -> dict[str, str]:
         "trailing_window": _TRAILING_WINDOW_ORACLE,
         "dataset_fingerprint": _DATASET_FINGERPRINT_ORACLE,
         "fingerprint_by": _FINGERPRINT_BY_ORACLE,
+        # --- promoted by the r9 rotation (staged through r8) ---
+        "decayed_trailing": _decayed_trailing_oracle(),
+        "sparse_cosine_scaled": _SPARSE_COSINE_SCALED_ORACLE,
+        "trailing_distinct": _trailing_distinct_oracle(),
+        "trailing_sessions": _TRAILING_SESSIONS_ORACLE,
+        "semantic_dedup_scaled": _semantic_dedup_oracle(_SEMDEDUP_K_SCALED),
     }
 
 
@@ -7645,24 +7676,12 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 179 per VERDICT r7 #5). The r6/r7 staged set of
-    15 was promoted into queries()/oracle_sql() by the r8 rotation;
-    entries added here during r8 join the registry after the r8 window
+    (registry frozen at 184 per VERDICT r8 #5). The r8 staged set of 5
+    was promoted into queries()/oracle_sql() by the r9 rotation; entries
+    added here during r9 join the registry after the r9 window
     certifies."""
-    return {
-        "decayed_trailing": q_decayed_trailing,
-        "sparse_cosine_scaled": q_sparse_cosine_scaled,
-        "trailing_distinct": q_trailing_distinct,
-        "trailing_sessions": q_trailing_sessions,
-        "semantic_dedup_scaled": q_semantic_dedup_scaled,
-    }
+    return {}
 
 
 def staged_oracle_sql() -> dict:
-    return {
-        "decayed_trailing": _decayed_trailing_oracle(),
-        "sparse_cosine_scaled": _SPARSE_COSINE_SCALED_ORACLE,
-        "trailing_distinct": _trailing_distinct_oracle(),
-        "trailing_sessions": _TRAILING_SESSIONS_ORACLE,
-        "semantic_dedup_scaled": _semantic_dedup_oracle(_SEMDEDUP_K_SCALED),
-    }
+    return {}

@@ -1769,6 +1769,7 @@ def sparse_cosine_pairs(
     weight_col: str = "weight",
     min_cosine: float = 0.5,
     max_df: int | None = None,
+    df_warning_threshold: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs cosine similarity over SPARSE integer feature
     vectors ``(id, bucket, weight)`` — the inverted-index similarity
@@ -1794,6 +1795,16 @@ def sparse_cosine_pairs(
     replays it bit for bit). The feature frame is localCheckpoint'd
     (feeds norms AND both join sides).
 
+    Landmine guard (VERDICT r8: an unpruned run on features hashed
+    into a FIXED dim measured ×21 at ×10 data — df ∝ N makes
+    Σ_b df² ∝ N²): when ``max_df`` is None, one cheap bucket-df
+    aggregate runs up front and a RuntimeWarning fires if the
+    largest bucket df exceeds ``df_warning_threshold`` (that bucket
+    alone implies ≥ threshold²/2 candidate pairs). Set ``max_df``
+    (e.g. 1000) for any real corpus, size the hash dim to the
+    corpus, or pass ``df_warning_threshold=None`` to skip the probe
+    on a corpus you know is bounded.
+
     Output: (id_a, id_b, dot, cosine) for pairs with
     cosine >= min_cosine, id_a < id_b.
     """
@@ -1810,6 +1821,28 @@ def sparse_cosine_pairs(
             .select("_b")
         )
         feats = feats.join(keep, "_b").localCheckpoint(eager=False)
+    elif df_warning_threshold is not None:
+        import warnings
+
+        top = (
+            feats.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.max("_df").alias("_m"))
+            .first()
+        )
+        top_df = int(top["_m"]) if top and top["_m"] is not None else 0
+        if top_df > int(df_warning_threshold):
+            warnings.warn(
+                f"sparse_cosine_pairs: largest feature bucket is shared "
+                f"by {top_df} ids (> {int(df_warning_threshold)}) and "
+                f"max_df is unset — the bucket self-join emits "
+                f"O(df^2) candidate pairs per bucket, ~"
+                f"{top_df * (top_df - 1) // 2} from this bucket alone. "
+                f"Pass max_df (stop-feature pruning) or size the hash "
+                f"dim to the corpus.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     norms = feats.groupBy("_id").agg(F.sum(F.col("_w") * F.col("_w")).alias("_n2"))
     a = feats.select(
         F.col("_b"), F.col("_id").alias("id_a"), F.col("_w").alias("_wa")

@@ -1154,6 +1154,16 @@ def trailing_distinct_features(
     K = int(n_buckets)
     if g <= 0 or K <= 0:
         raise ValueError("bucket_seconds and n_buckets must be > 0")
+    if K > 63:
+        # buckets_used rides as a 64-bit bit_or bitmask over the probe
+        # distance d ∈ [1, K]; Spark's shiftleft wraps the shift amount
+        # mod 64, so K > 63 would silently alias distances onto the
+        # same bit and under-count. Fail fast instead (ADVICE r9) — a
+        # >63-bucket trailing window should coarsen bucket_seconds.
+        raise ValueError(
+            f"n_buckets={K} > 63: buckets_used bitmask is exact only "
+            "for K <= 63 — increase bucket_seconds instead"
+        )
     if not 7 <= p <= 12:
         raise ValueError(f"p={p} outside [7, 12]")
     dt = events.schema[value_col].dataType

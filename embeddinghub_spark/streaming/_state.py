@@ -56,10 +56,24 @@ def commit_version_dir(
     if prev and os.path.isdir(prev):
         shutil.rmtree(prev, ignore_errors=True)
     live = os.path.realpath(state_dir)
-    base = os.path.basename(state_dir) + ".v-"
+    stem = os.path.basename(state_dir)
     parent = os.path.dirname(os.path.abspath(state_dir))
     for name in os.listdir(parent):
-        if name.startswith(base):
-            cand = os.path.join(parent, name)
+        cand = os.path.join(parent, name)
+        if name.startswith(stem + ".v-"):
+            # crash between version-write and flip
+            if os.path.realpath(cand) != live:
+                shutil.rmtree(cand, ignore_errors=True)
+        elif name.startswith(stem + ".link-"):
+            # crash between temp-symlink creation and os.replace
+            # (ADVICE r9: these were never swept and leaked forever)
+            if os.path.islink(cand):
+                try:
+                    os.unlink(cand)
+                except OSError:
+                    pass
+        elif name.startswith(stem + ".legacy-"):
+            # crash after moving a legacy plain dir aside but before
+            # retiring it (ADVICE r9)
             if os.path.realpath(cand) != live:
                 shutil.rmtree(cand, ignore_errors=True)

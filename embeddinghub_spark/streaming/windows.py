@@ -318,14 +318,31 @@ def trailing_distinct_counter(
         TimestampNTZType,
     )
 
-    from embeddinghub_spark.functions.profile import _hll_alpha
+    from embeddinghub_spark.functions.profile import (
+        _HLL_BUCKET_HEX,
+        _HLL_RHO_CAP,
+        _HLL_VALUE_HEX,
+        _hll_alpha,
+    )
 
     g = int(bucket_seconds)
     K = int(n_buckets)
     if not 7 <= p <= 12:
         raise ValueError(f"p={p} outside [7, 12]")
+    # same construction-time guard as the batch twin: Python's str(v)
+    # for float/double differs from Spark's CAST(.. AS STRING)
+    # rendering (1e20 -> '1e+20' vs '1.0E20'), so a fractional value
+    # column would silently diverge instead of matching — reject it
+    # here like trailing_distinct_features does (ADVICE r9)
+    dt = stream_df.schema[value_col].dataType
+    if dt.typeName() in ("float", "double", "decimal"):
+        raise ValueError(
+            f"trailing_distinct_counter: column {value_col!r} is "
+            f"{dt.simpleString()}; fractional string renderings are "
+            "engine-specific — hash a stable encoding instead"
+        )
     m = 1 << p
-    c1 = _hll_alpha(m) * m * m * float(1 << 53)
+    c1 = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
     entity_type = stream_df.schema[entity_col].dataType
     out_schema = StructType(
         [
@@ -365,10 +382,16 @@ def trailing_distinct_counter(
                 if mx is not None and b < max(mx, b) - K:
                     continue  # outside every future window
                 # the shared register recipe (profile.hll_register_frame)
+                # — slicing constants imported, not hardcoded
                 h = hashlib.md5(str(v).encode()).hexdigest()
-                reg = int(h[:3], 16) % m
-                tail = int(h[3:16], 16)
-                rho = 53 if tail == 0 else 53 - tail.bit_length()
+                reg = int(h[:_HLL_BUCKET_HEX], 16) % m
+                tail = int(
+                    h[_HLL_BUCKET_HEX:_HLL_BUCKET_HEX + _HLL_VALUE_HEX], 16
+                )
+                rho = (
+                    _HLL_RHO_CAP if tail == 0
+                    else _HLL_RHO_CAP - tail.bit_length()
+                )
                 slot = part.setdefault(b, {})
                 if rho > slot.get(reg, 0):
                     slot[reg] = rho
@@ -398,9 +421,9 @@ def trailing_distinct_counter(
                     if rh > merged.get(rg, 0):
                         merged[rg] = rh
         used = len(merged)
-        s_total = sum(1 << (53 - rh) for rh in merged.values()) + (
-            m - used
-        ) * (1 << 53)
+        s_total = sum(
+            1 << (_HLL_RHO_CAP - rh) for rh in merged.values()
+        ) + (m - used) * (1 << _HLL_RHO_CAP)
         raw = c1 / float(s_total)
         empties = m - used
         if raw <= 2.5 * m and empties > 0:
@@ -516,6 +539,11 @@ def decayed_trailing_counter(
             StructField("buckets", ArrayType(LongType())),
             StructField("counts", ArrayType(LongType())),
             StructField("vals9", ArrayType(LongType())),
+            # per-bucket count of NON-NULL values: distinguishes "the
+            # window's values summed to 0" (emit 0.0) from "the window
+            # never saw a non-NULL value" (emit NULL, the batch twin's
+            # SUM-over-all-NULLs result) — ADVICE r8 parity fix
+            StructField("vcnts", ArrayType(LongType())),
         ]
     )
 
@@ -523,9 +551,10 @@ def decayed_trailing_counter(
         from decimal import ROUND_HALF_UP, Decimal
 
         if state.exists:
-            bks, cts, v9s = state.get
+            bks, cts, v9s, vcs = state.get
             part = {
-                b: [c, v] for b, c, v in zip(bks, cts, v9s)
+                b: [c, v, vc]
+                for b, c, v, vc in zip(bks, cts, v9s, vcs)
             }
         else:
             part = {}
@@ -541,7 +570,7 @@ def decayed_trailing_counter(
                 mx = max(part) if part else None
                 if mx is not None and b < max(mx, b) - K:
                     continue  # outside every future window
-                slot = part.setdefault(int(b), [0, 0])
+                slot = part.setdefault(int(b), [0, 0, 0])
                 slot[0] += 1
                 if value_col and not pd.isna(vals.iloc[i]):
                     # NULL values count toward decay_count but add
@@ -551,6 +580,7 @@ def decayed_trailing_counter(
                         Decimal("1e-9"), ROUND_HALF_UP
                     )
                     slot[1] += int(q.scaleb(9))
+                    slot[2] += 1
         if not part:
             # nothing bucketable ever arrived for this key (e.g. all
             # NULL-ts rows) — no reference time exists, emit nothing
@@ -563,6 +593,7 @@ def decayed_trailing_counter(
                 [int(b) for b in bks],
                 [int(part[b][0]) for b in bks],
                 [int(part[b][1]) for b in bks],
+                [int(part[b][2]) for b in bks],
             )
         )
         r = mx + 1
@@ -577,12 +608,14 @@ def decayed_trailing_counter(
             )
 
         cnt = 0
+        vwin = 0
         score9 = [0] * len(hls)
         sum9 = [0] * len(hls)
-        for b, (c, v9) in part.items():
+        for b, (c, v9, vc) in part.items():
             d = r - b
             if 1 <= d <= K:
                 cnt += c
+                vwin += vc
                 for i, ws in enumerate(weights_by_hl):
                     w = ws[d - 1]
                     score9[i] += _r0(c * w * 1e9)
@@ -601,7 +634,10 @@ def decayed_trailing_counter(
             s_col, v_col = hl_cols(hl)
             row[s_col] = [_to6(score9[i]) if cnt else None]
             if value_col:
-                row[v_col] = [_to6(sum9[i]) if cnt else None]
+                # NULL when the window never saw a non-NULL value —
+                # the batch twin's SUM over all-NULLs is NULL, not 0.0
+                # (ADVICE r8 medium)
+                row[v_col] = [_to6(sum9[i]) if vwin else None]
         yield pd.DataFrame(row)
 
     return stream_df.groupBy(entity_col).applyInPandasWithState(

@@ -29,29 +29,35 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round8_window_layout():
-    """The ledger-closing rotation for round 8 (VERDICT r7 task #1):
-    the 14 oracle-backed entries staged through r6/r7 (zero driver rows)
-    occupy positions 1-14 of the 50-slot window; positions 15-49 are
-    previously-certified canaries; slot 50 is the flagship sentinel.
-    Rows-only entries can never hash-match, so they must stay OUT of the
-    window (VERDICT r7 "What's wrong" #2). The registry is frozen at 179
-    entries until this window is certified."""
+def test_round9_window_layout():
+    """The rotation for round 9 (VERDICT r8 task #1): the 5 oracle-backed
+    entries staged through r8 (zero driver rows; two of them supersede
+    the measured fixed-parameter scale-killers) occupy positions 1-5 of
+    the 50-slot window; positions 6-19 are the entries the r8 window
+    certified; 20-49 are long-standing core sentinels; slot 50 is the
+    flagship sentinel. Rows-only entries can never hash-match, so they
+    must stay OUT of the window. The registry is frozen at 184 entries
+    until this window is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
     window = keys[:50]
     rotation = [
+        "decayed_trailing", "sparse_cosine_scaled", "trailing_distinct",
+        "trailing_sessions", "semantic_dedup_scaled",
+    ]
+    r8_certified = [
         "kn_bigram_logprob", "auc_by_group", "ranking_metrics",
         "corpus_diversity", "semantic_contamination", "skew_report",
         "ann_recall", "kn_trigram_logprob", "entity_split",
         "pit_staleness", "time_to_next_event", "trailing_window",
         "dataset_fingerprint", "fingerprint_by",
     ]
-    assert window[:14] == rotation, "rotation entries must lead the window"
+    assert window[:5] == rotation, "rotation entries must lead the window"
+    assert window[5:19] == r8_certified, "r8-certified canaries moved"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
-    assert len(keys) == 179, "registry is frozen at 179 entries for r8"
+    assert len(keys) == 184, "registry is frozen at 184 entries for r9"
 
 
 def test_oracle_sql_is_static():

@@ -1555,3 +1555,160 @@ def test_trailing_distinct_counter_matches_batch(spark, tmp_path):
     for e in batch:
         assert batch[e] == final[e][1:], (e, batch[e], final[e])
         assert final[e][1] > 0
+
+
+def test_decayed_trailing_counter_null_only_window_sum_is_null(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium) pin: a window whose every event carries a
+    NULL value must emit decay_sum = NULL, exactly like the batch
+    twin's SUM over all-NULLs — not 0.0 (which would be
+    indistinguishable from a window of genuine zeros). decay_count
+    and decay_score still reflect the events."""
+    from datetime import datetime
+
+    from embeddinghub_spark.operators.pit import decayed_trailing_features
+    from embeddinghub_spark.streaming.windows import decayed_trailing_counter
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", base, None),          # all-NULL window for entity a
+        ("a", base, None),
+        ("z", base, 0.0),           # genuine-zero control entity
+    ]
+    src = spark.createDataFrame(
+        rows, "entity STRING, ts TIMESTAMP, value DOUBLE"
+    )
+    in_dir = str(tmp_path / "nullsum_in")
+    src.coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["entity"]] = (
+                r["ref_ts"], r["decay_count"], r["decay_score"],
+                r["decay_sum"],
+            )
+
+    q = (
+        decayed_trailing_counter(
+            stream, bucket_seconds=60, n_buckets=4,
+            half_life_seconds=120.0, value_col="value",
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "nullsum_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert final["a"][1] == 2 and final["a"][2] is not None
+    assert final["a"][3] is None, "all-NULL window must give NULL sum"
+    assert final["z"][3] == 0.0, "genuine zero must stay 0.0, not NULL"
+
+    # and the batch twin agrees on both entities at the same reference
+    batch = {
+        r["entity"]: (r["decay_count"], r["decay_sum"])
+        for r in decayed_trailing_features(
+            spark.createDataFrame(
+                [(e, final[e][0]) for e in final], ["entity", "ts"]
+            ),
+            spark.read.parquet(in_dir),
+            bucket_seconds=60, n_buckets=4, half_life_seconds=120.0,
+            value_col="value",
+        ).collect()
+    }
+    assert batch["a"] == (2, None)
+    assert batch["z"] == (1, 0.0)
+
+
+def test_trailing_distinct_counter_rejects_fractional_value_col(spark):
+    """ADVICE r9 pin: the streaming counter fails fast on a
+    float/double/decimal value column like its batch twin — Python's
+    str(v) and Spark's CAST(.. AS STRING) render fractionals
+    differently (1e20 -> '1e+20' vs '1.0E20'), so hashing them would
+    silently diverge instead of erroring."""
+    import pytest
+
+    from embeddinghub_spark.streaming.windows import trailing_distinct_counter
+
+    df = spark.createDataFrame(
+        [("a", 1.5)], "entity STRING, value DOUBLE"
+    ).withColumn(
+        "ts", __import__("pyspark").sql.functions.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="fractional"):
+        trailing_distinct_counter(
+            df, bucket_seconds=60, n_buckets=4, value_col="value"
+        )
+
+
+def test_trailing_distinct_features_rejects_n_buckets_over_63(spark):
+    """ADVICE r9 pin: the buckets_used bitmask is a 64-bit bit_or over
+    probe distance; Spark's shiftleft wraps shift amounts mod 64, so
+    n_buckets > 63 would silently alias distances — the op must fail
+    fast at construction instead."""
+    from datetime import datetime
+
+    import pytest
+
+    from embeddinghub_spark.operators.pit import trailing_distinct_features
+
+    labels = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1))], ["entity", "ts"]
+    )
+    events = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1)], ["entity", "ts", "value"]
+    )
+    with pytest.raises(ValueError, match="63"):
+        trailing_distinct_features(
+            labels, events, bucket_seconds=60, n_buckets=64,
+            value_col="value",
+        )
+
+
+def test_state_commit_sweeps_stale_link_and_legacy_orphans(tmp_path):
+    """ADVICE r9 pin: a crash between temp-symlink creation and
+    os.replace leaves a '.link-*' symlink; a crash before rmtree of a
+    moved-aside legacy dir leaves a '.legacy-*' dir. Both must be
+    swept by the next successful commit — the same unbounded-leak
+    class the '.v-*' sweep already covers — while the live version
+    and unrelated siblings survive."""
+    import os
+
+    from embeddinghub_spark.streaming._state import (
+        commit_version_dir,
+        new_version_dir,
+    )
+
+    state = str(tmp_path / "st")
+    # simulate prior crashes: an orphan temp link, an orphan legacy
+    # dir, an orphan version dir, and an unrelated sibling
+    stale_v = state + ".v-deadbeef"
+    os.makedirs(stale_v)
+    os.symlink(stale_v, state + ".link-cafe0000")
+    os.makedirs(state + ".legacy-0ld")
+    os.makedirs(str(tmp_path / "st_other.v-keep"))
+
+    phys = new_version_dir(state)
+    os.makedirs(phys)
+    commit_version_dir(state, phys, batch_id=0, meta_name="_meta.json")
+
+    assert os.path.islink(state)
+    assert os.path.realpath(state) == os.path.realpath(phys)
+    names = set(os.listdir(str(tmp_path)))
+    assert "st.link-cafe0000" not in names, "stale temp link leaked"
+    assert "st.legacy-0ld" not in names, "stale legacy dir leaked"
+    assert "st.v-deadbeef" not in names, "orphan version dir leaked"
+    assert "st_other.v-keep" in names, "unrelated sibling swept"
+    # and a second commit retires the first version cleanly
+    phys2 = new_version_dir(state)
+    os.makedirs(phys2)
+    commit_version_dir(state, phys2, batch_id=1, meta_name="_meta.json")
+    assert os.path.realpath(state) == os.path.realpath(phys2)
+    assert not os.path.exists(phys)

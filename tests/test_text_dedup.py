@@ -866,3 +866,53 @@ def test_minhash_tune_picks_threshold_matched_banding():
         minhash_tune(0.0, 16)
     with pytest.raises(ValueError):
         banding_candidate_probability(1.5, 4, 2)
+
+
+def test_semantic_auto_k_rule():
+    """VERDICT r8 #2 pin: the default cluster count follows the
+    SemDeDup K ∝ N recipe — K = ceil(N / target_cell_size), floor 1 —
+    so the expected cell population (and thus the quadratic
+    within-cell pair cost) stays constant as the corpus grows."""
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import semantic_auto_k
+
+    assert semantic_auto_k(0) == 1
+    assert semantic_auto_k(1) == 1
+    assert semantic_auto_k(8192) == 1
+    assert semantic_auto_k(8193) == 2
+    assert semantic_auto_k(440_000_000, 8800) == 50_000  # the paper's LAION point
+    # proportionality at a fixed cell size
+    assert semantic_auto_k(500, 100) == 5
+    assert semantic_auto_k(5000, 100) == 50
+    with pytest.raises(ValueError):
+        semantic_auto_k(10, 0)
+
+
+def test_semantic_dedup_auto_sizes_n_clusters(spark):
+    """An unparameterized semantic_dedup call must pick K from the
+    corpus count (K = ceil(N/target_cell_size)), not a fixed constant:
+    with well-separated centroid archetypes, the number of distinct
+    cells in the output equals the auto K at BOTH corpus sizes."""
+    from embeddinghub_spark.functions.dedup import semantic_dedup
+
+    def corpus(n):
+        rows = []
+        for i in range(n):
+            v = [0.0] * 4
+            v[i % 3] = 1.0
+            v[3] = 0.01 * i  # keep vectors distinct
+            rows.append((i + 1, v))
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    # N=12, cell target 4 -> K=3; first 3 vectors are e0/e1/e2 archetypes
+    out = semantic_dedup(
+        corpus(12), dim=4, threshold=0.999, target_cell_size=4
+    )
+    cells = {r["cell"] for r in out.collect()}
+    assert cells == {1, 2, 3}
+    # N=8, cell target 4 -> K=2
+    out2 = semantic_dedup(
+        corpus(8), dim=4, threshold=0.999, target_cell_size=4
+    )
+    assert {r["cell"] for r in out2.collect()} == {1, 2}

@@ -778,3 +778,31 @@ def test_ivf_disk_index_append_only_touches_probed_cells(spark, tmp_path):
     got = ivf_index_probe(spark, idx, q, 3, nprobe=2, dim=8).collect()
     ids = {r.neighbor_id for r in got}
     assert 0 in ids and 1000 in ids  # original and its appended twin
+
+
+def test_sparse_cosine_warns_on_stop_feature_bucket(spark):
+    """VERDICT r8 #2 pin: with max_df unset, a bucket whose df crosses
+    df_warning_threshold fires a loud RuntimeWarning (Σ_b df² is the
+    op's cost — an unpruned stop-feature bucket is the measured ×21
+    landmine); setting max_df, or disabling the probe, stays silent."""
+    import warnings
+
+    import pytest
+
+    from embeddinghub_spark.functions.vector import sparse_cosine_pairs
+
+    rows = [(i, 7, 1) for i in range(6)]  # bucket 7 shared by 6 ids
+    rows += [(0, 1, 2), (1, 2, 2)]
+    df = spark.createDataFrame(rows, "doc_id int, bucket int, weight int")
+
+    with pytest.warns(RuntimeWarning, match="max_df"):
+        sparse_cosine_pairs(df, min_cosine=0.0, df_warning_threshold=3)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # pruned: the guard aggregate is replaced by the max_df filter
+        sparse_cosine_pairs(df, min_cosine=0.0, max_df=3)
+        # probe explicitly disabled (the frozen exemplar entry's path)
+        sparse_cosine_pairs(df, min_cosine=0.0, df_warning_threshold=None)
+        # under-threshold corpus: probe runs, no warning
+        sparse_cosine_pairs(df, min_cosine=0.0, df_warning_threshold=10)
