@@ -7673,6 +7673,97 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup-on-ingest (streaming/dedup_ingest.py
+    streaming_embedding_dedup_ingest): the embeddings table arrives as
+    4 id-monotone micro-batches; each batch is probed against the
+    growing on-disk banded sign-LSH index (exact-cosine verified
+    against vectors stored IN the index — the corpus is never
+    re-read), within-batch pairs come from the banded self-join, and
+    every vector's band rows append to the index (no-chaining rule).
+    Returns the accepted vec_ids — equal, under id-monotone arrival,
+    to the batch rule "keep x iff no banded candidate y < x with
+    cosine >= threshold" (stream ≡ batch pinned in
+    tests/test_streaming.py).
+
+    Completes the ingest-side dedup stack next to the MinHash twin
+    (`incremental_dedup`): text shingles AND vector similarity both
+    dedup on arrival against on-disk state. Reference: embeddinghub
+    serves vectors (embeddingstore/index.cc) but has no ingest dedup;
+    this is the curation op a 100 TB pipeline runs before indexing."""
+    import os
+    import tempfile
+    import time as _time
+
+    from embeddinghub_spark.streaming.dedup_ingest import (
+        streaming_embedding_dedup_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="embingest_")
+    src = os.path.join(root, "src")
+    bounds = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    lo, n = bounds[0] - 1, bounds[1]  # ids are 0-based in testdata
+    cuts = [lo + ((n - lo) * k) // 4 for k in range(5)]
+    for f in range(4):
+        sl = emb.filter(
+            (F.col("vec_id") > cuts[f]) & (F.col("vec_id") <= cuts[f + 1])
+        )
+        path = os.path.join(src, f"f{f}")
+        sl.coalesce(1).write.parquet(path)
+        t = _time.time() - 1000 + f  # id-monotone arrival order
+        for r, _dirs, files in os.walk(path):
+            for name in files:
+                os.utime(os.path.join(r, name), (t, t))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = streaming_embedding_dedup_ingest(
+        stream,
+        os.path.join(root, "idx"),
+        os.path.join(root, "out"),
+        dim=_EMB_DIM,
+        threshold=_NEAR_DUP_THRESHOLD,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(root, "out")).select("vec_id")
+
+
+def _streaming_embedding_dedup_oracle() -> str:
+    from embeddinghub_spark.functions.vector import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, 16, seed=7)
+    terms = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({terms}) AS lsh_bucket FROM embeddings),
+     banded AS (
+       SELECT vec_id, embedding, 0 AS band, lsh_bucket & 255 AS band_val FROM b
+       UNION ALL
+       SELECT vec_id, embedding, 1 AS band, (lsh_bucket >> 8) & 255 AS band_val FROM b
+     ),
+     rej AS (SELECT DISTINCT y.vec_id
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.band_val = y.band_val
+              AND x.vec_id < y.vec_id
+             WHERE {cos} >= {_NEAR_DUP_THRESHOLD})
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM rej)
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7680,8 +7771,12 @@ def staged_queries() -> dict:
     was promoted into queries()/oracle_sql() by the r9 rotation; entries
     added here during r9 join the registry after the r9 window
     certifies."""
-    return {}
+    return {
+        "streaming_embedding_dedup": q_streaming_embedding_dedup,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {
+        "streaming_embedding_dedup": _streaming_embedding_dedup_oracle(),
+    }

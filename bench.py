@@ -186,11 +186,32 @@ def _warmup(spark, sf_dir: str) -> None:
             10
         ).write.format("noop").mode("overwrite").save()
 
+    def fingerprint_agg():  # regexp+md5 codegen over documents (the
+        # dedup_exact shape: r8 adjudication left it ~4x its A/B
+        # steady state at window position 16 — the regexp/md5-heavy
+        # expression class had no untimed pre-pass of its own)
+        dfs["documents"].select(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.lower("text"), "[^a-z0-9 ]", ""
+                        ),
+                        " +",
+                        " ",
+                    )
+                )
+            ).alias("fp")
+        ).groupBy("fp").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     stage("shuffle_agg", shuffle_agg)
     stage("broadcast_join", bcast_join)
     stage("window_exec", window_exec)
     stage("python_workers", py_workers)
     stage("tokenize_sort", tokenize_sort)
+    stage("fingerprint_agg", fingerprint_agg)
 
 
 def _load_prev_round_bench() -> dict[str, float] | None:

@@ -870,6 +870,199 @@ def embedding_near_duplicates(
     )
 
 
+# -- incremental embedding near-dup index (banded sign-LSH on disk) -----------
+
+_EMB_INDEX_PARAMS_FILE = "_emb_lsh_params.json"
+
+
+def _emb_index_params_check(
+    index_dir: str,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    n_buckets: int,
+    record: bool = True,
+) -> None:
+    """Validate (or, on first append, record) the embedding index's
+    LSH parameters in a JSON sidecar — the `_minhash_index_params_check`
+    rule applied to the sign-LSH plane space: band values are only
+    comparable when dim/n_planes/bands/seed/n_buckets match the values
+    used at append time, so a mismatched probe is an ERROR, not a
+    silently-empty candidate set."""
+    import json
+    import os
+
+    params = {
+        "dim": int(dim),
+        "n_planes": int(n_planes),
+        "bands": int(bands),
+        "seed": int(seed),
+        "n_buckets": int(n_buckets),
+    }
+    path = os.path.join(index_dir, _EMB_INDEX_PARAMS_FILE)
+    if os.path.isfile(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"embedding LSH index at {index_dir!r} was built with "
+                f"{stored}; got {params} — band values would not line "
+                "up. Rebuild the index or pass the original parameters."
+            )
+    elif record:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(params, f)
+
+
+def _emb_band_rows(
+    df: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """``(id, band, band_val, vec, _norm)`` band rows — the exact
+    banding recipe of ``embedding_near_duplicates`` (same planes, same
+    seed, same band split), factored so the on-disk index and the
+    one-shot batch op can never disagree on a bucket."""
+    from embeddinghub_spark.functions.vector import ensure_parallelism, norm
+
+    if n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    b = with_lsh_bucket(ensure_parallelism(df), vec_col, dim, n_planes, seed)
+    bandstructs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("lsh_bucket"), i * bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for i in range(bands)
+    ])
+    return (
+        b.withColumn("bv", F.explode(bandstructs))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+            norm(vec_col, dim).alias("_norm"),
+        )
+    )
+
+
+def _emb_band_bucket(n_buckets: int):
+    return F.pmod(
+        F.crc32(
+            F.concat_ws(":", F.col("band"), F.col("band_val")).cast("binary")
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def emb_index_append(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 7,
+    n_buckets: int = 16,
+) -> str:
+    """Append a batch's banded sign-LSH rows (WITH vectors and
+    precomputed norms — the probe's exact-cosine verify needs them)
+    to the on-disk index, parquet partitioned by ``bucket``. Map-only
+    up to the single bucket-clustering exchange of the batch's own
+    rows (bytes ∝ |batch| × bands × dim, never the corpus). First
+    append records a params sidecar; mismatched later calls raise.
+
+    The embedding twin of ``minhash_index_append`` — the ingest-side
+    half of the near-dup stack for a crawl that dedups on VECTOR
+    similarity rather than text shingles."""
+    _emb_index_params_check(index_dir, dim, n_planes, bands, seed, n_buckets)
+    rows = _emb_band_rows(df, dim, id_col, vec_col, n_planes, bands, seed)
+    (
+        rows.withColumn("bucket", _emb_band_bucket(n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(index_dir)
+    )
+    return index_dir
+
+
+def emb_index_probe(
+    spark,
+    index_dir: str,
+    new_vecs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 7,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Probe new vectors against the on-disk LSH index: candidates
+    come ONLY from shared (band, band_val) buckets, verified with
+    EXACT cosine ≥ threshold against the vectors stored in the index
+    — the corpus embedding table is never re-read. The probe side is
+    broadcast, so the partitioned index scan is pruned to the probe's
+    buckets (the ``minhash_index_probe`` plan shape plus the verify).
+
+    Output: ``(probe_id, index_id, cosine)`` distinct pairs."""
+    from embeddinghub_spark.functions.vector import dot
+
+    _emb_index_params_check(
+        index_dir, dim, n_planes, bands, seed, n_buckets, record=False
+    )
+    idx = spark.read.parquet(index_dir).select(
+        F.col(id_col).alias("index_id"),
+        F.col(vec_col).alias("_ivec"),
+        F.col("_norm").alias("_inorm"),
+        "band",
+        "band_val",
+        "bucket",
+    )
+    probe = (
+        _emb_band_rows(new_vecs, dim, id_col, vec_col, n_planes, bands, seed)
+        .withColumn("bucket", _emb_band_bucket(n_buckets))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("_pvec"),
+            F.col("_norm").alias("_pnorm"),
+            "band",
+            "band_val",
+            "bucket",
+        )
+    )
+    return (
+        idx.join(F.broadcast(probe), ["bucket", "band", "band_val"])
+        .filter(F.col("index_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "index_id",
+            F.round(
+                dot("_pvec", "_ivec", dim)
+                / (F.col("_pnorm") * F.col("_inorm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str = "text",

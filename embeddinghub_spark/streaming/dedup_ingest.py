@@ -137,3 +137,107 @@ def streaming_dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def emb_dedup_ingest_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 7,
+    n_buckets: int = 16,
+) -> None:
+    """Process ONE batch of embeddings: probe the on-disk sign-LSH
+    index (exact-cosine verified), find within-batch near-dup pairs,
+    accept/reject, append ALL band rows to the index — the embedding
+    twin of ``dedup_ingest_batch`` with the identical no-chaining
+    reject rule (reject iff ANY verified candidate has a smaller id
+    in-batch, or exists in the index at all; every document's bands
+    enter the index regardless of verdict, so the rule depends only
+    on the candidate relation, never on earlier outcomes).
+
+    Per-batch work: probe join ∝ |batch| × bands (probe side
+    broadcast, index scan bucket-pruned), within-batch banded
+    self-join ∝ |batch|, index append one bucket exchange of the
+    batch's rows. No driver state, no corpus re-read."""
+    from embeddinghub_spark.functions.dedup import (
+        emb_index_append,
+        emb_index_probe,
+        embedding_near_duplicates,
+    )
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint(eager=True)
+
+    rejected = None
+    # 1. probe vs the already-ingested corpus (index may not exist yet)
+    if os.path.isdir(index_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(index_dir)
+    ):
+        hits = emb_index_probe(
+            spark, index_dir, batch, dim, threshold, id_col, vec_col,
+            n_planes, bands, seed, n_buckets,
+        )
+        rejected = hits.select(F.col("probe_id").alias(id_col)).distinct()
+    # 2. within-batch pairs, smaller id wins
+    pairs = embedding_near_duplicates(
+        batch, dim, threshold, id_col, vec_col, n_planes, bands, seed
+    )
+    in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    rejected = (
+        in_batch if rejected is None
+        else rejected.union(in_batch).distinct()
+    )
+
+    # 3. accepted rows append to the output
+    accepted = batch.join(rejected, id_col, "left_anti")
+    accepted.write.mode("append").parquet(out_dir)
+
+    # 4. ALL batch vectors enter the index (no-chaining rule)
+    emb_index_append(
+        spark, index_dir, batch, dim, id_col, vec_col,
+        n_planes, bands, seed, n_buckets,
+    )
+
+
+def streaming_embedding_dedup_ingest(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 7,
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start the embedding dedup-on-ingest stream: accepted
+    (non-near-dup) vectors land in ``out_dir``; every vector's band
+    rows (with the vector, for exact-cosine verification of later
+    probes) land in the ``index_dir`` sign-LSH index, which outlives
+    the stream. Under id-monotone arrival the accepted set equals the
+    batch rule "keep x iff no banded candidate y < x with
+    cosine ≥ threshold", whatever the micro-batch slicing (pinned by
+    test — the ``streaming_dedup_ingest`` contract on vectors)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        emb_dedup_ingest_batch(
+            batch_df, index_dir, out_dir, dim, threshold, id_col,
+            vec_col, n_planes, bands, seed, n_buckets,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1712,3 +1712,96 @@ def test_state_commit_sweeps_stale_link_and_legacy_orphans(tmp_path):
     commit_version_dir(state, phys2, batch_id=1, meta_name="_meta.json")
     assert os.path.realpath(state) == os.path.realpath(phys2)
     assert not os.path.exists(phys)
+
+
+def test_streaming_embedding_dedup_equals_batch_replay(spark, tmp_path):
+    """Embedding dedup-on-ingest (VERDICT r8 #6): the accepted set is
+    slicing-invariant under id-monotone arrival and equals the batch
+    rule "keep x iff no banded sign-LSH candidate y < x with exact
+    cosine >= threshold" — run once with 1-file micro-batches, once
+    with everything in one batch, both compared to the rule computed
+    from full-corpus ``embedding_near_duplicates`` pairs. Rejection
+    must not chain (every vector's bands enter the index)."""
+    import math
+    import os
+    import time as _time
+
+    from embeddinghub_spark.functions.dedup import embedding_near_duplicates
+    from embeddinghub_spark.streaming.dedup_ingest import (
+        streaming_embedding_dedup_ingest,
+    )
+
+    dim, thr = 8, 0.95
+    # 3 orthogonal archetypes; every 3rd vector is a near-dup of
+    # archetype 0 (tiny rotation), the rest get strong unique noise
+    rows = []
+    for i in range(24):
+        base = [0.0] * dim
+        if i % 3 == 0:
+            base[0] = 1.0
+            base[1] = 0.01 * (i % 5)  # cosine vs family ~0.999
+        else:
+            base[i % dim] = 1.0
+            base[(i + 3) % dim] = 0.8 + 0.01 * i
+            base[(i + 5) % dim] = -0.6
+        rows.append((i, [round(x, 6) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    pairs = embedding_near_duplicates(df, dim, thr)
+    rejected_truth = {r["id_b"] for r in pairs.collect()}
+    accepted_truth = {i for i, _ in rows} - rejected_truth
+    assert rejected_truth, "test corpus must contain near-dups"
+    assert math.isfinite(thr)
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"esrc_{tag}")
+        os.makedirs(src)
+        per = len(rows) // n_files
+        for f in range(n_files):
+            chunk = rows[f * per: (f + 1) * per]
+            spark.createDataFrame(
+                chunk, "vec_id int, embedding array<double>"
+            ).coalesce(1).write.parquet(os.path.join(src, f"f{f:02d}"))
+            t = _time.time() - 1000 + f  # id-monotone mtimes
+            for root, _dirs, files in os.walk(os.path.join(src, f"f{f:02d}")):
+                for name in files:
+                    os.utime(os.path.join(root, name), (t, t))
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = str(tmp_path / f"eout_{tag}")
+        q = streaming_embedding_dedup_ingest(
+            stream, str(tmp_path / f"eidx_{tag}"), out, dim, thr,
+            checkpoint_dir=str(tmp_path / f"eckpt_{tag}"),
+        )
+        assert q.awaitTermination(180), "ingest stream did not finish"
+        return {r["vec_id"] for r in spark.read.parquet(out).collect()}
+
+    assert run(8, "sliced") == accepted_truth
+    assert run(1, "onebatch") == accepted_truth
+
+
+def test_emb_index_probe_rejects_mismatched_params(spark, tmp_path):
+    """The embedding index records its LSH parameters at first append;
+    a probe (or append) with different dim/planes/bands/seed raises
+    instead of silently returning empty candidates."""
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import (
+        emb_index_append,
+        emb_index_probe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    idx = str(tmp_path / "eidx")
+    emb_index_append(spark, idx, df, dim=2, n_planes=4, bands=2)
+    with pytest.raises(ValueError, match="band values would not line up"):
+        emb_index_probe(spark, idx, df, dim=2, n_planes=8, bands=2)
+    with pytest.raises(ValueError, match="band values would not line up"):
+        emb_index_append(spark, idx, df, dim=2, n_planes=4, bands=2, seed=11)
