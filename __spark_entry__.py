@@ -7764,6 +7764,62 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM rej)
 """
 
 
+def q_trailing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing top-k items PIT feature (operators/pit.py
+    trailing_topk_features): per purchase, the user's 3 most frequent
+    click payloads over the 8 complete days before the purchase's day
+    — exact integer counts at the (entity, bucket, item) grain (one
+    map-side-combined exchange), constant-K probe join, per-label
+    rank window with the engine-independent count-DESC/item-ASC
+    order. The heavy-hitter member of the trailing family next to
+    count/decay/distinct/sessions."""
+    from embeddinghub_spark.operators.pit import trailing_topk_features
+
+    evt = _t(spark, sf_dir, "events")
+    labels = evt.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("entity"), "ts"
+    )
+    clicks = evt.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "props"
+    )
+    return trailing_topk_features(
+        labels,
+        clicks,
+        bucket_seconds=_DECAY_G,
+        n_buckets=_DECAY_K,
+        item_col="props",
+        k=3,
+        event_entity_col="user_id",
+    )
+
+
+_TRAILING_TOPK_ORACLE = f"""
+WITH evt AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                    event_type, props FROM events),
+l AS (SELECT event_id, user_id AS entity, ts,
+             CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        / {_DECAY_G}.0) AS BIGINT) AS lb
+      FROM evt WHERE event_type = 'purchase'),
+p AS (SELECT user_id AS entity,
+             CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        / {_DECAY_G}.0) AS BIGINT) AS b,
+             props AS item, count(*) AS c
+      FROM evt WHERE event_type = 'click' AND props IS NOT NULL
+      GROUP BY 1, 2, 3),
+s AS (SELECT l.event_id, l.entity, l.ts, p.item,
+             CAST(sum(p.c) AS BIGINT) AS item_count
+      FROM l LEFT JOIN p
+        ON p.entity = l.entity AND p.b BETWEEN l.lb - {_DECAY_K} AND l.lb - 1
+      GROUP BY 1, 2, 3, 4),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY event_id
+        ORDER BY item_count DESC NULLS LAST, item ASC NULLS LAST) AS rank
+      FROM s)
+SELECT event_id, entity, ts, rank, item, item_count FROM r
+WHERE rank <= 3 AND (item IS NOT NULL OR rank = 1)
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -7773,10 +7829,12 @@ def staged_queries() -> dict:
     certifies."""
     return {
         "streaming_embedding_dedup": q_streaming_embedding_dedup,
+        "trailing_topk": q_trailing_topk,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
         "streaming_embedding_dedup": _streaming_embedding_dedup_oracle(),
+        "trailing_topk": _TRAILING_TOPK_ORACLE,
     }

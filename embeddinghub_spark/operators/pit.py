@@ -1259,6 +1259,118 @@ def trailing_distinct_features(
     )
 
 
+def trailing_topk_features(
+    labels: DataFrame,
+    events: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    item_col: str,
+    k: int = 3,
+    label_entity_col: str = "entity",
+    event_entity_col: str = "entity",
+    label_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing TOP-K ITEMS PIT feature — "which ``item_col`` values
+    did this entity touch most often in the K complete buckets before
+    the label" (top 3 categories / merchants / devices in the last 7
+    days: the classic personalization/risk feature next to the count
+    (`trailing_window_features`), decay (`decayed_trailing_features`)
+    and distinct (`trailing_distinct_features`) members). Window
+    semantics are identical to those twins: reference = the label's
+    bucket start, in-progress bucket excluded (leak-free),
+    epoch-aligned buckets of ``bucket_seconds``.
+
+    EXACT at the honest grain: events pre-aggregate to
+    (entity, bucket, item) counts in ONE map-side-combined exchange —
+    state ∝ distinct items per entity-bucket, never raw events; a
+    label's window counts are an integer sum over its K probed
+    buckets, so the result is engine-replayable with no float
+    protocol at all. The top-k selection runs per label over the
+    window's item set (the inherent floor for an exact top-k — an
+    item can rank k-th overall while below k in every single bucket,
+    so no per-bucket prune is lossless). The rank window partitions
+    by label id: task state is one label's window items, never the
+    corpus. Deterministic total order: count DESC, item ASC — both
+    ties and the permutation are engine-independent.
+
+    NULL handling: NULL items never count (the SUM-skips-NULL
+    convention); a label whose window is empty (or whose ts is NULL)
+    SURVIVES with one ``rank=1, item=NULL, item_count=NULL`` row —
+    training frames must not silently drop labels.
+
+    Output: the label columns plus ``rank`` (1..k), ``item``,
+    ``item_count`` — ≤ k rows per label, ≥ 1.
+
+    Reference parity note: the reference's feature DAG has no
+    windowed heavy-hitter op; this extends the trailing PIT family
+    (provider/offline.go materialization semantics) with the
+    aggregation a ranking/personalization pipeline serves.
+    """
+    from pyspark.sql import Window
+
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    if g <= 0 or K <= 0:
+        raise ValueError("bucket_seconds and n_buckets must be > 0")
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    ev_bucket = F.expr(
+        f"CAST(floor(({_epoch_seconds_expr(event_ts_col)}) / {g}) AS BIGINT)"
+    )
+    partials = (
+        events.filter(F.col(item_col).isNotNull())
+        .groupBy(
+            F.col(event_entity_col).alias("_e"),
+            ev_bucket.alias("_b"),
+            F.col(item_col).alias("_item"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    lab_bucket = F.expr(
+        f"CAST(floor(({_epoch_seconds_expr(label_ts_col)}) / {g}) AS BIGINT)"
+    )
+    probes = (
+        labels.withColumn("_aid", F.monotonically_increasing_id())
+        .withColumn("_lb", lab_bucket)
+        .select(
+            "_aid",
+            *labels.columns,
+            F.col(label_entity_col).alias("_e"),
+            # explode_OUTER: a NULL-ts label has no bucket sequence
+            # but must survive (the trailing-family convention)
+            F.explode_outer(
+                F.sequence(F.col("_lb") - K, F.col("_lb") - 1)
+            ).alias("_b"),
+        )
+    )
+    summed = (
+        probes.join(partials, ["_e", "_b"], "left")
+        .groupBy("_aid", *labels.columns, "_item")
+        .agg(F.sum("_c").alias("item_count"))
+    )
+    # NULLS LAST explicitly on BOTH keys: Spark and DuckDB default
+    # NULL placement differently, and the empty-window sentinel row
+    # (_item NULL) must always rank after every real item
+    w = Window.partitionBy("_aid").orderBy(
+        F.col("item_count").desc_nulls_last(),
+        F.col("_item").asc_nulls_last(),
+    )
+    ranked = summed.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(
+            (F.col("rank") <= k)
+            & (F.col("_item").isNotNull() | (F.col("rank") == 1))
+        )
+        .select(
+            *labels.columns,
+            "rank",
+            F.col("_item").alias("item"),
+            "item_count",
+        )
+    )
+
+
 def training_set_refresh(
     catalog: Catalog,
     name: str,

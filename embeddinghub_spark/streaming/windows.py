@@ -786,3 +786,147 @@ def stream_interval_join(
         )
     )
     return l.join(r, cond).drop(F.col(f"_ij_r.{on}"))
+
+
+def trailing_topk_counter(
+    stream_df: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    item_col: str,
+    k: int = 3,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+):
+    """Streaming twin of ``operators.pit.trailing_topk_features``
+    (same bucketed window, same exact integer counts, same
+    count-DESC-item-ASC total order): per entity, maintain per-bucket
+    item counts for the K most recent buckets and emit, every
+    micro-batch, the top-k items AS OF the reference
+    ``r = max_seen_bucket + 1`` — the serve-now ranking, ≡ the batch
+    op with a label in bucket r (pinned by test).
+
+    State is ORDER-INDEPENDENT: per-(bucket, item) counts are
+    commutative sums and buckets older than ``max_bucket − K`` are
+    dropped because no future reference can weigh them — every
+    arrival order converges to the same state. State per entity:
+    one (bucket, item, count) triple per distinct item per live
+    bucket — the exact op's honest grain (cap item cardinality
+    upstream if it is adversarial; a SpaceSaving cap would trade the
+    batch≡stream exactness pin for bounded state).
+
+    Emits up to ``k`` rows ``(entity, ref_ts, rank, item,
+    item_count)`` per updated entity per micro-batch; an entity whose
+    live window is empty (all its events sit in the in-progress
+    bucket r) emits one ``rank=1, item=NULL`` row — the batch twin's
+    empty-window sentinel.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    if g <= 0 or K <= 0:
+        raise ValueError("bucket_seconds and n_buckets must be > 0")
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    entity_type = stream_df.schema[entity_col].dataType
+    item_type = stream_df.schema[item_col].dataType
+    out_schema = StructType(
+        [
+            StructField(entity_col, entity_type),
+            StructField("ref_ts", TimestampNTZType()),
+            StructField("rank", LongType()),
+            StructField("item", item_type),
+            StructField("item_count", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buckets", ArrayType(LongType())),
+            StructField("items", ArrayType(item_type)),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def update_fn(key, pdf_iter, state):
+        if state.exists:
+            bks, its, cts = state.get
+            part: dict = {}
+            for b, it, c in zip(bks, its, cts):
+                part.setdefault(b, {})[it] = c
+        else:
+            part = {}
+        for pdf in pdf_iter:
+            items = pdf[item_col]
+            for i, t in enumerate(pdf[ts_col]):
+                it = items.iloc[i]
+                if pd.isna(t) or it is None or (
+                    isinstance(it, float) and pd.isna(it)
+                ):
+                    continue  # batch parity: NULLs never count
+                sec = pd.Timestamp(t).value // 1_000_000_000
+                b = int(sec // g)
+                mx = max(part) if part else None
+                if mx is not None and b < max(mx, b) - K:
+                    continue  # outside every future window
+                slot = part.setdefault(b, {})
+                slot[it] = slot.get(it, 0) + 1
+        if not part:
+            return  # nothing bucketable ever arrived for this key
+        mx = max(part)
+        part = {b: d for b, d in part.items() if b > mx - K}
+        flat = [
+            (b, it, c)
+            for b in sorted(part)
+            for it, c in sorted(part[b].items())
+        ]
+        state.update(
+            (
+                [int(b) for b, _, _ in flat],
+                [it for _, it, _ in flat],
+                [int(c) for _, _, c in flat],
+            )
+        )
+        r = mx + 1
+        merged: dict = {}
+        for b, d in part.items():
+            if 1 <= r - b <= K:
+                for it, c in d.items():
+                    merged[it] = merged.get(it, 0) + c
+        ref = pd.Timestamp(r * g, unit="s")
+        if not merged:
+            yield pd.DataFrame(
+                {
+                    entity_col: [key[0]],
+                    "ref_ts": [ref],
+                    "rank": [1],
+                    "item": [None],
+                    "item_count": [None],
+                }
+            )
+            return
+        top = sorted(merged.items(), key=lambda x: (-x[1], x[0]))[:k]
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]] * len(top),
+                "ref_ts": [ref] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "item": [it for it, _ in top],
+                "item_count": [c for _, c in top],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1148,3 +1148,71 @@ def test_decayed_trailing_null_ts_label_survives(spark):
     assert gd[1] == (0.0, 0)
     # HLL small-range estimate of 1 distinct: 512·ln(512/511) ≈ 1.001
     assert abs(gd[0][0] - 1.0) < 0.01 and gd[0][1] == 1
+
+
+def test_trailing_topk_features_matches_brute_force(spark):
+    """Exact top-k trailing items: per label, counts over the K
+    complete buckets before the label's bucket equal a Python brute
+    force, ordered count DESC / item ASC; NULL items never count;
+    empty-window and NULL-ts labels survive with one NULL sentinel
+    row."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.operators.pit import trailing_topk_features
+
+    g, K, k = 60, 4, 2
+    base = datetime(2024, 1, 1)
+    events = []
+    for i in range(60):
+        events.append(
+            (
+                f"u{i % 3}",
+                base + timedelta(seconds=(i * 37) % 400),
+                ["a", "b", "c", None][i % 4],
+            )
+        )
+    labels = [
+        ("u0", base + timedelta(seconds=250)),
+        ("u1", base + timedelta(seconds=70)),   # partial window
+        ("u2", base + timedelta(seconds=0)),    # empty window
+        ("u0", None),                           # NULL ts survives
+    ]
+    edf = spark.createDataFrame(
+        events, "entity string, ts timestamp, item string"
+    )
+    ldf = spark.createDataFrame(labels, "entity string, ts timestamp")
+    out = trailing_topk_features(
+        ldf, edf, bucket_seconds=g, n_buckets=K, item_col="item", k=k
+    ).collect()
+
+    # brute force
+    def window_counts(e, ts):
+        lb = int(ts.timestamp()) // g
+        c = Counter()
+        for ee, ets, it in events:
+            if ee != e or it is None or ets is None:
+                continue
+            b = int(ets.timestamp()) // g
+            if lb - K <= b <= lb - 1:
+                c[it] += 1
+        return c
+
+    got = {}
+    for r in out:
+        got.setdefault((r["entity"], r["ts"]), []).append(
+            (r["rank"], r["item"], r["item_count"])
+        )
+    for e, ts in labels:
+        rows = sorted(got[(e, ts)])
+        if ts is None:
+            assert rows == [(1, None, None)]
+            continue
+        c = window_counts(e, ts)
+        want = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:k]
+        if not want:
+            assert rows == [(1, None, None)]
+        else:
+            assert rows == [
+                (i + 1, it, n) for i, (it, n) in enumerate(want)
+            ], (e, ts, rows, want)

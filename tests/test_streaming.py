@@ -1805,3 +1805,74 @@ def test_emb_index_probe_rejects_mismatched_params(spark, tmp_path):
         emb_index_probe(spark, idx, df, dim=2, n_planes=8, bands=2)
     with pytest.raises(ValueError, match="band values would not line up"):
         emb_index_append(spark, idx, df, dim=2, n_planes=4, bands=2, seed=11)
+
+
+def test_trailing_topk_counter_matches_batch(spark, tmp_path):
+    """The streaming per-bucket item-count state must converge, after
+    draining the same events in arbitrary micro-batch order, to
+    exactly the batch ``trailing_topk_features`` ranking for a label
+    at the stream's reference (integer counts — bit-equal, same
+    count-DESC-item-ASC order); NULL items/timestamps never count."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.operators.pit import trailing_topk_features
+    from embeddinghub_spark.streaming.windows import trailing_topk_counter
+
+    g, K, k = 60, 6, 3
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            f"u{i % 4}",
+            base + timedelta(seconds=(i * 131) % 600),
+            ["x", "y", "z", "w", None][i % 5],
+        )
+        for i in range(160)
+    ]
+    src = spark.createDataFrame(rows, "entity string, ts timestamp, item string")
+    in_dir = str(tmp_path / "ttk_in")
+    src.repartition(4).write.parquet(in_dir)  # arbitrary batch order
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final.setdefault(r["entity"], {})[r["rank"]] = (
+                r["ref_ts"], r["item"], r["item_count"],
+            )
+            # later batches fully overwrite an entity's ranking
+            ks = [q for q in final[r["entity"]] if
+                  final[r["entity"]][q][0] != r["ref_ts"]]
+            for q in ks:
+                del final[r["entity"]][q]
+
+    q = (
+        trailing_topk_counter(
+            stream, bucket_seconds=g, n_buckets=K, item_col="item", k=k
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    labels = [(e, final[e][1][0]) for e in final]
+    batch = {}
+    for r in trailing_topk_features(
+        spark.createDataFrame(labels, ["entity", "ts"]),
+        spark.read.parquet(in_dir),
+        bucket_seconds=g, n_buckets=K, item_col="item", k=k,
+    ).collect():
+        batch.setdefault(r["entity"], {})[r["rank"]] = (
+            r["item"], r["item_count"],
+        )
+    assert set(batch) == set(final)
+    for e in batch:
+        got = {rk: v[1:] for rk, v in final[e].items()}
+        assert batch[e] == got, (e, batch[e], got)
