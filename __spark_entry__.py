@@ -7729,7 +7729,12 @@ def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NEAR_DUP_THRESHOLD,
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # ADVICE r9: a timed-out stream must fail loudly, not hand the
+        # driver a partial out/ directory while micro-batches still run
+        raise TimeoutError(
+            "streaming embedding dedup did not terminate within 300s"
+        )
     return spark.read.parquet(os.path.join(root, "out")).select("vec_id")
 
 

@@ -1805,6 +1805,16 @@ def sparse_cosine_pairs(
     corpus, or pass ``df_warning_threshold=None`` to skip the probe
     on a corpus you know is bounded.
 
+    Cost contract (ADVICE r9): with ``max_df`` unset and the
+    threshold set, the guard is an EAGER Spark job at
+    DataFrame-construction time — one scan of ``features`` plus a
+    count-by-bucket — paid even if the returned plan is never
+    executed. The scan is not wasted work when the plan IS executed
+    (it materializes the same lazy localCheckpoint the first action
+    would pay), but callers constructing plans speculatively should
+    pass ``df_warning_threshold=None`` (or set ``max_df``, which
+    folds the df aggregate into the lazy plan itself).
+
     Output: (id_a, id_b, dot, cosine) for pairs with
     cosine >= min_cosine, id_a < id_b.
     """

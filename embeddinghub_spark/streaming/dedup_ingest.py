@@ -48,11 +48,73 @@ the dedup coverage brief; dedup rule matches
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+# Replay guard (ADVICE r9): foreachBatch may re-deliver a micro-batch
+# after a crash between the batch's writes and the checkpoint commit.
+# Without a guard a replayed batch re-appends its output and band rows,
+# and the replayed probe then finds the batch's OWN vectors already in
+# the index — rejecting rows a smaller-id rule should keep. Two layers
+# close this, mirroring `_state.py`'s committed_batch convention:
+#
+# 1. Both streaming twins stamp the last FULLY-applied batch_id in a
+#    meta file inside the index dir (leading underscore → invisible to
+#    parquet directory listing) and skip batches at or below the stamp
+#    — the whole-batch-replay case (crash after the batch's writes but
+#    before the streaming checkpoint commit) becomes a no-op.
+# 2. The probe step excludes candidates whose index_id is in the
+#    current batch, so even a TORN replay (crash between the index
+#    append and the stamp) recomputes the same reject set instead of
+#    self-rejecting. Under normal id-monotone ingest the exclusion
+#    matches nothing (a batch's ids are not yet indexed), so certified
+#    behavior is unchanged.
+#
+# Remaining torn-batch artifact, documented not hidden: the accepted-
+# output append is not transactional with the index append, so a crash
+# between them leaves the batch's accepted rows duplicated in out_dir
+# after replay (same rows — the reject set is deterministic). Readers
+# needing exactly-once must dedupe on id; the streaming checkpoint
+# makes this window one batch wide.
+_INGEST_COMMIT_FILE = "_ingest_commit.json"
+
+
+def _last_committed_batch(index_dir: str, checkpoint_dir: str) -> int:
+    """Last batch_id fully applied to (out_dir, index_dir) BY THE
+    STREAM identified by ``checkpoint_dir``; -1 if none. batch_ids are
+    a per-checkpoint sequence, so a stamp left by a different stream
+    (fresh checkpoint against an existing index — ids restart at 0)
+    must not suppress the new stream's batches."""
+    path = os.path.join(index_dir, _INGEST_COMMIT_FILE)
+    if not os.path.isfile(path):
+        return -1
+    with open(path) as fh:
+        meta = json.load(fh)
+    if meta.get("checkpoint") != os.path.abspath(checkpoint_dir):
+        return -1
+    return int(meta["committed_batch"])
+
+
+def _record_committed_batch(
+    index_dir: str, batch_id: int, checkpoint_dir: str
+) -> None:
+    """Atomically stamp ``batch_id`` as fully applied (tmp + rename)."""
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, _INGEST_COMMIT_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "committed_batch": int(batch_id),
+                "checkpoint": os.path.abspath(checkpoint_dir),
+            },
+            fh,
+        )
+    os.replace(tmp, path)
 
 
 def dedup_ingest_batch(
@@ -86,6 +148,16 @@ def dedup_ingest_batch(
         hits = minhash_index_probe(
             spark, index_dir, batch, text_col, id_col,
             num_hashes, bands, shingle_n, n_buckets,
+        )
+        # torn-replay guard: a candidate whose index_id belongs to THIS
+        # batch means the batch's bands were already appended by a
+        # crashed attempt — in-batch pairs are step 2's job (smaller-id
+        # rule), so drop them here instead of self-rejecting. Matches
+        # nothing under normal ingest (batch ids are not yet indexed).
+        hits = hits.join(
+            batch.select(F.col(id_col).alias("index_id")),
+            "index_id",
+            "left_anti",
         )
         rejected = hits.select(F.col("probe_id").alias(id_col)).distinct()
     # 2. within-batch pairs, smaller id wins
@@ -126,10 +198,17 @@ def streaming_dedup_ingest(
     later probes/ingests with the same recorded parameters."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # replay of a fully-applied batch → no-op (ADVICE r9); without
+        # a checkpoint there is no replay, so no guard to maintain
+        if checkpoint_dir:
+            if batch_id <= _last_committed_batch(index_dir, checkpoint_dir):
+                return
         dedup_ingest_batch(
             batch_df, index_dir, out_dir, text_col, id_col,
             num_hashes, bands, shingle_n, n_buckets,
         )
+        if checkpoint_dir:
+            _record_committed_batch(index_dir, batch_id, checkpoint_dir)
 
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_dir:
@@ -183,6 +262,12 @@ def emb_dedup_ingest_batch(
             spark, index_dir, batch, dim, threshold, id_col, vec_col,
             n_planes, bands, seed, n_buckets,
         )
+        # torn-replay guard — same rationale as the text twin above
+        hits = hits.join(
+            batch.select(F.col(id_col).alias("index_id")),
+            "index_id",
+            "left_anti",
+        )
         rejected = hits.select(F.col("probe_id").alias(id_col)).distinct()
     # 2. within-batch pairs, smaller id wins
     pairs = embedding_near_duplicates(
@@ -230,10 +315,16 @@ def streaming_embedding_dedup_ingest(
     test — the ``streaming_dedup_ingest`` contract on vectors)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard, same protocol as the text twin above
+        if checkpoint_dir:
+            if batch_id <= _last_committed_batch(index_dir, checkpoint_dir):
+                return
         emb_dedup_ingest_batch(
             batch_df, index_dir, out_dir, dim, threshold, id_col,
             vec_col, n_planes, bands, seed, n_buckets,
         )
+        if checkpoint_dir:
+            _record_committed_batch(index_dir, batch_id, checkpoint_dir)
 
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_dir:

