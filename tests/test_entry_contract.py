@@ -29,35 +29,37 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round9_window_layout():
-    """The rotation for round 9 (VERDICT r8 task #1): the 5 oracle-backed
-    entries staged through r8 (zero driver rows; two of them supersede
-    the measured fixed-parameter scale-killers) occupy positions 1-5 of
-    the 50-slot window; positions 6-19 are the entries the r8 window
-    certified; 20-49 are long-standing core sentinels; slot 50 is the
-    flagship sentinel. Rows-only entries can never hash-match, so they
-    must stay OUT of the window. The registry is frozen at 184 entries
-    until this window is certified."""
+def test_round10_window_layout():
+    """The rotation for round 10 (VERDICT r9 task #1): the 2 oracle-backed
+    entries staged through r9 (streaming embedding dedup-on-ingest and
+    the trailing top-k PIT feature; zero driver rows, judge-verified at
+    both scales) occupy positions 1-2 of the 50-slot window; positions
+    3-7 are the five entries the r9 window rotated in and certified;
+    8-16 are fresh r9-certified canaries; 17-49 the remaining r9
+    canaries + core sentinels; slot 50 is the flagship sentinel.
+    Rows-only entries can never hash-match, so they must stay OUT of
+    the window. The registry is frozen at 186 entries until this window
+    is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
     window = keys[:50]
-    rotation = [
+    rotation = ["streaming_embedding_dedup", "trailing_topk"]
+    r9_rotated = [
         "decayed_trailing", "sparse_cosine_scaled", "trailing_distinct",
         "trailing_sessions", "semantic_dedup_scaled",
     ]
-    r8_certified = [
+    r9_canaries = [
         "kn_bigram_logprob", "auc_by_group", "ranking_metrics",
         "corpus_diversity", "semantic_contamination", "skew_report",
         "ann_recall", "kn_trigram_logprob", "entity_split",
-        "pit_staleness", "time_to_next_event", "trailing_window",
-        "dataset_fingerprint", "fingerprint_by",
     ]
-    assert window[:5] == rotation, "rotation entries must lead the window"
-    assert window[5:19] == r8_certified, "r8-certified canaries moved"
+    assert window[:2] == rotation, "rotation entries must lead the window"
+    assert window[2:7] == r9_rotated, "r9-rotated entries moved"
+    assert window[7:16] == r9_canaries, "r9-certified canaries moved"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
-    assert len(keys) == 184, "registry is frozen at 184 entries for r9"
+    assert len(keys) == 186, "registry is frozen at 186 entries for r10"
 
 
 def test_oracle_sql_is_static():
