@@ -515,6 +515,19 @@ def simhash_near_pairs(
     shared band, verified with exact ``bit_count(a XOR b) <= d``.
     Complete for d < bands; larger d trades recall for the same cost
     (raise ``bands`` to keep the guarantee).
+
+    BAND-SATURATION THRESHOLD (the loud limit, VERDICT r9 #6): each
+    band key is ``bits/bands`` bits — 16 at the 64/4 default, i.e.
+    65,536 buckets per band. Buckets saturate once N ≫ c·2^(bits/bands)
+    and the banded self-join goes quadratic: at the default, treat
+    **N ≈ 10⁷ documents as the ceiling** (expected bucket ≈ 150 there;
+    Σ bucket² ≈ N²/65536 past it). Beyond that raise ``bits`` to 128
+    (wider fingerprint → 32-bit band keys) or pre-partition the
+    corpus by a first-pass exact hash so each partition stays under
+    the ceiling. Unlike sign-LSH there is no free plane knob at fixed
+    ``bits``: more bands shrink the band key and saturate SOONER, so
+    the d < bands completeness bound and the saturation ceiling pull
+    in opposite directions — size ``bits`` first, then bands.
     """
     # checkpoint before the self-join: the 64 bit-vote expressions are
     # expensive and would otherwise evaluate twice (no cross-side CSE)
@@ -789,15 +802,51 @@ def dedup_clusters(
 
 # -- embedding near-dup -------------------------------------------------------
 
+def emb_auto_planes(
+    n_rows: int,
+    bands: int = 2,
+    target_bucket_size: int = 10_000,
+    min_bits: int = 8,
+    max_bits: int = 24,
+) -> int:
+    """Sign-LSH plane-count sizing rule (VERDICT r9 #4 — the
+    ``semantic_auto_k`` treatment): bits-per-band =
+    ceil(log₂(N / target_bucket_size)), so each band's expected bucket
+    population stays ≈ ``target_bucket_size`` and the banded self-join
+    stays linear-ish (Σ bucket² ∝ N·c) instead of quadratic
+    (fixed planes ⇒ bucket ∝ N ⇒ Σ bucket² ∝ N²). N=10⁹ at 2 bands →
+    17 bits/band → 34 planes — SCALING.md's worked example.
+
+    ``min_bits=8`` floors the result at the long-certified 16/2
+    operating point (fewer planes only ADD candidate work, never
+    correctness risk — pairs are exact-cosine verified — but there is
+    no reason to go coarser). ``max_bits=24`` caps bands·bits ≤ 48,
+    comfortably inside the 63-bit signed-long bucket word."""
+    n = int(n_rows)
+    if n < 0:
+        raise ValueError("n_rows must be >= 0")
+    b = int(bands)
+    if b <= 0:
+        raise ValueError("bands must be > 0")
+    t = int(target_bucket_size)
+    if t <= 0:
+        raise ValueError("target_bucket_size must be > 0")
+    need = max(1, -(-n // t))  # ceil(n / target)
+    bits = (need - 1).bit_length()  # ceil(log2(need)); 0 for need=1
+    bits = min(max(bits, int(min_bits)), int(max_bits))
+    return b * bits
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: int | None = None,
     bands: int = 2,
     seed: int = 7,
+    bucket_warning_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Cosine near-dup pairs via BANDED sign-projection LSH: the
     ``n_planes`` sign bits split into ``bands`` bands; a pair is a
@@ -811,7 +860,41 @@ def embedding_near_duplicates(
     banding argument). A single coarse bucket space (the old 8-plane
     default) had the opposite behavior: 256 buckets TOTAL → quadratic
     within-bucket joins at 100 TB.
+
+    Plane sizing (VERDICT r9 #4): ``n_planes=None`` (the default)
+    auto-sizes from one cheap ``df.count()`` via ``emb_auto_planes``
+    — N/10⁴ buckets per band, floored at the certified 16-plane
+    operating point, so small-corpus results are bit-identical to the
+    old fixed default. Cost contract: the auto path is an EAGER count
+    job at DataFrame-construction time; pass ``n_planes`` explicitly
+    to skip it (the on-disk index ops always do — their planes are
+    frozen in the params sidecar). With EXPLICIT planes the same
+    count instead powers an outgrown-planes RuntimeWarning when the
+    expected band-bucket population N/2^(n_planes/bands) exceeds
+    ``bucket_warning_threshold`` (the ``sparse_cosine_pairs`` df-probe
+    discipline); pass ``bucket_warning_threshold=None`` to skip every
+    construction-time job on a corpus you know is bounded.
     """
+    if n_planes is None:
+        n_planes = emb_auto_planes(df.count(), bands)
+    elif bucket_warning_threshold is not None:
+        import warnings
+
+        n = df.count()
+        expected = n / float(1 << (n_planes // max(bands, 1)))
+        if expected > int(bucket_warning_threshold):
+            warnings.warn(
+                f"embedding_near_duplicates: ~{int(expected)} vectors "
+                f"per band bucket at n_planes={n_planes}, bands={bands} "
+                f"for N={n} (> {int(bucket_warning_threshold)}) — the "
+                f"banded self-join emits O(bucket²) candidate pairs per "
+                f"bucket. Size planes to the corpus "
+                f"(n_planes ≈ bands·log₂(N/10⁴): here "
+                f"{emb_auto_planes(n, bands)}), or pass "
+                f"bucket_warning_threshold=None to skip this probe.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if n_planes % bands != 0:
         raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     bits = n_planes // bands
@@ -1016,12 +1099,26 @@ def emb_index_probe(
     """Probe new vectors against the on-disk LSH index: candidates
     come ONLY from shared (band, band_val) buckets, verified with
     EXACT cosine ≥ threshold against the vectors stored in the index
-    — the corpus embedding table is never re-read. The probe side is
-    broadcast, so the partitioned index scan is pruned to the probe's
-    buckets (the ``minhash_index_probe`` plan shape plus the verify).
+    — the corpus embedding table is never re-read.
+
+    Plan shape (VERDICT r9 — vectors must never ride a broadcast):
+    candidate generation joins the index against only the probe's
+    NARROW key rows ``(probe_id, band, band_val, bucket)`` with no
+    forced hint — AQE broadcasts them while they fit (a probe row is
+    ~3 ints, so even a 10M-vector day's crawl is broadcastable, and
+    the broadcast enables dynamic partition pruning of unprobed index
+    buckets) and falls back to a shuffle join on the bucketed key
+    beyond that. The index side's stored vector + norm ride the SCAN
+    side of that join (never shuffled under the broadcast plan), and
+    the probe batch's vectors are re-attached BY probe_id only
+    AFTER candidate generation — that verify join is candidate-
+    bounded on one side and AQE-size-gated on the other, so the
+    full-vector payload never transits the driver however large the
+    batch. (The old shape broadcast the probe WITH vectors:
+    |batch| × bands × dim floats through the driver.)
 
     Output: ``(probe_id, index_id, cosine)`` distinct pairs."""
-    from embeddinghub_spark.functions.vector import dot
+    from embeddinghub_spark.functions.vector import dot, norm
 
     _emb_index_params_check(
         index_dir, dim, n_planes, bands, seed, n_buckets, record=False
@@ -1034,21 +1131,28 @@ def emb_index_probe(
         "band_val",
         "bucket",
     )
-    probe = (
+    probe_keys = (
         _emb_band_rows(new_vecs, dim, id_col, vec_col, n_planes, bands, seed)
         .withColumn("bucket", _emb_band_bucket(n_buckets))
         .select(
             F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("_pvec"),
-            F.col("_norm").alias("_pnorm"),
             "band",
             "band_val",
             "bucket",
         )
     )
-    return (
-        idx.join(F.broadcast(probe), ["bucket", "band", "band_val"])
+    probe_vecs = new_vecs.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pvec"),
+        norm(vec_col, dim).alias("_pnorm"),
+    )
+    candidates = (
+        idx.join(probe_keys, ["bucket", "band", "band_val"])
         .filter(F.col("index_id") != F.col("probe_id"))
+        .select("probe_id", "index_id", "_ivec", "_inorm")
+    )
+    return (
+        candidates.join(probe_vecs, "probe_id")
         .select(
             "probe_id",
             "index_id",
@@ -1275,12 +1379,18 @@ def minhash_index_probe(
     """Candidate near-duplicate pairs (probe_id, index_id) between a
     new batch and the stored index — the corpus text is NOT read.
 
-    Scale shape: the probe batch's band rows (small by construction —
-    a day's crawl vs the corpus) are broadcast; joining on
-    (bucket, band, band_hash) lets dynamic partition pruning skip
-    every index bucket the probe doesn't hash into. Self-matches
-    (re-probing an already-indexed id) are dropped. Raises if the
-    parameters differ from the ones recorded at append time."""
+    Scale shape: the probe batch's band rows join the index on
+    (bucket, band, band_hash) with NO forced broadcast hint (VERDICT
+    r9 — the ``gram_index_probe_spans`` discipline): AQE broadcasts
+    the probe side while its measured size fits the threshold (a
+    day's crawl vs the corpus — also enabling dynamic partition
+    pruning of every index bucket the probe doesn't hash into) and
+    falls back to a shuffle join on the bucketed key for probe
+    batches too large to broadcast, where an unconditional
+    ``F.broadcast`` would push gigabytes through the driver instead.
+    Self-matches (re-probing an already-indexed id) are dropped.
+    Raises if the parameters differ from the ones recorded at append
+    time."""
     _minhash_index_params_check(
         index_dir, num_hashes, bands, shingle_n, n_buckets, record=False
     )
@@ -1296,7 +1406,7 @@ def minhash_index_probe(
         .select(F.col(id_col).alias("probe_id"), "band", "band_hash", "bucket")
     )
     return (
-        idx.join(F.broadcast(probe), ["bucket", "band", "band_hash"])
+        idx.join(probe, ["bucket", "band", "band_hash"])
         .filter(F.col("index_id") != F.col("probe_id"))
         .select("probe_id", "index_id")
         .distinct()

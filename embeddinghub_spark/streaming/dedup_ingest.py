@@ -12,8 +12,10 @@ incremental band index (``minhash_index_append`` /
 per micro-batch
   1. PROBE the batch against the index — candidates come only from
      shared band buckets; the corpus text is never read (the index
-     holds (id, band, band_hash) rows, bucket-partitioned on disk,
-     and the probe side is broadcast + dynamic-partition-pruned);
+     holds (id, band, band_hash) rows, bucket-partitioned on disk;
+     AQE broadcasts the probe's narrow key rows while they fit —
+     enabling dynamic partition pruning — and falls back to a
+     shuffle join on the bucketed key for oversized batches);
   2. find WITHIN-BATCH candidate pairs (banded self-join of the
      batch's own band rows — bytes ∝ |batch|, not the corpus);
   3. a document is REJECTED iff it has any candidate with a SMALLER
@@ -240,10 +242,12 @@ def emb_dedup_ingest_batch(
     enter the index regardless of verdict, so the rule depends only
     on the candidate relation, never on earlier outcomes).
 
-    Per-batch work: probe join ∝ |batch| × bands (probe side
-    broadcast, index scan bucket-pruned), within-batch banded
-    self-join ∝ |batch|, index append one bucket exchange of the
-    batch's rows. No driver state, no corpus re-read."""
+    Per-batch work: probe join ∝ |batch| × bands (narrow probe keys
+    AQE-broadcast while they fit → index scan bucket-pruned; the
+    batch's vectors re-join by id only after candidate generation),
+    within-batch banded self-join ∝ |batch|, index append one bucket
+    exchange of the batch's rows. No driver state, no corpus
+    re-read."""
     from embeddinghub_spark.functions.dedup import (
         emb_index_append,
         emb_index_probe,
@@ -270,8 +274,11 @@ def emb_dedup_ingest_batch(
         )
         rejected = hits.select(F.col("probe_id").alias(id_col)).distinct()
     # 2. within-batch pairs, smaller id wins
+    # explicit planes (frozen in the index sidecar) + no warn probe:
+    # the within-batch corpus is micro-batch-sized by construction
     pairs = embedding_near_duplicates(
-        batch, dim, threshold, id_col, vec_col, n_planes, bands, seed
+        batch, dim, threshold, id_col, vec_col, n_planes, bands, seed,
+        bucket_warning_threshold=None,
     )
     in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct()
     rejected = (

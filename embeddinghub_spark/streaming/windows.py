@@ -959,3 +959,202 @@ def trailing_topk_counter(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def trailing_topk_counter_capped(
+    stream_df: DataFrame,
+    bucket_seconds: int,
+    n_buckets: int,
+    item_col: str,
+    k: int = 3,
+    capacity: int = 64,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+):
+    """Bounded-state variant of ``trailing_topk_counter``: per
+    (entity, live bucket) the item map is capped at ``capacity``
+    counters with SpaceSaving eviction (Metwally et al. 2005) — when a
+    full bucket summary sees an untracked item, the minimum-count
+    counter is evicted and the newcomer inherits its count+1, carrying
+    that floor as its per-counter overcount bound. State per entity is
+    ≤ (K+1)·capacity counters HOWEVER adversarial the item
+    cardinality, the trade the exact twin's docstring names.
+
+    ERROR-BOUND CONTRACT (per live bucket b with N_b counted events):
+    every tracked estimate obeys true ≤ est ≤ true + err, with
+    err ≤ ⌊N_b/capacity⌋; any item whose true bucket count exceeds
+    ⌊N_b/capacity⌋ is guaranteed tracked. At serve, per-bucket
+    summaries merge by summing tracked estimates, so a merged
+    estimate can OVERSHOOT true by at most the emitted
+    ``max_overcount`` (Σ of the contributing counters' errs) and can
+    UNDERSHOOT by at most Σ_b ⌊N_b/capacity⌋ over buckets where the
+    item went untracked. With ``capacity`` ≥ the bucket's distinct
+    item count, no eviction ever fires and the output is BIT-EQUAL to
+    the exact twin with ``max_overcount=0`` (pinned by test).
+
+    Unlike the exact twin, results are ARRIVAL-ORDER dependent once
+    eviction fires (inherent to SpaceSaving — evictions depend on
+    prefix counts), which is why the driver-certified gate entry stays
+    the exact op: an order-dependent approximation cannot be pinned by
+    a cross-engine value hash. This twin is for item cardinalities
+    where the exact grain is the bottleneck; pick
+    ``capacity ≈ k / ε_target`` (est error ≤ ε·N_b keeps rank
+    inversions below the ε band around rank k).
+
+    Emits up to ``k`` rows ``(entity, ref_ts, rank, item, item_count,
+    max_overcount)`` per updated entity per micro-batch; empty-window
+    sentinel as the exact twin."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    g = int(bucket_seconds)
+    K = int(n_buckets)
+    m = int(capacity)
+    if g <= 0 or K <= 0:
+        raise ValueError("bucket_seconds and n_buckets must be > 0")
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    if m < k:
+        raise ValueError(
+            f"capacity={m} < k={k}: the summary cannot even hold the "
+            "answer; SpaceSaving needs capacity >= k (and in practice "
+            "a healthy multiple of it)"
+        )
+    entity_type = stream_df.schema[entity_col].dataType
+    item_type = stream_df.schema[item_col].dataType
+    out_schema = StructType(
+        [
+            StructField(entity_col, entity_type),
+            StructField("ref_ts", TimestampNTZType()),
+            StructField("rank", LongType()),
+            StructField("item", item_type),
+            StructField("item_count", LongType()),
+            StructField("max_overcount", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buckets", ArrayType(LongType())),
+            StructField("items", ArrayType(item_type)),
+            StructField("counts", ArrayType(LongType())),
+            StructField("errs", ArrayType(LongType())),
+        ]
+    )
+
+    def update_fn(key, pdf_iter, state):
+        if state.exists:
+            bks, its, cts, ers = state.get
+            part: dict = {}
+            for b, it, c, e in zip(bks, its, cts, ers):
+                part.setdefault(b, {})[it] = [c, e]
+        else:
+            part = {}
+        for pdf in pdf_iter:
+            items = pdf[item_col]
+            for i, t in enumerate(pdf[ts_col]):
+                it = items.iloc[i]
+                if pd.isna(t) or it is None or (
+                    isinstance(it, float) and pd.isna(it)
+                ):
+                    continue  # batch parity: NULLs never count
+                sec = pd.Timestamp(t).value // 1_000_000_000
+                b = int(sec // g)
+                mx = max(part) if part else None
+                if mx is not None and b < max(mx, b) - K:
+                    continue  # outside every future window
+                slot = part.setdefault(b, {})
+                if it in slot:
+                    slot[it][0] += 1
+                elif len(slot) < m:
+                    slot[it] = [1, 0]
+                else:
+                    # SpaceSaving eviction: min count, largest item
+                    # breaks ties (any fixed rule keeps a given
+                    # arrival order deterministic)
+                    evict = min(
+                        slot.items(), key=lambda x: (x[1][0], _inv(x[0]))
+                    )
+                    floor = evict[1][0]
+                    del slot[evict[0]]
+                    slot[it] = [floor + 1, floor]
+        if not part:
+            return  # nothing bucketable ever arrived for this key
+        mx = max(part)
+        part = {b: d for b, d in part.items() if b > mx - K}
+        flat = [
+            (b, it, ce[0], ce[1])
+            for b in sorted(part)
+            for it, ce in sorted(part[b].items())
+        ]
+        state.update(
+            (
+                [int(b) for b, _, _, _ in flat],
+                [it for _, it, _, _ in flat],
+                [int(c) for _, _, c, _ in flat],
+                [int(e) for _, _, _, e in flat],
+            )
+        )
+        r = mx + 1
+        merged: dict = {}
+        for b, d in part.items():
+            if 1 <= r - b <= K:
+                for it, (c, e) in d.items():
+                    est = merged.setdefault(it, [0, 0])
+                    est[0] += c
+                    est[1] += e
+        ref = pd.Timestamp(r * g, unit="s")
+        if not merged:
+            yield pd.DataFrame(
+                {
+                    entity_col: [key[0]],
+                    "ref_ts": [ref],
+                    "rank": [1],
+                    "item": [None],
+                    "item_count": [None],
+                    "max_overcount": [None],
+                }
+            )
+            return
+        top = sorted(merged.items(), key=lambda x: (-x[1][0], x[0]))[:k]
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]] * len(top),
+                "ref_ts": [ref] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "item": [it for it, _ in top],
+                "item_count": [ce[0] for _, ce in top],
+                "max_overcount": [ce[1] for _, ce in top],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _inv:
+    """Inverted comparison key: min() over (count, _inv(item)) picks
+    the LARGEST item among minimum-count counters — a total order for
+    any orderable item type without assuming a negation exists."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v

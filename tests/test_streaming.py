@@ -2038,3 +2038,132 @@ def test_unpack_decay_state_legacy_layouts():
         _unpack_decay_state(three, "v")
     with pytest.raises(ValueError, match="unrecognized state layout"):
         _unpack_decay_state(([1], [1]), None)
+
+
+def test_trailing_topk_capped_equals_exact_at_ample_capacity(spark, tmp_path):
+    """VERDICT r9 #7: with capacity >= the distinct items per bucket,
+    SpaceSaving never evicts and the capped counter's final rankings
+    are BIT-EQUAL to the exact twin (same slicing), with
+    max_overcount identically 0 — the exact-twin-as-oracle pin."""
+    from datetime import datetime, timedelta
+
+    from embeddinghub_spark.streaming.windows import (
+        trailing_topk_counter,
+        trailing_topk_counter_capped,
+    )
+
+    g, K, k = 60, 6, 3
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            f"u{i % 4}",
+            base + timedelta(seconds=(i * 131) % 600),
+            ["x", "y", "z", "w", None][i % 5],
+        )
+        for i in range(160)
+    ]
+    src = spark.createDataFrame(rows, "entity string, ts timestamp, item string")
+    in_dir = str(tmp_path / "in")
+    src.repartition(4).write.parquet(in_dir)
+
+    def run(counter, tag, **kw):
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        final: dict = {}
+
+        def drain(bdf, _):
+            for r in bdf.collect():
+                d = r.asDict()
+                e = d.pop("entity")
+                rk = d.pop("rank")
+                final.setdefault(e, {})[rk] = d
+                stale = [q for q in final[e]
+                         if final[e][q]["ref_ts"] != d["ref_ts"]]
+                for q in stale:
+                    del final[e][q]
+
+        q = (
+            counter(stream, bucket_seconds=g, n_buckets=K,
+                    item_col="item", k=k, **kw)
+            .writeStream.foreachBatch(drain)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return final
+
+    exact = run(trailing_topk_counter, "exact")
+    capped = run(trailing_topk_counter_capped, "capped", capacity=64)
+    assert set(exact) == set(capped)
+    for e in exact:
+        for rk, d in capped[e].items():
+            assert d.pop("max_overcount") == 0
+            assert exact[e][rk] == d, (e, rk, exact[e][rk], d)
+
+
+def test_trailing_topk_capped_spacesaving_error_bound(spark, tmp_path):
+    """SpaceSaving contract under real eviction: a heavy item with
+    true count > floor(N_bucket/capacity) is guaranteed tracked and
+    ranked; its estimate obeys true <= est <= true + max_overcount
+    with max_overcount <= floor(N_bucket/capacity). capacity < k
+    fails fast."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from embeddinghub_spark.streaming.windows import (
+        trailing_topk_counter_capped,
+    )
+
+    g, K, k, m = 60, 6, 1, 8
+    base = datetime(2024, 1, 1)
+    rows = [("u", base + timedelta(seconds=i % 50), "heavy")
+            for i in range(40)]
+    rows += [("u", base + timedelta(seconds=(7 * i) % 50), f"tail{i}")
+             for i in range(20)]
+    n_bucket = len(rows)  # all 60 events land in one bucket
+    src = spark.createDataFrame(rows, "entity string, ts timestamp, item string")
+    in_dir = str(tmp_path / "in")
+    src.coalesce(2).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final: dict = {}
+
+    def drain(bdf, _):
+        for r in bdf.collect():
+            final[r["rank"]] = (r["item"], r["item_count"],
+                                r["max_overcount"])
+
+    q = (
+        trailing_topk_counter_capped(
+            stream, bucket_seconds=g, n_buckets=K, item_col="item",
+            k=k, capacity=m,
+        )
+        .writeStream.foreachBatch(drain)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    slack = n_bucket // m  # = 7 < heavy's true 40: retention guaranteed
+    item, est, over = final[1]
+    assert item == "heavy"
+    assert over <= slack
+    assert 40 <= est <= 40 + over
+
+    with pytest.raises(ValueError, match="capacity"):
+        trailing_topk_counter_capped(
+            src, bucket_seconds=g, n_buckets=K, item_col="item",
+            k=5, capacity=4,
+        )

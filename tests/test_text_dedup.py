@@ -916,3 +916,234 @@ def test_semantic_dedup_auto_sizes_n_clusters(spark):
         corpus(8), dim=4, threshold=0.999, target_cell_size=4
     )
     assert {r["cell"] for r in out2.collect()} == {1, 2}
+
+
+def _set_conf(spark, key, value):
+    old = spark.conf.get(key, None)
+    if value is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, value)
+    return old
+
+
+def test_minhash_index_probe_no_forced_broadcast_result_parity(spark, tmp_path):
+    """VERDICT r9: the probe no longer force-broadcasts its side —
+    AQE size-gates the broadcast (span-index discipline) and falls
+    back to a shuffle join on the bucketed key. Result parity is
+    pinned against the legacy forced-broadcast shape in BOTH regimes:
+    broadcast allowed, and broadcast disabled (the oversized-batch
+    fallback path an unconditional F.broadcast could never take)."""
+    from embeddinghub_spark.functions import dedup as D
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = []
+    for i in range(40):
+        if i % 5 == 0:
+            corpus.append((i, base + f" tail {i % 2}"))
+        else:
+            corpus.append((i, f"distinct corpus document {i} marker {i*i} end"))
+    idx_dir = str(tmp_path / "idx")
+    D.minhash_index_append(
+        spark, idx_dir, spark.createDataFrame(corpus, ["doc_id", "text"])
+    )
+    probe_rows = [(100 + i, base + f" tail {i % 2}") for i in range(6)] + [
+        (200 + i, f"novel probe document {i} nothing shared {i*7}")
+        for i in range(6)
+    ]
+    probe_df = spark.createDataFrame(probe_rows, ["doc_id", "text"])
+
+    # legacy shape, inlined: unconditional broadcast of the probe side
+    def legacy():
+        idx = spark.read.parquet(idx_dir).select(
+            F.col("doc_id").alias("index_id"), "band", "band_hash", "bucket"
+        )
+        probe = (
+            D.minhash_candidates(probe_df, "text", "doc_id", 8, 4, 3)
+            .withColumn("bucket", D._band_bucket(16))
+            .select(F.col("doc_id").alias("probe_id"), "band", "band_hash",
+                    "bucket")
+        )
+        return {
+            (r["probe_id"], r["index_id"])
+            for r in idx.join(F.broadcast(probe),
+                              ["bucket", "band", "band_hash"])
+            .filter(F.col("index_id") != F.col("probe_id"))
+            .select("probe_id", "index_id").distinct().collect()
+        }
+
+    expected = legacy()
+    assert expected, "probe corpus must produce candidates"
+    got_bcast = {
+        (r["probe_id"], r["index_id"])
+        for r in D.minhash_index_probe(spark, idx_dir, probe_df).collect()
+    }
+    assert got_bcast == expected
+
+    o1 = _set_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1")
+    o2 = _set_conf(spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        got_shuffle = {
+            (r["probe_id"], r["index_id"])
+            for r in D.minhash_index_probe(spark, idx_dir, probe_df).collect()
+        }
+    finally:
+        _set_conf(spark, "spark.sql.autoBroadcastJoinThreshold", o1)
+        _set_conf(spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", o2)
+    assert got_shuffle == expected
+
+
+def test_emb_index_probe_vectors_never_broadcast_result_parity(spark, tmp_path):
+    """VERDICT r9: the embedding probe broadcasts only NARROW candidate
+    keys; the batch's vectors re-join by probe_id after candidate
+    generation. Exact (probe_id, index_id, cosine) parity against the
+    legacy shape (probe rows carrying full vectors under a forced
+    broadcast) in both the broadcastable and forced-shuffle regimes."""
+    from embeddinghub_spark.functions import dedup as D
+    from embeddinghub_spark.functions.vector import dot
+    from pyspark.sql import functions as F
+
+    dim, n_planes, bands, seed, n_buckets, thr = 8, 4, 2, 7, 16, 0.9
+    import math
+
+    corpus = []
+    for i in range(30):
+        v = [math.sin(0.7 * i + j) for j in range(dim)]
+        corpus.append((i, v))
+    idx_dir = str(tmp_path / "eidx")
+    D.emb_index_append(
+        spark, idx_dir, spark.createDataFrame(corpus, ["vec_id", "embedding"]),
+        dim, n_planes=n_planes, bands=bands, seed=seed, n_buckets=n_buckets,
+    )
+    # probes: scaled copies of corpus vectors (cosine 1.0) + novel ones
+    probe_rows = [(100 + i, [2.0 * x for x in corpus[i][1]]) for i in range(5)]
+    probe_rows += [
+        (200 + i, [math.cos(1.3 * i + 2 * j) for j in range(dim)])
+        for i in range(5)
+    ]
+    probe_df = spark.createDataFrame(probe_rows, ["vec_id", "embedding"])
+
+    def legacy():
+        idx = spark.read.parquet(idx_dir).select(
+            F.col("vec_id").alias("index_id"),
+            F.col("embedding").alias("_ivec"),
+            F.col("_norm").alias("_inorm"),
+            "band", "band_val", "bucket",
+        )
+        probe = (
+            D._emb_band_rows(probe_df, dim, "vec_id", "embedding",
+                             n_planes, bands, seed)
+            .withColumn("bucket", D._emb_band_bucket(n_buckets))
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("_pvec"),
+                F.col("_norm").alias("_pnorm"),
+                "band", "band_val", "bucket",
+            )
+        )
+        return {
+            (r["probe_id"], r["index_id"], r["cosine"])
+            for r in idx.join(F.broadcast(probe),
+                              ["bucket", "band", "band_val"])
+            .filter(F.col("index_id") != F.col("probe_id"))
+            .select(
+                "probe_id", "index_id",
+                F.round(
+                    dot("_pvec", "_ivec", dim)
+                    / (F.col("_pnorm") * F.col("_inorm")), 6,
+                ).alias("cosine"),
+            )
+            .distinct()
+            .filter(F.col("cosine") >= thr)
+            .collect()
+        }
+
+    def run():
+        return {
+            (r["probe_id"], r["index_id"], r["cosine"])
+            for r in D.emb_index_probe(
+                spark, idx_dir, probe_df, dim, thr,
+                n_planes=n_planes, bands=bands, seed=seed,
+                n_buckets=n_buckets,
+            ).collect()
+        }
+
+    expected = legacy()
+    assert expected, "probe set must produce verified near-dups"
+    assert run() == expected
+
+    o1 = _set_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1")
+    o2 = _set_conf(spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert run() == expected
+    finally:
+        _set_conf(spark, "spark.sql.autoBroadcastJoinThreshold", o1)
+        _set_conf(spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", o2)
+
+
+def test_emb_auto_planes_sizing():
+    """VERDICT r9 #4: the sign-LSH plane default auto-sizes
+    bits-per-band = ceil(log2(N/10^4)), floored at the certified
+    16-plane (8-bit) operating point and capped at 48 planes."""
+    from embeddinghub_spark.functions.dedup import emb_auto_planes
+
+    assert emb_auto_planes(0) == 16
+    assert emb_auto_planes(10_000) == 16
+    assert emb_auto_planes(2_560_000) == 16       # boundary of the floor
+    assert emb_auto_planes(2_560_001) == 18       # first growth step
+    assert emb_auto_planes(1_000_000_000) == 34   # SCALING.md example
+    assert emb_auto_planes(10**12) == 48          # max_bits clamp
+    assert emb_auto_planes(10_000, bands=4) == 32  # 4 bands x 8-bit floor
+    import pytest
+
+    with pytest.raises(ValueError):
+        emb_auto_planes(-1)
+    with pytest.raises(ValueError):
+        emb_auto_planes(10, bands=0)
+
+
+def test_embedding_near_dup_auto_default_and_outgrown_warning(spark):
+    """The n_planes=None default resolves to the old fixed 16 at
+    small corpora (results bit-identical to an explicit 16-plane
+    call), and an explicitly pinned plane count that the corpus has
+    outgrown fires a RuntimeWarning naming the sizing rule."""
+    import math
+    import warnings
+
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import embedding_near_duplicates
+
+    dim = 4
+    rows = []
+    for i in range(40):
+        v = [math.sin(0.9 * i + j) for j in range(dim)]
+        rows.append((i, v))
+    rows.append((100, [2.0 * x for x in rows[3][1]]))  # near-dup of 3
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    auto = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(df, dim, 0.95).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            df, dim, 0.95, n_planes=16
+        ).collect()
+    }
+    assert auto == explicit and (3, 100, 1.0) in auto
+
+    # 4 planes / 2 bands = 4 buckets per band; 41 rows / 4 ~ 10 > 5
+    with pytest.warns(RuntimeWarning, match="per band bucket"):
+        embedding_near_duplicates(
+            df, dim, 0.95, n_planes=4, bands=2, bucket_warning_threshold=5
+        )
+    # threshold=None skips every construction-time job
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        embedding_near_duplicates(
+            df, dim, 0.95, n_planes=4, bands=2,
+            bucket_warning_threshold=None,
+        )
