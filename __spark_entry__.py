@@ -7831,15 +7831,133 @@ WHERE rank <= 3 AND (item IS NOT NULL OR rank = 1)
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/selection.py dsir_weights):
+    hashed unigram+bigram multinomial log-ratio of the English target
+    subset vs the raw corpus, Laplace-smoothed — the published
+    importance-resampling data-selection score (Xie et al. 2023),
+    feeding weighted_sample/temperature_mixture for the resample step.
+    Corpus statistics collapse to an 8192-bucket frame rejoined by
+    broadcast; per-doc weights are exact 1e9-scaled bigint sums."""
+    from embeddinghub_spark.functions.selection import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en",
+        n_buckets=8192,
+    )
+
+
+_DSIR_ORACLE = """
+WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+uni AS (SELECT doc_id, tgt, UNNEST(toks) AS gr FROM t),
+bi AS (SELECT doc_id, tgt, toks[i] || ' ' || toks[i + 1] AS gr
+       FROM t, UNNEST(range(1, len(toks))) AS u(i)
+       WHERE len(toks) >= 2),
+g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+gb AS (SELECT doc_id, tgt,
+              CAST(('0x' || substr(md5(gr || '|7'), 1, 15)) AS BIGINT)
+                % 8192 AS b,
+              COUNT(*) AS c
+       FROM g GROUP BY 1, 2, 3),
+bt AS (SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+              SUM(c) AS cr
+       FROM gb GROUP BY 1),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+               CAST(SUM(cr) AS BIGINT) AS rr FROM bt),
+lr AS (SELECT b,
+              CAST(round(round(
+                  ln((ct + 1.0) / (tt + 8192.0))
+                  - ln((cr + 1.0) / (rr + 8192.0)), 9) * 1e9, 0)
+                AS BIGINT) AS lrs
+       FROM bt CROSS JOIN tot)
+SELECT gb.doc_id, CAST(SUM(gb.c) AS BIGINT) AS n_grams,
+       round(CAST(SUM(gb.c * lr.lrs) AS DOUBLE) / 1e9, 6) AS log_weight
+FROM gb JOIN lr USING (b)
+GROUP BY 1
+"""
+
+
+_BUDGET_SELECT_TOKENS = 10_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (functions/selection.py budget_select):
+    keep the best documents by an exact-integer quality score
+    (stopword tokens per million — the English-naturalness proxy,
+    engine-stable unlike a raw-double score) until the corpus-wide
+    token budget fills. Cumulative sum via the C5 range-partition +
+    offset discipline — no single-partition global window."""
+    from embeddinghub_spark.functions.selection import budget_select
+    from embeddinghub_spark.functions.text import stopword_count, token_count
+
+    scored = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count("text").cast("bigint").alias("n_tokens"),
+            stopword_count("text").cast("bigint").alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.expr("CAST(n_stop * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "score"
+            ),
+            "n_tokens",
+        )
+    )
+    return budget_select(
+        scored,
+        score_col="score",
+        cost_col="n_tokens",
+        budget=_BUDGET_SELECT_TOKENS,
+    ).select("doc_id", "score", "n_tokens", "cum_cost")
+
+
+def _budget_select_oracle() -> str:
+    from embeddinghub_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != ''))
+           AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains([{stop_list}], lower(x)))) AS n_stop
+  FROM documents),
+sc AS (SELECT doc_id,
+              CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens
+       FROM s WHERE n_tokens > 0),
+c AS (SELECT doc_id, score, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+      FROM sc)
+SELECT doc_id, score, n_tokens, cum_cost FROM c
+WHERE cum_cost <= {_BUDGET_SELECT_TOKENS}
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
     (registry frozen at 186 per VERDICT r9 #5). The r9 staged pair
     (streaming_embedding_dedup, trailing_topk) was promoted into
-    queries()/oracle_sql() by the r10 rotation; entries added here
-    during r10 join the registry after the r10 window certifies."""
-    return {}
+    queries()/oracle_sql() by the r10 rotation; the two entries below
+    were added during r10 under the standard staging protocol (oracle
+    twin + sf0.01 + sf0.1 gate + sf1 ratio) and join the registry
+    after the r10 window certifies."""
+    return {
+        "dsir_weights": q_dsir_weights,
+        "budget_select": q_budget_select,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {
+        "dsir_weights": _DSIR_ORACLE,
+        "budget_select": _budget_select_oracle(),
+    }

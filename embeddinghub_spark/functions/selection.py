@@ -1,0 +1,247 @@
+"""Data-selection operators for LLM training-data curation.
+
+Beyond-reference surface (BASELINE.json north star: the sampling /
+mixture family in `operators/split.py` picks HOW MUCH of each stratum
+to keep; these two pick WHICH documents):
+
+- ``dsir_weights`` — hashed-n-gram importance weights (DSIR: "Data
+  Selection for Language Models via Importance Resampling", Xie et
+  al., NeurIPS 2023, public arXiv 2302.03169): score every raw
+  document by how much more likely its hashed n-gram bag is under an
+  in-domain target distribution than under the raw-corpus
+  distribution. The weights feed the existing samplers
+  (``weighted_sample`` / ``temperature_mixture``) for the resampling
+  step.
+- ``budget_select`` — exact token-budget curation: keep the
+  highest-scoring documents until a corpus-wide token budget fills
+  (the FineWeb-Edu-style "take the best N tokens" step), with the
+  cumulative sum computed by the C5 range-partition + offset
+  discipline (operators/materialize.py) — no single-partition global
+  window at any scale.
+
+Both are pure JVM expressions (split / md5 / aggregate / window) — no
+Python UDFs — and both are oracle-replayable: the md5 bucket hash and
+the 1e9-scaled round-then-sum bigint discipline match the conventions
+pinned across `operators/split.py` and `functions/metrics.py`.
+
+Reference parity anchor: the reference has no data-selection surface
+at all — its closest shape is the train/test split
+(`provider/clickhouse.go:1103-1155`), whose deterministic-hash
+discipline these operators reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from embeddinghub_spark.functions.text import tokens
+from embeddinghub_spark.functions.vector import ensure_parallelism
+
+
+def _gram_bucket(gram: Column, n_buckets: int, seed: int) -> Column:
+    """Deterministic hashed-feature bucket: md5(gram|seed) → [0, K).
+
+    Same md5 idiom as operators/split.py:_row_hash — identical bytes
+    in Spark and DuckDB, so the oracle replays the exact bucketing
+    (xxhash64/cityHash have no cross-engine twin). 15 hex digits =
+    60 bits, always positive, so ``%`` needs no pmod."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", gram, F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % n_buckets
+
+
+def doc_grams(text_col: Column | str) -> Column:
+    """Word unigrams + bigrams of the pinned single-space tokenizer —
+    the DSIR paper's feature set (§3.2: unigram+bigram bag, hashed).
+    Bigrams join with a single space; docs with < 2 tokens contribute
+    unigrams only; empty docs yield an empty array."""
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    ``log_weight(d) = Σ_b c_d[b] · (ln p̂_target[b] − ln p̂_raw[b])``
+    where ``c_d`` is the doc's hashed unigram+bigram count vector,
+    ``p̂`` are Laplace-smoothed (``alpha``) bucket multinomials fit on
+    the target subset (rows where ``target`` is true) and on the FULL
+    input corpus respectively. Positive = looks more in-domain than
+    the average raw doc. Resampling composes downstream:
+    ``weighted_sample(out, weight_col="log_weight", ...)`` after an
+    exp/temperature transform of the caller's choice.
+
+    Output: ``(id_col, n_grams, log_weight)`` — one row per document
+    with ≥ 1 token (empty docs have no features, hence no weight;
+    callers keeping them should left-join and COALESCE to 0).
+
+    Scale shape (100 TB discipline):
+      - one corpus-linear explode → (doc, bucket) count aggregate
+        (map-side combined; md5 buckets are uniform, so no skew key);
+      - bucket statistics collapse to ``n_buckets`` rows (K = 8192
+        default — a QUALITY knob bounding hash collisions, the paper's
+        10⁴-bucket regime; independent of corpus size, see
+        docs/SCALING.md audit) and totals to ONE row, both rejoined by
+        broadcast — the probability model never shuffles the corpus;
+      - per-doc weight is a second doc-grain aggregate of exact
+        1e9-scaled bigint terms (round-then-sum: aggregation-order
+        independent, oracle-replayable bit-for-bit).
+
+    Determinism: the only doubles are the per-bucket log-ratios,
+    rounded to 9 dp BEFORE scaling (functions/metrics.py discipline) —
+    a 1-ulp ln() difference between engines cannot flip the rounded
+    value except at measure-zero boundaries.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    ktot = float(alpha) * n_buckets
+
+    docs = ensure_parallelism(docs)  # split-deficit fan-out (vector.py)
+    gb = (
+        docs.select(
+            F.col(id_col),
+            target.alias("_tgt"),
+            F.explode(doc_grams(text_col)).alias("_g"),
+        )
+        .select(
+            id_col, "_tgt", _gram_bucket(F.col("_g"), n_buckets, seed).alias("_b")
+        )
+        .groupBy(id_col, "_tgt", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        # count-frame checkpoint (the LM-operator discipline,
+        # functions/text.py): three consumers read this frame (bucket
+        # stats, totals, per-doc scoring) — without pinning it, the
+        # corpus-sized explode+md5 pipeline re-runs once per consumer.
+        # The frame is ≤ |docs|·min(doc_grams, K) rows of 4 narrow
+        # columns — far smaller than the exploded grams.
+        .localCheckpoint(eager=False)
+    )
+    bt = gb.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum("_c").alias("_cr"),
+    )
+    tot = bt.agg(
+        F.sum("_ct").alias("_T"), F.sum("_cr").alias("_R")
+    )
+    # broadcast-of-a-one-row-aggregate: the repo's sanctioned crossJoin
+    lr_raw = (
+        F.log((F.col("_ct") + F.lit(float(alpha))) / (F.col("_T") + F.lit(ktot)))
+        - F.log((F.col("_cr") + F.lit(float(alpha))) / (F.col("_R") + F.lit(ktot)))
+    )
+    lrdf = (
+        bt.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            F.round(F.round(lr_raw, 9) * F.lit(1e9), 0)
+            .cast("bigint")
+            .alias("_lrs"),
+        )
+    )
+    out = (
+        gb.join(F.broadcast(lrdf), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_lrs")).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("_s").cast("double") / F.lit(1e9), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+    return out
+
+
+def budget_select(
+    df: DataFrame,
+    *,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact greedy budget curation: order rows by ``(score_col DESC,
+    id_col ASC)`` and keep the prefix whose INCLUSIVE cumulative
+    ``cost_col`` stays ≤ ``budget`` — semantically
+    ``SUM(cost) OVER (ORDER BY score DESC, id) <= budget``, the
+    "select the best X tokens" curation step.
+
+    Output: the kept rows plus ``cum_cost`` (the inclusive running
+    total, so callers can see how full the budget ran).
+
+    Scale shape: a literal global-ORDER-BY window collapses to one
+    partition — fatal at 100 TB. This uses the C5 discipline
+    (operators/materialize.py with_global_row_number_counted):
+    range-partition on the order key, cumulative-sum WITHIN each
+    partition, then add the exclusive prefix sum of per-partition
+    totals (one tiny driver-side row per partition, folded back as a
+    literal array — no join). localCheckpoint pins the ranged layout
+    so the totals job and the final pass see identical partition ids.
+
+    Determinism: ``(score_col, id_col)`` must be a total order with an
+    engine-stable score — use exact-integer or pre-rounded scores, not
+    raw doubles (1-ulp drift at a budget boundary would flip the last
+    kept row).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        n, F.col(score_col).desc(), F.col(id_col).asc()
+    ).localCheckpoint(eager=True)
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn(
+        "_local_cum", F.sum(F.col(cost_col).cast("bigint")).over(w)
+    )
+    totals = (
+        part.groupBy("_pid")
+        .agg(F.sum(F.col(cost_col).cast("bigint")).alias("_t"))
+        .orderBy("_pid")
+        .collect()
+    )  # one row per partition — driver-safe at any scale
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"] or 0
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)).cast("bigint") for i in range(n)]
+    )
+    return (
+        local.withColumn(
+            "cum_cost",
+            F.col("_local_cum")
+            + F.element_at(offset_arr, F.col("_pid") + 1),
+        )
+        .filter(F.col("cum_cost") <= F.lit(int(budget)))
+        .drop("_pid", "_local_cum")
+    )
