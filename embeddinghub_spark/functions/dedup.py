@@ -233,13 +233,26 @@ def minhash_candidates(
             f"num_hashes={num_hashes} not divisible by bands={bands}: trailing "
             "hashes would be silently dropped, reducing LSH recall"
         )
-    rows_per_band = num_hashes // bands
     with_sig = _with_signature(df, text_col, id_col, num_hashes, shingle_n)
+    return (
+        with_sig.select(
+            F.col(id_col),
+            F.explode(F.array(*_band_structs(num_hashes, bands))).alias("bh"),
+        )
+        .select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    )
+
+
+def _band_structs(num_hashes: int, bands: int) -> list[Column]:
+    """Band fold over a ``_sig`` column: struct(band, band_hash) per
+    band — integer mod-P polynomial of the band's min-hashes (same
+    64-bit-safe arithmetic as the shingles, no md5). Shared by
+    ``minhash_candidates`` and ``minhash_estimate_audit`` so the two
+    cannot disagree on a bucket."""
+    rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         piece = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-        # integer fold of the band's min-hashes (mod-P polynomial —
-        # same 64-bit-safe arithmetic as the shingles, no md5)
         band_hash = F.aggregate(
             piece,
             F.lit(0).cast("bigint"),
@@ -248,10 +261,7 @@ def minhash_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash"))
         )
-    return (
-        with_sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bh"))
-        .select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    )
+    return band_cols
 
 
 def minhash_duplicate_pairs(
@@ -2238,3 +2248,139 @@ def minhash_tune(
             banding_candidate_probability(lo, bands, rows), 6
         ),
     }
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MEASURED calibration of the MinHash Jaccard estimator on the
+    corpus's own banded candidate pairs — the dedup-stack analogue of
+    ``ann_recall``: ``minhash_tune`` predicts the S-curve from theory;
+    this measures how far the ``matching_slots/num_hashes`` estimate
+    actually sits from the exact shingle Jaccard on real candidates,
+    the number a threshold-tuning loop checks before committing a
+    corpus-wide dedup pass at a new (num_hashes, bands) setting.
+
+    Output: one row per distinct matching-slot count among candidate
+    pairs (≤ num_hashes+1 rows) with ``est_jaccard`` (the estimator's
+    value at that slot count), ``n_pairs``, ``mean_abs_err`` and
+    ``max_abs_err`` vs exact Jaccard — both carried as exact
+    1e9-scaled bigint sums until the final 6-dp presentation divide
+    (the metrics.py round-then-sum discipline, aggregation-order
+    independent and oracle-replayable).
+
+    Scale shape: ONE corpus pass builds the checkpointed signature+
+    shingle frame (``_with_signature(keep_shingles=True)``) — the
+    candidate generation, pair join, and exact verify all read that
+    frame, so the tokenize/md5 pipeline never re-runs (unlike chaining
+    ``minhash_duplicate_pairs`` + a fresh shingle build, which would
+    scan the corpus twice). Candidates come from the banded equi-join
+    (work ∝ Σ bucket², bounded by true dup-family sizes); the exact
+    measure runs ONLY on candidates; the final aggregate is
+    (num_hashes+1)-row bounded.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
+    base = _with_signature(
+        df, text_col, id_col, num_hashes, shingle_n, keep_shingles=True
+    ).localCheckpoint(eager=False)
+    cand = base.select(
+        F.col(id_col),
+        F.explode(F.array(*_band_structs(num_hashes, bands))).alias("bh"),
+    ).select(
+        id_col,
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sig").alias("_sig_a"),
+        F.col("_sh").alias("_sh_a"),
+    )
+    sb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sig").alias("_sig_b"),
+        F.col("_sh").alias("_sh_b"),
+    )
+    slots = F.aggregate(
+        F.zip_with(
+            F.col("_sig_a"),
+            F.col("_sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    jac = jaccard_similarity(F.col("_sh_a"), F.col("_sh_b"))
+    err9 = F.round(
+        F.round(
+            F.abs(
+                F.col("matching_slots") / F.lit(float(num_hashes)) - jac
+            ),
+            9,
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("matching_slots", slots)
+        .select("matching_slots", err9.alias("_e9"))
+    )
+    # e9 → e6 presentation: round the /1000 to an integer, then the
+    # /1e6 divide is exact — the decayed-counter oracle discipline
+    # (no cross-engine round-at-6dp tie risk).
+    def _e6(col: Column) -> Column:
+        return (
+            F.round(col.cast("double") / F.lit(1000.0), 0).cast("bigint")
+            / F.lit(1e6)
+        )
+
+    return (
+        scored.groupBy("matching_slots")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("_e9").alias("_se9"),
+            F.max("_e9").alias("_me9"),
+        )
+        .select(
+            F.col("matching_slots").cast("int").alias("matching_slots"),
+            _e6(
+                F.round(
+                    F.col("matching_slots")
+                    * F.lit(1e9)
+                    / F.lit(float(num_hashes)),
+                    0,
+                )
+            ).alias("est_jaccard"),
+            "n_pairs",
+            _e6(
+                F.round(
+                    F.col("_se9").cast("double") / F.col("n_pairs"), 0
+                )
+            ).alias("mean_abs_err"),
+            _e6(F.col("_me9").cast("double")).alias("max_abs_err"),
+        )
+    )

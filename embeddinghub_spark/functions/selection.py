@@ -245,3 +245,50 @@ def budget_select(
         .filter(F.col("cum_cost") <= F.lit(int(budget)))
         .drop("_pid", "_local_cum")
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    seed: int = 42,
+    shard_size: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order + shard layout: every LLM
+    training pipeline shuffles the curated corpus once and freezes the
+    order (reproducible runs, resumable dataloaders). The order is
+    ``md5(keys|seed)`` — the split.py hash discipline, so the exact
+    permutation is replayable in any md5-bearing engine and stable
+    across partitionings — and the 1-based ``position`` within it is
+    computed by the C5 range-partition + offset numbering
+    (operators/materialize.py): no single-partition global sort at
+    any scale. ``shard = (position-1) DIV shard_size`` gives the
+    contiguous shard assignment a sequential trainer reads.
+
+    Re-shuffling per epoch = a new ``seed``. ``key_cols`` must be
+    unique per row (they tie-break the astronomically-unlikely md5
+    collision and make the order total).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    from embeddinghub_spark.operators.materialize import with_global_row_number
+
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+    numbered = with_global_row_number(
+        df.withColumn("_h", h),
+        ["_h", *key_cols],
+        row_col="position",
+        num_partitions=num_partitions,
+    )
+    return numbered.withColumn(
+        "shard",
+        ((F.col("position") - F.lit(1)) / F.lit(int(shard_size)))
+        .cast("bigint"),
+    ).drop("_h")
