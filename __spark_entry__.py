@@ -7873,7 +7873,8 @@ lr AS (SELECT b,
                 AS BIGINT) AS lrs
        FROM bt CROSS JOIN tot)
 SELECT gb.doc_id, CAST(SUM(gb.c) AS BIGINT) AS n_grams,
-       round(CAST(SUM(gb.c * lr.lrs) AS DOUBLE) / 1e9, 6) AS log_weight
+       CAST(round(CAST(SUM(gb.c * lr.lrs) AS DOUBLE) / 1000.0, 0) AS BIGINT)
+         / 1e6 AS log_weight
 FROM gb JOIN lr USING (b)
 GROUP BY 1
 """

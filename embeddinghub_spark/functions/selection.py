@@ -112,7 +112,12 @@ def dsir_weights(
     Determinism: the only doubles are the per-bucket log-ratios,
     rounded to 9 dp BEFORE scaling (functions/metrics.py discipline) —
     a 1-ulp ln() difference between engines cannot flip the rounded
-    value except at measure-zero boundaries.
+    value except at measure-zero boundaries. The presentation value
+    follows the e9→e6 discipline (functions/dedup.py ``_e6``): round
+    the exact 1e9-scaled sum ``/1000`` to an INTEGER first, then the
+    ``/1e6`` divide is exact — so no engine ever rounds a decimal
+    half at 6 dp (an exact ``.5`` tie at 6 dp would otherwise occur
+    whenever ``_s % 1000 == 500``, ~1/1000 docs).
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
@@ -169,9 +174,11 @@ def dsir_weights(
         .select(
             id_col,
             "n_grams",
-            F.round(F.col("_s").cast("double") / F.lit(1e9), 6).alias(
-                "log_weight"
-            ),
+            (
+                F.round(F.col("_s").cast("double") / F.lit(1000.0), 0)
+                .cast("bigint")
+                / F.lit(1e6)
+            ).alias("log_weight"),
         )
     )
     return out
@@ -203,29 +210,46 @@ def budget_select(
     totals (one tiny driver-side row per partition, folded back as a
     literal array — no join). localCheckpoint pins the ranged layout
     so the totals job and the final pass see identical partition ids.
+    The offset array is PARTITIONS-sized, not data-sized — fine at any
+    data scale, but at extreme parallelism (10⁵ partitions) the
+    literal bloats the plan; cap ``num_partitions`` accordingly (same
+    bound operators/materialize.py documents for C5).
 
     Determinism: ``(score_col, id_col)`` must be a total order with an
     engine-stable score — use exact-integer or pre-rounded scores, not
     raw doubles (1-ulp drift at a budget boundary would flip the last
     kept row).
+
+    Cost contract: ``cost_col`` must be NON-NULL and non-negative. A
+    NULL cost would otherwise ride along for free (SUM skips nulls),
+    silently inflating the kept set past the budget — so the first
+    NULL encountered raises at execution time instead.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(
-        n, F.col(score_col).desc(), F.col(id_col).asc()
-    ).localCheckpoint(eager=True)
+    # fail-fast on NULL costs (see cost contract above): evaluated once
+    # per row inside the checkpointed ranged pass, zero extra jobs.
+    checked_cost = F.when(
+        F.col(cost_col).isNull(),
+        F.raise_error(
+            F.lit(f"budget_select: cost_col {cost_col!r} contains NULL")
+        ).cast("bigint"),
+    ).otherwise(F.col(cost_col).cast("bigint"))
+    ranged = (
+        df.withColumn("_cost", checked_cost)
+        .repartitionByRange(n, F.col(score_col).desc(), F.col(id_col).asc())
+        .localCheckpoint(eager=True)
+    )
     part = ranged.withColumn("_pid", F.spark_partition_id())
     w = (
         Window.partitionBy("_pid")
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn(
-        "_local_cum", F.sum(F.col(cost_col).cast("bigint")).over(w)
-    )
+    local = part.withColumn("_local_cum", F.sum(F.col("_cost")).over(w))
     totals = (
         part.groupBy("_pid")
-        .agg(F.sum(F.col(cost_col).cast("bigint")).alias("_t"))
+        .agg(F.sum("_cost").alias("_t"))
         .orderBy("_pid")
         .collect()
     )  # one row per partition — driver-safe at any scale
@@ -243,7 +267,7 @@ def budget_select(
             + F.element_at(offset_arr, F.col("_pid") + 1),
         )
         .filter(F.col("cum_cost") <= F.lit(int(budget)))
-        .drop("_pid", "_local_cum")
+        .drop("_pid", "_local_cum", "_cost")
     )
 
 
@@ -287,8 +311,9 @@ def shuffle_order(
         row_col="position",
         num_partitions=num_partitions,
     )
+    # integer DIV, never double division: (pos-1)/size then cast would
+    # round through a double and can mis-assign the shard near
+    # boundaries at extreme position magnitudes (> ~9e15).
     return numbered.withColumn(
-        "shard",
-        ((F.col("position") - F.lit(1)) / F.lit(int(shard_size)))
-        .cast("bigint"),
+        "shard", F.expr(f"(position - 1) DIV {int(shard_size)}")
     ).drop("_h")

@@ -16,6 +16,7 @@ from embeddinghub_spark.functions.selection import (
     budget_select,
     doc_grams,
     dsir_weights,
+    shuffle_order,
 )
 
 DOCS = [
@@ -79,7 +80,15 @@ def _py_dsir(docs, n_buckets=64, alpha=1.0, seed=7):
             )
             s += c * lrs
             n += c
-        out[doc_id] = (n, round(s / 1e9, 6))
+        # e9 → e6 presentation (the dedup.py _e6 discipline): round
+        # s/1000 to an INTEGER (half away from zero, Spark F.round
+        # semantics), then the /1e6 divide is exact — no engine ever
+        # rounds a decimal half at 6 dp.
+        v = s / 1000.0
+        s6 = int(math.floor(v + 0.5)) if v >= 0 else -int(
+            math.floor(-v + 0.5)
+        )
+        out[doc_id] = (n, s6 / 1e6)
     return out
 
 
@@ -227,3 +236,100 @@ def test_budget_select_plan_has_no_global_window(spark, budget_df):
     # partition spec; partitioned windows render "partitionBy" via
     # hashpartitioning(_pid...)
     assert "hashpartitioning(_pid" in plan or "hashpartitioning('_pid" in plan
+
+
+def test_budget_select_raises_on_null_cost(spark):
+    """NULL costs must fail fast, never ride along for free (ADVICE
+    r10: SUM skips nulls, so a dirty input would silently inflate the
+    kept set past the token budget)."""
+    df = spark.createDataFrame(
+        [(1, 90, 40), (2, 80, None), (3, 70, 20)],
+        "doc_id INT, score INT, n_tokens INT",
+    )
+    with pytest.raises(Exception, match="contains NULL"):
+        budget_select(
+            df, score_col="score", cost_col="n_tokens", budget=100
+        ).collect()
+
+
+# --- shuffle_order --------------------------------------------------------
+
+
+SHUFFLE_ROWS = [(i, f"doc-{i}") for i in range(1, 38)]  # 37 rows, 1 col key
+
+
+def _py_shuffle(rows, seed, shard_size):
+    """Pure-Python replica: order by md5(key|seed) asc (tie: key), then
+    1-based position and shard = (position-1) // shard_size."""
+    hashed = sorted(
+        (hashlib.md5(f"{doc_id}|{seed}".encode()).hexdigest(), doc_id)
+        for doc_id, _ in rows
+    )
+    return {
+        doc_id: (pos + 1, pos // shard_size)
+        for pos, (_, doc_id) in enumerate(hashed)
+    }
+
+
+@pytest.fixture()
+def shuffle_df(spark):
+    return spark.createDataFrame(SHUFFLE_ROWS, ["doc_id", "text"])
+
+
+def test_shuffle_order_matches_md5_replica(spark, shuffle_df):
+    got = {
+        r["doc_id"]: (r["position"], r["shard"])
+        for r in shuffle_order(
+            shuffle_df, ["doc_id"], seed=42, shard_size=10
+        ).collect()
+    }
+    assert got == _py_shuffle(SHUFFLE_ROWS, 42, 10)
+
+
+def test_shuffle_order_new_seed_new_permutation(spark, shuffle_df):
+    a = _py_shuffle(SHUFFLE_ROWS, 42, 10)
+    got_7 = {
+        r["doc_id"]: (r["position"], r["shard"])
+        for r in shuffle_order(
+            shuffle_df, ["doc_id"], seed=7, shard_size=10
+        ).collect()
+    }
+    assert got_7 == _py_shuffle(SHUFFLE_ROWS, 7, 10)
+    assert got_7 != a  # a different seed is a different permutation
+
+
+def test_shuffle_order_repartition_invariant(spark, shuffle_df):
+    base = shuffle_order(shuffle_df, ["doc_id"], seed=42, shard_size=10)
+    rep = shuffle_order(
+        shuffle_df.repartition(13), ["doc_id"], seed=42, shard_size=10
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, rep.collect())
+    )
+
+
+def test_shuffle_order_shard_boundaries_integer_div(spark, shuffle_df):
+    """Positions 1..N with shard_size s: shard flips exactly at
+    position s+1, 2s+1, ... (integer DIV, ADVICE r10 — double
+    division could mis-assign near boundaries at extreme
+    magnitudes)."""
+    out = shuffle_order(
+        shuffle_df, ["doc_id"], seed=42, shard_size=10
+    ).collect()
+    for r in out:
+        assert r["shard"] == (r["position"] - 1) // 10
+    positions = sorted(r["position"] for r in out)
+    assert positions == list(range(1, len(SHUFFLE_ROWS) + 1))
+    # contiguous shard layout: 37 rows / size 10 → shards 0,1,2 full,
+    # shard 3 holds the 7-row tail
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sizes == {0: 10, 1: 10, 2: 10, 3: 7}
+
+
+def test_shuffle_order_rejects_bad_args(spark, shuffle_df):
+    with pytest.raises(ValueError):
+        shuffle_order(shuffle_df, [], seed=1)
+    with pytest.raises(ValueError):
+        shuffle_order(shuffle_df, ["doc_id"], shard_size=0)
