@@ -6332,51 +6332,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. The r9 window certified 50/50 green (the
-    # second consecutive all-green gate; cumulative ledger 181/184
-    # hash-certified + 3 rows-only). Round 10 executes the rotation ordered by
-    # VERDICT r9 task #1: positions 1-2 are the two entries staged through r9
-    # (streaming embedding dedup-on-ingest — completing the ingest-dedup stack
-    # at both grains — and the trailing top-k heavy-hitter PIT feature), both
-    # judge-verified at sf0.01 AND sf0.1 but with zero driver rows; positions
-    # 3-7 are the five entries the r9 window just rotated in and certified;
-    # positions 8-16 are nine fresh r9-certified canaries; positions 17-49
-    # are the remaining five r9 canaries plus 28 long-standing core
-    # sentinels; position 50 keeps the flagship c6 sentinel as the
-    # cross-round canary. Two older sentinels (colocated_join, auto_join)
-    # moved just below the window — each keeps its cumulative green rows.
-    # Rows-only entries (bpe_merges, pca_embeddings, isotonic_calibration)
-    # stay OUTSIDE the window: they can never hash-match, so a window slot on
-    # them is wasted. After this round the cumulative ledger covers 183/186
-    # hash-certified + 3 rows-only recorded. The registry is FROZEN for r10
-    # at 186: new operators ship pytest-only/staged until this window
-    # certifies.
+    # entries of this dict per round. The r10 window certified 50/50 green (the
+    # third consecutive all-green gate; cumulative ledger 183/186
+    # hash-certified + 3 rows-only). Round 11 executes the rotation ordered by
+    # VERDICT r10 task #1: positions 1-2 are the two data-selection entries
+    # staged through r10 (DSIR importance weights and token-budget curation),
+    # both judge-verified at sf0.01 AND sf0.1 but with zero driver rows;
+    # positions 3-4 are the pair the r10 window just rotated in and certified;
+    # positions 5-16 are REFRESHED canaries — twelve entries whose last green
+    # row predates r9 (incl. colocated_join / auto_join, which r10 rotated
+    # below the window); positions 17-49 are five recent r9/r10 canaries plus
+    # 28 long-standing core sentinels; position 50 keeps the flagship c6
+    # sentinel as the cross-round canary. Fourteen double-certified r9w+r10w
+    # entries moved just below the window — each keeps its cumulative green
+    # rows. Rows-only entries (bpe_merges, pca_embeddings,
+    # isotonic_calibration) stay OUTSIDE the window: they can never
+    # hash-match, so a window slot on them is wasted. After this round the
+    # cumulative ledger covers 185/188 hash-certified + 3 rows-only recorded.
+    # The registry is FROZEN for r11 at 188: new operators ship
+    # pytest-only/staged until this window certifies.
     return {
-        # --- positions 1-2: the r9 staged entries, never driver-certified ---
+        # --- positions 1-2: the r10 staged entries, never driver-certified ---
+        "dsir_weights": q_dsir_weights,
+        "budget_select": q_budget_select,
+        # --- positions 3-4: rotated in and certified by the r10 window ---
         "streaming_embedding_dedup": q_streaming_embedding_dedup,
         "trailing_topk": q_trailing_topk,
-        # --- positions 3-7: rotated in and certified by the r9 window ---
-        "decayed_trailing": q_decayed_trailing,
-        "sparse_cosine_scaled": q_sparse_cosine_scaled,
-        "trailing_distinct": q_trailing_distinct,
-        "trailing_sessions": q_trailing_sessions,
-        "semantic_dedup_scaled": q_semantic_dedup_scaled,
-        # --- positions 8-16: fresh r9-certified canaries ---
-        "kn_bigram_logprob": q_kn_bigram_logprob,
-        "auc_by_group": q_auc_by_group,
-        "ranking_metrics": q_ranking_metrics,
-        "corpus_diversity": q_corpus_diversity,
-        "semantic_contamination": q_semantic_contamination,
-        "skew_report": q_skew_report,
+        # --- positions 5-16: refreshed canaries (last green row pre-r9) ---
+        "colocated_join": q_colocated_join,
+        "auto_join": q_auto_join,
+        "kfold_split": q_kfold_split,
+        "temporal_split": q_temporal_split,
+        "binary_auc": q_binary_auc,
+        "psi_drift": q_psi_drift,
+        "f8_tpch_q3": q_f8_tpch_q3,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_merge": q_scd2_merge,
+        "fuzzy_clusters": q_fuzzy_clusters,
+        "event_transitions": q_event_transitions,
+        "temperature_mixture": q_temperature_mixture,
+        # --- positions 17-21: recent r9/r10-certified canaries ---
         "ann_recall": q_ann_recall,
-        "kn_trigram_logprob": q_kn_trigram_logprob,
-        "entity_split": q_entity_split,
-        # --- positions 17-21: the other five r9-certified canaries ---
         "pit_staleness": q_pit_staleness,
         "time_to_next_event": q_time_to_next_event,
         "trailing_window": q_trailing_window,
         "dataset_fingerprint": q_dataset_fingerprint,
-        "fingerprint_by": q_fingerprint_by,
         # --- positions 22-49: long-standing core sentinels ---
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
@@ -6406,27 +6406,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_tf_idf": q_class_tf_idf,
         "mm_phash": q_mm_phash,
         "bloom_join": q_bloom_join,
-        # --- position 50: flagship sentinel (certified r1-r9) ---
+        # --- position 50: flagship sentinel (certified r1-r10) ---
         "c6_pit_training_set": q_c6_pit_training_set,
         # --- positions 51+: outside this round's window (every entry below
-        # has at least one green driver row from rounds 1-9, except the
+        # has at least one green driver row from rounds 1-10, except the
         # rows-only trio which are rows-only by design and parked here
-        # permanently; colocated_join and auto_join rotated out this round
-        # to make room and keep their cumulative rows) ---
-        "colocated_join": q_colocated_join,
-        "auto_join": q_auto_join,
-        "kfold_split": q_kfold_split,
-        "temporal_split": q_temporal_split,
-        "binary_auc": q_binary_auc,
-        "psi_drift": q_psi_drift,
-        "f8_tpch_q3": q_f8_tpch_q3,
+        # permanently; the fourteen entries leading this block are the
+        # double-certified r9w+r10w canaries rotated out this round to make
+        # room — each keeps its cumulative rows) ---
+        "decayed_trailing": q_decayed_trailing,
+        "sparse_cosine_scaled": q_sparse_cosine_scaled,
+        "trailing_distinct": q_trailing_distinct,
+        "trailing_sessions": q_trailing_sessions,
+        "semantic_dedup_scaled": q_semantic_dedup_scaled,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
+        "auc_by_group": q_auc_by_group,
+        "ranking_metrics": q_ranking_metrics,
+        "corpus_diversity": q_corpus_diversity,
+        "semantic_contamination": q_semantic_contamination,
+        "skew_report": q_skew_report,
+        "kn_trigram_logprob": q_kn_trigram_logprob,
+        "entity_split": q_entity_split,
+        "fingerprint_by": q_fingerprint_by,
         "isotonic_calibration": q_isotonic_calibration,
-        "scd2_lookup": q_scd2_lookup,
-        "scd2_merge": q_scd2_merge,
-        "fuzzy_clusters": q_fuzzy_clusters,
-        "event_transitions": q_event_transitions,
         "bpe_merges": q_bpe_merges,
-        "temperature_mixture": q_temperature_mixture,
         "pca_embeddings": q_pca_embeddings,
         "winsorize": q_winsorize,
         "ann_disk_index": q_ann_disk_index,
@@ -6554,6 +6557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_weights": _DSIR_ORACLE,
+        "budget_select": _budget_select_oracle(),
         "streaming_embedding_dedup": _streaming_embedding_dedup_oracle(),
         "trailing_topk": _TRAILING_TOPK_ORACLE,
         "c1_sql_transformation": _Q1_ORACLE,
@@ -7942,23 +7947,115 @@ WHERE cum_cost <= {_BUDGET_SELECT_TOKENS}
 """
 
 
+_SHUFFLE_SHARD_SIZE = 1000
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order + shard layout (functions/
+    selection.py shuffle_order): md5(doc_id|seed) permutation of the
+    corpus, 1-based position via the C5 range-partition numbering (no
+    single-partition global sort), shard = (position-1) DIV
+    shard_size. The freeze-the-shuffle step every LLM training
+    pipeline runs after curation; a new seed is a new epoch order."""
+    from embeddinghub_spark.functions.selection import shuffle_order
+
+    return shuffle_order(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        ["doc_id"],
+        seed=42,
+        shard_size=_SHUFFLE_SHARD_SIZE,
+    ).select("doc_id", "position", "shard")
+
+
+_SHUFFLE_ORDER_ORACLE = f"""
+WITH h AS (SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || '|42') AS _h
+           FROM documents),
+n AS (SELECT doc_id,
+             row_number() OVER (ORDER BY _h, doc_id) AS position
+      FROM h)
+SELECT doc_id, CAST(position AS BIGINT) AS position,
+       CAST((position - 1) // {_SHUFFLE_SHARD_SIZE} AS BIGINT) AS shard
+FROM n
+"""
+
+
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-estimator calibration (functions/dedup.py
+    minhash_estimate_audit): per matching-slot count over the banded
+    candidate pairs, the mean/max absolute error of the
+    matching_slots/num_hashes Jaccard estimate vs the exact shingle
+    Jaccard — the dedup-stack analogue of ann_recall, carried as
+    exact 1e9-scaled bigint sums until the final e9→e6 presentation
+    divide."""
+    from embeddinghub_spark.functions.dedup import minhash_estimate_audit
+
+    return minhash_estimate_audit(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _minhash_estimate_audit_oracle() -> str:
+    bands = "\n           UNION ALL\n           ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig"
+        for b in range(4)
+    )
+    slot_sum = " + ".join(
+        f"(CASE WHEN sga.mh{i} = sgb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH{_sig_sql(8)},
+     cand AS ({bands}),
+     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM cand a JOIN cand b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+     pe AS (SELECT {slot_sum} AS matching_slots,
+                   CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                   / (len(list_distinct(sa.grams))
+                      + len(list_distinct(sb.grams))
+                      - len(list_intersect(sa.grams, sb.grams))) AS jac
+            FROM pairs p
+            JOIN sig sga ON sga.doc_id = p.id_a
+            JOIN sig sgb ON sgb.doc_id = p.id_b
+            JOIN s sa ON sa.doc_id = p.id_a
+            JOIN s sb ON sb.doc_id = p.id_b),
+     e AS (SELECT matching_slots,
+                  CAST(round(round(abs(matching_slots / 8.0 - jac), 9)
+                             * 1e9, 0) AS BIGINT) AS e9
+           FROM pe)
+SELECT CAST(matching_slots AS INTEGER) AS matching_slots,
+       CAST(round(round(matching_slots * 1e9 / 8.0, 0) / 1000.0, 0)
+            AS BIGINT) / 1e6 AS est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(round(round(CAST(SUM(e9) AS DOUBLE) / COUNT(*), 0) / 1000.0, 0)
+            AS BIGINT) / 1e6 AS mean_abs_err,
+       CAST(round(CAST(MAX(e9) AS DOUBLE) / 1000.0, 0) AS BIGINT) / 1e6
+         AS max_abs_err
+FROM e GROUP BY matching_slots
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 186 per VERDICT r9 #5). The r9 staged pair
-    (streaming_embedding_dedup, trailing_topk) was promoted into
-    queries()/oracle_sql() by the r10 rotation; the two entries below
-    were added during r10 under the standard staging protocol (oracle
-    twin + sf0.01 + sf0.1 gate + sf1 ratio) and join the registry
-    after the r10 window certifies."""
+    (registry frozen at 188 per VERDICT r10 #5). The r10 staged pair
+    (dsir_weights, budget_select) was promoted into
+    queries()/oracle_sql() by the r11 rotation; the two entries below
+    are the r10 snapshot-tail functions brought up to protocol in r11
+    (VERDICT r10 task #2: pin tests vs exact Python replicas in
+    tests/test_selection.py and tests/test_text_dedup.py, SCALING.md
+    audit rows, oracle twins certified at sf0.01 + sf0.1 + sf1
+    ratio); they join the registry after the r11 window certifies."""
     return {
-        "dsir_weights": q_dsir_weights,
-        "budget_select": q_budget_select,
+        "shuffle_order": q_shuffle_order,
+        "minhash_estimate_audit": q_minhash_estimate_audit,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
-        "dsir_weights": _DSIR_ORACLE,
-        "budget_select": _budget_select_oracle(),
+        "shuffle_order": _SHUFFLE_ORDER_ORACLE,
+        "minhash_estimate_audit": _minhash_estimate_audit_oracle(),
     }

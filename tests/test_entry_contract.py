@@ -29,37 +29,35 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round10_window_layout():
-    """The rotation for round 10 (VERDICT r9 task #1): the 2 oracle-backed
-    entries staged through r9 (streaming embedding dedup-on-ingest and
-    the trailing top-k PIT feature; zero driver rows, judge-verified at
+def test_round11_window_layout():
+    """The rotation for round 11 (VERDICT r10 task #1): the 2
+    oracle-backed entries staged through r10 (DSIR importance weights
+    and token-budget curation; zero driver rows, judge-verified at
     both scales) occupy positions 1-2 of the 50-slot window; positions
-    3-7 are the five entries the r9 window rotated in and certified;
-    8-16 are fresh r9-certified canaries; 17-49 the remaining r9
+    3-4 are the pair the r10 window rotated in and certified; 5-16 are
+    refreshed canaries whose last green row predates r9; 17-49 recent
     canaries + core sentinels; slot 50 is the flagship sentinel.
     Rows-only entries can never hash-match, so they must stay OUT of
-    the window. The registry is frozen at 186 entries until this window
+    the window. The registry is frozen at 188 entries until this window
     is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
+    assert len(keys) == 188, "registry frozen at 188 for r11"
     window = keys[:50]
-    rotation = ["streaming_embedding_dedup", "trailing_topk"]
-    r9_rotated = [
-        "decayed_trailing", "sparse_cosine_scaled", "trailing_distinct",
-        "trailing_sessions", "semantic_dedup_scaled",
-    ]
-    r9_canaries = [
-        "kn_bigram_logprob", "auc_by_group", "ranking_metrics",
-        "corpus_diversity", "semantic_contamination", "skew_report",
-        "ann_recall", "kn_trigram_logprob", "entity_split",
+    rotation = ["dsir_weights", "budget_select"]
+    r10_rotated = ["streaming_embedding_dedup", "trailing_topk"]
+    refreshed = [
+        "colocated_join", "auto_join", "kfold_split", "temporal_split",
+        "binary_auc", "psi_drift", "f8_tpch_q3", "scd2_lookup",
+        "scd2_merge", "fuzzy_clusters", "event_transitions",
+        "temperature_mixture",
     ]
     assert window[:2] == rotation, "rotation entries must lead the window"
-    assert window[2:7] == r9_rotated, "r9-rotated entries moved"
-    assert window[7:16] == r9_canaries, "r9-certified canaries moved"
+    assert window[2:4] == r10_rotated, "r10-rotated entries moved"
+    assert window[4:16] == refreshed, "refreshed canaries moved"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
-    assert len(keys) == 186, "registry is frozen at 186 entries for r10"
 
 
 def test_oracle_sql_is_static():
@@ -89,3 +87,48 @@ def test_staged_entries_do_not_leak_into_frozen_registry():
     missing = set(staged) - set(staged_oracles) - rows_only_staged
     assert not missing, f"staged queries missing an oracle: {missing}"
     assert all(isinstance(s, str) and s.strip() for s in staged_oracles.values())
+
+
+def test_no_orphan_public_definition():
+    """VERDICT r10 task #2 permanent gate: every PUBLIC function or
+    class defined anywhere in embeddinghub_spark must be referenced by
+    name in tests/ or __spark_entry__.py (directly pinned), OR be
+    called from package code outside its own definition (a building
+    block whose tested consumers pin it). The r10 snapshot-tail gap
+    (`shuffle_order`, `minhash_estimate_audit` landing with zero
+    references anywhere) fails this; so does any future orphan — the
+    repo's staging protocol (pin test / oracle twin BEFORE landing)
+    made structural."""
+    import ast
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("/root/repo/embeddinghub_spark")
+    test_corpus = "\n".join(
+        p.read_text()
+        for p in pathlib.Path("/root/repo/tests").glob("*.py")
+    ) + pathlib.Path("/root/repo/__spark_entry__.py").read_text()
+    pkg_srcs = {p: p.read_text() for p in pkg.rglob("*.py")}
+
+    orphans = []
+    for src in sorted(pkg_srcs):
+        tree = ast.parse(pkg_srcs[src])
+        for node in tree.body:
+            if not isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ) or node.name.startswith("_"):
+                continue
+            if node.name in test_corpus:
+                continue
+            pat = re.compile(r"\b" + re.escape(node.name) + r"\b")
+            defpat = re.compile(r"(?:def|class) " + re.escape(node.name) + r"\b")
+            pkg_refs = sum(
+                len(pat.findall(s)) - len(defpat.findall(s))
+                for s in pkg_srcs.values()
+            )
+            if pkg_refs == 0:
+                orphans.append(f"{src.relative_to(pkg)}:{node.name}")
+    assert orphans == [], (
+        "orphan public definitions (no test/entry reference, no package "
+        "caller): " + ", ".join(orphans)
+    )

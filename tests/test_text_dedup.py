@@ -1147,3 +1147,172 @@ def test_embedding_near_dup_auto_default_and_outgrown_warning(spark):
             df, dim, 0.95, n_planes=4, bands=2,
             bucket_warning_threshold=None,
         )
+
+
+# --- minhash_estimate_audit ---------------------------------------------
+
+
+def _py_audit(docs, num_hashes=8, bands=4, shingle_n=3):
+    """Pure-Python replica of minhash_estimate_audit: exact md5 token
+    hashes, rolling shingles, affine-permutation signatures, banded
+    candidates, exact Jaccard, and the e9->e6 rounding discipline."""
+    import hashlib as _hl
+
+    P, ROLL = 2147483647, 1000003
+
+    def _mix(i):
+        return 1103515245 + 2 * i, 12345 + 7919 * i
+
+    def _r_half_up(v):  # Spark F.round(x, 0): half away from zero
+        import math as _m
+        return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
+
+    def _e6(e9):
+        return _r_half_up(e9 / 1000.0) / 1e6
+
+    sigs, shingles = {}, {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        th = [int(_hl.md5(t.encode()).hexdigest()[:7], 16) for t in toks]
+        if len(th) > shingle_n:
+            sh = []
+            for i in range(len(th) - shingle_n + 1):
+                acc = 0
+                for j in range(shingle_n):
+                    acc = (acc * ROLL + th[i + j]) % P
+                sh.append(acc)
+        else:
+            acc = 0
+            for x in th:
+                acc = (acc * ROLL + x) % P
+            sh = [acc]
+        shingles[doc_id] = sh
+        sigs[doc_id] = [
+            min((a * x + b) % P for x in sh)
+            for a, b in (_mix(i) for i in range(num_hashes))
+        ]
+    rows_per_band = num_hashes // bands
+    buckets = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            acc = 0
+            for x in sig[b * rows_per_band:(b + 1) * rows_per_band]:
+                acc = (acc * ROLL + x) % P
+            buckets.setdefault((b, acc), set()).add(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pairs.add((a, b))
+    per_slot = {}
+    for id_a, id_b in pairs:
+        slots = sum(
+            1 for x, y in zip(sigs[id_a], sigs[id_b]) if x == y
+        )
+        sa, sb = set(shingles[id_a]), set(shingles[id_b])
+        jac = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+        err9 = _r_half_up(round(abs(slots / num_hashes - jac), 9) * 1e9)
+        n, s, mx = per_slot.get(slots, (0, 0, 0))
+        per_slot[slots] = (n + 1, s + err9, max(mx, err9))
+    return {
+        slots: (
+            _e6(_r_half_up(slots * 1e9 / num_hashes)),
+            n,
+            _e6(_r_half_up(s / n)),
+            _e6(mx),
+        )
+        for slots, (n, s, mx) in per_slot.items()
+    }
+
+
+def test_minhash_estimate_audit_matches_python_replica(spark):
+    """The measured estimator-error table equals an exact pure-Python
+    replica (signatures, banded candidates, exact shingle Jaccard, and
+    the e9->e6 presentation rounding) on a corpus with exact dups,
+    near-dups, and unrelated docs."""
+    from embeddinghub_spark.functions.dedup import minhash_estimate_audit
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "a completely different document about spark pipelines"),
+        (5, "a completely different document about spark clusters"),
+        (6, "unrelated words entirely zz yy xx ww vv uu tt"),
+        (7, "the quick brown fox jumps over the lazy dog yesterday"),
+    ]
+    out = {
+        r["matching_slots"]: (
+            r["est_jaccard"], r["n_pairs"], r["mean_abs_err"], r["max_abs_err"]
+        )
+        for r in minhash_estimate_audit(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            num_hashes=8, bands=4, shingle_n=3,
+        ).collect()
+    }
+    want = _py_audit(docs, num_hashes=8, bands=4, shingle_n=3)
+    assert want, "corpus must produce candidate pairs"
+    assert out == want
+    # exact dups share all slots with zero estimator error
+    assert out[8][0] == 1.0 and out[8][2] == 0.0 and out[8][3] == 0.0
+
+
+def test_minhash_estimate_audit_repartition_invariant(spark):
+    from embeddinghub_spark.functions.dedup import minhash_estimate_audit
+
+    docs = [
+        (i, f"shared prefix tokens one two three four tail{i % 3}")
+        for i in range(1, 16)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = minhash_estimate_audit(df, num_hashes=8, bands=4)
+    b = minhash_estimate_audit(df.repartition(7), num_hashes=8, bands=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_minhash_estimate_audit_rejects_bad_banding(spark):
+    import pytest
+
+    from embeddinghub_spark.functions.dedup import minhash_estimate_audit
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_estimate_audit(df, num_hashes=8, bands=3)
+
+
+def test_quality_score_and_detect_language_agree_with_text_stats(spark):
+    """The composable per-column builders (quality_score,
+    detect_language) must agree with text_stats' fused regexp path —
+    they are the same heuristics by contract (text.py), and the
+    text_stats side is oracle-certified."""
+    from embeddinghub_spark.functions.text import (
+        detect_language,
+        quality_score,
+        text_stats,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and the cat"),
+        (2, "der hund und die katze sind nicht hier aber das ist gut"),
+        (3, "el perro y el gato que no es una casa pero los dos"),
+        (4, "le chien et le chat sont dans les maisons mais pas ici"),
+        (5, "zzz qqq www !!!"),
+        (6, ""),
+        (7, "short"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    direct = {
+        r["doc_id"]: (round(r["q"], 6), r["lang"])
+        for r in df.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            detect_language("text").alias("lang"),
+        ).collect()
+    }
+    fused = {
+        r["doc_id"]: (round(r["quality"], 6), r["lang_detected"])
+        for r in text_stats(df).collect()
+    }
+    assert direct == fused
+    assert direct[1][1] == "en" and direct[5][1] == "und"
