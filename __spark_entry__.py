@@ -7947,6 +7947,84 @@ WHERE cum_cost <= {_BUDGET_SELECT_TOKENS}
 """
 
 
+_DOMAIN_BUDGET_TOTAL = 50_000
+_DOMAIN_MIX = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_domain_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style per-domain token budgets (functions/selection.py
+    mixture_budgets + domain_budget_select): apportion a corpus-wide
+    token budget across languages by mixture weight (largest-remainder
+    integer split), then fill each domain with its best documents by
+    the exact stopword-per-million score. The C5 discipline
+    generalized per-domain: a head domain splits across range
+    partitions instead of collapsing onto one task."""
+    from embeddinghub_spark.functions.selection import (
+        domain_budget_select,
+        mixture_budgets,
+    )
+    from embeddinghub_spark.functions.text import stopword_count, token_count
+
+    scored = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            token_count("text").cast("bigint").alias("n_tokens"),
+            stopword_count("text").cast("bigint").alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(n_stop * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "score"
+            ),
+            "n_tokens",
+        )
+    )
+    return domain_budget_select(
+        scored,
+        domain_col="lang",
+        score_col="score",
+        cost_col="n_tokens",
+        budgets=mixture_budgets(_DOMAIN_MIX, _DOMAIN_BUDGET_TOTAL),
+    ).select("doc_id", "lang", "score", "n_tokens", "cum_cost")
+
+
+def _domain_budget_select_oracle() -> str:
+    from embeddinghub_spark.functions.selection import mixture_budgets
+    from embeddinghub_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    budgets = mixture_budgets(_DOMAIN_MIX, _DOMAIN_BUDGET_TOTAL)
+    budget_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {b}" for d, b in sorted(budgets.items()))
+        + " ELSE NULL END"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x != ''))
+           AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains([{stop_list}], lower(x)))) AS n_stop
+  FROM documents),
+sc AS (SELECT doc_id, lang,
+              CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens
+       FROM s WHERE n_tokens > 0),
+c AS (SELECT doc_id, lang, score, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+      FROM sc)
+SELECT doc_id, lang, score, n_tokens, cum_cost FROM c
+WHERE cum_cost <= {budget_case}
+"""
+
+
 _SHUFFLE_SHARD_SIZE = 1000
 
 
@@ -8051,6 +8129,7 @@ def staged_queries() -> dict:
     return {
         "shuffle_order": q_shuffle_order,
         "minhash_estimate_audit": q_minhash_estimate_audit,
+        "domain_budget_select": q_domain_budget_select,
     }
 
 
@@ -8058,4 +8137,5 @@ def staged_oracle_sql() -> dict:
     return {
         "shuffle_order": _SHUFFLE_ORDER_ORACLE,
         "minhash_estimate_audit": _minhash_estimate_audit_oracle(),
+        "domain_budget_select": _domain_budget_select_oracle(),
     }

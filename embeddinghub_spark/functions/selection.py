@@ -271,6 +271,139 @@ def budget_select(
     )
 
 
+def mixture_budgets(weights: dict, total_budget: int) -> dict:
+    """Convert domain mixture weights (e.g. ``temperature_mixture``
+    output, or DoReMi-style reweighted domain proportions — public
+    recipe, arXiv 2305.10429) into exact integer per-domain token
+    budgets summing to ``total_budget``.
+
+    Largest-remainder apportionment: floor every share, then hand the
+    leftover tokens to the largest fractional remainders (ties broken
+    by domain name for determinism). Driver-side, domain-count-sized —
+    the DoReMi regime is tens of domains."""
+    if total_budget < 0:
+        raise ValueError("total_budget must be non-negative")
+    if not weights:
+        return {}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {d: w / tot * total_budget for d, w in weights.items()}
+    out = {d: int(s) for d, s in shares.items()}
+    leftover = total_budget - sum(out.values())
+    by_rem = sorted(
+        weights, key=lambda d: (-(shares[d] - out[d]), str(d))
+    )
+    for d in by_rem[:leftover]:
+        out[d] += 1
+    return out
+
+
+def domain_budget_select(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    score_col: str,
+    cost_col: str,
+    budgets: dict,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-domain token-budget curation — the step a mixture-aware
+    pipeline runs after per-document scoring: WITHIN each domain,
+    order rows by ``(score_col DESC, id_col ASC)`` and keep the prefix
+    whose inclusive cumulative ``cost_col`` stays ≤ that domain's
+    budget. Semantically ``SUM(cost) OVER (PARTITION BY domain ORDER
+    BY score DESC, id) <= budgets[domain]`` — the DoReMi-style
+    "give each domain its token share, fill each with its best
+    documents" composition of ``mixture_budgets`` (or
+    ``temperature_mixture`` weights) with ``budget_select``.
+
+    Output: the kept rows plus ``cum_cost`` (the per-domain inclusive
+    running total). Rows whose domain is ABSENT from ``budgets`` are
+    dropped (budget 0) — pass an explicit entry to keep a domain.
+
+    Scale shape: a per-domain global window would put each domain on
+    ONE task — fatal when a head domain holds most of the corpus
+    (web-crawl mixtures are exactly that skewed). Instead the C5
+    discipline generalizes: range-partition on ``(domain, score DESC,
+    id)`` (a dominant domain SPLITS across many partitions),
+    cumulative-sum within each (partition, domain) slice, then add the
+    exclusive per-domain prefix of (partition, domain) subtotals. The
+    subtotal frame is ≤ partitions × |domains| rows, so its prefix
+    window and the broadcast join back are both trivially small; no
+    driver-side literal is needed (unlike ``budget_select``'s
+    partitions-sized array, this offset frame is keyed by domain too,
+    so it rides a broadcast join). localCheckpoint pins the ranged
+    layout so every pass sees identical partition ids.
+
+    Determinism and cost contracts are ``budget_select``'s: the score
+    must be engine-stable (exact-integer or pre-rounded) and costs
+    must be NON-NULL (the first NULL raises).
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    checked_cost = F.when(
+        F.col(cost_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"domain_budget_select: cost_col {cost_col!r} contains NULL"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(cost_col).cast("bigint"))
+    ranged = (
+        df.withColumn("_cost", checked_cost)
+        .repartitionByRange(
+            n,
+            F.col(domain_col).asc(),
+            F.col(score_col).desc(),
+            F.col(id_col).asc(),
+        )
+        .localCheckpoint(eager=True)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid", domain_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_cum", F.sum("_cost").over(w))
+    # exclusive per-domain prefix of (partition, domain) subtotals —
+    # computed ON the tiny subtotal frame, never the data
+    offw = (
+        Window.partitionBy(domain_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("_pid", domain_col)
+        .agg(F.sum("_cost").alias("_t"))
+        .withColumn("_off", F.coalesce(F.sum("_t").over(offw), F.lit(0)))
+        .select("_pid", domain_col, "_off")
+    )
+    budget_map = F.create_map(
+        *[
+            F.lit(x)
+            for d, b in sorted(budgets.items(), key=lambda kv: str(kv[0]))
+            for x in (d, int(b))
+        ]
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", domain_col])
+        .withColumn("cum_cost", F.col("_local_cum") + F.col("_off"))
+        # absent domain → NULL budget → predicate false → dropped
+        .filter(
+            F.col("cum_cost")
+            <= F.element_at(budget_map, F.col(domain_col)).cast("bigint")
+        )
+        .drop("_pid", "_local_cum", "_off", "_cost")
+    )
+
+
 def shuffle_order(
     df: DataFrame,
     key_cols: list[str],

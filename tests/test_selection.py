@@ -333,3 +333,167 @@ def test_shuffle_order_rejects_bad_args(spark, shuffle_df):
         shuffle_order(shuffle_df, [], seed=1)
     with pytest.raises(ValueError):
         shuffle_order(shuffle_df, ["doc_id"], shard_size=0)
+
+
+# --- mixture_budgets / domain_budget_select -------------------------------
+
+
+def test_mixture_budgets_largest_remainder_exact():
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    b = mixture_budgets({"en": 0.5, "de": 0.3, "fr": 0.2}, 10)
+    assert b == {"en": 5, "de": 3, "fr": 2}
+    # non-terminating shares: floors + largest remainders, exact total
+    b = mixture_budgets({"a": 1, "b": 1, "c": 1}, 10)
+    assert sum(b.values()) == 10
+    assert sorted(b.values()) == [3, 3, 4]
+    assert b["a"] == 4  # tie on remainder -> alphabetical determinism
+    # degenerate and error cases
+    assert mixture_budgets({}, 10) == {}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_budgets({"a": -1}, 10)
+    with _pt.raises(ValueError):
+        mixture_budgets({"a": 0.0}, 10)
+
+
+DOMAIN_ROWS = [
+    # (doc_id, domain, score, n_tokens)
+    (1, "en", 90, 40),
+    (2, "en", 80, 30),
+    (3, "en", 70, 20),
+    (4, "de", 95, 25),
+    (5, "de", 60, 10),
+    (6, "fr", 50, 15),  # fr absent from budgets -> dropped
+]
+
+
+@pytest.fixture()
+def domain_df(spark):
+    return spark.createDataFrame(
+        DOMAIN_ROWS, ["doc_id", "domain", "score", "n_tokens"]
+    )
+
+
+def _py_domain_select(rows, budgets):
+    out = {}
+    by_dom: dict = {}
+    for doc_id, dom, score, cost in rows:
+        by_dom.setdefault(dom, []).append((doc_id, score, cost))
+    for dom, rs in by_dom.items():
+        if dom not in budgets:
+            continue
+        cum = 0
+        for doc_id, score, cost in sorted(rs, key=lambda r: (-r[1], r[0])):
+            cum += cost
+            if cum <= budgets[dom]:
+                out[doc_id] = cum
+    return out
+
+
+def test_domain_budget_select_per_domain_prefixes(spark, domain_df):
+    from embeddinghub_spark.functions.selection import domain_budget_select
+
+    budgets = {"en": 70, "de": 25}
+    got = {
+        r["doc_id"]: r["cum_cost"]
+        for r in domain_budget_select(
+            domain_df,
+            domain_col="domain",
+            score_col="score",
+            cost_col="n_tokens",
+            budgets=budgets,
+        ).collect()
+    }
+    # en: 1(40) 2(70) 3(90>70 drop); de: 4(25) 5(35>25 drop); fr dropped
+    assert got == _py_domain_select(DOMAIN_ROWS, budgets) == {1: 40, 2: 70, 4: 25}
+
+
+def test_domain_budget_select_matches_naive_window(spark, sf_dir):
+    """On real data: equal to the per-domain global-window formulation
+    (the semantic spec we refuse to ship at scale)."""
+    from embeddinghub_spark.functions.selection import (
+        domain_budget_select,
+        mixture_budgets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("score"),
+        F.regexp_count("text", F.lit("[^ ]+")).alias("n_tokens"),
+    )
+    budgets = mixture_budgets(
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}, 8_000
+    )
+    got = {
+        (r["doc_id"], r["cum_cost"])
+        for r in domain_budget_select(
+            docs,
+            domain_col="lang",
+            score_col="score",
+            cost_col="n_tokens",
+            budgets=budgets,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.create_map(
+        *[F.lit(x) for d, b in budgets.items() for x in (d, b)]
+    )
+    want = {
+        (r["doc_id"], r["cum"])
+        for r in docs.withColumn(
+            "cum", F.sum(F.col("n_tokens").cast("bigint")).over(w)
+        )
+        .filter(F.col("cum") <= F.element_at(budget_expr, F.col("lang")))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_domain_budget_select_repartition_invariant(spark, domain_df):
+    from embeddinghub_spark.functions.selection import domain_budget_select
+
+    kw = dict(
+        domain_col="domain", score_col="score", cost_col="n_tokens",
+        budgets={"en": 70, "de": 25},
+    )
+    a = domain_budget_select(domain_df, **kw)
+    b = domain_budget_select(domain_df.repartition(11), **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_domain_budget_select_null_cost_and_empty_budgets(spark):
+    from embeddinghub_spark.functions.selection import domain_budget_select
+
+    df = spark.createDataFrame(
+        [(1, "en", 90, None)], "doc_id INT, domain STRING, score INT, n_tokens INT"
+    )
+    with pytest.raises(Exception, match="contains NULL"):
+        domain_budget_select(
+            df, domain_col="domain", score_col="score",
+            cost_col="n_tokens", budgets={"en": 10},
+        ).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        domain_budget_select(
+            df, domain_col="domain", score_col="score",
+            cost_col="n_tokens", budgets={},
+        )
+
+
+def test_domain_budget_select_plan_is_pid_partitioned(spark, domain_df):
+    """The data-grain window must be keyed by (_pid, domain) — a head
+    domain splits across partitions instead of collapsing to one task."""
+    from embeddinghub_spark.functions.selection import domain_budget_select
+
+    out = domain_budget_select(
+        domain_df, domain_col="domain", score_col="score",
+        cost_col="n_tokens", budgets={"en": 70},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan or "hashpartitioning('_pid" in plan
