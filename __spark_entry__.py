@@ -8025,6 +8025,50 @@ WHERE cum_cost <= {budget_case}
 """
 
 
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional data mixing (functions/selection.py
+    interleave_sources): per-language md5 shuffle orders merged by an
+    exact integer stride scheduler so every prefix of the frozen
+    training stream holds each language in mixture proportion — the
+    reproducible-order alternative to runtime mixture sampling."""
+    from embeddinghub_spark.functions.selection import interleave_sources
+
+    return interleave_sources(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        ["doc_id"],
+        domain_col="lang",
+        weights=_DOMAIN_MIX,
+        seed=42,
+    ).select("doc_id", "lang", "domain_position", "position")
+
+
+def _interleave_sources_oracle() -> str:
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    shares = mixture_budgets(_DOMAIN_MIX, 1_000_000)
+    share_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {s}" for d, s in sorted(shares.items()))
+        + " END"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, lang,
+                  md5(CAST(doc_id AS VARCHAR) || '|42') AS _h
+           FROM documents),
+p AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY _h, doc_id) AS domain_position
+      FROM h),
+k AS (SELECT doc_id, lang, CAST(domain_position AS BIGINT) AS domain_position,
+             ((2 * domain_position - 1) * 1000000) // ({share_case}) AS sk
+      FROM p)
+SELECT doc_id, lang, domain_position,
+       CAST(row_number() OVER (ORDER BY sk, lang, domain_position)
+            AS BIGINT) AS position
+FROM k
+"""
+
+
 _SHUFFLE_SHARD_SIZE = 1000
 
 
@@ -8130,6 +8174,7 @@ def staged_queries() -> dict:
         "shuffle_order": q_shuffle_order,
         "minhash_estimate_audit": q_minhash_estimate_audit,
         "domain_budget_select": q_domain_budget_select,
+        "interleave_sources": q_interleave_sources,
     }
 
 
@@ -8138,4 +8183,5 @@ def staged_oracle_sql() -> dict:
         "shuffle_order": _SHUFFLE_ORDER_ORACLE,
         "minhash_estimate_audit": _minhash_estimate_audit_oracle(),
         "domain_budget_select": _domain_budget_select_oracle(),
+        "interleave_sources": _interleave_sources_oracle(),
     }

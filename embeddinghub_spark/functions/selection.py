@@ -404,6 +404,128 @@ def domain_budget_select(
     )
 
 
+def interleave_sources(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    domain_col: str,
+    weights: dict,
+    seed: int = 42,
+    share_scale: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic proportional interleaving of domains into ONE
+    training stream — the data-mixing step after per-domain curation
+    (``domain_budget_select``): shuffle each domain with the
+    ``shuffle_order`` md5 discipline, then merge the per-domain
+    streams by stride scheduling so every prefix of the global order
+    holds each domain in (integer-rounded) proportion to its mixture
+    weight — GPT-3/Pile-style heterogeneous mixing, but as a frozen
+    reproducible order instead of runtime sampler state.
+
+    Mechanics: ``weights`` are apportioned to exact integer shares
+    ``s_d`` summing to ``share_scale`` (``mixture_budgets``), each
+    domain gets a within-domain 1-based ``domain_position`` ``p`` over
+    the md5(keys|seed) permutation, and rows merge by the stride key
+    ``(2p−1)·share_scale DIV s_d`` (the classic virtual-time stride
+    scheduler — exact bigint arithmetic, ties broken by (domain, p) so
+    the order is total and engine-replayable). ``position`` is the
+    1-based rank in the merged stream. Domains absent from
+    ``weights`` — or rounding to a zero share — are dropped; pass an
+    explicit weight to keep a domain. A new ``seed`` is a new epoch.
+
+    Scale shape: per-domain numbering uses the same generalized C5
+    discipline as ``domain_budget_select`` (range exchange on
+    ``(domain, hash, keys)``; a head domain splits across partitions;
+    per-domain offsets ride a broadcast-joined (partitions × domains)
+    subtotal frame), and the merged rank reuses
+    ``with_global_row_number`` on the stride key. Two range exchanges
+    total — never a per-domain or global single-task sort.
+
+    Overflow bound: the stride key is ≤ 2·rows·share_scale/s_d; with
+    the default 1e6 scale, bigint holds past 10¹¹ rows per domain even
+    at a 1-ppm share.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if share_scale <= 0:
+        raise ValueError("share_scale must be positive")
+    from embeddinghub_spark.operators.materialize import with_global_row_number
+
+    shares = {
+        d: s
+        for d, s in mixture_budgets(weights, share_scale).items()
+        if s > 0
+    }
+    if not shares:
+        raise ValueError("weights apportion to zero shares")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+    share_map = F.create_map(
+        *[
+            F.lit(x)
+            for d, s in sorted(shares.items(), key=lambda kv: str(kv[0]))
+            for x in (d, int(s))
+        ]
+    )
+    ranged = (
+        df.withColumn("_h", h)
+        .withColumn(
+            "_share", F.element_at(share_map, F.col(domain_col)).cast("bigint")
+        )
+        .filter(F.col("_share").isNotNull())
+        .repartitionByRange(
+            n,
+            F.col(domain_col).asc(),
+            F.col("_h").asc(),
+            *[F.col(c).asc() for c in key_cols],
+        )
+        .localCheckpoint(eager=True)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid", domain_col)
+        .orderBy(F.col("_h").asc(), *[F.col(c).asc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_rn", F.count(F.lit(1)).over(w))
+    offw = (
+        Window.partitionBy(domain_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("_pid", domain_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(offw), F.lit(0)))
+        .select("_pid", domain_col, "_off")
+    )
+    numbered = (
+        local.join(F.broadcast(offsets), ["_pid", domain_col])
+        .withColumn(
+            "domain_position", (F.col("_local_rn") + F.col("_off")).cast("bigint")
+        )
+        .withColumn(
+            "_stride",
+            F.expr(
+                f"(2 * domain_position - 1) * {int(share_scale)}L DIV _share"
+            ),
+        )
+        .drop("_pid", "_local_rn", "_off", "_h", "_share")
+    )
+    return with_global_row_number(
+        numbered,
+        ["_stride", domain_col, "domain_position"],
+        row_col="position",
+        num_partitions=num_partitions,
+    ).drop("_stride")
+
+
 def shuffle_order(
     df: DataFrame,
     key_cols: list[str],

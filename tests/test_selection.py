@@ -497,3 +497,102 @@ def test_domain_budget_select_plan_is_pid_partitioned(spark, domain_df):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_pid" in plan or "hashpartitioning('_pid" in plan
+
+
+# --- interleave_sources ----------------------------------------------------
+
+
+def _py_interleave(rows, weights, seed=42, share_scale=1_000_000):
+    """Pure-Python replica: per-domain md5 shuffle order + exact
+    integer stride-scheduler merge (ties: domain, domain_position)."""
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    shares = mixture_budgets(weights, share_scale)
+    by_dom: dict = {}
+    for key, dom in rows:
+        h = hashlib.md5(f"{key}|{seed}".encode()).hexdigest()
+        by_dom.setdefault(dom, []).append((h, key))
+    merged = []
+    for dom, lst in by_dom.items():
+        s = shares.get(dom, 0)
+        if s <= 0:
+            continue
+        for p, (_h, key) in enumerate(sorted(lst), start=1):
+            merged.append(((2 * p - 1) * share_scale // s, dom, p, key))
+    merged.sort()
+    return {
+        key: (dom, p, i + 1)
+        for i, (_stride, dom, p, key) in enumerate(merged)
+    }
+
+
+INTERLEAVE_ROWS = [(i, "a" if i <= 40 else "b") for i in range(1, 81)]
+
+
+@pytest.fixture()
+def interleave_df(spark):
+    return spark.createDataFrame(INTERLEAVE_ROWS, ["doc_id", "domain"])
+
+
+def test_interleave_sources_matches_python_replica(spark, interleave_df):
+    from embeddinghub_spark.functions.selection import interleave_sources
+
+    weights = {"a": 3.0, "b": 1.0}
+    got = {
+        r["doc_id"]: (r["domain"], r["domain_position"], r["position"])
+        for r in interleave_sources(
+            interleave_df, ["doc_id"], domain_col="domain", weights=weights
+        ).collect()
+    }
+    assert got == _py_interleave(INTERLEAVE_ROWS, weights)
+
+
+def test_interleave_sources_prefix_proportionality(spark, interleave_df):
+    """Stride scheduling: every prefix of the merged stream holds each
+    domain within ~1 emission of its proportional share (until a
+    domain runs dry)."""
+    from embeddinghub_spark.functions.selection import interleave_sources
+
+    out = sorted(
+        (r["position"], r["domain"])
+        for r in interleave_sources(
+            interleave_df, ["doc_id"], domain_col="domain",
+            weights={"a": 3.0, "b": 1.0},
+        ).collect()
+    )
+    counts = {"a": 0, "b": 0}
+    for n, (_pos, dom) in enumerate(out, start=1):
+        counts[dom] += 1
+        if n <= 53:  # domain a (40 rows) runs dry past ~53 emissions
+            assert abs(counts["a"] - 0.75 * n) <= 2, (n, counts)
+
+
+def test_interleave_sources_repartition_invariant_and_seeded(
+    spark, interleave_df
+):
+    from embeddinghub_spark.functions.selection import interleave_sources
+
+    kw = dict(domain_col="domain", weights={"a": 1.0, "b": 1.0})
+    a = interleave_sources(interleave_df, ["doc_id"], **kw)
+    b = interleave_sources(interleave_df.repartition(9), ["doc_id"], **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = interleave_sources(interleave_df, ["doc_id"], seed=7, **kw)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_interleave_sources_drops_unweighted_and_validates(spark, interleave_df):
+    from embeddinghub_spark.functions.selection import interleave_sources
+
+    out = interleave_sources(
+        interleave_df, ["doc_id"], domain_col="domain", weights={"a": 1.0}
+    )
+    doms = {r["domain"] for r in out.collect()}
+    assert doms == {"a"}
+    with pytest.raises(ValueError, match="non-empty"):
+        interleave_sources(
+            interleave_df, [], domain_col="domain", weights={"a": 1.0}
+        )
+    with pytest.raises(ValueError, match="zero shares"):
+        interleave_sources(
+            interleave_df, ["doc_id"], domain_col="domain", weights={}
+        )
