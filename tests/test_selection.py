@@ -596,3 +596,55 @@ def test_interleave_sources_drops_unweighted_and_validates(spark, interleave_df)
         interleave_sources(
             interleave_df, ["doc_id"], domain_col="domain", weights={}
         )
+
+
+def test_per_domain_c5_ops_under_head_domain_skew(spark):
+    """The scale story's stress case: ONE domain holds ~95% of rows and
+    must SPLIT across range partitions (the naive PARTITION BY domain
+    window would put it on one task). Both per-domain C5 operators stay
+    exact vs their naive-window spec under forced multi-partition
+    splits of the head domain."""
+    from embeddinghub_spark.functions.selection import (
+        domain_budget_select,
+        interleave_sources,
+    )
+
+    rows = [(i, "head", i % 97, 5) for i in range(1, 951)] + [
+        (i, "tail", i % 13, 5) for i in range(951, 1001)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "domain", "score", "n_tokens"]
+    ).repartition(3)
+
+    sel = domain_budget_select(
+        df, domain_col="domain", score_col="score", cost_col="n_tokens",
+        budgets={"head": 2_000, "tail": 100}, num_partitions=16,
+    )
+    got = {(r["doc_id"], r["cum_cost"]) for r in sel.collect()}
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.when(F.col("domain") == "head", 2_000).otherwise(100)
+    want = {
+        (r["doc_id"], r["cum"])
+        for r in df.withColumn(
+            "cum", F.sum(F.col("n_tokens").cast("bigint")).over(w)
+        ).filter(F.col("cum") <= budget).collect()
+    }
+    assert got == want and len(got) == 420  # 400 head + 20 tail
+
+    inter = interleave_sources(
+        df.select("doc_id", "domain"), ["doc_id"],
+        domain_col="domain", weights={"head": 0.9, "tail": 0.1},
+        num_partitions=16,
+    )
+    got_i = {
+        r["doc_id"]: (r["domain"], r["domain_position"], r["position"])
+        for r in inter.collect()
+    }
+    want_i = _py_interleave(
+        [(r[0], r[1]) for r in rows], {"head": 0.9, "tail": 0.1}
+    )
+    assert got_i == want_i
