@@ -39,6 +39,20 @@ from embeddinghub_spark.functions.text import tokens
 from embeddinghub_spark.functions.vector import ensure_parallelism
 
 
+def _require_absent(df: DataFrame, reserved: tuple, op: str) -> None:
+    """Fail fast when an input frame already carries a column this
+    operator injects via ``withColumn`` (ADVICE r11: a silent replace
+    would clobber user data — e.g. an input that already has
+    ``position`` or ``cum_cost``). Raises ValueError naming the
+    collisions; callers rename or drop before selecting."""
+    clash = sorted(set(reserved) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{op}: input columns collide with reserved helper/output "
+            f"names {clash}; rename or drop them first"
+        )
+
+
 def _gram_bucket(gram: Column, n_buckets: int, seed: int) -> Column:
     """Deterministic hashed-feature bucket: md5(gram|seed) → [0, K).
 
@@ -121,6 +135,11 @@ def dsir_weights(
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    if id_col in ("n_grams", "log_weight"):
+        raise ValueError(
+            "dsir_weights: id_col collides with output columns "
+            "('n_grams', 'log_weight')"
+        )
     ktot = float(alpha) * n_buckets
 
     docs = ensure_parallelism(docs)  # split-deficit fan-out (vector.py)
@@ -225,6 +244,9 @@ def budget_select(
     silently inflating the kept set past the budget — so the first
     NULL encountered raises at execution time instead.
     """
+    _require_absent(
+        df, ("_cost", "_pid", "_local_cum", "cum_cost"), "budget_select"
+    )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     # fail-fast on NULL costs (see cost contract above): evaluated once
@@ -279,19 +301,26 @@ def mixture_budgets(weights: dict, total_budget: int) -> dict:
 
     Largest-remainder apportionment: floor every share, then hand the
     leftover tokens to the largest fractional remainders (ties broken
-    by domain name for determinism). Driver-side, domain-count-sized —
-    the DoReMi regime is tens of domains."""
+    by domain name for determinism). Shares and remainders are exact
+    rationals (``fractions.Fraction`` over the weights' exact binary
+    values — ADVICE r11: a float ``w/tot*budget`` can flip the
+    remainder ranking by one token at near-tie boundaries), so the
+    result IS the exact largest-remainder apportionment. Driver-side,
+    domain-count-sized — the DoReMi regime is tens of domains."""
+    from fractions import Fraction
+
     if total_budget < 0:
         raise ValueError("total_budget must be non-negative")
     if not weights:
         return {}
     if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
-    tot = float(sum(weights.values()))
+    exact = {d: Fraction(w) for d, w in weights.items()}
+    tot = sum(exact.values())
     if tot <= 0:
         raise ValueError("weights must sum to a positive value")
-    shares = {d: w / tot * total_budget for d, w in weights.items()}
-    out = {d: int(s) for d, s in shares.items()}
+    shares = {d: w / tot * total_budget for d, w in exact.items()}
+    out = {d: int(s) for d, s in shares.items()}  # Fraction floor (>= 0)
     leftover = total_budget - sum(out.values())
     by_rem = sorted(
         weights, key=lambda d: (-(shares[d] - out[d]), str(d))
@@ -345,6 +374,11 @@ def domain_budget_select(
     """
     if not budgets:
         raise ValueError("budgets must be non-empty")
+    _require_absent(
+        df,
+        ("_cost", "_pid", "_local_cum", "_off", "cum_cost"),
+        "domain_budget_select",
+    )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     checked_cost = F.when(
@@ -450,6 +484,12 @@ def interleave_sources(
         raise ValueError("key_cols must be non-empty")
     if share_scale <= 0:
         raise ValueError("share_scale must be positive")
+    _require_absent(
+        df,
+        ("_h", "_share", "_pid", "_local_rn", "_off", "_stride",
+         "domain_position", "position"),
+        "interleave_sources",
+    )
     from embeddinghub_spark.operators.materialize import with_global_row_number
 
     shares = {
@@ -553,6 +593,7 @@ def shuffle_order(
         raise ValueError("key_cols must be non-empty")
     if shard_size <= 0:
         raise ValueError("shard_size must be positive")
+    _require_absent(df, ("_h", "position", "shard"), "shuffle_order")
     from embeddinghub_spark.operators.materialize import with_global_row_number
 
     h = F.md5(

@@ -6,9 +6,14 @@ future edit can't silently break certification:
 - no duplicate keys; the never-yet-certified window layout holds.
 """
 
+import pathlib
 import sys
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file (ADVICE r11: hardcoded /root/repo
+# broke the gate — or scanned the wrong tree — on any other checkout).
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+sys.path.insert(0, str(REPO))
 
 
 # Entries the driver checks rows-only BY DESIGN (non-SQL-expressible:
@@ -60,6 +65,22 @@ def test_round11_window_layout():
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 
 
+def test_contract_gate_is_checkout_portable():
+    """ADVICE r11: the orphan gate hardcoded /root/repo, so it broke
+    (or scanned the wrong tree) on any other checkout. All paths in
+    this module now derive from __file__; pin that no absolute
+    checkout path creeps back in."""
+    import re
+
+    src = pathlib.Path(__file__).read_text()
+    hard = re.findall(r'Path\(\s*"/', src) + re.findall(
+        r'insert\(0,\s*"/', src
+    )
+    assert hard == [], "hardcoded checkout paths in the contract gate"
+    assert (REPO / "embeddinghub_spark").is_dir()
+    assert (REPO / "__spark_entry__.py").is_file()
+
+
 def test_oracle_sql_is_static():
     """Oracle strings must build without a SparkSession (the driver
     may call oracle_sql() before/without Spark)."""
@@ -103,11 +124,11 @@ def test_no_orphan_public_definition():
     import pathlib
     import re
 
-    pkg = pathlib.Path("/root/repo/embeddinghub_spark")
+    pkg = REPO / "embeddinghub_spark"
     test_corpus = "\n".join(
         p.read_text()
-        for p in pathlib.Path("/root/repo/tests").glob("*.py")
-    ) + pathlib.Path("/root/repo/__spark_entry__.py").read_text()
+        for p in (REPO / "tests").glob("*.py")
+    ) + (REPO / "__spark_entry__.py").read_text()
     pkg_srcs = {p: p.read_text() for p in pkg.rglob("*.py")}
 
     orphans = []

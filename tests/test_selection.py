@@ -648,3 +648,109 @@ def test_per_domain_c5_ops_under_head_domain_skew(spark):
         [(r[0], r[1]) for r in rows], {"head": 0.9, "tail": 0.1}
     )
     assert got_i == want_i
+
+
+# --- ADVICE r11 pins -------------------------------------------------------
+
+
+def test_mixture_budgets_exact_rational_apportionment():
+    """ADVICE r11: float shares (w/tot*budget) can flip the
+    largest-remainder ranking by one token at near-tie boundaries.
+    This weight set is a measured counterexample — binary float
+    arithmetic apportions {a:1, b:4, c:5}; the exact rational
+    apportionment over the weights' own binary values is {a:0, b:4,
+    c:6}. Pinned against an independent Fraction replica."""
+    from fractions import Fraction
+
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    weights, budget = {"a": 0.05, "b": 0.3, "c": 0.45}, 10
+    got = mixture_budgets(weights, budget)
+
+    exact = {d: Fraction(w) for d, w in weights.items()}
+    tot = sum(exact.values())
+    shares = {d: w / tot * budget for d, w in exact.items()}
+    want = {d: int(s) for d, s in shares.items()}
+    for d in sorted(
+        weights, key=lambda d: (-(shares[d] - want[d]), str(d))
+    )[: budget - sum(want.values())]:
+        want[d] += 1
+
+    assert got == want == {"a": 0, "b": 4, "c": 6}
+    assert sum(got.values()) == budget
+    # the float path's wrong answer, for contrast with the docstring
+    f_shares = {d: w / 0.8 * budget for d, w in weights.items()}
+    assert {d: int(s) for d, s in f_shares.items()}["a"] == 0  # sanity
+
+
+def test_selection_ops_reject_reserved_column_collisions(spark):
+    """ADVICE r11: withColumn silently REPLACES a same-named input
+    column — an input that already carries 'position' / 'cum_cost' /
+    a '_'-helper would be clobbered without error. Every selection
+    operator now validates and raises instead."""
+    from embeddinghub_spark.functions.selection import (
+        domain_budget_select,
+        interleave_sources,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 5, 3)], ["doc_id", "domain", "score", "n_tokens"]
+    )
+    with pytest.raises(ValueError, match="budget_select.*cum_cost"):
+        budget_select(
+            base.withColumn("cum_cost", F.lit(0)),
+            score_col="score", cost_col="n_tokens", budget=10,
+        )
+    with pytest.raises(ValueError, match="domain_budget_select.*_pid"):
+        domain_budget_select(
+            base.withColumn("_pid", F.lit(0)),
+            domain_col="domain", score_col="score", cost_col="n_tokens",
+            budgets={"a": 10},
+        )
+    with pytest.raises(ValueError, match="interleave_sources.*position"):
+        interleave_sources(
+            base.withColumn("position", F.lit(0)), ["doc_id"],
+            domain_col="domain", weights={"a": 1.0},
+        )
+    with pytest.raises(ValueError, match="shuffle_order.*shard"):
+        shuffle_order(base.withColumn("shard", F.lit(0)), ["doc_id"])
+    with pytest.raises(ValueError, match="dsir_weights.*id_col"):
+        dsir_weights(
+            base.withColumnRenamed("doc_id", "log_weight"),
+            F.col("domain") == "a", id_col="log_weight",
+            text_col="domain",
+        )
+
+
+def test_interleave_oracle_drops_unweighted_domains(spark):
+    """ADVICE r11: the interleave_sources DuckDB oracle must drop
+    domains absent from the mixture exactly like the framework does
+    (NULL stride rows were previously emitted NULLS-LAST). Replayed on
+    a synthetic documents table that CONTAINS an unweighted lang —
+    the case sf0.01/sf0.1 data never exercises."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    rows = [(i, ["en", "de", "es", "fr", "zh", "xx"][i % 6]) for i in range(1, 61)]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "lang"])
+    )
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(entry._interleave_sources_oracle()).fetchall()
+    }
+    from embeddinghub_spark.functions.selection import interleave_sources
+
+    got = {
+        (r["doc_id"], r["lang"], r["domain_position"], r["position"])
+        for r in interleave_sources(
+            spark.createDataFrame(rows, ["doc_id", "lang"]),
+            ["doc_id"], domain_col="lang", weights=entry._DOMAIN_MIX,
+            seed=42,
+        ).collect()
+    }
+    assert got == want
+    assert not any(lang == "xx" for _, lang, _p, _q in got)
