@@ -3645,8 +3645,10 @@ SELECT rank, neighbor_key FROM r WHERE rank <= 5
 # explicit HyperLogLog profiling
 # --------------------------------------------------------------------------
 
-_SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.3
+# Auto-sizing target cell population for the re-pointed semantic_dedup
+# entry (the fixed-K=8 exemplar is parked in tests/test_text_dedup.py).
+_SEMDEDUP_AUTO_CELL = 128
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3654,32 +3656,49 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic first-K coarse quantizer, map-only cell assignment,
     within-cell lowest-id-wins cosine pruning.
 
-    SMALL-CORPUS EXEMPLAR (frozen for ledger continuity): pins K=8,
-    which the r8 sf1 scan measured ×14.5 at ×10 data — within-cell
-    pairs are quadratic in cell size, so K must scale with N. The
-    scale-correct certified twin is ``semantic_dedup_scaled`` (K ∝ N,
-    ×1.7 at ×10) and the operator default now auto-sizes K
-    (dedup.semantic_auto_k)."""
+    RE-POINTED r12 (VERDICT r11 #4b): the entry now certifies the
+    AUTO-SIZED default — ``n_clusters=None`` resolves K =
+    ceil(N / target_cell_size) at plan time (dedup.semantic_auto_k),
+    so K ∝ N and within-cell pair work stays linear at any corpus
+    size (the fixed-K=8 shape this entry used to pin measured ×14.5
+    at ×10 data in the r8 sf1 scan; it is parked as a pytest-only
+    regression shape — tests/test_embedding_dedup.py). The oracle
+    computes the same K from the same count, so the auto-sizing rule
+    itself is oracle-certified. target_cell_size=128 keeps expected
+    cell population constant across sf0.01/sf0.1/sf1 test corpora
+    (the certified twin ``semantic_dedup_scaled`` pins the same
+    regime with an explicit K=64)."""
     from embeddinghub_spark.functions.dedup import semantic_dedup
 
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
-        n_clusters=_SEMDEDUP_K, threshold=_SEMDEDUP_THRESHOLD,
+        n_clusters=None, target_cell_size=_SEMDEDUP_AUTO_CELL,
+        threshold=_SEMDEDUP_THRESHOLD,
     )
 
 
-def _semantic_dedup_oracle(k: int = _SEMDEDUP_K) -> str:
+def _semantic_dedup_oracle(k: int | None = None) -> str:
     dotp = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     cos = (
         f"round({dotp.format(a='x.embedding', b='y.embedding')}"
         f" / (sqrt({dotp.format(a='x.embedding', b='x.embedding')})"
         f" * sqrt({dotp.format(a='y.embedding', b='y.embedding')})), 6)"
     )
+    # k=None replays the auto-sizing rule: K = max(1, ceil(N / cell))
+    # computed from the SAME corpus count the Spark side reads.
+    k_expr = (
+        str(k)
+        if k is not None
+        else (
+            "(SELECT GREATEST(1, CAST(ceil(count(*) / "
+            f"{float(_SEMDEDUP_AUTO_CELL)}) AS INTEGER)) FROM embeddings)"
+        )
+    )
     return f"""
 WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
                   embedding AS centroid
            FROM (SELECT vec_id, embedding FROM embeddings
-                 ORDER BY vec_id LIMIT {k})),
+                 ORDER BY vec_id LIMIT {k_expr})),
      av AS (SELECT vec_id, embedding, cell FROM (
               SELECT e.vec_id, e.embedding, c.cell,
                      row_number() OVER (PARTITION BY e.vec_id
@@ -5031,23 +5050,25 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     features — exact integer dot products, pairs only from shared
     buckets.
 
-    SMALL-CORPUS EXEMPLAR (frozen for ledger continuity): hashes into
-    a FIXED dim=4096 with no max_df, which the r8 sf1 scan measured
-    ×21 at ×10 data (df ∝ N makes Σ_b df² ∝ N², plus collision-noise
-    pairs). The scale-correct certified twin is
-    ``sparse_cosine_scaled`` (dim=65536 + max_df=1000, linear at ×10);
-    the operator now warns at runtime when an unpruned bucket crosses
-    the df threshold. The probe is disabled here to keep this frozen
-    entry's plan byte-stable."""
+    RE-POINTED r12 (VERDICT r11 #4b): the entry now certifies the
+    AUTO-SIZED capacity path — ``hash_vectorizer(dim=None)`` sizes the
+    feature space to 4× the exact distinct-shingle count (load factor
+    0.25, the vocabulary-tracking law SCALING.md's audit derived from
+    the r8 measurement: a FIXED dim makes bucket df grow with the
+    corpus, Σ_b df² ∝ N², ×21 wall at ×10 data) — PLUS the max_df
+    stop-feature prune. The oracle computes the same dim from the same
+    distinct count, so the sizing rule itself is oracle-certified. The
+    fixed-dim=4096 unpruned shape this entry used to pin is parked as
+    a pytest-only regression shape (tests/test_vector.py); the
+    explicit-dim twin ``sparse_cosine_scaled`` (65536 + max_df) keeps
+    its own driver rows."""
     from embeddinghub_spark.functions.text import hash_vectorizer
     from embeddinghub_spark.functions.vector import sparse_cosine_pairs
 
     feats = hash_vectorizer(
-        _t(spark, sf_dir, "documents"), dim=4096, shingle_n=3
+        _t(spark, sf_dir, "documents"), dim=None, shingle_n=3
     )
-    return sparse_cosine_pairs(
-        feats, min_cosine=0.5, df_warning_threshold=None
-    )
+    return sparse_cosine_pairs(feats, min_cosine=0.5, max_df=1000)
 
 
 _SPARSE_COSINE_ORACLE = """
@@ -5065,14 +5086,18 @@ sh AS (
     FROM t
   ) WHERE w != ''
 ),
-f AS (
+v AS (SELECT 4 * GREATEST(1, count(DISTINCT w)) AS dim FROM sh),
+f0 AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS b,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+           % (SELECT dim FROM v) AS b,
          sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1)) AS BIGINT) % 2 = 0
                   THEN 1 ELSE -1 END) AS wt
   FROM sh GROUP BY 1, 2 HAVING sum(CASE WHEN CAST(('0x' || substr(md5(w), 16, 1))
       AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) != 0
 ),
+keep AS (SELECT b FROM f0 GROUP BY b HAVING count(*) <= 1000),
+f AS (SELECT f0.* FROM f0 JOIN keep ON f0.b = keep.b),
 n AS (SELECT doc_id, sum(wt * wt) AS n2 FROM f GROUP BY doc_id),
 d AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
@@ -6332,33 +6357,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. The r10 window certified 50/50 green (the
-    # third consecutive all-green gate; cumulative ledger 183/186
-    # hash-certified + 3 rows-only). Round 11 executes the rotation ordered by
-    # VERDICT r10 task #1: positions 1-2 are the two data-selection entries
-    # staged through r10 (DSIR importance weights and token-budget curation),
-    # both judge-verified at sf0.01 AND sf0.1 but with zero driver rows;
-    # positions 3-4 are the pair the r10 window just rotated in and certified;
-    # positions 5-16 are REFRESHED canaries — twelve entries whose last green
-    # row predates r9 (incl. colocated_join / auto_join, which r10 rotated
-    # below the window); positions 17-49 are five recent r9/r10 canaries plus
-    # 28 long-standing core sentinels; position 50 keeps the flagship c6
-    # sentinel as the cross-round canary. Fourteen double-certified r9w+r10w
-    # entries moved just below the window — each keeps its cumulative green
-    # rows. Rows-only entries (bpe_merges, pca_embeddings,
-    # isotonic_calibration) stay OUTSIDE the window: they can never
-    # hash-match, so a window slot on them is wasted. After this round the
-    # cumulative ledger covers 185/188 hash-certified + 3 rows-only recorded.
-    # The registry is FROZEN for r11 at 188: new operators ship
-    # pytest-only/staged until this window certifies.
+    # entries of this dict per round. The r11 window certified 50/50 green (the
+    # fourth consecutive all-green gate; cumulative ledger 185/188
+    # hash-certified + 3 rows-only). Round 12 executes the rotation ordered by
+    # VERDICT r11 task #1: positions 1-4 are the four entries staged through
+    # r11 (frozen shuffle order, MinHash estimator-calibration audit,
+    # per-domain token budgets, proportional source interleaving) — each
+    # judge-verified at sf0.01 AND sf0.1 via tools/check.py --staged but with
+    # zero driver rows; positions 5-6 are the two RE-POINTED former frozen
+    # exemplars (VERDICT r11 task #4b: `semantic_dedup` now certifies the
+    # auto-sized K ∝ N default, `sparse_cosine` the vocabulary-sized auto-dim
+    # + max_df prune — new semantics, so they re-certify in-window; the old
+    # fixed-parameter shapes are parked as pytest-only regression pins);
+    # positions 7-37 are REFRESHED canaries — the 31 entries whose last green
+    # row is r3; positions 38-49 are twelve r4-stale canaries; position 50
+    # keeps the flagship c6 sentinel as the cross-round canary. Everything
+    # below the window keeps its cumulative green rows. Rows-only entries
+    # (bpe_merges, pca_embeddings, isotonic_calibration) stay OUTSIDE the
+    # window: they can never hash-match, so a window slot on them is wasted.
+    # After this round the cumulative ledger covers 189/192 hash-certified +
+    # 3 rows-only recorded. The registry is FROZEN for r12 at 192: new
+    # operators (pack_sequences) ship staged until this window certifies.
     return {
-        # --- positions 1-2: the r10 staged entries, never driver-certified ---
+        # --- positions 1-4: the r11 staged entries, never driver-certified ---
+        "shuffle_order": q_shuffle_order,
+        "minhash_estimate_audit": q_minhash_estimate_audit,
+        "domain_budget_select": q_domain_budget_select,
+        "interleave_sources": q_interleave_sources,
+        # --- positions 5-6: re-pointed exemplars (new auto-sized semantics,
+        # must re-certify; VERDICT r11 #4b) ---
+        "semantic_dedup": q_semantic_dedup,
+        "sparse_cosine": q_sparse_cosine,
+        # --- positions 7-37: refreshed canaries (last green row = r3) ---
+        "c2_df_transformation": q_c2_df_transformation,
+        "c4_materialize_no_ts": q_c4_materialize_no_ts,
+        "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
+        "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
+        "c16_resource_registration": q_c16_resource_registration,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_passages": q_dedup_passages,
+        "incremental_dedup": q_incremental_dedup,
+        "containment_pairs": q_containment_pairs,
+        "knn_ivfpq_residual": q_knn_ivfpq_residual,
+        "pmi_collocations": q_pmi_collocations,
+        "f8_regexp": q_f8_regexp,
+        "c12_composite_entities": q_c12_composite_entities,
+        "c10_feature_group_join": q_c10_feature_group_join,
+        "c17_ctas": q_c17_ctas,
+        "s12_merge_upsert": q_s12_merge_upsert,
+        "c20_stream_materialize": q_c20_stream_materialize,
+        "c18_refresh": q_c18_refresh,
+        "s1_csv_scan": q_s1_csv_scan,
+        "v8_preview": q_v8_preview,
+        "knn_lsh": q_knn_lsh,
+        "c19_on_demand": q_c19_on_demand,
+        "knn_ivf": q_knn_ivf,
+        "s3_table_scan": q_s3_table_scan,
+        "s8_parquet_sink": q_s8_parquet_sink,
+        "f8_json_extract": q_f8_json_extract,
+        "f8_window_topn": q_f8_window_topn,
+        "f8_set_ops": q_f8_set_ops,
+        "f8_cte_having": q_f8_cte_having,
+        # --- positions 38-49: refreshed canaries (last green row = r4) ---
+        "f8_pivot": q_f8_pivot,
+        "f8_percentiles": q_f8_percentiles,
+        "f8_exists": q_f8_exists,
+        "f8_string_agg": q_f8_string_agg,
+        "f8_range_window": q_f8_range_window,
+        "f8_lateral": q_f8_lateral,
+        "chunk_documents": q_chunk_documents,
+        "tf_idf": q_tf_idf,
+        "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "feature_scaling": q_feature_scaling,
+        # --- position 50: flagship sentinel (certified r1-r11) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window (every entry below
+        # has at least one green driver row from rounds 1-11, except the
+        # rows-only trio which are rows-only by design and parked here
+        # permanently; the r11 window's certified entries lead this block —
+        # each keeps its cumulative rows) ---
         "dsir_weights": q_dsir_weights,
         "budget_select": q_budget_select,
-        # --- positions 3-4: rotated in and certified by the r10 window ---
         "streaming_embedding_dedup": q_streaming_embedding_dedup,
         "trailing_topk": q_trailing_topk,
-        # --- positions 5-16: refreshed canaries (last green row pre-r9) ---
         "colocated_join": q_colocated_join,
         "auto_join": q_auto_join,
         "kfold_split": q_kfold_split,
@@ -6371,13 +6456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_clusters": q_fuzzy_clusters,
         "event_transitions": q_event_transitions,
         "temperature_mixture": q_temperature_mixture,
-        # --- positions 17-21: recent r9/r10-certified canaries ---
         "ann_recall": q_ann_recall,
         "pit_staleness": q_pit_staleness,
         "time_to_next_event": q_time_to_next_event,
         "trailing_window": q_trailing_window,
         "dataset_fingerprint": q_dataset_fingerprint,
-        # --- positions 22-49: long-standing core sentinels ---
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "dedup_exact": q_dedup_exact,
         "c1_sql_transformation": q_c1_sql_transformation,
@@ -6406,14 +6489,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_tf_idf": q_class_tf_idf,
         "mm_phash": q_mm_phash,
         "bloom_join": q_bloom_join,
-        # --- position 50: flagship sentinel (certified r1-r10) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window (every entry below
-        # has at least one green driver row from rounds 1-10, except the
-        # rows-only trio which are rows-only by design and parked here
-        # permanently; the fourteen entries leading this block are the
-        # double-certified r9w+r10w canaries rotated out this round to make
-        # room — each keeps its cumulative rows) ---
         "decayed_trailing": q_decayed_trailing,
         "sparse_cosine_scaled": q_sparse_cosine_scaled,
         "trailing_distinct": q_trailing_distinct,
@@ -6450,7 +6525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "funnel_steps": q_funnel_steps,
         "hash_vectorizer": q_hash_vectorizer,
-        "sparse_cosine": q_sparse_cosine,
         "snapshot_diff": q_snapshot_diff,
         "curation_v2": q_curation_v2,
         "incremental_spans": q_incremental_spans,
@@ -6471,21 +6545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
-        "semantic_dedup": q_semantic_dedup,
         "hll_profile": q_hll_profile,
         "embedding_near_dup": q_embedding_near_dup,
-        "f8_pivot": q_f8_pivot,
-        "f8_percentiles": q_f8_percentiles,
-        "f8_exists": q_f8_exists,
-        "f8_string_agg": q_f8_string_agg,
-        "f8_range_window": q_f8_range_window,
-        "f8_lateral": q_f8_lateral,
-        "chunk_documents": q_chunk_documents,
-        "tf_idf": q_tf_idf,
-        "stratified_sample": q_stratified_sample,
-        "redact_pii": q_redact_pii,
-        "repetition_stats": q_repetition_stats,
-        "feature_scaling": q_feature_scaling,
         "salted_join": q_salted_join,
         "quality_filter": q_quality_filter,
         "pack_shards": q_pack_shards,
@@ -6521,42 +6582,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "decayed_count": q_decayed_count,
         "robust_scale": q_robust_scale,
-        "c2_df_transformation": q_c2_df_transformation,
-        "c4_materialize_no_ts": q_c4_materialize_no_ts,
-        "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
-        "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
-        "c16_resource_registration": q_c16_resource_registration,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_passages": q_dedup_passages,
-        "incremental_dedup": q_incremental_dedup,
-        "containment_pairs": q_containment_pairs,
-        "knn_ivfpq_residual": q_knn_ivfpq_residual,
-        "pmi_collocations": q_pmi_collocations,
-        "f8_regexp": q_f8_regexp,
-        "c12_composite_entities": q_c12_composite_entities,
-        "c10_feature_group_join": q_c10_feature_group_join,
-        "c17_ctas": q_c17_ctas,
-        "s12_merge_upsert": q_s12_merge_upsert,
-        "c20_stream_materialize": q_c20_stream_materialize,
-        "c18_refresh": q_c18_refresh,
-        "s1_csv_scan": q_s1_csv_scan,
-        "v8_preview": q_v8_preview,
-        "knn_lsh": q_knn_lsh,
-        "c19_on_demand": q_c19_on_demand,
-        "knn_ivf": q_knn_ivf,
-        "s3_table_scan": q_s3_table_scan,
-        "s8_parquet_sink": q_s8_parquet_sink,
-        "f8_json_extract": q_f8_json_extract,
-        "f8_window_topn": q_f8_window_topn,
-        "f8_set_ops": q_f8_set_ops,
-        "f8_cte_having": q_f8_cte_having,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- promoted by the r12 rotation (staged through r11) ---
+        "shuffle_order": _SHUFFLE_ORDER_ORACLE,
+        "minhash_estimate_audit": _minhash_estimate_audit_oracle(),
+        "domain_budget_select": _domain_budget_select_oracle(),
+        "interleave_sources": _interleave_sources_oracle(),
         "dsir_weights": _DSIR_ORACLE,
         "budget_select": _budget_select_oracle(),
         "streaming_embedding_dedup": _streaming_embedding_dedup_oracle(),
@@ -8065,7 +8100,7 @@ k AS (SELECT doc_id, lang, CAST(domain_position AS BIGINT) AS domain_position,
 SELECT doc_id, lang, domain_position,
        CAST(row_number() OVER (ORDER BY sk, lang, domain_position)
             AS BIGINT) AS position
-FROM k
+FROM k WHERE sk IS NOT NULL
 """
 
 
@@ -8159,29 +8194,80 @@ FROM e GROUP BY matching_slots
 """
 
 
+_PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context sequence packing (functions/text.py
+    pack_sequences): the md5-shuffled document stream (the
+    shuffle_order discipline) laid end-to-end and cut into
+    512-token training sequences, documents spanning boundaries —
+    one row per (document × sequence) slice with the seq/doc offsets
+    a trainer turns into attention masks. The trainer-facing end of
+    the curate → budget → shuffle → mix pipeline (VERDICT r11 #6)."""
+    from embeddinghub_spark.functions.text import pack_sequences, token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("42"))
+        ).alias("ord"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs,
+        order_cols=["ord", "doc_id"],
+        n_tokens_col="n_tokens",
+        max_seq_len=_PACK_SEQ_LEN,
+    ).select(
+        "doc_id", "n_tokens", "seq_id", "seq_offset", "doc_offset",
+        "slice_len",
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    L = _PACK_SEQ_LEN
+    return f"""
+WITH d AS (SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || '|42') AS ord,
+                  CAST(len(list_filter(string_split(text, ' '),
+                           x -> x != '')) AS BIGINT) AS n_tokens
+           FROM documents),
+f AS (SELECT * FROM d WHERE n_tokens > 0),
+c AS (SELECT doc_id, ord, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM f),
+s AS (SELECT doc_id, n_tokens, cum - n_tokens AS st, cum AS en FROM c),
+x AS (SELECT doc_id, n_tokens, st, en,
+             UNNEST(range(st // {L}, (en - 1) // {L} + 1)) AS seq_id
+      FROM s)
+SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(st, seq_id * {L}) - seq_id * {L} AS BIGINT)
+         AS seq_offset,
+       CAST(greatest(st, seq_id * {L}) - st AS BIGINT) AS doc_offset,
+       CAST(least(en, (seq_id + 1) * {L}) - greatest(st, seq_id * {L})
+            AS BIGINT) AS slice_len
+FROM x
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 188 per VERDICT r10 #5). The r10 staged pair
-    (dsir_weights, budget_select) was promoted into
-    queries()/oracle_sql() by the r11 rotation; the two entries below
-    are the r10 snapshot-tail functions brought up to protocol in r11
-    (VERDICT r10 task #2: pin tests vs exact Python replicas in
-    tests/test_selection.py and tests/test_text_dedup.py, SCALING.md
-    audit rows, oracle twins certified at sf0.01 + sf0.1 + sf1
-    ratio); they join the registry after the r11 window certifies."""
+    (registry frozen at 192 per VERDICT r11 #7). The four r11 staged
+    entries (shuffle_order, minhash_estimate_audit,
+    domain_budget_select, interleave_sources) were promoted into
+    queries()/oracle_sql() by the r12 rotation; new operators staged
+    this round land here with the standard protocol (pin tests vs
+    exact Python replicas, SCALING.md audit row, README line, oracle
+    twin certified at sf0.01 + sf0.1) before touching the registry."""
     return {
-        "shuffle_order": q_shuffle_order,
-        "minhash_estimate_audit": q_minhash_estimate_audit,
-        "domain_budget_select": q_domain_budget_select,
-        "interleave_sources": q_interleave_sources,
+        "pack_sequences": q_pack_sequences,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
-        "shuffle_order": _SHUFFLE_ORDER_ORACLE,
-        "minhash_estimate_audit": _minhash_estimate_audit_oracle(),
-        "domain_budget_select": _domain_budget_select_oracle(),
-        "interleave_sources": _interleave_sources_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
     }

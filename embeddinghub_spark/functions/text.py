@@ -479,6 +479,133 @@ def pack_token_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    order_cols: list[str],
+    n_tokens_col: str,
+    max_seq_len: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-context-length sequence packing — the step an LLM trainer
+    actually consumes: lay the tokenized documents end-to-end in
+    ``order_cols`` order (e.g. a ``shuffle_order``/``interleave_sources``
+    position) and cut the concatenated token stream into sequences of
+    exactly ``max_seq_len`` tokens, documents SPANNING sequence
+    boundaries (the public GPT concat-and-chunk recipe; T5 pack-
+    without-splitting is its no-span special case when every doc fits).
+    The output is the document-boundary table a trainer turns into
+    attention masks and position resets: one row per (document ×
+    sequence) overlap slice.
+
+    Output: input columns plus
+      - ``seq_id``      0-based sequence index (bigint),
+      - ``seq_offset``  token offset of this slice WITHIN the sequence,
+      - ``doc_offset``  token offset of this slice WITHIN the document,
+      - ``slice_len``   tokens of this document in this sequence.
+    Per sequence, slices tile [0, max_seq_len) exactly (the final
+    sequence may be shorter); per document, slices tile [0, n_tokens).
+    Zero-token documents contribute nothing and are dropped.
+
+    Scale shape (100 TB discipline): the only global state is the
+    exclusive prefix sum of token counts over the order — the C5
+    range-partition + per-partition-window + driver-offset machinery
+    (``pack_token_shards``/``budget_select``), never a one-partition
+    global window. The slice explode adds ≤ total_tokens/max_seq_len
+    + n_docs rows — linear in corpus size. Everything else is
+    map-side arithmetic on (start, end) offsets.
+
+    Contracts: ``order_cols`` must be a total order (tie-break with
+    the id); ``n_tokens_col`` must be NON-NULL and non-negative — the
+    first NULL raises at execution time (a NULL would silently shift
+    every later document's offsets).
+    """
+    from pyspark.sql import Window
+
+    if max_seq_len < 1:
+        raise ValueError("max_seq_len must be >= 1")
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    reserved = (
+        "_tok", "_pid", "_local_end", "seq_id", "seq_offset",
+        "doc_offset", "slice_len",
+    )
+    clash = sorted(set(reserved) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"pack_sequences: input columns collide with reserved "
+            f"helper/output names {clash}; rename or drop them first"
+        )
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    checked_tok = F.when(
+        F.col(n_tokens_col).isNull(),
+        F.raise_error(
+            F.lit(f"pack_sequences: n_tokens_col {n_tokens_col!r} "
+                  "contains NULL")
+        ).cast("bigint"),
+    ).otherwise(F.col(n_tokens_col).cast("bigint"))
+    ranged = (
+        df.withColumn("_tok", checked_tok)
+        .filter(F.col("_tok") > 0)
+        .repartitionByRange(n, *[F.col(c).asc() for c in order_cols])
+        .localCheckpoint(eager=True)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_end", F.sum("_tok").over(w))
+    totals = (
+        part.groupBy("_pid").agg(F.sum("_tok").alias("_t"))
+        .orderBy("_pid").collect()
+    )  # one row per partition — bounded at any scale
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"]
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)).cast("bigint") for i in range(n)]
+    )
+    L = int(max_seq_len)
+    start = (
+        F.col("_local_end")
+        + F.element_at(offset_arr, F.col("_pid") + 1)
+        - F.col("_tok")
+    )
+    spanned = (
+        local.withColumn("_start", start)
+        .withColumn("_end", F.col("_start") + F.col("_tok"))
+        # a doc covering global tokens [start, end) touches sequences
+        # start DIV L .. (end-1) DIV L — explode one row per overlap
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start DIV {L}"), F.expr(f"(_end - 1) DIV {L}")
+                )
+            ),
+        )
+        .withColumn("_sbase", F.col("seq_id") * F.lit(L))
+        .withColumn("_from", F.greatest("_start", "_sbase"))
+        .withColumn(
+            "_to", F.least(F.col("_end"), F.col("_sbase") + F.lit(L))
+        )
+    )
+    return (
+        spanned.withColumn("seq_offset", F.col("_from") - F.col("_sbase"))
+        .withColumn("doc_offset", F.col("_from") - F.col("_start"))
+        .withColumn("slice_len", F.col("_to") - F.col("_from"))
+        .drop(
+            "_tok", "_pid", "_local_end", "_start", "_end", "_sbase",
+            "_from", "_to",
+        )
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     n: int = 2,
@@ -1474,8 +1601,9 @@ def hash_vectorizer(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    dim: int = 64,
+    dim: int | None = 64,
     shingle_n: int | None = None,
+    auto_dim_load: int = 4,
 ) -> DataFrame:
     """Feature-hashing ("hashing trick") text vectorizer in sparse
     form — the fastText/Vowpal-Wabbit input featurizer: token t maps
@@ -1507,14 +1635,38 @@ def hash_vectorizer(
     phrasing; that selectivity is what makes the downstream
     ``vector.sparse_cosine_pairs`` self-join bucket-bounded instead
     of all-pairs.
+
+    ``dim=None`` auto-sizes the feature space to the CORPUS — the
+    capacity law the r8 sf1 scan measured the hard way (a FIXED dim
+    makes bucket df grow with the corpus, so the downstream
+    inverted-index join's Σ_b df² grows quadratically; ×21 wall at
+    ×10 data): dim = ``auto_dim_load`` × the exact distinct-feature
+    count (load factor 1/``auto_dim_load``, default 0.25 — the
+    vocabulary-tracking regime SCALING.md documents). Exact
+    count_distinct, not approx: the chosen dim must replay
+    bit-for-bit in any engine (the oracle computes the same scalar),
+    and the count is one aggregate over the same exploded features
+    the vectorizer already pays for. One extra corpus pass + one
+    driver scalar — buy it when the vocabulary is unknown; pass an
+    explicit dim when it is known.
     """
-    if dim < 1:
-        raise ValueError("dim must be >= 1")
     unit = (
         tokens(text_col)
         if shingle_n is None
         else word_shingles(text_col, shingle_n)
     )
+    if dim is None:
+        if auto_dim_load < 1:
+            raise ValueError("auto_dim_load must be >= 1")
+        vocab = (
+            df.select(F.explode(unit).alias("_w"))
+            .filter(F.col("_w") != "")
+            .agg(F.count_distinct("_w"))
+            .first()[0]
+        )
+        dim = auto_dim_load * max(1, int(vocab or 0))
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
     tok = F.explode(unit).alias("_w")
     # word_shingles on a zero-token doc yields [""] (the whole-doc
     # else branch); without this filter every empty doc would share

@@ -34,33 +34,44 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round11_window_layout():
-    """The rotation for round 11 (VERDICT r10 task #1): the 2
-    oracle-backed entries staged through r10 (DSIR importance weights
-    and token-budget curation; zero driver rows, judge-verified at
-    both scales) occupy positions 1-2 of the 50-slot window; positions
-    3-4 are the pair the r10 window rotated in and certified; 5-16 are
-    refreshed canaries whose last green row predates r9; 17-49 recent
-    canaries + core sentinels; slot 50 is the flagship sentinel.
+def test_round12_window_layout():
+    """The rotation for round 12 (VERDICT r11 task #1 + #4b): the 4
+    oracle-backed entries staged through r11 (frozen shuffle order,
+    MinHash estimator audit, per-domain budgets, source interleaving;
+    zero driver rows, judge-verified at both scales) occupy positions
+    1-4 of the 50-slot window; positions 5-6 are the two RE-POINTED
+    former frozen exemplars (semantic_dedup auto-K, sparse_cosine
+    auto-dim + max_df — new semantics, so they must re-certify);
+    7-37 are the 31 canaries whose last green row is r3; 38-49 are
+    twelve r4-stale canaries; slot 50 is the flagship sentinel.
     Rows-only entries can never hash-match, so they must stay OUT of
-    the window. The registry is frozen at 188 entries until this window
+    the window. The registry is frozen at 192 entries until this window
     is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
-    assert len(keys) == 188, "registry frozen at 188 for r11"
+    assert len(keys) == 192, "registry frozen at 192 for r12"
     window = keys[:50]
-    rotation = ["dsir_weights", "budget_select"]
-    r10_rotated = ["streaming_embedding_dedup", "trailing_topk"]
-    refreshed = [
-        "colocated_join", "auto_join", "kfold_split", "temporal_split",
-        "binary_auc", "psi_drift", "f8_tpch_q3", "scd2_lookup",
-        "scd2_merge", "fuzzy_clusters", "event_transitions",
-        "temperature_mixture",
+    rotation = [
+        "shuffle_order", "minhash_estimate_audit",
+        "domain_budget_select", "interleave_sources",
     ]
-    assert window[:2] == rotation, "rotation entries must lead the window"
-    assert window[2:4] == r10_rotated, "r10-rotated entries moved"
-    assert window[4:16] == refreshed, "refreshed canaries moved"
+    repointed = ["semantic_dedup", "sparse_cosine"]
+    refreshed_r3_head = [
+        "c2_df_transformation", "c4_materialize_no_ts",
+        "c8_pit_label_no_ts", "c9_pit_feature_no_ts",
+        "c16_resource_registration", "jaccard_pairs", "simhash",
+    ]
+    refreshed_r4 = [
+        "f8_pivot", "f8_percentiles", "f8_exists", "f8_string_agg",
+        "f8_range_window", "f8_lateral", "chunk_documents", "tf_idf",
+        "stratified_sample", "redact_pii", "repetition_stats",
+        "feature_scaling",
+    ]
+    assert window[:4] == rotation, "rotation entries must lead the window"
+    assert window[4:6] == repointed, "re-pointed exemplars moved"
+    assert window[6:13] == refreshed_r3_head, "r3 canaries moved"
+    assert window[37:49] == refreshed_r4, "r4 canaries moved"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 

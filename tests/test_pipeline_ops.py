@@ -2002,3 +2002,116 @@ def test_fingerprint_by_totals_to_whole_table(spark):
         for r in dataset_fingerprint_by(df2, ["grp"]).collect()
     }
     assert per2["x"] == per["x"][1] and per2["y"] != per["y"][1]
+
+
+def _py_pack_sequences(rows, max_seq_len):
+    """Pure-Python replica: exclusive prefix sum over the given order,
+    GPT concat-and-chunk slicing. rows = [(id, order_key, n_tokens)]."""
+    out, cursor = [], 0
+    for did, _k, n in sorted(rows, key=lambda r: (r[1], r[0])):
+        if n <= 0:
+            continue
+        st, en = cursor, cursor + n
+        cursor = en
+        for seq in range(st // max_seq_len, (en - 1) // max_seq_len + 1):
+            lo = max(st, seq * max_seq_len)
+            hi = min(en, (seq + 1) * max_seq_len)
+            out.append((did, seq, lo - seq * max_seq_len, lo - st, hi - lo))
+    return sorted(out)
+
+
+def test_pack_sequences_matches_python_replica(spark):
+    from embeddinghub_spark.functions.text import pack_sequences
+
+    rows = [
+        (1, "c", 30), (2, "a", 130), (3, "b", 100), (4, "d", 1),
+        (5, "e", 299), (6, "f", 0),  # zero-token doc drops
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ord", "n_tokens"])
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_offset"], r["doc_offset"],
+         r["slice_len"])
+        for r in pack_sequences(
+            df, order_cols=["ord", "doc_id"], n_tokens_col="n_tokens",
+            max_seq_len=128,
+        ).collect()
+    )
+    assert got == _py_pack_sequences(rows, 128)
+    # repartition invariance: the C5 offset machinery must not depend
+    # on the incoming layout
+    got9 = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_offset"], r["doc_offset"],
+         r["slice_len"])
+        for r in pack_sequences(
+            df.repartition(9), order_cols=["ord", "doc_id"],
+            n_tokens_col="n_tokens", max_seq_len=128, num_partitions=5,
+        ).collect()
+    )
+    assert got9 == got
+
+
+def test_pack_sequences_tiling_invariants(spark):
+    """Every sequence is tiled [0, L) exactly (last may be short);
+    every document is tiled [0, n_tokens) exactly."""
+    from collections import defaultdict
+
+    from embeddinghub_spark.functions.text import pack_sequences
+
+    rows = [(i, f"{i:03d}", (i * 37) % 200 + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "ord", "n_tokens"])
+    L = 100
+    slices = pack_sequences(
+        df, order_cols=["ord", "doc_id"], n_tokens_col="n_tokens",
+        max_seq_len=L,
+    ).collect()
+    by_seq, by_doc = defaultdict(list), defaultdict(list)
+    for r in slices:
+        assert 1 <= r["slice_len"] <= L
+        by_seq[r["seq_id"]].append((r["seq_offset"], r["slice_len"]))
+        by_doc[r["doc_id"]].append((r["doc_offset"], r["slice_len"]))
+    total = sum(n for _i, _o, n in rows)
+    assert set(by_seq) == set(range((total + L - 1) // L))
+    for seq, parts in by_seq.items():
+        parts.sort()
+        pos = 0
+        for off, ln in parts:
+            assert off == pos, (seq, parts)
+            pos += ln
+        assert pos == (L if seq < total // L else total % L or L)
+    for did, parts in by_doc.items():
+        parts.sort()
+        pos = 0
+        for off, ln in parts:
+            assert off == pos, (did, parts)
+            pos += ln
+        assert pos == dict((i, n) for i, _o, n in rows)[did]
+
+
+def test_pack_sequences_contracts(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as _F
+
+    from embeddinghub_spark.functions.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None)], ["doc_id", "ord", "n_tokens"]
+    )
+    with _pt.raises(Exception, match="contains NULL"):
+        pack_sequences(
+            df, order_cols=["ord", "doc_id"], n_tokens_col="n_tokens",
+            max_seq_len=8,
+        ).collect()
+    ok = df.filter(_F.col("n_tokens").isNotNull())
+    with _pt.raises(ValueError, match="max_seq_len"):
+        pack_sequences(
+            ok, order_cols=["ord"], n_tokens_col="n_tokens", max_seq_len=0
+        )
+    with _pt.raises(ValueError, match="order_cols"):
+        pack_sequences(
+            ok, order_cols=[], n_tokens_col="n_tokens", max_seq_len=8
+        )
+    with _pt.raises(ValueError, match="reserved"):
+        pack_sequences(
+            ok.withColumn("seq_id", _F.lit(1)), order_cols=["ord"],
+            n_tokens_col="n_tokens", max_seq_len=8,
+        )

@@ -27,7 +27,8 @@ def main() -> None:
     spark = get_spark(app_name="sf1_scan")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(sf1, "lineitem.parquet")).count()
-    qs = m.queries()
+    qs = dict(m.queries())
+    qs.update(m.staged_queries())  # staged candidates scan too
     for name in sys.argv[1:]:
         try:
             t0 = time.monotonic()
