@@ -8252,6 +8252,143 @@ FROM x
 """
 
 
+_EPOCH_TOTAL_ROWS = 20_000
+_EPOCH_MAX = 3
+
+
+def q_epoch_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture streaming (functions/selection.py
+    epoch_interleave): the data-constrained regime — per-language row
+    quotas apportioned from the mixture weights, domains smaller than
+    their quota repeated for whole epochs of a FRESH md5 permutation
+    each (capped at 3 epochs, the public data-constrained-scaling
+    recipe, arXiv 2305.16264), merged by the exact integer stride
+    scheduler. At sf0.01/sf0.1 the 20k-row budget exceeds every
+    domain's corpus so the epoch cap binds (3 full epochs each); at
+    sf1 the per-domain quotas drop below the 10k-doc domains and the
+    stream ends in a partial first epoch — the scales between them
+    exercise both branches."""
+    from embeddinghub_spark.functions.selection import epoch_interleave
+
+    return epoch_interleave(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        ["doc_id"],
+        domain_col="lang",
+        weights=_DOMAIN_MIX,
+        total_rows=_EPOCH_TOTAL_ROWS,
+        max_epochs=_EPOCH_MAX,
+        seed=42,
+    ).select("doc_id", "lang", "epoch", "domain_position", "slot", "position")
+
+
+def _epoch_interleave_oracle() -> str:
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    quotas = {
+        d: q
+        for d, q in mixture_budgets(_DOMAIN_MIX, _EPOCH_TOTAL_ROWS).items()
+        if q > 0
+    }
+    langs = ", ".join(f"'{d}'" for d in sorted(quotas))
+    quota_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {q}" for d, q in sorted(quotas.items()))
+        + " END"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, lang FROM documents WHERE lang IN ({langs})),
+nd AS (SELECT lang, COUNT(*) AS n_d FROM base GROUP BY lang),
+k AS (SELECT lang, n_d, CAST({quota_case} AS BIGINT) AS quota,
+             LEAST(CAST({quota_case} AS BIGINT),
+                   {_EPOCH_MAX} * n_d) AS kd
+      FROM nd),
+e AS (SELECT b.doc_id, b.lang, k.n_d, k.quota, k.kd,
+             UNNEST(range(0, (kd - 1) // n_d + 1)) AS epoch
+      FROM base b JOIN k USING (lang)),
+r AS (SELECT doc_id, lang, n_d, quota, kd, epoch,
+             row_number() OVER (PARTITION BY lang, epoch
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42|'
+                              || CAST(epoch AS VARCHAR)),
+                          doc_id) AS domain_position
+      FROM e),
+s AS (SELECT doc_id, lang, CAST(epoch AS INT) AS epoch,
+             CAST(domain_position AS BIGINT) AS domain_position,
+             CAST(epoch * n_d + domain_position AS BIGINT) AS slot,
+             ((2 * (epoch * n_d + domain_position) - 1)
+              * {_EPOCH_TOTAL_ROWS}) // quota AS strd
+      FROM r WHERE epoch * n_d + domain_position <= kd)
+SELECT doc_id, lang, epoch, domain_position, slot,
+       CAST(row_number() OVER (ORDER BY strd, lang, slot) AS BIGINT)
+         AS position
+FROM s
+"""
+
+
+_LB_BOUNDS = [16, 32, 64, 128, 256, 512]
+_LB_BATCH = 8
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-efficient frozen batch formation (functions/selection.py
+    length_buckets): documents bucketed by token length (smallest
+    boundary >= n_tokens; overflow past the last boundary keeps NULL
+    padded_len), each bucket md5-shuffled and cut into 8-row batches —
+    the bucketed-batching recipe that bounds per-batch padding waste
+    for eval / inference / padded training."""
+    from embeddinghub_spark.functions.selection import length_buckets
+    from embeddinghub_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return length_buckets(
+        docs,
+        n_tokens_col="n_tokens",
+        batch_size=_LB_BATCH,
+        boundaries=_LB_BOUNDS,
+        key_cols=["doc_id"],
+        seed=42,
+    ).select(
+        "doc_id", "n_tokens", "bucket_id", "bucket_position", "batch_id",
+        "batch_slot", "padded_len", "pad_waste",
+    )
+
+
+def _length_buckets_oracle() -> str:
+    bounds = _LB_BOUNDS
+    bucket_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n_tokens <= {b} THEN {i}" for i, b in enumerate(bounds)
+        )
+        + f" ELSE {len(bounds)} END"
+    )
+    pad_case = (
+        "CASE bucket_id "
+        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(bounds))
+        + " ELSE NULL END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '),
+                           x -> x != '')) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens, {bucket_case} AS bucket_id FROM d),
+p AS (SELECT doc_id, n_tokens, bucket_id,
+             row_number() OVER (PARTITION BY bucket_id
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'),
+                          doc_id) AS bucket_position
+      FROM b)
+SELECT doc_id, n_tokens, bucket_id,
+       CAST(bucket_position AS BIGINT) AS bucket_position,
+       CAST((bucket_position - 1) // {_LB_BATCH} AS BIGINT) AS batch_id,
+       CAST((bucket_position - 1) % {_LB_BATCH} AS BIGINT) AS batch_slot,
+       CAST({pad_case} AS BIGINT) AS padded_len,
+       CAST({pad_case} AS BIGINT) - n_tokens AS pad_waste
+FROM p
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8264,10 +8401,14 @@ def staged_queries() -> dict:
     twin certified at sf0.01 + sf0.1) before touching the registry."""
     return {
         "pack_sequences": q_pack_sequences,
+        "epoch_interleave": q_epoch_interleave,
+        "length_buckets": q_length_buckets,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
         "pack_sequences": _pack_sequences_oracle(),
+        "epoch_interleave": _epoch_interleave_oracle(),
+        "length_buckets": _length_buckets_oracle(),
     }

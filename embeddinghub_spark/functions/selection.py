@@ -613,3 +613,328 @@ def shuffle_order(
     return numbered.withColumn(
         "shard", F.expr(f"(position - 1) DIV {int(shard_size)}")
     ).drop("_h")
+
+
+def epoch_interleave(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    domain_col: str,
+    weights: dict,
+    total_rows: int,
+    max_epochs: int = 4,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-epoch mixture streaming — ``interleave_sources`` for the
+    data-constrained regime where a domain's quota EXCEEDS its corpus
+    and trainers repeat it for several epochs (the public
+    data-constrained-scaling recipe: repeating beyond ~4 epochs yields
+    rapidly diminishing returns — Muennighoff et al., "Scaling
+    Data-Constrained Language Models", NeurIPS 2023, arXiv
+    2305.16264 — hence the ``max_epochs`` cap).
+
+    Semantics: ``total_rows`` is apportioned into exact per-domain row
+    quotas by ``mixture_budgets(weights, total_rows)``; each domain
+    contributes ``K_d = min(quota_d, max_epochs · n_d)`` rows (``n_d``
+    = the domain's corpus size), drawn as whole epochs of a FRESH
+    md5(keys|seed|epoch) permutation per epoch (per-epoch reshuffle,
+    the standard trainer behavior) with the final partial epoch taking
+    a prefix of its permutation. The per-domain streams merge by the
+    same exact-integer stride scheduler as ``interleave_sources`` —
+    key ``(2·slot−1)·total_rows DIV quota_d`` — so every prefix of the
+    global order holds domains in mixture proportion until a capped
+    domain runs dry. Domains absent from ``weights`` (or apportioned
+    zero rows) are dropped; weights naming absent domains simply
+    shorten the realized stream.
+
+    Output: input columns plus ``epoch`` (0-based), ``domain_position``
+    (1-based rank within (domain, epoch)), ``slot`` (1-based index in
+    the domain's repeated stream = epoch·n_d + domain_position), and
+    ``position`` (1-based global rank in the merged stream).
+
+    Scale shape (100 TB discipline): the epoch explode multiplies rows
+    by at most ``max_epochs`` — linear in the REALIZED stream length,
+    which is the output size. Per-(domain, epoch) numbering is the
+    generalized C5 machinery (range exchange on (domain, epoch, hash);
+    per-partition window; a (partitions × domains × epochs)-row
+    subtotal frame riding a broadcast join); the merged rank reuses
+    ``with_global_row_number`` on the stride key. The only collect is
+    the one-row-per-domain size frame. Overflow: the stride key is
+    ≤ 2·total_rows, far inside bigint.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if total_rows < 0:
+        raise ValueError("total_rows must be non-negative")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    _require_absent(
+        df,
+        ("_h", "_quota", "_nd", "_kd", "_emax", "_pid", "_local_rn",
+         "_off", "_stride", "epoch", "domain_position", "slot", "position"),
+        "epoch_interleave",
+    )
+    from embeddinghub_spark.operators.materialize import with_global_row_number
+
+    quotas = {
+        d: q
+        for d, q in mixture_budgets(weights, int(total_rows)).items()
+        if q > 0
+    }
+    if not quotas:
+        raise ValueError("weights apportion to zero rows everywhere")
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+
+    def _lit_map(m: dict) -> Column:
+        return F.create_map(
+            *[
+                F.lit(x)
+                for d, v in sorted(m.items(), key=lambda kv: str(kv[0]))
+                for x in (d, int(v))
+            ]
+        )
+
+    base = (
+        df.withColumn(
+            "_quota",
+            F.element_at(_lit_map(quotas), F.col(domain_col)).cast("bigint"),
+        )
+        .filter(F.col("_quota").isNotNull())
+        .drop("_quota")
+    )
+    # one row per domain — bounded at any scale (DoReMi regime: tens)
+    sizes = {
+        r[0]: r[1]
+        for r in base.groupBy(domain_col).count().collect()
+    }
+    if not sizes:
+        return (
+            base.withColumn("epoch", F.lit(0))
+            .withColumn("domain_position", F.lit(0).cast("bigint"))
+            .withColumn("slot", F.lit(0).cast("bigint"))
+            .withColumn("position", F.lit(0).cast("bigint"))
+        )
+    kd = {
+        d: min(quotas[d], int(max_epochs) * nd) for d, nd in sizes.items()
+    }
+    emax = {d: (kd[d] - 1) // sizes[d] for d in sizes}
+    exploded = base.withColumn(
+        "epoch",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.element_at(_lit_map(emax), F.col(domain_col))
+            )
+        ),
+    )
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            *[F.col(c).cast("string") for c in key_cols],
+            F.lit(str(seed)),
+            F.col("epoch").cast("string"),
+        )
+    )
+    ranged = (
+        exploded.withColumn("_h", h)
+        .repartitionByRange(
+            n,
+            F.col(domain_col).asc(),
+            F.col("epoch").asc(),
+            F.col("_h").asc(),
+            *[F.col(c).asc() for c in key_cols],
+        )
+        .localCheckpoint(eager=True)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid", domain_col, "epoch")
+        .orderBy(F.col("_h").asc(), *[F.col(c).asc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_rn", F.count(F.lit(1)).over(w))
+    offw = (
+        Window.partitionBy(domain_col, "epoch")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("_pid", domain_col, "epoch")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(offw), F.lit(0)))
+        .select("_pid", domain_col, "epoch", "_off")
+    )
+    numbered = (
+        local.join(F.broadcast(offsets), ["_pid", domain_col, "epoch"])
+        .withColumn(
+            "domain_position",
+            (F.col("_local_rn") + F.col("_off")).cast("bigint"),
+        )
+        .withColumn(
+            "slot",
+            (
+                F.col("epoch")
+                * F.element_at(_lit_map(sizes), F.col(domain_col))
+                + F.col("domain_position")
+            ).cast("bigint"),
+        )
+        .filter(
+            F.col("slot")
+            <= F.element_at(_lit_map(kd), F.col(domain_col)).cast("bigint")
+        )
+        .withColumn(
+            "_quota",
+            F.element_at(_lit_map(quotas), F.col(domain_col)).cast("bigint"),
+        )
+        # exact bigint stride key — integer DIV, never double division
+        # (the shuffle_order shard lesson: a double round-trip can
+        # mis-order keys at extreme magnitudes)
+        .withColumn(
+            "_stride",
+            F.expr(f"(2 * slot - 1) * {int(total_rows)}L DIV _quota"),
+        )
+        .drop("_pid", "_local_rn", "_off", "_h", "_quota")
+    )
+    return with_global_row_number(
+        numbered,
+        ["_stride", domain_col, "slot"],
+        row_col="position",
+        num_partitions=num_partitions,
+    ).drop("_stride")
+
+
+def length_buckets(
+    df: DataFrame,
+    *,
+    n_tokens_col: str,
+    batch_size: int,
+    boundaries: list[int] | None = None,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pad-efficient frozen batch formation: group documents into
+    LENGTH BUCKETS (smallest boundary >= n_tokens), shuffle each
+    bucket with the md5(keys|seed) discipline, and cut the frozen
+    per-bucket order into fixed-size batches — the standard
+    bucketed-batching recipe for eval / inference / padded training
+    (sequences padded to the bucket boundary, so a batch wastes at
+    most (boundary - shortest) tokens per row instead of padding the
+    whole corpus to the global max).
+
+    ``boundaries`` is a strictly-increasing list of inclusive token
+    upper bounds (default: powers of two 16..8192). Documents LONGER
+    than the last boundary land in the overflow bucket
+    ``bucket_id = len(boundaries)`` with ``padded_len`` NULL — they
+    still batch deterministically; the caller decides truncate /
+    reject. ``n_tokens_col`` must be NON-NULL and non-negative — the
+    first NULL raises at execution time (a NULL would silently change
+    every batch boundary behind it).
+
+    Output: input columns plus ``bucket_id`` (0-based int),
+    ``bucket_position`` (1-based rank within the bucket),
+    ``batch_id`` = (bucket_position-1) DIV batch_size (0-based within
+    the bucket — (bucket_id, batch_id) is the global batch key),
+    ``batch_slot`` = (bucket_position-1) % batch_size (0-based),
+    ``padded_len`` (the bucket boundary; NULL for overflow), and
+    ``pad_waste`` = padded_len - n_tokens.
+
+    Scale shape: per-bucket numbering is the generalized C5 machinery
+    (range exchange on (bucket, hash, keys) so a dominant bucket
+    splits across partitions; per-partition window; a (partitions ×
+    buckets)-row subtotal frame riding a broadcast join) — never a
+    per-bucket single-task sort. Everything else is map-side CASE
+    arithmetic. No collect of data rows; the subtotal frame is the
+    only driver-adjacent state and it is (partitions × buckets)-sized.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    if boundaries is None:
+        boundaries = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+    bounds = [int(b) for b in boundaries]
+    if not bounds or any(
+        b2 <= b1 for b1, b2 in zip(bounds, bounds[1:])
+    ) or bounds[0] < 1:
+        raise ValueError("boundaries must be strictly increasing and >= 1")
+    key_cols = list(key_cols or ("doc_id",))
+    _require_absent(
+        df,
+        ("_h", "_pid", "_local_rn", "_off", "bucket_id", "bucket_position",
+         "batch_id", "batch_slot", "padded_len", "pad_waste"),
+        "length_buckets",
+    )
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    tok = F.col(n_tokens_col).cast("bigint")
+    checked = F.when(
+        tok.isNull(),
+        F.raise_error(
+            F.lit(
+                f"length_buckets: n_tokens_col {n_tokens_col!r} contains NULL"
+            )
+        ).cast("bigint"),
+    ).otherwise(tok)
+    # smallest boundary >= n_tokens, else the overflow bucket
+    bucket = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(checked <= bounds[i], F.lit(i)).otherwise(bucket)
+    pad_arr = F.array(*[F.lit(b).cast("bigint") for b in bounds])
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+    ranged = (
+        df.withColumn("bucket_id", bucket)
+        .withColumn("_h", h)
+        .repartitionByRange(
+            n,
+            F.col("bucket_id").asc(),
+            F.col("_h").asc(),
+            *[F.col(c).asc() for c in key_cols],
+        )
+        .localCheckpoint(eager=True)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid", "bucket_id")
+        .orderBy(F.col("_h").asc(), *[F.col(c).asc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_rn", F.count(F.lit(1)).over(w))
+    offw = (
+        Window.partitionBy("bucket_id")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("_pid", "bucket_id")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(offw), F.lit(0)))
+        .select("_pid", "bucket_id", "_off")
+    )
+    padded = F.when(
+        F.col("bucket_id") < len(bounds),
+        F.element_at(pad_arr, F.col("bucket_id") + 1),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", "bucket_id"])
+        .withColumn(
+            "bucket_position",
+            (F.col("_local_rn") + F.col("_off")).cast("bigint"),
+        )
+        .withColumn(
+            "batch_id",
+            F.expr(f"(bucket_position - 1) DIV {int(batch_size)}"),
+        )
+        .withColumn(
+            "batch_slot",
+            (F.col("bucket_position") - 1) % F.lit(int(batch_size)),
+        )
+        .withColumn("padded_len", padded)
+        .withColumn(
+            "pad_waste", F.col("padded_len") - F.col(n_tokens_col).cast("bigint")
+        )
+        .drop("_pid", "_local_rn", "_off", "_h")
+    )

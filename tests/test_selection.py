@@ -754,3 +754,271 @@ def test_interleave_oracle_drops_unweighted_domains(spark):
     }
     assert got == want
     assert not any(lang == "xx" for _, lang, _p, _q in got)
+
+
+# ---------------------------------------------------------------- r12 staged:
+# epoch_interleave — multi-epoch, epoch-capped mixture streaming
+
+
+def _py_epoch_interleave(rows, weights, total_rows, max_epochs, seed=42):
+    """Pure-Python replica: per-(domain, epoch) md5(key|seed|epoch)
+    permutations, K_d = min(quota_d, max_epochs·n_d), exact integer
+    stride merge keyed (2·slot−1)·total_rows DIV quota_d."""
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    quotas = {
+        d: q for d, q in mixture_budgets(weights, total_rows).items() if q > 0
+    }
+    by_dom: dict = {}
+    for key, dom in rows:
+        if dom in quotas:
+            by_dom.setdefault(dom, []).append(key)
+    merged = []
+    for dom, keys in by_dom.items():
+        q, nd = quotas[dom], len(keys)
+        kd = min(q, max_epochs * nd)
+        for e in range((kd - 1) // nd + 1):
+            perm = sorted(
+                keys,
+                key=lambda k: (
+                    hashlib.md5(f"{k}|{seed}|{e}".encode()).hexdigest(),
+                    k,
+                ),
+            )
+            for p, key in enumerate(perm, start=1):
+                slot = e * nd + p
+                if slot > kd:
+                    break
+                merged.append(
+                    ((2 * slot - 1) * total_rows // q, dom, slot, key, e, p)
+                )
+    merged.sort()
+    return [
+        (key, dom, e, p, slot, i + 1)
+        for i, (_k, dom, slot, key, e, p) in enumerate(merged)
+    ]
+
+
+def test_epoch_interleave_matches_python_replica(spark, interleave_df):
+    from embeddinghub_spark.functions.selection import epoch_interleave
+
+    weights = {"a": 3.0, "b": 1.0}
+    out = epoch_interleave(
+        interleave_df, ["doc_id"], domain_col="domain", weights=weights,
+        total_rows=200, max_epochs=3,
+    )
+    got = sorted(
+        (r["doc_id"], r["domain"], r["epoch"], r["domain_position"],
+         r["slot"], r["position"])
+        for r in out.collect()
+    )
+    exp = sorted(_py_epoch_interleave(INTERLEAVE_ROWS, weights, 200, 3))
+    assert got == exp
+
+
+def test_epoch_interleave_epoch_cap_and_reshuffle(spark, interleave_df):
+    """K_d = min(quota_d, max_epochs·n_d) exactly, and each epoch is a
+    FRESH permutation (per-epoch reshuffle), not a repeat of epoch 0."""
+    from embeddinghub_spark.functions.selection import epoch_interleave
+
+    # quota 500/500 >> corpus (40 per domain) → both cap at 2 epochs
+    out = epoch_interleave(
+        interleave_df, ["doc_id"], domain_col="domain",
+        weights={"a": 1.0, "b": 1.0}, total_rows=1000, max_epochs=2,
+    ).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rows in by_dom.items():
+        assert len(rows) == 2 * 40, dom  # capped, not quota (500)
+        e0 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["slot"])
+              if r["epoch"] == 0]
+        e1 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["slot"])
+              if r["epoch"] == 1]
+        assert sorted(e0) == sorted(e1)  # same docs every full epoch
+        assert e0 != e1  # ...in a different order
+
+
+def test_epoch_interleave_partial_epoch_is_permutation_prefix(spark,
+                                                              interleave_df):
+    """The final partial epoch takes a PREFIX of that epoch's own md5
+    permutation (the trainer-resume contract)."""
+    from embeddinghub_spark.functions.selection import epoch_interleave
+
+    out = [
+        r
+        for r in epoch_interleave(
+            interleave_df, ["doc_id"], domain_col="domain",
+            weights={"a": 1.0}, total_rows=55, max_epochs=4,
+        ).collect()
+    ]
+    last = [r for r in out if r["epoch"] == 1]
+    assert len(last) == 15  # 55 - 40
+    a_keys = [k for k, d in INTERLEAVE_ROWS if d == "a"]
+    perm1 = sorted(
+        a_keys,
+        key=lambda k: (hashlib.md5(f"{k}|42|1".encode()).hexdigest(), k),
+    )
+    got = [r["doc_id"] for r in sorted(last, key=lambda r: r["slot"])]
+    assert got == perm1[:15]
+
+
+def test_epoch_interleave_prefix_proportionality(spark, interleave_df):
+    from embeddinghub_spark.functions.selection import epoch_interleave
+
+    out = sorted(
+        (r["position"], r["domain"])
+        for r in epoch_interleave(
+            interleave_df, ["doc_id"], domain_col="domain",
+            weights={"a": 3.0, "b": 1.0}, total_rows=160, max_epochs=4,
+        ).collect()
+    )
+    assert len(out) == 160  # no cap binds: 120 ≤ 160, 40 ≤ 160
+    counts = {"a": 0, "b": 0}
+    for n, (_pos, dom) in enumerate(out, start=1):
+        counts[dom] += 1
+        assert abs(counts["a"] - 0.75 * n) <= 2, (n, counts)
+
+
+def test_epoch_interleave_repartition_invariant_and_contracts(
+    spark, interleave_df
+):
+    from embeddinghub_spark.functions.selection import epoch_interleave
+
+    kw = dict(domain_col="domain", weights={"a": 1.0, "b": 2.0},
+              total_rows=90, max_epochs=2)
+    a = epoch_interleave(interleave_df, ["doc_id"], **kw)
+    b = epoch_interleave(interleave_df.repartition(9), ["doc_id"], **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = epoch_interleave(interleave_df, ["doc_id"], seed=7, **kw)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+    with pytest.raises(ValueError, match="non-empty"):
+        epoch_interleave(interleave_df, [], **kw)
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_interleave(
+            interleave_df, ["doc_id"], domain_col="domain",
+            weights={"a": 1.0}, total_rows=10, max_epochs=0,
+        )
+    with pytest.raises(ValueError, match="zero rows"):
+        epoch_interleave(
+            interleave_df, ["doc_id"], domain_col="domain", weights={},
+            total_rows=10,
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        epoch_interleave(
+            interleave_df.withColumn("epoch", F.lit(1)), ["doc_id"], **kw
+        )
+
+
+# ---------------------------------------------------------------- r12 staged:
+# length_buckets — pad-efficient frozen batch formation
+
+
+LENGTH_ROWS = [(f"d{i:03d}", (i * 37) % 300) for i in range(60)]
+
+
+def _py_length_buckets(rows, bounds, batch_size, seed=42):
+    def bkt(n):
+        for i, b in enumerate(bounds):
+            if n <= b:
+                return i
+        return len(bounds)
+
+    byb: dict = {}
+    for d, n in rows:
+        byb.setdefault(bkt(n), []).append((d, n))
+    out = []
+    for b, ds in byb.items():
+        perm = sorted(
+            ds,
+            key=lambda x: (hashlib.md5(f"{x[0]}|{seed}".encode()).hexdigest(),
+                           x[0]),
+        )
+        for p, (d, n) in enumerate(perm, start=1):
+            pl = bounds[b] if b < len(bounds) else None
+            out.append(
+                (d, b, p, (p - 1) // batch_size, (p - 1) % batch_size, pl,
+                 (pl - n) if pl is not None else None)
+            )
+    return sorted(out)
+
+
+@pytest.fixture()
+def length_df(spark):
+    return spark.createDataFrame(LENGTH_ROWS, ["doc_id", "n_tokens"])
+
+
+def test_length_buckets_matches_python_replica(spark, length_df):
+    from embeddinghub_spark.functions.selection import length_buckets
+
+    bounds = [32, 64, 128, 256]
+    out = length_buckets(
+        length_df, n_tokens_col="n_tokens", batch_size=4, boundaries=bounds,
+        key_cols=["doc_id"],
+    )
+    got = sorted(
+        (r["doc_id"], r["bucket_id"], r["bucket_position"], r["batch_id"],
+         r["batch_slot"], r["padded_len"], r["pad_waste"])
+        for r in out.collect()
+    )
+    assert got == _py_length_buckets(LENGTH_ROWS, bounds, 4)
+
+
+def test_length_buckets_batches_tile_and_overflow(spark, length_df):
+    """Every batch but the last per bucket holds exactly batch_size
+    rows; overflow docs (> last boundary) carry NULL padded_len."""
+    from embeddinghub_spark.functions.selection import length_buckets
+
+    bounds = [64, 128]
+    rows = length_buckets(
+        length_df, n_tokens_col="n_tokens", batch_size=5, boundaries=bounds,
+        key_cols=["doc_id"],
+    ).collect()
+    byb: dict = {}
+    for r in rows:
+        byb.setdefault((r["bucket_id"], r["batch_id"]), []).append(r)
+    bucket_max_batch = {}
+    for (b, bid), rs in byb.items():
+        bucket_max_batch[b] = max(bucket_max_batch.get(b, -1), bid)
+        assert sorted(r["batch_slot"] for r in rs) == list(range(len(rs)))
+    for (b, bid), rs in byb.items():
+        if bid < bucket_max_batch[b]:
+            assert len(rs) == 5, (b, bid)
+    overflow = [r for r in rows if r["bucket_id"] == len(bounds)]
+    assert overflow and all(
+        r["padded_len"] is None and r["pad_waste"] is None for r in overflow
+    )
+    assert all(
+        r["padded_len"] is not None and r["pad_waste"] >= 0
+        for r in rows
+        if r["bucket_id"] < len(bounds)
+    )
+
+
+def test_length_buckets_repartition_invariant_and_contracts(spark, length_df):
+    from embeddinghub_spark.functions.selection import length_buckets
+
+    kw = dict(n_tokens_col="n_tokens", batch_size=3,
+              boundaries=[64, 256], key_cols=["doc_id"])
+    a = length_buckets(length_df, **kw)
+    b = length_buckets(length_df.repartition(11), **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError, match="batch_size"):
+        length_buckets(length_df, n_tokens_col="n_tokens", batch_size=0)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        length_buckets(
+            length_df, n_tokens_col="n_tokens", batch_size=2,
+            boundaries=[64, 64],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        length_buckets(
+            length_df.withColumn("batch_id", F.lit(1)),
+            n_tokens_col="n_tokens", batch_size=2,
+        )
+    nulls = spark.createDataFrame(
+        [("a", 5), ("b", None)], "doc_id string, n_tokens int"
+    )
+    with pytest.raises(Exception, match="contains NULL"):
+        length_buckets(
+            nulls, n_tokens_col="n_tokens", batch_size=2
+        ).collect()
