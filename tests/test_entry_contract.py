@@ -42,8 +42,12 @@ def test_round12_window_layout():
     1-4 of the 50-slot window; positions 5-6 are the two RE-POINTED
     former frozen exemplars (semantic_dedup auto-K, sparse_cosine
     auto-dim + max_df — new semantics, so they must re-certify);
-    7-37 are the 31 canaries whose last green row is r3; 38-49 are
-    twelve r4-stale canaries; slot 50 is the flagship sentinel.
+    position 7 is sparse_cosine_scaled, re-pointed MID-ROUND after the
+    third warm A/B confirmed the fixed-dim drift was real (now
+    auto-dim + a BINDING max_df=8 — new semantics, must re-certify);
+    8-38 are the 31 canaries whose last green row is r3; 39-49 are
+    eleven r4-stale canaries (feature_scaling yielded its slot to the
+    re-point and re-queues for r13); slot 50 is the flagship sentinel.
     Rows-only entries can never hash-match, so they must stay OUT of
     the window. The registry is frozen at 192 entries until this window
     is certified."""
@@ -66,13 +70,14 @@ def test_round12_window_layout():
         "f8_pivot", "f8_percentiles", "f8_exists", "f8_string_agg",
         "f8_range_window", "f8_lateral", "chunk_documents", "tf_idf",
         "stratified_sample", "redact_pii", "repetition_stats",
-        "feature_scaling",
     ]
     assert window[:4] == rotation, "rotation entries must lead the window"
     assert window[4:6] == repointed, "re-pointed exemplars moved"
-    assert window[6:13] == refreshed_r3_head, "r3 canaries moved"
-    assert window[37:49] == refreshed_r4, "r4 canaries moved"
+    assert window[6] == "sparse_cosine_scaled", "mid-round re-point moved"
+    assert window[7:14] == refreshed_r3_head, "r3 canaries moved"
+    assert window[38:49] == refreshed_r4, "r4 canaries moved"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
+    assert keys[50] == "feature_scaling", "yielded canary must sit at 51"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 
 

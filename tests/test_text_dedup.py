@@ -1316,3 +1316,33 @@ def test_quality_score_and_detect_language_agree_with_text_stats(spark):
     }
     assert direct == fused
     assert direct[1][1] == "en" and direct[5][1] == "und"
+
+
+def test_fixed_dim_bucket_crowding_parked_shape(spark):
+    """PARKED regression pin for the retired fixed-dim sparse-cosine
+    configs (dim=4096 r8-r11, dim=65536 r10-r12): with dim << distinct
+    features, DISJOINT vocabularies still crowd the same fixed buckets
+    — bucket df grows with the corpus and the inverted-index join's
+    Σ_b df² inflates past the corpus's true phrase-sharing (measured
+    at sf0.1→sf1: ×34.5 at dim=65536 vs ×10.0 at dim=None; PLANS_r12
+    §4). Pin the law at toy scale: 200 one-word docs with 200 DISTINCT
+    words have true Σ df² = 200; a fixed dim=16 inflates it by the
+    crowding factor ~N/dim, while dim=None (4× distinct count) stays
+    within collision noise of the truth."""
+    from collections import Counter
+
+    from embeddinghub_spark.functions.text import hash_vectorizer
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(200)], ["doc_id", "text"]
+    )
+
+    def sum_df2(dim):
+        feats = hash_vectorizer(docs, dim=dim).collect()
+        byb = Counter(r["bucket"] for r in feats)
+        return sum(v * v for v in byb.values())
+
+    fixed = sum_df2(16)
+    auto = sum_df2(None)
+    assert fixed >= 10 * 200, fixed  # crowding: ~N/dim=12.5× the truth
+    assert auto <= int(1.5 * 200), auto  # load 0.25: near-true df
