@@ -8380,6 +8380,122 @@ FROM p
 """
 
 
+_TS_SEQ_LEN = 512
+
+
+def q_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END LLM training-data pipeline as ONE
+    oracle-certified query (functions/selection.py training_stream):
+    stopword-per-million scoring → mixture_budgets apportionment →
+    domain_budget_select per-domain curation → interleave_sources
+    frozen proportional mixing → pack_sequences 512-token packing.
+    Every stage is individually certified (r11-r12 windows + staged);
+    this entry certifies their COMPOSITION — the c6-style flagship for
+    the data-loading family: kept-token accounting, mixture
+    proportions, and sequence tiling all replayed bit-for-bit by one
+    chained DuckDB oracle."""
+    from embeddinghub_spark.functions.selection import training_stream
+    from embeddinghub_spark.functions.text import stopword_count, token_count
+
+    scored = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            token_count("text").cast("bigint").alias("n_tokens"),
+            stopword_count("text").cast("bigint").alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(n_stop * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "score"
+            ),
+            "n_tokens",
+        )
+    )
+    return training_stream(
+        scored,
+        id_col="doc_id",
+        domain_col="lang",
+        score_col="score",
+        cost_col="n_tokens",
+        weights=_DOMAIN_MIX,
+        total_budget=_DOMAIN_BUDGET_TOTAL,
+        max_seq_len=_TS_SEQ_LEN,
+        seed=42,
+    )
+
+
+def _training_stream_oracle() -> str:
+    from embeddinghub_spark.functions.selection import mixture_budgets
+    from embeddinghub_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    budgets = mixture_budgets(_DOMAIN_MIX, _DOMAIN_BUDGET_TOTAL)
+    budget_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {b}" for d, b in sorted(budgets.items()))
+        + " ELSE NULL END"
+    )
+    shares = mixture_budgets(_DOMAIN_MIX, 1_000_000)
+    share_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {s}" for d, s in sorted(shares.items()))
+        + " END"
+    )
+    L = _TS_SEQ_LEN
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x != ''))
+           AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains([{stop_list}], lower(x)))) AS n_stop
+  FROM documents),
+sc AS (SELECT doc_id, lang,
+              CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens
+       FROM s WHERE n_tokens > 0),
+kept AS (
+  SELECT doc_id, lang, score, n_tokens FROM (
+    SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_cost
+    FROM sc)
+  WHERE cum_cost <= {budget_case}),
+p AS (SELECT *, row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id)
+          AS domain_position
+      FROM kept),
+k AS (SELECT doc_id, lang, score, n_tokens,
+             ((2 * domain_position - 1) * 1000000) // ({share_case}) AS sk,
+             domain_position
+      FROM p),
+m AS (SELECT doc_id, lang, score, n_tokens,
+             CAST(row_number() OVER (ORDER BY sk, lang, domain_position)
+                  AS BIGINT) AS position
+      FROM k WHERE sk IS NOT NULL),
+c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY position
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM m),
+st AS (SELECT doc_id, lang, score, n_tokens, position,
+              cum - n_tokens AS sta, cum AS en
+       FROM c),
+x AS (SELECT *, UNNEST(range(sta // {L}, (en - 1) // {L} + 1)) AS seq_id
+      FROM st)
+SELECT doc_id, lang, score, n_tokens, position,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(sta, seq_id * {L}) - seq_id * {L} AS BIGINT)
+         AS seq_offset,
+       CAST(greatest(sta, seq_id * {L}) - sta AS BIGINT) AS doc_offset,
+       CAST(least(en, (seq_id + 1) * {L}) - greatest(sta, seq_id * {L})
+            AS BIGINT) AS slice_len
+FROM x
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8394,6 +8510,7 @@ def staged_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "epoch_interleave": q_epoch_interleave,
         "length_buckets": q_length_buckets,
+        "training_stream": q_training_stream,
     }
 
 
@@ -8402,4 +8519,5 @@ def staged_oracle_sql() -> dict:
         "pack_sequences": _pack_sequences_oracle(),
         "epoch_interleave": _epoch_interleave_oracle(),
         "length_buckets": _length_buckets_oracle(),
+        "training_stream": _training_stream_oracle(),
     }

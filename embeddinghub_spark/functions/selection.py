@@ -938,3 +938,79 @@ def length_buckets(
         )
         .drop("_pid", "_local_rn", "_off", "_h")
     )
+
+
+def training_stream(
+    df: DataFrame,
+    *,
+    id_col: str,
+    domain_col: str,
+    score_col: str,
+    cost_col: str,
+    weights: dict,
+    total_budget: int,
+    max_seq_len: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The END-TO-END training-data pipeline as one composition —
+    curate → mix → pack, each stage the already-certified operator:
+
+    1. ``mixture_budgets(weights, total_budget)`` apportions the
+       corpus-wide token budget into exact per-domain budgets;
+    2. ``domain_budget_select`` keeps each domain's best documents by
+       ``score_col`` until its budget fills (per-domain C5 prefix);
+    3. ``interleave_sources`` merges the kept domains into one frozen
+       md5-shuffled stream in mixture proportion (stride scheduler);
+    4. ``pack_sequences`` lays the stream end-to-end and cuts it into
+       ``max_seq_len``-token training sequences, documents spanning
+       boundaries (the GPT concat-and-chunk recipe).
+
+    Output: one row per (document × sequence) slice — ``id_col``,
+    ``domain_col``, ``score_col``, the token count as ``n_tokens``,
+    ``position`` (rank in the mixed stream), ``seq_id``,
+    ``seq_offset``, ``doc_offset``, ``slice_len``.
+
+    Scale shape: the composition inherits each stage's discipline —
+    three range exchanges total (per-domain budget prefix, interleave
+    merge rank, packing prefix-sum), every offset frame bounded by
+    (partitions × domains) or partitions, no new machinery. The
+    stages share the cost column: the packer consumes the same
+    ``cost_col`` the budgeter metered, so kept-token accounting and
+    sequence tiling agree by construction.
+
+    Contracts are the union of the stages': non-NULL costs, no
+    reserved-column collisions, weights must apportion a positive
+    share somewhere. Docs from domains absent in ``weights`` drop at
+    the budget stage; zero-token docs drop at the packing stage.
+    """
+    kept = domain_budget_select(
+        df,
+        domain_col=domain_col,
+        score_col=score_col,
+        cost_col=cost_col,
+        budgets=mixture_budgets(weights, int(total_budget)),
+        num_partitions=num_partitions,
+    ).drop("cum_cost")
+    mixed = interleave_sources(
+        kept,
+        [id_col],
+        domain_col=domain_col,
+        weights=weights,
+        seed=seed,
+        num_partitions=num_partitions,
+    ).drop("domain_position")
+    from embeddinghub_spark.functions.text import pack_sequences
+
+    packed = pack_sequences(
+        mixed.withColumnRenamed(cost_col, "n_tokens"),
+        order_cols=["position"],
+        n_tokens_col="n_tokens",
+        max_seq_len=int(max_seq_len),
+        id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    return packed.select(
+        id_col, domain_col, score_col, "n_tokens", "position", "seq_id",
+        "seq_offset", "doc_offset", "slice_len",
+    )

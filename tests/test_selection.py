@@ -1022,3 +1022,97 @@ def test_length_buckets_repartition_invariant_and_contracts(spark, length_df):
         length_buckets(
             nulls, n_tokens_col="n_tokens", batch_size=2
         ).collect()
+
+
+# ---------------------------------------------------------------- r12 staged:
+# training_stream — the end-to-end curate → mix → pack composition
+
+
+TS_DOCS = [
+    # (doc_id, lang, score, n_tokens) — pre-scored corpus
+    (i, lang, (i * 17) % 100, 5 + (i * 7) % 40)
+    for i, lang in ((j, ["a", "b", "c"][j % 3]) for j in range(1, 61))
+]
+
+
+@pytest.fixture()
+def ts_df(spark):
+    return spark.createDataFrame(
+        TS_DOCS, ["doc_id", "lang", "score", "n_tokens"]
+    )
+
+
+def _ts_out(ts_df, **over):
+    from embeddinghub_spark.functions.selection import training_stream
+
+    kw = dict(
+        id_col="doc_id", domain_col="lang", score_col="score",
+        cost_col="n_tokens", weights={"a": 2.0, "b": 1.0},
+        total_budget=300, max_seq_len=64, seed=42,
+    )
+    kw.update(over)
+    return training_stream(ts_df, **kw)
+
+
+def test_training_stream_slices_tile_documents_and_sequences(spark, ts_df):
+    """Composition invariants: per kept doc the slices tile
+    [0, n_tokens) exactly; per sequence (except the last) the slices
+    tile [0, max_seq_len); domain 'c' (unweighted) is dropped."""
+    rows = _ts_out(ts_df).collect()
+    assert rows and all(r["lang"] in ("a", "b") for r in rows)
+    bydoc: dict = {}
+    byseq: dict = {}
+    for r in rows:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+        byseq.setdefault(r["seq_id"], []).append(r)
+    for d, rs in bydoc.items():
+        rs = sorted(rs, key=lambda r: r["doc_offset"])
+        assert rs[0]["doc_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["doc_offset"] + a["slice_len"] == b["doc_offset"]
+        assert rs[-1]["doc_offset"] + rs[-1]["slice_len"] == rs[0]["n_tokens"]
+    last_seq = max(byseq)
+    for s, rs in byseq.items():
+        rs = sorted(rs, key=lambda r: r["seq_offset"])
+        assert rs[0]["seq_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["seq_offset"] + a["slice_len"] == b["seq_offset"]
+        if s != last_seq:
+            assert rs[-1]["seq_offset"] + rs[-1]["slice_len"] == 64, s
+
+
+def test_training_stream_keeps_exactly_the_budgeted_set(spark, ts_df):
+    """Stage consistency: the docs in the packed stream are EXACTLY
+    domain_budget_select's kept set for the same budgets."""
+    from embeddinghub_spark.functions.selection import (
+        domain_budget_select,
+        mixture_budgets,
+    )
+
+    weights = {"a": 2.0, "b": 1.0}
+    kept = {
+        r["doc_id"]
+        for r in domain_budget_select(
+            ts_df, domain_col="lang", score_col="score",
+            cost_col="n_tokens",
+            budgets=mixture_budgets(weights, 300),
+        ).collect()
+    }
+    packed = {r["doc_id"] for r in _ts_out(ts_df).collect()}
+    assert packed == kept
+
+
+def test_training_stream_repartition_invariant(spark, ts_df):
+    a = sorted(map(tuple, _ts_out(ts_df).collect()))
+    b = sorted(map(tuple, _ts_out(ts_df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_training_stream_positions_follow_interleave(spark, ts_df):
+    """The packed stream's position column IS interleave_sources'
+    merged rank over the kept set (one row per kept doc, contiguous
+    from 1)."""
+    rows = _ts_out(ts_df).collect()
+    pos = sorted({(r["doc_id"], r["position"]) for r in rows},
+                 key=lambda t: t[1])
+    assert [p for _d, p in pos] == list(range(1, len(pos) + 1))
