@@ -8496,6 +8496,84 @@ FROM x
 """
 
 
+_MR_SLICES = 10
+
+
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice mixture audit (functions/selection.py mixture_report)
+    over the certified interleave_sources stream: cut the frozen
+    training order into 10 contiguous position ranges and report
+    realized vs target domain share in exact integer ppm — the
+    pre-training check that the stride scheduler actually delivered
+    mixture proportion in every slice (skew_report/validate_rules
+    ops-tooling family)."""
+    from embeddinghub_spark.functions.selection import (
+        interleave_sources,
+        mixture_report,
+    )
+
+    stream = interleave_sources(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        ["doc_id"],
+        domain_col="lang",
+        weights=_DOMAIN_MIX,
+        seed=42,
+    )
+    return mixture_report(
+        stream, domain_col="lang", weights=_DOMAIN_MIX, n_slices=_MR_SLICES
+    ).select(
+        "slice_id", "lang", "n_rows", "realized_ppm", "target_ppm",
+        "deviation_ppm",
+    )
+
+
+def _mixture_report_oracle() -> str:
+    from embeddinghub_spark.functions.selection import mixture_budgets
+
+    shares = mixture_budgets(_DOMAIN_MIX, 1_000_000)
+    share_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {s}" for d, s in sorted(shares.items()))
+        + " END"
+    )
+    target_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{d}' THEN {s}" for d, s in sorted(shares.items()))
+        + " ELSE 0 END"
+    )
+    S = _MR_SLICES
+    return f"""
+WITH h AS (SELECT doc_id, lang,
+                  md5(CAST(doc_id AS VARCHAR) || '|42') AS _h
+           FROM documents),
+p AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY _h, doc_id) AS domain_position
+      FROM h),
+k AS (SELECT doc_id, lang, domain_position,
+             ((2 * domain_position - 1) * 1000000) // ({share_case}) AS sk
+      FROM p),
+m AS (SELECT lang,
+             CAST(row_number() OVER (ORDER BY sk, lang, domain_position)
+                  AS BIGINT) AS position
+      FROM k WHERE sk IS NOT NULL),
+n AS (SELECT max(position) AS tot FROM m),
+s AS (SELECT lang,
+             CAST((position - 1) * {S} // (SELECT tot FROM n) AS INT)
+               AS slice_id
+      FROM m),
+c AS (SELECT slice_id, lang, CAST(count(*) AS BIGINT) AS n_rows
+      FROM s GROUP BY 1, 2),
+t AS (SELECT slice_id, SUM(n_rows) AS sr FROM c GROUP BY 1)
+SELECT c.slice_id, lang, n_rows,
+       CAST(n_rows * 1000000 // sr AS BIGINT) AS realized_ppm,
+       CAST({target_case} AS BIGINT) AS target_ppm,
+       CAST(abs(n_rows * 1000000 // sr - ({target_case})) AS BIGINT)
+         AS deviation_ppm
+FROM c JOIN t ON c.slice_id = t.slice_id
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8511,6 +8589,7 @@ def staged_queries() -> dict:
         "epoch_interleave": q_epoch_interleave,
         "length_buckets": q_length_buckets,
         "training_stream": q_training_stream,
+        "mixture_report": q_mixture_report,
     }
 
 
@@ -8520,4 +8599,5 @@ def staged_oracle_sql() -> dict:
         "epoch_interleave": _epoch_interleave_oracle(),
         "length_buckets": _length_buckets_oracle(),
         "training_stream": _training_stream_oracle(),
+        "mixture_report": _mixture_report_oracle(),
     }

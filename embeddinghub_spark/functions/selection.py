@@ -1014,3 +1014,92 @@ def training_stream(
         id_col, domain_col, score_col, "n_tokens", "position", "seq_id",
         "seq_offset", "doc_offset", "slice_len",
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    position_col: str = "position",
+    weights: dict,
+    n_slices: int = 10,
+) -> DataFrame:
+    """Mixture observability: did the frozen training stream actually
+    hit its target proportions — in EVERY slice, not just overall?
+    Cuts the stream (``interleave_sources`` / ``epoch_interleave``
+    output, or any 1..N ``position_col``) into ``n_slices`` contiguous
+    position ranges and reports, per (slice, domain), the realized
+    share against the ``mixture_budgets`` target in exact
+    parts-per-million — the audit a data-loading pipeline runs before
+    a training job burns compute on a mis-mixed stream (the
+    ``skew_report`` / ``validate_rules`` ops-tooling family).
+
+    Output: ``(slice_id, domain, n_rows, realized_ppm, target_ppm,
+    deviation_ppm)`` — slice_id 0-based; realized_ppm =
+    n_rows·10⁶ DIV slice_rows (integer DIV, engine-exact);
+    deviation_ppm = |realized − target|. Domains in the stream but
+    not in ``weights`` report target_ppm 0 (their presence IS the
+    deviation); weighted domains absent from a slice produce no row
+    (count 0 is visible as the other domains' surplus).
+
+    Scale shape: one map-side slice assignment
+    (``(position−1)·n_slices DIV N`` — N rides the sanctioned
+    broadcast-of-a-one-row-aggregate crossJoin), one
+    (slice × domain)-grain count aggregate with map-side combine, and
+    a broadcast join of the (n_slices)-row slice totals. Never
+    exchanges the stream itself.
+    """
+    if n_slices < 1:
+        raise ValueError("n_slices must be >= 1")
+    _require_absent(
+        df,
+        ("slice_id", "n_rows", "realized_ppm", "target_ppm",
+         "deviation_ppm", "_N", "_slice_rows"),
+        "mixture_report",
+    )
+    targets = mixture_budgets(weights, 1_000_000) if weights else {}
+    target_map = (
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, t in sorted(targets.items(), key=lambda kv: str(kv[0]))
+                for x in (d, int(t))
+            ]
+        )
+        if targets
+        else None
+    )
+    n_row = df.agg(F.max(F.col(position_col)).cast("bigint").alias("_N"))
+    # broadcast-of-a-one-row-aggregate: the repo's sanctioned crossJoin
+    sliced = df.crossJoin(F.broadcast(n_row)).withColumn(
+        "slice_id",
+        F.expr(f"({position_col} - 1) * {int(n_slices)} DIV _N").cast("int"),
+    )
+    counts = sliced.groupBy("slice_id", domain_col).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    slice_tot = counts.groupBy("slice_id").agg(
+        F.sum("n_rows").alias("_slice_rows")
+    )
+    out = (
+        counts.join(F.broadcast(slice_tot), "slice_id")
+        .withColumn(
+            "realized_ppm", F.expr("n_rows * 1000000 DIV _slice_rows")
+        )
+        .withColumn(
+            "target_ppm",
+            (
+                F.coalesce(
+                    F.element_at(target_map, F.col(domain_col)), F.lit(0)
+                ).cast("bigint")
+                if target_map is not None
+                else F.lit(0).cast("bigint")
+            ),
+        )
+        .withColumn(
+            "deviation_ppm",
+            F.abs(F.col("realized_ppm") - F.col("target_ppm")),
+        )
+        .drop("_slice_rows")
+    )
+    return out

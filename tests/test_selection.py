@@ -1116,3 +1116,86 @@ def test_training_stream_positions_follow_interleave(spark, ts_df):
     pos = sorted({(r["doc_id"], r["position"]) for r in rows},
                  key=lambda t: t[1])
     assert [p for _d, p in pos] == list(range(1, len(pos) + 1))
+
+
+# ---------------------------------------------------------------- r12 staged:
+# mixture_report — per-slice realized-vs-target mixture audit
+
+
+def test_mixture_report_matches_python_replica(spark, interleave_df):
+    from embeddinghub_spark.functions.selection import (
+        interleave_sources,
+        mixture_budgets,
+        mixture_report,
+    )
+
+    weights = {"a": 3.0, "b": 1.0}
+    stream = interleave_sources(
+        interleave_df, ["doc_id"], domain_col="domain", weights=weights
+    )
+    got = sorted(
+        (r["slice_id"], r["domain"], r["n_rows"], r["realized_ppm"],
+         r["target_ppm"], r["deviation_ppm"])
+        for r in mixture_report(
+            stream, domain_col="domain", weights=weights, n_slices=4
+        ).collect()
+    )
+    rows = sorted(
+        (r["position"], r["domain"]) for r in stream.collect()
+    )
+    N = len(rows)
+    targets = mixture_budgets(weights, 1_000_000)
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for pos, dom in rows:
+        cnt[((pos - 1) * 4 // N, dom)] += 1
+    slice_tot: Counter = Counter()
+    for (s, _d), n in cnt.items():
+        slice_tot[s] += n
+    exp = sorted(
+        (s, d, n, n * 1_000_000 // slice_tot[s], targets.get(d, 0),
+         abs(n * 1_000_000 // slice_tot[s] - targets.get(d, 0)))
+        for (s, d), n in cnt.items()
+    )
+    assert got == exp
+
+
+def test_mixture_report_flags_unweighted_and_validates(spark, interleave_df):
+    """A domain in the stream but not in weights reports target 0 —
+    its realized share IS the deviation; every early slice of a
+    stride-scheduled stream sits within one emission of target."""
+    from embeddinghub_spark.functions.selection import (
+        interleave_sources,
+        mixture_report,
+    )
+
+    stream = interleave_sources(
+        interleave_df, ["doc_id"], domain_col="domain",
+        weights={"a": 3.0, "b": 1.0},
+    )
+    rows = mixture_report(
+        stream, domain_col="domain", weights={"a": 3.0}, n_slices=2
+    ).collect()
+    b_rows = [r for r in rows if r["domain"] == "b"]
+    assert b_rows and all(
+        r["target_ppm"] == 0 and r["deviation_ppm"] == r["realized_ppm"]
+        for r in b_rows
+    )
+    with pytest.raises(ValueError, match="n_slices"):
+        mixture_report(
+            stream, domain_col="domain", weights={"a": 1.0}, n_slices=0
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        mixture_report(
+            stream.withColumn("slice_id", F.lit(1)),
+            domain_col="domain", weights={"a": 1.0},
+        )
+    # proportionality: first slice of the 4-slice report holds a's
+    # share within 5% of 750000 ppm (stride scheduler, 20-row slices)
+    full = mixture_report(
+        stream, domain_col="domain", weights={"a": 3.0, "b": 1.0},
+        n_slices=4,
+    ).collect()
+    first_a = [r for r in full if r["slice_id"] == 0 and r["domain"] == "a"]
+    assert first_a and abs(first_a[0]["realized_ppm"] - 750_000) <= 50_000
