@@ -1076,3 +1076,176 @@ def test_kn_trigram_logprob_is_brute_force(spark):
             total += tf
         assert got[d][0] == total
         assert abs(got[d][1] - round(acc / total, 6)) < 1e-9, d
+
+
+# ---------------------------------------------------------------- r12 staged
+# selection family: random weights/budgets/corpora vs brute-force replicas
+
+
+_domains = st.sampled_from(["a", "b", "c"])
+_sel_rows = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=500), _domains),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[0],
+)
+_weights = st.dictionaries(
+    _domains,
+    st.integers(min_value=0, max_value=7),
+    min_size=1,
+    max_size=3,
+).filter(lambda w: sum(w.values()) > 0)
+
+
+@given(rows=_sel_rows, weights=_weights,
+       total=st.integers(min_value=1, max_value=200),
+       epochs=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_epoch_interleave_is_brute_force(spark, rows, weights, total, epochs):
+    """epoch_interleave == the pure-Python stride/epoch replay under
+    random weights (including zero-weight domains), budgets and caps:
+    per-domain contribution is exactly min(quota, epochs·n_d), each
+    epoch a fresh md5 permutation, merged rank contiguous from 1."""
+    import hashlib
+
+    from embeddinghub_spark.functions.selection import (
+        epoch_interleave,
+        mixture_budgets,
+    )
+
+    quotas = {
+        d: q for d, q in mixture_budgets(weights, total).items() if q > 0
+    }
+    if not quotas:
+        return  # contract: raises; covered by the unit test
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    got = sorted(
+        (r["doc_id"], r["domain"], r["epoch"], r["domain_position"],
+         r["slot"], r["position"])
+        for r in epoch_interleave(
+            df, ["doc_id"], domain_col="domain", weights=weights,
+            total_rows=total, max_epochs=epochs,
+        ).collect()
+    )
+    by_dom: dict = {}
+    for key, dom in rows:
+        if dom in quotas:
+            by_dom.setdefault(dom, []).append(key)
+    merged = []
+    for dom, keys in by_dom.items():
+        q, nd = quotas[dom], len(keys)
+        kd = min(q, epochs * nd)
+        for e in range((kd - 1) // nd + 1):
+            perm = sorted(
+                keys,
+                key=lambda k: (
+                    hashlib.md5(f"{k}|42|{e}".encode()).hexdigest(), k
+                ),
+            )
+            for p, key in enumerate(perm, start=1):
+                slot = e * nd + p
+                if slot > kd:
+                    break
+                merged.append(
+                    ((2 * slot - 1) * total // q, dom, slot, key, e, p)
+                )
+    merged.sort()
+    exp = sorted(
+        (key, dom, e, p, slot, i + 1)
+        for i, (_k, dom, slot, key, e, p) in enumerate(merged)
+    )
+    assert got == exp
+
+
+_tok_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_tok_rows, bs=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_length_buckets_is_brute_force(spark, rows, bs):
+    """length_buckets == brute-force bucket/shuffle/batch replay,
+    including zero-token docs (bucket 0) and overflow (NULL pad)."""
+    import hashlib
+
+    from embeddinghub_spark.functions.selection import length_buckets
+
+    bounds = [4, 8, 16]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = sorted(
+        (r["doc_id"], r["bucket_id"], r["bucket_position"], r["batch_id"],
+         r["batch_slot"], r["padded_len"], r["pad_waste"])
+        for r in length_buckets(
+            df, n_tokens_col="n_tokens", batch_size=bs, boundaries=bounds,
+            key_cols=["doc_id"],
+        ).collect()
+    )
+
+    def bkt(n):
+        for i, b in enumerate(bounds):
+            if n <= b:
+                return i
+        return len(bounds)
+
+    byb: dict = {}
+    for d, n in rows:
+        byb.setdefault(bkt(n), []).append((d, n))
+    exp = []
+    for b, ds in byb.items():
+        perm = sorted(
+            ds,
+            key=lambda x: (hashlib.md5(f"{x[0]}|42".encode()).hexdigest(),
+                           str(x[0])),
+        )
+        for p, (d, n) in enumerate(perm, start=1):
+            pl = bounds[b] if b < len(bounds) else None
+            exp.append((d, b, p, (p - 1) // bs, (p - 1) % bs, pl,
+                        (pl - n) if pl is not None else None))
+    assert got == sorted(exp)
+
+
+@given(n_tokens=st.lists(st.integers(min_value=0, max_value=30),
+                         min_size=1, max_size=40),
+       L=st.integers(min_value=1, max_value=17))
+@settings(**SETTINGS)
+def test_pack_sequences_tiles_exactly(spark, n_tokens, L):
+    """pack_sequences under random token counts and context lengths:
+    slices tile every kept document AND every sequence exactly; total
+    slice tokens == total kept tokens; zero-token docs drop."""
+    from embeddinghub_spark.functions.text import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(
+        df, order_cols=["doc_id"], n_tokens_col="n_tokens", max_seq_len=L
+    ).collect()
+    kept = {i: n for i, n in rows if n > 0}
+    assert {r["doc_id"] for r in out} == set(kept)
+    assert sum(r["slice_len"] for r in out) == sum(kept.values())
+    bydoc: dict = {}
+    byseq: dict = {}
+    for r in out:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+        byseq.setdefault(r["seq_id"], []).append(r)
+    for d, rs in bydoc.items():
+        rs = sorted(rs, key=lambda r: r["doc_offset"])
+        assert rs[0]["doc_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["doc_offset"] + a["slice_len"] == b["doc_offset"]
+        assert rs[-1]["doc_offset"] + rs[-1]["slice_len"] == kept[d]
+    if byseq:
+        last = max(byseq)
+        for s, rs in byseq.items():
+            rs = sorted(rs, key=lambda r: r["seq_offset"])
+            assert rs[0]["seq_offset"] == 0
+            for a, b in zip(rs, rs[1:]):
+                assert a["seq_offset"] + a["slice_len"] == b["seq_offset"]
+            total = rs[-1]["seq_offset"] + rs[-1]["slice_len"]
+            assert total == L or (s == last and total <= L)
