@@ -984,6 +984,13 @@ def training_stream(
     share somewhere. Docs from domains absent in ``weights`` drop at
     the budget stage; zero-token docs drop at the packing stage.
     """
+    if cost_col != "n_tokens" and "n_tokens" in df.columns:
+        raise ValueError(
+            "training_stream: the cost column is standardized to "
+            "'n_tokens' in the output, but the input already has an "
+            f"unrelated 'n_tokens' column next to cost_col={cost_col!r}; "
+            "rename one first"
+        )
     kept = domain_budget_select(
         df,
         domain_col=domain_col,

@@ -52,6 +52,35 @@ def read_file(
     timestamp precision) — semantics identical to a ns→us cast.
     """
     fmt = fmt.lower()
+    if fmt == "delta":
+        # S4 path form: with the connector, the format reader (so
+        # versionAsOf/timestampAsOf apply); without it, the NATIVE
+        # transaction-log replay (sources/delta_log.py — the public
+        # PROTOCOL.md read side, versionAsOf supported) instead of
+        # silently misreading the directory as bare parquet (which
+        # would resurrect removed files and drop partition columns).
+        from embeddinghub_spark.observability import record_branch
+
+        if connector_available(spark, "delta"):
+            reader = spark.read.format("delta")
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            record_branch("read_file", "format_delta", path)
+            return reader.load(path)
+        from embeddinghub_spark.sources.delta_log import read_delta
+
+        version = options.get("versionAsOf")
+        unsupported = sorted(set(options) - {"versionAsOf"})
+        if unsupported:
+            raise ValueError(
+                f"native delta log reader supports versionAsOf only; "
+                f"got {unsupported} (install the delta-spark connector "
+                "for the full option surface)"
+            )
+        record_branch("read_file", "native_delta_log", path)
+        return read_delta(
+            spark, path, None if version is None else int(version)
+        )
     if fmt == "parquet":
         ns_cols = _nanos_ts_columns(path)
         if ns_cols:

@@ -1199,3 +1199,17 @@ def test_mixture_report_flags_unweighted_and_validates(spark, interleave_df):
     ).collect()
     first_a = [r for r in full if r["slice_id"] == 0 and r["domain"] == "a"]
     assert first_a and abs(first_a[0]["realized_ppm"] - 750_000) <= 50_000
+
+
+def test_training_stream_rejects_ambiguous_n_tokens(spark, ts_df):
+    from embeddinghub_spark.functions.selection import training_stream
+
+    bad = ts_df.withColumnRenamed("n_tokens", "cost").withColumn(
+        "n_tokens", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        training_stream(
+            bad, id_col="doc_id", domain_col="lang", score_col="score",
+            cost_col="cost", weights={"a": 1.0}, total_budget=100,
+            max_seq_len=64,
+        )
