@@ -18,8 +18,11 @@ readable — including version time travel — in any environment:
   them as typed literal columns per partition group.
 
 Scope (honestly bounded, checked at read time):
-- READ-only. Writes still need the connector (or this repo's own
-  S10/S12 table fallbacks, which commit via the tmp-rename protocol).
+- Reads, version time travel, version-incremental reads over
+  append-only ranges (``read_delta_increment``), and append/overwrite
+  WRITES (``write_delta`` — put-if-absent commit claim, single-
+  filesystem semantics). MERGE/CDF/checkpoint-writing still need the
+  connector (or this repo's own S10/S12 table fallbacks).
 - Reader feature gates: `columnMapping` metadata and
   `deletionVector`-carrying files raise ``NotImplementedError`` — a
   silent wrong read is worse than a loud gap. Everything a
@@ -195,6 +198,7 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
     return {
         "version": target,
         "schema": schema,
+        "metadata_id": meta.get("id"),
         "partition_columns": list(meta.get("partitionColumns") or []),
         "files": [
             {
@@ -247,6 +251,282 @@ def read_delta(
             lit = (
                 F.lit(None) if val is None else F.lit(val)
             ).cast(ptypes[col])
+            part = part.withColumn(col, lit)
+        part = part.select(*[f.name for f in schema.fields])
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _atomic_claim_commit(log_dir: str, version: int, payload: str) -> bool:
+    """Write commit ``version`` atomically: stage the file, then
+    ``os.link`` it to the final name — link fails if the version is
+    already claimed (the local-FS analogue of the protocol's
+    put-if-absent requirement). True on success, False if another
+    writer won the version."""
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """Native Delta WRITE path — append / overwrite commits per the
+    public protocol, no connector JAR. Returns the committed version.
+
+    Protocol essentials implemented:
+    - data files land in the table root (hive-style ``col=value``
+      subdirs when partitioned, partition columns stripped from the
+      files — Spark's ``partitionBy`` layout IS the Delta layout);
+    - the commit is one JSON actions file: ``protocol``/``metaData``
+      on create, ``add`` per data file (size/modificationTime/
+      dataChange), plus ``remove`` of every active file on overwrite;
+    - ``schemaString`` is the DataFrame schema's own JSON
+      (``StructType.json()`` — the exact format Delta uses);
+    - commit atomicity is put-if-absent on the version file
+      (staged write + ``os.link``); on a version race the writer
+      re-reads the log and retries with the next version, so two
+      concurrent appends both land (serialized), while an overwrite
+      retry re-snapshots so its removes cover the winner's files.
+
+    Honest bounds: single-filesystem semantics (os.link — local/NFS
+    class storage); append-only or full-overwrite (no MERGE/CDF);
+    append schema must match the table schema by name+type (raise,
+    never silently widen); no checkpoint writing (readers replay JSON
+    commits; delta allows checkpoint-free logs). The repo's own
+    reader (``read_delta``) and any real Delta reader can read the
+    result."""
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition_by column {c!r} not in DataFrame")
+    os.makedirs(path, exist_ok=True)
+    log_dir = _log_dir(path)
+    os.makedirs(log_dir, exist_ok=True)
+
+    exists = is_delta_table(path)
+    snap = delta_snapshot(path) if exists else None
+    if snap is not None:
+        tbl_schema: T.StructType = snap["schema"]
+        if set(snap["partition_columns"]) != set(partition_by):
+            raise ValueError(
+                f"partition_by {partition_by} does not match the table's "
+                f"partition columns {snap['partition_columns']}"
+            )
+        if mode == "append":
+            ours = {f.name: f.dataType.simpleString() for f in df.schema}
+            theirs = {
+                f.name: f.dataType.simpleString() for f in tbl_schema
+            }
+            if ours != theirs:
+                raise ValueError(
+                    "append schema mismatch: table has "
+                    f"{theirs}, DataFrame has {ours}"
+                )
+
+    # stage the data files with Spark's own parquet writer (the
+    # partitionBy layout is the Delta layout), then move them into the
+    # table root under fresh uuid names
+    stage = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(stage):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root, f)
+            rel_dir = os.path.relpath(root, stage)
+            pvals: dict[str, Any] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    )
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            rel = os.path.join(rel_dir, name) if rel_dir != "." else name
+            os.makedirs(os.path.dirname(os.path.join(path, rel)),
+                        exist_ok=True)
+            os.rename(src, os.path.join(path, rel))
+            st = os.stat(os.path.join(path, rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pvals,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+
+    for _attempt in range(max_commit_retries):
+        exists = is_delta_table(path)
+        snap = delta_snapshot(path) if exists else None
+        actions: list[dict] = []
+        if snap is None:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by,
+                        "configuration": {},
+                        "createdTime": 0,
+                    }
+                }
+            )
+            version = 0
+        else:
+            version = snap["version"] + 1
+            if mode == "overwrite":
+                ours = {f.name: f.dataType.simpleString() for f in df.schema}
+                theirs = {
+                    f.name: f.dataType.simpleString()
+                    for f in snap["schema"].fields
+                }
+                if ours != theirs:
+                    # schema evolution on overwrite: new metaData, but
+                    # the TABLE id is stable for the table's lifetime
+                    actions.append(
+                        {
+                            "metaData": {
+                                "id": snap.get("metadata_id")
+                                or str(uuid.uuid4()),
+                                "format": {
+                                    "provider": "parquet", "options": {}
+                                },
+                                "schemaString": df.schema.json(),
+                                "partitionColumns": partition_by,
+                                "configuration": {},
+                                "createdTime": 0,
+                            }
+                        }
+                    )
+        if mode == "overwrite" and snap is not None:
+            for f in snap["files"]:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f["path"],
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(adds)
+        actions.append({"commitInfo": {"operation": mode.upper()}})
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        if _atomic_claim_commit(log_dir, version, payload):
+            return version
+    raise RuntimeError(
+        f"lost the commit race {max_commit_retries} times: {path}"
+    )
+
+
+def read_delta_increment(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Version-incremental read over an APPEND-ONLY Delta table: the
+    rows added by commits in ``(from_version, to_version]`` — the
+    version-based sibling of S5's watermark-incremental scan (the
+    reference drives incremental refresh through Delta CDF,
+    runner:1049-1109; for append-only tables the adds ARE the change
+    feed, no connector needed).
+
+    Raises on a data-changing ``remove`` in the range (the table is
+    not append-only there — a silent adds-only read would misreport
+    updates/deletes as pure inserts; use the real CDF connector for
+    those tables). Compaction commits (``dataChange: false``) are
+    correctly invisible."""
+    versions = delta_versions(path)
+    latest = versions[-1] if versions else -1
+    to_version = latest if to_version is None else int(to_version)
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    snap = delta_snapshot(path, to_version)  # protocol gates + schema
+    d = _log_dir(path)
+    adds: list[dict] = []
+    for v in range(int(from_version) + 1, to_version + 1):
+        commit = os.path.join(d, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise ValueError(
+                f"commit {v} missing (vacuumed) — incremental range "
+                f"must be replayed from JSON commits: {path}"
+            )
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("remove", {}).get("dataChange", False):
+                    raise ValueError(
+                        f"commit {v} removes data — table is not "
+                        "append-only in this range; use the CDF "
+                        "connector"
+                    )
+                add = a.get("add")
+                if add and add.get("dataChange", True):
+                    adds.append(add)
+    schema: T.StructType = snap["schema"]
+    pcols = snap["partition_columns"]
+    if not adds:
+        return spark.createDataFrame([], schema)
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    groups: dict[tuple, list[str]] = {}
+    for a in adds:
+        key = tuple(
+            sorted((a.get("partitionValues") or {}).items(),
+                   key=lambda t: t[0])
+        )
+        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+    out: DataFrame | None = None
+    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        part = spark.read.schema(data_schema).parquet(*sorted(files))
+        for col, val in key:
+            lit = (F.lit(None) if val is None else F.lit(val)).cast(
+                ptypes[col]
+            )
             part = part.withColumn(col, lit)
         part = part.select(*[f.name for f in schema.fields])
         out = part if out is None else out.unionByName(part)

@@ -255,3 +255,119 @@ def test_empty_and_invalid_tables(spark, tmp_path):
     assert not is_delta_table(str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="_delta_log"):
         delta_snapshot(str(tmp_path / "nope"))
+
+
+# --------------------------------------------------------------- write path
+
+
+def test_write_delta_roundtrip_append_and_time_travel(spark, tmp_path):
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "wtbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert write_delta(df1, d) == 0
+    assert write_delta(df2, d) == 1
+    assert delta_versions(d) == [0, 1]
+    latest = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert latest == {(1, "a"), (2, "b"), (3, "c")}
+    v0 = {(r["id"], r["v"])
+          for r in read_delta(spark, d, version=0).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    # protocol shape: every action line parses, commit 0 carries
+    # protocol + metaData with the Spark schema JSON
+    log0 = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log0) if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert json.loads(actions[1]["metaData"]["schemaString"])["type"] == "struct"
+
+
+def test_write_delta_overwrite_removes_old_files(spark, tmp_path):
+    from embeddinghub_spark.sources.delta_log import (
+        delta_snapshot as snap_fn,
+        write_delta,
+    )
+
+    d = str(tmp_path / "otbl")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), d
+    )
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        d, mode="overwrite",
+    )
+    got = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert got == {(9, "z")}
+    # old version still time-travels
+    v0 = {(r["id"], r["v"])
+          for r in read_delta(spark, d, version=0).collect()}
+    assert v0 == {(1, "a")}
+    assert len(snap_fn(d)["files"]) >= 1
+    # the table id is stable across commits
+    assert snap_fn(d)["metadata_id"] == snap_fn(d, 0)["metadata_id"]
+
+
+def test_write_delta_partitioned_layout(spark, tmp_path):
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "ptbl2")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "de"), (3, "c", None)],
+        "id long, v string, lang string",
+    )
+    write_delta(df, d, partition_by=["lang"])
+    out = read_delta(spark, d)
+    got = {(r["id"], r["v"], r["lang"]) for r in out.collect()}
+    assert got == {(1, "a", "en"), (2, "b", "de"), (3, "c", None)}
+    # partition columns live in the log, not the data files
+    snap = delta_snapshot(d)
+    assert snap["partition_columns"] == ["lang"]
+    assert all("lang" in f["partitionValues"] for f in snap["files"])
+    # appending with a different partitioning raises
+    with pytest.raises(ValueError, match="partition"):
+        write_delta(df, d, partition_by=[])
+
+
+def test_write_delta_schema_and_race_contracts(spark, tmp_path):
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "stbl")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), d)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            spark.createDataFrame([(1.5,)], "id double"), d
+        )
+    # a competing writer claimed version 1 -> append retries to 2
+    _commit(d, 1, [{"commitInfo": {"operation": "NOOP"}}])
+    v = write_delta(
+        spark.createDataFrame([(2, "b")], "id long, v string"), d
+    )
+    assert v == 2
+    got = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_read_delta_increment_append_only(spark, tmp_path):
+    from embeddinghub_spark.sources.delta_log import (
+        read_delta_increment,
+        write_delta,
+    )
+
+    d = str(tmp_path / "itbl")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), d)
+    write_delta(spark.createDataFrame([(2, "b")], "id long, v string"), d)
+    write_delta(spark.createDataFrame([(3, "c")], "id long, v string"), d)
+    inc = {(r["id"], r["v"])
+           for r in read_delta_increment(spark, d, 0, 2).collect()}
+    assert inc == {(2, "b"), (3, "c")}
+    tail = {(r["id"], r["v"])
+            for r in read_delta_increment(spark, d, 2).collect()}
+    assert tail == set()
+    # an overwrite in range is NOT append-only -> loud error
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        d, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="not append-only"):
+        read_delta_increment(spark, d, 0).collect()
