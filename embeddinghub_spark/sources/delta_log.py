@@ -19,9 +19,11 @@ readable — including version time travel — in any environment:
 
 Scope (honestly bounded, checked at read time):
 - Reads, version time travel, version-incremental reads over
-  append-only ranges (``read_delta_increment``), and append/overwrite
+  append-only ranges (``read_delta_increment``), append/overwrite
   WRITES (``write_delta`` — put-if-absent commit claim, single-
-  filesystem semantics). MERGE/CDF/checkpoint-writing still need the
+  filesystem semantics), and MERGE upsert as one atomic overwrite
+  transaction (``merge_delta`` — full-rebuild grain). File-pruned
+  row-level MERGE, CDF, and checkpoint-WRITING still need the
   connector (or this repo's own S10/S12 table fallbacks).
 - Reader feature gates: `columnMapping` metadata and
   `deletionVector`-carrying files raise ``NotImplementedError`` — a
@@ -531,3 +533,39 @@ def read_delta_increment(
         part = part.select(*[f.name for f in schema.fields])
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE upsert into a native Delta table — S12 semantics (WHEN
+    MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
+    `tables.merge_upsert_df` is the shared DataFrame expression)
+    committed as ONE Delta overwrite transaction: removes of every
+    active file + adds of the rebuilt state in a single put-if-absent
+    commit, so readers see the old snapshot or the new one, never a
+    gap — the atomicity the session-catalog fallback in
+    `merge_upsert_table` honestly cannot give, delivered here by the
+    log protocol itself (and still without the connector JAR; a real
+    `MERGE INTO` with file-level pruning still needs delta-spark).
+
+    Returns the committed version. Time travel keeps working: the
+    pre-merge state is the previous version.
+    """
+    from embeddinghub_spark.sources.tables import merge_upsert_df
+
+    snap = delta_snapshot(path)
+    target = read_delta(spark, path)
+    merged = merge_upsert_df(target, source, key_cols)
+    # the rebuild must be materialized BEFORE the overwrite commit
+    # lands (write_delta stages data files first, then commits), and
+    # write_delta's own retry loop re-snapshots on a version race
+    return write_delta(
+        merged,
+        path,
+        mode="overwrite",
+        partition_by=snap["partition_columns"],
+    )

@@ -371,3 +371,27 @@ def test_read_delta_increment_append_only(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not append-only"):
         read_delta_increment(spark, d, 0).collect()
+
+
+def test_merge_delta_upsert_semantics_and_atomic_history(spark, tmp_path):
+    from embeddinghub_spark.sources.delta_log import merge_delta, write_delta
+
+    d = str(tmp_path / "mtbl")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        d,
+    )
+    v = merge_delta(
+        spark,
+        d,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"),
+        ["id"],
+    )
+    assert v == 1
+    got = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    pre = {(r["id"], r["v"])
+           for r in read_delta(spark, d, version=0).collect()}
+    assert pre == {(1, "a"), (2, "b"), (3, "c")}
