@@ -22,9 +22,12 @@ Scope (honestly bounded, checked at read time):
   append-only ranges (``read_delta_increment``), append/overwrite
   WRITES (``write_delta`` — put-if-absent commit claim, single-
   filesystem semantics), and MERGE upsert as one atomic overwrite
-  transaction (``merge_delta`` — full-rebuild grain). File-pruned
-  row-level MERGE, CDF, and checkpoint-WRITING still need the
-  connector (or this repo's own S10/S12 table fallbacks).
+  transaction (``merge_delta`` — full-rebuild grain), plus checkpoint
+  WRITING (``write_delta_checkpoint``; ``write_delta`` auto-
+  checkpoints every ``checkpoint_interval`` commits, the connector's
+  default cadence, so log replay stays bounded). File-pruned
+  row-level MERGE and CDF still need the connector (or this repo's
+  own S10/S12 table fallbacks).
 - Reader feature gates: `columnMapping` metadata and
   `deletionVector`-carrying files raise ``NotImplementedError`` — a
   silent wrong read is worse than a loud gap. Everything a
@@ -287,6 +290,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -451,6 +455,18 @@ def write_delta(
         actions.append({"commitInfo": {"operation": mode.upper()}})
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if _atomic_claim_commit(log_dir, version, payload):
+            if (
+                checkpoint_interval
+                and version > 0
+                and version % int(checkpoint_interval) == 0
+            ):
+                # the connector's cadence: checkpoint every N commits
+                # so replay cost stays bounded; best-effort (a reader
+                # needing it can call write_delta_checkpoint directly)
+                try:
+                    write_delta_checkpoint(path, version)
+                except Exception:
+                    pass
             return version
     raise RuntimeError(
         f"lost the commit race {max_commit_retries} times: {path}"
@@ -569,3 +585,92 @@ def merge_delta(
         mode="overwrite",
         partition_by=snap["partition_columns"],
     )
+
+
+def write_delta_checkpoint(path: str, version: int | None = None) -> int:
+    """Write a protocol checkpoint for ``version`` (default latest):
+    the snapshot's actions as one parquet file
+    (``NNN….checkpoint.parquet``) plus the ``_last_checkpoint``
+    pointer — after which readers replay from the checkpoint and only
+    the tail commits, so log-replay cost stays bounded as the log
+    grows (commits older than the checkpoint become vacuumable).
+    Returns the checkpointed version.
+
+    The parquet action schema mirrors what the replay consumes
+    (metaData / protocol / add / remove structs; maps for
+    partitionValues/configuration) — the same shape
+    ``_read_checkpoint`` normalizes, and a strict subset of the
+    connector's checkpoint columns, which tolerant readers ignore
+    extra/absent optional fields of."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(path, version)
+    v = snap["version"]
+    meta_type = pa.struct(
+        [("id", pa.string()), ("name", pa.string()),
+         ("description", pa.string()),
+         ("format", pa.struct([("provider", pa.string())])),
+         ("schemaString", pa.string()),
+         ("partitionColumns", pa.list_(pa.string())),
+         ("configuration", pa.map_(pa.string(), pa.string())),
+         ("createdTime", pa.int64())]
+    )
+    proto_type = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    add_type = pa.struct(
+        [("path", pa.string()),
+         ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+    rm_type = pa.struct([("path", pa.string())])
+    schema_json = json.dumps(
+        json.loads(snap["schema"].json())
+    )  # canonical single-line form
+    meta_payload = {
+        "id": snap.get("metadata_id") or "unknown",
+        "name": None,
+        "description": None,
+        "format": {"provider": "parquet"},
+        "schemaString": schema_json,
+        "partitionColumns": snap["partition_columns"],
+        "configuration": [],
+        "createdTime": 0,
+    }
+    proto = snap.get("protocol") or {}
+    proto_payload = {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+    }
+    n = 2 + len(snap["files"])
+    metas = [meta_payload] + [None] * (n - 1)
+    protos = [None, proto_payload] + [None] * (n - 2)
+    adds = [None, None] + [
+        {
+            "path": f["path"],
+            "partitionValues": sorted(
+                (k, v) for k, v in f["partitionValues"].items()
+            ),
+            "size": 0,
+            "modificationTime": 0,
+            "dataChange": False,
+        }
+        for f in snap["files"]
+    ]
+    tbl = pa.table({
+        "metaData": pa.array(metas, meta_type),
+        "protocol": pa.array(protos, proto_type),
+        "add": pa.array(adds, add_type),
+        "remove": pa.array([None] * n, rm_type),
+    })
+    log = _log_dir(path)
+    pq.write_table(tbl, os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    tmp = os.path.join(log, "_last_checkpoint.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"version": v, "size": n}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(log, "_last_checkpoint"))
+    return v

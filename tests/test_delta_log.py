@@ -395,3 +395,50 @@ def test_merge_delta_upsert_semantics_and_atomic_history(spark, tmp_path):
     pre = {(r["id"], r["v"])
            for r in read_delta(spark, d, version=0).collect()}
     assert pre == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_write_delta_checkpoint_bounds_replay(spark, tmp_path):
+    """Our own checkpoint writer round-trips through our reader after
+    the pre-checkpoint JSON commits are vacuumed, and write_delta
+    auto-checkpoints at the interval cadence."""
+    from embeddinghub_spark.sources.delta_log import (
+        write_delta,
+        write_delta_checkpoint,
+    )
+
+    d = str(tmp_path / "cwtbl")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            d, checkpoint_interval=None,
+        )
+    v = write_delta_checkpoint(d)
+    assert v == 3
+    log = os.path.join(d, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{3:020d}.checkpoint.parquet"))
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))["version"] == 3
+    # vacuum everything before the checkpoint
+    for i in range(3):
+        os.remove(os.path.join(log, f"{i:020d}.json"))
+    got = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert got == {(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")}
+    # appends continue on top of the checkpointed state
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, v string"), d,
+        checkpoint_interval=None,
+    )
+    got = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert (9, "z") in got and len(got) == 5
+
+    # auto-cadence: interval=2 writes checkpoints at v2 and v4
+    d2 = str(tmp_path / "auto")
+    for i in range(5):
+        write_delta(
+            spark.createDataFrame([(i, "x")], "id long, v string"),
+            d2, checkpoint_interval=2,
+        )
+    log2 = os.path.join(d2, "_delta_log")
+    names = set(os.listdir(log2))
+    assert f"{2:020d}.checkpoint.parquet" in names
+    assert f"{4:020d}.checkpoint.parquet" in names
+    assert json.load(open(os.path.join(log2, "_last_checkpoint")))["version"] == 4
