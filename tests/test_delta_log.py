@@ -442,3 +442,31 @@ def test_write_delta_checkpoint_bounds_replay(spark, tmp_path):
     assert f"{2:020d}.checkpoint.parquet" in names
     assert f"{4:020d}.checkpoint.parquet" in names
     assert json.load(open(os.path.join(log2, "_last_checkpoint")))["version"] == 4
+
+
+def test_delta_table_registers_as_catalog_source(spark, tmp_path):
+    """End-to-end coherence: a native Delta table registers as a
+    primary source (fmt='delta') and flows through the catalog's
+    resolution + SQL templating like any parquet source."""
+    from embeddinghub_spark.catalog import Catalog
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "src_tbl")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (2, 30.0)], "user_id long, value double"
+        ),
+        d,
+    )
+    cat = Catalog(spark)
+    cat.register_file("dsrc", "v1", d, fmt="delta")
+    base = cat.dataframe("dsrc", "v1")
+    assert base.count() == 3
+    cat.sql_transformation(
+        "dsums", "v1",
+        "SELECT user_id, SUM(value) AS total FROM {{dsrc.v1}} "
+        "GROUP BY user_id",
+    )
+    got = {(r["user_id"], r["total"])
+           for r in cat.dataframe("dsums", "v1").collect()}
+    assert got == {(1, 10.0), (2, 50.0)}
