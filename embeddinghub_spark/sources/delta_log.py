@@ -1,4 +1,4 @@
-"""Native Delta Lake READ path — no connector JAR required.
+"""Native Delta Lake table protocol — no connector JAR required.
 
 S4's primary branch needs the delta-spark connector on the classpath
 (`sources/readers.py:read_table`); this module implements the read
@@ -367,10 +367,17 @@ def write_delta(
             rel_dir = os.path.relpath(root, stage)
             pvals: dict[str, Any] = {}
             if rel_dir != ".":
+                from urllib.parse import unquote
+
                 for seg in rel_dir.split(os.sep):
                     k, _, v = seg.partition("=")
+                    # Spark %XX-escapes special chars in hive dir
+                    # names; the log's partitionValues carry the REAL
+                    # string (the escaping is a path artifact)
                     pvals[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
                     )
             name = f"part-{uuid.uuid4().hex}.parquet"
             rel = os.path.join(rel_dir, name) if rel_dir != "." else name

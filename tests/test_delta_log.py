@@ -470,3 +470,20 @@ def test_delta_table_registers_as_catalog_source(spark, tmp_path):
     got = {(r["user_id"], r["total"])
            for r in cat.dataframe("dsums", "v1").collect()}
     assert got == {(1, 10.0), (2, 50.0)}
+
+
+def test_write_delta_unescapes_hive_partition_values(spark, tmp_path):
+    """Spark %XX-escapes special characters in hive directory names;
+    the log's partitionValues must carry the REAL string."""
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a b/c"), (2, "plain")], "id long, k string"
+    )
+    write_delta(df, d, partition_by=["k"])
+    snap = delta_snapshot(d)
+    vals = {f["partitionValues"]["k"] for f in snap["files"]}
+    assert vals == {"a b/c", "plain"}
+    got = {(r["id"], r["k"]) for r in read_delta(spark, d).collect()}
+    assert got == {(1, "a b/c"), (2, "plain")}
