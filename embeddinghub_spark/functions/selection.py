@@ -829,8 +829,8 @@ def length_buckets(
     ``bucket_id = len(boundaries)`` with ``padded_len`` NULL — they
     still batch deterministically; the caller decides truncate /
     reject. ``n_tokens_col`` must be NON-NULL and non-negative — the
-    first NULL raises at execution time (a NULL would silently change
-    every batch boundary behind it).
+    first NULL or negative value raises at execution time (either
+    would silently change every batch boundary behind it).
 
     Output: input columns plus ``bucket_id`` (0-based int),
     ``bucket_position`` (1-based rank within the bucket),
@@ -868,10 +868,11 @@ def length_buckets(
     n = num_partitions or spark.sparkContext.defaultParallelism
     tok = F.col(n_tokens_col).cast("bigint")
     checked = F.when(
-        tok.isNull(),
+        tok.isNull() | (tok < 0),
         F.raise_error(
             F.lit(
-                f"length_buckets: n_tokens_col {n_tokens_col!r} contains NULL"
+                f"length_buckets: n_tokens_col {n_tokens_col!r} contains "
+                "NULL or negative values"
             )
         ).cast("bigint"),
     ).otherwise(tok)
@@ -997,6 +998,7 @@ def training_stream(
         score_col=score_col,
         cost_col=cost_col,
         budgets=mixture_budgets(weights, int(total_budget)),
+        id_col=id_col,
         num_partitions=num_partitions,
     ).drop("cum_cost")
     mixed = interleave_sources(

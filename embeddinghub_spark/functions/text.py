@@ -518,8 +518,8 @@ def pack_sequences(
 
     Contracts: ``order_cols`` must be a total order (tie-break with
     the id); ``n_tokens_col`` must be NON-NULL and non-negative — the
-    first NULL raises at execution time (a NULL would silently shift
-    every later document's offsets).
+    first NULL or negative value raises at execution time (either
+    would silently shift every later document's offsets).
     """
     from pyspark.sql import Window
 
@@ -528,8 +528,9 @@ def pack_sequences(
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     reserved = (
-        "_tok", "_pid", "_local_end", "seq_id", "seq_offset",
-        "doc_offset", "slice_len",
+        "_tok", "_pid", "_local_end", "_start", "_end", "_sbase",
+        "_from", "_to", "seq_id", "seq_offset", "doc_offset",
+        "slice_len",
     )
     clash = sorted(set(reserved) & set(df.columns))
     if clash:
@@ -540,10 +541,10 @@ def pack_sequences(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     checked_tok = F.when(
-        F.col(n_tokens_col).isNull(),
+        F.col(n_tokens_col).isNull() | (F.col(n_tokens_col) < 0),
         F.raise_error(
             F.lit(f"pack_sequences: n_tokens_col {n_tokens_col!r} "
-                  "contains NULL")
+                  "contains NULL or negative values")
         ).cast("bigint"),
     ).otherwise(F.col(n_tokens_col).cast("bigint"))
     ranged = (

@@ -63,8 +63,31 @@ class DeltaProtocolError(NotImplementedError):
     real connector instead."""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """The table advanced past the snapshot this transaction was
+    built from (``write_delta(expected_version=...)``): committing
+    would silently drop the concurrent writer's rows. Re-read and
+    re-apply."""
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
+
+
+def _decode_path(rel: str) -> str:
+    """add/remove ``path`` fields are RFC 2396 URI-encoded per
+    PROTOCOL.md; decode before touching the filesystem."""
+    from urllib.parse import unquote
+
+    return unquote(rel)
+
+
+def _encode_path(rel: str) -> str:
+    """URI-encode a relative path for the log (segment-wise, '/' kept
+    as the separator) — what real Delta readers percent-decode."""
+    from urllib.parse import quote
+
+    return "/".join(quote(seg) for seg in rel.split("/"))
 
 
 def is_delta_table(path: str) -> bool:
@@ -245,7 +268,9 @@ def read_delta(
         key = tuple(
             sorted(f["partitionValues"].items(), key=lambda t: t[0])
         )
-        groups.setdefault(key, []).append(os.path.join(path, f["path"]))
+        groups.setdefault(key, []).append(
+            os.path.join(path, _decode_path(f["path"]))
+        )
 
     out: DataFrame | None = None
     # None-safe deterministic group order (a NULL partition value is
@@ -267,9 +292,17 @@ def _atomic_claim_commit(log_dir: str, version: int, payload: str) -> bool:
     ``os.link`` it to the final name — link fails if the version is
     already claimed (the local-FS analogue of the protocol's
     put-if-absent requirement). True on success, False if another
-    writer won the version."""
+    writer won the version.
+
+    The staging name is UNIQUE PER WRITER (uuid): a shared
+    ``<v>.json.tmp`` would let two same-version writers overwrite each
+    other's staged payload, publishing writer B's actions under
+    writer A's successful claim (silent row loss + duplication on
+    B's retry) and double-unlinking the tmp (review find, r12)."""
+    import uuid as _uuid
+
     final = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = final + ".tmp"
+    tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(payload)
         fh.flush()
@@ -291,6 +324,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
     checkpoint_interval: int | None = 10,
+    expected_version: int | None = None,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -310,13 +344,23 @@ def write_delta(
       concurrent appends both land (serialized), while an overwrite
       retry re-snapshots so its removes cover the winner's files.
 
+    ``expected_version`` is the optimistic-concurrency handle for
+    READ-MODIFY-WRITE callers (``merge_delta``): when set, a commit
+    attempt against any other current version raises
+    ``ConcurrentWriteError`` instead of retrying — a retried
+    overwrite built from a stale snapshot would remove the concurrent
+    writer's files without carrying their rows. Plain overwrites
+    (replace-the-table semantics) and appends retry safely, and the
+    schema/partition contracts are re-validated on every retry
+    snapshot (a racer may have CREATED the table since our first
+    look).
+
     Honest bounds: single-filesystem semantics (os.link — local/NFS
-    class storage); append-only or full-overwrite (no MERGE/CDF);
-    append schema must match the table schema by name+type (raise,
-    never silently widen); no checkpoint writing (readers replay JSON
-    commits; delta allows checkpoint-free logs). The repo's own
-    reader (``read_delta``) and any real Delta reader can read the
-    result."""
+    class storage); append or full-overwrite grain (file-pruned
+    row-level ops need the connector); append schema must match the
+    table schema by name+type (raise, never silently widen). The
+    repo's own reader (``read_delta``) and any real Delta reader can
+    read the result (add paths are URI-encoded per the protocol)."""
     import uuid
 
     if mode not in ("append", "overwrite"):
@@ -329,25 +373,31 @@ def write_delta(
     log_dir = _log_dir(path)
     os.makedirs(log_dir, exist_ok=True)
 
-    exists = is_delta_table(path)
-    snap = delta_snapshot(path) if exists else None
-    if snap is not None:
-        tbl_schema: T.StructType = snap["schema"]
-        if set(snap["partition_columns"]) != set(partition_by):
+    def _validate_against(s: dict) -> None:
+        """Schema/partition contracts vs a snapshot — run before
+        staging AND on every retry re-snapshot (a racing writer can
+        CREATE the table, or change its schema, between our first
+        look and our commit attempt — review find, r12)."""
+        if set(s["partition_columns"]) != set(partition_by):
             raise ValueError(
                 f"partition_by {partition_by} does not match the table's "
-                f"partition columns {snap['partition_columns']}"
+                f"partition columns {s['partition_columns']}"
             )
         if mode == "append":
             ours = {f.name: f.dataType.simpleString() for f in df.schema}
             theirs = {
-                f.name: f.dataType.simpleString() for f in tbl_schema
+                f.name: f.dataType.simpleString() for f in s["schema"]
             }
             if ours != theirs:
                 raise ValueError(
                     "append schema mismatch: table has "
                     f"{theirs}, DataFrame has {ours}"
                 )
+
+    exists = is_delta_table(path)
+    snap = delta_snapshot(path) if exists else None
+    if snap is not None:
+        _validate_against(snap)
 
     # stage the data files with Spark's own parquet writer (the
     # partitionBy layout is the Delta layout), then move them into the
@@ -388,7 +438,7 @@ def write_delta(
             adds.append(
                 {
                     "add": {
-                        "path": rel.replace(os.sep, "/"),
+                        "path": _encode_path(rel.replace(os.sep, "/")),
                         "partitionValues": pvals,
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
@@ -403,6 +453,16 @@ def write_delta(
     for _attempt in range(max_commit_retries):
         exists = is_delta_table(path)
         snap = delta_snapshot(path) if exists else None
+        if snap is not None:
+            _validate_against(snap)
+            if (
+                expected_version is not None
+                and snap["version"] != expected_version
+            ):
+                raise ConcurrentWriteError(
+                    f"table advanced to version {snap['version']} "
+                    f"(expected {expected_version}): {path}"
+                )
         actions: list[dict] = []
         if snap is None:
             actions.append(
@@ -521,7 +581,12 @@ def read_delta_increment(
                 if not line:
                     continue
                 a = json.loads(line)
-                if a.get("remove", {}).get("dataChange", False):
+                # protocol default for RemoveFile.dataChange is
+                # TRUE (older writers omit the optional field) — a
+                # False default would silently misread their deletes
+                # as compactions (review find, r12)
+                rm = a.get("remove")
+                if rm is not None and rm.get("dataChange", True):
                     raise ValueError(
                         f"commit {v} removes data — table is not "
                         "append-only in this range; use the CDF "
@@ -544,7 +609,9 @@ def read_delta_increment(
             sorted((a.get("partitionValues") or {}).items(),
                    key=lambda t: t[0])
         )
-        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+        groups.setdefault(key, []).append(
+            os.path.join(path, _decode_path(a["path"]))
+        )
     out: DataFrame | None = None
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         part = spark.read.schema(data_schema).parquet(*sorted(files))
@@ -581,16 +648,19 @@ def merge_delta(
     from embeddinghub_spark.sources.tables import merge_upsert_df
 
     snap = delta_snapshot(path)
-    target = read_delta(spark, path)
+    target = read_delta(spark, path, version=snap["version"])
     merged = merge_upsert_df(target, source, key_cols)
-    # the rebuild must be materialized BEFORE the overwrite commit
-    # lands (write_delta stages data files first, then commits), and
-    # write_delta's own retry loop re-snapshots on a version race
+    # read-modify-write: pin the commit to the snapshot we merged
+    # against — a concurrent commit in between would otherwise have
+    # its files removed by our overwrite WITHOUT its rows being in
+    # the rebuild (silent loss; review find, r12). On
+    # ConcurrentWriteError the caller re-invokes merge_delta.
     return write_delta(
         merged,
         path,
         mode="overwrite",
         partition_by=snap["partition_columns"],
+        expected_version=snap["version"],
     )
 
 

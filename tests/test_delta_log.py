@@ -487,3 +487,94 @@ def test_write_delta_unescapes_hive_partition_values(spark, tmp_path):
     assert vals == {"a b/c", "plain"}
     got = {(r["id"], r["k"]) for r in read_delta(spark, d).collect()}
     assert got == {(1, "a b/c"), (2, "plain")}
+
+
+def test_atomic_claim_unique_staging_and_loser_detection(tmp_path):
+    """Two writers claiming the SAME version must not share a staging
+    file: the winner's payload is what lands, the loser sees False
+    and nobody crashes on cleanup (review find: a shared <v>.json.tmp
+    let the loser's payload be published under the winner's claim)."""
+    from embeddinghub_spark.sources.delta_log import _atomic_claim_commit
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    assert _atomic_claim_commit(log, 5, "payload-A\n") is True
+    assert _atomic_claim_commit(log, 5, "payload-B\n") is False
+    assert open(os.path.join(log, f"{5:020d}.json")).read() == "payload-A\n"
+    # no stray staging files left behind
+    assert [f for f in os.listdir(log) if f.endswith(".tmp")] == []
+
+
+def test_increment_treats_missing_datachange_remove_as_delete(spark, tmp_path):
+    """RemoveFile.dataChange defaults to TRUE per the protocol: an
+    older writer omitting the field is deleting data, and the
+    append-only incremental read must raise, not silently skip."""
+    from embeddinghub_spark.sources.delta_log import read_delta_increment
+
+    d = str(tmp_path / "legacy")
+    _write_data(d, "f1.parquet", [1], ["a"])
+    _write_data(d, "f2.parquet", [2], ["b"])
+    _commit(d, 0, [_PROTOCOL, _meta(), _add("f1.parquet")])
+    _commit(d, 1, [{"remove": {"path": "f1.parquet"}},  # no dataChange
+                   _add("f2.parquet")])
+    with pytest.raises(ValueError, match="not append-only"):
+        read_delta_increment(spark, d, 0)
+
+
+def test_add_paths_are_uri_encoded_for_interop(spark, tmp_path):
+    """PROTOCOL.md: add.path is URI-encoded. Our writer must encode
+    (a real reader percent-decodes before opening) and our reader
+    must decode (a connector-written log stores '%25' for '%')."""
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "enc")
+    write_delta(
+        spark.createDataFrame([(1, "50%"), (2, "a b")], "id long, k string"),
+        d, partition_by=["k"],
+    )
+    log0 = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    paths = [json.loads(l)["add"]["path"]
+             for l in open(log0) if '"add"' in l]
+    assert paths and all("%" in p for p in paths)  # encoded segments
+    assert not any(" " in p for p in paths)
+    got = {(r["id"], r["k"]) for r in read_delta(spark, d).collect()}
+    assert got == {(1, "50%"), (2, "a b")}
+
+
+def test_write_delta_expected_version_raises_on_race(spark, tmp_path):
+    """Read-modify-write callers pin the commit to their snapshot: if
+    the table advanced, committing would drop the concurrent writer's
+    rows — raise ConcurrentWriteError instead of retry-removing."""
+    from embeddinghub_spark.sources.delta_log import (
+        ConcurrentWriteError,
+        write_delta,
+    )
+
+    d = str(tmp_path / "race")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), d)
+    # a competing writer lands version 1 after our snapshot at 0
+    write_delta(spark.createDataFrame([(2, "b")], "id long, v string"), d)
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        write_delta(
+            spark.createDataFrame([(9, "z")], "id long, v string"),
+            d, mode="overwrite", expected_version=0,
+        )
+    # nothing was committed by the failed attempt
+    assert delta_versions(d) == [0, 1]
+
+
+def test_write_delta_revalidates_schema_on_race_created_table(spark, tmp_path):
+    """A racer CREATES the table between our first look and our
+    commit: the retry-loop snapshot must re-run the append schema
+    check, never commit mismatched files (review find)."""
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "created")
+    # simulate: table exists with another schema BEFORE our commit
+    # loop runs (the pre-staging look is also the loop's first look,
+    # so the shared validator covers both orders)
+    write_delta(spark.createDataFrame([(1.0,)], "other double"), d)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            spark.createDataFrame([(1, "a")], "id long, v string"), d
+        )

@@ -2115,3 +2115,30 @@ def test_pack_sequences_contracts(spark):
             ok.withColumn("seq_id", _F.lit(1)), order_cols=["ord"],
             n_tokens_col="n_tokens", max_seq_len=8,
         )
+
+
+def test_pack_sequences_rejects_negative_tokens_and_reserved_helpers(spark):
+    """Review find: negative token counts raise (they would silently
+    shift every later offset), and the helper columns the packer
+    injects are all reserved."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.functions.text import pack_sequences
+
+    bad = spark.createDataFrame(
+        [(1, 5), (2, -1)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL or negative"):
+        pack_sequences(
+            bad, order_cols=["doc_id"], n_tokens_col="n_tokens",
+            max_seq_len=8,
+        ).collect()
+    ok = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens int")
+    for helper in ("_start", "_end", "_sbase", "_from", "_to"):
+        with pytest.raises(ValueError, match="reserved"):
+            pack_sequences(
+                ok.withColumn(helper, F.lit(1)),
+                order_cols=["doc_id"], n_tokens_col="n_tokens",
+                max_seq_len=8,
+            )

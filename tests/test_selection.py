@@ -1213,3 +1213,32 @@ def test_training_stream_rejects_ambiguous_n_tokens(spark, ts_df):
             cost_col="cost", weights={"a": 1.0}, total_budget=100,
             max_seq_len=64,
         )
+
+
+def test_training_stream_forwards_custom_id_col(spark):
+    """Review find: the budgeter's (score DESC, id ASC) tiebreak must
+    use the CALLER's id column, and a frame with no 'doc_id' column
+    at all must work."""
+    from embeddinghub_spark.functions.selection import training_stream
+
+    df = spark.createDataFrame(
+        [(f"e{i}", ["a", "b"][i % 2], (i * 17) % 100, 5 + (i * 7) % 40)
+         for i in range(1, 31)],
+        ["example_id", "lang", "score", "n_tokens"],
+    )
+    out = training_stream(
+        df, id_col="example_id", domain_col="lang", score_col="score",
+        cost_col="n_tokens", weights={"a": 2.0, "b": 1.0},
+        total_budget=200, max_seq_len=64,
+    ).collect()
+    assert out and all(r["example_id"].startswith("e") for r in out)
+
+
+def test_length_buckets_rejects_negative_tokens(spark):
+    from embeddinghub_spark.functions.selection import length_buckets
+
+    bad = spark.createDataFrame(
+        [("a", 5), ("b", -3)], "doc_id string, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL or negative"):
+        length_buckets(bad, n_tokens_col="n_tokens", batch_size=2).collect()
