@@ -379,8 +379,8 @@ def domain_budget_select(
         ("_cost", "_pid", "_local_cum", "_off", "cum_cost"),
         "domain_budget_select",
     )
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    from embeddinghub_spark.operators.materialize import grouped_prefix
+
     checked_cost = F.when(
         F.col(cost_col).isNull(),
         F.raise_error(
@@ -389,35 +389,13 @@ def domain_budget_select(
             )
         ).cast("bigint"),
     ).otherwise(F.col(cost_col).cast("bigint"))
-    ranged = (
-        df.withColumn("_cost", checked_cost)
-        .repartitionByRange(
-            n,
-            F.col(domain_col).asc(),
-            F.col(score_col).desc(),
-            F.col(id_col).asc(),
-        )
-        .localCheckpoint(eager=True)
-    )
-    part = ranged.withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid", domain_col)
-        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = part.withColumn("_local_cum", F.sum("_cost").over(w))
-    # exclusive per-domain prefix of (partition, domain) subtotals —
-    # computed ON the tiny subtotal frame, never the data
-    offw = (
-        Window.partitionBy(domain_col)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        part.groupBy("_pid", domain_col)
-        .agg(F.sum("_cost").alias("_t"))
-        .withColumn("_off", F.coalesce(F.sum("_t").over(offw), F.lit(0)))
-        .select("_pid", domain_col, "_off")
+    cum = grouped_prefix(
+        df.withColumn("_cost", checked_cost),
+        [domain_col],
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        out_col="cum_cost",
+        value_col="_cost",
+        num_partitions=num_partitions,
     )
     budget_map = F.create_map(
         *[
@@ -426,16 +404,11 @@ def domain_budget_select(
             for x in (d, int(b))
         ]
     )
-    return (
-        local.join(F.broadcast(offsets), ["_pid", domain_col])
-        .withColumn("cum_cost", F.col("_local_cum") + F.col("_off"))
-        # absent domain → NULL budget → predicate false → dropped
-        .filter(
-            F.col("cum_cost")
-            <= F.element_at(budget_map, F.col(domain_col)).cast("bigint")
-        )
-        .drop("_pid", "_local_cum", "_off", "_cost")
-    )
+    # absent domain → NULL budget → predicate false → dropped
+    return cum.filter(
+        F.col("cum_cost")
+        <= F.element_at(budget_map, F.col(domain_col)).cast("bigint")
+    ).drop("_cost")
 
 
 def interleave_sources(
@@ -499,8 +472,8 @@ def interleave_sources(
     }
     if not shares:
         raise ValueError("weights apportion to zero shares")
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    from embeddinghub_spark.operators.materialize import grouped_prefix
+
     h = F.md5(
         F.concat_ws(
             "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
@@ -513,42 +486,20 @@ def interleave_sources(
             for x in (d, int(s))
         ]
     )
-    ranged = (
+    base = (
         df.withColumn("_h", h)
         .withColumn(
             "_share", F.element_at(share_map, F.col(domain_col)).cast("bigint")
         )
         .filter(F.col("_share").isNotNull())
-        .repartitionByRange(
-            n,
-            F.col(domain_col).asc(),
-            F.col("_h").asc(),
-            *[F.col(c).asc() for c in key_cols],
-        )
-        .localCheckpoint(eager=True)
-    )
-    part = ranged.withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid", domain_col)
-        .orderBy(F.col("_h").asc(), *[F.col(c).asc() for c in key_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = part.withColumn("_local_rn", F.count(F.lit(1)).over(w))
-    offw = (
-        Window.partitionBy(domain_col)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        part.groupBy("_pid", domain_col)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(offw), F.lit(0)))
-        .select("_pid", domain_col, "_off")
     )
     numbered = (
-        local.join(F.broadcast(offsets), ["_pid", domain_col])
-        .withColumn(
-            "domain_position", (F.col("_local_rn") + F.col("_off")).cast("bigint")
+        grouped_prefix(
+            base,
+            [domain_col],
+            [F.col("_h").asc(), *[F.col(c).asc() for c in key_cols]],
+            out_col="domain_position",
+            num_partitions=num_partitions,
         )
         .withColumn(
             "_stride",
@@ -556,7 +507,7 @@ def interleave_sources(
                 f"(2 * domain_position - 1) * {int(share_scale)}L DIV _share"
             ),
         )
-        .drop("_pid", "_local_rn", "_off", "_h", "_share")
+        .drop("_h", "_share")
     )
     return with_global_row_number(
         numbered,
@@ -684,8 +635,6 @@ def epoch_interleave(
     }
     if not quotas:
         raise ValueError("weights apportion to zero rows everywhere")
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
 
     def _lit_map(m: dict) -> Column:
         return F.create_map(
@@ -736,40 +685,15 @@ def epoch_interleave(
             F.col("epoch").cast("string"),
         )
     )
-    ranged = (
-        exploded.withColumn("_h", h)
-        .repartitionByRange(
-            n,
-            F.col(domain_col).asc(),
-            F.col("epoch").asc(),
-            F.col("_h").asc(),
-            *[F.col(c).asc() for c in key_cols],
-        )
-        .localCheckpoint(eager=True)
-    )
-    part = ranged.withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid", domain_col, "epoch")
-        .orderBy(F.col("_h").asc(), *[F.col(c).asc() for c in key_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = part.withColumn("_local_rn", F.count(F.lit(1)).over(w))
-    offw = (
-        Window.partitionBy(domain_col, "epoch")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        part.groupBy("_pid", domain_col, "epoch")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(offw), F.lit(0)))
-        .select("_pid", domain_col, "epoch", "_off")
-    )
+    from embeddinghub_spark.operators.materialize import grouped_prefix
+
     numbered = (
-        local.join(F.broadcast(offsets), ["_pid", domain_col, "epoch"])
-        .withColumn(
-            "domain_position",
-            (F.col("_local_rn") + F.col("_off")).cast("bigint"),
+        grouped_prefix(
+            exploded.withColumn("_h", h),
+            [domain_col, "epoch"],
+            [F.col("_h").asc(), *[F.col(c).asc() for c in key_cols]],
+            out_col="domain_position",
+            num_partitions=num_partitions,
         )
         .withColumn(
             "slot",
@@ -794,7 +718,7 @@ def epoch_interleave(
             "_stride",
             F.expr(f"(2 * slot - 1) * {int(total_rows)}L DIV _quota"),
         )
-        .drop("_pid", "_local_rn", "_off", "_h", "_quota")
+        .drop("_h", "_quota")
     )
     return with_global_row_number(
         numbered,
@@ -864,8 +788,6 @@ def length_buckets(
          "batch_id", "batch_slot", "padded_len", "pad_waste"),
         "length_buckets",
     )
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
     tok = F.col(n_tokens_col).cast("bigint")
     checked = F.when(
         tok.isNull() | (tok < 0),
@@ -886,44 +808,19 @@ def length_buckets(
             "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
         )
     )
-    ranged = (
-        df.withColumn("bucket_id", bucket)
-        .withColumn("_h", h)
-        .repartitionByRange(
-            n,
-            F.col("bucket_id").asc(),
-            F.col("_h").asc(),
-            *[F.col(c).asc() for c in key_cols],
-        )
-        .localCheckpoint(eager=True)
-    )
-    part = ranged.withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid", "bucket_id")
-        .orderBy(F.col("_h").asc(), *[F.col(c).asc() for c in key_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = part.withColumn("_local_rn", F.count(F.lit(1)).over(w))
-    offw = (
-        Window.partitionBy("bucket_id")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        part.groupBy("_pid", "bucket_id")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(offw), F.lit(0)))
-        .select("_pid", "bucket_id", "_off")
-    )
+    from embeddinghub_spark.operators.materialize import grouped_prefix
+
     padded = F.when(
         F.col("bucket_id") < len(bounds),
         F.element_at(pad_arr, F.col("bucket_id") + 1),
     )
     return (
-        local.join(F.broadcast(offsets), ["_pid", "bucket_id"])
-        .withColumn(
-            "bucket_position",
-            (F.col("_local_rn") + F.col("_off")).cast("bigint"),
+        grouped_prefix(
+            df.withColumn("bucket_id", bucket).withColumn("_h", h),
+            ["bucket_id"],
+            [F.col("_h").asc(), *[F.col(c).asc() for c in key_cols]],
+            out_col="bucket_position",
+            num_partitions=num_partitions,
         )
         .withColumn(
             "batch_id",
@@ -937,7 +834,7 @@ def length_buckets(
         .withColumn(
             "pad_waste", F.col("padded_len") - F.col(n_tokens_col).cast("bigint")
         )
-        .drop("_pid", "_local_rn", "_off", "_h")
+        .drop("_h")
     )
 
 

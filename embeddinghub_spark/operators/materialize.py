@@ -235,3 +235,69 @@ def chunk(df_with_rn: DataFrame, chunk_idx: int, rows_per_chunk: int = 100_000,
 def num_chunks(row_count: int, rows_per_chunk: int = 100_000) -> int:
     """NumChunks = ceil(rows/chunk) — provider/offline.go:41."""
     return -(-row_count // rows_per_chunk)
+
+
+def grouped_prefix(
+    df,
+    group_cols: list[str],
+    order_exprs: list,
+    *,
+    out_col: str,
+    value_col: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Generalized per-GROUP C5 prefix aggregate: the running
+    count (``value_col=None``) or running sum of ``value_col`` within
+    each ``group_cols`` combination, ordered by ``order_exprs``
+    (Columns, directions included) — without ever putting a whole
+    group on one task.
+
+    Mechanics (the C5 discipline, per-group): one range exchange on
+    ``(group_cols ASC, *order_exprs)`` so a HEAD group splits across
+    partitions (web-crawl mixtures are head-heavy; a naive
+    ``PARTITION BY group`` window would put the whole head group on
+    one task), a per-(partition, group) window for local prefixes,
+    and a (partitions × groups)-row subtotal frame whose exclusive
+    per-group prefix rides a broadcast join back — never a
+    driver-side literal. ``localCheckpoint`` pins the ranged layout
+    (AQE may otherwise coalesce the exchange differently per job,
+    shifting partition ids and corrupting the offsets — the
+    with_global_row_number_counted note).
+
+    Shared by ``functions/selection.py``'s budget / interleave /
+    bucketing family (review find r12: four diverging copies of this
+    ~30-line idiom); ``order_exprs`` must make the order total WITHIN
+    each group (tie-break with a unique key).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        n, *[F.col(g).asc() for g in group_cols], *order_exprs
+    ).localCheckpoint(eager=True)
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    val = F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    local = part.withColumn("_local", val.over(w))
+    offw = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    agg = (
+        F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    ).alias("_t")
+    offsets = (
+        part.groupBy("_pid", *group_cols)
+        .agg(agg)
+        .withColumn("_off", F.coalesce(F.sum("_t").over(offw), F.lit(0)))
+        .select("_pid", *group_cols, "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_local", "_off")
+    )
