@@ -5059,9 +5059,11 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-feature prune. The oracle computes the same dim from the same
     distinct count, so the sizing rule itself is oracle-certified. The
     fixed-dim=4096 unpruned shape this entry used to pin is parked as
-    a pytest-only regression shape (tests/test_vector.py); the
-    explicit-dim twin ``sparse_cosine_scaled`` (65536 + max_df) keeps
-    its own driver rows."""
+    a pytest-only regression shape (tests/test_vector.py); the twin
+    ``sparse_cosine_scaled`` certifies the same auto-dim path with a
+    BINDING ``max_df=8`` prune (re-pointed mid-r12 after the fixed-dim
+    Σ_b df² crowding law was measured ×34.5 at ×10 data) and keeps its
+    own driver rows."""
     from embeddinghub_spark.functions.text import hash_vectorizer
     from embeddinghub_spark.functions.vector import sparse_cosine_pairs
 
@@ -6369,42 +6371,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. The r11 window certified 50/50 green (the
-    # fourth consecutive all-green gate; cumulative ledger 185/188
-    # hash-certified + 3 rows-only). Round 12 executes the rotation ordered by
-    # VERDICT r11 task #1: positions 1-4 are the four entries staged through
-    # r11 (frozen shuffle order, MinHash estimator-calibration audit,
-    # per-domain token budgets, proportional source interleaving) — each
-    # judge-verified at sf0.01 AND sf0.1 via tools/check.py --staged but with
-    # zero driver rows; positions 5-6 are the two RE-POINTED former frozen
-    # exemplars (VERDICT r11 task #4b: `semantic_dedup` now certifies the
-    # auto-sized K ∝ N default, `sparse_cosine` the vocabulary-sized auto-dim
-    # + max_df prune — new semantics, so they re-certify in-window; the old
-    # fixed-parameter shapes are parked as pytest-only regression pins);
-    # positions 7-37 are REFRESHED canaries — the 31 entries whose last green
-    # row is r3; positions 38-49 are twelve r4-stale canaries; position 50
-    # keeps the flagship c6 sentinel as the cross-round canary. Everything
-    # below the window keeps its cumulative green rows. Rows-only entries
-    # (bpe_merges, pca_embeddings, isotonic_calibration) stay OUTSIDE the
-    # window: they can never hash-match, so a window slot on them is wasted.
-    # After this round the cumulative ledger covers 189/192 hash-certified +
-    # 3 rows-only recorded. The registry is FROZEN for r12 at 192: new
-    # operators (pack_sequences) ship staged until this window certifies.
+    # entries of this dict per round. The r12 window certified 50/50 green (the
+    # fifth consecutive all-green gate; cumulative ledger 189/192
+    # hash-certified + 3 rows-only). Round 13 executes the rotation ordered by
+    # VERDICT r12 task #1: positions 1-5 are the five entries staged through
+    # r12 (GPT-style sequence packing, multi-epoch interleaving, length-bucket
+    # batch formation, the end-to-end training_stream flagship, and the
+    # mixture-audit report) — each judge-verified at sf0.01 AND sf0.1 via
+    # tools/check.py --staged but with zero driver rows; position 6 is
+    # feature_scaling, which yielded its r12 refresh slot to the mid-round
+    # sparse_cosine_scaled re-point and re-queues first; positions 7-41 are
+    # the 35 remaining canaries whose last green row is r4 (alphabetical);
+    # positions 42-49 are the first eight r5-stale canaries (alphabetical);
+    # position 50 keeps the flagship c6 sentinel as the cross-round canary.
+    # Everything below the window keeps its cumulative green rows. Rows-only
+    # entries (bpe_merges, pca_embeddings, isotonic_calibration) stay OUTSIDE
+    # the window: they can never hash-match, so a window slot on them is
+    # wasted. After this round the cumulative ledger covers 194/197
+    # hash-certified + 3 rows-only recorded. The registry is FROZEN for r13 at
+    # 197: new operators (pack_bins) ship staged until this window certifies.
     return {
-        # --- positions 1-4: the r11 staged entries, never driver-certified ---
+        # --- positions 1-5: the r12 staged entries, never driver-certified ---
+        "pack_sequences": q_pack_sequences,
+        "epoch_interleave": q_epoch_interleave,
+        "length_buckets": q_length_buckets,
+        "training_stream": q_training_stream,
+        "mixture_report": q_mixture_report,
+        # --- position 6: yielded its r12 refresh slot, re-queues first ---
+        "feature_scaling": q_feature_scaling,
+        # --- positions 7-41: refreshed canaries (last green row = r4) ---
+        "bm25": q_bm25,
+        "contamination": q_contamination,
+        "corpus_curation": q_corpus_curation,
+        "decayed_count": q_decayed_count,
+        "domain_tag": q_domain_tag,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_clusters": q_embedding_clusters,
+        "f8_count_distinct": q_f8_count_distinct,
+        "f8_grouping_sets": q_f8_grouping_sets,
+        "f8_ntile_lead": q_f8_ntile_lead,
+        "f8_semi_anti": q_f8_semi_anti,
+        "f9_sessionize": q_f9_sessionize,
+        "f9_sliding_window": q_f9_sliding_window,
+        "f9_windowed_agg": q_f9_windowed_agg,
+        "histogram_quantiles": q_histogram_quantiles,
+        "interval_join": q_interval_join,
+        "knn_join": q_knn_join,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
+        "mm_metadata": q_mm_metadata,
+        "ngram_topk": q_ngram_topk,
+        "normalize_embeddings": q_normalize_embeddings,
+        "pack_shards": q_pack_shards,
+        "perplexity_buckets": q_perplexity_buckets,
+        "quality_filter": q_quality_filter,
+        "random_projection": q_random_projection,
+        "robust_scale": q_robust_scale,
+        "salted_join": q_salted_join,
+        "sample_mixture": q_sample_mixture,
+        "strip_markup": q_strip_markup,
+        "unigram_logprob": q_unigram_logprob,
+        "v1_dataset_rows": q_v1_dataset_rows,
+        "v3_online_serve": q_v3_online_serve,
+        "v9_download": q_v9_download,
+        "v9_nearest": q_v9_nearest,
+        # --- positions 42-49: refreshed canaries (last green row = r5) ---
+        "bloom_filter": q_bloom_filter,
+        "cap_per_group": q_cap_per_group,
+        "cms_topk": q_cms_topk,
+        "cohort_retention": q_cohort_retention,
+        "curation_v2": q_curation_v2,
+        "dup_spans": q_dup_spans,
+        "embedding_near_dup": q_embedding_near_dup,
+        "f8_array_funcs": q_f8_array_funcs,
+        # --- position 50: flagship sentinel (certified r1-r12) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window (every entry below
+        # has at least one green driver row from rounds 1-12, except the
+        # rows-only trio which are rows-only by design and parked here
+        # permanently; each keeps its cumulative rows) ---
         "shuffle_order": q_shuffle_order,
         "minhash_estimate_audit": q_minhash_estimate_audit,
         "domain_budget_select": q_domain_budget_select,
         "interleave_sources": q_interleave_sources,
-        # --- positions 5-6: re-pointed exemplars (new auto-sized semantics,
-        # must re-certify; VERDICT r11 #4b) ---
         "semantic_dedup": q_semantic_dedup,
         "sparse_cosine": q_sparse_cosine,
-        # --- position 7: re-pointed mid-round after the third warm A/B
-        # confirmed the fixed-dim drift was real (now auto-dim + a
-        # BINDING max_df=8 — new semantics, must re-certify) ---
         "sparse_cosine_scaled": q_sparse_cosine_scaled,
-        # --- positions 8-37: refreshed canaries (last green row = r3) ---
         "c2_df_transformation": q_c2_df_transformation,
         "c4_materialize_no_ts": q_c4_materialize_no_ts,
         "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
@@ -6436,7 +6488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_window_topn": q_f8_window_topn,
         "f8_set_ops": q_f8_set_ops,
         "f8_cte_having": q_f8_cte_having,
-        # --- positions 38-49: refreshed canaries (last green row = r4) ---
         "f8_pivot": q_f8_pivot,
         "f8_percentiles": q_f8_percentiles,
         "f8_exists": q_f8_exists,
@@ -6448,17 +6499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
-        # --- position 50: flagship sentinel (certified r1-r11) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # feature_scaling yielded its refresh slot to the mid-round
-        # sparse_cosine_scaled re-point (window stays 50 wide); its r4
-        # green row stands, it re-queues for the r13 refresh.
-        "feature_scaling": q_feature_scaling,
-        # --- positions 51+: outside this round's window (every entry below
-        # has at least one green driver row from rounds 1-11, except the
-        # rows-only trio which are rows-only by design and parked here
-        # permanently; the r11 window's certified entries lead this block —
-        # each keeps its cumulative rows) ---
         "dsir_weights": q_dsir_weights,
         "budget_select": q_budget_select,
         "streaming_embedding_dedup": q_streaming_embedding_dedup,
@@ -6531,8 +6571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece": q_ece,
         "backfill": q_backfill,
         "f8_tpch_q5": q_f8_tpch_q5,
-        "dup_spans": q_dup_spans,
-        "cms_topk": q_cms_topk,
         "nb_classifier": q_nb_classifier,
         "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
@@ -6544,67 +6582,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "hash_vectorizer": q_hash_vectorizer,
         "snapshot_diff": q_snapshot_diff,
-        "curation_v2": q_curation_v2,
         "incremental_spans": q_incremental_spans,
-        "cohort_retention": q_cohort_retention,
         "source_divergence": q_source_divergence,
         "negative_samples": q_negative_samples,
         "hard_negatives": q_hard_negatives,
         "normalize_text": q_normalize_text,
-        "bloom_filter": q_bloom_filter,
         "s2_json_scan": q_s2_json_scan,
-        "cap_per_group": q_cap_per_group,
         "f8_moving_avg": q_f8_moving_avg,
         "f8_scalar_funcs": q_f8_scalar_funcs,
         "f8_date_funcs": q_f8_date_funcs,
         "f8_rollup": q_f8_rollup,
-        "f8_array_funcs": q_f8_array_funcs,
         "simhash_pairs": q_simhash_pairs,
         "profile_table": q_profile_table,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "hll_profile": q_hll_profile,
-        "embedding_near_dup": q_embedding_near_dup,
-        "salted_join": q_salted_join,
-        "quality_filter": q_quality_filter,
-        "pack_shards": q_pack_shards,
-        "ngram_topk": q_ngram_topk,
-        "strip_markup": q_strip_markup,
-        "embedding_centroids": q_embedding_centroids,
-        "normalize_embeddings": q_normalize_embeddings,
-        "random_projection": q_random_projection,
-        "bm25": q_bm25,
-        "corpus_curation": q_corpus_curation,
-        "f8_count_distinct": q_f8_count_distinct,
-        "interval_join": q_interval_join,
-        "sample_mixture": q_sample_mixture,
-        "contamination": q_contamination,
-        "f8_grouping_sets": q_f8_grouping_sets,
-        "f8_semi_anti": q_f8_semi_anti,
-        "f8_ntile_lead": q_f8_ntile_lead,
-        "v9_download": q_v9_download,
-        "v9_nearest": q_v9_nearest,
-        "v1_dataset_rows": q_v1_dataset_rows,
-        "v3_online_serve": q_v3_online_serve,
-        "f9_windowed_agg": q_f9_windowed_agg,
-        "f9_sliding_window": q_f9_sliding_window,
-        "f9_sessionize": q_f9_sessionize,
-        "mm_metadata": q_mm_metadata,
-        "mm_frames": q_mm_frames,
-        "mm_features": q_mm_features,
-        "knn_join": q_knn_join,
-        "unigram_logprob": q_unigram_logprob,
-        "domain_tag": q_domain_tag,
-        "histogram_quantiles": q_histogram_quantiles,
-        "perplexity_buckets": q_perplexity_buckets,
-        "embedding_clusters": q_embedding_clusters,
-        "decayed_count": q_decayed_count,
-        "robust_scale": q_robust_scale,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- promoted by the r13 rotation (staged through r12) ---
+        "pack_sequences": _pack_sequences_oracle(),
+        "epoch_interleave": _epoch_interleave_oracle(),
+        "length_buckets": _length_buckets_oracle(),
+        "training_stream": _training_stream_oracle(),
+        "mixture_report": _mixture_report_oracle(),
         # --- promoted by the r12 rotation (staged through r11) ---
         "shuffle_order": _SHUFFLE_ORDER_ORACLE,
         "minhash_estimate_audit": _minhash_estimate_audit_oracle(),
@@ -8577,27 +8580,15 @@ FROM c JOIN t ON c.slice_id = t.slice_id
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 192 per VERDICT r11 #7). The four r11 staged
-    entries (shuffle_order, minhash_estimate_audit,
-    domain_budget_select, interleave_sources) were promoted into
-    queries()/oracle_sql() by the r12 rotation; new operators staged
+    (registry frozen at 197 per VERDICT r12 #8). The five r12 staged
+    entries (pack_sequences, epoch_interleave, length_buckets,
+    training_stream, mixture_report) were promoted into
+    queries()/oracle_sql() by the r13 rotation; new operators staged
     this round land here with the standard protocol (pin tests vs
     exact Python replicas, SCALING.md audit row, README line, oracle
     twin certified at sf0.01 + sf0.1) before touching the registry."""
-    return {
-        "pack_sequences": q_pack_sequences,
-        "epoch_interleave": q_epoch_interleave,
-        "length_buckets": q_length_buckets,
-        "training_stream": q_training_stream,
-        "mixture_report": q_mixture_report,
-    }
+    return {}
 
 
 def staged_oracle_sql() -> dict:
-    return {
-        "pack_sequences": _pack_sequences_oracle(),
-        "epoch_interleave": _epoch_interleave_oracle(),
-        "length_buckets": _length_buckets_oracle(),
-        "training_stream": _training_stream_oracle(),
-        "mixture_report": _mixture_report_oracle(),
-    }
+    return {}

@@ -34,50 +34,42 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round12_window_layout():
-    """The rotation for round 12 (VERDICT r11 task #1 + #4b): the 4
-    oracle-backed entries staged through r11 (frozen shuffle order,
-    MinHash estimator audit, per-domain budgets, source interleaving;
-    zero driver rows, judge-verified at both scales) occupy positions
-    1-4 of the 50-slot window; positions 5-6 are the two RE-POINTED
-    former frozen exemplars (semantic_dedup auto-K, sparse_cosine
-    auto-dim + max_df — new semantics, so they must re-certify);
-    position 7 is sparse_cosine_scaled, re-pointed MID-ROUND after the
-    third warm A/B confirmed the fixed-dim drift was real (now
-    auto-dim + a BINDING max_df=8 — new semantics, must re-certify);
-    8-38 are the 31 canaries whose last green row is r3; 39-49 are
-    eleven r4-stale canaries (feature_scaling yielded its slot to the
-    re-point and re-queues for r13); slot 50 is the flagship sentinel.
+def test_round13_window_layout():
+    """The rotation for round 13 (VERDICT r12 task #1): the 5
+    oracle-backed entries staged through r12 (sequence packing,
+    multi-epoch interleaving, length-bucket batches, the end-to-end
+    training_stream flagship, the mixture audit; zero driver rows,
+    judge-verified at both scales) occupy positions 1-5 of the 50-slot
+    window; position 6 is feature_scaling (yielded its r12 refresh
+    slot to the mid-round sparse_cosine_scaled re-point, re-queues
+    first); positions 7-41 are the 35 remaining canaries whose last
+    green row is r4 (alphabetical); 42-49 are the first eight r5-stale
+    canaries (alphabetical); slot 50 is the flagship sentinel.
     Rows-only entries can never hash-match, so they must stay OUT of
-    the window. The registry is frozen at 192 entries until this window
+    the window. The registry is frozen at 197 entries until this window
     is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
-    assert len(keys) == 192, "registry frozen at 192 for r12"
+    assert len(keys) == 197, "registry frozen at 197 for r13"
     window = keys[:50]
     rotation = [
-        "shuffle_order", "minhash_estimate_audit",
-        "domain_budget_select", "interleave_sources",
+        "pack_sequences", "epoch_interleave", "length_buckets",
+        "training_stream", "mixture_report",
     ]
-    repointed = ["semantic_dedup", "sparse_cosine"]
-    refreshed_r3_head = [
-        "c2_df_transformation", "c4_materialize_no_ts",
-        "c8_pit_label_no_ts", "c9_pit_feature_no_ts",
-        "c16_resource_registration", "jaccard_pairs", "simhash",
+    refreshed_r4_head = [
+        "bm25", "contamination", "corpus_curation", "decayed_count",
+        "domain_tag", "embedding_centroids", "embedding_clusters",
     ]
-    refreshed_r4 = [
-        "f8_pivot", "f8_percentiles", "f8_exists", "f8_string_agg",
-        "f8_range_window", "f8_lateral", "chunk_documents", "tf_idf",
-        "stratified_sample", "redact_pii", "repetition_stats",
+    refreshed_r5 = [
+        "bloom_filter", "cap_per_group", "cms_topk", "cohort_retention",
+        "curation_v2", "dup_spans", "embedding_near_dup", "f8_array_funcs",
     ]
-    assert window[:4] == rotation, "rotation entries must lead the window"
-    assert window[4:6] == repointed, "re-pointed exemplars moved"
-    assert window[6] == "sparse_cosine_scaled", "mid-round re-point moved"
-    assert window[7:14] == refreshed_r3_head, "r3 canaries moved"
-    assert window[38:49] == refreshed_r4, "r4 canaries moved"
+    assert window[:5] == rotation, "rotation entries must lead the window"
+    assert window[5] == "feature_scaling", "yielded canary re-queues first"
+    assert window[6:13] == refreshed_r4_head, "r4 canaries moved"
+    assert window[41:49] == refreshed_r5, "r5 canaries moved"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
-    assert keys[50] == "feature_scaling", "yielded canary must sit at 51"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 
 
