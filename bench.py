@@ -26,6 +26,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Box-calibration anchor (VERDICT r12 task #2): the r11->r12 bench delta
+# (16.60 -> 22.78 s baseline28) cost a full judge A/B to adjudicate because
+# identical code cannot be compared across sessions on a drifting box. Every
+# bench run now measures a fixed calibration scalar — the warm-min of
+# CAL_REPS reps of one pinned query (c3_materialize_latest, chosen for its
+# stable one-exchange plan) taken AFTER the warm-up pre-pass — and reports
+# ``baseline28_calibrated = baseline28_total * (CAL_REF_SEC / cal_now)``
+# alongside the raw number. CAL_REF_SEC is FROZEN at the r13 measurement on
+# the round-13 box (sf0.1, local[32]); do not re-measure it — recalibrating
+# the reference would defeat the anchor. A calibrated number says "what
+# baseline28 would have measured on the r13 box"; cross-round comparisons
+# should cite it, raw numbers remain for the 2x-of-BASELINE.md gate.
+CAL_QUERY = "c3_materialize_latest"
+CAL_REPS = 3
+# frozen 2026-08-16 (r13): warm-min 0.2879 s on the measurement session
+# where baseline28_total = 16.891 s — i.e. calibrated numbers read as
+# "seconds on a box state where the headline-28 ran in ~16.9 s"
+CAL_REF_SEC = 0.288
+
 # the 28 queries BASELINE.md's 48.73 s figure covers (BENCH_r01 order)
 HEADLINE_28 = [
     "c1_sql_transformation", "c2_df_transformation", "c3_materialize_latest",
@@ -60,6 +79,7 @@ def main() -> None:
     _warmup(spark, sf_dir)
 
     qs = entrymod.queries()
+    cal_now = _calibrate(spark, sf_dir, qs)
     if os.environ.get("BENCH_WARMUP") == "full":
         for name, fn in qs.items():
             try:
@@ -86,6 +106,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration_sec": cal_now,
+        "calibration_ref_sec": CAL_REF_SEC,
     }
     prev = _load_prev_round_bench()
     if prev:
@@ -110,6 +132,16 @@ def main() -> None:
         "baseline28_total": round(
             sum(v for v in baseline28.values() if v >= 0), 3
         ),
+        "calibration_sec": cal_now,
+        "baseline28_calibrated": (
+            round(
+                sum(v for v in baseline28.values() if v >= 0)
+                * (CAL_REF_SEC / cal_now),
+                3,
+            )
+            if cal_now and cal_now > 0
+            else None
+        ),
         "queries_n": len(timings),
         "queries_ms": [
             int(round(t * 1000)) if t >= 0 else -1 for t in timings.values()
@@ -124,6 +156,29 @@ def main() -> None:
         summary.pop("queries_ms", None)
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
+
+
+def _calibrate(spark, sf_dir: str, qs) -> float | None:
+    """Warm-min of CAL_REPS reps of the pinned calibration query, run
+    after the warm-up pre-pass so it measures the box, not session
+    startup. Returns None (and the summary carries a null calibrated
+    number) if the pinned query is missing or fails — the bench itself
+    must never sink on the anchor."""
+    fn = qs.get(CAL_QUERY)
+    if fn is None:
+        print(f"bench calibration query {CAL_QUERY} missing (non-fatal)",
+              file=sys.stderr)
+        return None
+    reps = []
+    for _ in range(CAL_REPS):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:
+            print(f"bench calibration failed (non-fatal): {e}", file=sys.stderr)
+            return None
+        reps.append(time.time() - t0)
+    return round(min(reps), 4)
 
 
 def _warmup(spark, sf_dir: str) -> None:
