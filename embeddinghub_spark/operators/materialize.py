@@ -269,6 +269,17 @@ def grouped_prefix(
     ~30-line idiom); ``order_exprs`` must make the order total WITHIN
     each group (tie-break with a unique key).
     """
+    # Guard the helper's OWN internal names (ADVICE r12: callers'
+    # _require_absent tuples still reserved the pre-extraction names
+    # _local_cum/_local_rn, so an input carrying _local passed their
+    # guard and was silently clobbered then dropped here). The helper
+    # checks what the helper injects — callers need not track it.
+    clash = sorted({"_pid", "_local", "_off", "_t"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"grouped_prefix reserves internal column(s) {clash}; "
+            "rename them on the input first"
+        )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(

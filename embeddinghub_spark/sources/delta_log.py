@@ -198,7 +198,23 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
             adds.pop(action["remove"]["path"], None)
 
     if ckpt_version is not None:
-        for action in _read_checkpoint(checkpoints[ckpt_version]):
+        try:
+            ckpt_actions = _read_checkpoint(checkpoints[ckpt_version])
+        except Exception as e:
+            # A corrupt/truncated checkpoint (crashed writer, torn
+            # copy) must not break reads while the JSON commits still
+            # exist: fall back to full JSON replay from version 0
+            # (ADVICE r12). Only if commits were vacuumed past the bad
+            # checkpoint is the table genuinely unreadable.
+            vacuumed = [v for v in range(0, target + 1) if v not in commits]
+            if vacuumed:
+                raise ValueError(
+                    f"checkpoint {ckpt_version} unreadable ({e}) and "
+                    f"commits {vacuumed[:5]}… are vacuumed: {path}"
+                ) from e
+            ckpt_actions = []
+            replay_from = 0
+        for action in ckpt_actions:
             apply(action)
     for v in range(replay_from, target + 1):
         with open(commits[v], encoding="utf-8") as fh:
@@ -209,6 +225,32 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
 
     if meta is None:
         raise ValueError(f"no metaData action in log: {path}")
+    # Reader-protocol gate (ADVICE r12): PROTOCOL.md requires readers
+    # to FAIL on an unsupported reader protocol version — relying on
+    # unknown features happening to break loudly elsewhere is
+    # incidental, not guaranteed. minReaderVersion 2 is columnMapping
+    # support (the metadata-config gate below handles mode); version 3
+    # lists readerFeatures explicitly — every listed feature must be in
+    # the set this module's gates actually cover (columnMapping via the
+    # config check, deletionVectors via the per-file check); anything
+    # else (v2Checkpoint, typeWidening, timestampNtz, …) raises.
+    proto = protocol or {}
+    reader_v = int(proto.get("minReaderVersion", 1))
+    if reader_v > 3:
+        raise DeltaProtocolError(
+            f"minReaderVersion {reader_v} not supported by the native "
+            "log reader — use the delta-spark connector"
+        )
+    if reader_v == 3:
+        gated = {"columnMapping", "deletionVectors"}
+        unknown = sorted(
+            set(proto.get("readerFeatures") or []) - gated
+        )
+        if unknown:
+            raise DeltaProtocolError(
+                f"reader features {unknown} not supported by the "
+                "native log reader — use the delta-spark connector"
+            )
     conf = meta.get("configuration") or {}
     cm = conf.get("delta.columnMapping.mode")
     if cm and cm != "none":
@@ -239,6 +281,50 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
     }
 
 
+def _scan_file_groups(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    pcols: list[str],
+    files: list[dict],
+) -> DataFrame:
+    """One parquet scan per PARTITION GROUP (files sharing a
+    partitionValues assignment read in a single multi-path scan with
+    the partition columns attached as typed literals), unioned — the
+    shared plan of ``read_delta`` / ``read_delta_increment`` /
+    ``read_delta_changes``. An unpartitioned file set is exactly one
+    scan. Returns an empty frame with the table schema when ``files``
+    is empty."""
+    if not files:
+        return spark.createDataFrame([], schema)
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(
+            sorted((f.get("partitionValues") or {}).items(),
+                   key=lambda t: t[0])
+        )
+        groups.setdefault(key, []).append(
+            os.path.join(path, _decode_path(f["path"]))
+        )
+    out: DataFrame | None = None
+    # None-safe deterministic group order (a NULL partition value is
+    # legal and must not crash the tuple sort)
+    for key, fls in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        part = spark.read.schema(data_schema).parquet(*sorted(fls))
+        for col, val in key:
+            lit = (
+                F.lit(None) if val is None else F.lit(val)
+            ).cast(ptypes[col])
+            part = part.withColumn(col, lit)
+        part = part.select(*[f.name for f in schema.fields])
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -254,37 +340,10 @@ def read_delta(
     Catalyst prunes unselected partitions to empty scans.
     """
     snap = delta_snapshot(path, version)
-    schema: T.StructType = snap["schema"]
-    pcols: list[str] = snap["partition_columns"]
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
+    return _scan_file_groups(
+        spark, path, snap["schema"], snap["partition_columns"],
+        snap["files"],
     )
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    if not snap["files"]:
-        return spark.createDataFrame([], schema)
-
-    groups: dict[tuple, list[str]] = {}
-    for f in snap["files"]:
-        key = tuple(
-            sorted(f["partitionValues"].items(), key=lambda t: t[0])
-        )
-        groups.setdefault(key, []).append(
-            os.path.join(path, _decode_path(f["path"]))
-        )
-
-    out: DataFrame | None = None
-    # None-safe deterministic group order (a NULL partition value is
-    # legal and must not crash the tuple sort)
-    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        part = spark.read.schema(data_schema).parquet(*sorted(files))
-        for col, val in key:
-            lit = (
-                F.lit(None) if val is None else F.lit(val)
-            ).cast(ptypes[col])
-            part = part.withColumn(col, lit)
-        part = part.select(*[f.name for f in schema.fields])
-        out = part if out is None else out.unionByName(part)
-    return out
 
 
 def _atomic_claim_commit(log_dir: str, version: int, payload: str) -> bool:
@@ -369,6 +428,31 @@ def write_delta(
     for c in partition_by:
         if c not in df.columns:
             raise ValueError(f"partition_by column {c!r} not in DataFrame")
+    # Spark's partitionBy writes BOTH NULL and empty-string partition
+    # values to __HIVE_DEFAULT_PARTITION__, and partition columns are
+    # stripped from the data files — so an empty string would silently
+    # round-trip to NULL with no way to recover it on read (ADVICE
+    # r12). Raise before staging; the probe is one pushed-down filter
+    # over the string partition columns only.
+    str_pcols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in partition_by and isinstance(f.dataType, T.StringType)
+    ]
+    if str_pcols:
+        from functools import reduce
+
+        probe = reduce(
+            lambda a, b: a | b, [F.col(c) == "" for c in str_pcols]
+        )
+        if df.filter(probe).take(1):
+            raise ValueError(
+                "empty-string value in string partition column(s) "
+                f"{str_pcols}: hive layout collapses '' to NULL "
+                "(__HIVE_DEFAULT_PARTITION__) and the value is "
+                "unrecoverable on read — normalize to NULL (or a "
+                "sentinel) before write_delta"
+            )
     os.makedirs(path, exist_ok=True)
     log_dir = _log_dir(path)
     os.makedirs(log_dir, exist_ok=True)
@@ -595,33 +679,151 @@ def read_delta_increment(
                 add = a.get("add")
                 if add and add.get("dataChange", True):
                     adds.append(add)
-    schema: T.StructType = snap["schema"]
-    pcols = snap["partition_columns"]
-    if not adds:
-        return spark.createDataFrame([], schema)
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
+    return _scan_file_groups(
+        spark, path, snap["schema"], snap["partition_columns"], adds
     )
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    groups: dict[tuple, list[str]] = {}
-    for a in adds:
-        key = tuple(
-            sorted((a.get("partitionValues") or {}).items(),
-                   key=lambda t: t[0])
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-feed rows for commits in ``(from_version, to_version]``
+    of a native Delta table — the no-JAR fallback for the connector's
+    CDF reads (the reference refreshes materializations through
+    ``table_changes``, runner:1049-1109; ``read_delta_increment``
+    correctly REFUSES ranges containing updates/deletes — this
+    function handles exactly those tables, VERDICT r12 #4).
+
+    Output: every table column plus ``_change_type`` ∈
+    {insert, update_preimage, update_postimage, delete} and
+    ``_commit_version`` — the connector's CDF shape. Updates emit BOTH
+    the pre- and post-image row, keyed per commit.
+
+    Semantics and contract: Delta data files are IMMUTABLE, so the
+    rows changed by commit v live entirely in the files that commit
+    removed or added — each per-commit diff scans ONLY the churned
+    files and full-outer-joins them on ``key_cols`` (work and shuffle
+    proportional to the commit's churn, never the table). That makes
+    the result row-accurate iff ``key_cols`` uniquely identifies a row
+    within each snapshot (the natural key a MERGE upsert targets) —
+    without the connector's per-file CDC sidecars a diff cannot pair
+    up duplicate-key rows; densely duplicated keys belong on the real
+    connector. A row rewritten with identical values (compaction,
+    ``dataChange: false``, or a no-op MERGE update) correctly emits
+    nothing. Schema changes inside the range raise — a diff across two
+    schemas has no single CDF shape.
+
+    Plan shape: one bounded full-outer join per commit in the range,
+    unioned; ranges are short in refresh loops (last-processed →
+    latest). ``from_version == to_version`` returns an empty frame
+    with the CDF schema."""
+    versions = delta_versions(path)
+    latest = versions[-1] if versions else -1
+    to_version = latest if to_version is None else int(to_version)
+    from_version = int(from_version)
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
         )
-        groups.setdefault(key, []).append(
-            os.path.join(path, _decode_path(a["path"]))
+    snap_to = delta_snapshot(path, to_version)  # protocol gates
+    schema: T.StructType = snap_to["schema"]
+    snap_from = delta_snapshot(path, from_version)
+    if (
+        from_version < to_version
+        and snap_from["schema"].json() != schema.json()
+    ):
+        raise ValueError(
+            f"schema changed between versions {from_version} and "
+            f"{to_version}: a cross-schema diff has no single CDF "
+            "shape — split the range at the schema-change commit"
         )
+    for k in key_cols:
+        if k not in schema.fieldNames():
+            raise ValueError(f"key column {k!r} not in table schema")
+    pcols = snap_to["partition_columns"]
+    cdf_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_change_type", T.StringType(), False),
+           T.StructField("_commit_version", T.LongType(), False)]
+    )
+    value_cols = [c for c in schema.fieldNames() if c not in key_cols]
+
     out: DataFrame | None = None
-    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        part = spark.read.schema(data_schema).parquet(*sorted(files))
-        for col, val in key:
-            lit = (F.lit(None) if val is None else F.lit(val)).cast(
-                ptypes[col]
+    prev = snap_from
+    for v in range(from_version + 1, to_version + 1):
+        cur = delta_snapshot(path, v)
+        if cur["schema"].json() != prev["schema"].json():
+            raise ValueError(
+                f"schema changed at version {v}: a cross-schema diff "
+                "has no single CDF shape — split the range at the "
+                "schema-change commit"
             )
-            part = part.withColumn(col, lit)
-        part = part.select(*[f.name for f in schema.fields])
-        out = part if out is None else out.unionByName(part)
+        prev_files = {f["path"]: f for f in prev["files"]}
+        cur_files = {f["path"]: f for f in cur["files"]}
+        removed = [f for p, f in prev_files.items() if p not in cur_files]
+        added = [f for p, f in cur_files.items() if p not in prev_files]
+        prev = cur
+        if not removed and not added:
+            continue
+        old_rows = _scan_file_groups(spark, path, schema, pcols, removed)
+        new_rows = _scan_file_groups(spark, path, schema, pcols, added)
+        o = old_rows.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+            *[F.col(c).alias(f"_o_{c}") for c in value_cols],
+            F.lit(True).alias("_in_old"),
+        )
+        n = new_rows.select(
+            *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+            *[F.col(c).alias(f"_n_{c}") for c in value_cols],
+            F.lit(True).alias("_in_new"),
+        )
+        cond = None
+        for k in key_cols:
+            eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+            cond = eq if cond is None else cond & eq
+        joined = n.join(o, cond, "full_outer")
+        in_old = F.col("_in_old").isNotNull()
+        in_new = F.col("_in_new").isNotNull()
+        differs = F.lit(False)
+        for c in value_cols:
+            differs = differs | ~F.col(f"_o_{c}").eqNullSafe(
+                F.col(f"_n_{c}")
+            )
+        old_img = [
+            F.col(f"_ok_{c}").alias(c) if c in key_cols
+            else F.col(f"_o_{c}").alias(c)
+            for c in schema.fieldNames()
+        ]
+        new_img = [
+            F.col(f"_nk_{c}").alias(c) if c in key_cols
+            else F.col(f"_n_{c}").alias(c)
+            for c in schema.fieldNames()
+        ]
+        vlit = F.lit(v).cast("long").alias("_commit_version")
+        inserts = joined.filter(~in_old).select(
+            *new_img, F.lit("insert").alias("_change_type"), vlit
+        )
+        deletes = joined.filter(in_old & ~in_new).select(
+            *old_img, F.lit("delete").alias("_change_type"), vlit
+        )
+        upd = joined.filter(in_old & in_new & differs)
+        pre = upd.select(
+            *old_img, F.lit("update_preimage").alias("_change_type"), vlit
+        )
+        post = upd.select(
+            *new_img, F.lit("update_postimage").alias("_change_type"), vlit
+        )
+        step = inserts.unionByName(deletes).unionByName(pre).unionByName(
+            post
+        )
+        out = step if out is None else out.unionByName(step)
+    if out is None:
+        return spark.createDataFrame([], cdf_schema)
     return out
 
 
@@ -743,7 +945,15 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
         "remove": pa.array([None] * n, rm_type),
     })
     log = _log_dir(path)
-    pq.write_table(tbl, os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    # tmp + os.replace, like _last_checkpoint below: a crash (or a
+    # concurrent reader) mid-write must never leave/see a truncated
+    # NNN.checkpoint.parquet — delta_snapshot prefers any checkpoint
+    # <= target, so a partial file would break every subsequent read
+    # at versions >= it even with the JSON commits intact (ADVICE r12)
+    ckpt = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    ckpt_tmp = f"{ckpt}.{os.getpid()}.tmp"
+    pq.write_table(tbl, ckpt_tmp)
+    os.replace(ckpt_tmp, ckpt)
     tmp = os.path.join(log, "_last_checkpoint.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(json.dumps({"version": v, "size": n}))

@@ -578,3 +578,219 @@ def test_write_delta_revalidates_schema_on_race_created_table(spark, tmp_path):
         write_delta(
             spark.createDataFrame([(1, "a")], "id long, v string"), d
         )
+
+
+def test_corrupt_checkpoint_falls_back_to_json_replay(spark, tmp_path):
+    """ADVICE r12: a truncated/corrupt checkpoint parquet must not
+    break reads while the JSON commits still exist — delta_snapshot
+    falls back to full JSON replay; only when commits are vacuumed
+    past the bad checkpoint is the table unreadable. (The writer also
+    now stages via tmp + os.replace so a crash can't publish a partial
+    file under the checkpoint name in the first place.)"""
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "corrupt")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            d, checkpoint_interval=None,
+        )
+    from embeddinghub_spark.sources.delta_log import write_delta_checkpoint
+
+    write_delta_checkpoint(d)
+    log = os.path.join(d, "_delta_log")
+    ckpt = os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    with open(ckpt, "wb") as fh:  # torn write: half a parquet footer
+        fh.write(b"PAR1garbage")
+    got = {(r["id"], r["v"]) for r in read_delta(spark, d).collect()}
+    assert got == {(0, "v0"), (1, "v1"), (2, "v2")}
+    # vacuum a pre-checkpoint commit: now the fallback is impossible
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        delta_snapshot(d)
+
+
+def test_checkpoint_writer_never_exposes_partial_file(tmp_path, spark):
+    """The checkpoint temp name must not match the checkpoint regex
+    (a reader listing the log mid-write would otherwise pick up the
+    partial file as a real checkpoint)."""
+    from embeddinghub_spark.sources.delta_log import _CHECKPOINT_RE
+
+    assert _CHECKPOINT_RE.match(f"{2:020d}.checkpoint.parquet")
+    assert not _CHECKPOINT_RE.match(
+        f"{2:020d}.checkpoint.parquet.12345.tmp"
+    )
+
+
+def test_unknown_reader_protocol_raises(spark, tmp_path):
+    """ADVICE r12: PROTOCOL.md requires readers to FAIL on an
+    unsupported reader protocol — a minReaderVersion>=3 table with an
+    unknown readerFeature must raise DeltaProtocolError up front, not
+    be read as if it were v1."""
+    d = str(tmp_path / "rf")
+    _write_data(d, "f1.parquet", [1], ["a"])
+    _commit(d, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        _meta(),
+        _add("f1.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        delta_snapshot(d)
+
+    # features this module's gates actually cover are acceptable when
+    # the gated construct is absent (no DV files, mapping mode none)
+    d2 = str(tmp_path / "rf_ok")
+    _write_data(d2, "f1.parquet", [1], ["a"])
+    _commit(d2, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(),
+        _add("f1.parquet"),
+    ])
+    assert read_delta(spark, d2).count() == 1
+
+    d3 = str(tmp_path / "rf_v4")
+    _write_data(d3, "f1.parquet", [1], ["a"])
+    _commit(d3, 0, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
+        _meta(),
+        _add("f1.parquet"),
+    ])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion 4"):
+        delta_snapshot(d3)
+
+
+def test_write_delta_rejects_empty_string_partition_value(spark, tmp_path):
+    """ADVICE r12: Spark's hive layout writes '' and NULL partition
+    values to the same __HIVE_DEFAULT_PARTITION__ directory and strips
+    the column from the data files — '' would silently round-trip to
+    NULL. The writer raises up front; NULL itself still round-trips."""
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    d = str(tmp_path / "emptypart")
+    bad = spark.createDataFrame([(1, "")], "id long, lang string")
+    with pytest.raises(ValueError, match="empty-string"):
+        write_delta(bad, d, partition_by=["lang"])
+    assert not is_delta_table(d)  # nothing was committed
+
+    ok = spark.createDataFrame([(1, None), (2, "en")],
+                               "id long, lang string")
+    write_delta(ok, str(tmp_path / "nullpart"), partition_by=["lang"])
+    got = {(r["id"], r["lang"])
+           for r in read_delta(spark, str(tmp_path / "nullpart")).collect()}
+    assert got == {(1, None), (2, "en")}
+
+
+def test_read_delta_changes_cdf_over_merge_and_overwrite(spark, tmp_path):
+    """VERDICT r12 #4: the no-JAR CDF fallback. A merge (update +
+    insert) and an overwrite (delete) over a native table emit exactly
+    the connector-shaped change rows, per commit; unchanged rows are
+    silent even though the merge rewrote every file."""
+    from embeddinghub_spark.sources.delta_log import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "cdf")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        d,
+    )
+    # v1: MERGE — update id=2, insert id=4 (read_delta_increment
+    # refuses exactly this commit; the CDF fallback is for it)
+    merge_delta(
+        spark, d,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"),
+        ["id"],
+    )
+    # v2: overwrite dropping id=3 (a delete)
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+        ),
+        d, mode="overwrite",
+    )
+    got = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, d, 0, key_cols=["id"]).collect()
+    }
+    assert got == {
+        (2, "b", "update_preimage", 1),
+        (2, "B", "update_postimage", 1),
+        (4, "d", "insert", 1),
+        (3, "c", "delete", 2),
+    }
+    # sub-range (1, 2] sees only the delete
+    sub = {
+        (r["id"], r["_change_type"])
+        for r in read_delta_changes(spark, d, 1, 2, key_cols=["id"]).collect()
+    }
+    assert sub == {(3, "delete")}
+    # empty range: CDF schema, zero rows
+    empty = read_delta_changes(spark, d, 2, 2, key_cols=["id"])
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
+
+
+def test_read_delta_changes_compaction_is_silent(spark, tmp_path):
+    """A commit that rewrites files without changing rows (compaction)
+    emits nothing — identical rows on both diff sides cancel."""
+    from embeddinghub_spark.sources.delta_log import read_delta_changes
+
+    d = str(tmp_path / "compact")
+    _write_data(d, "f1.parquet", [1], ["a"])
+    _write_data(d, "f2.parquet", [2], ["b"])
+    _write_data(d, "f12.parquet", [1, 2], ["a", "b"])
+    _commit(d, 0, [_PROTOCOL, _meta(), _add("f1.parquet"),
+                   _add("f2.parquet")])
+    _commit(d, 1, [_remove("f1.parquet"), _remove("f2.parquet"),
+                   _add("f12.parquet")])
+    assert read_delta_changes(spark, d, 0, key_cols=["id"]).count() == 0
+
+
+def test_read_delta_changes_contracts(spark, tmp_path):
+    """Schema change inside the range raises (no single CDF shape);
+    unknown key column raises; partitioned tables carry the partition
+    column through the change rows."""
+    from embeddinghub_spark.sources.delta_log import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    d = str(tmp_path / "schchg")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), d)
+    write_delta(
+        spark.createDataFrame([(1.5,)], "x double"), d, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        read_delta_changes(spark, d, 0, key_cols=["id"]).collect()
+    with pytest.raises(ValueError, match="key column"):
+        read_delta_changes(spark, d, 1, key_cols=["nope"])
+
+    p = str(tmp_path / "partcdf")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "fr", "b")], "id long, lang string, v string"
+        ),
+        p, partition_by=["lang"],
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(1, "en", "A"), (2, "fr", "b")], "id long, lang string, v string"
+        ),
+        p, mode="overwrite", partition_by=["lang"],
+    )
+    got = {
+        (r["id"], r["lang"], r["v"], r["_change_type"])
+        for r in read_delta_changes(spark, p, 0, key_cols=["id"]).collect()
+    }
+    assert got == {
+        (1, "en", "a", "update_preimage"),
+        (1, "en", "A", "update_postimage"),
+    }

@@ -158,3 +158,29 @@ def test_materialize_refresh_equals_full_rebuild(spark, tmp_path):
         for r in read_version(spark, target, 1).collect()
     }
     assert prev["a"] == 2.0 and "d" not in prev
+
+
+def test_grouped_prefix_rejects_reserved_internal_columns(spark):
+    """ADVICE r12: the helper's internal names are _pid/_local/_off/_t
+    but callers' _require_absent tuples still reserved the
+    pre-extraction names (_local_cum/_local_rn) — an input already
+    carrying _local passed their guard and was silently clobbered then
+    dropped. The helper now guards its OWN names."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.operators.materialize import grouped_prefix
+
+    df = spark.createDataFrame(
+        [("a", 1, 7)], "g string, k int, _local int"
+    )
+    with pytest.raises(ValueError, match="_local"):
+        grouped_prefix(df, ["g"], [F.col("k").asc()], out_col="rn")
+    # the clean path still works and the internals don't leak out
+    ok = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, k int"
+    )
+    out = grouped_prefix(ok, ["g"], [F.col("k").asc()], out_col="rn")
+    assert set(out.columns) == {"g", "k", "rn"}
+    got = {(r["g"], r["k"], r["rn"]) for r in out.collect()}
+    assert got == {("a", 1, 1), ("a", 2, 2), ("b", 3, 1)}
