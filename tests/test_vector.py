@@ -806,3 +806,21 @@ def test_sparse_cosine_warns_on_stop_feature_bucket(spark):
         sparse_cosine_pairs(df, min_cosine=0.0, df_warning_threshold=None)
         # under-threshold corpus: probe runs, no warning
         sparse_cosine_pairs(df, min_cosine=0.0, df_warning_threshold=10)
+
+
+def test_sparse_features_shared_cache_is_keyed_and_reused(spark):
+    """VERDICT r12 #3: the sparse-cosine pair shares ONE eager
+    localCheckpoint of the auto-dim feature build. Same (app, sf_dir)
+    → the identical cached frame (no rebuild); a different sf_dir
+    evicts and rebuilds (at most one corpus held)."""
+    import __spark_entry__ as m
+
+    m._SPARSE_FEATS_CACHE.clear()
+    a = m._sparse_features_shared(spark, "/root/testdata/sf0.001")
+    b = m._sparse_features_shared(spark, "/root/testdata/sf0.001")
+    assert a is b
+    assert len(m._SPARSE_FEATS_CACHE) == 1
+    c = m._sparse_features_shared(spark, "/root/testdata/sf0.01")
+    assert c is not a
+    assert len(m._SPARSE_FEATS_CACHE) == 1  # old corpus evicted
+    m._SPARSE_FEATS_CACHE.clear()
