@@ -8604,6 +8604,155 @@ FROM c JOIN t ON c.slice_id = t.slice_id
 """
 
 
+# --------------------------------------------------------------------------
+# r13 staged: pack_bins — best-fit packing without cross-doc concatenation
+# (VERDICT r12 #7), and delta_changes — the native CDF fallback certified
+# end-to-end (VERDICT r12 #4). Both ship staged per the freeze discipline.
+# --------------------------------------------------------------------------
+
+_PB_CAP = 1024
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit packing WITHOUT cross-document concatenation
+    (functions/selection.py pack_bins): documents quantized to the
+    smallest power-of-two boundary, ordered padded-size-descending
+    with the md5 shuffle tie-break, and laid into 1024-token bins by
+    a global exclusive prefix sum — the divisibility chain guarantees
+    no document straddles a bin boundary and every bin except the
+    last fills to exactly 1024 padded tokens (optimal for the padded
+    multiset). The attention-contamination-free sibling of
+    `pack_sequences` (the public fewer-truncations recipe,
+    arXiv 2404.10830); over-boundary docs surface with NULL packing
+    columns for the caller's truncate/reject policy."""
+    from embeddinghub_spark.functions.selection import pack_bins
+    from embeddinghub_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_bins(
+        docs,
+        n_tokens_col="n_tokens",
+        capacity=_PB_CAP,
+        boundaries=_LB_BOUNDS,
+        key_cols=["doc_id"],
+        seed=42,
+    ).select(
+        "doc_id", "n_tokens", "padded_len", "bin_id", "bin_offset",
+        "pad_waste",
+    )
+
+
+def _pack_bins_oracle() -> str:
+    bounds = _LB_BOUNDS
+    pad_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n_tokens <= {b} THEN {b}" for b in bounds
+        )
+        + " ELSE NULL END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '),
+                           x -> x != '')) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             CAST({pad_case} AS BIGINT) AS padded_len FROM d),
+c AS (SELECT doc_id, n_tokens, padded_len,
+             COALESCE(SUM(padded_len) OVER (
+                 ORDER BY padded_len DESC,
+                          md5(CAST(doc_id AS VARCHAR) || '|42'),
+                          doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS start
+      FROM b WHERE padded_len IS NOT NULL)
+SELECT doc_id, n_tokens, padded_len,
+       CAST(start // {_PB_CAP} AS BIGINT) AS bin_id,
+       CAST(start % {_PB_CAP} AS BIGINT) AS bin_offset,
+       padded_len - n_tokens AS pad_waste
+FROM c
+UNION ALL
+SELECT doc_id, n_tokens, CAST(NULL AS BIGINT) AS padded_len,
+       CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_offset,
+       CAST(NULL AS BIGINT) AS pad_waste
+FROM b WHERE padded_len IS NULL
+"""
+
+
+def q_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Delta change-feed fallback certified END-TO-END
+    (sources/delta_log.py read_delta_changes; VERDICT r12 #4 — the
+    reference refreshes materializations through the connector's
+    table_changes, runner:1049-1109): build a native Delta table from
+    the orders slice (v0), MERGE an update+insert source (v1 — the
+    commit `read_delta_increment` correctly refuses), overwrite away
+    a key slice (v2 deletes), then read the CDF rows for (0, 2].
+    Every per-commit diff scans only the churned files and joins on
+    the key — churn-proportional work. The oracle replays the same
+    three deterministic set operations in pure SQL."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import (
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    path = tempfile.mkdtemp(prefix="cdf_") + "/tbl"
+    write_delta(base, path)                       # v0
+    merge_delta(spark, path, src, ["o_orderkey"])  # v1: update + insert
+    from embeddinghub_spark.sources.delta_log import read_delta
+
+    v1 = read_delta(spark, path, version=1)
+    write_delta(                                   # v2: delete %5 keys
+        v1.filter(F.col("o_orderkey") % 5 != 0), path, mode="overwrite"
+    )
+    return read_delta_changes(spark, path, 0, 2, key_cols=["o_orderkey"])
+
+
+_DELTA_CHANGES_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+base AS (SELECT * FROM o WHERE o_orderkey % 7 != 0),
+src  AS (SELECT o_orderkey, o_orderpriority, cents + 1 AS cents
+         FROM o WHERE o_orderkey % 3 = 0),
+v1 AS (SELECT * FROM src
+       UNION ALL
+       SELECT * FROM base
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+upd AS (SELECT s.o_orderkey, s.o_orderpriority,
+               b.cents AS pre_cents, s.cents AS post_cents
+        FROM src s JOIN base b USING (o_orderkey))
+SELECT o_orderkey, o_orderpriority, pre_cents AS cents,
+       'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM upd
+UNION ALL
+SELECT o_orderkey, o_orderpriority, post_cents AS cents,
+       'update_postimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM upd
+UNION ALL
+SELECT o_orderkey, o_orderpriority, cents,
+       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+UNION ALL
+SELECT o_orderkey, o_orderpriority, cents,
+       'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM v1 WHERE o_orderkey % 5 = 0
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8614,8 +8763,14 @@ def staged_queries() -> dict:
     this round land here with the standard protocol (pin tests vs
     exact Python replicas, SCALING.md audit row, README line, oracle
     twin certified at sf0.01 + sf0.1) before touching the registry."""
-    return {}
+    return {
+        "pack_bins": q_pack_bins,
+        "delta_changes": q_delta_changes,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {
+        "pack_bins": _pack_bins_oracle(),
+        "delta_changes": _DELTA_CHANGES_ORACLE,
+    }

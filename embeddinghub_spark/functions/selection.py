@@ -838,6 +838,146 @@ def length_buckets(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    *,
+    n_tokens_col: str,
+    capacity: int,
+    boundaries: list[int] | None = None,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bin packing WITHOUT cross-document concatenation — the
+    alternative to ``pack_sequences`` trainers use when attention
+    contamination matters (best-fit packing: each document stays
+    whole; several short documents share one ``capacity``-token
+    sequence, separated by attention masking — the public
+    fewer-truncations recipe, arXiv 2404.10830). True best-fit-
+    decreasing is inherently sequential; this op packs the PADDED
+    sizes optimally instead, with a construction that distributes:
+
+    1. quantize each document to ``padded_len`` = the smallest
+       boundary >= n_tokens (``length_buckets``' bucket rule);
+    2. order by (padded_len DESC, md5(keys|seed), keys) — a frozen
+       total order;
+    3. global exclusive prefix sum of padded_len (the C5 machinery —
+       range exchange + per-partition cumsum + broadcast subtotal
+       offsets, never a single-partition window);
+    4. ``bin_id = start DIV capacity``, ``bin_offset = start %
+       capacity``.
+
+    Because ``boundaries`` must form a DIVISIBILITY CHAIN whose last
+    element divides ``capacity`` (each boundary divides the next —
+    powers of two by default), every item's start offset is a
+    multiple of its own padded size, so no item ever straddles a
+    capacity boundary — each bin is filled to EXACTLY ``capacity``
+    padded tokens except the last. That is the optimal bin count for
+    the padded multiset: ``ceil(sum(padded_len) / capacity)`` bins,
+    zero internal fragmentation. The packing cost is the quantization
+    padding itself (``pad_waste`` accounts it per row), the same
+    tradeoff ``length_buckets`` already makes.
+
+    Documents LONGER than the last boundary land in the overflow
+    class: ``padded_len``/``bin_id``/``bin_offset``/``pad_waste`` all
+    NULL — the caller decides truncate / reject (packing an
+    over-capacity document is undefined). ``n_tokens_col`` must be
+    non-NULL and non-negative — the first violation raises at
+    execution time (it would silently shift every bin behind it).
+
+    Output: input columns plus ``padded_len``, ``bin_id`` (0-based
+    bigint), ``bin_offset`` (0-based start inside the bin, in padded
+    tokens) and ``pad_waste`` (= padded_len - n_tokens).
+
+    Scale shape: one range exchange (the prefix sum) + map-side CASE
+    arithmetic; the only driver-adjacent state is the (partitions)-row
+    subtotal frame inside ``grouped_prefix``. Work is O(N log N by
+    range exchange), independent of bin count.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if boundaries is None:
+        boundaries = []
+        b = 16
+        while b <= capacity:
+            boundaries.append(b)
+            b *= 2
+        if not boundaries:
+            boundaries = [capacity]
+    bounds = [int(b) for b in boundaries]
+    if not bounds or bounds[0] < 1 or any(
+        b2 <= b1 or b2 % b1 != 0 for b1, b2 in zip(bounds, bounds[1:])
+    ):
+        raise ValueError(
+            "boundaries must be strictly increasing and form a "
+            "divisibility chain (each divides the next)"
+        )
+    if capacity % bounds[-1] != 0:
+        raise ValueError(
+            f"last boundary {bounds[-1]} must divide capacity "
+            f"{capacity} (the no-straddle alignment guarantee)"
+        )
+    key_cols = list(key_cols or ("doc_id",))
+    _require_absent(
+        df,
+        ("_h", "_pid", "_local", "_off", "_t", "_cum",
+         "padded_len", "bin_id", "bin_offset", "pad_waste"),
+        "pack_bins",
+    )
+    tok = F.col(n_tokens_col).cast("bigint")
+    checked = F.when(
+        tok.isNull() | (tok < 0),
+        F.raise_error(
+            F.lit(
+                f"pack_bins: n_tokens_col {n_tokens_col!r} contains "
+                "NULL or negative values"
+            )
+        ).cast("bigint"),
+    ).otherwise(tok)
+    padded = F.lit(None).cast("bigint")
+    for b in reversed(bounds):
+        padded = F.when(checked <= b, F.lit(b).cast("bigint")).otherwise(
+            padded
+        )
+    h = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols],
+            F.lit(str(seed)),
+        )
+    )
+    base = df.withColumn("padded_len", padded).withColumn("_h", h)
+    packable = base.filter(F.col("padded_len").isNotNull())
+    overflow = base.filter(F.col("padded_len").isNull())
+
+    from embeddinghub_spark.operators.materialize import grouped_prefix
+
+    cum = grouped_prefix(
+        packable,
+        [],
+        [F.col("padded_len").desc(), F.col("_h").asc(),
+         *[F.col(c).asc() for c in key_cols]],
+        out_col="_cum",
+        value_col="padded_len",
+        num_partitions=num_partitions,
+    )
+    start = F.col("_cum") - F.col("padded_len")
+    packed = (
+        cum.withColumn(
+            "bin_id", F.expr(f"(_cum - padded_len) DIV {int(capacity)}")
+        )
+        .withColumn("bin_offset", start % F.lit(int(capacity)))
+        .withColumn("pad_waste", F.col("padded_len") - tok)
+        .drop("_h", "_cum")
+    )
+    rest = (
+        overflow.withColumn("bin_id", F.lit(None).cast("bigint"))
+        .withColumn("bin_offset", F.lit(None).cast("bigint"))
+        .withColumn("pad_waste", F.lit(None).cast("bigint"))
+        .drop("_h")
+    )
+    return packed.unionByName(rest)
+
+
 def training_stream(
     df: DataFrame,
     *,

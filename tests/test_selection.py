@@ -1242,3 +1242,113 @@ def test_length_buckets_rejects_negative_tokens(spark):
     )
     with pytest.raises(Exception, match="NULL or negative"):
         length_buckets(bad, n_tokens_col="n_tokens", batch_size=2).collect()
+
+
+# ---------------------------------------------------------------- r13 staged:
+# pack_bins — best-fit packing without cross-document concatenation
+
+
+def _py_pack_bins(rows, bounds, capacity, seed=42):
+    packable, overflow = [], []
+    for d, n in rows:
+        p = next((b for b in bounds if n <= b), None)
+        (overflow if p is None else packable).append((d, n, p))
+    packable.sort(
+        key=lambda t: (
+            -t[2],
+            hashlib.md5(f"{t[0]}|{seed}".encode()).hexdigest(),
+            t[0],
+        )
+    )
+    out, cum = [], 0
+    for d, n, p in packable:
+        out.append((d, n, p, cum // capacity, cum % capacity, p - n))
+        cum += p
+    out += [(d, n, None, None, None, None) for d, n, _ in overflow]
+    return sorted(out, key=str)
+
+
+def test_pack_bins_matches_python_replica(spark, length_df):
+    from embeddinghub_spark.functions.selection import pack_bins
+
+    bounds = [32, 64, 128, 256]
+    out = pack_bins(
+        length_df, n_tokens_col="n_tokens", capacity=512,
+        boundaries=bounds, key_cols=["doc_id"],
+    )
+    got = sorted(
+        ((r["doc_id"], r["n_tokens"], r["padded_len"], r["bin_id"],
+          r["bin_offset"], r["pad_waste"]) for r in out.collect()),
+        key=str,
+    )
+    assert got == _py_pack_bins(LENGTH_ROWS, bounds, 512)
+
+
+def test_pack_bins_optimal_fill_and_no_straddle(spark, length_df):
+    """The divisibility-chain guarantee: no item crosses a capacity
+    boundary, every bin except the last is filled to EXACTLY capacity
+    padded tokens, and the bin count is the optimum for the padded
+    multiset, ceil(total_padded / capacity)."""
+    from embeddinghub_spark.functions.selection import pack_bins
+
+    cap = 256
+    rows = pack_bins(
+        length_df, n_tokens_col="n_tokens", capacity=cap,
+        boundaries=[16, 32, 64, 128, 256], key_cols=["doc_id"],
+    ).collect()
+    packed = [r for r in rows if r["bin_id"] is not None]
+    assert packed
+    for r in packed:
+        assert r["bin_offset"] + r["padded_len"] <= cap, r
+    fills: dict = {}
+    for r in packed:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["padded_len"]
+    last = max(fills)
+    assert all(v == cap for b, v in fills.items() if b != last)
+    total = sum(r["padded_len"] for r in packed)
+    assert len(fills) == -(-total // cap)  # optimal bin count
+    # packing-efficiency pin vs the concat baseline (pack_sequences
+    # semantics = zero padding): the only overhead is quantization
+    # padding, bounded per row by the bucket rule (padded < 2*n for
+    # n > smallest boundary), never bin fragmentation
+    total_tok = sum(r["n_tokens"] for r in packed)
+    assert all(
+        r["padded_len"] <= max(16, 2 * r["n_tokens"]) for r in packed
+    )
+    assert (len(fills) * cap) < 2 * total_tok + cap
+
+
+def test_pack_bins_repartition_invariant_and_contracts(spark, length_df):
+    from embeddinghub_spark.functions.selection import pack_bins
+
+    kw = dict(n_tokens_col="n_tokens", capacity=512,
+              boundaries=[64, 128, 256], key_cols=["doc_id"])
+    a = pack_bins(length_df, **kw)
+    b = pack_bins(length_df.repartition(11), **kw)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    with pytest.raises(ValueError, match="capacity"):
+        pack_bins(length_df, n_tokens_col="n_tokens", capacity=0)
+    with pytest.raises(ValueError, match="divisibility"):
+        pack_bins(length_df, n_tokens_col="n_tokens", capacity=512,
+                  boundaries=[16, 24])
+    with pytest.raises(ValueError, match="divide capacity"):
+        pack_bins(length_df, n_tokens_col="n_tokens", capacity=300,
+                  boundaries=[16, 32, 64, 128, 256])
+    with pytest.raises(ValueError, match="reserve|reserved"):
+        pack_bins(length_df.withColumn("bin_id", F.lit(1)),
+                  n_tokens_col="n_tokens", capacity=512)
+    nulls = spark.createDataFrame(
+        [("a", 5), ("b", None)], "doc_id string, n_tokens int"
+    )
+    with pytest.raises(Exception, match="contains NULL"):
+        pack_bins(nulls, n_tokens_col="n_tokens", capacity=512).collect()
+    # overflow past the last boundary: all packing columns NULL
+    big = spark.createDataFrame(
+        [("a", 10), ("b", 999)], "doc_id string, n_tokens int"
+    )
+    got = {r["doc_id"]: r for r in pack_bins(
+        big, n_tokens_col="n_tokens", capacity=256,
+        boundaries=[16, 32, 64, 128, 256],
+    ).collect()}
+    assert got["b"]["padded_len"] is None and got["b"]["bin_id"] is None
+    assert got["a"]["padded_len"] == 16 and got["a"]["bin_id"] == 0
