@@ -81,6 +81,39 @@ def read_file(
         return read_delta(
             spark, path, None if version is None else int(version)
         )
+    if fmt == "iceberg":
+        # S3 path form, same dispatch discipline as Delta: connector
+        # if present (full option surface), else the NATIVE metadata/
+        # manifest replay (sources/iceberg_meta.py — the public table
+        # spec read side, snapshot-id / as-of-timestamp supported)
+        # instead of silently misreading the directory as bare parquet
+        # (which would read dead files from every historical snapshot).
+        from embeddinghub_spark.observability import record_branch
+
+        if connector_available(spark, "iceberg"):
+            reader = spark.read.format("iceberg")
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            record_branch("read_file", "format_iceberg", path)
+            return reader.load(path)
+        from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+
+        snap_id = options.get("snapshot-id")
+        as_of = options.get("as-of-timestamp")
+        unsupported = sorted(set(options) - {"snapshot-id", "as-of-timestamp"})
+        if unsupported:
+            raise ValueError(
+                f"native iceberg reader supports snapshot-id/"
+                f"as-of-timestamp only; got {unsupported} (install the "
+                "iceberg-spark connector for the full option surface)"
+            )
+        record_branch("read_file", "native_iceberg_meta", path)
+        return read_iceberg(
+            spark,
+            path,
+            None if snap_id is None else int(snap_id),
+            None if as_of is None else int(as_of),
+        )
     if fmt == "parquet":
         ns_cols = _nanos_ts_columns(path)
         if ns_cols:
