@@ -8627,8 +8627,13 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns for the caller's truncate/reject policy."""
     from embeddinghub_spark.functions.selection import pack_bins
     from embeddinghub_spark.functions.text import token_count
+    from embeddinghub_spark.functions.vector import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # single-file testdata scan = 2 splits; fan out BEFORE the
+    # token-count map so it runs on all cores (A/B'd at sf1: cold
+    # 7.6 -> 2.0 s, warm parity — the md5/tokenize-heavy map class
+    # ensure_parallelism exists for)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         "doc_id", token_count("text").cast("bigint").alias("n_tokens")
     )
     return pack_bins(

@@ -945,7 +945,16 @@ def pack_bins(
             F.lit(str(seed)),
         )
     )
-    base = df.withColumn("padded_len", padded).withColumn("_h", h)
+    # The quantized frame is read THREE times (the range partitioner's
+    # sampling pass, the exchange itself, and the overflow branch of
+    # the union) — checkpoint it once so an expensive upstream (a
+    # token-count over raw text, typically a 1-2-split parquet scan)
+    # is not recomputed per consumer. Lazy: the first job materializes.
+    base = (
+        df.withColumn("padded_len", padded)
+        .withColumn("_h", h)
+        .localCheckpoint(eager=False)
+    )
     packable = base.filter(F.col("padded_len").isNotNull())
     overflow = base.filter(F.col("padded_len").isNull())
 
