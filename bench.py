@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # identical code cannot be compared across sessions on a drifting box. Every
 # bench run now measures a fixed calibration scalar — the warm-min of
 # CAL_REPS reps of one pinned query (c3_materialize_latest, chosen for its
-# stable one-exchange plan) taken AFTER the warm-up pre-pass — and reports
+# stable one-exchange plan) taken AFTER the timed loop (a pre-loop
+# calibration would pre-warm that query's own raw timing) — and reports
 # ``baseline28_calibrated = baseline28_total * (CAL_REF_SEC / cal_now)``
 # alongside the raw number. CAL_REF_SEC is FROZEN at the r13 measurement on
 # the round-13 box (sf0.1, local[32]); do not re-measure it — recalibrating
@@ -79,7 +80,6 @@ def main() -> None:
     _warmup(spark, sf_dir)
 
     qs = entrymod.queries()
-    cal_now = _calibrate(spark, sf_dir, qs)
     if os.environ.get("BENCH_WARMUP") == "full":
         for name, fn in qs.items():
             try:
@@ -97,6 +97,11 @@ def main() -> None:
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # calibration runs AFTER the timed loop (review find r13: a
+    # pre-loop calibration pre-warmed exactly one headline query,
+    # making its raw timing — and baseline28_total — incomparable with
+    # prior rounds' methodology)
+    cal_now = _calibrate(spark, sf_dir, qs)
     ok = [v for v in timings.values() if v >= 0]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -160,10 +165,11 @@ def main() -> None:
 
 def _calibrate(spark, sf_dir: str, qs) -> float | None:
     """Warm-min of CAL_REPS reps of the pinned calibration query, run
-    after the warm-up pre-pass so it measures the box, not session
-    startup. Returns None (and the summary carries a null calibrated
-    number) if the pinned query is missing or fails — the bench itself
-    must never sink on the anchor."""
+    after the timed loop so it measures the box (never session startup,
+    and never pre-warming the query's own raw timing). Returns None
+    (and the summary carries a null calibrated number) if the pinned
+    query is missing or fails — the bench itself must never sink on
+    the anchor."""
     fn = qs.get(CAL_QUERY)
     if fn is None:
         print(f"bench calibration query {CAL_QUERY} missing (non-fatal)",

@@ -897,13 +897,15 @@ def pack_bins(
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     if boundaries is None:
-        boundaries = []
-        b = 16
-        while b <= capacity:
-            boundaries.append(b)
-            b *= 2
-        if not boundaries:
-            boundaries = [capacity]
+        # build the chain DOWN from capacity by halving (review find
+        # r13: growing powers of two UP from 16 violates the
+        # last-divides-capacity rule for any non-power-of-two
+        # capacity, making the default-argument path unusable) — the
+        # result always ends at capacity, so the chain divides it by
+        # construction
+        boundaries = [capacity]
+        while boundaries[0] % 2 == 0 and boundaries[0] // 2 >= 16:
+            boundaries.insert(0, boundaries[0] // 2)
     bounds = [int(b) for b in boundaries]
     if not bounds or bounds[0] < 1 or any(
         b2 <= b1 or b2 % b1 != 0 for b1, b2 in zip(bounds, bounds[1:])
@@ -918,10 +920,12 @@ def pack_bins(
             f"{capacity} (the no-straddle alignment guarantee)"
         )
     key_cols = list(key_cols or ("doc_id",))
+    # only the names THIS op injects — grouped_prefix guards its own
+    # internals itself (review find r13: re-reserving them here is the
+    # exact stale-tuple drift the helper guard was added to end)
     _require_absent(
         df,
-        ("_h", "_pid", "_local", "_off", "_t", "_cum",
-         "padded_len", "bin_id", "bin_offset", "pad_waste"),
+        ("_h", "_cum", "padded_len", "bin_id", "bin_offset", "pad_waste"),
         "pack_bins",
     )
     tok = F.col(n_tokens_col).cast("bigint")

@@ -211,7 +211,11 @@ def read_avro_file(path: str) -> tuple[dict, list[dict]]:
             payload = zlib.decompress(payload, -15)
         block = _Reader(payload)
         for _ in range(count):
-            rows.append(_decode(block, schema, dict(names)))
+            # one shared registry for the whole file: _prewalk already
+            # registered every named type, and in-decode registrations
+            # are idempotent (a per-row dict copy was pure waste on
+            # many-thousand-row manifests — review find r13)
+            rows.append(_decode(block, schema, names))
         if block.pos != len(block.buf):
             raise AvroError("trailing bytes in Avro block")
         if r.read(16) != sync:
@@ -235,27 +239,60 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
+def _branch_matches(schema: Any, value: Any, names: dict) -> bool:
+    """Does ``value``'s Python type fit this union branch?"""
+    if isinstance(schema, str):
+        if schema in names:
+            return _branch_matches(names[schema], value, names)
+        t = schema
+    elif isinstance(schema, list):
+        return any(_branch_matches(s, value, names) for s in schema)
+    else:
+        t = schema.get("type")
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, float)
+    if t in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if t in ("string", "enum"):
+        return isinstance(value, str)
+    if t in ("record", "map"):
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, list)
+    return False
+
+
 def _encode(w: io.BytesIO, schema: Any, value: Any, names: dict) -> None:
     if isinstance(schema, str):
         if schema in names:
             return _encode(w, names[schema], value, names)
         t = schema
-    elif isinstance(schema, list):  # union: null -> null branch, else
-        # the first branch that is not "null" (the [null, X] shape all
-        # Iceberg metadata unions take)
-        if value is None:
-            idx = next(
-                (i for i, s in enumerate(schema) if s == "null"), None
-            )
-            if idx is None:
-                raise AvroError("None for a union without a null branch")
-            w.write(_zigzag(idx))
-            return None
+    elif isinstance(schema, list):  # union: pick the branch whose
+        # Avro type matches the Python value's type (review find r13:
+        # blindly taking the first non-null branch writes the wrong
+        # branch for multi-branch unions); [null, X] — the shape all
+        # Iceberg metadata unions take — degenerates to the old rule
         idx = next(
-            (i for i, s in enumerate(schema) if s != "null"), None
+            (
+                i
+                for i, s in enumerate(schema)
+                if _branch_matches(s, value, names)
+            ),
+            None,
         )
         if idx is None:
-            raise AvroError("union has no non-null branch")
+            raise AvroError(
+                f"no union branch in {schema!r} matches value "
+                f"{type(value).__name__}"
+            )
         w.write(_zigzag(idx))
         return _encode(w, schema[idx], value, names)
     else:
@@ -327,7 +364,7 @@ def write_avro_file(
     _prewalk(schema, names)
     body = io.BytesIO()
     for row in rows:
-        _encode(body, schema, row, dict(names))
+        _encode(body, schema, row, names)
     payload = body.getvalue()
     if codec == "deflate":
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)

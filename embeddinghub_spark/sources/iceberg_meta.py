@@ -110,7 +110,11 @@ def _resolve(uri: str, table_root: str, location: str | None) -> str:
     p = uri
     if p.startswith("file:"):
         p = re.sub(r"^file:/*", "/", p)
-    if os.path.exists(p):
+    # only an ABSOLUTE recorded path may resolve as-is; a bare
+    # relative path must anchor at the table root, never the process
+    # CWD (review find r13: an unrelated CWD file with the same
+    # relative name would silently win)
+    if os.path.isabs(p) and os.path.exists(p):
         return p
     if location:
         loc = re.sub(r"^file:/*", "/", location).rstrip("/")

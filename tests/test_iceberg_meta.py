@@ -422,3 +422,37 @@ def test_schema_type_mapping():
     assert got["g"].dataType == T.MapType(
         T.StringType(), T.DoubleType(), True
     )
+
+
+def test_avro_union_branch_picked_by_value_type(tmp_path):
+    """Review find r13: the encoder used to write the FIRST non-null
+    union branch regardless of value type. Branches are now selected
+    by the value's Python type and a mismatch raises."""
+    schema = {
+        "type": "record", "name": "u",
+        "fields": [{"name": "f", "type": ["null", "string", "long"]}],
+    }
+    p = str(tmp_path / "u.avro")
+    rows = [{"f": None}, {"f": "txt"}, {"f": 42}]
+    write_avro_file(p, schema, rows, codec="null")
+    _, got = read_avro_file(p)
+    assert got == rows
+    with pytest.raises(AvroError, match="no union branch"):
+        write_avro_file(p, schema, [{"f": 1.5}], codec="null")
+
+
+def test_resolve_never_reads_relative_paths_from_cwd(tmp_path, monkeypatch):
+    """Review find r13: a bare relative recorded path must anchor at
+    the table root, never the process CWD — an unrelated CWD file with
+    the same relative name used to win silently."""
+    from embeddinghub_spark.sources.iceberg_meta import _resolve
+
+    table = tmp_path / "tbl"
+    (table / "data").mkdir(parents=True)
+    (table / "data" / "f.parquet").write_bytes(b"right")
+    decoy = tmp_path / "cwd"
+    (decoy / "data").mkdir(parents=True)
+    (decoy / "data" / "f.parquet").write_bytes(b"wrong")
+    monkeypatch.chdir(decoy)
+    got = _resolve("data/f.parquet", str(table), None)
+    assert open(got, "rb").read() == b"right"

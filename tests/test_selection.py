@@ -1352,3 +1352,30 @@ def test_pack_bins_repartition_invariant_and_contracts(spark, length_df):
     ).collect()}
     assert got["b"]["padded_len"] is None and got["b"]["bin_id"] is None
     assert got["a"]["padded_len"] == 16 and got["a"]["bin_id"] == 0
+
+
+def test_pack_bins_default_boundaries_fit_any_capacity(spark, length_df):
+    """Review find r13: growing default boundaries UP from 16 violated
+    the last-divides-capacity rule for any non-power-of-two capacity.
+    Defaults now halve DOWN from capacity, so the chain always divides
+    it by construction."""
+    from embeddinghub_spark.functions.selection import pack_bins
+
+    rows = pack_bins(
+        length_df, n_tokens_col="n_tokens", capacity=1000,
+        key_cols=["doc_id"],
+    ).collect()
+    packed = [r for r in rows if r["bin_id"] is not None]
+    assert packed
+    # chain: 125, 250, 500, 1000 — every padded size divides 1000
+    assert {r["padded_len"] for r in packed} <= {125, 250, 500, 1000}
+    for r in packed:
+        assert r["bin_offset"] + r["padded_len"] <= 1000
+    # odd capacity: the chain degenerates to [capacity] and still works
+    odd = pack_bins(
+        length_df, n_tokens_col="n_tokens", capacity=333,
+        key_cols=["doc_id"],
+    ).collect()
+    assert all(
+        r["padded_len"] in (None, 333) for r in odd
+    )
