@@ -1,0 +1,194 @@
+"""Deterministic pure-Python HNSW for the ONLINE serving path.
+
+The reference's embedding store keeps an hnswlib index next to the
+key-value store and answers `NearestNeighbor` from it
+(`embeddinghub/embeddingstore/index.cc:10-54` — L2 space,
+`server.cc:152-198`); the batch analogue in this repo is the
+Spark-side IVF/LSH/PQ family (`functions/ann_index.py`), but the
+ONLINE path — a driver-resident space of up to a few million vectors
+answering single queries in milliseconds — wants the same in-process
+graph index, and this sandbox has no hnswlib. This is the public
+HNSW algorithm (Malkov & Yashunin 2016, arXiv 1603.09320) implemented
+directly:
+
+- exponentially-distributed insertion levels with mL = 1/ln(M);
+  DETERMINISTIC per key (md5(key|seed) drives the level draw), so the
+  same inserts in the same order rebuild the same graph on any host —
+  the repo's replay discipline applied to an index structure;
+- greedy descent from the top layer, best-first beam (ef) at each
+  layer, bidirectional M-degree links with hnswlib's degree caps
+  (M_max = M above layer 0, M_max0 = 2M at layer 0) and
+  closest-first pruning;
+- L2 metric like the reference's default space; vectors are Python
+  tuples (no numpy requirement in the serving hot path).
+
+Scale posture: this is the DRIVER-side online index — memory is
+O(N·(dim + M)) and build is O(N·ef·log N) distance evaluations; the
+100 TB batch side stays in Spark (`ann_index.py` builds on-disk IVF
+from a DataFrame; this index serves the online remainder). Approx
+recall is pinned against exact brute force in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from heapq import heappop, heappush
+
+
+class HnswIndex:
+    """Append-only HNSW over string-keyed float vectors (the online
+    store's grain). Not thread-safe; the serving layer serializes."""
+
+    def __init__(self, dim: int, m: int = 16, ef_construction: int = 100,
+                 seed: int = 42):
+        if dim < 1 or m < 2 or ef_construction < 1:
+            raise ValueError("dim >= 1, m >= 2, ef_construction >= 1")
+        self.dim = dim
+        self.m = m
+        self.m_max0 = 2 * m
+        self.ef_construction = ef_construction
+        self.seed = seed
+        self._ml = 1.0 / math.log(m)
+        self._vecs: dict[str, tuple[float, ...]] = {}
+        self._links: list[dict[str, list[str]]] = []  # per layer
+        self._levels: dict[str, int] = {}
+        self._entry: str | None = None
+
+    def __len__(self) -> int:
+        return len(self._vecs)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._vecs
+
+    def _dist(self, a: tuple[float, ...], b: tuple[float, ...]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def _draw_level(self, key: str) -> int:
+        """Deterministic exponential level: uniform from md5(key|seed),
+        l = floor(-ln(u) * mL) — hnswlib's draw with a replayable
+        source."""
+        h = hashlib.md5(f"{key}|{self.seed}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / float(16 ** 13 + 1)  # (0, 1]
+        return int(-math.log(u) * self._ml)
+
+    def _search_layer(
+        self,
+        q: tuple[float, ...],
+        entry: list[str],
+        ef: int,
+        layer: int,
+    ) -> list[tuple[float, str]]:
+        """Best-first beam search; returns up to ef (dist, key) pairs
+        sorted ascending."""
+        links = self._links[layer]
+        visited = set(entry)
+        cand: list[tuple[float, str]] = []
+        best: list[tuple[float, str]] = []  # max-heap via negated dist
+        for e in entry:
+            d = self._dist(q, self._vecs[e])
+            heappush(cand, (d, e))
+            heappush(best, (-d, e))
+        while cand:
+            d, c = heappop(cand)
+            if best and d > -best[0][0]:
+                break
+            for n in links.get(c, ()):
+                if n in visited:
+                    continue
+                visited.add(n)
+                dn = self._dist(q, self._vecs[n])
+                if len(best) < ef or dn < -best[0][0]:
+                    heappush(cand, (dn, n))
+                    heappush(best, (-dn, n))
+                    if len(best) > ef:
+                        heappop(best)
+        return sorted((-nd, k) for nd, k in best)
+
+    def _shrink(self, key: str, layer: int, cap: int) -> None:
+        links = self._links[layer]
+        if len(links.get(key, ())) <= cap:
+            return
+        v = self._vecs[key]
+        ranked = sorted(
+            links[key], key=lambda n: self._dist(v, self._vecs[n])
+        )
+        links[key] = ranked[:cap]
+
+    def add(self, key: str, vector) -> None:
+        """Insert (or overwrite) a vector. Overwrite re-links the key
+        in place: the old links are dropped and the key re-inserted —
+        the set()-updates-the-index behavior of the reference store."""
+        vec = tuple(float(x) for x in vector)
+        if len(vec) != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {len(vec)}")
+        if key in self._vecs:
+            self._remove_links(key)
+        self._vecs[key] = vec
+        level = self._draw_level(key)
+        self._levels[key] = level
+        while len(self._links) <= level:
+            self._links.append({})
+        for lyr in range(level + 1):
+            self._links[lyr].setdefault(key, [])
+        if self._entry is None:
+            self._entry = key
+            return
+        max_level = self._levels[self._entry]
+        ep = [self._entry]
+        for lyr in range(max_level, level, -1):
+            if lyr >= len(self._links):
+                continue
+            found = self._search_layer(vec, ep, 1, lyr)
+            if found:
+                ep = [found[0][1]]
+        for lyr in range(min(level, max_level), -1, -1):
+            found = self._search_layer(vec, ep, self.ef_construction, lyr)
+            cap = self.m_max0 if lyr == 0 else self.m
+            neighbors = [k for _, k in found[: self.m] if k != key]
+            links = self._links[lyr]
+            links[key] = list(neighbors)
+            for n in neighbors:
+                if key not in links.setdefault(n, []):
+                    links[n].append(key)
+                    self._shrink(n, lyr, cap)
+            ep = [k for _, k in found] or ep
+        if level > max_level:
+            self._entry = key
+
+    def _remove_links(self, key: str) -> None:
+        for lyr in range(self._levels.get(key, 0) + 1):
+            if lyr >= len(self._links):
+                break
+            links = self._links[lyr]
+            for n in links.pop(key, []):
+                if n in links and key in links[n]:
+                    links[n].remove(key)
+        if self._entry == key:
+            others = [k for k in self._vecs if k != key]
+            self._entry = max(
+                others, key=lambda k: self._levels[k], default=None
+            )
+
+    def search(
+        self, vector, k: int, ef: int | None = None,
+        exclude: set[str] | None = None,
+    ) -> list[tuple[str, float]]:
+        """k nearest (key, l2_squared) pairs, ascending distance.
+        ``ef`` defaults to max(k, ef_construction // 2); raise it for
+        recall, lower it for latency — the hnswlib knob."""
+        if self._entry is None:
+            return []
+        q = tuple(float(x) for x in vector)
+        if len(q) != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {len(q)}")
+        ef = max(k, ef or max(k, self.ef_construction // 2))
+        exclude = exclude or set()
+        ep = [self._entry]
+        for lyr in range(self._levels[self._entry], 0, -1):
+            found = self._search_layer(q, ep, 1, lyr)
+            if found:
+                ep = [found[0][1]]
+        found = self._search_layer(q, ep, ef + len(exclude), 0)
+        out = [(kk, d) for d, kk in found if kk not in exclude]
+        return out[:k]

@@ -156,6 +156,10 @@ class Space:
         self._check_mutable()
         staged = {k: self._check_dims(k, v) for k, v in items.items()}
         self._buf.update(staged)
+        ann = getattr(self, "_ann", None)
+        if ann is not None:  # keep the HNSW current, like the reference
+            for kk in sorted(staged):
+                ann.add(kk, staged[kk])
 
     def set(self, key: str, embedding: list[float]) -> None:
         self.multiset({key: embedding})
@@ -197,18 +201,66 @@ class Space:
     def freeze(self) -> None:
         self.frozen = True
 
+    def build_ann_index(
+        self, m: int = 16, ef_construction: int = 100, seed: int = 42
+    ) -> int:
+        """Build the driver-side HNSW over the space's CURRENT state
+        (base ∪ overlay) — the reference keeps exactly this index next
+        to its store (embeddingstore/index.cc hnswlib, L2). Subsequent
+        ``set``/``multiset`` writes keep it updated in place, and
+        ``nearest_neighbor(approximate=True)`` answers from it with no
+        Spark job. Returns the number of indexed vectors.
+
+        Memory is O(N·(dims + m)) on the driver — the online remainder
+        of a pipeline whose 100 TB side stays in Spark
+        (functions/ann_index.py); insertion order is the sorted key
+        order, and levels are md5-seeded, so the same space state
+        builds the same graph anywhere."""
+        from embeddinghub_spark.functions.hnsw import HnswIndex
+
+        idx = HnswIndex(
+            self.dims, m=m, ef_construction=ef_construction, seed=seed
+        )
+        rows = {r["key"]: r["embedding"] for r in self._current().collect()}
+        for kk in sorted(rows):
+            idx.add(kk, rows[kk])
+        self._ann = idx
+        return len(idx)
+
     def nearest_neighbor(
-        self, k: int, key: str | None = None, vector: list[float] | None = None
+        self,
+        k: int,
+        key: str | None = None,
+        vector: list[float] | None = None,
+        approximate: bool = False,
+        ef: int | None = None,
     ) -> list[str]:
         """NearestNeighbor (server.cc:152-198): L2 metric like the
         hnswlib index (index.cc L2 space); query by key or raw vector;
-        a key query excludes itself like the reference's API."""
+        a key query excludes itself like the reference's API.
+
+        ``approximate=True`` answers from the driver-side HNSW built
+        by ``build_ann_index`` (raising if none was built) — the
+        reference's actual serving path; the default stays the EXACT
+        Spark brute force (the certified oracle shape)."""
         if (key is None) == (vector is None):
             raise ValueError("provide exactly one of key / vector")
         if vector is None:
             vector = self.get(key)
             if vector is None:
                 raise KeyError(key)
+        if approximate:
+            idx = getattr(self, "_ann", None)
+            if idx is None:
+                raise RuntimeError(
+                    f"space {self.name} has no ANN index — call "
+                    "build_ann_index() first"
+                )
+            hits = idx.search(
+                vector, k, ef=ef,
+                exclude={key} if key is not None else None,
+            )
+            return [kk for kk, _ in hits]
         cur = self._current()
         q = self.spark.createDataFrame([(0, [float(x) for x in vector])],
                                        ["query_id", "query_vec"])

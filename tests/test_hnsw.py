@@ -1,0 +1,115 @@
+"""functions/hnsw.py — deterministic pure-Python HNSW (the reference's
+embeddingstore serves NearestNeighbor from an hnswlib index,
+embeddinghub/embeddingstore/index.cc:10-54; this is its in-process
+sibling for the online path, recall-pinned against exact brute
+force)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from embeddinghub_spark.functions.hnsw import HnswIndex
+
+
+def _vec(i: int, dim: int = 16) -> list[float]:
+    """Deterministic pseudo-random vector from md5 — no RNG state."""
+    h = hashlib.md5(f"v{i}".encode()).hexdigest()
+    out = []
+    for d in range(dim):
+        hh = hashlib.md5(f"{h}|{d}".encode()).hexdigest()
+        out.append((int(hh[:8], 16) / 0xFFFFFFFF) * 2 - 1)
+    return out
+
+
+def _brute(vectors: dict, q: list[float], k: int) -> list[str]:
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    return [
+        kk for kk, _ in sorted(
+            ((kk, l2(v, q)) for kk, v in vectors.items()),
+            key=lambda t: (t[1], t[0]),
+        )[:k]
+    ]
+
+
+def test_recall_against_brute_force():
+    vecs = {f"k{i}": _vec(i) for i in range(500)}
+    idx = HnswIndex(16, m=16, ef_construction=120)
+    for kk in sorted(vecs):
+        idx.add(kk, vecs[kk])
+    hits = total = 0
+    for qi in range(40):
+        q = _vec(10_000 + qi)
+        exact = set(_brute(vecs, q, 10))
+        approx = {kk for kk, _ in idx.search(q, 10, ef=80)}
+        hits += len(exact & approx)
+        total += 10
+    recall = hits / total
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_deterministic_rebuild_and_exact_top1():
+    vecs = {f"k{i}": _vec(i, 8) for i in range(200)}
+    a = HnswIndex(8, m=8, ef_construction=60)
+    b = HnswIndex(8, m=8, ef_construction=60)
+    for kk in sorted(vecs):
+        a.add(kk, vecs[kk])
+        b.add(kk, vecs[kk])
+    for qi in range(10):
+        q = _vec(999 + qi, 8)
+        assert a.search(q, 5) == b.search(q, 5)
+    # querying an indexed vector itself returns it first at distance 0
+    got = a.search(vecs["k7"], 1)
+    assert got[0][0] == "k7" and got[0][1] == pytest.approx(0.0)
+
+
+def test_incremental_add_overwrite_and_exclude():
+    idx = HnswIndex(4, m=4, ef_construction=30)
+    idx.add("a", [0, 0, 0, 0])
+    idx.add("b", [1, 0, 0, 0])
+    idx.add("c", [2, 0, 0, 0])
+    assert [k for k, _ in idx.search([0.1, 0, 0, 0], 2)] == ["a", "b"]
+    # overwrite moves a key: 'a' relocates far away
+    idx.add("a", [9, 9, 9, 9])
+    assert [k for k, _ in idx.search([0.1, 0, 0, 0], 2)] == ["b", "c"]
+    assert [k for k, _ in idx.search([9, 9, 9, 9], 1)] == ["a"]
+    # exclusion (the key-query-excludes-itself contract)
+    got = idx.search([1, 0, 0, 0], 2, exclude={"b"})
+    assert "b" not in [k for k, _ in got]
+    with pytest.raises(ValueError, match="dim"):
+        idx.add("bad", [1, 2])
+    with pytest.raises(ValueError, match="dim"):
+        idx.search([1, 2], 1)
+    assert HnswIndex(4).search([0, 0, 0, 0], 3) == []
+
+
+def test_space_ann_serving_path(spark):
+    """Space.build_ann_index + nearest_neighbor(approximate=True):
+    answers match exact brute force on a small space, writes after the
+    build keep the index current, and the no-index call raises."""
+    from embeddinghub_spark.serving.spaces import EmbeddingHub
+
+    hub = EmbeddingHub(spark)
+    sp = hub.create_space("ann_demo", dims=8)
+    vecs = {f"k{i}": _vec(i, 8) for i in range(120)}
+    sp.multiset(vecs)
+    with pytest.raises(RuntimeError, match="no ANN index"):
+        sp.nearest_neighbor(3, vector=_vec(1, 8), approximate=True)
+    n = sp.build_ann_index(m=8, ef_construction=80)
+    assert n == 120
+    q = _vec(5000, 8)
+    exact = sp.nearest_neighbor(5, vector=q)
+    approx = sp.nearest_neighbor(5, vector=q, approximate=True, ef=80)
+    assert len(set(exact) & set(approx)) >= 4
+    # key query excludes itself on the approximate path too
+    by_key = sp.nearest_neighbor(3, key="k7", approximate=True, ef=80)
+    assert "k7" not in by_key and len(by_key) == 3
+    # a post-build write is immediately visible
+    sp.set("fresh", list(q))
+    assert sp.nearest_neighbor(
+        1, vector=q, approximate=True
+    ) == ["fresh"]
