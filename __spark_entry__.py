@@ -8758,6 +8758,146 @@ FROM v1 WHERE o_orderkey % 5 = 0
 """
 
 
+def _build_iceberg_fixture(spark, root: str, df_a, df_b) -> None:
+    """Hand-build a TWO-SNAPSHOT Iceberg v2 table per the public table
+    spec (metadata JSON + Avro manifest list/manifest via
+    sources/avro_io.py): snapshot 101 adds df_a's files, snapshot 202
+    adds df_b's (101's manifest carried forward). This is a
+    FIXTURE-grade writer — it exists so the native READER
+    (sources/iceberg_meta.py) can be driven end-to-end under the
+    correctness gate; a production Iceberg writer (atomic commits,
+    field-id parquet metadata) needs the connector."""
+    import glob
+    import json as _json
+    import os
+
+    from embeddinghub_spark.sources.avro_io import write_avro_file
+
+    def _write_slice(df, sub):
+        d = os.path.join(root, "data", sub)
+        df.write.mode("overwrite").parquet(d)
+        return sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+
+    files_a = _write_slice(df_a, "s1")
+    files_b = _write_slice(df_b, "s2")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    man_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ]}
+
+    def _manifest(name, files):
+        p = os.path.join(meta_dir, name)
+        write_avro_file(p, man_schema, [
+            {"status": 1, "snapshot_id": None, "data_file": {
+                "content": 0, "file_path": f"file://{f}",
+                "file_format": "PARQUET", "record_count": 1}}
+            for f in files
+        ])
+        return p
+
+    def _mlist(name, manifests):
+        p = os.path.join(meta_dir, name)
+        write_avro_file(p, mlist_schema, [
+            {"manifest_path": m, "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": None}
+            for m in manifests
+        ])
+        return p
+
+    m1 = _manifest("m1.avro", files_a)
+    m2 = _manifest("m2.avro", files_b)
+    ml1 = _mlist("ml1.avro", [m1])
+    ml2 = _mlist("ml2.avro", [m1, m2])
+    ice_schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "c_custkey", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "c_name", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "c_nationkey", "required": False,
+             "type": "long"},
+        ]}
+    meta = {
+        "format-version": 2, "table-uuid": "entry-fixture",
+        "location": f"file://{root}",
+        "schemas": [ice_schema], "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 202,
+        "snapshots": [
+            {"snapshot-id": 101, "timestamp-ms": 1000,
+             "manifest-list": f"file://{ml1}", "schema-id": 0},
+            {"snapshot-id": 202, "timestamp-ms": 2000,
+             "manifest-list": f"file://{ml2}", "schema-id": 0},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+def q_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Iceberg read path certified END-TO-END
+    (sources/iceberg_meta.py + sources/avro_io.py; the reference reads
+    Iceberg through the connector, runner:965-980): hand-build a
+    two-snapshot Iceberg v2 table from the customer slices
+    (%3==0 at snapshot 101, %3==1 added at 202), then read BOTH the
+    time-traveled snapshot and the current one through the metadata /
+    Avro-manifest replay. The oracle recomputes both slices in pure
+    SQL. One multi-path parquet scan per read — Iceberg data files
+    carry every column, so there is no partition-attachment union."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="ice_") + "/tbl"
+    _build_iceberg_fixture(
+        spark,
+        root,
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        cust.filter(F.col("c_custkey") % 3 == 1),
+    )
+    v1 = read_iceberg(spark, root, snapshot_id=101).withColumn(
+        "snap", F.lit("v1")
+    )
+    cur = read_iceberg(spark, root).withColumn("snap", F.lit("current"))
+    return v1.unionByName(cur)
+
+
+_ICEBERG_NATIVE_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, 'v1' AS snap
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, 'current' AS snap
+FROM customer WHERE c_custkey % 3 IN (0, 1)
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8771,6 +8911,7 @@ def staged_queries() -> dict:
     return {
         "pack_bins": q_pack_bins,
         "delta_changes": q_delta_changes,
+        "iceberg_native": q_iceberg_native,
     }
 
 
@@ -8778,4 +8919,5 @@ def staged_oracle_sql() -> dict:
     return {
         "pack_bins": _pack_bins_oracle(),
         "delta_changes": _DELTA_CHANGES_ORACLE,
+        "iceberg_native": _ICEBERG_NATIVE_ORACLE,
     }
