@@ -25,10 +25,15 @@ including snapshot time travel — in any environment:
 
 Scope (honestly bounded, checked at read time):
 - Reads + snapshot time travel (`snapshot_id` / `as_of_timestamp_ms`)
-  for format v1 and v2 tables whose live snapshot carries NO delete
-  files (v2 position/equality deletes raise `IcebergProtocolError` —
-  a silent wrong read is worse than a loud gap); writes and MERGE
-  need the connector (or this repo's S10/S12 table fallbacks).
+  for format v1 and v2 tables. v2 merge-on-read POSITION deletes are
+  applied exactly (delete files carry (file_path, pos) rows; Spark's
+  parquet `_metadata.row_index` tags each data row with its position,
+  and one LEFT ANTI join removes the deleted ones — paths are never
+  reused, so unconditional application is sequence-safe); EQUALITY
+  deletes raise `IcebergProtocolError` (their strictly-less-than
+  sequence-number semantics need the connector — a silent wrong read
+  is worse than a loud gap). Writes and MERGE need the connector (or
+  this repo's S10/S12 table fallbacks).
 - Data files must be parquet (the reference's runner reads Iceberg
   parquet tables; ORC/Avro data files raise).
 - Columns are matched BY NAME against the snapshot's schema: tables
@@ -266,6 +271,7 @@ def iceberg_snapshot(
         }
 
     files: list[str] = []
+    position_deletes: list[str] = []
     manifest_list = snap.get("manifest-list")
     if manifest_list:
         _, mrows = read_avro_file(_resolve(manifest_list, path, location))
@@ -275,29 +281,40 @@ def iceberg_snapshot(
     else:
         # ancient v1 layout: manifests inlined on the snapshot
         manifests = [(p, 0) for p in (snap.get("manifests") or [])]
-    for mpath, content in manifests:
+    for mpath, _mcontent in manifests:
         _, entries = read_avro_file(_resolve(mpath, path, location))
         for e in entries:
             status = int(e.get("status", 0))
             if status == 2:  # deleted in this snapshot: not live
                 continue
             df_rec = e.get("data_file") or {}
-            if content == 1 or int(df_rec.get("content") or 0) != 0:
-                raise IcebergProtocolError(
-                    "table carries live delete files (merge-on-read) — "
-                    "use the iceberg-spark connector"
-                )
+            kind = int(df_rec.get("content") or 0)
             fmt = str(df_rec.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
                     f"data file format {fmt!r} not supported by the "
                     "native Iceberg reader — use the connector"
                 )
-            files.append(_resolve(df_rec["file_path"], path, location))
+            resolved = _resolve(df_rec["file_path"], path, location)
+            if kind == 0:
+                files.append(resolved)
+            elif kind == 1:
+                # position delete: (file_path, pos) rows — applied
+                # exactly in read_iceberg via Spark's
+                # _metadata.row_index (paths are never reused, so
+                # unconditional application is sequence-safe)
+                position_deletes.append(resolved)
+            else:
+                raise IcebergProtocolError(
+                    "table carries equality delete files — their "
+                    "sequence-number semantics need the iceberg-spark "
+                    "connector (position deletes ARE handled natively)"
+                )
     return {
         "snapshot_id": snap.get("snapshot-id"),
         "schema": schema,
         "files": files,
+        "position_deletes": position_deletes,
         "metadata": meta,
     }
 
@@ -320,7 +337,39 @@ def read_iceberg(
     schema: T.StructType = snap["schema"]
     if not snap["files"]:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
-    return reader.parquet(*sorted(snap["files"])).select(
-        *[f.name for f in schema.fields]
+    cols = [f.name for f in schema.fields]
+    data = spark.read.schema(schema).parquet(*sorted(snap["files"]))
+    if not snap["position_deletes"]:
+        return data.select(*cols)
+    # merge-on-read, position grain: delete files carry (file_path,
+    # pos) rows; Spark's parquet _metadata column gives each data row
+    # its (file_path, row_index), so application is one LEFT ANTI join
+    # — deletes are churn-sized, so AQE broadcasts them. Path spellings
+    # differ between writers (file:/x vs file:///x vs /x); both sides
+    # normalize to a plain absolute path before comparing.
+    from pyspark.sql import functions as F
+
+    def norm(c):
+        return F.regexp_replace(c, "^file:/+", "/")
+
+    tagged = data.select(
+        *cols,
+        norm(F.col("_metadata.file_path")).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    dels = (
+        spark.read.parquet(*sorted(snap["position_deletes"]))
+        .select(
+            norm(F.col("file_path")).alias("_dfp"),
+            F.col("pos").cast("long").alias("_dpos"),
+        )
+    )
+    return (
+        tagged.join(
+            dels,
+            (tagged["_fp"] == dels["_dfp"])
+            & (tagged["_pos"] == dels["_dpos"]),
+            "left_anti",
+        )
+        .select(*cols)
     )

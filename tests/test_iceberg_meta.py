@@ -321,15 +321,17 @@ def test_deleted_entries_and_dead_files_are_invisible(spark, tmp_path):
 
 
 def test_protocol_gates_raise(spark, tmp_path):
-    # live delete manifest (content=1) -> loud gap
+    # equality delete entries (data_file.content=2) -> loud gap
+    # (position deletes, content=1, are natively applied — see
+    # test_position_deletes_applied_exactly)
     t = str(tmp_path / "dv")
     f1 = _data_file(t, "data/f1.parquet", [1], ["a"], ["en"])
-    dm = _manifest(t, "dm.avro", [(1, 1, f"file://{f1}", "PARQUET")])
+    dm = _manifest(t, "dm.avro", [(1, 2, f"file://{f1}", "PARQUET")])
     ml = _manifest_list(t, "ml.avro", [(dm, 1)])
     s = {"snapshot-id": 7, "timestamp-ms": 1,
          "manifest-list": f"file://{ml}", "schema-id": 0}
     _metadata(t, 1, [s], 7)
-    with pytest.raises(IcebergProtocolError, match="delete files"):
+    with pytest.raises(IcebergProtocolError, match="equality delete"):
         iceberg_snapshot(t)
 
     # non-parquet data file
@@ -456,3 +458,61 @@ def test_resolve_never_reads_relative_paths_from_cwd(tmp_path, monkeypatch):
     monkeypatch.chdir(decoy)
     got = _resolve("data/f.parquet", str(table), None)
     assert open(got, "rb").read() == b"right"
+
+
+def _pos_delete_file(table, rel, pairs):
+    """A position delete parquet: (file_path, pos) rows."""
+    p = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([fp for fp, _ in pairs], pa.string()),
+            "pos": pa.array([pos for _, pos in pairs], pa.int64()),
+        }),
+        p,
+    )
+    return p
+
+
+def test_position_deletes_applied_exactly(spark, tmp_path):
+    """v2 merge-on-read, position grain: delete files name
+    (file_path, pos); the reader removes exactly those rows via
+    _metadata.row_index — across files, across path spellings
+    (file:// vs bare), leaving all other rows intact."""
+    t = str(tmp_path / "mor")
+    f1 = _data_file(t, "data/f1.parquet", [1, 2, 3], ["a", "b", "c"],
+                    ["en", "fr", "de"])
+    f2 = _data_file(t, "data/f2.parquet", [4, 5], ["d", "e"],
+                    ["it", "es"])
+    # delete f1 pos 1 (id=2, recorded file://-style) and f2 pos 0
+    # (id=4, recorded as a bare absolute path)
+    pd1 = _pos_delete_file(t, "data/del1.parquet",
+                           [(f"file://{f1}", 1), (f2, 0)])
+    m = _manifest(
+        t, "m.avro",
+        [(1, 0, f"file://{f1}", "PARQUET"),
+         (1, 0, f"file://{f2}", "PARQUET")],
+    )
+    dm = _manifest(t, "dm.avro", [(1, 1, f"file://{pd1}", "PARQUET")])
+    ml = _manifest_list(t, "ml.avro", [(m, 0), (dm, 1)])
+    s = {"snapshot-id": 9, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _metadata(t, 1, [s], 9)
+    snap = iceberg_snapshot(t)
+    assert len(snap["position_deletes"]) == 1
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "a"), (3, "c"), (5, "e")}
+
+
+def test_equality_deletes_still_raise(spark, tmp_path):
+    t = str(tmp_path / "eq")
+    f1 = _data_file(t, "data/f1.parquet", [1], ["a"], ["en"])
+    ed = _data_file(t, "data/ed.parquet", [1], ["a"], ["en"])
+    m = _manifest(t, "m.avro", [(1, 0, f"file://{f1}", "PARQUET")])
+    dm = _manifest(t, "dm.avro", [(1, 2, f"file://{ed}", "PARQUET")])
+    ml = _manifest_list(t, "ml.avro", [(m, 0), (dm, 1)])
+    s = {"snapshot-id": 9, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _metadata(t, 1, [s], 9)
+    with pytest.raises(IcebergProtocolError, match="equality delete"):
+        iceberg_snapshot(t)
