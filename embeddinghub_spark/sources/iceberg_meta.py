@@ -25,15 +25,19 @@ including snapshot time travel — in any environment:
 
 Scope (honestly bounded, checked at read time):
 - Reads + snapshot time travel (`snapshot_id` / `as_of_timestamp_ms`)
-  for format v1 and v2 tables. v2 merge-on-read POSITION deletes are
-  applied exactly (delete files carry (file_path, pos) rows; Spark's
-  parquet `_metadata.row_index` tags each data row with its position,
-  and one LEFT ANTI join removes the deleted ones — paths are never
-  reused, so unconditional application is sequence-safe); EQUALITY
-  deletes raise `IcebergProtocolError` (their strictly-less-than
-  sequence-number semantics need the connector — a silent wrong read
-  is worse than a loud gap). Writes and MERGE need the connector (or
-  this repo's S10/S12 table fallbacks).
+  for format v1 and v2 tables. v2 merge-on-read deletes are applied
+  natively on BOTH grains: POSITION deletes ((file_path, pos) rows;
+  Spark's parquet `_metadata.row_index` tags each data row with its
+  position and one LEFT ANTI join removes the deleted ones — paths
+  are never reused, so unconditional application is sequence-safe)
+  and EQUALITY deletes (per the spec's sequencing: a delete with data
+  sequence number S removes matching rows only from data files with
+  sequence STRICTLY LESS than S, so later re-inserts survive; entry
+  sequence numbers inherit from the manifest-list row when null).
+  Equality deletes without `equality_ids`, or whose ids reference
+  non-top-level fields, raise `IcebergProtocolError` — a silent wrong
+  read is worse than a loud gap. Writes and MERGE need the connector
+  (or this repo's S10/S12 table fallbacks).
 - Data files must be parquet (the reference's runner reads Iceberg
   parquet tables; ORC/Avro data files raise).
 - Columns are matched BY NAME against the snapshot's schema: tables
@@ -196,6 +200,24 @@ def _to_spark_type(t: Any) -> T.DataType:
     raise ValueError(f"unknown Iceberg type {t!r}")
 
 
+def _raw_schema_fields(meta: dict, snapshot: dict | None) -> list[dict]:
+    """The raw Iceberg field dicts (id/name/type) of the schema
+    ``_schema_for`` resolves — the id → name map equality deletes
+    need."""
+    schemas = meta.get("schemas")
+    if schemas:
+        sid = None
+        if snapshot is not None:
+            sid = snapshot.get("schema-id")
+        if sid is None:
+            sid = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == sid:
+                return list(s.get("fields") or [])
+        return []
+    return list((meta.get("schema") or {}).get("fields") or [])
+
+
 def _schema_for(meta: dict, snapshot: dict | None) -> T.StructType:
     """The snapshot's schema when it records a schema-id, else the
     table's current schema; v1 tables may carry a single `schema`."""
@@ -271,17 +293,29 @@ def iceberg_snapshot(
         }
 
     files: list[str] = []
+    file_seqs: dict[str, int] = {}
     position_deletes: list[str] = []
+    equality_deletes: list[dict] = []
     manifest_list = snap.get("manifest-list")
     if manifest_list:
         _, mrows = read_avro_file(_resolve(manifest_list, path, location))
         manifests = [
-            (m["manifest_path"], int(m.get("content") or 0)) for m in mrows
+            (
+                m["manifest_path"],
+                int(m.get("content") or 0),
+                int(m.get("sequence_number") or 0),
+            )
+            for m in mrows
         ]
     else:
         # ancient v1 layout: manifests inlined on the snapshot
-        manifests = [(p, 0) for p in (snap.get("manifests") or [])]
-    for mpath, _mcontent in manifests:
+        manifests = [(p, 0, 0) for p in (snap.get("manifests") or [])]
+    field_names = {
+        int(f["id"]): f["name"]
+        for f in _raw_schema_fields(meta, snap)
+        if "id" in f
+    }
+    for mpath, _mcontent, mseq in manifests:
         _, entries = read_avro_file(_resolve(mpath, path, location))
         for e in entries:
             status = int(e.get("status", 0))
@@ -296,8 +330,14 @@ def iceberg_snapshot(
                     "native Iceberg reader — use the connector"
                 )
             resolved = _resolve(df_rec["file_path"], path, location)
+            # v2 sequence inheritance: a null entry sequence_number
+            # inherits the manifest's (the spec's ADDED-entry rule;
+            # EXISTING entries carry their own explicitly)
+            eseq = e.get("sequence_number")
+            seq = int(eseq) if eseq is not None else mseq
             if kind == 0:
                 files.append(resolved)
+                file_seqs[resolved] = seq
             elif kind == 1:
                 # position delete: (file_path, pos) rows — applied
                 # exactly in read_iceberg via Spark's
@@ -305,16 +345,33 @@ def iceberg_snapshot(
                 # unconditional application is sequence-safe)
                 position_deletes.append(resolved)
             else:
-                raise IcebergProtocolError(
-                    "table carries equality delete files — their "
-                    "sequence-number semantics need the iceberg-spark "
-                    "connector (position deletes ARE handled natively)"
+                # equality delete: rows matching the named equality
+                # field ids are deleted from data files whose data
+                # sequence number is STRICTLY LESS than the delete's —
+                # a row re-inserted at a later sequence survives
+                eq_ids = [int(i) for i in (df_rec.get("equality_ids") or [])]
+                if not eq_ids:
+                    raise IcebergProtocolError(
+                        "equality delete file without equality_ids — "
+                        "use the iceberg-spark connector"
+                    )
+                try:
+                    eq_cols = [field_names[i] for i in eq_ids]
+                except KeyError as exc:
+                    raise IcebergProtocolError(
+                        f"equality_ids {eq_ids} reference non-top-level "
+                        "or unknown fields — use the connector"
+                    ) from exc
+                equality_deletes.append(
+                    {"path": resolved, "seq": seq, "equality_cols": eq_cols}
                 )
     return {
         "snapshot_id": snap.get("snapshot-id"),
         "schema": schema,
         "files": files,
+        "file_seqs": file_seqs,
         "position_deletes": position_deletes,
+        "equality_deletes": equality_deletes,
         "metadata": meta,
     }
 
@@ -339,14 +396,18 @@ def read_iceberg(
         return spark.createDataFrame([], schema)
     cols = [f.name for f in schema.fields]
     data = spark.read.schema(schema).parquet(*sorted(snap["files"]))
-    if not snap["position_deletes"]:
+    if not snap["position_deletes"] and not snap["equality_deletes"]:
         return data.select(*cols)
-    # merge-on-read, position grain: delete files carry (file_path,
+    # merge-on-read. Position grain: delete files carry (file_path,
     # pos) rows; Spark's parquet _metadata column gives each data row
-    # its (file_path, row_index), so application is one LEFT ANTI join
-    # — deletes are churn-sized, so AQE broadcasts them. Path spellings
-    # differ between writers (file:/x vs file:///x vs /x); both sides
-    # normalize to a plain absolute path before comparing.
+    # its (file_path, row_index), so application is one LEFT ANTI join.
+    # Equality grain: each delete file carries the equality-column
+    # values plus its data sequence number; a data row dies iff a
+    # matching delete exists with delete_seq STRICTLY GREATER than the
+    # row's file sequence (a later re-insert survives). Deletes are
+    # churn-sized, so AQE broadcasts the anti-join sides. Path
+    # spellings differ between writers (file:/x vs file:///x vs /x);
+    # every comparison normalizes to a plain absolute path first.
     from pyspark.sql import functions as F
 
     def norm(c):
@@ -357,19 +418,51 @@ def read_iceberg(
         norm(F.col("_metadata.file_path")).alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    dels = (
-        spark.read.parquet(*sorted(snap["position_deletes"]))
-        .select(
-            norm(F.col("file_path")).alias("_dfp"),
-            F.col("pos").cast("long").alias("_dpos"),
+    if snap["position_deletes"]:
+        dels = (
+            spark.read.parquet(*sorted(snap["position_deletes"]))
+            .select(
+                norm(F.col("file_path")).alias("_dfp"),
+                F.col("pos").cast("long").alias("_dpos"),
+            )
         )
-    )
-    return (
-        tagged.join(
+        tagged = tagged.join(
             dels,
             (tagged["_fp"] == dels["_dfp"])
             & (tagged["_pos"] == dels["_dpos"]),
             "left_anti",
         )
-        .select(*cols)
-    )
+    if snap["equality_deletes"]:
+        # data rows carry their file's sequence number via a
+        # (#files)-row broadcast frame on the normalized path
+        seq_rows = [
+            (re.sub(r"^file:/+", "/", p), s)
+            for p, s in snap["file_seqs"].items()
+        ]
+        seq_df = F.broadcast(
+            spark.createDataFrame(seq_rows, ["_sfp", "_seq"])
+        )
+        tagged = tagged.join(seq_df, tagged["_fp"] == seq_df["_sfp"]).drop(
+            "_sfp"
+        )
+        # group delete files by their equality-column set; one anti
+        # join per group (real writers use one stable set per table)
+        groups: dict[tuple, list[dict]] = {}
+        for d in snap["equality_deletes"]:
+            groups.setdefault(tuple(d["equality_cols"]), []).append(d)
+        for eq_cols, dels_meta in sorted(groups.items()):
+            parts = [
+                spark.read.parquet(d["path"]).select(
+                    *[F.col(c).alias(f"_e_{c}") for c in eq_cols],
+                    F.lit(int(d["seq"])).cast("long").alias("_dseq"),
+                )
+                for d in dels_meta
+            ]
+            eq_df = parts[0]
+            for p in parts[1:]:
+                eq_df = eq_df.unionByName(p)
+            cond = F.col("_dseq") > F.col("_seq")
+            for c in eq_cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_e_{c}"))
+            tagged = tagged.join(eq_df, cond, "left_anti")
+    return tagged.select(*cols)

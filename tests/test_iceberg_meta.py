@@ -516,3 +516,106 @@ def test_equality_deletes_still_raise(spark, tmp_path):
     _metadata(t, 1, [s], 9)
     with pytest.raises(IcebergProtocolError, match="equality delete"):
         iceberg_snapshot(t)
+
+
+_MANIFEST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2v2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null",
+                              {"type": "array", "items": "int"}]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _manifest_v2(table, name, entries):
+    """entries: (status, content, file_path, fmt, seq, equality_ids)."""
+    p = os.path.join(table, "metadata", name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    write_avro_file(
+        p,
+        _MANIFEST_SCHEMA_V2,
+        [
+            {
+                "status": st,
+                "snapshot_id": None,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": c,
+                    "file_path": fp,
+                    "file_format": fmt,
+                    "record_count": 1,
+                    "equality_ids": eq,
+                },
+            }
+            for st, c, fp, fmt, seq, eq in entries
+        ],
+    )
+    return p
+
+
+def test_equality_deletes_respect_sequence_numbers(spark, tmp_path):
+    """The spec's MoR sequencing: an equality delete at sequence S
+    removes matching rows only from data files with sequence < S — a
+    row re-inserted at a LATER sequence survives the delete."""
+    t = str(tmp_path / "eqseq")
+    fa = _data_file(t, "data/a.parquet", [1, 2], ["a", "b"], ["en", "fr"])
+    fb = _data_file(t, "data/b.parquet", [2], ["b2"], ["fr"])
+    ed = os.path.join(t, "data/ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), ed)
+    m = _manifest_v2(
+        t, "m.avro",
+        [
+            (1, 0, f"file://{fa}", "PARQUET", 1, None),   # data, seq 1
+            (1, 0, f"file://{fb}", "PARQUET", 3, None),   # re-insert, seq 3
+            (1, 2, f"file://{ed}", "PARQUET", 2, [1]),    # eq-del id=2 @ seq 2
+        ],
+    )
+    ml = _manifest_list(t, "ml.avro", [(m, 0)])
+    s = {"snapshot-id": 5, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _metadata(t, 1, [s], 5)
+    snap = iceberg_snapshot(t)
+    assert snap["equality_deletes"] == [
+        {"path": ed, "seq": 2, "equality_cols": ["id"]}
+    ]
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+    # (2, 'b') @ seq 1 dies to the seq-2 delete; (2, 'b2') @ seq 3 lives
+    assert got == {(1, "a"), (2, "b2")}
+
+
+def test_equality_delete_unknown_field_ids_raise(spark, tmp_path):
+    t = str(tmp_path / "eqbad")
+    fa = _data_file(t, "data/a.parquet", [1], ["a"], ["en"])
+    ed = os.path.join(t, "data/ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), ed)
+    m = _manifest_v2(
+        t, "m.avro",
+        [
+            (1, 0, f"file://{fa}", "PARQUET", 1, None),
+            (1, 2, f"file://{ed}", "PARQUET", 2, [99]),
+        ],
+    )
+    ml = _manifest_list(t, "ml.avro", [(m, 0)])
+    s = {"snapshot-id": 5, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _metadata(t, 1, [s], 5)
+    with pytest.raises(IcebergProtocolError, match="equality_ids"):
+        iceberg_snapshot(t)
