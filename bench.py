@@ -41,10 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # should cite it, raw numbers remain for the 2x-of-BASELINE.md gate.
 CAL_QUERY = "c3_materialize_latest"
 CAL_REPS = 3
-# frozen 2026-08-16 (r13): warm-min 0.2879 s on the measurement session
-# where baseline28_total = 16.891 s — i.e. calibrated numbers read as
-# "seconds on a box state where the headline-28 ran in ~16.9 s"
-CAL_REF_SEC = 0.288
+# frozen 2026-08-16 (r13 close, post-loop protocol): warm-min 0.2093 s
+# on a quiet-box run where baseline28_total = 17.115 s — i.e. calibrated
+# numbers read as "seconds on a box state where the headline-28 ran in
+# ~17.1 s"
+CAL_REF_SEC = 0.2093
 
 # the 28 queries BASELINE.md's 48.73 s figure covers (BENCH_r01 order)
 HEADLINE_28 = [
