@@ -28,10 +28,16 @@ Scope (honestly bounded, checked at read time):
   default cadence, so log replay stays bounded). File-pruned
   row-level MERGE and CDF still need the connector (or this repo's
   own S10/S12 table fallbacks).
-- Reader feature gates: `columnMapping` metadata and
-  `deletionVector`-carrying files raise ``NotImplementedError`` — a
-  silent wrong read is worse than a loud gap. Everything a
-  minReaderVersion=1 table can express is supported.
+- DELETION VECTORS read natively: the DV descriptor (inline / UUID /
+  path storage, z85 payloads) decodes through the pure-Python Roaring
+  codec (`sources/roaring.py` — cross-validated against
+  org.roaringbitmap) with size/CRC/cardinality checks, and the
+  deleted positions drop via a `_metadata.row_index` LEFT ANTI join;
+  `read_delta_changes` keys file identity by (path, DV) so DV-based
+  DELETEs surface as row-level change rows. Reader feature gates:
+  `columnMapping` metadata and unknown DV storage types raise
+  ``NotImplementedError`` — a silent wrong read is worse than a loud
+  gap.
 - Log listing and replay are DRIVER-side (a file-count-bounded dict —
   the exact state the real connector's Snapshot holds); checkpoint
   parquet is read via pyarrow. Local/DBFS-style filesystem paths.
@@ -88,6 +94,94 @@ def _encode_path(rel: str) -> str:
     from urllib.parse import quote
 
     return "/".join(quote(seg) for seg in rel.split("/"))
+
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85 decode (the encoding PROTOCOL.md specifies for DV
+    UUIDs and inline DV payloads): 5 chars → 4 bytes, big-endian
+    base 85."""
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i:i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[c]
+            except KeyError:
+                raise ValueError(f"invalid z85 char {c!r}") from None
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
+    """Decode a Delta deletion-vector descriptor into the set of
+    deleted row indexes (PROTOCOL.md "Deletion Vector Descriptor" +
+    the on-disk DV file format):
+
+    - ``storageType "i"``: payload inline, z85-encoded;
+    - ``"u"``: the last 20 chars of ``pathOrInlineDv`` z85-encode the
+      16-byte UUID, anything before is a directory prefix; the file is
+      ``<prefix>/deletion_vector_<uuid>.bin`` under the table root;
+    - ``"p"``: an absolute path.
+
+    On-disk framing: at ``offset`` a 4-byte BIG-endian size (must
+    equal ``sizeInBytes``), the serialized portable RoaringBitmapArray
+    (`sources/roaring.py`), then a 4-byte big-endian CRC-32 of the
+    data — both checked, as is the descriptor's ``cardinality``."""
+    import uuid as _uuid
+    import zlib
+
+    from embeddinghub_spark.sources.roaring import (
+        deserialize_bitmap_array,
+    )
+
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])[:size]
+    elif st in ("u", "p"):
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_part = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=_z85_decode(uuid_part))
+            rel = f"deletion_vector_{u}.bin"
+            fpath = os.path.join(table_path, prefix, rel) if prefix \
+                else os.path.join(table_path, rel)
+        else:
+            fpath = re.sub(r"^file:/*", "/", dv["pathOrInlineDv"])
+        with open(fpath, "rb") as fh:
+            fh.seek(int(dv.get("offset") or 0))
+            import struct as _struct
+
+            (dsize,) = _struct.unpack(">i", fh.read(4))
+            if dsize != size:
+                raise ValueError(
+                    f"DV size mismatch: framed {dsize}, descriptor {size}"
+                )
+            data = fh.read(size)
+            (crc,) = _struct.unpack(">i", fh.read(4))
+            if (zlib.crc32(data) & 0xFFFFFFFF) != (crc & 0xFFFFFFFF):
+                raise ValueError(f"DV checksum mismatch in {fpath}")
+    else:
+        raise DeltaProtocolError(
+            f"deletion vector storageType {st!r} not supported"
+        )
+    rows = deserialize_bitmap_array(data)
+    card = int(dv.get("cardinality", len(rows)))
+    if card != len(rows):
+        raise ValueError(
+            f"DV cardinality mismatch: descriptor {card}, bitmap "
+            f"{len(rows)}"
+        )
+    return rows
 
 
 def is_delta_table(path: str) -> bool:
@@ -231,9 +325,9 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
     # incidental, not guaranteed. minReaderVersion 2 is columnMapping
     # support (the metadata-config gate below handles mode); version 3
     # lists readerFeatures explicitly — every listed feature must be in
-    # the set this module's gates actually cover (columnMapping via the
-    # config check, deletionVectors via the per-file check); anything
-    # else (v2Checkpoint, typeWidening, timestampNtz, …) raises.
+    # the set this module actually covers (columnMapping via the
+    # config check, deletionVectors natively); anything else
+    # (v2Checkpoint, typeWidening, timestampNtz, …) raises.
     proto = protocol or {}
     reader_v = int(proto.get("minReaderVersion", 1))
     if reader_v > 3:
@@ -259,10 +353,12 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
             "log reader — use the delta-spark connector"
         )
     for a in adds.values():
-        if a.get("deletionVector"):
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") not in ("u", "i", "p"):
             raise DeltaProtocolError(
-                "table carries deletion vectors — use the delta-spark "
-                "connector"
+                f"deletion vector storageType "
+                f"{dv.get('storageType')!r} not supported — use the "
+                "delta-spark connector"
             )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     return {
@@ -274,6 +370,7 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
             {
                 "path": a["path"],
                 "partitionValues": dict(a.get("partitionValues") or {}),
+                "deletionVector": a.get("deletionVector"),
             }
             for a in adds.values()
         ],
@@ -294,7 +391,13 @@ def _scan_file_groups(
     shared plan of ``read_delta`` / ``read_delta_increment`` /
     ``read_delta_changes``. An unpartitioned file set is exactly one
     scan. Returns an empty frame with the table schema when ``files``
-    is empty."""
+    is empty.
+
+    Files carrying a ``deletionVector`` are merge-on-read: their
+    deleted row positions decode driver-side (`read_deletion_vector`,
+    churn-sized) and drop via ONE LEFT ANTI join on
+    ``(_metadata.file_path, _metadata.row_index)`` over the unioned
+    scan — the same discipline as the Iceberg position-delete path."""
     if not files:
         return spark.createDataFrame([], schema)
     data_schema = T.StructType(
@@ -302,14 +405,18 @@ def _scan_file_groups(
     )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     groups: dict[tuple, list[str]] = {}
+    deleted: list[tuple[str, int]] = []
     for f in files:
         key = tuple(
             sorted((f.get("partitionValues") or {}).items(),
                    key=lambda t: t[0])
         )
-        groups.setdefault(key, []).append(
-            os.path.join(path, _decode_path(f["path"]))
-        )
+        abs_path = os.path.join(path, _decode_path(f["path"]))
+        groups.setdefault(key, []).append(abs_path)
+        if f.get("deletionVector"):
+            for pos in read_deletion_vector(path, f["deletionVector"]):
+                deleted.append((abs_path, pos))
+    cols = [fld.name for fld in schema.fields]
     out: DataFrame | None = None
     # None-safe deterministic group order (a NULL partition value is
     # legal and must not crash the tuple sort)
@@ -320,8 +427,28 @@ def _scan_file_groups(
                 F.lit(None) if val is None else F.lit(val)
             ).cast(ptypes[col])
             part = part.withColumn(col, lit)
-        part = part.select(*[f.name for f in schema.fields])
+        if deleted:
+            part = part.select(
+                *cols,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+        else:
+            part = part.select(*cols)
         out = part if out is None else out.unionByName(part)
+    if deleted:
+        dels = spark.createDataFrame(deleted, ["_dfp", "_dpos"])
+        out = (
+            out.join(
+                F.broadcast(dels),
+                (out["_fp"] == dels["_dfp"])
+                & (out["_pos"] == dels["_dpos"]),
+                "left_anti",
+            )
+            .select(*cols)
+        )
     return out
 
 
@@ -763,8 +890,22 @@ def read_delta_changes(
                 "has no single CDF shape — split the range at the "
                 "schema-change commit"
             )
-        prev_files = {f["path"]: f for f in prev["files"]}
-        cur_files = {f["path"]: f for f in cur["files"]}
+        # identity = (path, deletion-vector id): a DV-based DELETE
+        # re-adds the SAME path with a new DV — by path alone the file
+        # would look unchanged and its row-level deletes would vanish
+        # from the feed; keyed with the DV, the old and new variants
+        # diff against each other and the deleted rows surface
+        def _fkey(f: dict) -> tuple:
+            dv = f.get("deletionVector")
+            return (
+                f["path"],
+                None if not dv else (
+                    dv.get("pathOrInlineDv"), dv.get("offset")
+                ),
+            )
+
+        prev_files = {_fkey(f): f for f in prev["files"]}
+        cur_files = {_fkey(f): f for f in cur["files"]}
         removed = [f for p, f in prev_files.items() if p not in cur_files]
         added = [f for p, f in cur_files.items() if p not in prev_files]
         prev = cur
@@ -898,11 +1039,19 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
     proto_type = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
+    dv_type = pa.struct(
+        [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+         ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+         ("cardinality", pa.int64())]
+    )
     add_type = pa.struct(
         [("path", pa.string()),
          ("partitionValues", pa.map_(pa.string(), pa.string())),
          ("size", pa.int64()), ("modificationTime", pa.int64()),
-         ("dataChange", pa.bool_())]
+         ("dataChange", pa.bool_()),
+         # a checkpoint that dropped deletionVector would RESURRECT
+         # the deleted rows for post-vacuum readers — carry it
+         ("deletionVector", dv_type)]
     )
     rm_type = pa.struct([("path", pa.string())])
     schema_json = json.dumps(
@@ -935,6 +1084,19 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
             "size": 0,
             "modificationTime": 0,
             "dataChange": False,
+            "deletionVector": (
+                None
+                if not f.get("deletionVector")
+                else {
+                    "storageType": f["deletionVector"].get("storageType"),
+                    "pathOrInlineDv": f["deletionVector"].get(
+                        "pathOrInlineDv"
+                    ),
+                    "offset": f["deletionVector"].get("offset"),
+                    "sizeInBytes": f["deletionVector"].get("sizeInBytes"),
+                    "cardinality": f["deletionVector"].get("cardinality"),
+                }
+            ),
         }
         for f in snap["files"]
     ]

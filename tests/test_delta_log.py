@@ -223,17 +223,20 @@ def test_checkpoint_replay_after_vacuum(spark, tmp_path):
 
 
 def test_reader_feature_gates_raise(spark, tmp_path):
+    # unknown DV storage type raises (real DV reads are native now —
+    # see test_deletion_vector_reads below)
     dv = str(tmp_path / "dv")
     _write_data(dv, "f1.parquet", [1], ["a"])
     _commit(dv, 0, [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
         _meta(),
         _add("f1.parquet",
-             deletionVector={"storageType": "u", "pathOrInlineDv": "x",
+             deletionVector={"storageType": "z", "pathOrInlineDv": "x",
                              "offset": 1, "sizeInBytes": 1,
                              "cardinality": 1}),
     ])
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+    with pytest.raises(DeltaProtocolError, match="storageType"):
         read_delta(spark, dv)
 
     cm = str(tmp_path / "cm")
@@ -794,3 +797,157 @@ def test_read_delta_changes_contracts(spark, tmp_path):
         (1, "en", "a", "update_preimage"),
         (1, "en", "A", "update_postimage"),
     }
+
+
+# ------------------------------------------------------------ deletion vectors
+
+
+def _z85_encode(data: bytes) -> str:
+    from embeddinghub_spark.sources.delta_log import _Z85_ALPHABET
+
+    assert len(data) % 4 == 0
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _dv_file(table, rel, positions, offset_pad=0):
+    """A DV .bin per the on-disk framing: version byte, optional pad,
+    then <int32 BE size><portable bitmap><int32 BE crc32>."""
+    import struct
+    import zlib
+
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    data = serialize_bitmap_array(set(positions))
+    p = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(p) or table, exist_ok=True)
+    with open(p, "wb") as fh:
+        fh.write(b"\x01" + b"\x00" * offset_pad)
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF
+                             if zlib.crc32(data) < 0x80000000
+                             else zlib.crc32(data) - (1 << 32)))
+    return 1 + offset_pad, len(data)
+
+
+def test_deletion_vector_reads_all_storage_types(spark, tmp_path):
+    """Native DV reads: inline (z85), path, and UUID storage — deleted
+    positions vanish, everything else survives, cardinality checked."""
+    import uuid as _uuid
+
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    t = str(tmp_path / "dvt")
+    _write_data(t, "f1.parquet", [0, 1, 2, 3, 4], list("abcde"))
+
+    # inline: delete positions 1 and 3
+    data = serialize_bitmap_array({1, 3})
+    pad = (-len(data)) % 4
+    inline = _z85_encode(data + b"\x00" * pad)
+    _commit(t, 0, [_PROTOCOL, _meta(), _add(
+        "f1.parquet",
+        deletionVector={"storageType": "i", "pathOrInlineDv": inline,
+                        "sizeInBytes": len(data), "cardinality": 2},
+    )])
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {(0, "a"), (2, "c"), (4, "e")}
+
+    # path storage: delete position 0
+    t2 = str(tmp_path / "dvp")
+    _write_data(t2, "f1.parquet", [0, 1], ["a", "b"])
+    off, size = _dv_file(t2, "dv1.bin", {0})
+    _commit(t2, 0, [_PROTOCOL, _meta(), _add(
+        "f1.parquet",
+        deletionVector={"storageType": "p",
+                        "pathOrInlineDv": os.path.join(t2, "dv1.bin"),
+                        "offset": off, "sizeInBytes": size,
+                        "cardinality": 1},
+    )])
+    got2 = {(r["id"], r["v"]) for r in read_delta(spark, t2).collect()}
+    assert got2 == {(1, "b")}
+
+    # uuid storage: file name derived from the z85-encoded uuid
+    t3 = str(tmp_path / "dvu")
+    _write_data(t3, "f1.parquet", [0, 1, 2], ["a", "b", "c"])
+    u = _uuid.uuid4()
+    off, size = _dv_file(t3, f"deletion_vector_{u}.bin", {2},
+                         offset_pad=3)
+    _commit(t3, 0, [_PROTOCOL, _meta(), _add(
+        "f1.parquet",
+        deletionVector={"storageType": "u",
+                        "pathOrInlineDv": _z85_encode(u.bytes),
+                        "offset": off, "sizeInBytes": size,
+                        "cardinality": 1},
+    )])
+    got3 = {(r["id"], r["v"]) for r in read_delta(spark, t3).collect()}
+    assert got3 == {(0, "a"), (1, "b")}
+
+    # cardinality mismatch is loud
+    t4 = str(tmp_path / "dvbad")
+    _write_data(t4, "f1.parquet", [0, 1], ["a", "b"])
+    _commit(t4, 0, [_PROTOCOL, _meta(), _add(
+        "f1.parquet",
+        deletionVector={"storageType": "i", "pathOrInlineDv": inline,
+                        "sizeInBytes": len(data), "cardinality": 99},
+    )])
+    with pytest.raises(ValueError, match="cardinality"):
+        read_delta(spark, t4).collect()
+
+
+def test_deletion_vector_delete_surfaces_in_change_feed(spark, tmp_path):
+    """A DV-based DELETE re-adds the SAME data file path with a new
+    DV; keyed by (path, DV) the change feed surfaces the deleted row —
+    by path alone it would silently vanish."""
+    from embeddinghub_spark.sources.delta_log import read_delta_changes
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    t = str(tmp_path / "dvcdf")
+    _write_data(t, "f1.parquet", [0, 1, 2], ["a", "b", "c"])
+    _commit(t, 0, [_PROTOCOL, _meta(), _add("f1.parquet")])
+    data = serialize_bitmap_array({1})
+    pad = (-len(data)) % 4
+    inline = _z85_encode(data + b"\x00" * pad)
+    _commit(t, 1, [
+        _remove("f1.parquet"),
+        _add("f1.parquet",
+             deletionVector={"storageType": "i",
+                             "pathOrInlineDv": inline,
+                             "sizeInBytes": len(data),
+                             "cardinality": 1}),
+    ])
+    got = {(r["id"], r["v"], r["_change_type"], r["_commit_version"])
+           for r in read_delta_changes(spark, t, 0, key_cols=["id"]).collect()}
+    assert got == {(1, "b", "delete", 1)}
+
+
+def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """A checkpoint that dropped the DV would resurrect deleted rows
+    for post-vacuum readers — it must carry the descriptor."""
+    from embeddinghub_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    t = str(tmp_path / "dvck")
+    _write_data(t, "f1.parquet", [0, 1, 2], ["a", "b", "c"])
+    data = serialize_bitmap_array({0})
+    pad = (-len(data)) % 4
+    inline = _z85_encode(data + b"\x00" * pad)
+    _commit(t, 0, [_PROTOCOL, _meta(), _add(
+        "f1.parquet",
+        deletionVector={"storageType": "i", "pathOrInlineDv": inline,
+                        "sizeInBytes": len(data), "cardinality": 1},
+    )])
+    _commit(t, 1, [{"commitInfo": {"operation": "NOOP"}}])
+    write_delta_checkpoint(t, 1)
+    os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, "b"), (2, "c")}
