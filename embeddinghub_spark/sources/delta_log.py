@@ -34,10 +34,14 @@ Scope (honestly bounded, checked at read time):
   org.roaringbitmap) with size/CRC/cardinality checks, and the
   deleted positions drop via a `_metadata.row_index` LEFT ANTI join;
   `read_delta_changes` keys file identity by (path, DV) so DV-based
-  DELETEs surface as row-level change rows. Reader feature gates:
-  `columnMapping` metadata and unknown DV storage types raise
-  ``NotImplementedError`` — a silent wrong read is worse than a loud
-  gap.
+  DELETEs surface as row-level change rows.
+- COLUMN MAPPING name mode read natively: parquet columns are read
+  under each field's `delta.columnMapping.physicalName` (and
+  partitionValues keys are physical) then renamed to the logical
+  schema. Reader feature gates: columnMapping `id` mode, NESTED
+  mappings (renamed struct members), and unknown DV storage types
+  raise ``NotImplementedError`` — a silent wrong read is worse than a
+  loud gap.
 - Log listing and replay are DRIVER-side (a file-count-bounded dict —
   the exact state the real connector's Snapshot holds); checkpoint
   parquet is read via pyarrow. Local/DBFS-style filesystem paths.
@@ -347,7 +351,28 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
             )
     conf = meta.get("configuration") or {}
     cm = conf.get("delta.columnMapping.mode")
-    if cm and cm != "none":
+    physical_names: dict[str, str] | None = None
+    if cm == "name":
+        # NAME mode read natively: parquet files store columns under
+        # each field's delta.columnMapping.physicalName, and add
+        # actions key partitionValues by physical name too — build
+        # the logical→physical map from the schemaString's own field
+        # metadata. Nested mappings (a struct whose INNER fields are
+        # renamed) need per-level rewriting and stay gated.
+        raw_fields = json.loads(meta["schemaString"])["fields"]
+        physical_names = {}
+        for rf in raw_fields:
+            md = rf.get("metadata") or {}
+            physical_names[rf["name"]] = md.get(
+                "delta.columnMapping.physicalName", rf["name"]
+            )
+            if _nested_mapping(rf.get("type")):
+                raise DeltaProtocolError(
+                    "nested columnMapping (renamed struct members) "
+                    "not supported by the native log reader — use "
+                    "the delta-spark connector"
+                )
+    elif cm and cm != "none":
         raise DeltaProtocolError(
             f"columnMapping mode {cm!r} not supported by the native "
             "log reader — use the delta-spark connector"
@@ -374,8 +399,30 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
             }
             for a in adds.values()
         ],
+        "physical_names": physical_names,
         "protocol": protocol or {},
     }
+
+
+def _nested_mapping(t: Any) -> bool:
+    """True if a (raw JSON) Delta type nests fields that carry their
+    own columnMapping physical names."""
+    if not isinstance(t, dict):
+        return False
+    kind = t.get("type")
+    if kind == "struct":
+        return any(
+            (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            or _nested_mapping(f.get("type"))
+            for f in t.get("fields", [])
+        )
+    if kind == "array":
+        return _nested_mapping(t.get("elementType"))
+    if kind == "map":
+        return _nested_mapping(t.get("keyType")) or _nested_mapping(
+            t.get("valueType")
+        )
+    return False
 
 
 def _scan_file_groups(
@@ -384,6 +431,7 @@ def _scan_file_groups(
     schema: T.StructType,
     pcols: list[str],
     files: list[dict],
+    physical_names: dict[str, str] | None = None,
 ) -> DataFrame:
     """One parquet scan per PARTITION GROUP (files sharing a
     partitionValues assignment read in a single multi-path scan with
@@ -397,13 +445,32 @@ def _scan_file_groups(
     deleted row positions decode driver-side (`read_deletion_vector`,
     churn-sized) and drop via ONE LEFT ANTI join on
     ``(_metadata.file_path, _metadata.row_index)`` over the unioned
-    scan — the same discipline as the Iceberg position-delete path."""
+    scan — the same discipline as the Iceberg position-delete path.
+
+    ``physical_names`` (columnMapping name mode) maps logical →
+    physical: parquet files are read under physical names (and the
+    add actions key partitionValues by them), then columns rename to
+    the logical schema before anything else sees them."""
     if not files:
         return spark.createDataFrame([], schema)
+    phys = physical_names or {}
+
+    def p(name: str) -> str:
+        return phys.get(name, name)
+
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
+        [
+            T.StructField(p(f.name), f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
     )
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    # partitionValues keys are physical under column mapping
+    ptypes = {
+        p(f.name): (f.name, f.dataType)
+        for f in schema.fields
+        if f.name in pcols
+    }
     groups: dict[tuple, list[str]] = {}
     deleted: list[tuple[str, int]] = []
     for f in files:
@@ -422,11 +489,15 @@ def _scan_file_groups(
     # legal and must not crash the tuple sort)
     for key, fls in sorted(groups.items(), key=lambda kv: str(kv[0])):
         part = spark.read.schema(data_schema).parquet(*sorted(fls))
+        for fld in schema.fields:
+            if fld.name not in pcols and p(fld.name) != fld.name:
+                part = part.withColumnRenamed(p(fld.name), fld.name)
         for col, val in key:
+            logical, dtype = ptypes[col]
             lit = (
                 F.lit(None) if val is None else F.lit(val)
-            ).cast(ptypes[col])
-            part = part.withColumn(col, lit)
+            ).cast(dtype)
+            part = part.withColumn(logical, lit)
         if deleted:
             part = part.select(
                 *cols,
@@ -469,7 +540,7 @@ def read_delta(
     snap = delta_snapshot(path, version)
     return _scan_file_groups(
         spark, path, snap["schema"], snap["partition_columns"],
-        snap["files"],
+        snap["files"], snap.get("physical_names"),
     )
 
 
@@ -807,7 +878,8 @@ def read_delta_increment(
                 if add and add.get("dataChange", True):
                     adds.append(add)
     return _scan_file_groups(
-        spark, path, snap["schema"], snap["partition_columns"], adds
+        spark, path, snap["schema"], snap["partition_columns"], adds,
+        snap.get("physical_names"),
     )
 
 
@@ -911,8 +983,9 @@ def read_delta_changes(
         prev = cur
         if not removed and not added:
             continue
-        old_rows = _scan_file_groups(spark, path, schema, pcols, removed)
-        new_rows = _scan_file_groups(spark, path, schema, pcols, added)
+        pn = snap_to.get("physical_names")
+        old_rows = _scan_file_groups(spark, path, schema, pcols, removed, pn)
+        new_rows = _scan_file_groups(spark, path, schema, pcols, added, pn)
         o = old_rows.select(
             *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
             *[F.col(c).alias(f"_o_{c}") for c in value_cols],

@@ -243,9 +243,11 @@ def test_reader_feature_gates_raise(spark, tmp_path):
     _write_data(cm, "f1.parquet", [1], ["a"])
     _commit(cm, 0, [
         _PROTOCOL,
-        _meta(configuration={"delta.columnMapping.mode": "name"}),
+        _meta(configuration={"delta.columnMapping.mode": "id"}),
         _add("f1.parquet"),
     ])
+    # id mode still raises (name mode reads natively — see
+    # test_column_mapping_name_mode_reads)
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, cm)
 
@@ -951,3 +953,66 @@ def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
     os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
     got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
     assert got == {(1, "b"), (2, "c")}
+
+
+# ------------------------------------------------------------- column mapping
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """columnMapping=name: parquet stores physical column names and
+    add.partitionValues keys are physical; the reader renames to the
+    logical schema and attaches typed partition literals."""
+    t = str(tmp_path / "cmname")
+    phys = os.path.join(t, "f1.parquet")
+    os.makedirs(t, exist_ok=True)
+    pq.write_table(
+        pa.table({"col-a1b2": pa.array([1, 2], pa.int64()),
+                  "col-c3d4": pa.array(["x", "y"], pa.string())}),
+        phys,
+    )
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a1b2"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-c3d4"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-p9"}},
+        ],
+    })
+    meta = _meta(schema_json=schema_json,
+                 partition_cols=["lang"],
+                 configuration={"delta.columnMapping.mode": "name"})
+    _commit(t, 0, [_PROTOCOL, meta,
+                   _add("f1.parquet", partition_values={"col-p9": "en"})])
+    out = read_delta(spark, t)
+    assert out.columns == ["id", "v", "lang"]
+    got = {(r["id"], r["v"], r["lang"]) for r in out.collect()}
+    assert got == {(1, "x", "en"), (2, "y", "en")}
+
+
+def test_column_mapping_nested_raises(spark, tmp_path):
+    t = str(tmp_path / "cmnest")
+    _write_data(t, "f1.parquet", [1], ["a"])
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "s", "nullable": True, "metadata": {
+                "delta.columnMapping.physicalName": "col-s"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "inner", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.physicalName": "col-i"}},
+             ]}},
+        ],
+    })
+    _commit(t, 0, [_PROTOCOL,
+                   _meta(schema_json=schema_json,
+                         configuration={"delta.columnMapping.mode": "name"}),
+                   _add("f1.parquet")])
+    with pytest.raises(DeltaProtocolError, match="nested columnMapping"):
+        delta_snapshot(t)
