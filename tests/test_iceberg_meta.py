@@ -619,3 +619,22 @@ def test_equality_delete_unknown_field_ids_raise(spark, tmp_path):
     _metadata(t, 1, [s], 5)
     with pytest.raises(IcebergProtocolError, match="equality_ids"):
         iceberg_snapshot(t)
+
+
+def test_iceberg_table_registers_as_catalog_source(spark, ice_table):
+    """End-to-end coherence: a native Iceberg table registers as a
+    primary source (fmt='iceberg') and flows through the catalog's
+    resolution + SQL templating like any parquet source — the S3
+    sibling of the Delta catalog test."""
+    from embeddinghub_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_file("isrc", "v1", ice_table, fmt="iceberg")
+    assert cat.dataframe("isrc", "v1").count() == 3
+    cat.sql_transformation(
+        "by_lang", "v1",
+        "SELECT lang, COUNT(*) AS n FROM {{isrc.v1}} GROUP BY lang",
+    )
+    got = {(r["lang"], r["n"])
+           for r in cat.dataframe("by_lang", "v1").collect()}
+    assert got == {("en", 1), ("fr", 1), ("de", 1)}
