@@ -376,6 +376,55 @@ def iceberg_snapshot(
     }
 
 
+def read_iceberg_increment(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Snapshot-incremental read over an APPEND-ONLY Iceberg range:
+    the rows of data files added between ``from_snapshot_id``
+    (exclusive) and ``to_snapshot_id`` (inclusive, default current) —
+    the Iceberg sibling of ``read_delta_increment`` (S5's
+    version-based incremental refresh; the connector drives this via
+    incremental scans).
+
+    Raises when the range is not append-only: a data file removed
+    in-between, a schema change, or ANY delete files on either end
+    (an adds-only read over updates/deletes would misreport them as
+    pure inserts — use the connector's changelog for those tables)."""
+    snap_from = iceberg_snapshot(path, from_snapshot_id)
+    snap_to = iceberg_snapshot(path, to_snapshot_id)
+    if snap_from["schema"].json() != snap_to["schema"].json():
+        raise ValueError(
+            "schema changed between snapshots "
+            f"{from_snapshot_id} and {snap_to['snapshot_id']}"
+        )
+    if (
+        snap_from["position_deletes"] or snap_to["position_deletes"]
+        or snap_from["equality_deletes"] or snap_to["equality_deletes"]
+    ):
+        raise ValueError(
+            "snapshot range carries delete files — table is not "
+            "append-only; use the connector's changelog"
+        )
+    from_files = set(snap_from["files"])
+    to_files = set(snap_to["files"])
+    removed = sorted(from_files - to_files)
+    if removed:
+        raise ValueError(
+            f"data files removed in range (e.g. {removed[0]}) — table "
+            "is not append-only; use the connector's changelog"
+        )
+    added = sorted(to_files - from_files)
+    schema: T.StructType = snap_to["schema"]
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*added).select(
+        *[f.name for f in schema.fields]
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,

@@ -638,3 +638,35 @@ def test_iceberg_table_registers_as_catalog_source(spark, ice_table):
     got = {(r["lang"], r["n"])
            for r in cat.dataframe("by_lang", "v1").collect()}
     assert got == {("en", 1), ("fr", 1), ("de", 1)}
+
+
+def test_read_iceberg_increment_append_only(spark, ice_table, tmp_path):
+    """Incremental rows between snapshots = exactly the files added in
+    range; non-append ranges (removed files, delete files) raise."""
+    from embeddinghub_spark.sources.iceberg_meta import (
+        read_iceberg_increment,
+    )
+
+    inc = {(r["id"], r["v"])
+           for r in read_iceberg_increment(spark, ice_table, 101, 202)
+           .collect()}
+    assert inc == {(3, "c")}
+    # empty range
+    assert read_iceberg_increment(spark, ice_table, 202, 202).count() == 0
+
+    # a removed file in range raises
+    t = str(tmp_path / "shrunk")
+    f1 = _data_file(t, "data/f1.parquet", [1], ["a"], ["en"])
+    f2 = _data_file(t, "data/f2.parquet", [2], ["b"], ["fr"])
+    m1 = _manifest(t, "m1.avro", [(1, 0, f"file://{f1}", "PARQUET"),
+                                  (1, 0, f"file://{f2}", "PARQUET")])
+    m2 = _manifest(t, "m2.avro", [(0, 0, f"file://{f1}", "PARQUET")])
+    ml1 = _manifest_list(t, "ml1.avro", [(m1, 0)])
+    ml2 = _manifest_list(t, "ml2.avro", [(m2, 0)])
+    s1 = {"snapshot-id": 1, "timestamp-ms": 1,
+          "manifest-list": f"file://{ml1}", "schema-id": 0}
+    s2 = {"snapshot-id": 2, "timestamp-ms": 2,
+          "manifest-list": f"file://{ml2}", "schema-id": 0}
+    _metadata(t, 2, [s1, s2], 2)
+    with pytest.raises(ValueError, match="not.*append-only|removed in range"):
+        read_iceberg_increment(spark, t, 1, 2)
