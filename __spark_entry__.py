@@ -8898,6 +8898,39 @@ FROM customer WHERE c_custkey % 3 IN (0, 1)
 """
 
 
+def q_iceberg_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental Iceberg read certified end-to-end
+    (sources/iceberg_meta.py read_iceberg_increment — the S5 sibling
+    of read_delta_increment): over the same two-snapshot fixture as
+    `iceberg_native`, the rows added between snapshot 101 and 202 are
+    exactly the second customer slice; the oracle recomputes it in
+    pure SQL. Non-append ranges (removed files, delete files, schema
+    changes) raise by contract — pinned in tests."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        read_iceberg_increment,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="ice_inc_") + "/tbl"
+    _build_iceberg_fixture(
+        spark,
+        root,
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        cust.filter(F.col("c_custkey") % 3 == 1),
+    )
+    return read_iceberg_increment(spark, root, 101, 202)
+
+
+_ICEBERG_INCREMENT_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer WHERE c_custkey % 3 = 1
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8912,6 +8945,7 @@ def staged_queries() -> dict:
         "pack_bins": q_pack_bins,
         "delta_changes": q_delta_changes,
         "iceberg_native": q_iceberg_native,
+        "iceberg_increment": q_iceberg_increment,
     }
 
 
@@ -8920,4 +8954,5 @@ def staged_oracle_sql() -> dict:
         "pack_bins": _pack_bins_oracle(),
         "delta_changes": _DELTA_CHANGES_ORACLE,
         "iceberg_native": _ICEBERG_NATIVE_ORACLE,
+        "iceberg_increment": _ICEBERG_INCREMENT_ORACLE,
     }
