@@ -6399,42 +6399,198 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. The r12 window certified 50/50 green (the
-    # fifth consecutive all-green gate; cumulative ledger 189/192
-    # hash-certified + 3 rows-only). Round 13 executes the rotation ordered by
-    # VERDICT r12 task #1: positions 1-5 are the five entries staged through
-    # r12 (GPT-style sequence packing, multi-epoch interleaving, length-bucket
-    # batch formation, the end-to-end training_stream flagship, and the
-    # mixture-audit report) — each judge-verified at sf0.01 AND sf0.1 via
-    # tools/check.py --staged but with zero driver rows; position 6 is
-    # feature_scaling, which yielded its r12 refresh slot to the mid-round
-    # sparse_cosine_scaled re-point and re-queues first; positions 7-41 are
-    # the 35 remaining canaries whose last green row is r4 (alphabetical);
-    # positions 42-49 are the first eight r5-stale canaries (alphabetical);
-    # position 50 keeps the flagship c6 sentinel as the cross-round canary.
-    # Everything below the window keeps its cumulative green rows. Rows-only
-    # entries (bpe_merges, pca_embeddings, isotonic_calibration) stay OUTSIDE
-    # the window: they can never hash-match, so a window slot on them is
-    # wasted. After this round the cumulative ledger covers 194/197
-    # hash-certified + 3 rows-only recorded. The registry is FROZEN for r13 at
-    # 197: new operators (pack_bins) ship staged until this window certifies.
+    # entries of this dict per round. The r13 window certified 50/50 green (the
+    # sixth consecutive all-green gate; cumulative ledger 194/197
+    # hash-certified + 3 rows-only). Round 14 executes the rotation ordered by
+    # VERDICT r13 task #1: positions 1-4 are the four entries staged through
+    # r13 (no-concat best-fit packing, the native Delta CDF fallback, the
+    # native Iceberg read with time travel, and the Iceberg snapshot-
+    # incremental read) — each judge-verified at sf0.01 AND sf0.1 via
+    # tools/check.py --staged but with zero driver rows; positions 5-30 are
+    # the 26 canaries whose last green row is r5 (alphabetical); 31-37 the
+    # seven r7-stale canaries; 38-49 the first twelve r10-stale canaries
+    # (alphabetical; trailing_sessions carries to r15); position 50 keeps the
+    # flagship c6 sentinel as the cross-round canary. Everything below the
+    # window keeps its cumulative green rows. Rows-only entries (bpe_merges,
+    # pca_embeddings, isotonic_calibration) stay OUTSIDE the window: they can
+    # never hash-match, so a window slot on them is wasted. After this round
+    # the cumulative ledger covers 198/201 hash-certified + 3 rows-only.
+    # The registry is FROZEN for r14 at 201: new operators ship staged until
+    # this window certifies.
     return {
-        # --- positions 1-5: the r12 staged entries, never driver-certified ---
-        "pack_sequences": q_pack_sequences,
-        "epoch_interleave": q_epoch_interleave,
-        "length_buckets": q_length_buckets,
-        "training_stream": q_training_stream,
-        "mixture_report": q_mixture_report,
-        # --- position 6: yielded its r12 refresh slot, re-queues first ---
-        "feature_scaling": q_feature_scaling,
-        # --- positions 7-41: refreshed canaries (last green row = r4) ---
+        # --- positions 1-4: the r13 staged entries, never driver-certified ---
+        "pack_bins": q_pack_bins,
+        "delta_changes": q_delta_changes,
+        "iceberg_native": q_iceberg_native,
+        "iceberg_increment": q_iceberg_increment,
+        # --- positions 5-30: refreshed canaries (last green row = r5) ---
+        "f8_date_funcs": q_f8_date_funcs,
+        "f8_moving_avg": q_f8_moving_avg,
+        "f8_rollup": q_f8_rollup,
+        "f8_scalar_funcs": q_f8_scalar_funcs,
+        "f9_stream_join": q_f9_stream_join,
+        "funnel_steps": q_funnel_steps,
+        "gap_fill": q_gap_fill,
+        "hard_negatives": q_hard_negatives,
+        "hash_vectorizer": q_hash_vectorizer,
+        "hll_profile": q_hll_profile,
+        "incremental_spans": q_incremental_spans,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_pq": q_knn_pq,
+        "nb_classifier": q_nb_classifier,
+        "negative_samples": q_negative_samples,
+        "normalize_text": q_normalize_text,
+        "pagerank": q_pagerank,
+        "profile_table": q_profile_table,
+        "rrf_fusion": q_rrf_fusion,
+        "s2_json_scan": q_s2_json_scan,
+        "simhash_pairs": q_simhash_pairs,
+        "snapshot_diff": q_snapshot_diff,
+        "source_divergence": q_source_divergence,
+        "trim_spans": q_trim_spans,
+        "weighted_sample": q_weighted_sample,
+        "zorder_key": q_zorder_key,
+        # --- positions 31-37: refreshed canaries (last green row = r7) ---
+        "ann_disk_index": q_ann_disk_index,
+        "backfill": q_backfill,
+        "calibration_bins": q_calibration_bins,
+        "dedup_keep_best": q_dedup_keep_best,
+        "ece": q_ece,
+        "f8_tpch_q5": q_f8_tpch_q5,
+        "winsorize": q_winsorize,
+        # --- positions 38-49: first 12 r10-stale canaries (alphabetical) ---
+        "auc_by_group": q_auc_by_group,
+        "corpus_diversity": q_corpus_diversity,
+        "decayed_trailing": q_decayed_trailing,
+        "entity_split": q_entity_split,
+        "fingerprint_by": q_fingerprint_by,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
+        "kn_trigram_logprob": q_kn_trigram_logprob,
+        "ranking_metrics": q_ranking_metrics,
+        "semantic_contamination": q_semantic_contamination,
+        "semantic_dedup_scaled": q_semantic_dedup_scaled,
+        "skew_report": q_skew_report,
+        "trailing_distinct": q_trailing_distinct,
+        # --- position 50: flagship sentinel (certified r1-r13) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window, ordered by last
+        # green driver row (r10 leftover, then r11/r12/r13 cohorts,
+        # alphabetical within each; rows-only trio parked at the end) ---
+        "trailing_sessions": q_trailing_sessions,
+        "ann_recall": q_ann_recall,
+        "auto_join": q_auto_join,
+        "bigram_logprob": q_bigram_logprob,
+        "binary_auc": q_binary_auc,
+        "bloom_join": q_bloom_join,
+        "budget_select": q_budget_select,
+        "c11_lag_features": q_c11_lag_features,
+        "c14_batch_features": q_c14_batch_features,
+        "c15_train_test_split": q_c15_train_test_split,
+        "c1_sql_transformation": q_c1_sql_transformation,
+        "c3_materialize_latest": q_c3_materialize_latest,
+        "c5_chunked_segment": q_c5_chunked_segment,
+        "cdc_apply": q_cdc_apply,
+        "class_tf_idf": q_class_tf_idf,
+        "colocated_join": q_colocated_join,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dsir_weights": q_dsir_weights,
+        "event_transitions": q_event_transitions,
+        "f8_stats": q_f8_stats,
+        "f8_tpch_q3": q_f8_tpch_q3,
+        "fuzzy_clusters": q_fuzzy_clusters,
+        "fuzzy_join": q_fuzzy_join,
+        "hll_by_group": q_hll_by_group,
+        "join_fanout": q_join_fanout,
+        "kfold_split": q_kfold_split,
+        "minhash_bands": q_minhash_bands,
+        "mm_phash": q_mm_phash,
+        "pit_staleness": q_pit_staleness,
+        "psi_drift": q_psi_drift,
+        "quantiles_by_group": q_quantiles_by_group,
+        "quantize_embeddings": q_quantize_embeddings,
+        "robust_scale_by": q_robust_scale_by,
+        "s5_incremental_read": q_s5_incremental_read,
+        "scd2_build": q_scd2_build,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_merge": q_scd2_merge,
+        "source_overlap": q_source_overlap,
+        "streaming_embedding_dedup": q_streaming_embedding_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "temporal_split": q_temporal_split,
+        "text_stats": q_text_stats,
+        "time_to_next_event": q_time_to_next_event,
+        "trailing_topk": q_trailing_topk,
+        "trailing_window": q_trailing_window,
+        "v5_knn_bruteforce": q_v5_knn_bruteforce,
+        "validate_rules": q_validate_rules,
+        "winnow_pairs": q_winnow_pairs,
+        "c10_feature_group_join": q_c10_feature_group_join,
+        "c12_composite_entities": q_c12_composite_entities,
+        "c16_resource_registration": q_c16_resource_registration,
+        "c17_ctas": q_c17_ctas,
+        "c18_refresh": q_c18_refresh,
+        "c19_on_demand": q_c19_on_demand,
+        "c20_stream_materialize": q_c20_stream_materialize,
+        "c2_df_transformation": q_c2_df_transformation,
+        "c4_materialize_no_ts": q_c4_materialize_no_ts,
+        "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
+        "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
+        "chunk_documents": q_chunk_documents,
+        "containment_pairs": q_containment_pairs,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_passages": q_dedup_passages,
+        "domain_budget_select": q_domain_budget_select,
+        "f8_cte_having": q_f8_cte_having,
+        "f8_exists": q_f8_exists,
+        "f8_json_extract": q_f8_json_extract,
+        "f8_lateral": q_f8_lateral,
+        "f8_percentiles": q_f8_percentiles,
+        "f8_pivot": q_f8_pivot,
+        "f8_range_window": q_f8_range_window,
+        "f8_regexp": q_f8_regexp,
+        "f8_set_ops": q_f8_set_ops,
+        "f8_string_agg": q_f8_string_agg,
+        "f8_window_topn": q_f8_window_topn,
+        "incremental_dedup": q_incremental_dedup,
+        "interleave_sources": q_interleave_sources,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivfpq_residual": q_knn_ivfpq_residual,
+        "knn_lsh": q_knn_lsh,
+        "minhash_estimate_audit": q_minhash_estimate_audit,
+        "pmi_collocations": q_pmi_collocations,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "s12_merge_upsert": q_s12_merge_upsert,
+        "s1_csv_scan": q_s1_csv_scan,
+        "s3_table_scan": q_s3_table_scan,
+        "s8_parquet_sink": q_s8_parquet_sink,
+        "semantic_dedup": q_semantic_dedup,
+        "shuffle_order": q_shuffle_order,
+        "simhash": q_simhash,
+        "sparse_cosine": q_sparse_cosine,
+        "sparse_cosine_scaled": q_sparse_cosine_scaled,
+        "stratified_sample": q_stratified_sample,
+        "tf_idf": q_tf_idf,
+        "v8_preview": q_v8_preview,
+        "bloom_filter": q_bloom_filter,
         "bm25": q_bm25,
+        "cap_per_group": q_cap_per_group,
+        "cms_topk": q_cms_topk,
+        "cohort_retention": q_cohort_retention,
         "contamination": q_contamination,
         "corpus_curation": q_corpus_curation,
+        "curation_v2": q_curation_v2,
         "decayed_count": q_decayed_count,
         "domain_tag": q_domain_tag,
+        "dup_spans": q_dup_spans,
         "embedding_centroids": q_embedding_centroids,
         "embedding_clusters": q_embedding_clusters,
+        "embedding_near_dup": q_embedding_near_dup,
+        "epoch_interleave": q_epoch_interleave,
+        "f8_array_funcs": q_f8_array_funcs,
         "f8_count_distinct": q_f8_count_distinct,
         "f8_grouping_sets": q_f8_grouping_sets,
         "f8_ntile_lead": q_f8_ntile_lead,
@@ -6442,14 +6598,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_sessionize": q_f9_sessionize,
         "f9_sliding_window": q_f9_sliding_window,
         "f9_windowed_agg": q_f9_windowed_agg,
+        "feature_scaling": q_feature_scaling,
         "histogram_quantiles": q_histogram_quantiles,
         "interval_join": q_interval_join,
         "knn_join": q_knn_join,
+        "length_buckets": q_length_buckets,
+        "mixture_report": q_mixture_report,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         "mm_metadata": q_mm_metadata,
         "ngram_topk": q_ngram_topk,
         "normalize_embeddings": q_normalize_embeddings,
+        "pack_sequences": q_pack_sequences,
         "pack_shards": q_pack_shards,
         "perplexity_buckets": q_perplexity_buckets,
         "quality_filter": q_quality_filter,
@@ -6458,178 +6618,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "sample_mixture": q_sample_mixture,
         "strip_markup": q_strip_markup,
+        "training_stream": q_training_stream,
         "unigram_logprob": q_unigram_logprob,
         "v1_dataset_rows": q_v1_dataset_rows,
         "v3_online_serve": q_v3_online_serve,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
-        # --- positions 42-49: refreshed canaries (last green row = r5) ---
-        "bloom_filter": q_bloom_filter,
-        "cap_per_group": q_cap_per_group,
-        "cms_topk": q_cms_topk,
-        "cohort_retention": q_cohort_retention,
-        "curation_v2": q_curation_v2,
-        "dup_spans": q_dup_spans,
-        "embedding_near_dup": q_embedding_near_dup,
-        "f8_array_funcs": q_f8_array_funcs,
-        # --- position 50: flagship sentinel (certified r1-r12) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window (every entry below
-        # has at least one green driver row from rounds 1-12, except the
-        # rows-only trio which are rows-only by design and parked here
-        # permanently; each keeps its cumulative rows) ---
-        "shuffle_order": q_shuffle_order,
-        "minhash_estimate_audit": q_minhash_estimate_audit,
-        "domain_budget_select": q_domain_budget_select,
-        "interleave_sources": q_interleave_sources,
-        "semantic_dedup": q_semantic_dedup,
-        "sparse_cosine": q_sparse_cosine,
-        "sparse_cosine_scaled": q_sparse_cosine_scaled,
-        "c2_df_transformation": q_c2_df_transformation,
-        "c4_materialize_no_ts": q_c4_materialize_no_ts,
-        "c8_pit_label_no_ts": q_c8_pit_label_no_ts,
-        "c9_pit_feature_no_ts": q_c9_pit_feature_no_ts,
-        "c16_resource_registration": q_c16_resource_registration,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_passages": q_dedup_passages,
-        "incremental_dedup": q_incremental_dedup,
-        "containment_pairs": q_containment_pairs,
-        "knn_ivfpq_residual": q_knn_ivfpq_residual,
-        "pmi_collocations": q_pmi_collocations,
-        "f8_regexp": q_f8_regexp,
-        "c12_composite_entities": q_c12_composite_entities,
-        "c10_feature_group_join": q_c10_feature_group_join,
-        "c17_ctas": q_c17_ctas,
-        "s12_merge_upsert": q_s12_merge_upsert,
-        "c20_stream_materialize": q_c20_stream_materialize,
-        "c18_refresh": q_c18_refresh,
-        "s1_csv_scan": q_s1_csv_scan,
-        "v8_preview": q_v8_preview,
-        "knn_lsh": q_knn_lsh,
-        "c19_on_demand": q_c19_on_demand,
-        "knn_ivf": q_knn_ivf,
-        "s3_table_scan": q_s3_table_scan,
-        "s8_parquet_sink": q_s8_parquet_sink,
-        "f8_json_extract": q_f8_json_extract,
-        "f8_window_topn": q_f8_window_topn,
-        "f8_set_ops": q_f8_set_ops,
-        "f8_cte_having": q_f8_cte_having,
-        "f8_pivot": q_f8_pivot,
-        "f8_percentiles": q_f8_percentiles,
-        "f8_exists": q_f8_exists,
-        "f8_string_agg": q_f8_string_agg,
-        "f8_range_window": q_f8_range_window,
-        "f8_lateral": q_f8_lateral,
-        "chunk_documents": q_chunk_documents,
-        "tf_idf": q_tf_idf,
-        "stratified_sample": q_stratified_sample,
-        "redact_pii": q_redact_pii,
-        "repetition_stats": q_repetition_stats,
-        "dsir_weights": q_dsir_weights,
-        "budget_select": q_budget_select,
-        "streaming_embedding_dedup": q_streaming_embedding_dedup,
-        "trailing_topk": q_trailing_topk,
-        "colocated_join": q_colocated_join,
-        "auto_join": q_auto_join,
-        "kfold_split": q_kfold_split,
-        "temporal_split": q_temporal_split,
-        "binary_auc": q_binary_auc,
-        "psi_drift": q_psi_drift,
-        "f8_tpch_q3": q_f8_tpch_q3,
-        "scd2_lookup": q_scd2_lookup,
-        "scd2_merge": q_scd2_merge,
-        "fuzzy_clusters": q_fuzzy_clusters,
-        "event_transitions": q_event_transitions,
-        "temperature_mixture": q_temperature_mixture,
-        "ann_recall": q_ann_recall,
-        "pit_staleness": q_pit_staleness,
-        "time_to_next_event": q_time_to_next_event,
-        "trailing_window": q_trailing_window,
-        "dataset_fingerprint": q_dataset_fingerprint,
-        "v5_knn_bruteforce": q_v5_knn_bruteforce,
-        "dedup_exact": q_dedup_exact,
-        "c1_sql_transformation": q_c1_sql_transformation,
-        "c3_materialize_latest": q_c3_materialize_latest,
-        "c15_train_test_split": q_c15_train_test_split,
-        "s5_incremental_read": q_s5_incremental_read,
-        "c5_chunked_segment": q_c5_chunked_segment,
-        "c11_lag_features": q_c11_lag_features,
-        "c14_batch_features": q_c14_batch_features,
-        "text_stats": q_text_stats,
-        "minhash_bands": q_minhash_bands,
-        "dedup_clusters": q_dedup_clusters,
-        "f8_stats": q_f8_stats,
-        "hll_by_group": q_hll_by_group,
-        "quantiles_by_group": q_quantiles_by_group,
-        "quantize_embeddings": q_quantize_embeddings,
-        "bigram_logprob": q_bigram_logprob,
-        "winnow_pairs": q_winnow_pairs,
-        "source_overlap": q_source_overlap,
-        "robust_scale_by": q_robust_scale_by,
-        "join_fanout": q_join_fanout,
-        "validate_rules": q_validate_rules,
-        "cdc_apply": q_cdc_apply,
-        "scd2_build": q_scd2_build,
-        "fuzzy_join": q_fuzzy_join,
-        "class_tf_idf": q_class_tf_idf,
-        "mm_phash": q_mm_phash,
-        "bloom_join": q_bloom_join,
-        "decayed_trailing": q_decayed_trailing,
-        "trailing_distinct": q_trailing_distinct,
-        "trailing_sessions": q_trailing_sessions,
-        "semantic_dedup_scaled": q_semantic_dedup_scaled,
-        "kn_bigram_logprob": q_kn_bigram_logprob,
-        "auc_by_group": q_auc_by_group,
-        "ranking_metrics": q_ranking_metrics,
-        "corpus_diversity": q_corpus_diversity,
-        "semantic_contamination": q_semantic_contamination,
-        "skew_report": q_skew_report,
-        "kn_trigram_logprob": q_kn_trigram_logprob,
-        "entity_split": q_entity_split,
-        "fingerprint_by": q_fingerprint_by,
-        "isotonic_calibration": q_isotonic_calibration,
         "bpe_merges": q_bpe_merges,
         "pca_embeddings": q_pca_embeddings,
-        "winsorize": q_winsorize,
-        "ann_disk_index": q_ann_disk_index,
-        "dedup_keep_best": q_dedup_keep_best,
-        "calibration_bins": q_calibration_bins,
-        "ece": q_ece,
-        "backfill": q_backfill,
-        "f8_tpch_q5": q_f8_tpch_q5,
-        "nb_classifier": q_nb_classifier,
-        "weighted_sample": q_weighted_sample,
-        "pagerank": q_pagerank,
-        "rrf_fusion": q_rrf_fusion,
-        "f9_stream_join": q_f9_stream_join,
-        "trim_spans": q_trim_spans,
-        "zorder_key": q_zorder_key,
-        "gap_fill": q_gap_fill,
-        "funnel_steps": q_funnel_steps,
-        "hash_vectorizer": q_hash_vectorizer,
-        "snapshot_diff": q_snapshot_diff,
-        "incremental_spans": q_incremental_spans,
-        "source_divergence": q_source_divergence,
-        "negative_samples": q_negative_samples,
-        "hard_negatives": q_hard_negatives,
-        "normalize_text": q_normalize_text,
-        "s2_json_scan": q_s2_json_scan,
-        "f8_moving_avg": q_f8_moving_avg,
-        "f8_scalar_funcs": q_f8_scalar_funcs,
-        "f8_date_funcs": q_f8_date_funcs,
-        "f8_rollup": q_f8_rollup,
-        "simhash_pairs": q_simhash_pairs,
-        "profile_table": q_profile_table,
-        "knn_pq": q_knn_pq,
-        "knn_ivfpq": q_knn_ivfpq,
-        "hll_profile": q_hll_profile,
+        "isotonic_calibration": q_isotonic_calibration,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- promoted by the r14 rotation (staged through r13) ---
+        "pack_bins": _pack_bins_oracle(),
+        "delta_changes": _DELTA_CHANGES_ORACLE,
+        "iceberg_native": _ICEBERG_NATIVE_ORACLE,
+        "iceberg_increment": _ICEBERG_INCREMENT_ORACLE,
         # --- promoted by the r13 rotation (staged through r12) ---
         "pack_sequences": _pack_sequences_oracle(),
         "epoch_interleave": _epoch_interleave_oracle(),
@@ -8934,25 +8941,15 @@ FROM customer WHERE c_custkey % 3 = 1
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 197 per VERDICT r12 #8). The five r12 staged
-    entries (pack_sequences, epoch_interleave, length_buckets,
-    training_stream, mixture_report) were promoted into
-    queries()/oracle_sql() by the r13 rotation; new operators staged
-    this round land here with the standard protocol (pin tests vs
-    exact Python replicas, SCALING.md audit row, README line, oracle
-    twin certified at sf0.01 + sf0.1) before touching the registry."""
-    return {
-        "pack_bins": q_pack_bins,
-        "delta_changes": q_delta_changes,
-        "iceberg_native": q_iceberg_native,
-        "iceberg_increment": q_iceberg_increment,
-    }
+    (registry frozen at 201 per VERDICT r13 #8). The four r13 staged
+    entries (pack_bins, delta_changes, iceberg_native,
+    iceberg_increment) were promoted into queries()/oracle_sql() by
+    the r14 rotation; new operators staged this round land here with
+    the standard protocol (pin tests vs exact Python replicas,
+    SCALING.md audit row, README line, oracle twin certified at
+    sf0.01 + sf0.1) before touching the registry."""
+    return {}
 
 
 def staged_oracle_sql() -> dict:
-    return {
-        "pack_bins": _pack_bins_oracle(),
-        "delta_changes": _DELTA_CHANGES_ORACLE,
-        "iceberg_native": _ICEBERG_NATIVE_ORACLE,
-        "iceberg_increment": _ICEBERG_INCREMENT_ORACLE,
-    }
+    return {}

@@ -34,41 +34,45 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round13_window_layout():
-    """The rotation for round 13 (VERDICT r12 task #1): the 5
-    oracle-backed entries staged through r12 (sequence packing,
-    multi-epoch interleaving, length-bucket batches, the end-to-end
-    training_stream flagship, the mixture audit; zero driver rows,
-    judge-verified at both scales) occupy positions 1-5 of the 50-slot
-    window; position 6 is feature_scaling (yielded its r12 refresh
-    slot to the mid-round sparse_cosine_scaled re-point, re-queues
-    first); positions 7-41 are the 35 remaining canaries whose last
-    green row is r4 (alphabetical); 42-49 are the first eight r5-stale
-    canaries (alphabetical); slot 50 is the flagship sentinel.
-    Rows-only entries can never hash-match, so they must stay OUT of
-    the window. The registry is frozen at 197 entries until this window
-    is certified."""
+def test_round14_window_layout():
+    """The rotation for round 14 (VERDICT r13 task #1): the 4
+    oracle-backed entries staged through r13 (no-concat best-fit
+    packing, the native Delta CDF fallback, the native Iceberg read
+    with time travel, the Iceberg snapshot-incremental read; zero
+    driver rows, judge-verified at both scales) occupy positions 1-4
+    of the 50-slot window; positions 5-30 are the 26 canaries whose
+    last green row is r5 (alphabetical); 31-37 the seven r7-stale
+    canaries; 38-49 the first twelve r10-stale canaries (alphabetical;
+    trailing_sessions carries to r15); slot 50 is the flagship
+    sentinel. Rows-only entries can never hash-match, so they must
+    stay OUT of the window. The registry is frozen at 201 entries
+    until this window is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
-    assert len(keys) == 197, "registry frozen at 197 for r13"
+    assert len(keys) == 201, "registry frozen at 201 for r14"
     window = keys[:50]
     rotation = [
-        "pack_sequences", "epoch_interleave", "length_buckets",
-        "training_stream", "mixture_report",
+        "pack_bins", "delta_changes", "iceberg_native",
+        "iceberg_increment",
     ]
-    refreshed_r4_head = [
-        "bm25", "contamination", "corpus_curation", "decayed_count",
-        "domain_tag", "embedding_centroids", "embedding_clusters",
+    refreshed_r5_head = [
+        "f8_date_funcs", "f8_moving_avg", "f8_rollup", "f8_scalar_funcs",
+        "f9_stream_join", "funnel_steps", "gap_fill",
     ]
-    refreshed_r5 = [
-        "bloom_filter", "cap_per_group", "cms_topk", "cohort_retention",
-        "curation_v2", "dup_spans", "embedding_near_dup", "f8_array_funcs",
+    refreshed_r7 = [
+        "ann_disk_index", "backfill", "calibration_bins",
+        "dedup_keep_best", "ece", "f8_tpch_q5", "winsorize",
     ]
-    assert window[:5] == rotation, "rotation entries must lead the window"
-    assert window[5] == "feature_scaling", "yielded canary re-queues first"
-    assert window[6:13] == refreshed_r4_head, "r4 canaries moved"
-    assert window[41:49] == refreshed_r5, "r5 canaries moved"
+    refreshed_r10_head = [
+        "auc_by_group", "corpus_diversity", "decayed_trailing",
+        "entity_split",
+    ]
+    assert window[:4] == rotation, "rotation entries must lead the window"
+    assert window[4:11] == refreshed_r5_head, "r5 canaries moved"
+    assert window[30:37] == refreshed_r7, "r7 canaries moved"
+    assert window[37:41] == refreshed_r10_head, "r10 canaries moved"
+    assert "trailing_sessions" not in window, "r10 leftover carries to r15"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 
