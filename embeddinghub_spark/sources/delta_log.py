@@ -453,6 +453,12 @@ def _scan_file_groups(
     the logical schema before anything else sees them."""
     if not files:
         return spark.createDataFrame([], schema)
+    # Canonicalize ONCE: the DV anti-join pairs (abs_path, pos) must
+    # match Spark's ``_metadata.file_path``, which is always an
+    # absolute URI — with a relative or symlinked table path the join
+    # would miss everything and DV-deleted rows silently reappear
+    # (ADVICE r13).
+    path = os.path.realpath(os.path.abspath(path))
     phys = physical_names or {}
 
     def p(name: str) -> str:
@@ -499,10 +505,20 @@ def _scan_file_groups(
             ).cast(dtype)
             part = part.withColumn(logical, lit)
         if deleted:
+            # _metadata.file_path is a percent-encoded URI (space ->
+            # %20); url_decode recovers the literal path so it matches
+            # the driver-side abs_path strings. Literal '+' pre-escapes
+            # to %2B first: URI encoding keeps '+' verbatim, while
+            # url_decode is form-decoding and would read it as a space.
             part = part.select(
                 *cols,
                 F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
+                    F.url_decode(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), r"\+", "%2B"
+                        )
+                    ),
+                    "^file:/+", "/",
                 ).alias("_fp"),
                 F.col("_metadata.row_index").alias("_pos"),
             )

@@ -115,7 +115,14 @@ def _resolve(uri: str, table_root: str, location: str | None) -> str:
     """Manifest/data paths are full URIs recorded at write time; the
     table may have been relocated since. file: scheme is stripped;
     a recorded-location prefix is rebased onto the actual root; bare
-    relative paths join the root."""
+    relative paths join the root.
+
+    Every resolved path is CANONICALIZED (realpath of abspath) —
+    merge-on-read joins these driver-side strings against Spark's
+    ``_metadata.file_path``, and a relative table root or a symlink
+    in the path would otherwise break that identity silently
+    (ADVICE r13: the sequence join then drops every data row and the
+    position-delete anti-join resurrects deleted rows)."""
     p = uri
     if p.startswith("file:"):
         p = re.sub(r"^file:/*", "/", p)
@@ -124,16 +131,16 @@ def _resolve(uri: str, table_root: str, location: str | None) -> str:
     # CWD (review find r13: an unrelated CWD file with the same
     # relative name would silently win)
     if os.path.isabs(p) and os.path.exists(p):
-        return p
+        return os.path.realpath(p)
     if location:
         loc = re.sub(r"^file:/*", "/", location).rstrip("/")
         if p.startswith(loc + "/"):
             rebased = os.path.join(table_root, p[len(loc) + 1:])
             if os.path.exists(rebased):
-                return rebased
+                return os.path.realpath(os.path.abspath(rebased))
     joined = os.path.join(table_root, p.lstrip("/"))
     if os.path.exists(joined):
-        return joined
+        return os.path.realpath(os.path.abspath(joined))
     raise ValueError(
         f"cannot resolve Iceberg path {uri!r} against table root "
         f"{table_root!r}"
@@ -304,18 +311,30 @@ def iceberg_snapshot(
                 m["manifest_path"],
                 int(m.get("content") or 0),
                 int(m.get("sequence_number") or 0),
+                int(m.get("partition_spec_id") or 0),
             )
             for m in mrows
         ]
     else:
         # ancient v1 layout: manifests inlined on the snapshot
-        manifests = [(p, 0, 0) for p in (snap.get("manifests") or [])]
+        manifests = [(p, 0, 0, 0) for p in (snap.get("manifests") or [])]
+    # spec-id -> partition fields: equality deletes written under a
+    # PARTITIONED spec are scoped to their partition by the table spec
+    # — applying them table-globally over-deletes matching rows in
+    # other partitions (ADVICE r13, medium). Only global equality
+    # deletes (unpartitioned spec) are applied natively; the rest gate.
+    spec_fields: dict[int, list] = {
+        int(s.get("spec-id", 0)): list(s.get("fields") or [])
+        for s in (meta.get("partition-specs") or [])
+    }
+    if not spec_fields and meta.get("partition-spec") is not None:
+        spec_fields = {0: list(meta["partition-spec"])}
     field_names = {
         int(f["id"]): f["name"]
         for f in _raw_schema_fields(meta, snap)
         if "id" in f
     }
-    for mpath, _mcontent, mseq in manifests:
+    for mpath, _mcontent, mseq, mspec_id in manifests:
         _, entries = read_avro_file(_resolve(mpath, path, location))
         for e in entries:
             status = int(e.get("status", 0))
@@ -354,6 +373,20 @@ def iceberg_snapshot(
                     raise IcebergProtocolError(
                         "equality delete file without equality_ids — "
                         "use the iceberg-spark connector"
+                    )
+                # the spec scopes an equality delete written under a
+                # partitioned spec to ITS PARTITION; this native path
+                # applies deletes table-globally, which would
+                # over-delete matching rows in other partitions. Gate
+                # loudly unless the delete's spec is unpartitioned
+                # (a GLOBAL delete, which table-global application
+                # implements exactly).
+                if spec_fields.get(mspec_id, None) != []:
+                    raise IcebergProtocolError(
+                        "equality delete written under partitioned "
+                        f"spec {mspec_id} is partition-scoped — the "
+                        "native reader would over-delete; use the "
+                        "iceberg-spark connector"
                     )
                 try:
                     eq_cols = [field_names[i] for i in eq_ids]
@@ -454,13 +487,46 @@ def read_iceberg(
     # values plus its data sequence number; a data row dies iff a
     # matching delete exists with delete_seq STRICTLY GREATER than the
     # row's file sequence (a later re-insert survives). Deletes are
-    # churn-sized, so AQE broadcasts the anti-join sides. Path
-    # spellings differ between writers (file:/x vs file:///x vs /x);
-    # every comparison normalizes to a plain absolute path first.
+    # churn-sized, so AQE broadcasts the anti-join sides.
+    #
+    # Path identity (ADVICE r13): driver-side paths are canonical
+    # realpaths (``_resolve``); ``_metadata.file_path`` is a URI —
+    # scheme-prefixed AND percent-encoded (a space reads back as %20).
+    # Comparing raw strings breaks silently on any escaped character:
+    # the sequence inner join drops every data row and the
+    # position-delete anti-join resurrects deleted rows. Normalize
+    # Spark-side with url_decode (literal '+' pre-escaped to %2B —
+    # URI encoding keeps '+' verbatim, but url_decode is form-decoding
+    # which would turn it into a space) plus the scheme strip; rebase
+    # the delete files' recorded-location prefix onto the actual root
+    # so relocated tables keep matching.
     from pyspark.sql import functions as F
 
+    root_real = os.path.realpath(os.path.abspath(path))
+    location = snap["metadata"].get("location")
+    loc_plain = (
+        re.sub(r"^file:/*", "/", location).rstrip("/") if location else None
+    )
+
     def norm(c):
-        return F.regexp_replace(c, "^file:/+", "/")
+        return F.regexp_replace(
+            F.url_decode(F.regexp_replace(c, r"\+", "%2B")),
+            "^file:/+", "/",
+        )
+
+    def rebase(c):
+        # recorded write-time prefix -> actual canonical root (the
+        # driver-side twin is _resolve's location rebase)
+        if loc_plain and loc_plain != root_real:
+            pref = loc_plain + "/"
+            return F.when(
+                c.startswith(pref),
+                F.concat(
+                    F.lit(root_real + "/"),
+                    F.substring(c, len(pref) + 1, 2_000_000_000),
+                ),
+            ).otherwise(c)
+        return c
 
     tagged = data.select(
         *cols,
@@ -471,7 +537,7 @@ def read_iceberg(
         dels = (
             spark.read.parquet(*sorted(snap["position_deletes"]))
             .select(
-                norm(F.col("file_path")).alias("_dfp"),
+                rebase(norm(F.col("file_path"))).alias("_dfp"),
                 F.col("pos").cast("long").alias("_dpos"),
             )
         )
@@ -483,11 +549,9 @@ def read_iceberg(
         )
     if snap["equality_deletes"]:
         # data rows carry their file's sequence number via a
-        # (#files)-row broadcast frame on the normalized path
-        seq_rows = [
-            (re.sub(r"^file:/+", "/", p), s)
-            for p, s in snap["file_seqs"].items()
-        ]
+        # (#files)-row broadcast frame on the canonical path (the
+        # file_seqs keys are _resolve outputs, already canonical)
+        seq_rows = list(snap["file_seqs"].items())
         seq_df = F.broadcast(
             spark.createDataFrame(seq_rows, ["_sfp", "_seq"])
         )

@@ -1016,3 +1016,29 @@ def test_column_mapping_nested_raises(spark, tmp_path):
                    _add("f1.parquet")])
     with pytest.raises(DeltaProtocolError, match="nested columnMapping"):
         delta_snapshot(t)
+
+
+def test_dv_read_via_relative_and_spaced_path(spark, tmp_path,
+                                              monkeypatch):
+    """ADVICE r13 (low): the DV anti-join pairs were built from the
+    caller's table path verbatim — a relative path, a symlink, or any
+    URI-escaped character (a space reads back as %20 in
+    _metadata.file_path) made the anti-join miss everything and
+    DV-deleted rows silently reappeared. _scan_file_groups now
+    canonicalizes the table path and url-decodes the scan side."""
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    t = str(tmp_path / "dv dir" / "tbl")
+    _write_data(t, "f1.parquet", [0, 1, 2], ["a", "b", "c"])
+    data = serialize_bitmap_array({1})
+    pad = (-len(data)) % 4
+    inline = _z85_encode(data + b"\x00" * pad)
+    _commit(t, 0, [_PROTOCOL, _meta(), _add(
+        "f1.parquet",
+        deletionVector={"storageType": "i", "pathOrInlineDv": inline,
+                        "sizeInBytes": len(data), "cardinality": 1},
+    )])
+    monkeypatch.chdir(tmp_path)
+    rel = os.path.join("dv dir", "tbl")
+    got = {(r["id"], r["v"]) for r in read_delta(spark, rel).collect()}
+    assert got == {(0, "a"), (2, "c")}

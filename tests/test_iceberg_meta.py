@@ -670,3 +670,82 @@ def test_read_iceberg_increment_append_only(spark, ice_table, tmp_path):
     _metadata(t, 2, [s1, s2], 2)
     with pytest.raises(ValueError, match="not.*append-only|removed in range"):
         read_iceberg_increment(spark, t, 1, 2)
+
+
+def test_partition_scoped_equality_delete_raises(spark, tmp_path):
+    """ADVICE r13 (medium): the spec scopes an equality delete written
+    under a PARTITIONED spec to its partition — table-global
+    application would silently over-delete matching rows in other
+    partitions. The native reader gates loudly instead; global
+    (unpartitioned-spec) equality deletes keep working (pinned by
+    test_equality_deletes_respect_sequence_numbers)."""
+    t = str(tmp_path / "eqpart")
+    fa = _data_file(t, "data/a.parquet", [1, 2], ["a", "b"], ["en", "fr"])
+    ed = os.path.join(t, "data/ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), ed)
+    m = _manifest_v2(
+        t, "m.avro",
+        [
+            (1, 0, f"file://{fa}", "PARQUET", 1, None),
+            (1, 2, f"file://{ed}", "PARQUET", 2, [1]),
+        ],
+    )
+    ml = _manifest_list(t, "ml.avro", [(m, 0)])
+    s = {"snapshot-id": 5, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000-uuid",
+        "location": f"file://{t}",
+        "schemas": [_ICE_SCHEMA],
+        "current-schema-id": 0,
+        # spec 0 IS partitioned (identity on lang)
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{"name": "lang", "transform": "identity",
+                        "source-id": 3, "field-id": 1000}],
+        }],
+        "current-snapshot-id": 5,
+        "snapshots": [s],
+    }
+    d = os.path.join(t, "metadata")
+    with open(os.path.join(d, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(d, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(IcebergProtocolError, match="partition-scoped"):
+        iceberg_snapshot(t)
+
+
+def test_mor_path_identity_relative_root_and_spaces(spark, tmp_path,
+                                                    monkeypatch):
+    """ADVICE r13 (low): merge-on-read path identity must survive a
+    RELATIVE table root and URI-escaped characters (a space reads back
+    as %20 in _metadata.file_path). Before the fix the equality
+    sequence join dropped every data row and the position-delete
+    anti-join resurrected deleted rows — both silent. Both grains in
+    one table, read through a relative path under a spaced directory."""
+    base = tmp_path / "ice dir"
+    t = str(base / "mor")
+    fa = _data_file(t, "data/a.parquet", [1, 2, 3], ["a", "b", "c"],
+                    ["en", "fr", "de"])
+    ed = os.path.join(t, "data/ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), ed)
+    pd1 = _pos_delete_file(t, "data/del1.parquet", [(f"file://{fa}", 1)])
+    m = _manifest_v2(
+        t, "m.avro",
+        [
+            (1, 0, f"file://{fa}", "PARQUET", 1, None),
+            (1, 2, f"file://{ed}", "PARQUET", 2, [1]),  # eq-del id=3
+            (1, 1, f"file://{pd1}", "PARQUET", 2, None),  # pos-del idx 1
+        ],
+    )
+    ml = _manifest_list(t, "ml.avro", [(m, 0)])
+    s = {"snapshot-id": 9, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _metadata(t, 1, [s], 9)
+    monkeypatch.chdir(tmp_path)
+    rel = os.path.join("ice dir", "mor")
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, rel).collect()}
+    # pos-del kills (2, 'b'); eq-del @ seq 2 kills (3, 'c') @ seq 1
+    assert got == {(1, "a")}
