@@ -26,19 +26,39 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Box-calibration anchor (VERDICT r12 task #2): the r11->r12 bench delta
-# (16.60 -> 22.78 s baseline28) cost a full judge A/B to adjudicate because
-# identical code cannot be compared across sessions on a drifting box. Every
-# bench run now measures a fixed calibration scalar — the warm-min of
-# CAL_REPS reps of one pinned query (c3_materialize_latest, chosen for its
-# stable one-exchange plan) taken AFTER the timed loop (a pre-loop
-# calibration would pre-warm that query's own raw timing) — and reports
-# ``baseline28_calibrated = baseline28_total * (CAL_REF_SEC / cal_now)``
-# alongside the raw number. CAL_REF_SEC is FROZEN at the r13 measurement on
-# the round-13 box (sf0.1, local[32]); do not re-measure it — recalibrating
-# the reference would defeat the anchor. A calibrated number says "what
-# baseline28 would have measured on the r13 box"; cross-round comparisons
-# should cite it, raw numbers remain for the 2x-of-BASELINE.md gate.
+# Box-calibration anchor (VERDICT r12 task #2, redesigned per VERDICT r13
+# task #2): the r11->r12 bench delta (16.60 -> 22.78 s baseline28) cost a
+# full judge A/B to adjudicate because identical code cannot be compared
+# across sessions on a drifting box. Round 13 then proved a SINGLE post-loop
+# scalar is not enough: the r13 driver run measured its queries ~2.2x slow
+# (baseline28 40.95 s vs the judge's quiet-box 19.18 s) while its post-loop
+# calibration read within 2% of quiet — intra-run contention that subsided
+# (or that one 0.2 s probe couldn't feel) was invisible.
+#
+# The anchor is now CONTENTION-AWARE:
+# - a FIXED probe query (built inline below, deliberately NOT a registry
+#   entry — the r13 review showed a registry probe pre-warms that query's
+#   own raw timing) is compiled once untimed during warm-up, then timed
+#   every PROBE_EVERY registry entries THROUGH the loop plus once after it;
+# - the bench emits the full probe series (wall seconds + 1-min loadavg at
+#   each probe), cal_median / cal_min / cal_max, and
+#   ``baseline28_calibrated = baseline28_total * (PROBE_REF_SEC /
+#   cal_median)``;
+# - ``contention: true`` flags a run whose probe series is itself skewed
+#   (max/min > CONTENTION_SPREAD) or whose median sits more than
+#   CONTENTION_RATIO above the frozen reference — either way the RAW
+#   numbers of that run are not comparable across rounds and the calibrated
+#   number (median-based, so robust to a transient spike) is the one to
+#   cite;
+# - per-query time.process_time() deltas land in the detail line
+#   (queries_cpu) with the total as py_cpu_sec — the Python driver's CPU is
+#   a small fraction of wall for JVM-side work, but a round where even THAT
+#   inflates is self-evidently load, not plan regression.
+#
+# PROBE_REF_SEC is FROZEN at the r14 quiet-box measurement (sf0.1,
+# local[32]); do not re-measure it — recalibrating the reference would
+# defeat the anchor. The legacy post-loop scalar (CAL_QUERY warm-min vs
+# CAL_REF_SEC) is still emitted for continuity with the r12/r13 artifacts.
 CAL_QUERY = "c3_materialize_latest"
 CAL_REPS = 3
 # frozen 2026-08-16 (r13 close, post-loop protocol): warm-min 0.2093 s
@@ -46,6 +66,18 @@ CAL_REPS = 3
 # numbers read as "seconds on a box state where the headline-28 ran in
 # ~17.1 s"
 CAL_REF_SEC = 0.2093
+PROBE_EVERY = 25
+# frozen 2026-08-16 (r14, interleaved-probe protocol). Derived by
+# SAME-SESSION ratio transfer from the r13 anchor rather than a raw
+# quiet-box read (the box was ~1.5x slow at freeze time): in one
+# session both the legacy c3 warm-min and the probe median share the
+# box state, so probe_ref = probe_median * (CAL_REF_SEC / c3_now) is
+# box-invariant. Two paired sessions gave 0.200 and 0.212; a third,
+# near-quiet session (c3 0.2285, within 2% of the judge's r13 quiet
+# 0.224) read the probe median directly at 0.231. Frozen at 0.21.
+PROBE_REF_SEC = 0.21
+CONTENTION_SPREAD = 1.6
+CONTENTION_RATIO = 1.3
 
 # the 28 queries BASELINE.md's 48.73 s figure covers (BENCH_r01 order)
 HEADLINE_28 = [
@@ -88,21 +120,36 @@ def main() -> None:
             except Exception:
                 pass
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    cpu_times: dict[str, float] = {}
+    probes: list[float] = []
+    probe_loads: list[float] = []
+
+    def run_probe() -> None:
+        p = _probe(spark, sf_dir)
+        if p is not None:
+            probes.append(p)
+            probe_loads.append(_loadavg1())
+
+    for i, (name, fn) in enumerate(qs.items()):
+        if i % PROBE_EVERY == 0:  # interleaved box-state probe
+            run_probe()
         t0 = time.time()
+        c0 = time.process_time()
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            cpu_times[name] = round(time.process_time() - c0, 4)
         except Exception as e:  # a failing query must not sink the bench
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            cpu_times[name] = -1.0
+    run_probe()  # closing probe — the series must cover the loop's tail
 
-    # calibration runs AFTER the timed loop (review find r13: a
-    # pre-loop calibration pre-warmed exactly one headline query,
-    # making its raw timing — and baseline28_total — incomparable with
-    # prior rounds' methodology)
+    # legacy post-loop scalar (r12/r13 artifact continuity; runs AFTER
+    # the timed loop so it never pre-warms a headline query's raw time)
     cal_now = _calibrate(spark, sf_dir, qs)
+    cal_median = _median(probes)
     ok = [v for v in timings.values() if v >= 0]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -111,9 +158,15 @@ def main() -> None:
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cpu": cpu_times,
         "sf": sf_val,
         "calibration_sec": cal_now,
         "calibration_ref_sec": CAL_REF_SEC,
+        "cal_probes": [round(p, 4) for p in probes],
+        "cal_probe_loadavg": [round(v, 2) for v in probe_loads],
+        "cal_probe_every": PROBE_EVERY,
+        "cal_median": cal_median,
+        "probe_ref_sec": PROBE_REF_SEC,
     }
     prev = _load_prev_round_bench()
     if prev:
@@ -130,23 +183,29 @@ def main() -> None:
     baseline28 = {
         n: timings[n] for n in HEADLINE_28 if n in timings
     }
+    baseline28_total = round(
+        sum(v for v in baseline28.values() if v >= 0), 3
+    )
     summary = {
         "metric": "total_wall_clock_headline_queries",
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": baseline28,
-        "baseline28_total": round(
-            sum(v for v in baseline28.values() if v >= 0), 3
-        ),
+        "baseline28_total": baseline28_total,
         "calibration_sec": cal_now,
-        "baseline28_calibrated": (
-            round(
-                sum(v for v in baseline28.values() if v >= 0)
-                * (CAL_REF_SEC / cal_now),
-                3,
-            )
-            if cal_now and cal_now > 0
-            else None
+        "baseline28_calibrated": _calibrated(
+            baseline28_total, cal_median, PROBE_REF_SEC
+        ),
+        "baseline28_calibrated_legacy": _calibrated(
+            baseline28_total, cal_now, CAL_REF_SEC
+        ),
+        "cal_median": cal_median,
+        "cal_min": round(min(probes), 4) if probes else None,
+        "cal_max": round(max(probes), 4) if probes else None,
+        "cal_n": len(probes),
+        "contention": _contention(probes, PROBE_REF_SEC),
+        "py_cpu_sec": round(
+            sum(v for v in cpu_times.values() if v >= 0), 2
         ),
         "queries_n": len(timings),
         "queries_ms": [
@@ -162,6 +221,78 @@ def main() -> None:
         summary.pop("queries_ms", None)
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
+
+
+def _probe_df(spark, sf_dir: str):
+    """The interleaved calibration probe: a fixed one-exchange
+    aggregate over orders (scan -> partial hash agg -> exchange ->
+    final agg), deliberately NOT a registry entry so probing never
+    pre-warms any timed query's own raw number. ~0.15 s at
+    sf0.1/local[32] on a quiet box."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents"),
+        F.count("*").alias("n"),
+        F.max("o_orderdate").alias("mx"),
+    )
+
+
+def _probe(spark, sf_dir: str) -> float | None:
+    t0 = time.time()
+    try:
+        _probe_df(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:
+        print(f"bench probe failed (non-fatal): {e}", file=sys.stderr)
+        return None
+    return time.time() - t0
+
+
+def _loadavg1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # platform without getloadavg
+        return -1.0
+
+
+def _median(vals: list[float]) -> float | None:
+    if not vals:
+        return None
+    s = sorted(vals)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 4)
+
+
+def _calibrated(
+    raw_total: float, cal: float | None, ref: float
+) -> float | None:
+    """``raw_total`` rescaled to the frozen reference box state:
+    what the total would have measured when the probe ran in ``ref``
+    seconds. Median-based when fed ``cal_median``, so a single
+    transient spike doesn't distort the whole run."""
+    if not cal or cal <= 0:
+        return None
+    return round(raw_total * (ref / cal), 3)
+
+
+def _contention(probes: list[float], ref: float) -> bool:
+    """True when the run's raw numbers are NOT cross-round comparable:
+    the probe series is internally skewed (some probes saw a far
+    slower box than others) or the whole run sat well above the frozen
+    reference. The r13 driver swing — queries ~2.2x slow while a
+    single post-loop probe read quiet — trips this via the ratio term
+    as soon as any interleaved probe feels the load."""
+    if not probes:
+        return False
+    spread = max(probes) / max(min(probes), 1e-9)
+    med = _median(probes) or 0.0
+    return spread > CONTENTION_SPREAD or med > ref * CONTENTION_RATIO
 
 
 def _calibrate(spark, sf_dir: str, qs) -> float | None:
@@ -268,7 +399,15 @@ def _warmup(spark, sf_dir: str) -> None:
             "overwrite"
         ).save()
 
+    def probe_compile():  # the interleaved calibration probe's plan
+        # compiles once untimed here so probe #1 measures the box,
+        # not codegen compilation
+        _probe_df(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     stage("shuffle_agg", shuffle_agg)
+    stage("probe_compile", probe_compile)
     stage("broadcast_join", bcast_join)
     stage("window_exec", window_exec)
     stage("python_workers", py_workers)
