@@ -243,6 +243,48 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
     Raises ``DeltaProtocolError`` on column mapping / deletion
     vectors, ``ValueError`` on an unknown or vacuumed-away version.
     """
+    return _finalize_snapshot(path, _replay_state(path, version))
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    """Apply ONE log action to a running replay state — the single
+    place add/remove/metaData/protocol semantics live, shared by the
+    full replay and the per-commit advance ``read_delta_changes``
+    uses."""
+    if "metaData" in action and action["metaData"]:
+        state["meta"] = action["metaData"]
+    elif "protocol" in action and action["protocol"]:
+        state["protocol"] = action["protocol"]
+    elif "add" in action and action["add"]:
+        a = action["add"]
+        state["adds"][a["path"]] = a
+    elif "remove" in action and action["remove"]:
+        state["adds"].pop(action["remove"]["path"], None)
+
+
+def _advance_state(state: dict, path: str, v: int) -> None:
+    """Advance a replay state by exactly one commit — O(commit size),
+    the linear-time step that makes a long ``read_delta_changes``
+    range O(total log) instead of O(range²) (VERDICT r13 #4)."""
+    commits = state["commits"]
+    if v not in commits:
+        raise ValueError(
+            f"log is missing commit {v} (vacuumed?): {path}"
+        )
+    with open(commits[v], encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                _apply_action(state, json.loads(line))
+    state["version"] = v
+
+
+def _replay_state(path: str, version: int | None = None) -> dict:
+    """Replay the log up to ``version`` into a RAW state dict
+    (meta/protocol/adds + the commit-file map), without the
+    finalization gates — ``_finalize_snapshot`` turns it into the
+    public snapshot shape, ``_advance_state`` steps it forward one
+    commit at a time."""
     d = _log_dir(path)
     if not os.path.isdir(d):
         raise ValueError(f"not a Delta table (no _delta_log): {path}")
@@ -279,21 +321,16 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
             f"(vacuumed past the last checkpoint?): {path}"
         )
 
-    meta: dict | None = None
-    protocol: dict | None = None
-    adds: dict[str, dict] = {}
+    state: dict = {
+        "meta": None,
+        "protocol": None,
+        "adds": {},
+        "commits": commits,
+        "version": target,
+    }
 
     def apply(action: dict) -> None:
-        nonlocal meta, protocol
-        if "metaData" in action and action["metaData"]:
-            meta = action["metaData"]
-        elif "protocol" in action and action["protocol"]:
-            protocol = action["protocol"]
-        elif "add" in action and action["add"]:
-            a = action["add"]
-            adds[a["path"]] = a
-        elif "remove" in action and action["remove"]:
-            adds.pop(action["remove"]["path"], None)
+        _apply_action(state, action)
 
     if ckpt_version is not None:
         try:
@@ -320,7 +357,17 @@ def delta_snapshot(path: str, version: int | None = None) -> dict:
                 line = line.strip()
                 if line:
                     apply(json.loads(line))
+    return state
 
+
+def _finalize_snapshot(path: str, state: dict) -> dict:
+    """Validate a replay state (reader protocol, column mapping, DV
+    storage types) and shape it into the public snapshot dict. Pure —
+    does not mutate ``state``, so the caller can keep advancing it."""
+    meta = state["meta"]
+    protocol = state["protocol"]
+    adds = state["adds"]
+    target = state["version"]
     if meta is None:
         raise ValueError(f"no metaData action in log: {path}")
     # Reader-protocol gate (ADVICE r12): PROTOCOL.md requires readers
@@ -947,7 +994,8 @@ def read_delta_changes(
         )
     snap_to = delta_snapshot(path, to_version)  # protocol gates
     schema: T.StructType = snap_to["schema"]
-    snap_from = delta_snapshot(path, from_version)
+    _state0 = _replay_state(path, from_version)
+    snap_from = _finalize_snapshot(path, _state0)
     if (
         from_version < to_version
         and snap_from["schema"].json() != schema.json()
@@ -970,8 +1018,14 @@ def read_delta_changes(
 
     out: DataFrame | None = None
     prev = snap_from
+    # ONE running replay state advanced commit-by-commit: the whole
+    # range costs O(total log), not O(range²) re-replays of
+    # delta_snapshot per version (VERDICT r13 #4). Hash-neutral — the
+    # per-commit file-diff semantics below are untouched.
+    state = _state0
     for v in range(from_version + 1, to_version + 1):
-        cur = delta_snapshot(path, v)
+        _advance_state(state, path, v)
+        cur = _finalize_snapshot(path, state)
         if cur["schema"].json() != prev["schema"].json():
             raise ValueError(
                 f"schema changed at version {v}: a cross-schema diff "

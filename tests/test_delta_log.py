@@ -1042,3 +1042,51 @@ def test_dv_read_via_relative_and_spaced_path(spark, tmp_path,
     rel = os.path.join("dv dir", "tbl")
     got = {(r["id"], r["v"]) for r in read_delta(spark, rel).collect()}
     assert got == {(0, "a"), (2, "c")}
+
+
+def test_read_delta_changes_range_is_linear(spark, tmp_path,
+                                            monkeypatch):
+    """VERDICT r13 #4: the CDF range loop used to call delta_snapshot
+    per commit — each call re-reads EVERY commit json from version 0,
+    so an R-commit range re-opened commit 1 about R times (O(range²)
+    log parsing). One running replay state advanced commit-by-commit
+    makes it linear: over the whole read_delta_changes call, any
+    single commit file is opened a bounded constant number of times
+    (once for the from-state, once for the to-state gate, once by the
+    advance; plus the version listing — never ~R times). Semantics are
+    pinned separately by test_read_delta_changes_cdf_over_merge_and
+    _overwrite; this guards only the cost shape."""
+    import builtins
+
+    from embeddinghub_spark.sources.delta_log import read_delta_changes
+
+    t = str(tmp_path / "lin")
+    _write_data(t, "f0.parquet", [0], ["a"])
+    _commit(t, 0, [_PROTOCOL, _meta(), _add("f0.parquet")])
+    n_commits = 9
+    for v in range(1, n_commits + 1):
+        rel = f"f{v}.parquet"
+        _write_data(t, rel, [v], [chr(97 + v)])
+        _commit(t, v, [_add(rel)])
+
+    probe = os.path.join(t, "_delta_log",
+                         f"{1:020d}.json")
+    counts = {"n": 0}
+    real_open = builtins.open
+
+    def counting_open(file, *a, **kw):
+        if str(file) == probe:
+            counts["n"] += 1
+        return real_open(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    df = read_delta_changes(spark, t, 0, n_commits, key_cols=["id"])
+    monkeypatch.undo()
+    # plan construction replays the log; executing the plan doesn't
+    assert counts["n"] <= 3, (
+        f"commit 1 opened {counts['n']} times across a {n_commits}-"
+        "commit range — the range loop is replaying the log per commit"
+    )
+    got = {(r["id"], r["_change_type"], r["_commit_version"])
+           for r in df.collect()}
+    assert got == {(v, "insert", v) for v in range(1, n_commits + 1)}
