@@ -40,10 +40,18 @@ Scope (honestly bounded, checked at read time):
   (or this repo's S10/S12 table fallbacks).
 - Data files must be parquet (the reference's runner reads Iceberg
   parquet tables; ORC/Avro data files raise).
-- Columns are matched BY NAME against the snapshot's schema: tables
-  with a rename history need the connector's field-id mapping and
-  raise is not detectable here — documented bound, same class as
-  Delta column mapping.
+- Columns are matched BY NAME against the snapshot's schema. A table
+  with a RENAME HISTORY (detected driver-cheap: the same field-id
+  carries different top-level names across the metadata's schema
+  list) reads correctly when the table publishes the PUBLIC
+  ``schema.name-mapping.default`` property (spec §Column Projection /
+  Name Mapping Serialization): files group by their per-file name
+  signature (parquet footer reads, only on rename-history tables) and
+  each group scans under its physical names, renaming to the
+  snapshot schema. Without the mapping the read raises — the by-name
+  scan would return silent NULLs for every pre-rename file. Nested
+  (struct-member) renames stay on the connector — same documented
+  bound as Delta's nested column mapping.
 - `uuid` and `time` column types have no faithful Spark reading
   without the connector and raise.
 
@@ -296,6 +304,11 @@ def iceberg_snapshot(
     if snap is None:  # a table with no snapshot yet: empty, schema only
         return {
             "snapshot_id": None, "schema": schema, "files": [],
+            "field_names": {
+                int(f["id"]): f["name"]
+                for f in _raw_schema_fields(meta, snap)
+                if "id" in f
+            },
             "metadata": meta,
         }
 
@@ -403,10 +416,149 @@ def iceberg_snapshot(
         "schema": schema,
         "files": files,
         "file_seqs": file_seqs,
+        "field_names": field_names,
         "position_deletes": position_deletes,
         "equality_deletes": equality_deletes,
         "metadata": meta,
     }
+
+
+def _name_mapping(meta: dict) -> list | None:
+    """The table's ``schema.name-mapping.default`` property (spec
+    §Name Mapping Serialization), parsed — a list of
+    ``{"field-id": int, "names": [str, ...]}`` entries."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    return json.loads(raw) if raw else None
+
+
+def _rename_history(meta: dict) -> dict[int, set[str]]:
+    """field-id → every TOP-LEVEL name it has carried across the
+    table's schema history. A field-id with >1 name means data files
+    exist (or may exist) under an old column name, and a plain by-name
+    scan would read them as silent NULLs."""
+    hist: dict[int, set[str]] = {}
+    schemas = meta.get("schemas")
+    if not schemas and meta.get("schema"):
+        schemas = [meta["schema"]]
+    for s in schemas or []:
+        for f in s.get("fields") or []:
+            if "id" in f:
+                hist.setdefault(int(f["id"]), set()).add(f["name"])
+    return hist
+
+
+def _scan_parquet(
+    spark: SparkSession, snap: dict, files: list[str],
+    with_meta: bool = False,
+):
+    """The shared data-file scan of ``read_iceberg`` /
+    ``read_iceberg_increment``: ONE multi-path parquet scan with the
+    snapshot schema on the fast path. Tables with a rename history
+    resolve through the name mapping: files group by per-file name
+    signature (parquet footer reads — driver-cheap metadata, paid only
+    by rename-history tables), each group scans under its physical
+    names and renames to the snapshot schema, groups union. When
+    ``with_meta`` is set, ``_raw_fp``/``_pos`` (file path URI + row
+    index) ride along for merge-on-read.
+
+    Output columns: the snapshot schema's, in order (+ the two meta
+    columns when requested)."""
+    from pyspark.sql import functions as F
+
+    schema: T.StructType = snap["schema"]
+    cols = [f.name for f in schema.fields]
+    meta = snap["metadata"]
+    fid_names: dict[int, str] = snap["field_names"]
+    hist = _rename_history(meta)
+    renamed = {
+        fid for fid, names in hist.items()
+        if fid in fid_names and len(names) > 1
+    }
+
+    def meta_cols():
+        return [
+            F.col("_metadata.file_path").alias("_raw_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ] if with_meta else []
+
+    if not renamed:
+        data = spark.read.schema(schema).parquet(*sorted(files))
+        return data.select(*cols, *meta_cols())
+
+    mapping = _name_mapping(meta)
+    if mapping is None:
+        old = sorted(
+            n for fid in renamed for n in hist[fid] - {fid_names[fid]}
+        )
+        raise IcebergProtocolError(
+            f"table has a column rename history (old names {old}) but "
+            "no schema.name-mapping.default property — a by-name scan "
+            "would read pre-rename files as silent NULLs; publish the "
+            "name mapping or use the iceberg-spark connector"
+        )
+    map_names = {
+        int(m["field-id"]): [str(n) for n in (m.get("names") or [])]
+        for m in mapping
+        if "field-id" in m
+    }
+    if any(m.get("fields") for m in mapping):
+        raise IcebergProtocolError(
+            "nested name-mapping entries not supported by the native "
+            "reader — use the iceberg-spark connector"
+        )
+    name_to_fid = {n: i for i, n in fid_names.items()}
+    candidates: dict[str, list[str]] = {}
+    for f in schema.fields:
+        fid = name_to_fid[f.name]
+        cands = list(dict.fromkeys(map_names.get(fid, []) + [f.name]))
+        candidates[f.name] = cands
+
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for fp in sorted(files):
+        phys = set(pq.read_schema(fp).names)
+        sig = []
+        for f in schema.fields:
+            present = [c for c in candidates[f.name] if c in phys]
+            if len(present) > 1:
+                raise IcebergProtocolError(
+                    f"file {fp} carries multiple candidate names "
+                    f"{present} for column {f.name!r} — ambiguous "
+                    "without parquet field ids; use the connector"
+                )
+            if not present and not f.nullable:
+                raise IcebergProtocolError(
+                    f"file {fp} carries none of {candidates[f.name]} "
+                    f"for REQUIRED column {f.name!r}"
+                )
+            sig.append(present[0] if present else None)
+        live = [s for s in sig if s is not None]
+        if len(set(live)) != len(live):
+            raise IcebergProtocolError(
+                f"file {fp}: one physical column matched two schema "
+                "fields — name reuse needs parquet field ids; use the "
+                "connector"
+            )
+        groups.setdefault(tuple(sig), []).append(fp)
+
+    out = None
+    for sig, fls in sorted(groups.items(), key=str):
+        phys_schema = T.StructType([
+            T.StructField(src, f.dataType, True)
+            for src, f in zip(sig, schema.fields)
+            if src is not None
+        ])
+        part = spark.read.schema(phys_schema).parquet(*fls)
+        sel = [
+            F.col(src).alias(f.name) if src is not None
+            # column added after this file was written: NULL by spec
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for src, f in zip(sig, schema.fields)
+        ]
+        part = part.select(*sel, *meta_cols())
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def read_iceberg_increment(
@@ -453,9 +605,7 @@ def read_iceberg_increment(
     schema: T.StructType = snap_to["schema"]
     if not added:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*added).select(
-        *[f.name for f in schema.fields]
-    )
+    return _scan_parquet(spark, snap_to, added)
 
 
 def read_iceberg(
@@ -477,9 +627,10 @@ def read_iceberg(
     if not snap["files"]:
         return spark.createDataFrame([], schema)
     cols = [f.name for f in schema.fields]
-    data = spark.read.schema(schema).parquet(*sorted(snap["files"]))
-    if not snap["position_deletes"] and not snap["equality_deletes"]:
-        return data.select(*cols)
+    mor = bool(snap["position_deletes"] or snap["equality_deletes"])
+    data = _scan_parquet(spark, snap, snap["files"], with_meta=mor)
+    if not mor:
+        return data
     # merge-on-read. Position grain: delete files carry (file_path,
     # pos) rows; Spark's parquet _metadata column gives each data row
     # its (file_path, row_index), so application is one LEFT ANTI join.
@@ -530,8 +681,8 @@ def read_iceberg(
 
     tagged = data.select(
         *cols,
-        norm(F.col("_metadata.file_path")).alias("_fp"),
-        F.col("_metadata.row_index").alias("_pos"),
+        norm(F.col("_raw_fp")).alias("_fp"),
+        F.col("_pos"),
     )
     if snap["position_deletes"]:
         dels = (

@@ -749,3 +749,83 @@ def test_mor_path_identity_relative_root_and_spaces(spark, tmp_path,
     got = {(r["id"], r["v"]) for r in read_iceberg(spark, rel).collect()}
     # pos-del kills (2, 'b'); eq-del @ seq 2 kills (3, 'c') @ seq 1
     assert got == {(1, "a")}
+
+
+def _rename_fixture(tmp_path, with_mapping):
+    """A table whose field-id 2 was renamed val -> v: f1 predates the
+    rename (stores 'val', and no 'lang' — that column was added
+    later); f2 is current-shape. Both schemas stay in the metadata's
+    schema list, which is how the reader detects the rename history
+    driver-cheap."""
+    t = str(tmp_path / "renamed")
+    f1 = os.path.join(t, "data/f1.parquet")
+    os.makedirs(os.path.dirname(f1), exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "val": pa.array(["a"], pa.string())}), f1)
+    f2 = os.path.join(t, "data/f2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64()),
+                  "v": pa.array(["b"], pa.string()),
+                  "lang": pa.array(["fr"], pa.string())}), f2)
+    m = _manifest(t, "m.avro", [(1, 0, f"file://{f1}", "PARQUET"),
+                                (1, 0, f"file://{f2}", "PARQUET")])
+    ml = _manifest_list(t, "ml.avro", [(m, 0)])
+    s = {"snapshot-id": 7, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 1}
+    schema0 = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}
+    schema1 = {
+        "type": "struct", "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False,
+             "type": "string"},
+        ]}
+    meta = {
+        "format-version": 2, "table-uuid": "0000-uuid",
+        "location": f"file://{t}",
+        "schemas": [schema0, schema1], "current-schema-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 7, "snapshots": [s],
+    }
+    if with_mapping:
+        meta["properties"] = {
+            "schema.name-mapping.default": json.dumps([
+                {"field-id": 1, "names": ["id"]},
+                {"field-id": 2, "names": ["val", "v"]},
+                {"field-id": 3, "names": ["lang"]},
+            ])
+        }
+    d = os.path.join(t, "metadata")
+    with open(os.path.join(d, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(d, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return t
+
+
+def test_name_mapping_resolves_renamed_columns(spark, tmp_path):
+    """VERDICT r13 #3: a rename-history table with the public
+    schema.name-mapping.default property reads correctly — pre-rename
+    files scan under their physical name ('val') and surface as the
+    snapshot schema's 'v'; a column added after a file was written
+    reads as NULL for that file's rows (spec column projection)."""
+    t = _rename_fixture(tmp_path, with_mapping=True)
+    got = {(r["id"], r["v"], r["lang"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "a", None), (2, "b", "fr")}
+
+
+def test_rename_history_without_mapping_raises(spark, tmp_path):
+    """Without the mapping, a by-name scan would read every pre-rename
+    file's renamed column as silent NULLs — the reader must refuse
+    instead (loud gap over silent wrong read)."""
+    t = _rename_fixture(tmp_path, with_mapping=False)
+    with pytest.raises(IcebergProtocolError, match="rename history"):
+        read_iceberg(spark, t).collect()
