@@ -32,7 +32,9 @@ recall is pinned against exact brute force in tests.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import os
 from heapq import heappop, heappush
 
 
@@ -169,6 +171,76 @@ class HnswIndex:
             self._entry = max(
                 others, key=lambda k: self._levels[k], default=None
             )
+
+    def save(self, path: str) -> None:
+        """Persist the index durably — the reference freezes spaces
+        next to the hnswlib index on disk rather than rebuilding at
+        every restart. The graph is deterministic already, but a saved
+        index restores in O(N) with ZERO distance evaluations instead
+        of the O(N·ef·log N) rebuild. One JSON document (params +
+        vectors + levels + per-layer links + entry point), written
+        atomically via tmp + os.replace so a crashed save never
+        exposes a torn file."""
+        state = {
+            "format": 1,
+            "dim": self.dim,
+            "m": self.m,
+            "ef_construction": self.ef_construction,
+            "seed": self.seed,
+            "entry": self._entry,
+            "levels": self._levels,
+            "vecs": {k: list(v) for k, v in self._vecs.items()},
+            "links": self._links,
+        }
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "HnswIndex":
+        """Restore a saved index: O(N) reconstruction, no distance
+        evaluations, identical search results to the instance that
+        saved it (pinned in tests)."""
+        with open(path, encoding="utf-8") as fh:
+            state = json.load(fh)
+        if state.get("format") != 1:
+            raise ValueError(
+                f"unknown HNSW index format {state.get('format')!r} "
+                f"in {path}"
+            )
+        idx = cls(
+            state["dim"],
+            m=state["m"],
+            ef_construction=state["ef_construction"],
+            seed=state["seed"],
+        )
+        idx._vecs = {
+            k: tuple(float(x) for x in v)
+            for k, v in state["vecs"].items()
+        }
+        idx._levels = {k: int(v) for k, v in state["levels"].items()}
+        idx._links = [
+            {k: list(ns) for k, ns in layer.items()}
+            for layer in state["links"]
+        ]
+        idx._entry = state["entry"]
+        return idx
+
+    @staticmethod
+    def digest_rows(rows: dict) -> str:
+        """Content digest of a key → vector mapping — the staleness
+        check ``build_ann_index(persist_dir=…)`` uses to decide
+        whether a saved index still matches the space."""
+        h = hashlib.md5()
+        for k in sorted(rows):
+            h.update(str(k).encode())
+            h.update(repr(tuple(float(x) for x in rows[k])).encode())
+        return h.hexdigest()
+
+    def state_key(self) -> str:
+        """``digest_rows`` of this index's own contents."""
+        return self.digest_rows(self._vecs)
 
     def search(
         self, vector, k: int, ef: int | None = None,

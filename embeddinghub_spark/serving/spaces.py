@@ -202,7 +202,8 @@ class Space:
         self.frozen = True
 
     def build_ann_index(
-        self, m: int = 16, ef_construction: int = 100, seed: int = 42
+        self, m: int = 16, ef_construction: int = 100, seed: int = 42,
+        persist_dir: str | None = None,
     ) -> int:
         """Build the driver-side HNSW over the space's CURRENT state
         (base ∪ overlay) — the reference keeps exactly this index next
@@ -211,19 +212,44 @@ class Space:
         ``nearest_neighbor(approximate=True)`` answers from it with no
         Spark job. Returns the number of indexed vectors.
 
+        ``persist_dir`` makes the index durable (the reference freezes
+        spaces on disk rather than rebuilding per restart): a saved
+        index whose content digest still matches the space's current
+        state LOADS in O(N) — zero distance evaluations — instead of
+        the O(N·ef·log N) rebuild; on any mismatch (new/changed/
+        deleted vectors) the index rebuilds and re-saves atomically.
+
         Memory is O(N·(dims + m)) on the driver — the online remainder
         of a pipeline whose 100 TB side stays in Spark
         (functions/ann_index.py); insertion order is the sorted key
         order, and levels are md5-seeded, so the same space state
         builds the same graph anywhere."""
+        import os
+
         from embeddinghub_spark.functions.hnsw import HnswIndex
 
+        rows = {r["key"]: r["embedding"] for r in self._current().collect()}
+        idx_path = (
+            os.path.join(persist_dir, f"{self.name}.hnsw.json")
+            if persist_dir else None
+        )
+        if idx_path and os.path.exists(idx_path):
+            cached = HnswIndex.load(idx_path)
+            if (
+                (cached.dim, cached.m, cached.ef_construction, cached.seed)
+                == (self.dims, m, ef_construction, seed)
+                and cached.state_key() == HnswIndex.digest_rows(rows)
+            ):
+                self._ann = cached
+                return len(cached)
         idx = HnswIndex(
             self.dims, m=m, ef_construction=ef_construction, seed=seed
         )
-        rows = {r["key"]: r["embedding"] for r in self._current().collect()}
         for kk in sorted(rows):
             idx.add(kk, rows[kk])
+        if idx_path:
+            os.makedirs(persist_dir, exist_ok=True)
+            idx.save(idx_path)
         self._ann = idx
         return len(idx)
 
