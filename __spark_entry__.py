@@ -3800,14 +3800,49 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
 FROM terms GROUP BY doc_id
 """
 
+_BIGRAM_TF_CACHE: dict = {}
+
+
+def _bigram_tf_shared(spark: SparkSession, sf_dir: str):
+    """The (doc, w1, w2) bigram-count frame the LM pair shares
+    (VERDICT r13 #7's consolidation hint): `bigram_logprob` (JM) and
+    `kn_bigram_logprob` (KN) consume the IDENTICAL bigram_tf upstream
+    — before this cache each entry paid its own corpus tokenize +
+    bigram explode + (doc, w1, w2) aggregate, the dominant cost of
+    both. One EAGER localCheckpoint now feeds both smoothings, keyed
+    by (applicationId, sf_dir) so a fresh SparkSession rebuilds
+    instead of touching a dead context's checkpoint; at most one
+    corpus is held (the scan visits sf_dirs sequentially — the
+    _sparse_features_shared eviction discipline). Hash-neutral by
+    construction: the cached frame is the identical tfb build, so both
+    entries' certified results are bit-for-bit unchanged."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BIGRAM_TF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from embeddinghub_spark.functions.text import bigram_tf
+
+    tfb = bigram_tf(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    _BIGRAM_TF_CACHE.clear()
+    _BIGRAM_TF_CACHE[key] = tfb
+    return tfb
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM scoring (functions/text.py
     bigram_logprob): Jelinek–Mercer λ=0.7 over corpus-trained bigram
     + unigram models, order-independent decimal sums — the word-order-
-    aware step past the unigram perplexity proxy."""
+    aware step past the unigram perplexity proxy. The bigram_tf
+    upstream is shared with `kn_bigram_logprob` via
+    `_bigram_tf_shared` — hash-neutral."""
     from embeddinghub_spark.functions.text import bigram_logprob
 
-    return bigram_logprob(_t(spark, sf_dir, "documents"))
+    return bigram_logprob(
+        _t(spark, sf_dir, "documents"),
+        tf_df=_bigram_tf_shared(spark, sf_dir),
+    )
 
 
 def _bigram_oracle(lam: float = 0.7) -> str:
@@ -6859,7 +6894,10 @@ def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only bigram formation as bigram_logprob."""
     from embeddinghub_spark.functions.text import kn_bigram_logprob
 
-    return kn_bigram_logprob(_t(spark, sf_dir, "documents"))
+    return kn_bigram_logprob(
+        _t(spark, sf_dir, "documents"),
+        tf_df=_bigram_tf_shared(spark, sf_dir),
+    )
 
 
 def _kn_bigram_oracle(discount: float = 0.75) -> str:

@@ -1011,11 +1011,42 @@ def unigram_logprob(
     )
 
 
+def bigram_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram term frequencies — ``(doc_id, w1, w2,
+    tfb)`` — the SHARED upstream of ``bigram_logprob`` and
+    ``kn_bigram_logprob`` (both models consume exactly this frame; the
+    corpus tokenize + bigram explode + (doc, w1, w2) aggregate is
+    their dominant cost, so a caller scoring the same corpus under
+    both smoothings should build it once, checkpoint it, and pass it
+    to each via ``tf_df``). Bigrams form MAP-ONLY inside the token
+    array; documents with < 2 tokens contribute nothing."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    return bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tfb")
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.7,
+    tf_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED BIGRAM log-probability under the
     corpus's own LM — one modeling step past ``unigram_logprob``
@@ -1046,28 +1077,21 @@ def bigram_logprob(
     vocab-vs-corpus sized and left to AQE. Exchange rows are
     (doc, bigram, count) tuples, never tokens.
 
+    ``tf_df`` injects a precomputed (ideally checkpointed)
+    ``bigram_tf`` frame so a caller scoring the same corpus under
+    several smoothings pays the tokenize/explode/aggregate once.
+
     Output: ``(doc_id, n_bigrams, logprob)``.
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError("lam must be in (0, 1]")
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
-        F.size("_toks") >= 2
-    )
-    bg = toked.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(_toks) - 1), "
-                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
-            )
-        ).alias("_bg"),
-    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     # tfb feeds the model build AND the final scoring join; bc feeds
     # cf AND the join — checkpoint both so the corpus explode runs
     # ONCE, not once per consumer (at 100 TB that's the whole cost)
-    tfb = bg.groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tfb")
-    ).localCheckpoint(eager=False)
+    tfb = (
+        tf_df if tf_df is not None
+        else bigram_tf(df, text_col, id_col).localCheckpoint(eager=False)
+    )
     bc = tfb.groupBy("w1", "w2").agg(
         F.sum("tfb").alias("cb")
     ).localCheckpoint(eager=False)
@@ -1105,6 +1129,7 @@ def kn_bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    tf_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under INTERPOLATED
     KNESER–NEY — the smoothing KenLM actually ships (the CCNet
@@ -1135,28 +1160,21 @@ def kn_bigram_logprob(
     map-side combine; the model joins are vocab-vs-corpus sized and
     left to AQE. Raw text never shuffles.
 
+    ``tf_df`` injects a precomputed (ideally checkpointed)
+    ``bigram_tf`` frame — shared with ``bigram_logprob`` when both
+    smoothings score the same corpus.
+
     Output: ``(doc_id, n_bigrams, logprob)``.
     """
     if not 0.0 < discount < 1.0:
         raise ValueError("discount must be in (0, 1)")
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
-        F.size("_toks") >= 2
-    )
-    bg = toked.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(_toks) - 1), "
-                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
-            )
-        ).alias("_bg"),
-    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     # tfb feeds bc AND the final join; bc feeds FOUR consumers
     # (left/cont/types/join) — checkpoint both so the corpus explode
     # and the bigram-type aggregate each run ONCE
-    tfb = bg.groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tfb")
-    ).localCheckpoint(eager=False)
+    tfb = (
+        tf_df if tf_df is not None
+        else bigram_tf(df, text_col, id_col).localCheckpoint(eager=False)
+    )
     bc = tfb.groupBy("w1", "w2").agg(
         F.sum("tfb").alias("cb")
     ).localCheckpoint(eager=False)

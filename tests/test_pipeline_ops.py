@@ -2142,3 +2142,44 @@ def test_pack_sequences_rejects_negative_tokens_and_reserved_helpers(spark):
                 order_cols=["doc_id"], n_tokens_col="n_tokens",
                 max_seq_len=8,
             )
+
+
+def test_bigram_tf_shared_cache_is_keyed_and_reused(spark):
+    """VERDICT r13 #7 consolidation: the LM pair (bigram_logprob /
+    kn_bigram_logprob) shares ONE eager localCheckpoint of the
+    bigram_tf upstream. Same (app, sf_dir) → the identical cached
+    frame (no rebuild); a different sf_dir evicts and rebuilds (at
+    most one corpus held); injected tf_df produces results identical
+    to the self-built path."""
+    import __spark_entry__ as m
+    from embeddinghub_spark.functions.text import (
+        bigram_logprob,
+        kn_bigram_logprob,
+    )
+
+    m._BIGRAM_TF_CACHE.clear()
+    a = m._bigram_tf_shared(spark, "/root/testdata/sf0.001")
+    b = m._bigram_tf_shared(spark, "/root/testdata/sf0.001")
+    assert a is b
+    assert len(m._BIGRAM_TF_CACHE) == 1
+    c = m._bigram_tf_shared(spark, "/root/testdata/sf0.01")
+    assert c is not a
+    assert len(m._BIGRAM_TF_CACHE) == 1  # old corpus evicted
+    m._BIGRAM_TF_CACHE.clear()
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c c d"), (3, "x")], ["doc_id", "text"]
+    )
+    from embeddinghub_spark.functions.text import bigram_tf
+
+    tfb = bigram_tf(docs).localCheckpoint(eager=True)
+    for fn in (bigram_logprob, kn_bigram_logprob):
+        self_built = {
+            (r["doc_id"], r["n_bigrams"], r["logprob"])
+            for r in fn(docs).collect()
+        }
+        injected = {
+            (r["doc_id"], r["n_bigrams"], r["logprob"])
+            for r in fn(docs, tf_df=tfb).collect()
+        }
+        assert injected == self_built and len(self_built) == 2
