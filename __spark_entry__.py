@@ -8803,114 +8803,32 @@ FROM v1 WHERE o_orderkey % 5 = 0
 """
 
 
-def _build_iceberg_fixture(spark, root: str, df_a, df_b) -> None:
-    """Hand-build a TWO-SNAPSHOT Iceberg v2 table per the public table
-    spec (metadata JSON + Avro manifest list/manifest via
-    sources/avro_io.py): snapshot 101 adds df_a's files, snapshot 202
-    adds df_b's (101's manifest carried forward). This is a
-    FIXTURE-grade writer — it exists so the native READER
-    (sources/iceberg_meta.py) can be driven end-to-end under the
-    correctness gate; a production Iceberg writer (atomic commits,
-    field-id parquet metadata) needs the connector."""
-    import glob
-    import json as _json
-    import os
+def _build_iceberg_table(spark, root: str, df_a, df_b) -> tuple:
+    """A TWO-SNAPSHOT Iceberg v2 table built by the repo's NATIVE
+    WRITER (sources/iceberg_write.py — atomic put-if-absent metadata
+    commits, spec-conformant Avro manifests with field-ids, the
+    schema.name-mapping.default interop property): snapshot 1 creates
+    the table from df_a, snapshot 2 appends df_b. Replaces the r13
+    fixture-grade hand-builder, so the correctness gate now certifies
+    the WRITER + READER round-trip end-to-end. Returns the two
+    snapshot ids."""
+    from embeddinghub_spark.sources.iceberg_write import write_iceberg
 
-    from embeddinghub_spark.sources.avro_io import write_avro_file
-
-    def _write_slice(df, sub):
-        d = os.path.join(root, "data", sub)
-        df.write.mode("overwrite").parquet(d)
-        return sorted(glob.glob(os.path.join(d, "part-*.parquet")))
-
-    files_a = _write_slice(df_a, "s1")
-    files_b = _write_slice(df_b, "s2")
-    meta_dir = os.path.join(root, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    man_schema = {
-        "type": "record", "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"]},
-            {"name": "data_file", "type": {
-                "type": "record", "name": "r2", "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                ]}},
-        ]}
-    mlist_schema = {
-        "type": "record", "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "partition_spec_id", "type": "int"},
-            {"name": "content", "type": "int"},
-            {"name": "added_snapshot_id", "type": ["null", "long"]},
-        ]}
-
-    def _manifest(name, files):
-        p = os.path.join(meta_dir, name)
-        write_avro_file(p, man_schema, [
-            {"status": 1, "snapshot_id": None, "data_file": {
-                "content": 0, "file_path": f"file://{f}",
-                "file_format": "PARQUET", "record_count": 1}}
-            for f in files
-        ])
-        return p
-
-    def _mlist(name, manifests):
-        p = os.path.join(meta_dir, name)
-        write_avro_file(p, mlist_schema, [
-            {"manifest_path": m, "manifest_length": os.path.getsize(m),
-             "partition_spec_id": 0, "content": 0,
-             "added_snapshot_id": None}
-            for m in manifests
-        ])
-        return p
-
-    m1 = _manifest("m1.avro", files_a)
-    m2 = _manifest("m2.avro", files_b)
-    ml1 = _mlist("ml1.avro", [m1])
-    ml2 = _mlist("ml2.avro", [m1, m2])
-    ice_schema = {
-        "type": "struct", "schema-id": 0,
-        "fields": [
-            {"id": 1, "name": "c_custkey", "required": True,
-             "type": "long"},
-            {"id": 2, "name": "c_name", "required": False,
-             "type": "string"},
-            {"id": 3, "name": "c_nationkey", "required": False,
-             "type": "long"},
-        ]}
-    meta = {
-        "format-version": 2, "table-uuid": "entry-fixture",
-        "location": f"file://{root}",
-        "schemas": [ice_schema], "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "current-snapshot-id": 202,
-        "snapshots": [
-            {"snapshot-id": 101, "timestamp-ms": 1000,
-             "manifest-list": f"file://{ml1}", "schema-id": 0},
-            {"snapshot-id": 202, "timestamp-ms": 2000,
-             "manifest-list": f"file://{ml2}", "schema-id": 0},
-        ],
-    }
-    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
-        _json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write("1")
+    s1 = write_iceberg(df_a, root)
+    s2 = write_iceberg(df_b, root, mode="append")
+    return s1, s2
 
 
 def q_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The native Iceberg read path certified END-TO-END
     (sources/iceberg_meta.py + sources/avro_io.py; the reference reads
-    Iceberg through the connector, runner:965-980): hand-build a
-    two-snapshot Iceberg v2 table from the customer slices
-    (%3==0 at snapshot 101, %3==1 added at 202), then read BOTH the
-    time-traveled snapshot and the current one through the metadata /
-    Avro-manifest replay. The oracle recomputes both slices in pure
+    Iceberg through the connector, runner:965-980): the NATIVE WRITER
+    (sources/iceberg_write.py) commits a two-snapshot Iceberg v2 table
+    from the customer slices (%3==0 created, %3==1 appended), then the
+    native reader reads BOTH the time-traveled snapshot and the
+    current one through the metadata / Avro-manifest replay — the full
+    writer + reader round-trip under the gate (upgraded r14 from the
+    fixture-grade hand-builder). The oracle recomputes both slices in pure
     SQL. One multi-path parquet scan per read — Iceberg data files
     carry every column, so there is no partition-attachment union."""
     import tempfile
@@ -8921,13 +8839,13 @@ def q_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     root = tempfile.mkdtemp(prefix="ice_") + "/tbl"
-    _build_iceberg_fixture(
+    s1, _s2 = _build_iceberg_table(
         spark,
         root,
         cust.filter(F.col("c_custkey") % 3 == 0),
         cust.filter(F.col("c_custkey") % 3 == 1),
     )
-    v1 = read_iceberg(spark, root, snapshot_id=101).withColumn(
+    v1 = read_iceberg(spark, root, snapshot_id=s1).withColumn(
         "snap", F.lit("v1")
     )
     cur = read_iceberg(spark, root).withColumn("snap", F.lit("current"))
@@ -8946,9 +8864,9 @@ FROM customer WHERE c_custkey % 3 IN (0, 1)
 def q_iceberg_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-incremental Iceberg read certified end-to-end
     (sources/iceberg_meta.py read_iceberg_increment — the S5 sibling
-    of read_delta_increment): over the same two-snapshot fixture as
-    `iceberg_native`, the rows added between snapshot 101 and 202 are
-    exactly the second customer slice; the oracle recomputes it in
+    of read_delta_increment): over the same natively WRITTEN
+    two-snapshot table as `iceberg_native`, the rows added between the
+    two snapshots are exactly the second customer slice; the oracle recomputes it in
     pure SQL. Non-append ranges (removed files, delete files, schema
     changes) raise by contract — pinned in tests."""
     import tempfile
@@ -8961,13 +8879,13 @@ def q_iceberg_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     root = tempfile.mkdtemp(prefix="ice_inc_") + "/tbl"
-    _build_iceberg_fixture(
+    s1, s2 = _build_iceberg_table(
         spark,
         root,
         cust.filter(F.col("c_custkey") % 3 == 0),
         cust.filter(F.col("c_custkey") % 3 == 1),
     )
-    return read_iceberg_increment(spark, root, 101, 202)
+    return read_iceberg_increment(spark, root, s1, s2)
 
 
 _ICEBERG_INCREMENT_ORACLE = """

@@ -354,10 +354,14 @@ def write_avro_file(
     rows: list[dict],
     codec: str = "deflate",
     sync: bytes = b"\x00" * 16,
+    metadata: dict[str, str] | None = None,
 ) -> None:
     """Encode rows into an OCF at ``path`` (one block). Used by
-    fixtures/tests; the suite cross-validates the output against the
-    Java Avro library so the wire format is the real one."""
+    fixtures/tests and the native Iceberg writer; the suite
+    cross-validates the output against the Java Avro library so the
+    wire format is the real one. ``metadata`` adds extra header
+    key→value pairs (Iceberg manifests carry ``schema`` /
+    ``partition-spec`` / ``content`` there per the table spec)."""
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported Avro codec {codec!r}")
     names: dict = {}
@@ -375,6 +379,8 @@ def write_avro_file(
         "avro.schema": json.dumps(schema).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
     }
+    for k, v in (metadata or {}).items():
+        meta[k] = v.encode("utf-8") if isinstance(v, str) else bytes(v)
     out.write(_zigzag(len(meta)))
     for k, v in meta.items():
         kb = k.encode("utf-8")

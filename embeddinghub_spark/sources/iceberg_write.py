@@ -1,0 +1,585 @@
+"""Native Apache Iceberg table WRITE path — no connector JAR required.
+
+The write-side twin of ``sources/iceberg_meta.py`` (S10-Iceberg; the
+reference writes Iceberg through Spark's connector,
+``offline_store_spark_runner.py:920-949``), built the way the native
+Delta writer was: everything here is the PUBLIC Iceberg table spec
+(iceberg.apache.org/spec), format version 2, filesystem catalog.
+
+What a commit writes:
+- data files staged by Spark's parquet writer, moved into
+  ``data/`` under fresh uuid names (record counts/sizes from the
+  parquet footers);
+- one MANIFEST (Avro) of ADDED entries — the spec's v2
+  ``manifest_entry`` record with Iceberg's exact ``field-id``
+  annotations in the Avro schema, null entry sequence numbers
+  (ADDED entries inherit the manifest-list row's sequence number),
+  and the required header metadata (``schema``, ``partition-spec``,
+  ``partition-spec-id``, ``content``, ``format-version``);
+- one MANIFEST LIST (Avro): the previous snapshot's rows carried
+  forward (append) or dropped (overwrite) plus the new manifest's row
+  with the snapshot's sequence number;
+- a new ``v<N>.metadata.json`` committed PUT-IF-ABSENT (staged file +
+  ``os.link`` — the same local-FS atomicity discipline as the Delta
+  writer; losing a race re-reads and retries), then
+  ``version-hint.text`` advances (best-effort — readers fall back to
+  the max metadata version).
+
+Interop posture: data files are written WITHOUT parquet field-id
+metadata (Spark's writer doesn't emit it), so every commit publishes
+the ``schema.name-mapping.default`` table property mapping each
+field-id to its column name — the spec's sanctioned way to read
+field-id-free files; this repo's reader resolves renames through the
+same property. Cross-validation against the real iceberg-spark
+connector needs the JAR and is environment-gated (the Avro layer
+itself is cross-validated against the Java Avro library in tests).
+
+Honest bounds (raise, never silently miswrite): unpartitioned tables
+only (Iceberg partitioning is transform-based spec machinery — the
+connector's job); flat schemas of primitives, decimals and
+lists-of-primitives (struct/map columns gate); append and overwrite
+grains (row-level MERGE needs the connector or the Delta path).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from embeddinghub_spark.sources.avro_io import read_avro_file, write_avro_file
+from embeddinghub_spark.sources.iceberg_meta import (
+    _OBJ_META_RE,
+    _V_META_RE,
+    IcebergProtocolError,
+    is_iceberg_table,
+)
+
+
+def _max_metadata_version(meta_dir: str) -> tuple[int, str] | None:
+    """(version, abs path) of the HIGHEST metadata file present —
+    commit attempts derive the next version from this, never from
+    ``version-hint.text`` (a racing writer can leave the hint stale,
+    and a stale base would make every retry re-claim the same taken
+    version)."""
+    best: tuple[int, str] | None = None
+    for f in os.listdir(meta_dir):
+        m = _V_META_RE.match(f) or _OBJ_META_RE.match(f)
+        if m:
+            key = (int(m.group(1)), f)
+            if best is None or key > best:
+                best = key
+    if best is None:
+        return None
+    return best[0], os.path.join(meta_dir, best[1])
+
+
+class IcebergWriteError(RuntimeError):
+    """A commit attempt failed permanently (schema mismatch, lost
+    race beyond retries, unsupported shape)."""
+
+
+# --------------------------------------------------------------- type mapping
+
+_SPARK_TO_ICE: dict[str, str] = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "string": "string",
+    "binary": "binary",
+    "timestamp_ntz": "timestamp",   # wall clock, no zone
+    "timestamp": "timestamptz",     # instant
+}
+
+
+def _ice_type(dt: T.DataType, next_id: list[int]) -> Any:
+    """Spark → Iceberg type (the inverse of iceberg_meta._to_spark_type
+    for the supported subset). ``next_id`` is the running column-id
+    counter (list element ids consume one)."""
+    name = dt.typeName()
+    if name in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[name]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        if isinstance(dt.elementType, (T.ArrayType, T.MapType, T.StructType)):
+            raise IcebergProtocolError(
+                "nested non-primitive list elements not supported by "
+                "the native Iceberg writer — use the connector"
+            )
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _ice_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    raise IcebergProtocolError(
+        f"Spark type {dt.simpleString()} not supported by the native "
+        "Iceberg writer — use the connector"
+    )
+
+
+def _ice_schema(schema: T.StructType, schema_id: int = 0) -> dict:
+    """Iceberg struct schema with field-ids 1..N assigned in column
+    order (list element ids follow after the top-level block)."""
+    next_id = [len(schema.fields) + 1]
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _ice_type(f.dataType, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": fields,
+        "_last_column_id": next_id[0] - 1,
+    }
+
+
+def _name_mapping_json(ice_schema: dict) -> str:
+    return json.dumps(
+        [
+            {"field-id": f["id"], "names": [f["name"]]}
+            for f in ice_schema["fields"]
+        ]
+    )
+
+
+# ------------------------------------------------------- spec Avro schemas
+
+def _manifest_entry_schema() -> dict:
+    """The v2 ``manifest_entry`` Avro record with the spec's exact
+    field-id annotations (spec §Manifests) for the fields this writer
+    emits; optional stats columns are omitted (they are nullable in
+    the spec and absent fields simply don't appear in the schema)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int",
+                         "field-id": 134},
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            # unpartitioned: the spec's empty struct
+                            "type": {"type": "record", "name": "r102",
+                                     "fields": []},
+                        },
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _manifest_list_schema() -> dict:
+    """The v2 ``manifest_file`` Avro record (spec §Manifest Lists),
+    required fields only, exact field-ids."""
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long",
+             "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int",
+             "field-id": 505},
+            {"name": "deleted_files_count", "type": "int",
+             "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long",
+             "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long",
+             "field-id": 514},
+        ],
+    }
+
+
+# ------------------------------------------------------------ atomic commit
+
+def _atomic_put(final_path: str, payload: str) -> bool:
+    """Put-if-absent via staged write + ``os.link`` (the Delta
+    writer's local-FS atomicity discipline): True on claim, False if
+    another writer owns the path."""
+    tmp = f"{final_path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    try:
+        os.link(tmp, final_path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+# ----------------------------------------------------------------- the writer
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
+    catalog). Returns the committed SNAPSHOT ID. See the module
+    docstring for the protocol pieces and honest bounds; appends
+    validate the schema against the table's current schema by
+    name+type and raise on mismatch (never silently widen)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    path = os.path.realpath(os.path.abspath(path))
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    ice_schema = _ice_schema(df.schema)
+    last_column_id = ice_schema.pop("_last_column_id")
+
+    # ---- stage data files with Spark's parquet writer, move to data/
+    stage = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    data_files: list[tuple[str, int, int]] = []  # (abs, rows, bytes)
+    for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        dst = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        os.rename(src, dst)
+        meta = pq.read_metadata(dst)
+        data_files.append((dst, meta.num_rows, os.path.getsize(dst)))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    for _attempt in range(max_commit_retries):
+        # ---- current table state (re-read per attempt: commit races;
+        # the base version comes from the max metadata file present,
+        # never the hint — see _max_metadata_version)
+        latest = (
+            _max_metadata_version(meta_dir)
+            if is_iceberg_table(path) else None
+        )
+        if latest is not None:
+            prev_version, mfile = latest
+            with open(mfile, encoding="utf-8") as fh:
+                prev_meta = json.load(fh)
+        else:
+            prev_meta, prev_version = None, 0
+
+        if prev_meta is not None:
+            if int(prev_meta.get("format-version", 1)) != 2:
+                raise IcebergProtocolError(
+                    "native writer only commits to format-version 2 "
+                    "tables"
+                )
+            specs = prev_meta.get("partition-specs") or []
+            cur_spec = next(
+                (s for s in specs
+                 if s.get("spec-id") == prev_meta.get("default-spec-id", 0)),
+                specs[0] if specs else {"fields": []},
+            )
+            if cur_spec.get("fields"):
+                raise IcebergProtocolError(
+                    "native writer cannot commit to a PARTITIONED "
+                    "Iceberg table — use the connector"
+                )
+            if mode == "append":
+                cur_schemas = prev_meta.get("schemas") or []
+                cur = next(
+                    (s for s in cur_schemas
+                     if s.get("schema-id")
+                     == prev_meta.get("current-schema-id")),
+                    None,
+                )
+                ours = [
+                    (f["name"], json.dumps(f["type"], sort_keys=True),
+                     f["required"])
+                    for f in ice_schema["fields"]
+                ]
+                theirs = [
+                    (f["name"], json.dumps(f["type"], sort_keys=True),
+                     bool(f.get("required", False)))
+                    for f in (cur or {}).get("fields") or []
+                ]
+                # ids may differ between our fresh assignment and the
+                # table's; names+types+requiredness must match exactly
+                if [o[0] for o in ours] != [t[0] for t in theirs] or [
+                    o[1] for o in ours
+                ] != [t[1] for t in theirs]:
+                    raise IcebergWriteError(
+                        f"append schema mismatch: table has {theirs}, "
+                        f"DataFrame has {ours}"
+                    )
+                # reuse the TABLE's schema + name mapping so field-ids
+                # stay stable across appends
+                ice_schema = cur
+                last_column_id = int(
+                    prev_meta.get("last-column-id", last_column_id)
+                )
+
+        prev_snaps = (prev_meta or {}).get("snapshots") or []
+        snapshot_id = max(
+            [int(s["snapshot-id"]) for s in prev_snaps], default=0
+        ) + 1
+        seq = int((prev_meta or {}).get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+
+        # ---- manifest of ADDED entries (sequence numbers inherit)
+        man_name = f"m-{uuid.uuid4().hex}.avro"
+        man_path = os.path.join(meta_dir, man_name)
+        write_avro_file(
+            man_path,
+            _manifest_entry_schema(),
+            [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{fp}",
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
+                for fp, rows, size in data_files
+            ],
+            metadata={
+                "schema": json.dumps(
+                    {k: v for k, v in ice_schema.items()
+                     if k != "schema-id"}
+                ),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        new_row = {
+            "manifest_path": f"file://{man_path}",
+            "manifest_length": os.path.getsize(man_path),
+            "partition_spec_id": 0,
+            "content": 0,  # data
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(r for _, r, _ in data_files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        rows_out = [new_row]
+        if mode == "append" and prev_snaps:
+            cur_snap = next(
+                (s for s in prev_snaps
+                 if s["snapshot-id"]
+                 == prev_meta.get("current-snapshot-id")),
+                None,
+            )
+            if cur_snap is not None:
+                prev_ml = cur_snap["manifest-list"]
+                prev_ml_path = prev_ml
+                if prev_ml_path.startswith("file:"):
+                    import re as _re
+
+                    prev_ml_path = _re.sub(r"^file:/*", "/", prev_ml_path)
+                _, prev_rows = read_avro_file(prev_ml_path)
+                for r in prev_rows:
+                    rows_out.append(
+                        {
+                            "manifest_path": r["manifest_path"],
+                            "manifest_length": int(r["manifest_length"]),
+                            "partition_spec_id": int(
+                                r.get("partition_spec_id") or 0
+                            ),
+                            "content": int(r.get("content") or 0),
+                            "sequence_number": int(
+                                r.get("sequence_number") or 0
+                            ),
+                            "min_sequence_number": int(
+                                r.get("min_sequence_number") or 0
+                            ),
+                            "added_snapshot_id": int(
+                                r.get("added_snapshot_id") or 0
+                            ),
+                            "added_files_count": int(
+                                r.get("added_files_count") or 0
+                            ),
+                            "existing_files_count": int(
+                                r.get("existing_files_count") or 0
+                            ),
+                            "deleted_files_count": int(
+                                r.get("deleted_files_count") or 0
+                            ),
+                            "added_rows_count": int(
+                                r.get("added_rows_count") or 0
+                            ),
+                            "existing_rows_count": int(
+                                r.get("existing_rows_count") or 0
+                            ),
+                            "deleted_rows_count": int(
+                                r.get("deleted_rows_count") or 0
+                            ),
+                        }
+                    )
+        ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        ml_path = os.path.join(meta_dir, ml_name)
+        write_avro_file(
+            ml_path,
+            _manifest_list_schema(),
+            rows_out,
+            metadata={
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+
+        # ---- new table metadata
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"file://{ml_path}",
+            "summary": {"operation": mode},
+            "schema-id": ice_schema.get("schema-id", 0),
+        }
+        pcur = (prev_meta or {}).get("current-snapshot-id")
+        if pcur is not None and pcur != -1:
+            snapshot["parent-snapshot-id"] = pcur
+        props = dict((prev_meta or {}).get("properties") or {})
+        props["schema.name-mapping.default"] = _name_mapping_json(
+            ice_schema
+        )
+        props.update(properties or {})
+        schemas = list((prev_meta or {}).get("schemas") or [])
+        if not any(
+            s.get("schema-id") == ice_schema.get("schema-id", 0)
+            and s == ice_schema
+            for s in schemas
+        ):
+            if prev_meta is not None and mode == "overwrite":
+                # overwrite may change the schema: new schema-id
+                new_sid = max(
+                    [int(s.get("schema-id", 0)) for s in schemas],
+                    default=-1,
+                ) + 1
+                existing = next(
+                    (s for s in schemas
+                     if [f["name"] for f in s["fields"]]
+                     == [f["name"] for f in ice_schema["fields"]]
+                     and [json.dumps(f["type"], sort_keys=True)
+                          for f in s["fields"]]
+                     == [json.dumps(f["type"], sort_keys=True)
+                         for f in ice_schema["fields"]]),
+                    None,
+                )
+                if existing is not None:
+                    ice_schema = existing
+                    snapshot["schema-id"] = existing.get("schema-id", 0)
+                    props["schema.name-mapping.default"] = (
+                        _name_mapping_json(existing)
+                    )
+                else:
+                    ice_schema = dict(ice_schema, **{"schema-id": new_sid})
+                    snapshot["schema-id"] = new_sid
+                    schemas.append(ice_schema)
+                    props["schema.name-mapping.default"] = (
+                        _name_mapping_json(ice_schema)
+                    )
+            else:
+                schemas.append(ice_schema)
+        meta_out = {
+            "format-version": 2,
+            "table-uuid": (prev_meta or {}).get(
+                "table-uuid", str(uuid.uuid4())
+            ),
+            "location": f"file://{path}",
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(
+                last_column_id,
+                int((prev_meta or {}).get("last-column-id", 0)),
+            ),
+            "schemas": schemas,
+            "current-schema-id": snapshot["schema-id"],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "last-partition-id": 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": props,
+            "current-snapshot-id": snapshot_id,
+            "snapshots": prev_snaps + [snapshot],
+        }
+        version = prev_version + 1
+        final = os.path.join(meta_dir, f"v{version}.metadata.json")
+        if _atomic_put(final, json.dumps(meta_out)):
+            hint_tmp = os.path.join(
+                meta_dir, f"version-hint.{uuid.uuid4().hex}.tmp"
+            )
+            with open(hint_tmp, "w", encoding="utf-8") as fh:
+                fh.write(str(version))
+            os.replace(hint_tmp, os.path.join(meta_dir,
+                                              "version-hint.text"))
+            return snapshot_id
+        # lost the race: clean our manifest/manifest-list and retry
+        for p in (man_path, ml_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    raise IcebergWriteError(
+        f"lost the commit race {max_commit_retries} times: {path}"
+    )

@@ -1,0 +1,181 @@
+"""sources/iceberg_write.py — native Iceberg v2 WRITE path.
+
+Everything is validated through the repo's own native READER
+(iceberg_meta.py — itself pinned against hand-built spec tables), plus
+a Java-Avro read of the writer's manifest files so the spec'd Avro
+layer is cross-validated at the REAL wire format. Connector
+round-trips need the iceberg-spark JAR and are environment-gated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from embeddinghub_spark.sources.iceberg_meta import (
+    IcebergProtocolError,
+    iceberg_snapshot,
+    read_iceberg,
+    read_iceberg_increment,
+)
+from embeddinghub_spark.sources.iceberg_write import (
+    IcebergWriteError,
+    write_iceberg,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "v"])
+
+
+def _rows(df):
+    return {(r["id"], r["v"]) for r in df.collect()}
+
+
+def test_create_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t)
+    assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b")}
+
+    s2 = write_iceberg(_df(spark, [(3, "c")]), t, mode="append")
+    assert s2 != s1
+    assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel to the first snapshot
+    assert _rows(read_iceberg(spark, t, snapshot_id=s1)) == {
+        (1, "a"), (2, "b")
+    }
+    # snapshot-incremental read over the append
+    assert _rows(read_iceberg_increment(spark, t, s1, s2)) == {(3, "c")}
+
+    s3 = write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite")
+    assert _rows(read_iceberg(spark, t)) == {(9, "z")}
+    # history intact: all three snapshots still read
+    assert _rows(read_iceberg(spark, t, snapshot_id=s2)) == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == s3
+    meta = snap["metadata"]
+    # the spec'd interop property for field-id-free parquet
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0] for m in nm} == {"id", "v"}
+    # parent chain recorded
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert snaps[s2]["parent-snapshot-id"] == s1
+    assert snaps[s3]["parent-snapshot-id"] == s2
+    assert [snaps[s]["sequence-number"] for s in (s1, s2, s3)] == [1, 2, 3]
+
+
+def test_append_schema_mismatch_and_gates(spark, tmp_path):
+    t = str(tmp_path / "gates")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    with pytest.raises(IcebergWriteError, match="schema mismatch"):
+        write_iceberg(
+            spark.createDataFrame([(1, 2.0)], ["id", "v"]), t,
+            mode="append",
+        )
+    # unsupported column type gates loudly before any file lands
+    with pytest.raises(IcebergProtocolError, match="not supported"):
+        write_iceberg(
+            spark.createDataFrame(
+                [(1, {"k": "v"})], "id long, m map<string,string>"
+            ),
+            str(tmp_path / "maps"),
+        )
+    # partitioned tables are the connector's job
+    meta_dir = os.path.join(t, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [{"name": "v", "transform": "identity",
+                    "source-id": 2, "field-id": 1000}],
+    }]
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(IcebergProtocolError, match="PARTITIONED"):
+        write_iceberg(_df(spark, [(5, "e")]), t, mode="append")
+
+
+def test_overwrite_schema_change_gets_new_schema_id(spark, tmp_path):
+    t = str(tmp_path / "evolve")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    write_iceberg(
+        spark.createDataFrame([(2, 3.5)], ["id", "score"]), t,
+        mode="overwrite",
+    )
+    got = {(r["id"], r["score"]) for r in read_iceberg(spark, t).collect()}
+    assert got == {(2, 3.5)}
+    snap = iceberg_snapshot(t)
+    sids = {s.get("schema-id") for s in snap["metadata"]["schemas"]}
+    assert len(sids) == 2  # old schema retained for time travel
+
+
+def test_commit_base_ignores_stale_version_hint(spark, tmp_path):
+    """A racing writer can leave version-hint.text behind the real
+    max; the next commit must base on the MAX metadata version or it
+    would try to re-claim a taken version forever."""
+    t = str(tmp_path / "stale")
+    write_iceberg(_df(spark, [(1, "a")]), t)           # v1
+    write_iceberg(_df(spark, [(2, "b")]), t, mode="append")  # v2
+    hint = os.path.join(t, "metadata", "version-hint.text")
+    with open(hint, "w") as fh:
+        fh.write("1")  # regress the hint
+    write_iceberg(_df(spark, [(3, "c")]), t, mode="append")  # must land v3
+    assert os.path.exists(
+        os.path.join(t, "metadata", "v3.metadata.json")
+    )
+    with open(hint) as fh:
+        assert fh.read().strip() == "3"
+    # all five rows live: the v2 commit was NOT clobbered
+    assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_list_of_float_roundtrip(spark, tmp_path):
+    """The embeddings-table shape: array<float> columns are in scope
+    (element-id assigned past the top-level block)."""
+    t = str(tmp_path / "vecs")
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.5]), (2, [2.5, 3.5])], "id long, emb array<float>"
+    )
+    write_iceberg(df, t)
+    got = {(r["id"], tuple(r["emb"]))
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, (0.5, 1.5)), (2, (2.5, 3.5))}
+    snap = iceberg_snapshot(t)
+    fields = snap["metadata"]["schemas"][0]["fields"]
+    emb = next(f for f in fields if f["name"] == "emb")
+    assert emb["type"]["element-id"] == 3  # past ids 1, 2
+
+
+def test_writer_manifests_read_by_java_avro(spark, tmp_path):
+    """The writer's manifest + manifest-list Avro (spec field-ids in
+    the schema, header metadata, deflate) must be readable by the REAL
+    Java Avro library bundled with Spark — the cross-validation
+    discipline every hand-rolled codec artifact here earns trust by."""
+    import glob
+
+    t = str(tmp_path / "xval")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t)
+    jvm = spark.sparkContext._jvm
+    avros = glob.glob(os.path.join(t, "metadata", "*.avro"))
+    assert len(avros) == 2  # one manifest + one manifest list
+    for p in avros:
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        n = 0
+        while reader.hasNext():
+            rec = reader.next()
+            n += 1
+        assert n >= 1
+        name = reader.getSchema().getName()
+        assert name in ("manifest_entry", "manifest_file")
+        if name == "manifest_entry":
+            assert reader.getMetaString("content") == "data"
+            # the spec requires the iceberg schema in the header
+            json.loads(reader.getMetaString("schema"))
+        reader.close()
