@@ -8894,6 +8894,53 @@ FROM customer WHERE c_custkey % 3 = 1
 """
 
 
+def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert into a natively WRITTEN Iceberg table
+    (sources/iceberg_write.py merge_iceberg — the S12 Iceberg twin of
+    merge_delta; the reference's runner MERGEs materialization deltas
+    into Iceberg tables, runner:688-765): create the table from the
+    orders slice through write_iceberg, merge an update+insert source
+    as ONE overwrite snapshot pinned to the pre-merge snapshot id
+    (read-modify-write safety), and read the result back through the
+    native metadata replay. The oracle replays the same deterministic
+    upsert in pure SQL."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    root = tempfile.mkdtemp(prefix="ice_merge_") + "/tbl"
+    write_iceberg(base, root)
+    merge_iceberg(spark, root, src, ["o_orderkey"])
+    return read_iceberg(spark, root)
+
+
+_ICEBERG_MERGE_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+base AS (SELECT * FROM o WHERE o_orderkey % 7 != 0),
+src  AS (SELECT o_orderkey, o_orderpriority, cents + 1 AS cents
+         FROM o WHERE o_orderkey % 3 = 0)
+SELECT * FROM src
+UNION ALL
+SELECT * FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8904,8 +8951,12 @@ def staged_queries() -> dict:
     the standard protocol (pin tests vs exact Python replicas,
     SCALING.md audit row, README line, oracle twin certified at
     sf0.01 + sf0.1) before touching the registry."""
-    return {}
+    return {
+        "iceberg_merge": q_iceberg_merge,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {
+        "iceberg_merge": _ICEBERG_MERGE_ORACLE,
+    }

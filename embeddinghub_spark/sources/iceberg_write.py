@@ -267,12 +267,21 @@ def write_iceberg(
     mode: str = "append",
     properties: dict[str, str] | None = None,
     max_commit_retries: int = 10,
+    expected_snapshot_id: int | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
     catalog). Returns the committed SNAPSHOT ID. See the module
     docstring for the protocol pieces and honest bounds; appends
     validate the schema against the table's current schema by
-    name+type and raise on mismatch (never silently widen)."""
+    name+type and raise on mismatch (never silently widen).
+
+    ``expected_snapshot_id`` is the optimistic-concurrency handle for
+    READ-MODIFY-WRITE callers (``merge_iceberg``): when set, a commit
+    attempt against any other current snapshot raises
+    ``IcebergWriteError`` instead of retrying — a retried overwrite
+    built from a stale snapshot would drop the concurrent writer's
+    rows (the same hazard ``merge_delta`` guards with
+    ``expected_version``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     path = os.path.realpath(os.path.abspath(path))
@@ -312,6 +321,15 @@ def write_iceberg(
         else:
             prev_meta, prev_version = None, 0
 
+        if expected_snapshot_id is not None:
+            cur_sid = (prev_meta or {}).get("current-snapshot-id")
+            if cur_sid in (None, -1):
+                cur_sid = None
+            if cur_sid != expected_snapshot_id:
+                raise IcebergWriteError(
+                    f"table advanced to snapshot {cur_sid} (expected "
+                    f"{expected_snapshot_id}): {path}"
+                )
         if prev_meta is not None:
             if int(prev_meta.get("format-version", 1)) != 2:
                 raise IcebergProtocolError(
@@ -582,4 +600,41 @@ def write_iceberg(
                 pass
     raise IcebergWriteError(
         f"lost the commit race {max_commit_retries} times: {path}"
+    )
+
+
+def merge_iceberg(
+    spark,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE upsert into a native Iceberg table — S12 semantics (WHEN
+    MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
+    ``tables.merge_upsert_df`` is the shared DataFrame expression)
+    committed as ONE overwrite snapshot, so readers see the old
+    snapshot or the new one, never a gap — the Iceberg twin of
+    ``merge_delta``. Returns the committed snapshot id; the pre-merge
+    state stays time-travelable at the previous snapshot.
+
+    Read-modify-write safety: the commit pins ``expected_snapshot_id``
+    to the snapshot the merge was computed against — a concurrent
+    commit in between raises ``IcebergWriteError`` (re-invoke to
+    retry against the new state) instead of silently dropping the
+    winner's rows. A real file-pruned ``MERGE INTO`` needs the
+    connector."""
+    from embeddinghub_spark.sources.iceberg_meta import (
+        iceberg_snapshot,
+        read_iceberg,
+    )
+    from embeddinghub_spark.sources.tables import merge_upsert_df
+
+    snap = iceberg_snapshot(path)
+    target = read_iceberg(spark, path, snapshot_id=snap["snapshot_id"])
+    merged = merge_upsert_df(target, source, key_cols)
+    return write_iceberg(
+        merged,
+        path,
+        mode="overwrite",
+        expected_snapshot_id=snap["snapshot_id"],
     )

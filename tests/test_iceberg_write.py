@@ -179,3 +179,30 @@ def test_writer_manifests_read_by_java_avro(spark, tmp_path):
             # the spec requires the iceberg schema in the header
             json.loads(reader.getMetaString("schema"))
         reader.close()
+
+
+def test_merge_iceberg_upsert_semantics_and_history(spark, tmp_path):
+    """S12 Iceberg twin of merge_delta: matched keys update, unmatched
+    insert, untouched rows survive; the pre-merge state stays
+    time-travelable; a concurrent commit between read and write
+    raises instead of silently dropping the winner's rows."""
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "merge")
+    s1 = write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    src = _df(spark, [(2, "B2"), (9, "NEW")])
+    s2 = merge_iceberg(spark, t, src, ["id"])
+    assert _rows(read_iceberg(spark, t)) == {
+        (1, "a"), (2, "B2"), (3, "c"), (9, "NEW")
+    }
+    assert _rows(read_iceberg(spark, t, snapshot_id=s1)) == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    assert s2 != s1
+
+    # read-modify-write race: pin to a stale snapshot -> loud
+    with pytest.raises(IcebergWriteError, match="advanced"):
+        write_iceberg(
+            _df(spark, [(7, "x")]), t, mode="overwrite",
+            expected_snapshot_id=s1,
+        )
