@@ -8941,6 +8941,79 @@ WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
 """
 
 
+def q_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Iceberg changelog fallback certified END-TO-END
+    (sources/iceberg_meta.py read_iceberg_changes — the Iceberg
+    sibling of `delta_changes`, for exactly the snapshot ranges
+    `read_iceberg_increment` refuses): create the table from the
+    orders slice through the NATIVE WRITER (snapshot 1), MERGE an
+    update+insert source (snapshot 2), overwrite away a key slice
+    (snapshot 3 deletes), then read the change rows across the chain.
+    Every per-snapshot diff scans only the churned files and joins on
+    the key — churn-proportional. The oracle replays the same three
+    deterministic set operations in pure SQL."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        read_iceberg,
+        read_iceberg_changes,
+    )
+    from embeddinghub_spark.sources.iceberg_write import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    root = tempfile.mkdtemp(prefix="ice_cdf_") + "/tbl"
+    s1 = write_iceberg(base, root)                     # snapshot 1
+    s2 = merge_iceberg(spark, root, src, ["o_orderkey"])  # snapshot 2
+    v2 = read_iceberg(spark, root, snapshot_id=s2)
+    write_iceberg(                                     # snapshot 3
+        v2.filter(F.col("o_orderkey") % 5 != 0), root, mode="overwrite"
+    )
+    return read_iceberg_changes(spark, root, s1, key_cols=["o_orderkey"])
+
+
+_ICEBERG_CHANGES_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+base AS (SELECT * FROM o WHERE o_orderkey % 7 != 0),
+src  AS (SELECT o_orderkey, o_orderpriority, cents + 1 AS cents
+         FROM o WHERE o_orderkey % 3 = 0),
+v2 AS (SELECT * FROM src
+       UNION ALL
+       SELECT * FROM base
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+upd AS (SELECT s.o_orderkey, s.o_orderpriority,
+               b.cents AS pre_cents, s.cents AS post_cents
+        FROM src s JOIN base b USING (o_orderkey))
+SELECT o_orderkey, o_orderpriority, pre_cents AS cents,
+       'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _snapshot_id
+FROM upd
+UNION ALL
+SELECT o_orderkey, o_orderpriority, post_cents AS cents,
+       'update_postimage' AS _change_type, CAST(2 AS BIGINT) AS _snapshot_id
+FROM upd
+UNION ALL
+SELECT o_orderkey, o_orderpriority, cents,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _snapshot_id
+FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+UNION ALL
+SELECT o_orderkey, o_orderpriority, cents,
+       'delete' AS _change_type, CAST(3 AS BIGINT) AS _snapshot_id
+FROM v2 WHERE o_orderkey % 5 = 0
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -8953,10 +9026,12 @@ def staged_queries() -> dict:
     sf0.01 + sf0.1) before touching the registry."""
     return {
         "iceberg_merge": q_iceberg_merge,
+        "iceberg_changes": q_iceberg_changes,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
         "iceberg_merge": _ICEBERG_MERGE_ORACLE,
+        "iceberg_changes": _ICEBERG_CHANGES_ORACLE,
     }

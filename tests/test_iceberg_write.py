@@ -206,3 +206,41 @@ def test_merge_iceberg_upsert_semantics_and_history(spark, tmp_path):
             _df(spark, [(7, "x")]), t, mode="overwrite",
             expected_snapshot_id=s1,
         )
+
+
+def test_read_iceberg_changes_over_merge_and_overwrite(spark, tmp_path):
+    """The changelog fallback (read_iceberg_changes): updates emit
+    both images, inserts and deletes their single row, unchanged rows
+    nothing; contract raises on a non-ancestor from-snapshot and on
+    merge-on-read delete files in the range."""
+    from embeddinghub_spark.sources.iceberg_meta import (
+        read_iceberg_changes,
+    )
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "cdf")
+    s1 = write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    s2 = merge_iceberg(spark, t, _df(spark, [(2, "B2"), (9, "NEW")]),
+                       ["id"])
+    s3 = write_iceberg(  # drop id=3
+        read_iceberg(spark, t).filter("id != 3"), t, mode="overwrite"
+    )
+    got = {
+        (r["id"], r["v"], r["_change_type"], r["_snapshot_id"])
+        for r in read_iceberg_changes(
+            spark, t, s1, key_cols=["id"]
+        ).collect()
+    }
+    assert got == {
+        (2, "b", "update_preimage", s2),
+        (2, "B2", "update_postimage", s2),
+        (9, "NEW", "insert", s2),
+        (3, "c", "delete", s3),
+    }
+    # empty range
+    assert read_iceberg_changes(spark, t, s3, key_cols=["id"]).count() == 0
+    # unknown / non-ancestor from-snapshot is loud
+    with pytest.raises(ValueError, match="not in"):
+        read_iceberg_changes(spark, t, 999999, key_cols=["id"])
+    with pytest.raises(ValueError, match="key column"):
+        read_iceberg_changes(spark, t, s1, key_cols=["nope"])
