@@ -46,22 +46,29 @@ def test_quiet_run_is_neither_rescaled_nor_flagged():
 def test_transient_mid_run_load_trips_the_spread_term():
     """Load that subsides before a post-loop probe would run — the
     exact blind spot of the r12 anchor design. Half the probes feel a
-    3x-slow box, the rest read quiet: the max/min spread flags it even
-    though the FINAL probe looks innocent."""
+    3x-slow box, the rest read quiet: the quartile spread flags it
+    even though the FINAL probe looks innocent."""
     r = bench.PROBE_REF_SEC
     probes = [r, r * 3.1, r * 2.9, r * 3.0, r * 1.02, r * 0.98]
     assert bench._contention(probes, bench.PROBE_REF_SEC) is True
 
 
-def test_median_is_robust_to_a_single_spike():
+def test_single_spike_neither_distorts_nor_flags():
     """One GC pause / page-cache miss must not distort the calibrated
-    number (the spike still trips the flag via the spread term, which
-    is the honest reading: inspect before citing raw numbers)."""
+    number (median) NOR flag the run (quartile spread): a 0.2 s
+    probe's single-rep tails are ±2x on this VM class, and a max/min
+    spread term flagged the quietest run on record. A lone outlier in
+    either direction is absorbed; only a sustained stretch of slow
+    probes (p75 inflated) or an elevated median trips."""
     r = bench.PROBE_REF_SEC
     probes = [r, r * 1.02, r * 0.99, r * 5.0, r * 1.01, r * 0.98, r]
     cal = bench._median(probes)
     corrected = bench._calibrated(17.1, cal, bench.PROBE_REF_SEC)
     assert abs(corrected - 17.1) < 17.1 * 0.1
+    assert bench._contention(probes, bench.PROBE_REF_SEC) is False
+    # a fast outlier (lucky scheduling slot) is equally ignored
+    probes_fast = [r, r * 1.02, r * 0.99, r * 0.4, r * 1.01, r * 0.98]
+    assert bench._contention(probes_fast, bench.PROBE_REF_SEC) is False
 
 
 def test_calibration_edge_cases():
