@@ -304,6 +304,7 @@ def iceberg_snapshot(
     if snap is None:  # a table with no snapshot yet: empty, schema only
         return {
             "snapshot_id": None, "schema": schema, "files": [],
+            "file_partitions": {}, "spec_fields": {},
             "field_names": {
                 int(f["id"]): f["name"]
                 for f in _raw_schema_fields(meta, snap)
@@ -314,6 +315,7 @@ def iceberg_snapshot(
 
     files: list[str] = []
     file_seqs: dict[str, int] = {}
+    file_partitions: dict[str, tuple[int, dict]] = {}
     position_deletes: list[str] = []
     equality_deletes: list[dict] = []
     manifest_list = snap.get("manifest-list")
@@ -370,6 +372,9 @@ def iceberg_snapshot(
             if kind == 0:
                 files.append(resolved)
                 file_seqs[resolved] = seq
+                part = df_rec.get("partition")
+                if isinstance(part, dict) and part:
+                    file_partitions[resolved] = (mspec_id, dict(part))
             elif kind == 1:
                 # position delete: (file_path, pos) rows — applied
                 # exactly in read_iceberg via Spark's
@@ -416,6 +421,8 @@ def iceberg_snapshot(
         "schema": schema,
         "files": files,
         "file_seqs": file_seqs,
+        "file_partitions": file_partitions,
+        "spec_fields": spec_fields,
         "field_names": field_names,
         "position_deletes": position_deletes,
         "equality_deletes": equality_deletes,
@@ -447,19 +454,60 @@ def _rename_history(meta: dict) -> dict[int, set[str]]:
     return hist
 
 
+_LIT_SAFE_TYPES = (
+    T.LongType, T.IntegerType, T.StringType, T.BooleanType,
+    T.DoubleType, T.FloatType,
+)
+
+
+def _identity_partition_values(snap: dict) -> dict[str, dict[str, Any]]:
+    """Per data file: {source column name → partition value} for the
+    file's IDENTITY-transform partition fields (the spec's column
+    projection rule: identity values are readable from partition
+    metadata when the column is missing from the file). Non-identity
+    transforms are excluded — their source values are not
+    reconstructible from the transformed partition value."""
+    fid_names: dict[int, str] = snap["field_names"]
+    spec_fields: dict[int, list] = snap.get("spec_fields") or {}
+    out: dict[str, dict[str, Any]] = {}
+    for fp, (spec_id, part) in (snap.get("file_partitions") or {}).items():
+        vals: dict[str, Any] = {}
+        for pf in spec_fields.get(spec_id, []):
+            if pf.get("transform") != "identity":
+                continue
+            src_name = fid_names.get(int(pf.get("source-id", -1)))
+            if src_name is None:
+                continue
+            if pf.get("name") in part:
+                vals[src_name] = part[pf.get("name")]
+        if vals:
+            out[fp] = vals
+    return out
+
+
 def _scan_parquet(
     spark: SparkSession, snap: dict, files: list[str],
     with_meta: bool = False,
 ):
     """The shared data-file scan of ``read_iceberg`` /
-    ``read_iceberg_increment``: ONE multi-path parquet scan with the
-    snapshot schema on the fast path. Tables with a rename history
-    resolve through the name mapping: files group by per-file name
-    signature (parquet footer reads — driver-cheap metadata, paid only
-    by rename-history tables), each group scans under its physical
-    names and renames to the snapshot schema, groups union. When
-    ``with_meta`` is set, ``_raw_fp``/``_pos`` (file path URI + row
-    index) ride along for merge-on-read.
+    ``read_iceberg_increment`` / ``read_iceberg_changes``: ONE
+    multi-path parquet scan with the snapshot schema on the fast path.
+    Two table shapes leave the fast path, both resolved by grouping
+    files on a per-file NAME SIGNATURE (parquet footer reads —
+    driver-cheap metadata, paid only by these shapes):
+
+    - rename history → resolve through the name mapping; each group
+      scans under its physical names and renames to the snapshot
+      schema (raises without the mapping);
+    - identity-partitioned files that DON'T store their partition
+      source columns (hive-migrated layouts, this repo's partitioned
+      writer) → the spec's column projection rule: the value comes
+      from the manifest entry's partition metadata, attached as a
+      typed literal. Non-identity transforms with a missing source
+      column raise (the value is not reconstructible).
+
+    When ``with_meta`` is set, ``_raw_fp``/``_pos`` (file path URI +
+    row index) ride along for merge-on-read.
 
     Output columns: the snapshot schema's, in order (+ the two meta
     columns when requested)."""
@@ -474,6 +522,10 @@ def _scan_parquet(
         fid for fid, names in hist.items()
         if fid in fid_names and len(names) > 1
     }
+    part_vals = _identity_partition_values(snap)
+    part_vals = {
+        fp: v for fp, v in part_vals.items() if fp in set(files)
+    }
 
     def meta_cols():
         return [
@@ -481,44 +533,52 @@ def _scan_parquet(
             F.col("_metadata.row_index").alias("_pos"),
         ] if with_meta else []
 
-    if not renamed:
+    if not renamed and not part_vals:
         data = spark.read.schema(schema).parquet(*sorted(files))
         return data.select(*cols, *meta_cols())
 
-    mapping = _name_mapping(meta)
-    if mapping is None:
-        old = sorted(
-            n for fid in renamed for n in hist[fid] - {fid_names[fid]}
-        )
-        raise IcebergProtocolError(
-            f"table has a column rename history (old names {old}) but "
-            "no schema.name-mapping.default property — a by-name scan "
-            "would read pre-rename files as silent NULLs; publish the "
-            "name mapping or use the iceberg-spark connector"
-        )
-    map_names = {
-        int(m["field-id"]): [str(n) for n in (m.get("names") or [])]
-        for m in mapping
-        if "field-id" in m
+    candidates: dict[str, list[str]] = {
+        f.name: [f.name] for f in schema.fields
     }
-    if any(m.get("fields") for m in mapping):
-        raise IcebergProtocolError(
-            "nested name-mapping entries not supported by the native "
-            "reader — use the iceberg-spark connector"
-        )
-    name_to_fid = {n: i for i, n in fid_names.items()}
-    candidates: dict[str, list[str]] = {}
-    for f in schema.fields:
-        fid = name_to_fid[f.name]
-        cands = list(dict.fromkeys(map_names.get(fid, []) + [f.name]))
-        candidates[f.name] = cands
+    if renamed:
+        mapping = _name_mapping(meta)
+        if mapping is None:
+            old = sorted(
+                n for fid in renamed for n in hist[fid] - {fid_names[fid]}
+            )
+            raise IcebergProtocolError(
+                f"table has a column rename history (old names {old}) "
+                "but no schema.name-mapping.default property — a "
+                "by-name scan would read pre-rename files as silent "
+                "NULLs; publish the name mapping or use the "
+                "iceberg-spark connector"
+            )
+        map_names = {
+            int(m["field-id"]): [str(n) for n in (m.get("names") or [])]
+            for m in mapping
+            if "field-id" in m
+        }
+        if any(m.get("fields") for m in mapping):
+            raise IcebergProtocolError(
+                "nested name-mapping entries not supported by the "
+                "native reader — use the iceberg-spark connector"
+            )
+        name_to_fid = {n: i for i, n in fid_names.items()}
+        for f in schema.fields:
+            fid = name_to_fid[f.name]
+            candidates[f.name] = list(
+                dict.fromkeys(map_names.get(fid, []) + [f.name])
+            )
 
     import pyarrow.parquet as pq
 
+    # group key: (name signature, attached-partition-literal tuple)
     groups: dict[tuple, list[str]] = {}
     for fp in sorted(files):
         phys = set(pq.read_schema(fp).names)
+        fvals = part_vals.get(fp, {})
         sig = []
+        lits = []
         for f in schema.fields:
             present = [c for c in candidates[f.name] if c in phys]
             if len(present) > 1:
@@ -527,6 +587,18 @@ def _scan_parquet(
                     f"{present} for column {f.name!r} — ambiguous "
                     "without parquet field ids; use the connector"
                 )
+            if not present and f.name in fvals:
+                # identity partition value attaches as a literal
+                if not isinstance(f.dataType, _LIT_SAFE_TYPES):
+                    raise IcebergProtocolError(
+                        f"partition column {f.name!r} of type "
+                        f"{f.dataType.simpleString()} cannot attach "
+                        "from partition metadata natively — use the "
+                        "connector"
+                    )
+                sig.append(None)
+                lits.append((f.name, fvals[f.name]))
+                continue
             if not present and not f.nullable:
                 raise IcebergProtocolError(
                     f"file {fp} carries none of {candidates[f.name]} "
@@ -540,22 +612,30 @@ def _scan_parquet(
                 "fields — name reuse needs parquet field ids; use the "
                 "connector"
             )
-        groups.setdefault(tuple(sig), []).append(fp)
+        groups.setdefault((tuple(sig), tuple(sorted(lits))), []).append(fp)
 
     out = None
-    for sig, fls in sorted(groups.items(), key=str):
+    for (sig, lits), fls in sorted(groups.items(), key=str):
+        lit_map = dict(lits)
         phys_schema = T.StructType([
             T.StructField(src, f.dataType, True)
             for src, f in zip(sig, schema.fields)
             if src is not None
         ])
         part = spark.read.schema(phys_schema).parquet(*fls)
-        sel = [
-            F.col(src).alias(f.name) if src is not None
-            # column added after this file was written: NULL by spec
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for src, f in zip(sig, schema.fields)
-        ]
+        sel = []
+        for src, f in zip(sig, schema.fields):
+            if src is not None:
+                sel.append(F.col(src).alias(f.name))
+            elif f.name in lit_map:
+                # the spec's column projection: identity partition
+                # value from the manifest entry, typed
+                sel.append(
+                    F.lit(lit_map[f.name]).cast(f.dataType).alias(f.name)
+                )
+            else:
+                # column added after this file was written: NULL
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
         part = part.select(*sel, *meta_cols())
         out = part if out is None else out.unionByName(part)
     return out
@@ -775,22 +855,64 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    partition_filter: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at rest via the native metadata replay
     (module docstring). ``snapshot_id`` / ``as_of_timestamp_ms`` are
     the connector's `snapshot-id` / `as-of-timestamp` time travel.
 
+    ``partition_filter`` ({column: value}) is MANIFEST-LEVEL partition
+    pruning — Iceberg's core scale mechanism: a data file whose
+    manifest entry records a different IDENTITY partition value for a
+    filtered column never enters the scan at all (at 100 TB this is
+    the difference between planning over every file and over one
+    partition's worth). Semantics are EXACT regardless of pruning
+    coverage: the same equality filter is also applied to the scanned
+    rows, so files that cannot be pruned driver-side (no identity
+    field for that column in their spec, or no recorded partition
+    metadata) are simply filtered Spark-side. Null-safe equality; a
+    filter column must exist in the snapshot schema.
+
     Plan shape: ONE multi-path parquet scan with the snapshot schema
     (Iceberg data files store every column, including partition
     source columns, so there is no per-partition union — filters and
-    column pruning push straight into the scan)."""
+    column pruning push straight into the scan). Tables whose files
+    DON'T store partition source columns (hive-migrated layouts,
+    this repo's partitioned writer) attach identity values from the
+    manifest metadata per the spec's column projection rule — see
+    ``_scan_parquet``."""
     snap = iceberg_snapshot(path, snapshot_id, as_of_timestamp_ms)
     schema: T.StructType = snap["schema"]
-    if not snap["files"]:
+    files = snap["files"]
+    row_filter = None
+    if partition_filter:
+        from pyspark.sql import functions as F
+
+        for c in partition_filter:
+            if c not in schema.fieldNames():
+                raise ValueError(
+                    f"partition_filter column {c!r} not in table schema"
+                )
+        ident = _identity_partition_values(snap)
+        files = [
+            fp for fp in files
+            if not any(
+                c in ident.get(fp, {})
+                and ident[fp][c] != v
+                and not (ident[fp][c] is None and v is None)
+                for c, v in partition_filter.items()
+            )
+        ]
+        for c, v in partition_filter.items():
+            cond = F.col(c).eqNullSafe(F.lit(v))
+            row_filter = cond if row_filter is None else row_filter & cond
+    if not files:
         return spark.createDataFrame([], schema)
     cols = [f.name for f in schema.fields]
     mor = bool(snap["position_deletes"] or snap["equality_deletes"])
-    data = _scan_parquet(spark, snap, snap["files"], with_meta=mor)
+    data = _scan_parquet(spark, snap, files, with_meta=mor)
+    if row_filter is not None:
+        data = data.filter(row_filter)
     if not mor:
         return data
     # merge-on-read. Position grain: delete files carry (file_path,

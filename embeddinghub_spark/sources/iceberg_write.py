@@ -34,11 +34,18 @@ same property. Cross-validation against the real iceberg-spark
 connector needs the JAR and is environment-gated (the Avro layer
 itself is cross-validated against the Java Avro library in tests).
 
-Honest bounds (raise, never silently miswrite): unpartitioned tables
-only (Iceberg partitioning is transform-based spec machinery — the
-connector's job); flat schemas of primitives, decimals and
+Partitioning: IDENTITY transforms are in scope — ``partition_by``
+writes one identity spec field per column, stages through Spark's
+``partitionBy`` (hive layout; the stripped source columns are
+recovered by the spec's column projection rule from the manifest
+entry's TYPED partition struct — ``read_iceberg`` implements it, and
+manifest-level partition pruning keys on the same values). Honest
+bounds (raise, never silently miswrite): non-identity transforms
+(bucket/truncate/days/…) and float/double/temporal partition columns
+gate toward the connector; flat schemas of primitives, decimals and
 lists-of-primitives (struct/map columns gate); append and overwrite
-grains (row-level MERGE needs the connector or the Delta path).
+grains (row-level MERGE is ``merge_iceberg``; file-pruned MERGE needs
+the connector).
 """
 
 from __future__ import annotations
@@ -164,11 +171,29 @@ def _name_mapping_json(ice_schema: dict) -> str:
 
 # ------------------------------------------------------- spec Avro schemas
 
-def _manifest_entry_schema() -> dict:
+_ICE_TO_AVRO: dict[str, str] = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+}
+
+
+def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
     """The v2 ``manifest_entry`` Avro record with the spec's exact
     field-id annotations (spec §Manifests) for the fields this writer
     emits; optional stats columns are omitted (they are nullable in
-    the spec and absent fields simply don't appear in the schema)."""
+    the spec and absent fields simply don't appear in the schema).
+    ``partition_fields`` — [(name, iceberg_primitive, field_id)] —
+    types the partition struct for identity-partitioned tables; the
+    default is the spec's empty struct (unpartitioned)."""
+    part_fields = [
+        {"name": n, "type": ["null", _ICE_TO_AVRO[t]],
+         "default": None, "field-id": fid}
+        for n, t, fid in (partition_fields or [])
+    ]
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -198,7 +223,7 @@ def _manifest_entry_schema() -> dict:
                             "field-id": 102,
                             # unpartitioned: the spec's empty struct
                             "type": {"type": "record", "name": "r102",
-                                     "fields": []},
+                                     "fields": part_fields},
                         },
                         {"name": "record_count", "type": "long",
                          "field-id": 103},
@@ -265,6 +290,7 @@ def write_iceberg(
     path: str,
     *,
     mode: str = "append",
+    partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
     max_commit_retries: int = 10,
     expected_snapshot_id: int | None = None,
@@ -275,6 +301,17 @@ def write_iceberg(
     validate the schema against the table's current schema by
     name+type and raise on mismatch (never silently widen).
 
+    ``partition_by`` writes an IDENTITY-partitioned table: the spec
+    gets one identity field per column, data files stage through
+    Spark's ``partitionBy`` (hive layout — the partition source
+    columns are stripped from the files, which the spec's column
+    projection rule sanctions: readers recover identity values from
+    the manifest entry's TYPED partition struct, exactly what
+    ``read_iceberg`` does — and what manifest-level pruning keys on).
+    Identity transforms only; long/int/string/boolean partition
+    column types (hive dir values round-trip losslessly); the
+    partition spec of an existing table must match.
+
     ``expected_snapshot_id`` is the optimistic-concurrency handle for
     READ-MODIFY-WRITE callers (``merge_iceberg``): when set, a commit
     attempt against any other current snapshot raises
@@ -284,26 +321,97 @@ def write_iceberg(
     ``expected_version``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    partition_by = list(partition_by or [])
     path = os.path.realpath(os.path.abspath(path))
     meta_dir = os.path.join(path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
     ice_schema = _ice_schema(df.schema)
     last_column_id = ice_schema.pop("_last_column_id")
+    fid_by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    type_by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    for c in partition_by:
+        if c not in fid_by_name:
+            raise ValueError(f"partition_by column {c!r} not in DataFrame")
+        t = type_by_name[c]
+        if not (
+            isinstance(t, str)
+            and t in _ICE_TO_AVRO
+            and t not in ("double", "float")
+        ):
+            raise IcebergProtocolError(
+                f"partition column {c!r} of type {type_by_name[c]!r} "
+                "not supported by the native writer (long/int/string/"
+                "boolean round-trip hive dir values losslessly) — use "
+                "the connector"
+            )
+    # the hive staging layout collapses '' and NULL into the same dir
+    # (the write_delta hazard): raise before staging
+    str_pcols = [c for c in partition_by if type_by_name[c] == "string"]
+    if str_pcols:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        probe = reduce(
+            lambda a, b: a | b, [F.col(c) == "" for c in str_pcols]
+        )
+        if df.filter(probe).take(1):
+            raise ValueError(
+                "empty-string value in string partition column(s) "
+                f"{str_pcols}: hive staging collapses '' to NULL and "
+                "the value is unrecoverable — normalize before "
+                "write_iceberg"
+            )
+
+    def _typed_pval(col: str, raw: str | None):
+        if raw is None:
+            return None
+        t = type_by_name[col]
+        if t == "long" or t == "int":
+            return int(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        return raw  # string (unquoted by the caller)
 
     # ---- stage data files with Spark's parquet writer, move to data/
     stage = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
     import pyarrow.parquet as pq
 
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    data_files: list[tuple[str, int, int]] = []  # (abs, rows, bytes)
-    for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
-        dst = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        os.rename(src, dst)
-        meta = pq.read_metadata(dst)
-        data_files.append((dst, meta.num_rows, os.path.getsize(dst)))
+    # (abs, rows, bytes, {partition col: typed value})
+    data_files: list[tuple[str, int, int, dict]] = []
+    from urllib.parse import unquote
+
+    for root, _dirs, fnames in sorted(os.walk(stage)):
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root, f)
+            rel_dir = os.path.relpath(root, stage)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = _typed_pval(
+                        k,
+                        None if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v),
+                    )
+            sub = os.path.join(data_dir, rel_dir) if rel_dir != "." \
+                else data_dir
+            os.makedirs(sub, exist_ok=True)
+            dst = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
+            os.rename(src, dst)
+            meta = pq.read_metadata(dst)
+            data_files.append(
+                (dst, meta.num_rows, os.path.getsize(dst), pvals)
+            )
     shutil.rmtree(stage, ignore_errors=True)
 
     for _attempt in range(max_commit_retries):
@@ -340,12 +448,36 @@ def write_iceberg(
             cur_spec = next(
                 (s for s in specs
                  if s.get("spec-id") == prev_meta.get("default-spec-id", 0)),
-                specs[0] if specs else {"fields": []},
+                specs[0] if specs else {"spec-id": 0, "fields": []},
             )
-            if cur_spec.get("fields"):
-                raise IcebergProtocolError(
-                    "native writer cannot commit to a PARTITIONED "
-                    "Iceberg table — use the connector"
+            # the table's spec must be identity-only and match
+            # partition_by by SOURCE COLUMN NAME, in order
+            cur_schemas0 = prev_meta.get("schemas") or []
+            tbl_cur = next(
+                (s for s in cur_schemas0
+                 if s.get("schema-id")
+                 == prev_meta.get("current-schema-id")),
+                None,
+            )
+            tbl_ids = {
+                int(f["id"]): f["name"]
+                for f in (tbl_cur or {}).get("fields") or []
+            }
+            spec_src_names = []
+            for pf in cur_spec.get("fields") or []:
+                if pf.get("transform") != "identity":
+                    raise IcebergProtocolError(
+                        f"partition transform {pf.get('transform')!r} "
+                        "not supported by the native writer — use the "
+                        "connector"
+                    )
+                spec_src_names.append(
+                    tbl_ids.get(int(pf.get("source-id", -1)))
+                )
+            if spec_src_names != partition_by:
+                raise IcebergWriteError(
+                    f"partition_by {partition_by} does not match the "
+                    f"table's partition spec columns {spec_src_names}"
                 )
             if mode == "append":
                 cur_schemas = prev_meta.get("schemas") or []
@@ -388,12 +520,46 @@ def write_iceberg(
         seq = int((prev_meta or {}).get("last-sequence-number", 0)) + 1
         now_ms = int(time.time() * 1000)
 
+        # ---- the partition spec (existing verbatim, or fresh)
+        cur_fid_by_name = {
+            f["name"]: int(f["id"]) for f in ice_schema["fields"]
+        }
+        if prev_meta is not None:
+            spec = cur_spec
+            # spec field name -> source column name (manifests key
+            # partition values by spec FIELD name)
+            pname_by_col = {
+                tbl_ids.get(int(pf["source-id"])): pf["name"]
+                for pf in spec.get("fields") or []
+            }
+        else:
+            spec = {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": cur_fid_by_name[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(partition_by)
+                ],
+            }
+            pname_by_col = {c: c for c in partition_by}
+        spec_field_defs = [
+            (pf["name"], type_by_name.get(
+                next((col for col, pn in pname_by_col.items()
+                      if pn == pf["name"]), ""), "string"),
+             int(pf["field-id"]))
+            for pf in spec.get("fields") or []
+        ]
+
         # ---- manifest of ADDED entries (sequence numbers inherit)
         man_name = f"m-{uuid.uuid4().hex}.avro"
         man_path = os.path.join(meta_dir, man_name)
         write_avro_file(
             man_path,
-            _manifest_entry_schema(),
+            _manifest_entry_schema(spec_field_defs),
             [
                 {
                     "status": 1,  # ADDED
@@ -404,20 +570,22 @@ def write_iceberg(
                         "content": 0,
                         "file_path": f"file://{fp}",
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": {
+                            pname_by_col[c]: v for c, v in pvals.items()
+                        },
                         "record_count": rows,
                         "file_size_in_bytes": size,
                     },
                 }
-                for fp, rows, size in data_files
+                for fp, rows, size, pvals in data_files
             ],
             metadata={
                 "schema": json.dumps(
                     {k: v for k, v in ice_schema.items()
                      if k != "schema-id"}
                 ),
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
+                "partition-spec": json.dumps(spec.get("fields") or []),
+                "partition-spec-id": str(spec.get("spec-id", 0)),
                 "format-version": "2",
                 "content": "data",
             },
@@ -425,7 +593,7 @@ def write_iceberg(
         new_row = {
             "manifest_path": f"file://{man_path}",
             "manifest_length": os.path.getsize(man_path),
-            "partition_spec_id": 0,
+            "partition_spec_id": int(spec.get("spec-id", 0)),
             "content": 0,  # data
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -433,7 +601,7 @@ def write_iceberg(
             "added_files_count": len(data_files),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": sum(r for _, r, _ in data_files),
+            "added_rows_count": sum(r for _, r, _, _ in data_files),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
@@ -572,9 +740,16 @@ def write_iceberg(
             ),
             "schemas": schemas,
             "current-schema-id": snapshot["schema-id"],
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0,
-            "last-partition-id": 999,
+            "partition-specs": (
+                prev_meta.get("partition-specs")
+                if prev_meta is not None and prev_meta.get("partition-specs")
+                else [spec]
+            ),
+            "default-spec-id": int(spec.get("spec-id", 0)),
+            "last-partition-id": max(
+                [999] + [int(pf["field-id"])
+                         for pf in spec.get("fields") or []]
+            ),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "properties": props,

@@ -84,7 +84,7 @@ def test_append_schema_mismatch_and_gates(spark, tmp_path):
             ),
             str(tmp_path / "maps"),
         )
-    # partitioned tables are the connector's job
+    # an existing table's partition spec must match partition_by
     meta_dir = os.path.join(t, "metadata")
     with open(os.path.join(meta_dir, "v1.metadata.json")) as fh:
         meta = json.load(fh)
@@ -95,8 +95,15 @@ def test_append_schema_mismatch_and_gates(spark, tmp_path):
     }]
     with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(IcebergProtocolError, match="PARTITIONED"):
+    with pytest.raises(IcebergWriteError, match="does not match"):
         write_iceberg(_df(spark, [(5, "e")]), t, mode="append")
+    # non-identity transforms stay on the connector
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    with open(os.path.join(meta_dir, "v3.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(IcebergProtocolError, match="transform"):
+        write_iceberg(_df(spark, [(5, "e")]), t, mode="append",
+                      partition_by=["v"])
 
 
 def test_overwrite_schema_change_gets_new_schema_id(spark, tmp_path):
@@ -244,3 +251,86 @@ def test_read_iceberg_changes_over_merge_and_overwrite(spark, tmp_path):
         read_iceberg_changes(spark, t, 999999, key_cols=["id"])
     with pytest.raises(ValueError, match="key column"):
         read_iceberg_changes(spark, t, s1, key_cols=["nope"])
+
+
+def test_partitioned_write_read_roundtrip_and_pruning(spark, tmp_path):
+    """Identity-partitioned write + read: the hive staging strips the
+    partition source column from the data files, the manifest entries
+    carry it as a TYPED partition value, and read_iceberg attaches it
+    back per the spec's column projection rule. partition_filter
+    prunes at the MANIFEST level — the scan's inputFiles drop to the
+    matching partition's files — while row semantics stay exact."""
+    from embeddinghub_spark.sources.iceberg_meta import iceberg_snapshot
+
+    t = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "fr"), (4, "d", None)],
+        "id long, v string, lang string",
+    )
+    write_iceberg(df, t, partition_by=["lang"])
+    got = {(r["id"], r["v"], r["lang"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "a", "en"), (2, "b", "en"), (3, "c", "fr"),
+                   (4, "d", None)}
+    # typed partition values recorded per file
+    snap = iceberg_snapshot(t)
+    parts = {pv["lang"] for _, pv in
+             (v for v in snap["file_partitions"].values())}
+    assert parts == {"en", "fr", None}
+    # manifest-level pruning: only the matching partition's files scan
+    full = read_iceberg(spark, t)
+    pruned = read_iceberg(spark, t, partition_filter={"lang": "en"})
+    assert {(r["id"], r["v"]) for r in pruned.collect()} == {
+        (1, "a"), (2, "b")
+    }
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # null partition filters match the null partition only
+    nulls = read_iceberg(spark, t, partition_filter={"lang": None})
+    assert {r["id"] for r in nulls.collect()} == {4}
+    # unknown filter column is loud
+    with pytest.raises(ValueError, match="partition_filter column"):
+        read_iceberg(spark, t, partition_filter={"nope": 1})
+
+
+def test_partitioned_append_and_merge_keep_spec(spark, tmp_path):
+    """Appends to a partitioned table reuse the table's spec (same
+    field-ids); merge_iceberg round-trips through the partition
+    machinery; mismatched partition_by raises."""
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "ptbl2")
+    df = spark.createDataFrame(
+        [(1, 10, "x")], "id long, bucket int, v string"
+    )
+    write_iceberg(df, t, partition_by=["bucket"])
+    write_iceberg(
+        spark.createDataFrame([(2, 20, "y")],
+                              "id long, bucket int, v string"),
+        t, mode="append", partition_by=["bucket"],
+    )
+    got = {(r["id"], r["bucket"], r["v"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, 10, "x"), (2, 20, "y")}
+    with pytest.raises(IcebergWriteError, match="does not match"):
+        write_iceberg(
+            spark.createDataFrame([(3, 30, "z")],
+                                  "id long, bucket int, v string"),
+            t, mode="append",
+        )
+    # typed int partition values pruned correctly
+    only20 = read_iceberg(spark, t, partition_filter={"bucket": 20})
+    assert {r["id"] for r in only20.collect()} == {2}
+    assert len(only20.inputFiles()) == 1
+
+
+def test_partition_empty_string_and_bad_type_gates(spark, tmp_path):
+    with pytest.raises(ValueError, match="empty-string"):
+        write_iceberg(
+            spark.createDataFrame([(1, "")], "id long, v string"),
+            str(tmp_path / "es"), partition_by=["v"],
+        )
+    with pytest.raises(IcebergProtocolError, match="partition column"):
+        write_iceberg(
+            spark.createDataFrame([(1, 0.5)], "id long, score double"),
+            str(tmp_path / "dbl"), partition_by=["score"],
+        )
