@@ -9014,6 +9014,46 @@ FROM v2 WHERE o_orderkey % 5 = 0
 """
 
 
+def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partitioned native Iceberg write + manifest-level
+    pruned read certified END-TO-END (sources/iceberg_write.py
+    partition_by + sources/iceberg_meta.py partition_filter): the
+    orders slice writes partitioned by o_orderpriority (hive staging
+    strips the column from the data files; the manifest entries carry
+    it as a TYPED partition value), then TWO pruned reads — one
+    priority each — scan only their partition's files, with the
+    stripped column attached back per the spec's column projection
+    rule. The oracle recomputes both slices in pure SQL, so the
+    projection values themselves are hash-certified."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import write_iceberg
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("o_orderkey") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="ice_part_") + "/tbl"
+    write_iceberg(orders, root, partition_by=["o_orderpriority"])
+    a = read_iceberg(
+        spark, root, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    b = read_iceberg(
+        spark, root, partition_filter={"o_orderpriority": "5-LOW"}
+    )
+    return a.unionByName(b)
+
+
+_ICEBERG_PARTITIONED_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 3 = 0)
+SELECT * FROM o WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9027,6 +9067,7 @@ def staged_queries() -> dict:
     return {
         "iceberg_merge": q_iceberg_merge,
         "iceberg_changes": q_iceberg_changes,
+        "iceberg_partitioned": q_iceberg_partitioned,
     }
 
 
@@ -9034,4 +9075,5 @@ def staged_oracle_sql() -> dict:
     return {
         "iceberg_merge": _ICEBERG_MERGE_ORACLE,
         "iceberg_changes": _ICEBERG_CHANGES_ORACLE,
+        "iceberg_partitioned": _ICEBERG_PARTITIONED_ORACLE,
     }
