@@ -66,6 +66,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct as _sstruct
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,34 @@ from embeddinghub_spark.sources.avro_io import read_avro_file
 
 _V_META_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 _OBJ_META_RE = re.compile(r"^(\d+)-[0-9a-fA-F-]+\.metadata\.json$")
+
+
+# The spec's Single-value serialization for manifest bound maps,
+# NUMERIC types only: string parquet stats can be TRUNCATED, and a
+# truncated upper bound used verbatim could wrongly prune — real
+# Iceberg writers apply a truncate-and-increment rule the native
+# writer deliberately avoids by emitting bounds for exactly the types
+# whose stats are exact. A missing bound can only under-prune.
+_BOUND_CODECS = {
+    "int": ("<i", 4),
+    "long": ("<q", 8),
+    "float": ("<f", 4),
+    "double": ("<d", 8),
+}
+
+
+def encode_bound(ice_type: str, value):
+    c = _BOUND_CODECS.get(ice_type)
+    if c is None or value is None:
+        return None
+    return _sstruct.pack(c[0], value)
+
+
+def decode_bound(ice_type: str, raw):
+    c = _BOUND_CODECS.get(ice_type)
+    if c is None or raw is None or len(raw) != c[1]:
+        return None
+    return _sstruct.unpack(c[0], raw)[0]
 
 
 class IcebergProtocolError(NotImplementedError):
@@ -316,6 +345,7 @@ def iceberg_snapshot(
     files: list[str] = []
     file_seqs: dict[str, int] = {}
     file_partitions: dict[str, tuple[int, dict]] = {}
+    file_bounds: dict[str, dict] = {}
     position_deletes: list[str] = []
     equality_deletes: list[dict] = []
     manifest_list = snap.get("manifest-list")
@@ -349,6 +379,11 @@ def iceberg_snapshot(
         for f in _raw_schema_fields(meta, snap)
         if "id" in f
     }
+    field_types = {
+        int(f["id"]): f["type"]
+        for f in _raw_schema_fields(meta, snap)
+        if "id" in f and isinstance(f.get("type"), str)
+    }
     for mpath, _mcontent, mseq, mspec_id in manifests:
         _, entries = read_avro_file(_resolve(mpath, path, location))
         for e in entries:
@@ -375,6 +410,9 @@ def iceberg_snapshot(
                 part = df_rec.get("partition")
                 if isinstance(part, dict) and part:
                     file_partitions[resolved] = (mspec_id, dict(part))
+                bounds = _decode_file_bounds(df_rec, field_names, field_types)
+                if bounds:
+                    file_bounds[resolved] = bounds
             elif kind == 1:
                 # position delete: (file_path, pos) rows — applied
                 # exactly in read_iceberg via Spark's
@@ -422,12 +460,47 @@ def iceberg_snapshot(
         "files": files,
         "file_seqs": file_seqs,
         "file_partitions": file_partitions,
+        "file_bounds": file_bounds,
         "spec_fields": spec_fields,
         "field_names": field_names,
         "position_deletes": position_deletes,
         "equality_deletes": equality_deletes,
         "metadata": meta,
     }
+
+
+def _decode_file_bounds(
+    df_rec: dict, field_names: dict[int, str], field_types: dict[int, str]
+) -> dict[str, list]:
+    """Column → [lower, upper] from a manifest entry's
+    ``lower_bounds``/``upper_bounds`` maps (the spec's single-value
+    serialization; numeric types only — an undecodable or absent
+    bound stays None, which can only under-prune)."""
+    out: dict[str, list] = {}
+    for idx, key in ((0, "lower_bounds"), (1, "upper_bounds")):
+        raw = df_rec.get(key)
+        if isinstance(raw, dict):  # map-form decode
+            items = [(k, v) for k, v in raw.items()]
+        else:  # the spec's array-of-record map form
+            items = [
+                (r.get("key"), r.get("value"))
+                for r in (raw or [])
+                if isinstance(r, dict)
+            ]
+        for k, v in items:
+            try:
+                fid = int(k)
+            except (TypeError, ValueError):
+                continue
+            t = field_types.get(fid)
+            name = field_names.get(fid)
+            if t is None or name is None or not isinstance(v, bytes):
+                continue
+            val = decode_bound(t, v)
+            if val is None:
+                continue
+            out.setdefault(name, [None, None])[idx] = val
+    return out
 
 
 def _name_mapping(meta: dict) -> list | None:
@@ -856,6 +929,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
     partition_filter: dict[str, Any] | None = None,
+    range_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at rest via the native metadata replay
     (module docstring). ``snapshot_id`` / ``as_of_timestamp_ms`` are
@@ -872,6 +946,16 @@ def read_iceberg(
     field for that column in their spec, or no recorded partition
     metadata) are simply filtered Spark-side. Null-safe equality; a
     filter column must exist in the snapshot schema.
+
+    ``range_filter`` ({column: (lo, hi)}, either side None for
+    unbounded) prunes on the manifests' ``lower_bounds`` /
+    ``upper_bounds`` column statistics — the other half of Iceberg's
+    scan planning: a file whose recorded bounds provably miss the
+    range never enters the scan. The same BETWEEN filter applies
+    Spark-side, so files without recorded bounds (or non-numeric
+    bounds, which the native reader refuses to trust — parquet string
+    stats can be truncated) are filtered exactly rather than wrongly
+    pruned.
 
     Plan shape: ONE multi-path parquet scan with the snapshot schema
     (Iceberg data files store every column, including partition
@@ -906,6 +990,45 @@ def read_iceberg(
         for c, v in partition_filter.items():
             cond = F.col(c).eqNullSafe(F.lit(v))
             row_filter = cond if row_filter is None else row_filter & cond
+    if range_filter:
+        from pyspark.sql import functions as F
+
+        for c, (lo, hi) in range_filter.items():
+            if c not in schema.fieldNames():
+                raise ValueError(
+                    f"range_filter column {c!r} not in table schema"
+                )
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"range_filter for {c!r} is unbounded on both sides"
+                )
+        bounds = snap.get("file_bounds") or {}
+
+        def _excluded(fp: str) -> bool:
+            fb = bounds.get(fp) or {}
+            for c, (lo, hi) in range_filter.items():
+                b = fb.get(c)
+                if b is None:
+                    continue  # no bound recorded: cannot prune
+                f_lo, f_hi = b
+                if hi is not None and f_lo is not None and f_lo > hi:
+                    return True
+                if lo is not None and f_hi is not None and f_hi < lo:
+                    return True
+            return False
+
+        files = [fp for fp in files if not _excluded(fp)]
+        for c, (lo, hi) in range_filter.items():
+            if lo is not None:
+                cond = F.col(c) >= F.lit(lo)
+                row_filter = (
+                    cond if row_filter is None else row_filter & cond
+                )
+            if hi is not None:
+                cond = F.col(c) <= F.lit(hi)
+                row_filter = (
+                    cond if row_filter is None else row_filter & cond
+                )
     if not files:
         return spark.createDataFrame([], schema)
     cols = [f.name for f in schema.fields]

@@ -66,6 +66,7 @@ from embeddinghub_spark.sources.iceberg_meta import (
     _OBJ_META_RE,
     _V_META_RE,
     IcebergProtocolError,
+    encode_bound,
     is_iceberg_table,
 )
 
@@ -181,11 +182,38 @@ _ICE_TO_AVRO: dict[str, str] = {
 }
 
 
+def _bounds_avro_field(name: str, fid: int, kid: int, vid: int) -> dict:
+    """Iceberg encodes map<int, binary> bound maps as Avro ARRAYS of
+    key/value records (the spec's non-string-key map form)."""
+    return {
+        "name": name,
+        "field-id": fid,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": "bytes",
+                         "field-id": vid},
+                    ],
+                },
+            },
+        ],
+    }
+
+
 def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
     """The v2 ``manifest_entry`` Avro record with the spec's exact
     field-id annotations (spec §Manifests) for the fields this writer
-    emits; optional stats columns are omitted (they are nullable in
-    the spec and absent fields simply don't appear in the schema).
+    emits — including the ``lower_bounds``/``upper_bounds`` stat maps
+    (125-127 / 128-130) that manifest-level range pruning keys on;
+    other optional stats columns are omitted (nullable in the spec,
+    absent fields simply don't appear in the schema).
     ``partition_fields`` — [(name, iceberg_primitive, field_id)] —
     types the partition struct for identity-partitioned tables; the
     default is the spec's empty struct (unpartitioned)."""
@@ -229,6 +257,8 @@ def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
                          "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long",
                          "field-id": 104},
+                        _bounds_avro_field("lower_bounds", 125, 126, 127),
+                        _bounds_avro_field("upper_bounds", 128, 129, 130),
                     ],
                 },
             },
@@ -262,6 +292,39 @@ def _manifest_list_schema() -> dict:
             {"name": "deleted_rows_count", "type": "long",
              "field-id": 514},
         ],
+    }
+
+
+def _column_bounds(meta) -> dict[str, tuple]:
+    """Per-column (min, max) from a parquet file's row-group
+    statistics — None-free and only when EVERY row group carries
+    exact stats for the column (a file with any stat gap emits no
+    bound for that column: a missing bound can only under-prune,
+    never wrong-prune)."""
+    out: dict[str, list] = {}
+    ok: dict[str, bool] = {}
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested (list element etc.): skip
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max or st.min is None:
+                ok[name] = False
+                continue
+            if ok.get(name) is False:
+                continue
+            ok.setdefault(name, True)
+            cur = out.get(name)
+            if cur is None:
+                out[name] = [st.min, st.max]
+            else:
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+    return {
+        n: (v[0], v[1]) for n, v in out.items() if ok.get(n)
     }
 
 
@@ -410,7 +473,8 @@ def write_iceberg(
             os.rename(src, dst)
             meta = pq.read_metadata(dst)
             data_files.append(
-                (dst, meta.num_rows, os.path.getsize(dst), pvals)
+                (dst, meta.num_rows, os.path.getsize(dst), pvals,
+                 _column_bounds(meta))
             )
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -557,6 +621,25 @@ def write_iceberg(
         # ---- manifest of ADDED entries (sequence numbers inherit)
         man_name = f"m-{uuid.uuid4().hex}.avro"
         man_path = os.path.join(meta_dir, man_name)
+        fid_map = {
+            f["name"]: int(f["id"]) for f in ice_schema["fields"]
+        }
+        ice_types = {
+            f["name"]: f["type"] for f in ice_schema["fields"]
+            if isinstance(f["type"], str)
+        }
+
+        def _bound_rows(bounds: dict, idx: int) -> list | None:
+            rows_ = []
+            for cname, pair in sorted(bounds.items()):
+                t = ice_types.get(cname)
+                if t is None or cname not in fid_map:
+                    continue
+                enc = encode_bound(t, pair[idx])
+                if enc is not None:
+                    rows_.append({"key": fid_map[cname], "value": enc})
+            return rows_ or None
+
         write_avro_file(
             man_path,
             _manifest_entry_schema(spec_field_defs),
@@ -575,9 +658,11 @@ def write_iceberg(
                         },
                         "record_count": rows,
                         "file_size_in_bytes": size,
+                        "lower_bounds": _bound_rows(bounds, 0),
+                        "upper_bounds": _bound_rows(bounds, 1),
                     },
                 }
-                for fp, rows, size, pvals in data_files
+                for fp, rows, size, pvals, bounds in data_files
             ],
             metadata={
                 "schema": json.dumps(
@@ -601,7 +686,7 @@ def write_iceberg(
             "added_files_count": len(data_files),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": sum(r for _, r, _, _ in data_files),
+            "added_rows_count": sum(r for _, r, _, _, _ in data_files),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }

@@ -334,3 +334,43 @@ def test_partition_empty_string_and_bad_type_gates(spark, tmp_path):
             spark.createDataFrame([(1, 0.5)], "id long, score double"),
             str(tmp_path / "dbl"), partition_by=["score"],
         )
+
+
+def test_column_bounds_written_and_range_pruned(spark, tmp_path):
+    """The writer emits lower/upper bounds (spec single-value
+    serialization, numeric columns only) from the parquet row-group
+    stats; read_iceberg(range_filter=...) prunes files whose bounds
+    provably miss the range — the other half of Iceberg scan planning
+    — while the Spark-side BETWEEN keeps semantics exact."""
+    from embeddinghub_spark.sources.iceberg_meta import iceberg_snapshot
+
+    t = str(tmp_path / "btbl")
+    # two appends -> two files with disjoint id ranges
+    write_iceberg(
+        spark.createDataFrame([(i, "lo") for i in range(10)],
+                              "id long, v string").coalesce(1), t)
+    write_iceberg(
+        spark.createDataFrame([(i, "hi") for i in range(100, 110)],
+                              "id long, v string").coalesce(1),
+        t, mode="append")
+    snap = iceberg_snapshot(t)
+    bs = snap["file_bounds"]
+    assert len(bs) == 2
+    ranges = sorted((b["id"][0], b["id"][1]) for b in bs.values())
+    assert ranges == [(0, 9), (100, 109)]
+    # strings carry NO bounds by design (truncation hazard)
+    assert all("v" not in b for b in bs.values())
+
+    full = read_iceberg(spark, t)
+    lo = read_iceberg(spark, t, range_filter={"id": (None, 50)})
+    assert {r["id"] for r in lo.collect()} == set(range(10))
+    assert len(lo.inputFiles()) < len(full.inputFiles())
+    # a range straddling both files prunes nothing but filters exactly
+    mid = read_iceberg(spark, t, range_filter={"id": (5, 105)})
+    assert {r["id"] for r in mid.collect()} == set(range(5, 10)) | set(
+        range(100, 106)
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        read_iceberg(spark, t, range_filter={"id": (None, None)})
+    with pytest.raises(ValueError, match="range_filter column"):
+        read_iceberg(spark, t, range_filter={"nope": (0, 1)})
