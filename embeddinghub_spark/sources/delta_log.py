@@ -443,6 +443,7 @@ def _finalize_snapshot(path: str, state: dict) -> dict:
                 "path": a["path"],
                 "partitionValues": dict(a.get("partitionValues") or {}),
                 "deletionVector": a.get("deletionVector"),
+                "stats": a.get("stats"),
             }
             for a in adds.values()
         ],
@@ -587,10 +588,20 @@ def _scan_file_groups(
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """Read a Delta table at rest via the native log replay (module
     docstring). ``version`` is `versionAsOf` time travel.
+
+    ``range_filter`` ({column: (lo, hi)}, either side None for
+    unbounded) is DATA SKIPPING on the adds' per-file ``stats``
+    (PROTOCOL.md numRecords/minValues/maxValues — what the connector's
+    skipping reads too): a file whose recorded numeric bounds provably
+    miss the range never enters the scan. Semantics are EXACT at any
+    skipping coverage — the same BETWEEN filter applies Spark-side, so
+    files without stats (older writers) are filtered, never wrongly
+    dropped.
 
     Plan shape: one parquet scan per PARTITION GROUP (files sharing a
     partitionValues assignment read in a single multi-path scan with
@@ -601,10 +612,64 @@ def read_delta(
     Catalyst prunes unselected partitions to empty scans.
     """
     snap = delta_snapshot(path, version)
-    return _scan_file_groups(
+    files = snap["files"]
+    row_filter = None
+    if range_filter:
+        names = snap["schema"].fieldNames()
+        for c, (lo, hi) in range_filter.items():
+            if c not in names:
+                raise ValueError(
+                    f"range_filter column {c!r} not in table schema"
+                )
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"range_filter for {c!r} is unbounded on both sides"
+                )
+
+        def _excluded(f: dict) -> bool:
+            raw = f.get("stats")
+            if not raw:
+                return False
+            try:
+                stats = json.loads(raw)
+            except (TypeError, ValueError):
+                return False
+            mins = stats.get("minValues") or {}
+            maxs = stats.get("maxValues") or {}
+            for c, (lo, hi) in range_filter.items():
+                f_lo, f_hi = mins.get(c), maxs.get(c)
+                if not isinstance(f_lo, (int, float)) or isinstance(
+                    f_lo, bool
+                ):
+                    continue
+                if hi is not None and f_lo > hi:
+                    return True
+                if (
+                    lo is not None
+                    and isinstance(f_hi, (int, float))
+                    and not isinstance(f_hi, bool)
+                    and f_hi < lo
+                ):
+                    return True
+            return False
+
+        files = [f for f in files if not _excluded(f)]
+        for c, (lo, hi) in range_filter.items():
+            if lo is not None:
+                cond = F.col(c) >= F.lit(lo)
+                row_filter = (
+                    cond if row_filter is None else row_filter & cond
+                )
+            if hi is not None:
+                cond = F.col(c) <= F.lit(hi)
+                row_filter = (
+                    cond if row_filter is None else row_filter & cond
+                )
+    out = _scan_file_groups(
         spark, path, snap["schema"], snap["partition_columns"],
-        snap["files"], snap.get("physical_names"),
+        files, snap.get("physical_names"),
     )
+    return out if row_filter is None else out.filter(row_filter)
 
 
 def _atomic_claim_commit(log_dir: str, version: int, payload: str) -> bool:
@@ -780,6 +845,23 @@ def write_delta(
                         exist_ok=True)
             os.rename(src, os.path.join(path, rel))
             st = os.stat(os.path.join(path, rel))
+            # PROTOCOL.md per-file statistics: numRecords + numeric
+            # min/max (sources/parquet_stats.py honesty rules) — the
+            # data-skipping input read_delta's range_filter prunes on,
+            # and what the real connector's skipping reads too
+            import pyarrow.parquet as _pq
+
+            from embeddinghub_spark.sources.parquet_stats import (
+                column_bounds,
+            )
+
+            fmeta = _pq.read_metadata(os.path.join(path, rel))
+            bounds = column_bounds(fmeta)
+            stats = {
+                "numRecords": fmeta.num_rows,
+                "minValues": {c: b[0] for c, b in sorted(bounds.items())},
+                "maxValues": {c: b[1] for c, b in sorted(bounds.items())},
+            }
             adds.append(
                 {
                     "add": {
@@ -788,6 +870,7 @@ def write_delta(
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
+                        "stats": json.dumps(stats),
                     }
                 }
             )
@@ -1193,8 +1276,10 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
          ("size", pa.int64()), ("modificationTime", pa.int64()),
          ("dataChange", pa.bool_()),
          # a checkpoint that dropped deletionVector would RESURRECT
-         # the deleted rows for post-vacuum readers — carry it
-         ("deletionVector", dv_type)]
+         # the deleted rows for post-vacuum readers — carry it; stats
+         # carry too so data skipping survives vacuum
+         ("deletionVector", dv_type),
+         ("stats", pa.string())]
     )
     rm_type = pa.struct([("path", pa.string())])
     schema_json = json.dumps(
@@ -1227,6 +1312,7 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
             "size": 0,
             "modificationTime": 0,
             "dataChange": False,
+            "stats": f.get("stats"),
             "deletionVector": (
                 None
                 if not f.get("deletionVector")

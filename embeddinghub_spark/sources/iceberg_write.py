@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from embeddinghub_spark.sources.avro_io import read_avro_file, write_avro_file
+from embeddinghub_spark.sources.parquet_stats import column_bounds
 from embeddinghub_spark.sources.iceberg_meta import (
     _OBJ_META_RE,
     _V_META_RE,
@@ -295,39 +296,6 @@ def _manifest_list_schema() -> dict:
     }
 
 
-def _column_bounds(meta) -> dict[str, tuple]:
-    """Per-column (min, max) from a parquet file's row-group
-    statistics — None-free and only when EVERY row group carries
-    exact stats for the column (a file with any stat gap emits no
-    bound for that column: a missing bound can only under-prune,
-    never wrong-prune)."""
-    out: dict[str, list] = {}
-    ok: dict[str, bool] = {}
-    for rg in range(meta.num_row_groups):
-        row_group = meta.row_group(rg)
-        for ci in range(row_group.num_columns):
-            col = row_group.column(ci)
-            name = col.path_in_schema
-            if "." in name:  # nested (list element etc.): skip
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max or st.min is None:
-                ok[name] = False
-                continue
-            if ok.get(name) is False:
-                continue
-            ok.setdefault(name, True)
-            cur = out.get(name)
-            if cur is None:
-                out[name] = [st.min, st.max]
-            else:
-                cur[0] = min(cur[0], st.min)
-                cur[1] = max(cur[1], st.max)
-    return {
-        n: (v[0], v[1]) for n, v in out.items() if ok.get(n)
-    }
-
-
 # ------------------------------------------------------------ atomic commit
 
 def _atomic_put(final_path: str, payload: str) -> bool:
@@ -474,7 +442,7 @@ def write_iceberg(
             meta = pq.read_metadata(dst)
             data_files.append(
                 (dst, meta.num_rows, os.path.getsize(dst), pvals,
-                 _column_bounds(meta))
+                 column_bounds(meta))
             )
     shutil.rmtree(stage, ignore_errors=True)
 

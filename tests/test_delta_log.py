@@ -1090,3 +1090,55 @@ def test_read_delta_changes_range_is_linear(spark, tmp_path,
     got = {(r["id"], r["_change_type"], r["_commit_version"])
            for r in df.collect()}
     assert got == {(v, "insert", v) for v in range(1, n_commits + 1)}
+
+
+def test_write_delta_stats_and_range_skipping(spark, tmp_path):
+    """write_delta emits PROTOCOL.md per-file stats (numRecords +
+    numeric min/max; strings none — parquet string stats can be
+    truncated), and read_delta(range_filter=...) skips files whose
+    bounds provably miss the range while the Spark-side BETWEEN keeps
+    semantics exact; files without stats are filtered, never wrongly
+    dropped; checkpoints preserve stats."""
+    from embeddinghub_spark.sources.delta_log import (
+        write_delta,
+        write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "skip")
+    write_delta(
+        spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                              "id long, v string").coalesce(1), t)
+    write_delta(
+        spark.createDataFrame([(i, f"s{i}") for i in range(100, 110)],
+                              "id long, v string").coalesce(1),
+        t, mode="append")
+    snap = delta_snapshot(t)
+    stats = [json.loads(f["stats"]) for f in snap["files"]]
+    assert sorted(s["numRecords"] for s in stats) == [10, 10]
+    assert sorted(s["minValues"]["id"] for s in stats) == [0, 100]
+    assert all("v" not in s["minValues"] for s in stats)
+
+    from embeddinghub_spark.sources.delta_log import read_delta
+
+    full = read_delta(spark, t)
+    lo = read_delta(spark, t, range_filter={"id": (None, 50)})
+    assert {r["id"] for r in lo.collect()} == set(range(10))
+    assert len(lo.inputFiles()) < len(full.inputFiles())
+    mid = read_delta(spark, t, range_filter={"id": (5, 105)})
+    assert {r["id"] for r in mid.collect()} == set(range(5, 10)) | set(
+        range(100, 106)
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        read_delta(spark, t, range_filter={"id": (None, None)})
+    with pytest.raises(ValueError, match="range_filter column"):
+        read_delta(spark, t, range_filter={"nope": (0, 1)})
+    # a STATELESS add (hand-written log without stats) is never pruned
+    _write_data(t, "nostats.parquet", [500], ["x"])
+    _commit(t, 2, [_add("nostats.parquet")])
+    both = read_delta(spark, t, range_filter={"id": (400, 600)})
+    assert {r["id"] for r in both.collect()} == {500}
+    # checkpoint replay keeps the stats flowing
+    write_delta_checkpoint(t)
+    snap2 = delta_snapshot(t)
+    kept = [f for f in snap2["files"] if f.get("stats")]
+    assert len(kept) == 2
