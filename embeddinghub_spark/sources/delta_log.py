@@ -211,6 +211,42 @@ def delta_versions(path: str) -> list[int]:
     return sorted(vs)
 
 
+def delta_version_at(path: str, timestamp_ms: int) -> int:
+    """The latest version committed at or before ``timestamp_ms`` —
+    the protocol's `timestampAsOf` resolution: plain Delta tables
+    timestamp commits by the COMMIT FILE's modification time (the
+    in-commit-timestamps writer feature replaces this, and tables
+    advertising it are already gated by the reader-feature check).
+    Raises when every present commit is newer, or when the matching
+    version's JSON commit was vacuumed away (its mtime is unknowable —
+    guessing would silently time-travel to the wrong snapshot)."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        raise ValueError(f"not a Delta table (no _delta_log): {path}")
+    stamped: list[tuple[int, int]] = []  # (version, mtime_ms)
+    for f in os.listdir(d):
+        m = _COMMIT_RE.match(f)
+        if m:
+            st = os.stat(os.path.join(d, f))
+            stamped.append((int(m.group(1)), int(st.st_mtime * 1000)))
+    if not stamped:
+        raise ValueError(f"empty Delta log: {path}")
+    stamped.sort()
+    eligible = [v for v, ts in stamped if ts <= timestamp_ms]
+    if not eligible:
+        # vacuumed older commits can never be the answer either: their
+        # timestamps are older still (commit times are monotone), so
+        # a timestamp below every PRESENT commit has no resolvable
+        # version — raising beats silently guessing
+        raise ValueError(
+            f"no commit at or before timestamp {timestamp_ms} in "
+            f"{path} (earliest present commit is newer; older "
+            "vacuumed commits have unknowable timestamps — use "
+            "versionAsOf)"
+        )
+    return max(eligible)
+
+
 def _read_checkpoint(files: list[str]) -> list[dict]:
     """Checkpoint parquet → the same {action: payload} dicts the JSON
     commits carry (only the action kinds the replay consumes)."""

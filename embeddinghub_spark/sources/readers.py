@@ -41,6 +41,23 @@ def _nanos_ts_columns(path: str) -> list[str]:
         return []
 
 
+def _parse_ts_ms(raw: str) -> int:
+    """timestampAsOf value → epoch millis: a digit string is epoch
+    millis verbatim; anything else parses as an ISO timestamp read as
+    UTC (naive timestamps get UTC attached — commit times are absolute
+    and a session-tz-dependent parse would resolve to different
+    versions on different boxes)."""
+    from datetime import datetime, timezone
+
+    s = str(raw).strip()
+    if s.isdigit():
+        return int(s)
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def read_file(
     spark: SparkSession, path: str, fmt: str = "parquet", **options: str
 ) -> DataFrame:
@@ -56,7 +73,9 @@ def read_file(
         # S4 path form: with the connector, the format reader (so
         # versionAsOf/timestampAsOf apply); without it, the NATIVE
         # transaction-log replay (sources/delta_log.py — the public
-        # PROTOCOL.md read side, versionAsOf supported) instead of
+        # PROTOCOL.md read side, versionAsOf AND timestampAsOf
+        # supported, the latter by commit-file mtime per the plain-
+        # table protocol rule) instead of
         # silently misreading the directory as bare parquet (which
         # would resurrect removed files and drop partition columns).
         from embeddinghub_spark.observability import record_branch
@@ -67,16 +86,31 @@ def read_file(
                 reader = reader.option(k, v)
             record_branch("read_file", "format_delta", path)
             return reader.load(path)
-        from embeddinghub_spark.sources.delta_log import read_delta
+        from embeddinghub_spark.sources.delta_log import (
+            delta_version_at,
+            read_delta,
+        )
 
         version = options.get("versionAsOf")
-        unsupported = sorted(set(options) - {"versionAsOf"})
+        ts_raw = options.get("timestampAsOf")
+        unsupported = sorted(
+            set(options) - {"versionAsOf", "timestampAsOf"}
+        )
         if unsupported:
             raise ValueError(
-                f"native delta log reader supports versionAsOf only; "
-                f"got {unsupported} (install the delta-spark connector "
-                "for the full option surface)"
+                f"native delta log reader supports versionAsOf/"
+                f"timestampAsOf only; got {unsupported} (install the "
+                "delta-spark connector for the full option surface)"
             )
+        if version is not None and ts_raw is not None:
+            raise ValueError(
+                "pass versionAsOf or timestampAsOf, not both"
+            )
+        if ts_raw is not None:
+            # epoch millis, or an ISO timestamp read as UTC (the
+            # protocol stamps commits in absolute time; a session-tz
+            # dependent parse would time-travel differently per box)
+            version = delta_version_at(path, _parse_ts_ms(ts_raw))
         record_branch("read_file", "native_delta_log", path)
         return read_delta(
             spark, path, None if version is None else int(version)

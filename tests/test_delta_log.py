@@ -125,8 +125,10 @@ def test_read_file_dispatches_to_native_log(spark, plain_table):
           for r in read_file(spark, plain_table, "delta",
                              versionAsOf="0").collect()}
     assert v0 == {(1, "a"), (2, "b"), (3, "c")}
-    with pytest.raises(ValueError, match="versionAsOf only"):
-        read_file(spark, plain_table, "delta", timestampAsOf="2024-01-01")
+    # timestampAsOf is native since r14 (test_timestamp_as_of_
+    # resolution); anything else still gates toward the connector
+    with pytest.raises(ValueError, match="timestampAsOf only"):
+        read_file(spark, plain_table, "delta", readChangeFeed="true")
 
 
 def test_partitioned_table_types_and_null(spark, tmp_path):
@@ -1142,3 +1144,42 @@ def test_write_delta_stats_and_range_skipping(spark, tmp_path):
     snap2 = delta_snapshot(t)
     kept = [f for f in snap2["files"] if f.get("stats")]
     assert len(kept) == 2
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path, monkeypatch):
+    """delta_version_at resolves timestampAsOf by commit-file mtime
+    (the protocol's plain-table rule); read_file exposes it on the
+    native branch, accepting epoch millis or ISO-as-UTC. Pre-history
+    timestamps raise instead of guessing."""
+    import os as _os
+
+    from embeddinghub_spark.sources.delta_log import (
+        delta_version_at,
+        write_delta,
+    )
+    from embeddinghub_spark.sources.readers import read_file
+
+    t = str(tmp_path / "ts")
+    write_delta(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    write_delta(spark.createDataFrame([(2, "b")], ["id", "v"]), t,
+                mode="append")
+    log = _os.path.join(t, "_delta_log")
+    _os.utime(_os.path.join(log, f"{0:020d}.json"), (1000, 1000))
+    _os.utime(_os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+    assert delta_version_at(t, 1000_000) == 0
+    assert delta_version_at(t, 1500_000) == 0
+    assert delta_version_at(t, 2000_000) == 1
+    with pytest.raises(ValueError, match="no commit at or before"):
+        delta_version_at(t, 500_000)
+    got = {r["id"] for r in read_file(
+        spark, t, "delta", timestampAsOf="1500000"
+    ).collect()}
+    assert got == {1}
+    # ISO form, read as UTC: 1970-01-01T00:33:20Z = 2000s
+    got2 = {r["id"] for r in read_file(
+        spark, t, "delta", timestampAsOf="1970-01-01T00:33:20"
+    ).collect()}
+    assert got2 == {1, 2}
+    with pytest.raises(ValueError, match="not both"):
+        read_file(spark, t, "delta", versionAsOf="0",
+                  timestampAsOf="1500000")
