@@ -1269,6 +1269,81 @@ def merge_delta(
     )
 
 
+def vacuum_delta(
+    path: str,
+    *,
+    retain_ms: int = 7 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Protocol VACUUM: delete data/DV files under the table root that
+    the CURRENT snapshot does not reference and whose modification
+    time is older than the retention window. Returns the deleted
+    (or, with ``dry_run``, the would-be-deleted) absolute paths.
+
+    Consequence, same as the connector's VACUUM: time travel to
+    versions whose files are vacuumed stops working — the log still
+    resolves the version, but the scan fails on the missing files
+    (pair with ``write_delta_checkpoint`` so replay stays bounded).
+    The retention default (7 days, the connector's) plus the
+    mtime check protect in-flight writers: a freshly staged or
+    just-committed-by-a-racer file is never young enough to delete.
+    Only ``*.parquet`` and ``*.bin`` (deletion vector) files are
+    candidates; ``_delta_log`` is never touched."""
+    import time as _time
+    import uuid as _uuid
+
+    path = os.path.realpath(os.path.abspath(path))
+    snap = delta_snapshot(path)
+    keep: set[str] = set()
+    for f in snap["files"]:
+        keep.add(
+            os.path.realpath(os.path.join(path, _decode_path(f["path"])))
+        )
+        dv = f.get("deletionVector")
+        if dv:
+            st = dv.get("storageType")
+            if st == "u":
+                enc = dv["pathOrInlineDv"]
+                prefix, uuid_part = enc[:-20], enc[-20:]
+                u = _uuid.UUID(bytes=_z85_decode(uuid_part))
+                rel = f"deletion_vector_{u}.bin"
+                keep.add(os.path.realpath(
+                    os.path.join(path, prefix, rel) if prefix
+                    else os.path.join(path, rel)
+                ))
+            elif st == "p":
+                keep.add(os.path.realpath(
+                    re.sub(r"^file:/*", "/", dv["pathOrInlineDv"])
+                ))
+    now = _time.time() * 1000 if now_ms is None else now_ms
+    cutoff = now - retain_ms
+    victims: list[str] = []
+    for root, dirs, files in os.walk(path):
+        if "_delta_log" in dirs:
+            dirs.remove("_delta_log")
+        for fn in files:
+            if not (fn.endswith(".parquet") or fn.endswith(".bin")):
+                continue
+            fp = os.path.realpath(os.path.join(root, fn))
+            if fp in keep:
+                continue
+            try:
+                if os.stat(fp).st_mtime * 1000 >= cutoff:
+                    continue
+            except OSError:
+                continue  # raced away already
+            victims.append(fp)
+    victims.sort()
+    if not dry_run:
+        for fp in victims:
+            try:
+                os.unlink(fp)
+            except OSError:
+                pass
+    return victims
+
+
 def write_delta_checkpoint(path: str, version: int | None = None) -> int:
     """Write a protocol checkpoint for ``version`` (default latest):
     the snapshot's actions as one parquet file

@@ -831,6 +831,102 @@ def write_iceberg(
     )
 
 
+def expire_iceberg_snapshots(
+    path: str,
+    *,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (the current
+    snapshot always survives): commit a new metadata version with the
+    pruned snapshot list (the same put-if-absent discipline as
+    ``write_iceberg``), then delete the manifest lists, manifests and
+    DATA FILES no retained snapshot references. Time travel to an
+    expired snapshot raises by construction (it is no longer in the
+    metadata) — the connector's ``expireSnapshots`` contract.
+
+    Returns ``{"expired": [snapshot ids], "deleted": [paths]}``;
+    ``dry_run`` reports without committing or deleting."""
+    from embeddinghub_spark.sources.iceberg_meta import (
+        _latest_metadata_file,
+        _resolve,
+        iceberg_snapshot,
+    )
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    path = os.path.realpath(os.path.abspath(path))
+    meta_dir = os.path.join(path, "metadata")
+    latest = _max_metadata_version(meta_dir)
+    if latest is None:
+        raise ValueError(f"not an Iceberg table: {path}")
+    prev_version, mfile = latest
+    with open(mfile, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    snaps = list(meta.get("snapshots") or [])
+    if len(snaps) <= keep_last:
+        return {"expired": [], "deleted": []}
+    ordered = sorted(snaps, key=lambda s: int(s.get("sequence-number",
+                                                    s["snapshot-id"])))
+    cur_id = meta.get("current-snapshot-id")
+    retained = ordered[-keep_last:]
+    if cur_id not in {s["snapshot-id"] for s in retained}:
+        retained.append(
+            next(s for s in snaps if s["snapshot-id"] == cur_id)
+        )
+    retained_ids = {s["snapshot-id"] for s in retained}
+    expired = sorted(
+        s["snapshot-id"] for s in snaps
+        if s["snapshot-id"] not in retained_ids
+    )
+
+    def _referenced(snapshot_ids) -> set[str]:
+        refs: set[str] = set()
+        location = meta.get("location")
+        for sid in snapshot_ids:
+            snap = iceberg_snapshot(path, sid)
+            refs.update(snap["files"])
+            refs.update(snap["position_deletes"])
+            refs.update(d["path"] for d in snap["equality_deletes"])
+            s = next(x for x in snaps if x["snapshot-id"] == sid)
+            ml = _resolve(s["manifest-list"], path, location)
+            refs.add(ml)
+            _, mrows = read_avro_file(ml)
+            for m in mrows:
+                refs.add(_resolve(m["manifest_path"], path, location))
+        return refs
+
+    keep_refs = _referenced(sorted(retained_ids))
+    dead_refs = _referenced(expired) - keep_refs
+    victims = sorted(dead_refs)
+    if dry_run:
+        return {"expired": expired, "deleted": victims}
+
+    meta_out = dict(meta)
+    # retained snapshots may reference an expired parent-snapshot-id;
+    # the spec allows that (readers treat lineage as advisory) and the
+    # connector's expireSnapshots leaves them dangling the same way
+    meta_out["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in retained_ids
+    ]
+    version = prev_version + 1
+    final = os.path.join(meta_dir, f"v{version}.metadata.json")
+    if not _atomic_put(final, json.dumps(meta_out)):
+        raise IcebergWriteError(
+            f"lost the expire commit race at version {version}: {path}"
+        )
+    hint_tmp = os.path.join(meta_dir, f"version-hint.{uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    for fp in victims:
+        try:
+            os.unlink(fp)
+        except OSError:
+            pass
+    return {"expired": expired, "deleted": victims}
+
+
 def merge_iceberg(
     spark,
     path: str,

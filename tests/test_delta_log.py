@@ -1183,3 +1183,35 @@ def test_timestamp_as_of_resolution(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="not both"):
         read_file(spark, t, "delta", versionAsOf="0",
                   timestampAsOf="1500000")
+
+
+def test_vacuum_delta_removes_only_old_unreferenced_files(spark,
+                                                          tmp_path):
+    """Protocol VACUUM: only files the CURRENT snapshot doesn't
+    reference AND older than retention go; dry_run reports without
+    deleting; current reads stay intact; time travel to the vacuumed
+    version now fails on the missing files (the connector's
+    documented consequence)."""
+    from embeddinghub_spark.sources.delta_log import (
+        vacuum_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "vac")
+    write_delta(
+        spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1), t)
+    write_delta(
+        spark.createDataFrame([(2, "b")], ["id", "v"]).coalesce(1), t,
+        mode="overwrite")
+    now = 10_000_000_000_000
+    # within retention: nothing eligible
+    assert vacuum_delta(t, retain_ms=now * 2, now_ms=now) == []
+    # dry run lists the v0 file but keeps it
+    would = vacuum_delta(t, retain_ms=0, now_ms=now, dry_run=True)
+    assert len(would) == 1 and os.path.exists(would[0])
+    gone = vacuum_delta(t, retain_ms=0, now_ms=now)
+    assert gone == would and not os.path.exists(gone[0])
+    assert {(r["id"], r["v"]) for r in read_delta(spark, t).collect()} \
+        == {(2, "b")}
+    with pytest.raises(Exception):
+        read_delta(spark, t, version=0).collect()

@@ -374,3 +374,38 @@ def test_column_bounds_written_and_range_pruned(spark, tmp_path):
         read_iceberg(spark, t, range_filter={"id": (None, None)})
     with pytest.raises(ValueError, match="range_filter column"):
         read_iceberg(spark, t, range_filter={"nope": (0, 1)})
+
+
+def test_expire_iceberg_snapshots(spark, tmp_path):
+    """expireSnapshots contract: all but the newest keep_last
+    snapshots leave the metadata (time travel to them raises by
+    construction), and the manifests/manifest-lists/data files only
+    expired snapshots referenced are deleted — shared files survive."""
+    from embeddinghub_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+    )
+
+    t = str(tmp_path / "exp")
+    s1 = write_iceberg(_df(spark, [(1, "a")]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b")]), t, mode="append")
+    s3 = write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite")
+    # dry run reports, deletes nothing
+    rep = expire_iceberg_snapshots(t, keep_last=1, dry_run=True)
+    assert rep["expired"] == sorted([s1, s2])
+    assert all(os.path.exists(p) for p in rep["deleted"])
+    rep2 = expire_iceberg_snapshots(t, keep_last=1)
+    assert rep2["expired"] == sorted([s1, s2])
+    assert rep2["deleted"] and all(
+        not os.path.exists(p) for p in rep2["deleted"]
+    )
+    # current snapshot fully intact
+    assert _rows(read_iceberg(spark, t)) == {(9, "z")}
+    # expired snapshots are gone from the metadata: time travel raises
+    with pytest.raises(ValueError, match="not in"):
+        read_iceberg(spark, t, snapshot_id=s1)
+    # nothing further to expire
+    assert expire_iceberg_snapshots(t, keep_last=1) == {
+        "expired": [], "deleted": []
+    }
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(t, keep_last=0)
