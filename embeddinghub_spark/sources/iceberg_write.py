@@ -927,6 +927,66 @@ def expire_iceberg_snapshots(
     return {"expired": expired, "deleted": victims}
 
 
+def remove_orphan_iceberg_files(
+    path: str,
+    *,
+    retain_ms: int = 3 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete data files under ``data/`` that NO snapshot in the
+    table metadata references and whose modification time is older
+    than the retention window — the connector's
+    ``removeOrphanFiles`` (crashed writers and lost commit races
+    leave staged-and-moved files behind; the retention default, 3
+    days like the connector's, protects an in-flight writer whose
+    files exist but whose commit hasn't landed yet). Returns the
+    deleted (or with ``dry_run`` the would-be-deleted) paths.
+    Metadata files are never touched."""
+    import time as _time
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        _latest_metadata_file,
+        iceberg_snapshot,
+    )
+
+    path = os.path.realpath(os.path.abspath(path))
+    mfile = _latest_metadata_file(path)
+    with open(mfile, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    refs: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        snap = iceberg_snapshot(path, s["snapshot-id"])
+        refs.update(snap["files"])
+        refs.update(snap["position_deletes"])
+        refs.update(d["path"] for d in snap["equality_deletes"])
+    now = _time.time() * 1000 if now_ms is None else now_ms
+    cutoff = now - retain_ms
+    victims: list[str] = []
+    data_dir = os.path.join(path, "data")
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.realpath(os.path.join(root, fn))
+            if fp in refs:
+                continue
+            try:
+                if os.stat(fp).st_mtime * 1000 >= cutoff:
+                    continue
+            except OSError:
+                continue
+            victims.append(fp)
+    victims.sort()
+    if not dry_run:
+        for fp in victims:
+            try:
+                os.unlink(fp)
+            except OSError:
+                pass
+    return victims
+
+
 def merge_iceberg(
     spark,
     path: str,

@@ -409,3 +409,35 @@ def test_expire_iceberg_snapshots(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_snapshots(t, keep_last=0)
+
+
+def test_remove_orphan_iceberg_files(spark, tmp_path):
+    """removeOrphanFiles: a data file referenced by NO snapshot (lost
+    race, crashed writer) goes once it ages past retention; files any
+    snapshot references — current or historical — survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embeddinghub_spark.sources.iceberg_write import (
+        remove_orphan_iceberg_files,
+    )
+
+    t = str(tmp_path / "orph")
+    s1 = write_iceberg(_df(spark, [(1, "a")]), t)
+    write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite")
+    orphan = os.path.join(t, "data", "leftover.parquet")
+    pq.write_table(pa.table({"id": pa.array([7], pa.int64()),
+                             "v": pa.array(["x"], pa.string())}), orphan)
+    now = 10_000_000_000_000
+    # young orphan survives retention
+    assert remove_orphan_iceberg_files(t, now_ms=now,
+                                       retain_ms=now * 2) == []
+    rep = remove_orphan_iceberg_files(t, now_ms=now, retain_ms=0,
+                                      dry_run=True)
+    assert rep == [os.path.realpath(orphan)]
+    assert os.path.exists(orphan)
+    gone = remove_orphan_iceberg_files(t, now_ms=now, retain_ms=0)
+    assert gone == rep and not os.path.exists(orphan)
+    # every snapshot still reads, incl. the historical one
+    assert _rows(read_iceberg(spark, t)) == {(9, "z")}
+    assert _rows(read_iceberg(spark, t, snapshot_id=s1)) == {(1, "a")}
