@@ -9054,6 +9054,48 @@ SELECT * FROM o WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
 """
 
 
+def q_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta data skipping certified END-TO-END
+    (sources/delta_log.py write_delta per-file stats +
+    read_delta(range_filter=…)): two appends of the orders slice land
+    multiple data files with PROTOCOL.md numeric min/max stats; the
+    range read skips files whose recorded bounds provably miss the
+    range and filters the rest Spark-side, so the oracle's plain
+    BETWEEN certifies the exact semantics — whatever the skipping
+    coverage was."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import (
+        read_delta,
+        write_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dskip_") + "/tbl"
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), root
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4),
+        root, mode="append",
+    )
+    return read_delta(
+        spark, root, range_filter={"cents": (5_000_00, 150_000_00)}
+    )
+
+
+_DELTA_SKIPPING_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT * FROM o WHERE cents BETWEEN 500000 AND 15000000
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9068,6 +9110,7 @@ def staged_queries() -> dict:
         "iceberg_merge": q_iceberg_merge,
         "iceberg_changes": q_iceberg_changes,
         "iceberg_partitioned": q_iceberg_partitioned,
+        "delta_skipping": q_delta_skipping,
     }
 
 
@@ -9076,4 +9119,5 @@ def staged_oracle_sql() -> dict:
         "iceberg_merge": _ICEBERG_MERGE_ORACLE,
         "iceberg_changes": _ICEBERG_CHANGES_ORACLE,
         "iceberg_partitioned": _ICEBERG_PARTITIONED_ORACLE,
+        "delta_skipping": _DELTA_SKIPPING_ORACLE,
     }
