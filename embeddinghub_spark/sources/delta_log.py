@@ -125,6 +125,26 @@ def _z85_decode(s: str) -> bytes:
     return bytes(out)
 
 
+def _dv_file_path(table_path: str, dv: dict) -> str:
+    """Resolve an on-disk DV descriptor (storageType "u"/"p") to its
+    file path — shared by the reader and vacuum's keep-set so the
+    prefix/uuid rules can never drift between them (a drifted copy in
+    vacuum could delete a LIVE deletion vector)."""
+    import uuid as _uuid
+
+    st = dv.get("storageType")
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_part = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=_z85_decode(uuid_part))
+        rel = f"deletion_vector_{u}.bin"
+        return os.path.join(table_path, prefix, rel) if prefix \
+            else os.path.join(table_path, rel)
+    if st == "p":
+        return re.sub(r"^file:/*", "/", dv["pathOrInlineDv"])
+    raise ValueError(f"DV storageType {st!r} has no file path")
+
+
 def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
     """Decode a Delta deletion-vector descriptor into the set of
     deleted row indexes (PROTOCOL.md "Deletion Vector Descriptor" +
@@ -152,15 +172,7 @@ def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
     if st == "i":
         data = _z85_decode(dv["pathOrInlineDv"])[:size]
     elif st in ("u", "p"):
-        if st == "u":
-            enc = dv["pathOrInlineDv"]
-            prefix, uuid_part = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=_z85_decode(uuid_part))
-            rel = f"deletion_vector_{u}.bin"
-            fpath = os.path.join(table_path, prefix, rel) if prefix \
-                else os.path.join(table_path, rel)
-        else:
-            fpath = re.sub(r"^file:/*", "/", dv["pathOrInlineDv"])
+        fpath = _dv_file_path(table_path, dv)
         with open(fpath, "rb") as fh:
             fh.seek(int(dv.get("offset") or 0))
             import struct as _struct
@@ -589,20 +601,19 @@ def _scan_file_groups(
             ).cast(dtype)
             part = part.withColumn(logical, lit)
         if deleted:
-            # _metadata.file_path is a percent-encoded URI (space ->
-            # %20); url_decode recovers the literal path so it matches
-            # the driver-side abs_path strings. Literal '+' pre-escapes
-            # to %2B first: URI encoding keeps '+' verbatim, while
-            # url_decode is form-decoding and would read it as a space.
+            # _metadata.file_path is a percent-encoded URI; the shared
+            # decoded_file_path_col normalizes it to the literal path
+            # that matches the driver-side abs_path strings (one
+            # helper for both table formats — the '+' pre-escape rule
+            # is exactly the kind of subtlety that must not fork)
+            from embeddinghub_spark.sources.scan_prune import (
+                decoded_file_path_col,
+            )
+
             part = part.select(
                 *cols,
-                F.regexp_replace(
-                    F.url_decode(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), r"\+", "%2B"
-                        )
-                    ),
-                    "^file:/+", "/",
+                decoded_file_path_col(
+                    F.col("_metadata.file_path")
                 ).alias("_fp"),
                 F.col("_metadata.row_index").alias("_pos"),
             )
@@ -651,56 +662,34 @@ def read_delta(
     files = snap["files"]
     row_filter = None
     if range_filter:
-        names = snap["schema"].fieldNames()
-        for c, (lo, hi) in range_filter.items():
-            if c not in names:
-                raise ValueError(
-                    f"range_filter column {c!r} not in table schema"
-                )
-            if lo is None and hi is None:
-                raise ValueError(
-                    f"range_filter for {c!r} is unbounded on both sides"
-                )
+        from embeddinghub_spark.sources.scan_prune import (
+            range_excluded,
+            range_row_filter,
+            validate_range_filter,
+        )
 
-        def _excluded(f: dict) -> bool:
+        validate_range_filter(range_filter, snap["schema"].fieldNames())
+
+        def _bounds(f: dict) -> dict:
             raw = f.get("stats")
             if not raw:
-                return False
+                return {}
             try:
                 stats = json.loads(raw)
             except (TypeError, ValueError):
-                return False
+                return {}
             mins = stats.get("minValues") or {}
             maxs = stats.get("maxValues") or {}
-            for c, (lo, hi) in range_filter.items():
-                f_lo, f_hi = mins.get(c), maxs.get(c)
-                if not isinstance(f_lo, (int, float)) or isinstance(
-                    f_lo, bool
-                ):
-                    continue
-                if hi is not None and f_lo > hi:
-                    return True
-                if (
-                    lo is not None
-                    and isinstance(f_hi, (int, float))
-                    and not isinstance(f_hi, bool)
-                    and f_hi < lo
-                ):
-                    return True
-            return False
+            return {
+                c: (mins.get(c), maxs.get(c))
+                for c in set(mins) | set(maxs)
+            }
 
-        files = [f for f in files if not _excluded(f)]
-        for c, (lo, hi) in range_filter.items():
-            if lo is not None:
-                cond = F.col(c) >= F.lit(lo)
-                row_filter = (
-                    cond if row_filter is None else row_filter & cond
-                )
-            if hi is not None:
-                cond = F.col(c) <= F.lit(hi)
-                row_filter = (
-                    cond if row_filter is None else row_filter & cond
-                )
+        files = [
+            f for f in files
+            if not range_excluded(_bounds(f), range_filter)
+        ]
+        row_filter = range_row_filter(range_filter)
     out = _scan_file_groups(
         spark, path, snap["schema"], snap["partition_columns"],
         files, snap.get("physical_names"),
@@ -1291,7 +1280,6 @@ def vacuum_delta(
     Only ``*.parquet`` and ``*.bin`` (deletion vector) files are
     candidates; ``_delta_log`` is never touched."""
     import time as _time
-    import uuid as _uuid
 
     path = os.path.realpath(os.path.abspath(path))
     snap = delta_snapshot(path)
@@ -1301,21 +1289,8 @@ def vacuum_delta(
             os.path.realpath(os.path.join(path, _decode_path(f["path"])))
         )
         dv = f.get("deletionVector")
-        if dv:
-            st = dv.get("storageType")
-            if st == "u":
-                enc = dv["pathOrInlineDv"]
-                prefix, uuid_part = enc[:-20], enc[-20:]
-                u = _uuid.UUID(bytes=_z85_decode(uuid_part))
-                rel = f"deletion_vector_{u}.bin"
-                keep.add(os.path.realpath(
-                    os.path.join(path, prefix, rel) if prefix
-                    else os.path.join(path, rel)
-                ))
-            elif st == "p":
-                keep.add(os.path.realpath(
-                    re.sub(r"^file:/*", "/", dv["pathOrInlineDv"])
-                ))
+        if dv and dv.get("storageType") in ("u", "p"):
+            keep.add(os.path.realpath(_dv_file_path(path, dv)))
     now = _time.time() * 1000 if now_ms is None else now_ms
     cutoff = now - retain_ms
     victims: list[str] = []

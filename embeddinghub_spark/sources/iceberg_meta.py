@@ -128,14 +128,14 @@ def is_iceberg_table(path: str) -> bool:
 
 
 def _latest_metadata_file(path: str) -> str:
+    """The LIVE metadata file: the version hint when it points at the
+    max version present, else the max version itself. The hint is a
+    convenience pointer that racing writers can leave STALE (writer A
+    commits v2, writer B commits v3 and advances the hint, A's delayed
+    hint write regresses it to 2) — trusting a stale-but-existing
+    hinted file would silently serve an old snapshot on every read, so
+    the hint only wins when no newer metadata file exists."""
     d = _meta_dir(path)
-    hint = os.path.join(d, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint, encoding="utf-8") as fh:
-            v = int(fh.read().strip())
-        cand = os.path.join(d, f"v{v}.metadata.json")
-        if os.path.exists(cand):
-            return cand
     best: tuple[int, str] | None = None
     for f in os.listdir(d):
         m = _V_META_RE.match(f) or _OBJ_META_RE.match(f)
@@ -145,6 +145,13 @@ def _latest_metadata_file(path: str) -> str:
                 best = key
     if best is None:
         raise ValueError(f"no Iceberg table metadata under {d}")
+    hint = os.path.join(d, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint, encoding="utf-8") as fh:
+            v = int(fh.read().strip())
+        cand = os.path.join(d, f"v{v}.metadata.json")
+        if v >= best[0] and os.path.exists(cand):
+            return cand
     return os.path.join(d, best[1])
 
 
@@ -331,9 +338,14 @@ def iceberg_snapshot(
                 )
     schema = _schema_for(meta, snap)
     if snap is None:  # a table with no snapshot yet: empty, schema only
+        # the FULL snapshot shape — callers index position_deletes /
+        # equality_deletes / file_seqs / file_bounds directly, and a
+        # shape-truncated dict would KeyError on them (review find r14)
         return {
             "snapshot_id": None, "schema": schema, "files": [],
-            "file_partitions": {}, "spec_fields": {},
+            "file_seqs": {}, "file_partitions": {}, "file_bounds": {},
+            "spec_fields": {}, "position_deletes": [],
+            "equality_deletes": [],
             "field_names": {
                 int(f["id"]): f["name"]
                 for f in _raw_schema_fields(meta, snap)
@@ -596,8 +608,9 @@ def _scan_parquet(
         if fid in fid_names and len(names) > 1
     }
     part_vals = _identity_partition_values(snap)
+    _fileset = set(files)
     part_vals = {
-        fp: v for fp, v in part_vals.items() if fp in set(files)
+        fp: v for fp, v in part_vals.items() if fp in _fileset
     }
 
     def meta_cols():
@@ -923,6 +936,24 @@ def read_iceberg_changes(
     return out
 
 
+def _prunable_pair(a, b) -> bool:
+    """True when a recorded partition value and a filter value can be
+    compared for pruning WITHOUT a representation mismatch: both None,
+    or both the same primitive kind (bool checked first — it is an int
+    subclass). Avro logical types decode to raw base types (a date
+    partition reads back as int days), so a typed filter value against
+    a raw recorded value must NOT prune — the exact Spark-side filter
+    handles it instead."""
+    if a is None or b is None:
+        return True  # null-vs-anything compares exactly
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    for kind in (int, float, str):
+        if isinstance(a, kind) and isinstance(b, kind):
+            return True
+    return False
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -982,6 +1013,7 @@ def read_iceberg(
             fp for fp in files
             if not any(
                 c in ident.get(fp, {})
+                and _prunable_pair(ident[fp][c], v)
                 and ident[fp][c] != v
                 and not (ident[fp][c] is None and v is None)
                 for c, v in partition_filter.items()
@@ -991,44 +1023,20 @@ def read_iceberg(
             cond = F.col(c).eqNullSafe(F.lit(v))
             row_filter = cond if row_filter is None else row_filter & cond
     if range_filter:
-        from pyspark.sql import functions as F
+        from embeddinghub_spark.sources.scan_prune import (
+            range_excluded,
+            range_row_filter,
+            validate_range_filter,
+        )
 
-        for c, (lo, hi) in range_filter.items():
-            if c not in schema.fieldNames():
-                raise ValueError(
-                    f"range_filter column {c!r} not in table schema"
-                )
-            if lo is None and hi is None:
-                raise ValueError(
-                    f"range_filter for {c!r} is unbounded on both sides"
-                )
+        validate_range_filter(range_filter, schema.fieldNames())
         bounds = snap.get("file_bounds") or {}
-
-        def _excluded(fp: str) -> bool:
-            fb = bounds.get(fp) or {}
-            for c, (lo, hi) in range_filter.items():
-                b = fb.get(c)
-                if b is None:
-                    continue  # no bound recorded: cannot prune
-                f_lo, f_hi = b
-                if hi is not None and f_lo is not None and f_lo > hi:
-                    return True
-                if lo is not None and f_hi is not None and f_hi < lo:
-                    return True
-            return False
-
-        files = [fp for fp in files if not _excluded(fp)]
-        for c, (lo, hi) in range_filter.items():
-            if lo is not None:
-                cond = F.col(c) >= F.lit(lo)
-                row_filter = (
-                    cond if row_filter is None else row_filter & cond
-                )
-            if hi is not None:
-                cond = F.col(c) <= F.lit(hi)
-                row_filter = (
-                    cond if row_filter is None else row_filter & cond
-                )
+        files = [
+            fp for fp in files
+            if not range_excluded(bounds.get(fp) or {}, range_filter)
+        ]
+        piece = range_row_filter(range_filter)
+        row_filter = piece if row_filter is None else row_filter & piece
     if not files:
         return spark.createDataFrame([], schema)
     cols = [f.name for f in schema.fields]
@@ -1066,11 +1074,9 @@ def read_iceberg(
         re.sub(r"^file:/*", "/", location).rstrip("/") if location else None
     )
 
-    def norm(c):
-        return F.regexp_replace(
-            F.url_decode(F.regexp_replace(c, r"\+", "%2B")),
-            "^file:/+", "/",
-        )
+    from embeddinghub_spark.sources.scan_prune import (
+        decoded_file_path_col as norm,
+    )
 
     def rebase(c):
         # recorded write-time prefix -> actual canonical root (the

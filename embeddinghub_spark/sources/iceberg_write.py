@@ -530,13 +530,26 @@ def write_iceberg(
                     for f in (cur or {}).get("fields") or []
                 ]
                 # ids may differ between our fresh assignment and the
-                # table's; names+types+requiredness must match exactly
+                # table's; names+types must match exactly, and a
+                # NULLABLE DataFrame column must not append into a
+                # REQUIRED table column (its NULLs would violate the
+                # snapshot schema; required->nullable stays legal)
                 if [o[0] for o in ours] != [t[0] for t in theirs] or [
                     o[1] for o in ours
                 ] != [t[1] for t in theirs]:
                     raise IcebergWriteError(
                         f"append schema mismatch: table has {theirs}, "
                         f"DataFrame has {ours}"
+                    )
+                weakened = [
+                    o[0] for o, t in zip(ours, theirs)
+                    if t[2] and not o[2]
+                ]
+                if weakened:
+                    raise IcebergWriteError(
+                        f"append schema mismatch: columns {weakened} "
+                        "are REQUIRED in the table but nullable in "
+                        "the DataFrame"
                     )
                 # reuse the TABLE's schema + name mapping so field-ids
                 # stay stable across appends
@@ -779,7 +792,13 @@ def write_iceberg(
                     )
             else:
                 schemas.append(ice_schema)
-        meta_out = {
+        # START from the previous metadata so fields this writer does
+        # not manage (refs/branches, statistics, a connector's sort
+        # orders, snapshot-log history, ...) survive the commit —
+        # rebuilding from scratch silently deleted them (review find
+        # r14); then override exactly what this commit changes.
+        meta_out = dict(prev_meta or {})
+        meta_out.update({
             "format-version": 2,
             "table-uuid": (prev_meta or {}).get(
                 "table-uuid", str(uuid.uuid4())
@@ -803,12 +822,16 @@ def write_iceberg(
                 [999] + [int(pf["field-id"])
                          for pf in spec.get("fields") or []]
             ),
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
             "properties": props,
             "current-snapshot-id": snapshot_id,
             "snapshots": prev_snaps + [snapshot],
-        }
+            "snapshot-log": list(
+                (prev_meta or {}).get("snapshot-log") or []
+            ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        })
+        meta_out.setdefault("sort-orders", [{"order-id": 0,
+                                             "fields": []}])
+        meta_out.setdefault("default-sort-order-id", 0)
         version = prev_version + 1
         final = os.path.join(meta_dir, f"v{version}.metadata.json")
         if _atomic_put(final, json.dumps(meta_out)):
@@ -909,6 +932,14 @@ def expire_iceberg_snapshots(
     meta_out["snapshots"] = [
         s for s in snaps if s["snapshot-id"] in retained_ids
     ]
+    # the snapshot-log must not point at expired snapshots — Iceberg's
+    # TableMetadata parser REJECTS a log entry whose snapshot is gone
+    # (review find r14), so prune it the way expireSnapshots does
+    if meta_out.get("snapshot-log"):
+        meta_out["snapshot-log"] = [
+            e for e in meta_out["snapshot-log"]
+            if e.get("snapshot-id") in retained_ids
+        ]
     version = prev_version + 1
     final = os.path.join(meta_dir, f"v{version}.metadata.json")
     if not _atomic_put(final, json.dumps(meta_out)):
@@ -977,6 +1008,32 @@ def remove_orphan_iceberg_files(
             except OSError:
                 continue
             victims.append(fp)
+    # crashed writers' staging dirs: a writer that died before its
+    # move loop leaves _staging_<hex>/ with full parquet output that
+    # no snapshot can ever reference — the exact leak this function's
+    # contract names (review find r14); same retention guard
+    stale_stages: list[str] = []
+    for entry in os.listdir(path):
+        if not entry.startswith("_staging_"):
+            continue
+        sdir = os.path.join(path, entry)
+        if not os.path.isdir(sdir):
+            continue
+        try:
+            newest = max(
+                (os.stat(os.path.join(r, f)).st_mtime
+                 for r, _d, fs in os.walk(sdir) for f in fs),
+                default=os.stat(sdir).st_mtime,
+            )
+        except OSError:
+            continue
+        if newest * 1000 < cutoff:
+            stale_stages.append(sdir)
+            for r, _d, fs in os.walk(sdir):
+                for f in fs:
+                    victims.append(
+                        os.path.realpath(os.path.join(r, f))
+                    )
     victims.sort()
     if not dry_run:
         for fp in victims:
@@ -984,6 +1041,8 @@ def remove_orphan_iceberg_files(
                 os.unlink(fp)
             except OSError:
                 pass
+        for sdir in stale_stages:
+            shutil.rmtree(sdir, ignore_errors=True)
     return victims
 
 

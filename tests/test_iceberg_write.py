@@ -441,3 +441,117 @@ def test_remove_orphan_iceberg_files(spark, tmp_path):
     # every snapshot still reads, incl. the historical one
     assert _rows(read_iceberg(spark, t)) == {(9, "z")}
     assert _rows(read_iceberg(spark, t, snapshot_id=s1)) == {(1, "a")}
+
+
+def test_review_r14_fixes(spark, tmp_path):
+    """Pins for the r14 adversarial-review findings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from embeddinghub_spark.sources.iceberg_meta import iceberg_snapshot
+    from embeddinghub_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+        remove_orphan_iceberg_files,
+    )
+
+    # (1) partition_filter with a representation-mismatched value must
+    # NOT wrong-prune: _prunable_pair refuses the comparison (avro
+    # logical types decode to raw base types — a date partition reads
+    # back as int days, and int != date would have pruned EVERY file),
+    # while same-kind primitives still prune; numerically-equal
+    # int/float filters stay exact end-to-end
+    import datetime as _dt
+
+    from embeddinghub_spark.sources.iceberg_meta import _prunable_pair
+
+    assert _prunable_pair(19723, _dt.date(2024, 1, 1)) is False
+    assert _prunable_pair(b"\x01", 1) is False
+    assert _prunable_pair(True, 1) is False
+    assert _prunable_pair(5, 7) is True
+    assert _prunable_pair("en", "fr") is True
+    assert _prunable_pair(None, "x") is True
+    t = str(tmp_path / "typed")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y")], "id long, bucket int, v string"
+    )
+    write_iceberg(df, t, partition_by=["bucket"])
+    got = read_iceberg(spark, t, partition_filter={"bucket": 20.0})
+    assert {r["id"] for r in got.collect()} == {2}
+
+    # (2) nullable DataFrame column must not append into a REQUIRED
+    # table column
+    t2 = str(tmp_path / "req")
+    req_schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ])
+    write_iceberg(spark.createDataFrame([(1, "a")], req_schema), t2)
+    with pytest.raises(IcebergWriteError, match="REQUIRED"):
+        write_iceberg(
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            t2, mode="append",
+        )
+
+    # (3) a stale version hint must not serve an old snapshot to
+    # READERS (the writer already ignored it)
+    t3 = str(tmp_path / "stalehint")
+    write_iceberg(_df(spark, [(1, "a")]), t3)
+    write_iceberg(_df(spark, [(2, "b")]), t3, mode="append")
+    with open(os.path.join(t3, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write("1")
+    assert _rows(read_iceberg(spark, t3)) == {(1, "a"), (2, "b")}
+
+    # (4) commits preserve metadata fields this writer doesn't manage
+    # (refs/branches), keep an accurate snapshot-log, and expire
+    # prunes the log entries of expired snapshots
+    t4 = str(tmp_path / "meta")
+    s1 = write_iceberg(_df(spark, [(1, "a")]), t4)
+    m1 = os.path.join(t4, "metadata", "v1.metadata.json")
+    with open(m1) as fh:
+        meta = json.load(fh)
+    meta["refs"] = {"main": {"snapshot-id": s1, "type": "branch"}}
+    with open(m1, "w") as fh:
+        json.dump(meta, fh)
+    s2 = write_iceberg(_df(spark, [(2, "b")]), t4, mode="append")
+    meta2 = iceberg_snapshot(t4)["metadata"]
+    assert meta2["refs"]["main"]["snapshot-id"] == s1
+    assert [e["snapshot-id"] for e in meta2["snapshot-log"]][-1] == s2
+    s3 = write_iceberg(_df(spark, [(3, "c")]), t4, mode="append")
+    expire_iceberg_snapshots(t4, keep_last=1)
+    meta3 = iceberg_snapshot(t4)["metadata"]
+    assert {e["snapshot-id"] for e in meta3.get("snapshot-log") or []} \
+        <= {s3}
+
+    # (5) orphan cleanup removes a crashed writer's _staging_ dir
+    stage = os.path.join(t4, "_staging_deadbeef")
+    os.makedirs(stage)
+    leftover = os.path.join(stage, "part-0.parquet")
+    pq.write_table(pa.table({"id": pa.array([7], pa.int64()),
+                             "v": pa.array(["x"], pa.string())}),
+                   leftover)
+    now = 10_000_000_000_000
+    gone = remove_orphan_iceberg_files(t4, now_ms=now, retain_ms=0)
+    assert os.path.realpath(leftover) in gone
+    assert not os.path.isdir(stage)
+
+    # (6) the snapshot-less early return carries the FULL shape
+    t5 = str(tmp_path / "empty")
+    os.makedirs(os.path.join(t5, "metadata"))
+    with open(os.path.join(t5, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump({
+            "format-version": 2, "table-uuid": "u",
+            "location": f"file://{t5}",
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "id", "required": False,
+                 "type": "long"}]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": -1, "snapshots": [],
+        }, fh)
+    snap = iceberg_snapshot(t5)
+    for key in ("files", "file_seqs", "file_partitions", "file_bounds",
+                "position_deletes", "equality_deletes", "spec_fields"):
+        assert key in snap, key
