@@ -6434,84 +6434,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. The r13 window certified 50/50 green (the
-    # sixth consecutive all-green gate; cumulative ledger 194/197
-    # hash-certified + 3 rows-only). Round 14 executes the rotation ordered by
-    # VERDICT r13 task #1: positions 1-4 are the four entries staged through
-    # r13 (no-concat best-fit packing, the native Delta CDF fallback, the
-    # native Iceberg read with time travel, and the Iceberg snapshot-
-    # incremental read) — each judge-verified at sf0.01 AND sf0.1 via
-    # tools/check.py --staged but with zero driver rows; positions 5-30 are
-    # the 26 canaries whose last green row is r5 (alphabetical); 31-37 the
-    # seven r7-stale canaries; 38-49 the first twelve r10-stale canaries
-    # (alphabetical; trailing_sessions carries to r15); position 50 keeps the
-    # flagship c6 sentinel as the cross-round canary. Everything below the
-    # window keeps its cumulative green rows. Rows-only entries (bpe_merges,
-    # pca_embeddings, isotonic_calibration) stay OUTSIDE the window: they can
-    # never hash-match, so a window slot on them is wasted. After this round
-    # the cumulative ledger covers 198/201 hash-certified + 3 rows-only.
-    # The registry is FROZEN for r14 at 201: new operators ship staged until
-    # this window certifies.
+    # entries of this dict per round. The r14 window certified 50/50 green (the
+    # seventh consecutive all-green gate; cumulative ledger 198/201
+    # hash-certified + 3 rows-only). Round 15 executes the rotation ordered by
+    # VERDICT r14 task #1: positions 1-4 are the four entries staged through
+    # r14 (the native Iceberg MERGE, the Iceberg snapshot changelog, the
+    # partitioned Iceberg write round-trip, and native Delta data skipping) —
+    # each judge-verified at sf0.01 AND sf0.1 via tools/check.py --staged but
+    # with zero driver rows; position 5 is trailing_sessions (the one r10-stale
+    # canary that missed the r14 window); positions 6-49 are the first 44 of
+    # the 49 canaries whose last green row is r11 (alphabetical;
+    # trailing_topk, trailing_window, v5_knn_bruteforce, validate_rules and
+    # winnow_pairs carry to r16); position 50 keeps the flagship c6 sentinel
+    # as the cross-round canary. Everything below the window keeps its
+    # cumulative green rows, ordered by last green driver row (r11 leftovers,
+    # then the r12/r13/r14 cohorts, alphabetical within each; rows-only trio
+    # parked at the end — they can never hash-match, so a window slot on them
+    # is wasted). After this round the cumulative ledger covers 202/205
+    # hash-certified + 3 rows-only. The registry is FROZEN for r15 at 205:
+    # new operators ship staged until this window certifies.
     return {
-        # --- positions 1-4: the r13 staged entries, never driver-certified ---
-        "pack_bins": q_pack_bins,
-        "delta_changes": q_delta_changes,
-        "iceberg_native": q_iceberg_native,
-        "iceberg_increment": q_iceberg_increment,
-        # --- positions 5-30: refreshed canaries (last green row = r5) ---
-        "f8_date_funcs": q_f8_date_funcs,
-        "f8_moving_avg": q_f8_moving_avg,
-        "f8_rollup": q_f8_rollup,
-        "f8_scalar_funcs": q_f8_scalar_funcs,
-        "f9_stream_join": q_f9_stream_join,
-        "funnel_steps": q_funnel_steps,
-        "gap_fill": q_gap_fill,
-        "hard_negatives": q_hard_negatives,
-        "hash_vectorizer": q_hash_vectorizer,
-        "hll_profile": q_hll_profile,
-        "incremental_spans": q_incremental_spans,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_pq": q_knn_pq,
-        "nb_classifier": q_nb_classifier,
-        "negative_samples": q_negative_samples,
-        "normalize_text": q_normalize_text,
-        "pagerank": q_pagerank,
-        "profile_table": q_profile_table,
-        "rrf_fusion": q_rrf_fusion,
-        "s2_json_scan": q_s2_json_scan,
-        "simhash_pairs": q_simhash_pairs,
-        "snapshot_diff": q_snapshot_diff,
-        "source_divergence": q_source_divergence,
-        "trim_spans": q_trim_spans,
-        "weighted_sample": q_weighted_sample,
-        "zorder_key": q_zorder_key,
-        # --- positions 31-37: refreshed canaries (last green row = r7) ---
-        "ann_disk_index": q_ann_disk_index,
-        "backfill": q_backfill,
-        "calibration_bins": q_calibration_bins,
-        "dedup_keep_best": q_dedup_keep_best,
-        "ece": q_ece,
-        "f8_tpch_q5": q_f8_tpch_q5,
-        "winsorize": q_winsorize,
-        # --- positions 38-49: first 12 r10-stale canaries (alphabetical) ---
-        "auc_by_group": q_auc_by_group,
-        "corpus_diversity": q_corpus_diversity,
-        "decayed_trailing": q_decayed_trailing,
-        "entity_split": q_entity_split,
-        "fingerprint_by": q_fingerprint_by,
-        "kn_bigram_logprob": q_kn_bigram_logprob,
-        "kn_trigram_logprob": q_kn_trigram_logprob,
-        "ranking_metrics": q_ranking_metrics,
-        "semantic_contamination": q_semantic_contamination,
-        "semantic_dedup_scaled": q_semantic_dedup_scaled,
-        "skew_report": q_skew_report,
-        "trailing_distinct": q_trailing_distinct,
-        # --- position 50: flagship sentinel (certified r1-r13) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window, ordered by last
-        # green driver row (r10 leftover, then r11/r12/r13 cohorts,
-        # alphabetical within each; rows-only trio parked at the end) ---
+        # --- positions 1-4: the r14 staged entries, never driver-certified ---
+        "iceberg_merge": q_iceberg_merge,
+        "iceberg_changes": q_iceberg_changes,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "delta_skipping": q_delta_skipping,
+        # --- position 5: the r10-stale leftover carried from r14 ---
         "trailing_sessions": q_trailing_sessions,
+        # --- positions 6-49: refreshed canaries (last green row = r11) ---
         "ann_recall": q_ann_recall,
         "auto_join": q_auto_join,
         "bigram_logprob": q_bigram_logprob,
@@ -6556,6 +6506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "text_stats": q_text_stats,
         "time_to_next_event": q_time_to_next_event,
+        # --- position 50: flagship sentinel (certified r1-r14) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window, ordered by last
+        # green driver row (r11 carry-overs, then r12/r13/r14 cohorts,
+        # alphabetical within each; rows-only trio parked at the end) ---
         "trailing_topk": q_trailing_topk,
         "trailing_window": q_trailing_window,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
@@ -6659,6 +6614,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v3_online_serve": q_v3_online_serve,
         "v9_download": q_v9_download,
         "v9_nearest": q_v9_nearest,
+        "ann_disk_index": q_ann_disk_index,
+        "auc_by_group": q_auc_by_group,
+        "backfill": q_backfill,
+        "calibration_bins": q_calibration_bins,
+        "corpus_diversity": q_corpus_diversity,
+        "decayed_trailing": q_decayed_trailing,
+        "dedup_keep_best": q_dedup_keep_best,
+        "delta_changes": q_delta_changes,
+        "ece": q_ece,
+        "entity_split": q_entity_split,
+        "f8_date_funcs": q_f8_date_funcs,
+        "f8_moving_avg": q_f8_moving_avg,
+        "f8_rollup": q_f8_rollup,
+        "f8_scalar_funcs": q_f8_scalar_funcs,
+        "f8_tpch_q5": q_f8_tpch_q5,
+        "f9_stream_join": q_f9_stream_join,
+        "fingerprint_by": q_fingerprint_by,
+        "funnel_steps": q_funnel_steps,
+        "gap_fill": q_gap_fill,
+        "hard_negatives": q_hard_negatives,
+        "hash_vectorizer": q_hash_vectorizer,
+        "hll_profile": q_hll_profile,
+        "iceberg_increment": q_iceberg_increment,
+        "iceberg_native": q_iceberg_native,
+        "incremental_spans": q_incremental_spans,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
+        "kn_trigram_logprob": q_kn_trigram_logprob,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_pq": q_knn_pq,
+        "nb_classifier": q_nb_classifier,
+        "negative_samples": q_negative_samples,
+        "normalize_text": q_normalize_text,
+        "pack_bins": q_pack_bins,
+        "pagerank": q_pagerank,
+        "profile_table": q_profile_table,
+        "ranking_metrics": q_ranking_metrics,
+        "rrf_fusion": q_rrf_fusion,
+        "s2_json_scan": q_s2_json_scan,
+        "semantic_contamination": q_semantic_contamination,
+        "semantic_dedup_scaled": q_semantic_dedup_scaled,
+        "simhash_pairs": q_simhash_pairs,
+        "skew_report": q_skew_report,
+        "snapshot_diff": q_snapshot_diff,
+        "source_divergence": q_source_divergence,
+        "trailing_distinct": q_trailing_distinct,
+        "trim_spans": q_trim_spans,
+        "weighted_sample": q_weighted_sample,
+        "winsorize": q_winsorize,
+        "zorder_key": q_zorder_key,
         "bpe_merges": q_bpe_merges,
         "pca_embeddings": q_pca_embeddings,
         "isotonic_calibration": q_isotonic_calibration,
@@ -6667,6 +6671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- promoted by the r15 rotation (staged through r14) ---
+        "iceberg_merge": _ICEBERG_MERGE_ORACLE,
+        "iceberg_changes": _ICEBERG_CHANGES_ORACLE,
+        "iceberg_partitioned": _ICEBERG_PARTITIONED_ORACLE,
+        "delta_skipping": _DELTA_SKIPPING_ORACLE,
         # --- promoted by the r14 rotation (staged through r13) ---
         "pack_bins": _pack_bins_oracle(),
         "delta_changes": _DELTA_CHANGES_ORACLE,
@@ -9099,25 +9108,15 @@ SELECT * FROM o WHERE cents BETWEEN 500000 AND 15000000
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 201 per VERDICT r13 #8). The four r13 staged
-    entries (pack_bins, delta_changes, iceberg_native,
-    iceberg_increment) were promoted into queries()/oracle_sql() by
-    the r14 rotation; new operators staged this round land here with
-    the standard protocol (pin tests vs exact Python replicas,
-    SCALING.md audit row, README line, oracle twin certified at
-    sf0.01 + sf0.1) before touching the registry."""
-    return {
-        "iceberg_merge": q_iceberg_merge,
-        "iceberg_changes": q_iceberg_changes,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "delta_skipping": q_delta_skipping,
-    }
+    (registry frozen at 205 per VERDICT r14 #8). The four r14 staged
+    entries (iceberg_merge, iceberg_changes, iceberg_partitioned,
+    delta_skipping) were promoted into queries()/oracle_sql() by the
+    r15 rotation; new operators staged this round land here with the
+    standard protocol (pin tests vs exact Python replicas, SCALING.md
+    audit row, README line, oracle twin certified at sf0.01 + sf0.1)
+    before touching the registry."""
+    return {}
 
 
 def staged_oracle_sql() -> dict:
-    return {
-        "iceberg_merge": _ICEBERG_MERGE_ORACLE,
-        "iceberg_changes": _ICEBERG_CHANGES_ORACLE,
-        "iceberg_partitioned": _ICEBERG_PARTITIONED_ORACLE,
-        "delta_skipping": _DELTA_SKIPPING_ORACLE,
-    }
+    return {}

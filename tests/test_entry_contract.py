@@ -34,45 +34,46 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round14_window_layout():
-    """The rotation for round 14 (VERDICT r13 task #1): the 4
-    oracle-backed entries staged through r13 (no-concat best-fit
-    packing, the native Delta CDF fallback, the native Iceberg read
-    with time travel, the Iceberg snapshot-incremental read; zero
-    driver rows, judge-verified at both scales) occupy positions 1-4
-    of the 50-slot window; positions 5-30 are the 26 canaries whose
-    last green row is r5 (alphabetical); 31-37 the seven r7-stale
-    canaries; 38-49 the first twelve r10-stale canaries (alphabetical;
-    trailing_sessions carries to r15); slot 50 is the flagship
-    sentinel. Rows-only entries can never hash-match, so they must
-    stay OUT of the window. The registry is frozen at 201 entries
-    until this window is certified."""
+def test_round15_window_layout():
+    """The rotation for round 15 (VERDICT r14 task #1): the 4
+    oracle-backed entries staged through r14 (the native Iceberg
+    MERGE, the Iceberg snapshot changelog, the partitioned Iceberg
+    write round-trip, native Delta data skipping; zero driver rows,
+    judge-verified at both scales) occupy positions 1-4 of the
+    50-slot window; position 5 is trailing_sessions (the one r10-stale
+    canary that missed the r14 window); positions 6-49 are the first
+    44 of the 49 canaries whose last green row is r11 (alphabetical;
+    trailing_topk, trailing_window, v5_knn_bruteforce, validate_rules
+    and winnow_pairs carry to r16); slot 50 is the flagship sentinel.
+    Rows-only entries can never hash-match, so they must stay OUT of
+    the window. The registry is frozen at 205 entries until this
+    window is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
-    assert len(keys) == 201, "registry frozen at 201 for r14"
+    assert len(keys) == 205, "registry frozen at 205 for r15"
     window = keys[:50]
     rotation = [
-        "pack_bins", "delta_changes", "iceberg_native",
-        "iceberg_increment",
+        "iceberg_merge", "iceberg_changes", "iceberg_partitioned",
+        "delta_skipping",
     ]
-    refreshed_r5_head = [
-        "f8_date_funcs", "f8_moving_avg", "f8_rollup", "f8_scalar_funcs",
-        "f9_stream_join", "funnel_steps", "gap_fill",
+    r11_head = [
+        "ann_recall", "auto_join", "bigram_logprob", "binary_auc",
+        "bloom_join", "budget_select",
     ]
-    refreshed_r7 = [
-        "ann_disk_index", "backfill", "calibration_bins",
-        "dedup_keep_best", "ece", "f8_tpch_q5", "winsorize",
+    r11_tail = [
+        "temperature_mixture", "temporal_split", "text_stats",
+        "time_to_next_event",
     ]
-    refreshed_r10_head = [
-        "auc_by_group", "corpus_diversity", "decayed_trailing",
-        "entity_split",
-    ]
+    r16_carry = {
+        "trailing_topk", "trailing_window", "v5_knn_bruteforce",
+        "validate_rules", "winnow_pairs",
+    }
     assert window[:4] == rotation, "rotation entries must lead the window"
-    assert window[4:11] == refreshed_r5_head, "r5 canaries moved"
-    assert window[30:37] == refreshed_r7, "r7 canaries moved"
-    assert window[37:41] == refreshed_r10_head, "r10 canaries moved"
-    assert "trailing_sessions" not in window, "r10 leftover carries to r15"
+    assert window[4] == "trailing_sessions", "r10 leftover leads the canaries"
+    assert window[5:11] == r11_head, "r11 canaries moved"
+    assert window[45:49] == r11_tail, "r11 canaries moved"
+    assert not r16_carry & set(window), "r11 leftovers carry to r16"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 
