@@ -120,7 +120,17 @@ class HnswIndex:
     def add(self, key: str, vector) -> None:
         """Insert (or overwrite) a vector. Overwrite re-links the key
         in place: the old links are dropped and the key re-inserted —
-        the set()-updates-the-index behavior of the reference store."""
+        the set()-updates-the-index behavior of the reference store.
+
+        Keys must be ``str``: the saved format is JSON, whose object
+        keys are always strings — a non-str key would save fine but
+        reload as ``str``, silently breaking the load()-is-identical
+        contract (ADVICE r14), so it is rejected at insert time."""
+        if not isinstance(key, str):
+            raise TypeError(
+                f"HNSW keys must be str, got {type(key).__name__}: "
+                f"{key!r}"
+            )
         vec = tuple(float(x) for x in vector)
         if len(vec) != self.dim:
             raise ValueError(f"expected dim {self.dim}, got {len(vec)}")

@@ -162,6 +162,16 @@ def _ice_schema(schema: T.StructType, schema_id: int = 0) -> dict:
     }
 
 
+def _type_sans_ids(t: Any) -> Any:
+    """A type json with its embedded ids stripped — the structural
+    identity two schema versions must share for a column name to keep
+    its field-id (only flat lists carry a nested id here: the writer
+    gates out nested structs/maps)."""
+    if isinstance(t, dict):
+        return {k: v for k, v in t.items() if k != "element-id"}
+    return t
+
+
 def _name_mapping_json(ice_schema: dict) -> str:
     return json.dumps(
         [
@@ -557,6 +567,59 @@ def write_iceberg(
                 last_column_id = int(
                     prev_meta.get("last-column-id", last_column_id)
                 )
+            else:
+                # overwrite may change the schema, but field-ids are
+                # FOREVER (spec: ids are never reassigned — and the
+                # partition spec's source-ids resolve against the
+                # CURRENT schema, so a fresh 1..N assignment on a
+                # reordered overwrite would silently repoint the spec
+                # at the wrong columns; ADVICE r14). Remap our fresh
+                # assignment through the union of the table's
+                # historical name→field definitions: a known name
+                # keeps its id (and its list element-id, verbatim), a
+                # new name takes fresh ids above every id the table
+                # has ever issued. A known name with a structurally
+                # different type would corrupt old snapshots'
+                # projections — raise; type evolution needs the
+                # connector.
+                seen_fields: dict[str, dict] = {}
+                issued: list[int] = [
+                    int(prev_meta.get("last-column-id", 0))
+                ]
+                for s in prev_meta.get("schemas") or []:
+                    for f in s.get("fields") or []:
+                        seen_fields.setdefault(f["name"], f)
+                        issued.append(int(f["id"]))
+                        if isinstance(f["type"], dict):
+                            issued.append(int(f["type"]["element-id"]))
+                next_free = max(issued) + 1
+                remapped = []
+                for f in ice_schema["fields"]:
+                    old = seen_fields.get(f["name"])
+                    if old is not None:
+                        if _type_sans_ids(old["type"]) != _type_sans_ids(
+                            f["type"]
+                        ):
+                            raise IcebergWriteError(
+                                "overwrite changes the type of column "
+                                f"{f['name']!r} ({old['type']!r} -> "
+                                f"{f['type']!r}): field-ids are "
+                                "permanent, type evolution needs the "
+                                "connector"
+                            )
+                        remapped.append(
+                            dict(f, id=int(old["id"]), type=old["type"])
+                        )
+                    else:
+                        fid = next_free
+                        next_free += 1
+                        t = f["type"]
+                        if isinstance(t, dict):
+                            t = dict(t, **{"element-id": next_free})
+                            next_free += 1
+                        remapped.append(dict(f, id=fid, type=t))
+                ice_schema = dict(ice_schema, fields=remapped)
+                last_column_id = next_free - 1
 
         prev_snaps = (prev_meta or {}).get("snapshots") or []
         snapshot_id = max(
@@ -829,6 +892,15 @@ def write_iceberg(
                 (prev_meta or {}).get("snapshot-log") or []
             ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
         })
+        # refs.main must track current-snapshot-id — Iceberg's
+        # TableMetadata parser REJECTS metadata whose main branch
+        # points elsewhere ('Current snapshot ID does not match main
+        # branch'), so carrying a connector-created table's refs
+        # forward verbatim would brick it for the Java/PyIceberg side
+        # (ADVICE r14). Other refs (tags, user branches) pass through.
+        refs = dict((prev_meta or {}).get("refs") or {})
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta_out["refs"] = refs
         meta_out.setdefault("sort-orders", [{"order-id": 0,
                                              "fields": []}])
         meta_out.setdefault("default-sort-order-id", 0)
@@ -897,6 +969,20 @@ def expire_iceberg_snapshots(
         retained.append(
             next(s for s in snaps if s["snapshot-id"] == cur_id)
         )
+    # snapshots referenced by refs (tags, user branches) are PROTECTED
+    # from expiry — the connector's expireSnapshots contract, and the
+    # only way the surviving metadata keeps every ref resolvable
+    # (Iceberg's TableMetadata parser rejects a ref whose snapshot is
+    # gone; ADVICE r14). refs.main tracks cur_id, already retained.
+    known = {s["snapshot-id"] for s in snaps}
+    for ref in (meta.get("refs") or {}).values():
+        rid = ref.get("snapshot-id")
+        if rid in known and rid not in {
+            s["snapshot-id"] for s in retained
+        }:
+            retained.append(
+                next(s for s in snaps if s["snapshot-id"] == rid)
+            )
     retained_ids = {s["snapshot-id"] for s in retained}
     expired = sorted(
         s["snapshot-id"] for s in snaps
@@ -1073,11 +1159,40 @@ def merge_iceberg(
     from embeddinghub_spark.sources.tables import merge_upsert_df
 
     snap = iceberg_snapshot(path)
+    # derive partition_by from the table's CURRENT identity spec —
+    # defaulting to unpartitioned made MERGE into any partitioned
+    # table raise, and only after the merged files were staged
+    # (ADVICE r14). Non-identity transforms gate loudly HERE, before
+    # any data file is written.
+    meta = snap["metadata"]
+    specs = meta.get("partition-specs") or []
+    cur_spec = next(
+        (s for s in specs
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else {"spec-id": 0, "fields": []},
+    )
+    cur_schema = next(
+        (s for s in meta.get("schemas") or []
+         if s.get("schema-id") == meta.get("current-schema-id")),
+        {"fields": []},
+    )
+    name_by_id = {
+        int(f["id"]): f["name"] for f in cur_schema.get("fields") or []
+    }
+    partition_by = []
+    for pf in cur_spec.get("fields") or []:
+        if pf.get("transform") != "identity":
+            raise IcebergProtocolError(
+                f"partition transform {pf.get('transform')!r} not "
+                "supported by the native writer — use the connector"
+            )
+        partition_by.append(name_by_id[int(pf["source-id"])])
     target = read_iceberg(spark, path, snapshot_id=snap["snapshot_id"])
     merged = merge_upsert_df(target, source, key_cols)
     return write_iceberg(
         merged,
         path,
         mode="overwrite",
+        partition_by=partition_by,
         expected_snapshot_id=snap["snapshot_id"],
     )

@@ -39,6 +39,15 @@ def validate_range_filter(range_filter: dict, schema_names) -> None:
             raise ValueError(
                 f"range_filter for {c!r} is unbounded on both sides"
             )
+        for side, v in (("lo", lo), ("hi", hi)):
+            # non-numeric bounds would crash range_excluded with a raw
+            # TypeError only when a file happens to record bounds —
+            # make the contract explicit instead (ADVICE r14)
+            if v is not None and not _usable(v):
+                raise ValueError(
+                    f"range_filter {side} bound for {c!r} must be a "
+                    f"number or None, got {type(v).__name__}"
+                )
 
 
 def _usable(v) -> bool:

@@ -1134,6 +1134,13 @@ def test_write_delta_stats_and_range_skipping(spark, tmp_path):
         read_delta(spark, t, range_filter={"id": (None, None)})
     with pytest.raises(ValueError, match="range_filter column"):
         read_delta(spark, t, range_filter={"nope": (0, 1)})
+    # non-numeric bounds gate loudly and consistently — the old path
+    # crashed with a raw TypeError, and only on files that happened to
+    # record bounds (ADVICE r14)
+    with pytest.raises(ValueError, match="must be a number"):
+        read_delta(spark, t, range_filter={"id": ("0", 10)})
+    with pytest.raises(ValueError, match="must be a number"):
+        read_delta(spark, t, range_filter={"id": (0, True)})
     # a STATELESS add (hand-written log without stats) is never pruned
     _write_data(t, "nostats.parquet", [500], ["x"])
     _commit(t, 2, [_add("nostats.parquet")])

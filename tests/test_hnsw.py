@@ -115,6 +115,20 @@ def test_space_ann_serving_path(spark):
     ) == ["fresh"]
 
 
+def test_non_str_keys_rejected_at_insert():
+    """ADVICE r14: the saved format is JSON, whose object keys are
+    always strings — a non-str key would save fine but reload as str,
+    silently breaking the load()-is-identical contract. Rejected at
+    add() time instead."""
+    idx = HnswIndex(4, m=4, ef_construction=20, seed=1)
+    with pytest.raises(TypeError, match="keys must be str"):
+        idx.add(7, [0.0, 0.0, 0.0, 0.0])
+    with pytest.raises(TypeError, match="keys must be str"):
+        idx.add((1, 2), [0.0, 0.0, 0.0, 0.0])
+    idx.add("7", [0.0, 0.0, 0.0, 0.0])  # str keys unaffected
+    assert idx.search([0.0, 0.0, 0.0, 0.0], k=1)[0][0] == "7"
+
+
 def test_save_load_identical_and_o_n(tmp_path, monkeypatch):
     """VERDICT r13 #5: save -> load restores the EXACT graph — same
     entry point, levels, links and search results — and load performs

@@ -322,6 +322,87 @@ def test_partitioned_append_and_merge_keep_spec(spark, tmp_path):
     assert {r["id"] for r in only20.collect()} == {2}
     assert len(only20.inputFiles()) == 1
 
+    # merge_iceberg derives partition_by from the table's identity
+    # spec (ADVICE r14: defaulting to [] raised on every partitioned
+    # table, after staging orphans): update id=1, insert id=3
+    src = spark.createDataFrame(
+        [(1, 10, "x2"), (3, 30, "z")], "id long, bucket int, v string"
+    )
+    merge_iceberg(spark, t, src, key_cols=["id"])
+    got = {(r["id"], r["bucket"], r["v"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, 10, "x2"), (2, 20, "y"), (3, 30, "z")}
+    # the merged table keeps the spec: partition pruning still works
+    only30 = read_iceberg(spark, t, partition_filter={"bucket": 30})
+    assert {r["id"] for r in only30.collect()} == {3}
+    assert len(only30.inputFiles()) == 1
+
+
+def test_overwrite_field_ids_are_permanent(spark, tmp_path):
+    """ADVICE r14: overwrite used to reassign field-ids 1..N from the
+    fresh DataFrame while reusing the table's partition spec verbatim,
+    so a REORDERED overwrite silently repointed the spec's source-ids
+    at the wrong columns (partition values attached under the wrong
+    name; partition_filter went empty/wrong). Field-ids are permanent
+    per the spec: a known column name keeps its id across overwrites,
+    a new name takes a fresh id above everything the table ever
+    issued, and a type change raises."""
+    import json as _json
+
+    t = str(tmp_path / "remap")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y")], "id long, bucket int, v string"
+    )
+    write_iceberg(df, t, partition_by=["bucket"])
+
+    # overwrite with REORDERED columns (bucket now first)
+    rdf = spark.createDataFrame(
+        [(10, 1, "x2"), (20, 2, "y2"), (30, 3, "z2")],
+        "bucket int, id long, v string",
+    )
+    write_iceberg(rdf, t, mode="overwrite", partition_by=["bucket"])
+    meta = iceberg_snapshot(t)["metadata"]
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert ids == {"id": 1, "bucket": 2, "v": 3}, (
+        "field-ids must survive a column reorder"
+    )
+    # the spec still points at the real bucket column: pruning works
+    only20 = read_iceberg(spark, t, partition_filter={"bucket": 20})
+    assert {(r["id"], r["v"]) for r in only20.collect()} == {(2, "y2")}
+    assert {r["bucket"] for r in
+            read_iceberg(spark, t).collect()} == {10, 20, 30}
+
+    # a NEW column takes an id above everything ever issued
+    ndf = spark.createDataFrame(
+        [(1, 10, "x3", 0.5)], "id long, bucket int, v string, w double"
+    )
+    write_iceberg(ndf, t, mode="overwrite", partition_by=["bucket"])
+    meta2 = iceberg_snapshot(t)["metadata"]
+    cur2 = next(s for s in meta2["schemas"]
+                if s["schema-id"] == meta2["current-schema-id"])
+    ids2 = {f["name"]: f["id"] for f in cur2["fields"]}
+    assert ids2["id"] == 1 and ids2["bucket"] == 2 and ids2["v"] == 3
+    assert ids2["w"] == 4
+    assert int(meta2["last-column-id"]) >= 4
+    # ids are unique across ALL schema versions
+    for s in meta2["schemas"]:
+        by_id: dict[int, str] = {}
+        for f in s["fields"]:
+            assert f["id"] not in by_id
+            by_id[f["id"]] = f["name"]
+    # the name mapping published for the new schema carries stable ids
+    nm = _json.loads(meta2["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0]: m["field-id"] for m in nm} == ids2
+
+    # a TYPE change on a known name must raise, not mint a new id
+    bad = spark.createDataFrame(
+        [("1", 10, "x")], "id string, bucket int, v string"
+    )
+    with pytest.raises(IcebergWriteError, match="type"):
+        write_iceberg(bad, t, mode="overwrite", partition_by=["bucket"])
+
 
 def test_partition_empty_string_and_bad_type_gates(spark, tmp_path):
     with pytest.raises(ValueError, match="empty-string"):
@@ -503,26 +584,40 @@ def test_review_r14_fixes(spark, tmp_path):
         fh.write("1")
     assert _rows(read_iceberg(spark, t3)) == {(1, "a"), (2, "b")}
 
-    # (4) commits preserve metadata fields this writer doesn't manage
-    # (refs/branches), keep an accurate snapshot-log, and expire
-    # prunes the log entries of expired snapshots
+    # (4) commits keep refs PARSEABLE by Iceberg's TableMetadata
+    # reader (ADVICE r14): refs.main must advance with
+    # current-snapshot-id (a stale main bricks the table for the
+    # Java/PyIceberg side), other refs (tags) pass through verbatim,
+    # the snapshot-log stays accurate, and expire (a) prunes the log
+    # entries of expired snapshots while (b) PROTECTING snapshots a
+    # tag still references — the connector's expireSnapshots contract
     t4 = str(tmp_path / "meta")
     s1 = write_iceberg(_df(spark, [(1, "a")]), t4)
     m1 = os.path.join(t4, "metadata", "v1.metadata.json")
     with open(m1) as fh:
         meta = json.load(fh)
-    meta["refs"] = {"main": {"snapshot-id": s1, "type": "branch"}}
+    meta["refs"] = {
+        "main": {"snapshot-id": s1, "type": "branch"},
+        "v1-tag": {"snapshot-id": s1, "type": "tag"},
+    }
     with open(m1, "w") as fh:
         json.dump(meta, fh)
     s2 = write_iceberg(_df(spark, [(2, "b")]), t4, mode="append")
     meta2 = iceberg_snapshot(t4)["metadata"]
-    assert meta2["refs"]["main"]["snapshot-id"] == s1
+    assert meta2["refs"]["main"]["snapshot-id"] == s2
+    assert meta2["refs"]["v1-tag"]["snapshot-id"] == s1
     assert [e["snapshot-id"] for e in meta2["snapshot-log"]][-1] == s2
     s3 = write_iceberg(_df(spark, [(3, "c")]), t4, mode="append")
     expire_iceberg_snapshots(t4, keep_last=1)
     meta3 = iceberg_snapshot(t4)["metadata"]
     assert {e["snapshot-id"] for e in meta3.get("snapshot-log") or []} \
-        <= {s3}
+        <= {s1, s3}
+    kept = {s["snapshot-id"] for s in meta3["snapshots"]}
+    assert kept == {s1, s3}, "tagged snapshot must survive expire"
+    assert meta3["refs"]["v1-tag"]["snapshot-id"] == s1
+    assert meta3["refs"]["main"]["snapshot-id"] == s3
+    # s1 stays time-travelable through the protecting tag
+    assert _rows(read_iceberg(spark, t4, snapshot_id=s1)) == {(1, "a")}
 
     # (5) orphan cleanup removes a crashed writer's _staging_ dir
     stage = os.path.join(t4, "_staging_deadbeef")
