@@ -34,8 +34,13 @@ Scope (honestly bounded, checked at read time):
   sequence number S removes matching rows only from data files with
   sequence STRICTLY LESS than S, so later re-inserts survive; entry
   sequence numbers inherit from the manifest-list row when null).
-  Equality deletes without `equality_ids`, or whose ids reference
-  non-top-level fields, raise `IcebergProtocolError` — a silent wrong
+  An equality delete written under an IDENTITY-partitioned spec
+  scopes to its partition — matched by (spec-id, partition tuple)
+  exactly like DeleteFileIndex groups them — so the same key in
+  another partition survives (the Flink CDC shape). Equality deletes
+  without `equality_ids`, whose ids reference non-top-level fields,
+  under NON-identity partitioned specs, or whose entries carry no
+  partition tuple, raise `IcebergProtocolError` — a silent wrong
   read is worse than a loud gap. Writes and MERGE need the connector
   (or this repo's S10/S12 table fallbacks).
 - Data files must be parquet (the reference's runner reads Iceberg
@@ -377,9 +382,10 @@ def iceberg_snapshot(
         manifests = [(p, 0, 0, 0) for p in (snap.get("manifests") or [])]
     # spec-id -> partition fields: equality deletes written under a
     # PARTITIONED spec are scoped to their partition by the table spec
-    # — applying them table-globally over-deletes matching rows in
-    # other partitions (ADVICE r13, medium). Only global equality
-    # deletes (unpartitioned spec) are applied natively; the rest gate.
+    # — applying them table-globally would over-delete matching rows
+    # in other partitions (ADVICE r13, medium). Identity-partitioned
+    # deletes scope natively via their manifest partition tuple
+    # (VERDICT r14 #2); non-identity transforms gate loudly.
     spec_fields: dict[int, list] = {
         int(s.get("spec-id", 0)): list(s.get("fields") or [])
         for s in (meta.get("partition-specs") or [])
@@ -443,19 +449,37 @@ def iceberg_snapshot(
                         "use the iceberg-spark connector"
                     )
                 # the spec scopes an equality delete written under a
-                # partitioned spec to ITS PARTITION; this native path
-                # applies deletes table-globally, which would
-                # over-delete matching rows in other partitions. Gate
-                # loudly unless the delete's spec is unpartitioned
-                # (a GLOBAL delete, which table-global application
-                # implements exactly).
-                if spec_fields.get(mspec_id, None) != []:
-                    raise IcebergProtocolError(
-                        "equality delete written under partitioned "
-                        f"spec {mspec_id} is partition-scoped — the "
-                        "native reader would over-delete; use the "
-                        "iceberg-spark connector"
-                    )
+                # partitioned spec to ITS PARTITION (same spec-id AND
+                # same partition tuple — how DeleteFileIndex groups
+                # them). An unpartitioned spec means a GLOBAL delete.
+                # Identity transforms carry the partition tuple
+                # verbatim in both the delete's and the data files'
+                # manifest entries, so scoping is an exact tuple match
+                # (VERDICT r14 #2 — this is what Flink CDC writes);
+                # non-identity transforms stay gated: their tuple
+                # comparison needs the transform's typed comparators.
+                eq_scope = None
+                sf = spec_fields.get(mspec_id, None)
+                if sf != []:
+                    if sf is None or any(
+                        pf.get("transform") != "identity" for pf in sf
+                    ):
+                        raise IcebergProtocolError(
+                            "equality delete written under non-identity "
+                            f"partitioned spec {mspec_id} is partition-"
+                            "scoped — the native reader cannot match "
+                            "its partition tuple; use the "
+                            "iceberg-spark connector"
+                        )
+                    part = df_rec.get("partition")
+                    if not isinstance(part, dict) or not part:
+                        raise IcebergProtocolError(
+                            "partition-scoped equality delete entry "
+                            f"under spec {mspec_id} carries no "
+                            "partition tuple — use the iceberg-spark "
+                            "connector"
+                        )
+                    eq_scope = (mspec_id, dict(part))
                 try:
                     eq_cols = [field_names[i] for i in eq_ids]
                 except KeyError as exc:
@@ -464,7 +488,8 @@ def iceberg_snapshot(
                         "or unknown fields — use the connector"
                     ) from exc
                 equality_deletes.append(
-                    {"path": resolved, "seq": seq, "equality_cols": eq_cols}
+                    {"path": resolved, "seq": seq,
+                     "equality_cols": eq_cols, "scope": eq_scope}
                 )
     return {
         "snapshot_id": snap.get("snapshot-id"),
@@ -1112,18 +1137,34 @@ def read_iceberg(
             "left_anti",
         )
     if snap["equality_deletes"]:
-        # data rows carry their file's sequence number via a
-        # (#files)-row broadcast frame on the canonical path (the
-        # file_seqs keys are _resolve outputs, already canonical)
-        seq_rows = list(snap["file_seqs"].items())
+        # data rows carry their file's sequence number AND partition
+        # identity via a (#files)-row broadcast frame on the canonical
+        # path (the file_seqs keys are _resolve outputs, already
+        # canonical). The partition identity is the canonical
+        # (spec-id, partition tuple) string — what a partition-scoped
+        # delete must match exactly (VERDICT r14 #2).
+        def _pid(spec_id: int, part: dict) -> str:
+            return f"{int(spec_id)}|{json.dumps(part, sort_keys=True)}"
+
+        fparts = snap.get("file_partitions") or {}
+        seq_rows = [
+            (p, s,
+             _pid(*fparts[p]) if p in fparts else None)
+            for p, s in snap["file_seqs"].items()
+        ]
         seq_df = F.broadcast(
-            spark.createDataFrame(seq_rows, ["_sfp", "_seq"])
+            spark.createDataFrame(
+                seq_rows, "_sfp string, _seq long, _pid string"
+            )
         )
         tagged = tagged.join(seq_df, tagged["_fp"] == seq_df["_sfp"]).drop(
             "_sfp"
         )
-        # group delete files by their equality-column set; one anti
-        # join per group (real writers use one stable set per table)
+        # group delete files by their equality-column set; ONE anti
+        # join per column set regardless of partition count (Flink CDC
+        # writes one delete file per partition per checkpoint — a join
+        # per partition would explode the plan). Each delete row
+        # carries its scope pid: NULL scope = global delete.
         groups: dict[tuple, list[dict]] = {}
         for d in snap["equality_deletes"]:
             groups.setdefault(tuple(d["equality_cols"]), []).append(d)
@@ -1132,13 +1173,20 @@ def read_iceberg(
                 spark.read.parquet(d["path"]).select(
                     *[F.col(c).alias(f"_e_{c}") for c in eq_cols],
                     F.lit(int(d["seq"])).cast("long").alias("_dseq"),
+                    F.lit(
+                        None if d.get("scope") is None
+                        else _pid(*d["scope"])
+                    ).cast("string").alias("_dpid"),
                 )
                 for d in dels_meta
             ]
             eq_df = parts[0]
             for p in parts[1:]:
                 eq_df = eq_df.unionByName(p)
-            cond = F.col("_dseq") > F.col("_seq")
+            cond = (F.col("_dseq") > F.col("_seq")) & (
+                F.col("_dpid").isNull()
+                | (F.col("_dpid") == F.col("_pid"))
+            )
             for c in eq_cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_e_{c}"))
             tagged = tagged.join(eq_df, cond, "left_anti")

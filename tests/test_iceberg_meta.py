@@ -594,7 +594,7 @@ def test_equality_deletes_respect_sequence_numbers(spark, tmp_path):
     _metadata(t, 1, [s], 5)
     snap = iceberg_snapshot(t)
     assert snap["equality_deletes"] == [
-        {"path": ed, "seq": 2, "equality_cols": ["id"]}
+        {"path": ed, "seq": 2, "equality_cols": ["id"], "scope": None}
     ]
     got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
     # (2, 'b') @ seq 1 dies to the seq-2 delete; (2, 'b2') @ seq 3 lives
@@ -672,15 +672,141 @@ def test_read_iceberg_increment_append_only(spark, ice_table, tmp_path):
         read_iceberg_increment(spark, t, 1, 2)
 
 
-def test_partition_scoped_equality_delete_raises(spark, tmp_path):
-    """ADVICE r13 (medium): the spec scopes an equality delete written
-    under a PARTITIONED spec to its partition — table-global
-    application would silently over-delete matching rows in other
-    partitions. The native reader gates loudly instead; global
-    (unpartitioned-spec) equality deletes keep working (pinned by
-    test_equality_deletes_respect_sequence_numbers)."""
-    t = str(tmp_path / "eqpart")
-    fa = _data_file(t, "data/a.parquet", [1, 2], ["a", "b"], ["en", "fr"])
+_MANIFEST_SCHEMA_V2P = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2v2p",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition",
+                     "type": {"type": "record", "name": "r102p",
+                              "fields": [{"name": "lang",
+                                          "type": ["null", "string"]}]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null",
+                              {"type": "array", "items": "int"}]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _manifest_v2p(table, name, entries):
+    """entries: (status, content, file_path, seq, equality_ids, lang)."""
+    p = os.path.join(table, "metadata", name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    write_avro_file(
+        p,
+        _MANIFEST_SCHEMA_V2P,
+        [
+            {
+                "status": st,
+                "snapshot_id": None,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": c,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": lang},
+                    "record_count": 1,
+                    "equality_ids": eq,
+                },
+            }
+            for st, c, fp, seq, eq, lang in entries
+        ],
+    )
+    return p
+
+
+def _partitioned_metadata(table, snapshots, current, transform="identity"):
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000-uuid",
+        "location": f"file://{table}",
+        "schemas": [_ICE_SCHEMA],
+        "current-schema-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{"name": "lang", "transform": transform,
+                        "source-id": 3, "field-id": 1000}],
+        }],
+        "current-snapshot-id": current,
+        "snapshots": snapshots,
+    }
+    d = os.path.join(table, "metadata")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(d, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+def test_partition_scoped_equality_delete_applies_in_partition_only(
+    spark, tmp_path
+):
+    """VERDICT r14 #2: an equality delete written under an
+    identity-partitioned spec scopes to ITS partition (same spec-id +
+    same partition tuple — DeleteFileIndex semantics). The same key in
+    another partition must SURVIVE, and the strictly-less-than
+    sequence rule still applies inside the partition (a later
+    re-insert survives). This is the Flink-CDC-on-partitioned-v2
+    shape the r13/r14 gate refused to read."""
+    t = str(tmp_path / "eqscope")
+    fa = _data_file(t, "data/en.parquet", [1, 2], ["a", "b"],
+                    ["en", "en"])
+    fb = _data_file(t, "data/fr.parquet", [2, 3], ["c", "d"],
+                    ["fr", "fr"])
+    fc = _data_file(t, "data/en2.parquet", [2], ["e"], ["en"])
+    ed = os.path.join(t, "data/ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), ed)
+    m = _manifest_v2p(
+        t, "m.avro",
+        [
+            (1, 0, f"file://{fa}", 1, None, "en"),   # data, en, seq 1
+            (1, 0, f"file://{fb}", 1, None, "fr"),   # data, fr, seq 1
+            (1, 0, f"file://{fc}", 3, None, "en"),   # re-insert, seq 3
+            (1, 2, f"file://{ed}", 2, [1], "en"),    # eq-del id=2 @ en
+        ],
+    )
+    ml = _manifest_list(t, "ml.avro", [(m, 0)])
+    s = {"snapshot-id": 5, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _partitioned_metadata(t, [s], 5)
+    snap = iceberg_snapshot(t)
+    assert snap["equality_deletes"] == [
+        {"path": ed, "seq": 2, "equality_cols": ["id"],
+         "scope": (0, {"lang": "en"})}
+    ]
+    got = {(r["id"], r["v"], r["lang"])
+           for r in read_iceberg(spark, t).collect()}
+    # (2,'b',en) @ seq 1 dies to the en-scoped seq-2 delete;
+    # (2,'c',fr) SURVIVES (the over-delete the old gate prevented);
+    # (2,'e',en) @ seq 3 survives the seq rule
+    assert got == {(1, "a", "en"), (2, "c", "fr"), (3, "d", "fr"),
+                   (2, "e", "en")}
+
+
+def test_partition_scoped_equality_delete_gates(spark, tmp_path):
+    """The honest remainder of the ADVICE r13 gate: a partitioned-spec
+    equality delete whose manifest entry carries NO partition tuple,
+    or whose spec uses a NON-IDENTITY transform, still raises loudly
+    (scoping needs the tuple / the transform's comparators)."""
+    # (a) no partition tuple in the delete entry
+    t = str(tmp_path / "eqnopart")
+    fa = _data_file(t, "data/a.parquet", [1, 2], ["a", "b"],
+                    ["en", "fr"])
     ed = os.path.join(t, "data/ed.parquet")
     pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), ed)
     m = _manifest_v2(
@@ -693,28 +819,28 @@ def test_partition_scoped_equality_delete_raises(spark, tmp_path):
     ml = _manifest_list(t, "ml.avro", [(m, 0)])
     s = {"snapshot-id": 5, "timestamp-ms": 1,
          "manifest-list": f"file://{ml}", "schema-id": 0}
-    meta = {
-        "format-version": 2,
-        "table-uuid": "0000-uuid",
-        "location": f"file://{t}",
-        "schemas": [_ICE_SCHEMA],
-        "current-schema-id": 0,
-        # spec 0 IS partitioned (identity on lang)
-        "partition-specs": [{
-            "spec-id": 0,
-            "fields": [{"name": "lang", "transform": "identity",
-                        "source-id": 3, "field-id": 1000}],
-        }],
-        "current-snapshot-id": 5,
-        "snapshots": [s],
-    }
-    d = os.path.join(t, "metadata")
-    with open(os.path.join(d, "v1.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(d, "version-hint.text"), "w") as fh:
-        fh.write("1")
-    with pytest.raises(IcebergProtocolError, match="partition-scoped"):
+    _partitioned_metadata(t, [s], 5)
+    with pytest.raises(IcebergProtocolError, match="no.*partition tuple"):
         iceberg_snapshot(t)
+
+    # (b) non-identity transform
+    t2 = str(tmp_path / "eqbucket")
+    fa2 = _data_file(t2, "data/a.parquet", [1], ["a"], ["en"])
+    ed2 = os.path.join(t2, "data/ed.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), ed2)
+    m2 = _manifest_v2p(
+        t2, "m.avro",
+        [
+            (1, 0, f"file://{fa2}", 1, None, "en"),
+            (1, 2, f"file://{ed2}", 2, [1], "en"),
+        ],
+    )
+    ml2 = _manifest_list(t2, "ml.avro", [(m2, 0)])
+    s2 = {"snapshot-id": 5, "timestamp-ms": 1,
+          "manifest-list": f"file://{ml2}", "schema-id": 0}
+    _partitioned_metadata(t2, [s2], 5, transform="bucket[4]")
+    with pytest.raises(IcebergProtocolError, match="non-identity"):
+        iceberg_snapshot(t2)
 
 
 def test_mor_path_identity_relative_root_and_spaces(spark, tmp_path,
