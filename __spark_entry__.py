@@ -9105,6 +9105,105 @@ SELECT * FROM o WHERE cents BETWEEN 500000 AND 15000000
 """
 
 
+def q_delta_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNED copy-on-write MERGE certified END-TO-END
+    (sources/delta_log.py merge_delta — VERDICT r14 #3; ref MERGE
+    parity runner:688-765): the base table lands as 8
+    range-partitioned files via write_delta (per-file PROTOCOL.md
+    stats); the merge source updates a ~1.5% key slice and inserts
+    keys beyond the table's range; merge_delta's two-stage pruning
+    (stats vs the source key range, then the exact
+    `_metadata.file_path` probe) rewrites ONLY the files holding a
+    source key and carries the rest forward in the log. The oracle
+    replays the same deterministic upsert in pure SQL — result parity
+    at any pruning coverage IS the pruned path's soundness claim
+    (`test_merge_delta_is_file_pruned` pins bytes ∝ touched)."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dmp_") + "/tbl"
+    write_delta(orders.repartitionByRange(8, "o_orderkey"), root)
+    updates = orders.filter(F.col("o_orderkey") % 67 == 0).withColumn(
+        "cents", F.col("cents") + 7
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 41 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_orderpriority",
+        (F.col("cents") + 1).alias("cents"),
+    )
+    merge_delta(
+        spark, root, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    return read_delta(spark, root)
+
+
+_DELTA_MERGE_PRUNED_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+upd AS (SELECT o_orderkey, o_orderpriority, cents + 7 AS cents
+        FROM o WHERE o_orderkey % 67 = 0),
+ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderpriority,
+               cents + 1 AS cents
+        FROM o WHERE o_orderkey % 41 = 0),
+src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT * FROM src
+UNION ALL
+SELECT * FROM o
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+"""
+
+
+def q_iceberg_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg twin of `delta_merge_pruned`
+    (sources/iceberg_write.py merge_iceberg — VERDICT r14 #3): the
+    8-file range-partitioned base lands via write_iceberg (manifest
+    column bounds from exact parquet row-group stats); the same
+    update+insert source merges through manifest-bounds pruning + the
+    exact probe, and every untouched file carries forward as an
+    EXISTING manifest entry with its ORIGINAL sequence number
+    (`test_merge_iceberg_is_file_pruned` pins bytes ∝ touched). Read
+    back through the native metadata replay; the oracle replays the
+    upsert in pure SQL."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="imp_") + "/tbl"
+    write_iceberg(orders.repartitionByRange(8, "o_orderkey"), root)
+    updates = orders.filter(F.col("o_orderkey") % 67 == 0).withColumn(
+        "cents", F.col("cents") + 7
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 41 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_orderpriority",
+        (F.col("cents") + 1).alias("cents"),
+    )
+    merge_iceberg(
+        spark, root, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    return read_iceberg(spark, root)
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9115,8 +9214,14 @@ def staged_queries() -> dict:
     standard protocol (pin tests vs exact Python replicas, SCALING.md
     audit row, README line, oracle twin certified at sf0.01 + sf0.1)
     before touching the registry."""
-    return {}
+    return {
+        "delta_merge_pruned": q_delta_merge_pruned,
+        "iceberg_merge_pruned": q_iceberg_merge_pruned,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {
+        "delta_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
+        "iceberg_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
+    }

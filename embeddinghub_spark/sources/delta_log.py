@@ -492,6 +492,7 @@ def _finalize_snapshot(path: str, state: dict) -> dict:
                 "partitionValues": dict(a.get("partitionValues") or {}),
                 "deletionVector": a.get("deletionVector"),
                 "stats": a.get("stats"),
+                "size": int(a.get("size") or 0),
             }
             for a in adds.values()
         ],
@@ -528,6 +529,7 @@ def _scan_file_groups(
     pcols: list[str],
     files: list[dict],
     physical_names: dict[str, str] | None = None,
+    keep_file_path: bool = False,
 ) -> DataFrame:
     """One parquet scan per PARTITION GROUP (files sharing a
     partitionValues assignment read in a single multi-path scan with
@@ -548,7 +550,10 @@ def _scan_file_groups(
     add actions key partitionValues by them), then columns rename to
     the logical schema before anything else sees them."""
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if keep_file_path:
+            empty = empty.withColumn("_fp", F.lit(None).cast("string"))
+        return empty
     # Canonicalize ONCE: the DV anti-join pairs (abs_path, pos) must
     # match Spark's ``_metadata.file_path``, which is always an
     # absolute URI — with a relative or symlinked table path the join
@@ -600,7 +605,7 @@ def _scan_file_groups(
                 F.lit(None) if val is None else F.lit(val)
             ).cast(dtype)
             part = part.withColumn(logical, lit)
-        if deleted:
+        if deleted or keep_file_path:
             # _metadata.file_path is a percent-encoded URI; the shared
             # decoded_file_path_col normalizes it to the literal path
             # that matches the driver-side abs_path strings (one
@@ -610,17 +615,22 @@ def _scan_file_groups(
                 decoded_file_path_col,
             )
 
+            extra = (
+                [F.col("_metadata.row_index").alias("_pos")]
+                if deleted else []
+            )
             part = part.select(
                 *cols,
                 decoded_file_path_col(
                     F.col("_metadata.file_path")
                 ).alias("_fp"),
-                F.col("_metadata.row_index").alias("_pos"),
+                *extra,
             )
         else:
             part = part.select(*cols)
         out = part if out is None else out.unionByName(part)
     if deleted:
+        keep = cols + (["_fp"] if keep_file_path else [])
         dels = spark.createDataFrame(deleted, ["_dfp", "_dpos"])
         out = (
             out.join(
@@ -629,7 +639,7 @@ def _scan_file_groups(
                 & (out["_pos"] == dels["_dpos"]),
                 "left_anti",
             )
-            .select(*cols)
+            .select(*keep)
         )
     return out
 
@@ -735,6 +745,7 @@ def write_delta(
     max_commit_retries: int = 10,
     checkpoint_interval: int | None = 10,
     expected_version: int | None = None,
+    replace_paths: list[str] | None = None,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -766,15 +777,35 @@ def write_delta(
     look).
 
     Honest bounds: single-filesystem semantics (os.link — local/NFS
-    class storage); append or full-overwrite grain (file-pruned
-    row-level ops need the connector); append schema must match the
+    class storage); append, full-overwrite, or file-grain replace
+    (``replace_paths``) — sub-file row-level rewrites (DV writes)
+    need the connector; append schema must match the
     table schema by name+type (raise, never silently widen). The
     repo's own reader (``read_delta``) and any real Delta reader can
-    read the result (add paths are URI-encoded per the protocol)."""
+    read the result (add paths are URI-encoded per the protocol).
+
+    ``replace_paths`` (log-relative encoded paths, exactly as they
+    appear in the snapshot's add actions) is the FILE-GRAIN
+    copy-on-write handle (``merge_delta``): the commit removes exactly
+    those files and adds the staged ones, carrying every other live
+    file forward untouched — the log's delta-based state makes the
+    carry free. Requires ``mode="append"`` (the schema contract) and
+    ``expected_version`` (a racer may have removed or rewritten one of
+    the targets; re-merging is the only sound retry), and every path
+    must be live in the pinned snapshot.
+    """
     import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if replace_paths is not None:
+        if mode != "append":
+            raise ValueError("replace_paths requires mode='append'")
+        if expected_version is None:
+            raise ValueError(
+                "replace_paths requires expected_version (file-grain "
+                "replaces are read-modify-write by construction)"
+            )
     partition_by = list(partition_by or [])
     for c in partition_by:
         if c not in df.columns:
@@ -971,8 +1002,31 @@ def write_delta(
                         }
                     }
                 )
+        if replace_paths is not None:
+            if snap is None:
+                raise ValueError(
+                    "replace_paths on a table that does not exist"
+                )
+            live = {f["path"] for f in snap["files"]}
+            gone = sorted(set(replace_paths) - live)
+            if gone:
+                raise ConcurrentWriteError(
+                    f"replace_paths not live at version "
+                    f"{snap['version']}: {gone[:3]}"
+                )
+            for rp in sorted(set(replace_paths)):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rp,
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
         actions.extend(adds)
-        actions.append({"commitInfo": {"operation": mode.upper()}})
+        op = "MERGE" if replace_paths is not None else mode.upper()
+        actions.append({"commitInfo": {"operation": op}})
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if _atomic_claim_commit(log_dir, version, payload):
             if (
@@ -1228,33 +1282,104 @@ def merge_delta(
     """MERGE upsert into a native Delta table — S12 semantics (WHEN
     MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
     `tables.merge_upsert_df` is the shared DataFrame expression)
-    committed as ONE Delta overwrite transaction: removes of every
-    active file + adds of the rebuilt state in a single put-if-absent
-    commit, so readers see the old snapshot or the new one, never a
-    gap — the atomicity the session-catalog fallback in
-    `merge_upsert_table` honestly cannot give, delivered here by the
-    log protocol itself (and still without the connector JAR; a real
-    `MERGE INTO` with file-level pruning still needs delta-spark).
+    committed as ONE put-if-absent transaction, so readers see the old
+    snapshot or the new one, never a gap.
+
+    FILE-PRUNED copy-on-write (VERDICT r14 #3): only the files that
+    can contain a source key are rewritten; every other live file
+    carries forward untouched (free in Delta's delta-based log), so a
+    0.1% upsert writes ~0.1% of the table, not all of it. Two-stage
+    pruning:
+
+    1. STATS: a file whose recorded per-column min/max provably miss
+       the source's key range is never read (`range_excluded` — the
+       same machinery as data skipping; files without stats are
+       always candidates, so pruning only ever under-prunes).
+    2. EXACT PROBE: the candidates are scanned once and semi-joined
+       with the distinct source keys via `_metadata.file_path`; only
+       files that ACTUALLY contain a source key are rewritten.
+
+    Soundness of the file-local merge: the probe guarantees untouched
+    files contain NO source key, so `merge_upsert_df(touched_rows,
+    source)` updates every match and inserts every unmatched source
+    row exactly once — identical output to the full rebuild (pinned).
 
     Returns the committed version. Time travel keeps working: the
-    pre-merge state is the previous version.
+    pre-merge state is the previous version. Read-modify-write safety:
+    the commit pins `expected_version` to the snapshot the merge was
+    computed against — a concurrent commit in between raises
+    `ConcurrentWriteError` (re-invoke to retry) instead of silently
+    dropping the winner's rows or removing a file it rewrote.
     """
+    from embeddinghub_spark.sources.scan_prune import range_excluded
     from embeddinghub_spark.sources.tables import merge_upsert_df
 
     snap = delta_snapshot(path)
-    target = read_delta(spark, path, version=snap["version"])
+    files = snap["files"]
+    pcols = snap["partition_columns"]
+
+    def _bounds(f: dict) -> dict:
+        raw = f.get("stats")
+        if not raw:
+            return {}
+        try:
+            stats = json.loads(raw)
+        except (TypeError, ValueError):
+            return {}
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        return {
+            c: (mins.get(c), maxs.get(c)) for c in set(mins) | set(maxs)
+        }
+
+    # stage 1: source key ranges (one tiny agg job) prune by stats
+    rng_row = source.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in key_cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in key_cols],
+    ).collect()[0]
+    key_ranges = {
+        c: (rng_row[f"_lo_{c}"], rng_row[f"_hi_{c}"]) for c in key_cols
+    }
+    usable = {
+        c: r for c, r in key_ranges.items()
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in r)
+    }
+    candidates = (
+        [f for f in files if not range_excluded(_bounds(f), usable)]
+        if usable else list(files)
+    )
+    # stage 2: exact probe — which candidates really hold a source key
+    touched: list[dict] = []
+    if candidates:
+        probe = _scan_file_groups(
+            spark, path, snap["schema"], pcols, candidates,
+            snap.get("physical_names"), keep_file_path=True,
+        )
+        hit_fps = {
+            r["_fp"]
+            for r in probe.select("_fp", *key_cols)
+            .join(source.select(*key_cols).distinct(), key_cols,
+                  "left_semi")
+            .select("_fp").distinct().collect()
+        }
+        root_real = os.path.realpath(os.path.abspath(path))
+        touched = [
+            f for f in candidates
+            if os.path.join(root_real, _decode_path(f["path"])) in hit_fps
+        ]
+    target = _scan_file_groups(
+        spark, path, snap["schema"], pcols, touched,
+        snap.get("physical_names"),
+    )
     merged = merge_upsert_df(target, source, key_cols)
-    # read-modify-write: pin the commit to the snapshot we merged
-    # against — a concurrent commit in between would otherwise have
-    # its files removed by our overwrite WITHOUT its rows being in
-    # the rebuild (silent loss; review find, r12). On
-    # ConcurrentWriteError the caller re-invokes merge_delta.
     return write_delta(
         merged,
         path,
-        mode="overwrite",
-        partition_by=snap["partition_columns"],
+        mode="append",
+        partition_by=pcols,
         expected_version=snap["version"],
+        replace_paths=[f["path"] for f in touched],
     )
 
 

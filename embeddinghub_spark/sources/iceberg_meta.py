@@ -349,6 +349,7 @@ def iceberg_snapshot(
         return {
             "snapshot_id": None, "schema": schema, "files": [],
             "file_seqs": {}, "file_partitions": {}, "file_bounds": {},
+            "file_rows": {}, "file_sizes": {},
             "spec_fields": {}, "position_deletes": [],
             "equality_deletes": [],
             "field_names": {
@@ -361,6 +362,8 @@ def iceberg_snapshot(
 
     files: list[str] = []
     file_seqs: dict[str, int] = {}
+    file_rows: dict[str, int] = {}
+    file_sizes: dict[str, int] = {}
     file_partitions: dict[str, tuple[int, dict]] = {}
     file_bounds: dict[str, dict] = {}
     position_deletes: list[str] = []
@@ -425,6 +428,10 @@ def iceberg_snapshot(
             if kind == 0:
                 files.append(resolved)
                 file_seqs[resolved] = seq
+                file_rows[resolved] = int(df_rec.get("record_count") or 0)
+                file_sizes[resolved] = int(
+                    df_rec.get("file_size_in_bytes") or 0
+                )
                 part = df_rec.get("partition")
                 if isinstance(part, dict) and part:
                     file_partitions[resolved] = (mspec_id, dict(part))
@@ -498,6 +505,8 @@ def iceberg_snapshot(
         "file_seqs": file_seqs,
         "file_partitions": file_partitions,
         "file_bounds": file_bounds,
+        "file_rows": file_rows,
+        "file_sizes": file_sizes,
         "spec_fields": spec_fields,
         "field_names": field_names,
         "position_deletes": position_deletes,

@@ -1222,3 +1222,59 @@ def test_vacuum_delta_removes_only_old_unreferenced_files(spark,
         == {(2, "b")}
     with pytest.raises(Exception):
         read_delta(spark, t, version=0).collect()
+
+
+def test_merge_delta_is_file_pruned(spark, tmp_path):
+    """VERDICT r14 #3: a ~1%-churn MERGE rewrites only the files that
+    actually contain a source key — bytes written are proportional to
+    the touched files, not the table — while the result is identical
+    to a full rebuild and every untouched file carries forward
+    byte-for-byte (same add path, never rewritten)."""
+    from embeddinghub_spark.sources.delta_log import (
+        merge_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "pruned")
+    base = spark.range(0, 2000).selectExpr(
+        "id", "concat('v', id) AS v"
+    ).repartitionByRange(20, "id")
+    write_delta(base, t)
+    before = delta_snapshot(t)
+    assert len(before["files"]) == 20
+    tbl_bytes = sum(f["size"] for f in before["files"])
+
+    src = spark.createDataFrame(
+        [(5, "UP5"), (1998, "UP1998"), (5000, "NEW")], "id long, v string"
+    )
+    v = merge_delta(spark, t, src, key_cols=["id"])
+    after = delta_snapshot(t)
+
+    before_paths = {f["path"] for f in before["files"]}
+    after_paths = {f["path"] for f in after["files"]}
+    removed = before_paths - after_paths
+    added = [f for f in after["files"] if f["path"] not in before_paths]
+    # ids 5 and 1998 live in one range-partitioned file each
+    assert 1 <= len(removed) <= 2, removed
+    assert len(before_paths & after_paths) >= 18, "untouched files moved"
+    added_bytes = sum(f["size"] for f in added)
+    assert added_bytes <= 0.3 * tbl_bytes, (added_bytes, tbl_bytes)
+
+    # result ≡ full rebuild
+    got = {(r["id"], r["v"])
+           for r in read_delta(spark, t, version=v).collect()}
+    expect = {(i, f"v{i}") for i in range(2000) if i not in (5, 1998)}
+    expect |= {(5, "UP5"), (1998, "UP1998"), (5000, "NEW")}
+    assert got == expect
+    # time travel to the pre-merge version still serves the old state
+    old = {(r["id"], r["v"])
+           for r in read_delta(spark, t, version=before["version"])
+           .collect()}
+    assert old == {(i, f"v{i}") for i in range(2000)}
+    # insert-only merge (no key overlap): zero removes, one small add
+    src2 = spark.createDataFrame([(7777, "NEW2")], "id long, v string")
+    merge_delta(spark, t, src2, key_cols=["id"])
+    after2 = delta_snapshot(t)
+    assert after_paths <= {f["path"] for f in after2["files"]}, (
+        "insert-only merge must not rewrite any live file"
+    )

@@ -650,3 +650,64 @@ def test_review_r14_fixes(spark, tmp_path):
     for key in ("files", "file_seqs", "file_partitions", "file_bounds",
                 "position_deletes", "equality_deletes", "spec_fields"):
         assert key in snap, key
+
+
+def test_merge_iceberg_is_file_pruned(spark, tmp_path):
+    """VERDICT r14 #3, Iceberg side: a small-churn MERGE rewrites only
+    the files that actually contain a source key; every other file
+    carries forward as an EXISTING manifest entry with its ORIGINAL
+    sequence number (no data bytes rewritten), the result is identical
+    to a full rebuild, and time travel to the pre-merge snapshot still
+    serves the old state."""
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "prunedice")
+    base = spark.range(0, 2000).selectExpr(
+        "id", "concat('v', id) AS v"
+    ).repartitionByRange(20, "id")
+    write_iceberg(base, t)
+    before = iceberg_snapshot(t)
+    assert len(before["files"]) == 20
+    tbl_bytes = sum(before["file_sizes"].values())
+
+    src = spark.createDataFrame(
+        [(5, "UP5"), (1998, "UP1998"), (5000, "NEW")], "id long, v string"
+    )
+    sid = merge_iceberg(spark, t, src, key_cols=["id"])
+    after = iceberg_snapshot(t)
+    assert after["snapshot_id"] == sid
+
+    before_paths = set(before["files"])
+    after_paths = set(after["files"])
+    removed = before_paths - after_paths
+    added = sorted(after_paths - before_paths)
+    carried = before_paths & after_paths
+    # ids 5 and 1998 live in one range-partitioned file each
+    assert 1 <= len(removed) <= 2, removed
+    assert len(carried) >= 18, "untouched files must carry forward"
+    # carried files keep their ORIGINAL sequence numbers
+    for f in carried:
+        assert after["file_seqs"][f] == before["file_seqs"][f]
+    # and their manifest column bounds survive the re-encode
+    for f in carried:
+        if before["file_bounds"].get(f):
+            assert after["file_bounds"].get(f), f
+    added_bytes = sum(after["file_sizes"][f] for f in added)
+    assert added_bytes <= 0.3 * tbl_bytes, (added_bytes, tbl_bytes)
+
+    # result ≡ full rebuild
+    got = _rows(read_iceberg(spark, t))
+    expect = {(i, f"v{i}") for i in range(2000) if i not in (5, 1998)}
+    expect |= {(5, "UP5"), (1998, "UP1998"), (5000, "NEW")}
+    assert got == expect
+    # pre-merge snapshot still time-travelable
+    old = _rows(read_iceberg(spark, t,
+                             snapshot_id=before["snapshot_id"]))
+    assert old == {(i, f"v{i}") for i in range(2000)}
+    # insert-only merge: zero data files rewritten
+    src2 = spark.createDataFrame([(7777, "NEW2")], "id long, v string")
+    merge_iceberg(spark, t, src2, key_cols=["id"])
+    after2 = iceberg_snapshot(t)
+    assert after_paths <= set(after2["files"]), (
+        "insert-only merge must not rewrite any live file"
+    )
