@@ -955,3 +955,37 @@ def test_rename_history_without_mapping_raises(spark, tmp_path):
     t = _rename_fixture(tmp_path, with_mapping=False)
     with pytest.raises(IcebergProtocolError, match="rename history"):
         read_iceberg(spark, t).collect()
+
+
+def test_footer_grouping_distributed_path_identical(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 #6: above the file-count threshold the
+    name-signature footer scan runs as ONE Spark job instead of a
+    driver loop; the two paths must produce identical reads. Forced
+    here by dropping the threshold to 0 on a partitioned native table
+    (the shape whose reads always take the footer-grouping path)."""
+    import embeddinghub_spark.sources.iceberg_meta as im
+    from embeddinghub_spark.sources.iceberg_write import write_iceberg
+
+    t = str(tmp_path / "dfoot")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "id long, bucket int, v string",
+    ).repartition(4)
+    write_iceberg(df, t, partition_by=["bucket"])
+
+    # driver path (default threshold)
+    driver_rows = {(r["id"], r["bucket"], r["v"])
+                   for r in read_iceberg(spark, t).collect()}
+    # distributed path (threshold 0 → every read fans out)
+    monkeypatch.setattr(im, "_FOOTER_GROUP_DISTRIBUTED_THRESHOLD", 0)
+    dist_rows = {(r["id"], r["bucket"], r["v"])
+                 for r in read_iceberg(spark, t).collect()}
+    assert dist_rows == driver_rows
+    assert dist_rows == {(i, i % 3, f"v{i}") for i in range(30)}
+    # the helper itself agrees path-by-path
+    snap = iceberg_snapshot(t)
+    a = im._physical_name_sets(spark, snap["files"], threshold=10**9)
+    b = im._physical_name_sets(spark, snap["files"], threshold=0)
+    assert a == b
