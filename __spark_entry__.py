@@ -8960,10 +8960,11 @@ def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_delta; the reference's runner MERGEs materialization deltas
     into Iceberg tables, runner:688-765): create the table from the
     orders slice through write_iceberg, merge an update+insert source
-    as ONE overwrite snapshot pinned to the pre-merge snapshot id
-    (read-modify-write safety), and read the result back through the
-    native metadata replay. The oracle replays the same deterministic
-    upsert in pure SQL."""
+    as ONE snapshot pinned to the pre-merge snapshot id
+    (read-modify-write safety; FILE-PRUNED copy-on-write since r15 —
+    untouched files carry forward as EXISTING manifest entries), and
+    read the result back through the native metadata replay. The
+    oracle replays the same deterministic upsert in pure SQL."""
     import tempfile
 
     from embeddinghub_spark.sources.iceberg_meta import read_iceberg

@@ -21,13 +21,16 @@ Scope (honestly bounded, checked at read time):
 - Reads, version time travel, version-incremental reads over
   append-only ranges (``read_delta_increment``), append/overwrite
   WRITES (``write_delta`` — put-if-absent commit claim, single-
-  filesystem semantics), and MERGE upsert as one atomic overwrite
-  transaction (``merge_delta`` — full-rebuild grain), plus checkpoint
-  WRITING (``write_delta_checkpoint``; ``write_delta`` auto-
-  checkpoints every ``checkpoint_interval`` commits, the connector's
-  default cadence, so log replay stays bounded). File-pruned
-  row-level MERGE and CDF still need the connector (or this repo's
-  own S10/S12 table fallbacks).
+  filesystem semantics), and MERGE upsert as one atomic transaction
+  (``merge_delta`` — FILE-PRUNED copy-on-write since r15: per-file
+  stats + an exact key probe select the touched files; the commit's
+  ``replace_paths`` removes/adds exactly those, carrying every other
+  live file forward), plus checkpoint WRITING
+  (``write_delta_checkpoint``; ``write_delta`` auto-checkpoints every
+  ``checkpoint_interval`` commits, the connector's default cadence,
+  so log replay stays bounded). Sub-file row-level rewrites (DV
+  writes) and CDF still need the connector (or this repo's own
+  S10/S12 table fallbacks).
 - DELETION VECTORS read natively: the DV descriptor (inline / UUID /
   path storage, z85 payloads) decodes through the pure-Python Roaring
   codec (`sources/roaring.py` — cross-validated against
@@ -844,6 +847,16 @@ def write_delta(
         staging AND on every retry re-snapshot (a racing writer can
         CREATE the table, or change its schema, between our first
         look and our commit attempt — review find, r12)."""
+        if s.get("physical_names"):
+            # a column-mapped table stores PHYSICAL column names in
+            # its files; this writer stages under logical names, so a
+            # commit would read back as silent NULLs for every mapped
+            # column (review find r15)
+            raise DeltaProtocolError(
+                "writes to columnMapping tables need the delta-spark "
+                "connector — this writer stages files under logical "
+                "column names"
+            )
         if set(s["partition_columns"]) != set(partition_by):
             raise ValueError(
                 f"partition_by {partition_by} does not match the table's "

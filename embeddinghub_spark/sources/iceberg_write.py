@@ -601,8 +601,16 @@ def write_iceberg(
                     for f in s.get("fields") or []:
                         seen_fields.setdefault(f["name"], f)
                         issued.append(int(f["id"]))
-                        if isinstance(f["type"], dict):
-                            issued.append(int(f["type"]["element-id"]))
+                        t = f["type"]
+                        if isinstance(t, dict):
+                            # historical schemas may carry types this
+                            # writer gates (struct/map, from a
+                            # connector) — collect whatever nested ids
+                            # they expose, never assume list shape
+                            for k in ("element-id", "key-id",
+                                      "value-id"):
+                                if k in t:
+                                    issued.append(int(t[k]))
                 next_free = max(issued) + 1
                 remapped = []
                 for f in ice_schema["fields"]:
@@ -633,6 +641,65 @@ def write_iceberg(
                 last_column_id = next_free - 1
 
         prev_snaps = (prev_meta or {}).get("snapshots") or []
+        if carry_files is not None:
+            if prev_meta is None:
+                raise ValueError(
+                    "carry_files on a table that does not exist"
+                )
+            # carried files keep serving under the NEW snapshot's
+            # schema by-name: a changed schema would silently read
+            # them as NULLs for renamed/retyped columns — require
+            # name+type equality with the current schema (the append
+            # contract; merge_iceberg always satisfies it)
+            cur0 = next(
+                (s for s in cur_schemas0
+                 if s.get("schema-id")
+                 == prev_meta.get("current-schema-id")),
+                None,
+            )
+            ours0 = [
+                (f["name"],
+                 json.dumps(_type_sans_ids(f["type"]), sort_keys=True))
+                for f in ice_schema["fields"]
+            ]
+            theirs0 = [
+                (f["name"],
+                 json.dumps(_type_sans_ids(f["type"]), sort_keys=True))
+                for f in (cur0 or {}).get("fields") or []
+            ]
+            if ours0 != theirs0:
+                raise IcebergWriteError(
+                    "carry_files requires the DataFrame schema to "
+                    f"match the table's current schema: table has "
+                    f"{theirs0}, DataFrame has {ours0}"
+                )
+            # a live DELETE manifest scopes rows out of the carried
+            # files; the overwrite manifest list references only our
+            # new data manifest, so carrying files past their delete
+            # files would silently RESURRECT deleted rows. Loud gate;
+            # merge_iceberg routes delete-bearing tables to the full
+            # rebuild before ever reaching here.
+            cur_snap0 = next(
+                (s for s in prev_snaps
+                 if s["snapshot-id"]
+                 == prev_meta.get("current-snapshot-id")),
+                None,
+            )
+            if cur_snap0 is not None and cur_snap0.get("manifest-list"):
+                import re as _re
+
+                ml0 = _re.sub(
+                    r"^file:/*", "/", cur_snap0["manifest-list"]
+                )
+                _, ml0_rows = read_avro_file(ml0)
+                if any(int(r.get("content") or 0) == 1
+                       for r in ml0_rows):
+                    raise IcebergProtocolError(
+                        "carry_files over a snapshot with live DELETE "
+                        "manifests would resurrect deleted rows — "
+                        "apply the deletes first (full-rebuild "
+                        "overwrite) or use the connector"
+                    )
         snapshot_id = max(
             [int(s["snapshot-id"]) for s in prev_snaps], default=0
         ) + 1

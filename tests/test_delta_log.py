@@ -995,6 +995,15 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert out.columns == ["id", "v", "lang"]
     got = {(r["id"], r["v"], r["lang"]) for r in out.collect()}
     assert got == {(1, "x", "en"), (2, "y", "en")}
+    # WRITES to a column-mapped table gate loudly (review find r15):
+    # this writer stages files under LOGICAL names, which a mapped
+    # reader would resolve to silent NULLs for every column
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    df = spark.createDataFrame([(3, "z", "fr")],
+                               "id long, v string, lang string")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        write_delta(df, t, mode="append", partition_by=["lang"])
 
 
 def test_column_mapping_nested_raises(spark, tmp_path):

@@ -502,6 +502,15 @@ def test_position_deletes_applied_exactly(spark, tmp_path):
     assert len(snap["position_deletes"]) == 1
     got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
     assert got == {(1, "a"), (3, "c"), (5, "e")}
+    # carry_files over a snapshot with live delete manifests would
+    # resurrect the deleted rows — the write-level gate is loud
+    # (merge_iceberg routes delete-bearing tables to the full rebuild
+    # before reaching it)
+    from embeddinghub_spark.sources.iceberg_write import write_iceberg
+
+    df = spark.createDataFrame([(9, "z", "en")], "id long, v string, lang string")
+    with pytest.raises(IcebergProtocolError, match="resurrect"):
+        write_iceberg(df, t, mode="overwrite", carry_files=[])
 
 
 def test_equality_deletes_still_raise(spark, tmp_path):

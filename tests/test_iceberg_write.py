@@ -711,3 +711,29 @@ def test_merge_iceberg_is_file_pruned(spark, tmp_path):
     assert after_paths <= set(after2["files"]), (
         "insert-only merge must not rewrite any live file"
     )
+
+
+def test_carry_files_gates(spark, tmp_path):
+    """carry_files contracts (review r15): overwrite-only, table must
+    exist, and the DataFrame schema must match the current schema by
+    name+type — a changed schema would silently read carried files as
+    NULLs for renamed columns."""
+    from embeddinghub_spark.sources.iceberg_write import write_iceberg
+
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        write_iceberg(_df(spark, [(1, "a")]), str(tmp_path / "x"),
+                      carry_files=[])
+    with pytest.raises(ValueError, match="does not exist"):
+        write_iceberg(_df(spark, [(1, "a")]), str(tmp_path / "y"),
+                      mode="overwrite", carry_files=[])
+    t = str(tmp_path / "c")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    with pytest.raises(IcebergWriteError, match="carry_files requires"):
+        write_iceberg(
+            spark.createDataFrame([(1, 2.0)], ["id", "score"]), t,
+            mode="overwrite", carry_files=[],
+        )
+    # matching schema with empty carry == plain overwrite, still fine
+    write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite",
+                  carry_files=[])
+    assert _rows(read_iceberg(spark, t)) == {(9, "z")}
