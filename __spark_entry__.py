@@ -9256,6 +9256,77 @@ def q_iceberg_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, root)
 
 
+def q_delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE certified END-TO-END (sources/delta_log.py
+    compact_delta — the connector's small-file bin-packing, r15):
+    two appends land the orders slice as 12 small files; compaction
+    rewrites them into ~1 range-clustered file (sort_by tightens the
+    per-file stats that range_filter skipping prunes on) in ONE
+    rearrangement-only commit (adds AND removes dataChange:false, so
+    incremental readers see nothing — pinned in pytest). The oracle is
+    the plain slice SELECT: compaction must preserve content exactly,
+    whatever the file layout became."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dcomp_") + "/tbl"
+    write_delta(orders.filter(F.col("o_orderkey") % 2 == 0)
+                .repartition(6), root)
+    write_delta(orders.filter(F.col("o_orderkey") % 2 == 1)
+                .repartition(6), root, mode="append")
+    compact_delta(spark, root, target_file_bytes=1 << 30,
+                  sort_by=["o_orderkey"])
+    return read_delta(spark, root)
+
+
+_COMPACT_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+
+
+def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewriteDataFiles certified END-TO-END (sources/iceberg_write.py
+    compact_iceberg, r15): the same 12-small-file orders table through
+    the native Iceberg writer, compacted into range-clustered files
+    whose manifest column bounds come out tight (what manifest-level
+    range_filter pruning keys on); untouched-large-file carry and
+    MoR-delete purge semantics are pytest-pinned. The oracle is the
+    plain slice SELECT — content preservation is the claim."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import (
+        compact_iceberg,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="icomp_") + "/tbl"
+    write_iceberg(orders.filter(F.col("o_orderkey") % 2 == 0)
+                  .repartition(6), root)
+    write_iceberg(orders.filter(F.col("o_orderkey") % 2 == 1)
+                  .repartition(6), root, mode="append")
+    compact_iceberg(spark, root, target_file_bytes=1 << 30,
+                    sort_by=["o_orderkey"])
+    return read_iceberg(spark, root)
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9269,6 +9340,8 @@ def staged_queries() -> dict:
     return {
         "delta_merge_pruned": q_delta_merge_pruned,
         "iceberg_merge_pruned": q_iceberg_merge_pruned,
+        "delta_compact": q_delta_compact,
+        "iceberg_compact": q_iceberg_compact,
     }
 
 
@@ -9276,4 +9349,6 @@ def staged_oracle_sql() -> dict:
     return {
         "delta_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
         "iceberg_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
+        "delta_compact": _COMPACT_ORACLE,
+        "iceberg_compact": _COMPACT_ORACLE,
     }

@@ -749,6 +749,7 @@ def write_delta(
     checkpoint_interval: int | None = 10,
     expected_version: int | None = None,
     replace_paths: list[str] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -796,6 +797,12 @@ def write_delta(
     ``expected_version`` (a racer may have removed or rewritten one of
     the targets; re-merging is the only sound retry), and every path
     must be live in the pinned snapshot.
+
+    ``data_change=False`` marks the commit's adds AND its
+    replace-removes as rearrangement-only (PROTOCOL.md
+    ``dataChange``) — what compaction commits — so append-only
+    incremental readers correctly skip them. Overwrite removes are
+    always data-changing.
     """
     import uuid
 
@@ -938,7 +945,7 @@ def write_delta(
                         "partitionValues": pvals,
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
+                        "dataChange": bool(data_change),
                         "stats": json.dumps(stats),
                     }
                 }
@@ -1033,12 +1040,15 @@ def write_delta(
                         "remove": {
                             "path": rp,
                             "deletionTimestamp": 0,
-                            "dataChange": True,
+                            "dataChange": bool(data_change),
                         }
                     }
                 )
         actions.extend(adds)
-        op = "MERGE" if replace_paths is not None else mode.upper()
+        if replace_paths is not None:
+            op = "MERGE" if data_change else "OPTIMIZE"
+        else:
+            op = mode.upper()
         actions.append({"commitInfo": {"operation": op}})
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if _atomic_claim_commit(log_dir, version, payload):
@@ -1393,6 +1403,75 @@ def merge_delta(
         partition_by=pcols,
         expected_version=snap["version"],
         replace_paths=[f["path"] for f in touched],
+    )
+
+
+def compact_delta(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+    sort_by: list[str] | None = None,
+) -> int | None:
+    """OPTIMIZE — bin-pack small files into ~``target_file_bytes``
+    files in ONE rearrangement-only commit (the connector's
+    ``OPTIMIZE``): every live file smaller than the target is
+    rewritten into ceil(bytes/target) files; larger files carry
+    forward untouched (free in the delta-based log). The commit's
+    adds AND removes carry ``dataChange: false``, so
+    ``read_delta_increment`` correctly sees nothing and
+    ``read_delta_changes`` emits no rows (values unchanged).
+
+    ``sort_by`` additionally RANGE-CLUSTERS the rewritten rows
+    (``repartitionByRange`` + ``sortWithinPartitions`` — the
+    OPTIMIZE ZORDER shape for one dimension, or pre-compute
+    ``functions.zorder_key`` and pass it here for multi-column
+    locality): the rewritten files get tight, mostly-disjoint
+    per-file stats, which is exactly what ``read_delta
+    (range_filter=…)`` data skipping prunes on.
+
+    Files whose deletion vector is live are ALSO rewritten regardless
+    of size — compaction materializes the DV (the connector's PURGE):
+    the rewritten file carries only live rows and no DV.
+
+    Returns the committed version, or None when there is nothing to
+    do (fewer than ``min_files`` candidates and no DVs). Concurrency:
+    the commit pins ``expected_version``; a concurrent writer raises
+    ``ConcurrentWriteError`` (re-invoke — compaction is idempotent in
+    effect)."""
+    import math
+
+    snap = delta_snapshot(path)
+    pcols = snap["partition_columns"]
+    small = [
+        f for f in snap["files"]
+        if int(f.get("size") or 0) < int(target_file_bytes)
+        or f.get("deletionVector")
+    ]
+    has_dv = any(f.get("deletionVector") for f in small)
+    if len(small) < max(2, int(min_files)) and not has_dv:
+        return None
+    rows = _scan_file_groups(
+        spark, path, snap["schema"], pcols, small,
+        snap.get("physical_names"),
+    )
+    total = sum(int(f.get("size") or 0) for f in small)
+    n_out = max(1, math.ceil(total / int(target_file_bytes)))
+    if sort_by:
+        rows = rows.repartitionByRange(
+            n_out, *[F.col(c) for c in sort_by]
+        ).sortWithinPartitions(*sort_by)
+    else:
+        rows = rows.repartition(n_out)
+    return write_delta(
+        rows,
+        path,
+        mode="append",
+        partition_by=pcols,
+        expected_version=snap["version"],
+        replace_paths=[f["path"] for f in small],
+        data_change=False,
     )
 
 

@@ -1403,3 +1403,131 @@ def merge_iceberg(
         expected_snapshot_id=snap["snapshot_id"],
         carry_files=carry,
     )
+
+
+def compact_iceberg(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+    sort_by: list[str] | None = None,
+) -> int | None:
+    """rewriteDataFiles — bin-pack small data files into
+    ~``target_file_bytes`` files in ONE snapshot (the connector's
+    ``rewriteDataFiles``): every live file smaller than the target is
+    rewritten; larger files carry forward as EXISTING manifest entries
+    with their ORIGINAL sequence numbers (``write_iceberg
+    (carry_files=…)``), so bytes written ∝ the small-file backlog.
+
+    ``sort_by`` range-clusters the rewritten rows so their manifest
+    column bounds come out tight and mostly disjoint — what
+    ``read_iceberg(range_filter=…)`` manifest pruning keys on
+    (pre-compute ``functions.zorder_key`` for multi-column locality).
+
+    Tables with live MoR deletes or files from an EVOLVED partition
+    spec take a FULL rewrite through the MoR-applying reader instead
+    — that is the real ``rewriteDataFiles``'s delete-compaction job:
+    the new snapshot carries no delete manifests because the deletes
+    are materialized into the rewritten files.
+
+    Returns the committed snapshot id, or None when there is nothing
+    to do. Concurrency: pins ``expected_snapshot_id``; a concurrent
+    commit raises ``IcebergWriteError`` (re-invoke)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        _scan_parquet,
+        iceberg_snapshot,
+        read_iceberg,
+    )
+
+    snap = iceberg_snapshot(path)
+    meta = snap["metadata"]
+    specs = meta.get("partition-specs") or []
+    cur_spec = next(
+        (s for s in specs
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else {"spec-id": 0, "fields": []},
+    )
+    cur_schema = next(
+        (s for s in meta.get("schemas") or []
+         if s.get("schema-id") == meta.get("current-schema-id")),
+        {"fields": []},
+    )
+    name_by_id = {
+        int(f["id"]): f["name"] for f in cur_schema.get("fields") or []
+    }
+    partition_by = []
+    for pf in cur_spec.get("fields") or []:
+        if pf.get("transform") != "identity":
+            raise IcebergProtocolError(
+                f"partition transform {pf.get('transform')!r} not "
+                "supported by the native writer — use the connector"
+            )
+        partition_by.append(name_by_id[int(pf["source-id"])])
+
+    fparts = snap.get("file_partitions") or {}
+    cur_spec_id = int(cur_spec.get("spec-id", 0))
+    multi_spec = any(
+        int((fparts.get(f) or (cur_spec_id, {}))[0]) != cur_spec_id
+        for f in snap["files"]
+    )
+    mor = bool(snap["position_deletes"] or snap["equality_deletes"])
+    sizes = snap.get("file_sizes") or {}
+
+    def _shape(rows_df, n_out: int):
+        if sort_by:
+            return rows_df.repartitionByRange(
+                n_out, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        return rows_df.repartition(n_out)
+
+    if mor or multi_spec:
+        # full purge rewrite: deletes materialize into the new files,
+        # evolved-spec files re-express under the current spec
+        rows = read_iceberg(spark, path,
+                            snapshot_id=snap["snapshot_id"])
+        total = sum(int(sizes.get(f) or 0) for f in snap["files"])
+        n_out = max(1, math.ceil(total / int(target_file_bytes)))
+        return write_iceberg(
+            _shape(rows, n_out),
+            path,
+            mode="overwrite",
+            partition_by=partition_by,
+            expected_snapshot_id=snap["snapshot_id"],
+        )
+
+    small = [
+        f for f in snap["files"]
+        if int(sizes.get(f) or 0) < int(target_file_bytes)
+    ]
+    if len(small) < max(2, int(min_files)):
+        return None
+    rows = _scan_parquet(spark, snap, small)
+    total = sum(int(sizes.get(f) or 0) for f in small)
+    n_out = max(1, math.ceil(total / int(target_file_bytes)))
+    bounds = snap.get("file_bounds") or {}
+    small_set = set(small)
+    carry = [
+        {
+            "path": f,
+            "rows": snap["file_rows"].get(f, 0),
+            "size": sizes.get(f, 0),
+            "partition": (fparts.get(f) or (None, {}))[1],
+            "bounds": bounds.get(f) or {},
+            "seq": snap["file_seqs"].get(f, 0),
+        }
+        for f in snap["files"]
+        if f not in small_set
+    ]
+    return write_iceberg(
+        _shape(rows, n_out),
+        path,
+        mode="overwrite",
+        partition_by=partition_by,
+        expected_snapshot_id=snap["snapshot_id"],
+        carry_files=carry,
+    )

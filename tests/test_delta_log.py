@@ -1287,3 +1287,122 @@ def test_merge_delta_is_file_pruned(spark, tmp_path):
     assert after_paths <= {f["path"] for f in after2["files"]}, (
         "insert-only merge must not rewrite any live file"
     )
+
+
+def test_compact_delta_optimize_semantics(spark, tmp_path):
+    """OPTIMIZE (r15): small files bin-pack into one rearrangement-
+    only commit — large files carry forward, rows identical, the
+    commit is dataChange:false throughout, so append-only incremental
+    readers see NOTHING and the CDF diff emits NOTHING."""
+    from embeddinghub_spark.sources.delta_log import (
+        compact_delta,
+        read_delta_changes,
+        read_delta_increment,
+        write_delta,
+    )
+
+    t = str(tmp_path / "opt")
+    write_delta(
+        spark.range(0, 200).selectExpr("id", "concat('v', id) AS v")
+        .repartition(10),
+        t,
+    )
+    write_delta(
+        spark.range(200, 5200).selectExpr("id", "concat('v', id) AS v")
+        .repartition(1),
+        t, mode="append",
+    )
+    before = delta_snapshot(t)
+    assert len(before["files"]) == 11
+    big = max(before["files"], key=lambda f: f["size"])
+
+    v = compact_delta(spark, t, target_file_bytes=big["size"])
+    assert v == before["version"] + 1
+    after = delta_snapshot(t)
+    # 10 small files became 1; the big file carried untouched
+    assert len(after["files"]) == 2
+    assert big["path"] in {f["path"] for f in after["files"]}
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {(i, f"v{i}") for i in range(5200)}
+    # the commit is rearrangement-only, action by action
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    for a in acts:
+        for kind in ("add", "remove"):
+            if a.get(kind):
+                assert a[kind]["dataChange"] is False, a
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "OPTIMIZE"
+        for a in acts
+    )
+    # invisible to append-only increments AND to the CDF diff
+    assert read_delta_increment(spark, t, before["version"]).count() == 0
+    assert read_delta_changes(
+        spark, t, before["version"], key_cols=["id"]
+    ).count() == 0
+    # time travel still serves the pre-compaction layout
+    assert read_delta(spark, t, version=before["version"]).count() == 5200
+    # nothing left to do: one small output + one big file
+    assert compact_delta(spark, t, target_file_bytes=big["size"]) is None
+
+
+def test_compact_delta_sort_by_tightens_stats(spark, tmp_path):
+    """compact_delta(sort_by=…) range-clusters the rewritten rows:
+    the new files' recorded id bounds are pairwise DISJOINT, which is
+    what range_filter data skipping prunes on."""
+    from embeddinghub_spark.sources.delta_log import (
+        compact_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "optsort")
+    # interleaved writes → every file spans the whole id range
+    df = spark.range(0, 4000).selectExpr(
+        "id", "concat('v', id) AS v"
+    ).repartition(8)  # hash-ish distribution, wide per-file ranges
+    write_delta(df, t)
+    before = delta_snapshot(t)
+    total = sum(f["size"] for f in before["files"])
+    v = compact_delta(
+        spark, t, target_file_bytes=total // 3, sort_by=["id"]
+    )
+    assert v is not None
+    after = delta_snapshot(t)
+    spans = []
+    for f in after["files"]:
+        st = json.loads(f["stats"])
+        spans.append((st["minValues"]["id"], st["maxValues"]["id"]))
+    assert len(spans) >= 2
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {spans}"
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(4000))
+
+
+def test_compact_delta_purges_deletion_vectors(spark, tmp_path):
+    """A DV'd file is rewritten regardless of size (the connector's
+    PURGE): the new snapshot carries NO deletionVector and exactly
+    the live rows."""
+    from embeddinghub_spark.sources.delta_log import compact_delta
+    from embeddinghub_spark.sources.roaring import (
+        serialize_bitmap_array,
+    )
+
+    t = str(tmp_path / "purge")
+    _write_data(t, "f1.parquet", [0, 1, 2, 3, 4], list("abcde"))
+    _write_data(t, "f2.parquet", [5, 6], ["f", "g"])
+    data = serialize_bitmap_array({1, 3})
+    pad = (-len(data)) % 4
+    inline = _z85_encode(data + b"\x00" * pad)
+    _commit(t, 0, [_PROTOCOL, _meta(),
+                   _add("f1.parquet", deletionVector={
+                       "storageType": "i", "pathOrInlineDv": inline,
+                       "sizeInBytes": len(data), "cardinality": 2}),
+                   _add("f2.parquet")])
+    v = compact_delta(spark, t, target_file_bytes=10**9)
+    assert v == 1
+    after = delta_snapshot(t)
+    assert all(not f.get("deletionVector") for f in after["files"])
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {(0, "a"), (2, "c"), (4, "e"), (5, "f"), (6, "g")}

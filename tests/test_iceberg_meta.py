@@ -998,3 +998,31 @@ def test_footer_grouping_distributed_path_identical(
     a = im._physical_name_sets(spark, snap["files"], threshold=10**9)
     b = im._physical_name_sets(spark, snap["files"], threshold=0)
     assert a == b
+
+
+def test_compact_iceberg_purges_mor_deletes(spark, tmp_path):
+    """compact_iceberg on a table with live MoR deletes takes the
+    FULL purge rewrite: deletes materialize into the rewritten files
+    and the new snapshot carries no delete manifests — the real
+    rewriteDataFiles's delete-compaction job."""
+    from embeddinghub_spark.sources.iceberg_write import compact_iceberg
+
+    t = str(tmp_path / "morpurge")
+    f1 = _data_file(t, "data/f1.parquet", [1, 2, 3], ["a", "b", "c"],
+                    ["en", "fr", "de"])
+    pd1 = _pos_delete_file(t, "data/del1.parquet", [(f"file://{f1}", 1)])
+    m = _manifest(t, "m.avro", [(1, 0, f"file://{f1}", "PARQUET")])
+    dm = _manifest(t, "dm.avro", [(1, 1, f"file://{pd1}", "PARQUET")])
+    ml = _manifest_list(t, "ml.avro", [(m, 0), (dm, 1)])
+    s = {"snapshot-id": 9, "timestamp-ms": 1,
+         "manifest-list": f"file://{ml}", "schema-id": 0}
+    _metadata(t, 1, [s], 9)
+    assert len(iceberg_snapshot(t)["position_deletes"]) == 1
+
+    sid = compact_iceberg(spark, t, target_file_bytes=10**9)
+    after = iceberg_snapshot(t)
+    assert after["snapshot_id"] == sid
+    assert after["position_deletes"] == []
+    assert after["equality_deletes"] == []
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "a"), (3, "c")}

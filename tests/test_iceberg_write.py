@@ -737,3 +737,56 @@ def test_carry_files_gates(spark, tmp_path):
     write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite",
                   carry_files=[])
     assert _rows(read_iceberg(spark, t)) == {(9, "z")}
+
+
+def test_compact_iceberg_rewrites_small_files(spark, tmp_path):
+    """rewriteDataFiles (r15): small files bin-pack into one snapshot;
+    the large file carries forward as an EXISTING entry with its
+    ORIGINAL sequence number; rows identical; sort_by yields pairwise
+    DISJOINT manifest id bounds on the rewritten files; a second
+    compact is a no-op."""
+    from embeddinghub_spark.sources.iceberg_write import compact_iceberg
+
+    t = str(tmp_path / "rewr")
+    write_iceberg(
+        spark.range(0, 200).selectExpr("id", "concat('v', id) AS v")
+        .repartition(10),
+        t,
+    )
+    write_iceberg(
+        spark.range(200, 5200).selectExpr("id", "concat('v', id) AS v")
+        .repartition(1),
+        t, mode="append",
+    )
+    before = iceberg_snapshot(t)
+    assert len(before["files"]) == 11
+    big = max(before["files"], key=lambda f: before["file_sizes"][f])
+    big_size = before["file_sizes"][big]
+
+    sid = compact_iceberg(spark, t, target_file_bytes=big_size,
+                          sort_by=["id"])
+    after = iceberg_snapshot(t)
+    assert after["snapshot_id"] == sid
+    assert big in after["files"], "large file must carry forward"
+    assert after["file_seqs"][big] == before["file_seqs"][big]
+    assert len(after["files"]) < 11
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(5200))
+    # the rewritten files' id bounds are pairwise disjoint
+    new_files = [f for f in after["files"] if f not in set(before["files"])]
+    spans = sorted(
+        tuple(after["file_bounds"][f]["id"]) for f in new_files
+        if "id" in (after["file_bounds"].get(f) or {})
+    )
+    assert len(spans) == len(new_files) >= 1
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping bounds {spans}"
+    # pre-compaction snapshot still time-travels
+    assert read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]
+    ).count() == 5200
+    # nothing left to do (one small rewritten file + the big one)
+    if len(new_files) == 1:
+        assert compact_iceberg(
+            spark, t, target_file_bytes=big_size
+        ) is None
