@@ -750,6 +750,7 @@ def write_delta(
     expected_version: int | None = None,
     replace_paths: list[str] | None = None,
     data_change: bool = True,
+    merge_schema: bool = False,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -803,6 +804,16 @@ def write_delta(
     ``dataChange``) — what compaction commits — so append-only
     incremental readers correctly skip them. Overwrite removes are
     always data-changing.
+
+    ``merge_schema=True`` (append only — overwrite already replaces
+    the schema) is Spark's ``mergeSchema``: NEW columns in the
+    DataFrame evolve the table schema (union by name, table column
+    order first; the commit carries a new ``metaData`` action), and
+    the DataFrame may OMIT nullable table columns — old and new files
+    alike read the missing columns as NULL, which is exactly how the
+    protocol's by-name parquet reads behave. Shared names must still
+    match by type, a new column must be nullable (old files have no
+    values for it), and omitting a non-nullable table column raises.
     """
     import uuid
 
@@ -874,7 +885,38 @@ def write_delta(
             theirs = {
                 f.name: f.dataType.simpleString() for f in s["schema"]
             }
-            if ours != theirs:
+            if merge_schema:
+                clash = [
+                    n for n in set(ours) & set(theirs)
+                    if ours[n] != theirs[n]
+                ]
+                if clash:
+                    raise ValueError(
+                        f"merge_schema type mismatch on {sorted(clash)}: "
+                        f"table has "
+                        f"{ {n: theirs[n] for n in clash} }, DataFrame "
+                        f"has { {n: ours[n] for n in clash} }"
+                    )
+                missing_required = [
+                    f.name for f in s["schema"].fields
+                    if f.name not in ours and not f.nullable
+                ]
+                if missing_required:
+                    raise ValueError(
+                        "merge_schema append omits non-nullable table "
+                        f"columns {missing_required}"
+                    )
+                new_required = [
+                    f.name for f in df.schema.fields
+                    if f.name not in theirs and not f.nullable
+                ]
+                if new_required:
+                    raise ValueError(
+                        "merge_schema cannot add non-nullable columns "
+                        f"{new_required}: existing files carry no "
+                        "values for them"
+                    )
+            elif ours != theirs:
                 raise ValueError(
                     "append schema mismatch: table has "
                     f"{theirs}, DataFrame has {ours}"
@@ -987,6 +1029,30 @@ def write_delta(
             version = 0
         else:
             version = snap["version"] + 1
+            if mode == "append" and merge_schema:
+                new_cols = [
+                    f for f in df.schema.fields
+                    if f.name not in {x.name for x in snap["schema"].fields}
+                ]
+                if new_cols:
+                    union = T.StructType(
+                        list(snap["schema"].fields) + new_cols
+                    )
+                    actions.append(
+                        {
+                            "metaData": {
+                                "id": snap.get("metadata_id")
+                                or str(uuid.uuid4()),
+                                "format": {
+                                    "provider": "parquet", "options": {}
+                                },
+                                "schemaString": union.json(),
+                                "partitionColumns": partition_by,
+                                "configuration": {},
+                                "createdTime": 0,
+                            }
+                        }
+                    )
             if mode == "overwrite":
                 ours = {f.name: f.dataType.simpleString() for f in df.schema}
                 theirs = {

@@ -336,6 +336,7 @@ def write_iceberg(
     max_commit_retries: int = 10,
     expected_snapshot_id: int | None = None,
     carry_files: list[dict] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
     catalog). Returns the committed SNAPSHOT ID. See the module
@@ -368,7 +369,17 @@ def write_iceberg(
     the new snapshot's manifest — same data file, original sequence
     number carried explicitly per the spec, bounds re-encoded — so the
     commit's data writes are proportional to the REWRITTEN files, not
-    the table."""
+    the table.
+
+    ``merge_schema=True`` (append only) is Spark's ``mergeSchema`` on
+    the spec's own terms: NEW nullable columns join the schema with
+    FRESH field-ids above everything the table ever issued (ids are
+    permanent), the commit appends a new schema version + advances
+    ``current-schema-id`` + republishes the name mapping, and the
+    DataFrame may OMIT nullable table columns (files read missing
+    columns as NULL by name). Shared names must match by type; adding
+    a non-nullable column, or omitting a REQUIRED table column,
+    raises."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if carry_files is not None and mode != "overwrite":
@@ -532,7 +543,97 @@ def write_iceberg(
                     f"partition_by {partition_by} does not match the "
                     f"table's partition spec columns {spec_src_names}"
                 )
-            if mode == "append":
+            if mode == "append" and merge_schema:
+                cur_schemas = prev_meta.get("schemas") or []
+                cur = next(
+                    (s for s in cur_schemas
+                     if s.get("schema-id")
+                     == prev_meta.get("current-schema-id")),
+                    None,
+                ) or {"fields": []}
+                theirs_by_name = {f["name"]: f for f in cur["fields"]}
+                ours_by_name = {f["name"]: f for f in ice_schema["fields"]}
+                clash = [
+                    n for n in set(ours_by_name) & set(theirs_by_name)
+                    if _type_sans_ids(ours_by_name[n]["type"])
+                    != _type_sans_ids(theirs_by_name[n]["type"])
+                ]
+                if clash:
+                    raise IcebergWriteError(
+                        f"merge_schema type mismatch on {sorted(clash)}"
+                    )
+                missing_required = sorted(
+                    n for n, f in theirs_by_name.items()
+                    if n not in ours_by_name and f.get("required")
+                )
+                if missing_required:
+                    raise IcebergWriteError(
+                        "merge_schema append omits REQUIRED table "
+                        f"columns {missing_required}"
+                    )
+                weakened = sorted(
+                    n for n in set(ours_by_name) & set(theirs_by_name)
+                    if theirs_by_name[n].get("required")
+                    and not ours_by_name[n]["required"]
+                )
+                if weakened:
+                    raise IcebergWriteError(
+                        f"append schema mismatch: columns {weakened} "
+                        "are REQUIRED in the table but nullable in "
+                        "the DataFrame"
+                    )
+                new_required = sorted(
+                    f["name"] for f in ice_schema["fields"]
+                    if f["name"] not in theirs_by_name and f["required"]
+                )
+                if new_required:
+                    raise IcebergWriteError(
+                        "merge_schema cannot add non-nullable columns "
+                        f"{new_required}: existing files carry no "
+                        "values for them"
+                    )
+                adds_new = [
+                    f for f in ice_schema["fields"]
+                    if f["name"] not in theirs_by_name
+                ]
+                if not adds_new:
+                    ice_schema = cur
+                    last_column_id = int(
+                        prev_meta.get("last-column-id", last_column_id)
+                    )
+                else:
+                    issued = [int(prev_meta.get("last-column-id", 0))]
+                    for s in cur_schemas:
+                        for f in s.get("fields") or []:
+                            issued.append(int(f["id"]))
+                            t = f["type"]
+                            if isinstance(t, dict):
+                                for k in ("element-id", "key-id",
+                                          "value-id"):
+                                    if k in t:
+                                        issued.append(int(t[k]))
+                    next_free = max(issued) + 1
+                    evolved = []
+                    for f in adds_new:
+                        fid = next_free
+                        next_free += 1
+                        t = f["type"]
+                        if isinstance(t, dict):
+                            t = dict(t, **{"element-id": next_free})
+                            next_free += 1
+                        evolved.append(dict(f, id=fid, type=t))
+                    new_sid = max(
+                        [int(s.get("schema-id", 0))
+                         for s in cur_schemas],
+                        default=-1,
+                    ) + 1
+                    ice_schema = {
+                        "type": "struct",
+                        "schema-id": new_sid,
+                        "fields": list(cur["fields"]) + evolved,
+                    }
+                    last_column_id = next_free - 1
+            elif mode == "append":
                 cur_schemas = prev_meta.get("schemas") or []
                 cur = next(
                     (s for s in cur_schemas

@@ -1406,3 +1406,46 @@ def test_compact_delta_purges_deletion_vectors(spark, tmp_path):
     assert all(not f.get("deletionVector") for f in after["files"])
     got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
     assert got == {(0, "a"), (2, "c"), (4, "e"), (5, "f"), (6, "g")}
+
+
+def test_write_delta_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True (r15): appending a DataFrame with a NEW
+    nullable column evolves the table schema (union, table order
+    first); old files read the new column as NULL. The DataFrame may
+    OMIT nullable table columns (they read as NULL in the new file).
+    Type clashes and non-nullable additions/omissions raise."""
+    from embeddinghub_spark.sources.delta_log import write_delta
+
+    t = str(tmp_path / "evo")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        t,
+    )
+    # strict default still raises
+    wide = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, v string, score double"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(wide, t, mode="append")
+    write_delta(wide, t, mode="append", merge_schema=True)
+    out = read_delta(spark, t)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score"]
+    got = {(r["id"], r["v"], r["score"]) for r in out.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+    # omitting a nullable column is fine — it reads as NULL
+    write_delta(
+        spark.createDataFrame([(4, 1.5)], "id long, score double"),
+        t, mode="append", merge_schema=True,
+    )
+    got2 = {(r["id"], r["v"], r["score"])
+            for r in read_delta(spark, t).collect()}
+    assert (4, None, 1.5) in got2 and len(got2) == 4
+    # type clash on a shared name raises
+    with pytest.raises(ValueError, match="type mismatch"):
+        write_delta(
+            spark.createDataFrame([("x", "y")], "id string, v string"),
+            t, mode="append", merge_schema=True,
+        )
+    # time travel serves the ORIGINAL schema at version 0
+    v0 = read_delta(spark, t, version=0)
+    assert [f.name for f in v0.schema.fields] == ["id", "v"]

@@ -790,3 +790,56 @@ def test_compact_iceberg_rewrites_small_files(spark, tmp_path):
         assert compact_iceberg(
             spark, t, target_file_bytes=big_size
         ) is None
+
+
+def test_write_iceberg_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True (r15): appending a NEW nullable column
+    evolves the schema spec-correctly — the new column takes a FRESH
+    field-id above everything ever issued, a new schema version lands
+    with current-schema-id advanced, the name mapping republishes,
+    and old files read the column as NULL. Omitting nullable columns
+    is fine; type clashes and non-nullable additions raise; the
+    strict default still raises."""
+    from embeddinghub_spark.sources.iceberg_write import write_iceberg
+
+    t = str(tmp_path / "ievo")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        t,
+    )
+    wide = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, v string, score double"
+    )
+    with pytest.raises(IcebergWriteError, match="schema mismatch"):
+        write_iceberg(wide, t, mode="append")
+    write_iceberg(wide, t, mode="append", merge_schema=True)
+    out = read_iceberg(spark, t)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score"]
+    got = {(r["id"], r["v"], r["score"]) for r in out.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+    meta = iceberg_snapshot(t)["metadata"]
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert ids == {"id": 1, "v": 2, "score": 3}
+    assert len(meta["schemas"]) == 2, "old schema retained"
+    assert int(meta["last-column-id"]) >= 3
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0]: m["field-id"] for m in nm} == ids
+    # omitting a nullable column reads as NULL
+    write_iceberg(
+        spark.createDataFrame([(4, 1.5)], "id long, score double"),
+        t, mode="append", merge_schema=True,
+    )
+    got2 = {(r["id"], r["v"], r["score"])
+            for r in read_iceberg(spark, t).collect()}
+    assert (4, None, 1.5) in got2 and len(got2) == 4
+    # no NEW schema version for the omission append (ids unchanged)
+    meta2 = iceberg_snapshot(t)["metadata"]
+    assert len(meta2["schemas"]) == 2
+    # type clash raises
+    with pytest.raises(IcebergWriteError, match="type mismatch"):
+        write_iceberg(
+            spark.createDataFrame([("x", "y")], "id string, v string"),
+            t, mode="append", merge_schema=True,
+        )
