@@ -9327,6 +9327,82 @@ def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, root)
 
 
+def q_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE + DELETE certified END-TO-END
+    (sources/delta_log.py update_delta/delete_delta, r15 — the DML
+    the connector serves via SQL UPDATE/DELETE, here file-pruned
+    copy-on-write on the native log): the 8-file orders table gets a
+    surcharge UPDATE on every 31st key, then a DELETE of every 53rd
+    key; only files actually holding matching rows rewrite (pytest
+    pins the carry). The oracle replays both statements as CASE +
+    WHERE in pure SQL."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="ddml_") + "/tbl"
+    write_delta(orders.repartitionByRange(8, "o_orderkey"), root)
+    update_delta(
+        spark, root, "o_orderkey % 31 = 0",
+        {"cents": F.col("cents") + 100},
+    )
+    delete_delta(spark, root, "o_orderkey % 53 = 0")
+    return read_delta(spark, root)
+
+
+_DML_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+u AS (SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 31 = 0 THEN cents + 100
+                  ELSE cents END AS cents
+      FROM o)
+SELECT * FROM u WHERE o_orderkey % 53 != 0
+"""
+
+
+def q_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg twin of `delta_dml`
+    (sources/iceberg_write.py update_iceberg/delete_iceberg, r15):
+    same UPDATE-then-DELETE over the natively written 8-file orders
+    table — touched files rewrite, untouched files carry forward as
+    EXISTING manifest entries with original sequence numbers (pytest
+    pins) — read back through the native metadata replay."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import (
+        delete_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="idml_") + "/tbl"
+    write_iceberg(orders.repartitionByRange(8, "o_orderkey"), root)
+    update_iceberg(
+        spark, root, "o_orderkey % 31 = 0",
+        {"cents": F.col("cents") + 100},
+    )
+    delete_iceberg(spark, root, "o_orderkey % 53 = 0")
+    return read_iceberg(spark, root)
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9342,6 +9418,8 @@ def staged_queries() -> dict:
         "iceberg_merge_pruned": q_iceberg_merge_pruned,
         "delta_compact": q_delta_compact,
         "iceberg_compact": q_iceberg_compact,
+        "delta_dml": q_delta_dml,
+        "iceberg_dml": q_iceberg_dml,
     }
 
 
@@ -9351,4 +9429,6 @@ def staged_oracle_sql() -> dict:
         "iceberg_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
         "delta_compact": _COMPACT_ORACLE,
         "iceberg_compact": _COMPACT_ORACLE,
+        "delta_dml": _DML_ORACLE,
+        "iceberg_dml": _DML_ORACLE,
     }

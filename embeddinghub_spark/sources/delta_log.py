@@ -1472,6 +1472,175 @@ def merge_delta(
     )
 
 
+def _touched_by_condition(
+    spark: SparkSession,
+    path: str,
+    snap: dict,
+    cond,
+    range_filter: dict | None,
+) -> tuple[list[dict], "object"]:
+    """Shared DELETE/UPDATE planning: (touched add-dicts, condition
+    Column). Stage 1 prunes by per-file stats when the caller passes
+    ``range_filter`` (files whose bounds provably miss it can't hold a
+    matching row — same machinery as data skipping); stage 2 scans the
+    candidates once and keeps only files that ACTUALLY contain a row
+    matching the condition. SQL-string conditions accept anything
+    ``F.expr`` parses."""
+    from embeddinghub_spark.sources.scan_prune import (
+        range_excluded,
+        validate_range_filter,
+    )
+
+    cond = F.expr(cond) if isinstance(cond, str) else cond
+    files = snap["files"]
+    if range_filter:
+        validate_range_filter(range_filter, snap["schema"].fieldNames())
+
+        def _bounds(f: dict) -> dict:
+            raw = f.get("stats")
+            if not raw:
+                return {}
+            try:
+                stats = json.loads(raw)
+            except (TypeError, ValueError):
+                return {}
+            mins = stats.get("minValues") or {}
+            maxs = stats.get("maxValues") or {}
+            return {
+                c: (mins.get(c), maxs.get(c))
+                for c in set(mins) | set(maxs)
+            }
+
+        files = [
+            f for f in files
+            if not range_excluded(_bounds(f), range_filter)
+        ]
+    touched: list[dict] = []
+    if files:
+        probe = _scan_file_groups(
+            spark, path, snap["schema"], snap["partition_columns"],
+            files, snap.get("physical_names"), keep_file_path=True,
+        )
+        hit_fps = {
+            r["_fp"]
+            for r in probe.filter(cond).select("_fp").distinct().collect()
+        }
+        root_real = os.path.realpath(os.path.abspath(path))
+        touched = [
+            f for f in files
+            if os.path.join(root_real, _decode_path(f["path"])) in hit_fps
+        ]
+    return touched, cond
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    range_filter: dict | None = None,
+) -> int | None:
+    """Row-level DELETE WHERE ``condition`` — file-pruned
+    copy-on-write, the same discipline as ``merge_delta``: only files
+    actually holding a matching row rewrite (kept rows = rows where
+    the condition is false or NULL, SQL DELETE semantics); every other
+    live file carries forward. A file whose every row matches simply
+    gets removed (the rewrite stages no rows for it). ``condition``
+    is a Column or a SQL string; ``range_filter`` optionally seeds
+    stats-level file pruning for predicates with a known column range
+    (sound: a pruned file provably holds no matching row).
+
+    Returns the committed version, or None when nothing matched.
+    Read-modify-write: pins ``expected_version``; a concurrent commit
+    raises ``ConcurrentWriteError`` (re-invoke)."""
+    snap = delta_snapshot(path)
+    touched, cond = _touched_by_condition(
+        spark, path, snap, condition, range_filter
+    )
+    if not touched:
+        return None
+    kept = _scan_file_groups(
+        spark, path, snap["schema"], snap["partition_columns"],
+        touched, snap.get("physical_names"),
+    ).filter(~F.coalesce(cond, F.lit(False)))
+    return write_delta(
+        kept,
+        path,
+        mode="append",
+        partition_by=snap["partition_columns"],
+        expected_version=snap["version"],
+        replace_paths=[f["path"] for f in touched],
+    )
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    condition,
+    assignments: dict,
+    *,
+    range_filter: dict | None = None,
+) -> int | None:
+    """Row-level UPDATE ... SET ``assignments`` WHERE ``condition`` —
+    file-pruned copy-on-write: only files actually holding a matching
+    row rewrite, with the assignments applied to exactly the matching
+    rows (non-matching rows in a touched file rewrite verbatim).
+    ``assignments`` maps column name → Column or SQL expression
+    string; assigned columns must exist (no implicit schema
+    evolution) and expressions are cast back to the column's exact
+    table type, so the file schema never drifts. Returns the
+    committed version, or None when nothing matched."""
+    snap = delta_snapshot(path)
+    types = {f.name: f.dataType for f in snap["schema"].fields}
+    unknown = sorted(set(assignments) - set(types))
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+    pcols = set(snap["partition_columns"])
+    moved = sorted(set(assignments) & pcols)
+    if moved:
+        raise ValueError(
+            f"UPDATE of partition columns {moved} moves rows between "
+            "partitions — rewrite via merge_delta instead"
+        )
+    touched, cond = _touched_by_condition(
+        spark, path, snap, condition, range_filter
+    )
+    if not touched:
+        return None
+    rows = _scan_file_groups(
+        spark, path, snap["schema"], snap["partition_columns"],
+        touched, snap.get("physical_names"),
+    )
+    # ONE select evaluating every assignment (and the condition)
+    # against the PRE-update row — sequential withColumn would let a
+    # later assignment read an already-updated column, which is not
+    # SQL UPDATE
+    hit_col = "__hit"
+    while hit_col in rows.columns:
+        hit_col += "_"
+    rows = rows.withColumn(hit_col, F.coalesce(cond, F.lit(False)))
+    sel = []
+    for f in snap["schema"].fields:
+        if f.name in assignments:
+            e = assignments[f.name]
+            e = F.expr(e) if isinstance(e, str) else e
+            sel.append(
+                F.when(F.col(hit_col), e.cast(types[f.name]))
+                .otherwise(F.col(f.name)).alias(f.name)
+            )
+        else:
+            sel.append(F.col(f.name))
+    rows = rows.select(*sel)
+    return write_delta(
+        rows,
+        path,
+        mode="append",
+        partition_by=snap["partition_columns"],
+        expected_version=snap["version"],
+        replace_paths=[f["path"] for f in touched],
+    )
+
+
 def compact_delta(
     spark: SparkSession,
     path: str,

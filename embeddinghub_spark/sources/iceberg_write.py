@@ -1395,36 +1395,9 @@ def merge_iceberg(
     # table raise, and only after the merged files were staged
     # (ADVICE r14). Non-identity transforms gate loudly HERE, before
     # any data file is written.
-    meta = snap["metadata"]
-    specs = meta.get("partition-specs") or []
-    cur_spec = next(
-        (s for s in specs
-         if s.get("spec-id") == meta.get("default-spec-id", 0)),
-        specs[0] if specs else {"spec-id": 0, "fields": []},
-    )
-    cur_schema = next(
-        (s for s in meta.get("schemas") or []
-         if s.get("schema-id") == meta.get("current-schema-id")),
-        {"fields": []},
-    )
-    name_by_id = {
-        int(f["id"]): f["name"] for f in cur_schema.get("fields") or []
-    }
-    partition_by = []
-    for pf in cur_spec.get("fields") or []:
-        if pf.get("transform") != "identity":
-            raise IcebergProtocolError(
-                f"partition transform {pf.get('transform')!r} not "
-                "supported by the native writer — use the connector"
-            )
-        partition_by.append(name_by_id[int(pf["source-id"])])
-    fparts = snap.get("file_partitions") or {}
-    cur_spec_id = int(cur_spec.get("spec-id", 0))
-    multi_spec = any(
-        int((fparts.get(f) or (cur_spec_id, {}))[0]) != cur_spec_id
-        for f in snap["files"]
-    )
-    if snap["position_deletes"] or snap["equality_deletes"] or multi_spec:
+    ctx = _iceberg_table_context(path, snap)
+    partition_by = ctx["partition_by"]
+    if ctx["full_rewrite"]:
         # MoR deletes scope across the touched/untouched split, and a
         # carried file from an EVOLVED spec cannot be re-expressed in
         # the current spec's manifest partition struct; the full
@@ -1484,7 +1457,64 @@ def merge_iceberg(
         else spark.createDataFrame([], snap["schema"])
     )
     merged = merge_upsert_df(target, source, key_cols)
-    carry = [
+    carry = _iceberg_carry(snap, set(touched))
+    return write_iceberg(
+        merged,
+        path,
+        mode="overwrite",
+        partition_by=partition_by,
+        expected_snapshot_id=snap["snapshot_id"],
+        carry_files=carry,
+    )
+
+
+def _iceberg_table_context(path: str, snap: dict) -> dict:
+    """Shared DML planning facts: current identity partition_by,
+    whether any file left the current spec, and whether MoR deletes
+    are live — the conditions that route a row-level op to the full
+    rewrite instead of the file-pruned path."""
+    meta = snap["metadata"]
+    specs = meta.get("partition-specs") or []
+    cur_spec = next(
+        (s for s in specs
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else {"spec-id": 0, "fields": []},
+    )
+    cur_schema = next(
+        (s for s in meta.get("schemas") or []
+         if s.get("schema-id") == meta.get("current-schema-id")),
+        {"fields": []},
+    )
+    name_by_id = {
+        int(f["id"]): f["name"] for f in cur_schema.get("fields") or []
+    }
+    partition_by = []
+    for pf in cur_spec.get("fields") or []:
+        if pf.get("transform") != "identity":
+            raise IcebergProtocolError(
+                f"partition transform {pf.get('transform')!r} not "
+                "supported by the native writer — use the connector"
+            )
+        partition_by.append(name_by_id[int(pf["source-id"])])
+    fparts = snap.get("file_partitions") or {}
+    cur_spec_id = int(cur_spec.get("spec-id", 0))
+    multi_spec = any(
+        int((fparts.get(f) or (cur_spec_id, {}))[0]) != cur_spec_id
+        for f in snap["files"]
+    )
+    mor = bool(snap["position_deletes"] or snap["equality_deletes"])
+    return {
+        "partition_by": partition_by,
+        "full_rewrite": mor or multi_spec,
+        "fparts": fparts,
+    }
+
+
+def _iceberg_carry(snap: dict, exclude: set) -> list[dict]:
+    """carry_files entries for every live file NOT in ``exclude``."""
+    fparts = snap.get("file_partitions") or {}
+    bounds = snap.get("file_bounds") or {}
+    return [
         {
             "path": f,
             "rows": snap["file_rows"].get(f, 0),
@@ -1493,16 +1523,177 @@ def merge_iceberg(
             "bounds": bounds.get(f) or {},
             "seq": snap["file_seqs"].get(f, 0),
         }
-        for f in files
-        if f not in set(touched)
+        for f in snap["files"]
+        if f not in exclude
     ]
+
+
+def _iceberg_touched_by_condition(
+    spark, snap: dict, cond, range_filter: dict | None
+) -> tuple[list[str], "object"]:
+    """Iceberg twin of delta_log._touched_by_condition: manifest
+    column bounds prune when the caller seeds ``range_filter``; the
+    exact probe keeps only files actually holding a matching row."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import _scan_parquet
+    from embeddinghub_spark.sources.scan_prune import (
+        decoded_file_path_col,
+        range_excluded,
+        validate_range_filter,
+    )
+
+    cond = F.expr(cond) if isinstance(cond, str) else cond
+    files = list(snap["files"])
+    if range_filter:
+        validate_range_filter(
+            range_filter, [f.name for f in snap["schema"].fields]
+        )
+        bounds = snap.get("file_bounds") or {}
+        files = [
+            f for f in files
+            if not range_excluded(bounds.get(f) or {}, range_filter)
+        ]
+    touched: list[str] = []
+    if files:
+        probe = _scan_parquet(spark, snap, files, with_meta=True)
+        hits = {
+            r["_fp"]
+            for r in probe.filter(cond)
+            .select(decoded_file_path_col(F.col("_raw_fp")).alias("_fp"))
+            .distinct().collect()
+        }
+        touched = [f for f in files if f in hits]
+    return touched, cond
+
+
+def delete_iceberg(
+    spark,
+    path: str,
+    condition,
+    *,
+    range_filter: dict | None = None,
+) -> int | None:
+    """Row-level DELETE WHERE ``condition`` — copy-on-write at file
+    grain, the Iceberg twin of ``delete_delta``: only files actually
+    holding a matching row rewrite (kept rows = condition false or
+    NULL); every other file carries forward as an EXISTING manifest
+    entry with its original sequence number. Tables with live MoR
+    deletes or an evolved spec take the full purge rewrite. Returns
+    the committed snapshot id, or None when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        _scan_parquet,
+        iceberg_snapshot,
+        read_iceberg,
+    )
+
+    snap = iceberg_snapshot(path)
+    ctx = _iceberg_table_context(path, snap)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if ctx["full_rewrite"]:
+        rows = read_iceberg(
+            spark, path, snapshot_id=snap["snapshot_id"]
+        ).filter(~F.coalesce(cond, F.lit(False)))
+        return write_iceberg(
+            rows, path, mode="overwrite",
+            partition_by=ctx["partition_by"],
+            expected_snapshot_id=snap["snapshot_id"],
+        )
+    touched, cond = _iceberg_touched_by_condition(
+        spark, snap, cond, range_filter
+    )
+    if not touched:
+        return None
+    kept = _scan_parquet(spark, snap, touched).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
     return write_iceberg(
-        merged,
-        path,
-        mode="overwrite",
-        partition_by=partition_by,
+        kept, path, mode="overwrite",
+        partition_by=ctx["partition_by"],
         expected_snapshot_id=snap["snapshot_id"],
-        carry_files=carry,
+        carry_files=_iceberg_carry(snap, set(touched)),
+    )
+
+
+def update_iceberg(
+    spark,
+    path: str,
+    condition,
+    assignments: dict,
+    *,
+    range_filter: dict | None = None,
+) -> int | None:
+    """Row-level UPDATE ... SET ``assignments`` WHERE ``condition`` —
+    the Iceberg twin of ``update_delta``: touched files rewrite with
+    the assignments applied to exactly the matching rows, evaluated
+    against the PRE-update row in one projection; untouched files
+    carry forward with original sequence numbers. Assigned columns
+    must exist, partition columns are immutable here (an update that
+    moves rows between partitions belongs on ``merge_iceberg``), and
+    expressions cast back to the column's exact table type. Returns
+    the committed snapshot id, or None when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        _scan_parquet,
+        iceberg_snapshot,
+        read_iceberg,
+    )
+
+    snap = iceberg_snapshot(path)
+    ctx = _iceberg_table_context(path, snap)
+    types = {f.name: f.dataType for f in snap["schema"].fields}
+    unknown = sorted(set(assignments) - set(types))
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+    moved = sorted(set(assignments) & set(ctx["partition_by"]))
+    if moved:
+        raise ValueError(
+            f"UPDATE of partition columns {moved} moves rows between "
+            "partitions — rewrite via merge_iceberg instead"
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    def _apply(rows):
+        hit_col = "__hit"
+        while hit_col in rows.columns:
+            hit_col += "_"
+        rows = rows.withColumn(hit_col, F.coalesce(cond, F.lit(False)))
+        sel = []
+        for f in snap["schema"].fields:
+            if f.name in assignments:
+                e = assignments[f.name]
+                e = F.expr(e) if isinstance(e, str) else e
+                sel.append(
+                    F.when(F.col(hit_col), e.cast(types[f.name]))
+                    .otherwise(F.col(f.name)).alias(f.name)
+                )
+            else:
+                sel.append(F.col(f.name))
+        return rows.select(*sel)
+
+    if ctx["full_rewrite"]:
+        rows = _apply(read_iceberg(
+            spark, path, snapshot_id=snap["snapshot_id"]
+        ))
+        return write_iceberg(
+            rows, path, mode="overwrite",
+            partition_by=ctx["partition_by"],
+            expected_snapshot_id=snap["snapshot_id"],
+        )
+    touched, cond = _iceberg_touched_by_condition(
+        spark, snap, cond, range_filter
+    )
+    if not touched:
+        return None
+    rows = _apply(_scan_parquet(spark, snap, touched))
+    return write_iceberg(
+        rows, path, mode="overwrite",
+        partition_by=ctx["partition_by"],
+        expected_snapshot_id=snap["snapshot_id"],
+        carry_files=_iceberg_carry(snap, set(touched)),
     )
 
 
@@ -1546,37 +1737,8 @@ def compact_iceberg(
     )
 
     snap = iceberg_snapshot(path)
-    meta = snap["metadata"]
-    specs = meta.get("partition-specs") or []
-    cur_spec = next(
-        (s for s in specs
-         if s.get("spec-id") == meta.get("default-spec-id", 0)),
-        specs[0] if specs else {"spec-id": 0, "fields": []},
-    )
-    cur_schema = next(
-        (s for s in meta.get("schemas") or []
-         if s.get("schema-id") == meta.get("current-schema-id")),
-        {"fields": []},
-    )
-    name_by_id = {
-        int(f["id"]): f["name"] for f in cur_schema.get("fields") or []
-    }
-    partition_by = []
-    for pf in cur_spec.get("fields") or []:
-        if pf.get("transform") != "identity":
-            raise IcebergProtocolError(
-                f"partition transform {pf.get('transform')!r} not "
-                "supported by the native writer — use the connector"
-            )
-        partition_by.append(name_by_id[int(pf["source-id"])])
-
-    fparts = snap.get("file_partitions") or {}
-    cur_spec_id = int(cur_spec.get("spec-id", 0))
-    multi_spec = any(
-        int((fparts.get(f) or (cur_spec_id, {}))[0]) != cur_spec_id
-        for f in snap["files"]
-    )
-    mor = bool(snap["position_deletes"] or snap["equality_deletes"])
+    ctx = _iceberg_table_context(path, snap)
+    partition_by = ctx["partition_by"]
     sizes = snap.get("file_sizes") or {}
 
     def _shape(rows_df, n_out: int):
@@ -1586,7 +1748,7 @@ def compact_iceberg(
             ).sortWithinPartitions(*sort_by)
         return rows_df.repartition(n_out)
 
-    if mor or multi_spec:
+    if ctx["full_rewrite"]:
         # full purge rewrite: deletes materialize into the new files,
         # evolved-spec files re-express under the current spec
         rows = read_iceberg(spark, path,
@@ -1610,20 +1772,7 @@ def compact_iceberg(
     rows = _scan_parquet(spark, snap, small)
     total = sum(int(sizes.get(f) or 0) for f in small)
     n_out = max(1, math.ceil(total / int(target_file_bytes)))
-    bounds = snap.get("file_bounds") or {}
-    small_set = set(small)
-    carry = [
-        {
-            "path": f,
-            "rows": snap["file_rows"].get(f, 0),
-            "size": sizes.get(f, 0),
-            "partition": (fparts.get(f) or (None, {}))[1],
-            "bounds": bounds.get(f) or {},
-            "seq": snap["file_seqs"].get(f, 0),
-        }
-        for f in snap["files"]
-        if f not in small_set
-    ]
+    carry = _iceberg_carry(snap, set(small))
     return write_iceberg(
         _shape(rows, n_out),
         path,

@@ -1449,3 +1449,65 @@ def test_write_delta_merge_schema_evolution(spark, tmp_path):
     # time travel serves the ORIGINAL schema at version 0
     v0 = read_delta(spark, t, version=0)
     assert [f.name for f in v0.schema.fields] == ["id", "v"]
+
+
+def test_delete_update_delta_file_pruned(spark, tmp_path):
+    """Row-level DELETE/UPDATE (r15): only files actually holding a
+    matching row rewrite; a fully-matching file is removed without a
+    replacement; UPDATE applies assignments to exactly the matching
+    rows, evaluated against the PRE-update row; no-match ops return
+    None without committing."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dml")
+    write_delta(
+        spark.range(0, 2000).selectExpr(
+            "id", "concat('v', id) AS v", "CAST(id % 7 AS DOUBLE) AS w"
+        ).repartitionByRange(20, "id"),
+        t,
+    )
+    before = delta_snapshot(t)
+    assert len(before["files"]) == 20
+
+    # DELETE a 2-row slice: one or two files rewrite, the rest carry
+    v = delete_delta(spark, t, "id IN (5, 1998)",
+                     range_filter={"id": (5, 1998)})
+    after = delta_snapshot(t)
+    assert v == before["version"] + 1
+    carried = {f["path"] for f in before["files"]} & {
+        f["path"] for f in after["files"]
+    }
+    assert len(carried) >= 18
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(2000)) - {5, 1998}
+
+    # DELETE everything in one range-partitioned file: removed, no add
+    ids_left = sorted(got)
+    v2 = delete_delta(spark, t, F.col("id") < 100)
+    got2 = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got2 == {i for i in ids_left if i >= 100}
+    # UPDATE: assignments see PRE-update values (v gets OLD w; w
+    # doubles) and only matching rows change
+    from embeddinghub_spark.sources.delta_log import delta_snapshot as ds
+    v3 = update_delta(
+        spark, t, "id % 500 = 0",
+        {"v": "concat('w=', CAST(w AS STRING))", "w": F.col("w") * 2},
+    )
+    assert v3 is not None
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert rows[500] == ("w=3.0", 6.0)   # old w=500%7=3 → v sees 3
+    assert rows[1000] == ("w=6.0", 12.0)
+    assert rows[501] == ("v501", 4.0)    # untouched row intact
+    # no-match DELETE: no commit at all
+    assert delete_delta(spark, t, "id = -1") is None
+    assert delta_snapshot(t)["version"] == v3
+    # unknown assignment column / partition-column update raise
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta(spark, t, "id = 1", {"nope": F.lit(1)})

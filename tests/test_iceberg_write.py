@@ -843,3 +843,74 @@ def test_write_iceberg_merge_schema_evolution(spark, tmp_path):
             spark.createDataFrame([("x", "y")], "id string, v string"),
             t, mode="append", merge_schema=True,
         )
+
+
+def test_delete_update_iceberg_file_pruned(spark, tmp_path):
+    """Iceberg row-level DELETE/UPDATE (r15): touched files rewrite,
+    untouched files carry forward as EXISTING entries with original
+    sequence numbers, assignments see PRE-update values, no-match ops
+    return None, and partition-column updates raise."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_write import (
+        delete_iceberg,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "idml")
+    write_iceberg(
+        spark.range(0, 2000).selectExpr(
+            "id", "concat('v', id) AS v", "CAST(id % 7 AS DOUBLE) AS w"
+        ).repartitionByRange(20, "id"),
+        t,
+    )
+    before = iceberg_snapshot(t)
+    assert len(before["files"]) == 20
+
+    sid = delete_iceberg(spark, t, "id IN (5, 1998)",
+                         range_filter={"id": (5, 1998)})
+    after = iceberg_snapshot(t)
+    assert after["snapshot_id"] == sid
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) >= 18
+    for f in carried:
+        assert after["file_seqs"][f] == before["file_seqs"][f]
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(2000)) - {5, 1998}
+
+    sid2 = update_iceberg(
+        spark, t, "id % 500 = 0",
+        {"v": "concat('w=', CAST(w AS STRING))", "w": F.col("w") * 2},
+    )
+    assert sid2 is not None
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_iceberg(spark, t).collect()}
+    assert rows[500] == ("w=3.0", 6.0)
+    assert rows[0] == ("w=0.0", 0.0)
+    assert rows[501] == ("v501", 4.0)
+    # pre-DML snapshot still time-travels complete
+    assert read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]
+    ).count() == 2000
+    # no-match is a no-op
+    assert delete_iceberg(spark, t, "id = -1") is None
+    assert iceberg_snapshot(t)["snapshot_id"] == sid2
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_iceberg(spark, t, "id = 1", {"nope": F.lit(1)})
+
+    # partitioned table: partition-column update raises; delete works
+    t2 = str(tmp_path / "idmlp")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 10, "c")],
+            "id long, bucket int, v string",
+        ),
+        t2, partition_by=["bucket"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        update_iceberg(spark, t2, "id = 1", {"bucket": F.lit(99)})
+    delete_iceberg(spark, t2, "id = 3")
+    left = {(r["id"], r["bucket"]) for r in read_iceberg(spark, t2).collect()}
+    assert left == {(1, 10), (2, 20)}
+    only10 = read_iceberg(spark, t2, partition_filter={"bucket": 10})
+    assert {r["id"] for r in only10.collect()} == {1}
