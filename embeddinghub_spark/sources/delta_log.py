@@ -1115,7 +1115,26 @@ def write_delta(
             op = "MERGE" if data_change else "OPTIMIZE"
         else:
             op = mode.upper()
-        actions.append({"commitInfo": {"operation": op}})
+        n_removed = sum(1 for a in actions if a.get("remove"))
+        out_rows = 0
+        for a in adds:
+            try:
+                out_rows += int(
+                    json.loads(a["add"]["stats"])["numRecords"]
+                )
+            except (KeyError, TypeError, ValueError):
+                pass
+        actions.append({
+            "commitInfo": {
+                "operation": op,
+                # the connector's history() surfaces these
+                "operationMetrics": {
+                    "numFiles": str(len(adds)),
+                    "numRemovedFiles": str(n_removed),
+                    "numOutputRows": str(out_rows),
+                },
+            }
+        })
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if _atomic_claim_commit(log_dir, version, payload):
             if (

@@ -297,14 +297,18 @@ def iceberg_snapshot(
     path: str,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> dict:
     """Resolve the table state at a snapshot (default: current):
 
     ``{"snapshot_id": int|None, "schema": StructType,
        "files": [abs paths], "metadata": <raw metadata dict>}``
 
-    Raises ``IcebergProtocolError`` on live delete files / non-parquet
-    data, ``ValueError`` on unknown snapshots.
+    ``ref`` resolves a named tag/branch from the metadata's ``refs``
+    map (the connector's ``VERSION AS OF 'name'`` — tags are how a
+    training run pins the exact dataset snapshot it read). Raises
+    ``IcebergProtocolError`` on live delete files / non-parquet
+    data, ``ValueError`` on unknown snapshots/refs.
     """
     mfile = _latest_metadata_file(path)
     with open(mfile, encoding="utf-8") as fh:
@@ -312,8 +316,19 @@ def iceberg_snapshot(
     location = meta.get("location")
     snapshots = meta.get("snapshots") or []
     snap: dict | None = None
-    if snapshot_id is not None and as_of_timestamp_ms is not None:
-        raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
+    if sum(x is not None for x in
+           (snapshot_id, as_of_timestamp_ms, ref)) > 1:
+        raise ValueError(
+            "pass ONE of snapshot_id / as_of_timestamp_ms / ref"
+        )
+    if ref is not None:
+        entry = (meta.get("refs") or {}).get(ref)
+        if entry is None:
+            known = sorted((meta.get("refs") or {}).keys())
+            raise ValueError(
+                f"ref {ref!r} not in table refs {known}: {mfile}"
+            )
+        snapshot_id = int(entry["snapshot-id"])
     if snapshot_id is not None:
         snap = next(
             (s for s in snapshots if s.get("snapshot-id") == snapshot_id),
@@ -1045,10 +1060,14 @@ def read_iceberg(
     as_of_timestamp_ms: int | None = None,
     partition_filter: dict[str, Any] | None = None,
     range_filter: dict[str, tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at rest via the native metadata replay
     (module docstring). ``snapshot_id`` / ``as_of_timestamp_ms`` are
-    the connector's `snapshot-id` / `as-of-timestamp` time travel.
+    the connector's `snapshot-id` / `as-of-timestamp` time travel;
+    ``ref`` is tag/branch time travel (`VERSION AS OF 'name'`) —
+    resolve a name minted by ``create_iceberg_ref`` to its pinned
+    snapshot.
 
     ``partition_filter`` ({column: value}) is MANIFEST-LEVEL partition
     pruning — Iceberg's core scale mechanism: a data file whose
@@ -1080,7 +1099,8 @@ def read_iceberg(
     this repo's partitioned writer) attach identity values from the
     manifest metadata per the spec's column projection rule — see
     ``_scan_parquet``."""
-    snap = iceberg_snapshot(path, snapshot_id, as_of_timestamp_ms)
+    snap = iceberg_snapshot(path, snapshot_id, as_of_timestamp_ms,
+                            ref=ref)
     schema: T.StructType = snap["schema"]
     files = snap["files"]
     row_filter = None

@@ -337,6 +337,7 @@ def write_iceberg(
     expected_snapshot_id: int | None = None,
     carry_files: list[dict] | None = None,
     merge_schema: bool = False,
+    operation: str | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
     catalog). Returns the committed SNAPSHOT ID. See the module
@@ -384,6 +385,13 @@ def write_iceberg(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if carry_files is not None and mode != "overwrite":
         raise ValueError("carry_files requires mode='overwrite'")
+    if operation is not None and operation not in (
+        "append", "replace", "overwrite", "delete"
+    ):
+        raise ValueError(
+            "operation must be one of the spec's snapshot operations "
+            f"(append|replace|overwrite|delete), got {operation!r}"
+        )
     partition_by = list(partition_by or [])
     path = os.path.realpath(os.path.abspath(path))
     meta_dir = os.path.join(path, "metadata")
@@ -1012,12 +1020,26 @@ def write_iceberg(
         )
 
         # ---- new table metadata
+        added_rows = sum(r for _, r, _, _, _ in data_files)
+        added_bytes = sum(sz for _, _, sz, _, _ in data_files)
+        carried_rows = sum(int(cf["rows"]) for cf in carried)
         snapshot = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": f"file://{ml_path}",
-            "summary": {"operation": mode},
+            # the spec's summary: operation (caller-overridable —
+            # compaction commits "replace" so readers know the data
+            # set is unchanged) + the standard counters connectors
+            # surface in table history UIs (string-valued per spec)
+            "summary": {
+                "operation": operation or mode,
+                "added-data-files": str(len(data_files)),
+                "added-records": str(added_rows),
+                "added-files-size": str(added_bytes),
+                "total-data-files": str(len(data_files) + len(carried)),
+                "total-records": str(added_rows + carried_rows),
+            },
             "schema-id": ice_schema.get("schema-id", 0),
         }
         pcur = (prev_meta or {}).get("current-snapshot-id")
@@ -1134,6 +1156,96 @@ def write_iceberg(
     raise IcebergWriteError(
         f"lost the commit race {max_commit_retries} times: {path}"
     )
+
+
+def create_iceberg_ref(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    *,
+    ref_type: str = "tag",
+) -> None:
+    """Mint a named TAG or BRANCH ref pointing at ``snapshot_id``
+    (default: the current snapshot) — a metadata-only commit, the
+    connector's ``ALTER TABLE … CREATE TAG/BRANCH``. Tags are how a
+    training run pins the exact dataset snapshot it consumed:
+    ``read_iceberg(ref="run-2024-07")`` reproduces the read forever,
+    and ``expire_iceberg_snapshots`` PROTECTS ref'd snapshots (r15),
+    so the pin survives retention. ``main`` is reserved — it always
+    tracks current-snapshot-id. Re-creating an existing name
+    retargets it (the connector's REPLACE semantics)."""
+    if name == "main":
+        raise ValueError("'main' is reserved: it tracks the current "
+                         "snapshot")
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    path = os.path.realpath(os.path.abspath(path))
+    meta_dir = os.path.join(path, "metadata")
+    latest = _max_metadata_version(meta_dir)
+    if latest is None:
+        raise ValueError(f"not an Iceberg table: {path}")
+    prev_version, mfile = latest
+    with open(mfile, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError(f"table has no current snapshot: {path}")
+    snapshot_id = int(snapshot_id)
+    if snapshot_id not in known:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table {sorted(known)}"
+        )
+    meta_out = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    meta_out["refs"] = refs
+    version = prev_version + 1
+    final = os.path.join(meta_dir, f"v{version}.metadata.json")
+    if not _atomic_put(final, json.dumps(meta_out)):
+        raise IcebergWriteError(
+            f"lost the ref commit race at version {version}: {path}"
+        )
+    hint_tmp = os.path.join(meta_dir, f"version-hint.{uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+
+def drop_iceberg_ref(path: str, name: str) -> None:
+    """Remove a named tag/branch — metadata-only commit. Dropping a
+    tag releases its snapshot back to normal retention (the next
+    ``expire_iceberg_snapshots`` may prune it). ``main`` cannot be
+    dropped; unknown names raise."""
+    if name == "main":
+        raise ValueError("'main' cannot be dropped")
+    path = os.path.realpath(os.path.abspath(path))
+    meta_dir = os.path.join(path, "metadata")
+    latest = _max_metadata_version(meta_dir)
+    if latest is None:
+        raise ValueError(f"not an Iceberg table: {path}")
+    prev_version, mfile = latest
+    with open(mfile, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(
+            f"ref {name!r} not in table refs {sorted(refs)}"
+        )
+    del refs[name]
+    meta_out = dict(meta)
+    meta_out["refs"] = refs
+    version = prev_version + 1
+    final = os.path.join(meta_dir, f"v{version}.metadata.json")
+    if not _atomic_put(final, json.dumps(meta_out)):
+        raise IcebergWriteError(
+            f"lost the ref commit race at version {version}: {path}"
+        )
+    hint_tmp = os.path.join(meta_dir, f"version-hint.{uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
 
 
 def expire_iceberg_snapshots(
@@ -1761,6 +1873,7 @@ def compact_iceberg(
             mode="overwrite",
             partition_by=partition_by,
             expected_snapshot_id=snap["snapshot_id"],
+            operation="replace",
         )
 
     small = [
@@ -1780,4 +1893,5 @@ def compact_iceberg(
         partition_by=partition_by,
         expected_snapshot_id=snap["snapshot_id"],
         carry_files=carry,
+        operation="replace",
     )

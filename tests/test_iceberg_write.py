@@ -914,3 +914,98 @@ def test_delete_update_iceberg_file_pruned(spark, tmp_path):
     assert left == {(1, 10), (2, 20)}
     only10 = read_iceberg(spark, t2, partition_filter={"bucket": 10})
     assert {r["id"] for r in only10.collect()} == {1}
+
+
+def test_iceberg_refs_tag_branch_lifecycle(spark, tmp_path):
+    """Refs API (r15): create_iceberg_ref pins a snapshot behind a
+    name, read_iceberg(ref=…) time-travels by name, expire PROTECTS
+    the tagged snapshot, drop releases it, and the reserved 'main'
+    name is immutable through this API."""
+    from embeddinghub_spark.sources.iceberg_write import (
+        create_iceberg_ref,
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+    )
+
+    t = str(tmp_path / "refs")
+    s1 = write_iceberg(_df(spark, [(1, "a")]), t)
+    create_iceberg_ref(t, "v1-release")          # tag current (s1)
+    s2 = write_iceberg(_df(spark, [(2, "b")]), t, mode="append")
+    s3 = write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite")
+
+    # by-name time travel
+    assert _rows(read_iceberg(spark, t, ref="v1-release")) == {(1, "a")}
+    assert _rows(read_iceberg(spark, t)) == {(9, "z")}
+    with pytest.raises(ValueError, match="not in table refs"):
+        read_iceberg(spark, t, ref="nope")
+    with pytest.raises(ValueError, match="ONE of"):
+        read_iceberg(spark, t, snapshot_id=s1, ref="v1-release")
+
+    # branch ref + retarget semantics
+    create_iceberg_ref(t, "exp", snapshot_id=s2, ref_type="branch")
+    assert _rows(read_iceberg(spark, t, ref="exp")) == {(1, "a"), (2, "b")}
+    create_iceberg_ref(t, "exp", snapshot_id=s3, ref_type="branch")
+    assert _rows(read_iceberg(spark, t, ref="exp")) == {(9, "z")}
+
+    # expire protects BOTH named refs' snapshots; s2 (unref'd) goes
+    expire_iceberg_snapshots(t, keep_last=1)
+    kept = {s["snapshot-id"]
+            for s in iceberg_snapshot(t)["metadata"]["snapshots"]}
+    assert kept == {s1, s3}
+    assert _rows(read_iceberg(spark, t, ref="v1-release")) == {(1, "a")}
+
+    # drop releases the pin; the next expire prunes the snapshot
+    drop_iceberg_ref(t, "v1-release")
+    with pytest.raises(ValueError, match="not in table refs"):
+        read_iceberg(spark, t, ref="v1-release")
+    expire_iceberg_snapshots(t, keep_last=1)
+    kept2 = {s["snapshot-id"]
+             for s in iceberg_snapshot(t)["metadata"]["snapshots"]}
+    assert kept2 == {s3}
+
+    # guards
+    with pytest.raises(ValueError, match="reserved"):
+        create_iceberg_ref(t, "main")
+    with pytest.raises(ValueError, match="cannot be dropped"):
+        drop_iceberg_ref(t, "main")
+    with pytest.raises(ValueError, match="not in table"):
+        create_iceberg_ref(t, "ghost", snapshot_id=999999)
+    with pytest.raises(ValueError, match="tag|branch"):
+        create_iceberg_ref(t, "x", ref_type="lease")
+    # commits after a ref keep it resolvable and main tracking current
+    s4 = write_iceberg(_df(spark, [(5, "e")]), t, mode="append")
+    meta = iceberg_snapshot(t)["metadata"]
+    assert meta["refs"]["main"]["snapshot-id"] == s4
+    assert meta["refs"]["exp"]["snapshot-id"] == s3
+
+
+def test_snapshot_summary_counters_and_replace_operation(
+    spark, tmp_path
+):
+    """Snapshot summaries carry the spec's standard string-valued
+    counters, and compaction commits operation='replace' so readers
+    know the data set is unchanged."""
+    from embeddinghub_spark.sources.iceberg_write import compact_iceberg
+
+    t = str(tmp_path / "summ")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t)
+    meta = iceberg_snapshot(t)["metadata"]
+    s = meta["snapshots"][-1]["summary"]
+    assert s["operation"] == "append"
+    assert s["added-records"] == "2" and s["total-records"] == "2"
+    assert int(s["added-data-files"]) >= 1
+    assert int(s["added-files-size"]) > 0
+
+    write_iceberg(
+        spark.range(0, 50).selectExpr("id", "concat('v',id) AS v")
+        .repartition(5),
+        t, mode="overwrite",
+    )
+    compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    meta2 = iceberg_snapshot(t)["metadata"]
+    s2 = meta2["snapshots"][-1]["summary"]
+    assert s2["operation"] == "replace"
+    assert s2["total-records"] == "50"
+    with pytest.raises(ValueError, match="operation must be"):
+        write_iceberg(_df(spark, [(3, "c")]), t, mode="append",
+                      operation="compact")
