@@ -1022,7 +1022,18 @@ def write_iceberg(
         # ---- new table metadata
         added_rows = sum(r for _, r, _, _, _ in data_files)
         added_bytes = sum(sz for _, _, sz, _, _ in data_files)
-        carried_rows = sum(int(cf["rows"]) for cf in carried)
+        # totals cover the WHOLE snapshot: every manifest-list row,
+        # including previous manifests an append carries forward —
+        # counting only this commit's manifest would under-report
+        # total-records on every append (review find r15)
+        total_files = sum(
+            int(r["added_files_count"]) + int(r["existing_files_count"])
+            for r in rows_out
+        )
+        total_rows = sum(
+            int(r["added_rows_count"]) + int(r["existing_rows_count"])
+            for r in rows_out
+        )
         snapshot = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
@@ -1037,8 +1048,8 @@ def write_iceberg(
                 "added-data-files": str(len(data_files)),
                 "added-records": str(added_rows),
                 "added-files-size": str(added_bytes),
-                "total-data-files": str(len(data_files) + len(carried)),
-                "total-records": str(added_rows + carried_rows),
+                "total-data-files": str(total_files),
+                "total-records": str(total_rows),
             },
             "schema-id": ice_schema.get("schema-id", 0),
         }

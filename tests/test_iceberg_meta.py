@@ -298,7 +298,7 @@ def test_read_latest_and_time_travel(spark, ice_table):
         iceberg_snapshot(ice_table, snapshot_id=999)
     with pytest.raises(ValueError, match="at or before"):
         iceberg_snapshot(ice_table, as_of_timestamp_ms=500)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="ONE of"):
         iceberg_snapshot(ice_table, snapshot_id=101, as_of_timestamp_ms=1500)
 
 

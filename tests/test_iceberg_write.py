@@ -995,6 +995,11 @@ def test_snapshot_summary_counters_and_replace_operation(
     assert s["added-records"] == "2" and s["total-records"] == "2"
     assert int(s["added-data-files"]) >= 1
     assert int(s["added-files-size"]) > 0
+    # an APPEND's totals cover the whole snapshot, not just the commit
+    write_iceberg(_df(spark, [(3, "c")]), t, mode="append")
+    s_app = iceberg_snapshot(t)["metadata"]["snapshots"][-1]["summary"]
+    assert s_app["added-records"] == "1"
+    assert s_app["total-records"] == "3"
 
     write_iceberg(
         spark.range(0, 50).selectExpr("id", "concat('v',id) AS v")
