@@ -134,11 +134,16 @@ def read_file(
 
         snap_id = options.get("snapshot-id")
         as_of = options.get("as-of-timestamp")
-        unsupported = sorted(set(options) - {"snapshot-id", "as-of-timestamp"})
+        branch = options.get("branch") or options.get("tag")
+        unsupported = sorted(
+            set(options)
+            - {"snapshot-id", "as-of-timestamp", "branch", "tag"}
+        )
         if unsupported:
             raise ValueError(
                 f"native iceberg reader supports snapshot-id/"
-                f"as-of-timestamp only; got {unsupported} (install the "
+                f"as-of-timestamp/branch/tag only; got {unsupported} "
+                "(install the "
                 "iceberg-spark connector for the full option surface)"
             )
         record_branch("read_file", "native_iceberg_meta", path)
@@ -147,6 +152,7 @@ def read_file(
             path,
             None if snap_id is None else int(snap_id),
             None if as_of is None else int(as_of),
+            ref=branch,
         )
     if fmt == "parquet":
         ns_cols = _nanos_ts_columns(path)

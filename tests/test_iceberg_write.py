@@ -933,8 +933,14 @@ def test_iceberg_refs_tag_branch_lifecycle(spark, tmp_path):
     s2 = write_iceberg(_df(spark, [(2, "b")]), t, mode="append")
     s3 = write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite")
 
-    # by-name time travel
+    # by-name time travel (read_iceberg AND the read_file dispatch —
+    # the connector's branch/tag read options)
     assert _rows(read_iceberg(spark, t, ref="v1-release")) == {(1, "a")}
+    from embeddinghub_spark.sources.readers import read_file
+
+    assert _rows(read_file(spark, t, "iceberg", tag="v1-release")) == {
+        (1, "a")
+    }
     assert _rows(read_iceberg(spark, t)) == {(9, "z")}
     with pytest.raises(ValueError, match="not in table refs"):
         read_iceberg(spark, t, ref="nope")
