@@ -839,10 +839,20 @@ def read_iceberg_increment(
     version-based incremental refresh; the connector drives this via
     incremental scans).
 
-    Raises when the range is not append-only: a data file removed
-    in-between, a schema change, or ANY delete files on either end
-    (an adds-only read over updates/deletes would misreport them as
-    pure inserts — use the connector's changelog for those tables)."""
+    REPLACE snapshots (compaction — ``compact_iceberg`` stamps the
+    spec's ``operation: replace``, meaning files were rearranged
+    without changing table data) are SKIPPED exactly like the
+    connector's IncrementalAppendScan: the appended files are read
+    as written, even when a later compaction de-referenced them
+    (immutable data files outlive their reference until snapshot
+    expiry physically removes them — an expired-and-cleaned file
+    fails loudly at scan).
+
+    Raises when the range is not append-only: a data file removed by
+    a non-replace snapshot, a schema change, or ANY delete files on
+    either end (an adds-only read over updates/deletes would
+    misreport them as pure inserts — use the connector's changelog
+    for those tables)."""
     snap_from = iceberg_snapshot(path, from_snapshot_id)
     snap_to = iceberg_snapshot(path, to_snapshot_id)
     if snap_from["schema"].json() != snap_to["schema"].json():
@@ -858,19 +868,77 @@ def read_iceberg_increment(
             "snapshot range carries delete files — table is not "
             "append-only; use the connector's changelog"
         )
+    schema: T.StructType = snap_to["schema"]
     from_files = set(snap_from["files"])
     to_files = set(snap_to["files"])
     removed = sorted(from_files - to_files)
-    if removed:
-        raise ValueError(
-            f"data files removed in range (e.g. {removed[0]}) — table "
-            "is not append-only; use the connector's changelog"
-        )
-    added = sorted(to_files - from_files)
-    schema: T.StructType = snap_to["schema"]
-    if not added:
+    if not removed:
+        # fast path (pure-append range): the endpoint diff IS the
+        # answer — two manifest replays, not one per snapshot
+        added = sorted(to_files - from_files)
+        if not added:
+            return spark.createDataFrame([], schema)
+        return _scan_parquet(spark, snap_to, added)
+    # removals exist: walk the parent chain and keep the files added
+    # by APPEND snapshots, skipping REPLACE (compaction) snapshots;
+    # anything else in range makes the range non-append-only
+    meta = snap_to["metadata"]
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    chain: list[dict] = []
+    cur = snap_to["snapshot_id"]
+    while cur != from_snapshot_id:
+        s = by_id.get(cur)
+        if s is None or s.get("parent-snapshot-id") is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{snap_to['snapshot_id']} (chain broken at {cur}) — "
+                "use the connector's changelog"
+            )
+        chain.append(s)
+        cur = s["parent-snapshot-id"]
+    chain.reverse()
+    added_list: list[str] = []
+    prev_files = from_files
+    # a later REPLACE may have de-referenced an appended file, so
+    # snap_to's manifests no longer carry its partition tuple/bounds —
+    # merge each walked snapshot's metadata so the column-projection
+    # rule still attaches identity partition values to those files
+    merged_parts = dict(snap_to.get("file_partitions") or {})
+    merged_bounds = dict(snap_to.get("file_bounds") or {})
+    for s in chain:
+        st = iceberg_snapshot(path, s["snapshot-id"])
+        merged_parts.update(st.get("file_partitions") or {})
+        merged_bounds.update(st.get("file_bounds") or {})
+        if st["position_deletes"] or st["equality_deletes"]:
+            raise ValueError(
+                "snapshot range carries delete files — table is not "
+                "append-only; use the connector's changelog"
+            )
+        cur_files = set(st["files"])
+        op = (s.get("summary") or {}).get("operation")
+        if op == "replace":
+            # rearrangement-only by the spec's contract: the data set
+            # is unchanged, so nothing here is an increment
+            prev_files = cur_files
+            continue
+        gone = sorted(prev_files - cur_files)
+        if gone:
+            raise ValueError(
+                f"data files removed in range (e.g. {gone[0]}, "
+                f"snapshot {s['snapshot-id']}, operation {op!r}) — "
+                "table is not append-only; use the connector's "
+                "changelog"
+            )
+        added_list.extend(sorted(cur_files - prev_files))
+        prev_files = cur_files
+    if not added_list:
         return spark.createDataFrame([], schema)
-    return _scan_parquet(spark, snap_to, added)
+    snap_scan = dict(
+        snap_to,
+        file_partitions=merged_parts,
+        file_bounds=merged_bounds,
+    )
+    return _scan_parquet(spark, snap_scan, added_list)
 
 
 def read_iceberg_changes(

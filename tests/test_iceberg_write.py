@@ -1020,3 +1020,58 @@ def test_snapshot_summary_counters_and_replace_operation(
     with pytest.raises(ValueError, match="operation must be"):
         write_iceberg(_df(spark, [(3, "c")]), t, mode="append",
                       operation="compact")
+
+
+def test_increment_skips_replace_snapshots(spark, tmp_path):
+    """read_iceberg_increment over a range containing a COMPACTION
+    (operation=replace) skips it like the connector's
+    IncrementalAppendScan: the appended rows report exactly once,
+    read from the files as written, even though the compaction
+    de-referenced them; a real overwrite in range still raises."""
+    from embeddinghub_spark.sources.iceberg_write import compact_iceberg
+
+    t = str(tmp_path / "increp")
+    s1 = write_iceberg(
+        spark.range(0, 100).selectExpr("id", "concat('v',id) AS v")
+        .repartition(4), t,
+    )
+    s2 = write_iceberg(
+        spark.range(100, 150).selectExpr("id", "concat('v',id) AS v")
+        .repartition(3), t, mode="append",
+    )
+    s3 = compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    assert s3 is not None
+    s4 = write_iceberg(
+        spark.range(150, 160).selectExpr("id", "concat('v',id) AS v"),
+        t, mode="append",
+    )
+    inc = read_iceberg_increment(spark, t, s1, s4)
+    got = sorted(r["id"] for r in inc.collect())
+    assert got == list(range(100, 160))
+    # range ending AT the compaction: just the s2 appends
+    inc2 = read_iceberg_increment(spark, t, s1, s3)
+    assert sorted(r["id"] for r in inc2.collect()) == list(range(100, 150))
+    # replace-only range is empty
+    assert read_iceberg_increment(spark, t, s2, s3).count() == 0
+    # a REAL overwrite in range still raises
+    write_iceberg(_df(spark, [(1, "z")]), t, mode="overwrite")
+    with pytest.raises(ValueError, match="removed in range"):
+        read_iceberg_increment(spark, t, s1)
+
+    # partitioned twin: appended-then-compacted files keep their
+    # identity partition values through the merged walk metadata
+    t2 = str(tmp_path / "increpp")
+    p1 = write_iceberg(
+        spark.createDataFrame([(1, 10, "a")],
+                              "id long, bucket int, v string"),
+        t2, partition_by=["bucket"],
+    )
+    write_iceberg(
+        spark.createDataFrame([(2, 20, "b"), (3, 10, "c")],
+                              "id long, bucket int, v string"),
+        t2, mode="append", partition_by=["bucket"],
+    )
+    compact_iceberg(spark, t2, target_file_bytes=1 << 30)
+    inc3 = read_iceberg_increment(spark, t2, p1)
+    got3 = {(r["id"], r["bucket"], r["v"]) for r in inc3.collect()}
+    assert got3 == {(2, 20, "b"), (3, 10, "c")}
