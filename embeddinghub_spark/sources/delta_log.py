@@ -313,21 +313,34 @@ def _apply_action(state: dict, action: dict) -> None:
         state["adds"].pop(action["remove"]["path"], None)
 
 
-def _advance_state(state: dict, path: str, v: int) -> None:
+def _advance_state(state: dict, path: str, v: int) -> bool:
     """Advance a replay state by exactly one commit — O(commit size),
     the linear-time step that makes a long ``read_delta_changes``
-    range O(total log) instead of O(range²) (VERDICT r13 #4)."""
+    range O(total log) instead of O(range²) (VERDICT r13 #4).
+
+    Returns whether the commit carried ANY data-changing add/remove
+    (PROTOCOL.md ``dataChange``, default true) — a rearrangement-only
+    commit (OPTIMIZE) provably changes no row values, so the change
+    feed can skip its diff scan entirely."""
     commits = state["commits"]
     if v not in commits:
         raise ValueError(
             f"log is missing commit {v} (vacuumed?): {path}"
         )
+    data_change = False
     with open(commits[v], encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
-            if line:
-                _apply_action(state, json.loads(line))
+            if not line:
+                continue
+            a = json.loads(line)
+            for kind in ("add", "remove"):
+                act = a.get(kind)
+                if act and act.get("dataChange", True):
+                    data_change = True
+            _apply_action(state, a)
     state["version"] = v
+    return data_change
 
 
 def _replay_state(path: str, version: int | None = None) -> dict:
@@ -1294,8 +1307,13 @@ def read_delta_changes(
     # per-commit file-diff semantics below are untouched.
     state = _state0
     for v in range(from_version + 1, to_version + 1):
-        _advance_state(state, path, v)
+        changed = _advance_state(state, path, v)
         cur = _finalize_snapshot(path, state)
+        if not changed:
+            # rearrangement-only commit (OPTIMIZE): no row values can
+            # differ, so don't pay the diff scan at all
+            prev = cur
+            continue
         if cur["schema"].json() != prev["schema"].json():
             raise ValueError(
                 f"schema changed at version {v}: a cross-schema diff "
