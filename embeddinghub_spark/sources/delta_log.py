@@ -1309,9 +1309,11 @@ def read_delta_changes(
     for v in range(from_version + 1, to_version + 1):
         changed = _advance_state(state, path, v)
         cur = _finalize_snapshot(path, state)
-        if not changed:
+        if not changed and cur["schema"].json() == prev["schema"].json():
             # rearrangement-only commit (OPTIMIZE): no row values can
-            # differ, so don't pay the diff scan at all
+            # differ, so don't pay the diff scan at all. The schema
+            # guard keeps a metadata-only ALTER commit on the loud
+            # cross-schema path below instead of silently skipping it.
             prev = cur
             continue
         if cur["schema"].json() != prev["schema"].json():
@@ -1766,8 +1768,12 @@ def vacuum_delta(
     The retention default (7 days, the connector's) plus the
     mtime check protect in-flight writers: a freshly staged or
     just-committed-by-a-racer file is never young enough to delete.
-    Only ``*.parquet`` and ``*.bin`` (deletion vector) files are
-    candidates; ``_delta_log`` is never touched."""
+    Retention keys on FILE MTIME — the protocol's own discipline —
+    so on object stores or filesystems with coarse/unreliable mtimes,
+    size the retention window with margin rather than shrinking it
+    toward the write cadence. Only ``*.parquet`` and ``*.bin``
+    (deletion vector) files are candidates; ``_delta_log`` is never
+    touched."""
     import time as _time
 
     path = os.path.realpath(os.path.abspath(path))

@@ -886,7 +886,13 @@ def read_iceberg_increment(
     by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
     chain: list[dict] = []
     cur = snap_to["snapshot_id"]
+    seen: set = set()
     while cur != from_snapshot_id:
+        if cur in seen:  # malformed metadata: a parent cycle would
+            raise ValueError(  # otherwise spin forever
+                f"snapshot parent chain contains a cycle at {cur}"
+            )
+        seen.add(cur)
         s = by_id.get(cur)
         if s is None or s.get("parent-snapshot-id") is None:
             raise ValueError(
