@@ -6485,88 +6485,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST 50
-    # entries of this dict per round. The r14 window certified 50/50 green (the
-    # seventh consecutive all-green gate; cumulative ledger 198/201
-    # hash-certified + 3 rows-only). Round 15 executes the rotation ordered by
-    # VERDICT r14 task #1: positions 1-4 are the four entries staged through
-    # r14 (the native Iceberg MERGE, the Iceberg snapshot changelog, the
-    # partitioned Iceberg write round-trip, and native Delta data skipping) —
-    # each judge-verified at sf0.01 AND sf0.1 via tools/check.py --staged but
-    # with zero driver rows; position 5 is trailing_sessions (the one r10-stale
-    # canary that missed the r14 window); positions 6-49 are the first 44 of
-    # the 49 canaries whose last green row is r11 (alphabetical;
-    # trailing_topk, trailing_window, v5_knn_bruteforce, validate_rules and
-    # winnow_pairs carry to r16); position 50 keeps the flagship c6 sentinel
-    # as the cross-round canary. Everything below the window keeps its
-    # cumulative green rows, ordered by last green driver row (r11 leftovers,
-    # then the r12/r13/r14 cohorts, alphabetical within each; rows-only trio
-    # parked at the end — they can never hash-match, so a window slot on them
-    # is wasted). After this round the cumulative ledger covers 202/205
-    # hash-certified + 3 rows-only. The registry is FROZEN for r15 at 205:
-    # new operators ship staged until this window certifies.
+    # entries of this dict per round. The r15 window certified 50/50 green (the
+    # eighth consecutive all-green gate; cumulative ledger 202/205
+    # hash-certified + 3 rows-only). Round 16 executes the rotation ordered by
+    # VERDICT r15 task #1: positions 1-6 are the six entries staged through
+    # r15 (file-pruned MERGE in both native formats, compaction in both, and
+    # the row-level DELETE/UPDATE DML pair) — each judge-verified at sf0.01
+    # AND sf0.1 via tools/check.py --staged but with zero driver rows;
+    # positions 7-11 are the five canaries whose last green row is r11
+    # (carried from the r15 window per its pin); positions 12-49 are the
+    # first 38 of the 49 canaries whose last green row is r12 (alphabetical;
+    # s1_csv_scan through v8_preview carry to r17); position 50 keeps the
+    # flagship c6 sentinel as the cross-round canary. Everything below the
+    # window keeps its cumulative green rows, ordered by last green driver
+    # row (r12 leftovers, then the r13/r14/r15 cohorts, alphabetical within
+    # each; rows-only trio parked at the end — they can never hash-match, so
+    # a window slot on them is wasted). After this round the cumulative
+    # ledger covers 208/211 hash-certified + 3 rows-only. The registry is
+    # FROZEN for r16 at 211: new operators ship staged until this window
+    # certifies.
     return {
-        # --- positions 1-4: the r14 staged entries, never driver-certified ---
-        "iceberg_merge": q_iceberg_merge,
-        "iceberg_changes": q_iceberg_changes,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "delta_skipping": q_delta_skipping,
-        # --- position 5: the r10-stale leftover carried from r14 ---
-        "trailing_sessions": q_trailing_sessions,
-        # --- positions 6-49: refreshed canaries (last green row = r11) ---
-        "ann_recall": q_ann_recall,
-        "auto_join": q_auto_join,
-        "bigram_logprob": q_bigram_logprob,
-        "binary_auc": q_binary_auc,
-        "bloom_join": q_bloom_join,
-        "budget_select": q_budget_select,
-        "c11_lag_features": q_c11_lag_features,
-        "c14_batch_features": q_c14_batch_features,
-        "c15_train_test_split": q_c15_train_test_split,
-        "c1_sql_transformation": q_c1_sql_transformation,
-        "c3_materialize_latest": q_c3_materialize_latest,
-        "c5_chunked_segment": q_c5_chunked_segment,
-        "cdc_apply": q_cdc_apply,
-        "class_tf_idf": q_class_tf_idf,
-        "colocated_join": q_colocated_join,
-        "dataset_fingerprint": q_dataset_fingerprint,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "dsir_weights": q_dsir_weights,
-        "event_transitions": q_event_transitions,
-        "f8_stats": q_f8_stats,
-        "f8_tpch_q3": q_f8_tpch_q3,
-        "fuzzy_clusters": q_fuzzy_clusters,
-        "fuzzy_join": q_fuzzy_join,
-        "hll_by_group": q_hll_by_group,
-        "join_fanout": q_join_fanout,
-        "kfold_split": q_kfold_split,
-        "minhash_bands": q_minhash_bands,
-        "mm_phash": q_mm_phash,
-        "pit_staleness": q_pit_staleness,
-        "psi_drift": q_psi_drift,
-        "quantiles_by_group": q_quantiles_by_group,
-        "quantize_embeddings": q_quantize_embeddings,
-        "robust_scale_by": q_robust_scale_by,
-        "s5_incremental_read": q_s5_incremental_read,
-        "scd2_build": q_scd2_build,
-        "scd2_lookup": q_scd2_lookup,
-        "scd2_merge": q_scd2_merge,
-        "source_overlap": q_source_overlap,
-        "streaming_embedding_dedup": q_streaming_embedding_dedup,
-        "temperature_mixture": q_temperature_mixture,
-        "temporal_split": q_temporal_split,
-        "text_stats": q_text_stats,
-        "time_to_next_event": q_time_to_next_event,
-        # --- position 50: flagship sentinel (certified r1-r14) ---
-        "c6_pit_training_set": q_c6_pit_training_set,
-        # --- positions 51+: outside this round's window, ordered by last
-        # green driver row (r11 carry-overs, then r12/r13/r14 cohorts,
-        # alphabetical within each; rows-only trio parked at the end) ---
+        # --- positions 1-6: the r15 staged DML/compaction entries, never
+        # driver-certified ---
+        "delta_merge_pruned": q_delta_merge_pruned,
+        "iceberg_merge_pruned": q_iceberg_merge_pruned,
+        "delta_compact": q_delta_compact,
+        "iceberg_compact": q_iceberg_compact,
+        "delta_dml": q_delta_dml,
+        "iceberg_dml": q_iceberg_dml,
+        # --- positions 7-11: the r11-stale canaries carried from r15 ---
         "trailing_topk": q_trailing_topk,
         "trailing_window": q_trailing_window,
         "v5_knn_bruteforce": q_v5_knn_bruteforce,
         "validate_rules": q_validate_rules,
         "winnow_pairs": q_winnow_pairs,
+        # --- positions 12-49: refreshed canaries (last green row = r12) ---
         "c10_feature_group_join": q_c10_feature_group_join,
         "c12_composite_entities": q_c12_composite_entities,
         "c16_resource_registration": q_c16_resource_registration,
@@ -6605,6 +6558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "s12_merge_upsert": q_s12_merge_upsert,
+        # --- position 50: flagship sentinel (certified r1-r15) ---
+        "c6_pit_training_set": q_c6_pit_training_set,
+        # --- positions 51+: outside this round's window, ordered by last
+        # green driver row (r12 leftovers, then r13/r14/r15 cohorts,
+        # alphabetical within each; rows-only trio parked at the end) ---
         "s1_csv_scan": q_s1_csv_scan,
         "s3_table_scan": q_s3_table_scan,
         "s8_parquet_sink": q_s8_parquet_sink,
@@ -6714,6 +6672,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "winsorize": q_winsorize,
         "zorder_key": q_zorder_key,
+        "ann_recall": q_ann_recall,
+        "auto_join": q_auto_join,
+        "bigram_logprob": q_bigram_logprob,
+        "binary_auc": q_binary_auc,
+        "bloom_join": q_bloom_join,
+        "budget_select": q_budget_select,
+        "c11_lag_features": q_c11_lag_features,
+        "c14_batch_features": q_c14_batch_features,
+        "c15_train_test_split": q_c15_train_test_split,
+        "c1_sql_transformation": q_c1_sql_transformation,
+        "c3_materialize_latest": q_c3_materialize_latest,
+        "c5_chunked_segment": q_c5_chunked_segment,
+        "cdc_apply": q_cdc_apply,
+        "class_tf_idf": q_class_tf_idf,
+        "colocated_join": q_colocated_join,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "delta_skipping": q_delta_skipping,
+        "dsir_weights": q_dsir_weights,
+        "event_transitions": q_event_transitions,
+        "f8_stats": q_f8_stats,
+        "f8_tpch_q3": q_f8_tpch_q3,
+        "fuzzy_clusters": q_fuzzy_clusters,
+        "fuzzy_join": q_fuzzy_join,
+        "hll_by_group": q_hll_by_group,
+        "iceberg_changes": q_iceberg_changes,
+        "iceberg_merge": q_iceberg_merge,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "join_fanout": q_join_fanout,
+        "kfold_split": q_kfold_split,
+        "minhash_bands": q_minhash_bands,
+        "mm_phash": q_mm_phash,
+        "pit_staleness": q_pit_staleness,
+        "psi_drift": q_psi_drift,
+        "quantiles_by_group": q_quantiles_by_group,
+        "quantize_embeddings": q_quantize_embeddings,
+        "robust_scale_by": q_robust_scale_by,
+        "s5_incremental_read": q_s5_incremental_read,
+        "scd2_build": q_scd2_build,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_merge": q_scd2_merge,
+        "source_overlap": q_source_overlap,
+        "streaming_embedding_dedup": q_streaming_embedding_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "temporal_split": q_temporal_split,
+        "text_stats": q_text_stats,
+        "time_to_next_event": q_time_to_next_event,
+        "trailing_sessions": q_trailing_sessions,
         "bpe_merges": q_bpe_merges,
         "pca_embeddings": q_pca_embeddings,
         "isotonic_calibration": q_isotonic_calibration,
@@ -6722,6 +6729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- promoted by the r16 rotation (staged through r15) ---
+        "delta_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
+        "iceberg_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
+        "delta_compact": _COMPACT_ORACLE,
+        "iceberg_compact": _COMPACT_ORACLE,
+        "delta_dml": _DML_ORACLE,
+        "iceberg_dml": _DML_ORACLE,
         # --- promoted by the r15 rotation (staged through r14) ---
         "iceberg_merge": _ICEBERG_MERGE_ORACLE,
         "iceberg_changes": _ICEBERG_CHANGES_ORACLE,
@@ -9406,29 +9420,15 @@ def q_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
-    (registry frozen at 205 per VERDICT r14 #8). The four r14 staged
-    entries (iceberg_merge, iceberg_changes, iceberg_partitioned,
-    delta_skipping) were promoted into queries()/oracle_sql() by the
-    r15 rotation; new operators staged this round land here with the
-    standard protocol (pin tests vs exact Python replicas, SCALING.md
-    audit row, README line, oracle twin certified at sf0.01 + sf0.1)
-    before touching the registry."""
-    return {
-        "delta_merge_pruned": q_delta_merge_pruned,
-        "iceberg_merge_pruned": q_iceberg_merge_pruned,
-        "delta_compact": q_delta_compact,
-        "iceberg_compact": q_iceberg_compact,
-        "delta_dml": q_delta_dml,
-        "iceberg_dml": q_iceberg_dml,
-    }
+    (registry frozen at 211 per VERDICT r15 #8). The six r15 staged
+    entries (delta_merge_pruned, iceberg_merge_pruned, delta_compact,
+    iceberg_compact, delta_dml, iceberg_dml) were promoted into
+    queries()/oracle_sql() by the r16 rotation; new operators staged
+    this round land here with the standard protocol (pin tests vs exact
+    Python replicas, SCALING.md audit row, README line, oracle twin
+    certified at sf0.01 + sf0.1) before touching the registry."""
+    return {}
 
 
 def staged_oracle_sql() -> dict:
-    return {
-        "delta_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
-        "iceberg_merge_pruned": _DELTA_MERGE_PRUNED_ORACLE,
-        "delta_compact": _COMPACT_ORACLE,
-        "iceberg_compact": _COMPACT_ORACLE,
-        "delta_dml": _DML_ORACLE,
-        "iceberg_dml": _DML_ORACLE,
-    }
+    return {}

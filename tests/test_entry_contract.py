@@ -34,46 +34,49 @@ def test_queries_and_oracles_align():
     assert [n for n in ROWS_ONLY if n not in q] == [], "stale ROWS_ONLY"
 
 
-def test_round15_window_layout():
-    """The rotation for round 15 (VERDICT r14 task #1): the 4
-    oracle-backed entries staged through r14 (the native Iceberg
-    MERGE, the Iceberg snapshot changelog, the partitioned Iceberg
-    write round-trip, native Delta data skipping; zero driver rows,
-    judge-verified at both scales) occupy positions 1-4 of the
-    50-slot window; position 5 is trailing_sessions (the one r10-stale
-    canary that missed the r14 window); positions 6-49 are the first
-    44 of the 49 canaries whose last green row is r11 (alphabetical;
-    trailing_topk, trailing_window, v5_knn_bruteforce, validate_rules
-    and winnow_pairs carry to r16); slot 50 is the flagship sentinel.
-    Rows-only entries can never hash-match, so they must stay OUT of
-    the window. The registry is frozen at 205 entries until this
-    window is certified."""
+def test_round16_window_layout():
+    """The rotation for round 16 (VERDICT r15 task #1): the 6
+    oracle-backed entries staged through r15 (file-pruned MERGE in
+    both native table formats, compaction in both, the row-level
+    DELETE/UPDATE DML pair; zero driver rows, judge-verified at both
+    scales) occupy positions 1-6 of the 50-slot window; positions 7-11
+    are the five r11-stale canaries carried from the r15 window
+    (trailing_topk, trailing_window, v5_knn_bruteforce,
+    validate_rules, winnow_pairs); positions 12-49 are the first 38 of
+    the 49 canaries whose last green row is r12 (alphabetical;
+    s1_csv_scan through v8_preview carry to r17); slot 50 is the
+    flagship sentinel. Rows-only entries can never hash-match, so they
+    must stay OUT of the window. The registry is frozen at 211 entries
+    until this window is certified."""
     import __spark_entry__ as m
 
     keys = list(m.queries().keys())
-    assert len(keys) == 205, "registry frozen at 205 for r15"
+    assert len(keys) == 211, "registry frozen at 211 for r16"
     window = keys[:50]
     rotation = [
-        "iceberg_merge", "iceberg_changes", "iceberg_partitioned",
-        "delta_skipping",
+        "delta_merge_pruned", "iceberg_merge_pruned", "delta_compact",
+        "iceberg_compact", "delta_dml", "iceberg_dml",
     ]
-    r11_head = [
-        "ann_recall", "auto_join", "bigram_logprob", "binary_auc",
-        "bloom_join", "budget_select",
-    ]
-    r11_tail = [
-        "temperature_mixture", "temporal_split", "text_stats",
-        "time_to_next_event",
-    ]
-    r16_carry = {
+    r11_carry = [
         "trailing_topk", "trailing_window", "v5_knn_bruteforce",
         "validate_rules", "winnow_pairs",
+    ]
+    r12_head = [
+        "c10_feature_group_join", "c12_composite_entities",
+        "c16_resource_registration", "c17_ctas",
+    ]
+    r12_tail = ["redact_pii", "repetition_stats", "s12_merge_upsert"]
+    r17_carry = {
+        "s1_csv_scan", "s3_table_scan", "s8_parquet_sink",
+        "semantic_dedup", "shuffle_order", "simhash", "sparse_cosine",
+        "sparse_cosine_scaled", "stratified_sample", "tf_idf",
+        "v8_preview",
     }
-    assert window[:4] == rotation, "rotation entries must lead the window"
-    assert window[4] == "trailing_sessions", "r10 leftover leads the canaries"
-    assert window[5:11] == r11_head, "r11 canaries moved"
-    assert window[45:49] == r11_tail, "r11 canaries moved"
-    assert not r16_carry & set(window), "r11 leftovers carry to r16"
+    assert window[:6] == rotation, "rotation entries must lead the window"
+    assert window[6:11] == r11_carry, "r11 carries follow the rotation"
+    assert window[11:15] == r12_head, "r12 canaries moved"
+    assert window[46:49] == r12_tail, "r12 canaries moved"
+    assert not r17_carry & set(window), "r12 leftovers carry to r17"
     assert window[-1] == "c6_pit_training_set", "flagship sentinel moved"
     assert not ROWS_ONLY & set(window), "rows-only entry wastes a window slot"
 
