@@ -83,6 +83,31 @@ class ConcurrentWriteError(RuntimeError):
     re-apply."""
 
 
+# Delta's dataSkippingStringPrefixLength default: string stats store
+# at most this many chars (lower = prefix, upper = prefix incremented)
+_STATS_STRING_PREFIX = 32
+
+
+def _stat_json_value(v, side: int):
+    """One bound value → its JSON-stats form (side 0 = minValues,
+    1 = maxValues). None = drop this side's entry for the column
+    (readers treat a missing bound as unknown: under-prune only)."""
+    import datetime as _dt
+
+    from embeddinghub_spark.sources.parquet_stats import (
+        truncated_lower,
+        truncated_upper,
+    )
+
+    if isinstance(v, str):
+        if side == 0:
+            return truncated_lower(v, _STATS_STRING_PREFIX)
+        return truncated_upper(v, _STATS_STRING_PREFIX)
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return v.isoformat()
+    return v
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
 
@@ -501,6 +526,12 @@ def _finalize_snapshot(path: str, state: dict) -> dict:
         "version": target,
         "schema": schema,
         "metadata_id": meta.get("id"),
+        # Carried verbatim into any schema-evolving metaData rewrite
+        # (ADVICE r15: emitting "configuration": {} there silently wiped
+        # table properties like delta.enableChangeDataFeed on
+        # connector-created tables).
+        "configuration": dict(meta.get("configuration") or {}),
+        "created_time": meta.get("createdTime"),
         "partition_columns": list(meta.get("partitionColumns") or []),
         "files": [
             {
@@ -670,7 +701,8 @@ def read_delta(
     ``range_filter`` ({column: (lo, hi)}, either side None for
     unbounded) is DATA SKIPPING on the adds' per-file ``stats``
     (PROTOCOL.md numRecords/minValues/maxValues — what the connector's
-    skipping reads too): a file whose recorded numeric bounds provably
+    skipping reads too): a file whose recorded bounds (numeric, string
+    or ISO-date — kind-matched) provably
     miss the range never enters the scan. Semantics are EXACT at any
     skipping coverage — the same BETWEEN filter applies Spark-side, so
     files without stats (older writers) are filtered, never wrongly
@@ -988,10 +1020,29 @@ def write_delta(
 
             fmeta = _pq.read_metadata(os.path.join(path, rel))
             bounds = column_bounds(fmeta)
+            # JSON-stats encoding: long strings truncate per the
+            # skipping contract (lower = prefix, upper = prefix
+            # INCREMENTED — Delta's 32-char stats truncation; an
+            # un-incrementable upper is dropped, which only
+            # under-prunes); dates serialize as ISO strings (how
+            # delta-spark writes them — ISO order == date order, so
+            # the pruning comparisons stay correct on the string
+            # form). VERDICT r15 #2: these are what make string-keyed
+            # DML file-pruned.
+            mins: dict = {}
+            maxs: dict = {}
+            for c, b in sorted(bounds.items()):
+                lo, hi = _stat_json_value(b[0], 0), _stat_json_value(
+                    b[1], 1
+                )
+                if lo is not None:
+                    mins[c] = lo
+                if hi is not None:
+                    maxs[c] = hi
             stats = {
                 "numRecords": fmeta.num_rows,
-                "minValues": {c: b[0] for c, b in sorted(bounds.items())},
-                "maxValues": {c: b[1] for c, b in sorted(bounds.items())},
+                "minValues": mins,
+                "maxValues": maxs,
             }
             adds.append(
                 {
@@ -1051,6 +1102,11 @@ def write_delta(
                     union = T.StructType(
                         list(snap["schema"].fields) + new_cols
                     )
+                    # Only schemaString changes on evolution: the table
+                    # id, configuration and createdTime carry through
+                    # verbatim (ADVICE r15 — a fresh "configuration": {}
+                    # here wiped properties such as
+                    # delta.enableChangeDataFeed).
                     actions.append(
                         {
                             "metaData": {
@@ -1061,8 +1117,11 @@ def write_delta(
                                 },
                                 "schemaString": union.json(),
                                 "partitionColumns": partition_by,
-                                "configuration": {},
-                                "createdTime": 0,
+                                "configuration": snap.get(
+                                    "configuration"
+                                ) or {},
+                                "createdTime": snap.get("created_time")
+                                or 0,
                             }
                         }
                     )
@@ -1074,7 +1133,8 @@ def write_delta(
                 }
                 if ours != theirs:
                     # schema evolution on overwrite: new metaData, but
-                    # the TABLE id is stable for the table's lifetime
+                    # the TABLE id, configuration and createdTime are
+                    # stable for the table's lifetime (ADVICE r15)
                     actions.append(
                         {
                             "metaData": {
@@ -1085,8 +1145,11 @@ def write_delta(
                                 },
                                 "schemaString": df.schema.json(),
                                 "partitionColumns": partition_by,
-                                "configuration": {},
-                                "createdTime": 0,
+                                "configuration": snap.get(
+                                    "configuration"
+                                ) or {},
+                                "createdTime": snap.get("created_time")
+                                or 0,
                             }
                         }
                     )
@@ -1468,11 +1531,7 @@ def merge_delta(
     key_ranges = {
         c: (rng_row[f"_lo_{c}"], rng_row[f"_hi_{c}"]) for c in key_cols
     }
-    usable = {
-        c: r for c, r in key_ranges.items()
-        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
-               for v in r)
-    }
+    usable = _usable_delta_ranges(key_ranges)
     candidates = (
         [f for f in files if not range_excluded(_bounds(f), usable)]
         if usable else list(files)
@@ -1511,6 +1570,36 @@ def merge_delta(
     )
 
 
+def _usable_delta_ranges(key_ranges: dict) -> dict:
+    """Key ranges usable against Delta JSON stats: numbers and strings
+    pass through; dates convert to ISO strings (the stats' own
+    serialization — ISO order == date order); anything else (NULL-only
+    key, timestamp, binary) drops the column from stage-1 pruning
+    (under-prune only). VERDICT r15 #2: before string support, every
+    string-keyed merge scanned all candidate files here."""
+    import datetime as _dt
+
+    def _conv(v):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return v.isoformat()
+        return None
+
+    out = {}
+    for c, (lo, hi) in key_ranges.items():
+        clo, chi = _conv(lo), _conv(hi)
+        if clo is not None and chi is not None and (
+            type(clo) is type(chi)
+            or (isinstance(clo, (int, float))
+                and isinstance(chi, (int, float)))
+        ):
+            out[c] = (clo, chi)
+    return out
+
+
 def _touched_by_condition(
     spark: SparkSession,
     path: str,
@@ -1519,17 +1608,32 @@ def _touched_by_condition(
     range_filter: dict | None,
 ) -> tuple[list[dict], "object"]:
     """Shared DELETE/UPDATE planning: (touched add-dicts, condition
-    Column). Stage 1 prunes by per-file stats when the caller passes
-    ``range_filter`` (files whose bounds provably miss it can't hold a
-    matching row — same machinery as data skipping); stage 2 scans the
-    candidates once and keeps only files that ACTUALLY contain a row
-    matching the condition. SQL-string conditions accept anything
-    ``F.expr`` parses."""
+    Column). Stage 1 prunes by per-file stats — from the caller's
+    ``range_filter`` AND bounds auto-derived from simple
+    equality/range conjuncts of a SQL-string condition
+    (``bounds_from_condition``, VERDICT r15 #3 — a bare
+    ``delete_delta(spark, p, "id = 7")`` is file-pruned by default);
+    files whose bounds provably miss can't hold a matching row, the
+    same machinery as data skipping. Stage 2 scans the candidates once
+    and keeps only files that ACTUALLY contain a row matching the
+    condition. SQL-string conditions accept anything ``F.expr``
+    parses."""
     from embeddinghub_spark.sources.scan_prune import (
+        bounds_from_condition,
         range_excluded,
         validate_range_filter,
     )
 
+    if isinstance(cond, str):
+        derived = bounds_from_condition(
+            cond, snap["schema"].fieldNames(), date_as="iso"
+        )
+        if derived:
+            # the caller's explicit filter wins per column; derived
+            # bounds fill the rest (each is independently sound)
+            merged = dict(derived)
+            merged.update(range_filter or {})
+            range_filter = merged
     cond = F.expr(cond) if isinstance(cond, str) else cond
     files = snap["files"]
     if range_filter:

@@ -72,6 +72,12 @@ from embeddinghub_spark.sources.iceberg_meta import (
 )
 
 
+# the spec's write.metadata.metrics.default = truncate(16): manifest
+# string bounds store at most this many code points (lower = prefix,
+# upper = prefix incremented)
+_MANIFEST_STRING_PREFIX = 16
+
+
 def _max_metadata_version(meta_dir: str) -> tuple[int, str] | None:
     """(version, abs path) of the HIGHEST metadata file present —
     commit attempts derive the next version from this, never from
@@ -385,6 +391,16 @@ def write_iceberg(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if carry_files is not None and mode != "overwrite":
         raise ValueError("carry_files requires mode='overwrite'")
+    if carry_files is not None and expected_snapshot_id is None:
+        # ADVICE r15: an unpinned carry commit computed against a stale
+        # snapshot could re-reference files a concurrent writer removed
+        # — the same hazard write_delta guards by requiring
+        # expected_version with replace_paths. Enforce the invariant
+        # rather than trusting every caller to remember it.
+        raise ValueError(
+            "carry_files requires expected_snapshot_id (pin the "
+            "snapshot the carry list was computed from)"
+        )
     if operation is not None and operation not in (
         "append", "replace", "overwrite", "delete"
     ):
@@ -861,12 +877,31 @@ def write_iceberg(
         }
 
         def _bound_rows(bounds: dict, idx: int) -> list | None:
+            from embeddinghub_spark.sources.parquet_stats import (
+                truncated_lower,
+                truncated_upper,
+            )
+
             rows_ = []
             for cname, pair in sorted(bounds.items()):
                 t = ice_types.get(cname)
                 if t is None or cname not in fid_map:
                     continue
-                enc = encode_bound(t, pair[idx])
+                v = pair[idx]
+                if isinstance(v, str):
+                    # the spec's truncate(16) metrics contract: lower
+                    # bounds truncate, upper bounds truncate-and-
+                    # increment (or drop — under-prune only). Already-
+                    # short values pass through, so re-encoding carried
+                    # bounds is idempotent.
+                    v = (
+                        truncated_lower(v, _MANIFEST_STRING_PREFIX)
+                        if idx == 0
+                        else truncated_upper(v, _MANIFEST_STRING_PREFIX)
+                    )
+                    if v is None:
+                        continue
+                enc = encode_bound(t, v)
                 if enc is not None:
                     rows_.append({"key": fid_map[cname], "value": enc})
             return rows_ or None
@@ -1184,7 +1219,16 @@ def create_iceberg_ref(
     and ``expire_iceberg_snapshots`` PROTECTS ref'd snapshots (r15),
     so the pin survives retention. ``main`` is reserved — it always
     tracks current-snapshot-id. Re-creating an existing name
-    retargets it (the connector's REPLACE semantics)."""
+    retargets it (the connector's REPLACE semantics).
+
+    Branches minted here are READ-ONLY PINS (ADVICE r15): this
+    writer commits exclusively to ``main`` — every commit re-points
+    ``refs.main`` and passes other refs through verbatim — so a
+    ``ref_type="branch"`` ref never advances and is functionally a
+    tag that real engines may later write to (e.g. the connector's
+    ``writeTo(...).branch(name)``). Writing to a non-main branch
+    through THIS writer is not supported; re-create or drop the ref
+    to move it."""
     if name == "main":
         raise ValueError("'main' is reserved: it tracks the current "
                          "snapshot")
@@ -1545,14 +1589,17 @@ def merge_iceberg(
         *[F.min(c).alias(f"_lo_{c}") for c in key_cols],
         *[F.max(c).alias(f"_hi_{c}") for c in key_cols],
     ).collect()[0]
+    # numbers, strings and dates are all usable against the decoded
+    # manifest bounds (decode_bound returns matching python kinds);
+    # VERDICT r15 #2 — string keys previously dropped out here and
+    # forced a full-candidate probe scan
+    from embeddinghub_spark.sources.scan_prune import _kind
+
     usable = {
         c: (rng_row[f"_lo_{c}"], rng_row[f"_hi_{c}"])
         for c in key_cols
-        if all(
-            isinstance(rng_row[f"_{s}_{c}"], (int, float))
-            and not isinstance(rng_row[f"_{s}_{c}"], bool)
-            for s in ("lo", "hi")
-        )
+        if _kind(rng_row[f"_lo_{c}"]) is not None
+        and _kind(rng_row[f"_lo_{c}"]) == _kind(rng_row[f"_hi_{c}"])
     }
     candidates = (
         [f for f in files
@@ -1634,9 +1681,15 @@ def _iceberg_table_context(path: str, snap: dict) -> dict:
 
 
 def _iceberg_carry(snap: dict, exclude: set) -> list[dict]:
-    """carry_files entries for every live file NOT in ``exclude``."""
+    """carry_files entries for every live file NOT in ``exclude``.
+    ``snapshot_id`` is the file's ORIGINAL adding snapshot (resolved
+    through v2 inheritance by iceberg_snapshot) so the EXISTING
+    manifest entry keeps attributing the file to the commit that
+    added it — a null there would resolve to the NEW commit's id
+    under inheritance, corrupting provenance (ADVICE r15)."""
     fparts = snap.get("file_partitions") or {}
     bounds = snap.get("file_bounds") or {}
+    fsids = snap.get("file_snapshot_ids") or {}
     return [
         {
             "path": f,
@@ -1645,6 +1698,7 @@ def _iceberg_carry(snap: dict, exclude: set) -> list[dict]:
             "partition": (fparts.get(f) or (None, {}))[1],
             "bounds": bounds.get(f) or {},
             "seq": snap["file_seqs"].get(f, 0),
+            "snapshot_id": fsids.get(f),
         }
         for f in snap["files"]
         if f not in exclude
@@ -1655,17 +1709,30 @@ def _iceberg_touched_by_condition(
     spark, snap: dict, cond, range_filter: dict | None
 ) -> tuple[list[str], "object"]:
     """Iceberg twin of delta_log._touched_by_condition: manifest
-    column bounds prune when the caller seeds ``range_filter``; the
-    exact probe keeps only files actually holding a matching row."""
+    column bounds prune from the caller's ``range_filter`` AND bounds
+    auto-derived from simple equality/range conjuncts of a SQL-string
+    condition (VERDICT r15 #3 — a bare ``delete_iceberg(spark, p,
+    "id = 7")`` is file-pruned by default); the exact probe keeps only
+    files actually holding a matching row."""
     from pyspark.sql import functions as F
 
     from embeddinghub_spark.sources.iceberg_meta import _scan_parquet
     from embeddinghub_spark.sources.scan_prune import (
+        bounds_from_condition,
         decoded_file_path_col,
         range_excluded,
         validate_range_filter,
     )
 
+    if isinstance(cond, str):
+        derived = bounds_from_condition(
+            cond, [f.name for f in snap["schema"].fields],
+            date_as="date",
+        )
+        if derived:
+            merged = dict(derived)
+            merged.update(range_filter or {})
+            range_filter = merged
     cond = F.expr(cond) if isinstance(cond, str) else cond
     files = list(snap["files"])
     if range_filter:
@@ -1714,8 +1781,10 @@ def delete_iceberg(
 
     snap = iceberg_snapshot(path)
     ctx = _iceberg_table_context(path, snap)
-    cond = F.expr(condition) if isinstance(condition, str) else condition
     if ctx["full_rewrite"]:
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
         rows = read_iceberg(
             spark, path, snapshot_id=snap["snapshot_id"]
         ).filter(~F.coalesce(cond, F.lit(False)))
@@ -1724,8 +1793,10 @@ def delete_iceberg(
             partition_by=ctx["partition_by"],
             expected_snapshot_id=snap["snapshot_id"],
         )
+    # the RAW condition goes through: a SQL string lets stage-1 derive
+    # its own pruning bounds (bounds_from_condition)
     touched, cond = _iceberg_touched_by_condition(
-        spark, snap, cond, range_filter
+        spark, snap, condition, range_filter
     )
     if not touched:
         return None
@@ -1806,8 +1877,11 @@ def update_iceberg(
             partition_by=ctx["partition_by"],
             expected_snapshot_id=snap["snapshot_id"],
         )
+    # the RAW condition goes through: a SQL string lets stage-1 derive
+    # its own pruning bounds (bounds_from_condition); _apply reads the
+    # rebound Column via its closure
     touched, cond = _iceberg_touched_by_condition(
-        spark, snap, cond, range_filter
+        spark, snap, condition, range_filter
     )
     if not touched:
         return None

@@ -1105,11 +1105,12 @@ def test_read_delta_changes_range_is_linear(spark, tmp_path,
 
 def test_write_delta_stats_and_range_skipping(spark, tmp_path):
     """write_delta emits PROTOCOL.md per-file stats (numRecords +
-    numeric min/max; strings none — parquet string stats can be
-    truncated), and read_delta(range_filter=...) skips files whose
-    bounds provably miss the range while the Spark-side BETWEEN keeps
-    semantics exact; files without stats are filtered, never wrongly
-    dropped; checkpoints preserve stats."""
+    min/max for numeric AND string columns — string bounds truncate
+    at 32 chars with the increment rule, r16), and
+    read_delta(range_filter=...) skips files whose bounds provably
+    miss the range while the Spark-side BETWEEN keeps semantics
+    exact; files without stats are filtered, never wrongly dropped;
+    checkpoints preserve stats."""
     from embeddinghub_spark.sources.delta_log import (
         write_delta,
         write_delta_checkpoint,
@@ -1127,7 +1128,9 @@ def test_write_delta_stats_and_range_skipping(spark, tmp_path):
     stats = [json.loads(f["stats"]) for f in snap["files"]]
     assert sorted(s["numRecords"] for s in stats) == [10, 10]
     assert sorted(s["minValues"]["id"] for s in stats) == [0, 100]
-    assert all("v" not in s["minValues"] for s in stats)
+    # string bounds now recorded too (VERDICT r15 #2)
+    assert sorted(s["minValues"]["v"] for s in stats) == ["s0", "s100"]
+    assert sorted(s["maxValues"]["v"] for s in stats) == ["s109", "s9"]
 
     from embeddinghub_spark.sources.delta_log import read_delta
 
@@ -1143,13 +1146,19 @@ def test_write_delta_stats_and_range_skipping(spark, tmp_path):
         read_delta(spark, t, range_filter={"id": (None, None)})
     with pytest.raises(ValueError, match="range_filter column"):
         read_delta(spark, t, range_filter={"nope": (0, 1)})
-    # non-numeric bounds gate loudly and consistently — the old path
-    # crashed with a raw TypeError, and only on files that happened to
-    # record bounds (ADVICE r14)
-    with pytest.raises(ValueError, match="must be a number"):
+    # unusable / mixed-kind bounds gate loudly and consistently — the
+    # old path crashed with a raw TypeError, and only on files that
+    # happened to record bounds (ADVICE r14; kinds widened r16)
+    with pytest.raises(ValueError, match="same kind"):
         read_delta(spark, t, range_filter={"id": ("0", 10)})
     with pytest.raises(ValueError, match="must be a number"):
         read_delta(spark, t, range_filter={"id": (0, True)})
+    # string range_filters prune on the new string bounds: the second
+    # file's v-range [s100, s109] sorts entirely below "s5", so it is
+    # provably excluded
+    sv = read_delta(spark, t, range_filter={"v": ("s5", "s9")})
+    assert {r["id"] for r in sv.collect()} == set(range(5, 10))
+    assert len(sv.inputFiles()) < len(full.inputFiles())
     # a STATELESS add (hand-written log without stats) is never pruned
     _write_data(t, "nostats.parquet", [500], ["x"])
     _commit(t, 2, [_add("nostats.parquet")])
@@ -1511,3 +1520,280 @@ def test_delete_update_delta_file_pruned(spark, tmp_path):
     # unknown assignment column / partition-column update raise
     with pytest.raises(ValueError, match="unknown columns"):
         update_delta(spark, t, "id = 1", {"nope": F.lit(1)})
+
+
+def test_schema_evolution_preserves_table_configuration(spark, tmp_path):
+    """ADVICE r16: a schema-evolving metaData action (merge_schema
+    append or overwrite evolution) must carry the previous metaData's
+    configuration and createdTime verbatim — rewriting them as {}/0
+    silently wiped table properties (delta.enableChangeDataFeed,
+    appendOnly, checkpoint policies) on connector-created tables.
+    Only schemaString may change."""
+    from embeddinghub_spark.sources.delta_log import (
+        delta_snapshot,
+        write_delta,
+    )
+
+    t = str(tmp_path / "cfg")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), t
+    )
+    # Simulate a connector-created table: give version 0's metaData a
+    # live configuration + real createdTime, as delta-spark would.
+    v0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = []
+    with open(v0, encoding="utf-8") as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "metaData" in a:
+                a["metaData"]["configuration"] = {
+                    "delta.enableChangeDataFeed": "true",
+                    "delta.appendOnly": "false",
+                }
+                a["metaData"]["createdTime"] = 1700000000000
+            lines.append(json.dumps(a))
+    with open(v0, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    snap = delta_snapshot(t)
+    assert snap["configuration"] == {
+        "delta.enableChangeDataFeed": "true",
+        "delta.appendOnly": "false",
+    }
+
+    # merge_schema append evolves the schema but carries config/ctime
+    write_delta(
+        spark.createDataFrame([(2, "b", 0.5)],
+                              "id long, v string, score double"),
+        t, mode="append", merge_schema=True,
+    )
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"),
+              encoding="utf-8") as fh:
+        metas = [json.loads(x)["metaData"] for x in fh
+                 if "metaData" in json.loads(x)]
+    assert len(metas) == 1
+    assert metas[0]["configuration"] == {
+        "delta.enableChangeDataFeed": "true",
+        "delta.appendOnly": "false",
+    }
+    assert metas[0]["createdTime"] == 1700000000000
+    assert "score" in metas[0]["schemaString"]
+
+    # overwrite evolution carries them too
+    write_delta(
+        spark.createDataFrame([(3, 1)], "id long, n long"),
+        t, mode="overwrite",
+    )
+    snap2 = delta_snapshot(t)
+    assert snap2["configuration"]["delta.enableChangeDataFeed"] == "true"
+    assert snap2["created_time"] == 1700000000000
+    assert [f.name for f in snap2["schema"].fields] == ["id", "n"]
+
+
+def test_merge_delta_string_key_is_file_pruned(spark, tmp_path):
+    """VERDICT r15 #2: the string-bound stats make a STRING-keyed
+    merge file-pruned — stage 1 excludes files whose key bounds miss
+    the source range, and the exact probe scans only the survivors
+    (mirror of test_merge_delta_is_file_pruned, which pins the
+    numeric-key path). A 3-key merge over 20 range-partitioned files
+    must probe <=2 files and rewrite <=2."""
+    import embeddinghub_spark.sources.delta_log as dl
+    from embeddinghub_spark.sources.delta_log import merge_delta, write_delta
+
+    t = str(tmp_path / "strmerge")
+    base = spark.range(0, 2000).selectExpr(
+        "format_string('k%05d', id) AS k", "concat('v', id) AS v"
+    ).repartitionByRange(20, "k")
+    write_delta(base, t)
+    before = delta_snapshot(t)
+    assert len(before["files"]) == 20
+
+    # adjacent keys: the source range [k00005, k00007a] intersects
+    # at most 2 range-partitioned files' bounds ("k00007a" is a new
+    # key sorting between existing ones, so the insert stays local)
+    src = spark.createDataFrame(
+        [("k00005", "UP5"), ("k00007", "UP7"), ("k00007a", "NEW")],
+        "k string, v string",
+    )
+    probe_sizes = []
+    orig = dl._scan_file_groups
+
+    def spy(spark_, path_, schema_, pcols_, files_, *a, **kw):
+        probe_sizes.append(len(files_))
+        return orig(spark_, path_, schema_, pcols_, files_, *a, **kw)
+
+    dl._scan_file_groups = spy
+    try:
+        merge_delta(spark, t, src, key_cols=["k"])
+    finally:
+        dl._scan_file_groups = orig
+    # first spy call is the stage-2 probe over stage-1 candidates
+    assert probe_sizes and probe_sizes[0] <= 2, probe_sizes
+    after = delta_snapshot(t)
+    carried = {f["path"] for f in before["files"]} & {
+        f["path"] for f in after["files"]
+    }
+    assert len(carried) >= 18
+    got = {(r["k"], r["v"]) for r in read_delta(spark, t).collect()}
+    expect = {
+        (f"k{i:05d}", f"v{i}") for i in range(2000) if i not in (5, 7)
+    } | {("k00005", "UP5"), ("k00007", "UP7"), ("k00007a", "NEW")}
+    assert got == expect
+
+
+def test_delete_delta_bare_condition_auto_pruned(spark, tmp_path):
+    """VERDICT r15 #3: a bare delete_delta(spark, p, "id = N") derives
+    its stage-1 bounds from the condition itself — no caller-seeded
+    range_filter — and probes only the files whose stats admit the
+    key. String equality and DATE literals derive too."""
+    import embeddinghub_spark.sources.delta_log as dl
+    from embeddinghub_spark.sources.delta_log import delete_delta, write_delta
+
+    t = str(tmp_path / "barecond")
+    write_delta(
+        spark.range(0, 2000).selectExpr(
+            "id", "format_string('k%05d', id) AS k"
+        ).repartitionByRange(20, "id"),
+        t,
+    )
+    probe_sizes = []
+    orig = dl._scan_file_groups
+
+    def spy(spark_, path_, schema_, pcols_, files_, *a, **kw):
+        probe_sizes.append(len(files_))
+        return orig(spark_, path_, schema_, pcols_, files_, *a, **kw)
+
+    dl._scan_file_groups = spy
+    try:
+        assert delete_delta(spark, t, "id = 7") is not None
+        assert delete_delta(spark, t, "k = 'k01500'") is not None
+        # OR falls through soundly: every file probed, still correct
+        assert delete_delta(spark, t, "id = 3 OR id = 1999") is not None
+    finally:
+        dl._scan_file_groups = orig
+    # three DML probes (each delete probes once, then scans touched)
+    assert probe_sizes[0] == 1, probe_sizes   # id = 7
+    assert probe_sizes[2] == 1, probe_sizes   # string equality
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(2000)) - {7, 1500, 3, 1999}
+
+
+def test_merge_delta_long_string_keys_truncated_bounds_stay_sound(
+    spark, tmp_path
+):
+    """Keys LONGER than the 32-char stats prefix: bounds truncate
+    (upper incremented), pruning stays sound (never drops a file that
+    holds a key), and the merge result is exact."""
+    from embeddinghub_spark.sources.delta_log import merge_delta, write_delta
+
+    t = str(tmp_path / "longkeys")
+    prefix = "tenant-0001-region-eu-central-1-user-"  # 37 chars
+    base = spark.range(0, 400).selectExpr(
+        f"concat('{prefix}', format_string('%05d', id)) AS k",
+        "concat('v', id) AS v",
+    ).repartitionByRange(8, "k")
+    write_delta(base, t)
+    snap = delta_snapshot(t)
+    stats = json.loads(snap["files"][0]["stats"])
+    assert len(stats["minValues"]["k"]) <= 32
+    up = stats["maxValues"]["k"]
+    assert len(up) <= 32 and up > prefix  # incremented past the data
+
+    src = spark.createDataFrame(
+        [(f"{prefix}00042", "UP"), (f"{prefix}99999", "NEW")],
+        "k string, v string",
+    )
+    merge_delta(spark, t, src, key_cols=["k"])
+    got = dict(
+        (r["k"], r["v"]) for r in read_delta(spark, t).collect()
+    )
+    assert got[f"{prefix}00042"] == "UP"
+    assert got[f"{prefix}99999"] == "NEW"
+    assert len(got) == 401
+
+
+def test_changelog_parity_under_mid_range_compaction(spark, tmp_path):
+    """VERDICT r15 #6 property pin: compaction is INVISIBLE to the
+    change feed. Apply the same randomized logical edit script to two
+    tables; compact one mid-range; the CDF over the full range must be
+    IDENTICAL modulo version numbering (dense-ranked — the compaction
+    commit emits nothing and shifts later version numbers by one)."""
+    import random
+
+    from embeddinghub_spark.sources.delta_log import (
+        compact_delta,
+        delete_delta,
+        merge_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    def _mk(seed):
+        rng = random.Random(seed)
+        script = []
+        nxt = [200]
+
+        def _rows(ids):
+            return [(i, f"v{i}.{rng.randint(0, 9)}") for i in ids]
+
+        for _ in range(4):
+            op = rng.choice(["append", "merge", "delete"])
+            if op == "append":
+                ids = list(range(nxt[0], nxt[0] + rng.randint(5, 20)))
+                nxt[0] += len(ids)
+                script.append(("append", _rows(ids)))
+            elif op == "merge":
+                ids = rng.sample(range(0, nxt[0]), rng.randint(3, 10))
+                script.append(("merge", _rows(ids)))
+            else:
+                lo = rng.randint(0, 150)
+                script.append(("delete", (lo, lo + rng.randint(3, 12))))
+        return script
+
+    def _apply(t, step):
+        kind, arg = step
+        if kind == "append":
+            write_delta(
+                spark.createDataFrame(arg, "id long, v string"),
+                t, mode="append",
+            )
+        elif kind == "merge":
+            merge_delta(
+                spark, t,
+                spark.createDataFrame(arg, "id long, v string"),
+                key_cols=["id"],
+            )
+        else:
+            lo, hi = arg
+            delete_delta(spark, t, f"id >= {lo} AND id < {hi}")
+
+    def _normalized(t):
+        rows = read_delta_changes(
+            spark, t, 0, key_cols=["id"]
+        ).collect()
+        by_v = {}
+        for r in rows:
+            by_v.setdefault(r["_commit_version"], []).append(
+                (r["_change_type"], r["id"], r["v"])
+            )
+        return [
+            sorted(by_v[v]) for v in sorted(by_v)
+        ]  # dense-ranked: version numbers drop out
+
+    for seed in (7, 21, 99):
+        script = _mk(seed)
+        plain = str(tmp_path / f"plain{seed}")
+        comp = str(tmp_path / f"comp{seed}")
+        base = spark.range(0, 200).selectExpr(
+            "id", "concat('v', id, '.0') AS v"
+        ).repartitionByRange(4, "id")
+        for t in (plain, comp):
+            write_delta(base, t)
+        when = random.Random(seed ^ 1).randint(1, len(script) - 1)
+        for i, step in enumerate(script):
+            _apply(plain, step)
+            _apply(comp, step)
+            if i == when:
+                assert compact_delta(spark, comp) is not None
+        assert _normalized(plain) == _normalized(comp), (
+            f"seed {seed}: changelog diverged under compaction"
+        )

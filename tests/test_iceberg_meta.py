@@ -510,7 +510,8 @@ def test_position_deletes_applied_exactly(spark, tmp_path):
 
     df = spark.createDataFrame([(9, "z", "en")], "id long, v string, lang string")
     with pytest.raises(IcebergProtocolError, match="resurrect"):
-        write_iceberg(df, t, mode="overwrite", carry_files=[])
+        write_iceberg(df, t, mode="overwrite", carry_files=[],
+                      expected_snapshot_id=9)
 
 
 def test_equality_deletes_still_raise(spark, tmp_path):
@@ -1031,3 +1032,97 @@ def test_compact_iceberg_purges_mor_deletes(spark, tmp_path):
     assert after["equality_deletes"] == []
     got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
     assert got == {(1, "a"), (3, "c")}
+
+
+def test_changelog_parity_under_mid_range_compaction(spark, tmp_path):
+    """VERDICT r15 #6 property pin, Iceberg side: rewriteDataFiles
+    (operation=replace) must be invisible to read_iceberg_changes —
+    same randomized logical edits, one table compacted mid-range,
+    identical changelog modulo snapshot-id numbering (dense-ranked by
+    commit order)."""
+    import random
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        read_iceberg_changes,
+    )
+    from embeddinghub_spark.sources.iceberg_write import (
+        compact_iceberg,
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    def _mk(seed):
+        rng = random.Random(seed)
+        script = []
+        nxt = [200]
+
+        def _rows(ids):
+            return [(i, f"v{i}.{rng.randint(0, 9)}") for i in ids]
+
+        for _ in range(3):
+            op = rng.choice(["append", "merge", "delete"])
+            if op == "append":
+                ids = list(range(nxt[0], nxt[0] + rng.randint(5, 20)))
+                nxt[0] += len(ids)
+                script.append(("append", _rows(ids)))
+            elif op == "merge":
+                ids = rng.sample(range(0, nxt[0]), rng.randint(3, 10))
+                script.append(("merge", _rows(ids)))
+            else:
+                lo = rng.randint(0, 150)
+                script.append(("delete", (lo, lo + rng.randint(3, 12))))
+        return script
+
+    def _apply(t, step):
+        kind, arg = step
+        if kind == "append":
+            write_iceberg(
+                spark.createDataFrame(arg, "id long, v string"),
+                t, mode="append",
+            )
+        elif kind == "merge":
+            merge_iceberg(
+                spark, t,
+                spark.createDataFrame(arg, "id long, v string"),
+                key_cols=["id"],
+            )
+        else:
+            lo, hi = arg
+            delete_iceberg(spark, t, f"id >= {lo} AND id < {hi}")
+
+    def _normalized(t, first_sid):
+        rows = read_iceberg_changes(
+            spark, t, first_sid, key_cols=["id"]
+        ).collect()
+        meta = iceberg_snapshot(t)["metadata"]
+        order = {
+            s["snapshot-id"]: i
+            for i, s in enumerate(meta["snapshots"])
+        }
+        by_s = {}
+        for r in rows:
+            by_s.setdefault(order[r["_snapshot_id"]], []).append(
+                (r["_change_type"], r["id"], r["v"])
+            )
+        return [sorted(by_s[k]) for k in sorted(by_s)]
+
+    for seed in (7, 21, 99):
+        script = _mk(seed)
+        plain = str(tmp_path / f"plain{seed}")
+        comp = str(tmp_path / f"comp{seed}")
+        base = spark.createDataFrame(
+            [(i, f"v{i}.0") for i in range(200)], "id long, v string"
+        ).repartitionByRange(4, "id")
+        sids = {}
+        for t in (plain, comp):
+            sids[t] = write_iceberg(base, t)
+        when = random.Random(seed ^ 1).randint(1, len(script) - 1)
+        for i, step in enumerate(script):
+            _apply(plain, step)
+            _apply(comp, step)
+            if i == when:
+                assert compact_iceberg(spark, comp) is not None
+        assert _normalized(plain, sids[plain]) == _normalized(
+            comp, sids[comp]
+        ), f"seed {seed}: changelog diverged under compaction"

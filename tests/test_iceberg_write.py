@@ -419,10 +419,12 @@ def test_partition_empty_string_and_bad_type_gates(spark, tmp_path):
 
 def test_column_bounds_written_and_range_pruned(spark, tmp_path):
     """The writer emits lower/upper bounds (spec single-value
-    serialization, numeric columns only) from the parquet row-group
-    stats; read_iceberg(range_filter=...) prunes files whose bounds
-    provably miss the range — the other half of Iceberg scan planning
-    — while the Spark-side BETWEEN keeps semantics exact."""
+    serialization; numeric AND string columns — strings truncate at
+    16 code points per the spec's truncate(16) metrics default, r16)
+    from the parquet row-group stats; read_iceberg(range_filter=...)
+    prunes files whose bounds provably miss the range — the other
+    half of Iceberg scan planning — while the Spark-side BETWEEN
+    keeps semantics exact."""
     from embeddinghub_spark.sources.iceberg_meta import iceberg_snapshot
 
     t = str(tmp_path / "btbl")
@@ -439,8 +441,14 @@ def test_column_bounds_written_and_range_pruned(spark, tmp_path):
     assert len(bs) == 2
     ranges = sorted((b["id"][0], b["id"][1]) for b in bs.values())
     assert ranges == [(0, 9), (100, 109)]
-    # strings carry NO bounds by design (truncation hazard)
-    assert all("v" not in b for b in bs.values())
+    # string bounds recorded too (VERDICT r15 #2) and round-trip
+    # through the manifest's UTF-8 encoding
+    vranges = sorted((b["v"][0], b["v"][1]) for b in bs.values())
+    assert vranges == [("hi", "hi"), ("lo", "lo")]
+    # ...and prune: only the "lo" file can hold v in [l, m]
+    sv = read_iceberg(spark, t, range_filter={"v": ("l", "m")})
+    assert {r["id"] for r in sv.collect()} == set(range(10))
+    assert len(sv.inputFiles()) == 1
 
     full = read_iceberg(spark, t)
     lo = read_iceberg(spark, t, range_filter={"id": (None, 50)})
@@ -714,28 +722,41 @@ def test_merge_iceberg_is_file_pruned(spark, tmp_path):
 
 
 def test_carry_files_gates(spark, tmp_path):
-    """carry_files contracts (review r15): overwrite-only, table must
-    exist, and the DataFrame schema must match the current schema by
-    name+type — a changed schema would silently read carried files as
-    NULLs for renamed columns."""
+    """carry_files contracts (review r15 + ADVICE r15): overwrite-only,
+    requires expected_snapshot_id (an unpinned carry computed from a
+    stale snapshot could re-reference files a concurrent writer
+    removed — write_delta's replace_paths has the same guard), table
+    must exist, and the DataFrame schema must match the current schema
+    by name+type — a changed schema would silently read carried files
+    as NULLs for renamed columns."""
+    from embeddinghub_spark.sources.iceberg_meta import iceberg_snapshot
     from embeddinghub_spark.sources.iceberg_write import write_iceberg
 
     with pytest.raises(ValueError, match="mode='overwrite'"):
         write_iceberg(_df(spark, [(1, "a")]), str(tmp_path / "x"),
                       carry_files=[])
-    with pytest.raises(ValueError, match="does not exist"):
-        write_iceberg(_df(spark, [(1, "a")]), str(tmp_path / "y"),
+    # ADVICE r15: carry without the optimistic-concurrency pin raises
+    with pytest.raises(ValueError, match="expected_snapshot_id"):
+        write_iceberg(_df(spark, [(1, "a")]), str(tmp_path / "x"),
                       mode="overwrite", carry_files=[])
     t = str(tmp_path / "c")
     write_iceberg(_df(spark, [(1, "a")]), t)
+    sid = iceberg_snapshot(t)["snapshot_id"]
+    # a carry against a nonexistent table can never satisfy its pin:
+    # the snapshot check fires before the exists check (the explicit
+    # "does not exist" gate remains as defense in depth)
+    with pytest.raises(IcebergWriteError, match="table advanced"):
+        write_iceberg(_df(spark, [(1, "a")]), str(tmp_path / "y"),
+                      mode="overwrite", carry_files=[],
+                      expected_snapshot_id=sid)
     with pytest.raises(IcebergWriteError, match="carry_files requires"):
         write_iceberg(
             spark.createDataFrame([(1, 2.0)], ["id", "score"]), t,
-            mode="overwrite", carry_files=[],
+            mode="overwrite", carry_files=[], expected_snapshot_id=sid,
         )
     # matching schema with empty carry == plain overwrite, still fine
     write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite",
-                  carry_files=[])
+                  carry_files=[], expected_snapshot_id=sid)
     assert _rows(read_iceberg(spark, t)) == {(9, "z")}
 
 
@@ -1075,3 +1096,170 @@ def test_increment_skips_replace_snapshots(spark, tmp_path):
     inc3 = read_iceberg_increment(spark, t2, p1)
     got3 = {(r["id"], r["bucket"], r["v"]) for r in inc3.collect()}
     assert got3 == {(2, 20, "b"), (3, 10, "c")}
+
+
+def test_carried_files_keep_original_snapshot_id(spark, tmp_path):
+    """ADVICE r16: EXISTING manifest entries must carry the data
+    file's ORIGINAL adding snapshot id explicitly — a null there
+    resolves (v2 inheritance) to the manifest's added_snapshot_id,
+    so real engines would attribute carried files to the NEW commit,
+    corrupting provenance for metadata/changelog queries."""
+    from embeddinghub_spark.sources.avro_io import read_avro_file
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "prov")
+    write_iceberg(
+        spark.range(0, 1000).selectExpr("id", "concat('v', id) AS v")
+        .repartitionByRange(10, "id"),
+        t,
+    )
+    s1 = iceberg_snapshot(t)
+    assert set(s1["file_snapshot_ids"].values()) == {s1["snapshot_id"]}
+
+    src = spark.createDataFrame([(5, "UP")], "id long, v string")
+    sid2 = merge_iceberg(spark, t, src, key_cols=["id"])
+    s2 = iceberg_snapshot(t)
+    carried = set(s1["files"]) & set(s2["files"])
+    assert len(carried) >= 8
+    # the reader resolves carried files to their ORIGINAL snapshot...
+    for f in carried:
+        assert s2["file_snapshot_ids"][f] == s1["snapshot_id"], f
+    # ...and new files to the new one
+    for f in set(s2["files"]) - carried:
+        assert s2["file_snapshot_ids"][f] == sid2
+    # the EXISTING entries carry it EXPLICITLY in the manifest (not
+    # via inheritance): read the raw avro rows of the new snapshot's
+    # manifests and check every status-0 entry
+    meta = s2["metadata"]
+    snap_rec = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == sid2)
+    ml = snap_rec["manifest-list"].replace("file://", "")
+    _, mrows = read_avro_file(ml)
+    existing = []
+    for m in mrows:
+        _, entries = read_avro_file(
+            m["manifest_path"].replace("file://", "")
+        )
+        existing += [e for e in entries if int(e.get("status", 0)) == 0]
+    assert existing, "merge must produce EXISTING carried entries"
+    assert all(e.get("snapshot_id") == s1["snapshot_id"]
+               for e in existing)
+
+
+def test_merge_iceberg_string_key_is_file_pruned(spark, tmp_path):
+    """VERDICT r15 #2, Iceberg side: string manifest bounds
+    (truncate(16) contract) make a STRING-keyed merge file-pruned —
+    stage 1 excludes files whose key bounds miss the source range
+    before the exact probe runs."""
+    import embeddinghub_spark.sources.iceberg_meta as im
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "sprune")
+    base = spark.range(0, 2000).selectExpr(
+        "format_string('k%05d', id) AS k", "concat('v', id) AS v"
+    ).repartitionByRange(20, "k")
+    write_iceberg(base, t)
+    before = iceberg_snapshot(t)
+    assert len(before["files"]) == 20
+    # every file's manifest carries string bounds for k
+    assert all(
+        "k" in (before["file_bounds"].get(f) or {})
+        for f in before["files"]
+    )
+
+    src = spark.createDataFrame(
+        [("k00005", "UP5"), ("k00007", "UP7"), ("k00007a", "NEW")],
+        "k string, v string",
+    )
+    probe_sizes = []
+    orig = im._scan_parquet
+
+    def spy(spark_, snap_, files_, *a, **kw):
+        probe_sizes.append(len(files_))
+        return orig(spark_, snap_, files_, *a, **kw)
+
+    im._scan_parquet = spy
+    try:
+        merge_iceberg(spark, t, src, key_cols=["k"])
+    finally:
+        im._scan_parquet = orig
+    assert probe_sizes and probe_sizes[0] <= 2, probe_sizes
+    after = iceberg_snapshot(t)
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) >= 18
+    got = _rows(
+        read_iceberg(spark, t).selectExpr("k AS id", "v")
+    )
+    expect = {
+        (f"k{i:05d}", f"v{i}") for i in range(2000) if i not in (5, 7)
+    } | {("k00005", "UP5"), ("k00007", "UP7"), ("k00007a", "NEW")}
+    assert got == expect
+
+
+def test_delete_iceberg_bare_condition_auto_pruned(spark, tmp_path):
+    """VERDICT r15 #3, Iceberg side: bare string/date equality DELETE
+    derives stage-1 bounds from the condition and probes only files
+    whose manifest bounds admit the key."""
+    import embeddinghub_spark.sources.iceberg_meta as im
+    from embeddinghub_spark.sources.iceberg_write import delete_iceberg
+
+    t = str(tmp_path / "barecond")
+    write_iceberg(
+        spark.range(0, 2000).selectExpr(
+            "id", "format_string('k%05d', id) AS k"
+        ).repartitionByRange(20, "id"),
+        t,
+    )
+    probe_sizes = []
+    orig = im._scan_parquet
+
+    def spy(spark_, snap_, files_, *a, **kw):
+        probe_sizes.append(len(files_))
+        return orig(spark_, snap_, files_, *a, **kw)
+
+    im._scan_parquet = spy
+    try:
+        assert delete_iceberg(spark, t, "id = 7") is not None
+        assert delete_iceberg(spark, t, "k = 'k01500'") is not None
+    finally:
+        im._scan_parquet = orig
+    assert probe_sizes[0] == 1, probe_sizes
+    assert probe_sizes[2] == 1, probe_sizes
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(2000)) - {7, 1500}
+
+
+def test_iceberg_long_string_bounds_truncate_and_stay_sound(
+    spark, tmp_path
+):
+    """Manifest string bounds obey truncate(16): stored lower <= data,
+    stored upper (incremented) >= data, both <=16 code points; a merge
+    keyed on >16-char strings stays exact."""
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "longb")
+    prefix = "tenant-0001-user-"  # 17 chars > 16
+    write_iceberg(
+        spark.range(0, 400).selectExpr(
+            f"concat('{prefix}', format_string('%05d', id)) AS k",
+            "concat('v', id) AS v",
+        ).repartitionByRange(8, "k"),
+        t,
+    )
+    snap = iceberg_snapshot(t)
+    for f in snap["files"]:
+        lo, hi = snap["file_bounds"][f]["k"]
+        assert len(lo) <= 16 and len(hi) <= 16
+        assert lo <= prefix and hi > prefix  # valid loose bounds
+
+    src = spark.createDataFrame(
+        [(f"{prefix}00042", "UP"), (f"{prefix}x", "NEW")],
+        "k string, v string",
+    )
+    merge_iceberg(spark, t, src, key_cols=["k"])
+    got = dict(
+        (r["k"], r["v"]) for r in read_iceberg(spark, t).collect()
+    )
+    assert got[f"{prefix}00042"] == "UP"
+    assert got[f"{prefix}x"] == "NEW"
+    assert len(got) == 401
