@@ -9417,6 +9417,45 @@ def q_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, root)
 
 
+def q_delta_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via native deletion-vector WRITES
+    (sources/delta_log.py delete_delta(strategy="mor"), r16 — the DML
+    shape the reference's Databricks runner gets from the connector,
+    here written natively: PROTOCOL.md deletionVectors, Roaring
+    bitmaps, reader 3/writer 7 upgrade): the 8-file orders table takes
+    TWO sequential MoR deletes (every 97th key, then every 89th — the
+    second MERGES into the first's DVs on overlapping files); zero
+    data files rewrite (pytest pins), and the read applies the DVs as
+    one broadcast anti-join on (file, row_index). The oracle replays
+    both deletes as one WHERE."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dmor_") + "/tbl"
+    write_delta(orders.repartitionByRange(8, "o_orderkey"), root)
+    delete_delta(spark, root, "o_orderkey % 97 = 0", strategy="mor")
+    delete_delta(spark, root, "o_orderkey % 89 = 0", strategy="mor")
+    return read_delta(spark, root)
+
+
+_DELTA_MOR_DELETE_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey % 97 != 0 AND o_orderkey % 89 != 0
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9427,8 +9466,8 @@ def staged_queries() -> dict:
     this round land here with the standard protocol (pin tests vs exact
     Python replicas, SCALING.md audit row, README line, oracle twin
     certified at sf0.01 + sf0.1) before touching the registry."""
-    return {}
+    return {"delta_mor_delete": q_delta_mor_delete}
 
 
 def staged_oracle_sql() -> dict:
-    return {}
+    return {"delta_mor_delete": _DELTA_MOR_DELETE_ORACLE}

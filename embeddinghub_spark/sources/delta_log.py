@@ -153,6 +153,23 @@ def _z85_decode(s: str) -> bytes:
     return bytes(out)
 
 
+def _z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 encode (4 bytes → 5 chars, big-endian base 85) —
+    the inverse of ``_z85_decode``, used by the DV WRITE path for the
+    descriptor's UUID. Input length must be a multiple of 4."""
+    if len(data) % 4:
+        raise ValueError(f"z85 input length {len(data)} not a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            chunk.append(_Z85_ALPHABET[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
 def _dv_file_path(table_path: str, dv: dict) -> str:
     """Resolve an on-disk DV descriptor (storageType "u"/"p") to its
     file path — shared by the reader and vacuum's keep-set so the
@@ -577,6 +594,7 @@ def _scan_file_groups(
     files: list[dict],
     physical_names: dict[str, str] | None = None,
     keep_file_path: bool = False,
+    keep_row_index: bool = False,
 ) -> DataFrame:
     """One parquet scan per PARTITION GROUP (files sharing a
     partitionValues assignment read in a single multi-path scan with
@@ -600,6 +618,8 @@ def _scan_file_groups(
         empty = spark.createDataFrame([], schema)
         if keep_file_path:
             empty = empty.withColumn("_fp", F.lit(None).cast("string"))
+        if keep_row_index:
+            empty = empty.withColumn("_pos", F.lit(None).cast("long"))
         return empty
     # Canonicalize ONCE: the DV anti-join pairs (abs_path, pos) must
     # match Spark's ``_metadata.file_path``, which is always an
@@ -652,7 +672,7 @@ def _scan_file_groups(
                 F.lit(None) if val is None else F.lit(val)
             ).cast(dtype)
             part = part.withColumn(logical, lit)
-        if deleted or keep_file_path:
+        if deleted or keep_file_path or keep_row_index:
             # _metadata.file_path is a percent-encoded URI; the shared
             # decoded_file_path_col normalizes it to the literal path
             # that matches the driver-side abs_path strings (one
@@ -664,7 +684,7 @@ def _scan_file_groups(
 
             extra = (
                 [F.col("_metadata.row_index").alias("_pos")]
-                if deleted else []
+                if deleted or keep_row_index else []
             )
             part = part.select(
                 *cols,
@@ -677,7 +697,11 @@ def _scan_file_groups(
             part = part.select(*cols)
         out = part if out is None else out.unionByName(part)
     if deleted:
-        keep = cols + (["_fp"] if keep_file_path else [])
+        keep = (
+            cols
+            + (["_fp"] if keep_file_path else [])
+            + (["_pos"] if keep_row_index else [])
+        )
         dels = spark.createDataFrame(deleted, ["_dfp", "_dpos"])
         out = (
             out.join(
@@ -688,6 +712,9 @@ def _scan_file_groups(
             )
             .select(*keep)
         )
+    elif keep_row_index and not keep_file_path:
+        # _fp rode along only to satisfy the metadata projection
+        out = out.select(*cols, "_pos")
     return out
 
 
@@ -1682,26 +1709,53 @@ def delete_delta(
     condition,
     *,
     range_filter: dict | None = None,
+    strategy: str = "cow",
+    max_mor_rows: int = 1_000_000,
 ) -> int | None:
-    """Row-level DELETE WHERE ``condition`` — file-pruned
-    copy-on-write, the same discipline as ``merge_delta``: only files
-    actually holding a matching row rewrite (kept rows = rows where
-    the condition is false or NULL, SQL DELETE semantics); every other
-    live file carries forward. A file whose every row matches simply
-    gets removed (the rewrite stages no rows for it). ``condition``
-    is a Column or a SQL string; ``range_filter`` optionally seeds
-    stats-level file pruning for predicates with a known column range
-    (sound: a pruned file provably holds no matching row).
+    """Row-level DELETE WHERE ``condition``.
+
+    ``strategy="cow"`` (default) — file-pruned copy-on-write, the
+    same discipline as ``merge_delta``: only files actually holding a
+    matching row rewrite (kept rows = rows where the condition is
+    false or NULL, SQL DELETE semantics); every other live file
+    carries forward. A file whose every row matches simply gets
+    removed (the rewrite stages no rows for it).
+
+    ``strategy="mor"`` — merge-on-read via DELETION VECTORS
+    (PROTOCOL.md deletionVectors, r16): no data file is rewritten at
+    all; each touched file is re-added with a Roaring-bitmap DV
+    marking the deleted row positions (merged with any existing DV),
+    so bytes written ∝ the DELETED ROWS, not the touched files — the
+    right shape for point deletes on huge files (GDPR row erasure,
+    late-event retractions). The commit upgrades the table protocol
+    to reader 3 / writer 7 with the ``deletionVectors`` feature on
+    first use — the same table real delta-spark readers then consume
+    (this repo's reader, CDF, checkpoint and vacuum paths all handle
+    DVs natively and are pinned). Matched row positions collect to
+    the driver (bitmap-building is inherently driver-side here):
+    ``max_mor_rows`` caps the collect and raises toward ``cow`` for
+    mass deletes, where rewriting is cheaper than a giant DV anyway.
+
+    ``condition`` is a Column or a SQL string (SQL strings also
+    derive stage-1 pruning bounds); ``range_filter`` optionally seeds
+    stats-level file pruning (sound: a pruned file provably holds no
+    matching row).
 
     Returns the committed version, or None when nothing matched.
     Read-modify-write: pins ``expected_version``; a concurrent commit
     raises ``ConcurrentWriteError`` (re-invoke)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     snap = delta_snapshot(path)
     touched, cond = _touched_by_condition(
         spark, path, snap, condition, range_filter
     )
     if not touched:
         return None
+    if strategy == "mor":
+        return _delete_delta_mor(
+            spark, path, snap, touched, cond, max_mor_rows
+        )
     kept = _scan_file_groups(
         spark, path, snap["schema"], snap["partition_columns"],
         touched, snap.get("physical_names"),
@@ -1714,6 +1768,164 @@ def delete_delta(
         expected_version=snap["version"],
         replace_paths=[f["path"] for f in touched],
     )
+
+
+def _delete_delta_mor(
+    spark: SparkSession,
+    path: str,
+    snap: dict,
+    touched: list[dict],
+    cond,
+    max_mor_rows: int,
+) -> int:
+    """DV-writing DELETE commit (see ``delete_delta(strategy="mor")``).
+
+    One ``deletion_vector_<uuid>.bin`` holds every touched file's DV
+    at its own offset (the multi-DV packing real writers use): a
+    1-byte format version, then per DV a 4-byte big-endian size, the
+    portable RoaringBitmapArray, and a 4-byte big-endian CRC-32 —
+    exactly the framing ``read_deletion_vector`` checks. Each touched
+    file re-adds at its SAME path (stats/partitionValues/size carried
+    verbatim — numRecords stays the PHYSICAL row count per the spec)
+    with the merged descriptor; the log sees remove+add of the same
+    path, which the CDF reader pairs by (path, DV) — pinned."""
+    import uuid as _uuid
+    import zlib
+
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    path = os.path.realpath(os.path.abspath(path))
+    # matched physical row positions per file — the probe scan applies
+    # existing DVs, so already-deleted rows can't re-match
+    probe = _scan_file_groups(
+        spark, path, snap["schema"], snap["partition_columns"],
+        touched, snap.get("physical_names"),
+        keep_file_path=True, keep_row_index=True,
+    ).filter(cond).select("_fp", "_pos")
+    hits = probe.limit(max_mor_rows + 1).collect()
+    if len(hits) > max_mor_rows:
+        raise ValueError(
+            f"MoR DELETE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow' (a rewrite is "
+            "cheaper than a giant deletion vector)"
+        )
+    by_file: dict[str, set[int]] = {}
+    for r in hits:
+        by_file.setdefault(r["_fp"], set()).add(int(r["_pos"]))
+    rel_by_abs = {
+        os.path.join(path, _decode_path(f["path"])): f for f in touched
+    }
+    # merge with any existing DV: the descriptor REPLACES, so it must
+    # carry the file's complete deleted set
+    dv_rows: dict[str, set[int]] = {}
+    for abs_fp, rows in by_file.items():
+        f = rel_by_abs[abs_fp]
+        prior = (
+            read_deletion_vector(path, f["deletionVector"])
+            if f.get("deletionVector") else set()
+        )
+        dv_rows[abs_fp] = rows | prior
+    if not dv_rows:
+        raise RuntimeError("probe found no rows for touched files")
+
+    # ---- one DV file, every bitmap at its own offset
+    u = _uuid.uuid4()
+    dv_name = f"deletion_vector_{u}.bin"
+    descriptors: dict[str, dict] = {}
+    blob = bytearray(b"\x01")  # format version
+    for abs_fp in sorted(dv_rows):
+        data = serialize_bitmap_array(dv_rows[abs_fp])
+        offset = len(blob)
+        import struct as _struct
+
+        blob += _struct.pack(">i", len(data))
+        blob += data
+        # unsigned pack: the reader unpacks ">i" and masks to 32 bits,
+        # so the byte layout is identical either way
+        blob += _struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors[abs_fp] = {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(dv_rows[abs_fp]),
+        }
+    dv_tmp = os.path.join(path, f".{dv_name}.tmp")
+    with open(dv_tmp, "wb") as fh:
+        fh.write(bytes(blob))
+    os.replace(dv_tmp, os.path.join(path, dv_name))
+
+    # ---- protocol upgrade on first DV (reader 3 / writer 7 with the
+    # feature listed; legacy writer-2 features carry as table features
+    # per the upgrade rule; existing features pass through)
+    proto = snap.get("protocol") or {}
+    actions: list[dict] = []
+    if (
+        int(proto.get("minReaderVersion", 1)) < 3
+        or "deletionVectors" not in (proto.get("readerFeatures") or [])
+    ):
+        rf = sorted(
+            set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+        )
+        wf = sorted(
+            set(proto.get("writerFeatures") or [])
+            | {"appendOnly", "invariants", "deletionVectors"}
+        )
+        actions.append({
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": rf,
+                "writerFeatures": wf,
+            }
+        })
+    for abs_fp in sorted(dv_rows):
+        f = rel_by_abs[abs_fp]
+        actions.append({
+            "remove": {
+                "path": f["path"],
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        })
+    for abs_fp in sorted(dv_rows):
+        f = rel_by_abs[abs_fp]
+        add = {
+            "path": f["path"],
+            "partitionValues": dict(f.get("partitionValues") or {}),
+            "size": int(f.get("size") or 0),
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": descriptors[abs_fp],
+        }
+        if f.get("stats"):
+            add["stats"] = f["stats"]
+        actions.append({"add": add})
+    actions.append({
+        "commitInfo": {
+            "operation": "DELETE",
+            "operationMetrics": {
+                "numDeletedRows": str(sum(
+                    len(v) for v in by_file.values()
+                )),
+                "numDeletionVectorsAdded": str(len(dv_rows)),
+                "numRemovedFiles": "0",
+            },
+        }
+    })
+    version = snap["version"] + 1
+    cur = delta_snapshot(path)
+    if cur["version"] != snap["version"]:
+        raise ConcurrentWriteError(
+            f"table advanced to version {cur['version']} (expected "
+            f"{snap['version']}): {path}"
+        )
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    if not _atomic_claim_commit(_log_dir(path), version, payload):
+        raise ConcurrentWriteError(
+            f"lost the commit race at version {version}: {path}"
+        )
+    return version
 
 
 def update_delta(

@@ -1797,3 +1797,137 @@ def test_changelog_parity_under_mid_range_compaction(spark, tmp_path):
         assert _normalized(plain) == _normalized(comp), (
             f"seed {seed}: changelog diverged under compaction"
         )
+
+
+def test_delete_delta_mor_writes_deletion_vectors(spark, tmp_path):
+    """delete_delta(strategy='mor') (r16): a DV-based DELETE rewrites
+    ZERO data files — every touched file re-adds at its same path
+    with a Roaring DV of the deleted positions, the protocol upgrades
+    to reader 3 / writer 7 with the deletionVectors feature, reads and
+    CDF and time travel stay exact, a second MoR delete MERGES with
+    the existing DV, and bytes written are DV-sized, not file-sized."""
+    import glob
+
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    t = str(tmp_path / "mor")
+    write_delta(
+        spark.range(0, 2000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(10, "id"),
+        t,
+    )
+    before = delta_snapshot(t)
+    parquets_before = sorted(glob.glob(os.path.join(t, "**", "*.parquet"),
+                                       recursive=True))
+
+    v1 = delete_delta(spark, t, "id IN (5, 7, 1500)", strategy="mor")
+    assert v1 == before["version"] + 1
+    after = delta_snapshot(t)
+    # ZERO data files rewritten or removed on disk
+    assert sorted(glob.glob(os.path.join(t, "**", "*.parquet"),
+                            recursive=True)) == parquets_before
+    assert {f["path"] for f in after["files"]} == {
+        f["path"] for f in before["files"]
+    }
+    # the touched files carry DV descriptors; bytes written ∝ rows
+    dvd = [f for f in after["files"] if f.get("deletionVector")]
+    assert 1 <= len(dvd) <= 2
+    dv_files = glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert len(dv_files) == 1
+    assert os.path.getsize(dv_files[0]) < 4096
+    # protocol upgraded with the feature listed
+    proto = after["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # reads exact; time travel intact
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(2000)) - {5, 7, 1500}
+    old = {r["id"]
+           for r in read_delta(spark, t, version=before["version"]).collect()}
+    assert old == set(range(2000))
+    # CDF surfaces exactly the deleted rows
+    cdf = {(r["id"], r["_change_type"])
+           for r in read_delta_changes(spark, t, before["version"],
+                                       key_cols=["id"]).collect()}
+    assert cdf == {(5, "delete"), (7, "delete"), (1500, "delete")}
+
+    # second MoR delete on the SAME file merges DVs
+    v2 = delete_delta(spark, t, "id = 6", strategy="mor")
+    assert v2 == v1 + 1
+    got2 = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got2 == set(range(2000)) - {5, 6, 7, 1500}
+    merged = [f for f in delta_snapshot(t)["files"]
+              if f.get("deletionVector")
+              and f["deletionVector"]["cardinality"] == 3]
+    assert len(merged) == 1  # ids 5,6,7 live in one range file
+
+    # no-match MoR delete commits nothing
+    assert delete_delta(spark, t, "id = -5", strategy="mor") is None
+    # a COW delete still works on the DV'd table (DV rows stay gone)
+    v3 = delete_delta(spark, t, "id < 100")
+    assert v3 is not None
+    got3 = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got3 == set(range(100, 2000)) - {1500}
+    # mass-delete guard points at cow
+    write_delta(
+        spark.range(0, 100).selectExpr("id", "concat('x', id) AS v"),
+        str(tmp_path / "cap"),
+    )
+    with pytest.raises(ValueError, match="max_mor_rows"):
+        delete_delta(spark, str(tmp_path / "cap"), "id >= 0",
+                     strategy="mor", max_mor_rows=10)
+
+
+def test_mor_delete_vacuum_and_compaction_interplay(spark, tmp_path):
+    """The DV lifecycle around the maintenance ops, on a REAL
+    MoR-written table (the prior pins used hand fixtures): vacuum
+    keeps a LIVE DV file at zero retention; after a second MoR delete
+    supersedes it, the old DV file becomes vacuumable; compaction
+    purges DVs (deletes materialize) and reads stay exact."""
+    import glob
+
+    from embeddinghub_spark.sources.delta_log import (
+        compact_delta,
+        delete_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "morlife")
+    write_delta(
+        spark.range(0, 1000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(4, "id"),
+        t,
+    )
+    delete_delta(spark, t, "id = 10", strategy="mor")
+    dv1 = set(glob.glob(os.path.join(t, "deletion_vector_*.bin")))
+    assert len(dv1) == 1
+    # live DV survives a zero-retention vacuum
+    gone = vacuum_delta(t, retain_ms=0)
+    assert not (dv1 & set(gone)) and all(os.path.exists(p) for p in dv1)
+
+    # a second MoR delete on the same file supersedes the descriptor;
+    # the OLD DV file is now unreferenced and vacuums away
+    delete_delta(spark, t, "id = 11", strategy="mor")
+    gone2 = set(vacuum_delta(t, retain_ms=0))
+    assert dv1 <= gone2
+    live = set(glob.glob(os.path.join(t, "deletion_vector_*.bin")))
+    assert len(live) == 1 and not (live & dv1)
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(1000)) - {10, 11}
+
+    # compaction materializes the deletes and purges every DV
+    assert compact_delta(spark, t) is not None
+    snap = delta_snapshot(t)
+    assert not any(f.get("deletionVector") for f in snap["files"])
+    got2 = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got2 == set(range(1000)) - {10, 11}
+    # the purged DV file is vacuumable afterwards
+    gone3 = set(vacuum_delta(t, retain_ms=0))
+    assert live <= gone3
