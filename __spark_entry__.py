@@ -9456,6 +9456,36 @@ WHERE o_orderkey % 97 != 0 AND o_orderkey % 89 != 0
 """
 
 
+def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg twin of `delta_mor_delete`
+    (sources/iceberg_write.py delete_iceberg(strategy="mor"), r16 —
+    native POSITION DELETE files, the spec's content=1 delete
+    manifests): two sequential MoR deletes over the 8-file orders
+    table write sorted (file_path, pos) parquets committed through
+    delete manifests appended to the carried manifest list; zero data
+    files rewrite (pytest pins, incl. Java-Avro manifest
+    cross-validation), and the read applies them as the
+    position-delete anti-join."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import (
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="imor_") + "/tbl"
+    write_iceberg(orders.repartitionByRange(8, "o_orderkey"), root)
+    delete_iceberg(spark, root, "o_orderkey % 97 = 0", strategy="mor")
+    delete_iceberg(spark, root, "o_orderkey % 89 = 0", strategy="mor")
+    return read_iceberg(spark, root)
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9466,8 +9496,14 @@ def staged_queries() -> dict:
     this round land here with the standard protocol (pin tests vs exact
     Python replicas, SCALING.md audit row, README line, oracle twin
     certified at sf0.01 + sf0.1) before touching the registry."""
-    return {"delta_mor_delete": q_delta_mor_delete}
+    return {
+        "delta_mor_delete": q_delta_mor_delete,
+        "iceberg_mor_delete": q_iceberg_mor_delete,
+    }
 
 
 def staged_oracle_sql() -> dict:
-    return {"delta_mor_delete": _DELTA_MOR_DELETE_ORACLE}
+    return {
+        "delta_mor_delete": _DELTA_MOR_DELETE_ORACLE,
+        "iceberg_mor_delete": _DELTA_MOR_DELETE_ORACLE,
+    }

@@ -1763,14 +1763,34 @@ def delete_iceberg(
     condition,
     *,
     range_filter: dict | None = None,
+    strategy: str = "cow",
+    max_mor_rows: int = 1_000_000,
 ) -> int | None:
-    """Row-level DELETE WHERE ``condition`` — copy-on-write at file
-    grain, the Iceberg twin of ``delete_delta``: only files actually
-    holding a matching row rewrite (kept rows = condition false or
-    NULL); every other file carries forward as an EXISTING manifest
-    entry with its original sequence number. Tables with live MoR
-    deletes or an evolved spec take the full purge rewrite. Returns
-    the committed snapshot id, or None when nothing matched."""
+    """Row-level DELETE WHERE ``condition``.
+
+    ``strategy="cow"`` (default) — copy-on-write at file grain, the
+    Iceberg twin of ``delete_delta``: only files actually holding a
+    matching row rewrite (kept rows = condition false or NULL); every
+    other file carries forward as an EXISTING manifest entry with its
+    original sequence number. Tables with live MoR deletes or an
+    evolved spec take the full purge rewrite.
+
+    ``strategy="mor"`` — merge-on-read via native POSITION DELETE
+    files (the spec's content=1 delete manifests, r16 — the Delta
+    twin is ``delete_delta(strategy="mor")``): no data file is
+    rewritten; the matched (file_path, pos) pairs land in one sorted
+    position-delete parquet per partition (field-ids 2147483546/
+    2147483545 per the spec), committed through a delete manifest
+    appended to the carried manifest list — bytes written ∝ the
+    DELETED ROWS. The read path (and any real engine) applies them as
+    the position-delete anti-join. Matched positions collect to the
+    driver; ``max_mor_rows`` caps the collect and raises toward
+    ``cow`` for mass deletes. Tables whose touched files left the
+    current spec raise toward ``cow`` (one delete manifest carries
+    one partition spec).
+
+    Returns the committed snapshot id, or None when nothing
+    matched."""
     from pyspark.sql import functions as F
 
     from embeddinghub_spark.sources.iceberg_meta import (
@@ -1779,7 +1799,13 @@ def delete_iceberg(
         read_iceberg,
     )
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     snap = iceberg_snapshot(path)
+    if strategy == "mor":
+        return _delete_iceberg_mor(
+            spark, path, snap, condition, range_filter, max_mor_rows
+        )
     ctx = _iceberg_table_context(path, snap)
     if ctx["full_rewrite"]:
         cond = (
@@ -1809,6 +1835,287 @@ def delete_iceberg(
         expected_snapshot_id=snap["snapshot_id"],
         carry_files=_iceberg_carry(snap, set(touched)),
     )
+
+
+def _delete_iceberg_mor(
+    spark,
+    path: str,
+    snap: dict,
+    condition,
+    range_filter: dict | None,
+    max_mor_rows: int,
+) -> int | None:
+    """Position-delete commit (see ``delete_iceberg(strategy="mor")``).
+
+    The commit is the APPEND shape: every previous manifest-list row
+    carries forward verbatim and ONE new content=1 (deletes) manifest
+    joins it, holding one sorted position-delete parquet per touched
+    partition — data manifests are untouched, so commit cost is
+    O(deleted rows + manifest-list rows). Probing does NOT apply
+    existing deletes: re-deleting an already-dead (file, pos) writes a
+    redundant pair, which the anti-join read treats as a no-op —
+    sound, and it keeps the probe one scan. delete file_path values
+    record ``file://<resolved path>``, the exact string this writer's
+    manifests carry for data files (connector-relocated tables rebase
+    through the reader's location logic)."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import _scan_parquet
+    from embeddinghub_spark.sources.scan_prune import (
+        decoded_file_path_col,
+    )
+
+    path = os.path.realpath(os.path.abspath(path))
+    meta = snap["metadata"]
+    if int(meta.get("format-version", 1)) != 2:
+        raise IcebergProtocolError(
+            "position-delete writes need a format-version 2 table"
+        )
+    touched, cond = _iceberg_touched_by_condition(
+        spark, snap, condition, range_filter
+    )
+    if not touched:
+        return None
+    # one delete manifest carries ONE spec: touched files must all sit
+    # in the current spec (evolved-spec leftovers route to cow)
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    cur_spec = next(
+        (s for s in specs
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0],
+    )
+    cur_spec_id = int(cur_spec.get("spec-id", 0))
+    fparts = snap.get("file_partitions") or {}
+    for f in touched:
+        sid = int((fparts.get(f) or (cur_spec_id, {}))[0])
+        if sid != cur_spec_id:
+            raise IcebergProtocolError(
+                f"touched file under spec {sid} != current "
+                f"{cur_spec_id} — use strategy='cow' for evolved-spec "
+                "tables"
+            )
+    probe = _scan_parquet(spark, snap, touched, with_meta=True).filter(
+        cond
+    ).select(
+        decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
+        F.col("_pos"),
+    )
+    hits = probe.limit(max_mor_rows + 1).collect()
+    if len(hits) > max_mor_rows:
+        raise ValueError(
+            f"MoR DELETE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow' (a rewrite is "
+            "cheaper than a giant delete file)"
+        )
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
+    for r in hits:
+        part = dict((fparts.get(r["_fp"]) or (cur_spec_id, {}))[1])
+        key = tuple(sorted(part.items()))
+        by_part.setdefault(key, []).append(
+            (f"file://{r['_fp']}", int(r["_pos"]))
+        )
+    if not by_part:
+        return None
+
+    # ---- one sorted position-delete parquet per touched partition
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    pos_schema = pa.schema([
+        pa.field("file_path", pa.string(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483546"}),
+        pa.field("pos", pa.int64(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483545"}),
+    ])
+    delete_files: list[tuple[str, int, int, dict]] = []
+    for key in sorted(by_part):
+        pairs = sorted(by_part[key])
+        rel = f"delete-{uuid.uuid4().hex}.parquet"
+        fp = os.path.join(data_dir, rel)
+        pq.write_table(
+            pa.table(
+                {"file_path": [p for p, _ in pairs],
+                 "pos": [p for _, p in pairs]},
+                schema=pos_schema,
+            ),
+            fp,
+        )
+        delete_files.append(
+            (fp, len(pairs), os.path.getsize(fp), dict(key))
+        )
+
+    # ---- commit: new delete manifest + carried manifest list
+    meta_dir = os.path.join(path, "metadata")
+    latest = _max_metadata_version(meta_dir)
+    if latest is None:
+        raise IcebergWriteError(f"not an Iceberg table: {path}")
+    prev_version, mfile = latest
+    with open(mfile, encoding="utf-8") as fh:
+        prev_meta = json.load(fh)
+    cur_sid = prev_meta.get("current-snapshot-id")
+    if cur_sid != snap["snapshot_id"]:
+        raise IcebergWriteError(
+            f"table advanced to snapshot {cur_sid} (expected "
+            f"{snap['snapshot_id']}): {path}"
+        )
+    prev_snaps = list(prev_meta.get("snapshots") or [])
+    snapshot_id = max(
+        [int(s["snapshot-id"]) for s in prev_snaps], default=0
+    ) + 1
+    seq = int(prev_meta.get("last-sequence-number", 0)) + 1
+    now_ms = int(time.time() * 1000)
+    cur_schema = next(
+        (s for s in prev_meta.get("schemas") or []
+         if s.get("schema-id") == prev_meta.get("current-schema-id")),
+        {"fields": [], "schema-id": 0},
+    )
+    type_by_id = {
+        int(f["id"]): f["type"] for f in cur_schema.get("fields") or []
+        if isinstance(f.get("type"), str)
+    }
+    spec_field_defs = [
+        (pf["name"], type_by_id.get(int(pf["source-id"]), "string"),
+         int(pf["field-id"]))
+        for pf in cur_spec.get("fields") or []
+    ]
+    man_path = os.path.join(meta_dir, f"m-{uuid.uuid4().hex}.avro")
+    write_avro_file(
+        man_path,
+        _manifest_entry_schema(spec_field_defs),
+        [
+            {
+                "status": 1,  # ADDED (sequence number inherits)
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": f"file://{fp}",
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+            for fp, rows, size, part in delete_files
+        ],
+        metadata={
+            "schema": json.dumps(
+                {k: v for k, v in cur_schema.items()
+                 if k != "schema-id"}
+            ),
+            "partition-spec": json.dumps(cur_spec.get("fields") or []),
+            "partition-spec-id": str(cur_spec_id),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    rows_out = [{
+        "manifest_path": f"file://{man_path}",
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": cur_spec_id,
+        "content": 1,  # deletes
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(delete_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(r for _, r, _, _ in delete_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+    cur_snap_rec = next(
+        (s for s in prev_snaps
+         if s["snapshot-id"] == prev_meta.get("current-snapshot-id")),
+        None,
+    )
+    if cur_snap_rec is not None:
+        import re as _re
+
+        prev_ml_path = _re.sub(
+            r"^file:/*", "/", cur_snap_rec["manifest-list"]
+        )
+        _, prev_rows = read_avro_file(prev_ml_path)
+        for r in prev_rows:
+            rows_out.append({
+                k: int(r.get(k) or 0)
+                for k in (
+                    "manifest_length", "partition_spec_id", "content",
+                    "sequence_number", "min_sequence_number",
+                    "added_snapshot_id", "added_files_count",
+                    "existing_files_count", "deleted_files_count",
+                    "added_rows_count", "existing_rows_count",
+                    "deleted_rows_count",
+                )
+            } | {"manifest_path": r["manifest_path"]})
+    ml_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(
+        ml_path,
+        _manifest_list_schema(),
+        rows_out,
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+    n_deleted = sum(r for _, r, _, _ in delete_files)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file://{ml_path}",
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(delete_files)),
+            "added-position-deletes": str(n_deleted),
+            "added-data-files": "0",
+            "added-records": "0",
+            "total-data-files": str(len(snap["files"])),
+            "total-records": str(sum(
+                snap["file_rows"].get(f, 0) for f in snap["files"]
+            )),
+        },
+        "schema-id": cur_schema.get("schema-id", 0),
+        "parent-snapshot-id": prev_meta.get("current-snapshot-id"),
+    }
+    meta_out = dict(prev_meta)
+    meta_out.update({
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": prev_snaps + [snapshot],
+        "snapshot-log": list(prev_meta.get("snapshot-log") or [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+    })
+    refs = dict(prev_meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta_out["refs"] = refs
+    version = prev_version + 1
+    final = os.path.join(meta_dir, f"v{version}.metadata.json")
+    if not _atomic_put(final, json.dumps(meta_out)):
+        for p in (man_path, ml_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise IcebergWriteError(
+            f"lost the commit race at version {version}: {path}"
+        )
+    hint_tmp = os.path.join(
+        meta_dir, f"version-hint.{uuid.uuid4().hex}.tmp"
+    )
+    with open(hint_tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return snapshot_id
 
 
 def update_iceberg(

@@ -1263,3 +1263,143 @@ def test_iceberg_long_string_bounds_truncate_and_stay_sound(
     assert got[f"{prefix}00042"] == "UP"
     assert got[f"{prefix}x"] == "NEW"
     assert len(got) == 401
+
+
+def test_delete_iceberg_mor_writes_position_deletes(spark, tmp_path):
+    """delete_iceberg(strategy='mor') (r16): a position-delete commit
+    rewrites ZERO data files — matched (file_path, pos) pairs land in
+    a sorted delete parquet committed through a content=1 manifest
+    appended to the carried manifest list; reads, time travel and the
+    appends-only increment gate stay exact; a second MoR delete
+    stacks; COW DML on the MoR table takes the purge rewrite."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from embeddinghub_spark.sources.iceberg_write import delete_iceberg
+
+    t = str(tmp_path / "morice")
+    write_iceberg(
+        spark.range(0, 2000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(10, "id"),
+        t,
+    )
+    before = iceberg_snapshot(t)
+    parquets_before = sorted(
+        glob.glob(os.path.join(t, "data", "*.parquet"))
+    )
+
+    sid = delete_iceberg(spark, t, "id IN (5, 7, 1500)",
+                         strategy="mor")
+    assert sid is not None
+    after = iceberg_snapshot(t)
+    assert after["snapshot_id"] == sid
+    # data files untouched; one delete file per (single) partition
+    assert set(after["files"]) == set(before["files"])
+    dels = sorted(
+        set(glob.glob(os.path.join(t, "data", "*.parquet")))
+        - set(parquets_before)
+    )
+    assert len(dels) == 1  # unpartitioned table: one delete file
+    assert len(after["position_deletes"]) >= 1
+    # the delete parquet is sorted and carries the spec's field ids
+    pf = pq.read_table(after["position_deletes"][0])
+    rows = list(zip(pf.column("file_path").to_pylist(),
+                    pf.column("pos").to_pylist()))
+    assert rows == sorted(rows)
+    sch = pq.read_schema(after["position_deletes"][0])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    # reads exact; pre-delete snapshot intact
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(2000)) - {5, 7, 1500}
+    old = {r["id"] for r in read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]).collect()}
+    assert old == set(range(2000))
+    # summary records the delete op
+    snap_rec = next(s for s in after["metadata"]["snapshots"]
+                    if s["snapshot-id"] == sid)
+    assert snap_rec["summary"]["operation"] == "delete"
+    assert snap_rec["summary"]["added-position-deletes"] == "3"
+    # increment read over the delete range refuses (not append-only)
+    with pytest.raises(Exception):
+        read_iceberg_increment(spark, t, before["snapshot_id"], sid)
+
+    # a second MoR delete stacks on the first
+    sid2 = delete_iceberg(spark, t, "id = 6", strategy="mor")
+    got2 = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got2 == set(range(2000)) - {5, 6, 7, 1500}
+    # no-match returns None without committing
+    assert delete_iceberg(spark, t, "id = -1", strategy="mor") is None
+    assert iceberg_snapshot(t)["snapshot_id"] == sid2
+
+    # COW delete on the MoR table routes to the purge rewrite and
+    # clears the delete files from the live snapshot
+    sid3 = delete_iceberg(spark, t, "id < 100")
+    assert sid3 is not None
+    final = iceberg_snapshot(t)
+    assert not final["position_deletes"]
+    got3 = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got3 == set(range(100, 2000)) - {1500}
+    # mass-delete guard
+    with pytest.raises(ValueError, match="max_mor_rows"):
+        delete_iceberg(spark, t, "id >= 0", strategy="mor",
+                       max_mor_rows=10)
+
+
+def test_delete_iceberg_mor_partitioned(spark, tmp_path):
+    """MoR position deletes on an identity-PARTITIONED table: one
+    delete file per touched partition, each manifest entry carrying
+    its typed partition tuple (how real DeleteFileIndex scopes
+    position deletes); the delete manifest reads back through the
+    REAL Java Avro library; partition-pruned reads apply the right
+    deletes."""
+    import glob
+
+    from embeddinghub_spark.sources.iceberg_write import delete_iceberg
+
+    t = str(tmp_path / "morpart")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "eu" if i % 2 else "us") for i in range(400)],
+        "id long, v string, region string",
+    )
+    write_iceberg(df, t, partition_by=["region"])
+    before = iceberg_snapshot(t)
+
+    sid = delete_iceberg(spark, t, "id IN (3, 4, 7)", strategy="mor")
+    assert sid is not None
+    after = iceberg_snapshot(t)
+    # ids 3,7 are eu; id 4 is us -> one delete file per partition
+    assert len(after["position_deletes"]) == 2
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(400)) - {3, 4, 7}
+    # partition-filtered read still applies its partition's deletes
+    eu = {r["id"] for r in read_iceberg(
+        spark, t, partition_filter={"region": "eu"}).collect()}
+    assert eu == {i for i in range(400) if i % 2} - {3, 7}
+
+    # the content=1 manifest cross-validates through Java Avro and
+    # carries the typed partition value per entry
+    jvm = spark.sparkContext._jvm
+    mans = [p for p in glob.glob(os.path.join(t, "metadata", "m-*.avro"))]
+    dm = None
+    for p in mans:
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        if reader.getMetaString("content") == "deletes":
+            parts = []
+            while reader.hasNext():
+                rec = reader.next()
+                dfr = rec.get("data_file")
+                assert int(str(dfr.get("content"))) == 1
+                parts.append(str(dfr.get("partition").get("region")))
+            dm = sorted(parts)
+        reader.close()
+    assert dm == ["eu", "us"]
+    # pre-delete snapshot unaffected
+    old = {r["id"] for r in read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]).collect()}
+    assert old == set(range(400))
