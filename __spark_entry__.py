@@ -9417,22 +9417,26 @@ def q_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, root)
 
 
-def q_delta_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read DELETE via native deletion-vector WRITES
-    (sources/delta_log.py delete_delta(strategy="mor"), r16 — the DML
-    shape the reference's Databricks runner gets from the connector,
-    here written natively: PROTOCOL.md deletionVectors, Roaring
-    bitmaps, reader 3/writer 7 upgrade): the 8-file orders table takes
-    TWO sequential MoR deletes (every 97th key, then every 89th — the
-    second MERGES into the first's DVs on overlapping files); zero
-    data files rewrite (pytest pins), and the read applies the DVs as
-    one broadcast anti-join on (file, row_index). The oracle replays
-    both deletes as one WHERE."""
+def q_delta_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DML via native deletion-vector WRITES
+    (sources/delta_log.py delete_delta/update_delta(strategy="mor"),
+    r16 — the DML shape the reference's Databricks runner gets from
+    the connector, here written natively: PROTOCOL.md
+    deletionVectors, Roaring bitmaps, reader 3/writer 7 upgrade): the
+    8-file orders table takes a MoR UPDATE (surcharge on every 31st
+    key — old positions DV'd, updated images staged as ONE new file,
+    atomically) then TWO sequential MoR deletes (every 97th key, then
+    every 89th — the second MERGES into existing DVs on overlapping
+    files); zero original data files rewrite (pytest pins), and the
+    read applies the DVs as one broadcast anti-join on (file,
+    row_index). The oracle replays UPDATE-then-DELETE as CASE +
+    WHERE."""
     import tempfile
 
     from embeddinghub_spark.sources.delta_log import (
         delete_delta,
         read_delta,
+        update_delta,
         write_delta,
     )
 
@@ -9443,34 +9447,44 @@ def q_delta_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="dmor_") + "/tbl"
     write_delta(orders.repartitionByRange(8, "o_orderkey"), root)
+    update_delta(
+        spark, root, "o_orderkey % 31 = 0",
+        {"cents": F.col("cents") + 100}, strategy="mor",
+    )
     delete_delta(spark, root, "o_orderkey % 97 = 0", strategy="mor")
     delete_delta(spark, root, "o_orderkey % 89 = 0", strategy="mor")
     return read_delta(spark, root)
 
 
-_DELTA_MOR_DELETE_ORACLE = """
-SELECT o_orderkey, o_orderpriority,
-       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-FROM orders
-WHERE o_orderkey % 97 != 0 AND o_orderkey % 89 != 0
+_MOR_DML_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+u AS (SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 31 = 0 THEN cents + 100
+                  ELSE cents END AS cents
+      FROM o)
+SELECT * FROM u WHERE o_orderkey % 97 != 0 AND o_orderkey % 89 != 0
 """
 
 
-def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Iceberg twin of `delta_mor_delete`
-    (sources/iceberg_write.py delete_iceberg(strategy="mor"), r16 —
-    native POSITION DELETE files, the spec's content=1 delete
-    manifests): two sequential MoR deletes over the 8-file orders
-    table write sorted (file_path, pos) parquets committed through
-    delete manifests appended to the carried manifest list; zero data
-    files rewrite (pytest pins, incl. Java-Avro manifest
-    cross-validation), and the read applies them as the
+def q_iceberg_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg twin of `delta_mor_dml`
+    (sources/iceberg_write.py delete_iceberg/update_iceberg(
+    strategy="mor"), r16 — native POSITION DELETE files, the spec's
+    content=1 delete manifests and row-delta "overwrite" snapshots):
+    a MoR UPDATE then two sequential MoR deletes over the 8-file
+    orders table write sorted (file_path, pos) parquets committed
+    through delete manifests appended to the carried manifest list;
+    zero original data files rewrite (pytest pins, incl. Java-Avro
+    manifest cross-validation), and the read applies them as the
     position-delete anti-join."""
     import tempfile
 
     from embeddinghub_spark.sources.iceberg_meta import read_iceberg
     from embeddinghub_spark.sources.iceberg_write import (
         delete_iceberg,
+        update_iceberg,
         write_iceberg,
     )
 
@@ -9481,6 +9495,10 @@ def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="imor_") + "/tbl"
     write_iceberg(orders.repartitionByRange(8, "o_orderkey"), root)
+    update_iceberg(
+        spark, root, "o_orderkey % 31 = 0",
+        {"cents": "cents + 100"}, strategy="mor",
+    )
     delete_iceberg(spark, root, "o_orderkey % 97 = 0", strategy="mor")
     delete_iceberg(spark, root, "o_orderkey % 89 = 0", strategy="mor")
     return read_iceberg(spark, root)
@@ -9497,13 +9515,13 @@ def staged_queries() -> dict:
     Python replicas, SCALING.md audit row, README line, oracle twin
     certified at sf0.01 + sf0.1) before touching the registry."""
     return {
-        "delta_mor_delete": q_delta_mor_delete,
-        "iceberg_mor_delete": q_iceberg_mor_delete,
+        "delta_mor_dml": q_delta_mor_dml,
+        "iceberg_mor_dml": q_iceberg_mor_dml,
     }
 
 
 def staged_oracle_sql() -> dict:
     return {
-        "delta_mor_delete": _DELTA_MOR_DELETE_ORACLE,
-        "iceberg_mor_delete": _DELTA_MOR_DELETE_ORACLE,
+        "delta_mor_dml": _MOR_DML_ORACLE,
+        "iceberg_mor_dml": _MOR_DML_ORACLE,
     }

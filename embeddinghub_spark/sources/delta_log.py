@@ -823,6 +823,7 @@ def write_delta(
     replace_paths: list[str] | None = None,
     data_change: bool = True,
     merge_schema: bool = False,
+    dv_readds: list[dict] | None = None,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -899,6 +900,24 @@ def write_delta(
                 "replace_paths requires expected_version (file-grain "
                 "replaces are read-modify-write by construction)"
             )
+    if dv_readds is not None:
+        # the MoR UPDATE handle (update_delta(strategy="mor")): each
+        # dict is a COMPLETE add-action body for a live file re-added
+        # at its same path with a new deletionVector, committed
+        # ATOMICALLY with the staged data files (two commits would
+        # expose a state with the updated rows duplicated)
+        if mode != "append":
+            raise ValueError("dv_readds requires mode='append'")
+        if expected_version is None:
+            raise ValueError(
+                "dv_readds requires expected_version (DV re-adds are "
+                "read-modify-write by construction)"
+            )
+        for d in dv_readds:
+            if not d.get("deletionVector"):
+                raise ValueError(
+                    "every dv_readds entry must carry a deletionVector"
+                )
     partition_by = list(partition_by or [])
     for c in partition_by:
         if c not in df.columns:
@@ -1213,8 +1232,36 @@ def write_delta(
                         }
                     }
                 )
+        if dv_readds:
+            live_now = {f["path"] for f in snap["files"]} if snap else set()
+            gone_dv = sorted(
+                {d["path"] for d in dv_readds} - live_now
+            )
+            if gone_dv:
+                raise ConcurrentWriteError(
+                    f"dv_readds paths not live at version "
+                    f"{snap['version']}: {gone_dv[:3]}"
+                )
+            upgrade = _dv_protocol_upgrade(
+                (snap or {}).get("protocol") or {}
+            )
+            if upgrade is not None:
+                # protocol action leads the commit
+                actions.insert(0, upgrade)
+            for d in dv_readds:
+                actions.append({
+                    "remove": {
+                        "path": d["path"],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                })
+            for d in dv_readds:
+                actions.append({"add": dict(d, dataChange=True)})
         actions.extend(adds)
-        if replace_paths is not None:
+        if dv_readds:
+            op = "UPDATE"
+        elif replace_paths is not None:
             op = "MERGE" if data_change else "OPTIMIZE"
         else:
             op = mode.upper()
@@ -1770,6 +1817,76 @@ def delete_delta(
     )
 
 
+def _write_dv_blob(
+    path: str, dv_rows: dict[str, set[int]]
+) -> dict[str, dict]:
+    """Write ONE ``deletion_vector_<uuid>.bin`` holding every file's
+    bitmap at its own offset (the multi-DV packing real writers use):
+    a 1-byte format version, then per DV a 4-byte big-endian size,
+    the portable RoaringBitmapArray, and a 4-byte big-endian CRC-32 —
+    exactly the framing ``read_deletion_vector`` checks. Returns
+    {abs data-file path: DV descriptor}. Shared by the MoR DELETE and
+    MoR UPDATE commit builders."""
+    import struct as _struct
+    import uuid as _uuid
+    import zlib
+
+    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+
+    u = _uuid.uuid4()
+    dv_name = f"deletion_vector_{u}.bin"
+    descriptors: dict[str, dict] = {}
+    blob = bytearray(b"\x01")  # format version
+    for abs_fp in sorted(dv_rows):
+        data = serialize_bitmap_array(dv_rows[abs_fp])
+        offset = len(blob)
+        blob += _struct.pack(">i", len(data))
+        blob += data
+        # unsigned pack: the reader unpacks ">i" and masks to 32 bits,
+        # so the byte layout is identical either way
+        blob += _struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors[abs_fp] = {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(dv_rows[abs_fp]),
+        }
+    dv_tmp = os.path.join(path, f".{dv_name}.tmp")
+    with open(dv_tmp, "wb") as fh:
+        fh.write(bytes(blob))
+    os.replace(dv_tmp, os.path.join(path, dv_name))
+    return descriptors
+
+
+def _dv_protocol_upgrade(proto: dict) -> dict | None:
+    """The protocol action a DV-writing commit must carry when the
+    table is not yet on reader 3 / writer 7 with ``deletionVectors``
+    listed (legacy writer-2 features carry as table features per the
+    upgrade rule; existing features pass through). None when the
+    table already supports DVs."""
+    if (
+        int(proto.get("minReaderVersion", 1)) >= 3
+        and "deletionVectors" in (proto.get("readerFeatures") or [])
+    ):
+        return None
+    rf = sorted(
+        set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+    )
+    wf = sorted(
+        set(proto.get("writerFeatures") or [])
+        | {"appendOnly", "invariants", "deletionVectors"}
+    )
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": rf,
+            "writerFeatures": wf,
+        }
+    }
+
+
 def _delete_delta_mor(
     spark: SparkSession,
     path: str,
@@ -1788,12 +1905,8 @@ def _delete_delta_mor(
     file re-adds at its SAME path (stats/partitionValues/size carried
     verbatim — numRecords stays the PHYSICAL row count per the spec)
     with the merged descriptor; the log sees remove+add of the same
-    path, which the CDF reader pairs by (path, DV) — pinned."""
-    import uuid as _uuid
-    import zlib
-
-    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
-
+    path, which the CDF reader pairs by (path, DV) — pinned. The
+    UPDATE twin is ``update_delta(strategy="mor")``."""
     path = os.path.realpath(os.path.abspath(path))
     # matched physical row positions per file — the probe scan applies
     # existing DVs, so already-deleted rows can't re-match
@@ -1827,58 +1940,12 @@ def _delete_delta_mor(
         dv_rows[abs_fp] = rows | prior
     if not dv_rows:
         raise RuntimeError("probe found no rows for touched files")
+    descriptors = _write_dv_blob(path, dv_rows)
 
-    # ---- one DV file, every bitmap at its own offset
-    u = _uuid.uuid4()
-    dv_name = f"deletion_vector_{u}.bin"
-    descriptors: dict[str, dict] = {}
-    blob = bytearray(b"\x01")  # format version
-    for abs_fp in sorted(dv_rows):
-        data = serialize_bitmap_array(dv_rows[abs_fp])
-        offset = len(blob)
-        import struct as _struct
-
-        blob += _struct.pack(">i", len(data))
-        blob += data
-        # unsigned pack: the reader unpacks ">i" and masks to 32 bits,
-        # so the byte layout is identical either way
-        blob += _struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
-        descriptors[abs_fp] = {
-            "storageType": "u",
-            "pathOrInlineDv": _z85_encode(u.bytes),
-            "offset": offset,
-            "sizeInBytes": len(data),
-            "cardinality": len(dv_rows[abs_fp]),
-        }
-    dv_tmp = os.path.join(path, f".{dv_name}.tmp")
-    with open(dv_tmp, "wb") as fh:
-        fh.write(bytes(blob))
-    os.replace(dv_tmp, os.path.join(path, dv_name))
-
-    # ---- protocol upgrade on first DV (reader 3 / writer 7 with the
-    # feature listed; legacy writer-2 features carry as table features
-    # per the upgrade rule; existing features pass through)
-    proto = snap.get("protocol") or {}
     actions: list[dict] = []
-    if (
-        int(proto.get("minReaderVersion", 1)) < 3
-        or "deletionVectors" not in (proto.get("readerFeatures") or [])
-    ):
-        rf = sorted(
-            set(proto.get("readerFeatures") or []) | {"deletionVectors"}
-        )
-        wf = sorted(
-            set(proto.get("writerFeatures") or [])
-            | {"appendOnly", "invariants", "deletionVectors"}
-        )
-        actions.append({
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": rf,
-                "writerFeatures": wf,
-            }
-        })
+    upgrade = _dv_protocol_upgrade(snap.get("protocol") or {})
+    if upgrade is not None:
+        actions.append(upgrade)
     for abs_fp in sorted(dv_rows):
         f = rel_by_abs[abs_fp]
         actions.append({
@@ -1935,16 +2002,32 @@ def update_delta(
     assignments: dict,
     *,
     range_filter: dict | None = None,
+    strategy: str = "cow",
+    max_mor_rows: int = 1_000_000,
 ) -> int | None:
-    """Row-level UPDATE ... SET ``assignments`` WHERE ``condition`` —
-    file-pruned copy-on-write: only files actually holding a matching
-    row rewrite, with the assignments applied to exactly the matching
-    rows (non-matching rows in a touched file rewrite verbatim).
+    """Row-level UPDATE ... SET ``assignments`` WHERE ``condition``.
+
+    ``strategy="cow"`` (default) — file-pruned copy-on-write: only
+    files actually holding a matching row rewrite, with the
+    assignments applied to exactly the matching rows (non-matching
+    rows in a touched file rewrite verbatim).
+
+    ``strategy="mor"`` — the ROW-DELTA shape (r16): the matched rows'
+    OLD positions get deletion vectors (merged with any existing DV)
+    and their UPDATED images stage as ONE new data file, committed
+    atomically — bytes written ∝ the MATCHED ROWS, not the touched
+    files (a point UPDATE on a 1 GB file writes KBs). This is what
+    real DV-enabled engines do for UPDATE/MERGE. Matched positions
+    collect driver-side; ``max_mor_rows`` gates mass updates toward
+    ``cow``.
+
     ``assignments`` maps column name → Column or SQL expression
     string; assigned columns must exist (no implicit schema
     evolution) and expressions are cast back to the column's exact
     table type, so the file schema never drifts. Returns the
     committed version, or None when nothing matched."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     snap = delta_snapshot(path)
     types = {f.name: f.dataType for f in snap["schema"].fields}
     unknown = sorted(set(assignments) - set(types))
@@ -1962,6 +2045,11 @@ def update_delta(
     )
     if not touched:
         return None
+    if strategy == "mor":
+        return _update_delta_mor(
+            spark, path, snap, touched, cond, assignments, types,
+            max_mor_rows,
+        )
     rows = _scan_file_groups(
         spark, path, snap["schema"], snap["partition_columns"],
         touched, snap.get("physical_names"),
@@ -1993,6 +2081,88 @@ def update_delta(
         partition_by=snap["partition_columns"],
         expected_version=snap["version"],
         replace_paths=[f["path"] for f in touched],
+    )
+
+
+def _update_delta_mor(
+    spark: SparkSession,
+    path: str,
+    snap: dict,
+    touched: list[dict],
+    cond,
+    assignments: dict,
+    types: dict,
+    max_mor_rows: int,
+) -> int:
+    """Row-delta UPDATE commit (see ``update_delta(strategy="mor")``):
+    DV the matched rows' old positions and stage their updated images
+    as new data files, in ONE ``write_delta(dv_readds=…)`` commit —
+    two commits would expose a state with the updated rows present
+    twice. The matched set is computed twice over the SAME immutable
+    files (one driver collect for positions, one staged write for the
+    images) — parquet row_index is deterministic at rest, so the two
+    reads agree by construction."""
+    path = os.path.realpath(os.path.abspath(path))
+    scan = _scan_file_groups(
+        spark, path, snap["schema"], snap["partition_columns"],
+        touched, snap.get("physical_names"),
+        keep_file_path=True, keep_row_index=True,
+    ).filter(cond)
+    hits = scan.select("_fp", "_pos").limit(max_mor_rows + 1).collect()
+    if len(hits) > max_mor_rows:
+        raise ValueError(
+            f"MoR UPDATE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    by_file: dict[str, set[int]] = {}
+    for r in hits:
+        by_file.setdefault(r["_fp"], set()).add(int(r["_pos"]))
+    if not by_file:
+        raise RuntimeError("probe found no rows for touched files")
+    rel_by_abs = {
+        os.path.join(path, _decode_path(f["path"])): f for f in touched
+    }
+    dv_rows: dict[str, set[int]] = {}
+    for abs_fp, rows in by_file.items():
+        f = rel_by_abs[abs_fp]
+        prior = (
+            read_deletion_vector(path, f["deletionVector"])
+            if f.get("deletionVector") else set()
+        )
+        dv_rows[abs_fp] = rows | prior
+    descriptors = _write_dv_blob(path, dv_rows)
+    dv_readds = []
+    for abs_fp in sorted(dv_rows):
+        f = rel_by_abs[abs_fp]
+        add = {
+            "path": f["path"],
+            "partitionValues": dict(f.get("partitionValues") or {}),
+            "size": int(f.get("size") or 0),
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": descriptors[abs_fp],
+        }
+        if f.get("stats"):
+            add["stats"] = f["stats"]
+        dv_readds.append(add)
+    # updated images of EXACTLY the matched rows, assignments against
+    # the PRE-update row in one projection (the cow discipline)
+    sel = []
+    for fld in snap["schema"].fields:
+        if fld.name in assignments:
+            e = assignments[fld.name]
+            e = F.expr(e) if isinstance(e, str) else e
+            sel.append(e.cast(types[fld.name]).alias(fld.name))
+        else:
+            sel.append(F.col(fld.name))
+    updated = scan.select(*sel)
+    return write_delta(
+        updated,
+        path,
+        mode="append",
+        partition_by=snap["partition_columns"],
+        expected_version=snap["version"],
+        dv_readds=dv_readds,
     )
 
 

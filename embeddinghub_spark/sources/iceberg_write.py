@@ -344,6 +344,7 @@ def write_iceberg(
     carry_files: list[dict] | None = None,
     merge_schema: bool = False,
     operation: str | None = None,
+    position_deletes: list[tuple] | None = None,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
     catalog). Returns the committed SNAPSHOT ID. See the module
@@ -391,6 +392,20 @@ def write_iceberg(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if carry_files is not None and mode != "overwrite":
         raise ValueError("carry_files requires mode='overwrite'")
+    if position_deletes is not None:
+        # the MoR UPDATE handle (update_iceberg(strategy="mor")): each
+        # tuple is (abs_path, rows, size, partition_dict) of a sorted
+        # position-delete parquet already on disk; the commit appends
+        # ONE content=1 delete manifest alongside the staged data —
+        # atomically, because two commits would expose the updated
+        # rows twice
+        if mode != "append":
+            raise ValueError("position_deletes requires mode='append'")
+        if expected_snapshot_id is None:
+            raise ValueError(
+                "position_deletes requires expected_snapshot_id "
+                "(row-deltas are read-modify-write by construction)"
+            )
     if carry_files is not None and expected_snapshot_id is None:
         # ADVICE r15: an unpinned carry commit computed against a stale
         # snapshot could re-reference files a concurrent writer removed
@@ -988,6 +1003,62 @@ def write_iceberg(
             "deleted_rows_count": 0,
         }
         rows_out = [new_row]
+        if position_deletes:
+            del_man_path = os.path.join(
+                meta_dir, f"m-{uuid.uuid4().hex}.avro"
+            )
+            write_avro_file(
+                del_man_path,
+                _manifest_entry_schema(spec_field_defs),
+                [
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES
+                            "file_path": f"file://{dfp}",
+                            "file_format": "PARQUET",
+                            "partition": dict(dpart or {}),
+                            "record_count": int(drows),
+                            "file_size_in_bytes": int(dsize),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                        },
+                    }
+                    for dfp, drows, dsize, dpart in position_deletes
+                ],
+                metadata={
+                    "schema": json.dumps(
+                        {k: v for k, v in ice_schema.items()
+                         if k != "schema-id"}
+                    ),
+                    "partition-spec": json.dumps(
+                        spec.get("fields") or []
+                    ),
+                    "partition-spec-id": str(spec.get("spec-id", 0)),
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            rows_out.append({
+                "manifest_path": f"file://{del_man_path}",
+                "manifest_length": os.path.getsize(del_man_path),
+                "partition_spec_id": int(spec.get("spec-id", 0)),
+                "content": 1,  # deletes
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(position_deletes),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(r) for _, r, _, _ in position_deletes
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            })
         if mode == "append" and prev_snaps:
             cur_snap = next(
                 (s for s in prev_snaps
@@ -1061,13 +1132,17 @@ def write_iceberg(
         # including previous manifests an append carries forward —
         # counting only this commit's manifest would under-report
         # total-records on every append (review find r15)
+        # totals count DATA manifests only (content=0): a delete
+        # manifest's rows are retractions, not data records
         total_files = sum(
             int(r["added_files_count"]) + int(r["existing_files_count"])
             for r in rows_out
+            if int(r.get("content") or 0) == 0
         )
         total_rows = sum(
             int(r["added_rows_count"]) + int(r["existing_rows_count"])
             for r in rows_out
+            if int(r.get("content") or 0) == 0
         )
         snapshot = {
             "snapshot-id": snapshot_id,
@@ -1079,12 +1154,25 @@ def write_iceberg(
             # set is unchanged) + the standard counters connectors
             # surface in table history UIs (string-valued per spec)
             "summary": {
-                "operation": operation or mode,
+                # a row-delta (position_deletes) is the spec's
+                # "overwrite" snapshot unless the caller overrides
+                "operation": operation or (
+                    "overwrite" if position_deletes else mode
+                ),
                 "added-data-files": str(len(data_files)),
                 "added-records": str(added_rows),
                 "added-files-size": str(added_bytes),
                 "total-data-files": str(total_files),
                 "total-records": str(total_rows),
+                **(
+                    {
+                        "added-delete-files": str(len(position_deletes)),
+                        "added-position-deletes": str(sum(
+                            int(r) for _, r, _, _ in position_deletes
+                        )),
+                    }
+                    if position_deletes else {}
+                ),
             },
             "schema-id": ice_schema.get("schema-id", 0),
         }
@@ -1837,6 +1925,44 @@ def delete_iceberg(
     )
 
 
+def _write_position_delete_files(
+    path: str, by_part: dict
+) -> list[tuple]:
+    """One SORTED position-delete parquet per touched partition
+    (``by_part``: {sorted partition-tuple items: [(file_path_uri,
+    pos), …]}) with the spec's reserved field-ids 2147483546/
+    2147483545 — what a content=1 delete manifest entry references.
+    Returns [(abs_path, rows, size, partition_dict), …]. Shared by
+    the MoR DELETE and MoR UPDATE commit builders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    pos_schema = pa.schema([
+        pa.field("file_path", pa.string(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483546"}),
+        pa.field("pos", pa.int64(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483545"}),
+    ])
+    delete_files: list[tuple] = []
+    for key in sorted(by_part):
+        pairs = sorted(by_part[key])
+        fp = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.table(
+                {"file_path": [p for p, _ in pairs],
+                 "pos": [p for _, p in pairs]},
+                schema=pos_schema,
+            ),
+            fp,
+        )
+        delete_files.append(
+            (fp, len(pairs), os.path.getsize(fp), dict(key))
+        )
+    return delete_files
+
+
 def _delete_iceberg_mor(
     spark,
     path: str,
@@ -1917,34 +2043,7 @@ def _delete_iceberg_mor(
     if not by_part:
         return None
 
-    # ---- one sorted position-delete parquet per touched partition
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    pos_schema = pa.schema([
-        pa.field("file_path", pa.string(), nullable=False,
-                 metadata={b"PARQUET:field_id": b"2147483546"}),
-        pa.field("pos", pa.int64(), nullable=False,
-                 metadata={b"PARQUET:field_id": b"2147483545"}),
-    ])
-    delete_files: list[tuple[str, int, int, dict]] = []
-    for key in sorted(by_part):
-        pairs = sorted(by_part[key])
-        rel = f"delete-{uuid.uuid4().hex}.parquet"
-        fp = os.path.join(data_dir, rel)
-        pq.write_table(
-            pa.table(
-                {"file_path": [p for p, _ in pairs],
-                 "pos": [p for _, p in pairs]},
-                schema=pos_schema,
-            ),
-            fp,
-        )
-        delete_files.append(
-            (fp, len(pairs), os.path.getsize(fp), dict(key))
-        )
+    delete_files = _write_position_delete_files(path, by_part)
 
     # ---- commit: new delete manifest + carried manifest list
     meta_dir = os.path.join(path, "metadata")
@@ -2118,6 +2217,135 @@ def _delete_iceberg_mor(
     return snapshot_id
 
 
+def _update_iceberg_mor(
+    spark,
+    path: str,
+    snap: dict,
+    condition,
+    assignments: dict,
+    range_filter: dict | None,
+    max_mor_rows: int,
+) -> int | None:
+    """Row-delta UPDATE commit (see ``update_iceberg(
+    strategy="mor")``): position-delete the matched rows' old
+    positions and stage their updated images as new data files, in
+    ONE ``write_iceberg(position_deletes=…)`` append. The matched set
+    is computed twice over the same immutable files (one driver
+    collect for positions, one staged write for the images) —
+    parquet row_index is deterministic at rest, so the two reads
+    agree by construction. Updated images round-trip through a
+    staging parquet read under the SNAPSHOT schema so required
+    columns stay required for the append validation; assigning NULL
+    into a required column raises loudly first."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import _scan_parquet
+    from embeddinghub_spark.sources.scan_prune import (
+        decoded_file_path_col,
+    )
+
+    path = os.path.realpath(os.path.abspath(path))
+    meta = snap["metadata"]
+    ctx = _iceberg_table_context(path, snap)
+    types = {f.name: f.dataType for f in snap["schema"].fields}
+    unknown = sorted(set(assignments) - set(types))
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+    moved = sorted(set(assignments) & set(ctx["partition_by"]))
+    if moved:
+        raise ValueError(
+            f"UPDATE of partition columns {moved} moves rows between "
+            "partitions — rewrite via merge_iceberg instead"
+        )
+    touched, cond = _iceberg_touched_by_condition(
+        spark, snap, condition, range_filter
+    )
+    if not touched:
+        return None
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    cur_spec = next(
+        (s for s in specs
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0],
+    )
+    cur_spec_id = int(cur_spec.get("spec-id", 0))
+    fparts = snap.get("file_partitions") or {}
+    for f in touched:
+        sid = int((fparts.get(f) or (cur_spec_id, {}))[0])
+        if sid != cur_spec_id:
+            raise IcebergProtocolError(
+                f"touched file under spec {sid} != current "
+                f"{cur_spec_id} — use strategy='cow' for evolved-spec "
+                "tables"
+            )
+    scan = _scan_parquet(spark, snap, touched, with_meta=True).filter(
+        cond
+    )
+    hits = scan.select(
+        decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
+        F.col("_pos"),
+    ).limit(max_mor_rows + 1).collect()
+    if len(hits) > max_mor_rows:
+        raise ValueError(
+            f"MoR UPDATE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
+    for r in hits:
+        part = dict((fparts.get(r["_fp"]) or (cur_spec_id, {}))[1])
+        by_part.setdefault(tuple(sorted(part.items())), []).append(
+            (f"file://{r['_fp']}", int(r["_pos"]))
+        )
+    if not by_part:
+        return None
+    delete_files = _write_position_delete_files(path, by_part)
+
+    # updated images of exactly the matched rows, assignments against
+    # the PRE-update row in one projection
+    sel = []
+    for fld in snap["schema"].fields:
+        if fld.name in assignments:
+            e = assignments[fld.name]
+            e = F.expr(e) if isinstance(e, str) else e
+            sel.append(e.cast(types[fld.name]).alias(fld.name))
+        else:
+            sel.append(F.col(fld.name))
+    updated = scan.select(*sel)
+    required_assigned = [
+        f.name for f in snap["schema"].fields
+        if f.name in assignments and not f.nullable
+    ]
+    if required_assigned:
+        bad = updated.filter(
+            F.greatest(*[
+                F.col(c).isNull().cast("int")
+                for c in required_assigned
+            ] + [F.lit(0)]) > 0
+        ).take(1)
+        if bad:
+            raise IcebergWriteError(
+                "UPDATE assigns NULL into REQUIRED column(s) "
+                f"{required_assigned}"
+            )
+    # nullability reconciliation: Spark marks every file-scan column
+    # nullable, but the append validation (rightly) refuses a nullable
+    # DataFrame column for a REQUIRED table column. The rows can't be
+    # NULL (checked above for assigned columns; unassigned come from
+    # files that satisfied required), so re-assert the SNAPSHOT schema
+    # via an RDD round-trip — the Python-serialization slow path, but
+    # bounded by max_mor_rows by contract.
+    reconciled = spark.createDataFrame(updated.rdd, snap["schema"])
+    return write_iceberg(
+        reconciled,
+        path,
+        mode="append",
+        partition_by=ctx["partition_by"],
+        expected_snapshot_id=snap["snapshot_id"],
+        position_deletes=delete_files,
+        operation="overwrite",
+    )
+
+
 def update_iceberg(
     spark,
     path: str,
@@ -2125,16 +2353,31 @@ def update_iceberg(
     assignments: dict,
     *,
     range_filter: dict | None = None,
+    strategy: str = "cow",
+    max_mor_rows: int = 1_000_000,
 ) -> int | None:
-    """Row-level UPDATE ... SET ``assignments`` WHERE ``condition`` —
-    the Iceberg twin of ``update_delta``: touched files rewrite with
-    the assignments applied to exactly the matching rows, evaluated
-    against the PRE-update row in one projection; untouched files
-    carry forward with original sequence numbers. Assigned columns
-    must exist, partition columns are immutable here (an update that
-    moves rows between partitions belongs on ``merge_iceberg``), and
-    expressions cast back to the column's exact table type. Returns
-    the committed snapshot id, or None when nothing matched."""
+    """Row-level UPDATE ... SET ``assignments`` WHERE ``condition``.
+
+    ``strategy="cow"`` (default) — the Iceberg twin of
+    ``update_delta``: touched files rewrite with the assignments
+    applied to exactly the matching rows, evaluated against the
+    PRE-update row in one projection; untouched files carry forward
+    with original sequence numbers.
+
+    ``strategy="mor"`` — the ROW-DELTA shape (r16, the spec's
+    "overwrite" snapshot): the matched rows' old positions land in
+    per-partition position-delete files and their UPDATED images
+    stage as new data files, committed atomically through ONE
+    ``write_iceberg(position_deletes=…)`` append — bytes written ∝
+    the MATCHED ROWS, not the touched files. ``max_mor_rows`` gates
+    mass updates toward ``cow``; evolved-spec leftovers raise toward
+    ``cow`` (one delete manifest carries one spec).
+
+    Assigned columns must exist, partition columns are immutable here
+    (an update that moves rows between partitions belongs on
+    ``merge_iceberg``), and expressions cast back to the column's
+    exact table type. Returns the committed snapshot id, or None when
+    nothing matched."""
     from pyspark.sql import functions as F
 
     from embeddinghub_spark.sources.iceberg_meta import (
@@ -2143,7 +2386,14 @@ def update_iceberg(
         read_iceberg,
     )
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     snap = iceberg_snapshot(path)
+    if strategy == "mor":
+        return _update_iceberg_mor(
+            spark, path, snap, condition, assignments, range_filter,
+            max_mor_rows,
+        )
     ctx = _iceberg_table_context(path, snap)
     types = {f.name: f.dataType for f in snap["schema"].fields}
     unknown = sorted(set(assignments) - set(types))

@@ -1931,3 +1931,73 @@ def test_mor_delete_vacuum_and_compaction_interplay(spark, tmp_path):
     # the purged DV file is vacuumable afterwards
     gone3 = set(vacuum_delta(t, retain_ms=0))
     assert live <= gone3
+
+
+def test_update_delta_mor_row_delta(spark, tmp_path):
+    """update_delta(strategy='mor') (r16): the row-delta shape — old
+    positions of EXACTLY the matched rows get DVs, their updated
+    images land in ONE new small file, everything in one atomic
+    commit (two commits would double the updated rows for a
+    concurrent reader). Assignments see the PRE-update row; bytes
+    written ∝ matched rows; a following MoR delete and a COW pass
+    compose."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "morupd")
+    write_delta(
+        spark.range(0, 20000).selectExpr(
+            "id", "concat('v', id) AS v", "CAST(id % 7 AS DOUBLE) AS w"
+        ).repartitionByRange(10, "id"),
+        t,
+    )
+    before = delta_snapshot(t)
+    parquets_before = set(glob.glob(os.path.join(t, "*.parquet")))
+    tbl_bytes = sum(os.path.getsize(p) for p in parquets_before)
+
+    v1 = update_delta(
+        spark, t, "id % 5000 = 0",
+        {"v": "concat('w=', CAST(w AS STRING))", "w": F.col("w") * 2},
+        strategy="mor",
+    )
+    assert v1 == before["version"] + 1
+    after = delta_snapshot(t)
+    # original files all still live (re-added with DVs), ONE new file
+    new_files = set(glob.glob(os.path.join(t, "*.parquet"))) - parquets_before
+    assert len(new_files) >= 1
+    new_bytes = sum(os.path.getsize(p) for p in new_files)
+    assert new_bytes < 0.1 * tbl_bytes
+    assert {f["path"] for f in before["files"]} <= {
+        f["path"] for f in after["files"]
+    }
+    dvd = [f for f in after["files"] if f.get("deletionVector")]
+    assert len(dvd) == 4  # ids 0,500,1000,1500 live in 4 range files
+    # assignments saw PRE-update values; untouched rows intact
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert len(rows) == 20000
+    assert rows[5000] == ("w=2.0", 4.0)
+    assert rows[10000] == ("w=4.0", 8.0)
+    assert rows[0] == ("w=0.0", 0.0)
+    assert rows[5001] == ("v5001", 3.0)
+    # time travel pre-update intact
+    old = {r["id"]: r["v"]
+           for r in read_delta(spark, t, version=before["version"]).collect()}
+    assert old[5000] == "v5000"
+    # a MoR delete composes on top of the update's DVs
+    v2 = delete_delta(spark, t, "id = 5000", strategy="mor")
+    assert v2 == v1 + 1
+    rows2 = {r["id"] for r in read_delta(spark, t).collect()}
+    assert rows2 == set(range(20000)) - {5000}
+    # and a COW update still works on the MoR'd table
+    v3 = update_delta(spark, t, "id = 10000", {"w": F.lit(99.0)})
+    assert v3 is not None
+    rows3 = {r["id"]: r["w"] for r in read_delta(spark, t).collect()}
+    assert rows3[10000] == 99.0 and len(rows3) == 19999

@@ -1403,3 +1403,72 @@ def test_delete_iceberg_mor_partitioned(spark, tmp_path):
     old = {r["id"] for r in read_iceberg(
         spark, t, snapshot_id=before["snapshot_id"]).collect()}
     assert old == set(range(400))
+
+
+def test_update_iceberg_mor_row_delta(spark, tmp_path):
+    """update_iceberg(strategy='mor') (r16): the spec's row-delta
+    "overwrite" snapshot — matched rows' old positions land in
+    position-delete files, updated images stage as new data files,
+    one atomic commit; assignments see the PRE-update row; required
+    columns stay required through the staging round-trip; MoR delete
+    composes; COW afterwards purges."""
+    from embeddinghub_spark.sources.iceberg_write import (
+        delete_iceberg,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "imorupd")
+    write_iceberg(
+        spark.range(0, 20000).selectExpr(
+            "id", "concat('v', id) AS v", "CAST(id % 7 AS DOUBLE) AS w"
+        ).repartitionByRange(10, "id"),
+        t,
+    )
+    before = iceberg_snapshot(t)
+    tbl_bytes = sum(before["file_sizes"].values())
+
+    sid = update_iceberg(
+        spark, t, "id % 5000 = 0",
+        {"v": "concat('w=', CAST(w AS STRING))", "w": "w * 2"},
+        strategy="mor",
+    )
+    assert sid is not None
+    after = iceberg_snapshot(t)
+    # all original data files still live + new small ones + deletes
+    assert set(before["files"]) <= set(after["files"])
+    new_files = set(after["files"]) - set(before["files"])
+    assert new_files
+    new_bytes = sum(after["file_sizes"][f] for f in new_files)
+    assert new_bytes < 0.1 * tbl_bytes
+    assert after["position_deletes"]
+    snap_rec = next(s for s in after["metadata"]["snapshots"]
+                    if s["snapshot-id"] == sid)
+    assert snap_rec["summary"]["operation"] == "overwrite"
+    assert snap_rec["summary"]["added-position-deletes"] == "4"
+    # totals count data records only (not delete retractions)
+    assert snap_rec["summary"]["total-records"] == "20004"
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_iceberg(spark, t).collect()}
+    assert len(rows) == 20000
+    assert rows[5000] == ("w=2.0", 4.0)
+    assert rows[0] == ("w=0.0", 0.0)
+    assert rows[5001] == ("v5001", 3.0)
+    # pre-update snapshot intact
+    old = {r["id"]: r["v"] for r in read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]).collect()}
+    assert old[5000] == "v5000"
+    # NULL into a REQUIRED column raises loudly
+    with pytest.raises(IcebergWriteError, match="REQUIRED"):
+        update_iceberg(spark, t, "id = 3",
+                       {"id": "CAST(NULL AS BIGINT)"}, strategy="mor")
+    # MoR delete composes; COW update then purges the delete files
+    assert delete_iceberg(spark, t, "id = 5000",
+                          strategy="mor") is not None
+    rows2 = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert rows2 == set(range(20000)) - {5000}
+    assert update_iceberg(spark, t, "id = 10000",
+                          {"w": "99.0"}) is not None
+    final = iceberg_snapshot(t)
+    assert not final["position_deletes"]
+    rows3 = {r["id"]: r["w"] for r in read_iceberg(spark, t).collect()}
+    assert rows3[10000] == 99.0 and len(rows3) == 19999
