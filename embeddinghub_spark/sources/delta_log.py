@@ -1543,6 +1543,9 @@ def merge_delta(
     path: str,
     source: DataFrame,
     key_cols: list[str],
+    *,
+    strategy: str = "cow",
+    max_mor_rows: int = 1_000_000,
 ) -> int:
     """MERGE upsert into a native Delta table — S12 semantics (WHEN
     MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
@@ -1579,6 +1582,8 @@ def merge_delta(
     from embeddinghub_spark.sources.scan_prune import range_excluded
     from embeddinghub_spark.sources.tables import merge_upsert_df
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     snap = delta_snapshot(path)
     files = snap["files"]
     pcols = snap["partition_columns"]
@@ -1629,6 +1634,10 @@ def merge_delta(
             f for f in candidates
             if os.path.join(root_real, _decode_path(f["path"])) in hit_fps
         ]
+    if strategy == "mor":
+        return _merge_delta_mor(
+            spark, path, snap, touched, source, key_cols, max_mor_rows
+        )
     target = _scan_file_groups(
         spark, path, snap["schema"], pcols, touched,
         snap.get("physical_names"),
@@ -1641,6 +1650,90 @@ def merge_delta(
         partition_by=pcols,
         expected_version=snap["version"],
         replace_paths=[f["path"] for f in touched],
+    )
+
+
+def _merge_delta_mor(
+    spark: SparkSession,
+    path: str,
+    snap: dict,
+    touched: list[dict],
+    source: DataFrame,
+    key_cols: list[str],
+    max_mor_rows: int,
+) -> int:
+    """Row-delta MERGE commit (``merge_delta(strategy="mor")``): the
+    matched TARGET rows' positions get deletion vectors and EVERY
+    source row (updated image or insert) stages as new data files, in
+    one atomic ``write_delta(dv_readds=…)`` commit — MERGE's "source
+    wins" semantics make the new rows exactly ``source`` projected to
+    the table columns, so bytes written ∝ |source| + |matched rows|,
+    never the touched files. An insert-only merge (no touched files)
+    degenerates to a plain pinned append."""
+    path = os.path.realpath(os.path.abspath(path))
+    cols = [f.name for f in snap["schema"].fields]
+    src_rows = source.select(*cols)
+    pcols = snap["partition_columns"]
+    if not touched:
+        return write_delta(
+            src_rows, path, mode="append", partition_by=pcols,
+            expected_version=snap["version"],
+        )
+    probe = _scan_file_groups(
+        spark, path, snap["schema"], pcols, touched,
+        snap.get("physical_names"),
+        keep_file_path=True, keep_row_index=True,
+    ).join(
+        source.select(*key_cols).distinct(), key_cols, "left_semi"
+    ).select("_fp", "_pos")
+    hits = probe.limit(max_mor_rows + 1).collect()
+    if len(hits) > max_mor_rows:
+        raise ValueError(
+            f"MoR MERGE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    by_file: dict[str, set[int]] = {}
+    for r in hits:
+        by_file.setdefault(r["_fp"], set()).add(int(r["_pos"]))
+    rel_by_abs = {
+        os.path.join(path, _decode_path(f["path"])): f for f in touched
+    }
+    dv_rows: dict[str, set[int]] = {}
+    for abs_fp, rows in by_file.items():
+        f = rel_by_abs[abs_fp]
+        prior = (
+            read_deletion_vector(path, f["deletionVector"])
+            if f.get("deletionVector") else set()
+        )
+        dv_rows[abs_fp] = rows | prior
+    if not dv_rows:
+        # probe raced to empty (shouldn't happen: touched ⊆ matched)
+        return write_delta(
+            src_rows, path, mode="append", partition_by=pcols,
+            expected_version=snap["version"],
+        )
+    descriptors = _write_dv_blob(path, dv_rows)
+    dv_readds = []
+    for abs_fp in sorted(dv_rows):
+        f = rel_by_abs[abs_fp]
+        add = {
+            "path": f["path"],
+            "partitionValues": dict(f.get("partitionValues") or {}),
+            "size": int(f.get("size") or 0),
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": descriptors[abs_fp],
+        }
+        if f.get("stats"):
+            add["stats"] = f["stats"]
+        dv_readds.append(add)
+    return write_delta(
+        src_rows,
+        path,
+        mode="append",
+        partition_by=pcols,
+        expected_version=snap["version"],
+        dv_readds=dv_readds,
     )
 
 

@@ -53,6 +53,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -345,6 +346,7 @@ def write_iceberg(
     merge_schema: bool = False,
     operation: str | None = None,
     position_deletes: list[tuple] | None = None,
+    trust_required: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
     catalog). Returns the committed SNAPSHOT ID. See the module
@@ -706,7 +708,12 @@ def write_iceberg(
                     o[0] for o, t in zip(ours, theirs)
                     if t[2] and not o[2]
                 ]
-                if weakened:
+                if weakened and not trust_required:
+                    # trust_required=True is the internal MoR DML
+                    # escape hatch: Spark marks every file-scan /
+                    # createDataFrame column nullable even when the
+                    # rows provably carry no NULLs, and the row-delta
+                    # writers verify that explicitly before asking
                     raise IcebergWriteError(
                         f"append schema mismatch: columns {weakened} "
                         "are REQUIRED in the table but nullable in "
@@ -1602,6 +1609,9 @@ def merge_iceberg(
     path: str,
     source: DataFrame,
     key_cols: list[str],
+    *,
+    strategy: str = "cow",
+    max_mor_rows: int = 1_000_000,
 ) -> int:
     """MERGE upsert into a native Iceberg table — S12 semantics (WHEN
     MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
@@ -1644,6 +1654,8 @@ def merge_iceberg(
     )
     from embeddinghub_spark.sources.tables import merge_upsert_df
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     snap = iceberg_snapshot(path)
     # derive partition_by from the table's CURRENT identity spec —
     # defaulting to unpartitioned made MERGE into any partitioned
@@ -1652,7 +1664,14 @@ def merge_iceberg(
     # any data file is written.
     ctx = _iceberg_table_context(path, snap)
     partition_by = ctx["partition_by"]
-    if ctx["full_rewrite"]:
+    # strategy="mor" STACKS on existing MoR deletes (a redundant
+    # delete position for an already-dead row is a no-op for the
+    # anti-join read, and source rows never resurrect anything —
+    # they are new images by definition); evolved-spec tables still
+    # raise inside _merge_iceberg_mor. The COW path must keep the
+    # full-rebuild reroute: a partial rewrite cannot carry delete
+    # files whose scope spans both subsets.
+    if ctx["full_rewrite"] and strategy != "mor":
         # MoR deletes scope across the touched/untouched split, and a
         # carried file from an EVOLVED spec cannot be re-expressed in
         # the current spec's manifest partition struct; the full
@@ -1709,6 +1728,11 @@ def merge_iceberg(
             .select("_fp").distinct().collect()
         }
         touched = [f for f in candidates if f in hits]
+    if strategy == "mor":
+        return _merge_iceberg_mor(
+            spark, path, snap, touched, source, key_cols,
+            partition_by, max_mor_rows,
+        )
     target = (
         _scan_parquet(spark, snap, touched)
         if touched
@@ -1723,6 +1747,96 @@ def merge_iceberg(
         partition_by=partition_by,
         expected_snapshot_id=snap["snapshot_id"],
         carry_files=carry,
+    )
+
+
+def _merge_iceberg_mor(
+    spark,
+    path: str,
+    snap: dict,
+    touched: list[str],
+    source: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str],
+    max_mor_rows: int,
+) -> int:
+    """Row-delta MERGE commit (``merge_iceberg(strategy="mor")``):
+    position-delete the matched TARGET rows and append EVERY source
+    row (updated image or insert) as new data files, in one atomic
+    ``write_iceberg(position_deletes=…)`` append — MERGE's "source
+    wins" semantics make the new rows exactly ``source`` projected to
+    the table columns, so bytes written ∝ |source| + |matched rows|.
+    An insert-only merge degenerates to a plain pinned append. The
+    spec restrictions of ``delete_iceberg(strategy="mor")`` apply
+    (touched files must sit in the current spec)."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import _scan_parquet
+    from embeddinghub_spark.sources.scan_prune import (
+        decoded_file_path_col,
+    )
+
+    path = os.path.realpath(os.path.abspath(path))
+    meta = snap["metadata"]
+    cols = [f.name for f in snap["schema"].fields]
+    src_rows = source.select(*cols)
+    _assert_no_nulls_in_required(src_rows, snap["schema"])
+    if not touched:
+        return write_iceberg(
+            src_rows, path, mode="append", partition_by=partition_by,
+            expected_snapshot_id=snap["snapshot_id"],
+            trust_required=True,
+        )
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    cur_spec = next(
+        (s for s in specs
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0],
+    )
+    cur_spec_id = int(cur_spec.get("spec-id", 0))
+    fparts = snap.get("file_partitions") or {}
+    for f in touched:
+        sid = int((fparts.get(f) or (cur_spec_id, {}))[0])
+        if sid != cur_spec_id:
+            raise IcebergProtocolError(
+                f"touched file under spec {sid} != current "
+                f"{cur_spec_id} — use strategy='cow' for evolved-spec "
+                "tables"
+            )
+    probe = _scan_parquet(spark, snap, touched, with_meta=True).join(
+        source.select(*key_cols).distinct(), key_cols, "left_semi"
+    ).select(
+        decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
+        F.col("_pos"),
+    )
+    hits = probe.limit(max_mor_rows + 1).collect()
+    if len(hits) > max_mor_rows:
+        raise ValueError(
+            f"MoR MERGE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
+    for r in hits:
+        part = dict((fparts.get(r["_fp"]) or (cur_spec_id, {}))[1])
+        by_part.setdefault(tuple(sorted(part.items())), []).append(
+            (f"file://{r['_fp']}", int(r["_pos"]))
+        )
+    if not by_part:
+        return write_iceberg(
+            src_rows, path, mode="append", partition_by=partition_by,
+            expected_snapshot_id=snap["snapshot_id"],
+            trust_required=True,
+        )
+    delete_files = _write_position_delete_files(path, by_part)
+    return write_iceberg(
+        src_rows,
+        path,
+        mode="append",
+        partition_by=partition_by,
+        expected_snapshot_id=snap["snapshot_id"],
+        position_deletes=delete_files,
+        operation="overwrite",
+        trust_required=True,
     )
 
 
@@ -1923,6 +2037,28 @@ def delete_iceberg(
         expected_snapshot_id=snap["snapshot_id"],
         carry_files=_iceberg_carry(snap, set(touched)),
     )
+
+
+def _assert_no_nulls_in_required(df, schema) -> None:
+    """Loud runtime twin of the append nullability rule for the MoR
+    DML writers: the staged rows must carry NO NULL in any column the
+    TABLE schema marks required (their Spark-side nullability flag is
+    meaningless — file scans and createDataFrame mark everything
+    nullable). One short-circuit take(1)."""
+    from pyspark.sql import functions as F
+
+    required = [f.name for f in schema.fields if not f.nullable]
+    present = [c for c in required if c in df.columns]
+    if not present:
+        return
+    cond = None
+    for c in present:
+        piece = F.col(c).isNull()
+        cond = piece if cond is None else cond | piece
+    if df.filter(cond).take(1):
+        raise IcebergWriteError(
+            f"staged rows carry NULL in REQUIRED column(s) {present}"
+        )
 
 
 def _write_position_delete_files(
@@ -2278,11 +2414,53 @@ def _update_iceberg_mor(
                 f"{cur_spec_id} — use strategy='cow' for evolved-spec "
                 "tables"
             )
-    scan = _scan_parquet(spark, snap, touched, with_meta=True).filter(
-        cond
+    if snap["equality_deletes"]:
+        # applying equality-delete semantics inside the probe needs
+        # the sequence-number join — the cow full rewrite owns that
+        raise IcebergProtocolError(
+            "MoR UPDATE over live equality deletes — use "
+            "strategy='cow'"
+        )
+    scan = _scan_parquet(spark, snap, touched, with_meta=True)
+    # DEAD rows must not re-match: an updated image of a position-
+    # deleted row would RESURRECT it in the new data file (unlike
+    # delete/merge, where a redundant delete position is a no-op).
+    # Apply existing position deletes to the probe exactly like
+    # read_iceberg does.
+    scan = scan.withColumn(
+        "_fpn", decoded_file_path_col(F.col("_raw_fp"))
     )
+    if snap["position_deletes"]:
+        location = meta.get("location")
+        loc_plain = (
+            re.sub(r"^file:/*", "/", location).rstrip("/")
+            if location else None
+        )
+        dcol = decoded_file_path_col(F.col("file_path"))
+        if loc_plain and loc_plain != path:
+            pref = loc_plain + "/"
+            dcol = F.when(
+                dcol.startswith(pref),
+                F.concat(
+                    F.lit(path + "/"),
+                    F.substring(dcol, len(pref) + 1, 2_000_000_000),
+                ),
+            ).otherwise(dcol)
+        dels = spark.read.parquet(
+            *sorted(snap["position_deletes"])
+        ).select(
+            dcol.alias("_dfp"),
+            F.col("pos").cast("long").alias("_dpos"),
+        )
+        scan = scan.join(
+            dels,
+            (scan["_fpn"] == dels["_dfp"])
+            & (scan["_pos"] == dels["_dpos"]),
+            "left_anti",
+        )
+    scan = scan.filter(cond)
     hits = scan.select(
-        decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
+        F.col("_fpn").alias("_fp"),
         F.col("_pos"),
     ).limit(max_mor_rows + 1).collect()
     if len(hits) > max_mor_rows:
@@ -2327,22 +2505,21 @@ def _update_iceberg_mor(
                 "UPDATE assigns NULL into REQUIRED column(s) "
                 f"{required_assigned}"
             )
-    # nullability reconciliation: Spark marks every file-scan column
-    # nullable, but the append validation (rightly) refuses a nullable
-    # DataFrame column for a REQUIRED table column. The rows can't be
-    # NULL (checked above for assigned columns; unassigned come from
-    # files that satisfied required), so re-assert the SNAPSHOT schema
-    # via an RDD round-trip — the Python-serialization slow path, but
-    # bounded by max_mor_rows by contract.
-    reconciled = spark.createDataFrame(updated.rdd, snap["schema"])
+    # nullability: Spark marks every file-scan column nullable, but
+    # the rows can't be NULL in required columns (checked above for
+    # assigned ones; unassigned come from files that satisfied
+    # required) — verified at runtime, then trust_required lets the
+    # append validation through without an RDD round-trip
+    _assert_no_nulls_in_required(updated, snap["schema"])
     return write_iceberg(
-        reconciled,
+        updated,
         path,
         mode="append",
         partition_by=ctx["partition_by"],
         expected_snapshot_id=snap["snapshot_id"],
         position_deletes=delete_files,
         operation="overwrite",
+        trust_required=True,
     )
 
 

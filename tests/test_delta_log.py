@@ -2001,3 +2001,53 @@ def test_update_delta_mor_row_delta(spark, tmp_path):
     assert v3 is not None
     rows3 = {r["id"]: r["w"] for r in read_delta(spark, t).collect()}
     assert rows3[10000] == 99.0 and len(rows3) == 19999
+
+
+def test_merge_delta_mor_row_delta(spark, tmp_path):
+    """merge_delta(strategy='mor') (r16): matched target rows DV'd,
+    every source row (update + insert) appended as one new small
+    file, one atomic commit — result identical to the COW merge;
+    insert-only MoR merge appends with zero DVs."""
+    import glob
+
+    from embeddinghub_spark.sources.delta_log import merge_delta, write_delta
+
+    t = str(tmp_path / "mormerge")
+    write_delta(
+        spark.range(0, 20000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(10, "id"),
+        t,
+    )
+    before = delta_snapshot(t)
+    parquets_before = set(glob.glob(os.path.join(t, "*.parquet")))
+
+    src = spark.createDataFrame(
+        [(5, "UP5"), (19998, "UP19998"), (90000, "NEW")],
+        "id long, v string",
+    )
+    v1 = merge_delta(spark, t, src, key_cols=["id"], strategy="mor")
+    assert v1 == before["version"] + 1
+    after = delta_snapshot(t)
+    # originals all live; matched files carry DVs; one new file
+    assert {f["path"] for f in before["files"]} <= {
+        f["path"] for f in after["files"]
+    }
+    dvd = [f for f in after["files"] if f.get("deletionVector")]
+    assert len(dvd) == 2  # ids 5 and 19998 live in 2 range files
+    new_files = set(glob.glob(os.path.join(t, "*.parquet"))) - parquets_before
+    assert len(new_files) >= 1
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+    expect = {(i, f"v{i}") for i in range(20000) if i not in (5, 19998)}
+    expect |= {(5, "UP5"), (19998, "UP19998"), (90000, "NEW")}
+    assert got == expect
+    # insert-only MoR merge: plain append, no new DVs
+    src2 = spark.createDataFrame([(91000, "NEW2")], "id long, v string")
+    v2 = merge_delta(spark, t, src2, key_cols=["id"], strategy="mor")
+    assert v2 == v1 + 1
+    after2 = delta_snapshot(t)
+    assert len([f for f in after2["files"]
+                if f.get("deletionVector")]) == 2
+    assert (91000, "NEW2") in {
+        (r["id"], r["v"]) for r in read_delta(spark, t).collect()
+    }

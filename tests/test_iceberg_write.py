@@ -1466,9 +1466,73 @@ def test_update_iceberg_mor_row_delta(spark, tmp_path):
                           strategy="mor") is not None
     rows2 = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert rows2 == set(range(20000)) - {5000}
+    # RESURRECTION GUARD: a MoR update whose condition matches the
+    # position-deleted row must NOT write an updated image of it —
+    # the probe applies existing deletes (review find r16)
+    assert update_iceberg(
+        spark, t, "id IN (5000, 5001)", {"w": "w + 0.5"},
+        strategy="mor",
+    ) is not None
+    rows2b = {r["id"]: r["w"] for r in read_iceberg(spark, t).collect()}
+    assert 5000 not in rows2b and len(rows2b) == 19999
+    assert rows2b[5001] == (5001 % 7) + 0.5
     assert update_iceberg(spark, t, "id = 10000",
                           {"w": "99.0"}) is not None
     final = iceberg_snapshot(t)
     assert not final["position_deletes"]
     rows3 = {r["id"]: r["w"] for r in read_iceberg(spark, t).collect()}
     assert rows3[10000] == 99.0 and len(rows3) == 19999
+
+
+def test_merge_iceberg_mor_row_delta(spark, tmp_path):
+    """merge_iceberg(strategy='mor') (r16): matched target rows land
+    in position-delete files, every source row appends as new data
+    files in one atomic row-delta commit; result identical to the COW
+    merge; insert-only degenerates to a pinned append."""
+    from embeddinghub_spark.sources.iceberg_write import merge_iceberg
+
+    t = str(tmp_path / "imormerge")
+    write_iceberg(
+        spark.range(0, 20000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(10, "id"),
+        t,
+    )
+    before = iceberg_snapshot(t)
+
+    src = spark.createDataFrame(
+        [(5, "UP5"), (19998, "UP19998"), (90000, "NEW")],
+        "id long, v string",
+    )
+    sid = merge_iceberg(spark, t, src, key_cols=["id"], strategy="mor")
+    assert sid is not None
+    after = iceberg_snapshot(t)
+    assert set(before["files"]) <= set(after["files"])
+    assert after["position_deletes"]
+    snap_rec = next(s for s in after["metadata"]["snapshots"]
+                    if s["snapshot-id"] == sid)
+    assert snap_rec["summary"]["operation"] == "overwrite"
+    assert snap_rec["summary"]["added-position-deletes"] == "2"
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+    expect = {(i, f"v{i}") for i in range(20000) if i not in (5, 19998)}
+    expect |= {(5, "UP5"), (19998, "UP19998"), (90000, "NEW")}
+    assert got == expect
+    # pre-merge snapshot intact
+    old = {(r["id"], r["v"]) for r in read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]).collect()}
+    assert old == {(i, f"v{i}") for i in range(20000)}
+    # insert-only MoR merge: plain append, no new delete files
+    src2 = spark.createDataFrame([(91000, "NEW2")], "id long, v string")
+    sid2 = merge_iceberg(spark, t, src2, key_cols=["id"],
+                         strategy="mor")
+    after2 = iceberg_snapshot(t)
+    assert len(after2["position_deletes"]) == len(
+        after["position_deletes"]
+    )
+    assert (91000, "NEW2") in {
+        (r["id"], r["v"]) for r in read_iceberg(spark, t).collect()
+    }
+    # NULL source key into a REQUIRED column raises loudly
+    bad = spark.createDataFrame([(None, "X")], "id long, v string")
+    with pytest.raises(IcebergWriteError, match="REQUIRED"):
+        merge_iceberg(spark, t, bad, key_cols=["id"], strategy="mor")
