@@ -9504,6 +9504,63 @@ def q_iceberg_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, root)
 
 
+def q_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped CDC upsert via native EQUALITY DELETE writes
+    (sources/iceberg_write.py upsert_iceberg_cdc, r16 — the Flink CDC
+    writer's upsert mode): ONE commit appends the batch AND an
+    equality-delete file naming its keys (spec content=2,
+    equality_ids = the key field-ids), killing every pre-existing row
+    with a source key through the sequence rule while the appended
+    rows survive their own commit — ZERO table reads (no probe; the
+    pytest pin spies the scanner), commit cost O(|batch|). The batch
+    here is a surcharge update on every 43rd order plus synthetic
+    inserts from every 101st; the oracle replays it as CASE + UNION
+    ALL."""
+    import tempfile
+
+    from embeddinghub_spark.sources.iceberg_meta import read_iceberg
+    from embeddinghub_spark.sources.iceberg_write import (
+        upsert_iceberg_cdc,
+        write_iceberg,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="cdcup_") + "/tbl"
+    write_iceberg(orders.repartitionByRange(8, "o_orderkey"), root)
+    updates = orders.filter("o_orderkey % 43 = 0").withColumn(
+        "cents", F.col("cents") + 5
+    )
+    inserts = orders.filter("o_orderkey % 101 = 0").select(
+        (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+        "o_orderpriority",
+        (F.col("cents") + 7).alias("cents"),
+    )
+    upsert_iceberg_cdc(
+        spark, root, updates.unionByName(inserts),
+        key_cols=["o_orderkey"],
+    )
+    return read_iceberg(spark, root)
+
+
+_ICEBERG_CDC_UPSERT_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN o_orderkey % 43 = 0 THEN cents + 5 ELSE cents END
+         AS cents
+FROM o
+UNION ALL
+SELECT o_orderkey + 30000000 AS o_orderkey, o_orderpriority,
+       cents + 7 AS cents
+FROM o WHERE o_orderkey % 101 = 0
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9517,6 +9574,7 @@ def staged_queries() -> dict:
     return {
         "delta_mor_dml": q_delta_mor_dml,
         "iceberg_mor_dml": q_iceberg_mor_dml,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
     }
 
 
@@ -9524,4 +9582,5 @@ def staged_oracle_sql() -> dict:
     return {
         "delta_mor_dml": _MOR_DML_ORACLE,
         "iceberg_mor_dml": _MOR_DML_ORACLE,
+        "iceberg_cdc_upsert": _ICEBERG_CDC_UPSERT_ORACLE,
     }

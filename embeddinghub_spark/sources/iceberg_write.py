@@ -277,6 +277,11 @@ def _manifest_entry_schema(partition_fields: list | None = None) -> dict:
                          "field-id": 104},
                         _bounds_avro_field("lower_bounds", 125, 126, 127),
                         _bounds_avro_field("upper_bounds", 128, 129, 130),
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array",
+                                           "items": "int",
+                                           "element-id": 136}],
+                         "default": None, "field-id": 135},
                     ],
                 },
             },
@@ -346,6 +351,7 @@ def write_iceberg(
     merge_schema: bool = False,
     operation: str | None = None,
     position_deletes: list[tuple] | None = None,
+    equality_deletes: list[tuple] | None = None,
     trust_required: bool = False,
 ) -> int:
     """Commit ``df`` to an Iceberg v2 table at ``path`` (filesystem
@@ -394,6 +400,21 @@ def write_iceberg(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if carry_files is not None and mode != "overwrite":
         raise ValueError("carry_files requires mode='overwrite'")
+    if equality_deletes is not None:
+        # the CDC upsert handle (upsert_iceberg_cdc): each tuple is
+        # (abs_path, rows, size, partition_dict, equality_field_ids)
+        # of an equality-delete parquet, committed as content=2
+        # entries of the same delete manifest the append carries —
+        # the delete (seq S, kills data seq < S) and the new rows
+        # (seq S, survive their own commit) land atomically
+        if mode != "append":
+            raise ValueError(
+                "equality_deletes requires mode='append'"
+            )
+        if expected_snapshot_id is None:
+            raise ValueError(
+                "equality_deletes requires expected_snapshot_id"
+            )
     if position_deletes is not None:
         # the MoR UPDATE handle (update_iceberg(strategy="mor")): each
         # tuple is (abs_path, rows, size, partition_dict) of a sorted
@@ -949,6 +970,7 @@ def write_iceberg(
                         "file_size_in_bytes": size,
                         "lower_bounds": _bound_rows(bounds, 0),
                         "upper_bounds": _bound_rows(bounds, 1),
+                        "equality_ids": None,
                     },
                 }
                 for fp, rows, size, pvals, bounds in data_files
@@ -975,6 +997,7 @@ def write_iceberg(
                         "upper_bounds": _bound_rows(
                             cf.get("bounds") or {}, 1
                         ),
+                        "equality_ids": None,
                     },
                 }
                 for cf in carried
@@ -1010,7 +1033,7 @@ def write_iceberg(
             "deleted_rows_count": 0,
         }
         rows_out = [new_row]
-        if position_deletes:
+        if position_deletes or equality_deletes:
             del_man_path = os.path.join(
                 meta_dir, f"m-{uuid.uuid4().hex}.avro"
             )
@@ -1032,9 +1055,32 @@ def write_iceberg(
                             "file_size_in_bytes": int(dsize),
                             "lower_bounds": None,
                             "upper_bounds": None,
+                            "equality_ids": None,
                         },
                     }
-                    for dfp, drows, dsize, dpart in position_deletes
+                    for dfp, drows, dsize, dpart
+                    in (position_deletes or [])
+                ]
+                + [
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 2,  # EQUALITY_DELETES
+                            "file_path": f"file://{dfp}",
+                            "file_format": "PARQUET",
+                            "partition": dict(dpart or {}),
+                            "record_count": int(drows),
+                            "file_size_in_bytes": int(dsize),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": [int(i) for i in eq_ids],
+                        },
+                    }
+                    for dfp, drows, dsize, dpart, eq_ids
+                    in (equality_deletes or [])
                 ],
                 metadata={
                     "schema": json.dumps(
@@ -1049,6 +1095,14 @@ def write_iceberg(
                     "content": "deletes",
                 },
             )
+            _n_del_files = len(position_deletes or []) + len(
+                equality_deletes or []
+            )
+            _n_del_rows = sum(
+                int(r) for _, r, _, _ in (position_deletes or [])
+            ) + sum(
+                int(r) for _, r, _, _, _ in (equality_deletes or [])
+            )
             rows_out.append({
                 "manifest_path": f"file://{del_man_path}",
                 "manifest_length": os.path.getsize(del_man_path),
@@ -1057,12 +1111,10 @@ def write_iceberg(
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(position_deletes),
+                "added_files_count": _n_del_files,
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    int(r) for _, r, _, _ in position_deletes
-                ),
+                "added_rows_count": _n_del_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             })
@@ -1164,7 +1216,8 @@ def write_iceberg(
                 # a row-delta (position_deletes) is the spec's
                 # "overwrite" snapshot unless the caller overrides
                 "operation": operation or (
-                    "overwrite" if position_deletes else mode
+                    "overwrite"
+                    if (position_deletes or equality_deletes) else mode
                 ),
                 "added-data-files": str(len(data_files)),
                 "added-records": str(added_rows),
@@ -1173,12 +1226,20 @@ def write_iceberg(
                 "total-records": str(total_rows),
                 **(
                     {
-                        "added-delete-files": str(len(position_deletes)),
+                        "added-delete-files": str(
+                            len(position_deletes or [])
+                            + len(equality_deletes or [])
+                        ),
                         "added-position-deletes": str(sum(
-                            int(r) for _, r, _, _ in position_deletes
+                            int(r)
+                            for _, r, _, _ in (position_deletes or [])
+                        )),
+                        "added-equality-deletes": str(sum(
+                            int(r)
+                            for _, r, _, _, _ in (equality_deletes or [])
                         )),
                     }
-                    if position_deletes else {}
+                    if (position_deletes or equality_deletes) else {}
                 ),
             },
             "schema-id": ice_schema.get("schema-id", 0),
@@ -1840,6 +1901,115 @@ def _merge_iceberg_mor(
     )
 
 
+def upsert_iceberg_cdc(
+    spark,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Streaming-shaped UPSERT via EQUALITY DELETE writes — the Flink
+    CDC writer's upsert mode, natively: ONE commit appends the source
+    rows AND an equality-delete file naming the source keys (spec
+    content=2, ``equality_ids`` = the key columns' field ids), so
+    every pre-existing row with a source key dies (its data sequence
+    number is strictly below the delete's) while the appended rows
+    survive their own commit. ZERO table reads: unlike
+    ``merge_iceberg`` there is no probe, no stats pruning, no touched
+    files — commit cost is O(|source| + manifest-list rows), which is
+    what a per-micro-batch streaming sink needs at 100 TB.
+
+    The cost moves to READ time (every scan anti-joins the
+    accumulated delete files) — run ``compact_iceberg`` or any COW
+    DML periodically to fold them, exactly like Flink deployments
+    schedule rewrite_data_files. Source keys must be non-null
+    (equality NULL semantics differ across engines — raise instead of
+    miswriting); the table must be UNPARTITIONED (a partitioned
+    spec's equality deletes are partition-scoped — grouping source
+    keys needs the partition columns inside the key; use
+    ``merge_iceberg`` there). Returns the committed snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        iceberg_snapshot,
+    )
+
+    path = os.path.realpath(os.path.abspath(path))
+    snap = iceberg_snapshot(path)
+    if snap["snapshot_id"] is None:
+        raise IcebergWriteError(
+            "upsert_iceberg_cdc needs an existing snapshot — "
+            "write_iceberg the first batch"
+        )
+    meta = snap["metadata"]
+    ctx = _iceberg_table_context(path, snap)
+    if ctx["partition_by"]:
+        raise IcebergProtocolError(
+            "equality-delete upsert on a PARTITIONED table — the "
+            "spec scopes equality deletes to their partition; use "
+            "merge_iceberg"
+        )
+    cols = [f.name for f in snap["schema"].fields]
+    missing = sorted(set(key_cols) - set(cols))
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema")
+    src_rows = source.select(*cols)
+    # non-null keys regardless of schema nullability (see docstring);
+    # checked FIRST so a null key gets the specific message
+    null_key = None
+    for c in key_cols:
+        piece = F.col(c).isNull()
+        null_key = piece if null_key is None else null_key | piece
+    if source.filter(null_key).take(1):
+        raise IcebergWriteError(
+            f"NULL in key column(s) {key_cols} — equality deletes "
+            "cannot name NULL keys portably"
+        )
+    _assert_no_nulls_in_required(src_rows, snap["schema"])
+
+    # ---- the equality-delete parquet: DISTINCT source keys with the
+    # table's field-ids on the key columns (how real engines map them)
+    cur_schema = next(
+        (s for s in meta.get("schemas") or []
+         if s.get("schema-id") == meta.get("current-schema-id")),
+        (meta.get("schemas") or [{}])[0],
+    )
+    fid_by_name = {
+        f["name"]: int(f["id"]) for f in cur_schema.get("fields") or []
+    }
+    eq_ids = [fid_by_name[c] for c in key_cols]
+    keys_pdf = (
+        source.select(*key_cols).distinct().orderBy(*key_cols).toPandas()
+    )
+    tbl = pa.Table.from_pandas(keys_pdf, preserve_index=False)
+    fields = []
+    for i, c in enumerate(key_cols):
+        f = tbl.schema.field(tbl.schema.get_field_index(c))
+        fields.append(f.with_metadata(
+            {b"PARQUET:field_id": str(eq_ids[i]).encode()}
+        ))
+    tbl = tbl.cast(pa.schema(fields))
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    del_fp = os.path.join(
+        data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet"
+    )
+    pq.write_table(tbl, del_fp)
+    eq_files = [(
+        del_fp, len(keys_pdf), os.path.getsize(del_fp), {}, eq_ids
+    )]
+    return write_iceberg(
+        src_rows,
+        path,
+        mode="append",
+        expected_snapshot_id=snap["snapshot_id"],
+        equality_deletes=eq_files,
+        operation="overwrite",
+        trust_required=True,
+    )
+
+
 def _iceberg_table_context(path: str, snap: dict) -> dict:
     """Shared DML planning facts: current identity partition_by,
     whether any file left the current spec, and whether MoR deletes
@@ -2234,6 +2404,7 @@ def _delete_iceberg_mor(
                     "file_size_in_bytes": size,
                     "lower_bounds": None,
                     "upper_bounds": None,
+                    "equality_ids": None,
                 },
             }
             for fp, rows, size, part in delete_files

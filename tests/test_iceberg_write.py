@@ -1536,3 +1536,104 @@ def test_merge_iceberg_mor_row_delta(spark, tmp_path):
     bad = spark.createDataFrame([(None, "X")], "id long, v string")
     with pytest.raises(IcebergWriteError, match="REQUIRED"):
         merge_iceberg(spark, t, bad, key_cols=["id"], strategy="mor")
+
+
+def test_upsert_iceberg_cdc_equality_deletes(spark, tmp_path):
+    """upsert_iceberg_cdc (r16): the Flink-style streaming upsert —
+    one commit appends the source rows plus an equality-delete file
+    naming the source keys, with ZERO table reads (no probe: pinned
+    by spying _scan_parquet); pre-existing rows with a source key die
+    via the sequence rule while the appended rows survive their own
+    commit; upserts stack; COW DML folds the delete files; guards
+    raise on partitioned tables and NULL keys."""
+    import glob
+
+    import embeddinghub_spark.sources.iceberg_meta as im
+    import pyarrow.parquet as pq
+    from embeddinghub_spark.sources.iceberg_write import (
+        compact_iceberg,
+        upsert_iceberg_cdc,
+    )
+
+    t = str(tmp_path / "cdcup")
+    write_iceberg(
+        spark.range(0, 2000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(8, "id"),
+        t,
+    )
+    before = iceberg_snapshot(t)
+
+    calls = []
+    orig = im._scan_parquet
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    im._scan_parquet = spy
+    try:
+        src = spark.createDataFrame(
+            [(5, "UP5"), (1998, "UP1998"), (90000, "NEW")],
+            "id long, v string",
+        )
+        sid = upsert_iceberg_cdc(spark, t, src, key_cols=["id"])
+    finally:
+        im._scan_parquet = orig
+    assert calls == [], "CDC upsert must not scan the table"
+    after = iceberg_snapshot(t)
+    assert set(before["files"]) <= set(after["files"])
+    eq = after["equality_deletes"]
+    assert len(eq) == 1 and eq[0]["equality_cols"] == ["id"]
+    assert eq[0]["scope"] is None  # unpartitioned: global
+    # the delete parquet carries the table's field id for the key
+    sch = pq.read_schema(eq[0]["path"])
+    assert sch.field("id").metadata[b"PARQUET:field_id"] == b"1"
+    snap_rec = next(s for s in after["metadata"]["snapshots"]
+                    if s["snapshot-id"] == sid)
+    assert snap_rec["summary"]["added-equality-deletes"] == "3"
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, t).collect()}
+    expect = {(i, f"v{i}") for i in range(2000) if i not in (5, 1998)}
+    expect |= {(5, "UP5"), (1998, "UP1998"), (90000, "NEW")}
+    assert got == expect
+    # pre-upsert snapshot intact
+    old = {(r["id"], r["v"]) for r in read_iceberg(
+        spark, t, snapshot_id=before["snapshot_id"]).collect()}
+    assert old == {(i, f"v{i}") for i in range(2000)}
+
+    # a second upsert re-targets a key the first one inserted: the
+    # newer delete (higher seq) kills the older appended row
+    src2 = spark.createDataFrame([(5, "UP5b")], "id long, v string")
+    upsert_iceberg_cdc(spark, t, src2, key_cols=["id"])
+    got2 = dict((r["id"], r["v"])
+                for r in read_iceberg(spark, t).collect())
+    assert got2[5] == "UP5b" and len(got2) == 2001
+
+    # compaction folds the equality deletes away, same rows
+    assert compact_iceberg(spark, t) is not None
+    final = iceberg_snapshot(t)
+    assert not final["equality_deletes"]
+    got3 = dict((r["id"], r["v"])
+                for r in read_iceberg(spark, t).collect())
+    assert got3 == got2
+
+    # guards: NULL key and partitioned table
+    with pytest.raises(IcebergWriteError, match="NULL in key"):
+        upsert_iceberg_cdc(
+            spark, t,
+            spark.createDataFrame([(None, "X")], "id long, v string"),
+            key_cols=["id"],
+        )
+    tp = str(tmp_path / "cdcpart")
+    write_iceberg(
+        spark.createDataFrame([(1, "a", "eu")],
+                              "id long, v string, region string"),
+        tp, partition_by=["region"],
+    )
+    with pytest.raises(IcebergProtocolError, match="PARTITIONED"):
+        upsert_iceberg_cdc(
+            spark, tp,
+            spark.createDataFrame([(1, "b", "eu")],
+                                  "id long, v string, region string"),
+            key_cols=["id"],
+        )
