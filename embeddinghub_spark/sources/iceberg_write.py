@@ -1906,6 +1906,8 @@ def upsert_iceberg_cdc(
     path: str,
     source: DataFrame,
     key_cols: list[str],
+    *,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Streaming-shaped UPSERT via EQUALITY DELETE writes — the Flink
     CDC writer's upsert mode, natively: ONE commit appends the source
@@ -1926,7 +1928,10 @@ def upsert_iceberg_cdc(
     miswriting); the table must be UNPARTITIONED (a partitioned
     spec's equality deletes are partition-scoped — grouping source
     keys needs the partition columns inside the key; use
-    ``merge_iceberg`` there). Returns the committed snapshot id."""
+    ``merge_iceberg`` there). ``properties`` merge into the table
+    properties IN THE SAME COMMIT — the atomic watermark hook the
+    streaming sink uses for exactly-once batch application. Returns
+    the committed snapshot id."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -2007,6 +2012,7 @@ def upsert_iceberg_cdc(
         equality_deletes=eq_files,
         operation="overwrite",
         trust_required=True,
+        properties=properties,
     )
 
 

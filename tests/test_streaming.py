@@ -2167,3 +2167,72 @@ def test_trailing_topk_capped_spacesaving_error_bound(spark, tmp_path):
             src, bucket_seconds=g, n_buckets=K, item_col="item",
             k=5, capacity=4,
         )
+
+
+def test_streaming_upsert_iceberg_sink(spark, tmp_path):
+    """streaming/iceberg_sink.py (r16): keyed micro-batches fold onto
+    a native Iceberg table via zero-scan equality-delete upserts —
+    final state == last-batch-wins per key; the batch-id watermark
+    rides the SAME commit's table properties, so a replayed batch is
+    a no-op (exactly-once across recovery); compact_every folds the
+    accumulated deletes in-line."""
+    import os
+    import time as _time
+
+    from embeddinghub_spark.sources.iceberg_meta import (
+        iceberg_snapshot,
+        read_iceberg,
+    )
+    from embeddinghub_spark.streaming.iceberg_sink import (
+        apply_upsert_batch,
+        last_committed_streaming_batch,
+        streaming_upsert_iceberg,
+    )
+
+    root = str(tmp_path / "sink")
+    src = os.path.join(root, "src")
+    tbl = os.path.join(root, "tbl")
+    batches = [
+        [(1, "a0"), (2, "b0"), (3, "c0")],
+        [(2, "b1"), (4, "d1")],
+        [(1, "a2"), (4, "d2"), (5, "e2")],
+    ]
+    schema = "id long, v string"
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        t = _time.time() - 100 + i
+        for r, _d, files in os.walk(p):
+            for name in files:
+                os.utime(os.path.join(r, name), (t, t))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = streaming_upsert_iceberg(
+        stream, tbl, ["id"], os.path.join(root, "ckpt"),
+        compact_every=2,
+    )
+    assert q.awaitTermination(300)
+    got = dict((r["id"], r["v"])
+               for r in read_iceberg(spark, tbl).collect())
+    assert got == {1: "a2", 2: "b1", 3: "c0", 4: "d2", 5: "e2"}
+    last = last_committed_streaming_batch(tbl)
+    assert last == 2
+    snap = iceberg_snapshot(tbl)
+    # compact_every=2 folded the deletes at batch 2
+    assert not snap["equality_deletes"]
+
+    # REPLAY: re-applying any committed batch id is a no-op
+    replay = spark.createDataFrame(batches[2], schema)
+    assert apply_upsert_batch(spark, tbl, replay, 2, ["id"]) is None
+    assert iceberg_snapshot(tbl)["snapshot_id"] == snap["snapshot_id"]
+    # a NEW batch id applies
+    nxt = spark.createDataFrame([(6, "f3")], schema)
+    assert apply_upsert_batch(spark, tbl, nxt, 3, ["id"]) is not None
+    got2 = dict((r["id"], r["v"])
+                for r in read_iceberg(spark, tbl).collect())
+    assert got2[6] == "f3" and len(got2) == 6
+    assert last_committed_streaming_batch(tbl) == 3
