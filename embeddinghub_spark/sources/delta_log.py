@@ -900,6 +900,12 @@ def write_delta(
                 "replace_paths requires expected_version (file-grain "
                 "replaces are read-modify-write by construction)"
             )
+    if dv_readds is not None and replace_paths is not None:
+        # no caller combines them; a path in both would remove-then-
+        # re-add with a DV, silently undoing the replace
+        raise ValueError(
+            "dv_readds and replace_paths are mutually exclusive"
+        )
     if dv_readds is not None:
         # the MoR UPDATE handle (update_delta(strategy="mor")): each
         # dict is a COMPLETE add-action body for a live file re-added

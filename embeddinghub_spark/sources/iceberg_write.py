@@ -1925,7 +1925,9 @@ def upsert_iceberg_cdc(
     DML periodically to fold them, exactly like Flink deployments
     schedule rewrite_data_files. Source keys must be non-null
     (equality NULL semantics differ across engines — raise instead of
-    miswriting); the table must be UNPARTITIONED (a partitioned
+    miswriting); the batch must be KEY-UNIQUE (raises — resolving
+    which duplicate is latest needs an ordering column the caller
+    owns); the table must be UNPARTITIONED (a partitioned
     spec's equality deletes are partition-scoped — grouping source
     keys needs the partition columns inside the key; use
     ``merge_iceberg`` there). ``properties`` merge into the table
@@ -1970,6 +1972,20 @@ def upsert_iceberg_cdc(
         raise IcebergWriteError(
             f"NULL in key column(s) {key_cols} — equality deletes "
             "cannot name NULL keys portably"
+        )
+    # the batch must be KEY-UNIQUE: duplicate-key rows would BOTH land
+    # and BOTH survive (same sequence number), silently violating
+    # upsert semantics — which duplicate is "latest" needs an ordering
+    # column this function does not have, so the caller resolves it
+    # (review find r16)
+    dup = (
+        source.groupBy(*key_cols).count().filter("count > 1").take(1)
+    )
+    if dup:
+        raise IcebergWriteError(
+            f"duplicate keys in the upsert batch (e.g. "
+            f"{[dup[0][c] for c in key_cols]}) — resolve to one row "
+            "per key before upsert_iceberg_cdc"
         )
     _assert_no_nulls_in_required(src_rows, snap["schema"])
 

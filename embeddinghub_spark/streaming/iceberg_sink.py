@@ -69,11 +69,22 @@ def apply_upsert_batch(
         return None
     props = {"streaming.last-batch-id": str(batch_id)}
     if not exists:
-        # first batch: dedup within the batch by key (LAST occurrence
-        # is arrival-order-undefined inside one batch; use DISTINCT
-        # whole-row then arbitrary-but-deterministic key dedup)
-        return write_iceberg(batch.dropDuplicates(key_cols), path,
-                             properties=props)
+        # first batch: same key-uniqueness contract the upsert path
+        # enforces (in-batch duplicates have no defined winner)
+        dup = (
+            batch.groupBy(*key_cols).count()
+            .filter("count > 1").take(1)
+        )
+        if dup:
+            from embeddinghub_spark.sources.iceberg_write import (
+                IcebergWriteError,
+            )
+
+            raise IcebergWriteError(
+                "duplicate keys in the first batch — resolve to one "
+                "row per key before the sink"
+            )
+        return write_iceberg(batch, path, properties=props)
     return upsert_iceberg_cdc(
         spark, path, batch, key_cols=key_cols, properties=props
     )

@@ -2051,3 +2051,94 @@ def test_merge_delta_mor_row_delta(spark, tmp_path):
     assert (91000, "NEW2") in {
         (r["id"], r["v"]) for r in read_delta(spark, t).collect()
     }
+
+
+def test_mor_dml_on_partitioned_delta_table(spark, tmp_path):
+    """MoR DELETE/UPDATE on a hive-PARTITIONED Delta table (r16
+    review sweep — the shape the other MoR pins didn't cover): DV'd
+    files keep their partitionValues in the re-add, the partition-
+    grouped scan applies DVs per group, and updated images restage
+    through partitionBy."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "morpart")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "eu" if i % 2 else "us") for i in range(400)],
+        "id long, v string, region string",
+    )
+    write_delta(df, t, partition_by=["region"])
+    before = delta_snapshot(t)
+    parquets_before = sorted(glob.glob(
+        os.path.join(t, "**", "*.parquet"), recursive=True
+    ))
+
+    v1 = delete_delta(spark, t, "id IN (3, 4)", strategy="mor")
+    assert v1 is not None
+    # zero parquet churn; DV'd adds keep their partitionValues
+    assert sorted(glob.glob(
+        os.path.join(t, "**", "*.parquet"), recursive=True
+    )) == parquets_before
+    after = delta_snapshot(t)
+    dvd = [f for f in after["files"] if f.get("deletionVector")]
+    assert {f["partitionValues"]["region"] for f in dvd} == {"eu", "us"}
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(400)) - {3, 4}
+    # partition-pruned read still applies its partition's DV
+    eu = {r["id"] for r in read_delta(spark, t).collect()
+          if r["region"] == "eu"}
+    assert eu == {i for i in range(400) if i % 2} - {3}
+
+    # MoR UPDATE keeps rows in their partitions
+    v2 = update_delta(spark, t, "id IN (7, 8)",
+                      {"v": F.lit("UP")}, strategy="mor")
+    assert v2 == v1 + 1
+    rows = {r["id"]: (r["v"], r["region"])
+            for r in read_delta(spark, t).collect()}
+    assert rows[7] == ("UP", "eu") and rows[8] == ("UP", "us")
+    assert rows[9] == ("v9", "eu")
+    assert len(rows) == 398
+    # updating a PARTITION column still raises toward merge
+    with pytest.raises(ValueError, match="partition columns"):
+        update_delta(spark, t, "id = 9", {"region": F.lit("apac")},
+                     strategy="mor")
+
+
+def test_mor_update_surfaces_in_change_feed(spark, tmp_path):
+    """A MoR UPDATE commit (DV re-adds + one new image file) must
+    diff as update_preimage/update_postimage pairs in the CDF — the
+    (path, DV-id) file identity pairs the old-DV variant against the
+    new-DV variant, and the new image file joins by key."""
+    from pyspark.sql import functions as F
+
+    from embeddinghub_spark.sources.delta_log import (
+        read_delta_changes,
+        update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "morcdf")
+    write_delta(
+        spark.range(0, 1000).selectExpr(
+            "id", "concat('v', id) AS v"
+        ).repartitionByRange(4, "id"),
+        t,
+    )
+    v0 = delta_snapshot(t)["version"]
+    update_delta(spark, t, "id IN (10, 600)",
+                 {"v": F.lit("UP")}, strategy="mor")
+    got = {(r["id"], r["v"], r["_change_type"])
+           for r in read_delta_changes(spark, t, v0,
+                                       key_cols=["id"]).collect()}
+    assert got == {
+        (10, "v10", "update_preimage"), (10, "UP", "update_postimage"),
+        (600, "v600", "update_preimage"),
+        (600, "UP", "update_postimage"),
+    }

@@ -1637,3 +1637,44 @@ def test_upsert_iceberg_cdc_equality_deletes(spark, tmp_path):
                                   "id long, v string, region string"),
             key_cols=["id"],
         )
+
+
+def test_equality_delete_manifest_reads_through_java_avro(
+    spark, tmp_path
+):
+    """The equality-delete manifest (content=2 entries with the
+    equality_ids array, field-ids 135/136) must decode through the
+    REAL Java Avro library — the cross-validation discipline every
+    hand-rolled Avro artifact here earns trust by."""
+    import glob
+
+    from embeddinghub_spark.sources.iceberg_write import (
+        upsert_iceberg_cdc,
+    )
+
+    t = str(tmp_path / "eqavro")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t)
+    upsert_iceberg_cdc(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]),
+        key_cols=["id"],
+    )
+    jvm = spark.sparkContext._jvm
+    found = []
+    for p in glob.glob(os.path.join(t, "metadata", "m-*.avro")):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        if reader.getMetaString("content") == "deletes":
+            while reader.hasNext():
+                rec = reader.next()
+                dfr = rec.get("data_file")
+                if int(str(dfr.get("content"))) == 2:
+                    ids = dfr.get("equality_ids")
+                    found.append([int(str(x)) for x in ids])
+        reader.close()
+    assert found == [[1]]  # the id column's field-id
+    assert _rows(read_iceberg(spark, t)) == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
