@@ -313,7 +313,8 @@ def _read_checkpoint(files: list[str]) -> list[dict]:
     for f in sorted(files):
         tbl = pq.read_table(f)
         for row in tbl.to_pylist():
-            for kind in ("metaData", "protocol", "add", "remove"):
+            for kind in ("metaData", "protocol", "txn", "add",
+                         "remove"):
                 payload = row.get(kind)
                 if payload is not None:
                     # pyarrow renders map<string,string> as a list of
@@ -353,6 +354,14 @@ def _apply_action(state: dict, action: dict) -> None:
         state["adds"][a["path"]] = a
     elif "remove" in action and action["remove"]:
         state["adds"].pop(action["remove"]["path"], None)
+    elif "txn" in action and action["txn"]:
+        # SetTransaction: the protocol's idempotent-writer handle —
+        # latest version per appId (replays carry monotone versions)
+        t = action["txn"]
+        app = t.get("appId")
+        if app is not None:
+            cur = state.setdefault("txns", {}).get(app, -1)
+            state["txns"][app] = max(int(cur), int(t.get("version", 0)))
 
 
 def _advance_state(state: dict, path: str, v: int) -> bool:
@@ -431,6 +440,7 @@ def _replay_state(path: str, version: int | None = None) -> dict:
         "meta": None,
         "protocol": None,
         "adds": {},
+        "txns": {},
         "commits": commits,
         "version": target,
     }
@@ -543,6 +553,9 @@ def _finalize_snapshot(path: str, state: dict) -> dict:
         "version": target,
         "schema": schema,
         "metadata_id": meta.get("id"),
+        # SetTransaction watermarks: {appId: latest version} — the
+        # protocol's exactly-once handle for streaming writers
+        "txns": dict(state.get("txns") or {}),
         # Carried verbatim into any schema-evolving metaData rewrite
         # (ADVICE r15: emitting "configuration": {} there silently wiped
         # table properties like delta.enableChangeDataFeed on
@@ -824,6 +837,7 @@ def write_delta(
     data_change: bool = True,
     merge_schema: bool = False,
     dv_readds: list[dict] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Native Delta WRITE path — append / overwrite commits per the
     public protocol, no connector JAR. Returns the committed version.
@@ -1280,6 +1294,20 @@ def write_delta(
                 )
             except (KeyError, TypeError, ValueError):
                 pass
+        if txn is not None:
+            # SetTransaction (PROTOCOL.md): records (appId, version)
+            # IN the commit, so a streaming writer's watermark and its
+            # data are one atomic transaction — the connector's
+            # txnAppId/txnVersion options
+            import time as _time
+
+            actions.append({
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": int(_time.time() * 1000),
+                }
+            })
         actions.append({
             "commitInfo": {
                 "operation": op,
@@ -1552,6 +1580,7 @@ def merge_delta(
     *,
     strategy: str = "cow",
     max_mor_rows: int = 1_000_000,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE upsert into a native Delta table — S12 semantics (WHEN
     MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
@@ -1642,7 +1671,8 @@ def merge_delta(
         ]
     if strategy == "mor":
         return _merge_delta_mor(
-            spark, path, snap, touched, source, key_cols, max_mor_rows
+            spark, path, snap, touched, source, key_cols,
+            max_mor_rows, txn,
         )
     target = _scan_file_groups(
         spark, path, snap["schema"], pcols, touched,
@@ -1656,6 +1686,7 @@ def merge_delta(
         partition_by=pcols,
         expected_version=snap["version"],
         replace_paths=[f["path"] for f in touched],
+        txn=txn,
     )
 
 
@@ -1667,6 +1698,7 @@ def _merge_delta_mor(
     source: DataFrame,
     key_cols: list[str],
     max_mor_rows: int,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Row-delta MERGE commit (``merge_delta(strategy="mor")``): the
     matched TARGET rows' positions get deletion vectors and EVERY
@@ -1683,7 +1715,7 @@ def _merge_delta_mor(
     if not touched:
         return write_delta(
             src_rows, path, mode="append", partition_by=pcols,
-            expected_version=snap["version"],
+            expected_version=snap["version"], txn=txn,
         )
     probe = _scan_file_groups(
         spark, path, snap["schema"], pcols, touched,
@@ -1716,7 +1748,7 @@ def _merge_delta_mor(
         # probe raced to empty (shouldn't happen: touched ⊆ matched)
         return write_delta(
             src_rows, path, mode="append", partition_by=pcols,
-            expected_version=snap["version"],
+            expected_version=snap["version"], txn=txn,
         )
     descriptors = _write_dv_blob(path, dv_rows)
     dv_readds = []
@@ -1740,6 +1772,7 @@ def _merge_delta_mor(
         partition_by=pcols,
         expected_version=snap["version"],
         dv_readds=dv_readds,
+        txn=txn,
     )
 
 
@@ -2429,7 +2462,18 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
          ("createdTime", pa.int64())]
     )
     proto_type = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [("minReaderVersion", pa.int32()),
+         ("minWriterVersion", pa.int32()),
+         # reader 3 / writer 7 tables MUST carry their feature lists —
+         # a checkpoint that stripped them would leave a post-vacuum
+         # replay claiming v3/v7 support with no features, which real
+         # readers reject (review find r16, with the DV upgrades)
+         ("readerFeatures", pa.list_(pa.string())),
+         ("writerFeatures", pa.list_(pa.string()))]
+    )
+    txn_type = pa.struct(
+        [("appId", pa.string()), ("version", pa.int64()),
+         ("lastUpdated", pa.int64())]
     )
     dv_type = pa.struct(
         [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
@@ -2458,18 +2502,34 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
         "format": {"provider": "parquet"},
         "schemaString": schema_json,
         "partitionColumns": snap["partition_columns"],
-        "configuration": [],
-        "createdTime": 0,
+        # carried VERBATIM — a checkpoint that wrote {} here wiped
+        # table properties for every post-vacuum replay (the ADVICE
+        # r15 configuration-wipe flaw, found again in this writer
+        # during the r16 review)
+        "configuration": sorted(
+            (snap.get("configuration") or {}).items()
+        ),
+        "createdTime": snap.get("created_time") or 0,
     }
     proto = snap.get("protocol") or {}
     proto_payload = {
         "minReaderVersion": int(proto.get("minReaderVersion", 1)),
         "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "readerFeatures": proto.get("readerFeatures"),
+        "writerFeatures": proto.get("writerFeatures"),
     }
-    n = 2 + len(snap["files"])
+    txns = snap.get("txns") or {}
+    txn_rows = [
+        {"appId": app, "version": int(ver), "lastUpdated": 0}
+        for app, ver in sorted(txns.items())
+    ]
+    n = 2 + len(txn_rows) + len(snap["files"])
     metas = [meta_payload] + [None] * (n - 1)
     protos = [None, proto_payload] + [None] * (n - 2)
-    adds = [None, None] + [
+    txn_col = (
+        [None, None] + txn_rows + [None] * len(snap["files"])
+    )
+    adds = [None] * (2 + len(txn_rows)) + [
         {
             "path": f["path"],
             "partitionValues": sorted(
@@ -2498,6 +2558,7 @@ def write_delta_checkpoint(path: str, version: int | None = None) -> int:
     tbl = pa.table({
         "metaData": pa.array(metas, meta_type),
         "protocol": pa.array(protos, proto_type),
+        "txn": pa.array(txn_col, txn_type),
         "add": pa.array(adds, add_type),
         "remove": pa.array([None] * n, rm_type),
     })

@@ -1,0 +1,124 @@
+"""Structured Streaming → native Delta upsert sink.
+
+``streaming_upsert_delta`` folds a keyed micro-batch stream onto a
+Delta table through ``merge_delta``, one commit per micro-batch via
+``foreachBatch``. ``strategy="mor"`` (default) makes each batch a
+ROW-DELTA commit — deletion vectors over the matched rows plus one
+small file of source rows — so per-batch write cost is
+∝ |batch| + |matched rows|, never the touched files.
+
+Exactly-once across recovery uses the PROTOCOL'S OWN handle: every
+commit carries a ``txn`` (SetTransaction) action recording
+(``app_id``, batch id) — the same ``txnAppId``/``txnVersion``
+mechanism delta-spark streaming writers use — so the watermark and
+the data are one atomic commit. Spark replays whole micro-batches
+with the same monotone id after recovery; the sink reads the
+table's ``txns[app_id]`` and skips anything at or below it, making a
+replay a no-op and a crash between commit and checkpoint free.
+
+Compaction cadence: ``compact_every=N`` runs ``compact_delta`` after
+every Nth batch, folding the accumulated DVs and small batch files
+(rearrangement-only — invisible to the change feed, pinned
+elsewhere).
+
+Reference parity: the reference streams features through its Kafka
+runner (offline_store_spark_runner.py:271-416) into latest-value
+stores; this is the Delta-native sink for the same shape, the twin
+of ``streaming/iceberg_sink.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+DEFAULT_APP_ID = "embeddinghub-spark-upsert"
+
+
+def last_committed_txn(path: str, app_id: str = DEFAULT_APP_ID) -> int:
+    """The latest SetTransaction version the table records for
+    ``app_id``, or -1."""
+    from embeddinghub_spark.sources.delta_log import delta_snapshot
+
+    return int(delta_snapshot(path)["txns"].get(app_id, -1))
+
+
+def apply_upsert_batch_delta(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    *,
+    app_id: str = DEFAULT_APP_ID,
+    strategy: str = "mor",
+) -> int | None:
+    """One micro-batch application — the testable core of the sink.
+    Skips already-committed batch ids (replay), creates the table on
+    the first non-empty batch, merges otherwise. The batch must be
+    KEY-UNIQUE (duplicate keys have no defined winner — raises).
+    Returns the committed version, or None when skipped/empty."""
+    from embeddinghub_spark.sources.delta_log import (
+        is_delta_table,
+        merge_delta,
+        write_delta,
+    )
+
+    exists = is_delta_table(path)
+    if exists and batch_id <= last_committed_txn(path, app_id):
+        return None  # replayed batch: already folded in
+    if batch.isEmpty():
+        return None
+    dup = (
+        batch.groupBy(*key_cols).count().filter("count > 1").take(1)
+    )
+    if dup:
+        raise ValueError(
+            "duplicate keys in the upsert batch — resolve to one row "
+            "per key before the sink"
+        )
+    if not exists:
+        return write_delta(batch, path, txn=(app_id, batch_id))
+    return merge_delta(
+        spark, path, batch, key_cols=key_cols, strategy=strategy,
+        txn=(app_id, batch_id),
+    )
+
+
+def streaming_upsert_delta(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    *,
+    app_id: str = DEFAULT_APP_ID,
+    strategy: str = "mor",
+    compact_every: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the sink (see module docstring)."""
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = apply_upsert_batch_delta(
+            spark, path, batch_df, batch_id, key_cols,
+            app_id=app_id, strategy=strategy,
+        )
+        if (
+            v is not None
+            and compact_every
+            and batch_id > 0
+            and batch_id % int(compact_every) == 0
+        ):
+            from embeddinghub_spark.sources.delta_log import (
+                compact_delta,
+            )
+
+            compact_delta(spark, path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2142,3 +2142,50 @@ def test_mor_update_surfaces_in_change_feed(spark, tmp_path):
         (600, "v600", "update_preimage"),
         (600, "UP", "update_postimage"),
     }
+
+
+def test_set_transaction_watermarks(spark, tmp_path):
+    """SetTransaction (r16): write_delta(txn=(app, v)) records the
+    protocol's idempotent-writer watermark IN the commit; the replay
+    tracks the max version per appId; checkpoints carry txn rows —
+    plus the protocol's feature lists and the table configuration —
+    so post-vacuum replays keep all three (the checkpoint previously
+    re-introduced the ADVICE-r15 configuration wipe and stripped
+    reader/writer features)."""
+    from embeddinghub_spark.sources.delta_log import (
+        delete_delta,
+        merge_delta,
+        write_delta,
+        write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "txn")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), t,
+        txn=("appA", 0),
+    )
+    write_delta(
+        spark.createDataFrame([(2, "b")], "id long, v string"), t,
+        mode="append", txn=("appA", 1),
+    )
+    merge_delta(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        key_cols=["id"], strategy="mor", txn=("appB", 7),
+    )
+    snap = delta_snapshot(t)
+    assert snap["txns"] == {"appA": 1, "appB": 7}
+
+    # a MoR delete upgrades the protocol; checkpoint must carry the
+    # features + txns + configuration through a vacuumed replay
+    delete_delta(spark, t, "id = 1", strategy="mor")
+    v = write_delta_checkpoint(t)
+    log = os.path.join(t, "_delta_log")
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and int(f.split(".")[0]) <= v:
+            os.remove(os.path.join(log, f))
+    snap2 = delta_snapshot(t)
+    assert snap2["txns"] == {"appA": 1, "appB": 7}
+    assert "deletionVectors" in snap2["protocol"]["readerFeatures"]
+    got = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {(2, "B"), (3, "c")}

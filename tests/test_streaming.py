@@ -2236,3 +2236,75 @@ def test_streaming_upsert_iceberg_sink(spark, tmp_path):
                 for r in read_iceberg(spark, tbl).collect())
     assert got2[6] == "f3" and len(got2) == 6
     assert last_committed_streaming_batch(tbl) == 3
+
+
+def test_streaming_upsert_delta_sink(spark, tmp_path):
+    """streaming/delta_sink.py (r16): keyed micro-batches fold onto a
+    native Delta table via MoR merges; the SetTransaction watermark
+    rides the SAME commit, so a replayed batch is a no-op
+    (exactly-once across recovery); final state == last-batch-wins
+    per key; compact_every folds the DVs in-line."""
+    import os
+    import time as _time
+
+    from embeddinghub_spark.sources.delta_log import (
+        delta_snapshot,
+        read_delta,
+    )
+    from embeddinghub_spark.streaming.delta_sink import (
+        apply_upsert_batch_delta,
+        last_committed_txn,
+        streaming_upsert_delta,
+    )
+
+    root = str(tmp_path / "dsink")
+    src = os.path.join(root, "src")
+    tbl = os.path.join(root, "tbl")
+    batches = [
+        [(1, "a0"), (2, "b0"), (3, "c0")],
+        [(2, "b1"), (4, "d1")],
+        [(1, "a2"), (4, "d2"), (5, "e2")],
+    ]
+    schema = "id long, v string"
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        t = _time.time() - 100 + i
+        for r, _d, files in os.walk(p):
+            for name in files:
+                os.utime(os.path.join(r, name), (t, t))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = streaming_upsert_delta(
+        stream, tbl, ["id"], os.path.join(root, "ckpt"),
+        compact_every=2,
+    )
+    assert q.awaitTermination(300)
+    got = dict((r["id"], r["v"])
+               for r in read_delta(spark, tbl).collect())
+    assert got == {1: "a2", 2: "b1", 3: "c0", 4: "d2", 5: "e2"}
+    assert last_committed_txn(tbl) == 2
+    snap = delta_snapshot(tbl)
+    # compact_every=2 folded the DVs at batch 2
+    assert not any(f.get("deletionVector") for f in snap["files"])
+
+    # REPLAY: re-applying a committed batch id is a no-op
+    replay = spark.createDataFrame(batches[2], schema)
+    assert apply_upsert_batch_delta(
+        spark, tbl, replay, 2, ["id"]
+    ) is None
+    assert delta_snapshot(tbl)["version"] == snap["version"]
+    # a NEW batch id applies; duplicate keys raise
+    nxt = spark.createDataFrame([(6, "f3")], schema)
+    assert apply_upsert_batch_delta(
+        spark, tbl, nxt, 3, ["id"]
+    ) is not None
+    assert last_committed_txn(tbl) == 3
+    import pytest as _pytest
+    dupb = spark.createDataFrame([(7, "x"), (7, "y")], schema)
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        apply_upsert_batch_delta(spark, tbl, dupb, 4, ["id"])
