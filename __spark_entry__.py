@@ -9561,6 +9561,52 @@ FROM o WHERE o_orderkey % 101 = 0
 """
 
 
+def q_delta_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta streaming sink's batch core certified end-to-end
+    (streaming/delta_sink.py apply_upsert_batch_delta, r16): three
+    key-overlapping micro-batches fold onto a native Delta table via
+    MoR merges, each commit carrying its batch id as a SetTransaction
+    action (the protocol's txnAppId/txnVersion exactly-once handle —
+    a replayed batch id is a no-op, pinned in pytest). Batches: every
+    even order (+1 cent), every 3rd (+2), every 5th (+3) — later
+    batches win on overlap. The oracle replays last-wins as one
+    CASE."""
+    import tempfile
+
+    from embeddinghub_spark.sources.delta_log import read_delta
+    from embeddinghub_spark.streaming.delta_sink import (
+        apply_upsert_batch_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dtxn_") + "/tbl"
+    for i, (mod, bump) in enumerate([(2, 1), (3, 2), (5, 3)]):
+        batch = orders.filter(
+            F.col("o_orderkey") % mod == 0
+        ).withColumn("cents", F.col("cents") + bump)
+        apply_upsert_batch_delta(
+            spark, root, batch, i, ["o_orderkey"]
+        )
+    return read_delta(spark, root)
+
+
+_DELTA_TXN_UPSERT_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey, o_orderpriority,
+       cents + CASE WHEN o_orderkey % 5 = 0 THEN 3
+                    WHEN o_orderkey % 3 = 0 THEN 2
+                    ELSE 1 END AS cents
+FROM o
+WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+"""
+
+
 def staged_queries() -> dict:
     """Rotation candidates for the NEXT round — live code, certified by
     tools/check.py --staged, NOT visible to the driver this round
@@ -9575,6 +9621,7 @@ def staged_queries() -> dict:
         "delta_mor_dml": q_delta_mor_dml,
         "iceberg_mor_dml": q_iceberg_mor_dml,
         "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "delta_txn_upsert": q_delta_txn_upsert,
     }
 
 
@@ -9583,4 +9630,5 @@ def staged_oracle_sql() -> dict:
         "delta_mor_dml": _MOR_DML_ORACLE,
         "iceberg_mor_dml": _MOR_DML_ORACLE,
         "iceberg_cdc_upsert": _ICEBERG_CDC_UPSERT_ORACLE,
+        "delta_txn_upsert": _DELTA_TXN_UPSERT_ORACLE,
     }
