@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # word_shingles lives in functions.text (the tokenizer's home) and is
 # re-exported here for existing importers
@@ -1070,6 +1071,7 @@ def emb_index_append(
     bands: int = 2,
     seed: int = 7,
     n_buckets: int = 16,
+    _band_rows: DataFrame | None = None,
 ) -> str:
     """Append a batch's banded sign-LSH rows (WITH vectors and
     precomputed norms — the probe's exact-cosine verify needs them)
@@ -1078,13 +1080,28 @@ def emb_index_append(
     rows (bytes ∝ |batch| × bands × dim, never the corpus). First
     append records a params sidecar; mismatched later calls raise.
 
+    ``_band_rows`` (internal, the ingest-batch fast path): a
+    precomputed ``_emb_band_rows(df, ...)`` frame — with or without
+    the ``bucket`` column — built with the SAME parameters, so one
+    shared (ideally checkpointed) band frame serves probe + in-batch
+    pairs + this append without rebuilding the plane projection three
+    times per micro-batch.
+
     The embedding twin of ``minhash_index_append`` — the ingest-side
     half of the near-dup stack for a crawl that dedups on VECTOR
     similarity rather than text shingles."""
     _emb_index_params_check(index_dir, dim, n_planes, bands, seed, n_buckets)
-    rows = _emb_band_rows(df, dim, id_col, vec_col, n_planes, bands, seed)
+    rows = (
+        _band_rows
+        if _band_rows is not None
+        else _emb_band_rows(df, dim, id_col, vec_col, n_planes, bands, seed)
+    )
+    if "bucket" not in rows.columns:
+        rows = rows.withColumn("bucket", _emb_band_bucket(n_buckets))
     (
-        rows.withColumn("bucket", _emb_band_bucket(n_buckets))
+        rows.select(
+            id_col, vec_col, "band", "band_val", "_norm", "bucket"
+        )
         .repartition(n_buckets, "bucket")
         .write.partitionBy("bucket")
         .mode("append")
@@ -1105,6 +1122,7 @@ def emb_index_probe(
     bands: int = 2,
     seed: int = 7,
     n_buckets: int = 16,
+    _band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Probe new vectors against the on-disk LSH index: candidates
     come ONLY from shared (band, band_val) buckets, verified with
@@ -1133,7 +1151,24 @@ def emb_index_probe(
     _emb_index_params_check(
         index_dir, dim, n_planes, bands, seed, n_buckets, record=False
     )
-    idx = spark.read.parquet(index_dir).select(
+    # The index layout is fixed by emb_index_append, and the id/vector
+    # types must match the probe's own (the params sidecar pins the
+    # band space; a type-mismatched probe failed at the join before
+    # and still does). Passing the schema explicitly skips per-probe
+    # footer-based inference over the index's accumulated small files
+    # — ~100 ms of driver time per probe call on a 50-file index
+    # (measured r16); the scan itself is unchanged.
+    idx_schema = T.StructType(
+        [
+            T.StructField(id_col, new_vecs.schema[id_col].dataType),
+            T.StructField(vec_col, new_vecs.schema[vec_col].dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_val", T.IntegerType()),
+            T.StructField("_norm", T.DoubleType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    idx = spark.read.schema(idx_schema).parquet(index_dir).select(
         F.col(id_col).alias("index_id"),
         F.col(vec_col).alias("_ivec"),
         F.col("_norm").alias("_inorm"),
@@ -1141,21 +1176,42 @@ def emb_index_probe(
         "band_val",
         "bucket",
     )
-    probe_keys = (
-        _emb_band_rows(new_vecs, dim, id_col, vec_col, n_planes, bands, seed)
-        .withColumn("bucket", _emb_band_bucket(n_buckets))
-        .select(
-            F.col(id_col).alias("probe_id"),
-            "band",
-            "band_val",
-            "bucket",
+    if _band_rows is not None:
+        # ingest-batch fast path: one shared (checkpointed) band frame
+        # serves probe keys AND the verify-side vectors — the band=0
+        # row exists for every vector and carries the identical
+        # norm(vec_col, dim) value the direct path recomputes
+        band_rows = _band_rows
+        if "bucket" not in band_rows.columns:
+            band_rows = band_rows.withColumn(
+                "bucket", _emb_band_bucket(n_buckets)
+            )
+        probe_keys = band_rows.select(
+            F.col(id_col).alias("probe_id"), "band", "band_val", "bucket"
         )
-    )
-    probe_vecs = new_vecs.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("_pvec"),
-        norm(vec_col, dim).alias("_pnorm"),
-    )
+        probe_vecs = band_rows.filter(F.col("band") == 0).select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("_pvec"),
+            F.col("_norm").alias("_pnorm"),
+        )
+    else:
+        probe_keys = (
+            _emb_band_rows(
+                new_vecs, dim, id_col, vec_col, n_planes, bands, seed
+            )
+            .withColumn("bucket", _emb_band_bucket(n_buckets))
+            .select(
+                F.col(id_col).alias("probe_id"),
+                "band",
+                "band_val",
+                "bucket",
+            )
+        )
+        probe_vecs = new_vecs.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("_pvec"),
+            norm(vec_col, dim).alias("_pnorm"),
+        )
     candidates = (
         idx.join(probe_keys, ["bucket", "band", "band_val"])
         .filter(F.col("index_id") != F.col("probe_id"))

@@ -515,6 +515,36 @@ def with_lsh_bucket(
     metrics above. Same arithmetic in the same left-to-right double
     order as always, so bucket ids are bit-identical.
     """
+    bucket = _lsh_bucket_expr(vec_col, dim, n_planes, seed)
+    return df.withColumn(bucket_col, bucket)
+
+
+def _expr_gateway_key():
+    """Identity of the live py4j gateway — a memoized JVM Column is
+    only reusable while the gateway that minted it is alive (one per
+    process in practice; sessions come and go on top of it)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else None
+
+
+_LSH_EXPR_CACHE: dict = {}
+
+
+def _lsh_bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Build (once per process) the parsed bucket Column for a given
+    (vec_col, dim, n_planes, seed). The expression embeds a
+    dim x n_planes literal plane matrix: as SQL text it is ~40 KB and
+    its catalyst parse costs ~90-140 ms of DRIVER time per call
+    (measured r16) — and the ingest/probe/near-dup paths build it up
+    to 3x per micro-batch. The parsed Column is an immutable JVM
+    expression tree, safe to splice into any plan on the same gateway,
+    so memoizing it changes nothing about what executes."""
+    key = (_expr_gateway_key(), vec_col, dim, n_planes, seed)
+    cached = _LSH_EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
     planes = random_hyperplanes(dim, n_planes, seed)
     planes_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"cast('{w!r}' as double)" for w in p) + ")"
@@ -527,7 +557,8 @@ def with_lsh_bucket(
         f"cast(0.0 as double), (a, x) -> a + x) >= 0 "
         f"then cast(pow(2.0, i) as bigint) else 0L end)) as int)"
     )
-    return df.withColumn(bucket_col, bucket)
+    _LSH_EXPR_CACHE[key] = bucket
+    return bucket
 
 
 def knn_lsh(

@@ -247,15 +247,32 @@ def emb_dedup_ingest_batch(
     batch's vectors re-join by id only after candidate generation),
     within-batch banded self-join ∝ |batch|, index append one bucket
     exchange of the batch's rows. No driver state, no corpus
-    re-read."""
+    re-read.
+
+    r16 optimization (guide §1.2/§2.4 — don't compute things twice):
+    the banded plane projection used to be built THREE times per
+    batch (probe keys, within-batch self-join, index append) — three
+    constructions of the dim×n_planes plane expression and three
+    runtime evaluations of 16 dot products per row. One shared,
+    lazily-checkpointed band frame (WITH bucket) now feeds all three;
+    every downstream expression is identical, so accepted/rejected
+    sets and the on-disk index bytes are byte-for-byte unchanged
+    (pinned by the standing stream ≡ batch test)."""
     from embeddinghub_spark.functions.dedup import (
+        _emb_band_bucket,
+        _emb_band_rows,
         emb_index_append,
         emb_index_probe,
-        embedding_near_duplicates,
     )
+    from embeddinghub_spark.functions.vector import dot
 
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint(eager=True)
+    banded = (
+        _emb_band_rows(batch, dim, id_col, vec_col, n_planes, bands, seed)
+        .withColumn("bucket", _emb_band_bucket(n_buckets))
+        .localCheckpoint(eager=False)
+    )
 
     rejected = None
     # 1. probe vs the already-ingested corpus (index may not exist yet)
@@ -264,7 +281,7 @@ def emb_dedup_ingest_batch(
     ):
         hits = emb_index_probe(
             spark, index_dir, batch, dim, threshold, id_col, vec_col,
-            n_planes, bands, seed, n_buckets,
+            n_planes, bands, seed, n_buckets, _band_rows=banded,
         )
         # torn-replay guard — same rationale as the text twin above
         hits = hits.join(
@@ -273,12 +290,30 @@ def emb_dedup_ingest_batch(
             "left_anti",
         )
         rejected = hits.select(F.col("probe_id").alias(id_col)).distinct()
-    # 2. within-batch pairs, smaller id wins
-    # explicit planes (frozen in the index sidecar) + no warn probe:
-    # the within-batch corpus is micro-batch-sized by construction
-    pairs = embedding_near_duplicates(
-        batch, dim, threshold, id_col, vec_col, n_planes, bands, seed,
-        bucket_warning_threshold=None,
+    # 2. within-batch pairs, smaller id wins — the exact
+    # embedding_near_duplicates join (same banded recipe, same
+    # rounding), inlined over the SHARED band frame. Explicit planes
+    # (frozen in the index sidecar), no warn probe: the within-batch
+    # corpus is micro-batch-sized by construction.
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(
+                dot(f"x.{vec_col}", f"y.{vec_col}", dim)
+                / (F.col("x._norm") * F.col("y._norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
     )
     in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct()
     rejected = (
@@ -293,7 +328,7 @@ def emb_dedup_ingest_batch(
     # 4. ALL batch vectors enter the index (no-chaining rule)
     emb_index_append(
         spark, index_dir, batch, dim, id_col, vec_col,
-        n_planes, bands, seed, n_buckets,
+        n_planes, bands, seed, n_buckets, _band_rows=banded,
     )
 
 
