@@ -7906,12 +7906,27 @@ def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
     lo, n = bounds[0] - 1, bounds[1]  # ids are 0-based in testdata
     cuts = [lo + ((n - lo) * k) // 4 for k in range(5)]
-    for f in range(4):
-        sl = emb.filter(
-            (F.col("vec_id") > cuts[f]) & (F.col("vec_id") <= cuts[f + 1])
+    # ONE partitioned write lands all 4 arrival files (r16; was 4
+    # sequential coalesce(1) jobs): repartition on the slice id puts
+    # every slice's rows in one task, so each _f= dir gets exactly one
+    # file — the same 4 id-range files, same id-monotone mtimes.
+    slot = (
+        F.when(F.col("vec_id") <= cuts[1], 0)
+        .when(F.col("vec_id") <= cuts[2], 1)
+        .when(F.col("vec_id") <= cuts[3], 2)
+        .otherwise(3)
+    )
+    (
+        emb.filter(
+            (F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[4])
         )
-        path = os.path.join(src, f"f{f}")
-        sl.coalesce(1).write.parquet(path)
+        .withColumn("_f", slot)
+        .repartition(4, "_f")
+        .write.partitionBy("_f")
+        .parquet(src)
+    )
+    for f in range(4):
+        path = os.path.join(src, f"_f={f}")
         t = _time.time() - 1000 + f  # id-monotone arrival order
         for r, _dirs, files in os.walk(path):
             for name in files:

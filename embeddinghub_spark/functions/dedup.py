@@ -671,6 +671,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     node ``(node, component)`` where component = min node id in the
@@ -715,6 +716,57 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+    if driver_max_edges:
+        # Size-gated driver path (r16, the pagerank broadcast_nodes
+        # discipline): an edge set that fits in driver memory resolves
+        # in ONE union-find pass instead of ~log2(n) star rounds, each
+        # of which costs two grouped shuffles, a distinct, a
+        # checkpoint, and a fingerprint action. ``limit(N+1)`` bounds
+        # the transfer — if more rows come back the graph is big and
+        # the distributed rounds below run exactly as before. Labels
+        # are identical (component = min id; UTF-8 byte order equals
+        # code-point order, so Python's min matches Spark's for string
+        # ids too) — pinned by the brute-force property test on BOTH
+        # paths. 1M edges is ~16 MB of id pairs through Arrow; at
+        # corpus scale the candidate graph blows past the gate and
+        # never touches the driver.
+        head = e.limit(driver_max_edges + 1).toPandas()
+        if len(head) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            us, vs = head["u"].tolist(), head["v"].tolist()
+            for u_, v_ in zip(us, vs):
+                ru, rv = find(u_), find(v_)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru  # min id stays the root label
+            if stats is not None:
+                stats["rounds"] = 0
+            universe = set(us)
+            universe.update(vs)
+            schema = T.StructType(
+                [
+                    T.StructField("node", e.schema["u"].dataType),
+                    T.StructField("component", e.schema["u"].dataType),
+                ]
+            )
+            labels = edges.sparkSession.createDataFrame(
+                [(x, find(x)) for x in universe], schema
+            )
+            centers = nodes.join(
+                labels.select("node"), "node", "left_anti"
+            ).select("node", F.col("node").alias("component"))
+            return labels.unionByName(centers)
 
     def large_star(edges_uv: DataFrame) -> DataFrame:
         sym = edges_uv.unionByName(

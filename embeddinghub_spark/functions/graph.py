@@ -66,6 +66,12 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     broadcast_nodes = 8_000_000
+    # materialize the caller's edge lineage ONCE (r16): deg/edeg and
+    # the node set both consume ``edges``, and an expensive upstream
+    # (a join + distinct building the edge list) used to execute twice
+    # — once for the eager node checkpoint, once for edeg. Same rows,
+    # one computation.
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
     # (src, dst, outdeg) resolved once; reread every iteration
     edeg = (

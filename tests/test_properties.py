@@ -79,6 +79,14 @@ def test_connected_components_is_brute_force_union_find(spark, edges):
     got = {
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
+    # the r16 size-gated driver union-find and the distributed star
+    # rounds must agree with the brute force (and each other) on
+    # every generated graph
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got == got_dist
 
     parent: dict[int, int] = {}
 

@@ -157,11 +157,36 @@ def test_connected_components_adversarial_path(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
     stats = {}
-    comp = connected_components(edges, stats=stats)
+    # driver_max_edges=0 forces the DISTRIBUTED star rounds — the
+    # round-count bound is what this test certifies (the r16 driver
+    # union-find gate would otherwise absorb a 10k-edge graph)
+    comp = connected_components(edges, stats=stats, driver_max_edges=0)
     assert comp.filter(F.col("component") != 0).count() == 0
     assert comp.count() == n
     bound = math.ceil(math.log2(n)) + 3
     assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_connected_components_driver_gate_parity(spark):
+    """The size-gated driver union-find (r16) and the distributed
+    star rounds must label identically — same (node, component) set,
+    component = min id — including self-loop singletons and isolated
+    pairs."""
+    from embeddinghub_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (11, 11), (5, 4)], ["id_a", "id_b"]
+    )
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    slow = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == slow
+    assert fast[3] == 1 and fast[9] == 7 and fast[11] == 11 and fast[5] == 4
 
 
 def test_word_set_pattern_parity_with_token_filter(spark):
