@@ -422,6 +422,29 @@ def _warmup(spark, sf_dir: str) -> None:
             "overwrite"
         ).save()
 
+    def parquet_write():  # file-WRITE path (r16: the committer, codec
+        # and write-side codegen classes, the range partitioner's
+        # sampling machinery, the _metadata.file_path scan feature,
+        # and the driver's first pyarrow import were all unwarmed —
+        # the registry's first entries are the native table-format
+        # DML ops, which were charged ~2-10 s of session first-use
+        # cost that steady-state interleaved reps don't show)
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet  # noqa: F401  (driver-side first import)
+
+        d = tempfile.mkdtemp(prefix="bench_warm_w_")
+        try:
+            dfs["nation"].repartitionByRange(2, "n_nationkey").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, "t"))
+            spark.read.parquet(os.path.join(d, "t")).select(
+                F.col("_metadata.file_path")
+            ).write.format("noop").mode("overwrite").save()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     stage("shuffle_agg", shuffle_agg)
     stage("probe_compile", probe_compile)
     stage("broadcast_join", bcast_join)
@@ -429,6 +452,7 @@ def _warmup(spark, sf_dir: str) -> None:
     stage("python_workers", py_workers)
     stage("tokenize_sort", tokenize_sort)
     stage("fingerprint_agg", fingerprint_agg)
+    stage("parquet_write", parquet_write)
 
 
 def _load_prev_round_bench() -> dict[str, float] | None:

@@ -443,11 +443,17 @@ def histogram_quantiles(
     if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
         raise ValueError("quantiles must be in (0, 1]")
     c = F.col(col).cast("double")
+    # the 1-row bounds frame is referenced by THREE broadcast joins
+    # below (binned, cum, hits) and by every downstream composition
+    # (robust_scale embeds this whole sketch twice); without the lazy
+    # checkpoint each reference re-plans and re-executes the full
+    # (min,max,n) pass over df — robust_scale's physical plan carried
+    # 80 Exchanges / 40 CartesianProducts of repeated subtrees
     mm = df.agg(
         F.min(c).alias("_lo"),
         F.max(c).alias("_hi"),
         F.count(c).alias("_n"),
-    )
+    ).localCheckpoint(eager=False)
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
     binned = (
         df.select(c.alias("_x"))
@@ -540,9 +546,12 @@ def histogram_quantiles_by(
     if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
         raise ValueError("quantiles must be in (0, 1]")
     c = F.col(col).cast("double")
+    # |groups|-row bounds frame, referenced twice below plus by every
+    # caller composition — lazy-checkpointed for the same reason as
+    # the global sketch's mm (plan-subtree re-execution)
     mm = df.groupBy(*group_cols).agg(
         F.min(c).alias("_lo"), F.max(c).alias("_hi"), F.count(c).alias("_n")
-    ).filter(F.col("_n") > 0)
+    ).filter(F.col("_n") > 0).localCheckpoint(eager=False)
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
     binned = (
         df.select(*group_cols, c.alias("_x"))

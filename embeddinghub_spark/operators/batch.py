@@ -371,17 +371,28 @@ def robust_scale(
     """
     from embeddinghub_spark.functions.profile import histogram_quantiles
 
+    # med/mad are 1-row frames whose subtrees are full histogram
+    # sketches; rows re-embeds med and is itself referenced by the MAD
+    # sketch's two passes plus the output — lazy checkpoints stop each
+    # reference re-executing the whole upstream pipeline (the plan had
+    # 80 Exchanges / 40 CartesianProducts of repeated subtrees)
     med = (
         histogram_quantiles(df, value_col, [0.5], n_bins=n_bins)
         .select(F.col("value").alias("_med"))
+        .localCheckpoint(eager=False)
     )
-    rows = df.filter(F.col(value_col).isNotNull()).crossJoin(F.broadcast(med))
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(med))
+        .localCheckpoint(eager=False)
+    )
     absdev = rows.select(
         F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_ad")
     )
     mad = (
         histogram_quantiles(absdev, "_ad", [0.5], n_bins=n_bins)
         .select(F.col("value").alias("_mad"))
+        .localCheckpoint(eager=False)
     )
     z = F.when(
         F.col("_mad") > 0,
@@ -421,19 +432,24 @@ def robust_scale_by(
     """
     from embeddinghub_spark.functions.profile import histogram_quantiles_by
 
+    # same plan-dedup checkpoints as robust_scale, per-group frames
     med = histogram_quantiles_by(
         df, [group_col], value_col, [0.5], n_bins=n_bins
-    ).select(F.col(group_col), F.col("value").alias("_med"))
+    ).select(
+        F.col(group_col), F.col("value").alias("_med")
+    ).localCheckpoint(eager=False)
     rows = df.filter(F.col(value_col).isNotNull()).join(
         F.broadcast(med), group_col
-    )
+    ).localCheckpoint(eager=False)
     absdev = rows.select(
         F.col(group_col),
         F.abs(F.col(value_col).cast("double") - F.col("_med")).alias("_ad"),
     )
     mad = histogram_quantiles_by(
         absdev, [group_col], "_ad", [0.5], n_bins=n_bins
-    ).select(F.col(group_col), F.col("value").alias("_mad"))
+    ).select(
+        F.col(group_col), F.col("value").alias("_mad")
+    ).localCheckpoint(eager=False)
     z = F.when(
         F.col("_mad") > 0,
         (F.col(value_col).cast("double") - F.col("_med"))

@@ -1619,6 +1619,10 @@ def merge_delta(
 
     if strategy not in ("cow", "mor"):
         raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
+    # the source subtree is consumed by four sequential jobs (key-range
+    # agg, exact probe, and twice inside merge_upsert_df); compute it
+    # once — bytes cached ∝ |source| (the upsert batch), never the table
+    source = source.localCheckpoint(eager=False)
     snap = delta_snapshot(path)
     files = snap["files"]
     pcols = snap["partition_columns"]

@@ -1717,6 +1717,9 @@ def merge_iceberg(
 
     if strategy not in ("cow", "mor"):
         raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
+    # same as merge_delta: the source subtree feeds the key-range agg,
+    # the exact probe, and merge_upsert_df (twice) — compute it once
+    source = source.localCheckpoint(eager=False)
     snap = iceberg_snapshot(path)
     # derive partition_by from the table's CURRENT identity spec —
     # defaulting to unpartitioned made MERGE into any partitioned
