@@ -324,6 +324,49 @@ def _merge_latest(frames, entity_col: str, value_col: str, ts_col: str):
     return materialize(df, entity_col, value_col, ts_col)
 
 
+def _materialize_bucketed(
+    updates: DataFrame,
+    entity_col: str,
+    value_col: str,
+    ts_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """``materialize(updates)`` + bucket assignment in ONE exchange
+    (r16): the bucket is a pure function of the entity, so
+    repartitioning by it FIRST lets the latest-per-entity aggregate
+    reuse that partitioning (HashPartitioning(bucket) satisfies
+    ClusteredDistribution(bucket, entity)) and the bucketed write
+    needs no further exchange — the previous shape paid one exchange
+    for the aggregate and a second for the bucket layout. The
+    max-struct fields replicate operators.materialize exactly
+    (_o0=ts, _o1=value, _v=value), so the winning row per entity is
+    identical. Output: (bucket, entity, value, ts), canonical names.
+    """
+    b = updates.withColumn("_bkt", _bucket_expr(entity_col, n_buckets))
+    return (
+        b.repartition(n_buckets, "_bkt")
+        .groupBy(
+            F.col("_bkt").alias("bucket"),
+            F.col(entity_col).alias("entity"),
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts_col).alias("_o0"),
+                    F.col(value_col).alias("_o1"),
+                    F.col(value_col).alias("_v"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            "bucket",
+            "entity",
+            F.col("_w._v").alias("value"),
+            F.col("_w._o0").alias("ts"),
+        )
+    )
+
+
 def read_bucketed_snapshot(spark: SparkSession, target_dir: str) -> DataFrame:
     """Faithful snapshot read: base ∪ pending deltas, newest-wins.
     No deltas pending → a straight base scan (no window)."""
@@ -419,15 +462,18 @@ def _commit_version(
             shutil.rmtree(wdir, ignore_errors=True)
 
 
-def _write_bucketed(df: DataFrame, store: str, n_buckets: int) -> str:
-    """One physical write, hash-clustered: ≤1 file set per bucket."""
+def _write_bucketed(
+    df: DataFrame, store: str, n_buckets: int, pre_partitioned: bool = False
+) -> str:
+    """One physical write, hash-clustered: ≤1 file set per bucket.
+    ``pre_partitioned=True`` skips the layout exchange when the input
+    already arrives hash-clustered by bucket (_materialize_bucketed)."""
     import os
     import uuid
 
     phys = os.path.join(store, "w-" + uuid.uuid4().hex[:8])
-    df.repartition(n_buckets, "bucket").write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(phys)
+    out = df if pre_partitioned else df.repartition(n_buckets, "bucket")
+    out.write.partitionBy("bucket").mode("overwrite").parquet(phys)
     return phys
 
 
@@ -468,22 +514,24 @@ def merge_materialization_bucketed_dir(
     else:
         n_buckets = cur_n or n_buckets
 
-    # materialize() NORMALIZES output columns to (entity, value, ts) —
+    # materialize NORMALIZES output columns to (entity, value, ts) —
     # every on-disk layer and every read below uses the canonical
     # names, regardless of what the caller's input columns were named
     # (compaction on a snapshot built with custom names used to crash
     # selecting the caller names from normalized files; found in review)
-    delta = materialize(updates, entity_col, value_col, ts_col)
     store = target_dir + ".b"
     os.makedirs(store, exist_ok=True)
 
-    if version is None or legacy_base is not None:
-        # first commit (or migration): the delta IS the base
-        if legacy_base is not None:
-            delta = _merge_latest(
-                [legacy_base.select("entity", "value", "ts"), delta],
-                "entity", "value", "ts",
-            )
+    if legacy_base is not None:
+        # migration: fold the flat snapshot in, then lay out (rare
+        # path — keeps the straightforward two-exchange shape)
+        delta = _merge_latest(
+            [
+                legacy_base.select("entity", "value", "ts"),
+                materialize(updates, entity_col, value_col, ts_col),
+            ],
+            "entity", "value", "ts",
+        )
         base_df = delta.withColumn("bucket", _bucket_expr("entity", n_buckets))
         phys = _write_bucketed(base_df, store, n_buckets)
         links = {
@@ -494,9 +542,28 @@ def merge_materialization_bucketed_dir(
         _commit_version(target_dir, links, n_buckets, version)
         return target_dir
 
+    # latest-per-entity + bucket layout fused into ONE exchange (r16;
+    # the aggregate reuses the bucket repartition — see
+    # _materialize_bucketed), identical rows and identical ≤1-fileset-
+    # per-bucket layout
+    delta_b = _materialize_bucketed(
+        updates, entity_col, value_col, ts_col, n_buckets
+    )
+
+    if version is None:
+        # first commit: the delta IS the base
+        phys = _write_bucketed(delta_b, store, n_buckets,
+                               pre_partitioned=True)
+        links = {
+            d: os.path.join(phys, d)
+            for d in os.listdir(phys)
+            if d.startswith("bucket=")
+        }
+        _commit_version(target_dir, links, n_buckets, version)
+        return target_dir
+
     # append path: ONE job, writes only this batch's rows
-    delta_df = delta.withColumn("bucket", _bucket_expr("entity", n_buckets))
-    phys = _write_bucketed(delta_df, store, n_buckets)
+    phys = _write_bucketed(delta_b, store, n_buckets, pre_partitioned=True)
     seq = (int(deltas[-1][0].split("-")[1]) + 1) if deltas else 1
     links = {f"bucket={k}": p for k, p in buckets.items()}
     for name, p in deltas:

@@ -121,14 +121,18 @@ def streaming_materialize_to_dir(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        latest = materialize(batch_df, entity_col, value_col, ts_col)
         if n_buckets:
+            # raw batch straight in: the merge reduces to latest-per-
+            # entity itself (fused with the bucket layout — r16; the
+            # previous pre-materialize here paid a THIRD exchange per
+            # batch for rows the merge immediately re-aggregated)
             merge_materialization_bucketed_dir(
-                batch_df.sparkSession, target_dir, latest,
-                entity_col="entity", ts_col="ts", value_col="value",
+                batch_df.sparkSession, target_dir, batch_df,
+                entity_col=entity_col, ts_col=ts_col, value_col=value_col,
                 n_buckets=n_buckets,
             )
             return
+        latest = materialize(batch_df, entity_col, value_col, ts_col)
         merge_materialization_dir(
             batch_df.sparkSession, target_dir, latest,
             entity_col="entity", ts_col="ts", value_col="value",
