@@ -140,7 +140,10 @@ def dedup_ingest_batch(
     )
 
     spark = batch_df.sparkSession
-    batch = batch_df.localCheckpoint(eager=True)
+    # lazy: the accepted-write job materializes the checkpoint and the
+    # index append reuses the cached partitions — eager paid a whole
+    # extra job per micro-batch just to populate the cache (r16)
+    batch = batch_df.localCheckpoint(eager=False)
 
     rejected = None
     # 1. probe vs the already-ingested corpus (index may not exist yet)
@@ -267,7 +270,8 @@ def emb_dedup_ingest_batch(
     from embeddinghub_spark.functions.vector import dot
 
     spark = batch_df.sparkSession
-    batch = batch_df.localCheckpoint(eager=True)
+    # lazy for the same reason as the text twin above (r16)
+    batch = batch_df.localCheckpoint(eager=False)
     banded = (
         _emb_band_rows(batch, dim, id_col, vec_col, n_planes, bands, seed)
         .withColumn("bucket", _emb_band_bucket(n_buckets))
