@@ -1558,6 +1558,11 @@ def nb_classifier(
         .localCheckpoint(eager=False)
     )
     train_labels = train.select(F.col(id_col), is_pos.alias("_p"))
+    # NOTE (r16): cnts is consumed twice (tok_stats + the scoring
+    # join) but checkpointing it was MEASURED WORSE (13→15 jobs,
+    # 26→34 stages) — both references live in one action, where
+    # Spark's ReuseExchange already dedupes the identical subtree;
+    # a checkpoint would split it into extra materialization jobs.
     cnts = (
         tf.join(train_labels, id_col)
         .groupBy("w")
