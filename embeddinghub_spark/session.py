@@ -52,19 +52,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Allow shuffled hash join when the per-partition build side
-        # fits (optimization guide §3.1/§9): sort-merge pays two sorts
-        # that a hash build skips. Planner conditions (smaller side
-        # 3x smaller AND per-partition build under the broadcast-
-        # threshold bound) and the AQE rewrite cap below keep giant
-        # builds on sort-merge, so executors cannot OOM from this at
-        # scale. Interleaved A/B at sf0.1: join-heavy set -14% total
-        # (c6 PIT -45%, jaccard_pairs -36%, no regressions).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("EH_SPARK_SHJ_LOCALMAP_MAX", "134217728"),
-        )
+        # NOTE (r16 optimization round): shuffled-hash-join preference
+        # (preferSortMergeJoin=false + AQE localMap rewrite), a 64 MB
+        # broadcast threshold, and a 256 MB advisory partition size
+        # were each A/B'd and are deliberately NOT set. A fixed-order
+        # A/B first showed SHJ -14%; a strict ALTERNATING-order rerun
+        # (8 reps, join-heavy set) showed dead-even medians and mins
+        # (8.90 vs 8.95 s / 5.99 vs 6.01 s) — the "win" was box drift
+        # correlated with config order, as were the apparent wins for
+        # the other two (both measured WORSE once alternated: +23%,
+        # +11%). Defaults stay; see OPTIMIZATION_r16.md.
         # Arrow for any pandas-UDF path (the only sanctioned Python hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Reference writes TIMESTAMP_MILLIS parquet (runner :1399-1404);
