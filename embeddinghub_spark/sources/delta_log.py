@@ -190,10 +190,10 @@ def _dv_file_path(table_path: str, dv: dict) -> str:
     raise ValueError(f"DV storageType {st!r} has no file path")
 
 
-def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
-    """Decode a Delta deletion-vector descriptor into the set of
-    deleted row indexes (PROTOCOL.md "Deletion Vector Descriptor" +
-    the on-disk DV file format):
+def read_deletion_vector_np(table_path: str, dv: dict):
+    """Decode a Delta deletion-vector descriptor into the SORTED int64
+    ndarray of deleted row indexes (PROTOCOL.md "Deletion Vector
+    Descriptor" + the on-disk DV file format):
 
     - ``storageType "i"``: payload inline, z85-encoded;
     - ``"u"``: the last 20 chars of ``pathOrInlineDv`` z85-encode the
@@ -204,12 +204,16 @@ def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
     On-disk framing: at ``offset`` a 4-byte BIG-endian size (must
     equal ``sizeInBytes``), the serialized portable RoaringBitmapArray
     (`sources/roaring.py`), then a 4-byte big-endian CRC-32 of the
-    data — both checked, as is the descriptor's ``cardinality``."""
-    import uuid as _uuid
+    data — both checked, as is the descriptor's ``cardinality``.
+
+    The ndarray form is the hot path: DVs carry one position per
+    superseded row, and the MoR read/merge paths consume them
+    vectorized (r17 — the per-position Python set loops were seconds
+    of driver CPU per churn-sized merge)."""
     import zlib
 
     from embeddinghub_spark.sources.roaring import (
-        deserialize_bitmap_array,
+        deserialize_bitmap_array_np,
     )
 
     st = dv.get("storageType")
@@ -235,7 +239,7 @@ def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
         raise DeltaProtocolError(
             f"deletion vector storageType {st!r} not supported"
         )
-    rows = deserialize_bitmap_array(data)
+    rows = deserialize_bitmap_array_np(data)
     card = int(dv.get("cardinality", len(rows)))
     if card != len(rows):
         raise ValueError(
@@ -243,6 +247,12 @@ def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
             f"{len(rows)}"
         )
     return rows
+
+
+def read_deletion_vector(table_path: str, dv: dict) -> set[int]:
+    """Set-valued twin of ``read_deletion_vector_np`` (same decode,
+    same validation — one codec)."""
+    return set(read_deletion_vector_np(table_path, dv).tolist())
 
 
 def is_delta_table(path: str) -> bool:
@@ -659,7 +669,13 @@ def _scan_file_groups(
         if f.name in pcols
     }
     groups: dict[tuple, list[str]] = {}
-    deleted: list[tuple[str, int]] = []
+    # deleted positions stay as per-file int64 ndarrays end to end —
+    # expanding them into Python (path, pos) tuples and letting
+    # createDataFrame INFER a schema over them cost ~30 s of driver
+    # CPU per churn-sized read at sf1 (r17 profile); the pandas +
+    # Arrow + explicit-schema form is milliseconds
+    del_paths: list[str] = []
+    del_parts: list = []
     for f in files:
         key = tuple(
             sorted((f.get("partitionValues") or {}).items(),
@@ -668,8 +684,11 @@ def _scan_file_groups(
         abs_path = os.path.join(path, _decode_path(f["path"]))
         groups.setdefault(key, []).append(abs_path)
         if f.get("deletionVector"):
-            for pos in read_deletion_vector(path, f["deletionVector"]):
-                deleted.append((abs_path, pos))
+            arr = read_deletion_vector_np(path, f["deletionVector"])
+            if arr.size:
+                del_paths.append(abs_path)
+                del_parts.append(arr)
+    deleted = bool(del_parts)
     cols = [fld.name for fld in schema.fields]
     out: DataFrame | None = None
     # None-safe deterministic group order (a NULL partition value is
@@ -710,12 +729,24 @@ def _scan_file_groups(
             part = part.select(*cols)
         out = part if out is None else out.unionByName(part)
     if deleted:
+        import numpy as np
+        import pandas as pd
+
         keep = (
             cols
             + (["_fp"] if keep_file_path else [])
             + (["_pos"] if keep_row_index else [])
         )
-        dels = spark.createDataFrame(deleted, ["_dfp", "_dpos"])
+        pdf = pd.DataFrame(
+            {
+                "_dfp": np.repeat(
+                    np.asarray(del_paths, dtype=object),
+                    [a.size for a in del_parts],
+                ),
+                "_dpos": np.concatenate(del_parts),
+            }
+        )
+        dels = spark.createDataFrame(pdf, schema="_dfp string, _dpos bigint")
         out = (
             out.join(
                 F.broadcast(dels),
@@ -1581,6 +1612,7 @@ def merge_delta(
     strategy: str = "cow",
     max_mor_rows: int = 1_000_000,
     txn: tuple[str, int] | None = None,
+    checkpoint_source: bool = True,
 ) -> int:
     """MERGE upsert into a native Delta table — S12 semantics (WHEN
     MATCHED → UPDATE all source columns, WHEN NOT MATCHED → INSERT;
@@ -1621,8 +1653,12 @@ def merge_delta(
         raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     # the source subtree is consumed by four sequential jobs (key-range
     # agg, exact probe, and twice inside merge_upsert_df); compute it
-    # once — bytes cached ∝ |source| (the upsert batch), never the table
-    source = source.localCheckpoint(eager=False)
+    # once — bytes cached ∝ |source| (the upsert batch), never the table.
+    # checkpoint_source=False is the streaming-sink handle: the sink
+    # already checkpointed the batch for its own pre-merge actions, and
+    # a second lazy checkpoint would cache the same bytes twice.
+    if checkpoint_source:
+        source = source.localCheckpoint(eager=False)
     snap = delta_snapshot(path)
     files = snap["files"]
     pcols = snap["partition_columns"]
@@ -1654,6 +1690,15 @@ def merge_delta(
         [f for f in files if not range_excluded(_bounds(f), usable)]
         if usable else list(files)
     )
+    if strategy == "mor":
+        # MoR needs the matched ROW POSITIONS anyway, and any file with
+        # >= 1 matched position is by definition a touched file — so the
+        # exact probe and the position probe are ONE candidate scan
+        # (r17; the split form scanned the candidates twice per merge)
+        return _merge_delta_mor(
+            spark, path, snap, candidates, source, key_cols,
+            max_mor_rows, txn,
+        )
     # stage 2: exact probe — which candidates really hold a source key
     touched: list[dict] = []
     if candidates:
@@ -1673,11 +1718,6 @@ def merge_delta(
             f for f in candidates
             if os.path.join(root_real, _decode_path(f["path"])) in hit_fps
         ]
-    if strategy == "mor":
-        return _merge_delta_mor(
-            spark, path, snap, touched, source, key_cols,
-            max_mor_rows, txn,
-        )
     target = _scan_file_groups(
         spark, path, snap["schema"], pcols, touched,
         snap.get("physical_names"),
@@ -1694,11 +1734,55 @@ def merge_delta(
     )
 
 
+def _collect_probe_hits(probe: DataFrame, max_mor_rows: int, op: str):
+    """Collect a ``(_fp, _pos)`` probe frame via Arrow (`toPandas`) and
+    group the positions by file — the driver-side half of every MoR
+    commit. Returns {file path: int64 position ndarray}; raises when
+    the matched row count exceeds ``max_mor_rows``. (r17: the row-
+    based ``collect()`` decoded churn-sized hit lists one py4j Row at
+    a time — ~10 s per merge at sf1.)"""
+    import numpy as np
+
+    pdf = probe.limit(max_mor_rows + 1).toPandas()
+    if len(pdf) > max_mor_rows:
+        raise ValueError(
+            f"MoR {op} matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    out: dict[str, Any] = {}
+    if not len(pdf):
+        return out
+    fps = pdf["_fp"].to_numpy(dtype=object)
+    pos = pdf["_pos"].to_numpy(dtype=np.int64)
+    order = np.argsort(fps, kind="stable")
+    fps, pos = fps[order], pos[order]
+    uniq, first = np.unique(fps, return_index=True)
+    for fp, seg in zip(uniq.tolist(), np.split(pos, first[1:])):
+        out[fp] = seg
+    return out
+
+
+def _merged_dv_rows(path: str, by_file: dict, rel_by_abs: dict) -> dict:
+    """Union each hit file's new positions with its existing DV (the
+    descriptor REPLACES, so it must carry the complete deleted set)."""
+    import numpy as np
+
+    dv_rows: dict[str, Any] = {}
+    for abs_fp, rows in by_file.items():
+        f = rel_by_abs[abs_fp]
+        if f.get("deletionVector"):
+            rows = np.union1d(
+                rows, read_deletion_vector_np(path, f["deletionVector"])
+            )
+        dv_rows[abs_fp] = rows
+    return dv_rows
+
+
 def _merge_delta_mor(
     spark: SparkSession,
     path: str,
     snap: dict,
-    touched: list[dict],
+    candidates: list[dict],
     source: DataFrame,
     key_cols: list[str],
     max_mor_rows: int,
@@ -1710,50 +1794,39 @@ def _merge_delta_mor(
     one atomic ``write_delta(dv_readds=…)`` commit — MERGE's "source
     wins" semantics make the new rows exactly ``source`` projected to
     the table columns, so bytes written ∝ |source| + |matched rows|,
-    never the touched files. An insert-only merge (no touched files)
-    degenerates to a plain pinned append."""
+    never the touched files. An insert-only merge (no matched rows in
+    any candidate file) degenerates to a plain pinned append.
+
+    ``candidates`` is the stats-pruned file set: ONE scan of it both
+    decides which files are touched (>= 1 matched position) and yields
+    the positions themselves."""
     path = os.path.realpath(os.path.abspath(path))
     cols = [f.name for f in snap["schema"].fields]
     src_rows = source.select(*cols)
     pcols = snap["partition_columns"]
-    if not touched:
+    if not candidates:
         return write_delta(
             src_rows, path, mode="append", partition_by=pcols,
             expected_version=snap["version"], txn=txn,
         )
     probe = _scan_file_groups(
-        spark, path, snap["schema"], pcols, touched,
+        spark, path, snap["schema"], pcols, candidates,
         snap.get("physical_names"),
         keep_file_path=True, keep_row_index=True,
     ).join(
         source.select(*key_cols).distinct(), key_cols, "left_semi"
     ).select("_fp", "_pos")
-    hits = probe.limit(max_mor_rows + 1).collect()
-    if len(hits) > max_mor_rows:
-        raise ValueError(
-            f"MoR MERGE matches more than max_mor_rows="
-            f"{max_mor_rows} rows — use strategy='cow'"
-        )
-    by_file: dict[str, set[int]] = {}
-    for r in hits:
-        by_file.setdefault(r["_fp"], set()).add(int(r["_pos"]))
-    rel_by_abs = {
-        os.path.join(path, _decode_path(f["path"])): f for f in touched
-    }
-    dv_rows: dict[str, set[int]] = {}
-    for abs_fp, rows in by_file.items():
-        f = rel_by_abs[abs_fp]
-        prior = (
-            read_deletion_vector(path, f["deletionVector"])
-            if f.get("deletionVector") else set()
-        )
-        dv_rows[abs_fp] = rows | prior
-    if not dv_rows:
-        # probe raced to empty (shouldn't happen: touched ⊆ matched)
+    by_file = _collect_probe_hits(probe, max_mor_rows, "MERGE")
+    if not by_file:
+        # insert-only merge: no candidate file holds a source key
         return write_delta(
             src_rows, path, mode="append", partition_by=pcols,
             expected_version=snap["version"], txn=txn,
         )
+    rel_by_abs = {
+        os.path.join(path, _decode_path(f["path"])): f for f in candidates
+    }
+    dv_rows = _merged_dv_rows(path, by_file, rel_by_abs)
     descriptors = _write_dv_blob(path, dv_rows)
     dv_readds = []
     for abs_fp in sorted(dv_rows):
@@ -1954,7 +2027,7 @@ def delete_delta(
 
 
 def _write_dv_blob(
-    path: str, dv_rows: dict[str, set[int]]
+    path: str, dv_rows: dict[str, Any]
 ) -> dict[str, dict]:
     """Write ONE ``deletion_vector_<uuid>.bin`` holding every file's
     bitmap at its own offset (the multi-DV packing real writers use):
@@ -1967,14 +2040,23 @@ def _write_dv_blob(
     import uuid as _uuid
     import zlib
 
-    from embeddinghub_spark.sources.roaring import serialize_bitmap_array
+    import numpy as np
+
+    from embeddinghub_spark.sources.roaring import (
+        serialize_bitmap_array_np,
+    )
 
     u = _uuid.uuid4()
     dv_name = f"deletion_vector_{u}.bin"
     descriptors: dict[str, dict] = {}
     blob = bytearray(b"\x01")  # format version
     for abs_fp in sorted(dv_rows):
-        data = serialize_bitmap_array(dv_rows[abs_fp])
+        vals = dv_rows[abs_fp]
+        if not isinstance(vals, np.ndarray):
+            vals = np.fromiter(vals, dtype=np.int64, count=len(vals))
+        vals = np.unique(vals)
+        dv_rows[abs_fp] = vals
+        data = serialize_bitmap_array_np(vals)
         offset = len(blob)
         blob += _struct.pack(">i", len(data))
         blob += data
@@ -2051,29 +2133,13 @@ def _delete_delta_mor(
         touched, snap.get("physical_names"),
         keep_file_path=True, keep_row_index=True,
     ).filter(cond).select("_fp", "_pos")
-    hits = probe.limit(max_mor_rows + 1).collect()
-    if len(hits) > max_mor_rows:
-        raise ValueError(
-            f"MoR DELETE matches more than max_mor_rows="
-            f"{max_mor_rows} rows — use strategy='cow' (a rewrite is "
-            "cheaper than a giant deletion vector)"
-        )
-    by_file: dict[str, set[int]] = {}
-    for r in hits:
-        by_file.setdefault(r["_fp"], set()).add(int(r["_pos"]))
+    by_file = _collect_probe_hits(probe, max_mor_rows, "DELETE")
     rel_by_abs = {
         os.path.join(path, _decode_path(f["path"])): f for f in touched
     }
     # merge with any existing DV: the descriptor REPLACES, so it must
     # carry the file's complete deleted set
-    dv_rows: dict[str, set[int]] = {}
-    for abs_fp, rows in by_file.items():
-        f = rel_by_abs[abs_fp]
-        prior = (
-            read_deletion_vector(path, f["deletionVector"])
-            if f.get("deletionVector") else set()
-        )
-        dv_rows[abs_fp] = rows | prior
+    dv_rows = _merged_dv_rows(path, by_file, rel_by_abs)
     if not dv_rows:
         raise RuntimeError("probe found no rows for touched files")
     descriptors = _write_dv_blob(path, dv_rows)
@@ -2244,28 +2310,15 @@ def _update_delta_mor(
         touched, snap.get("physical_names"),
         keep_file_path=True, keep_row_index=True,
     ).filter(cond)
-    hits = scan.select("_fp", "_pos").limit(max_mor_rows + 1).collect()
-    if len(hits) > max_mor_rows:
-        raise ValueError(
-            f"MoR UPDATE matches more than max_mor_rows="
-            f"{max_mor_rows} rows — use strategy='cow'"
-        )
-    by_file: dict[str, set[int]] = {}
-    for r in hits:
-        by_file.setdefault(r["_fp"], set()).add(int(r["_pos"]))
+    by_file = _collect_probe_hits(
+        scan.select("_fp", "_pos"), max_mor_rows, "UPDATE"
+    )
     if not by_file:
         raise RuntimeError("probe found no rows for touched files")
     rel_by_abs = {
         os.path.join(path, _decode_path(f["path"])): f for f in touched
     }
-    dv_rows: dict[str, set[int]] = {}
-    for abs_fp, rows in by_file.items():
-        f = rel_by_abs[abs_fp]
-        prior = (
-            read_deletion_vector(path, f["deletionVector"])
-            if f.get("deletionVector") else set()
-        )
-        dv_rows[abs_fp] = rows | prior
+    dv_rows = _merged_dv_rows(path, by_file, rel_by_abs)
     descriptors = _write_dv_blob(path, dv_rows)
     dv_readds = []
     for abs_fp in sorted(dv_rows):

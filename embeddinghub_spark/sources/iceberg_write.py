@@ -1777,6 +1777,15 @@ def merge_iceberg(
          if not range_excluded(bounds.get(f) or {}, usable)]
         if usable else files
     )
+    if strategy == "mor":
+        # MoR needs the matched ROW POSITIONS anyway, and any file with
+        # >= 1 matched position is by definition a touched file — so the
+        # exact probe and the position probe are ONE candidate scan
+        # (r17; the split form scanned the candidates twice per merge)
+        return _merge_iceberg_mor(
+            spark, path, snap, candidates, source, key_cols,
+            partition_by, max_mor_rows,
+        )
     # stage 2: exact probe — which candidates really hold a source key
     touched: list[str] = []
     if candidates:
@@ -1792,11 +1801,6 @@ def merge_iceberg(
             .select("_fp").distinct().collect()
         }
         touched = [f for f in candidates if f in hits]
-    if strategy == "mor":
-        return _merge_iceberg_mor(
-            spark, path, snap, touched, source, key_cols,
-            partition_by, max_mor_rows,
-        )
     target = (
         _scan_parquet(spark, snap, touched)
         if touched
@@ -1818,7 +1822,7 @@ def _merge_iceberg_mor(
     spark,
     path: str,
     snap: dict,
-    touched: list[str],
+    candidates: list[str],
     source: DataFrame,
     key_cols: list[str],
     partition_by: list[str],
@@ -1832,7 +1836,11 @@ def _merge_iceberg_mor(
     the table columns, so bytes written ∝ |source| + |matched rows|.
     An insert-only merge degenerates to a plain pinned append. The
     spec restrictions of ``delete_iceberg(strategy="mor")`` apply
-    (touched files must sit in the current spec)."""
+    (matched files must sit in the current spec).
+
+    ``candidates`` is the stats-pruned file set: ONE scan of it both
+    decides which files are touched (>= 1 matched position) and
+    yields the positions themselves."""
     from pyspark.sql import functions as F
 
     from embeddinghub_spark.sources.iceberg_meta import _scan_parquet
@@ -1845,7 +1853,7 @@ def _merge_iceberg_mor(
     cols = [f.name for f in snap["schema"].fields]
     src_rows = source.select(*cols)
     _assert_no_nulls_in_required(src_rows, snap["schema"])
-    if not touched:
+    if not candidates:
         return write_iceberg(
             src_rows, path, mode="append", partition_by=partition_by,
             expected_snapshot_id=snap["snapshot_id"],
@@ -1859,6 +1867,19 @@ def _merge_iceberg_mor(
     )
     cur_spec_id = int(cur_spec.get("spec-id", 0))
     fparts = snap.get("file_partitions") or {}
+    probe = _scan_parquet(spark, snap, candidates, with_meta=True).join(
+        source.select(*key_cols).distinct(), key_cols, "left_semi"
+    ).select(
+        decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
+        F.col("_pos"),
+    )
+    hits_pdf = probe.limit(max_mor_rows + 1).toPandas()
+    if len(hits_pdf) > max_mor_rows:
+        raise ValueError(
+            f"MoR MERGE matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    touched = sorted(set(hits_pdf["_fp"])) if len(hits_pdf) else []
     for f in touched:
         sid = int((fparts.get(f) or (cur_spec_id, {}))[0])
         if sid != cur_spec_id:
@@ -1867,24 +1888,20 @@ def _merge_iceberg_mor(
                 f"{cur_spec_id} — use strategy='cow' for evolved-spec "
                 "tables"
             )
-    probe = _scan_parquet(spark, snap, touched, with_meta=True).join(
-        source.select(*key_cols).distinct(), key_cols, "left_semi"
-    ).select(
-        decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
-        F.col("_pos"),
-    )
-    hits = probe.limit(max_mor_rows + 1).collect()
-    if len(hits) > max_mor_rows:
-        raise ValueError(
-            f"MoR MERGE matches more than max_mor_rows="
-            f"{max_mor_rows} rows — use strategy='cow'"
-        )
     by_part: dict[tuple, list[tuple[str, int]]] = {}
-    for r in hits:
-        part = dict((fparts.get(r["_fp"]) or (cur_spec_id, {}))[1])
-        by_part.setdefault(tuple(sorted(part.items())), []).append(
-            (f"file://{r['_fp']}", int(r["_pos"]))
-        )
+    if touched:
+        part_keys = {
+            f: tuple(sorted(
+                dict((fparts.get(f) or (cur_spec_id, {}))[1]).items()
+            ))
+            for f in touched
+        }
+        fps = hits_pdf["_fp"].tolist()
+        poss = hits_pdf["_pos"].tolist()
+        for fp, pos in zip(fps, poss):
+            by_part.setdefault(part_keys[fp], []).append(
+                (f"file://{fp}", int(pos))
+            )
     if not by_part:
         return write_iceberg(
             src_rows, path, mode="append", partition_by=partition_by,
@@ -1911,6 +1928,7 @@ def upsert_iceberg_cdc(
     key_cols: list[str],
     *,
     properties: dict[str, str] | None = None,
+    checkpoint_source: bool = True,
 ) -> int:
     """Streaming-shaped UPSERT via EQUALITY DELETE writes — the Flink
     CDC writer's upsert mode, natively: ONE commit appends the source
@@ -1946,6 +1964,12 @@ def upsert_iceberg_cdc(
     )
 
     path = os.path.realpath(os.path.abspath(path))
+    # the source subtree feeds the key-contract aggregate, the staged
+    # write and the required-null probe; compute it once — bytes cached
+    # ∝ |source|. checkpoint_source=False is the streaming-sink handle
+    # (the sink already checkpointed the batch).
+    if checkpoint_source:
+        source = source.localCheckpoint(eager=False)
     snap = iceberg_snapshot(path)
     if snap["snapshot_id"] is None:
         raise IcebergWriteError(
@@ -1965,31 +1989,36 @@ def upsert_iceberg_cdc(
     if missing:
         raise ValueError(f"key columns {missing} not in table schema")
     src_rows = source.select(*cols)
-    # non-null keys regardless of schema nullability (see docstring);
-    # checked FIRST so a null key gets the specific message
-    null_key = None
-    for c in key_cols:
-        piece = F.col(c).isNull()
-        null_key = piece if null_key is None else null_key | piece
-    if source.filter(null_key).take(1):
+    # ONE aggregate job yields the distinct keys (needed below for the
+    # equality-delete file anyway) AND the two batch-contract probes —
+    # the null-key and duplicate-key checks used to be two extra
+    # actions each re-executing the source subtree (r17):
+    # - non-null keys regardless of schema nullability (see
+    #   docstring): checked FIRST so a null key gets its message;
+    # - KEY-UNIQUE batch: duplicate-key rows would BOTH land and BOTH
+    #   survive (same sequence number), silently violating upsert
+    #   semantics — which duplicate is "latest" needs an ordering
+    #   column this function does not have, so the caller resolves it
+    #   (review find r16).
+    keys_pdf = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(*key_cols)
+        .toPandas()
+    )
+    if keys_pdf[key_cols].isna().any().any():
         raise IcebergWriteError(
             f"NULL in key column(s) {key_cols} — equality deletes "
             "cannot name NULL keys portably"
         )
-    # the batch must be KEY-UNIQUE: duplicate-key rows would BOTH land
-    # and BOTH survive (same sequence number), silently violating
-    # upsert semantics — which duplicate is "latest" needs an ordering
-    # column this function does not have, so the caller resolves it
-    # (review find r16)
-    dup = (
-        source.groupBy(*key_cols).count().filter("count > 1").take(1)
-    )
-    if dup:
+    dups = keys_pdf[keys_pdf["_n"] > 1]
+    if len(dups):
         raise IcebergWriteError(
             f"duplicate keys in the upsert batch (e.g. "
-            f"{[dup[0][c] for c in key_cols]}) — resolve to one row "
-            "per key before upsert_iceberg_cdc"
+            f"{[dups.iloc[0][c] for c in key_cols]}) — resolve to one "
+            "row per key before upsert_iceberg_cdc"
         )
+    keys_pdf = keys_pdf.drop(columns=["_n"])
     _assert_no_nulls_in_required(src_rows, snap["schema"])
 
     # ---- the equality-delete parquet: DISTINCT source keys with the
@@ -2003,9 +2032,6 @@ def upsert_iceberg_cdc(
         f["name"]: int(f["id"]) for f in cur_schema.get("fields") or []
     }
     eq_ids = [fid_by_name[c] for c in key_cols]
-    keys_pdf = (
-        source.select(*key_cols).distinct().orderBy(*key_cols).toPandas()
-    )
     tbl = pa.Table.from_pandas(keys_pdf, preserve_index=False)
     fields = []
     for i, c in enumerate(key_cols):
@@ -2256,6 +2282,37 @@ def _assert_no_nulls_in_required(df, schema) -> None:
         )
 
 
+def _collect_position_hits(
+    probe, max_mor_rows: int, op: str, fparts: dict, cur_spec_id: int
+) -> dict:
+    """Collect a ``(_fp, _pos)`` probe frame via Arrow (`toPandas`)
+    and group ``(file uri, pos)`` pairs by partition tuple — the
+    driver-side half of every MoR commit. Raises when the matched
+    row count exceeds ``max_mor_rows``. (r17: the row-based
+    ``collect()`` decoded churn-sized hit lists one py4j Row at a
+    time — seconds per commit at sf1.)"""
+    pdf = probe.limit(max_mor_rows + 1).toPandas()
+    if len(pdf) > max_mor_rows:
+        raise ValueError(
+            f"MoR {op} matches more than max_mor_rows="
+            f"{max_mor_rows} rows — use strategy='cow'"
+        )
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
+    if not len(pdf):
+        return by_part
+    part_keys = {
+        fp: tuple(sorted(
+            dict((fparts.get(fp) or (cur_spec_id, {}))[1]).items()
+        ))
+        for fp in set(pdf["_fp"])
+    }
+    for fp, pos in zip(pdf["_fp"].tolist(), pdf["_pos"].tolist()):
+        by_part.setdefault(part_keys[fp], []).append(
+            (f"file://{fp}", int(pos))
+        )
+    return by_part
+
+
 def _write_position_delete_files(
     path: str, by_part: dict
 ) -> list[tuple]:
@@ -2357,20 +2414,9 @@ def _delete_iceberg_mor(
         decoded_file_path_col(F.col("_raw_fp")).alias("_fp"),
         F.col("_pos"),
     )
-    hits = probe.limit(max_mor_rows + 1).collect()
-    if len(hits) > max_mor_rows:
-        raise ValueError(
-            f"MoR DELETE matches more than max_mor_rows="
-            f"{max_mor_rows} rows — use strategy='cow' (a rewrite is "
-            "cheaper than a giant delete file)"
-        )
-    by_part: dict[tuple, list[tuple[str, int]]] = {}
-    for r in hits:
-        part = dict((fparts.get(r["_fp"]) or (cur_spec_id, {}))[1])
-        key = tuple(sorted(part.items()))
-        by_part.setdefault(key, []).append(
-            (f"file://{r['_fp']}", int(r["_pos"]))
-        )
+    by_part = _collect_position_hits(
+        probe, max_mor_rows, "DELETE", fparts, cur_spec_id
+    )
     if not by_part:
         return None
 
@@ -2655,21 +2701,10 @@ def _update_iceberg_mor(
             "left_anti",
         )
     scan = scan.filter(cond)
-    hits = scan.select(
-        F.col("_fpn").alias("_fp"),
-        F.col("_pos"),
-    ).limit(max_mor_rows + 1).collect()
-    if len(hits) > max_mor_rows:
-        raise ValueError(
-            f"MoR UPDATE matches more than max_mor_rows="
-            f"{max_mor_rows} rows — use strategy='cow'"
-        )
-    by_part: dict[tuple, list[tuple[str, int]]] = {}
-    for r in hits:
-        part = dict((fparts.get(r["_fp"]) or (cur_spec_id, {}))[1])
-        by_part.setdefault(tuple(sorted(part.items())), []).append(
-            (f"file://{r['_fp']}", int(r["_pos"]))
-        )
+    by_part = _collect_position_hits(
+        scan.select(F.col("_fpn").alias("_fp"), F.col("_pos")),
+        max_mor_rows, "UPDATE", fparts, cur_spec_id,
+    )
     if not by_part:
         return None
     delete_files = _write_position_delete_files(path, by_part)

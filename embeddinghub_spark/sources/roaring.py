@@ -17,11 +17,20 @@ and the tests cross-validate the 32-bit layer BOTH directions against
 the real org.roaringbitmap library bundled with Spark (via py4j), so
 the codec cannot drift into a self-consistent dialect — the same
 discipline as `sources/avro_io.py`'s Java-Avro cross-validation.
+
+Container payloads encode/decode through NumPy (r17 optimization:
+DVs hold one position per superseded row, so a streaming MoR upsert
+decodes and re-encodes churn-sized bitmaps on the DRIVER — the
+per-value Python set loops were seconds of driver CPU per merge at
+sf1). The ``*_np`` entry points take/return sorted ``int64`` arrays;
+the set-based API wraps them, so there is exactly one codec.
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 SERIAL_COOKIE_NO_RUN = 12346
 SERIAL_COOKIE = 12347
@@ -33,9 +42,12 @@ class RoaringError(ValueError):
     """Malformed serialized Roaring data."""
 
 
-def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[set[int], int]:
-    """Standard 32-bit Roaring → (set of uint32 values, bytes consumed
-    from ``pos``)."""
+def deserialize_roaring32_np(
+    buf: bytes, pos: int = 0
+) -> tuple[np.ndarray, int]:
+    """Standard 32-bit Roaring → (uint32 ndarray in container order —
+    ascending within and across containers for spec-conforming input —
+    bytes consumed from ``pos``)."""
     start = pos
     if len(buf) - pos < 4:
         raise RoaringError("truncated roaring header")
@@ -64,57 +76,72 @@ def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[set[int], int]:
     has_offsets = cookie == SERIAL_COOKIE_NO_RUN or n >= NO_OFFSET_THRESHOLD
     if has_offsets:
         pos += 4 * n  # offsets are redundant for a sequential reader
-    out: set[int] = set()
+    parts: list[np.ndarray] = []
     for i, (key, card) in enumerate(headers):
-        base = key << 16
+        base = np.uint32(key << 16)
         if run_flags[i]:
             n_runs = struct.unpack_from("<H", buf, pos)[0]
             pos += 2
-            for _ in range(n_runs):
-                s, ln_m1 = struct.unpack_from("<HH", buf, pos)
-                pos += 4
-                out.update(base + v for v in range(s, s + ln_m1 + 1))
+            runs = np.frombuffer(
+                buf, dtype="<u2", count=2 * n_runs, offset=pos
+            ).reshape(-1, 2)
+            pos += 4 * n_runs
+            for s, ln_m1 in runs:
+                parts.append(
+                    base
+                    + np.arange(
+                        int(s), int(s) + int(ln_m1) + 1, dtype=np.uint32
+                    )
+                )
         elif card > 4096:  # bitset container, fixed 8 KiB
-            words = struct.unpack_from("<1024Q", buf, pos)
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8, count=8192, offset=pos),
+                bitorder="little",
+            )
             pos += 8192
-            for wi, w in enumerate(words):
-                while w:
-                    b = w & -w
-                    out.add(base + (wi << 6) + b.bit_length() - 1)
-                    w ^= b
+            parts.append(base + np.nonzero(bits)[0].astype(np.uint32))
         else:  # array container
-            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            vals = np.frombuffer(buf, dtype="<u2", count=card, offset=pos)
             pos += 2 * card
-            out.update(base + v for v in vals)
-    return out, pos - start
+            parts.append(base + vals.astype(np.uint32))
+    arr = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint32)
+    )
+    return arr, pos - start
 
 
-def serialize_roaring32(values: set[int]) -> bytes:
-    """Standard 32-bit Roaring bytes for a set of uint32 (array and
-    bitset containers; the no-run cookie — what org.roaringbitmap
-    emits for un-optimized bitmaps). Fixture-grade encode."""
-    by_key: dict[int, list[int]] = {}
-    for v in sorted(values):
-        if not 0 <= v <= 0xFFFFFFFF:
-            raise RoaringError(f"value {v} out of uint32 range")
-        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
-    keys = sorted(by_key)
+def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[set[int], int]:
+    """Standard 32-bit Roaring → (set of uint32 values, bytes consumed
+    from ``pos``)."""
+    arr, used = deserialize_roaring32_np(buf, pos)
+    return set(arr.tolist()), used
+
+
+def serialize_roaring32_np(vals: np.ndarray) -> bytes:
+    """Standard 32-bit Roaring bytes for a SORTED UNIQUE uint32 array
+    (array and bitset containers; the no-run cookie — what
+    org.roaringbitmap emits for un-optimized bitmaps)."""
+    vals = np.asarray(vals, dtype=np.uint32)
+    keys16 = (vals >> np.uint32(16)).astype(np.uint32)
+    uniq_keys, split_idx = np.unique(keys16, return_index=True)
+    segments = np.split(vals.astype(np.uint32) & np.uint32(0xFFFF),
+                        split_idx[1:])
     out = bytearray()
-    out += struct.pack("<ii", SERIAL_COOKIE_NO_RUN, len(keys))
-    for k in keys:
-        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    out += struct.pack("<ii", SERIAL_COOKIE_NO_RUN, len(uniq_keys))
+    for k, seg in zip(uniq_keys.tolist(), segments):
+        out += struct.pack("<HH", k, len(seg) - 1)
     payloads = []
-    for k in keys:
-        vals = by_key[k]
-        if len(vals) > 4096:
-            words = [0] * 1024
-            for v in vals:
-                words[v >> 6] |= 1 << (v & 63)
-            payloads.append(struct.pack("<1024Q", *words))
+    for seg in segments:
+        if len(seg) > 4096:
+            bits = np.zeros(1 << 16, dtype=np.uint8)
+            bits[seg] = 1
+            payloads.append(
+                np.packbits(bits, bitorder="little").tobytes()
+            )
         else:
-            payloads.append(struct.pack(f"<{len(vals)}H", *vals))
+            payloads.append(seg.astype("<u2").tobytes())
     # offset table (required by the no-run cookie)
-    off = len(out) + 4 * len(keys)
+    off = len(out) + 4 * len(uniq_keys)
     for p in payloads:
         out += struct.pack("<i", off)
         off += len(p)
@@ -123,9 +150,19 @@ def serialize_roaring32(values: set[int]) -> bytes:
     return bytes(out)
 
 
-def deserialize_bitmap_array(buf: bytes) -> set[int]:
-    """Delta's portable RoaringBitmapArray → set of int64 row indexes:
-    ``<int32 magic LE><int64 count LE>`` then per bitmap
+def serialize_roaring32(values: set[int]) -> bytes:
+    """Standard 32-bit Roaring bytes for a set of uint32. Fixture-grade
+    encode (see ``serialize_roaring32_np``)."""
+    arr = np.fromiter(values, dtype=np.int64, count=len(values))
+    if arr.size and (arr.min() < 0 or arr.max() > 0xFFFFFFFF):
+        bad = arr[(arr < 0) | (arr > 0xFFFFFFFF)][0]
+        raise RoaringError(f"value {bad} out of uint32 range")
+    return serialize_roaring32_np(np.unique(arr).astype(np.uint32))
+
+
+def deserialize_bitmap_array_np(buf: bytes) -> np.ndarray:
+    """Delta's portable RoaringBitmapArray → sorted int64 ndarray of
+    row indexes: ``<int32 magic LE><int64 count LE>`` then per bitmap
     ``<int32 high-key LE><standard 32-bit roaring>``."""
     if len(buf) < 12:
         raise RoaringError("truncated bitmap array")
@@ -134,25 +171,41 @@ def deserialize_bitmap_array(buf: bytes) -> set[int]:
         raise RoaringError(f"bad portable magic {magic}")
     count = struct.unpack_from("<q", buf, 4)[0]
     pos = 12
-    out: set[int] = set()
+    parts: list[np.ndarray] = []
     for _ in range(count):
         high = struct.unpack_from("<i", buf, pos)[0]
         pos += 4
-        vals, used = deserialize_roaring32(buf, pos)
+        vals, used = deserialize_roaring32_np(buf, pos)
         pos += used
-        out.update((high << 32) | v for v in vals)
-    return out
+        parts.append((np.int64(high) << np.int64(32)) | vals.astype(np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+def deserialize_bitmap_array(buf: bytes) -> set[int]:
+    """Delta's portable RoaringBitmapArray → set of int64 row indexes."""
+    return set(deserialize_bitmap_array_np(buf).tolist())
+
+
+def serialize_bitmap_array_np(values: np.ndarray) -> bytes:
+    """Portable RoaringBitmapArray bytes for an int64 ndarray of row
+    indexes (deduplicated and sorted here)."""
+    arr = np.unique(np.asarray(values, dtype=np.int64))
+    if arr.size and arr[0] < 0:
+        raise RoaringError("row indexes are non-negative")
+    highs = (arr >> np.int64(32)).astype(np.int64)
+    uniq_highs, split_idx = np.unique(highs, return_index=True)
+    segments = np.split((arr & np.int64(0xFFFFFFFF)).astype(np.uint32),
+                        split_idx[1:])
+    out = bytearray(struct.pack("<iq", PORTABLE_MAGIC, len(uniq_highs)))
+    for high, seg in zip(uniq_highs.tolist(), segments):
+        out += struct.pack("<i", high)
+        out += serialize_roaring32_np(seg)
+    return bytes(out)
 
 
 def serialize_bitmap_array(values: set[int]) -> bytes:
     """Fixture-grade encode of Delta's portable RoaringBitmapArray."""
-    by_high: dict[int, set[int]] = {}
-    for v in sorted(values):
-        if v < 0:
-            raise RoaringError("row indexes are non-negative")
-        by_high.setdefault(v >> 32, set()).add(v & 0xFFFFFFFF)
-    out = bytearray(struct.pack("<iq", PORTABLE_MAGIC, len(by_high)))
-    for high in sorted(by_high):
-        out += struct.pack("<i", high)
-        out += serialize_roaring32(by_high[high])
-    return bytes(out)
+    arr = np.fromiter(values, dtype=np.int64, count=len(values))
+    return serialize_bitmap_array_np(arr)

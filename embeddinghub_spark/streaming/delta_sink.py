@@ -57,7 +57,16 @@ def apply_upsert_batch_delta(
     Skips already-committed batch ids (replay), creates the table on
     the first non-empty batch, merges otherwise. The batch must be
     KEY-UNIQUE (duplicate keys have no defined winner — raises).
-    Returns the committed version, or None when skipped/empty."""
+    Returns the committed version, or None when skipped/empty.
+
+    Per-batch action budget (r17): the batch is lazily checkpointed
+    ONCE and every consumer reuses it; the emptiness and key-unique
+    probes fold into a single 1-row aggregate job (they were two
+    separate actions, each re-executing the raw batch subtree), and
+    ``merge_delta(checkpoint_source=False)`` reuses the same cache
+    instead of building a second one."""
+    from pyspark.sql import functions as F
+
     from embeddinghub_spark.sources.delta_log import (
         is_delta_table,
         merge_delta,
@@ -67,12 +76,19 @@ def apply_upsert_batch_delta(
     exists = is_delta_table(path)
     if exists and batch_id <= last_committed_txn(path, app_id):
         return None  # replayed batch: already folded in
-    if batch.isEmpty():
-        return None
-    dup = (
-        batch.groupBy(*key_cols).count().filter("count > 1").take(1)
+    batch = batch.localCheckpoint(eager=False)
+    stats = (
+        batch.groupBy(*key_cols)
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("count").alias("max_per_key"),
+        )
+        .first()
     )
-    if dup:
+    if not stats["n_keys"]:
+        return None  # empty batch
+    if stats["max_per_key"] > 1:
         raise ValueError(
             "duplicate keys in the upsert batch — resolve to one row "
             "per key before the sink"
@@ -81,7 +97,7 @@ def apply_upsert_batch_delta(
         return write_delta(batch, path, txn=(app_id, batch_id))
     return merge_delta(
         spark, path, batch, key_cols=key_cols, strategy=strategy,
-        txn=(app_id, batch_id),
+        txn=(app_id, batch_id), checkpoint_source=False,
     )
 
 

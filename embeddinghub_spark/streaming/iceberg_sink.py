@@ -65,6 +65,10 @@ def apply_upsert_batch(
     )
     if exists and batch_id <= last_committed_streaming_batch(path):
         return None  # replayed batch: already folded in
+    # the batch subtree feeds several sequential jobs (emptiness probe,
+    # key-contract aggregate, equality-delete keys, staged write) —
+    # compute it once; bytes cached ∝ |batch|, never the table (r17)
+    batch = batch.localCheckpoint(eager=False)
     if batch.isEmpty():
         return None
     props = {"streaming.last-batch-id": str(batch_id)}
@@ -86,7 +90,8 @@ def apply_upsert_batch(
             )
         return write_iceberg(batch, path, properties=props)
     return upsert_iceberg_cdc(
-        spark, path, batch, key_cols=key_cols, properties=props
+        spark, path, batch, key_cols=key_cols, properties=props,
+        checkpoint_source=False,
     )
 
 
