@@ -666,27 +666,31 @@ def cms_topk(
     def bucket(d: int, tok) -> Column:
         return _md5_long(F.concat(F.lit(f"{d}:"), tok)) % width
 
-    toks = (
+    # Per-token counts FIRST (one pass, map-side partial aggregation),
+    # then everything downstream works on the DISTINCT vocabulary:
+    # the 4 md5 bucket hashes run once per distinct token instead of
+    # once per occurrence (summing tf per bucket == counting
+    # occurrences per bucket — exact integer identity), and the
+    # checkpoint that feeds both the sketch and the top-k (standing
+    # self-join decision: no cross-side CSE in Spark) caches |vocab|
+    # rows instead of every token occurrence (r17, §1.2/§5).
+    tf = (
         df.select(F.explode(tokens(text_col)).alias("tok"))
-        # feeds the sketch aggregate AND the exact count (standing
-        # self-join decision: no cross-side CSE in Spark)
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
         .localCheckpoint(eager=False)
     )
     sketch = (
-        toks.select(
+        tf.select(
+            F.col("exact_count").alias("_tf"),
             F.posexplode(
                 F.array(*[bucket(d, F.col("tok")) for d in range(depth)])
-            ).alias("row", "bucket")
+            ).alias("row", "bucket"),
         )
         .groupBy("row", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("_tf").alias("c"))
     )
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), "tok")
-        .limit(k)
-    )
+    exact = tf.orderBy(F.col("exact_count").desc(), "tok").limit(k)
     probe = exact.select(
         "tok",
         "exact_count",

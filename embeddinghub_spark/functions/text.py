@@ -229,9 +229,17 @@ def redact_pii(
     """Scrub emails/URLs/IPv4s/phone-shaped runs from a text column,
     emitting the redacted text plus per-category match counts (the
     counts run on the ORIGINAL text, before any replacement could
-    shadow a later pattern). Pure codegen regexp expressions — map
-    only, no shuffle, linear over the corpus.
+    shadow a later pattern). Pure codegen regexp expressions — linear
+    over the corpus. The regex engine is the per-row cost, so a
+    split-deficit scan (one small parquet file) would serialize the
+    whole corpus on one task: ``ensure_parallelism`` fans it out
+    (identity on any scan with >= cores splits, so no shuffle is
+    added at scale — r17, the op read 10x slower than row-linear at
+    sf1 purely from the 1-split input).
     """
+    from embeddinghub_spark.functions.vector import ensure_parallelism
+
+    df = ensure_parallelism(df)
     redacted = F.col(text_col)
     counts = []
     for name, pat in PII_PATTERNS:
