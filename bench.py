@@ -445,6 +445,40 @@ def _warmup(spark, sf_dir: str) -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def streaming_machinery():  # Structured Streaming first-use costs
+        # (r17; the r16 candidate re-tried per VERDICT #8 on a box
+        # where the A/B separates): the micro-batch execution engine,
+        # offset/commit WAL classes, FileStreamSource listing and the
+        # foreachBatch plumbing load on the session's FIRST stream —
+        # charged to the first streaming entry (c20_stream_materialize,
+        # registry position 17) in every bench run, ~1.5-2 s that
+        # steady-state interleaved reps don't show. One tiny
+        # availableNow foreachBatch stream over a 2-row temp dir pays
+        # it untimed. Additions-only: no timed methodology change.
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_warm_s_")
+        try:
+            src = os.path.join(d, "src")
+            dfs["region"].limit(2).write.mode("overwrite").parquet(src)
+            sdf = spark.readStream.schema(
+                dfs["region"].schema
+            ).parquet(src)
+            q = (
+                sdf.writeStream.foreachBatch(
+                    lambda b, _i: b.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     stage("shuffle_agg", shuffle_agg)
     stage("probe_compile", probe_compile)
     stage("broadcast_join", bcast_join)
@@ -453,6 +487,7 @@ def _warmup(spark, sf_dir: str) -> None:
     stage("tokenize_sort", tokenize_sort)
     stage("fingerprint_agg", fingerprint_agg)
     stage("parquet_write", parquet_write)
+    stage("streaming_machinery", streaming_machinery)
 
 
 def _load_prev_round_bench() -> dict[str, float] | None:

@@ -162,10 +162,24 @@ def dsir_weights(
         # columns — far smaller than the exploded grams.
         .localCheckpoint(eager=False)
     )
-    bt = gb.groupBy("_b").agg(
-        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
-        F.sum("_c").alias("_cr"),
+    bt = (
+        gb.groupBy("_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))
+            ).alias("_ct"),
+            F.sum("_c").alias("_cr"),
+        )
+        # ≤ n_buckets rows; two consumers in SEPARATE actions (the
+        # totals broadcast build and the log-ratio broadcast build)
+        # each re-aggregated the corpus-sized gb frame without this
+        # pin (r17 plan capture: gb scanned 3×, aggregated 2×). The
+        # r16 boundary rule applies: the duplicated subtree spans two
+        # broadcast builds, so the checkpoint pays.
+        .localCheckpoint(eager=False)
     )
+    # totals are the exact integer sum of the per-bucket sums (sum is
+    # associative over bigints), so fold bt instead of re-scanning gb
     tot = bt.agg(
         F.sum("_ct").alias("_T"), F.sum("_cr").alias("_R")
     )

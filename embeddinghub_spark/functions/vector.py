@@ -23,6 +23,8 @@ reproducible across engines.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -262,6 +264,66 @@ def _inline_ok(cents: list, vec_col, dim: int | None) -> bool:
     )
 
 
+def _arrow_ok(cents: list, vec_col, dim: int | None) -> bool:
+    # Same structural requirements as the inline path (known dim,
+    # plain column, complete centroids) WITHOUT the K·dim literal cap —
+    # this is the large-K regime where folding centroids into the plan
+    # stops paying.
+    return (
+        0 < len(cents)
+        and dim is not None
+        and isinstance(vec_col, str)
+        and all(c[1] is not None and len(c[1]) == dim for c in cents)
+    )
+
+
+def _assign_cells_arrow_expr(cents: list, dim: int) -> "F.Column":
+    """Vectorized argmax-dot cell assignment as a pandas UDF — the
+    large-K strategy of ``assign_ivf_cells`` (guide §4.2: a GEMM-class
+    kernel over whole Arrow batches instead of K·dim interpreted
+    catalyst lambda evaluations per row).
+
+    Bit-identity with the JVM paths: each product is one IEEE-double
+    multiply of the same operands (elements cast to double, centroid
+    values round-trip exactly through ``float``), and the accumulator
+    adds products in array order starting from 0.0 — the NumPy loop
+    below adds one dimension at a time across the whole (rows × K)
+    tile, so every (row, centroid) score is the identical
+    left-associated sum the ``F.aggregate`` fold / literal fold
+    produce. Tiebreak: centroids are scored in ascending-id column
+    order, and ``np.argmax`` returns the FIRST maximum (and treats NaN
+    as the maximum), matching "highest score, NaN highest, then
+    smallest cell id" exactly.
+
+    Constraint: vectors must be non-null with exactly ``dim`` non-null
+    elements (null elements arrive as NaN in Arrow and NaN ranks
+    HIGHEST, where the JVM struct-max ranks a null score LOWEST).
+    Index-corpus vectors are complete by construction; ragged input
+    fails loudly in ``np.stack``.
+    """
+    import numpy as np
+
+    ordered = sorted((int(c), [float(x) for x in v]) for c, v in cents)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)  # (K, dim)
+    cids = np.array([c for c, _ in ordered], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _best_cell(batch: pd.Series) -> pd.Series:
+        x = np.stack(batch.to_numpy()).astype(np.float64, copy=False)
+        if x.shape[1] != dim:
+            raise ValueError(
+                f"assign_ivf_cells: vector length {x.shape[1]} != dim {dim}"
+            )
+        acc = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
+        for d in range(dim):
+            # one IEEE add of the d-th product onto every (row, cell)
+            # accumulator — the same left-to-right order as the fold
+            acc += x[:, d : d + 1] * cmat[None, :, d]
+        return pd.Series(cids[np.argmax(acc, axis=1)])
+
+    return _best_cell
+
+
 def assign_ivf_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -288,13 +350,22 @@ def assign_ivf_cells(
       ZERO exchanges — assignment of a 100 TB corpus is embarrassingly
       parallel. (The previous design broadcast-joined the corpus ×K
       and ran a row_number window — a shuffle of K× the corpus bytes.)
-    - larger K (or unknown dim): broadcast join + per-vector
+    - larger K with ``dim`` known: vectorized Arrow argmax
+      (``_assign_cells_arrow_expr``) — still map-only (zero joins,
+      zero exchanges); the K dot products per row run as one NumPy
+      tile per Arrow batch instead of K·dim interpreted catalyst
+      lambda evaluations, bit-identical accumulation order. This is
+      the K ∝ N regime (semantic_dedup auto-sizing), where the
+      previous broadcast-join+aggregate fallback made assignment
+      O(N·K·dim) interpreted — measured quadratic (r16 sf1/sf0.1
+      ratio 11.3 on semantic_dedup).
+    - unknown dim / incomplete centroids: broadcast join + per-vector
       ``max(struct(score, -cell, vec))`` hash aggregate. The ×K
       amplification collapses in the partial aggregate inside the same
       task that produced it, so the exchange carries one row per
       vector, not K.
 
-    NaN scores rank highest in both paths (Spark double ordering);
+    NaN scores rank highest in all paths (Spark double ordering);
     cells must have numeric ids (row_number/kmeans construction).
     """
     cell_dt = centroids.schema[centroid_id_col].dataType
@@ -318,6 +389,13 @@ def assign_ivf_cells(
             F.col(id_col),
             F.col(vec_col),
             (-best.getField("nc")).cast(cell_dt).alias(centroid_id_col),
+        )
+    if _arrow_ok(cents, vec_col, dim):
+        best_cell = _assign_cells_arrow_expr(cents, dim)
+        return vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            best_cell(F.col(vec_col)).cast(cell_dt).alias(centroid_id_col),
         )
     paired = vectors.join(F.broadcast(centroids))
     scored = paired.select(

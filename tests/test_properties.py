@@ -12,8 +12,18 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+# Example budget (VERDICT r16 #2: the full suite must fit the round
+# driver's pytest window — the r16 driver run was cut off at ~82%).
+# Default 6; EH_TEST_FULL=1 restores 12 (run at round close). With
+# derandomize=True the reduced run executes a strict PREFIX of the
+# full run's example sequence, so it can never be flakier — only
+# narrower — than the full suite that gates each round.
+import os as _os
+
+_MAX_EXAMPLES = 12 if _os.environ.get("EH_TEST_FULL") else 6
+
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
     derandomize=True,  # CI-stable: the seed is part of the suite
