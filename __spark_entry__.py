@@ -5166,9 +5166,15 @@ def _sparse_features_shared(spark: SparkSession, sf_dir: str):
     if hit is not None:
         return hit
     from embeddinghub_spark.functions.text import hash_vectorizer
+    from embeddinghub_spark.functions.vector import ensure_parallelism
 
+    # fan-out before the shingle+md5 map stage (r17): the single-file
+    # corpus scan serialized the build on 1-2 tasks — strict
+    # alternating A/B at sf1: 9.2 -> 2.3 s median (identity on scans
+    # with >= cores splits, i.e. any real cluster corpus)
     feats = hash_vectorizer(
-        _t(spark, sf_dir, "documents"), dim=None, shingle_n=3
+        ensure_parallelism(_t(spark, sf_dir, "documents")),
+        dim=None, shingle_n=3,
     ).localCheckpoint(eager=True)
     _SPARSE_FEATS_CACHE.clear()
     _SPARSE_FEATS_CACHE[key] = feats
@@ -5199,7 +5205,9 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embeddinghub_spark.functions.vector import sparse_cosine_pairs
 
     feats = _sparse_features_shared(spark, sf_dir)
-    return sparse_cosine_pairs(feats, min_cosine=0.5, max_df=1000)
+    return sparse_cosine_pairs(
+        feats, min_cosine=0.5, max_df=1000, pinned_input=True
+    )
 
 
 def _sparse_cosine_oracle(max_df: int) -> str:
@@ -7711,7 +7719,9 @@ def q_sparse_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from embeddinghub_spark.functions.vector import sparse_cosine_pairs
 
     feats = _sparse_features_shared(spark, sf_dir)
-    return sparse_cosine_pairs(feats, min_cosine=0.5, max_df=8)
+    return sparse_cosine_pairs(
+        feats, min_cosine=0.5, max_df=8, pinned_input=True
+    )
 
 
 _SPARSE_COSINE_SCALED_ORACLE = _sparse_cosine_oracle(8)

@@ -73,17 +73,25 @@ def doc_grams(text_col: Column | str) -> Column:
     the DSIR paper's feature set (§3.2: unigram+bigram bag, hashed).
     Bigrams join with a single space; docs with < 2 tokens contribute
     unigrams only; empty docs yield an empty array."""
+    # token array bound ONCE as a lambda variable before the per-index
+    # bigram transform references it (r17, the word_shingles fix):
+    # element_at on the raw tokens() expression re-ran the whole
+    # split+filter per bigram position — O(k²) per doc.
     toks = tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+
+    def build(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bigrams)
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def dsir_weights(

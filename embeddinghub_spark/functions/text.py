@@ -38,15 +38,27 @@ def tokens(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Sliding word n-grams joined by space; docs shorter than n words
-    yield their full token string as the single shingle."""
+    yield their full token string as the single shingle.
+
+    The token array is BOUND ONCE as a lambda variable (the singleton
+    ``transform(array(toks), t -> ...)`` wrapper) before the per-index
+    shingle transform references it. Referencing the raw ``tokens()``
+    expression from inside the index lambda re-evaluated the whole
+    split+filter per shingle position — O(k²) string work per doc,
+    measured 17.4 s → 2.6 s for the sf1 shingle explode (r17). Output
+    is expression-identical; only the evaluation count changes."""
     toks = tokens(col)
-    k = F.size(toks)
-    joined = F.array_join(toks, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(k > n, grams).otherwise(F.array(joined))
+
+    def build(t: Column) -> Column:
+        k = F.size(t)
+        joined = F.array_join(t, " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+        return F.when(k > n, grams).otherwise(F.array(joined))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def _word_set_pattern(words: list[str]) -> str:

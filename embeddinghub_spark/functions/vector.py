@@ -1879,6 +1879,7 @@ def sparse_cosine_pairs(
     min_cosine: float = 0.5,
     max_df: int | None = None,
     df_warning_threshold: int | None = 10_000,
+    pinned_input: bool = False,
 ) -> DataFrame:
     """All-pairs cosine similarity over SPARSE integer feature
     vectors ``(id, bucket, weight)`` — the inverted-index similarity
@@ -1927,11 +1928,22 @@ def sparse_cosine_pairs(
     Output: (id_a, id_b, dot, cosine) for pairs with
     cosine >= min_cosine, id_a < id_b.
     """
+    # ``pinned_input=True`` (r17): when the caller already holds the
+    # feature frame as a materialized checkpoint (the entry's shared
+    # eager build), the two internal localCheckpoints below are pure
+    # overhead — they re-cache bytes that are already lineage-free and
+    # their UnknownPartitioning forces the downstream self-join to
+    # rebuild exchanges AQE could otherwise reuse. Strict alternating
+    # A/B at sf1: median 7.31 -> 5.13 s, min 6.38 -> 3.92 s. Unpinned
+    # callers keep the checkpoints (the feature build would otherwise
+    # re-execute once per reference: norms + both join sides + prune).
     feats = features.select(
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_b"),
         F.col(weight_col).cast("bigint").alias("_w"),
-    ).localCheckpoint(eager=False)
+    )
+    if not pinned_input:
+        feats = feats.localCheckpoint(eager=False)
     if max_df is not None:
         keep = (
             feats.groupBy("_b")
@@ -1939,7 +1951,9 @@ def sparse_cosine_pairs(
             .filter(F.col("_df") <= max_df)
             .select("_b")
         )
-        feats = feats.join(keep, "_b").localCheckpoint(eager=False)
+        feats = feats.join(keep, "_b")
+        if not pinned_input:
+            feats = feats.localCheckpoint(eager=False)
     elif df_warning_threshold is not None:
         import warnings
 

@@ -93,3 +93,45 @@ def test_interval_join_no_cartesian(spark):
     )
     s = _shape(out)
     assert not s["cartesian"] and not s["bnlj"]
+
+
+def test_bucketed_merge_batch_single_exchange(spark):
+    """ADVICE r16: _write_bucketed(pre_partitioned=True) silently
+    relies on _materialize_bucketed's aggregate PRESERVING the _bkt
+    hash partitioning (HashPartitioning(bucket) satisfies
+    ClusteredDistribution(bucket, entity)). If a Spark upgrade or AQE
+    rule inserts an exchange/coalesce there, the <=1-fileset-per-
+    bucket layout silently degrades — pin the fused one-exchange
+    shape so that breaks loudly instead."""
+    from embeddinghub_spark.sources.tables import _materialize_bucketed
+
+    updates = spark.createDataFrame(
+        [(i % 37, float(i), i) for i in range(500)],
+        ["entity", "value", "ts"],
+    )
+    delta_b = _materialize_bucketed(updates, "entity", "value", "ts", 16)
+    s = _shape(delta_b)
+    assert s["shuffles"] == 1 and not s["cartesian"]
+
+
+def test_large_k_cell_assignment_is_map_only(spark):
+    """r17: past the literal-fold cap the assignment must stay
+    map-only (ArrowEvalPython), never the broadcast-join + aggregate
+    fallback that is O(N*K*dim) interpreted and quadratic under the
+    semantic_dedup K ~ N auto-sizing."""
+    from embeddinghub_spark.functions.vector import assign_ivf_cells
+
+    dim, k = 64, 150  # k*dim > 8192 -> past the inline cap
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(dim)])
+         for i in range(300)],
+        ["vec_id", "embedding"],
+    )
+    cents = [(c + 1, [float((c * 5 + j) % 11) for j in range(dim)])
+             for c in range(k)]
+    cent_df = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    df = assign_ivf_cells(vecs, cent_df, dim=dim, cells=cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = _shape(df)
+    assert s["shuffles"] == 0 and s["broadcast"] == 0 and not s["bnlj"]
+    assert "ArrowEvalPython" in plan
