@@ -698,6 +698,12 @@ def connected_components(
     join against the previous round and no extra pass (fixes the
     per-round ``limit(1).count()`` driver round-trip of the previous
     design). ``stats``, if given, receives {"rounds": r}.
+
+    NOTE (ADVICE r16): the input edge set localCheckpoints (storage
+    ∝ |edges| per call, freed when the returned frame is GC'd; blocks
+    are unreplicated — on a cluster prefer a checkpoint dir for
+    fault-tolerant lineage truncation at very long jobs). Batch-only:
+    streaming edge frames must come through foreachBatch.
     """
     # materialize the caller's edge pipeline ONCE (r16, the pagerank
     # treatment): the node set, the deduped edge set and the driver-

@@ -439,6 +439,12 @@ def histogram_quantiles(
     Output: ``(quantile, value)``, one row per requested q,
     ascending. Degenerate column (max == min) returns that value for
     every q.
+
+    BATCH-ONLY (ADVICE r16): the bounds frame localCheckpoints, so a
+    streaming DataFrame raises AnalysisException here — compose
+    streaming callers through foreachBatch (this constraint is shared
+    by robust_scale/_by, winsorize, quantiles_by_group and
+    perplexity_buckets, which embed this sketch).
     """
     if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
         raise ValueError("quantiles must be in (0, 1]")

@@ -1815,6 +1815,16 @@ def normalize_text(
     chain, map-only, zero shuffles; ASCII-pinned patterns so Java
     regex (Spark) and RE2 (DuckDB) agree byte for byte.
 
+    NOTE (r17): a redact_pii-style ``ensure_parallelism`` fan-out was
+    A/B'd here and REJECTED — sf1 unchanged (2.46 → 2.43 s warm-min)
+    while sf0.1 regressed 0.24 → 0.41 s (the added exchange ships the
+    full text bytes); unlike redact_pii's 8-pattern stack, this chain
+    is cheap enough per row that the shuffle costs more than the
+    serialization it removes. The warm sf1/sf0.1 ratio ~6-10 is the
+    split-deficit floor of a 1-file test scan at small absolute
+    seconds, not a scale shape — on a real multi-split corpus the op
+    is embarrassingly parallel.
+
     Output: all input columns plus ``normalized``.
     """
     c = F.col(text_col)

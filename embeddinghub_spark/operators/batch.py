@@ -368,6 +368,14 @@ def robust_scale(
 
     Output: the input rows (null ``value_col`` rows dropped) with
     ``out_col`` appended; a degenerate column (MAD = 0) yields 0.0.
+
+    NOTE (ADVICE r16): ``rows`` — the full non-null input —
+    localCheckpoints here, so executor storage ∝ |input| per call and
+    the cached blocks free only when the returned DataFrame is GC'd;
+    driver-loop callers invoking this repeatedly in one session
+    should drop references (or unpersist ``.rdd``) between calls.
+    Batch-only for the same reason (streaming frames cannot
+    localCheckpoint outside foreachBatch).
     """
     from embeddinghub_spark.functions.profile import histogram_quantiles
 
